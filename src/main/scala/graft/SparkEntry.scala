@@ -13,7 +13,17 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (Relational.q1Agg _),
     "q3_join" -> (Relational.q3Join _),
-    "q5_multijoin" -> (Relational.q5MultiJoin _)
+    "q5_multijoin" -> (Relational.q5MultiJoin _),
+    "q_validate_ticks" -> (Warehouse.validateTicks _),
+    "q_dedup_ticks" -> (Warehouse.dedupTicks _),
+    "q_latest_per_key" -> (Warehouse.latestPerKey _),
+    "q_latest_per_day" -> (Warehouse.latestPerDay _),
+    "q_daily_ohlc" -> (Warehouse.dailyOhlc _),
+    "q_candles" -> (Warehouse.candles _),
+    "q_time_window_scan" -> (Warehouse.timeWindowScan _),
+    "q_distinct_keys" -> (Warehouse.distinctKeys _),
+    "q_window_agg" -> (Warehouse.windowAgg _),
+    "q_sessionize" -> (Warehouse.sessionize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -22,6 +32,16 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" -> Relational.q1AggSql,
     "q3_join" -> Relational.q3JoinSql,
-    "q5_multijoin" -> Relational.q5MultiJoinSql
+    "q5_multijoin" -> Relational.q5MultiJoinSql,
+    "q_validate_ticks" -> Warehouse.validateTicksSql,
+    "q_dedup_ticks" -> Warehouse.dedupTicksSql,
+    "q_latest_per_key" -> Warehouse.latestPerKeySql,
+    "q_latest_per_day" -> Warehouse.latestPerDaySql,
+    "q_daily_ohlc" -> Warehouse.dailyOhlcSql,
+    "q_candles" -> Warehouse.candlesSql,
+    "q_time_window_scan" -> Warehouse.timeWindowScanSql,
+    "q_distinct_keys" -> Warehouse.distinctKeysSql,
+    "q_window_agg" -> Warehouse.windowAggSql,
+    "q_sessionize" -> Warehouse.sessionizeSql
   )
 }

@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse / pipeline semantics from the reference's ingestion and
+  * schema layer, re-expressed as declarative Spark plans over the
+  * `events` tick stream (user_id = company key, value = price).
+  *
+  * - validation: producer.py:255-288 (null/≤0/NaN price rejection)
+  * - duplicate-tick suppression: producer.py:243-252
+  * - latest trade date per company: producer.py:226-231
+  * - latest row per (company, day): db/current_schema.sql:134-162
+  * - realtime→historical daily OHLC: db/current_schema.sql:165-200
+  * - candles + time-window scans: dashboard/app.py:54-84, 221-309
+  *
+  * All window queries shuffle exactly once on the partition key; the
+  * per-key sorted runs then stream (no group materialization), which
+  * is the shape that holds at 100 TB.
+  */
+object Warehouse {
+
+  /** Cleaned tick stream: reject null / non-positive / NaN prices
+    * (producer.py:255-288). The filter is pushed to the parquet scan.
+    */
+  def validateTicks(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("value") > 0 && !isnan(col("value"))
+        && col("user_id").isNotNull)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+
+  def validateTicksSql: String =
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM events
+      |WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)
+      |  AND user_id IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
+  /** Duplicate (key, ts) suppression keeping the first-arrived row
+    * (producer.py:243-252). One shuffle on user_id.
+    */
+  def dedupTicks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .orderBy("event_id")
+  }
+
+  def dedupTicksSql: String =
+    """SELECT event_id, ts, user_id, event_type, value FROM (
+      |  SELECT event_id, ts, user_id, event_type, value,
+      |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
+  /** MAX(trade_datetime) per company (producer.py:226-231). Map-side
+    * partial max then one tiny shuffle.
+    */
+  def latestPerKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max("ts").as("latest_ts"), count(lit(1)).as("n_ticks"))
+      .orderBy("user_id")
+
+  def latestPerKeySql: String =
+    """SELECT user_id, max(ts) AS latest_ts, count(*) AS n_ticks
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Latest row per (company, day) — the DISTINCT ON of
+    * get_latest_realtime_per_date() (current_schema.sql:134-162).
+    */
+  def latestPerDay(spark: SparkSession, dir: String): DataFrame = {
+    val day = to_date(col("ts")).as("trade_date")
+    val w = Window.partitionBy(col("user_id"), col("trade_date"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), day, col("user_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("user_id", "trade_date")
+  }
+
+  def latestPerDaySql: String =
+    """SELECT event_id, ts, trade_date, user_id, value FROM (
+      |  SELECT event_id, ts, CAST(ts AS DATE) AS trade_date, user_id, value,
+      |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                       ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id, trade_date""".stripMargin
+
+  /** Daily OHLC rollup — migrate_realtime_to_historical()'s SELECT
+    * (current_schema.sql:165-200): per (company, day) open/close by
+    * time order, high/low, tick count.
+    */
+  def dailyOhlc(spark: SparkSession, dir: String): DataFrame =
+    ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date")
+
+  def dailyOhlcSql: String = ohlcSql("CAST(ts AS DATE)", "trade_date")
+
+  /** Hourly candles for the dashboard's candlestick view
+    * (dashboard/app.py:249-309).
+    */
+  def candles(spark: SparkSession, dir: String): DataFrame =
+    ohlcBy(spark, dir, date_trunc("hour", col("ts")).as("bucket"), "bucket")
+
+  def candlesSql: String = ohlcSql("date_trunc('hour', ts)", "bucket")
+
+  private def ohlcBy(spark: SparkSession, dir: String,
+      bucketExpr: org.apache.spark.sql.Column, bucketName: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col(bucketName))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(col("user_id"), bucketExpr, col("ts"), col("event_id"), col("value"))
+      .withColumn("open", first("value").over(w))
+      .withColumn("close", last("value").over(w))
+      .groupBy(col("user_id"), col(bucketName))
+      .agg(
+        max(col("open")).as("open_price"),
+        round(max("value"), 4).as("high_price"),
+        round(min("value"), 4).as("low_price"),
+        max(col("close")).as("close_price"),
+        count(lit(1)).as("n_ticks"),
+        round(sum("value"), 4).as("turnover"))
+      .orderBy("user_id", bucketName)
+  }
+
+  private def ohlcSql(bucketExpr: String, bucketName: String): String =
+    s"""SELECT user_id, $bucketName,
+       |  max(open) AS open_price,
+       |  round(max(value), 4) AS high_price,
+       |  round(min(value), 4) AS low_price,
+       |  max(close) AS close_price,
+       |  count(*) AS n_ticks,
+       |  round(sum(value), 4) AS turnover
+       |FROM (
+       |  SELECT user_id, $bucketExpr AS $bucketName, value,
+       |    first_value(value) OVER (PARTITION BY user_id, $bucketExpr
+       |      ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open,
+       |    last_value(value) OVER (PARTITION BY user_id, $bucketExpr
+       |      ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+       |  FROM events)
+       |GROUP BY user_id, $bucketName
+       |ORDER BY user_id, $bucketName""".stripMargin
+
+  /** Dashboard time-window scan (app.py:54-84): last 7 days relative
+    * to the latest tick, enriched with the customer dim (broadcast),
+    * newest first, limit 1000. Deterministic tiebreak on event_id.
+    */
+  def timeWindowScan(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val maxTs = ev.agg(max("ts").as("max_ts"))
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    ev.crossJoin(broadcast(maxTs))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 7 DAYS"))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select("event_id", "ts", "user_id", "c_name", "c_mktsegment", "event_type", "value")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(1000)
+  }
+
+  def timeWindowScanSql: String =
+    """SELECT event_id, ts, user_id, c_name, c_mktsegment, event_type, value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+      |ORDER BY ts DESC, event_id DESC
+      |LIMIT 1000""".stripMargin
+
+  /** Distinct ordered symbol list (app.py:206-219). */
+  def distinctKeys(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).select("user_id").distinct().orderBy("user_id")
+
+  def distinctKeysSql: String =
+    "SELECT DISTINCT user_id FROM events ORDER BY user_id"
+
+  /** Tumbling-window aggregate per event_type — the batch dual of the
+    * streaming windowed aggregation (graft.streaming).
+    */
+  def windowAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("value"), 4).as("total"),
+        round(avg("value"), 6).as("mean"),
+        round(min("value"), 4).as("lo"),
+        round(max("value"), 4).as("hi"))
+      .orderBy("bucket", "event_type")
+
+  def windowAggSql: String =
+    """SELECT date_trunc('hour', ts) AS bucket, event_type,
+      |  count(*) AS n,
+      |  round(sum(value), 4) AS total,
+      |  round(avg(value), 6) AS mean,
+      |  round(min(value), 4) AS lo,
+      |  round(max(value), 4) AS hi
+      |FROM events
+      |GROUP BY date_trunc('hour', ts), event_type
+      |ORDER BY bucket, event_type""".stripMargin
+
+  /** Gap-based sessionization per user (2 h inactivity gap) — the
+    * batch dual of streaming session windows. One shuffle on user_id;
+    * the running session counter streams over the sorted run.
+    */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // double-epoch on both sides: Spark's long cast floors to seconds
+    // while DuckDB's epoch() keeps the fraction — doubles agree exactly.
+    val newSession = when(
+      col("ts").cast("double") - lag(col("ts"), 1).over(byUser).cast("double") > 7200, 1
+    ).otherwise(lit(0))
+    Tables.events(spark, dir)
+      .withColumn("new_s", coalesce(newSession, lit(0)))
+      .withColumn("session_id", sum("new_s")
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min("ts").as("session_start"),
+        max("ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  def sessionizeSql: String =
+    """SELECT user_id, session_id,
+      |  min(ts) AS session_start,
+      |  max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  round(sum(value), 4) AS session_value
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id, value,
+      |      CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id)) > 7200 THEN 1 ELSE 0 END AS new_s
+      |    FROM events))
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Warehouse
+
+class WarehouseSpec extends SparkSuite {
+
+  test("validateTicks keeps only positive finite prices") {
+    val df = Warehouse.validateTicks(spark, sfDir)
+    val n = df.count()
+    assert(n > 0 && n <= Tables.events(spark, sfDir).count())
+    assert(df.filter("value <= 0 OR value IS NULL").count() == 0)
+  }
+
+  test("dedupTicks yields unique (user_id, ts)") {
+    val df = Warehouse.dedupTicks(spark, sfDir)
+    assert(df.groupBy("user_id", "ts").count().filter("count > 1").count() == 0)
+  }
+
+  test("latestPerKey has one row per user") {
+    val df = Warehouse.latestPerKey(spark, sfDir)
+    assert(df.count() == Tables.events(spark, sfDir).select("user_id").distinct().count())
+  }
+
+  test("latestPerDay keeps one row per (user, day)") {
+    val df = Warehouse.latestPerDay(spark, sfDir)
+    assert(df.groupBy("user_id", "trade_date").count().filter("count > 1").count() == 0)
+  }
+
+  test("dailyOhlc bounds hold: low <= open/close <= high") {
+    val bad = Warehouse.dailyOhlc(spark, sfDir)
+      .filter("open_price > high_price OR close_price > high_price OR " +
+        "open_price < low_price OR close_price < low_price")
+    assert(bad.count() == 0)
+  }
+
+  test("candles tick counts reconcile with total") {
+    val total = Warehouse.candles(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n_ticks")).head.getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+  }
+
+  test("timeWindowScan enriches with dim and respects limit") {
+    val rows = Warehouse.timeWindowScan(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 1000)
+    assert(rows.forall(_.getAs[String]("c_name") != null))
+  }
+
+  test("sessionize: sessions within a user do not overlap") {
+    val df = Warehouse.sessionize(spark, sfDir).collect()
+    val byUser = df.groupBy(_.getAs[Long]("user_id"))
+    byUser.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Long]("session_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.getAs[java.sql.Timestamp]("session_end")
+            .after(b.getAs[java.sql.Timestamp]("session_start")))
+        case _ =>
+      }
+    }
+  }
+
+  test("windowAgg counts reconcile") {
+    val total = Warehouse.windowAgg(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+  }
+}
