@@ -7,7 +7,7 @@ import graft.operators._
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    Indicators.analyticsFull(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -23,7 +23,17 @@ object SparkEntry {
     "q_time_window_scan" -> (Warehouse.timeWindowScan _),
     "q_distinct_keys" -> (Warehouse.distinctKeys _),
     "q_window_agg" -> (Warehouse.windowAgg _),
-    "q_sessionize" -> (Warehouse.sessionize _)
+    "q_sessionize" -> (Warehouse.sessionize _),
+    "q_sma" -> (Indicators.sma _),
+    "q_rsi" -> (Indicators.rsi _),
+    "q_bollinger" -> (Indicators.bollinger _),
+    "q_volatility" -> (Indicators.volatility _),
+    "q_ema" -> (Indicators.ema _),
+    "q_macd" -> (Indicators.macd _),
+    "q_price_change" -> (Indicators.priceChange _),
+    "q_analytics_full" -> (Indicators.analyticsFull _),
+    "q_filter_extremes" -> (Indicators.filterExtremes _),
+    "q_alerts" -> (Indicators.alerts _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,6 +52,16 @@ object SparkEntry {
     "q_time_window_scan" -> Warehouse.timeWindowScanSql,
     "q_distinct_keys" -> Warehouse.distinctKeysSql,
     "q_window_agg" -> Warehouse.windowAggSql,
-    "q_sessionize" -> Warehouse.sessionizeSql
+    "q_sessionize" -> Warehouse.sessionizeSql,
+    "q_sma" -> Indicators.smaSql,
+    "q_rsi" -> Indicators.rsiSql,
+    "q_bollinger" -> Indicators.bollingerSql,
+    "q_volatility" -> Indicators.volatilitySql,
+    "q_ema" -> Indicators.emaSql,
+    "q_macd" -> Indicators.macdSql,
+    "q_price_change" -> Indicators.priceChangeSql,
+    "q_analytics_full" -> Indicators.analyticsFullSql,
+    "q_filter_extremes" -> Indicators.filterExtremesSql,
+    "q_alerts" -> Indicators.alertsSql
   )
 }

@@ -1,0 +1,327 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Technical indicators from analytics/technical_indicators.py,
+  * re-expressed as declarative window plans over the tick stream
+  * (user_id = symbol, value = price, ordered by ts then event_id =
+  * arrival order, matching the reference's per-symbol price deque).
+  *
+  * Reference semantics preserved exactly:
+  * - every indicator is NULL until its minimum history length
+  *   (validate_data, technical_indicators.py:63-65);
+  * - RSI-14 = mean gain / mean loss over the last 14 deltas, 100.0
+  *   when there are no losses (:74-92);
+  * - SMA over the last `period` prices (:101-108);
+  * - EMA = recursive fold over the ENTIRE per-symbol history seeded
+  *   with the first price (:117-130) — the 1000-cap (:243-252) never
+  *   binds at our per-key tick counts;
+  * - Bollinger = SMA20 ± 2·population-stddev (np.std, :139-153);
+  * - MACD = EMA12 − EMA26 with signal := macd, histogram := 0
+  *   (simplified exactly as :163-179);
+  * - volatility = population-stddev of ALL returns so far × √252
+  *   (:188-196, np.diff over the full history).
+  *
+  * Scale shape: ONE shuffle on user_id; every window shares the same
+  * (user_id | ts, event_id) spec so WindowExec does a single sort and
+  * streams each sorted run. Window-aggregate outputs are rounded on
+  * both the Spark and oracle side because sliding-frame summation
+  * order differs between engines at the ulp level.
+  */
+object Indicators {
+
+  private val K12 = 2.0 / 13.0 // EMA multiplier, period 12
+  private val K26 = 2.0 / 27.0 // EMA multiplier, period 26
+
+  /** Ticks + per-row indicator building blocks; shared by all
+    * indicator queries so Catalyst prunes unused windows per query.
+    */
+  private def base(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    def sliding(n: Int) = byUser.rowsBetween(-(n - 1), 0)
+    val expanding = byUser.rowsBetween(Window.unboundedPreceding, 0)
+
+    val prev = lag(col("value"), 1).over(byUser)
+    val delta = col("value") - prev
+
+    Warehouse.validateTicks(spark, dir)
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("delta", delta)
+      .withColumn("gain", when(col("delta") > 0, col("delta")).otherwise(lit(0.0)))
+      .withColumn("loss", when(col("delta") < 0, -col("delta")).otherwise(lit(0.0)))
+      .withColumn("ret", col("delta") / lag(col("value"), 1).over(byUser))
+      .withColumn("avg_gain", avg("gain").over(sliding(14)))
+      .withColumn("avg_loss", avg("loss").over(sliding(14)))
+      .withColumn("sma20_raw", avg("value").over(sliding(20)))
+      .withColumn("sma50_raw", avg("value").over(sliding(50)))
+      .withColumn("std20", stddev_pop("value").over(sliding(20)))
+      .withColumn("vol_raw", stddev_pop("ret").over(expanding) * sqrt(lit(252.0)))
+  }
+
+  private def guard(minRn: Int, c: Column): Column = when(col("rn") >= minRn, c)
+
+  private def rsiCol: Column = guard(15,
+    when(col("avg_loss") === 0.0, lit(100.0))
+      .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("avg_gain") / col("avg_loss"))))
+
+  private val tickCols: Seq[Column] =
+    Seq(col("user_id"), col("ts"), col("event_id"), col("value"))
+
+  def sma(spark: SparkSession, dir: String): DataFrame =
+    base(spark, dir).select(tickCols :+
+      round(guard(20, col("sma20_raw")), 4).as("sma_20") :+
+      round(guard(50, col("sma50_raw")), 4).as("sma_50"): _*)
+      .orderBy("user_id", "event_id")
+
+  def rsi(spark: SparkSession, dir: String): DataFrame =
+    base(spark, dir).select(tickCols :+
+      round(rsiCol, 4).as("rsi_14"): _*)
+      .orderBy("user_id", "event_id")
+
+  def bollinger(spark: SparkSession, dir: String): DataFrame =
+    base(spark, dir).select(tickCols :+
+      round(guard(20, col("sma20_raw") + lit(2.0) * col("std20")), 4).as("bb_upper") :+
+      round(guard(20, col("sma20_raw")), 4).as("bb_middle") :+
+      round(guard(20, col("sma20_raw") - lit(2.0) * col("std20")), 4).as("bb_lower"): _*)
+      .orderBy("user_id", "event_id")
+
+  def volatility(spark: SparkSession, dir: String): DataFrame =
+    base(spark, dir).select(tickCols :+
+      round(guard(21, col("vol_raw")), 4).as("volatility"): _*)
+      .orderBy("user_id", "event_id")
+
+  def priceChange(spark: SparkSession, dir: String): DataFrame =
+    base(spark, dir).select(tickCols :+
+      round(guard(2, col("delta") / (col("value") - col("delta")) * 100.0), 6)
+        .as("price_change_percent"): _*)
+      .orderBy("user_id", "event_id")
+
+  /** Declarative EMA: expanding collect_list + `aggregate` fold.
+    * Exact reference fold (seed = first price). O(history²) per key —
+    * correct here (per-key history is bounded); the 100 TB path is the
+    * O(history) single-pass in [[Recurrence]], used by analyticsFull.
+    */
+  def ema(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val expanding = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    def fold(k: Double): Column = aggregate(
+      slice(col("lvals"), lit(2), greatest(size(col("lvals")) - 1, lit(0))),
+      element_at(col("lvals"), 1),
+      (acc, x) => x * lit(k) + acc * lit(1.0 - k))
+    Warehouse.validateTicks(spark, dir)
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("lvals", collect_list("value").over(expanding))
+      .select(tickCols :+
+        round(guard(12, fold(K12)), 6).as("ema_12") :+
+        round(guard(26, fold(K26)), 6).as("ema_26"): _*)
+      .orderBy("user_id", "event_id")
+  }
+
+  def macd(spark: SparkSession, dir: String): DataFrame =
+    Recurrence.withEmaMacd(Warehouse.validateTicks(spark, dir))
+      .select(tickCols :+
+        round(col("macd_raw"), 6).as("macd") :+
+        round(col("macd_signal_raw"), 6).as("macd_signal") :+
+        col("macd_histogram_raw").as("macd_histogram"): _*)
+      .orderBy("user_id", "event_id")
+
+  /** The flagship wide analytics row — one row per tick with every
+    * indicator, mirroring the stock_analytics insert
+    * (analytics_consumer.py:304-364, db/current_schema.sql:57-90).
+    * EMA/MACD come from the single-pass recurrence appended after the
+    * window pass (zero extra shuffle — see [[Recurrence.withEmaMacd]]).
+    */
+  def analyticsFull(spark: SparkSession, dir: String): DataFrame = {
+    val windowed = base(spark, dir)
+    Recurrence.withEmaMacd(windowed, assumePartitionedSorted = true)
+      .select(
+        col("user_id"), col("ts"), col("event_id"),
+        col("value").as("current_price"),
+        round(rsiCol, 4).as("rsi_14"),
+        round(guard(20, col("sma20_raw")), 4).as("sma_20"),
+        round(guard(50, col("sma50_raw")), 4).as("sma_50"),
+        round(col("ema_12_raw"), 6).as("ema_12"),
+        round(col("ema_26_raw"), 6).as("ema_26"),
+        round(guard(20, col("sma20_raw") + lit(2.0) * col("std20")), 4).as("bb_upper"),
+        round(guard(20, col("sma20_raw")), 4).as("bb_middle"),
+        round(guard(20, col("sma20_raw") - lit(2.0) * col("std20")), 4).as("bb_lower"),
+        round(col("macd_raw"), 6).as("macd"),
+        round(col("macd_signal_raw"), 6).as("macd_signal"),
+        col("macd_histogram_raw").as("macd_histogram"),
+        round(guard(21, col("vol_raw")), 4).as("volatility"),
+        round(guard(2, col("delta") / (col("value") - col("delta")) * 100.0), 6)
+          .as("price_change_percent"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Extreme-value row filter (analytics_consumer.py:77-95): drop
+    * ticks whose RSI is exactly 0/100 or whose volatility is exactly 0
+    * (non-trading-hours data-quality guard).
+    */
+  def filterExtremes(spark: SparkSession, dir: String): DataFrame =
+    analyticsFull(spark, dir)
+      .filter(!(col("rsi_14").isNotNull && (col("rsi_14") === 100.0 || col("rsi_14") === 0.0)) &&
+        !(col("volatility").isNotNull && col("volatility") === 0.0))
+      .orderBy("user_id", "event_id")
+
+  /** Threshold alerts (analytics_consumer.py:226-268): RSI overbought
+    * >70 / oversold <30 (HIGH), volatility >0.05 (MEDIUM).
+    */
+  def alerts(spark: SparkSession, dir: String): DataFrame = {
+    val a = analyticsFull(spark, dir)
+      .select("user_id", "ts", "event_id", "rsi_14", "volatility")
+    val rsiAlerts = a.filter(col("rsi_14").isNotNull && (col("rsi_14") > 70.0 || col("rsi_14") < 30.0))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("rsi_14") > 70.0, lit("RSI_OVERBOUGHT")).otherwise(lit("RSI_OVERSOLD")).as("alert_type"),
+        col("rsi_14").as("indicator_value"),
+        when(col("rsi_14") > 70.0, lit(70.0)).otherwise(lit(30.0)).as("threshold_value"),
+        lit("HIGH").as("severity"))
+    val volAlerts = a.filter(col("volatility").isNotNull && col("volatility") > 0.05)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        lit("HIGH_VOLATILITY").as("alert_type"),
+        col("volatility").as("indicator_value"),
+        lit(0.05).as("threshold_value"),
+        lit("MEDIUM").as("severity"))
+    rsiAlerts.unionAll(volAlerts).orderBy("user_id", "event_id", "alert_type")
+  }
+
+  // ---------------------------------------------------------------- oracle SQL
+
+  /** Shared DuckDB CTE mirroring [[base]]. */
+  private def baseCte: String =
+    """WITH ticks AS (
+      |  SELECT event_id, ts, user_id, value FROM events
+      |  WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)
+      |    AND user_id IS NOT NULL
+      |), b AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    row_number() OVER u AS rn,
+      |    value - lag(value) OVER u AS delta,
+      |    (value - lag(value) OVER u) / lag(value) OVER u AS ret,
+      |    list(value) OVER (u ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lvals
+      |  FROM ticks
+      |  WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), w AS (
+      |  SELECT *,
+      |    avg(CASE WHEN delta > 0 THEN delta ELSE 0.0 END)
+      |      OVER (u ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS avg_gain,
+      |    avg(CASE WHEN delta < 0 THEN -delta ELSE 0.0 END)
+      |      OVER (u ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS avg_loss,
+      |    avg(value) OVER (u ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma20_raw,
+      |    avg(value) OVER (u ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS sma50_raw,
+      |    stddev_pop(value) OVER (u ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS std20,
+      |    stddev_pop(ret) OVER (u ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      * sqrt(252.0) AS vol_raw,
+      |    list_reduce(lvals, (acc, x) -> x*(2.0/13.0) + acc*(1.0-2.0/13.0)) AS ema12_raw,
+      |    list_reduce(lvals, (acc, x) -> x*(2.0/27.0) + acc*(1.0-2.0/27.0)) AS ema26_raw
+      |  FROM b
+      |  WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), ind AS (
+      |  SELECT user_id, ts, event_id, value, rn, delta,
+      |    CASE WHEN rn >= 15 THEN
+      |      CASE WHEN avg_loss = 0.0 THEN 100.0
+      |           ELSE 100.0 - 100.0/(1.0 + avg_gain/avg_loss) END END AS rsi_raw,
+      |    CASE WHEN rn >= 20 THEN sma20_raw END AS sma20,
+      |    CASE WHEN rn >= 50 THEN sma50_raw END AS sma50,
+      |    CASE WHEN rn >= 12 THEN ema12_raw END AS ema12,
+      |    CASE WHEN rn >= 26 THEN ema26_raw END AS ema26,
+      |    CASE WHEN rn >= 20 THEN sma20_raw + 2.0*std20 END AS bbu,
+      |    CASE WHEN rn >= 20 THEN sma20_raw - 2.0*std20 END AS bbl,
+      |    CASE WHEN rn >= 35 THEN ema12_raw - ema26_raw END AS macd_raw,
+      |    CASE WHEN rn >= 35 THEN 0.0 END AS macd_hist,
+      |    CASE WHEN rn >= 21 THEN vol_raw END AS vol,
+      |    CASE WHEN rn >= 2 THEN delta / (value - delta) * 100.0 END AS pct
+      |  FROM w
+      |)""".stripMargin
+
+  def smaSql: String = baseCte +
+    """
+      |SELECT user_id, ts, event_id, value,
+      |  round(sma20, 4) AS sma_20, round(sma50, 4) AS sma_50
+      |FROM ind ORDER BY user_id, event_id""".stripMargin
+
+  def rsiSql: String = baseCte +
+    """
+      |SELECT user_id, ts, event_id, value, round(rsi_raw, 4) AS rsi_14
+      |FROM ind ORDER BY user_id, event_id""".stripMargin
+
+  def bollingerSql: String = baseCte +
+    """
+      |SELECT user_id, ts, event_id, value,
+      |  round(bbu, 4) AS bb_upper, round(sma20, 4) AS bb_middle,
+      |  round(bbl, 4) AS bb_lower
+      |FROM ind ORDER BY user_id, event_id""".stripMargin
+
+  def volatilitySql: String = baseCte +
+    """
+      |SELECT user_id, ts, event_id, value, round(vol, 4) AS volatility
+      |FROM ind ORDER BY user_id, event_id""".stripMargin
+
+  def priceChangeSql: String = baseCte +
+    """
+      |SELECT user_id, ts, event_id, value,
+      |  round(pct, 6) AS price_change_percent
+      |FROM ind ORDER BY user_id, event_id""".stripMargin
+
+  def emaSql: String = baseCte +
+    """
+      |SELECT user_id, ts, event_id, value,
+      |  round(ema12, 6) AS ema_12, round(ema26, 6) AS ema_26
+      |FROM ind ORDER BY user_id, event_id""".stripMargin
+
+  def macdSql: String = baseCte +
+    """
+      |SELECT user_id, ts, event_id, value,
+      |  round(macd_raw, 6) AS macd, round(macd_raw, 6) AS macd_signal,
+      |  macd_hist AS macd_histogram
+      |FROM ind ORDER BY user_id, event_id""".stripMargin
+
+  private def analyticsSelect: String =
+    """SELECT user_id, ts, event_id, value AS current_price,
+      |  round(rsi_raw, 4) AS rsi_14,
+      |  round(sma20, 4) AS sma_20, round(sma50, 4) AS sma_50,
+      |  round(ema12, 6) AS ema_12, round(ema26, 6) AS ema_26,
+      |  round(bbu, 4) AS bb_upper, round(sma20, 4) AS bb_middle,
+      |  round(bbl, 4) AS bb_lower,
+      |  round(macd_raw, 6) AS macd, round(macd_raw, 6) AS macd_signal,
+      |  macd_hist AS macd_histogram,
+      |  round(vol, 4) AS volatility,
+      |  round(pct, 6) AS price_change_percent
+      |FROM ind""".stripMargin
+
+  def analyticsFullSql: String = baseCte + "\n" + analyticsSelect +
+    "\nORDER BY user_id, event_id"
+
+  def filterExtremesSql: String = baseCte + ", afull AS (\n" + analyticsSelect +
+    """
+      |)
+      |SELECT * FROM afull
+      |WHERE NOT (rsi_14 IS NOT NULL AND (rsi_14 = 100.0 OR rsi_14 = 0.0))
+      |  AND NOT (volatility IS NOT NULL AND volatility = 0.0)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  def alertsSql: String = baseCte +
+    """
+      |SELECT user_id, ts, event_id, alert_type, indicator_value,
+      |  threshold_value, severity
+      |FROM (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN round(rsi_raw, 4) > 70.0 THEN 'RSI_OVERBOUGHT'
+      |         ELSE 'RSI_OVERSOLD' END AS alert_type,
+      |    round(rsi_raw, 4) AS indicator_value,
+      |    CASE WHEN round(rsi_raw, 4) > 70.0 THEN 70.0 ELSE 30.0 END AS threshold_value,
+      |    'HIGH' AS severity
+      |  FROM ind
+      |  WHERE rsi_raw IS NOT NULL
+      |    AND (round(rsi_raw, 4) > 70.0 OR round(rsi_raw, 4) < 30.0)
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, 'HIGH_VOLATILITY', round(vol, 4),
+      |    0.05, 'MEDIUM'
+      |  FROM ind
+      |  WHERE vol IS NOT NULL AND round(vol, 4) > 0.05
+      |)
+      |ORDER BY user_id, event_id, alert_type""".stripMargin
+}
