@@ -33,7 +33,18 @@ object SparkEntry {
     "q_price_change" -> (Indicators.priceChange _),
     "q_analytics_full" -> (Indicators.analyticsFull _),
     "q_filter_extremes" -> (Indicators.filterExtremes _),
-    "q_alerts" -> (Indicators.alerts _)
+    "q_alerts" -> (Indicators.alerts _),
+    "q_token_count" -> (TextOps.tokenCount _),
+    "q_quality_score" -> (TextOps.qualityScore _),
+    "q_lang_id" -> (TextOps.langId _),
+    "q_fingerprint" -> (TextOps.fingerprint _),
+    "q_dedup_exact" -> (Dedup.exact _),
+    "q_ngram_jaccard" -> (Dedup.ngramJaccard _),
+    "q_dedup_minhash" -> (Dedup.minhashLsh _),
+    "q_dedup_simhash" -> (Dedup.simhashDedup _),
+    "q_dedup_embedding" -> (Dedup.embeddingDedup _),
+    "q_ann_bruteforce" -> (Similarity.annBruteForce _),
+    "q_ann_lsh" -> (Similarity.annLsh _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -62,6 +73,14 @@ object SparkEntry {
     "q_price_change" -> Indicators.priceChangeSql,
     "q_analytics_full" -> Indicators.analyticsFullSql,
     "q_filter_extremes" -> Indicators.filterExtremesSql,
-    "q_alerts" -> Indicators.alertsSql
+    "q_alerts" -> Indicators.alertsSql,
+    "q_token_count" -> TextOps.tokenCountSql,
+    "q_quality_score" -> TextOps.qualityScoreSql,
+    "q_lang_id" -> TextOps.langIdSql,
+    "q_fingerprint" -> TextOps.fingerprintSql,
+    "q_dedup_exact" -> Dedup.exactSql,
+    "q_ngram_jaccard" -> Dedup.ngramJaccardSql,
+    "q_dedup_embedding" -> Dedup.embeddingDedupSql,
+    "q_ann_bruteforce" -> Similarity.annBruteForceSql
   )
 }

@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite for a training-data pipeline over `documents`
+  * and `embeddings`.
+  *
+  * Scale design: every near-dup variant is CANDIDATE-GENERATION via a
+  * bucket join (LSH bands / simhash chunks), never an O(n²) compare —
+  * the only shuffles are on bucket keys and doc ids, and pairwise
+  * similarity is evaluated only for bucket-colliding pairs. The
+  * brute-force embedding variant is the verify-scale baseline; the
+  * production path at 100 TB is [[Similarity.annLsh]]-style bucketing.
+  */
+object Dedup {
+
+  // -------------------------------------------------------------- exact
+
+  /** Exact dedup: hash-groupBy on the full text, keep the minimum
+    * doc_id as survivor. One shuffle on the text hash.
+    */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_id")
+
+  def exactSql: String =
+    """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+      |  count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  /** Exact word-2-gram Jaccard similarity between consecutive-id
+    * document pairs — the oracle-checkable pairwise-similarity kernel
+    * (the same kernel the LSH candidates feed at scale).
+    */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(
+          |  sequence(1, greatest(size(split(trim(text), '\\s+')) - 1, 1)),
+          |  i -> concat_ws(' ', slice(split(trim(text), '\\s+'), i, 2))))""".stripMargin)
+        .as("shingles"))
+    val a = docs.as("a")
+    val b = docs.toDF("b_doc_id", "b_shingles").as("b")
+    a.join(b, col("b_doc_id") === col("doc_id") + 1)
+      .select(
+        col("doc_id").as("doc_a"), col("b_doc_id").as("doc_b"),
+        round(size(array_intersect(col("shingles"), col("b_shingles"))).cast("double")
+          / size(array_union(col("shingles"), col("b_shingles"))), 6).as("jaccard"))
+      .orderBy("doc_a")
+  }
+
+  def ngramJaccardSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
+      |      i -> ws[i] || ' ' || coalesce(ws[i+1], ''))) AS shingles
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |        FROM documents)
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+      |    / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
+      |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      |ORDER BY doc_a""".stripMargin
+
+  // ------------------------------------------------------------- minhash
+
+  private val NumHashes = 32
+  private val NumBands = 16 // 2 rows per band
+
+  /** MinHash signatures over distinct word unigrams. The hash family
+    * is xxhash64 re-seeded by the function index — wrap-free under
+    * ANSI mode (Spark 4 default) and codegen'd.
+    */
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = transform(
+      array_distinct(split(trim(col("text")), "\\s+")), w => xxhash64(w))
+    val sig = array((0 until NumHashes).map { i =>
+      array_min(transform(col("hashed"), h => xxhash64(h, lit(i))))
+    }: _*)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), hashed.as("hashed"))
+      .select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** MinHash + LSH near-dup pairs: shingle→minhash→band→bucket-join.
+    * Candidate pairs collide on ≥1 of 16 two-row bands; survivors are
+    * filtered by estimated Jaccard (signature agreement) ≥ 0.5.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(spark, dir).cache()
+    val banded = sigs.select(col("doc_id"), posexplode(
+      array((0 until NumBands).map { j =>
+        xxhash64(element_at(col("sig"), 2 * j + 1), element_at(col("sig"), 2 * j + 2), lit(j))
+      }: _*)).as(Seq("band", "bucket")))
+    val candidates = banded.as("a")
+      .join(banded.toDF("b_doc_id", "b_band", "b_bucket").as("b"),
+        col("band") === col("b_band") && col("bucket") === col("b_bucket")
+          && col("doc_id") < col("b_doc_id"))
+      .select(col("doc_id").as("doc_a"), col("b_doc_id").as("doc_b"))
+      .distinct()
+    val withSig = candidates
+      .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+      .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+    withSig
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, x) => acc + x)
+          .cast("double") / NumHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash per document (word-frequency weighted bit votes),
+    * built entirely from codegen'd HOFs — no UDFs.
+    */
+  private[operators] def simhashes(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .withColumn("bitsums", expr(
+        """aggregate(ws, array_repeat(0L, 64), (acc, w) ->
+          |  zip_with(acc, transform(sequence(0, 63),
+          |    i -> CASE WHEN (shiftright(xxhash64(w), i) & 1) = 1
+          |         THEN 1L ELSE -1L END), (x, y) -> x + y))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (s, i) ->
+          |  s + CASE WHEN element_at(bitsums, i + 1) >= 0
+          |      THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
+      .select("doc_id", "simhash")
+
+  /** SimHash near-dup pairs: candidates collide on ≥1 of four 16-bit
+    * chunks (guarantees recall for hamming ≤ 3), verified by exact
+    * hamming distance ≤ 8.
+    */
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = simhashes(spark, dir).cache()
+    val chunked = sh.select(col("doc_id"), col("simhash"), posexplode(
+      array((0 until 4).map { j =>
+        shiftrightunsigned(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+    chunked.as("a")
+      .join(chunked.toDF("b_doc_id", "b_simhash", "b_chunk_idx", "b_chunk").as("b"),
+        col("chunk_idx") === col("b_chunk_idx") && col("chunk") === col("b_chunk")
+          && col("doc_id") < col("b_doc_id"))
+      .select(col("doc_id").as("doc_a"), col("b_doc_id").as("doc_b"),
+        bit_count(col("simhash").bitwiseXOR(col("b_simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ----------------------------------------------------- embedding cosine
+
+  private[operators] def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.4). Brute-force
+    * all-pairs is the verify-scale baseline; at 100 TB candidates come
+    * from [[Similarity.annLsh]] buckets and this kernel only scores
+    * colliding pairs.
+    */
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val a = e.toDF("a_id", "a_v", "a_norm")
+    val b = e.toDF("b_id", "b_v", "b_norm")
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", dot(col("a_v"), col("b_v")) / (col("a_norm") * col("b_norm")))
+      .filter(col("cos") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy("a_id", "b_id")
+  }
+
+  def embeddingDedupSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_sum(list_transform(list_zip(embedding::DOUBLE[], embedding::DOUBLE[]),
+      |      z -> z[1] * z[2]))) AS norm
+      |  FROM embeddings
+      |)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  round(list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+      |    / (a.norm * b.norm), 6) AS cosine
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+      |    / (a.norm * b.norm) >= 0.4
+      |ORDER BY a_id, b_id""".stripMargin
+}

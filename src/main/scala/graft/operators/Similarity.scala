@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors).
+  *
+  * Scale design: the probe set is tiny and BROADCAST, so the corpus
+  * never shuffles for scoring; ranking is a per-probe top-k window
+  * (partial top-k per partition before the final shuffle would be the
+  * next refinement via AQE/limit pushdown). The LSH variant buckets
+  * the corpus by a 16-bit random-hyperplane signature so each probe
+  * only scores its own bucket — the 100 TB path.
+  */
+object Similarity {
+
+  private val TopK = 10
+  private val NumProbes = 5
+  // 8 planes / hamming-3 multiprobe: at the corpus' neighbor cosines
+  // (~0.3-0.5 → per-plane agreement ~0.6) expected signature hamming is
+  // ~3, so radius 3 keeps recall high while scoring ~1/3 of buckets.
+  private val NumPlanes = 8
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))
+
+  /** Brute-force cosine top-k for probe vectors (vec_id < 5):
+    * exact baseline the approximate variant is measured against.
+    */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
+    val probes = corpus.filter(col("vec_id") < NumProbes)
+      .toDF("probe_id", "p_v", "p_norm")
+    val scored = corpus.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", Dedup.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  def annBruteForceSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_sum(list_transform(list_zip(embedding::DOUBLE[], embedding::DOUBLE[]),
+       |      z -> z[1] * z[2]))) AS norm
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(c.v, p.v), z -> z[1] * z[2]))
+       |      / (c.norm * p.norm) AS cos
+       |  FROM e c JOIN e p ON p.vec_id < $NumProbes AND c.vec_id <> p.vec_id
+       |), ranked AS (
+       |  SELECT probe_id, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT probe_id, rank, neighbor_id, round(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY probe_id, rank""".stripMargin
+
+  /** Deterministic ±1 random hyperplanes (seeded, stable across
+    * runs/JVMs since java.util.Random's algorithm is specified).
+    */
+  private def planes: Seq[Array[Double]] = {
+    val rnd = new java.util.Random(42L)
+    Seq.fill(NumPlanes)(Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  private def lshCode(v: Column): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(Dedup.dot(v, typedLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: corpus is signed into 16-bit
+    * hyperplane buckets; each probe scores only vectors whose bucket
+    * is within hamming distance 3 of its own (multi-probe LSH).
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
+      .withColumn("code", lshCode(col("v")))
+    val probes = corpus.filter(col("vec_id") < NumProbes)
+      .toDF("probe_id", "p_v", "p_norm", "p_code")
+    val scored = corpus.join(broadcast(probes),
+        col("vec_id") =!= col("probe_id") &&
+          bit_count(col("code").bitwiseXOR(col("p_code"))) <= 3)
+      .withColumn("cos", Dedup.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline,
+  * run over the `documents` table. All fully declarative (codegen'd
+  * built-ins only — no UDFs), so they scan-prune, pushdown, and
+  * whole-stage-codegen at 100 TB: each query is a single narrow
+  * map over the parquet scan with no shuffle at all (ORDER BY at the
+  * end is for oracle determinism and is a driver-side nicety at
+  * verify scale; drop it for pipeline use).
+  */
+object TextOps {
+
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  private val stopEn = Seq("the", "and", "of", "to", "a", "in", "is")
+  private val stopFr = Seq("le", "la", "et", "les", "des", "un", "une")
+  private val stopEs = Seq("el", "y", "de", "los", "un", "una")
+  private val stopDe = Seq("der", "die", "und", "das", "ein", "nicht")
+
+  private def stopHits(ws: Column, stops: Seq[String]): Column =
+    size(filter(ws, w => array_contains(lit(stops.toArray), w)))
+
+  private def sqlStopHits(stops: Seq[String]): String =
+    s"len(list_filter(ws, w -> w IN (${stops.map("'" + _ + "'").mkString(", ")})))"
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens
+    * (letter runs / single digits / single symbols), and the
+    * chars/4 approximation.
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(words(col("text"))).as("n_ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9 \\t\\n]")).as("n_bpe_tokens"),
+        ceil(col("n_chars") / 4.0).cast("long").as("n_approx_tokens"))
+      .orderBy("doc_id")
+
+  def tokenCountSql: String =
+    """SELECT doc_id, n_chars,
+      |  len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 \t\n]')) AS n_bpe_tokens,
+      |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_approx_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio,
+    * mean word length → bounded [0,1] composite score.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val nWords = size(ws).cast("double")
+    val alphaChars = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+    val punctChars = length(regexp_replace(col("text"), "[a-z0-9 \\t\\n]", "")).cast("double")
+    val stopRatio = stopHits(ws, stopEn).cast("double") / nWords
+    val punctRatio = punctChars / col("n_chars").cast("double")
+    val lengthScore = least(nWords / 100.0, lit(1.0))
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(ws).as("n_words"),
+        round(alphaChars / nWords, 6).as("mean_word_len"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(punctRatio, 6).as("punct_ratio"),
+        round(lit(0.4) * lengthScore + lit(0.3) * least(stopRatio * 5.0, lit(1.0))
+          + lit(0.3) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0))), 6).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  def qualityScoreSql: String =
+    """SELECT doc_id,
+      |  len(ws) AS n_words,
+      |  round(alpha_chars / n_words_d, 6) AS mean_word_len,
+      |  round(stop_ratio, 6) AS stopword_ratio,
+      |  round(punct_ratio, 6) AS punct_ratio,
+      |  round(0.4 * least(n_words_d / 100.0, 1.0)
+      |    + 0.3 * least(stop_ratio * 5.0, 1.0)
+      |    + 0.3 * (1.0 - least(punct_ratio * 10.0, 1.0)), 6) AS quality_score
+      |FROM (
+      |  SELECT doc_id, ws,
+      |    len(ws)::DOUBLE AS n_words_d,
+      |    length(regexp_replace(text, '[^a-z]', '', 'g'))::DOUBLE AS alpha_chars,
+      |    len(list_filter(ws, w -> w IN ('the', 'and', 'of', 'to', 'a', 'in', 'is')))::DOUBLE
+      |      / len(ws) AS stop_ratio,
+      |    length(regexp_replace(text, '[a-z0-9 \t\n]', '', 'g'))::DOUBLE
+      |      / n_chars AS punct_ratio
+      |  FROM (SELECT doc_id, text, n_chars,
+      |          string_split_regex(trim(text), '\s+') AS ws
+      |        FROM documents))
+      |ORDER BY doc_id""".stripMargin
+
+  /** Heuristic language ID: CJK charset test, then stopword-hit
+    * argmax with deterministic tiebreak order en > fr > es > de.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val ws = words(col("text"))
+    val sEn = stopHits(ws, stopEn)
+    val sFr = stopHits(ws, stopFr)
+    val sEs = stopHits(ws, stopEs)
+    val sDe = stopHits(ws, stopDe)
+    val cjk = regexp_count(col("text"), lit("[一-龥]"))
+    val predicted = when(cjk > 0, lit("zh"))
+      .when(sEn >= sFr && sEn >= sEs && sEn >= sDe, lit("en"))
+      .when(sFr >= sEs && sFr >= sDe, lit("fr"))
+      .when(sEs >= sDe, lit("es"))
+      .otherwise(lit("de"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        sEn.as("hits_en"), sFr.as("hits_fr"), sEs.as("hits_es"), sDe.as("hits_de"),
+        predicted.as("predicted_lang"))
+      .withColumn("is_match", col("predicted_lang") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  def langIdSql: String =
+    s"""SELECT doc_id, lang, hits_en, hits_fr, hits_es, hits_de,
+       |  CASE WHEN cjk > 0 THEN 'zh'
+       |       WHEN hits_en >= hits_fr AND hits_en >= hits_es AND hits_en >= hits_de THEN 'en'
+       |       WHEN hits_fr >= hits_es AND hits_fr >= hits_de THEN 'fr'
+       |       WHEN hits_es >= hits_de THEN 'es'
+       |       ELSE 'de' END AS predicted_lang,
+       |  (CASE WHEN cjk > 0 THEN 'zh'
+       |       WHEN hits_en >= hits_fr AND hits_en >= hits_es AND hits_en >= hits_de THEN 'en'
+       |       WHEN hits_fr >= hits_es AND hits_fr >= hits_de THEN 'fr'
+       |       WHEN hits_es >= hits_de THEN 'es'
+       |       ELSE 'de' END) = lang AS is_match
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    ${sqlStopHits(stopEn)} AS hits_en,
+       |    ${sqlStopHits(stopFr)} AS hits_fr,
+       |    ${sqlStopHits(stopEs)} AS hits_es,
+       |    ${sqlStopHits(stopDe)} AS hits_de,
+       |    len(regexp_extract_all(text, '[一-龥]')) AS cjk
+       |  FROM (SELECT doc_id, lang, text,
+       |          string_split_regex(trim(text), '\\s+') AS ws
+       |        FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: md5 of whitespace-normalized text —
+    * the join key for exact-dedup across shards.
+    */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val normalized = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(normalized.cast("binary")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  def fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

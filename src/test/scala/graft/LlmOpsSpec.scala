@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkSuite {
+
+  test("tokenCount: ws tokens positive, bpe >= ws for word text") {
+    val df = TextOps.tokenCount(spark, sfDir)
+    assert(df.count() == Tables.documents(spark, sfDir).count())
+    assert(df.filter("n_ws_tokens <= 0").count() == 0)
+    assert(df.filter("n_bpe_tokens < n_ws_tokens").count() == 0)
+  }
+
+  test("qualityScore bounded in [0,1]") {
+    val df = TextOps.qualityScore(spark, sfDir)
+    assert(df.filter("quality_score < 0 OR quality_score > 1").count() == 0)
+  }
+
+  test("langId predicts a valid language for every doc") {
+    val df = TextOps.langId(spark, sfDir)
+    assert(df.filter(!col("predicted_lang").isin("en", "fr", "es", "de", "zh")).count() == 0)
+    assert(df.count() == Tables.documents(spark, sfDir).count())
+  }
+
+  test("fingerprint is stable and 32 hex chars") {
+    val df = TextOps.fingerprint(spark, sfDir)
+    assert(df.filter(length(col("fingerprint")) =!= 32).count() == 0)
+    // identical texts get identical fingerprints
+    val nDistinctTexts = Tables.documents(spark, sfDir).select("text").distinct().count()
+    assert(df.select("fingerprint").distinct().count() <= nDistinctTexts)
+  }
+
+  test("exact dedup copies reconcile with total docs") {
+    val df = Dedup.exact(spark, sfDir)
+    val total = df.agg(sum("n_copies")).head.getLong(0)
+    assert(total == Tables.documents(spark, sfDir).count())
+  }
+
+  test("ngramJaccard values in [0,1]") {
+    val df = Dedup.ngramJaccard(spark, sfDir)
+    assert(df.count() > 0)
+    assert(df.filter("jaccard < 0 OR jaccard > 1").count() == 0)
+  }
+
+  test("minhashLsh finds the planted word-set duplicates") {
+    val pairs = Dedup.minhashLsh(spark, sfDir)
+    assert(pairs.count() > 0, "expected near-dup candidates at sf0.001")
+    assert(pairs.filter("est_jaccard < 0.5 OR est_jaccard > 1.0").count() == 0)
+    assert(pairs.filter("doc_a >= doc_b").count() == 0)
+  }
+
+  test("simhash near-dups are symmetric-free and low hamming") {
+    val pairs = Dedup.simhashDedup(spark, sfDir)
+    assert(pairs.filter("hamming > 8 OR doc_a >= doc_b").count() == 0)
+  }
+
+  test("embeddingDedup pairs have cosine >= 0.4") {
+    val pairs = Dedup.embeddingDedup(spark, sfDir)
+    assert(pairs.filter("cosine < 0.4 OR cosine > 1.0").count() == 0)
+  }
+
+  test("annBruteForce returns k ranked neighbors per probe") {
+    val df = Similarity.annBruteForce(spark, sfDir).collect()
+    val byProbe = df.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.size == 5)
+    byProbe.values.foreach { rows =>
+      assert(rows.length == 10)
+      val cosines = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cosines.sameElements(cosines.sorted.reverse), "ranked by cosine desc")
+    }
+  }
+
+  test("annLsh recall against brute force is reasonable") {
+    val exact = Similarity.annBruteForce(spark, sfDir)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annLsh(spark, sfDir)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"LSH recall $recall too low")
+    // approximate results are a subset of scored candidates, all ranked
+    assert(approx.nonEmpty)
+  }
+}
