@@ -44,7 +44,10 @@ object SparkEntry {
     "q_dedup_simhash" -> (Dedup.simhashDedup _),
     "q_dedup_embedding" -> (Dedup.embeddingDedup _),
     "q_ann_bruteforce" -> (Similarity.annBruteForce _),
-    "q_ann_lsh" -> (Similarity.annLsh _)
+    "q_ann_lsh" -> (Similarity.annLsh _),
+    "q_linreg_trend" -> (Forecast.linregTrend _),
+    "q_linreg_autoreg" -> (Forecast.linregAutoreg _),
+    "q_arima_forecast" -> (Forecast.arimaForecast _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -81,6 +84,7 @@ object SparkEntry {
     "q_dedup_exact" -> Dedup.exactSql,
     "q_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "q_dedup_embedding" -> Dedup.embeddingDedupSql,
-    "q_ann_bruteforce" -> Similarity.annBruteForceSql
+    "q_ann_bruteforce" -> Similarity.annBruteForceSql,
+    "q_linreg_trend" -> Forecast.linregTrendSql
   )
 }
