@@ -47,7 +47,8 @@ object SparkEntry {
     "q_ann_lsh" -> (Similarity.annLsh _),
     "q_linreg_trend" -> (Forecast.linregTrend _),
     "q_linreg_autoreg" -> (Forecast.linregAutoreg _),
-    "q_arima_forecast" -> (Forecast.arimaForecast _)
+    "q_arima_forecast" -> (Forecast.arimaForecast _),
+    "q_multimodal_meta" -> (Multimodal.multimodalMeta _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -85,6 +86,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "q_dedup_embedding" -> Dedup.embeddingDedupSql,
     "q_ann_bruteforce" -> Similarity.annBruteForceSql,
-    "q_linreg_trend" -> Forecast.linregTrendSql
+    "q_linreg_trend" -> Forecast.linregTrendSql,
+    "q_multimodal_meta" -> Multimodal.multimodalMetaSql
   )
 }

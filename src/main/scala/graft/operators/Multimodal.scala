@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as
+  * opaque `binary` columns with typed metadata, decoded per partition
+  * in batches.
+  *
+  * The decode step is a clearly-marked deterministic STUB (no image/
+  * audio codecs exist in this environment); everything around it —
+  * binary column construction, schema, partition-batch iteration, the
+  * metadata contract — is real and is exactly what a decoder UDF
+  * would plug into. At scale this is the `mapPartitions` shape that
+  * amortizes model/codec init per partition rather than per row.
+  */
+object Multimodal {
+
+  private val metaSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("modality", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** STUB decoder: derives deterministic metadata from the payload
+    * bytes. A real implementation would parse the container header
+    * (JPEG SOF / WAV fmt / MP4 moov) right here — per-partition, so
+    * codec state is initialized once per task, not per row.
+    */
+  private def decodeStub(docId: Long, payload: Array[Byte]): (String, Int, Int, Int) = {
+    val n = payload.length
+    val modality = (docId % 3) match {
+      case 0 => "image"
+      case 1 => "audio"
+      case _ => "video"
+    }
+    (modality, 64 + n % 640, 64 + (n * 7) % 480, 1 + (docId % 24).toInt)
+  }
+
+  /** Binary payload column + per-partition stub decode → typed
+    * metadata rows.
+    */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    val withBlob = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val rdd = withBlob.rdd.mapPartitions { it =>
+      // per-partition init happens here (codec/model handles)
+      it.map { r =>
+        val docId = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val (modality, w, h, frames) = decodeStub(docId, payload)
+        Row(docId, modality, payload.length.toLong, w, h, frames)
+      }
+    }
+    spark.createDataFrame(rdd, metaSchema).orderBy("doc_id")
+  }
+
+  /** The stub derives metadata deterministically from byte length and
+    * doc_id, so the plumbing is oracle-checkable end-to-end.
+    */
+  def multimodalMetaSql: String =
+    """SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |    ELSE 'video' END AS modality,
+      |  octet_length(encode(text))::BIGINT AS n_bytes,
+      |  (64 + octet_length(encode(text)) % 640)::INT AS width,
+      |  (64 + (octet_length(encode(text)) * 7) % 480)::INT AS height,
+      |  (1 + doc_id % 24)::INT AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,141 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-streaming re-expression of the reference pipeline:
+  * producer → Kafka JSON tick messages → validating consumer →
+  * windowed analytics (producer/producer.py:100-127 + 200-213,
+  * analytics/analytics_consumer.py:304-364).
+  *
+  * In production this reads `spark.readStream.format("kafka")` with
+  * the same message schema and writes via foreachBatch to JDBC; here
+  * the file source stands in for Kafka (same unbounded-table
+  * semantics) so the pipeline is testable hermetically. Watermarks
+  * bound all state; per-key indicator state is O(window) via
+  * flatMapGroupsWithState — the scale knobs a 1000-executor streaming
+  * job needs.
+  */
+object TickStream {
+
+  /** JSON tick-message schema exactly as the producer emits it
+    * (producer.py:100-127).
+    */
+  val tickMessageSchema: StructType = StructType(Seq(
+    StructField("company_id", StringType),
+    StructField("ticker_symbol", StringType),
+    StructField("company_name", StringType),
+    StructField("industry", StringType),
+    StructField("sector", StringType),
+    StructField("exchange", StringType),
+    StructField("currency", StringType),
+    StructField("timestamp", TimestampType),
+    StructField("trade_datetime", TimestampType),
+    StructField("current_price", DoubleType),
+    StructField("open_price", DoubleType),
+    StructField("high_price", DoubleType),
+    StructField("low_price", DoubleType),
+    StructField("volume", LongType),
+    StructField("adjusted_close", DoubleType),
+    StructField("market_cap", DoubleType),
+    StructField("pe_ratio", DoubleType)))
+
+  /** Parse + validate a stream of JSON tick messages (the consumer's
+    * input contract): malformed JSON → dropped; null/≤0 prices and
+    * negative volume rejected as in producer.py:255-288.
+    */
+  def parseTicks(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast("string"), tickMessageSchema).as("m"))
+      .select("m.*")
+      .filter(col("ticker_symbol").isNotNull &&
+        col("current_price").isNotNull && col("current_price") > 0 &&
+        !isnan(col("current_price")) &&
+        (col("volume").isNull || col("volume") >= 0))
+
+  /** Streaming source over the events tick table (file source standing
+    * in for Kafka; same schema as Tables.events).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // the file stream source needs a directory; stage a symlink dir
+    // around the single-file table (Kafka stand-in only — production
+    // uses readStream.format("kafka"))
+    val staged = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    val link = staged.resolve("events.parquet")
+    java.nio.file.Files.createSymbolicLink(link,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    spark.readStream.schema(schema)
+      .parquet(staged.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling-window aggregation per event_type — the
+    * streaming dual of Warehouse.windowAgg. State is bounded by the
+    * 10-minute watermark.
+    */
+  def windowedAgg(ticks: DataFrame): DataFrame =
+    ticks
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total"),
+        avg("value").as("mean"))
+      .select(col("window.start").as("bucket"), col("event_type"),
+        col("n"), col("total"), col("mean"))
+
+  // ---------------------------------------------------- stateful indicators
+
+  case class Tick(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  case class IndicatorState(prices: List[Double], ema12: Double, ema26: Double, n: Long)
+
+  case class IndicatorRow(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      value: Double, rsi_14: Option[Double], sma_20: Option[Double],
+      ema_12: Option[Double], ema_26: Option[Double])
+
+  private val K12 = 2.0 / 13.0
+  private val K26 = 2.0 / 27.0
+  private val MaxHistory = 64 // ring buffer bound: enough for RSI14/SMA20
+
+  /** Incremental per-symbol indicator state — the streaming dual of
+    * Indicators.analyticsFull: a bounded price ring buffer plus O(1)
+    * EMA state per key, updated per tick (the same update the
+    * reference applies per Kafka message,
+    * analytics/technical_indicators.py:264-268).
+    */
+  def updateIndicators(userId: Long, ticks: Iterator[Tick],
+      state: GroupState[IndicatorState]): Iterator[IndicatorRow] = {
+    var st = state.getOption.getOrElse(IndicatorState(Nil, 0.0, 0.0, 0L))
+    val out = ticks.toSeq.sortBy(t => (t.ts.getTime, t.event_id)).map { t =>
+      val n = st.n + 1
+      val e12 = if (n == 1) t.value else t.value * K12 + st.ema12 * (1.0 - K12)
+      val e26 = if (n == 1) t.value else t.value * K26 + st.ema26 * (1.0 - K26)
+      val prices = (st.prices :+ t.value).takeRight(MaxHistory)
+      st = IndicatorState(prices, e12, e26, n)
+      val rsi = if (prices.length >= 15) {
+        val deltas = prices.takeRight(15).sliding(2).map(p => p(1) - p(0)).toArray
+        val g = deltas.map(d => math.max(d, 0.0)).sum / 14.0
+        val l = deltas.map(d => math.max(-d, 0.0)).sum / 14.0
+        Some(if (l == 0.0) 100.0 else 100.0 - 100.0 / (1.0 + g / l))
+      } else None
+      val sma = if (prices.length >= 20) Some(prices.takeRight(20).sum / 20.0) else None
+      IndicatorRow(userId, t.event_id, t.ts, t.value, rsi, sma,
+        if (n >= 12) Some(e12) else None, if (n >= 26) Some(e26) else None)
+    }
+    state.update(st)
+    out.iterator
+  }
+
+  /** Streaming per-symbol indicators via flatMapGroupsWithState. */
+  def statefulIndicators(spark: SparkSession, ticks: DataFrame): Dataset[IndicatorRow] = {
+    import spark.implicits._
+    ticks.select("user_id", "event_id", "ts", "value").as[Tick]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateIndicators)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{Indicators, Multimodal, Warehouse}
+import graft.streaming.TickStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSuite {
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      complete: Boolean = false): Unit = {
+    val ckpt = java.nio.file.Files.createTempDirectory(s"ckpt_$name").toString
+    val q = df.writeStream
+      .outputMode(if (complete) "complete" else "append")
+      .format("memory").queryName(name)
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("streaming windowed agg matches batch counts (complete mode)") {
+    val agg = TickStream.windowedAgg(TickStream.eventsStream(spark, sfDir))
+    runToMemory(agg, "stream_agg", complete = true)
+    val streamed = spark.table("stream_agg")
+    val total = streamed.agg(sum("n")).head.getLong(0)
+    assert(total == Tables.events(spark, sfDir).count())
+    // bucket/type granularity agrees with the batch dual
+    val batchBuckets = Warehouse.windowAgg(spark, sfDir).count()
+    assert(streamed.count() == batchBuckets)
+  }
+
+  test("stateful streaming indicators match batch analyticsFull") {
+    val ind = TickStream.statefulIndicators(spark,
+      TickStream.eventsStream(spark, sfDir))
+    runToMemory(ind.toDF(), "stream_ind")
+    val streamed = spark.table("stream_ind")
+      .select(col("user_id"), col("event_id"),
+        round(col("ema_12"), 6).as("ema_12"),
+        round(col("rsi_14"), 4).as("rsi_14"),
+        round(col("sma_20"), 4).as("sma_20"))
+    val batch = Indicators.analyticsFull(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ema_12"),
+        col("rsi_14"), col("sma_20"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0, "streaming != batch rows")
+  }
+
+  test("parseTicks drops malformed and invalid messages") {
+    import spark.implicits._
+    val good = """{"ticker_symbol":"AAPL","current_price":123.4,"volume":10,"trade_datetime":"2024-01-01T00:00:00Z","timestamp":"2024-01-01T00:00:00Z"}"""
+    val badPrice = """{"ticker_symbol":"MSFT","current_price":-5.0,"volume":10}"""
+    val badVolume = """{"ticker_symbol":"TSLA","current_price":5.0,"volume":-1}"""
+    val malformed = """{not json"""
+    val parsed = TickStream.parseTicks(
+      Seq(good, badPrice, badVolume, malformed).toDF("value"))
+    val rows = parsed.collect()
+    assert(rows.length == 1 && rows.head.getAs[String]("ticker_symbol") == "AAPL")
+  }
+
+  test("multimodal metadata is deterministic and complete") {
+    val df = Multimodal.multimodalMeta(spark, sfDir)
+    assert(df.count() == Tables.documents(spark, sfDir).count())
+    assert(df.filter(!col("modality").isin("image", "audio", "video")).count() == 0)
+    assert(df.filter("n_bytes <= 0 OR width < 64 OR height < 64 OR n_frames < 1").count() == 0)
+  }
+}
