@@ -43,11 +43,22 @@ class LlmOpsSpec extends SparkSuite {
     assert(df.filter("jaccard < 0 OR jaccard > 1").count() == 0)
   }
 
-  test("minhashLsh finds the planted word-set duplicates") {
-    val pairs = Dedup.minhashLsh(spark, sfDir)
-    assert(pairs.count() > 0, "expected near-dup candidates at sf0.001")
-    assert(pairs.filter("est_jaccard < 0.5 OR est_jaccard > 1.0").count() == 0)
-    assert(pairs.filter("doc_a >= doc_b").count() == 0)
+  test("minhashLsh finds planted duplicates with est_jaccard 1.0") {
+    val tmp = java.nio.file.Files.createTempDirectory("minhash_docs").toString
+    val base = Tables.documents(spark, sfDir).limit(50)
+    val planted = base.limit(5).select((col("doc_id") + 100000).as("doc_id"),
+      col("text"), col("lang"), col("source"), col("n_chars"))
+    base.unionByName(planted).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = Dedup.minhashLsh(spark, tmp).collect()
+    val found = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val expectedDups = base.limit(5).select("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(0) + 100000)).toSet
+    assert(expectedDups.subsetOf(found),
+      s"missing planted dups: ${expectedDups -- found}")
+    pairs.filter(p => expectedDups((p.getAs[Long]("doc_a"), p.getAs[Long]("doc_b"))))
+      .foreach(p => assert(p.getAs[Double]("est_jaccard") == 1.0))
+    assert(pairs.forall(p => p.getAs[Double]("est_jaccard") >= 0.5))
   }
 
   test("simhash near-dups are symmetric-free and low hamming") {
