@@ -34,6 +34,9 @@ object SparkEntry {
     "q_analytics_full" -> (Indicators.analyticsFull _),
     "q_filter_extremes" -> (Indicators.filterExtremes _),
     "q_alerts" -> (Indicators.alerts _),
+    "q_latest_analytics" -> (Indicators.latestAnalytics _),
+    "q_json_extract" -> (Warehouse.jsonExtract _),
+    "q_percentiles" -> (Warehouse.percentiles _),
     "q_token_count" -> (TextOps.tokenCount _),
     "q_quality_score" -> (TextOps.qualityScore _),
     "q_lang_id" -> (TextOps.langId _),
@@ -78,6 +81,9 @@ object SparkEntry {
     "q_analytics_full" -> Indicators.analyticsFullSql,
     "q_filter_extremes" -> Indicators.filterExtremesSql,
     "q_alerts" -> Indicators.alertsSql,
+    "q_latest_analytics" -> Indicators.latestAnalyticsSql,
+    "q_json_extract" -> Warehouse.jsonExtractSql,
+    "q_percentiles" -> Warehouse.percentilesSql,
     "q_token_count" -> TextOps.tokenCountSql,
     "q_quality_score" -> TextOps.qualityScoreSql,
     "q_lang_id" -> TextOps.langIdSql,

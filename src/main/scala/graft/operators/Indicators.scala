@@ -169,23 +169,40 @@ object Indicators {
 
   /** Threshold alerts (analytics_consumer.py:226-268): RSI overbought
     * >70 / oversold <30 (HIGH), volatility >0.05 (MEDIUM).
+    *
+    * Emitted in ONE pass via array-build + inline rather than a union
+    * of filters — a union would recompute the whole indicator window
+    * stage per branch (measured: 3 exchanges vs 1).
     */
   def alerts(spark: SparkSession, dir: String): DataFrame = {
-    val a = analyticsFull(spark, dir)
-      .select("user_id", "ts", "event_id", "rsi_14", "volatility")
-    val rsiAlerts = a.filter(col("rsi_14").isNotNull && (col("rsi_14") > 70.0 || col("rsi_14") < 30.0))
+    val rsi = col("rsi_14")
+    val vol = col("volatility")
+    val alertStructs = array(
+      when(rsi.isNotNull && rsi > 70.0,
+        struct(lit("RSI_OVERBOUGHT").as("alert_type"), rsi.as("indicator_value"),
+          lit(70.0).as("threshold_value"), lit("HIGH").as("severity"))),
+      when(rsi.isNotNull && rsi < 30.0,
+        struct(lit("RSI_OVERSOLD").as("alert_type"), rsi.as("indicator_value"),
+          lit(30.0).as("threshold_value"), lit("HIGH").as("severity"))),
+      when(vol.isNotNull && vol > 0.05,
+        struct(lit("HIGH_VOLATILITY").as("alert_type"), vol.as("indicator_value"),
+          lit(0.05).as("threshold_value"), lit("MEDIUM").as("severity"))))
+    analyticsFull(spark, dir)
       .select(col("user_id"), col("ts"), col("event_id"),
-        when(col("rsi_14") > 70.0, lit("RSI_OVERBOUGHT")).otherwise(lit("RSI_OVERSOLD")).as("alert_type"),
-        col("rsi_14").as("indicator_value"),
-        when(col("rsi_14") > 70.0, lit(70.0)).otherwise(lit(30.0)).as("threshold_value"),
-        lit("HIGH").as("severity"))
-    val volAlerts = a.filter(col("volatility").isNotNull && col("volatility") > 0.05)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        lit("HIGH_VOLATILITY").as("alert_type"),
-        col("volatility").as("indicator_value"),
-        lit(0.05).as("threshold_value"),
-        lit("MEDIUM").as("severity"))
-    rsiAlerts.unionAll(volAlerts).orderBy("user_id", "event_id", "alert_type")
+        explode(filter(alertStructs, a => a.isNotNull)).as("alert"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("alert.*"))
+      .orderBy("user_id", "event_id", "alert_type")
+  }
+
+  /** Latest analytics row per symbol — the dashboard's live summary
+    * panel (dashboard/app.py:799-845).
+    */
+  def latestAnalytics(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    analyticsFull(spark, dir)
+      .withColumn("rn2", row_number().over(w))
+      .filter(col("rn2") === 1).drop("rn2")
+      .orderBy("user_id")
   }
 
   // ---------------------------------------------------------------- oracle SQL
@@ -302,6 +319,14 @@ object Indicators {
       |WHERE NOT (rsi_14 IS NOT NULL AND (rsi_14 = 100.0 OR rsi_14 = 0.0))
       |  AND NOT (volatility IS NOT NULL AND volatility = 0.0)
       |ORDER BY user_id, event_id""".stripMargin
+
+  def latestAnalyticsSql: String = baseCte + ", afull AS (\n" + analyticsSelect +
+    """
+      |)
+      |SELECT * FROM afull
+      |QUALIFY row_number() OVER (PARTITION BY user_id
+      |  ORDER BY ts DESC, event_id DESC) = 1
+      |ORDER BY user_id""".stripMargin
 
   def alertsSql: String = baseCte +
     """

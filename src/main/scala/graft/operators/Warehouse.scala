@@ -206,6 +206,55 @@ object Warehouse {
       |GROUP BY date_trunc('hour', ts), event_type
       |ORDER BY bucket, event_type""".stripMargin
 
+  /** Semi-structured props extraction (the consumer's JSON message
+    * parsing, consumer/consumer.py:35 + analytics_consumer.py:441):
+    * pull `k` out of the JSON props column and aggregate per type.
+    */
+  def jsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("n_with_k"),
+        sum("k").as("sum_k"),
+        round(avg("k"), 6).as("avg_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  def jsonExtractSql: String =
+    """SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+      |  sum(k) AS sum_k, round(avg(k), 6) AS avg_k,
+      |  min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Exact interpolated percentiles of tick value per event type —
+    * OLAP distribution profiling (both engines use the
+    * p·(n−1) linear-interpolation definition).
+    */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 6).as("p90"),
+        round(percentile(col("value"), lit(0.99)), 6).as("p99"),
+        round(min("value"), 4).as("lo"),
+        round(max("value"), 4).as("hi"))
+      .orderBy("event_type")
+
+  def percentilesSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.99), 6) AS p99,
+      |  round(min(value), 4) AS lo,
+      |  round(max(value), 4) AS hi
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Gap-based sessionization per user (2 h inactivity gap) — the
     * batch dual of streaming session windows. One shuffle on user_id;
     * the running session counter streams over the sorted run.

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.{Indicators, Relational, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan assertions: the properties that make these plans
+  * survive a 100 TB / 1000-executor scale-up must hold structurally,
+  * not just by luck of the current data size.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(FormattedMode)
+
+  private def exchanges(df: DataFrame): Int =
+    "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+  test("q1_agg pushes the shipdate filter and prunes columns at the scan") {
+    val plan = formatted(Relational.q1Agg(spark, sfDir))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      "filter not pushed to parquet")
+    assert(!plan.contains("l_orderkey"), "unused columns not pruned from scan")
+  }
+
+  test("q5_multijoin broadcasts every dimension side") {
+    val plan = formatted(Relational.q5MultiJoin(spark, sfDir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts")
+  }
+
+  test("analyticsFull computes all indicators with a single key shuffle") {
+    // one Exchange for the user_id window partitioning; the EMA/MACD
+    // recurrence and final sort must not re-shuffle the data
+    val n = exchanges(Indicators.analyticsFull(spark, sfDir))
+    assert(n <= 1, s"expected <=1 exchange before AQE, got $n")
+  }
+
+  test("alerts is single-pass (no union recompute of the window stage)") {
+    val n = exchanges(Indicators.alerts(spark, sfDir))
+    assert(n <= 1, s"expected <=1 exchange, got $n")
+  }
+
+  test("text operators are shuffle-free narrow scans") {
+    assert(exchanges(TextOps.tokenCount(spark, sfDir).limit(10)) == 0)
+    assert(exchanges(TextOps.qualityScore(spark, sfDir).limit(10)) == 0)
+  }
+}
