@@ -72,28 +72,19 @@ object Dedup {
   private val NumHashes = 32
   private val NumBands = 16 // 2 rows per band
 
-  /** MinHash signatures over distinct 3-word shingles. Order-sensitive
-    * shingles are essential on low-vocabulary corpora: word SETS are
-    * near-identical across random documents (measured: unigram-set
-    * signatures made ~all of the sf0.1 corpus mutual candidates —
-    * 12M pairs), while 3-gram shingle sets only collide for genuinely
-    * similar text. The hash family is xxhash64 re-seeded by the
-    * function index — wrap-free under ANSI mode and codegen'd.
+  /** MinHash signatures over 3-word shingles, via the single-pass
+    * native [[graft.functions.MinHashShingles]] expression.
+    *
+    * Order-sensitive shingles are essential on low-vocabulary corpora:
+    * word SETS are near-identical across random documents (measured:
+    * unigram-set signatures made ~all of the sf0.1 corpus mutual
+    * candidates — 12M pairs), while 3-gram shingles only collide for
+    * genuinely similar text.
     */
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val ws = split(trim(col("text")), "\\s+")
-    val shingled = when(size(ws) >= 3,
-      transform(sequence(lit(1), size(ws) - 2),
-        i => concat_ws(" ", slice(ws, i, lit(3)))))
-      .otherwise(array(concat_ws(" ", ws)))
-    val hashed = transform(array_distinct(shingled), s => xxhash64(s))
-    val sig = array((0 until NumHashes).map { i =>
-      array_min(transform(col("hashed"), h => xxhash64(h, lit(i))))
-    }: _*)
+  private def signatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), hashed.as("hashed"))
-      .select(col("doc_id"), sig.as("sig"))
-  }
+      .select(col("doc_id"), graft.functions.MinHashShingles
+        .minhash_shingles(split(trim(col("text")), "\\s+"), NumHashes, 3).as("sig"))
 
   /** MinHash + LSH near-dup pairs: shingle→minhash→band→bucket-join.
     * Candidate pairs collide on ≥1 of 16 two-row bands; survivors are
