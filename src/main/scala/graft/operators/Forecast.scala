@@ -37,7 +37,7 @@ object Forecast {
     */
   def linregTrend(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id")
-    Warehouse.validateTicks(spark, dir)
+    Warehouse.validTicks(spark, dir)
       .withColumn("t_days",
         (col("ts").cast("double") - min(col("ts").cast("double")).over(byUser)) / 86400.0)
       .groupBy("user_id")
@@ -118,7 +118,7 @@ object Forecast {
     */
   private def perKey(spark: SparkSession, dir: String, schema: StructType)(
       fn: (Long, ArrayBuffer[(Long, java.sql.Timestamp, Double)]) => Iterator[Row]): DataFrame = {
-    val in = Warehouse.validateTicks(spark, dir)
+    val in = Warehouse.validTicks(spark, dir)
       .select("user_id", "event_id", "ts", "value")
       .repartition(col("user_id"))
       .sortWithinPartitions("user_id", "ts", "event_id")

@@ -47,7 +47,7 @@ object Indicators {
     val prev = lag(col("value"), 1).over(byUser)
     val delta = col("value") - prev
 
-    Warehouse.validateTicks(spark, dir)
+    Warehouse.validTicks(spark, dir)
       .withColumn("rn", row_number().over(byUser))
       .withColumn("delta", delta)
       .withColumn("gain", when(col("delta") > 0, col("delta")).otherwise(lit(0.0)))
@@ -111,7 +111,7 @@ object Indicators {
       slice(col("lvals"), lit(2), greatest(size(col("lvals")) - 1, lit(0))),
       element_at(col("lvals"), 1),
       (acc, x) => x * lit(k) + acc * lit(1.0 - k))
-    Warehouse.validateTicks(spark, dir)
+    Warehouse.validTicks(spark, dir)
       .withColumn("rn", row_number().over(byUser))
       .withColumn("lvals", collect_list("value").over(expanding))
       .select(tickCols :+
@@ -121,7 +121,8 @@ object Indicators {
   }
 
   def macd(spark: SparkSession, dir: String): DataFrame =
-    Recurrence.withEmaMacd(Warehouse.validateTicks(spark, dir))
+    Recurrence.withEmaMacd(Warehouse.validTicks(spark, dir)
+      .select("user_id", "ts", "event_id", "value"))
       .select(tickCols :+
         round(col("macd_raw"), 6).as("macd") :+
         round(col("macd_signal_raw"), 6).as("macd_signal") :+
@@ -136,7 +137,7 @@ object Indicators {
     */
   def analyticsFull(spark: SparkSession, dir: String): DataFrame = {
     val windowed = base(spark, dir)
-    Recurrence.withEmaMacd(windowed, assumePartitionedSorted = true)
+    Recurrence.withEmaMacd(windowed)
       .select(
         col("user_id"), col("ts"), col("event_id"),
         col("value").as("current_price"),

@@ -22,14 +22,31 @@ object Recurrence {
 
   /** Appends ema_12_raw / ema_26_raw / macd_raw / macd_signal_raw /
     * macd_histogram_raw to a tick DataFrame containing
-    * (user_id, ts, event_id, value, ...).
+    * (user_id, ts, event_id, value, ...), via the custom
+    * [[graft.plans.EmaAppend]] operator.
+    *
+    * The physical node declares its required distribution/ordering,
+    * so Catalyst's EnsureRequirements adds an exchange + sort only
+    * when the child isn't already clustered by user_id and sorted —
+    * after a same-spec Window pass it runs with zero extra shuffle
+    * and no Row deserialization.
+    */
+  def withEmaMacd(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    org.apache.spark.sql.GraftShim.addStrategy(spark, graft.plans.EmaStrategy)
+    org.apache.spark.sql.GraftShim.ofRows(spark,
+      graft.plans.EmaAppend(df.queryExecution.analyzed))
+  }
+
+  /** RDD-based fallback implementation of the same recurrence; kept as
+    * a plain-Spark reference path and cross-checked against the custom
+    * operator in RecurrenceSpec.
     *
     * @param assumePartitionedSorted set true when the input is already
     *   hash-partitioned by user_id with runs sorted by
-    *   (user_id, ts, event_id) — e.g. the output of a Window pass over
-    *   the same spec — to append with ZERO additional shuffle.
+    *   (user_id, ts, event_id) to append with no additional shuffle.
     */
-  def withEmaMacd(df: DataFrame, assumePartitionedSorted: Boolean = false): DataFrame = {
+  def withEmaMacdRdd(df: DataFrame, assumePartitionedSorted: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     val in =
       if (assumePartitionedSorted) df

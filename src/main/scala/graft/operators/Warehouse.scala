@@ -24,13 +24,18 @@ object Warehouse {
 
   /** Cleaned tick stream: reject null / non-positive / NaN prices
     * (producer.py:255-288). The filter is pushed to the parquet scan.
+    * Unordered — this is the internal base for downstream pipelines
+    * (an ORDER BY here would cost every consumer a global range sort).
     */
-  def validateTicks(spark: SparkSession, dir: String): DataFrame =
+  def validTicks(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .filter(col("value").isNotNull && col("value") > 0 && !isnan(col("value"))
         && col("user_id").isNotNull)
       .select("event_id", "ts", "user_id", "event_type", "value")
-      .orderBy("event_id")
+
+  /** [[validTicks]] with deterministic output order (driver query). */
+  def validateTicks(spark: SparkSession, dir: String): DataFrame =
+    validTicks(spark, dir).orderBy("event_id")
 
   def validateTicksSql: String =
     """SELECT event_id, ts, user_id, event_type, value
