@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Sink-side semantics of the reference pipeline re-expressed for a
+  * data-lake target.
+  *
+  * The reference upserts into PostgreSQL (`ON CONFLICT ... DO UPDATE`,
+  * db/current_schema.sql:165-200; predictions upsert,
+  * batch_predict_linear_regression.py:60-76). On a cluster the target
+  * is a table-format/parquet sink, and the same contract is
+  * merge-by-key-keep-latest, implemented here as a deterministic
+  * read-merge-write. In production the JDBC variant is the same
+  * `foreachBatch` body with `batch.write.jdbc(...)` and a staging
+  * table + MERGE.
+  */
+object Sinks {
+
+  /** Merge `updates` into the parquet table at `path`: one row per
+    * `keyCols` survives, newest by `versionCol` (ties → update wins).
+    */
+  def upsertParquet(updates: DataFrame, path: String, keyCols: Seq[String],
+      versionCol: String): Unit = {
+    val spark = updates.sparkSession
+    val existing =
+      if (new java.io.File(path).exists())
+        Some(spark.read.parquet(path))
+      else None
+    val tagged = updates.withColumn("_src", lit(1))
+    val all = existing match {
+      case Some(e) => e.withColumn("_src", lit(0)).unionByName(tagged)
+      case None => tagged
+    }
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("_src").desc)
+    val merged = all
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_src")
+      .cache()
+    merged.count() // materialize before overwriting the input path
+    merged.write.mode(SaveMode.Overwrite).parquet(path)
+    merged.unpersist()
+  }
+
+  /** Streaming sink: the consumer→database leg (consumer/consumer.py
+    * + analytics_consumer.py:97-192) as a foreachBatch upsert —
+    * exactly-once per key via idempotent merge.
+    */
+  def streamUpsert(ticks: DataFrame, path: String, checkpoint: String,
+      keyCols: Seq[String], versionCol: String): StreamingQuery =
+    ticks.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertParquet(batch, path, keyCols, versionCol)
+      }
+      .start()
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.sources.Sinks
+import graft.streaming.TickStream
+import org.apache.spark.sql.functions._
+
+class SinksSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("upsertParquet keeps latest row per key across merges") {
+    val path = java.nio.file.Files.createTempDirectory("upsert").toString + "/t"
+    val batch1 = Seq((1L, "2024-01-01", 10.0), (2L, "2024-01-01", 20.0))
+      .toDF("id", "day", "price")
+    Sinks.upsertParquet(batch1, path, Seq("id"), "day")
+    val batch2 = Seq((2L, "2024-01-02", 25.0), (3L, "2024-01-01", 30.0))
+      .toDF("id", "day", "price")
+    Sinks.upsertParquet(batch2, path, Seq("id"), "day")
+    val result = spark.read.parquet(path).orderBy("id").collect()
+    assert(result.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(result(1).getDouble(2) == 25.0, "id=2 should take the newer price")
+  }
+
+  test("upsert is idempotent (re-applying a batch changes nothing)") {
+    val path = java.nio.file.Files.createTempDirectory("upsert_idem").toString + "/t"
+    val batch = Seq((1L, "2024-01-01", 10.0)).toDF("id", "day", "price")
+    Sinks.upsertParquet(batch, path, Seq("id"), "day")
+    Sinks.upsertParquet(batch, path, Seq("id"), "day")
+    assert(spark.read.parquet(path).count() == 1)
+  }
+
+  test("streaming foreachBatch upsert lands deduped ticks") {
+    val out = java.nio.file.Files.createTempDirectory("stream_upsert").toString
+    val q = Sinks.streamUpsert(
+      TickStream.eventsStream(spark, sfDir),
+      s"$out/table", s"$out/ckpt", Seq("user_id", "ts"), "event_id")
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(s"$out/table")
+    assert(landed.groupBy("user_id", "ts").count().filter("count > 1").count() == 0)
+    assert(landed.count() > 0)
+  }
+
+  test("producer-shaped JSON roundtrip: to_json -> parseTicks preserves ticks") {
+    val json = Tables.events(spark, sfDir).select(to_json(struct(
+      col("user_id").cast("string").as("ticker_symbol"),
+      col("value").as("current_price"),
+      col("ts").as("trade_datetime"),
+      col("ts").as("timestamp"),
+      lit(100L).as("volume"))).as("value"))
+    val parsed = TickStream.parseTicks(json)
+    assert(parsed.count() == Tables.events(spark, sfDir)
+      .filter("value > 0 AND user_id IS NOT NULL").count())
+  }
+}
