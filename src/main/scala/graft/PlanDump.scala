@@ -1,0 +1,31 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val sb = new StringBuilder
+    sb.append("# PLANS — formatted physical plans of representative queries\n\n")
+    sb.append("Regenerate: `sbt \"runMain graft.PlanDump\"` (writes this file).\n")
+    sb.append("Evidence the scale properties hold: pushed filters + pruned\n")
+    sb.append("schemas at the scans, broadcast dimension joins, a single hash\n")
+    sb.append("exchange feeding all indicator windows and the EmaAppend\n")
+    sb.append("recurrence, bucket-key-only shuffles in the LSH dedup.\n")
+    def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      sb.append(s"\n## $name\n\n```\n")
+      sb.append(df.queryExecution.explainString(FormattedMode).take(6000))
+      sb.append("\n```\n")
+    }
+    dump("q1_agg", operators.Relational.q1Agg(spark, dir))
+    dump("q5_multijoin", operators.Relational.q5MultiJoin(spark, dir))
+    dump("q_analytics_full", operators.Indicators.analyticsFull(spark, dir))
+    dump("q_dedup_minhash", operators.Dedup.minhashLsh(spark, dir))
+    dump("q_ann_bruteforce", operators.Similarity.annBruteForce(spark, dir))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
+    println("[plandump] wrote PLANS.md")
+    spark.stop()
+  }
+}

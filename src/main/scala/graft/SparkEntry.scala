@@ -48,6 +48,7 @@ object SparkEntry {
     "q_dedup_embedding" -> (Dedup.embeddingDedup _),
     "q_ann_bruteforce" -> (Similarity.annBruteForce _),
     "q_ann_lsh" -> (Similarity.annLsh _),
+    "q_ann_ivf" -> (Similarity.annIvf _),
     "q_linreg_trend" -> (Forecast.linregTrend _),
     "q_linreg_autoreg" -> (Forecast.linregAutoreg _),
     "q_arima_forecast" -> (Forecast.arimaForecast _),

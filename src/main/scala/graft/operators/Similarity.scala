@@ -66,6 +66,48 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY probe_id, rank""".stripMargin
 
+  /** IVF (inverted-file) approximate top-k — the trained-partition
+    * scale path: KMeans coarse quantizer (k=16, seeded) over the
+    * corpus, probes scan only their nProbe=3 nearest cells. At 100 TB
+    * the assignment is a narrow map (centroids broadcast with the
+    * model) and search shuffles only the probed cells, ~k/nProbe of
+    * the corpus.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
+      .fit(corpus.select("features"))
+    val assigned = model.transform(corpus)
+      .select(col("vec_id"), col("v"), col("norm"), col("prediction").as("cell"))
+    val centers = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.toIndexedSeq
+        .map { case (c, i) => (i, c.toArray) })
+      .toDF("center_cell", "center")
+    // nProbe nearest cells per probe by L2 (rank via -2·p·c + c·c;
+    // the p·p term is constant per probe)
+    val probes = assigned.filter(col("vec_id") < NumProbes)
+      .toDF("probe_id", "p_v", "p_norm", "p_cell")
+    val probeCells = probes.crossJoin(broadcast(centers))
+      .withColumn("d2", Dedup.dot(col("center"), col("center"))
+        - lit(2.0) * Dedup.dot(col("p_v"), col("center")))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("d2"), col("center_cell"))))
+      .filter(col("cell_rank") <= 3)
+      .select(col("probe_id"), col("p_v"), col("p_norm"), col("center_cell").as("cell"))
+    val scored = assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", Dedup.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** Deterministic ±1 random hyperplanes (seeded, stable across
     * runs/JVMs since java.util.Random's algorithm is specified).
     */

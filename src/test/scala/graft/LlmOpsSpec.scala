@@ -82,6 +82,17 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("annIvf recall against brute force is reasonable") {
+    val exact = Similarity.annBruteForce(spark, sfDir)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annIvf(spark, sfDir)
+      .select("probe_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"IVF recall $recall too low")
+  }
+
   test("annLsh recall against brute force is reasonable") {
     val exact = Similarity.annBruteForce(spark, sfDir)
       .select("probe_id", "neighbor_id").collect()
