@@ -35,6 +35,7 @@ object SparkEntry {
     "q_filter_extremes" -> (Indicators.filterExtremes _),
     "q_alerts" -> (Indicators.alerts _),
     "q_latest_analytics" -> (Indicators.latestAnalytics _),
+    "q_daily_summary" -> (Indicators.dailySummary _),
     "q_json_extract" -> (Warehouse.jsonExtract _),
     "q_percentiles" -> (Warehouse.percentiles _),
     "q_token_count" -> (TextOps.tokenCount _),
@@ -83,6 +84,7 @@ object SparkEntry {
     "q_filter_extremes" -> Indicators.filterExtremesSql,
     "q_alerts" -> Indicators.alertsSql,
     "q_latest_analytics" -> Indicators.latestAnalyticsSql,
+    "q_daily_summary" -> Indicators.dailySummarySql,
     "q_json_extract" -> Warehouse.jsonExtractSql,
     "q_percentiles" -> Warehouse.percentilesSql,
     "q_token_count" -> TextOps.tokenCountSql,

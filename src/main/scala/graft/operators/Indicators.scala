@@ -206,6 +206,35 @@ object Indicators {
       .orderBy("user_id")
   }
 
+  /** Daily analytics rollup — the daily_analytics_summary
+    * materialized view (db/enhanced_schema.sql:297-314): per (symbol,
+    * day) price/RSI/volatility aggregates enriched with the broadcast
+    * dim. In a lakehouse this materializes incrementally via
+    * [[graft.sources.Sinks.upsertParquet]] keyed on (user_id, day).
+    */
+  def dailySummary(spark: SparkSession, dir: String): DataFrame = {
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    analyticsFull(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("trade_date"))
+      .agg(
+        round(avg("current_price"), 4).as("avg_price"),
+        round(max("current_price"), 4).as("max_price"),
+        round(min("current_price"), 4).as("min_price"),
+        // inputs are 4-decimal-rounded, so their averages frequently sit
+        // EXACTLY on 4-decimal half boundaries where Spark (HALF_UP on
+        // decimal repr) and DuckDB (half-away on binary) disagree; scale
+        // 8 is finer than the exact decimal result and can't land on one
+        round(avg("rsi_14"), 8).as("avg_rsi"),
+        round(avg("volatility"), 8).as("avg_volatility"),
+        count(lit(1)).as("data_points"))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .select(col("user_id"), col("trade_date"), col("c_name"), col("c_mktsegment"),
+        col("avg_price"), col("max_price"), col("min_price"),
+        col("avg_rsi"), col("avg_volatility"), col("data_points"))
+      .orderBy("user_id", "trade_date")
+  }
+
   // ---------------------------------------------------------------- oracle SQL
 
   /** Shared DuckDB CTE mirroring [[base]]. */
@@ -328,6 +357,24 @@ object Indicators {
       |QUALIFY row_number() OVER (PARTITION BY user_id
       |  ORDER BY ts DESC, event_id DESC) = 1
       |ORDER BY user_id""".stripMargin
+
+  def dailySummarySql: String = baseCte + ", afull AS (\n" + analyticsSelect +
+    """
+      |)
+      |SELECT user_id, trade_date, c_name, c_mktsegment,
+      |  avg_price, max_price, min_price, avg_rsi, avg_volatility, data_points
+      |FROM (
+      |  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+      |    round(avg(current_price), 4) AS avg_price,
+      |    round(max(current_price), 4) AS max_price,
+      |    round(min(current_price), 4) AS min_price,
+      |    round(avg(rsi_14), 8) AS avg_rsi,
+      |    round(avg(volatility), 8) AS avg_volatility,
+      |    count(*) AS data_points
+      |  FROM afull
+      |  GROUP BY user_id, CAST(ts AS DATE))
+      |JOIN customer ON user_id = c_custkey
+      |ORDER BY user_id, trade_date""".stripMargin
 
   def alertsSql: String = baseCte +
     """
