@@ -38,6 +38,9 @@ object SparkEntry {
     "q_daily_summary" -> (Indicators.dailySummary _),
     "q_json_extract" -> (Warehouse.jsonExtract _),
     "q_percentiles" -> (Warehouse.percentiles _),
+    "q_orphan_ticks" -> (Warehouse.orphanTicks _),
+    "q_rollup" -> (Warehouse.rollupAgg _),
+    "q_pivot" -> (Warehouse.pivotTypes _),
     "q_token_count" -> (TextOps.tokenCount _),
     "q_quality_score" -> (TextOps.qualityScore _),
     "q_lang_id" -> (TextOps.langId _),
@@ -87,6 +90,9 @@ object SparkEntry {
     "q_daily_summary" -> Indicators.dailySummarySql,
     "q_json_extract" -> Warehouse.jsonExtractSql,
     "q_percentiles" -> Warehouse.percentilesSql,
+    "q_orphan_ticks" -> Warehouse.orphanTicksSql,
+    "q_rollup" -> Warehouse.rollupAggSql,
+    "q_pivot" -> Warehouse.pivotTypesSql,
     "q_token_count" -> TextOps.tokenCountSql,
     "q_quality_score" -> TextOps.qualityScoreSql,
     "q_lang_id" -> TextOps.langIdSql,

@@ -260,6 +260,61 @@ object Warehouse {
       |  round(max(value), 4) AS hi
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Referential-integrity audit: ticks whose key has no dim row
+    * (left anti join) — the ingestion-error surface of the reference's
+    * company lookup (producer.py:94-98).
+    */
+  def orphanTicks(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir).select(col("c_custkey"))
+    Tables.events(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"), "left_anti")
+      .select("event_id", "user_id", "event_type")
+      .orderBy("event_id")
+  }
+
+  def orphanTicksSql: String =
+    """SELECT event_id, user_id, event_type
+      |FROM events
+      |WHERE user_id NOT IN (SELECT c_custkey FROM customer)
+      |ORDER BY event_id""".stripMargin
+
+  /** Hierarchical rollup: (event_type, day) with subtotals and a grand
+    * total — OLAP grouping-sets coverage.
+    */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .rollup(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
+      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
+
+  def rollupAggSql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |  count(*) AS n, round(sum(value), 4) AS total
+      |FROM events
+      |GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+      |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin
+
+  /** Wide pivot: mean tick value per user × event_type — the
+    * dashboard's per-symbol breakdown shape.
+    */
+  def pivotTypes(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(round(avg("value"), 6))
+      .orderBy("user_id")
+  }
+
+  def pivotTypesSql: String =
+    """SELECT user_id,
+      |  round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+      |  round(avg(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
+      |  round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+      |  round(avg(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
+      |  round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Gap-based sessionization per user (2 h inactivity gap) — the
     * batch dual of streaming session windows. One shuffle on user_id;
     * the running session counter streams over the sorted run.

@@ -59,6 +59,23 @@ class WarehouseSpec extends SparkSuite {
     }
   }
 
+  test("orphanTicks is empty when all keys resolve in the dim") {
+    assert(Warehouse.orphanTicks(spark, sfDir).count() == 0)
+  }
+
+  test("rollup grand total equals event count") {
+    val grand = Warehouse.rollupAgg(spark, sfDir)
+      .filter("event_type IS NULL AND day IS NULL").collect()
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("n") == Tables.events(spark, sfDir).count())
+  }
+
+  test("pivot yields one row per user with the five type columns") {
+    val df = Warehouse.pivotTypes(spark, sfDir)
+    assert(df.columns.toSeq == Seq("user_id", "click", "error", "purchase", "signup", "view"))
+    assert(df.count() == Tables.events(spark, sfDir).select("user_id").distinct().count())
+  }
+
   test("windowAgg counts reconcile") {
     val total = Warehouse.windowAgg(spark, sfDir)
       .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
