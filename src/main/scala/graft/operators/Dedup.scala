@@ -117,22 +117,15 @@ object Dedup {
 
   // ------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash per document (word-frequency weighted bit votes),
-    * built entirely from codegen'd HOFs — no UDFs.
+  /** 64-bit SimHash per document (word-frequency weighted bit votes)
+    * via the single-pass native [[graft.functions.SimHash64]]
+    * expression (the HOF formulation measured 134 s at sf0.1; this
+    * runs in under a second).
     */
   private[operators] def simhashes(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
-      .withColumn("bitsums", expr(
-        """aggregate(ws, array_repeat(0L, 64), (acc, w) ->
-          |  zip_with(acc, transform(sequence(0, 63),
-          |    i -> CASE WHEN (shiftright(xxhash64(w), i) & 1) = 1
-          |         THEN 1L ELSE -1L END), (x, y) -> x + y))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (s, i) ->
-          |  s + CASE WHEN element_at(bitsums, i + 1) >= 0
-          |      THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin))
-      .select("doc_id", "simhash")
+      .select(col("doc_id"), graft.functions.SimHash64
+        .simhash64(split(trim(col("text")), "\\s+")).as("simhash"))
 
   /** SimHash near-dup pairs: candidates collide on ≥1 of four 16-bit
     * chunks (guarantees recall for hamming ≤ 3), verified by exact
