@@ -218,15 +218,15 @@ object Indicators {
     analyticsFull(spark, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("trade_date"))
       .agg(
-        round(avg("current_price"), 4).as("avg_price"),
+        // averages as rounded-sum / count: sums of 2/4-decimal inputs
+        // round to bit-identical doubles on both engines (the scale
+        // matches the exact decimal width, so no value lands ON a
+        // rounding boundary), and the division is then exact
+        (round(sum("current_price"), 4) / count(lit(1))).as("avg_price"),
         round(max("current_price"), 4).as("max_price"),
         round(min("current_price"), 4).as("min_price"),
-        // inputs are 4-decimal-rounded, so their averages frequently sit
-        // EXACTLY on 4-decimal half boundaries where Spark (HALF_UP on
-        // decimal repr) and DuckDB (half-away on binary) disagree; scale
-        // 8 is finer than the exact decimal result and can't land on one
-        round(avg("rsi_14"), 8).as("avg_rsi"),
-        round(avg("volatility"), 8).as("avg_volatility"),
+        (round(sum("rsi_14"), 6) / count(col("rsi_14"))).as("avg_rsi"),
+        (round(sum("volatility"), 6) / count(col("volatility"))).as("avg_volatility"),
         count(lit(1)).as("data_points"))
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .select(col("user_id"), col("trade_date"), col("c_name"), col("c_mktsegment"),
@@ -365,11 +365,11 @@ object Indicators {
       |  avg_price, max_price, min_price, avg_rsi, avg_volatility, data_points
       |FROM (
       |  SELECT user_id, CAST(ts AS DATE) AS trade_date,
-      |    round(avg(current_price), 4) AS avg_price,
+      |    round(sum(current_price), 4) / count(*) AS avg_price,
       |    round(max(current_price), 4) AS max_price,
       |    round(min(current_price), 4) AS min_price,
-      |    round(avg(rsi_14), 8) AS avg_rsi,
-      |    round(avg(volatility), 8) AS avg_volatility,
+      |    round(sum(rsi_14), 6) / count(rsi_14) AS avg_rsi,
+      |    round(sum(volatility), 6) / count(volatility) AS avg_volatility,
       |    count(*) AS data_points
       |  FROM afull
       |  GROUP BY user_id, CAST(ts AS DATE))

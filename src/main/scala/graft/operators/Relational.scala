@@ -23,13 +23,24 @@ object Relational {
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
+        // rounding scales match the exact decimal width of each sum
+        // (quantities are ints, prices 2-dec, products 4/6-dec) so the
+        // rounded value can never sit ON a rounding boundary; averages
+        // are a division of those bit-identical sums, which both
+        // engines evaluate to the same double — no avg() whose
+        // summation order could differ at a boundary
         round(sum("l_quantity"), 6).as("sum_qty"),
         round(sum("l_extendedprice"), 4).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
-        round(avg("l_quantity"), 6).as("avg_qty"),
-        round(avg("l_extendedprice"), 6).as("avg_price"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        // charge is 6-decimal-exact but sums to ~1e9, where double
+        // summation-order noise (~1e-6) exceeds any safe rounding
+        // scale — sum exactly as DECIMAL (order-independent) instead
+        round(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).cast("decimal(30,6)")), 4)
+          .cast("double").as("sum_charge"),
+        (round(sum("l_quantity"), 6) / count(lit(1))).as("avg_qty"),
+        (round(sum("l_extendedprice"), 4) / count(lit(1))).as("avg_price"),
+        (round(sum("l_discount"), 4) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -39,10 +50,11 @@ object Relational {
       |  round(sum(l_quantity), 6) AS sum_qty,
       |  round(sum(l_extendedprice), 4) AS sum_base_price,
       |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
-      |  round(avg(l_quantity), 6) AS avg_qty,
-      |  round(avg(l_extendedprice), 6) AS avg_price,
-      |  round(avg(l_discount), 6) AS avg_disc,
+      |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+      |    AS DECIMAL(30,6))), 4) AS DOUBLE) AS sum_charge,
+      |  round(sum(l_quantity), 6) / count(*) AS avg_qty,
+      |  round(sum(l_extendedprice), 4) / count(*) AS avg_price,
+      |  round(sum(l_discount), 4) / count(*) AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

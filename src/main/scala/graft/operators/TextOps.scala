@@ -63,23 +63,23 @@ object TextOps {
       .select(
         col("doc_id"),
         size(ws).as("n_words"),
-        round(alphaChars / nWords, 6).as("mean_word_len"),
-        round(stopRatio, 6).as("stopword_ratio"),
-        round(punctRatio, 6).as("punct_ratio"),
+        round(alphaChars / nWords, 8).as("mean_word_len"),
+        round(stopRatio, 8).as("stopword_ratio"),
+        round(punctRatio, 8).as("punct_ratio"),
         round(lit(0.4) * lengthScore + lit(0.3) * least(stopRatio * 5.0, lit(1.0))
-          + lit(0.3) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0))), 6).as("quality_score"))
+          + lit(0.3) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0))), 8).as("quality_score"))
       .orderBy("doc_id")
   }
 
   def qualityScoreSql: String =
     """SELECT doc_id,
       |  len(ws) AS n_words,
-      |  round(alpha_chars / n_words_d, 6) AS mean_word_len,
-      |  round(stop_ratio, 6) AS stopword_ratio,
-      |  round(punct_ratio, 6) AS punct_ratio,
+      |  round(alpha_chars / n_words_d, 8) AS mean_word_len,
+      |  round(stop_ratio, 8) AS stopword_ratio,
+      |  round(punct_ratio, 8) AS punct_ratio,
       |  round(0.4 * least(n_words_d / 100.0, 1.0)
       |    + 0.3 * least(stop_ratio * 5.0, 1.0)
-      |    + 0.3 * (1.0 - least(punct_ratio * 10.0, 1.0)), 6) AS quality_score
+      |    + 0.3 * (1.0 - least(punct_ratio * 10.0, 1.0)), 8) AS quality_score
       |FROM (
       |  SELECT doc_id, ws,
       |    len(ws)::DOUBLE AS n_words_d,

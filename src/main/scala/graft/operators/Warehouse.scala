@@ -195,7 +195,9 @@ object Warehouse {
       .agg(
         count(lit(1)).as("n"),
         round(sum("value"), 4).as("total"),
-        round(avg("value"), 6).as("mean"),
+        // mean as rounded-sum / count: bit-identical across engines,
+        // immune to avg() rounding-boundary hits on 2-decimal prices
+        (round(sum("value"), 4) / count(lit(1))).as("mean"),
         round(min("value"), 4).as("lo"),
         round(max("value"), 4).as("hi"))
       .orderBy("bucket", "event_type")
@@ -204,7 +206,7 @@ object Warehouse {
     """SELECT date_trunc('hour', ts) AS bucket, event_type,
       |  count(*) AS n,
       |  round(sum(value), 4) AS total,
-      |  round(avg(value), 6) AS mean,
+      |  round(sum(value), 4) / count(*) AS mean,
       |  round(min(value), 4) AS lo,
       |  round(max(value), 4) AS hi
       |FROM events
@@ -223,14 +225,14 @@ object Warehouse {
         count(lit(1)).as("n"),
         count(col("k")).as("n_with_k"),
         sum("k").as("sum_k"),
-        round(avg("k"), 6).as("avg_k"),
+        (sum("k").cast("double") / count(col("k"))).as("avg_k"),
         min("k").as("min_k"),
         max("k").as("max_k"))
       .orderBy("event_type")
 
   def jsonExtractSql: String =
     """SELECT event_type, count(*) AS n, count(k) AS n_with_k,
-      |  sum(k) AS sum_k, round(avg(k), 6) AS avg_k,
+      |  sum(k) AS sum_k, sum(k)::DOUBLE / count(k) AS avg_k,
       |  min(k) AS min_k, max(k) AS max_k
       |FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k
       |      FROM events)

@@ -40,10 +40,19 @@ object Sinks {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
       .drop("_rn", "_src")
-      .cache()
-    merged.count() // materialize before overwriting the input path
-    merged.write.mode(SaveMode.Overwrite).parquet(path)
-    merged.unpersist()
+    // stage-and-swap: writing over the path being read would corrupt
+    // the table if cached partitions were evicted mid-write
+    val staged = path + ".staging"
+    merged.write.mode(SaveMode.Overwrite).parquet(staged)
+    val target = new java.io.File(path)
+    if (target.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(target)
+    }
+    if (!new java.io.File(staged).renameTo(target))
+      throw new java.io.IOException(s"could not swap $staged into $path")
   }
 
   /** Streaming sink: the consumer→database leg (consumer/consumer.py
