@@ -304,17 +304,22 @@ object Warehouse {
     Tables.events(spark, dir)
       .groupBy("user_id")
       .pivot("event_type", types)
-      .agg(round(avg("value"), 6))
+      .agg(round(sum("value"), 4) / count(col("value")))
       .orderBy("user_id")
   }
 
   def pivotTypesSql: String =
     """SELECT user_id,
-      |  round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
-      |  round(avg(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
-      |  round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
-      |  round(avg(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
-      |  round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+      |  round(sum(CASE WHEN event_type = 'click' THEN value END), 4)
+      |    / count(CASE WHEN event_type = 'click' THEN value END) AS click,
+      |  round(sum(CASE WHEN event_type = 'error' THEN value END), 4)
+      |    / count(CASE WHEN event_type = 'error' THEN value END) AS error,
+      |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4)
+      |    / count(CASE WHEN event_type = 'purchase' THEN value END) AS purchase,
+      |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 4)
+      |    / count(CASE WHEN event_type = 'signup' THEN value END) AS signup,
+      |  round(sum(CASE WHEN event_type = 'view' THEN value END), 4)
+      |    / count(CASE WHEN event_type = 'view' THEN value END) AS view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Gap-based sessionization per user (2 h inactivity gap) — the
