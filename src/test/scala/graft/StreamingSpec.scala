@@ -45,6 +45,46 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0, "streaming != batch rows")
   }
 
+  test("stateful indicators survive across microbatches (incremental state)") {
+    import org.apache.spark.sql.functions.{col, ntile, round}
+    import org.apache.spark.sql.expressions.Window
+    // split the tick table into 3 time-ordered files and force one
+    // file per trigger → per-key indicator state must carry across
+    // microbatches to match the batch result
+    val staged = java.nio.file.Files.createTempDirectory("multi_batch").toString
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("part", ntile(3).over(Window.orderBy("ts")))
+    (1 to 3).foreach { p =>
+      ev.filter(col("part") === p).drop("part").coalesce(1)
+        .write.parquet(s"$staged/f$p.parquet")
+    }
+    val files = new java.io.File(staged).listFiles().filter(_.isDirectory)
+      .sortBy(_.getName) // f1, f2, f3 — stage in time order
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+    val streamDir = java.nio.file.Files.createTempDirectory("multi_batch_flat")
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f.toPath, streamDir.resolve(f"part$i%02d.parquet"))
+    }
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val ind = TickStream.statefulIndicators(spark, stream)
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_multi").toString
+    val q = ind.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("multi_ind")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("multi_ind")
+      .select(col("user_id"), col("event_id"), round(col("ema_12"), 6).as("ema_12"))
+    val batch = Indicators.analyticsFull(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ema_12"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0,
+      "incremental streaming state diverged from batch")
+  }
+
   test("parseTicks drops malformed and invalid messages") {
     import spark.implicits._
     val good = """{"ticker_symbol":"AAPL","current_price":123.4,"volume":10,"trade_datetime":"2024-01-01T00:00:00Z","timestamp":"2024-01-01T00:00:00Z"}"""
