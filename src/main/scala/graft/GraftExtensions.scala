@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.VectorDot
+import graft.functions.{MinHashShingles, SimHash64, VectorDot}
+import graft.plans.EmaStrategy
 
 /** SparkSessionExtensions entry point: registers graft's custom
-  * Catalyst expressions for SQL use.
+  * Catalyst expressions and planner strategy for SQL use.
   *
   * Activate with
   * `spark.sql.extensions=graft.GraftExtensions` (cluster conf) or
@@ -18,5 +19,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1))))
+    extensions.injectFunction((
+      FunctionIdentifier("minhash_shingles"),
+      new ExpressionInfo(classOf[MinHashShingles].getName, "minhash_shingles"),
+      (children: Seq[Expression]) => MinHashShingles(children(0),
+        children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])))
+    extensions.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children(0))))
+    extensions.injectPlannerStrategy(_ => EmaStrategy)
   }
 }
