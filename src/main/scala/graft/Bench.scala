@@ -32,9 +32,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // JVM/session warmup outside the timed region
-    SparkEntry.queries("q1_agg")(spark, sfDir).write
+    // JVM/session warmup outside the timed region; never let it kill
+    // the run — the metrics line below must always print
+    try SparkEntry.queries("q1_agg")(spark, sfDir).write
       .format("noop").mode("overwrite").save()
+    catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)

@@ -19,11 +19,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1))))
+    def intLiteral(e: Expression, arg: String): Int = {
+      if (!e.foldable)
+        throw new IllegalArgumentException(s"minhash_shingles: $arg must be a literal")
+      e.eval() match {
+        case n: java.lang.Number => n.intValue()
+        case other =>
+          throw new IllegalArgumentException(
+            s"minhash_shingles: $arg must be an integer literal, got $other")
+      }
+    }
     extensions.injectFunction((
       FunctionIdentifier("minhash_shingles"),
       new ExpressionInfo(classOf[MinHashShingles].getName, "minhash_shingles"),
       (children: Seq[Expression]) => MinHashShingles(children(0),
-        children(1).eval().asInstanceOf[Int], children(2).eval().asInstanceOf[Int])))
+        intLiteral(children(1), "numHashes"), intLiteral(children(2), "shingleWidth"))))
     extensions.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),

@@ -91,7 +91,10 @@ object Dedup {
     * filtered by estimated Jaccard (signature agreement) ≥ 0.5.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = signatures(spark, dir).cache()
+    // no cache(): the native signature expression is cheap to
+    // recompute, and a lazily-referenced cache would pin executor
+    // memory for the whole session (queries can't unpersist it)
+    val sigs = signatures(spark, dir)
     val banded = sigs.select(col("doc_id"), posexplode(
       array((0 until NumBands).map { j =>
         xxhash64(element_at(col("sig"), 2 * j + 1), element_at(col("sig"), 2 * j + 2), lit(j))
@@ -132,7 +135,7 @@ object Dedup {
     * hamming distance ≤ 8.
     */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sh = simhashes(spark, dir).cache()
+    val sh = simhashes(spark, dir) // cheap native expr; no session-pinned cache
     val chunked = sh.select(col("doc_id"), col("simhash"), posexplode(
       array((0 until 4).map { j =>
         shiftrightunsigned(col("simhash"), 16 * j).bitwiseAND(lit(0xFFFFL))

@@ -85,6 +85,11 @@ case class EmaAppendExec(child: SparkPlan, override val output: Seq[Attribute])
     val userIdx = child.output.indexWhere(_.name == "user_id")
     val valueIdx = child.output.indexWhere(_.name == "value")
     child.execute().mapPartitions { iter =>
+      // project to UnsafeRow: direct actions (collect/getByteArrayRdd)
+      // cast output rows to UnsafeRow, and buffering consumers must
+      // not observe the shared mutable JoinedRow/GenericInternalRow
+      val toUnsafe = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(output, output)
       val joined = new JoinedRow
       val extra = new GenericInternalRow(5)
       var cur = 0L
@@ -109,7 +114,7 @@ case class EmaAppendExec(child: SparkPlan, override val output: Seq[Attribute])
           extra.update(3, e12 - e26)
           extra.update(4, 0.0)
         } else { extra.setNullAt(2); extra.setNullAt(3); extra.setNullAt(4) }
-        joined(row, extra)
+        toUnsafe(joined(row, extra))
       }
     }
   }

@@ -25,10 +25,15 @@ object Sinks {
   def upsertParquet(updates: DataFrame, path: String, keyCols: Seq[String],
       versionCol: String): Unit = {
     val spark = updates.sparkSession
-    val existing =
-      if (new java.io.File(path).exists())
-        Some(spark.read.parquet(path))
+    // crash recovery: if a previous swap renamed the live table to
+    // .old but died before promoting the staging copy, the .old dir
+    // still holds the last durable state — read from it
+    val live = new java.io.File(path)
+    val old = new java.io.File(path + ".old")
+    val readPath = if (live.exists()) Some(path)
+      else if (old.exists()) Some(path + ".old")
       else None
+    val existing = readPath.map(spark.read.parquet(_))
     val tagged = updates.withColumn("_src", lit(1))
     val all = existing match {
       case Some(e) => e.withColumn("_src", lit(0)).unionByName(tagged)
@@ -41,18 +46,20 @@ object Sinks {
       .filter(col("_rn") === 1)
       .drop("_rn", "_src")
     // stage-and-swap: writing over the path being read would corrupt
-    // the table if cached partitions were evicted mid-write
+    // the table if cached partitions were evicted mid-write. Swap via
+    // rename(live→old) + rename(staging→live) + delete(old): every
+    // crash point leaves a recoverable copy (see readPath above).
     val staged = path + ".staging"
     merged.write.mode(SaveMode.Overwrite).parquet(staged)
-    val target = new java.io.File(path)
-    if (target.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(target)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
-    if (!new java.io.File(staged).renameTo(target))
-      throw new java.io.IOException(s"could not swap $staged into $path")
+    if (old.exists()) rm(old)
+    if (live.exists() && !live.renameTo(old))
+      throw new java.io.IOException(s"could not retire $path")
+    if (!new java.io.File(staged).renameTo(live))
+      throw new java.io.IOException(s"could not promote $staged into $path")
+    if (old.exists()) rm(old)
   }
 
   /** Streaming sink: the consumer→database leg (consumer/consumer.py

@@ -131,10 +131,17 @@ object TickStream {
     out.iterator
   }
 
-  /** Streaming per-symbol indicators via flatMapGroupsWithState. */
+  /** Streaming per-symbol indicators via flatMapGroupsWithState.
+    * Applies the same tick validation as the batch path
+    * (Warehouse.validTicks) so streaming state never ingests the
+    * invalid prices the batch pipeline rejects.
+    */
   def statefulIndicators(spark: SparkSession, ticks: DataFrame): Dataset[IndicatorRow] = {
     import spark.implicits._
-    ticks.select("user_id", "event_id", "ts", "value").as[Tick]
+    ticks
+      .filter(col("value").isNotNull && col("value") > 0 && !isnan(col("value"))
+        && col("user_id").isNotNull)
+      .select("user_id", "event_id", "ts", "value").as[Tick]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateIndicators)
   }

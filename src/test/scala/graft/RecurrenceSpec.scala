@@ -40,6 +40,17 @@ class RecurrenceSpec extends SparkSuite {
     assert(after == before, s"EmaAppend added exchanges: $before -> $after")
   }
 
+  test("withEmaMacd output supports direct actions (UnsafeRow contract)") {
+    // regression: the physical node must emit UnsafeRows — a raw
+    // JoinedRow made collect() without an intervening Project throw
+    val rows = Recurrence.withEmaMacd(ticks).collect()
+    assert(rows.length == ticks.count())
+    // and buffering consumers must not see shared mutable state
+    val distinctEma = rows.flatMap(r =>
+      Option(r.getAs[java.lang.Double]("ema_12_raw"))).distinct
+    assert(distinctEma.length > 1)
+  }
+
   test("guards: ema null before period, macd null before 35 ticks") {
     val df = Recurrence.withEmaMacd(ticks)
       .withColumn("rn", row_number().over(

@@ -85,6 +85,19 @@ class StreamingSpec extends SparkSuite {
       "incremental streaming state diverged from batch")
   }
 
+  test("statefulIndicators rejects invalid ticks like the batch path") {
+    import spark.implicits._
+    val mixed = Seq(
+      (1L, 1L, new java.sql.Timestamp(1000L), 10.0),
+      (2L, 1L, new java.sql.Timestamp(2000L), -5.0), // invalid: negative
+      (3L, 1L, new java.sql.Timestamp(3000L), 11.0))
+      .toDF("event_id", "user_id", "ts", "value")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    val out = TickStream.statefulIndicators(spark, mixed).collect()
+    assert(out.length == 2, "invalid tick must not enter indicator state")
+    assert(out.forall(_.value > 0))
+  }
+
   test("parseTicks drops malformed and invalid messages") {
     import spark.implicits._
     val good = """{"ticker_symbol":"AAPL","current_price":123.4,"volume":10,"trade_datetime":"2024-01-01T00:00:00Z","timestamp":"2024-01-01T00:00:00Z"}"""
