@@ -39,6 +39,7 @@ object SparkEntry {
     "q_json_extract" -> (Warehouse.jsonExtract _),
     "q_percentiles" -> (Warehouse.percentiles _),
     "q_orphan_ticks" -> (Warehouse.orphanTicks _),
+    "q_top_movers" -> (Warehouse.topMovers _),
     "q_rollup" -> (Warehouse.rollupAgg _),
     "q_pivot" -> (Warehouse.pivotTypes _),
     "q_token_count" -> (TextOps.tokenCount _),
@@ -91,6 +92,7 @@ object SparkEntry {
     "q_json_extract" -> Warehouse.jsonExtractSql,
     "q_percentiles" -> Warehouse.percentilesSql,
     "q_orphan_ticks" -> Warehouse.orphanTicksSql,
+    "q_top_movers" -> Warehouse.topMoversSql,
     "q_rollup" -> Warehouse.rollupAggSql,
     "q_pivot" -> Warehouse.pivotTypesSql,
     "q_token_count" -> TextOps.tokenCountSql,

@@ -322,6 +322,38 @@ object Warehouse {
       |    / count(CASE WHEN event_type = 'view' THEN value END) AS view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Top daily movers: rank symbols per day by intraday change
+    * (close vs open from the daily OHLC rollup), keep the top 3 —
+    * the dashboard's movers panel shape.
+    */
+  def topMovers(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.partitionBy("trade_date")
+      .orderBy(col("change_pct").desc, col("user_id"))
+    dailyOhlc(spark, dir)
+      .withColumn("change_pct",
+        round((col("close_price") - col("open_price")) / col("open_price") * 100.0, 6))
+      .withColumn("mover_rank", row_number().over(byDay))
+      .filter(col("mover_rank") <= 3)
+      .select("trade_date", "mover_rank", "user_id", "open_price",
+        "close_price", "change_pct")
+      .orderBy("trade_date", "mover_rank")
+  }
+
+  def topMoversSql: String =
+    s"""WITH ohlc AS (
+       |${dailyOhlcSql.replace("ORDER BY user_id, trade_date", "")}
+       |), ranked AS (
+       |  SELECT trade_date, user_id, open_price, close_price,
+       |    round((close_price - open_price) / open_price * 100.0, 6) AS change_pct
+       |  FROM ohlc
+       |)
+       |SELECT trade_date, row_number() OVER (PARTITION BY trade_date
+       |    ORDER BY change_pct DESC, user_id) AS mover_rank,
+       |  user_id, open_price, close_price, change_pct
+       |FROM ranked
+       |QUALIFY mover_rank <= 3
+       |ORDER BY trade_date, mover_rank""".stripMargin
+
   /** Gap-based sessionization per user (2 h inactivity gap) — the
     * batch dual of streaming session windows. One shuffle on user_id;
     * the running session counter streams over the sorted run.

@@ -76,6 +76,17 @@ class WarehouseSpec extends SparkSuite {
     assert(df.count() == Tables.events(spark, sfDir).select("user_id").distinct().count())
   }
 
+  test("topMovers keeps at most 3 ranked movers per day") {
+    val rows = Warehouse.topMovers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDay = rows.groupBy(_.getAs[java.sql.Date]("trade_date"))
+    byDay.values.foreach { day =>
+      assert(day.length <= 3)
+      val changes = day.sortBy(_.getAs[Int]("mover_rank")).map(_.getAs[Double]("change_pct"))
+      assert(changes.sameElements(changes.sortBy(-_)), "ranked by change desc")
+    }
+  }
+
   test("windowAgg counts reconcile") {
     val total = Warehouse.windowAgg(spark, sfDir)
       .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
