@@ -57,6 +57,7 @@ object SparkEntry {
     "q_linreg_trend" -> (Forecast.linregTrend _),
     "q_linreg_autoreg" -> (Forecast.linregAutoreg _),
     "q_arima_forecast" -> (Forecast.arimaForecast _),
+    "q_predictions" -> (Forecast.predictions _),
     "q_multimodal_meta" -> (Multimodal.multimodalMeta _)
   )
 

@@ -191,6 +191,33 @@ object Forecast {
       }
     }.orderBy("user_id", "event_id")
 
+  /** The `predictions` table surface (enhanced_schema.sql:186-203,
+    * dashboard fetch_predictions app.py:145-175): one next-price row
+    * per (symbol, model). ARIMA confidence is the reference's AIC
+    * transform max(0, min(1, 1/(1+|aic|/100)))
+    * (analytics_consumer.py:374-377); the linear-regression row uses
+    * the fixed 0.8 of batch_predict_linear_regression.py:76.
+    */
+  def predictions(spark: SparkSession, dir: String): DataFrame = {
+    val arima = arimaForecast(spark, dir)
+      .select(
+        col("user_id"),
+        col("forecast_1").as("predicted_price"),
+        greatest(lit(0.0), least(lit(1.0),
+          lit(1.0) / (lit(1.0) + abs(col("aic")) / 100.0))).as("confidence_score"),
+        lit("ARIMA").as("model_type"))
+    val latestAutoreg = {
+      val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
+      linregAutoreg(spark, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("predicted_price"),
+          lit(0.8).as("confidence_score"),
+          lit("LinearRegression").as("model_type"))
+    }
+    arima.unionByName(latestAutoreg).orderBy("user_id", "model_type")
+  }
+
   private val arimaSchema = StructType(Seq(
     StructField("user_id", LongType), StructField("n_obs", LongType),
     StructField("p", IntegerType), StructField("d", IntegerType),

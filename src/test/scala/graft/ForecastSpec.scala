@@ -30,6 +30,16 @@ class ForecastSpec extends SparkSuite {
     assert(df.filter("train_mse < 0").count() == 0)
   }
 
+  test("predictions emits ARIMA + LinearRegression rows with bounded confidence") {
+    val rows = Forecast.predictions(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val types = rows.map(_.getAs[String]("model_type")).toSet
+    assert(types == Set("ARIMA", "LinearRegression"))
+    assert(rows.forall { r =>
+      val c = r.getAs[Double]("confidence_score"); c >= 0.0 && c <= 1.0
+    })
+  }
+
   test("arimaForecast selects an order and produces a finite forecast") {
     val df = Forecast.arimaForecast(spark, sfDir).collect()
     assert(df.nonEmpty)
