@@ -164,6 +164,10 @@ object Forecast {
     * then emit a prediction per window like batch_predict.
     */
   def linregAutoreg(spark: SparkSession, dir: String): DataFrame =
+    linregAutoregBase(spark, dir).orderBy("user_id", "event_id")
+
+  /** Unordered internal variant (no driver-output ORDER BY). */
+  private[operators] def linregAutoregBase(spark: SparkSession, dir: String): DataFrame =
     perKey(spark, dir, autoregSchema) { (user, ticks) =>
       val prices = ticks.map(_._3).toArray
       if (prices.length < WindowSize + 2) Iterator.empty
@@ -189,7 +193,7 @@ object Forecast {
             }
         }
       }
-    }.orderBy("user_id", "event_id")
+    }
 
   /** The `predictions` table surface (enhanced_schema.sql:186-203,
     * dashboard fetch_predictions app.py:145-175): one next-price row
@@ -199,7 +203,10 @@ object Forecast {
     * the fixed 0.8 of batch_predict_linear_regression.py:76.
     */
   def predictions(spark: SparkSession, dir: String): DataFrame = {
-    val arima = arimaForecast(spark, dir)
+    // consume the UNSORTED internal variants — the driver queries'
+    // trailing ORDER BYs would each cost a global range sort that the
+    // union + final sort here immediately discards
+    val arima = arimaForecastBase(spark, dir)
       .select(
         col("user_id"),
         col("forecast_1").as("predicted_price"),
@@ -207,8 +214,11 @@ object Forecast {
           lit(1.0) / (lit(1.0) + abs(col("aic")) / 100.0))).as("confidence_score"),
         lit("ARIMA").as("model_type"))
     val latestAutoreg = {
-      val w = Window.partitionBy("user_id").orderBy(col("event_id").desc)
-      linregAutoreg(spark, dir)
+      // temporally last window: (ts, event_id) desc, matching the
+      // repo-wide latest-row convention (event_id alone is not
+      // guaranteed monotone with time)
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      linregAutoregBase(spark, dir)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("predicted_price"),
@@ -292,6 +302,10 @@ object Forecast {
     * one-step forecast integrated back to price level.
     */
   def arimaForecast(spark: SparkSession, dir: String): DataFrame =
+    arimaForecastBase(spark, dir).orderBy("user_id")
+
+  /** Unordered internal variant (no driver-output ORDER BY). */
+  private[operators] def arimaForecastBase(spark: SparkSession, dir: String): DataFrame =
     perKey(spark, dir, arimaSchema) { (user, ticks) =>
       val prices = ticks.map(_._3).toArray
       if (prices.length < MinObservations) Iterator.empty
@@ -321,5 +335,5 @@ object Forecast {
             math.rint(aic * 1e4) / 1e4, prices.last, math.rint(acc * 1e4) / 1e4))
         }
       }
-    }.orderBy("user_id")
+    }
 }

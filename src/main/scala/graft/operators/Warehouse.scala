@@ -104,23 +104,33 @@ object Warehouse {
     */
   def dailyOhlc(spark: SparkSession, dir: String): DataFrame =
     ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date")
+      .orderBy("user_id", "trade_date")
 
-  def dailyOhlcSql: String = ohlcSql("CAST(ts AS DATE)", "trade_date")
+  def dailyOhlcSql: String =
+    ohlcSql("CAST(ts AS DATE)", "trade_date") +
+      "\nORDER BY user_id, trade_date"
 
   /** Hourly candles for the dashboard's candlestick view
     * (dashboard/app.py:249-309).
     */
   def candles(spark: SparkSession, dir: String): DataFrame =
     ohlcBy(spark, dir, date_trunc("hour", col("ts")).as("bucket"), "bucket")
+      .orderBy("user_id", "bucket")
 
-  def candlesSql: String = ohlcSql("date_trunc('hour', ts)", "bucket")
+  def candlesSql: String =
+    ohlcSql("date_trunc('hour', ts)", "bucket") + "\nORDER BY user_id, bucket"
 
+  /** Unordered OHLC rollup base (callers add their own ORDER BY or
+    * consume it unsorted — the validTicks/validateTicks pattern).
+    */
   private def ohlcBy(spark: SparkSession, dir: String,
-      bucketExpr: org.apache.spark.sql.Column, bucketName: String): DataFrame = {
+      bucketExpr: org.apache.spark.sql.Column, bucketName: String,
+      validated: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("user_id"), col(bucketName))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    Tables.events(spark, dir)
+    val src = if (validated) validTicks(spark, dir) else Tables.events(spark, dir)
+    src
       .select(col("user_id"), bucketExpr, col("ts"), col("event_id"), col("value"))
       .withColumn("open", first("value").over(w))
       .withColumn("close", last("value").over(w))
@@ -132,10 +142,10 @@ object Warehouse {
         max(col("close")).as("close_price"),
         count(lit(1)).as("n_ticks"),
         round(sum("value"), 4).as("turnover"))
-      .orderBy("user_id", bucketName)
   }
 
-  private def ohlcSql(bucketExpr: String, bucketName: String): String =
+  private def ohlcSql(bucketExpr: String, bucketName: String,
+      validated: Boolean = false): String =
     s"""SELECT user_id, $bucketName,
        |  max(open) AS open_price,
        |  round(max(value), 4) AS high_price,
@@ -151,9 +161,10 @@ object Warehouse {
        |    last_value(value) OVER (PARTITION BY user_id, $bucketExpr
        |      ORDER BY ts, event_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
-       |  FROM events)
-       |GROUP BY user_id, $bucketName
-       |ORDER BY user_id, $bucketName""".stripMargin
+       |  FROM events${if (validated)
+           "\n  WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)" +
+           "\n    AND user_id IS NOT NULL" else ""})
+       |GROUP BY user_id, $bucketName""".stripMargin
 
   /** Dashboard time-window scan (app.py:54-84): last 7 days relative
     * to the latest tick, enriched with the customer dim (broadcast),
@@ -325,11 +336,18 @@ object Warehouse {
   /** Top daily movers: rank symbols per day by intraday change
     * (close vs open from the daily OHLC rollup), keep the top 3 —
     * the dashboard's movers panel shape.
+    *
+    * Builds on the VALIDATED, UNORDERED ohlc base: validation rules
+    * out open_price = 0 (whose x/0 semantics differ between Spark —
+    * NULL — and DuckDB — ∞ — and would rank a bad tick first), and
+    * skipping dailyOhlc's output ORDER BY avoids a global sort the
+    * ranking window would immediately destroy.
     */
   def topMovers(spark: SparkSession, dir: String): DataFrame = {
     val byDay = Window.partitionBy("trade_date")
       .orderBy(col("change_pct").desc, col("user_id"))
-    dailyOhlc(spark, dir)
+    ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date",
+        validated = true)
       .withColumn("change_pct",
         round((col("close_price") - col("open_price")) / col("open_price") * 100.0, 6))
       .withColumn("mover_rank", row_number().over(byDay))
@@ -341,7 +359,7 @@ object Warehouse {
 
   def topMoversSql: String =
     s"""WITH ohlc AS (
-       |${dailyOhlcSql.replace("ORDER BY user_id, trade_date", "")}
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
        |), ranked AS (
        |  SELECT trade_date, user_id, open_price, close_price,
        |    round((close_price - open_price) / open_price * 100.0, 6) AS change_pct
