@@ -46,6 +46,9 @@ object SparkEntry {
     "q_quality_score" -> (TextOps.qualityScore _),
     "q_lang_id" -> (TextOps.langId _),
     "q_fingerprint" -> (TextOps.fingerprint _),
+    "q_chunk_docs" -> (TextOps.chunkDocs _),
+    "q_clean_text" -> (TextOps.cleanText _),
+    "q_word_freq" -> (TextOps.wordFreq _),
     "q_dedup_exact" -> (Dedup.exact _),
     "q_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
@@ -100,6 +103,9 @@ object SparkEntry {
     "q_quality_score" -> TextOps.qualityScoreSql,
     "q_lang_id" -> TextOps.langIdSql,
     "q_fingerprint" -> TextOps.fingerprintSql,
+    "q_chunk_docs" -> TextOps.chunkDocsSql,
+    "q_clean_text" -> TextOps.cleanTextSql,
+    "q_word_freq" -> TextOps.wordFreqSql,
     "q_dedup_exact" -> Dedup.exactSql,
     "q_ngram_jaccard" -> Dedup.ngramJaccardSql,
     "q_dedup_embedding" -> Dedup.embeddingDedupSql,

@@ -140,6 +140,84 @@ object TextOps {
        |        FROM documents))
        |ORDER BY doc_id""".stripMargin
 
+  /** Fixed-size document chunking with overlap — the
+    * context-window-preparation op of a training pipeline: each doc
+    * becomes ⌈n/stride⌉ character chunks of `size` chars advancing by
+    * `stride` (= size − overlap). Narrow, shuffle-free explode.
+    */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame = {
+    val size = 200
+    val stride = 150 // 50-char overlap
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST(ceil(greatest(n_chars - $size, 0) / $stride.0) AS INT)), " +
+          s"i -> substring(text, i * $stride + 1, $size))"))
+        .as(Seq("chunk_idx", "chunk")))
+      .withColumn("chunk_len", length(col("chunk")))
+      .filter(col("chunk_len") > 0)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  def chunkDocsSql: String =
+    """SELECT doc_id, i AS chunk_idx, chunk, length(chunk) AS chunk_len
+      |FROM (
+      |  SELECT doc_id, i,
+      |    substr(text, (i * 150 + 1)::INT, 200) AS chunk
+      |  FROM documents
+      |  CROSS JOIN range(0, 256) t(i) -- constant bound (DuckDB range
+      |    -- takes no column/subquery args); covers docs to ~38k chars
+      |  WHERE i <= CAST(ceil(greatest(n_chars - 200, 0) / 150.0) AS INT))
+      |WHERE length(chunk) > 0
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Text cleaning: lowercase, strip non-alphanumerics, collapse
+    * whitespace, drop english stopwords — the standard pre-tokenize
+    * normalization pass.
+    */
+  def cleanText(spark: SparkSession, dir: String): DataFrame = {
+    val normalized = regexp_replace(
+      regexp_replace(lower(trim(col("text"))), "[^a-z0-9\\s]", " "), "\\s+", " ")
+    val kept = filter(split(trim(normalized), " "),
+      w => !array_contains(lit(stopEn.toArray), w) && w =!= "")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_join(kept, " ").as("clean_text"),
+        size(kept).as("n_clean_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def cleanTextSql: String =
+    s"""SELECT doc_id,
+       |  array_to_string(kept, ' ') AS clean_text,
+       |  len(kept) AS n_clean_tokens
+       |FROM (
+       |  SELECT doc_id, list_filter(
+       |    string_split(trim(regexp_replace(regexp_replace(lower(trim(text)),
+       |      '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+       |    w -> NOT w IN (${stopEn.map("'" + _ + "'").mkString(", ")}) AND w <> '') AS kept
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Corpus word-frequency profile: explode → count, top 100 by
+    * frequency. The one text op that genuinely shuffles (on the word),
+    * with map-side partial aggregation doing most of the work.
+    */
+  def wordFreq(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word"))
+      .limit(100)
+
+  def wordFreqSql: String =
+    """SELECT word, count(*) AS freq
+      |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      |      FROM documents)
+      |GROUP BY word
+      |ORDER BY freq DESC, word
+      |LIMIT 100""".stripMargin
+
   /** Document fingerprinting: md5 of whitespace-normalized text —
     * the join key for exact-dedup across shards.
     */

@@ -23,6 +23,29 @@ class LlmOpsSpec extends SparkSuite {
     assert(df.count() == Tables.documents(spark, sfDir).count())
   }
 
+  test("chunkDocs covers every document with overlapping chunks") {
+    val chunks = TextOps.chunkDocs(spark, sfDir)
+    assert(chunks.select("doc_id").distinct().count() ==
+      Tables.documents(spark, sfDir).count())
+    assert(chunks.filter("chunk_len > 200").count() == 0)
+    // long docs produce multiple chunks
+    assert(chunks.groupBy("doc_id").count().filter("count > 1").count() > 0)
+  }
+
+  test("cleanText strips stopwords and punctuation") {
+    val df = TextOps.cleanText(spark, sfDir)
+    assert(df.count() == Tables.documents(spark, sfDir).count())
+    assert(df.filter(col("clean_text").contains(" the ")).count() == 0)
+    assert(df.filter("n_clean_tokens <= 0").count() == 0)
+  }
+
+  test("wordFreq top-100 is ordered and counts are positive") {
+    val rows = TextOps.wordFreq(spark, sfDir).collect()
+    assert(rows.length <= 100 && rows.nonEmpty)
+    val freqs = rows.map(_.getAs[Long]("freq"))
+    assert(freqs.sameElements(freqs.sortBy(-_)))
+  }
+
   test("fingerprint is stable and 32 hex chars") {
     val df = TextOps.fingerprint(spark, sfDir)
     assert(df.filter(length(col("fingerprint")) =!= 32).count() == 0)

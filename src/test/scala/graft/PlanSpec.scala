@@ -43,6 +43,27 @@ class PlanSpec extends SparkSuite {
     assert(n <= 2, s"expected <=2 exchanges, got $n")
   }
 
+  test("date-partitioned layout prunes partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("part_events").toString
+    Tables.events(spark, sfDir)
+      .withColumn("trade_date", to_date(col("ts")))
+      .write.partitionBy("trade_date").parquet(s"$tmp/events_by_day")
+    val oneDay = spark.read.parquet(s"$tmp/events_by_day")
+      .filter(col("trade_date") === "2024-01-05")
+    val scan = formatted(oneDay)
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("trade_date"), "partition filter not recognized")
+    // only one partition directory is actually read
+    val allDays = Tables.events(spark, sfDir)
+      .select(to_date(col("ts"))).distinct().count()
+    val prunedFiles = oneDay.queryExecution.executedPlan.collectLeaves()
+      .head.metrics.get("numFiles")
+    oneDay.count() // materialize to populate metrics
+    prunedFiles.foreach(m => assert(m.value < allDays,
+      s"expected pruning to < $allDays partitions, read ${m.value} files"))
+  }
+
   test("text operators are shuffle-free narrow scans") {
     assert(exchanges(TextOps.tokenCount(spark, sfDir).limit(10)) == 0)
     assert(exchanges(TextOps.qualityScore(spark, sfDir).limit(10)) == 0)
