@@ -163,10 +163,10 @@ object TextOps {
       |FROM (
       |  SELECT doc_id, i,
       |    substr(text, (i * 150 + 1)::INT, 200) AS chunk
-      |  FROM documents
-      |  CROSS JOIN range(0, 256) t(i) -- constant bound (DuckDB range
-      |    -- takes no column/subquery args); covers docs to ~38k chars
-      |  WHERE i <= CAST(ceil(greatest(n_chars - 200, 0) / 150.0) AS INT))
+      |  FROM (
+      |    SELECT doc_id, text, unnest(range(0,
+      |      CAST(ceil(greatest(n_chars - 200, 0) / 150.0) AS INT) + 1)) AS i
+      |    FROM documents))
       |WHERE length(chunk) > 0
       |ORDER BY doc_id, chunk_idx""".stripMargin
 

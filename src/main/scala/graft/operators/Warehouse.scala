@@ -243,7 +243,7 @@ object Warehouse {
 
   def jsonExtractSql: String =
     """SELECT event_type, count(*) AS n, count(k) AS n_with_k,
-      |  sum(k) AS sum_k, sum(k)::DOUBLE / count(k) AS avg_k,
+      |  sum(k)::BIGINT AS sum_k, sum(k)::DOUBLE / count(k) AS avg_k,
       |  min(k) AS min_k, max(k) AS max_k
       |FROM (SELECT event_type, json_extract(props, '$.k')::BIGINT AS k
       |      FROM events)
@@ -404,8 +404,8 @@ object Warehouse {
       |  round(sum(value), 4) AS session_value
       |FROM (
       |  SELECT user_id, ts, value,
-      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS session_id
       |  FROM (
       |    SELECT user_id, ts, event_id, value,
       |      CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id

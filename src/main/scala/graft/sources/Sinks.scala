@@ -54,12 +54,22 @@ object Sinks {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
     }
-    if (old.exists()) rm(old)
-    if (live.exists() && !live.renameTo(old))
-      throw new java.io.IOException(s"could not retire $path")
-    if (!new java.io.File(staged).renameTo(live))
-      throw new java.io.IOException(s"could not promote $staged into $path")
-    if (old.exists()) rm(old)
+    val stagedDir = new java.io.File(staged)
+    if (live.exists()) {
+      if (old.exists()) rm(old) // stale leftover from a completed swap
+      if (!live.renameTo(old))
+        throw new java.io.IOException(s"could not retire $path")
+      if (!stagedDir.renameTo(live))
+        throw new java.io.IOException(s"could not promote $staged into $path")
+      rm(old)
+    } else {
+      // recovery path: .old (if present) is the only durable copy —
+      // promote staging to live FIRST, only then drop .old, so every
+      // crash point still leaves a dir that readPath recovers from
+      if (!stagedDir.renameTo(live))
+        throw new java.io.IOException(s"could not promote $staged into $path")
+      if (old.exists()) rm(old)
+    }
   }
 
   /** Streaming sink: the consumer→database leg (consumer/consumer.py

@@ -54,6 +54,9 @@ object TickStream {
         !isnan(col("current_price")) &&
         (col("volume").isNull || col("volume") >= 0))
 
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
   /** Streaming source over the events tick table (file source standing
     * in for Kafka; same schema as Tables.events).
     */
@@ -65,11 +68,17 @@ object TickStream {
       StructField("value", DoubleType), StructField("props", StringType)))
     // the file stream source needs a directory; stage a symlink dir
     // around the single-file table (Kafka stand-in only — production
-    // uses readStream.format("kafka"))
-    val staged = java.nio.file.Files.createTempDirectory("graft_stream_events")
-    val link = staged.resolve("events.parquet")
-    java.nio.file.Files.createSymbolicLink(link,
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // uses readStream.format("kafka")). Memoized per source dir and
+    // registered for JVM-exit cleanup so repeated calls don't leak.
+    val staged = stagedDirs.computeIfAbsent(dir, { d =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_events")
+      val link = tmp.resolve("events.parquet")
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      link.toFile.deleteOnExit()
+      tmp.toFile.deleteOnExit()
+      tmp
+    })
     spark.readStream.schema(schema)
       .parquet(staged.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
