@@ -42,6 +42,7 @@ object SparkEntry {
     "q_top_movers" -> (Warehouse.topMovers _),
     "q_rollup" -> (Warehouse.rollupAgg _),
     "q_pivot" -> (Warehouse.pivotTypes _),
+    "q_asof_join" -> (AsofJoin.viewToPurchase _),
     "q_token_count" -> (TextOps.tokenCount _),
     "q_quality_score" -> (TextOps.qualityScore _),
     "q_lang_id" -> (TextOps.langId _),
@@ -99,6 +100,7 @@ object SparkEntry {
     "q_top_movers" -> Warehouse.topMoversSql,
     "q_rollup" -> Warehouse.rollupAggSql,
     "q_pivot" -> Warehouse.pivotTypesSql,
+    "q_asof_join" -> AsofJoin.viewToPurchaseSql,
     "q_token_count" -> TextOps.tokenCountSql,
     "q_quality_score" -> TextOps.qualityScoreSql,
     "q_lang_id" -> TextOps.langIdSql,
