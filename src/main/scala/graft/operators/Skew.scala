@@ -30,4 +30,25 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(sum("_partial").as("n_distinct"))
   }
+
+  /** Skew-proof equi-join for when the small side is too big to
+    * broadcast whole but a hot key would melt one reducer: salt the
+    * big side's rows uniformly over `numSalts` sub-keys and replicate
+    * each small-side row once per salt, so a hot key's probe rows
+    * spread over `numSalts` reducers. Result equals
+    * `big.join(small, keys)` exactly (inner).
+    *
+    * Replication multiplies the small side by `numSalts` — keep it for
+    * the "hot key × medium dim" regime; AQE's runtime skew split
+    * covers sort-merge joins, this covers the planned-shuffle case.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+      numSalts: Int = 8): DataFrame = {
+    require(numSalts > 0, s"numSalts must be positive: $numSalts")
+    val saltsLit = array((0 until numSalts).map(lit): _*)
+    val bigS = big.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(numSalts.toLong)).cast("int"))
+    val smallS = small.withColumn("_salt", explode(saltsLit))
+    bigS.join(smallS, keys :+ "_salt").drop("_salt")
+  }
 }

@@ -101,11 +101,18 @@ object TickStream {
 
   case class Tick(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
 
-  case class IndicatorState(prices: List[Double], ema12: Double, ema26: Double, n: Long)
+  /** Per-symbol state: bounded price ring buffer, O(1) EMA, and
+    * Welford (count, mean, M2) running moments of returns — the same
+    * update order Spark's stddev_pop applies over an expanding window
+    * frame, so streamed volatility is bit-compatible with batch.
+    */
+  case class IndicatorState(prices: List[Double], ema12: Double, ema26: Double,
+      n: Long, retN: Long = 0L, retMean: Double = 0.0, retM2: Double = 0.0)
 
   case class IndicatorRow(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
       value: Double, rsi_14: Option[Double], sma_20: Option[Double],
-      ema_12: Option[Double], ema_26: Option[Double])
+      ema_12: Option[Double], ema_26: Option[Double],
+      volatility: Option[Double])
 
   private val K12 = 2.0 / 13.0
   private val K26 = 2.0 / 27.0
@@ -124,8 +131,17 @@ object TickStream {
       val n = st.n + 1
       val e12 = if (n == 1) t.value else t.value * K12 + st.ema12 * (1.0 - K12)
       val e26 = if (n == 1) t.value else t.value * K26 + st.ema26 * (1.0 - K26)
+      // Welford update on this tick's return (defined from tick 2 on)
+      var (rN, rMean, rM2) = (st.retN, st.retMean, st.retM2)
+      if (n > 1) {
+        val ret = (t.value - st.prices.last) / st.prices.last
+        rN += 1
+        val d = ret - rMean
+        rMean += d / rN
+        rM2 += d * (ret - rMean)
+      }
       val prices = (st.prices :+ t.value).takeRight(MaxHistory)
-      st = IndicatorState(prices, e12, e26, n)
+      st = IndicatorState(prices, e12, e26, n, rN, rMean, rM2)
       val rsi = if (prices.length >= 15) {
         val deltas = prices.takeRight(15).sliding(2).map(p => p(1) - p(0)).toArray
         val g = deltas.map(d => math.max(d, 0.0)).sum / 14.0
@@ -133,8 +149,9 @@ object TickStream {
         Some(if (l == 0.0) 100.0 else 100.0 - 100.0 / (1.0 + g / l))
       } else None
       val sma = if (prices.length >= 20) Some(prices.takeRight(20).sum / 20.0) else None
+      val vol = if (n >= 21) Some(math.sqrt(rM2 / rN) * math.sqrt(252.0)) else None
       IndicatorRow(userId, t.event_id, t.ts, t.value, rsi, sma,
-        if (n >= 12) Some(e12) else None, if (n >= 26) Some(e26) else None)
+        if (n >= 12) Some(e12) else None, if (n >= 26) Some(e26) else None, vol)
     }
     state.update(st)
     out.iterator
@@ -153,5 +170,33 @@ object TickStream {
       .select("user_id", "event_id", "ts", "value").as[Tick]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateIndicators)
+  }
+
+  /** Streaming threshold alerts — the per-message alert generation of
+    * analytics_consumer.py:226-268 over the stateful indicator stream.
+    * Thresholds compare the 4-decimal-rounded indicator exactly like
+    * the batch [[graft.operators.Indicators.alerts]] surface, so the
+    * streamed alert rows equal the batch q_alerts rows (spec-proven).
+    */
+  def alertsStream(spark: SparkSession, ticks: DataFrame): DataFrame = {
+    // Spark's round(): HALF_UP on the shortest decimal representation
+    def r4(x: Double): Double =
+      BigDecimal.valueOf(x).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    import spark.implicits._
+    statefulIndicators(spark, ticks).flatMap { row =>
+      val rsi = row.rsi_14.map(r4)
+      val vol = row.volatility.map(r4)
+      val over = rsi.filter(_ > 70.0).map(v =>
+        ("RSI_OVERBOUGHT", v, 70.0, "HIGH"))
+      val under = rsi.filter(_ < 30.0).map(v =>
+        ("RSI_OVERSOLD", v, 30.0, "HIGH"))
+      val hot = vol.filter(_ > 0.05).map(v =>
+        ("HIGH_VOLATILITY", v, 0.05, "MEDIUM"))
+      (over.toSeq ++ under.toSeq ++ hot.toSeq).map { case (t, v, th, sev) =>
+        (row.user_id, row.ts, row.event_id, t, v, th, sev)
+      }
+    }.toDF("user_id", "ts", "event_id", "alert_type", "indicator_value",
+      "threshold_value", "severity")
   }
 }

@@ -25,4 +25,34 @@ class SkewSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got(1L) == 997 && got(2L) == 50)
   }
+
+  test("saltedJoin equals the plain inner join on a skewed key") {
+    // one hot key (90% of rows) + a long tail; dim has multiplicity 2
+    val big = ((1 to 9000).map(i => (1L, i.toDouble)) ++
+      (1 to 1000).map(i => ((i % 100 + 2).toLong, i.toDouble)))
+      .toDF("user_id", "v")
+    val dim = ((1 to 102).map(i => (i.toLong, s"a$i")) ++
+      (1 to 102).map(i => (i.toLong, s"b$i"))).toDF("user_id", "tag")
+    val got = Skew.saltedJoin(big, dim, Seq("user_id"), numSalts = 8)
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("user_id").collect()
+    val want = big.join(dim, Seq("user_id"))
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .orderBy("user_id").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0) && g.getLong(1) == w.getLong(1)
+        && math.abs(g.getDouble(2) - w.getDouble(2)) < 1e-6)
+    }
+  }
+
+  test("saltedJoin spreads a hot key over multiple shuffle sub-keys") {
+    val big = (1 to 1000).map(i => (1L, i.toDouble)).toDF("user_id", "v")
+    val dim = Seq((1L, "x")).toDF("user_id", "tag")
+    val bigS = big.withColumn("_salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(8L)).cast("int"))
+    val nSalts = bigS.select("_salt").distinct().count()
+    assert(nSalts >= 6, s"salting should spread the hot key, got $nSalts sub-keys")
+    assert(Skew.saltedJoin(big, dim, Seq("user_id")).count() == 1000)
+  }
 }

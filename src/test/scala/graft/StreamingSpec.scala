@@ -85,6 +85,32 @@ class StreamingSpec extends SparkSuite {
       "incremental streaming state diverged from batch")
   }
 
+  test("streaming alerts equal batch q_alerts rows exactly") {
+    val alerts = TickStream.alertsStream(spark,
+      TickStream.eventsStream(spark, sfDir))
+    runToMemory(alerts, "stream_alerts")
+    val streamed = spark.table("stream_alerts")
+    val batch = Indicators.alerts(spark, sfDir)
+      .select(streamed.columns.map(col): _*)
+    assert(streamed.count() == batch.count(), "alert row counts differ")
+    assert(streamed.exceptAll(batch).count() == 0, "streamed-only alerts")
+    assert(batch.exceptAll(streamed).count() == 0, "batch-only alerts")
+  }
+
+  test("streamed volatility matches batch analyticsFull volatility") {
+    val ind = TickStream.statefulIndicators(spark,
+      TickStream.eventsStream(spark, sfDir))
+    runToMemory(ind.toDF(), "stream_vol")
+    val streamed = spark.table("stream_vol")
+      .select(col("user_id"), col("event_id"),
+        round(col("volatility"), 4).as("volatility"))
+    val batch = Indicators.analyticsFull(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("volatility"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0,
+      "streaming volatility != batch volatility")
+  }
+
   test("statefulIndicators rejects invalid ticks like the batch path") {
     import spark.implicits._
     val mixed = Seq(
