@@ -50,6 +50,7 @@ object SparkEntry {
     "q_chunk_docs" -> (TextOps.chunkDocs _),
     "q_clean_text" -> (TextOps.cleanText _),
     "q_word_freq" -> (TextOps.wordFreq _),
+    "q_bpe_tokens" -> ((s, d) => Bpe.tokenizeDocs(s, d)),
     "q_dedup_exact" -> (Dedup.exact _),
     "q_ngram_jaccard" -> (Dedup.ngramJaccard _),
     "q_dedup_minhash" -> (Dedup.minhashLsh _),
