@@ -291,6 +291,58 @@ object Warehouse {
       |WHERE user_id NOT IN (SELECT c_custkey FROM customer)
       |ORDER BY event_id""".stripMargin
 
+  /** Per-industry company statistics (utils/company_manager.py:254-276):
+    * industries LEFT JOIN companies → company count + distinct sector
+    * count, busiest industries first. Dim-sized data (nation=industry,
+    * customer=company, c_mktsegment=sector) — the join broadcasts.
+    */
+  def industryStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("n_nationkey") === col("c_nationkey"), "left")
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(col("c_custkey")).as("company_count"),
+        countDistinct(col("c_mktsegment")).as("sector_count"))
+      .select(col("n_name").as("industry"),
+        col("company_count"), col("sector_count"))
+      .orderBy(col("company_count").desc, col("industry"))
+
+  def industryStatsSql: String =
+    """SELECT n_name AS industry, count(c_custkey) AS company_count,
+      |  count(DISTINCT c_mktsegment) AS sector_count
+      |FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+      |GROUP BY n_nationkey, n_name
+      |ORDER BY company_count DESC, industry""".stripMargin
+
+  /** Recent per-company price history (utils/company_manager.py:312-335):
+    * the latest `days` daily-OHLC rows per company joined to the dim —
+    * a bounded per-key history fetch (row_number per key, not a global
+    * limit, so it scales key-parallel).
+    */
+  def priceHistory(spark: SparkSession, dir: String, days: Int = 7): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("trade_date").desc)
+    val dim = Tables.customer(spark, dir).select(col("c_custkey"), col("c_name"))
+    ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= days).drop("rn")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .drop("c_custkey")
+      .orderBy(col("user_id"), col("trade_date").desc)
+  }
+
+  def priceHistorySql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date")}
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY trade_date DESC) AS rn
+       |  FROM ohlc)
+       |SELECT user_id, trade_date, open_price, high_price, low_price,
+       |  close_price, n_ticks, turnover, c_name
+       |FROM ranked JOIN customer ON user_id = c_custkey
+       |WHERE rn <= 7
+       |ORDER BY user_id, trade_date DESC""".stripMargin
+
   /** Hierarchical rollup: (event_type, day) with subtotals and a grand
     * total — OLAP grouping-sets coverage.
     */

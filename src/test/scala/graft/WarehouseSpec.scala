@@ -45,6 +45,28 @@ class WarehouseSpec extends SparkSuite {
     assert(rows.forall(_.getAs[String]("c_name") != null))
   }
 
+  test("industryStats covers every industry and counts are consistent") {
+    val df = Warehouse.industryStats(spark, sfDir).collect()
+    assert(df.length == Tables.nation(spark, sfDir).count())
+    assert(df.map(_.getAs[Long]("company_count")).sum ==
+      Tables.customer(spark, sfDir).count())
+    df.foreach(r => assert(r.getAs[Long]("sector_count") <=
+      r.getAs[Long]("company_count").max(1L)))
+  }
+
+  test("priceHistory keeps at most 7 latest days per company") {
+    val df = Warehouse.priceHistory(spark, sfDir)
+    val perKey = df.groupBy("user_id").count().filter("count > 7")
+    assert(perKey.count() == 0)
+    // the kept days are each key's LATEST days
+    val maxKept = df.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("trade_date").as("kept"))
+    val maxAll = Warehouse.dailyOhlc(spark, sfDir).groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("trade_date").as("all"))
+    val joined = maxKept.join(maxAll, "user_id").filter("kept <> all")
+    assert(joined.count() == 0, "latest day missing from history window")
+  }
+
   test("sessionize: sessions within a user do not overlap") {
     val df = Warehouse.sessionize(spark, sfDir).collect()
     val byUser = df.groupBy(_.getAs[Long]("user_id"))
