@@ -24,6 +24,7 @@ object PlanDump {
     dump("q_analytics_full", operators.Indicators.analyticsFull(spark, dir))
     dump("q_dedup_minhash", operators.Dedup.minhashLsh(spark, dir))
     dump("q_ann_bruteforce", operators.Similarity.annBruteForce(spark, dir))
+    dump("q_asof_join", operators.AsofJoin.viewToPurchase(spark, dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plandump] wrote PLANS.md")
     spark.stop()

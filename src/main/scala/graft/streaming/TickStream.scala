@@ -172,6 +172,19 @@ object TickStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateIndicators)
   }
 
+  /** Streaming duplicate-tick suppression — the producer's per-key
+    * duplicate trade_datetime guard (producer.py:243-252) as a
+    * streaming operator: the first-arrived row per (user_id, ts)
+    * survives. The watermark bounds the dedup state (keys older than
+    * the delay are evicted), which is what makes this run forever on
+    * a real stream — an unbounded dropDuplicates would grow state
+    * linearly in distinct keys.
+    */
+  def dedupStream(ticks: DataFrame, watermarkDelay: String = "10 minutes"): DataFrame =
+    ticks
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("user_id", "ts")
+
   /** Streaming threshold alerts — the per-message alert generation of
     * analytics_consumer.py:226-268 over the stateful indicator stream.
     * Thresholds compare the 4-decimal-rounded indicator exactly like

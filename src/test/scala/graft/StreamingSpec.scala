@@ -111,6 +111,17 @@ class StreamingSpec extends SparkSuite {
       "streaming volatility != batch volatility")
   }
 
+  test("streaming dedup keeps exactly one row per (user_id, ts)") {
+    val dd = TickStream.dedupStream(TickStream.eventsStream(spark, sfDir))
+    runToMemory(dd, "stream_dedup")
+    val streamed = spark.table("stream_dedup")
+    val batchKeys = Warehouse.dedupTicks(spark, sfDir)
+      .select("user_id", "ts")
+    assert(streamed.count() == batchKeys.count(), "dedup cardinality differs")
+    assert(streamed.select("user_id", "ts").exceptAll(batchKeys).count() == 0,
+      "streamed dedup key set differs from batch")
+  }
+
   test("statefulIndicators rejects invalid ticks like the batch path") {
     import spark.implicits._
     val mixed = Seq(
