@@ -72,6 +72,52 @@ object Sinks {
     }
   }
 
+  /** Partition-aware upsert: merge `updates` into a table
+    * partitioned by `partitionCol`, rewriting ONLY the partitions the
+    * update batch touches (dynamic partition overwrite). This is the
+    * 100 TB sink shape — a daily tick batch touches a handful of date
+    * partitions, so the merge reads and rewrites O(batch) data, not
+    * O(table) like a whole-table swap.
+    *
+    * Same merge contract as [[upsertParquet]]: one row per `keyCols`
+    * survives per partition, newest by `versionCol`, ties → update
+    * wins.
+    */
+  def upsertPartitioned(updates: DataFrame, path: String,
+      keyCols: Seq[String], versionCol: String, partitionCol: String): Unit = {
+    val spark = updates.sparkSession
+    val touched = updates.select(partitionCol).distinct().collect()
+      .map(_.get(0)).filter(_ != null)
+    if (touched.isEmpty) return
+    val existing =
+      if (new java.io.File(path).exists())
+        // filter on the partition column prunes to touched partitions
+        // at the file-listing level (verified in SinksSpec's plan check)
+        Some(spark.read.parquet(path)
+          .filter(col(partitionCol).isin(touched.toIndexedSeq: _*)))
+      else None
+    val tagged = updates.withColumn("_src", lit(1))
+    val all = existing match {
+      case Some(e) => e.withColumn("_src", lit(0)).unionByName(tagged)
+      case None => tagged
+    }
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("_src").desc)
+    val merged = all
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_src")
+    // materialize before writing: Spark (correctly) refuses to
+    // overwrite a path its plan still reads; the eager localCheckpoint
+    // truncates lineage and is O(touched partitions), not O(table)
+    val materialized = merged.localCheckpoint(true)
+    materialized.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
+
   /** Streaming sink: the consumer→database leg (consumer/consumer.py
     * + analytics_consumer.py:97-192) as a foreachBatch upsert —
     * exactly-once per key via idempotent merge.

@@ -28,6 +28,45 @@ class SinksSpec extends SparkSuite {
     assert(spark.read.parquet(path).count() == 1)
   }
 
+  test("upsertPartitioned merges by key and rewrites only touched partitions") {
+    val path = java.nio.file.Files.createTempDirectory("upsert_part").toString + "/t"
+    val batch1 = Seq(
+      (1L, 1L, 10.0, "2024-01-01"), (2L, 1L, 20.0, "2024-01-01"),
+      (3L, 1L, 30.0, "2024-01-02"), (4L, 1L, 40.0, "2024-01-03"))
+      .toDF("id", "v", "price", "day")
+    Sinks.upsertPartitioned(batch1, path, Seq("id"), "v", "day")
+
+    def filesOf(day: String): Map[String, Long] = {
+      val d = new java.io.File(s"$path/day=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val d2Before = filesOf("2024-01-02")
+    val d3Before = filesOf("2024-01-03")
+
+    // update a 01-01 key, add a new key to 01-01 — other days untouched
+    val batch2 = Seq(
+      (2L, 2L, 21.0, "2024-01-01"), (9L, 1L, 90.0, "2024-01-01"))
+      .toDF("id", "v", "price", "day")
+    Sinks.upsertPartitioned(batch2, path, Seq("id"), "v", "day")
+
+    assert(filesOf("2024-01-02") == d2Before, "untouched partition rewritten")
+    assert(filesOf("2024-01-03") == d3Before, "untouched partition rewritten")
+    val result = spark.read.parquet(path)
+    assert(result.count() == 5)
+    val id2 = result.filter("id = 2").head
+    assert(id2.getAs[Double]("price") == 21.0, "id=2 should take newer version")
+    assert(result.filter("id = 9").count() == 1)
+  }
+
+  test("upsertPartitioned is idempotent per partition") {
+    val path = java.nio.file.Files.createTempDirectory("upsert_part_idem").toString + "/t"
+    val batch = Seq((1L, 1L, 10.0, "2024-01-01")).toDF("id", "v", "price", "day")
+    Sinks.upsertPartitioned(batch, path, Seq("id"), "v", "day")
+    Sinks.upsertPartitioned(batch, path, Seq("id"), "v", "day")
+    assert(spark.read.parquet(path).count() == 1)
+  }
+
   test("streaming foreachBatch upsert lands deduped ticks") {
     val out = java.nio.file.Files.createTempDirectory("stream_upsert").toString
     val q = Sinks.streamUpsert(
