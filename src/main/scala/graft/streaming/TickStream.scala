@@ -172,6 +172,59 @@ object TickStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateIndicators)
   }
 
+  case class SessionState(sessionId: Long, startMicros: Long, endMicros: Long,
+      n: Long, value: Double)
+
+  case class SessionRow(user_id: Long, session_id: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long, session_value: Double)
+
+  private val SessionGapSec = 7200.0
+
+  /** Streaming gap-based sessionization — the stateful dual of
+    * Warehouse.sessionize: a tick more than 2 h after its
+    * predecessor closes the user's session. CLOSED sessions are
+    * emitted as they close (append mode); the open session rides in
+    * state across microbatches, so a finite stream emits exactly the
+    * batch sessions minus each user's final (still-open) one —
+    * spec-asserted. State is O(1) per key.
+    */
+  def sessionizeStream(spark: SparkSession, ticks: DataFrame): Dataset[SessionRow] = {
+    import spark.implicits._
+    def update(userId: Long, ts: Iterator[Tick],
+        state: GroupState[SessionState]): Iterator[SessionRow] = {
+      val out = Seq.newBuilder[SessionRow]
+      var st = state.getOption.orNull
+      ts.toSeq.sortBy(t => (t.ts.getTime, t.event_id)).foreach { t =>
+        val micros = t.ts.getTime * 1000L + (t.ts.getNanos / 1000L) % 1000L
+        if (st == null)
+          st = SessionState(0L, micros, micros, 1L, t.value)
+        else if (micros / 1e6 - st.endMicros / 1e6 > SessionGapSec) {
+          out += closedRow(userId, st)
+          st = SessionState(st.sessionId + 1, micros, micros, 1L, t.value)
+        } else
+          st = st.copy(endMicros = micros, n = st.n + 1, value = st.value + t.value)
+      }
+      if (st != null) state.update(st)
+      out.result().iterator
+    }
+    ticks.select("user_id", "event_id", "ts", "value").as[Tick]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  private def closedRow(userId: Long, st: SessionState): SessionRow =
+    SessionRow(userId, st.sessionId,
+      microsToTs(st.startMicros), microsToTs(st.endMicros), st.n,
+      BigDecimal.valueOf(st.value)
+        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+
+  private def microsToTs(m: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(m / 1000L)
+    t.setNanos(((m % 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Streaming duplicate-tick suppression — the producer's per-key
     * duplicate trade_datetime guard (producer.py:243-252) as a
     * streaming operator: the first-arrived row per (user_id, ts)

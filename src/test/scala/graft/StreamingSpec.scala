@@ -122,6 +122,22 @@ class StreamingSpec extends SparkSuite {
       "streamed dedup key set differs from batch")
   }
 
+  test("streaming sessionize equals batch sessions minus each user's open one") {
+    val ss = TickStream.sessionizeStream(spark,
+      TickStream.eventsStream(spark, sfDir))
+    runToMemory(ss.toDF(), "stream_sess")
+    val streamed = spark.table("stream_sess")
+    val batch = Warehouse.sessionize(spark, sfDir)
+    // the final session per user is still open in state → not emitted
+    val lastIds = batch.groupBy("user_id")
+      .agg(max("session_id").as("session_id"))
+    val closed = batch.join(lastIds, Seq("user_id", "session_id"), "left_anti")
+      .select(streamed.columns.map(col): _*)
+    assert(streamed.count() == closed.count(), "closed-session counts differ")
+    assert(streamed.exceptAll(closed).count() == 0, "streamed-only sessions")
+    assert(closed.exceptAll(streamed).count() == 0, "batch-only sessions")
+  }
+
   test("statefulIndicators rejects invalid ticks like the batch path") {
     import spark.implicits._
     val mixed = Seq(
