@@ -71,4 +71,68 @@ object Multimodal {
       |  (64 + (octet_length(encode(text)) * 7) % 480)::INT AS height,
       |  (1 + doc_id % 24)::INT AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling + resize planning for video payloads: every 4th
+    * frame index, with output dimensions fitted into a 224-box
+    * preserving aspect ratio (integer arithmetic — identical on both
+    * engines). The explode is narrow (no shuffle); at 100 TB each
+    * video row fans out to its sampled frames in place and the actual
+    * pixel resample would plug into the per-partition decode stage.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    multimodalMeta(spark, dir)
+      .filter(col("modality") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(4))))
+      .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+        expr("width * 224 div greatest(width, height)").as("out_w"),
+        expr("height * 224 div greatest(width, height)").as("out_h"))
+      .orderBy("doc_id", "frame_idx")
+
+  def frameSampleSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    (64 + octet_length(encode(text)) % 640)::INT AS width,
+      |    (64 + (octet_length(encode(text)) * 7) % 480)::INT AS height,
+      |    (1 + doc_id % 24)::INT AS n_frames
+      |  FROM documents
+      |  WHERE doc_id % 3 = 2)
+      |SELECT doc_id, unnest(range(0, n_frames, 4)) AS frame_idx,
+      |  width, height,
+      |  (width * 224 // greatest(width, height))::BIGINT AS out_w,
+      |  (height * 224 // greatest(width, height))::BIGINT AS out_h
+      |FROM m ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Batched feature-extraction stub: the `mapInPandas` shape in
+    * Scala — payloads iterate in fixed-size batches per partition so
+    * a real encoder would run vectorized inference per batch with the
+    * model handle initialized once per task. The embedding itself is
+    * a deterministic stub (byte-histogram moments), the batching,
+    * schema, and partition shape are real.
+    */
+  def featureExtract(spark: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("embedding", ArrayType(DoubleType, containsNull = false))))
+    val withBlob = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val rdd = withBlob.rdd.mapPartitions { it =>
+      // model/codec handle init would happen once here, then serve
+      // every batch below
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val payload = r.getAs[Array[Byte]](1)
+          val emb = new Array[Double](8)
+          var i = 0
+          while (i < payload.length) {
+            emb(payload(i) & 0x7) += 1.0
+            i += 1
+          }
+          val n = math.max(payload.length, 1).toDouble
+          Row(r.getLong(0), emb.map(_ / n).toIndexedSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rdd, outSchema).orderBy("doc_id")
+  }
 }

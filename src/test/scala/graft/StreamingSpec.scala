@@ -169,4 +169,32 @@ class StreamingSpec extends SparkSuite {
     assert(df.filter(!col("modality").isin("image", "audio", "video")).count() == 0)
     assert(df.filter("n_bytes <= 0 OR width < 64 OR height < 64 OR n_frames < 1").count() == 0)
   }
+
+  test("frameSample fits every frame into the 224 box, aspect preserved") {
+    val df = Multimodal.frameSample(spark, sfDir)
+    assert(df.count() > 0)
+    assert(df.filter("out_w > 224 OR out_h > 224").count() == 0)
+    assert(df.filter("out_w <> 224 AND out_h <> 224").count() == 0,
+      "longest side must hit the box")
+    assert(df.filter("frame_idx % 4 <> 0 OR frame_idx < 0").count() == 0)
+    // sampled count per doc = ceil(n_frames / 4)
+    val bad = df.groupBy("doc_id").count()
+      .join(Multimodal.multimodalMeta(spark, sfDir), "doc_id")
+      .filter(col("count") =!= ceil(col("n_frames") / 4.0).cast("long"))
+    assert(bad.count() == 0)
+  }
+
+  test("featureExtract emits a normalized embedding per document") {
+    val df = Multimodal.featureExtract(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val emb = r.getSeq[Double](1)
+      assert(emb.length == 8)
+      assert(math.abs(emb.sum - 1.0) < 1e-9, "histogram must sum to 1")
+    }
+    // batched run equals row-at-a-time run (batch shape is transparent)
+    val single = Multimodal.featureExtract(spark, sfDir, batchSize = 1).collect()
+    assert(rows.map(_.toString).sameElements(single.map(_.toString)))
+  }
 }
