@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe: replicates the sf0.1 tick table N× (distinct key
+  * space per replica, so key cardinality scales too) and times the
+  * operators that aren't in the Bench headline. Near-linear wall
+  * clock across replicas is the evidence that per-key state stays
+  * O(window) and no stage is quadratic.
+  *
+  * Usage: sbt "runMain graft.ScaleProbe [replicas]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val replicas = args.headOption.map(_.toInt).getOrElse(20)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    val base = Tables.events(spark, dir)
+    val big = (0 until replicas).map { i =>
+      base.withColumn("user_id", col("user_id") + lit(i * 1000000L))
+        .withColumn("event_id", col("event_id") + lit(i * 100000000L))
+    }.reduce(_ unionByName _)
+    big.write.mode("overwrite").format("noop").save() // warm cache/JIT
+
+    def time(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      println(f"[scale] $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
+        f"(${replicas}x = ${replicas * 100}%d k ticks)")
+    }
+
+    val views = big.filter(col("event_type") === "view").drop("event_type")
+    val purchases = big.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts")
+      .agg(max("event_id").as("event_id"), max_by(col("value"), col("event_id")).as("value"))
+    time("asof_join")(operators.AsofJoin.asofJoin(
+      views, purchases, Seq("user_id"), "ts", Seq("event_id", "value"), "p_"))
+    val errors = big.filter(col("event_type") === "error")
+      .select("event_id", "ts", "user_id")
+    time("range_join")(operators.RangeJoin.rangeJoin(
+      views.select("event_id", "ts", "user_id"), errors,
+      Seq("user_id"), "ts", 14400.0, Seq("event_id"), "e_"))
+    time("bpe_wordcount")(operators.Bpe.wordCounts(
+      Tables.documents(spark, dir)))
+    spark.stop()
+  }
+}

@@ -118,6 +118,35 @@ object Sinks {
       .parquet(path)
   }
 
+  /** Small-file compaction for a partitioned table: incremental
+    * upserts leave one file per merge per partition; over time a hot
+    * partition accumulates hundreds of small files and scan tasks
+    * drown in open/seek overhead. Rewrites every partition whose file
+    * count exceeds `maxFiles` down to `targetFiles` files, leaving
+    * compact partitions untouched (their bytes stay as-is — safe to
+    * run concurrently with readers of other partitions).
+    */
+  def compactPartitions(spark: SparkSession, path: String,
+      partitionCol: String, maxFiles: Int = 8, targetFiles: Int = 1): Unit = {
+    val root = new java.io.File(path)
+    if (!root.exists()) return
+    val needCompaction = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(partitionCol + "="))
+      .filter(d => d.listFiles().count(_.getName.endsWith(".parquet")) > maxFiles)
+    if (needCompaction.isEmpty) return
+    val values = needCompaction.map(_.getName.stripPrefix(partitionCol + "="))
+      .map(java.net.URLDecoder.decode(_, "UTF-8"))
+    val compacted = spark.read.parquet(path)
+      .filter(col(partitionCol).cast("string").isin(values.toIndexedSeq: _*))
+      .repartition(targetFiles)
+      .localCheckpoint(true) // reading + overwriting the same path
+    compacted.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol)
+      .parquet(path)
+  }
+
   /** Streaming sink: the consumer→database leg (consumer/consumer.py
     * + analytics_consumer.py:97-192) as a foreachBatch upsert —
     * exactly-once per key via idempotent merge.

@@ -67,6 +67,33 @@ class SinksSpec extends SparkSuite {
     assert(spark.read.parquet(path).count() == 1)
   }
 
+  test("compactPartitions shrinks fragmented partitions, leaves compact ones") {
+    val path = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    // fragment day 1 with 12 single-row appends; day 2 stays compact
+    (1 to 12).foreach { i =>
+      Seq((i.toLong, i * 1.0, "2024-01-01")).toDF("id", "price", "day")
+        .coalesce(1).write.mode("append").partitionBy("day").parquet(path)
+    }
+    Seq((100L, 1.0, "2024-01-02"), (101L, 2.0, "2024-01-02")).toDF("id", "price", "day")
+      .coalesce(1).write.mode("append").partitionBy("day").parquet(path)
+
+    def files(day: String): Map[String, Long] = {
+      val d = new java.io.File(s"$path/day=$day")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    assert(files("2024-01-01").size == 12)
+    val d2Before = files("2024-01-02")
+    val before = spark.read.parquet(path).collect().map(_.toString).sorted
+
+    Sinks.compactPartitions(spark, path, "day", maxFiles = 8, targetFiles = 1)
+
+    assert(files("2024-01-01").size == 1, "fragmented partition not compacted")
+    assert(files("2024-01-02") == d2Before, "compact partition was rewritten")
+    val after = spark.read.parquet(path).collect().map(_.toString).sorted
+    assert(before.sameElements(after), "compaction changed the data")
+  }
+
   test("streaming foreachBatch upsert lands deduped ticks") {
     val out = java.nio.file.Files.createTempDirectory("stream_upsert").toString
     val q = Sinks.streamUpsert(
