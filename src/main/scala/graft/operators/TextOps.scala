@@ -170,6 +170,53 @@ object TextOps {
       |WHERE length(chunk) > 0
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Corpus-likelihood quality proxy: score each document by the
+    * share of its character bigrams that are COMMON in the corpus
+    * (corpus count ≥ total/200) — a perplexity-style fluency signal
+    * without a language model. Gibberish and wrong-charset text score
+    * low; fluent text scores high.
+    *
+    * Shape: one corpus pass trains the bigram count model (explode →
+    * map-side-combined groupBy); scoring joins each doc's bigrams to
+    * the model (model is vocab-sized → broadcast at scale). All
+    * arithmetic until the final ratio is INTEGER (count·200 vs
+    * total), so Spark and DuckDB agree bit-exactly.
+    */
+  def bigramQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val bigramsExpr = expr(
+      "CASE WHEN length(t) > 1 THEN transform(sequence(1, length(t) - 1), " +
+        "i -> substring(t, i, 2)) ELSE array() END")
+    val grams = docs.select(col("doc_id"), explode(bigramsExpr).as("g"))
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
+    val total = grams.count()
+    grams.join(broadcast(counts), "g")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        count(when(col("cnt") * 200L >= total, 1)).as("n_common"),
+        (count(when(col("cnt") * 200L >= total, 1)).cast("double") /
+          count(lit(1))).as("common_ratio"))
+      .orderBy("doc_id")
+  }
+
+  def bigramQualitySql: String =
+    """WITH docs AS (SELECT doc_id, lower(text) AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, substr(t, i::INT, 2) AS g
+      |  FROM (SELECT doc_id, t,
+      |          unnest(range(1, greatest(length(t) - 1, 0) + 1)) AS i
+      |        FROM docs)),
+      |counts AS (SELECT g, count(*) AS cnt FROM grams GROUP BY g),
+      |total AS (SELECT count(*) AS n FROM grams)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  (count(*) FILTER (WHERE cnt * 200 >= n))::BIGINT AS n_common,
+      |  (count(*) FILTER (WHERE cnt * 200 >= n))::DOUBLE / count(*)
+      |    AS common_ratio
+      |FROM grams JOIN counts USING (g) CROSS JOIN total
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Text cleaning: lowercase, strip non-alphanumerics, collapse
     * whitespace, drop english stopwords — the standard pre-tokenize
     * normalization pass.
