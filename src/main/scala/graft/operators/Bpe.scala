@@ -30,12 +30,11 @@ object Bpe {
     */
   val Eow = "</w>"
 
-  /** Lowercased a-z0-9 words of a document column — the same
-    * normalization as [[TextOps.cleanText]]'s pre-tokenize pass.
+  /** Lowercased a-z0-9 words of a document column — the SAME helper
+    * [[TextOps.cleanText]] uses, so tokenizer vocab and text cleaning
+    * can't silently diverge.
     */
-  private def wordsCol = split(
-    trim(regexp_replace(regexp_replace(lower(trim(col("text"))),
-      "[^a-z0-9\\s]", " "), "\\s+", " ")), " ")
+  private def wordsCol = TextOps.normalizedWords
 
   /** Distributed (word, count) aggregation — the corpus-scale pass. */
   def wordCounts(docs: DataFrame): DataFrame =

@@ -40,7 +40,7 @@ object RangeJoin {
       .drop("_band")
   }
 
-  /** Driver query: every error event within 10 minutes after each
+  /** Driver query: every error event within 4 hours after each
     * purchase of the same user — the incident-correlation scan of an
     * operations dashboard. Oracle: plain DuckDB inequality join (fine
     * at oracle scale; the Spark side is the banded plan).

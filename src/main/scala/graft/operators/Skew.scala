@@ -46,8 +46,13 @@ object Skew {
       numSalts: Int = 8): DataFrame = {
     require(numSalts > 0, s"numSalts must be positive: $numSalts")
     val saltsLit = array((0 until numSalts).map(lit): _*)
+    // salt from the row CONTENT, not monotonically_increasing_id():
+    // a stage retry recomputes ids differently, which would re-salt
+    // rows and duplicate/lose pairs; a content hash is stable under
+    // recomputation (identical rows co-locate, which is fine — each
+    // row still joins the full replicated dim slice for its salt)
     val bigS = big.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(numSalts.toLong)).cast("int"))
+      pmod(xxhash64(big.columns.map(col): _*), lit(numSalts.toLong)).cast("int"))
     val smallS = small.withColumn("_salt", explode(saltsLit))
     bigS.join(smallS, keys :+ "_salt").drop("_salt")
   }

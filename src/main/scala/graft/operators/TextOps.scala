@@ -24,6 +24,14 @@ object TextOps {
   private def stopHits(ws: Column, stops: Seq[String]): Column =
     size(filter(ws, w => array_contains(lit(stops.toArray), w)))
 
+  /** Shared pre-tokenize normalization (lowercase, strip
+    * non-alphanumerics, collapse whitespace, split) — used by both
+    * [[cleanText]] and [[Bpe]] so their vocabularies can't diverge.
+    */
+  private[operators] def normalizedWords: Column =
+    split(trim(regexp_replace(regexp_replace(lower(trim(col("text"))),
+      "[^a-z0-9\\s]", " "), "\\s+", " ")), " ")
+
   private def sqlStopHits(stops: Seq[String]): String =
     s"len(list_filter(ws, w -> w IN (${stops.map("'" + _ + "'").mkString(", ")})))"
 
@@ -190,7 +198,9 @@ object TextOps {
         "i -> substring(t, i, 2)) ELSE array() END")
     val grams = docs.select(col("doc_id"), explode(bigramsExpr).as("g"))
     val counts = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
-    val total = grams.count()
+    // total from the vocab-sized counts table — NOT grams.count(),
+    // which would re-scan and re-explode the whole corpus
+    val total = counts.agg(sum("cnt")).head.getLong(0)
     grams.join(broadcast(counts), "g")
       .groupBy("doc_id")
       .agg(
@@ -222,9 +232,7 @@ object TextOps {
     * normalization pass.
     */
   def cleanText(spark: SparkSession, dir: String): DataFrame = {
-    val normalized = regexp_replace(
-      regexp_replace(lower(trim(col("text"))), "[^a-z0-9\\s]", " "), "\\s+", " ")
-    val kept = filter(split(trim(normalized), " "),
+    val kept = filter(normalizedWords,
       w => !array_contains(lit(stopEn.toArray), w) && w =!= "")
     Tables.documents(spark, dir)
       .select(col("doc_id"),

@@ -87,7 +87,12 @@ object Sinks {
       keyCols: Seq[String], versionCol: String, partitionCol: String): Unit = {
     val spark = updates.sparkSession
     val touched = updates.select(partitionCol).distinct().collect()
-      .map(_.get(0)).filter(_ != null)
+      .map(_.get(0))
+    // a null partition value would silently vanish (the pruning
+    // filter below can't isin-match null and dynamic overwrite would
+    // write it unmerged to the default partition) — reject upfront
+    require(!touched.contains(null),
+      s"upsertPartitioned: null $partitionCol in update batch")
     if (touched.isEmpty) return
     val existing =
       if (new java.io.File(path).exists())
@@ -134,8 +139,15 @@ object Sinks {
       .filter(d => d.isDirectory && d.getName.startsWith(partitionCol + "="))
       .filter(d => d.listFiles().count(_.getName.endsWith(".parquet")) > maxFiles)
     if (needCompaction.isEmpty) return
+    // Hive dir-name escaping percent-encodes specials but leaves '+'
+    // literal — URLDecoder would corrupt it to a space, so decode
+    // only %XX sequences
+    def unescape(s: String): String =
+      "%([0-9A-Fa-f]{2})".r.replaceAllIn(s,
+        m => java.util.regex.Matcher.quoteReplacement(
+          Integer.parseInt(m.group(1), 16).toChar.toString))
     val values = needCompaction.map(_.getName.stripPrefix(partitionCol + "="))
-      .map(java.net.URLDecoder.decode(_, "UTF-8"))
+      .map(unescape)
     val compacted = spark.read.parquet(path)
       .filter(col(partitionCol).cast("string").isin(values.toIndexedSeq: _*))
       .repartition(targetFiles)

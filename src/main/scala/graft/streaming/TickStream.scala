@@ -72,11 +72,14 @@ object TickStream {
     // registered for JVM-exit cleanup so repeated calls don't leak.
     val staged = stagedDirs.computeIfAbsent(dir, { d =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_events")
+      // deleteOnExit runs in REVERSE registration order: register the
+      // dir first so the link inside it is gone by the time the
+      // (must-be-empty) dir delete runs
+      tmp.toFile.deleteOnExit()
       val link = tmp.resolve("events.parquet")
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(s"$d/events.parquet"))
       link.toFile.deleteOnExit()
-      tmp.toFile.deleteOnExit()
       tmp
     })
     spark.readStream.schema(schema)
@@ -118,6 +121,14 @@ object TickStream {
   private val K26 = 2.0 / 27.0
   private val MaxHistory = 64 // ring buffer bound: enough for RSI14/SMA20
 
+  /** Microsecond epoch of a Timestamp — Timestamp.getTime is only
+    * millisecond-granular, and the batch duals order by the FULL
+    * microsecond ts, so stateful operators must sort by this or
+    * same-millisecond ticks process in a different order than batch.
+    */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
   /** Incremental per-symbol indicator state — the streaming dual of
     * Indicators.analyticsFull: a bounded price ring buffer plus O(1)
     * EMA state per key, updated per tick (the same update the
@@ -127,7 +138,7 @@ object TickStream {
   def updateIndicators(userId: Long, ticks: Iterator[Tick],
       state: GroupState[IndicatorState]): Iterator[IndicatorRow] = {
     var st = state.getOption.getOrElse(IndicatorState(Nil, 0.0, 0.0, 0L))
-    val out = ticks.toSeq.sortBy(t => (t.ts.getTime, t.event_id)).map { t =>
+    val out = ticks.toSeq.sortBy(t => (tsMicros(t.ts), t.event_id)).map { t =>
       val n = st.n + 1
       val e12 = if (n == 1) t.value else t.value * K12 + st.ema12 * (1.0 - K12)
       val e26 = if (n == 1) t.value else t.value * K26 + st.ema26 * (1.0 - K26)
@@ -195,8 +206,8 @@ object TickStream {
         state: GroupState[SessionState]): Iterator[SessionRow] = {
       val out = Seq.newBuilder[SessionRow]
       var st = state.getOption.orNull
-      ts.toSeq.sortBy(t => (t.ts.getTime, t.event_id)).foreach { t =>
-        val micros = t.ts.getTime * 1000L + (t.ts.getNanos / 1000L) % 1000L
+      ts.toSeq.sortBy(t => (tsMicros(t.ts), t.event_id)).foreach { t =>
+        val micros = tsMicros(t.ts)
         if (st == null)
           st = SessionState(0L, micros, micros, 1L, t.value)
         else if (micros / 1e6 - st.endMicros / 1e6 > SessionGapSec) {
