@@ -38,4 +38,18 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** SQL facade: registers every table as a temp view (events with the
+    * nanos→micros fix applied), so the full surface — including the
+    * custom `vector_dot`/`minhash_shingles`/`simhash64` functions when
+    * GraftExtensions is active — is reachable from `spark.sql`.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }
