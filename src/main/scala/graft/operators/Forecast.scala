@@ -244,6 +244,89 @@ object Forecast {
     xs.map(x => (x - m) * (x - m)).sum / xs.length
   }
 
+  /** OLS via normal equations with explicit (X'X)⁻¹ (Gauss-Jordan) —
+    * needed for coefficient standard errors in the ADF test. Returns
+    * (betas, inverse, rss). Sizes are tiny (m ≤ 6).
+    */
+  private def olsWithInverse(xs: Array[Array[Double]], ys: Array[Double])
+      : Option[(Array[Double], Array[Array[Double]], Double)] = {
+    val n = xs.length
+    val m = xs(0).length
+    val a = Array.ofDim[Double](m, 2 * m)
+    for (i <- 0 until m; j <- 0 until m)
+      a(i)(j) = (0 until n).map(r => xs(r)(i) * xs(r)(j)).sum
+    for (i <- 0 until m) a(i)(m + i) = 1.0
+    for (col <- 0 until m) {
+      var piv = col
+      for (r <- col + 1 until m) if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r
+      if (math.abs(a(piv)(col)) < 1e-12) return None
+      val t = a(col); a(col) = a(piv); a(piv) = t
+      val d = a(col)(col)
+      for (j <- 0 until 2 * m) a(col)(j) /= d
+      for (r <- 0 until m if r != col) {
+        val f = a(r)(col)
+        if (f != 0.0) for (j <- 0 until 2 * m) a(r)(j) -= f * a(col)(j)
+      }
+    }
+    val inv = Array.tabulate(m, m)((i, j) => a(i)(m + j))
+    val xty = Array.tabulate(m)(i => (0 until n).map(r => xs(r)(i) * ys(r)).sum)
+    val beta = Array.tabulate(m)(i => (0 until m).map(j => inv(i)(j) * xty(j)).sum)
+    val rss = (0 until n).map { r =>
+      val e = ys(r) - (0 until m).map(j => beta(j) * xs(r)(j)).sum; e * e
+    }.sum
+    Some((beta, inv, rss))
+  }
+
+  /** Augmented Dickey-Fuller t-statistic with constant and `k` lagged
+    * differences: Δy_t = α + β·y_{t−1} + Σγ_j·Δy_{t−j} + ε; the
+    * statistic is β̂/se(β̂). More negative = more stationary.
+    */
+  private[graft] def adfStat(y: Array[Double], k: Int): Option[Double] = {
+    val dy = diff(y)
+    val n = dy.length - k
+    val m = k + 2
+    if (n < m + 8) return None
+    val xs = Array.tabulate(n) { i =>
+      val t = i + k
+      Array(1.0, y(t)) ++ Array.tabulate(k)(j => dy(t - 1 - j))
+    }
+    val ys = Array.tabulate(n)(i => dy(i + k))
+    olsWithInverse(xs, ys).flatMap { case (beta, inv, rss) =>
+      val s2 = rss / (n - m)
+      val seBeta = math.sqrt(math.max(s2 * inv(1)(1), 0.0))
+      if (seBeta <= 0 || seBeta.isNaN) None else Some(beta(1) / seBeta)
+    }
+  }
+
+  /** ADF stationarity verdict at the 5% level, lag chosen by AIC over
+    * k ∈ [0, 4] (the reference calls statsmodels adfuller with
+    * autolag='AIC' and tests p-value < 0.05,
+    * arima_forecasting.py:97-117; −2.86 is the 5% critical value of
+    * the constant-only DF distribution for large n).
+    */
+  private[graft] def isStationaryAdf(y: Array[Double]): Boolean = {
+    val cands = (0 to 4).flatMap { k =>
+      val dy = diff(y)
+      val n = dy.length - k
+      val m = k + 2
+      if (n < m + 8) None
+      else {
+        val xs = Array.tabulate(n) { i =>
+          val t = i + k
+          Array(1.0, y(t)) ++ Array.tabulate(k)(j => dy(t - 1 - j))
+        }
+        val ys = Array.tabulate(n)(i => dy(i + k))
+        olsWithInverse(xs, ys).map { case (_, _, rss) =>
+          val aic = n * math.log(math.max(rss / n, 1e-300)) + 2.0 * m
+          (aic, k)
+        }
+      }
+    }
+    if (cands.isEmpty) return false
+    val bestK = cands.minBy(_._1)._2
+    adfStat(y, bestK).exists(_ < -2.86)
+  }
+
   /** Fit ARMA(p, q) on a (differenced) series by conditional OLS /
     * Hannan-Rissanen; returns (aic, one-step forecast).
     */
@@ -296,9 +379,9 @@ object Forecast {
     }
   }
 
-  /** Per-key ARIMA-style forecast: d by variance-reduction
-    * stationarity heuristic (differencing while it shrinks variance,
-    * max d=2 as arima_forecasting.py:43), AIC grid over p≤3, q≤1,
+  /** Per-key ARIMA-style forecast: d by ADF stationarity test
+    * (difference until stationary at 5%, max d=2 as
+    * arima_forecasting.py:97-130), AIC grid over p≤3, q≤1,
     * one-step forecast integrated back to price level.
     */
   def arimaForecast(spark: SparkSession, dir: String): DataFrame =
@@ -310,13 +393,19 @@ object Forecast {
       val prices = ticks.map(_._3).toArray
       if (prices.length < MinObservations) Iterator.empty
       else {
-        // choose d: difference while variance strictly improves (max 2)
+        // choose d by ADF test exactly like the reference (difference
+        // until stationary at the 5% level, max d=2,
+        // arima_forecasting.py:97-130); fall back to the variance
+        // heuristic when the series is too short for the regression
         var d = 0
         var series = prices
-        while (d < 2 && {
-          val ds = diff(series)
-          ds.length > 10 && variance(ds) < variance(series) * 0.9
-        }) { series = diff(series); d += 1 }
+        def nonStationary(s: Array[Double]): Boolean =
+          if (s.length >= 20) !isStationaryAdf(s)
+          else {
+            val ds = diff(s)
+            ds.length > 10 && variance(ds) < variance(s) * 0.9
+          }
+        while (d < 2 && nonStationary(series)) { series = diff(series); d += 1 }
 
         val fits = for {
           p <- 0 to 3; q <- 0 to 1

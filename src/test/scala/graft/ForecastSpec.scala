@@ -40,6 +40,28 @@ class ForecastSpec extends SparkSuite {
     })
   }
 
+  test("ADF test: stationary series accepted, random walk rejected") {
+    val rnd = new scala.util.Random(7L)
+    // AR(1) with phi=0.3 — strongly stationary
+    var x = 0.0
+    val ar1 = Array.fill(300) { x = 0.3 * x + rnd.nextGaussian(); x }
+    assert(Forecast.isStationaryAdf(ar1), "AR(1) phi=0.3 must test stationary")
+    // pure random walk — unit root, must NOT test stationary
+    var w = 0.0
+    val walk = Array.fill(300) { w += rnd.nextGaussian(); w }
+    assert(!Forecast.isStationaryAdf(walk), "random walk must test non-stationary")
+    // first difference of the walk is white noise → stationary
+    val dwalk = walk.sliding(2).map(p => p(1) - p(0)).toArray
+    assert(Forecast.isStationaryAdf(dwalk), "differenced walk must be stationary")
+  }
+
+  test("adfStat is strongly negative for white noise") {
+    val rnd = new scala.util.Random(11L)
+    val noise = Array.fill(200)(rnd.nextGaussian())
+    val stat = Forecast.adfStat(noise, 0).get
+    assert(stat < -5.0, s"white-noise ADF stat should be very negative, got $stat")
+  }
+
   test("arimaForecast selects an order and produces a finite forecast") {
     val df = Forecast.arimaForecast(spark, sfDir).collect()
     assert(df.nonEmpty)
