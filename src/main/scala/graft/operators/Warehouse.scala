@@ -291,6 +291,46 @@ object Warehouse {
       |WHERE user_id NOT IN (SELECT c_custkey FROM customer)
       |ORDER BY event_id""".stripMargin
 
+  /** Weekly OHLCV candles — the dashboard's coarse time-window view
+    * (same rollup as [[candles]] at week granularity; both engines
+    * start weeks on Monday).
+    */
+  def weeklyCandles(spark: SparkSession, dir: String): DataFrame =
+    ohlcBy(spark, dir, to_date(date_trunc("week", col("ts"))).as("week"), "week")
+      .orderBy("user_id", "week")
+
+  def weeklyCandlesSql: String =
+    ohlcSql("date_trunc('week', ts)", "week") + "\nORDER BY user_id, week"
+
+  /** Price-distribution histogram per event type: fixed 50-wide value
+    * buckets (clamped to [0, 9]) — the dashboard's distribution panel
+    * shape. Bucketing is floor arithmetic on the SAME doubles in both
+    * engines, so counts are exact.
+    */
+  def priceHistogram(spark: SparkSession, dir: String): DataFrame =
+    validTicks(spark, dir)
+      .withColumn("bucket",
+        least(greatest(floor(col("value") / 50.0), lit(0L)), lit(9L)))
+      .groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min("value"), 4).as("lo"),
+        round(max("value"), 4).as("hi"))
+      .withColumn("bucket_lo", col("bucket") * lit(50L))
+      .select("event_type", "bucket", "bucket_lo", "n", "lo", "hi")
+      .orderBy("event_type", "bucket")
+
+  def priceHistogramSql: String =
+    """SELECT event_type, bucket, bucket * 50 AS bucket_lo,
+      |  count(*) AS n, round(min(value), 4) AS lo, round(max(value), 4) AS hi
+      |FROM (
+      |  SELECT event_type, value,
+      |    least(greatest(floor(value / 50.0)::BIGINT, 0), 9) AS bucket
+      |  FROM events
+      |  WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)
+      |    AND user_id IS NOT NULL)
+      |GROUP BY event_type, bucket
+      |ORDER BY event_type, bucket""".stripMargin
+
   /** Per-industry company statistics (utils/company_manager.py:254-276):
     * industries LEFT JOIN companies → company count + distinct sector
     * count, busiest industries first. Dim-sized data (nation=industry,
