@@ -25,6 +25,7 @@ object PlanDump {
     dump("q_dedup_minhash", operators.Dedup.minhashLsh(spark, dir))
     dump("q_ann_bruteforce", operators.Similarity.annBruteForce(spark, dir))
     dump("q_asof_join", operators.AsofJoin.viewToPurchase(spark, dir))
+    dump("q_range_join", operators.RangeJoin.purchaseErrors(spark, dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plandump] wrote PLANS.md")
     spark.stop()
