@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{MinHashShingles, SimHash64, VectorDot}
+import graft.functions.{CharNgrams, MinHashShingles, SimHash64, VectorDot}
 import graft.plans.EmaStrategy
 
 /** SparkSessionExtensions entry point: registers graft's custom
@@ -38,6 +38,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (children: Seq[Expression]) => SimHash64(children(0))))
+    extensions.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+      (children: Seq[Expression]) => CharNgrams(children(0),
+        intLiteral(children(1), "n"))))
     extensions.injectPlannerStrategy(_ => EmaStrategy)
   }
 }

@@ -5,6 +5,26 @@ import org.apache.spark.sql.functions._
 
 class LlmOpsSpec extends SparkSuite {
 
+  test("char_ngrams equals the declarative HOF formulation, incl. unicode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq("hello", "ab", "a", "", "héllo wörld", "日本語テスト")
+      .toDF("t")
+    val rows = df.select(
+      graft.functions.CharNgrams.char_ngrams(col("t"), 2).as("fast"),
+      expr("CASE WHEN length(t) > 1 THEN transform(sequence(1, length(t) - 1), " +
+        "i -> substring(t, i, 2)) ELSE array() END").as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"fast=${r.getSeq[String](0)} hof=${r.getSeq[String](1)}")
+    }
+    // trigram sanity
+    val tri = df.filter("t = 'hello'")
+      .select(graft.functions.CharNgrams.char_ngrams(col("t"), 3))
+      .head.getSeq[String](0)
+    assert(tri == Seq("hel", "ell", "llo"))
+  }
+
   test("tokenCount: ws tokens positive, bpe >= ws for word text") {
     val df = TextOps.tokenCount(spark, sfDir)
     assert(df.count() == Tables.documents(spark, sfDir).count())
