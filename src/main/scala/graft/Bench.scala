@@ -47,14 +47,16 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
       val secs = (System.nanoTime() - t0) / 1e9
       if (!ok) failed += name
-      // failed queries report negative elapsed per-query; the total
-      // below only sums SUCCESSFUL queries, so a fast crash cannot
-      // shrink the headline number — the errors array flags the run
       name -> (if (ok) secs else -secs)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // failed queries report negative elapsed per-query and charge a
+    // fixed 999 s penalty into the total, so a fast crash makes the
+    // headline number strictly WORSE, never a phantom speedup; the
+    // errors array names the culprits
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum +
+      failed.length * 999.0
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()

@@ -19,21 +19,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
       (children: Seq[Expression]) => VectorDot(children(0), children(1))))
-    def intLiteral(e: Expression, arg: String): Int = {
+    def intLiteral(fn: String)(e: Expression, arg: String): Int = {
       if (!e.foldable)
-        throw new IllegalArgumentException(s"minhash_shingles: $arg must be a literal")
+        throw new IllegalArgumentException(s"$fn: $arg must be a literal")
       e.eval() match {
         case n: java.lang.Number => n.intValue()
         case other =>
           throw new IllegalArgumentException(
-            s"minhash_shingles: $arg must be an integer literal, got $other")
+            s"$fn: $arg must be an integer literal, got $other")
       }
     }
     extensions.injectFunction((
       FunctionIdentifier("minhash_shingles"),
       new ExpressionInfo(classOf[MinHashShingles].getName, "minhash_shingles"),
       (children: Seq[Expression]) => MinHashShingles(children(0),
-        intLiteral(children(1), "numHashes"), intLiteral(children(2), "shingleWidth"))))
+        intLiteral("minhash_shingles")(children(1), "numHashes"),
+        intLiteral("minhash_shingles")(children(2), "shingleWidth"))))
     extensions.injectFunction((
       FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
@@ -42,7 +43,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
       (children: Seq[Expression]) => CharNgrams(children(0),
-        intLiteral(children(1), "n"))))
+        intLiteral("char_ngrams")(children(1), "n"))))
     extensions.injectPlannerStrategy(_ => EmaStrategy)
   }
 }

@@ -277,54 +277,51 @@ object Forecast {
     Some((beta, inv, rss))
   }
 
-  /** Augmented Dickey-Fuller t-statistic with constant and `k` lagged
-    * differences: Δy_t = α + β·y_{t−1} + Σγ_j·Δy_{t−j} + ε; the
-    * statistic is β̂/se(β̂). More negative = more stationary.
+  /** One ADF regression Δy_t = α + β·y_{t−1} + Σγ_j·Δy_{t−j} + ε,
+    * evaluated on observations t ∈ [startLag, dy.length) so candidate
+    * lags can share a COMMON sample (AIC values are only comparable
+    * at equal n — statsmodels' autolag trims the same way). Returns
+    * (aic, t-statistic of β̂).
     */
-  private[graft] def adfStat(y: Array[Double], k: Int): Option[Double] = {
+  private def adfRegression(y: Array[Double], k: Int, startLag: Int)
+      : Option[(Double, Double)] = {
     val dy = diff(y)
-    val n = dy.length - k
+    val n = dy.length - startLag
     val m = k + 2
     if (n < m + 8) return None
     val xs = Array.tabulate(n) { i =>
-      val t = i + k
+      val t = i + startLag
       Array(1.0, y(t)) ++ Array.tabulate(k)(j => dy(t - 1 - j))
     }
-    val ys = Array.tabulate(n)(i => dy(i + k))
+    val ys = Array.tabulate(n)(i => dy(i + startLag))
     olsWithInverse(xs, ys).flatMap { case (beta, inv, rss) =>
+      val aic = n * math.log(math.max(rss / n, 1e-300)) + 2.0 * m
       val s2 = rss / (n - m)
       val seBeta = math.sqrt(math.max(s2 * inv(1)(1), 0.0))
-      if (seBeta <= 0 || seBeta.isNaN) None else Some(beta(1) / seBeta)
+      if (seBeta <= 0 || seBeta.isNaN) None else Some((aic, beta(1) / seBeta))
     }
   }
 
+  /** Augmented Dickey-Fuller t-statistic with constant and `k` lagged
+    * differences. More negative = more stationary.
+    */
+  private[graft] def adfStat(y: Array[Double], k: Int): Option[Double] =
+    adfRegression(y, k, k).map(_._2)
+
   /** ADF stationarity verdict at the 5% level, lag chosen by AIC over
-    * k ∈ [0, 4] (the reference calls statsmodels adfuller with
-    * autolag='AIC' and tests p-value < 0.05,
+    * k ∈ [0, 4] on a common sample (the reference calls statsmodels
+    * adfuller with autolag='AIC' and tests p-value < 0.05,
     * arima_forecasting.py:97-117; −2.86 is the 5% critical value of
-    * the constant-only DF distribution for large n).
+    * the constant-only DF distribution for large n). A (near-)constant
+    * series is trivially stationary — the regression would be singular
+    * there, which must not read as a unit root.
     */
   private[graft] def isStationaryAdf(y: Array[Double]): Boolean = {
-    val cands = (0 to 4).flatMap { k =>
-      val dy = diff(y)
-      val n = dy.length - k
-      val m = k + 2
-      if (n < m + 8) None
-      else {
-        val xs = Array.tabulate(n) { i =>
-          val t = i + k
-          Array(1.0, y(t)) ++ Array.tabulate(k)(j => dy(t - 1 - j))
-        }
-        val ys = Array.tabulate(n)(i => dy(i + k))
-        olsWithInverse(xs, ys).map { case (_, _, rss) =>
-          val aic = n * math.log(math.max(rss / n, 1e-300)) + 2.0 * m
-          (aic, k)
-        }
-      }
-    }
-    if (cands.isEmpty) return false
-    val bestK = cands.minBy(_._1)._2
-    adfStat(y, bestK).exists(_ < -2.86)
+    if (variance(y) < 1e-12) return true
+    val maxLag = 4
+    val cands = (0 to maxLag).flatMap(k =>
+      adfRegression(y, k, maxLag).map { case (aic, stat) => (aic, stat) })
+    cands.nonEmpty && cands.minBy(_._1)._2 < -2.86
   }
 
   /** Fit ARMA(p, q) on a (differenced) series by conditional OLS /

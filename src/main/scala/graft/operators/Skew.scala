@@ -49,8 +49,10 @@ object Skew {
     // salt from the row CONTENT, not monotonically_increasing_id():
     // a stage retry recomputes ids differently, which would re-salt
     // rows and duplicate/lose pairs; a content hash is stable under
-    // recomputation (identical rows co-locate, which is fine — each
-    // row still joins the full replicated dim slice for its salt)
+    // recomputation. CAVEAT: fully-identical rows share a salt, so
+    // the big side needs a distinguishing column (an event id — every
+    // table here has one) for a hot key to actually spread; dedup
+    // first if the input genuinely contains byte-identical rows.
     val bigS = big.withColumn("_salt",
       pmod(xxhash64(big.columns.map(col): _*), lit(numSalts.toLong)).cast("int"))
     val smallS = small.withColumn("_salt", explode(saltsLit))

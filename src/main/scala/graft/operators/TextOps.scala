@@ -198,10 +198,12 @@ object TextOps {
     // short docs) and degrades further with document length
     val grams = docs.select(col("doc_id"),
       explode(graft.functions.CharNgrams.char_ngrams(col("t"), 2)).as("g"))
-    val counts = grams.groupBy("g").agg(count(lit(1)).as("cnt"))
-    // total from the vocab-sized counts table — NOT grams.count(),
-    // which would re-scan and re-explode the whole corpus
-    val total = counts.agg(sum("cnt")).head.getLong(0)
+    // cache the vocab-sized model so the total action below and the
+    // broadcast join probe reuse one corpus aggregation pass instead
+    // of re-scanning and re-exploding the documents per consumer
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("cnt")).cache()
+    val total = Option(counts.agg(sum("cnt")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L) // empty corpus → 0
     grams.join(broadcast(counts), "g")
       .groupBy("doc_id")
       .agg(

@@ -47,10 +47,12 @@ class SkewSpec extends SparkSuite {
   }
 
   test("saltedJoin spreads a hot key over multiple shuffle sub-keys") {
+    // hot key with a distinguishing column, as the operator requires
     val big = (1 to 1000).map(i => (1L, i.toDouble)).toDF("user_id", "v")
     val dim = Seq((1L, "x")).toDF("user_id", "tag")
+    // the PRODUCTION salt expression: content hash over all columns
     val bigS = big.withColumn("_salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(8L)).cast("int"))
+      pmod(xxhash64(col("user_id"), col("v")), lit(8L)).cast("int"))
     val nSalts = bigS.select("_salt").distinct().count()
     assert(nSalts >= 6, s"salting should spread the hot key, got $nSalts sub-keys")
     assert(Skew.saltedJoin(big, dim, Seq("user_id")).count() == 1000)
