@@ -172,4 +172,49 @@ object Sinks {
         upsertParquet(batch, path, keyCols, versionCol)
       }
       .start()
+
+  private def committedBatch(path: String): Long = {
+    val f = new java.io.File(path + ".commit")
+    if (!f.exists()) -1L
+    else java.nio.file.Files.readString(f.toPath).trim.toLong
+  }
+
+  /** One exactly-once microbatch commit: merge the batch, then record
+    * its id in a ledger file (written staged + atomic rename). A
+    * RE-DELIVERED batch (id ≤ ledger) is skipped entirely. foreachBatch
+    * is at-least-once after failures; the merge is already idempotent
+    * per key, so the ledger's job is to also make side effects (file
+    * churn, write amplification) happen once per batch. Returns true
+    * when the batch was applied.
+    */
+  private[graft] def commitBatchOnce(batch: DataFrame, path: String,
+      keyCols: Seq[String], versionCol: String, batchId: Long): Boolean = {
+    if (batchId <= committedBatch(path)) return false
+    upsertParquet(batch, path, keyCols, versionCol)
+    val ledger = new java.io.File(path + ".commit")
+    val staged = new java.io.File(path + ".commit.staging")
+    java.nio.file.Files.writeString(staged.toPath, batchId.toString)
+    if (!staged.renameTo(ledger)) {
+      // rename-over-existing is atomic on POSIX; fall back explicitly
+      ledger.delete()
+      if (!staged.renameTo(ledger))
+        throw new java.io.IOException(s"could not commit batch ledger for $path")
+    }
+    true
+  }
+
+  /** [[streamUpsert]] with a per-batch commit ledger: exactly-once in
+    * effects as well as in results — Structured Streaming replays the
+    * last uncommitted microbatch after a crash, and the ledger makes
+    * the replay a no-op when the previous attempt got through.
+    */
+  def streamUpsertExactlyOnce(ticks: DataFrame, path: String, checkpoint: String,
+      keyCols: Seq[String], versionCol: String): StreamingQuery =
+    ticks.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        commitBatchOnce(batch, path, keyCols, versionCol, id): Unit
+      }
+      .start()
 }

@@ -94,6 +94,42 @@ class SinksSpec extends SparkSuite {
     assert(before.sameElements(after), "compaction changed the data")
   }
 
+  test("commitBatchOnce applies a batch once and skips the replay") {
+    val path = java.nio.file.Files.createTempDirectory("once").toString + "/t"
+    val batch = Seq((1L, 1L, 10.0)).toDF("id", "v", "price")
+    assert(graft.sources.Sinks.commitBatchOnce(batch, path, Seq("id"), "v", 0L))
+    def state() = {
+      val files = new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+      (files, spark.read.parquet(path).collect().map(_.toString).sorted.toSeq)
+    }
+    val before = state()
+    // crash-replay of the SAME batch id must be a complete no-op
+    val differentPayload = Seq((1L, 9L, 99.0)).toDF("id", "v", "price")
+    assert(!graft.sources.Sinks.commitBatchOnce(
+      differentPayload, path, Seq("id"), "v", 0L))
+    assert(state() == before, "replayed batch must not touch the table")
+    // the NEXT batch id applies normally
+    assert(graft.sources.Sinks.commitBatchOnce(
+      Seq((2L, 2L, 20.0)).toDF("id", "v", "price"), path, Seq("id"), "v", 1L))
+    assert(spark.read.parquet(path).count() == 2)
+  }
+
+  test("streamUpsertExactlyOnce lands the stream like streamUpsert") {
+    val out = java.nio.file.Files.createTempDirectory("stream_once").toString
+    val q = graft.sources.Sinks.streamUpsertExactlyOnce(
+      TickStream.eventsStream(spark, sfDir),
+      s"$out/table", s"$out/ckpt", Seq("user_id", "ts"), "event_id")
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(s"$out/table")
+    assert(landed.groupBy("user_id", "ts").count().filter("count > 1").count() == 0)
+    assert(landed.count() > 0)
+    // ledger recorded the last batch
+    assert(new java.io.File(s"$out/table.commit").exists())
+  }
+
   test("streaming foreachBatch upsert lands deduped ticks") {
     val out = java.nio.file.Files.createTempDirectory("stream_upsert").toString
     val q = Sinks.streamUpsert(
