@@ -138,6 +138,34 @@ class StreamingSpec extends SparkSuite {
     assert(closed.exceptAll(streamed).count() == 0, "batch-only sessions")
   }
 
+  test("stateful indicators are identical on the RocksDB state store") {
+    // the 100 TB streaming backend: state spills to disk instead of
+    // living on the JVM heap; results must not change
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ind = TickStream.statefulIndicators(spark,
+        TickStream.eventsStream(spark, sfDir))
+      runToMemory(ind.toDF(), "rocks_ind")
+      val streamed = spark.table("rocks_ind")
+        .select(col("user_id"), col("event_id"),
+          round(col("ema_12"), 6).as("ema_12"),
+          round(col("volatility"), 4).as("volatility"))
+      val batch = Indicators.analyticsFull(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("ema_12"), col("volatility"))
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).count() == 0,
+        "RocksDB-backed streaming diverged from batch")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("statefulIndicators rejects invalid ticks like the batch path") {
     import spark.implicits._
     val mixed = Seq(
