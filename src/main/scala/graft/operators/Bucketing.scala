@@ -13,19 +13,25 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Bucketing {
 
-  /** Persist `df` as a bucketed, per-bucket-sorted parquet table. */
+  /** Persist `df` as a bucketed, per-bucket-sorted parquet table.
+    * `keys` may be composite — both sides of a multi-column equi-join
+    * must bucket on the SAME column list (order included) for the
+    * exchange to be elided.
+    */
   def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
-      key: String, sortCols: Seq[String] = Nil): Unit =
+      keys: Seq[String], sortCols: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty, "writeBucketed: at least one bucket key")
     df.write.format("parquet")
-      .bucketBy(numBuckets, key)
-      .sortBy(key, sortCols: _*)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy((keys ++ sortCols).head, (keys ++ sortCols).tail: _*)
       .mode(SaveMode.Overwrite)
       .saveAsTable(table)
+  }
 
-  /** Join two tables bucketed on the same key; with matching bucket
-    * counts Spark plans a shuffle-free sort-merge join.
+  /** Join two tables bucketed on the same key list; with matching
+    * bucket counts Spark plans a shuffle-free sort-merge join.
     */
   def coLocatedJoin(spark: SparkSession, left: String, right: String,
-      key: String): DataFrame =
-    spark.table(left).join(spark.table(right), key)
+      keys: Seq[String]): DataFrame =
+    spark.table(left).join(spark.table(right), keys)
 }
