@@ -133,7 +133,8 @@ class LlmOpsSpec extends SparkSuite {
       .select("probe_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.2, s"IVF recall $recall too low")
+    // measured 0.44 @ sf0.001, 0.58 @ sf0.1 (nProbe=3 of 16 cells)
+    assert(recall >= 0.35, s"IVF recall $recall too low")
   }
 
   test("annLsh recall against brute force is reasonable") {
@@ -144,7 +145,8 @@ class LlmOpsSpec extends SparkSuite {
       .select("probe_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.2, s"LSH recall $recall too low")
+    // measured 0.54 @ sf0.001, 0.64 @ sf0.1 (hamming<=3 multiprobe)
+    assert(recall >= 0.4, s"LSH recall $recall too low")
     // approximate results are a subset of scored candidates, all ranked
     assert(approx.nonEmpty)
   }
