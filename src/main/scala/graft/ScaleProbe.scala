@@ -50,8 +50,6 @@ object ScaleProbe {
     time("range_join")(operators.RangeJoin.rangeJoin(
       views.select("event_id", "ts", "user_id"), errors,
       Seq("user_id"), "ts", 14400.0, Seq("event_id"), "e_"))
-    time("bpe_wordcount")(operators.Bpe.wordCounts(
-      Tables.documents(spark, dir)))
     spark.stop()
   }
 }
