@@ -159,46 +159,62 @@ object Sinks {
       .parquet(path)
   }
 
+  private def startForeachBatch(ticks: DataFrame, checkpoint: String)(
+      body: (DataFrame, Long) => Unit): StreamingQuery =
+    ticks.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, id: Long) => body(batch, id) }
+      .start()
+
   /** Streaming sink: the consumer→database leg (consumer/consumer.py
     * + analytics_consumer.py:97-192) as a foreachBatch upsert —
     * exactly-once per key via idempotent merge.
     */
   def streamUpsert(ticks: DataFrame, path: String, checkpoint: String,
       keyCols: Seq[String], versionCol: String): StreamingQuery =
-    ticks.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertParquet(batch, path, keyCols, versionCol)
-      }
-      .start()
+    startForeachBatch(ticks, checkpoint) { (batch, _) =>
+      upsertParquet(batch, path, keyCols, versionCol)
+    }
 
-  private def committedBatch(path: String): Long = {
-    val f = new java.io.File(path + ".commit")
+  private def committedBatch(ledgerPath: String): Long = {
+    val f = new java.io.File(ledgerPath)
     if (!f.exists()) -1L
-    else java.nio.file.Files.readString(f.toPath).trim.toLong
+    else
+      // an unreadable/truncated ledger (crash between rename and data
+      // flush) must degrade to RE-APPLY — the merge is idempotent —
+      // never to a permanently failing sink
+      scala.util.Try(java.nio.file.Files.readString(f.toPath).trim.toLong)
+        .getOrElse(-1L)
   }
 
   /** One exactly-once microbatch commit: merge the batch, then record
-    * its id in a ledger file (written staged + atomic rename). A
+    * its id in the ledger file (written staged + atomic rename). A
     * RE-DELIVERED batch (id ≤ ledger) is skipped entirely. foreachBatch
     * is at-least-once after failures; the merge is already idempotent
     * per key, so the ledger's job is to also make side effects (file
     * churn, write amplification) happen once per batch. Returns true
     * when the batch was applied.
+    *
+    * The ledger lives with the CHECKPOINT, not the table: batch ids
+    * are only monotonic within one checkpoint lineage, so a checkpoint
+    * reset (ids restart at 0) gets a fresh ledger and re-applies
+    * idempotently instead of silently dropping the first batches.
     */
   private[graft] def commitBatchOnce(batch: DataFrame, path: String,
-      keyCols: Seq[String], versionCol: String, batchId: Long): Boolean = {
-    if (batchId <= committedBatch(path)) return false
+      ledgerPath: String, keyCols: Seq[String], versionCol: String,
+      batchId: Long): Boolean = {
+    if (batchId <= committedBatch(ledgerPath)) return false
     upsertParquet(batch, path, keyCols, versionCol)
-    val ledger = new java.io.File(path + ".commit")
-    val staged = new java.io.File(path + ".commit.staging")
+    val ledger = new java.io.File(ledgerPath)
+    Option(ledger.getParentFile).foreach(_.mkdirs())
+    val staged = new java.io.File(ledgerPath + ".staging")
     java.nio.file.Files.writeString(staged.toPath, batchId.toString)
     if (!staged.renameTo(ledger)) {
       // rename-over-existing is atomic on POSIX; fall back explicitly
       ledger.delete()
       if (!staged.renameTo(ledger))
-        throw new java.io.IOException(s"could not commit batch ledger for $path")
+        throw new java.io.IOException(s"could not commit batch ledger $ledgerPath")
     }
     true
   }
@@ -210,11 +226,8 @@ object Sinks {
     */
   def streamUpsertExactlyOnce(ticks: DataFrame, path: String, checkpoint: String,
       keyCols: Seq[String], versionCol: String): StreamingQuery =
-    ticks.writeStream
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, id: Long) =>
-        commitBatchOnce(batch, path, keyCols, versionCol, id): Unit
-      }
-      .start()
+    startForeachBatch(ticks, checkpoint) { (batch, id) =>
+      commitBatchOnce(batch, path, s"$checkpoint/graft.commit",
+        keyCols, versionCol, id): Unit
+    }
 }

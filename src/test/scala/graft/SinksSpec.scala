@@ -95,9 +95,12 @@ class SinksSpec extends SparkSuite {
   }
 
   test("commitBatchOnce applies a batch once and skips the replay") {
-    val path = java.nio.file.Files.createTempDirectory("once").toString + "/t"
+    val dir = java.nio.file.Files.createTempDirectory("once").toString
+    val path = dir + "/t"
+    val ledger = dir + "/ckpt/graft.commit"
     val batch = Seq((1L, 1L, 10.0)).toDF("id", "v", "price")
-    assert(graft.sources.Sinks.commitBatchOnce(batch, path, Seq("id"), "v", 0L))
+    assert(graft.sources.Sinks.commitBatchOnce(
+      batch, path, ledger, Seq("id"), "v", 0L))
     def state() = {
       val files = new java.io.File(path).listFiles()
         .filter(_.getName.endsWith(".parquet"))
@@ -108,12 +111,17 @@ class SinksSpec extends SparkSuite {
     // crash-replay of the SAME batch id must be a complete no-op
     val differentPayload = Seq((1L, 9L, 99.0)).toDF("id", "v", "price")
     assert(!graft.sources.Sinks.commitBatchOnce(
-      differentPayload, path, Seq("id"), "v", 0L))
+      differentPayload, path, ledger, Seq("id"), "v", 0L))
     assert(state() == before, "replayed batch must not touch the table")
     // the NEXT batch id applies normally
     assert(graft.sources.Sinks.commitBatchOnce(
-      Seq((2L, 2L, 20.0)).toDF("id", "v", "price"), path, Seq("id"), "v", 1L))
+      Seq((2L, 2L, 20.0)).toDF("id", "v", "price"), path, ledger, Seq("id"), "v", 1L))
     assert(spark.read.parquet(path).count() == 2)
+    // a truncated/corrupt ledger degrades to re-apply, never to a crash
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(ledger), "")
+    assert(graft.sources.Sinks.commitBatchOnce(
+      Seq((3L, 3L, 30.0)).toDF("id", "v", "price"), path, ledger, Seq("id"), "v", 0L))
+    assert(spark.read.parquet(path).count() == 3)
   }
 
   test("streamUpsertExactlyOnce lands the stream like streamUpsert") {
@@ -126,8 +134,8 @@ class SinksSpec extends SparkSuite {
     val landed = spark.read.parquet(s"$out/table")
     assert(landed.groupBy("user_id", "ts").count().filter("count > 1").count() == 0)
     assert(landed.count() > 0)
-    // ledger recorded the last batch
-    assert(new java.io.File(s"$out/table.commit").exists())
+    // ledger recorded the last batch, namespaced under the checkpoint
+    assert(new java.io.File(s"$out/ckpt/graft.commit").exists())
   }
 
   test("streaming foreachBatch upsert lands deduped ticks") {
