@@ -104,6 +104,30 @@ class LlmOpsSpec extends SparkSuite {
     assert(pairs.forall(p => p.getAs[Double]("est_jaccard") >= 0.5))
   }
 
+  test("minhash est_jaccard tracks the exact shingle jaccard") {
+    // exact 3-word-shingle jaccard computed independently in Scala
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> {
+        val ws = r.getString(1).trim.split("\\s+")
+        if (ws.length < 3) ws.toSet
+        else ws.sliding(3).map(_.mkString(" ")).toSet
+      }).toMap
+    val pairs = Dedup.minhashLsh(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    val errors = pairs.map { p =>
+      val a = texts(p.getAs[Long]("doc_a"))
+      val b = texts(p.getAs[Long]("doc_b"))
+      val exact = (a & b).size.toDouble / (a | b).size
+      val est = p.getAs[Double]("est_jaccard")
+      math.abs(est - exact)
+    }
+    // 32 hashes → σ ≈ sqrt(J(1−J)/32) ≤ 0.09; allow 4σ per pair
+    assert(errors.max <= 0.36, s"worst estimate error ${errors.max}")
+    assert(errors.sum / errors.length <= 0.15,
+      s"mean estimate error ${errors.sum / errors.length}")
+  }
+
   test("simhash near-dups are symmetric-free and low hamming") {
     val pairs = Dedup.simhashDedup(spark, sfDir)
     assert(pairs.filter("hamming > 8 OR doc_a >= doc_b").count() == 0)
