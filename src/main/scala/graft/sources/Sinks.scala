@@ -177,16 +177,28 @@ object Sinks {
       upsertParquet(batch, path, keyCols, versionCol)
     }
 
-  private def committedBatch(ledgerPath: String): Long = {
-    val f = new java.io.File(ledgerPath)
-    if (!f.exists()) -1L
+  // the ledger lives beside the CHECKPOINT, which Spark treats as a
+  // Hadoop path (file:/, hdfs://, s3a://...) — so it must be accessed
+  // through the Hadoop FileSystem API, not java.io.File, or a URI
+  // checkpoint would silently mangle into a cwd-relative local path
+  private def ledgerFs(spark: SparkSession, ledgerPath: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(ledgerPath)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def committedBatch(fs: org.apache.hadoop.fs.FileSystem,
+      ledger: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(ledger)) -1L
     else
       // an unreadable/truncated ledger (crash between rename and data
       // flush) must degrade to RE-APPLY — the merge is idempotent —
       // never to a permanently failing sink
-      scala.util.Try(java.nio.file.Files.readString(f.toPath).trim.toLong)
-        .getOrElse(-1L)
-  }
+      scala.util.Try {
+        val in = fs.open(ledger)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
+      }.getOrElse(-1L)
 
   /** One exactly-once microbatch commit: merge the batch, then record
     * its id in the ledger file (written staged + atomic rename). A
@@ -204,18 +216,18 @@ object Sinks {
   private[graft] def commitBatchOnce(batch: DataFrame, path: String,
       ledgerPath: String, keyCols: Seq[String], versionCol: String,
       batchId: Long): Boolean = {
-    if (batchId <= committedBatch(ledgerPath)) return false
+    val (fs, ledger) = ledgerFs(batch.sparkSession, ledgerPath)
+    if (batchId <= committedBatch(fs, ledger)) return false
     upsertParquet(batch, path, keyCols, versionCol)
-    val ledger = new java.io.File(ledgerPath)
-    Option(ledger.getParentFile).foreach(_.mkdirs())
-    val staged = new java.io.File(ledgerPath + ".staging")
-    java.nio.file.Files.writeString(staged.toPath, batchId.toString)
-    if (!staged.renameTo(ledger)) {
-      // rename-over-existing is atomic on POSIX; fall back explicitly
-      ledger.delete()
-      if (!staged.renameTo(ledger))
-        throw new java.io.IOException(s"could not commit batch ledger $ledgerPath")
-    }
+    val staged = new org.apache.hadoop.fs.Path(ledgerPath + ".staging")
+    val out = fs.create(staged, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    // HDFS-style rename refuses to overwrite: drop the old ledger
+    // first. A crash in the gap leaves NO ledger, which degrades to
+    // re-apply (idempotent), never to data loss.
+    if (fs.exists(ledger)) fs.delete(ledger, false)
+    if (!fs.rename(staged, ledger))
+      throw new java.io.IOException(s"could not commit batch ledger $ledgerPath")
     true
   }
 

@@ -110,7 +110,9 @@ class LlmOpsSpec extends SparkSuite {
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> {
         val ws = r.getString(1).trim.split("\\s+")
-        if (ws.length < 3) ws.toSet
+        // MinHashShingles emits ONE whole-document shingle for docs
+        // shorter than the shingle width — mirror that, not ws.toSet
+        if (ws.length < 3) Set(ws.mkString(" "))
         else ws.sliding(3).map(_.mkString(" ")).toSet
       }).toMap
     val pairs = Dedup.minhashLsh(spark, sfDir).collect()

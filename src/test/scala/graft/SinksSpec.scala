@@ -124,6 +124,20 @@ class SinksSpec extends SparkSuite {
     assert(spark.read.parquet(path).count() == 3)
   }
 
+  test("commitBatchOnce handles a URI-style ledger path (Hadoop FS)") {
+    val dir = java.nio.file.Files.createTempDirectory("once_uri").toString
+    val path = dir + "/t"
+    val ledgerUri = s"file:$dir/ckpt/graft.commit"
+    val batch = Seq((1L, 1L, 10.0)).toDF("id", "v", "price")
+    assert(graft.sources.Sinks.commitBatchOnce(
+      batch, path, ledgerUri, Seq("id"), "v", 0L))
+    // the ledger landed at the REAL location, not a cwd-mangled one
+    assert(new java.io.File(s"$dir/ckpt/graft.commit").exists(),
+      "URI ledger path must resolve through the Hadoop filesystem")
+    assert(!graft.sources.Sinks.commitBatchOnce(
+      batch, path, ledgerUri, Seq("id"), "v", 0L), "replay must be skipped")
+  }
+
   test("streamUpsertExactlyOnce lands the stream like streamUpsert") {
     val out = java.nio.file.Files.createTempDirectory("stream_once").toString
     val q = graft.sources.Sinks.streamUpsertExactlyOnce(
