@@ -63,7 +63,13 @@ class StreamingSpec extends SparkSuite {
       .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
     val streamDir = java.nio.file.Files.createTempDirectory("multi_batch_flat")
     files.zipWithIndex.foreach { case (f, i) =>
-      java.nio.file.Files.copy(f.toPath, streamDir.resolve(f"part$i%02d.parquet"))
+      val dst = streamDir.resolve(f"part$i%02d.parquet")
+      java.nio.file.Files.copy(f.toPath, dst)
+      // the file source orders batches by MODIFICATION TIME; same-ms
+      // copies would arrive in arbitrary order and feed the stateful
+      // operator out-of-time-order data (ticks assume per-key order,
+      // like a Kafka partition) — force strictly increasing mtimes
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
     }
     val schema = Tables.events(spark, sfDir).schema
     val stream = spark.readStream.schema(schema)
@@ -83,6 +89,51 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).count() == 0,
       "incremental streaming state diverged from batch")
+  }
+
+  test("sessionizer state survives randomized microbatch splits") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.ntile
+    // random (seeded) split counts: state continuity must hold for ANY
+    // microbatch boundary placement, not just the fixed 3-way split
+    val nParts = 2 + new scala.util.Random(13L).nextInt(4) // 2..5
+    val staged = java.nio.file.Files.createTempDirectory("rand_batch").toString
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("part", ntile(nParts).over(Window.orderBy("ts")))
+    (1 to nParts).foreach { p =>
+      ev.filter(col("part") === p).drop("part").coalesce(1)
+        .write.parquet(s"$staged/f$p.parquet")
+    }
+    val streamDir = java.nio.file.Files.createTempDirectory("rand_batch_flat")
+    new java.io.File(staged).listFiles().filter(_.isDirectory).sortBy(_.getName)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        val dst = streamDir.resolve(f"part$i%02d.parquet")
+        java.nio.file.Files.copy(f.toPath, dst)
+        // force arrival order = time order (file source sorts by mtime)
+        dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      }
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val ss = TickStream.sessionizeStream(spark, stream)
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_rand").toString
+    val q = ss.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("rand_sess")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("rand_sess")
+    val batch = Warehouse.sessionize(spark, sfDir)
+    val lastIds = batch.groupBy("user_id").agg(max("session_id").as("session_id"))
+    val closed = batch.join(lastIds, Seq("user_id", "session_id"), "left_anti")
+      .select(streamed.columns.map(col): _*)
+    assert(streamed.count() == closed.count(),
+      s"session counts diverged at $nParts-way split")
+    assert(streamed.exceptAll(closed).count() == 0 &&
+      closed.exceptAll(streamed).count() == 0,
+      s"sessionizer state broke across $nParts microbatches")
   }
 
   test("streaming alerts equal batch q_alerts rows exactly") {
