@@ -108,9 +108,12 @@ object TickStream {
     * Welford (count, mean, M2) running moments of returns — the same
     * update order Spark's stddev_pop applies over an expanding window
     * frame, so streamed volatility is bit-compatible with batch.
+    * `lastMicros` is the event-time high-water mark for the late-data
+    * guard.
     */
   case class IndicatorState(prices: List[Double], ema12: Double, ema26: Double,
-      n: Long, retN: Long = 0L, retMean: Double = 0.0, retM2: Double = 0.0)
+      n: Long, retN: Long = 0L, retMean: Double = 0.0, retM2: Double = 0.0,
+      lastMicros: Long = Long.MinValue)
 
   case class IndicatorRow(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
       value: Double, rsi_14: Option[Double], sma_20: Option[Double],
@@ -138,7 +141,13 @@ object TickStream {
   def updateIndicators(userId: Long, ticks: Iterator[Tick],
       state: GroupState[IndicatorState]): Iterator[IndicatorRow] = {
     var st = state.getOption.getOrElse(IndicatorState(Nil, 0.0, 0.0, 0L))
-    val out = ticks.toSeq.sortBy(t => (tsMicros(t.ts), t.event_id)).map { t =>
+    // late-data guard: a tick whose event time precedes the state's
+    // high-water mark (out-of-order ACROSS microbatches — within one
+    // batch we sort) would silently corrupt the recurrences; drop it
+    // like a watermark would instead of folding it in backwards
+    val out = ticks.toSeq.sortBy(t => (tsMicros(t.ts), t.event_id))
+      .filter(t => tsMicros(t.ts) >= st.lastMicros)
+      .map { t =>
       val n = st.n + 1
       val e12 = if (n == 1) t.value else t.value * K12 + st.ema12 * (1.0 - K12)
       val e26 = if (n == 1) t.value else t.value * K26 + st.ema26 * (1.0 - K26)
@@ -152,7 +161,7 @@ object TickStream {
         rM2 += d * (ret - rMean)
       }
       val prices = (st.prices :+ t.value).takeRight(MaxHistory)
-      st = IndicatorState(prices, e12, e26, n, rN, rMean, rM2)
+      st = IndicatorState(prices, e12, e26, n, rN, rMean, rM2, tsMicros(t.ts))
       val rsi = if (prices.length >= 15) {
         val deltas = prices.takeRight(15).sliding(2).map(p => p(1) - p(0)).toArray
         val g = deltas.map(d => math.max(d, 0.0)).sum / 14.0
@@ -206,7 +215,12 @@ object TickStream {
         state: GroupState[SessionState]): Iterator[SessionRow] = {
       val out = Seq.newBuilder[SessionRow]
       var st = state.getOption.orNull
-      ts.toSeq.sortBy(t => (tsMicros(t.ts), t.event_id)).foreach { t =>
+      // late-data guard: see updateIndicators — a tick older than the
+      // open session's end would produce sessions that run backwards
+      val floorMicros = if (st == null) Long.MinValue else st.endMicros
+      ts.toSeq.sortBy(t => (tsMicros(t.ts), t.event_id))
+        .filter(t => tsMicros(t.ts) >= floorMicros)
+        .foreach { t =>
         val micros = tsMicros(t.ts)
         if (st == null)
           st = SessionState(0L, micros, micros, 1L, t.value)

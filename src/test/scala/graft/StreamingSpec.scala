@@ -136,6 +136,43 @@ class StreamingSpec extends SparkSuite {
       s"sessionizer state broke across $nParts microbatches")
   }
 
+  test("out-of-order microbatches are dropped, never corrupt sessions") {
+    import spark.implicits._
+    // two single-row files delivered NEWEST-first (mtime order):
+    // without the late-data guard the old tick would fold into state
+    // backwards and emit a session that runs end-before-start
+    val streamDir = java.nio.file.Files.createTempDirectory("late_flat")
+    def tick(eid: Long, sec: Long) =
+      Seq((eid, new java.sql.Timestamp(sec * 1000L), 1L, "view", 10.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val t1 = streamDir.resolve("a.parquet").toString
+    val t2 = streamDir.resolve("b.parquet").toString
+    tick(1L, 100000L).coalesce(1).write.parquet(t1) // NEW tick, arrives first
+    tick(2L, 10L).coalesce(1).write.parquet(t2)     // OLD tick, arrives late
+    def onlyParquet(d: String, m: Long): Unit =
+      new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(_.setLastModified(m))
+    onlyParquet(t1, 1700000000000L)
+    onlyParquet(t2, 1700000060000L)
+    val schema = spark.read.parquet(t1).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString + "/*")
+    val ss = TickStream.sessionizeStream(spark, stream)
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_late").toString
+    val q = ss.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("late_sess")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    // the late tick must NOT have closed a backwards session; the one
+    // open session stays in state, so nothing is emitted at all
+    val rows = spark.table("late_sess").collect()
+    assert(rows.forall(r => !r.getAs[java.sql.Timestamp]("session_end")
+      .before(r.getAs[java.sql.Timestamp]("session_start"))),
+      "session must never run backwards")
+    assert(rows.isEmpty, s"late tick should be dropped, got ${rows.toSeq}")
+  }
+
   test("streaming alerts equal batch q_alerts rows exactly") {
     val alerts = TickStream.alertsStream(spark,
       TickStream.eventsStream(spark, sfDir))
