@@ -108,12 +108,19 @@ object TickStream {
     * Welford (count, mean, M2) running moments of returns — the same
     * update order Spark's stddev_pop applies over an expanding window
     * frame, so streamed volatility is bit-compatible with batch.
-    * `lastMicros` is the event-time high-water mark for the late-data
-    * guard.
+    * `(lastMicros, lastEventId)` is the event-time high-water mark for
+    * the late-data guard — the event id breaks timestamp ties exactly
+    * like the batch dual's (ts, event_id) ordering, and makes an exact
+    * re-delivery of the last tick drop instead of double-counting.
+    *
+    * NOTE: adding state fields changes the flatMapGroupsWithState
+    * encoder schema — a checkpoint written by an older build cannot
+    * resume on this one (Spark rejects the state schema); restart
+    * streaming jobs with a fresh checkpoint across upgrades.
     */
   case class IndicatorState(prices: List[Double], ema12: Double, ema26: Double,
       n: Long, retN: Long = 0L, retMean: Double = 0.0, retM2: Double = 0.0,
-      lastMicros: Long = Long.MinValue)
+      lastMicros: Long = Long.MinValue, lastEventId: Long = Long.MinValue)
 
   case class IndicatorRow(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
       value: Double, rsi_14: Option[Double], sma_20: Option[Double],
@@ -132,6 +139,13 @@ object TickStream {
   private def tsMicros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
+  /** (micros, eventId) strictly after (hwMicros, hwEventId) —
+    * lexicographic, matching the batch duals' (ts, event_id) order.
+    */
+  private def ordAfter(micros: Long, eventId: Long,
+      hwMicros: Long, hwEventId: Long): Boolean =
+    micros > hwMicros || (micros == hwMicros && eventId > hwEventId)
+
   /** Incremental per-symbol indicator state — the streaming dual of
     * Indicators.analyticsFull: a bounded price ring buffer plus O(1)
     * EMA state per key, updated per tick (the same update the
@@ -141,12 +155,13 @@ object TickStream {
   def updateIndicators(userId: Long, ticks: Iterator[Tick],
       state: GroupState[IndicatorState]): Iterator[IndicatorRow] = {
     var st = state.getOption.getOrElse(IndicatorState(Nil, 0.0, 0.0, 0L))
-    // late-data guard: a tick whose event time precedes the state's
+    // late-data guard: a tick at or before the state's (ts, event_id)
     // high-water mark (out-of-order ACROSS microbatches — within one
-    // batch we sort) would silently corrupt the recurrences; drop it
-    // like a watermark would instead of folding it in backwards
+    // batch we sort) would silently corrupt the recurrences or
+    // double-count a re-delivery; drop it like a watermark would
     val out = ticks.toSeq.sortBy(t => (tsMicros(t.ts), t.event_id))
-      .filter(t => tsMicros(t.ts) >= st.lastMicros)
+      .filter(t => ordAfter(tsMicros(t.ts), t.event_id,
+        st.lastMicros, st.lastEventId))
       .map { t =>
       val n = st.n + 1
       val e12 = if (n == 1) t.value else t.value * K12 + st.ema12 * (1.0 - K12)
@@ -161,7 +176,8 @@ object TickStream {
         rM2 += d * (ret - rMean)
       }
       val prices = (st.prices :+ t.value).takeRight(MaxHistory)
-      st = IndicatorState(prices, e12, e26, n, rN, rMean, rM2, tsMicros(t.ts))
+      st = IndicatorState(prices, e12, e26, n, rN, rMean, rM2,
+        tsMicros(t.ts), t.event_id)
       val rsi = if (prices.length >= 15) {
         val deltas = prices.takeRight(15).sliding(2).map(p => p(1) - p(0)).toArray
         val g = deltas.map(d => math.max(d, 0.0)).sum / 14.0
@@ -193,7 +209,7 @@ object TickStream {
   }
 
   case class SessionState(sessionId: Long, startMicros: Long, endMicros: Long,
-      n: Long, value: Double)
+      n: Long, value: Double, lastEventId: Long = Long.MinValue)
 
   case class SessionRow(user_id: Long, session_id: Long,
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
@@ -215,20 +231,24 @@ object TickStream {
         state: GroupState[SessionState]): Iterator[SessionRow] = {
       val out = Seq.newBuilder[SessionRow]
       var st = state.getOption.orNull
-      // late-data guard: see updateIndicators — a tick older than the
-      // open session's end would produce sessions that run backwards
-      val floorMicros = if (st == null) Long.MinValue else st.endMicros
+      // late-data guard: see updateIndicators — a tick at or before
+      // the open session's (end, event_id) mark would produce sessions
+      // that run backwards or double-count a re-delivery
+      val (hwM, hwId) =
+        if (st == null) (Long.MinValue, Long.MinValue)
+        else (st.endMicros, st.lastEventId)
       ts.toSeq.sortBy(t => (tsMicros(t.ts), t.event_id))
-        .filter(t => tsMicros(t.ts) >= floorMicros)
+        .filter(t => ordAfter(tsMicros(t.ts), t.event_id, hwM, hwId))
         .foreach { t =>
         val micros = tsMicros(t.ts)
         if (st == null)
-          st = SessionState(0L, micros, micros, 1L, t.value)
+          st = SessionState(0L, micros, micros, 1L, t.value, t.event_id)
         else if (micros / 1e6 - st.endMicros / 1e6 > SessionGapSec) {
           out += closedRow(userId, st)
-          st = SessionState(st.sessionId + 1, micros, micros, 1L, t.value)
+          st = SessionState(st.sessionId + 1, micros, micros, 1L, t.value, t.event_id)
         } else
-          st = st.copy(endMicros = micros, n = st.n + 1, value = st.value + t.value)
+          st = st.copy(endMicros = micros, n = st.n + 1,
+            value = st.value + t.value, lastEventId = t.event_id)
       }
       if (st != null) state.update(st)
       out.result().iterator

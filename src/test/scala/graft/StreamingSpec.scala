@@ -18,6 +18,35 @@ class StreamingSpec extends SparkSuite {
     q.stop()
   }
 
+  /** Split the tick table into `nParts` time-ordered files staged with
+    * STRICTLY INCREASING mtimes (the file source orders batches by
+    * modification time; same-ms copies would arrive in arbitrary
+    * order, violating the per-key-ordered arrival the stateful
+    * operators assume). Returns a dir to readStream with
+    * maxFilesPerTrigger=1.
+    */
+  private def stageTimeOrderedSplit(nParts: Int): String = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.ntile
+    val staged = java.nio.file.Files.createTempDirectory(s"split$nParts").toString
+    val ev = Tables.events(spark, sfDir)
+      .withColumn("part", ntile(nParts).over(Window.orderBy("ts", "event_id")))
+    (1 to nParts).foreach { p =>
+      ev.filter(col("part") === p).drop("part").coalesce(1)
+        .write.parquet(s"$staged/f$p.parquet")
+    }
+    val streamDir = java.nio.file.Files.createTempDirectory(s"flat$nParts")
+    new java.io.File(staged).listFiles().filter(_.isDirectory).sortBy(_.getName)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        val dst = streamDir.resolve(f"part$i%02d.parquet")
+        java.nio.file.Files.copy(f.toPath, dst)
+        require(dst.toFile.setLastModified(1700000000000L + i * 60000L),
+          s"could not set mtime on $dst — arrival order would be arbitrary")
+      }
+    streamDir.toString
+  }
+
   test("streaming windowed agg matches batch counts (complete mode)") {
     val agg = TickStream.windowedAgg(TickStream.eventsStream(spark, sfDir))
     runToMemory(agg, "stream_agg", complete = true)
@@ -46,42 +75,15 @@ class StreamingSpec extends SparkSuite {
   }
 
   test("stateful indicators survive across microbatches (incremental state)") {
-    import org.apache.spark.sql.functions.{col, ntile, round}
-    import org.apache.spark.sql.expressions.Window
-    // split the tick table into 3 time-ordered files and force one
-    // file per trigger → per-key indicator state must carry across
+    import org.apache.spark.sql.functions.round
+    // one file per trigger → per-key indicator state must carry across
     // microbatches to match the batch result
-    val staged = java.nio.file.Files.createTempDirectory("multi_batch").toString
-    val ev = Tables.events(spark, sfDir)
-      .withColumn("part", ntile(3).over(Window.orderBy("ts")))
-    (1 to 3).foreach { p =>
-      ev.filter(col("part") === p).drop("part").coalesce(1)
-        .write.parquet(s"$staged/f$p.parquet")
-    }
-    val files = new java.io.File(staged).listFiles().filter(_.isDirectory)
-      .sortBy(_.getName) // f1, f2, f3 — stage in time order
-      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
-    val streamDir = java.nio.file.Files.createTempDirectory("multi_batch_flat")
-    files.zipWithIndex.foreach { case (f, i) =>
-      val dst = streamDir.resolve(f"part$i%02d.parquet")
-      java.nio.file.Files.copy(f.toPath, dst)
-      // the file source orders batches by MODIFICATION TIME; same-ms
-      // copies would arrive in arbitrary order and feed the stateful
-      // operator out-of-time-order data (ticks assume per-key order,
-      // like a Kafka partition) — force strictly increasing mtimes
-      dst.toFile.setLastModified(1700000000000L + i * 60000L)
-    }
+    val streamDir = stageTimeOrderedSplit(3)
     val schema = Tables.events(spark, sfDir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
-    val ind = TickStream.statefulIndicators(spark, stream)
-    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_multi").toString
-    val q = ind.toDF().writeStream.outputMode("append")
-      .format("memory").queryName("multi_ind")
-      .option("checkpointLocation", ckpt).start()
-    q.processAllAvailable()
-    q.stop()
+      .parquet(streamDir)
+    runToMemory(TickStream.statefulIndicators(spark, stream).toDF(), "multi_ind")
     val streamed = spark.table("multi_ind")
       .select(col("user_id"), col("event_id"), round(col("ema_12"), 6).as("ema_12"))
     val batch = Indicators.analyticsFull(spark, sfDir)
@@ -91,49 +93,25 @@ class StreamingSpec extends SparkSuite {
       "incremental streaming state diverged from batch")
   }
 
-  test("sessionizer state survives randomized microbatch splits") {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.ntile
-    // random (seeded) split counts: state continuity must hold for ANY
-    // microbatch boundary placement, not just the fixed 3-way split
-    val nParts = 2 + new scala.util.Random(13L).nextInt(4) // 2..5
-    val staged = java.nio.file.Files.createTempDirectory("rand_batch").toString
-    val ev = Tables.events(spark, sfDir)
-      .withColumn("part", ntile(nParts).over(Window.orderBy("ts")))
-    (1 to nParts).foreach { p =>
-      ev.filter(col("part") === p).drop("part").coalesce(1)
-        .write.parquet(s"$staged/f$p.parquet")
-    }
-    val streamDir = java.nio.file.Files.createTempDirectory("rand_batch_flat")
-    new java.io.File(staged).listFiles().filter(_.isDirectory).sortBy(_.getName)
-      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
-      .zipWithIndex.foreach { case (f, i) =>
-        val dst = streamDir.resolve(f"part$i%02d.parquet")
-        java.nio.file.Files.copy(f.toPath, dst)
-        // force arrival order = time order (file source sorts by mtime)
-        dst.toFile.setLastModified(1700000000000L + i * 60000L)
-      }
+  test("sessionizer state survives every 2..5-way microbatch split") {
     val schema = Tables.events(spark, sfDir).schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
-    val ss = TickStream.sessionizeStream(spark, stream)
-    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_rand").toString
-    val q = ss.toDF().writeStream.outputMode("append")
-      .format("memory").queryName("rand_sess")
-      .option("checkpointLocation", ckpt).start()
-    q.processAllAvailable()
-    q.stop()
-    val streamed = spark.table("rand_sess")
     val batch = Warehouse.sessionize(spark, sfDir)
     val lastIds = batch.groupBy("user_id").agg(max("session_id").as("session_id"))
-    val closed = batch.join(lastIds, Seq("user_id", "session_id"), "left_anti")
-      .select(streamed.columns.map(col): _*)
-    assert(streamed.count() == closed.count(),
-      s"session counts diverged at $nParts-way split")
-    assert(streamed.exceptAll(closed).count() == 0 &&
-      closed.exceptAll(streamed).count() == 0,
-      s"sessionizer state broke across $nParts microbatches")
+    for (nParts <- 2 to 5) {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageTimeOrderedSplit(nParts))
+      runToMemory(TickStream.sessionizeStream(spark, stream).toDF(),
+        s"sess_$nParts")
+      val streamed = spark.table(s"sess_$nParts")
+      val closed = batch.join(lastIds, Seq("user_id", "session_id"), "left_anti")
+        .select(streamed.columns.map(col): _*)
+      assert(streamed.count() == closed.count(),
+        s"session counts diverged at $nParts-way split")
+      assert(streamed.exceptAll(closed).count() == 0 &&
+        closed.exceptAll(streamed).count() == 0,
+        s"sessionizer state broke across $nParts microbatches")
+    }
   }
 
   test("out-of-order microbatches are dropped, never corrupt sessions") {
@@ -151,7 +129,7 @@ class StreamingSpec extends SparkSuite {
     tick(2L, 10L).coalesce(1).write.parquet(t2)     // OLD tick, arrives late
     def onlyParquet(d: String, m: Long): Unit =
       new java.io.File(d).listFiles().filter(_.getName.endsWith(".parquet"))
-        .foreach(_.setLastModified(m))
+        .foreach(f => require(f.setLastModified(m), s"mtime set failed: $f"))
     onlyParquet(t1, 1700000000000L)
     onlyParquet(t2, 1700000060000L)
     val schema = spark.read.parquet(t1).schema
