@@ -109,13 +109,23 @@ object Bpe {
 
   /** End-to-end: train `numMerges` merges on the corpus, then tokenize
     * every document. Output per doc: subword count and the subword
-    * sequence of the first words (bounded preview). The merge table is
+    * sequence of the first words (bounded preview, space-joined so
+    * every output column is a flat scalar). The merge table is
     * broadcast; per-partition tokenization memoizes repeated words.
+    *
+    * The vocab collect is CAPPED at the `maxVocab` most frequent words
+    * (ordered cnt desc, word asc — deterministic): at web scale the
+    * distinct-word table is 10⁸+, while BPE merge learning is driven
+    * by the frequent head — rare-tail words contribute ~0 pair mass.
     */
-  def tokenizeDocs(spark: SparkSession, dir: String, numMerges: Int = 64): DataFrame = {
+  def tokenizeDocs(spark: SparkSession, dir: String, numMerges: Int = 64,
+      maxVocab: Int = 1 << 20): DataFrame = {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, dir)
-    val counts = wordCounts(docs).as[(String, Long)].collect().toSeq
+    val counts = wordCounts(docs)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxVocab)
+      .as[(String, Long)].collect().toSeq
       .sortBy { case (w, c) => (-c, w) } // deterministic train input order
     val merges = train(counts, numMerges)
     val rankB = spark.sparkContext.broadcast(
@@ -128,7 +138,7 @@ object Bpe {
         it.map { case (id, words) =>
           val toks = words.filter(_.nonEmpty).flatMap(w =>
             memo.getOrElseUpdate(w, encodeWord(w, rank)))
-          (id, toks.length.toLong, toks.take(12))
+          (id, toks.length.toLong, toks.take(12).mkString(" "))
         }
       }
       .toDF("doc_id", "n_subwords", "subword_preview")

@@ -99,26 +99,22 @@ object Indicators {
         .as("price_change_percent"): _*)
       .orderBy("user_id", "event_id")
 
-  /** Declarative EMA: expanding collect_list + `aggregate` fold.
-    * Exact reference fold (seed = first price). O(history²) per key —
-    * correct here (per-key history is bounded); the 100 TB path is the
-    * O(history) single-pass in [[Recurrence]], used by analyticsFull.
+  /** EMA via the O(history) single-pass recurrence ([[Recurrence]] /
+    * the custom EmaAppend operator) — one hash partition by key, O(1)
+    * state per key. The fold arithmetic (`x*k + acc*(1-k)` seeded with
+    * the first price) is bit-identical to the declarative expanding
+    * collect_list formulation AND to the DuckDB `list_reduce` oracle
+    * (RecurrenceSpec proves exact equality), so the oracle is
+    * unchanged while the plan drops from O(history²) per key to one
+    * streaming pass.
     */
-  def ema(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-    val expanding = byUser.rowsBetween(Window.unboundedPreceding, 0)
-    def fold(k: Double): Column = aggregate(
-      slice(col("lvals"), lit(2), greatest(size(col("lvals")) - 1, lit(0))),
-      element_at(col("lvals"), 1),
-      (acc, x) => x * lit(k) + acc * lit(1.0 - k))
-    Warehouse.validTicks(spark, dir)
-      .withColumn("rn", row_number().over(byUser))
-      .withColumn("lvals", collect_list("value").over(expanding))
+  def ema(spark: SparkSession, dir: String): DataFrame =
+    Recurrence.withEmaMacd(Warehouse.validTicks(spark, dir)
+      .select("user_id", "ts", "event_id", "value"))
       .select(tickCols :+
-        round(guard(12, fold(K12)), 6).as("ema_12") :+
-        round(guard(26, fold(K26)), 6).as("ema_26"): _*)
+        round(col("ema_12_raw"), 6).as("ema_12") :+
+        round(col("ema_26_raw"), 6).as("ema_26"): _*)
       .orderBy("user_id", "event_id")
-  }
 
   def macd(spark: SparkSession, dir: String): DataFrame =
     Recurrence.withEmaMacd(Warehouse.validTicks(spark, dir)

@@ -107,13 +107,18 @@ object Multimodal {
     * Scala — payloads iterate in fixed-size batches per partition so
     * a real encoder would run vectorized inference per batch with the
     * model handle initialized once per task. The embedding itself is
-    * a deterministic stub (byte-histogram moments), the batching,
-    * schema, and partition shape are real.
+    * a deterministic stub (byte-histogram over the low 3 bits), the
+    * batching, schema, and partition shape are real.
+    *
+    * The 8 embedding dims are emitted as scalar emb_0..emb_7 columns
+    * (count_b / n_bytes, unrounded — integer÷integer IEEE division is
+    * bit-identical across engines) so the result is flat-hashable and
+    * DuckDB-oracled end-to-end.
     */
   def featureExtract(spark: SparkSession, dir: String, batchSize: Int = 64): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("embedding", ArrayType(DoubleType, containsNull = false))))
+    val outSchema = StructType(
+      StructField("doc_id", LongType) +:
+        (0 until 8).map(b => StructField(s"emb_$b", DoubleType)))
     val withBlob = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
     val rdd = withBlob.rdd.mapPartitions { it =>
@@ -129,10 +134,33 @@ object Multimodal {
             i += 1
           }
           val n = math.max(payload.length, 1).toDouble
-          Row(r.getLong(0), emb.map(_ / n).toIndexedSeq)
+          Row.fromSeq(r.getLong(0) +: emb.map(_ / n).toIndexedSeq)
         }
       }
     }
     spark.createDataFrame(rdd, outSchema).orderBy("doc_id")
+  }
+
+  /** The byte-histogram stub in SQL: bucket b's count is the number of
+    * UTF-8 payload bytes whose low 3 bits equal b, read off the low
+    * hex nibble of each byte (works for any charset — it operates on
+    * the raw encoded bytes, exactly like the Scala stub's `& 0x7`).
+    */
+  def featureExtractSql: String = {
+    val dims = (0 until 8).map(b =>
+      s"  len(list_filter(bs, x -> x = $b))::DOUBLE / n AS emb_$b").mkString(",\n")
+    s"""WITH h AS (
+       |  SELECT doc_id, lower(hex(encode(text))) AS hx,
+       |    greatest(octet_length(encode(text)), 1) AS n,
+       |    octet_length(encode(text)) AS nb
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, n,
+       |    list_transform(range(0, nb),
+       |      i -> (strpos('0123456789abcdef', hx[2*i+2]) - 1) % 8) AS bs
+       |  FROM h)
+       |SELECT doc_id,
+       |$dims
+       |FROM b ORDER BY doc_id""".stripMargin
   }
 }

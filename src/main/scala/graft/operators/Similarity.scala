@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * never shuffles for scoring; ranking is a per-probe top-k window
   * (partial top-k per partition before the final shuffle would be the
   * next refinement via AQE/limit pushdown). The LSH variant buckets
-  * the corpus by a 16-bit random-hyperplane signature so each probe
-  * only scores its own bucket — the 100 TB path.
+  * the corpus by an 8-bit random-hyperplane signature so each probe
+  * only scores its probed buckets — the 100 TB path.
   */
 object Similarity {
 
@@ -121,18 +121,31 @@ object Similarity {
       when(Dedup.dot(v, typedLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** LSH-bucketed approximate top-k: corpus is signed into 16-bit
-    * hyperplane buckets; each probe scores only vectors whose bucket
-    * is within hamming distance 3 of its own (multi-probe LSH).
+  /** All 8-bit XOR masks of popcount ≤ 3 — the hamming-3 multiprobe
+    * expansion set (Σ C(8,k), k ≤ 3 = 93 codes per probe).
+    */
+  private val hamming3Masks: Seq[Long] =
+    (0 until (1 << NumPlanes)).filter(Integer.bitCount(_) <= 3).map(_.toLong)
+
+  /** LSH-bucketed approximate top-k: corpus is signed into 8-bit
+    * hyperplane buckets; each probe EXPANDS to its hamming ≤ 3 code
+    * set (93 codes) and equi-joins the corpus on `code` — a true
+    * bucket LOOKUP (broadcast hash join on the code key), not a scan:
+    * corpus rows outside the probed buckets are rejected at the hash
+    * table, so cost is O(corpus ∩ probed buckets), independent of the
+    * probe-batch size. At 100 TB the probe side stays
+    * (probes × 93) rows — broadcastable for 10k+ probe batches.
     */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
       .withColumn("code", lshCode(col("v")))
     val probes = corpus.filter(col("vec_id") < NumProbes)
       .toDF("probe_id", "p_v", "p_norm", "p_code")
-    val scored = corpus.join(broadcast(probes),
-        col("vec_id") =!= col("probe_id") &&
-          bit_count(col("code").bitwiseXOR(col("p_code"))) <= 3)
+      .withColumn("m", explode(typedLit(hamming3Masks)))
+      .withColumn("code", col("m").bitwiseXOR(col("p_code")))
+      .drop("m", "p_code")
+    val scored = corpus.join(broadcast(probes), Seq("code"))
+      .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", Dedup.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -36,6 +36,19 @@ class BpeSpec extends SparkSuite {
     assert(merges.length <= 2)
   }
 
+  test("vocab cap: rare tail prune leaves head-driven merges unchanged") {
+    // the tail word shares no characters with the frequent head, so
+    // pruning it must not perturb any winning pair count or tie
+    val counts = Seq(("low", 50L), ("lower", 30L), ("newest", 20L), ("xyzzy", 1L))
+    assert(Bpe.train(counts, 8) == Bpe.train(counts.filter(_._2 > 1), 8))
+  }
+
+  test("tokenizeDocs under a tight vocab cap still covers every doc") {
+    val capped = Bpe.tokenizeDocs(spark, sfDir, numMerges = 32, maxVocab = 200)
+    assert(capped.count() == Tables.documents(spark, sfDir).count())
+    assert(capped.filter("n_subwords <= 0").count() == 0)
+  }
+
   test("tokenizeDocs is deterministic and consistent on real docs") {
     val a = Bpe.tokenizeDocs(spark, sfDir, numMerges = 32).collect()
     val b = Bpe.tokenizeDocs(spark, sfDir, numMerges = 32).collect()

@@ -37,13 +37,24 @@ class IndicatorsSpec extends SparkSuite {
     assert(df.filter("volatility IS NOT NULL").count() > 0)
   }
 
-  test("declarative ema matches single-pass recurrence exactly") {
-    val decl = Indicators.ema(spark, sfDir)
-      .select("user_id", "event_id", "ema_12", "ema_26")
-    val sp = Recurrence.withEmaMacd(Warehouse.validateTicks(spark, sfDir))
+  test("recurrence-backed ema matches the declarative expanding fold exactly") {
+    // independent O(history²) formulation of the same fold — the shape
+    // the DuckDB list_reduce oracle uses; bit-identical, no tolerance
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val expanding = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    def fold(k: Double) = aggregate(
+      slice(col("lvals"), lit(2), greatest(size(col("lvals")) - 1, lit(0))),
+      element_at(col("lvals"), 1),
+      (acc, x) => x * lit(k) + acc * lit(1.0 - k))
+    val decl = Warehouse.validateTicks(spark, sfDir)
+      .withColumn("rn", row_number().over(byUser))
+      .withColumn("lvals", collect_list("value").over(expanding))
       .select(col("user_id"), col("event_id"),
-        round(col("ema_12_raw"), 6).as("ema_12"),
-        round(col("ema_26_raw"), 6).as("ema_26"))
+        round(when(col("rn") >= 12, fold(2.0 / 13.0)), 6).as("ema_12"),
+        round(when(col("rn") >= 26, fold(2.0 / 27.0)), 6).as("ema_26"))
+    val sp = Indicators.ema(spark, sfDir)
+      .select("user_id", "event_id", "ema_12", "ema_26")
     assert(decl.exceptAll(sp).count() == 0)
     assert(sp.exceptAll(decl).count() == 0)
   }

@@ -176,4 +176,15 @@ class LlmOpsSpec extends SparkSuite {
     // approximate results are a subset of scored candidates, all ranked
     assert(approx.nonEmpty)
   }
+
+  test("annLsh candidate selection is a bucket equi-join, not a scan") {
+    // the probe side expands to its hamming<=3 code set and hash-joins
+    // on `code`: corpus rows outside probed buckets are rejected at the
+    // hash table — cost independent of probe count, unlike the old
+    // BroadcastNestedLoopJoin which tested every corpus row per probe
+    val plan = Similarity.annLsh(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "full scan per probe")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin"),
+      "expected a hash join on the code key")
+  }
 }

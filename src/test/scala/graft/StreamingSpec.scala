@@ -283,8 +283,7 @@ class StreamingSpec extends SparkSuite {
     val rows = df.collect()
     assert(rows.length == Tables.documents(spark, sfDir).count())
     rows.foreach { r =>
-      val emb = r.getSeq[Double](1)
-      assert(emb.length == 8)
+      val emb = (1 to 8).map(r.getDouble)
       assert(math.abs(emb.sum - 1.0) < 1e-9, "histogram must sum to 1")
     }
     // batched run equals row-at-a-time run (batch shape is transparent)
