@@ -232,7 +232,12 @@ object Forecast {
     StructField("user_id", LongType), StructField("n_obs", LongType),
     StructField("p", IntegerType), StructField("d", IntegerType),
     StructField("q", IntegerType), StructField("aic", DoubleType),
-    StructField("last_price", DoubleType), StructField("forecast_1", DoubleType)))
+    StructField("last_price", DoubleType),
+    StructField("forecast_1", DoubleType), StructField("forecast_2", DoubleType),
+    StructField("forecast_3", DoubleType),
+    StructField("ci_lower_1", DoubleType), StructField("ci_upper_1", DoubleType),
+    StructField("ci_lower_2", DoubleType), StructField("ci_upper_2", DoubleType),
+    StructField("ci_lower_3", DoubleType), StructField("ci_upper_3", DoubleType)))
 
   private val MinObservations = 50 // arima_forecasting.py:45
 
@@ -324,62 +329,215 @@ object Forecast {
     cands.nonEmpty && cands.minBy(_._1)._2 < -2.86
   }
 
-  /** Fit ARMA(p, q) on a (differenced) series by conditional OLS /
-    * Hannan-Rissanen; returns (aic, one-step forecast).
+  private val MaxP = 5 // AIC grid bounds p,q ≤ 5, arima_forecasting.py:97-123
+  private val MaxQ = 5
+  private val Steps = 3 // multi-step horizon, arima_forecasting.py:182-230
+  private val Z95 = 1.959963984540054 // two-sided 95% normal quantile
+
+  /** One fitted ARMA: AIC, OLS weights (bias, φ_1..φ_p, θ_1..θ_q) on
+    * the CENTERED scale, the series mean, and the conditional residual
+    * variance rss/n driving the forecast intervals.
     */
-  private def fitArma(z: Array[Double], p: Int, q: Int): Option[(Double, Double)] = {
-    val mean = z.sum / z.length
-    val zc = z.map(_ - mean)
-    // Stage 1: long-AR residuals for MA terms
-    val resid: Array[Double] =
-      if (q == 0) null
-      else {
-        val pLong = math.min(math.max(p + q + 2, 4), zc.length / 3)
-        if (zc.length <= pLong + 1) return None
-        val xs = (pLong until zc.length).map(i =>
-          Array.tabulate(pLong)(j => zc(i - 1 - j))).toArray
-        val ys = (pLong until zc.length).map(zc).toArray
-        olsFit(xs, ys) match {
-          case None => return None
-          case Some(w) =>
-            val r = new Array[Double](zc.length)
-            for (i <- pLong until zc.length)
-              r(i) = zc(i) - predictRow(w, Array.tabulate(pLong)(j => zc(i - 1 - j)))
-            r
-        }
-      }
-    val start = math.max(p, q) + (if (q > 0) math.min(math.max(p + q + 2, 4), zc.length / 3) else 0)
+  private case class ArmaCoef(aic: Double, w: Array[Double], mean: Double,
+      sigma2: Double)
+
+  /** Stage-1 Hannan-Rissanen long-AR residuals on the centered series.
+    * The long order depends only on the GRID bounds, not on (p, q), so
+    * this expensive pass runs ONCE per series and is shared by every
+    * q > 0 cell of the AIC grid.
+    */
+  private def longArResiduals(zc: Array[Double], pLong: Int): Option[Array[Double]] = {
+    if (zc.length <= pLong + 1) return None
+    val xs = (pLong until zc.length).map(i =>
+      Array.tabulate(pLong)(j => zc(i - 1 - j))).toArray
+    val ys = (pLong until zc.length).map(zc).toArray
+    olsFit(xs, ys).map { w =>
+      val r = new Array[Double](zc.length)
+      for (i <- pLong until zc.length)
+        r(i) = zc(i) - predictRow(w, Array.tabulate(pLong)(j => zc(i - 1 - j)))
+      r
+    }
+  }
+
+  private def sharedPLong(n: Int): Int =
+    math.min(math.max(MaxP + MaxQ + 2, 4), n / 3)
+
+  /** Fit ARMA(p, q) on the centered (differenced) series by
+    * conditional OLS with shared stage-1 residuals.
+    */
+  private def fitArma(zc: Array[Double], mean: Double, resid: Array[Double],
+      pLong: Int, p: Int, q: Int): Option[ArmaCoef] = {
+    if (q > 0 && resid == null) return None
+    val start = math.max(p, q) + (if (q > 0) pLong else 0)
     if (zc.length <= start + p + q + 2) return None
+    if (p + q == 0) {
+      val rss = zc.map(y => y * y).sum
+      val n = zc.length
+      return Some(ArmaCoef(n * math.log(math.max(rss / n, 1e-300)) + 2.0,
+        Array(0.0), mean, rss / n))
+    }
     val xs = (start until zc.length).map { i =>
       Array.tabulate(p)(j => zc(i - 1 - j)) ++
         (if (q == 0) Array.empty[Double] else Array.tabulate(q)(j => resid(i - 1 - j)))
     }.toArray
     val ys = (start until zc.length).map(zc).toArray
-    if (p + q == 0) {
-      val rss = ys.map(y => y * y).sum
-      val n = ys.length
-      val aic = n * math.log(math.max(rss / n, 1e-300)) + 2.0
-      return Some((aic, mean))
-    }
     olsFit(xs, ys).map { w =>
       val rss = xs.indices.map { j =>
         val d = predictRow(w, xs(j)) - ys(j); d * d
       }.sum
       val n = xs.length
       val k = p + q + 1
-      val aic = n * math.log(math.max(rss / n, 1e-300)) + 2.0 * k
-      // one-step forecast from the tail of the series
-      val lastResid = if (q == 0) Array.empty[Double]
-        else Array.tabulate(q)(j => resid(zc.length - 1 - j))
-      val x1 = Array.tabulate(p)(j => zc(zc.length - 1 - j)) ++ lastResid
-      (aic, predictRow(w, x1) + mean)
+      ArmaCoef(n * math.log(math.max(rss / n, 1e-300)) + 2.0 * k, w, mean, rss / n)
     }
   }
 
-  /** Per-key ARIMA-style forecast: d by ADF stationarity test
-    * (difference until stationary at 5%, max d=2 as
-    * arima_forecasting.py:97-130), AIC grid over p≤3, q≤1,
-    * one-step forecast integrated back to price level.
+  /** Multi-step recursion on the centered scale: future values are
+    * their own forecasts, future shocks are 0 (the standard ARMA
+    * forecast recursion).
+    */
+  private def armaForecasts(zc: Array[Double], resid: Array[Double],
+      c: ArmaCoef, p: Int, q: Int, steps: Int): Array[Double] = {
+    val n = zc.length
+    val zhat = new Array[Double](steps)
+    def zval(i: Int) = if (i < n) zc(i) else zhat(i - n)
+    def rval(i: Int) = if (i >= n || resid == null) 0.0 else resid(i)
+    for (h <- 0 until steps) {
+      var s = c.w(0)
+      var j = 1
+      while (j <= p) { s += c.w(j) * zval(n + h - j); j += 1 }
+      j = 1
+      while (j <= q) { s += c.w(p + j) * rval(n + h - j); j += 1 }
+      zhat(h) = s
+    }
+    zhat
+  }
+
+  /** ψ-weights of the fitted ARMA (its MA(∞) representation), then
+    * integrated d times (cumulative sums): the h-step forecast-error
+    * variance of an ARIMA(p,d,q) is σ²·Σ_{j<h} ψ*_j².
+    */
+  private def psiWeightsIntegrated(w: Array[Double], p: Int, q: Int, d: Int,
+      steps: Int): Array[Double] = {
+    val psi = new Array[Double](steps)
+    psi(0) = 1.0
+    for (j <- 1 until steps) {
+      var s = if (j <= q) w(p + j) else 0.0
+      var i = 1
+      while (i <= math.min(j, p)) { s += w(i) * psi(j - i); i += 1 }
+      psi(j) = s
+    }
+    var out = psi
+    for (_ <- 0 until d) {
+      val c = out.clone()
+      for (j <- 1 until steps) c(j) += c(j - 1)
+      out = c
+    }
+    out
+  }
+
+  /** Per-series ARIMA output surface (arima_forecasting.py:182-230):
+    * point forecasts for each step plus the 95% interval.
+    */
+  private[graft] case class ArimaResult(p: Int, d: Int, q: Int, aic: Double,
+      sigma2: Double, forecasts: Array[Double], lower: Array[Double],
+      upper: Array[Double])
+
+  /** Forecast `steps` ahead from a fitted ARMA on the d-differenced
+    * series, integrating point forecasts back to the price level and
+    * widening the 95% band by the integrated ψ-weights.
+    */
+  private def forecastFromFit(prices: Array[Double], d: Int, p: Int, q: Int,
+      coef: ArmaCoef, zc: Array[Double], resid: Array[Double],
+      steps: Int): ArimaResult = {
+    val zhat = armaForecasts(zc, resid, coef, p, q, steps).map(_ + coef.mean)
+    // integrate each differencing level back using its running last value
+    val levels = ArrayBuffer(prices)
+    while (levels.length <= d) levels += diff(levels.last)
+    val lasts = Array.tabulate(d)(lvl => levels(lvl).last)
+    val fLevel = new Array[Double](steps)
+    for (h <- 0 until steps) {
+      var acc = zhat(h)
+      for (lvl <- (0 until d).reverse) { acc += lasts(lvl); lasts(lvl) = acc }
+      fLevel(h) = acc
+    }
+    val psi = psiWeightsIntegrated(coef.w, p, q, d, steps)
+    val lower = new Array[Double](steps)
+    val upper = new Array[Double](steps)
+    var varAcc = 0.0
+    for (h <- 0 until steps) {
+      varAcc += psi(h) * psi(h)
+      val se = math.sqrt(math.max(coef.sigma2 * varAcc, 0.0))
+      lower(h) = fLevel(h) - Z95 * se
+      upper(h) = fLevel(h) + Z95 * se
+    }
+    ArimaResult(p, d, q, coef.aic, coef.sigma2, fLevel, lower, upper)
+  }
+
+  /** d by repeated stationarity test (difference until stationary at
+    * the 5% level, max d=2, arima_forecasting.py:97-130), with the
+    * variance heuristic as the short-series fallback.
+    */
+  private def chooseD(prices: Array[Double]): (Int, Array[Double]) = {
+    var d = 0
+    var series = prices
+    def nonStationary(s: Array[Double]): Boolean =
+      if (s.length >= 20) !isStationaryAdf(s)
+      else {
+        val ds = diff(s)
+        ds.length > 10 && variance(ds) < variance(s) * 0.9
+      }
+    while (d < 2 && nonStationary(series)) { series = diff(series); d += 1 }
+    (d, series)
+  }
+
+  /** Full auto fit: d by ADF, (p, q) by AIC over the reference grid
+    * p,q ≤ 5, multi-step forecast + 95% interval.
+    */
+  private[graft] def arimaFitSeries(prices: Array[Double],
+      steps: Int = Steps): Option[ArimaResult] = {
+    if (prices.length < MinObservations) return None
+    val (d, series) = chooseD(prices)
+    val mean = series.sum / series.length
+    val zc = series.map(_ - mean)
+    val pLong = sharedPLong(zc.length)
+    val resid = longArResiduals(zc, pLong).orNull
+    val fits = for {
+      p <- 0 to MaxP; q <- 0 to MaxQ
+      c <- fitArma(zc, mean, resid, pLong, p, q)
+    } yield (p, q, c)
+    if (fits.isEmpty) None
+    else {
+      val (p, q, c) = fits.minBy { case (fp, fq, fc) => (fc.aic, fp, fq) }
+      Some(forecastFromFit(prices, d, p, q, c, zc, resid, steps))
+    }
+  }
+
+  /** Fixed-order fit (no stationarity test, no grid) — the walk-forward
+    * backtest path, where the order was already selected on the
+    * training prefix.
+    */
+  private[graft] def arimaFixedOrder(prices: Array[Double], p: Int, d: Int,
+      q: Int, steps: Int = 1): Option[ArimaResult] = {
+    var series = prices
+    var i = 0
+    while (i < d && series.length > 1) { series = diff(series); i += 1 }
+    if (series.length < 10) return None
+    val mean = series.sum / series.length
+    val zc = series.map(_ - mean)
+    val pLong = sharedPLong(zc.length)
+    val resid = if (q > 0) longArResiduals(zc, pLong).orNull else null
+    fitArma(zc, mean, resid, pLong, p, q)
+      .map(c => forecastFromFit(prices, d, p, q, c, zc, resid, steps))
+  }
+
+  private def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+
+  /** Per-key ARIMA-style forecast: d by ADF stationarity test, (p, q)
+    * by AIC grid over p,q ≤ 5 (arima_forecasting.py:97-130), 3-step
+    * forecasts integrated back to price level with 95% confidence
+    * intervals from the residual variance and integrated ψ-weights
+    * (the forecasts + conf_int surface of arima_forecasting.py:182-230
+    * that the dashboard's fetch_arima_forecasts displays).
     */
   def arimaForecast(spark: SparkSession, dir: String): DataFrame =
     arimaForecastBase(spark, dir).orderBy("user_id")
@@ -388,38 +546,57 @@ object Forecast {
   private[operators] def arimaForecastBase(spark: SparkSession, dir: String): DataFrame =
     perKey(spark, dir, arimaSchema) { (user, ticks) =>
       val prices = ticks.map(_._3).toArray
-      if (prices.length < MinObservations) Iterator.empty
-      else {
-        // choose d by ADF test exactly like the reference (difference
-        // until stationary at the 5% level, max d=2,
-        // arima_forecasting.py:97-130); fall back to the variance
-        // heuristic when the series is too short for the regression
-        var d = 0
-        var series = prices
-        def nonStationary(s: Array[Double]): Boolean =
-          if (s.length >= 20) !isStationaryAdf(s)
-          else {
-            val ds = diff(s)
-            ds.length > 10 && variance(ds) < variance(s) * 0.9
-          }
-        while (d < 2 && nonStationary(series)) { series = diff(series); d += 1 }
-
-        val fits = for {
-          p <- 0 to 3; q <- 0 to 1
-          fit <- fitArma(series, p, q)
-        } yield (p, q, fit._1, fit._2)
-        if (fits.isEmpty) Iterator.empty
-        else {
-          val (p, q, aic, zHat) = fits.minBy(f => (f._3, f._1, f._2))
-          // integrate the differenced forecast back to price level using
-          // the last value of each differencing level
-          val levels = ArrayBuffer(prices)
-          while (levels.length <= d) levels += diff(levels.last)
-          var acc = zHat
-          for (lvl <- (0 until d).reverse) acc += levels(lvl).last
-          Iterator.single(Row(user, prices.length.toLong, p, d, q,
-            math.rint(aic * 1e4) / 1e4, prices.last, math.rint(acc * 1e4) / 1e4))
-        }
+      arimaFitSeries(prices) match {
+        case None => Iterator.empty
+        case Some(res) =>
+          Iterator.single(Row(user, prices.length.toLong, res.p, res.d, res.q,
+            r4(res.aic), prices.last,
+            r4(res.forecasts(0)), r4(res.forecasts(1)), r4(res.forecasts(2)),
+            r4(res.lower(0)), r4(res.upper(0)),
+            r4(res.lower(1)), r4(res.upper(1)),
+            r4(res.lower(2)), r4(res.upper(2))))
       }
     }
+
+  private val BacktestN = 20
+
+  private val accuracySchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("n_backtest", LongType),
+    StructField("p", IntegerType), StructField("d", IntegerType),
+    StructField("q", IntegerType), StructField("mae", DoubleType),
+    StructField("mape", DoubleType), StructField("rmse", DoubleType)))
+
+  /** Per-model forecast quality (get_forecast_accuracy,
+    * arima_forecasting.py:232-249: MAE/MAPE/RMSE of recent forecasts
+    * vs actuals) as a walk-forward backtest: the order is selected
+    * ONCE on the training prefix, then coefficients are re-fit at each
+    * step on all data seen so far and the 1-step forecast is scored
+    * against the actual. The window adapts down to the per-key history
+    * (min 5 scored steps) so short keys still report.
+    */
+  def forecastAccuracy(spark: SparkSession, dir: String): DataFrame =
+    perKey(spark, dir, accuracySchema) { (user, ticks) =>
+      val prices = ticks.map(_._3).toArray
+      val nBack = math.min(BacktestN, prices.length - MinObservations)
+      if (nBack < 5) Iterator.empty
+      else arimaFitSeries(prices.dropRight(nBack), steps = 1) match {
+        case None => Iterator.empty
+        case Some(sel) =>
+          val pairs = ((prices.length - nBack) until prices.length).flatMap { i =>
+            arimaFixedOrder(prices.take(i), sel.p, sel.d, sel.q)
+              .map(r => (r.forecasts(0), prices(i)))
+          }
+          if (pairs.isEmpty) Iterator.empty
+          else {
+            val errs = pairs.map { case (f, a) => f - a }
+            val mae = errs.map(math.abs).sum / errs.length
+            // validTicks guarantees actuals > 0, so MAPE is total
+            val mape = pairs.map { case (f, a) => math.abs((f - a) / a) }
+              .sum / pairs.length * 100.0
+            val rmse = math.sqrt(errs.map(e => e * e).sum / errs.length)
+            Iterator.single(Row(user, pairs.length.toLong, sel.p, sel.d, sel.q,
+              r4(mae), r4(mape), r4(rmse)))
+          }
+      }
+    }.orderBy("user_id")
 }

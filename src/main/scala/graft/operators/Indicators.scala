@@ -171,7 +171,7 @@ object Indicators {
     * of filters — a union would recompute the whole indicator window
     * stage per branch (measured: 3 exchanges vs 1).
     */
-  def alerts(spark: SparkSession, dir: String): DataFrame = {
+  private def alertsBase(spark: SparkSession, dir: String): DataFrame = {
     val rsi = col("rsi_14")
     val vol = col("volatility")
     val alertStructs = array(
@@ -188,7 +188,26 @@ object Indicators {
       .select(col("user_id"), col("ts"), col("event_id"),
         explode(filter(alertStructs, a => a.isNotNull)).as("alert"))
       .select(col("user_id"), col("ts"), col("event_id"), col("alert.*"))
-      .orderBy("user_id", "event_id", "alert_type")
+  }
+
+  def alerts(spark: SparkSession, dir: String): DataFrame =
+    alertsBase(spark, dir).orderBy("user_id", "event_id", "alert_type")
+
+  /** Recent-alerts feed (dashboard fetch_alerts, app.py:121-144):
+    * newest `limit` alerts first, enriched with the broadcast symbol
+    * dim. The sort key (ts desc, event_id desc, alert_type asc) is a
+    * TOTAL order — (event_id, alert_type) is unique — so the top-N cut
+    * is deterministic across engines; the global sort is a top-N
+    * (TakeOrderedAndProject), not a full range sort.
+    */
+  def recentAlerts(spark: SparkSession, dir: String, limit: Int = 50): DataFrame = {
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name").as("symbol_name"))
+    alertsBase(spark, dir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .drop("c_custkey")
+      .orderBy(col("ts").desc, col("event_id").desc, col("alert_type"))
+      .limit(limit)
   }
 
   /** Latest analytics row per symbol — the dashboard's live summary
@@ -393,4 +412,29 @@ object Indicators {
       |  WHERE vol IS NOT NULL AND round(vol, 4) > 0.05
       |)
       |ORDER BY user_id, event_id, alert_type""".stripMargin
+
+  def recentAlertsSql: String = baseCte +
+    """
+      |, al AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN round(rsi_raw, 4) > 70.0 THEN 'RSI_OVERBOUGHT'
+      |         ELSE 'RSI_OVERSOLD' END AS alert_type,
+      |    round(rsi_raw, 4) AS indicator_value,
+      |    CASE WHEN round(rsi_raw, 4) > 70.0 THEN 70.0 ELSE 30.0 END AS threshold_value,
+      |    'HIGH' AS severity
+      |  FROM ind
+      |  WHERE rsi_raw IS NOT NULL
+      |    AND (round(rsi_raw, 4) > 70.0 OR round(rsi_raw, 4) < 30.0)
+      |  UNION ALL
+      |  SELECT user_id, ts, event_id, 'HIGH_VOLATILITY', round(vol, 4),
+      |    0.05, 'MEDIUM'
+      |  FROM ind
+      |  WHERE vol IS NOT NULL AND round(vol, 4) > 0.05
+      |)
+      |SELECT al.user_id, al.ts, al.event_id, al.alert_type,
+      |  al.indicator_value, al.threshold_value, al.severity,
+      |  c.c_name AS symbol_name
+      |FROM al JOIN customer c ON al.user_id = c.c_custkey
+      |ORDER BY al.ts DESC, al.event_id DESC, al.alert_type
+      |LIMIT 50""".stripMargin
 }

@@ -62,17 +62,72 @@ class ForecastSpec extends SparkSuite {
     assert(stat < -5.0, s"white-noise ADF stat should be very negative, got $stat")
   }
 
-  test("arimaForecast selects an order and produces a finite forecast") {
+  test("arimaForecast selects an order and produces finite multi-step forecasts") {
     val df = Forecast.arimaForecast(spark, sfDir).collect()
     assert(df.nonEmpty)
     df.foreach { r =>
-      assert(r.getInt(r.fieldIndex("p")) >= 0 && r.getInt(r.fieldIndex("p")) <= 3)
+      assert(r.getInt(r.fieldIndex("p")) >= 0 && r.getInt(r.fieldIndex("p")) <= 5)
+      assert(r.getInt(r.fieldIndex("q")) >= 0 && r.getInt(r.fieldIndex("q")) <= 5)
       assert(r.getInt(r.fieldIndex("d")) >= 0 && r.getInt(r.fieldIndex("d")) <= 2)
-      val f = r.getDouble(r.fieldIndex("forecast_1"))
-      assert(!f.isNaN && !f.isInfinite)
-      // forecast should be in a sane band around the last price
       val last = r.getDouble(r.fieldIndex("last_price"))
-      assert(math.abs(f - last) < math.max(10 * last, 1000.0))
+      var prevWidth = 0.0
+      for (h <- 1 to 3) {
+        val f = r.getDouble(r.fieldIndex(s"forecast_$h"))
+        val lo = r.getDouble(r.fieldIndex(s"ci_lower_$h"))
+        val hi = r.getDouble(r.fieldIndex(s"ci_upper_$h"))
+        assert(!f.isNaN && !f.isInfinite)
+        assert(lo <= f && f <= hi, s"step $h: interval must bracket the forecast")
+        // forecast-error variance accumulates with horizon
+        assert(hi - lo >= prevWidth - 1e-9, s"step $h: interval must not shrink")
+        prevWidth = hi - lo
+        assert(math.abs(f - last) < math.max(10 * last, 1000.0))
+      }
+    }
+  }
+
+  test("95% interval covers the actual on simulated AR(1) series") {
+    val rnd = new scala.util.Random(19L)
+    val trials = 60
+    var covered = 0
+    for (_ <- 0 until trials) {
+      var x = 0.0
+      val series = Array.fill(220) { x = 50.0 + 0.6 * (x - 50.0) + rnd.nextGaussian(); x }
+      val res = Forecast.arimaFitSeries(series.dropRight(1), steps = 1).get
+      val actual = series.last
+      if (res.lower(0) <= actual && actual <= res.upper(0)) covered += 1
+    }
+    // expected ~0.95; conditional-OLS sigma2 and order selection noise
+    // justify a generous floor, but far above chance
+    assert(covered.toDouble / trials >= 0.8,
+      s"coverage ${covered.toDouble / trials} below 0.8")
+  }
+
+  test("fixed-order (0,1,0) forecast is last + mean(diff), interval from pop-variance") {
+    // ARIMA(0,1,0): differenced series is white noise around its mean,
+    // so the 1-step forecast and interval are hand-computable
+    val prices = Array(100.0, 101.5, 101.0, 103.0, 102.5, 104.0, 105.5,
+      104.5, 106.0, 107.5, 107.0, 108.5, 110.0, 109.0, 111.0, 112.5)
+    val res = Forecast.arimaFixedOrder(prices, 0, 1, 0, steps = 1).get
+    val diffs = prices.sliding(2).map(p => p(1) - p(0)).toArray
+    val drift = diffs.sum / diffs.length
+    val expected = prices.last + drift
+    assert(math.abs(res.forecasts(0) - expected) < 1e-9)
+    val popVar = diffs.map(d => (d - drift) * (d - drift)).sum / diffs.length
+    val halfWidth = 1.959963984540054 * math.sqrt(popVar)
+    assert(math.abs((res.upper(0) - res.lower(0)) / 2.0 - halfWidth) < 1e-9)
+  }
+
+  test("forecastAccuracy reports consistent error metrics per key") {
+    val rows = Forecast.forecastAccuracy(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mae = r.getDouble(r.fieldIndex("mae"))
+      val rmse = r.getDouble(r.fieldIndex("rmse"))
+      val mape = r.getDouble(r.fieldIndex("mape"))
+      assert(mae >= 0 && mape >= 0)
+      // RMSE dominates MAE (Jensen); 1e-4 slack for output rounding
+      assert(rmse >= mae - 1e-4, s"rmse $rmse < mae $mae")
+      assert(r.getLong(r.fieldIndex("n_backtest")) >= 5)
     }
   }
 }

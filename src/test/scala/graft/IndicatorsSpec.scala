@@ -84,4 +84,17 @@ class IndicatorsSpec extends SparkSuite {
     assert(df.filter("alert_type = 'RSI_OVERSOLD' AND indicator_value >= 30").count() == 0)
     assert(df.filter("alert_type = 'HIGH_VOLATILITY' AND indicator_value <= 0.05").count() == 0)
   }
+
+  test("recentAlerts is the newest-N slice of alerts with symbol names") {
+    val rows = Indicators.recentAlerts(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val tsIdx = rows.head.fieldIndex("ts")
+    val ts = rows.map(_.getTimestamp(tsIdx).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a >= b }, "newest first")
+    assert(rows.forall(_.getAs[String]("symbol_name") != null))
+    // the feed is a top-N, not a full sort-then-collect
+    val plan = Indicators.recentAlerts(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "expected top-N physical op")
+  }
 }
