@@ -200,25 +200,24 @@ object Sinks {
         finally in.close()
       }.getOrElse(-1L)
 
-  /** One exactly-once microbatch commit: merge the batch, then record
-    * its id in the ledger file (written staged + atomic rename). A
+  /** One exactly-once microbatch commit: run `apply`, then record the
+    * batch id in the ledger file (written staged + atomic rename). A
     * RE-DELIVERED batch (id ≤ ledger) is skipped entirely. foreachBatch
-    * is at-least-once after failures; the merge is already idempotent
-    * per key, so the ledger's job is to also make side effects (file
-    * churn, write amplification) happen once per batch. Returns true
-    * when the batch was applied.
+    * is at-least-once after failures; the merge body is already
+    * idempotent per key, so the ledger's job is to also make side
+    * effects (file churn, write amplification) happen once per batch.
+    * Returns true when the batch was applied.
     *
     * The ledger lives with the CHECKPOINT, not the table: batch ids
     * are only monotonic within one checkpoint lineage, so a checkpoint
     * reset (ids restart at 0) gets a fresh ledger and re-applies
     * idempotently instead of silently dropping the first batches.
     */
-  private[graft] def commitBatchOnce(batch: DataFrame, path: String,
-      ledgerPath: String, keyCols: Seq[String], versionCol: String,
-      batchId: Long): Boolean = {
-    val (fs, ledger) = ledgerFs(batch.sparkSession, ledgerPath)
+  private[graft] def commitOnce(spark: SparkSession, ledgerPath: String,
+      batchId: Long)(apply: => Unit): Boolean = {
+    val (fs, ledger) = ledgerFs(spark, ledgerPath)
     if (batchId <= committedBatch(fs, ledger)) return false
-    upsertParquet(batch, path, keyCols, versionCol)
+    apply
     val staged = new org.apache.hadoop.fs.Path(ledgerPath + ".staging")
     val out = fs.create(staged, true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
@@ -231,6 +230,13 @@ object Sinks {
     true
   }
 
+  private[graft] def commitBatchOnce(batch: DataFrame, path: String,
+      ledgerPath: String, keyCols: Seq[String], versionCol: String,
+      batchId: Long): Boolean =
+    commitOnce(batch.sparkSession, ledgerPath, batchId) {
+      upsertParquet(batch, path, keyCols, versionCol)
+    }
+
   /** [[streamUpsert]] with a per-batch commit ledger: exactly-once in
     * effects as well as in results — Structured Streaming replays the
     * last uncommitted microbatch after a crash, and the ledger makes
@@ -241,5 +247,80 @@ object Sinks {
     startForeachBatch(ticks, checkpoint) { (batch, id) =>
       commitBatchOnce(batch, path, s"$checkpoint/graft.commit",
         keyCols, versionCol, id): Unit
+    }
+
+  // ---------------------------------------------------------------- JDBC
+
+  private def qid(ident: String): String = "\"" + ident + "\""
+
+  /** Merge `updates` into JDBC table `table` — the reference's ACTUAL
+    * sink leg (PostgreSQL `INSERT ... ON CONFLICT ... DO UPDATE`,
+    * shared/database.py; predictions upsert,
+    * batch_predict_linear_regression.py:60-76) — as a staging table +
+    * ANSI MERGE. Same contract as [[upsertParquet]]: one row per
+    * `keyCols` survives, newest by `versionCol`, ties → update wins.
+    *
+    * The batch is deduped per key BEFORE staging (MERGE requires one
+    * source row per target row), written with Spark's parallel JDBC
+    * writer, then merged in one set-based server-side statement — no
+    * per-row driver round-trips. Verified against embedded Derby in
+    * SinksSpec (the in-container stand-in); against PostgreSQL the
+    * same staging+MERGE shape applies verbatim.
+    *
+    * String columns are pinned to VARCHAR (Spark's Derby default is
+    * CLOB, which cannot be compared or indexed in a MERGE ON clause).
+    */
+  def upsertJdbc(updates: DataFrame, url: String, table: String,
+      keyCols: Seq[String], versionCol: String): Unit = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+    val deduped = updates
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val staging = table + "_staging"
+    val stringCols = deduped.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .map(f => s"${f.name} VARCHAR(32672)") // Derby's max VARCHAR
+    val writer = deduped.write.mode(SaveMode.Overwrite)
+      .format("jdbc").option("url", url).option("dbtable", staging)
+    (if (stringCols.isEmpty) writer
+     else writer.option("createTableColumnTypes", stringCols.mkString(", ")))
+      .save()
+    val cols = deduped.schema.fieldNames
+    val colList = cols.map(qid).mkString(", ")
+    val onClause = keyCols.map(k => s"t.${qid(k)} = s.${qid(k)}").mkString(" AND ")
+    val setClause = cols.filterNot(keyCols.contains)
+      .map(c => s"${qid(c)} = s.${qid(c)}").mkString(", ")
+    val insertVals = cols.map(c => s"s.${qid(c)}").mkString(", ")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null,
+        table.toUpperCase(java.util.Locale.ROOT), null)
+      val exists = rs.next(); rs.close()
+      val st = conn.createStatement()
+      try {
+        if (!exists)
+          st.executeUpdate(
+            s"CREATE TABLE $table AS SELECT * FROM $staging WITH NO DATA")
+        st.executeUpdate(
+          s"""MERGE INTO $table t USING $staging s ON $onClause
+             |WHEN MATCHED AND s.${qid(versionCol)} >= t.${qid(versionCol)}
+             |  THEN UPDATE SET $setClause
+             |WHEN NOT MATCHED THEN INSERT ($colList) VALUES ($insertVals)
+             |""".stripMargin)
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** Streaming JDBC upsert with the per-batch commit ledger — the
+    * consumer→PostgreSQL leg of the reference as a foreachBatch
+    * staging+MERGE, exactly-once in both results (idempotent merge)
+    * and effects (ledger skips re-delivered batch ids).
+    */
+  def streamUpsertJdbc(ticks: DataFrame, url: String, table: String,
+      checkpoint: String, keyCols: Seq[String], versionCol: String): StreamingQuery =
+    startForeachBatch(ticks, checkpoint) { (batch, id) =>
+      commitOnce(batch.sparkSession, s"$checkpoint/graft.commit", id) {
+        upsertJdbc(batch, url, table, keyCols, versionCol)
+      }: Unit
     }
 }

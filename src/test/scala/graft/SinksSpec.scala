@@ -152,6 +152,55 @@ class SinksSpec extends SparkSuite {
     assert(new java.io.File(s"$out/ckpt/graft.commit").exists())
   }
 
+  private def readJdbc(url: String, table: String) =
+    spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+
+  test("upsertJdbc merges newest-per-key into Derby across batches") {
+    val db = java.nio.file.Files.createTempDirectory("derby").toString + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    val b1 = Seq((1L, 1L, 10.0, "A"), (2L, 1L, 20.0, "B"),
+      (2L, 2L, 21.0, "B2")) // in-batch duplicate: newest must stage
+      .toDF("id", "v", "price", "tag")
+    Sinks.upsertJdbc(b1, url, "prices", Seq("id"), "v")
+    val r1 = readJdbc(url, "prices").orderBy("id").collect()
+    assert(r1.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(r1(1).getDouble(2) == 21.0, "in-batch dedup must keep newest")
+    // update id=1, insert id=3, stale id=2 (v=0) must lose
+    val b2 = Seq((1L, 2L, 11.0, "A2"), (3L, 1L, 30.0, "C"), (2L, 0L, 99.0, "stale"))
+      .toDF("id", "v", "price", "tag")
+    Sinks.upsertJdbc(b2, url, "prices", Seq("id"), "v")
+    val r2 = readJdbc(url, "prices").orderBy("id").collect()
+    assert(r2.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(r2(0).getDouble(2) == 11.0 && r2(0).getString(3) == "A2")
+    assert(r2(1).getDouble(2) == 21.0, "stale version must not overwrite")
+    // equal version: the update wins (reference ON CONFLICT semantics)
+    Sinks.upsertJdbc(Seq((3L, 1L, 31.0, "C2")).toDF("id", "v", "price", "tag"),
+      url, "prices", Seq("id"), "v")
+    assert(readJdbc(url, "prices").filter("id = 3").head.getDouble(2) == 31.0)
+  }
+
+  test("streamUpsertJdbc lands the stream exactly-once into Derby") {
+    val out = java.nio.file.Files.createTempDirectory("stream_jdbc").toString
+    val url = s"jdbc:derby:$out/db;create=true"
+    val q = Sinks.streamUpsertJdbc(
+      TickStream.eventsStream(spark, sfDir),
+      url, "ticks", s"$out/ckpt", Seq("user_id", "ts"), "event_id")
+    q.processAllAvailable()
+    q.stop()
+    val landed = readJdbc(url, "ticks")
+    assert(landed.count() > 0)
+    assert(landed.groupBy("user_id", "ts").count().filter("count > 1").count() == 0)
+    assert(new java.io.File(s"$out/ckpt/graft.commit").exists())
+    // replaying the last committed batch id is a no-op (crash replay)
+    val before = landed.collect().map(_.toString).sorted.toSeq
+    val events = Tables.events(spark, sfDir).limit(10)
+    val applied = Sinks.commitOnce(spark, s"$out/ckpt/graft.commit", 0L) {
+      Sinks.upsertJdbc(events, url, "ticks", Seq("user_id", "ts"), "event_id")
+    }
+    assert(!applied, "batch 0 was already committed by the stream")
+    assert(readJdbc(url, "ticks").collect().map(_.toString).sorted.toSeq == before)
+  }
+
   test("streaming foreachBatch upsert lands deduped ticks") {
     val out = java.nio.file.Files.createTempDirectory("stream_upsert").toString
     val q = Sinks.streamUpsert(
