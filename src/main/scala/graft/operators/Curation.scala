@@ -1,0 +1,168 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators of a large-scale training-data pipeline,
+  * beyond the reference's own surface: repetition-based quality
+  * filtering (the Gopher/MassiveText rule family), benchmark
+  * decontamination by n-gram overlap, and deterministic stratified
+  * sampling for data mixing.
+  *
+  * Scale shape: every operator is per-document narrow work plus at
+  * most a (doc_id, token)-keyed aggregation; the decontamination join
+  * broadcasts the (small) eval-set n-gram table, so the corpus never
+  * shuffles for the membership test.
+  */
+object Curation {
+
+  /** Word n-gram count for the decontamination overlap test. */
+  private val NgramN = 8
+
+  /** doc_id threshold splitting the synthetic corpus into "benchmark"
+    * probes (< EvalDocs) and the training corpus (the rest).
+    */
+  private val EvalDocs = 10L
+
+  /** Repetition-based quality filter in the style of Gopher's
+    * MassiveText rules (Rae et al. 2021, "Scaling Language Models",
+    * table A1): a document is dropped when too much of it is
+    * repeated content. Emits per doc the duplicate-sentence fraction
+    * (sentences split on terminal punctuation; threshold 0.30) and
+    * the top-word mass fraction (most frequent normalized word /
+    * total words; threshold 0.20), plus the keep verdict.
+    *
+    * All ratios are exact integer÷integer IEEE divisions — no
+    * rounding needed for cross-engine hash parity.
+    */
+  def gopherFilters(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sent = docs.select(col("doc_id"),
+      filter(split(col("text"), "[.!?]\\s+"), s => s =!= lit("")).as("sents"))
+      .select(col("doc_id"), size(col("sents")).as("n_sent"),
+        size(array_distinct(col("sents"))).as("n_distinct_sent"))
+    val words = docs
+      .select(col("doc_id"), explode(TextOps.normalizedWords).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id").agg(max("n").as("top_n"), sum("n").as("n_words"))
+    val dupFrac = (col("n_sent") - col("n_distinct_sent")).cast("double") /
+      greatest(col("n_sent"), lit(1)).cast("double")
+    val topFrac = col("top_n").cast("double") / col("n_words").cast("double")
+    sent.join(words, Seq("doc_id"))
+      .select(col("doc_id"), col("n_sent"),
+        dupFrac.as("dup_sentence_frac"),
+        topFrac.as("top_word_frac"),
+        (dupFrac <= 0.30 && topFrac <= 0.20).as("keep_doc"))
+      .orderBy("doc_id")
+  }
+
+  def gopherFiltersSql: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[.!?]\s+'), x -> x <> '') AS sents
+      |  FROM documents
+      |), sm AS (
+      |  SELECT doc_id, len(sents) AS n_sent,
+      |    len(list_distinct(sents)) AS n_distinct_sent
+      |  FROM s
+      |), w AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(trim(regexp_replace(regexp_replace(
+      |      lower(trim(text)), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
+      |      x -> x <> '')) AS word
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2
+      |), wm AS (
+      |  SELECT doc_id, max(n) AS top_n, sum(n) AS n_words FROM c GROUP BY 1
+      |)
+      |SELECT sm.doc_id, n_sent,
+      |  (n_sent - n_distinct_sent)::DOUBLE / greatest(n_sent, 1) AS dup_sentence_frac,
+      |  top_n::DOUBLE / n_words AS top_word_frac,
+      |  ((n_sent - n_distinct_sent)::DOUBLE / greatest(n_sent, 1) <= 0.30
+      |    AND top_n::DOUBLE / n_words <= 0.20) AS keep_doc
+      |FROM sm JOIN wm ON sm.doc_id = wm.doc_id
+      |ORDER BY sm.doc_id""".stripMargin
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word 8-gram with the eval set (doc_id < EvalDocs here; in
+    * production, the benchmark suite) — the standard test-set-overlap
+    * scrub before training. The eval n-gram table is tiny and
+    * BROADCAST; the corpus is probed via a hash join on the gram, so
+    * the membership test costs one narrow pass over the corpus.
+    */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        filter(TextOps.normalizedWords, w => w =!= lit("")).as("ws"))
+    val grams = docs.select(col("doc_id"),
+      explode(when(size(col("ws")) >= NgramN,
+        expr(s"transform(sequence(0, size(ws) - $NgramN), " +
+          s"i -> array_join(slice(ws, i + 1, $NgramN), ' '))"))
+        .otherwise(typedLit(Seq.empty[String]))).as("gram"))
+    val evalGrams = grams.filter(col("doc_id") < EvalDocs)
+      .select("gram").distinct()
+    grams.filter(col("doc_id") >= EvalDocs).distinct()
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_ngrams"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminateSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+       |      lower(trim(text)), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+       |      x -> x <> '') AS ws
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(0, greatest(len(ws) - ${NgramN - 1}, 0)),
+       |      i -> array_to_string(ws[i + 1 : i + $NgramN], ' '))) AS gram
+       |  FROM d
+       |), e AS (SELECT DISTINCT gram FROM g WHERE doc_id < $EvalDocs),
+       |c AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id >= $EvalDocs)
+       |SELECT c.doc_id, count(*) AS n_shared_ngrams
+       |FROM c JOIN e USING (gram)
+       |GROUP BY c.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  /** Per-language sampling rates, per mille — the data-mixing knob
+    * (downsample the dominant language, keep the tails).
+    */
+  private val RatesPerMille: Seq[(String, Int)] =
+    Seq("en" -> 300, "fr" -> 500, "es" -> 500, "de" -> 500, "zh" -> 800)
+  private val DefaultPerMille = 500
+
+  /** Deterministic stratified sampling for data mixing: each language
+    * stratum keeps a fixed rate of documents, selected by a
+    * multiplicative (Knuth) hash of doc_id — reproducible across
+    * runs and engines with no RNG state, and a narrow zero-shuffle
+    * filter at any scale.
+    *
+    * The portable `(doc_id * 2654435761) % 1000` hash is chosen for
+    * exact DuckDB-oracle parity; at 100 TB key ranges swap in
+    * `xxhash64(doc_id)` (same plan shape, no overflow at any id).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = RatesPerMille.foldLeft(lit(DefaultPerMille)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, r).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .filter((col("doc_id") * lit(2654435761L)) % 1000 < rate)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  def stratifiedSampleSql: String = {
+    val cases = RatesPerMille
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    s"""SELECT doc_id, lang
+       |FROM documents
+       |WHERE (doc_id * 2654435761) % 1000 <
+       |  (CASE lang $cases ELSE $DefaultPerMille END)
+       |ORDER BY doc_id""".stripMargin
+  }
+}

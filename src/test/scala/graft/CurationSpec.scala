@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSuite {
+
+  test("gopherFilters fractions are in [0,1] and verdict matches thresholds") {
+    val rows = Curation.gopherFilters(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dup = r.getDouble(r.fieldIndex("dup_sentence_frac"))
+      val top = r.getDouble(r.fieldIndex("top_word_frac"))
+      assert(dup >= 0.0 && dup <= 1.0)
+      assert(top > 0.0 && top <= 1.0)
+      assert(r.getBoolean(r.fieldIndex("keep_doc")) == (dup <= 0.30 && top <= 0.20))
+    }
+  }
+
+  test("decontaminate only flags docs that genuinely share an 8-gram") {
+    val flagged = Curation.decontaminate(spark, sfDir)
+    val rows = flagged.collect()
+    rows.foreach(r => assert(r.getLong(r.fieldIndex("n_shared_ngrams")) >= 1))
+    // no eval doc may appear in the output, and every flagged id is corpus-side
+    assert(rows.forall(_.getLong(0) >= 10L))
+    // cross-check one flagged doc by direct recomputation
+    if (rows.nonEmpty) {
+      val docId = rows.head.getLong(0)
+      val texts = Tables.documents(spark, sfDir)
+        .filter(col("doc_id") < 10 || col("doc_id") === docId)
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      def grams(t: String): Set[String] = {
+        val ws = t.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
+          .trim.split("\\s+").filter(_.nonEmpty)
+        ws.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+      }
+      val evalGrams = (0L until 10L).flatMap(i => texts.get(i).map(grams).getOrElse(Set.empty)).toSet
+      val shared = grams(texts(docId)) & evalGrams
+      assert(shared.size == rows.head.getLong(rows.head.fieldIndex("n_shared_ngrams")),
+        s"doc $docId: recomputed overlap ${shared.size} != reported")
+    }
+  }
+
+  test("stratifiedSample is deterministic and hits per-stratum rates") {
+    val a = Curation.stratifiedSample(spark, sfDir).collect()
+    val b = Curation.stratifiedSample(spark, sfDir).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)), "nondeterministic")
+    val total = Tables.documents(spark, sfDir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = a.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val targets = Map("en" -> 0.30, "fr" -> 0.50, "es" -> 0.50, "de" -> 0.50, "zh" -> 0.80)
+    targets.foreach { case (lang, rate) =>
+      val frac = sampled.getOrElse(lang, 0L).toDouble / total(lang)
+      // multiplicative-hash selection over uniform synthetic ids:
+      // generous tolerance at small strata (~64-220 docs at sf0.01)
+      assert(math.abs(frac - rate) < 0.15, s"$lang sampled $frac, target $rate")
+    }
+  }
+}
