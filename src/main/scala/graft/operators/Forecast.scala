@@ -258,8 +258,18 @@ object Forecast {
     val n = xs.length
     val m = xs(0).length
     val a = Array.ofDim[Double](m, 2 * m)
-    for (i <- 0 until m; j <- 0 until m)
-      a(i)(j) = (0 until n).map(r => xs(r)(i) * xs(r)(j)).sum
+    var r = 0
+    while (r < n) { // hot loop: unboxed moment accumulation
+      val row = xs(r)
+      var i = 0
+      while (i < m) {
+        val ri = row(i)
+        var j = 0
+        while (j < m) { a(i)(j) += ri * row(j); j += 1 }
+        i += 1
+      }
+      r += 1
+    }
     for (i <- 0 until m) a(i)(m + i) = 1.0
     for (col <- 0 until m) {
       var piv = col
@@ -274,11 +284,26 @@ object Forecast {
       }
     }
     val inv = Array.tabulate(m, m)((i, j) => a(i)(m + j))
-    val xty = Array.tabulate(m)(i => (0 until n).map(r => xs(r)(i) * ys(r)).sum)
+    val xty = new Array[Double](m)
+    r = 0
+    while (r < n) {
+      val row = xs(r); val y = ys(r)
+      var i = 0
+      while (i < m) { xty(i) += row(i) * y; i += 1 }
+      r += 1
+    }
     val beta = Array.tabulate(m)(i => (0 until m).map(j => inv(i)(j) * xty(j)).sum)
-    val rss = (0 until n).map { r =>
-      val e = ys(r) - (0 until m).map(j => beta(j) * xs(r)(j)).sum; e * e
-    }.sum
+    var rss = 0.0
+    r = 0
+    while (r < n) {
+      val row = xs(r)
+      var pred = 0.0
+      var j = 0
+      while (j < m) { pred += beta(j) * row(j); j += 1 }
+      val e = ys(r) - pred
+      rss += e * e
+      r += 1
+    }
     Some((beta, inv, rss))
   }
 
@@ -348,13 +373,25 @@ object Forecast {
     */
   private def longArResiduals(zc: Array[Double], pLong: Int): Option[Array[Double]] = {
     if (zc.length <= pLong + 1) return None
-    val xs = (pLong until zc.length).map(i =>
-      Array.tabulate(pLong)(j => zc(i - 1 - j))).toArray
-    val ys = (pLong until zc.length).map(zc).toArray
+    val nRows = zc.length - pLong
+    val xs = new Array[Array[Double]](nRows)
+    val ys = new Array[Double](nRows)
+    var i = 0
+    while (i < nRows) {
+      val t = pLong + i
+      val row = new Array[Double](pLong)
+      var j = 0
+      while (j < pLong) { row(j) = zc(t - 1 - j); j += 1 }
+      xs(i) = row; ys(i) = zc(t)
+      i += 1
+    }
     olsFit(xs, ys).map { w =>
       val r = new Array[Double](zc.length)
-      for (i <- pLong until zc.length)
-        r(i) = zc(i) - predictRow(w, Array.tabulate(pLong)(j => zc(i - 1 - j)))
+      var k = 0
+      while (k < nRows) {
+        r(pLong + k) = ys(k) - predictRow(w, xs(k))
+        k += 1
+      }
       r
     }
   }
@@ -376,16 +413,27 @@ object Forecast {
       return Some(ArmaCoef(n * math.log(math.max(rss / n, 1e-300)) + 2.0,
         Array(0.0), mean, rss / n))
     }
-    val xs = (start until zc.length).map { i =>
-      Array.tabulate(p)(j => zc(i - 1 - j)) ++
-        (if (q == 0) Array.empty[Double] else Array.tabulate(q)(j => resid(i - 1 - j)))
-    }.toArray
-    val ys = (start until zc.length).map(zc).toArray
+    val nRows = zc.length - start
+    val xs = new Array[Array[Double]](nRows)
+    val ys = new Array[Double](nRows)
+    var i = 0
+    while (i < nRows) {
+      val t = start + i
+      val row = new Array[Double](p + q)
+      var j = 0
+      while (j < p) { row(j) = zc(t - 1 - j); j += 1 }
+      while (j < p + q) { row(j) = resid(t - 1 - (j - p)); j += 1 }
+      xs(i) = row; ys(i) = zc(t)
+      i += 1
+    }
     olsFit(xs, ys).map { w =>
-      val rss = xs.indices.map { j =>
-        val d = predictRow(w, xs(j)) - ys(j); d * d
-      }.sum
-      val n = xs.length
+      var rss = 0.0
+      var k2 = 0
+      while (k2 < nRows) {
+        val d = predictRow(w, xs(k2)) - ys(k2); rss += d * d
+        k2 += 1
+      }
+      val n = nRows
       val k = p + q + 1
       ArmaCoef(n * math.log(math.max(rss / n, 1e-300)) + 2.0 * k, w, mean, rss / n)
     }
