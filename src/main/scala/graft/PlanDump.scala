@@ -13,7 +13,10 @@ object PlanDump {
     sb.append("Evidence the scale properties hold: pushed filters + pruned\n")
     sb.append("schemas at the scans, broadcast dimension joins, a single hash\n")
     sb.append("exchange feeding all indicator windows and the EmaAppend\n")
-    sb.append("recurrence, bucket-key-only shuffles in the LSH dedup.\n")
+    sb.append("recurrence, bucket-key-only shuffles in the LSH dedup, q_ema\n")
+    sb.append("through the O(n) EmaAppend node (no expanding collect_list),\n")
+    sb.append("and the ANN-LSH probe lookup as a BroadcastHashJoin on the\n")
+    sb.append("bucket code (no nested-loop scan).\n")
     def dump(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       sb.append(s"\n## $name\n\n```\n")
       sb.append(df.queryExecution.explainString(FormattedMode).take(6000))
@@ -22,8 +25,11 @@ object PlanDump {
     dump("q1_agg", operators.Relational.q1Agg(spark, dir))
     dump("q5_multijoin", operators.Relational.q5MultiJoin(spark, dir))
     dump("q_analytics_full", operators.Indicators.analyticsFull(spark, dir))
+    dump("q_ema", operators.Indicators.ema(spark, dir))
     dump("q_dedup_minhash", operators.Dedup.minhashLsh(spark, dir))
     dump("q_ann_bruteforce", operators.Similarity.annBruteForce(spark, dir))
+    dump("q_ann_lsh", operators.Similarity.annLsh(spark, dir))
+    dump("q_recent_alerts", operators.Indicators.recentAlerts(spark, dir))
     dump("q_asof_join", operators.AsofJoin.viewToPurchase(spark, dir))
     dump("q_range_join", operators.RangeJoin.purchaseErrors(spark, dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
