@@ -273,6 +273,37 @@ object Warehouse {
       |  round(max(value), 4) AS hi
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Sketch-based percentiles — the 100 TB path for [[percentiles]]:
+    * `approx_percentile` keeps a bounded Greenwald-Khanna-style
+    * summary per group (O(accuracy) memory, mergeable map-side),
+    * where the exact `percentile` aggregate materializes every group
+    * value. Rows-only check (sketch outputs are engine-specific);
+    * WarehouseSpec pins the error against the exact percentiles.
+    */
+  def percentilesApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(approx_percentile(col("value"), lit(0.5), lit(10000)), 6).as("p50"),
+        round(approx_percentile(col("value"), lit(0.9), lit(10000)), 6).as("p90"),
+        round(approx_percentile(col("value"), lit(0.99), lit(10000)), 6).as("p99"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Sketch-based distinct counts — the 100 TB dual of
+    * [[distinctKeys]]: HyperLogLog++ per event_type at 1% target
+    * error, constant memory and one map-side-combined pass instead of
+    * a distinct shuffle. Rows-only; WarehouseSpec pins the error
+    * against the exact counts.
+    */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
   /** Referential-integrity audit: ticks whose key has no dim row
     * (left anti join) — the ingestion-error surface of the reference's
     * company lookup (producer.py:94-98).

@@ -32,6 +32,44 @@ class SketchSpec extends SparkSuite {
     assert(perKeyExact == perKeyDirect)
   }
 
+  test("q_percentiles_approx returns values at the right RANK (the sketch guarantee)") {
+    // approx_percentile bounds the RANK error (1/accuracy), not the
+    // value error — on a heavy tail a tiny rank slip at p99 can move
+    // the value by several percent, so the honest pin is rank-based:
+    // the fraction of values at or below the sketch answer must
+    // bracket the requested quantile.
+    val ev = Tables.events(spark, sfDir).filter(col("value").isNotNull)
+    val approx = Warehouse.percentilesApprox(spark, sfDir).collect()
+    assert(approx.nonEmpty)
+    val eps = 0.005
+    approx.foreach { r =>
+      val et = r.getString(0)
+      val slice = ev.filter(col("event_type") === et)
+      val n = slice.count().toDouble
+      Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99).foreach { case (c, qt) =>
+        val a = r.getAs[Double](c)
+        val below = slice.filter(col("value") < a).count() / n
+        val atOrBelow = slice.filter(col("value") <= a).count() / n
+        assert(below <= qt + eps && atOrBelow >= qt - eps,
+          s"$et.$c: rank window [$below, $atOrBelow] misses $qt")
+      }
+    }
+  }
+
+  test("q_approx_distinct tracks exact per-type user counts within 3 sigma") {
+    val ev = Tables.events(spark, sfDir)
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = Warehouse.approxDistinct(spark, sfDir).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val e = exact(r.getString(0)).toDouble
+      val a = r.getAs[Long]("approx_users").toDouble
+      assert(math.abs(a - e) / e < 0.03, s"${r.getString(0)}: exact=$e approx=$a")
+    }
+  }
+
   test("approx_percentile within 1% relative error of exact percentiles") {
     val ev = Tables.events(spark, sfDir)
     val exact = Warehouse.percentiles(spark, sfDir).collect()
