@@ -104,9 +104,14 @@ object Curation {
         .otherwise(typedLit(Seq.empty[String]))).as("gram"))
     val evalGrams = grams.filter(col("doc_id") < EvalDocs)
       .select("gram").distinct()
-    grams.filter(col("doc_id") >= EvalDocs).distinct()
+    // join-FIRST, dedup after: the broadcast membership probe filters
+    // the corpus-scale gram stream down to the (rare) matches before
+    // anything shuffles — countDistinct then exchanges only matched
+    // rows. A corpus-wide distinct() before the join would shuffle
+    // every gram of every document.
+    grams.filter(col("doc_id") >= EvalDocs)
       .join(broadcast(evalGrams), Seq("gram"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_shared_ngrams"))
+      .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_shared_ngrams"))
       .orderBy("doc_id")
   }
 
@@ -142,16 +147,19 @@ object Curation {
     * runs and engines with no RNG state, and a narrow zero-shuffle
     * filter at any scale.
     *
-    * The portable `(doc_id * 2654435761) % 1000` hash is chosen for
-    * exact DuckDB-oracle parity; at 100 TB key ranges swap in
-    * `xxhash64(doc_id)` (same plan shape, no overflow at any id).
+    * The portable `((doc_id % 1000003) * 2654435761) % 1000` hash is
+    * chosen for exact DuckDB-oracle parity; the pre-mod by a prime
+    * keeps the product inside Long at ANY id (max ~2.7e15), so the
+    * expression neither overflows under ANSI mode nor wraps negative.
+    * In production, `xxhash64(doc_id)` is the drop-in upgrade (same
+    * plan shape, better avalanche across the full id range).
     */
   def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
     val rate = RatesPerMille.foldLeft(lit(DefaultPerMille)) {
       case (acc, (lang, r)) => when(col("lang") === lang, r).otherwise(acc)
     }
     Tables.documents(spark, dir)
-      .filter((col("doc_id") * lit(2654435761L)) % 1000 < rate)
+      .filter((col("doc_id") % 1000003L * lit(2654435761L)) % 1000 < rate)
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
   }
@@ -161,7 +169,7 @@ object Curation {
       .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
     s"""SELECT doc_id, lang
        |FROM documents
-       |WHERE (doc_id * 2654435761) % 1000 <
+       |WHERE (doc_id % 1000003 * 2654435761) % 1000 <
        |  (CASE lang $cases ELSE $DefaultPerMille END)
        |ORDER BY doc_id""".stripMargin
   }

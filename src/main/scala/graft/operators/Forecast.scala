@@ -634,7 +634,10 @@ object Forecast {
             arimaFixedOrder(prices.take(i), sel.p, sel.d, sel.q)
               .map(r => (r.forecasts(0), prices(i)))
           }
-          if (pairs.isEmpty) Iterator.empty
+          // individual refits can fail (singular prefix) — enforce the
+          // min-5-SCORED-steps contract on what actually fit, not just
+          // on the window size
+          if (pairs.length < 5) Iterator.empty
           else {
             val errs = pairs.map { case (f, a) => f - a }
             val mae = errs.map(math.abs).sum / errs.length

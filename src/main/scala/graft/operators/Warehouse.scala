@@ -278,7 +278,7 @@ object Warehouse {
     * summary per group (O(accuracy) memory, mergeable map-side),
     * where the exact `percentile` aggregate materializes every group
     * value. Rows-only check (sketch outputs are engine-specific);
-    * WarehouseSpec pins the error against the exact percentiles.
+    * SketchSpec pins the rank error against the exact percentiles.
     */
   def percentilesApprox(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -293,8 +293,8 @@ object Warehouse {
   /** Sketch-based distinct counts — the 100 TB dual of
     * [[distinctKeys]]: HyperLogLog++ per event_type at 1% target
     * error, constant memory and one map-side-combined pass instead of
-    * a distinct shuffle. Rows-only; WarehouseSpec pins the error
-    * against the exact counts.
+    * a distinct shuffle. Rows-only; SketchSpec pins the error against
+    * the exact counts.
     */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)

@@ -272,7 +272,14 @@ object Sinks {
     */
   def upsertJdbc(updates: DataFrame, url: String, table: String,
       keyCols: Seq[String], versionCol: String): Unit = {
-    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(versionCol).desc)
+    // tie-break equal versions on the remaining columns so the winner
+    // is a function of batch CONTENT — a crash-replayed batch then
+    // stages the same row and the re-MERGE is a true no-op
+    val tieBreak = updates.schema.fieldNames
+      .filterNot(c => keyCols.contains(c) || c == versionCol)
+      .map(col(_).desc)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc +: tieBreak: _*)
     val deduped = updates
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
@@ -293,9 +300,16 @@ object Sinks {
     val insertVals = cols.map(c => s"s.${qid(c)}").mkString(", ")
     val conn = java.sql.DriverManager.getConnection(url)
     try {
-      val rs = conn.getMetaData.getTables(null, null,
-        table.toUpperCase(java.util.Locale.ROOT), null)
-      val exists = rs.next(); rs.close()
+      // probe existence with a no-row SELECT rather than metadata
+      // getTables: the JDBC pattern API treats '_' as a wildcard and
+      // is case-folding-sensitive per engine (Derby stores uppercase,
+      // PostgreSQL lowercase) — a direct query is exact everywhere
+      val exists =
+        try {
+          val st0 = conn.createStatement()
+          try { st0.executeQuery(s"SELECT 1 FROM $table WHERE 1 = 0").close(); true }
+          finally st0.close()
+        } catch { case _: java.sql.SQLException => false }
       val st = conn.createStatement()
       try {
         if (!exists)
@@ -307,6 +321,9 @@ object Sinks {
              |  THEN UPDATE SET $setClause
              |WHEN NOT MATCHED THEN INSERT ($colList) VALUES ($insertVals)
              |""".stripMargin)
+        // drop the staging copy: leaving it would advertise a stale
+        // near-duplicate of the sink table to schema consumers
+        st.executeUpdate(s"DROP TABLE $staging")
       } finally st.close()
     } finally conn.close()
   }
