@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Corpus-curation operators of a large-scale training-data pipeline,
   * beyond the reference's own surface: repetition-based quality
@@ -173,4 +174,77 @@ object Curation {
        |  (CASE lang $cases ELSE $DefaultPerMille END)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Context-window budget for [[packSequences]]. */
+  private val PackBudget = 2048L
+
+  private val packSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("n_tokens", LongType),
+    StructField("start_offset", LongType), StructField("seq_id", LongType),
+    StructField("offset_in_seq", LongType)))
+
+  /** Sequence packing (the concat-and-chunk construction of packed LM
+    * training batches): documents are concatenated in doc_id order
+    * and cut into `budget`-token sequences; each doc reports its
+    * global token start offset, the sequence it starts in, and the
+    * offset inside that sequence.
+    *
+    * The global cumulative sum runs as a DISTRIBUTED two-pass prefix
+    * sum: docs are range-partitioned by an explicit id/step
+    * partitioner (computed from max(doc_id) — deterministic, no
+    * sampling, unlike repartitionByRange), pass 1 sums each partition
+    * (one tiny row per partition to the driver), pass 2 streams each
+    * partition once adding its broadcast base offset. No global sort,
+    * no single-partition window — the 100 TB shape for any running
+    * total.
+    */
+  def packSequences(spark: SparkSession, dir: String,
+      budget: Long = PackBudget): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val maxId = toks.agg(max("doc_id")).head.getLong(0)
+    val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    val step = math.max(maxId / parts + 1, 1L)
+    val partitioner = new org.apache.spark.Partitioner {
+      def numPartitions: Int = parts
+      def getPartition(key: Any): Int = (key.asInstanceOf[Long] / step).toInt
+    }
+    val sorted = toks.rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .repartitionAndSortWithinPartitions(partitioner)
+    val partSums = sorted
+      .mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(s += _._2); Iterator.single((i, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val baseOffsets = spark.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    val rows = sorted.mapPartitionsWithIndex { (i, it) =>
+      var acc = baseOffsets.value(i)
+      it.map { case (id, n) =>
+        val start = acc
+        acc += n
+        Row(id, n, start, start / budget, start % budget)
+      }
+    }
+    spark.createDataFrame(rows, packSchema).orderBy("doc_id")
+  }
+
+  /** The same packing as one SQL window cumsum — correct at oracle
+    * scale, where a global ORDER BY window is affordable.
+    */
+  def packSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |    (sum(n_tokens) OVER (ORDER BY doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |     - n_tokens)::BIGINT AS start_offset
+       |  FROM t)
+       |SELECT doc_id, n_tokens, start_offset,
+       |  (start_offset // $PackBudget)::BIGINT AS seq_id,
+       |  (start_offset % $PackBudget)::BIGINT AS offset_in_seq
+       |FROM c ORDER BY doc_id""".stripMargin
 }

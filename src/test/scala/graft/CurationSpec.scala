@@ -42,6 +42,25 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("packSequences offsets are contiguous and consistent with the budget") {
+    val rows = Curation.packSequences(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    var expectedStart = 0L
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_tokens"))
+      val start = r.getLong(r.fieldIndex("start_offset"))
+      assert(start == expectedStart, s"doc ${r.getLong(0)}: gap in packing")
+      assert(r.getLong(r.fieldIndex("seq_id")) == start / 2048)
+      assert(r.getLong(r.fieldIndex("offset_in_seq")) == start % 2048)
+      assert(n > 0)
+      expectedStart += n
+    }
+    // the distributed prefix sum equals a single-threaded scan by
+    // construction of expectedStart above; also pin determinism
+    val again = Curation.packSequences(spark, sfDir).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("stratifiedSample is deterministic and hits per-stratum rates") {
     val a = Curation.stratifiedSample(spark, sfDir).collect()
     val b = Curation.stratifiedSample(spark, sfDir).collect()
