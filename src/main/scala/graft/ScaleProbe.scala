@@ -50,6 +50,25 @@ object ScaleProbe {
     time("range_join")(operators.RangeJoin.rangeJoin(
       views.select("event_id", "ts", "user_id"), errors,
       Seq("user_id"), "ts", 14400.0, Seq("event_id"), "e_"))
+
+    // per-key ARIMA fits: key count scales with replicas, so this
+    // times #keys × (grid fit + walk-forward backtest)
+    val validTicks = big
+      .filter(col("value").isNotNull && col("value") > 0 &&
+        !isnan(col("value")) && col("user_id").isNotNull)
+      .select("user_id", "event_id", "ts", "value")
+    time("arima_forecast")(operators.Forecast.arimaForecastTicks(validTicks))
+    time("forecast_acc")(operators.Forecast.forecastAccuracyTicks(validTicks))
+
+    // corpus curation over a replicated documents table (distinct ids
+    // per replica; the eval probe set stays the fixed 10 docs)
+    val docs = Tables.documents(spark, dir)
+    val bigDocs = (0 until replicas).map { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+    }.reduce(_ unionByName _)
+    time("gopher_filters")(operators.Curation.gopherFiltersDocs(bigDocs))
+    time("decontaminate")(operators.Curation.decontaminateDocs(bigDocs))
+    time("pack_sequences")(operators.Curation.packSequencesDocs(bigDocs))
     spark.stop()
   }
 }

@@ -37,8 +37,10 @@ object Curation {
     * All ratios are exact integer÷integer IEEE divisions — no
     * rounding needed for cross-engine hash parity.
     */
-  def gopherFilters(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def gopherFilters(spark: SparkSession, dir: String): DataFrame =
+    gopherFiltersDocs(Tables.documents(spark, dir))
+
+  private[graft] def gopherFiltersDocs(docs: DataFrame): DataFrame = {
     val sent = docs.select(col("doc_id"),
       filter(split(col("text"), "[.!?]\\s+"), s => s =!= lit("")).as("sents"))
       .select(col("doc_id"), size(col("sents")).as("n_sent"),
@@ -94,8 +96,11 @@ object Curation {
     * BROADCAST; the corpus is probed via a hash join on the gram, so
     * the membership test costs one narrow pass over the corpus.
     */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateDocs(Tables.documents(spark, dir))
+
+  private[graft] def decontaminateDocs(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"),
         filter(TextOps.normalizedWords, w => w =!= lit("")).as("ws"))
     val grams = docs.select(col("doc_id"),
@@ -199,8 +204,13 @@ object Curation {
     * total.
     */
   def packSequences(spark: SparkSession, dir: String,
+      budget: Long = PackBudget): DataFrame =
+    packSequencesDocs(Tables.documents(spark, dir), budget)
+
+  private[graft] def packSequencesDocs(docs: DataFrame,
       budget: Long = PackBudget): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val spark = docs.sparkSession
+    val toks = docs
       .select(col("doc_id"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
     val maxId = toks.agg(max("doc_id")).head.getLong(0)

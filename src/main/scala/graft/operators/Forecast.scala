@@ -117,8 +117,14 @@ object Forecast {
     * per partition — the distributed per-key fit harness.
     */
   private def perKey(spark: SparkSession, dir: String, schema: StructType)(
+      fn: (Long, ArrayBuffer[(Long, java.sql.Timestamp, Double)]) => Iterator[Row]): DataFrame =
+    perKeyTicks(Warehouse.validTicks(spark, dir), schema)(fn)
+
+  /** DataFrame-input variant (ScaleProbe feeds replicated ticks). */
+  private def perKeyTicks(ticks: DataFrame, schema: StructType)(
       fn: (Long, ArrayBuffer[(Long, java.sql.Timestamp, Double)]) => Iterator[Row]): DataFrame = {
-    val in = Warehouse.validTicks(spark, dir)
+    val spark = ticks.sparkSession
+    val in = ticks
       .select("user_id", "event_id", "ts", "value")
       .repartition(col("user_id"))
       .sortWithinPartitions("user_id", "ts", "event_id")
@@ -592,7 +598,10 @@ object Forecast {
 
   /** Unordered internal variant (no driver-output ORDER BY). */
   private[operators] def arimaForecastBase(spark: SparkSession, dir: String): DataFrame =
-    perKey(spark, dir, arimaSchema) { (user, ticks) =>
+    arimaForecastTicks(Warehouse.validTicks(spark, dir))
+
+  private[graft] def arimaForecastTicks(ticksIn: DataFrame): DataFrame =
+    perKeyTicks(ticksIn, arimaSchema) { (user, ticks) =>
       val prices = ticks.map(_._3).toArray
       arimaFitSeries(prices) match {
         case None => Iterator.empty
@@ -623,7 +632,10 @@ object Forecast {
     * (min 5 scored steps) so short keys still report.
     */
   def forecastAccuracy(spark: SparkSession, dir: String): DataFrame =
-    perKey(spark, dir, accuracySchema) { (user, ticks) =>
+    forecastAccuracyTicks(Warehouse.validTicks(spark, dir))
+
+  private[graft] def forecastAccuracyTicks(ticksIn: DataFrame): DataFrame =
+    perKeyTicks(ticksIn, accuracySchema) { (user, ticks) =>
       val prices = ticks.map(_._3).toArray
       val nBack = math.min(BacktestN, prices.length - MinObservations)
       if (nBack < 5) Iterator.empty
