@@ -180,6 +180,54 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** PII patterns, redacted in a fixed order (URLs first — they can
+    * contain email-shaped substrings). Pattern syntax restricted to
+    * the Java-regex ∩ RE2 subset (no lookaround/backrefs) so Spark
+    * and the DuckDB oracle find identical matches.
+    */
+  private val PiiPatterns: Seq[(String, String)] = Seq(
+    "url" -> "https?://[^\\s]+",
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}")
+
+  /** Scrub URLs, email addresses, and SSN-shaped numbers from a text
+    * column — the PII-redaction pass of a training-data pipeline.
+    * Pure codegen'd per-row work: zero shuffle at any scale.
+    */
+  private[graft] def redactPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    PiiPatterns.foldLeft(c) { case (acc, (_, pat)) =>
+      regexp_replace(acc, pat, "<REDACTED>")
+    }
+
+  private[graft] def piiCount(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    PiiPatterns.map { case (_, pat) => regexp_count(c, lit(pat)) }
+      .reduce(_ + _).cast("long")
+
+  /** Per-doc PII redaction report: scrubbed text + match count.
+    * The count is taken BEFORE scrubbing on the original text per
+    * pattern in the same fixed order, so overlapping hits (an email
+    * inside a URL) count once per pattern on both engines.
+    */
+  def redactPiiDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        redactPii(col("text")).as("clean_text"),
+        piiCount(col("text")).as("n_pii_matches"))
+      .orderBy("doc_id")
+
+  def redactPiiSql: String = {
+    // SQL string literals don't process backslashes, so the Scala
+    // pattern (single backslashes) embeds verbatim
+    val repl = PiiPatterns.foldLeft("text") { case (acc, (_, pat)) =>
+      s"regexp_replace($acc, '$pat', '<REDACTED>', 'g')"
+    }
+    val cnt = PiiPatterns
+      .map { case (_, pat) => s"len(regexp_extract_all(text, '$pat'))" }
+      .mkString(" + ")
+    s"""SELECT doc_id, $repl AS clean_text, ($cnt)::BIGINT AS n_pii_matches
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Context-window budget for [[packSequences]]. */
   private val PackBudget = 2048L
 

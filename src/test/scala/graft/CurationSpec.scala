@@ -61,6 +61,33 @@ class CurationSpec extends SparkSuite {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("redactPii scrubs urls, emails, and ssn-shaped numbers") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.com today"),
+      (2L, "see https://example.com/a?b=c&d=e for details"),
+      (3L, "ssn 123-45-6789 leaked"),
+      (4L, "url with mail https://ex.com/u/bob@ex.com trailing"),
+      (5L, "nothing sensitive here")).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      graft.operators.Curation.redactPii(col("text")).as("clean"),
+      graft.operators.Curation.piiCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1)._1 == "mail me at <REDACTED> today" && out(1)._2 == 1)
+    assert(out(2)._1 == "see <REDACTED> for details" && out(2)._2 == 1)
+    assert(out(3)._1 == "ssn <REDACTED> leaked" && out(3)._2 == 1)
+    // the url (redacted first) swallows the embedded email; the count
+    // is per-pattern on the original text, so it reports 2
+    assert(out(4)._1 == "url with mail <REDACTED> trailing" && out(4)._2 == 2)
+    assert(out(5)._1 == "nothing sensitive here" && out(5)._2 == 0)
+  }
+
+  test("q_redact_pii leaves the pii-free synthetic corpus intact") {
+    val rows = graft.operators.Curation.redactPiiDocs(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    assert(rows.forall(_.getLong(2) == 0L), "synthetic corpus must be pii-free")
+  }
+
   test("stratifiedSample is deterministic and hits per-stratum rates") {
     val a = Curation.stratifiedSample(spark, sfDir).collect()
     val b = Curation.stratifiedSample(spark, sfDir).collect()
