@@ -44,30 +44,53 @@ object Bpe {
 
   /** Learn `numMerges` BPE merges from the aggregated word counts.
     * Returns merges in learned order (rank = index).
+    *
+    * Incremental trainer (the standard Sennrich implementation shape):
+    * pair counts and a pair→words index are maintained across merges,
+    * so each merge touches only the words that CONTAIN the winning
+    * pair instead of recounting the whole vocabulary — O(affected
+    * symbols) per merge, which is what makes a 10⁶-word capped vocab
+    * trainable on the driver. Selection order (count desc, pair
+    * lexicographic asc) is identical to the full-recount formulation
+    * (BpeSpec pins the equivalence).
     */
   def train(counts: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
-    // each word as its current symbol segmentation
-    var words: Array[(Array[String], Long)] = counts.map { case (w, c) =>
-      (w.map(_.toString).toArray :+ Eow, c)
-    }.toArray
+    import scala.collection.mutable
+    val words: Array[Array[String]] =
+      counts.map { case (w, _) => w.map(_.toString).toArray :+ Eow }.toArray
+    val wordCount: Array[Long] = counts.map(_._2).toArray
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    def addWord(wi: Int, sign: Long): Unit = {
+      val syms = words(wi); val c = wordCount(wi) * sign
+      var j = 0
+      while (j < syms.length - 1) {
+        val p = (syms(j), syms(j + 1))
+        val n = pairCounts.getOrElse(p, 0L) + c
+        if (n == 0L) pairCounts.remove(p) else pairCounts.update(p, n)
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+        j += 1
+      }
+    }
+    words.indices.foreach(addWord(_, 1L))
     val merges = Vector.newBuilder[(String, String)]
     var i = 0
     var done = false
     while (i < numMerges && !done) {
-      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      words.foreach { case (syms, c) =>
-        var j = 0
-        while (j < syms.length - 1) {
-          val p = (syms(j), syms(j + 1))
-          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
-          j += 1
-        }
-      }
       if (pairCounts.isEmpty) done = true
       else {
-        val best = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        val best = pairCounts.minBy { case ((a, b), c) => (-c, a, b) }._1
         merges += best
-        words = words.map { case (syms, c) => (mergePair(syms, best), c) }
+        // re-segment ONLY the words that contain the winning pair; the
+        // index may hold stale members (pair long since merged away) —
+        // addWord(-1)/addWord(+1) is a no-op for them
+        val affected = pairWords.getOrElse(best, mutable.BitSet.empty).clone()
+        affected.foreach { wi =>
+          addWord(wi, -1L)
+          words(wi) = mergePair(words(wi), best)
+          addWord(wi, 1L)
+        }
+        pairWords.remove(best)
         i += 1
       }
     }

@@ -36,6 +36,50 @@ class BpeSpec extends SparkSuite {
     assert(merges.length <= 2)
   }
 
+  test("incremental trainer equals full pair-recount on random vocabularies") {
+    // independent naive formulation: recount every pair each merge
+    def naive(counts: Seq[(String, Long)], numMerges: Int): Seq[(String, String)] = {
+      var words = counts.map { case (w, c) => (w.map(_.toString).toArray :+ Bpe.Eow, c) }
+      val out = Seq.newBuilder[(String, String)]
+      var i = 0
+      var done = false
+      while (i < numMerges && !done) {
+        val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        words.foreach { case (s, c) =>
+          s.sliding(2).filter(_.length == 2).foreach(p =>
+            pc.update((p(0), p(1)), pc.getOrElse((p(0), p(1)), 0L) + c))
+        }
+        if (pc.isEmpty) done = true
+        else {
+          val best = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+          out += best
+          words = words.map { case (s, c) =>
+            // re-segment via encode-like merge of one pair
+            val buf = Array.newBuilder[String]
+            var j = 0
+            while (j < s.length) {
+              if (j < s.length - 1 && s(j) == best._1 && s(j + 1) == best._2) {
+                buf += s(j) + s(j + 1); j += 2
+              } else { buf += s(j); j += 1 }
+            }
+            (buf.result(), c)
+          }
+          i += 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(23L)
+    for (trial <- 0 until 5) {
+      val vocab = (0 until 40).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        (Array.fill(len)(('a' + rnd.nextInt(4)).toChar).mkString,
+          1L + rnd.nextInt(30))
+      }.distinct
+      assert(Bpe.train(vocab, 24) == naive(vocab, 24), s"trial $trial diverged")
+    }
+  }
+
   test("vocab cap: rare tail prune leaves head-driven merges unchanged") {
     // the tail word shares no characters with the frequent head, so
     // pruning it must not perturb any winning pair count or tie
