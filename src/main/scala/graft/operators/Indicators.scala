@@ -33,9 +33,6 @@ import org.apache.spark.sql.functions._
   */
 object Indicators {
 
-  private val K12 = 2.0 / 13.0 // EMA multiplier, period 12
-  private val K26 = 2.0 / 27.0 // EMA multiplier, period 26
-
   /** Ticks + per-row indicator building blocks; shared by all
     * indicator queries so Catalyst prunes unused windows per query.
     */
