@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** ANN parameter-sweep harness: recall@10 (and candidate-set cost)
+  * of the LSH multiprobe radius and the IVF nProbe against the
+  * brute-force ground truth. This is the tuning loop an operator of
+  * the index runs before picking production parameters — higher
+  * radius/nProbe buys recall with a proportionally larger scanned
+  * fraction of the corpus.
+  *
+  * Usage: sbt "runMain graft.RecallProbe [sfDir]"
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val exact = pairs(operators.Similarity.annBruteForce(spark, dir))
+    println(f"[recall] ground truth: ${exact.size} (probe, neighbor) pairs @ $dir")
+    for (radius <- 1 to 4) {
+      val masks = operators.Similarity.hammingMasks(radius).size
+      val got = pairs(operators.Similarity.annLsh(spark, dir, radius))
+      val recall = (exact & got).size.toDouble / exact.size
+      println(f"[recall] lsh radius=$radius codes/probe=$masks%3d recall@10=$recall%.3f")
+    }
+    for (nProbe <- Seq(1, 2, 3, 5, 8)) {
+      val got = pairs(operators.Similarity.annIvf(spark, dir, nProbe))
+      val recall = (exact & got).size.toDouble / exact.size
+      println(f"[recall] ivf nProbe=$nProbe cells=${nProbe}/16 recall@10=$recall%.3f")
+    }
+    spark.stop()
+  }
+}

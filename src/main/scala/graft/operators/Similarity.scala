@@ -73,7 +73,7 @@ object Similarity {
     * model) and search shuffles only the probed cells, ~k/nProbe of
     * the corpus.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+  def annIvf(spark: SparkSession, dir: String, nProbe: Int = 3): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
@@ -95,7 +95,7 @@ object Similarity {
         - lit(2.0) * Dedup.dot(col("p_v"), col("center")))
       .withColumn("cell_rank", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("d2"), col("center_cell"))))
-      .filter(col("cell_rank") <= 3)
+      .filter(col("cell_rank") <= nProbe)
       .select(col("probe_id"), col("p_v"), col("p_norm"), col("center_cell").as("cell"))
     val scored = assigned.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
@@ -121,11 +121,11 @@ object Similarity {
       when(Dedup.dot(v, typedLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** All 8-bit XOR masks of popcount ≤ 3 — the hamming-3 multiprobe
-    * expansion set (Σ C(8,k), k ≤ 3 = 93 codes per probe).
+  /** All 8-bit XOR masks of popcount ≤ radius — the multiprobe
+    * expansion set (radius 3 → Σ C(8,k), k ≤ 3 = 93 codes per probe).
     */
-  private val hamming3Masks: Seq[Long] =
-    (0 until (1 << NumPlanes)).filter(Integer.bitCount(_) <= 3).map(_.toLong)
+  private[graft] def hammingMasks(radius: Int): Seq[Long] =
+    (0 until (1 << NumPlanes)).filter(Integer.bitCount(_) <= radius).map(_.toLong)
 
   /** LSH-bucketed approximate top-k: corpus is signed into 8-bit
     * hyperplane buckets; each probe EXPANDS to its hamming ≤ 3 code
@@ -136,12 +136,12 @@ object Similarity {
     * probe-batch size. At 100 TB the probe side stays
     * (probes × 93) rows — broadcastable for 10k+ probe batches.
     */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String, radius: Int = 3): DataFrame = {
     val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
       .withColumn("code", lshCode(col("v")))
     val probes = corpus.filter(col("vec_id") < NumProbes)
       .toDF("probe_id", "p_v", "p_norm", "p_code")
-      .withColumn("m", explode(typedLit(hamming3Masks)))
+      .withColumn("m", explode(typedLit(hammingMasks(radius))))
       .withColumn("code", col("m").bitwiseXOR(col("p_code")))
       .drop("m", "p_code")
     val scored = corpus.join(broadcast(probes), Seq("code"))
