@@ -234,16 +234,16 @@ object Forecast {
     arima.unionByName(latestAutoreg).orderBy("user_id", "model_type")
   }
 
-  private val arimaSchema = StructType(Seq(
-    StructField("user_id", LongType), StructField("n_obs", LongType),
-    StructField("p", IntegerType), StructField("d", IntegerType),
-    StructField("q", IntegerType), StructField("aic", DoubleType),
-    StructField("last_price", DoubleType),
-    StructField("forecast_1", DoubleType), StructField("forecast_2", DoubleType),
-    StructField("forecast_3", DoubleType),
-    StructField("ci_lower_1", DoubleType), StructField("ci_upper_1", DoubleType),
-    StructField("ci_lower_2", DoubleType), StructField("ci_upper_2", DoubleType),
-    StructField("ci_lower_3", DoubleType), StructField("ci_upper_3", DoubleType)))
+  private val arimaSchema = StructType(
+    Seq(
+      StructField("user_id", LongType), StructField("n_obs", LongType),
+      StructField("p", IntegerType), StructField("d", IntegerType),
+      StructField("q", IntegerType), StructField("aic", DoubleType),
+      StructField("last_price", DoubleType)) ++
+      (1 to 5).map(h => StructField(s"forecast_$h", DoubleType)) ++
+      (1 to 5).flatMap(h => Seq(
+        StructField(s"ci_lower_$h", DoubleType),
+        StructField(s"ci_upper_$h", DoubleType))))
 
   private val MinObservations = 50 // arima_forecasting.py:45
 
@@ -362,7 +362,7 @@ object Forecast {
 
   private val MaxP = 5 // AIC grid bounds p,q ≤ 5, arima_forecasting.py:97-123
   private val MaxQ = 5
-  private val Steps = 3 // multi-step horizon, arima_forecasting.py:182-230
+  private val Steps = 5 // dashboard fetch_arima_forecasts(steps=5), app.py:177-196
   private val Z95 = 1.959963984540054 // two-sided 95% normal quantile
 
   /** One fitted ARMA: AIC, OLS weights (bias, φ_1..φ_p, θ_1..θ_q) on
@@ -606,12 +606,15 @@ object Forecast {
       arimaFitSeries(prices) match {
         case None => Iterator.empty
         case Some(res) =>
-          Iterator.single(Row(user, prices.length.toLong, res.p, res.d, res.q,
-            r4(res.aic), prices.last,
-            r4(res.forecasts(0)), r4(res.forecasts(1)), r4(res.forecasts(2)),
-            r4(res.lower(0)), r4(res.upper(0)),
-            r4(res.lower(1)), r4(res.upper(1)),
-            r4(res.lower(2)), r4(res.upper(2))))
+          // Seq[Any] annotation is load-bearing: an unannotated mixed
+          // Long/Int/Double Seq numerically WIDENS every element to
+          // Double, silently corrupting the integer fields
+          Iterator.single(Row.fromSeq(
+            Seq[Any](user, prices.length.toLong, res.p, res.d, res.q,
+              r4(res.aic), prices.last) ++
+              (0 until Steps).map(h => r4(res.forecasts(h))) ++
+              (0 until Steps).flatMap(h =>
+                Seq(r4(res.lower(h)), r4(res.upper(h))))))
       }
     }
 

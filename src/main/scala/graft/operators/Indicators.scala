@@ -128,7 +128,10 @@ object Indicators {
     * EMA/MACD come from the single-pass recurrence appended after the
     * window pass (zero extra shuffle — see [[Recurrence.withEmaMacd]]).
     */
-  def analyticsFull(spark: SparkSession, dir: String): DataFrame = {
+  def analyticsFull(spark: SparkSession, dir: String): DataFrame =
+    analyticsFullBase(spark, dir).orderBy("user_id", "event_id")
+
+  private def analyticsFullBase(spark: SparkSession, dir: String): DataFrame = {
     val windowed = base(spark, dir)
     Recurrence.withEmaMacd(windowed)
       .select(
@@ -148,7 +151,25 @@ object Indicators {
         round(guard(21, col("vol_raw")), 4).as("volatility"),
         round(guard(2, col("delta") / (col("value") - col("delta")) * 100.0), 6)
           .as("price_change_percent"))
-      .orderBy("user_id", "event_id")
+  }
+
+  /** Recent-analytics feed (dashboard fetch_analytics_data,
+    * app.py:86-120): every indicator column for the trailing 7 days,
+    * newest first, bounded, enriched with the broadcast symbol dim —
+    * a top-N (TakeOrderedAndProject) over the single-exchange
+    * indicator pipeline, cut before anything global sorts.
+    */
+  def analyticsWindow(spark: SparkSession, dir: String, limit: Int = 1000): DataFrame = {
+    val maxTs = Warehouse.validTicks(spark, dir).agg(max("ts").as("max_ts"))
+    val dim = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name").as("symbol_name"))
+    analyticsFullBase(spark, dir)
+      .crossJoin(broadcast(maxTs))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 7 DAYS"))
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .drop("c_custkey", "max_ts")
+      .orderBy(col("ts").desc, col("event_id").desc)
+      .limit(limit)
   }
 
   /** Extreme-value row filter (analytics_consumer.py:77-95): drop
@@ -353,6 +374,15 @@ object Indicators {
 
   def analyticsFullSql: String = baseCte + "\n" + analyticsSelect +
     "\nORDER BY user_id, event_id"
+
+  def analyticsWindowSql: String = baseCte + ", afull AS (\n" + analyticsSelect +
+    """
+      |)
+      |SELECT afull.*, c.c_name AS symbol_name
+      |FROM afull JOIN customer c ON afull.user_id = c.c_custkey
+      |WHERE afull.ts >= (SELECT max(ts) FROM ticks) - INTERVAL 7 DAY
+      |ORDER BY afull.ts DESC, afull.event_id DESC
+      |LIMIT 1000""".stripMargin
 
   def filterExtremesSql: String = baseCte + ", afull AS (\n" + analyticsSelect +
     """

@@ -71,7 +71,7 @@ class ForecastSpec extends SparkSuite {
       assert(r.getInt(r.fieldIndex("d")) >= 0 && r.getInt(r.fieldIndex("d")) <= 2)
       val last = r.getDouble(r.fieldIndex("last_price"))
       var prevWidth = 0.0
-      for (h <- 1 to 3) {
+      for (h <- 1 to 5) {
         val f = r.getDouble(r.fieldIndex(s"forecast_$h"))
         val lo = r.getDouble(r.fieldIndex(s"ci_lower_$h"))
         val hi = r.getDouble(r.fieldIndex(s"ci_upper_$h"))

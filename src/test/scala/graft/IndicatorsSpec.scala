@@ -85,6 +85,17 @@ class IndicatorsSpec extends SparkSuite {
     assert(df.filter("alert_type = 'HIGH_VOLATILITY' AND indicator_value <= 0.05").count() == 0)
   }
 
+  test("analyticsWindow is a bounded newest-first feed with the dim join") {
+    val df = Indicators.analyticsWindow(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 1000)
+    val tsIdx = rows.head.fieldIndex("ts")
+    val ts = rows.map(_.getTimestamp(tsIdx).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a >= b }, "newest first")
+    assert(rows.forall(_.getAs[String]("symbol_name") != null))
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
+
   test("recentAlerts is the newest-N slice of alerts with symbol names") {
     val rows = Indicators.recentAlerts(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 50)
