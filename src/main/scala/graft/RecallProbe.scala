@@ -28,6 +28,7 @@ object RecallProbe {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
 
     val exact = pairs(operators.Similarity.annBruteForce(spark, dir))
+    require(exact.nonEmpty, s"no brute-force ground truth at $dir")
     println(f"[recall] ground truth: ${exact.size} (probe, neighbor) pairs @ $dir")
     for (radius <- 1 to 4) {
       val masks = operators.Similarity.hammingMasks(radius).size
@@ -35,11 +36,15 @@ object RecallProbe {
       val recall = (exact & got).size.toDouble / exact.size
       println(f"[recall] lsh radius=$radius codes/probe=$masks%3d recall@10=$recall%.3f")
     }
+    // one quantizer fit, many searches: the sweep varies only nProbe
+    val idx = operators.Similarity.ivfIndex(spark, dir)
+    idx.assigned.cache().count(): Unit
     for (nProbe <- Seq(1, 2, 3, 5, 8)) {
-      val got = pairs(operators.Similarity.annIvf(spark, dir, nProbe))
+      val got = pairs(operators.Similarity.annIvfSearch(idx, nProbe))
       val recall = (exact & got).size.toDouble / exact.size
       println(f"[recall] ivf nProbe=$nProbe cells=${nProbe}/16 recall@10=$recall%.3f")
     }
+    idx.assigned.unpersist()
     spark.stop()
   }
 }

@@ -53,9 +53,7 @@ object ScaleProbe {
 
     // per-key ARIMA fits: key count scales with replicas, so this
     // times #keys × (grid fit + walk-forward backtest)
-    val validTicks = big
-      .filter(col("value").isNotNull && col("value") > 0 &&
-        !isnan(col("value")) && col("user_id").isNotNull)
+    val validTicks = operators.Warehouse.validTicksOf(big)
       .select("user_id", "event_id", "ts", "value")
     time("arima_forecast")(operators.Forecast.arimaForecastTicks(validTicks))
     time("forecast_acc")(operators.Forecast.forecastAccuracyTicks(validTicks))

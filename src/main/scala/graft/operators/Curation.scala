@@ -42,7 +42,7 @@ object Curation {
 
   private[graft] def gopherFiltersDocs(docs: DataFrame): DataFrame = {
     val sent = docs.select(col("doc_id"),
-      filter(split(col("text"), "[.!?]\\s+"), s => s =!= lit("")).as("sents"))
+      filter(split(col("text"), s"[.!?][${TextOps.Ws}]+"), s => s =!= lit("")).as("sents"))
       .select(col("doc_id"), size(col("sents")).as("n_sent"),
         size(array_distinct(col("sents"))).as("n_distinct_sent"))
     val words = docs
@@ -186,7 +186,7 @@ object Curation {
     * and the DuckDB oracle find identical matches.
     */
   private val PiiPatterns: Seq[(String, String)] = Seq(
-    "url" -> "https?://[^\\s]+",
+    "url" -> s"https?://[^${TextOps.Ws}]+",
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "ssn" -> "[0-9]{3}-[0-9]{2}-[0-9]{4}")
 
@@ -260,8 +260,14 @@ object Curation {
     val spark = docs.sparkSession
     val toks = docs
       .select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-    val maxId = toks.agg(max("doc_id")).head.getLong(0)
+        size(split(trim(col("text")), s"[${TextOps.Ws}]+")).cast("long").as("n_tokens"))
+    val maxRow = toks.agg(max("doc_id"), min("doc_id")).head
+    if (maxRow.isNullAt(0))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], packSchema)
+    require(maxRow.getLong(1) >= 0,
+      "packSequencesDocs: negative doc_id would break the id/step partitioner")
+    val maxId = maxRow.getLong(0)
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
     val step = math.max(maxId / parts + 1, 1L)
     val partitioner = new org.apache.spark.Partitioner {

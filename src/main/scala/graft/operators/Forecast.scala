@@ -587,7 +587,7 @@ object Forecast {
   private def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
 
   /** Per-key ARIMA-style forecast: d by ADF stationarity test, (p, q)
-    * by AIC grid over p,q ≤ 5 (arima_forecasting.py:97-130), 3-step
+    * by AIC grid over p,q ≤ 5 (arima_forecasting.py:97-130), 5-step
     * forecasts integrated back to price level with 95% confidence
     * intervals from the residual variance and integrated ψ-weights
     * (the forecasts + conf_int surface of arima_forecasting.py:182-230
@@ -636,6 +636,7 @@ object Forecast {
     */
   def forecastAccuracy(spark: SparkSession, dir: String): DataFrame =
     forecastAccuracyTicks(Warehouse.validTicks(spark, dir))
+      .orderBy("user_id")
 
   private[graft] def forecastAccuracyTicks(ticksIn: DataFrame): DataFrame =
     perKeyTicks(ticksIn, accuracySchema) { (user, ticks) =>
@@ -664,5 +665,5 @@ object Forecast {
               r4(mae), r4(mape), r4(rmse)))
           }
       }
-    }.orderBy("user_id")
+    }
 }

@@ -73,7 +73,13 @@ object Similarity {
     * model) and search shuffles only the probed cells, ~k/nProbe of
     * the corpus.
     */
-  def annIvf(spark: SparkSession, dir: String, nProbe: Int = 3): DataFrame = {
+  /** A fitted IVF index: cell-assigned corpus + the coarse-quantizer
+    * centroids. Built once, searched many times (RecallProbe sweeps
+    * nProbe against one index instead of refitting per point).
+    */
+  private[graft] case class IvfIndex(assigned: DataFrame, centers: DataFrame)
+
+  private[graft] def ivfIndex(spark: SparkSession, dir: String): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
@@ -86,6 +92,15 @@ object Similarity {
       model.clusterCenters.zipWithIndex.toIndexedSeq
         .map { case (c, i) => (i, c.toArray) })
       .toDF("center_cell", "center")
+    IvfIndex(assigned, centers)
+  }
+
+  def annIvf(spark: SparkSession, dir: String, nProbe: Int = 3): DataFrame =
+    annIvfSearch(ivfIndex(spark, dir), nProbe)
+
+  private[graft] def annIvfSearch(idx: IvfIndex, nProbe: Int): DataFrame = {
+    val assigned = idx.assigned
+    val centers = idx.centers
     // nProbe nearest cells per probe by L2 (rank via -2·p·c + c·c;
     // the p·p term is constant per probe)
     val probes = assigned.filter(col("vec_id") < NumProbes)

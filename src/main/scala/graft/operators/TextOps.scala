@@ -14,7 +14,15 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private def words(c: Column): Column = split(trim(c), "\\s+")
+  /** Whitespace class equal to RE2's `\s` (space, \t, \n, \f, \r).
+    * Java's `\s` ALSO matches vertical tab (\x0B), which DuckDB's
+    * regex engine does not — using the explicit class on the Spark
+    * side keeps tokenization identical to the oracle on any input,
+    * not just the \x0B-free synthetic corpus.
+    */
+  private[operators] val Ws = " \\t\\n\\f\\r"
+
+  private def words(c: Column): Column = split(trim(c), s"[$Ws]+")
 
   private val stopEn = Seq("the", "and", "of", "to", "a", "in", "is")
   private val stopFr = Seq("le", "la", "et", "les", "des", "un", "une")
@@ -30,7 +38,7 @@ object TextOps {
     */
   private[operators] def normalizedWords: Column =
     split(trim(regexp_replace(regexp_replace(lower(trim(col("text"))),
-      "[^a-z0-9\\s]", " "), "\\s+", " ")), " ")
+      s"[^a-z0-9$Ws]", " "), s"[$Ws]+", " ")), " ")
 
   private def sqlStopHits(stops: Seq[String]): String =
     s"len(list_filter(ws, w -> w IN (${stops.map("'" + _ + "'").mkString(", ")})))"
@@ -262,7 +270,7 @@ object TextOps {
     */
   def wordFreq(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .select(explode(split(trim(col("text")), s"[$Ws]+")).as("word"))
       .groupBy("word")
       .agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("word"))
@@ -280,7 +288,7 @@ object TextOps {
     * the join key for exact-dedup across shards.
     */
   def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val normalized = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val normalized = regexp_replace(lower(trim(col("text"))), s"[$Ws]+", " ")
     Tables.documents(spark, dir)
       .select(col("doc_id"), md5(normalized.cast("binary")).as("fingerprint"))
       .orderBy("doc_id")

@@ -28,7 +28,14 @@ object Warehouse {
     * (an ORDER BY here would cost every consumer a global range sort).
     */
   def validTicks(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    validTicksOf(Tables.events(spark, dir))
+
+  /** The validation predicate on an arbitrary events-shaped input —
+    * the ONE definition of "valid tick" (ScaleProbe and the dir-based
+    * path share it, so they can't drift apart).
+    */
+  def validTicksOf(events: DataFrame): DataFrame =
+    events
       .filter(col("value").isNotNull && col("value") > 0 && !isnan(col("value"))
         && col("user_id").isNotNull)
       .select("event_id", "ts", "user_id", "event_type", "value")
