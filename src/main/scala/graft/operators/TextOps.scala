@@ -20,7 +20,7 @@ object TextOps {
     * side keeps tokenization identical to the oracle on any input,
     * not just the \x0B-free synthetic corpus.
     */
-  private[operators] val Ws = " \\t\\n\\f\\r"
+  private[graft] val Ws = " \\t\\n\\f\\r"
 
   private def words(c: Column): Column = split(trim(c), s"[$Ws]+")
 
@@ -287,12 +287,17 @@ object TextOps {
   /** Document fingerprinting: md5 of whitespace-normalized text —
     * the join key for exact-dedup across shards.
     */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val normalized = regexp_replace(lower(trim(col("text"))), s"[$Ws]+", " ")
+  /** Content fingerprint of a text column (md5 of the
+    * whitespace-normalized bytes) — shared by the batch fingerprint
+    * query and the streaming doc dedup so their keys can't diverge.
+    */
+  private[graft] def fingerprintCol(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), s"[$Ws]+", " ").cast("binary"))
+
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(normalized.cast("binary")).as("fingerprint"))
+      .select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
       .orderBy("doc_id")
-  }
 
   def fingerprintSql: String =
     """SELECT doc_id,

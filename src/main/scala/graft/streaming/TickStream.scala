@@ -57,6 +57,25 @@ object TickStream {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  /** The file stream source needs a directory; stage a symlink dir
+    * around a single-file table (bus stand-in only — production uses
+    * readStream.format("kafka")). Memoized per source file and
+    * registered for JVM-exit cleanup so repeated calls don't leak.
+    */
+  private def stageFile(dir: String, fileName: String): java.nio.file.Path =
+    stagedDirs.computeIfAbsent(s"$dir/$fileName", { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
+      // deleteOnExit runs in REVERSE registration order: register the
+      // dir first so the link inside it is gone by the time the
+      // (must-be-empty) dir delete runs
+      tmp.toFile.deleteOnExit()
+      val link = tmp.resolve(fileName)
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/$fileName"))
+      link.toFile.deleteOnExit()
+      tmp
+    })
+
   /** Streaming source over the events tick table (file source standing
     * in for Kafka; same schema as Tables.events).
     */
@@ -66,26 +85,42 @@ object TickStream {
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    // the file stream source needs a directory; stage a symlink dir
-    // around the single-file table (Kafka stand-in only — production
-    // uses readStream.format("kafka")). Memoized per source dir and
-    // registered for JVM-exit cleanup so repeated calls don't leak.
-    val staged = stagedDirs.computeIfAbsent(dir, { d =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_events")
-      // deleteOnExit runs in REVERSE registration order: register the
-      // dir first so the link inside it is gone by the time the
-      // (must-be-empty) dir delete runs
-      tmp.toFile.deleteOnExit()
-      val link = tmp.resolve("events.parquet")
-      java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$d/events.parquet"))
-      link.toFile.deleteOnExit()
-      tmp
-    })
     spark.readStream.schema(schema)
-      .parquet(staged.toString)
+      .parquet(stageFile(dir, "events.parquet").toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
+
+  /** Streaming source over the documents table — the ingestion leg of
+    * a streaming curation pipeline (file source standing in for the
+    * document bus).
+    */
+  def docsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.readStream.schema(schema)
+      .parquet(stageFile(dir, "documents.parquet").toString)
+  }
+
+  /** Streaming exact dedup over a document stream by content
+    * fingerprint (the SAME md5-of-normalized-text key as the batch
+    * [[graft.operators.TextOps.fingerprint]] query): the first
+    * arrival per fingerprint survives. Documents carry no event time,
+    * so the state is bounded by an INGEST-time watermark — the
+    * streaming pass collapses duplicates inside the ingestion window,
+    * and cross-window duplicates fall to the batch exact-dedup
+    * compaction (the standard two-tier layout).
+    */
+  def dedupDocsStream(docs: DataFrame,
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fingerprint",
+        graft.operators.TextOps.fingerprintCol(col("text")))
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .select("doc_id", "fingerprint", "lang", "n_chars")
 
   /** Watermarked tumbling-window aggregation per event_type — the
     * streaming dual of Warehouse.windowAgg. State is bounded by the

@@ -278,6 +278,19 @@ class StreamingSpec extends SparkSuite {
     assert(bad.count() == 0)
   }
 
+  test("streaming doc dedup matches the batch fingerprint-distinct set") {
+    val out = TickStream.dedupDocsStream(TickStream.docsStream(spark, sfDir))
+    runToMemory(out, "doc_dedup")
+    val streamed = spark.table("doc_dedup").collect()
+    val batchFps = graft.operators.TextOps.fingerprint(spark, sfDir)
+      .select("fingerprint").distinct().collect().map(_.getString(0)).toSet
+    // one survivor per distinct fingerprint, drawn from the same keys
+    assert(streamed.length == batchFps.size)
+    val streamedFps = streamed.map(_.getAs[String]("fingerprint"))
+    assert(streamedFps.toSet == batchFps)
+    assert(streamedFps.length == streamedFps.distinct.length, "dup survived")
+  }
+
   test("featureExtract emits a normalized embedding per document") {
     val df = Multimodal.featureExtract(spark, sfDir)
     val rows = df.collect()
