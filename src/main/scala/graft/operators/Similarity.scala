@@ -95,6 +95,22 @@ object Similarity {
     IvfIndex(assigned, centers)
   }
 
+  /** Persist a fitted IVF index (cell-assigned corpus + centroids) as
+    * parquet — build once, serve many: at scale the assignment pass
+    * over the corpus dominates, so query jobs load the index instead
+    * of re-clustering. Loading back and searching returns the same
+    * results as a fresh build (seeded KMeans; spec-asserted).
+    */
+  def saveIvfIndex(idx: IvfIndex, path: String): Unit = {
+    idx.assigned.write.mode("overwrite").parquet(s"$path/assigned")
+    idx.centers.write.mode("overwrite").parquet(s"$path/centers")
+  }
+
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$path/assigned"),
+      spark.read.parquet(s"$path/centers"))
+
   def annIvf(spark: SparkSession, dir: String, nProbe: Int = 3): DataFrame =
     annIvfSearch(ivfIndex(spark, dir), nProbe)
 

@@ -177,6 +177,16 @@ class LlmOpsSpec extends SparkSuite {
     assert(approx.nonEmpty)
   }
 
+  test("persisted IVF index searches identically to a fresh build") {
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val idx = Similarity.ivfIndex(spark, sfDir)
+    Similarity.saveIvfIndex(idx, path)
+    val loaded = Similarity.loadIvfIndex(spark, path)
+    val fresh = Similarity.annIvfSearch(idx, 3).collect().map(_.toString).sorted
+    val reread = Similarity.annIvfSearch(loaded, 3).collect().map(_.toString).sorted
+    assert(fresh.sameElements(reread), "loaded index diverged from fresh build")
+  }
+
   test("annLsh candidate selection is a bucket equi-join, not a scan") {
     // the probe side expands to its hamming<=3 code set and hash-joins
     // on `code`: corpus rows outside probed buckets are rejected at the
