@@ -61,6 +61,36 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The SAME Gopher verdicts as [[gopherFiltersDocs]] computed as a
+    * pure per-row projection (array HOFs instead of the
+    * explode+groupBy word count) — zero shuffle and zero state, which
+    * makes it legal inside a streaming pipeline. O(distinct·words)
+    * per doc vs the batch shape's shuffle: at corpus scale the
+    * aggregation amortizes better, on a stream only this form works.
+    * CurationSpec asserts the two formulations agree exactly.
+    */
+  private[graft] def gopherNarrowDocs(docs: DataFrame): DataFrame = {
+    val sents = filter(split(col("text"), s"[.!?][${TextOps.Ws}]+"),
+      s => s =!= lit(""))
+    val ws = filter(TextOps.normalizedWords, w => w =!= lit(""))
+    docs
+      .withColumn("sents", sents)
+      .withColumn("ws", ws)
+      .filter(size(col("ws")) > 0) // batch shape drops wordless docs via its join
+      .withColumn("n_sent", size(col("sents")))
+      .withColumn("dup_sentence_frac",
+        (col("n_sent") - size(array_distinct(col("sents")))).cast("double") /
+          greatest(col("n_sent"), lit(1)).cast("double"))
+      .withColumn("top_word_frac",
+        array_max(transform(array_distinct(col("ws")),
+          w => size(filter(col("ws"), x => x === w)))).cast("double") /
+          size(col("ws")).cast("double"))
+      .select(col("doc_id"), col("n_sent"),
+        col("dup_sentence_frac"), col("top_word_frac"),
+        (col("dup_sentence_frac") <= 0.30 && col("top_word_frac") <= 0.20)
+          .as("keep_doc"))
+  }
+
   def gopherFiltersSql: String =
     """WITH s AS (
       |  SELECT doc_id,

@@ -122,6 +122,15 @@ object TickStream {
       .dropDuplicatesWithinWatermark("fingerprint")
       .select("doc_id", "fingerprint", "lang", "n_chars")
 
+  /** Streaming quality filtering: the Gopher repetition verdicts as a
+    * stateless per-row projection (the narrow formulation of
+    * [[graft.operators.Curation.gopherFiltersDocs]] — no shuffle, no
+    * state, so it composes into any stream stage). Verdicts equal the
+    * batch query exactly (spec-asserted).
+    */
+  def qualityDocsStream(docs: DataFrame): DataFrame =
+    graft.operators.Curation.gopherNarrowDocs(docs)
+
   /** Watermarked tumbling-window aggregation per event_type — the
     * streaming dual of Warehouse.windowAgg. State is bounded by the
     * 10-minute watermark.

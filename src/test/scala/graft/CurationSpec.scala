@@ -61,6 +61,13 @@ class CurationSpec extends SparkSuite {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("narrow per-row gopher formulation equals the aggregation shape exactly") {
+    val agg = Curation.gopherFilters(spark, sfDir)
+    val narrow = Curation.gopherNarrowDocs(Tables.documents(spark, sfDir))
+    assert(agg.exceptAll(narrow).count() == 0)
+    assert(narrow.exceptAll(agg).count() == 0)
+  }
+
   test("redactPii scrubs urls, emails, and ssn-shaped numbers") {
     import spark.implicits._
     val df = Seq(

@@ -291,6 +291,16 @@ class StreamingSpec extends SparkSuite {
     assert(streamedFps.length == streamedFps.distinct.length, "dup survived")
   }
 
+  test("streaming gopher verdicts equal the batch quality filter") {
+    val out = TickStream.qualityDocsStream(TickStream.docsStream(spark, sfDir))
+    runToMemory(out, "doc_quality")
+    val streamed = spark.table("doc_quality")
+    val batch = graft.operators.Curation.gopherFilters(spark, sfDir)
+    assert(streamed.count() == batch.count())
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("featureExtract emits a normalized embedding per document") {
     val df = Multimodal.featureExtract(spark, sfDir)
     val rows = df.collect()
