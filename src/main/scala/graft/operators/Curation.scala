@@ -26,6 +26,15 @@ object Curation {
     */
   private val EvalDocs = 10L
 
+  /** Shared Gopher pieces: one definition of the sentence split and
+    * the drop thresholds, so the aggregation and narrow formulations
+    * cannot drift apart.
+    */
+  private val DupSentenceMax = 0.30
+  private val TopWordMax = 0.20
+  private def sentsCol =
+    filter(split(col("text"), s"[.!?][${TextOps.Ws}]+"), s => s =!= lit(""))
+
   /** Repetition-based quality filter in the style of Gopher's
     * MassiveText rules (Rae et al. 2021, "Scaling Language Models",
     * table A1): a document is dropped when too much of it is
@@ -41,8 +50,7 @@ object Curation {
     gopherFiltersDocs(Tables.documents(spark, dir))
 
   private[graft] def gopherFiltersDocs(docs: DataFrame): DataFrame = {
-    val sent = docs.select(col("doc_id"),
-      filter(split(col("text"), s"[.!?][${TextOps.Ws}]+"), s => s =!= lit("")).as("sents"))
+    val sent = docs.select(col("doc_id"), sentsCol.as("sents"))
       .select(col("doc_id"), size(col("sents")).as("n_sent"),
         size(array_distinct(col("sents"))).as("n_distinct_sent"))
     val words = docs
@@ -57,24 +65,28 @@ object Curation {
       .select(col("doc_id"), col("n_sent"),
         dupFrac.as("dup_sentence_frac"),
         topFrac.as("top_word_frac"),
-        (dupFrac <= 0.30 && topFrac <= 0.20).as("keep_doc"))
+        (dupFrac <= DupSentenceMax && topFrac <= TopWordMax).as("keep_doc"))
       .orderBy("doc_id")
   }
 
-  /** The SAME Gopher verdicts as [[gopherFiltersDocs]] computed as a
+  /** The same Gopher verdicts as [[gopherFiltersDocs]] computed as a
     * pure per-row projection (array HOFs instead of the
     * explode+groupBy word count) — zero shuffle and zero state, which
     * makes it legal inside a streaming pipeline. O(distinct·words)
     * per doc vs the batch shape's shuffle: at corpus scale the
     * aggregation amortizes better, on a stream only this form works.
     * CurationSpec asserts the two formulations agree exactly.
+    *
+    * Equality holds for UNIQUE doc_id inputs (the documents-table
+    * contract): on a raw pre-dedup stream this form judges each
+    * delivery on its own text (the sensible streaming semantic),
+    * while the batch form would merge word counts across rows
+    * sharing a doc_id.
     */
   private[graft] def gopherNarrowDocs(docs: DataFrame): DataFrame = {
-    val sents = filter(split(col("text"), s"[.!?][${TextOps.Ws}]+"),
-      s => s =!= lit(""))
     val ws = filter(TextOps.normalizedWords, w => w =!= lit(""))
     docs
-      .withColumn("sents", sents)
+      .withColumn("sents", sentsCol)
       .withColumn("ws", ws)
       .filter(size(col("ws")) > 0) // batch shape drops wordless docs via its join
       .withColumn("n_sent", size(col("sents")))
@@ -87,14 +99,14 @@ object Curation {
           size(col("ws")).cast("double"))
       .select(col("doc_id"), col("n_sent"),
         col("dup_sentence_frac"), col("top_word_frac"),
-        (col("dup_sentence_frac") <= 0.30 && col("top_word_frac") <= 0.20)
-          .as("keep_doc"))
+        (col("dup_sentence_frac") <= DupSentenceMax &&
+          col("top_word_frac") <= TopWordMax).as("keep_doc"))
   }
 
   def gopherFiltersSql: String =
-    """WITH s AS (
+    s"""WITH s AS (
       |  SELECT doc_id,
-      |    list_filter(string_split_regex(text, '[.!?]\s+'), x -> x <> '') AS sents
+      |    list_filter(string_split_regex(text, '[.!?]\\s+'), x -> x <> '') AS sents
       |  FROM documents
       |), sm AS (
       |  SELECT doc_id, len(sents) AS n_sent,
@@ -103,7 +115,7 @@ object Curation {
       |), w AS (
       |  SELECT doc_id,
       |    unnest(list_filter(string_split(trim(regexp_replace(regexp_replace(
-      |      lower(trim(text)), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
+      |      lower(trim(text)), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
       |      x -> x <> '')) AS word
       |  FROM documents
       |), c AS (
@@ -114,8 +126,8 @@ object Curation {
       |SELECT sm.doc_id, n_sent,
       |  (n_sent - n_distinct_sent)::DOUBLE / greatest(n_sent, 1) AS dup_sentence_frac,
       |  top_n::DOUBLE / n_words AS top_word_frac,
-      |  ((n_sent - n_distinct_sent)::DOUBLE / greatest(n_sent, 1) <= 0.30
-      |    AND top_n::DOUBLE / n_words <= 0.20) AS keep_doc
+      |  ((n_sent - n_distinct_sent)::DOUBLE / greatest(n_sent, 1) <= $DupSentenceMax
+      |    AND top_n::DOUBLE / n_words <= $TopWordMax) AS keep_doc
       |FROM sm JOIN wm ON sm.doc_id = wm.doc_id
       |ORDER BY sm.doc_id""".stripMargin
 

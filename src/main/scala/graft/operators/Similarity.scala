@@ -77,9 +77,9 @@ object Similarity {
     * centroids. Built once, searched many times (RecallProbe sweeps
     * nProbe against one index instead of refitting per point).
     */
-  private[graft] case class IvfIndex(assigned: DataFrame, centers: DataFrame)
+  case class IvfIndex(assigned: DataFrame, centers: DataFrame)
 
-  private[graft] def ivfIndex(spark: SparkSession, dir: String): IvfIndex = {
+  def ivfIndex(spark: SparkSession, dir: String): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
@@ -106,15 +106,24 @@ object Similarity {
     idx.centers.write.mode("overwrite").parquet(s"$path/centers")
   }
 
-  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex =
-    IvfIndex(
-      spark.read.parquet(s"$path/assigned"),
-      spark.read.parquet(s"$path/centers"))
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    val assigned = spark.read.parquet(s"$path/assigned")
+    val centers = spark.read.parquet(s"$path/centers")
+    // validate + re-project to canonical order: the search path renames
+    // positionally, so a column-reordered dir must fail HERE, loudly,
+    // not mislabel norms as cells deep inside the join
+    require(assigned.columns.toSet == Set("vec_id", "v", "norm", "cell"),
+      s"invalid IVF index at $path/assigned: ${assigned.columns.mkString(",")}")
+    require(centers.columns.toSet == Set("center_cell", "center"),
+      s"invalid IVF index at $path/centers: ${centers.columns.mkString(",")}")
+    IvfIndex(assigned.select("vec_id", "v", "norm", "cell"),
+      centers.select("center_cell", "center"))
+  }
 
   def annIvf(spark: SparkSession, dir: String, nProbe: Int = 3): DataFrame =
     annIvfSearch(ivfIndex(spark, dir), nProbe)
 
-  private[graft] def annIvfSearch(idx: IvfIndex, nProbe: Int): DataFrame = {
+  def annIvfSearch(idx: IvfIndex, nProbe: Int): DataFrame = {
     val assigned = idx.assigned
     val centers = idx.centers
     // nProbe nearest cells per probe by L2 (rank via -2·p·c + c·c;

@@ -20,7 +20,7 @@ object TextOps {
     * side keeps tokenization identical to the oracle on any input,
     * not just the \x0B-free synthetic corpus.
     */
-  private[graft] val Ws = " \\t\\n\\f\\r"
+  private[operators] val Ws = " \\t\\n\\f\\r"
 
   private def words(c: Column): Column = split(trim(c), s"[$Ws]+")
 
@@ -284,9 +284,6 @@ object TextOps {
       |ORDER BY freq DESC, word
       |LIMIT 100""".stripMargin
 
-  /** Document fingerprinting: md5 of whitespace-normalized text —
-    * the join key for exact-dedup across shards.
-    */
   /** Content fingerprint of a text column (md5 of the
     * whitespace-normalized bytes) — shared by the batch fingerprint
     * query and the streaming doc dedup so their keys can't diverge.
@@ -294,6 +291,9 @@ object TextOps {
   private[graft] def fingerprintCol(c: Column): Column =
     md5(regexp_replace(lower(trim(c)), s"[$Ws]+", " ").cast("binary"))
 
+  /** Document fingerprinting: md5 of whitespace-normalized text —
+    * the join key for exact-dedup across shards.
+    */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))

@@ -120,7 +120,10 @@ object TickStream {
       .withColumn("ingest_ts", current_timestamp())
       .withWatermark("ingest_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
-      .select("doc_id", "fingerprint", "lang", "n_chars")
+      // keep every input column (incl. text): the survivors feed
+      // downstream stages — qualityDocsStream(dedupDocsStream(...))
+      // is the natural composition
+      .drop("ingest_ts")
 
   /** Streaming quality filtering: the Gopher repetition verdicts as a
     * stateless per-row projection (the narrow formulation of

@@ -289,6 +289,48 @@ class StreamingSpec extends SparkSuite {
     val streamedFps = streamed.map(_.getAs[String]("fingerprint"))
     assert(streamedFps.toSet == batchFps)
     assert(streamedFps.length == streamedFps.distinct.length, "dup survived")
+    // survivors keep their text so downstream stages can compose
+    assert(streamed.forall(_.getAs[String]("text") != null))
+  }
+
+  test("doc dedup state carries across microbatches") {
+    // the synthetic corpus has NO exact duplicates, so plant verbatim
+    // copies of the first 6 docs under shifted ids; 1000000 ≡ 1
+    // (mod 3), so a round-robin id%3 split puts every copy in a
+    // DIFFERENT file than its original. With one file per trigger the
+    // copy arrives in a later microbatch — exactly-one-survivor then
+    // proves the dedup state persists across batches.
+    val docs = Tables.documents(spark, sfDir)
+    val copies = docs.filter(col("doc_id") < 6)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val all = docs.unionByName(copies)
+    val staged = java.nio.file.Files.createTempDirectory("docsplit").toString
+    (0 to 2).foreach { p =>
+      all.filter(col("doc_id") % 3 === p).coalesce(1)
+        .write.parquet(s"$staged/f$p.parquet")
+    }
+    val streamDir = java.nio.file.Files.createTempDirectory("docflat")
+    new java.io.File(staged).listFiles().filter(_.isDirectory).sortBy(_.getName)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        val dst = streamDir.resolve(f"part$i%02d.parquet")
+        java.nio.file.Files.copy(f.toPath, dst)
+        require(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+      }
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    runToMemory(TickStream.dedupDocsStream(stream), "doc_dedup_split")
+    val survivors = spark.table("doc_dedup_split")
+      .select("fingerprint").collect().map(_.getString(0))
+    assert(survivors.length == survivors.distinct.length,
+      "a cross-batch duplicate survived twice — state not carried")
+    val batchFps = graft.operators.TextOps.fingerprint(spark, sfDir)
+      .select("fingerprint").distinct().collect().map(_.getString(0)).toSet
+    assert(survivors.toSet == batchFps,
+      "survivor set must equal the original distinct-fingerprint set")
+    assert(survivors.length == batchFps.size)
   }
 
   test("streaming gopher verdicts equal the batch quality filter") {
