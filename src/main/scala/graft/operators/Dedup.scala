@@ -178,6 +178,35 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** The 100 TB path for [[embeddingDedup]]: candidate pairs come
+    * from 8-bit hyperplane LSH buckets (hamming ≤ `radius` multiprobe
+    * SELF-join — one side expands to its mask set and equi-joins the
+    * other on `code`; the XOR mask of a colliding pair is unique, so
+    * no pair is produced twice) and the codegen'd dot kernel scores
+    * only colliding pairs. The exact cosine post-filter keeps
+    * precision at 1.0 (output ⊆ the exact all-pairs result —
+    * spec-asserted); recall on high-similarity pairs is the LSH
+    * tradeoff, pinned in LlmOpsSpec.
+    */
+  def embeddingDedupLsh(spark: SparkSession, dir: String,
+      radius: Int = 3): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("code", Similarity.lshCode(col("v")))
+    val a = e.toDF("a_id", "a_v", "a_norm", "a_code")
+      .withColumn("m", explode(typedLit(Similarity.hammingMasks(radius))))
+      .withColumn("code", col("a_code").bitwiseXOR(col("m")))
+      .drop("m", "a_code")
+    val b = e.toDF("b_id", "b_v", "b_norm", "code")
+    a.join(b, Seq("code"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dot(col("a_v"), col("b_v")) / (col("a_norm") * col("b_norm")))
+      .filter(col("cos") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy("a_id", "b_id")
+  }
+
   def embeddingDedupSql: String =
     """WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -151,12 +151,12 @@ object Similarity {
   /** Deterministic ±1 random hyperplanes (seeded, stable across
     * runs/JVMs since java.util.Random's algorithm is specified).
     */
-  private def planes: Seq[Array[Double]] = {
+  private[operators] def planes: Seq[Array[Double]] = {
     val rnd = new java.util.Random(42L)
     Seq.fill(NumPlanes)(Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  private def lshCode(v: Column): Column =
+  private[operators] def lshCode(v: Column): Column =
     planes.zipWithIndex.map { case (p, j) =>
       when(Dedup.dot(v, typedLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)

@@ -177,6 +177,22 @@ class LlmOpsSpec extends SparkSuite {
     assert(approx.nonEmpty)
   }
 
+  test("embeddingDedupLsh: exact subset of all-pairs, recall pinned") {
+    val exact = Dedup.embeddingDedup(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val approx = Dedup.embeddingDedupLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact cosine post-filter makes every emitted pair real
+    assert(approx.subsetOf(exact.keySet), "precision must be 1.0")
+    // the synthetic embeddings have no high-cos planted copies (max
+    // pair cosine ~0.5), so recall is pinned over ALL threshold pairs
+    // — the hardest case for hyperplane LSH (expected code hamming
+    // ~3 of 8 at cos 0.45; radius-3 multiprobe covers ~70% in theory)
+    assert(exact.nonEmpty)
+    val recall = (exact.keySet & approx).size.toDouble / exact.size
+    assert(recall >= 0.35, s"LSH dedup recall $recall on ${exact.size} pairs")
+  }
+
   test("persisted IVF index searches identically to a fresh build") {
     val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     val idx = Similarity.ivfIndex(spark, sfDir)
