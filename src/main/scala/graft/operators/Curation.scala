@@ -316,8 +316,13 @@ object Curation {
       def numPartitions: Int = parts
       def getPartition(key: Any): Int = (key.asInstanceOf[Long] / step).toInt
     }
+    // persist the sorted shuffle output: both the partition-sum pass
+    // and the offset pass consume it, and without a cache the corpus
+    // scan + shuffle would run twice (and the base offsets would rely
+    // on the recompute being deterministic)
     val sorted = toks.rdd.map(r => (r.getLong(0), r.getLong(1)))
       .repartitionAndSortWithinPartitions(partitioner)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val partSums = sorted
       .mapPartitionsWithIndex { (i, it) =>
         var s = 0L; it.foreach(s += _._2); Iterator.single((i, s))
@@ -332,7 +337,14 @@ object Curation {
         Row(id, n, start, start / budget, start % budget)
       }
     }
-    spark.createDataFrame(rows, packSchema).orderBy("doc_id")
+    // materialize the (one-small-row-per-doc) result so the input
+    // cache can be freed before returning; the checkpoint cuts the
+    // lineage, so the unpersist can't trigger a recompute of the
+    // corpus shuffle later
+    val out = spark.createDataFrame(rows, packSchema).orderBy("doc_id")
+      .localCheckpoint(eager = true)
+    sorted.unpersist(blocking = false)
+    out
   }
 
   /** The same packing as one SQL window cumsum — correct at oracle

@@ -175,6 +175,14 @@ object Similarity {
     * table, so cost is O(corpus ∩ probed buckets), independent of the
     * probe-batch size. At 100 TB the probe side stays
     * (probes × 93) rows — broadcastable for 10k+ probe batches.
+    *
+    * Selectivity caveat: NumPlanes = 8 gives only 256 buckets, and
+    * radius 3 probes 93/256 ≈ 36% of the code space — sized for the
+    * recall sweep on the test corpus (RecallProbe), not for
+    * production. At scale raise the planes (16-24 → 65k-16M buckets)
+    * and shrink the radius (1-2); the expansion set grows as
+    * Σ C(planes,k), k ≤ radius, so planes=16/radius=2 is 137 codes
+    * per probe over 65k buckets ≈ 0.2% of the space probed.
     */
   def annLsh(spark: SparkSession, dir: String, radius: Int = 3): DataFrame = {
     val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")

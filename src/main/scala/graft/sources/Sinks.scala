@@ -269,6 +269,19 @@ object Sinks {
     *
     * String columns are pinned to VARCHAR (Spark's Derby default is
     * CLOB, which cannot be compared or indexed in a MERGE ON clause).
+    *
+    * Identifier contract: COLUMN references are double-quoted to match
+    * the exact-case columns Spark's JDBC writer creates in the staging
+    * table; TABLE names are interpolated unquoted and case-fold per
+    * engine (Derby→upper, PostgreSQL→lower). Targets this function
+    * creates are therefore always consistent; a PRE-EXISTING target
+    * must have been created with case-exact (quoted) column DDL
+    * matching the DataFrame schema, or the quoted refs like
+    * t."user_id" won't resolve. Concurrency: each invocation stages
+    * into a unique table (dropped in a finally), so concurrent writers
+    * to the same TARGET serialize on the engine's MERGE row locks
+    * rather than clobbering each other's staging rows; last version
+    * wins per key either way, per the MERGE condition.
     */
   def upsertJdbc(updates: DataFrame, url: String, table: String,
       keyCols: Seq[String], versionCol: String): Unit = {
@@ -283,7 +296,10 @@ object Sinks {
     val deduped = updates
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
-    val staging = table + "_staging"
+    // unique per invocation: concurrent writers (batch job + streaming
+    // foreachBatch) must not share or race a fixed staging name
+    val staging = table + "_stg_" +
+      java.util.UUID.randomUUID().toString.replace("-", "").take(12)
     val stringCols = deduped.schema.fields
       .filter(_.dataType == org.apache.spark.sql.types.StringType)
       .map(f => s"${f.name} VARCHAR(32672)") // Derby's max VARCHAR
@@ -321,10 +337,13 @@ object Sinks {
              |  THEN UPDATE SET $setClause
              |WHEN NOT MATCHED THEN INSERT ($colList) VALUES ($insertVals)
              |""".stripMargin)
-        // drop the staging copy: leaving it would advertise a stale
-        // near-duplicate of the sink table to schema consumers
-        st.executeUpdate(s"DROP TABLE $staging")
-      } finally st.close()
+      } finally {
+        // always drop the staging copy — even on a failed MERGE —
+        // so aborted invocations don't leak uniquely-named tables
+        try st.executeUpdate(s"DROP TABLE $staging")
+        catch { case _: java.sql.SQLException => () }
+        st.close()
+      }
     } finally conn.close()
   }
 

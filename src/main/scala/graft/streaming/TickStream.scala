@@ -111,6 +111,12 @@ object TickStream {
     * streaming pass collapses duplicates inside the ingestion window,
     * and cross-window duplicates fall to the batch exact-dedup
     * compaction (the standard two-tier layout).
+    *
+    * Because the watermark key is PROCESSING time, the within-window
+    * guarantee holds per checkpoint lineage only: a crash-replayed
+    * microbatch re-stamps a fresh ingest_ts, so duplicates straddling
+    * a restart boundary can both survive the streaming tier (at-least-
+    * once replay). The batch compaction is the cross-restart backstop.
     */
   def dedupDocsStream(docs: DataFrame,
       watermarkDelay: String = "10 minutes"): DataFrame =
