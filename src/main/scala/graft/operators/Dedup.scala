@@ -165,7 +165,17 @@ object Dedup {
     * from [[Similarity.annLsh]] buckets and this kernel only scores
     * colliding pairs.
     */
-  def embeddingDedup(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingDedup(spark: SparkSession, dir: String): DataFrame =
+    embeddingPairsBase(spark, dir)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy("a_id", "b_id")
+
+  /** Unsorted/unrounded pair kernel for internal composition (the
+    * trailing ORDER BY on [[embeddingDedup]] is driver determinism
+    * only and would cost a useless global sort mid-pipeline).
+    */
+  private[operators] def embeddingPairsBase(spark: SparkSession,
+      dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
@@ -174,8 +184,6 @@ object Dedup {
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("cos", dot(col("a_v"), col("b_v")) / (col("a_norm") * col("b_norm")))
       .filter(col("cos") >= 0.4)
-      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
-      .orderBy("a_id", "b_id")
   }
 
   /** The 100 TB path for [[embeddingDedup]]: candidate pairs come
@@ -206,6 +214,100 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
       .orderBy("a_id", "b_id")
   }
+
+  // ------------------------------------------------- cluster resolution
+
+  /** Connected components over an undirected edge set (`src`, `dst`)
+    * for vertex set (`id`), by iterative min-label propagation:
+    * `label(v) ← min(label(v), min over neighbors' labels)` to
+    * fixpoint. Each round costs two hash shuffles (neighbor-min
+    * partial agg + label join) plus a count for convergence; labels
+    * are checkpointed per round so the plan stays flat instead of
+    * stacking one join per iteration. Round count is bounded by the
+    * component DIAMETER — near-dup clusters are dense (quasi-cliques
+    * around a shared template), so 2-4 rounds in practice. If
+    * components were adversarially chain-shaped, the star-contraction
+    * family (alternating large-star/small-star) caps rounds at
+    * O(log n) for ~2× per-round cost; duplicate clusters don't need
+    * it, which is why the simpler diameter-bound loop is the default.
+    *
+    * Returns one row per vertex: (id, label) with label = the minimum
+    * id in the vertex's component.
+    */
+  private[graft] def connectedComponents(vertices: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(eager = true) // scanned every round — compute once
+    var labels = vertices.select(col("id"), col("id").as("label"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    while (changed > 0) {
+      val nbrMin = und.withColumnRenamed("dst", "id")
+        .join(labels, "id")
+        .groupBy(col("src").as("id")).agg(min("label").as("nbr_min"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(eager = true)
+      changed = next.toDF("id", "new_label").join(labels, "id")
+        .filter(col("new_label") =!= col("label")).count()
+      labels = next
+    }
+    labels
+  }
+
+  /** Duplicate-CLUSTER resolution — the step that actually dedups a
+    * corpus. Near-dup PAIRS alone don't: similarity is not transitive
+    * at the candidate level (A~B and B~C must collapse into ONE
+    * cluster even when (A, C) never surfaced as a pair), so keeping
+    * "one doc per pair" over-deletes and under-deletes. This resolves
+    * the pair graph to connected components and emits every vector
+    * with its cluster representative (minimum vec_id in the component)
+    * and the keep verdict (representatives survive).
+    *
+    * Pairs here come from the exact cosine kernel so the whole query
+    * is oracle-checkable; at 100 TB the pair source swaps to the
+    * bucketed [[embeddingDedupLsh]] candidates — same resolution pass.
+    */
+  def embeddingClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = embeddingPairsBase(spark, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val verts = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
+    connectedComponents(verts, pairs)
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("keep"))
+      .orderBy("vec_id")
+  }
+
+  /** DuckDB dual of [[embeddingClusters]]: exact transitive closure by
+    * recursive CTE (affordable at oracle scale), cluster id = min
+    * reachable id — the same fixpoint the distributed label
+    * propagation converges to.
+    */
+  def embeddingClustersSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_sum(list_transform(list_zip(embedding::DOUBLE[], embedding::DOUBLE[]),
+      |      z -> z[1] * z[2]))) AS norm
+      |  FROM embeddings
+      |), pairs AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+      |      / (a.norm * b.norm) >= 0.4
+      |), edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+      |  UNION
+      |  SELECT ed.src AS id, reach.r AS r
+      |  FROM reach JOIN edges ed ON ed.dst = reach.id
+      |)
+      |SELECT id AS vec_id, min(r) AS cluster_id, (id = min(r)) AS keep
+      |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
 
   def embeddingDedupSql: String =
     """WITH e AS (

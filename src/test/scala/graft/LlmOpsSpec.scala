@@ -140,6 +140,47 @@ class LlmOpsSpec extends SparkSuite {
     assert(pairs.filter("cosine < 0.4 OR cosine > 1.0").count() == 0)
   }
 
+  test("connectedComponents resolves chains, cliques, and singletons") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), clique
+    // {10,11,12}, bridge 12-13, isolated vertices 20 and 21
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 20L, 21L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (13L, 12L)).toDF("src", "dst")
+    val got = Dedup.connectedComponents(verts, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 21L)
+    assert(got == want)
+  }
+
+  test("embeddingClusters equals a driver-side union-find over the pairs") {
+    // independent oracle: union-find over the collected exact pairs
+    val pairs = Dedup.embeddingDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = Tables.embeddings(spark, sfDir).select("vec_id").collect()
+      .map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      parent(x) = r; r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = ids.map(i => i -> find(i)).toMap
+    val got = Dedup.embeddingClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // keep verdicts: exactly one representative per cluster, = its min
+    val clusters = Dedup.embeddingClusters(spark, sfDir)
+    assert(clusters.filter("keep AND vec_id != cluster_id").count() == 0)
+    assert(clusters.filter("keep").count() ==
+      clusters.select("cluster_id").distinct().count())
+  }
+
   test("annBruteForce returns k ranked neighbors per probe") {
     val df = Similarity.annBruteForce(spark, sfDir).collect()
     val byProbe = df.groupBy(_.getAs[Long]("probe_id"))
