@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -346,6 +347,216 @@ object Curation {
     sorted.unpersist(blocking = false)
     out
   }
+
+  // ----------------------------------------------- full Gopher rule set
+
+  /** The Gopher document-quality stop-word set (Rae et al. 2021,
+    * table A1 rule 7).
+    */
+  private val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The FULL Gopher/MassiveText document-quality rule set (Rae et
+    * al. 2021, table A1) — [[gopherFilters]] covers the two
+    * repetition rules; this emits the remaining per-document signals:
+    * word count in [50, 100k], mean word length in [3, 10],
+    * symbol-to-word ratio (# and ...) < 0.1, < 90% of lines
+    * bullet-started, < 30% of lines ellipsis-ended, ≥ 80% of words
+    * with an alphabetic character, and ≥ 2 of the 8 Gopher stop words
+    * present — plus the conjunction verdict.
+    *
+    * Pure per-row narrow projection: zero shuffle, composes into the
+    * streaming tier like [[gopherNarrowDocs]]. All ratios are exact
+    * integer÷integer IEEE divisions (mean word length via
+    * `length(array_join(ws, ''))` so the sum stays codegen'd).
+    */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame =
+    gopherQualityDocs(Tables.documents(spark, dir))
+
+  private[graft] def gopherQualityDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ws",
+        filter(split(trim(col("text")), s"[${TextOps.Ws}]+"), w => w =!= lit("")))
+      .withColumn("lines",
+        filter(split(col("text"), "\n"), l => trim(l) =!= lit("")))
+      .withColumn("n_words", size(col("ws")))
+      .withColumn("n_lines", size(col("lines")))
+      .withColumn("mean_word_len",
+        length(array_join(col("ws"), "")).cast("double") /
+          greatest(col("n_words"), lit(1)).cast("double"))
+      .withColumn("symbol_ratio",
+        ((length(col("text")) - length(replace(col("text"), lit("#")))).cast("double") +
+          (length(col("text")) - length(replace(col("text"), lit("...")))).cast("double") / 3)
+          / greatest(col("n_words"), lit(1)).cast("double"))
+      .withColumn("bullet_frac",
+        size(filter(col("lines"), l => startswith(ltrim(l), lit("-")) ||
+          startswith(ltrim(l), lit("*")) || startswith(ltrim(l), lit("•"))))
+          .cast("double") / greatest(col("n_lines"), lit(1)).cast("double"))
+      .withColumn("ellipsis_frac",
+        size(filter(col("lines"), l => endswith(rtrim(l), lit("...")) ||
+          endswith(rtrim(l), lit("…"))))
+          .cast("double") / greatest(col("n_lines"), lit(1)).cast("double"))
+      .withColumn("alpha_frac",
+        size(filter(col("ws"), w => w.rlike("[a-zA-Z]"))).cast("double") /
+          greatest(col("n_words"), lit(1)).cast("double"))
+      .withColumn("n_stop",
+        size(array_intersect(typedLit(GopherStops), transform(col("ws"), w => lower(w)))))
+      .select(col("doc_id"), col("n_words"), col("n_lines"),
+        col("mean_word_len"), col("symbol_ratio"), col("bullet_frac"),
+        col("ellipsis_frac"), col("alpha_frac"), col("n_stop"),
+        (col("n_words").between(50, 100000) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") < 0.1 && col("bullet_frac") < 0.9 &&
+          col("ellipsis_frac") < 0.3 && col("alpha_frac") >= 0.8 &&
+          col("n_stop") >= 2).as("keep_doc"))
+      .orderBy("doc_id")
+
+  def gopherQualitySql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(trim(text), '\s+'), w -> w <> '') AS ws,
+      |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+      |  FROM documents
+      |), m AS (
+      |  SELECT doc_id, len(ws) AS n_words, len(lines) AS n_lines,
+      |    len(array_to_string(ws, ''))::DOUBLE / greatest(len(ws), 1) AS mean_word_len,
+      |    ((len(text) - len(replace(text, '#', '')))::DOUBLE
+      |      + (len(text) - len(replace(text, '...', '')))::DOUBLE / 3)
+      |      / greatest(len(ws), 1) AS symbol_ratio,
+      |    len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+      |      OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))::DOUBLE
+      |      / greatest(len(lines), 1) AS bullet_frac,
+      |    len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+      |      OR ends_with(rtrim(l), '…')))::DOUBLE
+      |      / greatest(len(lines), 1) AS ellipsis_frac,
+      |    len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))::DOUBLE
+      |      / greatest(len(ws), 1) AS alpha_frac,
+      |    len(list_intersect(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+      |      list_transform(ws, w -> lower(w)))) AS n_stop
+      |  FROM d
+      |)
+      |SELECT doc_id, n_words, n_lines, mean_word_len, symbol_ratio, bullet_frac,
+      |  ellipsis_frac, alpha_frac, n_stop,
+      |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+      |   AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
+      |   AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep_doc
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------- line dedup
+
+  /** C4-style corpus-level LINE dedup (Raffel et al. 2020 §2.2: any
+    * line occurring more than once in the corpus is kept only at its
+    * FIRST occurrence): lines are keyed by their text, first = minimum
+    * (doc_id, position), survivors are reassembled in document order.
+    * Blank lines are dropped (they would otherwise all collapse into
+    * one corpus-wide survivor).
+    *
+    * Scale shape: ONE shuffle keyed by the line text for the
+    * first-occurrence window (the key a 100 TB corpus distributes
+    * well — line cardinality ≈ corpus size), one doc_id shuffle for
+    * reassembly. No corpus-wide sort or driver state.
+    */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame =
+    lineDedupDocs(Tables.documents(spark, dir))
+
+  private[graft] def lineDedupDocs(docs: DataFrame): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .filter(trim(col("line")) =!= "")
+    val w = Window.partitionBy("line").orderBy("doc_id", "pos")
+    val marked = lines.withColumn("rn", row_number().over(w))
+    val perDoc = marked.groupBy("doc_id").agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(
+        when(col("rn") === 1, struct(col("pos"), col("line"))))),
+        s => s.getField("line")), "\n").as("text_kept"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+      .orderBy("doc_id")
+  }
+
+  def lineDedupSql: String =
+    """WITH l AS (
+      |  SELECT doc_id,
+      |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+      |    unnest(string_split(text, chr(10))) AS line
+      |  FROM documents
+      |), nb AS (
+      |  SELECT doc_id, pos, line,
+      |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+      |  FROM l WHERE trim(line) <> ''
+      |), per_doc AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_lines,
+      |    sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+      |    coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+      |      ORDER BY pos), '') AS text_kept
+      |  FROM nb GROUP BY doc_id
+      |)
+      |SELECT d.doc_id, coalesce(n_lines, 0) AS n_lines,
+      |  coalesce(n_kept, 0) AS n_kept, coalesce(text_kept, '') AS text_kept
+      |FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ------------------------------------------------------- span dedup
+
+  /** Span width (words) for the repeated-span signal. */
+  private val SpanN = 5
+
+  /** Repeated-SPAN detection in the style of exact-substring training
+    * -data dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): every word `SpanN`-gram is keyed
+    * corpus-wide; occurrences after the first (ordered by (doc_id,
+    * position)) are DUPLICATED SPANS. Emits per document the span
+    * count, duplicated-span count, and duplicated fraction — the
+    * signal a pipeline thresholds to drop or trim boilerplate-heavy
+    * documents. Same scale shape as [[lineDedup]]: one shuffle keyed
+    * by the span hash, one per-doc aggregation.
+    */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedupDocs(Tables.documents(spark, dir))
+
+  private[graft] def spanDedupDocs(docs: DataFrame): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"),
+        split(trim(col("text")), s"[${TextOps.Ws}]+").as("ws"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("ws")) >= SpanN,
+          expr(s"transform(sequence(1, size(ws) - ${SpanN - 1}), " +
+            s"i -> array_join(slice(ws, i, $SpanN), ' '))"))
+          .otherwise(typedLit(Seq.empty[String]))).as(Seq("pos", "gram")))
+    val w = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    spans.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  def spanDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(ws) - ${SpanN - 1} + 1)) AS pos,
+       |    unnest(list_transform(range(1, len(ws) - ${SpanN - 1} + 1),
+       |      i -> array_to_string(ws[i:i + ${SpanN - 1}], ' '))) AS gram
+       |  FROM d WHERE len(ws) >= $SpanN
+       |), r AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+       |  FROM g
+       |)
+       |SELECT doc_id, count(*)::BIGINT AS n_spans,
+       |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_spans,
+       |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS dup_span_frac
+       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** The same packing as one SQL window cumsum — correct at oracle
     * scale, where a global ORDER BY window is affordable.

@@ -68,6 +68,75 @@ class CurationSpec extends SparkSuite {
     assert(narrow.exceptAll(agg).count() == 0)
   }
 
+  test("gopherQuality judges each rule on crafted documents") {
+    import spark.implicits._
+    val good = ("the analytics engine and the scheduler have to " +
+      "coordinate with care so that every batch of work lands " +
+      "exactly once and the output stays stable over time ") * 2
+    val docs = Seq(
+      (1L, good),                                   // passes all rules
+      (2L, "short doc that ends here"),             // < 50 words
+      (3L, ("a " * 60).trim),                       // mean word len < 3, 1 stop word
+      (4L, good.replaceAll("\\w+", "#####")),       // symbols, no alpha
+      (5L, (1 to 60).map(i => s"- bullet $i line").mkString("\n")), // bullets
+      (6L, good + "\nmore...\nagain...\ntrail..."))  // some ellipsis lines
+      .toDF("doc_id", "text")
+    val out = Curation.gopherQualityDocs(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getAs[Boolean]("keep_doc"))
+    assert(!out(2).getAs[Boolean]("keep_doc") && out(2).getAs[Int]("n_words") < 50)
+    assert(!out(3).getAs[Boolean]("keep_doc") &&
+      out(3).getAs[Double]("mean_word_len") < 3.0)
+    assert(!out(4).getAs[Boolean]("keep_doc") &&
+      out(4).getAs[Double]("alpha_frac") < 0.8 &&
+      out(4).getAs[Double]("symbol_ratio") >= 0.1)
+    assert(!out(5).getAs[Boolean]("keep_doc") &&
+      out(5).getAs[Double]("bullet_frac") >= 0.9)
+    // doc 6: 3 ellipsis lines of 4 total = 0.75 ≥ 0.3 → dropped
+    assert(!out(6).getAs[Boolean]("keep_doc") &&
+      out(6).getAs[Double]("ellipsis_frac") >= 0.3)
+  }
+
+  test("lineDedup keeps only first occurrences of corpus-repeated lines") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha\nshared line\nbeta"),
+      (2L, "shared line\ngamma\n\n  "),   // dup of doc 1's line + blanks
+      (3L, "delta\nshared line\ndelta"),  // corpus dup AND self dup
+      (4L, "   \n\n")).toDF("doc_id", "text") // only blanks
+    val out = Curation.lineDedupDocs(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getAs[String]("text_kept") == "alpha\nshared line\nbeta")
+    assert(out(2).getAs[Long]("n_lines") == 2 &&
+      out(2).getAs[Long]("n_kept") == 1 &&
+      out(2).getAs[String]("text_kept") == "gamma")
+    assert(out(3).getAs[Long]("n_kept") == 1 &&
+      out(3).getAs[String]("text_kept") == "delta")
+    assert(out(4).getAs[Long]("n_lines") == 0 &&
+      out(4).getAs[String]("text_kept") == "")
+  }
+
+  test("spanDedup counts corpus-repeated word 5-gram spans") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six"),   // spans: 2, both first
+      (2L, "one two three four five again"), // 1 of 2 spans duplicated
+      (3L, "totally different words in this doc"),
+      (4L, "tiny doc")).toDF("doc_id", "text") // < 5 words → no row
+    val out = Curation.spanDedupDocs(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1).getAs[Long]("n_spans") == 2 &&
+      out(1).getAs[Long]("n_dup_spans") == 0)
+    assert(out(2).getAs[Long]("n_spans") == 2 &&
+      out(2).getAs[Long]("n_dup_spans") == 1 &&
+      out(2).getAs[Double]("dup_span_frac") == 0.5)
+    assert(out(3).getAs[Long]("n_dup_spans") == 0)
+    assert(!out.contains(4L))
+    // and on the synthetic corpus the repeated-span mass is non-zero
+    val corpus = Curation.spanDedup(spark, sfDir)
+    assert(corpus.agg(sum("n_dup_spans")).head.getLong(0) > 0)
+  }
+
   test("redactPii scrubs urls, emails, and ssn-shaped numbers") {
     import spark.implicits._
     val df = Seq(
