@@ -45,6 +45,11 @@ object RecallProbe {
       println(f"[recall] ivf nProbe=$nProbe cells=${nProbe}/16 recall@10=$recall%.3f")
     }
     idx.assigned.unpersist()
+    for (rerank <- Seq(10, 16, 32, 64)) {
+      val got = pairs(operators.Similarity.annSq8(spark, dir, rerank))
+      val recall = (exact & got).size.toDouble / exact.size
+      println(f"[recall] sq8 rerank=$rerank%2d recall@10=$recall%.3f")
+    }
     spark.stop()
   }
 }

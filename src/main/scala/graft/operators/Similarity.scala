@@ -184,6 +184,67 @@ object Similarity {
     * Σ C(planes,k), k ≤ radius, so planes=16/radius=2 is 137 codes
     * per probe over 65k buckets ≈ 0.2% of the space probed.
     */
+  /** Int8 scalar-quantized approximate top-k with exact reranking —
+    * the memory-bound scale path (the index stores 1 byte/dim, 8×
+    * smaller than float64 and 4× smaller than float32, so 8× more
+    * corpus fits per executor page-cache byte):
+    *
+    *  1. TRAIN: per-dimension [min, max] over the corpus (one narrow
+    *     agg, 64 rows to the driver, broadcast back).
+    *  2. QUANTIZE: each dimension to `round((x-lo)/(hi-lo)·255)` —
+    *     the stored representation is the int8 code array.
+    *  3. SEARCH (asymmetric, ADC-style): probes stay FULL precision;
+    *     candidates are scored against the DEQUANTIZED codes only —
+    *     the full-precision corpus vector is never touched.
+    *  4. RERANK: the top `rerank` candidates per probe fetch their
+    *     true vectors by vec_id (the only random access) and are
+    *     re-scored exactly; final top-k comes from exact cosines.
+    *
+    * The dequantize-and-dot runs as array HOFs here (64 dims at test
+    * scale); the production hot path would fuse them into one codegen
+    * expression like [[graft.functions.VectorDot]].
+    */
+  def annSq8(spark: SparkSession, dir: String, rerank: Int = 32): DataFrame = {
+    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
+    val stats = corpus
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min("x").as("lo"), max("x").as("hi"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val lo = stats.map(_._2)
+    // zero-span dims (constant column) dequantize exactly to lo
+    val span = stats.map(s => math.max(s._3 - s._2, Double.MinPositiveValue))
+    val codes = transform(col("v"), (x, i) =>
+      least(greatest(round((x - element_at(typedLit(lo), i + 1))
+        / element_at(typedLit(span), i + 1) * 255, 0), lit(0.0)), lit(255.0))
+        .cast("int"))
+    val dequant = transform(col("codes"), (c, i) =>
+      element_at(typedLit(lo), i + 1) +
+        c.cast("double") / 255 * element_at(typedLit(span), i + 1))
+    // the index: vec_id + int8 codes (what a 100 TB deployment stores)
+    val index = corpus.select(col("vec_id"), codes.as("codes"))
+      .withColumn("dq", dequant)
+      .withColumn("dq_norm", sqrt(Dedup.dot(col("dq"), col("dq"))))
+    val probes = corpus.filter(col("vec_id") < NumProbes)
+      .toDF("probe_id", "p_v", "p_norm")
+    val approx = index.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("approx_cos",
+        Dedup.dot(col("dq"), col("p_v")) / (col("dq_norm") * col("p_norm")))
+    val wa = Window.partitionBy("probe_id").orderBy(col("approx_cos").desc, col("vec_id"))
+    val cands = approx.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+      .select("probe_id", "p_v", "p_norm", "vec_id")
+    // exact rerank: only `rerank` candidates per probe fetch true vectors
+    val rescored = cands.join(corpus, Seq("vec_id"))
+      .withColumn("cos", Dedup.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
   def annLsh(spark: SparkSession, dir: String, radius: Int = 3): DataFrame = {
     val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
       .withColumn("code", lshCode(col("v")))

@@ -218,6 +218,28 @@ class LlmOpsSpec extends SparkSuite {
     assert(approx.nonEmpty)
   }
 
+  test("annSq8 recall against brute force is near-exact") {
+    val exactRows = Similarity.annBruteForce(spark, sfDir).collect()
+    val exact = exactRows.map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.annSq8(spark, sfDir).collect()
+    val got = approx.map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // int8 + 32-candidate exact rerank loses almost nothing
+    assert(recall >= 0.9, s"SQ8 recall $recall")
+    // reranked cosines are EXACT — identical to brute force for
+    // every neighbor both variants returned
+    val exactCos = exactRows.map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    approx.foreach { r =>
+      val k = (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))
+      exactCos.get(k).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+    // shape: 10 ranked rows per probe
+    assert(approx.groupBy(_.getAs[Long]("probe_id")).forall(_._2.length == 10))
+  }
+
   test("embeddingDedupLsh: exact subset of all-pairs, recall pinned") {
     val exact = Dedup.embeddingDedup(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
