@@ -79,21 +79,8 @@ object Similarity {
     */
   case class IvfIndex(assigned: DataFrame, centers: DataFrame)
 
-  def ivfIndex(spark: SparkSession, dir: String): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
-      .withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
-      .fit(corpus.select("features"))
-    val assigned = model.transform(corpus)
-      .select(col("vec_id"), col("v"), col("norm"), col("prediction").as("cell"))
-    val centers = spark.createDataFrame(
-      model.clusterCenters.zipWithIndex.toIndexedSeq
-        .map { case (c, i) => (i, c.toArray) })
-      .toDF("center_cell", "center")
-    IvfIndex(assigned, centers)
-  }
+  def ivfIndex(spark: SparkSession, dir: String): IvfIndex =
+    fitIvf(vecs(spark, dir).toDF("vec_id", "v", "norm"))
 
   /** Persist a fitted IVF index (cell-assigned corpus + centroids) as
     * parquet — build once, serve many: at scale the assignment pass
@@ -122,6 +109,82 @@ object Similarity {
 
   def annIvf(spark: SparkSession, dir: String, nProbe: Int = 3): DataFrame =
     annIvfSearch(ivfIndex(spark, dir), nProbe)
+
+  /** Mean nearest-centroid L2 distance of an assigned corpus — the
+    * quantization error the drift test compares against. One narrow
+    * pass (centroids broadcast); a production index would persist this
+    * scalar at build time instead of recomputing it.
+    */
+  private[operators] def meanAssignedDistance(idx: IvfIndex): Double =
+    idx.assigned
+      .join(broadcast(idx.centers), col("cell") === col("center_cell"))
+      .select(avg(sqrt(Dedup.dot(col("v"), col("v"))
+        - lit(2.0) * Dedup.dot(col("v"), col("center"))
+        + Dedup.dot(col("center"), col("center")))).as("d"))
+      .head.getDouble(0)
+
+  /** INCREMENTAL index maintenance — how a 100 TB deployment absorbs
+    * a new ingest batch without refitting the coarse quantizer on
+    * every write:
+    *
+    *  - APPEND path (no drift): new vectors are assigned to their
+    *    nearest EXISTING centroid — a narrow broadcast map over the
+    *    batch only; the corpus is untouched.
+    *  - RECLUSTER path (drift): when the batch's mean
+    *    nearest-centroid distance exceeds `driftFactor ×` the index's
+    *    own mean quantization error — i.e. the new data lives where
+    *    the trained cells aren't — the quantizer is refit over
+    *    corpus + batch and everything is reassigned. Refit cost is
+    *    amortized: it triggers on distribution SHIFT, not on volume.
+    *
+    * Returns the updated index and whether a recluster happened.
+    */
+  def updateIvfIndex(idx: IvfIndex, newVecs: DataFrame,
+      driftFactor: Double = 1.5): (IvfIndex, Boolean) = {
+    val batch = newVecs
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))
+    // nearest existing centroid per new vector (argmin over a
+    // broadcast crossJoin — centers are k rows)
+    val w = Window.partitionBy("vec_id").orderBy(col("d2"), col("center_cell"))
+    val assignedBatch = batch.crossJoin(broadcast(idx.centers))
+      .withColumn("d2", Dedup.dot(col("v"), col("v"))
+        - lit(2.0) * Dedup.dot(col("v"), col("center"))
+        + Dedup.dot(col("center"), col("center")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val batchDist = assignedBatch
+      .select(avg(sqrt(greatest(col("d2"), lit(0.0)))).as("d")).head.getDouble(0)
+    val drifted = batchDist > driftFactor * meanAssignedDistance(idx)
+    val union = idx.assigned.select("vec_id", "v", "norm")
+      .unionByName(batch.select("vec_id", "v", "norm"))
+    if (!drifted) {
+      val appended = idx.assigned.unionByName(
+        assignedBatch.select(col("vec_id"), col("v"), col("norm"),
+          col("center_cell").as("cell")))
+      (IvfIndex(appended, idx.centers), false)
+    } else {
+      (fitIvf(union), true)
+    }
+  }
+
+  /** Fit the coarse quantizer over an arbitrary (vec_id, v, norm)
+    * corpus — shared by [[ivfIndex]] and the drift recluster path.
+    */
+  private def fitIvf(corpus: DataFrame): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
+      .fit(feats.select("features"))
+    val assigned = model.transform(feats)
+      .select(col("vec_id"), col("v"), col("norm"), col("prediction").as("cell"))
+    val centers = corpus.sparkSession.createDataFrame(
+      model.clusterCenters.zipWithIndex.toIndexedSeq
+        .map { case (c, i) => (i, c.toArray) })
+      .toDF("center_cell", "center")
+    IvfIndex(assigned, centers)
+  }
 
   def annIvfSearch(idx: IvfIndex, nProbe: Int): DataFrame = {
     val assigned = idx.assigned

@@ -256,6 +256,43 @@ class LlmOpsSpec extends SparkSuite {
     assert(recall >= 0.35, s"LSH dedup recall $recall on ${exact.size} pairs")
   }
 
+  test("updateIvfIndex appends in-distribution batches, refits on drift") {
+    val idx = Similarity.ivfIndex(spark, sfDir)
+    val n0 = idx.assigned.count()
+    // append path: the centroids themselves as new vectors — zero
+    // quantization error, so no drift by construction
+    val easy = idx.centers.select(
+      (col("center_cell").cast("long") + 100000L).as("vec_id"),
+      col("center").as("v"))
+    val (appended, refit1) = Similarity.updateIvfIndex(idx, easy)
+    assert(!refit1, "in-distribution batch must not trigger a refit")
+    assert(appended.assigned.count() == n0 + 16)
+    // each centroid vector lands in its OWN cell, with the original
+    // centers untouched
+    val cells = appended.assigned.filter(col("vec_id") >= 100000L)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) - 100000L -> r.getInt(1)).toMap
+    assert(cells.forall { case (c, cell) => cell.toLong == c })
+    assert(appended.centers.collect().map(_.toString).sorted
+      .sameElements(idx.centers.collect().map(_.toString).sorted))
+    // drift path: the same batch shifted far outside the trained
+    // distribution must force a recluster over corpus + batch
+    val far = easy.select(col("vec_id"),
+      transform(col("v"), x => x + lit(100.0)).as("v"))
+    val (refitIdx, refit2) = Similarity.updateIvfIndex(idx, far)
+    assert(refit2, "out-of-distribution batch must trigger a refit")
+    assert(refitIdx.assigned.count() == n0 + 16)
+    // the refit quantizer covers the new region: every far vector's
+    // assigned centroid is itself far out (no old-cell mislabeling)
+    val farCells = refitIdx.assigned.filter(col("vec_id") >= 100000L)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val centerNorms = refitIdx.centers.collect()
+      .map(r => r.getInt(0) -> math.sqrt(
+        r.getSeq[Double](1).map(x => x * x).sum)).toMap
+    assert(farCells.forall(c => centerNorms(c) > 100.0),
+      s"far vectors must map to far centroids, got cells $farCells")
+  }
+
   test("persisted IVF index searches identically to a fresh build") {
     val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     val idx = Similarity.ivfIndex(spark, sfDir)
