@@ -348,6 +348,98 @@ object Curation {
     out
   }
 
+  // ------------------------------------------------------ data mixing
+
+  /** Per-source (domain) corpus statistics — the inputs a data-mixing
+    * stage weighs: document and token mass, language spread, token
+    * share of the corpus. One partial-agg shuffle on `source`; the
+    * corpus-total join is a broadcast of a single aggregated row (a
+    * global window here would serialize the per-source table through
+    * one partition at scale).
+    *
+    * token_share is an exact BIGINT÷BIGINT division; mean_chars is
+    * sum÷count — both bit-stable across engines.
+    */
+  def domainStats(spark: SparkSession, dir: String): DataFrame = {
+    val perSource = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
+          w => w =!= lit(""))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        countDistinct("lang").as("n_langs"), sum("n_chars").as("sum_chars"))
+    val totals = perSource.agg(sum("n_tokens").as("total_tokens"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        (col("sum_chars").cast("double") / col("n_docs").cast("double")).as("mean_chars"),
+        (col("n_tokens").cast("double") / col("total_tokens").cast("double")).as("token_share"))
+      .orderBy("source")
+  }
+
+  def domainStatsSql: String =
+    """WITH per_doc AS (
+      |  SELECT source, lang, n_chars,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> ''))::BIGINT AS n_tok
+      |  FROM documents
+      |), per_source AS (
+      |  SELECT source, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+      |    count(DISTINCT lang)::BIGINT AS n_langs, sum(n_chars)::BIGINT AS sum_chars
+      |  FROM per_doc GROUP BY source
+      |), t AS (SELECT sum(n_tokens)::BIGINT AS total_tokens FROM per_source)
+      |SELECT source, n_docs, n_tokens, n_langs,
+      |  sum_chars::DOUBLE / n_docs AS mean_chars,
+      |  n_tokens::DOUBLE / total_tokens AS token_share
+      |FROM per_source, t ORDER BY source""".stripMargin
+
+  /** Temperature-based mixture sampling (the multilingual/multi-domain
+    * rebalancing rule, α = 0.5): source s is downsampled at rate
+    * `sqrt(min_tokens / tokens_s)` — algebraically the α = 0.5
+    * temperature weights `q_s ∝ p_s^α` realized by per-document
+    * acceptance, normalized so the SMALLEST source keeps everything
+    * (subsampling can only downweight). The formulation is chosen for
+    * bit-stability: one sqrt of an exact integer ratio — sqrt is
+    * correctly rounded under IEEE 754 on both engines, unlike pow —
+    * so the acceptance threshold is cross-engine exact.
+    *
+    * Acceptance reuses the deterministic multiplicative doc_id hash of
+    * [[stratifiedSample]] (per-million here for rate resolution);
+    * production key ranges swap in xxhash64 the same way.
+    */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
+          w => w =!= lit(""))).cast("long").as("n_tok"))
+    val perSource = docs.groupBy("source").agg(sum("n_tok").as("n_tokens"))
+    val minTok = perSource.agg(min("n_tokens").as("min_tokens"))
+    val rates = perSource.crossJoin(broadcast(minTok))
+      .select(col("source"),
+        round(sqrt(col("min_tokens").cast("double") / col("n_tokens").cast("double"))
+          * 1000000, 0).cast("long").as("accept_ppm"))
+    docs.join(broadcast(rates), Seq("source"))
+      .filter((col("doc_id") % 1000003L * lit(2654435761L)) % 1000000L < col("accept_ppm"))
+      .select(col("doc_id"), col("source"), col("accept_ppm"))
+      .orderBy("doc_id")
+  }
+
+  def mixtureSampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> ''))::BIGINT AS n_tok
+      |  FROM documents
+      |), per_source AS (
+      |  SELECT source, sum(n_tok)::BIGINT AS n_tokens FROM d GROUP BY source
+      |), m AS (SELECT min(n_tokens)::BIGINT AS min_tokens FROM per_source),
+      |r AS (
+      |  SELECT source,
+      |    round(sqrt(min_tokens::DOUBLE / n_tokens) * 1000000, 0)::BIGINT AS accept_ppm
+      |  FROM per_source, m
+      |)
+      |SELECT doc_id, d.source, accept_ppm
+      |FROM d JOIN r ON d.source = r.source
+      |WHERE (doc_id % 1000003 * 2654435761) % 1000000 < accept_ppm
+      |ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------- full Gopher rule set
 
   /** The Gopher document-quality stop-word set (Rae et al. 2021,

@@ -284,6 +284,95 @@ object TextOps {
       |ORDER BY freq DESC, word
       |LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------- BM25
+
+  /** Seed-query terms for the relevance-scoring query (fixed, from
+    * the corpus vocabulary so the signal is live on the test data).
+    */
+  private val Bm25Terms = Seq("data", "stream", "window")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** BM25 relevance of every document against a seed-term query —
+    * retrieval-based curation (score a web-scale corpus against seed
+    * queries that define a target domain, keep the top mass; the
+    * importance-weighting cousin of [[Curation.decontaminate]]'s
+    * membership test). Emits the top 20 with ranks.
+    *
+    * Scale shape: term frequencies are per-row narrow work (the term
+    * list is a handful of columns, no explode); the corpus stats
+    * (N, avgdl, per-term document frequencies) aggregate to ONE row
+    * broadcast back — so the whole query is one narrow pass plus a
+    * top-k. All aggregates are exact integers; the only
+    * transcendental is ln (same libm double rounding on both
+    * engines, guarded by the 6-decimal output rounding).
+    */
+  def bm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .withColumn("dl", size(col("ws")))
+    val withTf = Bm25Terms.zipWithIndex.foldLeft(docs) { case (df, (t, i)) =>
+      df.withColumn(s"tf_$i", size(filter(col("ws"), w => w === t)))
+    }.drop("ws")
+    val statCols = count(lit(1)).cast("double").as("n_docs") +:
+      sum("dl").cast("double").as("sum_dl") +:
+      Bm25Terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1).otherwise(0)).cast("double").as(s"df_$i"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val avgdl = col("sum_dl") / col("n_docs")
+    val score = Bm25Terms.indices.map { i =>
+      val idf = log((col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5) + 1.0)
+      val tf = col(s"tf_$i").cast("double")
+      idf * (tf * (Bm25K1 + 1.0)) /
+        (tf + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    scored.select(col("doc_id"), round(score, 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col("doc_id"))))
+      .select("rank", "doc_id", "bm25")
+  }
+
+  def bm25Sql: String = {
+    val tfDefs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(ws, w -> w = '$t')) AS tf_$i"
+    }.mkString(",\n      |    ")
+    val dfDefs = Bm25Terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df_$i")
+      .mkString(",\n      |    ")
+    // (k1+1) multiplies an INTEGER tf: without the ::DOUBLE cast DuckDB
+    // would evaluate it in exact DECIMAL while Spark works in binary
+    // double — a 1-ulp divergence the 6-decimal rounding can't absorb
+    // on boundaries. The other literals always meet a DOUBLE operand.
+    val scoreTerms = Bm25Terms.indices.map(i =>
+      s"""ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+      |      * (tf_$i * ${Bm25K1 + 1.0}::DOUBLE)
+      |      / (tf_$i + ${Bm25K1} * (1.0 - ${Bm25B} + ${Bm25B} * dl / (sum_dl / n_docs)))""")
+      .mkString("\n      |    + ")
+    s"""WITH d AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      |  FROM documents
+      |), t AS (
+      |  SELECT doc_id, len(ws) AS dl,
+      |    $tfDefs
+      |  FROM d
+      |), s AS (
+      |  SELECT count(*)::DOUBLE AS n_docs, sum(dl)::DOUBLE AS sum_dl,
+      |    $dfDefs
+      |  FROM t
+      |)
+      |SELECT row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank, doc_id, bm25
+      |FROM (
+      |  SELECT doc_id, round(
+      |    $scoreTerms, 6) AS bm25
+      |  FROM t, s
+      |  ORDER BY bm25 DESC, doc_id LIMIT 20)
+      |ORDER BY rank""".stripMargin
+  }
+
   /** Content fingerprint of a text column (md5 of the
     * whitespace-normalized bytes) — shared by the batch fingerprint
     * query and the streaming doc dedup so their keys can't diverge.

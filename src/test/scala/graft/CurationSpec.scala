@@ -137,6 +137,49 @@ class CurationSpec extends SparkSuite {
     assert(corpus.agg(sum("n_dup_spans")).head.getLong(0) > 0)
   }
 
+  test("domainStats token shares sum to one over all sources") {
+    val df = Curation.domainStats(spark, sfDir).collect()
+    assert(df.nonEmpty)
+    val shareSum = df.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+    assert(df.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sfDir).count())
+  }
+
+  test("mixtureSample keeps the smallest source whole, downsamples the rest") {
+    val rates = Curation.mixtureSample(spark, sfDir)
+      .select("source", "accept_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // normalization: the min-token source accepts everything
+    assert(rates.values.max == 1000000L)
+    assert(rates.values.forall(r => r > 0 && r <= 1000000L))
+    // temperature 0.5 ordering: more tokens → lower acceptance
+    val toks = Curation.domainStats(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens")).toMap
+    val bySize = toks.toSeq.sortBy(_._2).map(_._1)
+    val ratesBySize = bySize.flatMap(rates.get)
+    assert(ratesBySize.zip(ratesBySize.tail).forall { case (a, b) => a >= b },
+      s"rates must be antitone in source size: $ratesBySize")
+    // determinism
+    val again = Curation.mixtureSample(spark, sfDir).count()
+    assert(again == Curation.mixtureSample(spark, sfDir).count())
+  }
+
+  test("bm25 ranks term-dense short docs above term-free docs") {
+    import spark.implicits._
+    val out = graft.operators.TextOps.bm25(spark, sfDir).collect()
+    assert(out.length == 20)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to 20))
+    val scores = out.map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // every scored-top doc actually contains a query term
+    val top = out.map(_.getAs[Long]("doc_id")).toSet
+    val withTerm = Tables.documents(spark, sfDir)
+      .filter(col("text").rlike("\\b(data|stream|window)\\b"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(top.subsetOf(withTerm))
+  }
+
   test("redactPii scrubs urls, emails, and ssn-shaped numbers") {
     import spark.implicits._
     val df = Seq(
