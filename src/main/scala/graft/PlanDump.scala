@@ -32,6 +32,10 @@ object PlanDump {
     dump("q_recent_alerts", operators.Indicators.recentAlerts(spark, dir))
     dump("q_asof_join", operators.AsofJoin.viewToPurchase(spark, dir))
     dump("q_range_join", operators.RangeJoin.purchaseErrors(spark, dir))
+    dump("q_span_dedup", operators.Curation.spanDedup(spark, dir))
+    dump("q_bm25", operators.TextOps.bm25(spark, dir))
+    dump("q_ann_sq8", operators.Similarity.annSq8(spark, dir))
+    dump("q_mixture_sample", operators.Curation.mixtureSample(spark, dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plandump] wrote PLANS.md")
     spark.stop()

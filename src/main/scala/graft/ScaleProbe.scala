@@ -67,6 +67,9 @@ object ScaleProbe {
     time("gopher_filters")(operators.Curation.gopherFiltersDocs(bigDocs))
     time("decontaminate")(operators.Curation.decontaminateDocs(bigDocs))
     time("pack_sequences")(operators.Curation.packSequencesDocs(bigDocs))
+    time("gopher_quality")(operators.Curation.gopherQualityDocs(bigDocs))
+    time("line_dedup")(operators.Curation.lineDedupDocs(bigDocs))
+    time("span_dedup")(operators.Curation.spanDedupDocs(bigDocs))
     spark.stop()
   }
 }
