@@ -50,6 +50,11 @@ object RecallProbe {
       val recall = (exact & got).size.toDouble / exact.size
       println(f"[recall] sq8 rerank=$rerank%2d recall@10=$recall%.3f")
     }
+    for (rerank <- Seq(10, 16, 32, 64, 128)) {
+      val got = pairs(operators.Similarity.annPq(spark, dir, rerank))
+      val recall = (exact & got).size.toDouble / exact.size
+      println(f"[recall] pq  rerank=$rerank%3d recall@10=$recall%.3f")
+    }
     spark.stop()
   }
 }

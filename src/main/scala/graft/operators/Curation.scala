@@ -84,24 +84,34 @@ object Curation {
     * while the batch form would merge word counts across rows
     * sharing a doc_id.
     */
-  private[graft] def gopherNarrowDocs(docs: DataFrame): DataFrame = {
-    val ws = filter(TextOps.normalizedWords, w => w =!= lit(""))
-    docs
-      .withColumn("sents", sentsCol)
-      .withColumn("ws", ws)
-      .filter(size(col("ws")) > 0) // batch shape drops wordless docs via its join
-      .withColumn("n_sent", size(col("sents")))
-      .withColumn("dup_sentence_frac",
-        (col("n_sent") - size(array_distinct(col("sents")))).cast("double") /
-          greatest(col("n_sent"), lit(1)).cast("double"))
-      .withColumn("top_word_frac",
-        array_max(transform(array_distinct(col("ws")),
-          w => size(filter(col("ws"), x => x === w)))).cast("double") /
-          size(col("ws")).cast("double"))
+  private[graft] def gopherNarrowDocs(docs: DataFrame): DataFrame =
+    withRepetitionSignals(docs)
       .select(col("doc_id"), col("n_sent"),
         col("dup_sentence_frac"), col("top_word_frac"),
-        (col("dup_sentence_frac") <= DupSentenceMax &&
-          col("top_word_frac") <= TopWordMax).as("keep_doc"))
+        col("keep_rep").as("keep_doc"))
+
+  /** APPENDS the repetition signals + `keep_rep` verdict to the input
+    * (all input columns survive) — the composable stage
+    * [[gopherNarrowDocs]] and [[gopherChainDocs]] both build on.
+    */
+  private[graft] def withRepetitionSignals(docs: DataFrame): DataFrame = {
+    val ws = filter(TextOps.normalizedWords, w => w =!= lit(""))
+    docs
+      .withColumn("sents_r", sentsCol)
+      .withColumn("ws_r", ws)
+      .filter(size(col("ws_r")) > 0) // batch shape drops wordless docs via its join
+      .withColumn("n_sent", size(col("sents_r")))
+      .withColumn("dup_sentence_frac",
+        (col("n_sent") - size(array_distinct(col("sents_r")))).cast("double") /
+          greatest(col("n_sent"), lit(1)).cast("double"))
+      .withColumn("top_word_frac",
+        array_max(transform(array_distinct(col("ws_r")),
+          w => size(filter(col("ws_r"), x => x === w)))).cast("double") /
+          size(col("ws_r")).cast("double"))
+      .withColumn("keep_rep",
+        col("dup_sentence_frac") <= DupSentenceMax &&
+          col("top_word_frac") <= TopWordMax)
+      .drop("sents_r", "ws_r")
   }
 
   def gopherFiltersSql: String =
@@ -465,42 +475,52 @@ object Curation {
     gopherQualityDocs(Tables.documents(spark, dir))
 
   private[graft] def gopherQualityDocs(docs: DataFrame): DataFrame =
+    withQualitySignals(docs)
+      .select(col("doc_id"), col("n_words"), col("n_lines"),
+        col("mean_word_len"), col("symbol_ratio"), col("bullet_frac"),
+        col("ellipsis_frac"), col("alpha_frac"), col("n_stop"),
+        col("keep_quality").as("keep_doc"))
+      .orderBy("doc_id")
+
+  /** APPENDS the table-A1 quality signals + `keep_quality` verdict to
+    * the input (all input columns survive) — the composable stage
+    * behind [[gopherQualityDocs]] and [[gopherChainDocs]].
+    */
+  private[graft] def withQualitySignals(docs: DataFrame): DataFrame =
     docs
-      .withColumn("ws",
+      .withColumn("ws_q",
         filter(split(trim(col("text")), s"[${TextOps.Ws}]+"), w => w =!= lit("")))
-      .withColumn("lines",
+      .withColumn("lines_q",
         filter(split(col("text"), "\n"), l => trim(l) =!= lit("")))
-      .withColumn("n_words", size(col("ws")))
-      .withColumn("n_lines", size(col("lines")))
+      .withColumn("n_words", size(col("ws_q")))
+      .withColumn("n_lines", size(col("lines_q")))
       .withColumn("mean_word_len",
-        length(array_join(col("ws"), "")).cast("double") /
+        length(array_join(col("ws_q"), "")).cast("double") /
           greatest(col("n_words"), lit(1)).cast("double"))
       .withColumn("symbol_ratio",
         ((length(col("text")) - length(replace(col("text"), lit("#")))).cast("double") +
           (length(col("text")) - length(replace(col("text"), lit("...")))).cast("double") / 3)
           / greatest(col("n_words"), lit(1)).cast("double"))
       .withColumn("bullet_frac",
-        size(filter(col("lines"), l => startswith(ltrim(l), lit("-")) ||
+        size(filter(col("lines_q"), l => startswith(ltrim(l), lit("-")) ||
           startswith(ltrim(l), lit("*")) || startswith(ltrim(l), lit("•"))))
           .cast("double") / greatest(col("n_lines"), lit(1)).cast("double"))
       .withColumn("ellipsis_frac",
-        size(filter(col("lines"), l => endswith(rtrim(l), lit("...")) ||
+        size(filter(col("lines_q"), l => endswith(rtrim(l), lit("...")) ||
           endswith(rtrim(l), lit("…"))))
           .cast("double") / greatest(col("n_lines"), lit(1)).cast("double"))
       .withColumn("alpha_frac",
-        size(filter(col("ws"), w => w.rlike("[a-zA-Z]"))).cast("double") /
+        size(filter(col("ws_q"), w => w.rlike("[a-zA-Z]"))).cast("double") /
           greatest(col("n_words"), lit(1)).cast("double"))
       .withColumn("n_stop",
-        size(array_intersect(typedLit(GopherStops), transform(col("ws"), w => lower(w)))))
-      .select(col("doc_id"), col("n_words"), col("n_lines"),
-        col("mean_word_len"), col("symbol_ratio"), col("bullet_frac"),
-        col("ellipsis_frac"), col("alpha_frac"), col("n_stop"),
-        (col("n_words").between(50, 100000) &&
+        size(array_intersect(typedLit(GopherStops), transform(col("ws_q"), w => lower(w)))))
+      .withColumn("keep_quality",
+        col("n_words").between(50, 100000) &&
           col("mean_word_len").between(3.0, 10.0) &&
           col("symbol_ratio") < 0.1 && col("bullet_frac") < 0.9 &&
           col("ellipsis_frac") < 0.3 && col("alpha_frac") >= 0.8 &&
-          col("n_stop") >= 2).as("keep_doc"))
-      .orderBy("doc_id")
+          col("n_stop") >= 2)
+      .drop("ws_q", "lines_q")
 
   def gopherQualitySql: String =
     """WITH d AS (
@@ -532,6 +552,80 @@ object Curation {
       |   AND symbol_ratio < 0.1 AND bullet_frac < 0.9 AND ellipsis_frac < 0.3
       |   AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep_doc
       |FROM m ORDER BY doc_id""".stripMargin
+
+  /** The FULL Gopher curation chain — repetition rules ∧ the table-A1
+    * quality rules — fused into one narrow per-row projection (zero
+    * shuffle, zero state): the form that runs unchanged inside the
+    * streaming tier ([[graft.streaming.TickStream.fullQualityDocsStream]]).
+    * Emits both stage verdicts plus the conjunction, so a pipeline can
+    * attribute every drop to its rule family.
+    *
+    * Scale shape: two chained projections over the scan — the whole
+    * chain is one WholeStageCodegen span per document, no joins
+    * (the batch [[gopherFilters]] word count aggregates instead; this
+    * narrow dual is spec-asserted equal on unique-doc_id input).
+    */
+  def gopherChain(spark: SparkSession, dir: String): DataFrame =
+    gopherChainDocs(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  private[graft] def gopherChainDocs(docs: DataFrame): DataFrame =
+    withQualitySignals(withRepetitionSignals(docs))
+      .select(col("doc_id"), col("keep_rep"), col("keep_quality"),
+        (col("keep_rep") && col("keep_quality")).as("keep_doc"))
+
+  def gopherChainSql: String =
+    s"""WITH s AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '[.!?]\\s+'), x -> x <> '') AS sents
+      |  FROM documents
+      |), sm AS (
+      |  SELECT doc_id, len(sents) AS n_sent,
+      |    len(list_distinct(sents)) AS n_distinct_sent
+      |  FROM s
+      |), w AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(trim(regexp_replace(regexp_replace(
+      |      lower(trim(text)), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+      |      x -> x <> '')) AS word
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, word, count(*) AS n FROM w GROUP BY 1, 2
+      |), wm AS (
+      |  SELECT doc_id, max(n) AS top_n, sum(n) AS n_words FROM c GROUP BY 1
+      |), rep AS (
+      |  SELECT sm.doc_id,
+      |    ((n_sent - n_distinct_sent)::DOUBLE / greatest(n_sent, 1) <= $DupSentenceMax
+      |      AND top_n::DOUBLE / n_words <= $TopWordMax) AS keep_rep
+      |  FROM sm JOIN wm ON sm.doc_id = wm.doc_id
+      |), d AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS ws,
+      |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+      |  FROM documents
+      |), q AS (
+      |  SELECT doc_id,
+      |    (len(ws) BETWEEN 50 AND 100000
+      |     AND len(array_to_string(ws, ''))::DOUBLE / greatest(len(ws), 1)
+      |       BETWEEN 3.0 AND 10.0
+      |     AND ((len(text) - len(replace(text, '#', '')))::DOUBLE
+      |       + (len(text) - len(replace(text, '...', '')))::DOUBLE / 3)
+      |       / greatest(len(ws), 1) < 0.1
+      |     AND len(list_filter(lines, l -> starts_with(ltrim(l), '-')
+      |       OR starts_with(ltrim(l), '*') OR starts_with(ltrim(l), '•')))::DOUBLE
+      |       / greatest(len(lines), 1) < 0.9
+      |     AND len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+      |       OR ends_with(rtrim(l), '…')))::DOUBLE
+      |       / greatest(len(lines), 1) < 0.3
+      |     AND len(list_filter(ws, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE
+      |       / greatest(len(ws), 1) >= 0.8
+      |     AND len(list_intersect(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+      |       list_transform(ws, x -> lower(x)))) >= 2) AS keep_quality
+      |  FROM d
+      |)
+      |SELECT rep.doc_id, keep_rep, keep_quality,
+      |  (keep_rep AND keep_quality) AS keep_doc
+      |FROM rep JOIN q ON rep.doc_id = q.doc_id
+      |ORDER BY rep.doc_id""".stripMargin
 
   // ------------------------------------------------------- line dedup
 

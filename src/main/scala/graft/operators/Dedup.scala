@@ -309,6 +309,70 @@ object Dedup {
       |SELECT id AS vec_id, min(r) AS cluster_id, (id = min(r)) AS keep
       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
 
+  /** Per-cluster CANONICAL-document selection joined back to the
+    * corpus — the final dedup step after [[embeddingClusters]]: every
+    * document maps to the surviving representative of its near-dup
+    * cluster, chosen by CONTENT (most characters, ties → lowest
+    * doc_id) rather than by arbitrary id, which is what a training
+    * pipeline actually wants to keep. Singleton docs are their own
+    * canonical. The output is the rewrite map a dedup pass applies:
+    * `keep WHERE is_canonical`, or re-point references at
+    * `canonical_id`.
+    *
+    * Scale shape: one window over `cluster_id` computes the winner
+    * in-place (`first_value` over the ordered partition) — no second
+    * join back, so the whole selection costs a single shuffle on the
+    * cluster key after the component resolution.
+    */
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = embeddingClusters(spark, dir).select("vec_id", "cluster_id")
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_chars").desc, col("vec_id"))
+    clusters.join(docs, col("vec_id") === col("doc_id")).drop("doc_id")
+      .withColumn("canonical_id", first("vec_id").over(w))
+      .select(col("vec_id").as("doc_id"), col("cluster_id"),
+        col("canonical_id"),
+        (col("vec_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB dual of [[dedupCanonical]]: the [[embeddingClustersSql]]
+    * recursive closure, joined to `documents` for the content signal,
+    * winner via the same first_value window.
+    */
+  def dedupCanonicalSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_sum(list_transform(list_zip(embedding::DOUBLE[], embedding::DOUBLE[]),
+      |      z -> z[1] * z[2]))) AS norm
+      |  FROM embeddings
+      |), pairs AS (
+      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |  WHERE list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+      |      / (a.norm * b.norm) >= 0.4
+      |), edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM pairs
+      |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT vec_id AS id, vec_id AS r FROM embeddings
+      |  UNION
+      |  SELECT ed.src AS id, reach.r AS r
+      |  FROM reach JOIN edges ed ON ed.dst = reach.id
+      |), clusters AS (
+      |  SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
+      |), joined AS (
+      |  SELECT c.vec_id, c.cluster_id, d.n_chars,
+      |    first_value(c.vec_id) OVER (PARTITION BY c.cluster_id
+      |      ORDER BY d.n_chars DESC, c.vec_id) AS canonical_id
+      |  FROM clusters c JOIN documents d ON d.doc_id = c.vec_id
+      |)
+      |SELECT vec_id AS doc_id, cluster_id, canonical_id,
+      |  (vec_id = canonical_id) AS is_canonical
+      |FROM joined ORDER BY doc_id""".stripMargin
+
   def embeddingDedupSql: String =
     """WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -308,6 +308,95 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  // ------------------------------------------------- product quantization
+
+  private val PqM = 8 // subspaces over the 64 dims
+  private val PqSub = 8 // dims per subspace
+  private val PqK = 16 // centroids per subspace → 4-bit codes
+
+  /** Fit the per-subspace PQ codebooks (`[m][c][dim]`): PqM seeded
+    * KMeans fits over the corpus slices. At 100 TB the fit runs on a
+    * driver-bounded SAMPLE of the corpus (codebook quality saturates
+    * far below full-corpus size); encoding is the only full pass.
+    */
+  private[operators] def fitPqCodebooks(
+      corpus: DataFrame): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    (0 until PqM).toArray.map { m =>
+      val feats = corpus.select(
+        array_to_vector(slice(col("v"), m * PqSub + 1, PqSub)).as("features"))
+      new KMeans().setK(PqK).setSeed(42L + m).setMaxIter(5)
+        .fit(feats).clusterCenters.map(_.toArray)
+    }
+  }
+
+  /** Product-quantized approximate top-k with exact reranking — the
+    * codebook-compressed scale path (4 bits/dim here → 4 bytes +
+    * one norm per 64-dim vector, 64× smaller than the float64 corpus,
+    * so the whole index rides in executor memory at corpus sizes where
+    * even [[annSq8]]'s int8 codes spill):
+    *
+    *  1. TRAIN: PqM=8 per-subspace codebooks of PqK=16 centroids
+    *     (seeded KMeans per 8-dim slice → deterministic).
+    *  2. ENCODE: each vector stores only its per-subspace nearest-
+    *     centroid ids (the PQ code) plus its reconstruction norm —
+    *     the float vector never enters the index.
+    *  3. SEARCH (ADC, asymmetric): each probe precomputes a distance
+    *     TABLE tab[m][c] = ⟨probe_m, codebook_m[c]⟩ once (PqM·PqK
+    *     dots); scoring a candidate is then PqM table LOOKUPS summed —
+    *     no per-candidate float math. Probes carry their tables in the
+    *     broadcast; the index side streams codes.
+    *  4. RERANK: the top `rerank` candidates per probe fetch their
+    *     true vectors by vec_id (the only random access) and are
+    *     re-scored exactly; final cosines are exact.
+    *
+    * The lookups run as array HOFs here; the production hot path would
+    * fuse the code-gather into one codegen expression like
+    * [[graft.functions.VectorDot]].
+    */
+  def annPq(spark: SparkSession, dir: String, rerank: Int = 32): DataFrame = {
+    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
+    val books = fitPqCodebooks(corpus)
+    val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    // ENCODE: argmin centroid per subspace (first min wins — deterministic)
+    val codeCols = (0 until PqM).map { m =>
+      val sub = slice(col("v"), m * PqSub + 1, PqSub)
+      val d2s = transform(typedLit(books(m).map(_.toSeq).toSeq), c =>
+        aggregate(zip_with(c, sub, (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
+      (array_position(d2s, array_min(d2s)) - 1).cast("int")
+    }
+    val index = corpus
+      .select(col("vec_id"), array(codeCols: _*).as("codes"))
+      .withColumn("dq", flatten(transform(col("codes"),
+        (c, m) => element_at(element_at(booksLit, m + 1), c + 1))))
+      .withColumn("dq_norm", sqrt(Dedup.dot(col("dq"), col("dq"))))
+      .select("vec_id", "codes", "dq_norm") // what a deployment stores
+    val probes = corpus.filter(col("vec_id") < NumProbes)
+      .toDF("probe_id", "p_v", "p_norm")
+      .withColumn("tab", transform(booksLit, (cents, m) =>
+        transform(cents, c =>
+          Dedup.dot(c, slice(col("p_v"), m * PqSub + lit(1), lit(PqSub))))))
+    val approx = index.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("approx_cos",
+        aggregate(transform(col("codes"), (c, m) =>
+          element_at(element_at(col("tab"), m + 1), c + 1)),
+          lit(0.0), _ + _) / (col("dq_norm") * col("p_norm")))
+    val wa = Window.partitionBy("probe_id").orderBy(col("approx_cos").desc, col("vec_id"))
+    val cands = approx.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+      .select("probe_id", "p_v", "p_norm", "vec_id")
+    // exact rerank: only `rerank` candidates per probe fetch true vectors
+    val rescored = cands.join(corpus, Seq("vec_id"))
+      .withColumn("cos", Dedup.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
   def annLsh(spark: SparkSession, dir: String, radius: Int = 3): DataFrame = {
     val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
       .withColumn("code", lshCode(col("v")))

@@ -140,6 +140,16 @@ object TickStream {
   def qualityDocsStream(docs: DataFrame): DataFrame =
     graft.operators.Curation.gopherNarrowDocs(docs)
 
+  /** Streaming dual of the FULL Gopher curation chain
+    * ([[graft.operators.Curation.gopherChain]]): repetition rules ∧
+    * the table-A1 quality rules, fused into one stateless per-row
+    * projection — composes after [[dedupDocsStream]] with no extra
+    * shuffle or state. Verdicts equal the batch chain exactly
+    * (spec-asserted).
+    */
+  def fullQualityDocsStream(docs: DataFrame): DataFrame =
+    graft.operators.Curation.gopherChainDocs(docs)
+
   /** Watermarked tumbling-window aggregation per event_type — the
     * streaming dual of Warehouse.windowAgg. State is bounded by the
     * 10-minute watermark.

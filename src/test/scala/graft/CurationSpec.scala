@@ -68,6 +68,21 @@ class CurationSpec extends SparkSuite {
     assert(narrow.exceptAll(agg).count() == 0)
   }
 
+  test("gopher chain verdict is the conjunction of its stage verdicts") {
+    val chain = Curation.gopherChain(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val rep = Curation.gopherFilters(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep_doc")).toMap
+    val qual = Curation.gopherQuality(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep_doc")).toMap
+    assert(chain.keySet == rep.keySet)
+    chain.foreach { case (id, r) =>
+      assert(r.getAs[Boolean]("keep_rep") == rep(id), s"doc $id rep")
+      assert(r.getAs[Boolean]("keep_quality") == qual(id), s"doc $id quality")
+      assert(r.getAs[Boolean]("keep_doc") == (rep(id) && qual(id)), s"doc $id")
+    }
+  }
+
   test("gopherQuality judges each rule on crafted documents") {
     import spark.implicits._
     val good = ("the analytics engine and the scheduler have to " +

@@ -240,6 +240,48 @@ class LlmOpsSpec extends SparkSuite {
     assert(approx.groupBy(_.getAs[Long]("probe_id")).forall(_._2.length == 10))
   }
 
+  test("annPq recall with exact rerank against brute force") {
+    val exactRows = Similarity.annBruteForce(spark, sfDir).collect()
+    val exact = exactRows.map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.annPq(spark, sfDir).collect()
+    val got = approx.map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // RecallProbe measured @ sf0.001: rerank 10/16/32/64/128 →
+    // 0.32/0.44/0.60/0.74/0.92 — the 4-byte code is coarse, the
+    // rerank knob buys it back
+    assert(recall >= 0.5, s"PQ recall $recall")
+    // reranked cosines are EXACT — identical to brute force for
+    // every neighbor both variants returned
+    val exactCos = exactRows.map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    approx.foreach { r =>
+      val k = (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))
+      exactCos.get(k).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+    assert(approx.groupBy(_.getAs[Long]("probe_id")).forall(_._2.length == 10))
+  }
+
+  test("dedupCanonical keeps the largest doc per cluster, maps every doc") {
+    val canon = Dedup.dedupCanonical(spark, sfDir).collect()
+    val clusters = Dedup.embeddingClusters(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    val nchars = Tables.documents(spark, sfDir).select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon.length == clusters.size, "every doc maps")
+    canon.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rows) =>
+      val canons = rows.map(_.getAs[Long]("canonical_id")).distinct
+      assert(canons.length == 1, s"cluster $cid has ${canons.length} canonicals")
+      // the canonical is IN its cluster and wins on (n_chars desc, id asc)
+      assert(clusters(canons.head) == cid)
+      val best = rows.map(_.getAs[Long]("doc_id"))
+        .maxBy(id => (nchars(id), -id))
+      assert(canons.head == best, s"cluster $cid: ${canons.head} != $best")
+      assert(rows.count(_.getAs[Boolean]("is_canonical")) == 1)
+    }
+  }
+
   test("embeddingDedupLsh: exact subset of all-pairs, recall pinned") {
     val exact = Dedup.embeddingDedup(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

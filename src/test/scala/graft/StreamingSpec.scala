@@ -343,6 +343,16 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streaming full-quality chain equals the batch gopher chain") {
+    val out = TickStream.fullQualityDocsStream(TickStream.docsStream(spark, sfDir))
+    runToMemory(out, "doc_quality_chain")
+    val streamed = spark.table("doc_quality_chain")
+    val batch = graft.operators.Curation.gopherChain(spark, sfDir)
+    assert(streamed.count() == batch.count())
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("featureExtract emits a normalized embedding per document") {
     val df = Multimodal.featureExtract(spark, sfDir)
     val rows = df.collect()
