@@ -450,6 +450,78 @@ object Curation {
       |WHERE (doc_id % 1000003 * 2654435761) % 1000000 < accept_ppm
       |ORDER BY doc_id""".stripMargin
 
+  /** Target domain for [[importanceWeights]]: one of the corpus
+    * sources stands in for the seed corpus that defines the
+    * distribution to resample toward.
+    */
+  private val DsirTarget = "src0"
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much more likely its tokens are under the TARGET
+    * domain's unigram LM than under the full-corpus LM —
+    * log w(d) = Σ_tokens [ln p̂_t(w) − ln p̂_c(w)], add-1 smoothed over
+    * the shared vocabulary. High-weight documents are what importance
+    * resampling keeps when steering a web corpus toward a seed domain.
+    *
+    * Scale shape: the LM "training" is ONE word-keyed aggregation of
+    * the corpus — target counts ride along as a conditional sum, no
+    * second scan; the three scalar totals aggregate to a single row
+    * broadcast back; scoring joins doc tokens to the vocab-sized model
+    * (broadcast). Cross-engine parity: the smoothed probabilities are
+    * exact-integer divisions fed to ln (same libm rounding both
+    * engines, cf. [[TextOps.bm25]]); the per-doc sum of logs is
+    * rounded at 6 decimals on both sides (reorder noise ~ulp·n_tokens
+    * is far below that at document length).
+    */
+  def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("source") === DsirTarget).as("is_t"),
+        explode(TextOps.normalizedWords).as("word"))
+      .filter(col("word") =!= "")
+    val model = words.groupBy("word")
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    val totals = model.agg(sum("c_all").as("n_all"), sum("c_t").as("n_t"),
+      count(lit(1)).as("v"))
+    val scoredModel = model.crossJoin(broadcast(totals))
+      .select(col("word"),
+        (log((col("c_t") + 1).cast("double") / (col("n_t") + col("v")).cast("double"))
+          - log((col("c_all") + 1).cast("double") / (col("n_all") + col("v")).cast("double")))
+          .as("logratio"))
+    words.join(broadcast(scoredModel), "word")
+      .groupBy("doc_id")
+      .agg(round(sum("logratio"), 6).as("log_weight"),
+        count(lit(1)).as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  def importanceWeightsSql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id, (source = '$DsirTarget') AS is_t,
+      |    unnest(list_filter(string_split(trim(regexp_replace(regexp_replace(
+      |      lower(trim(text)), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+      |      x -> x <> '')) AS word
+      |  FROM documents
+      |), model AS (
+      |  SELECT word, count(*)::BIGINT AS c_all,
+      |    sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS c_t
+      |  FROM w GROUP BY word
+      |), t AS (
+      |  SELECT sum(c_all)::BIGINT AS n_all, sum(c_t)::BIGINT AS n_t,
+      |    count(*)::BIGINT AS v
+      |  FROM model
+      |), m AS (
+      |  SELECT word,
+      |    ln((c_t + 1)::DOUBLE / ((n_t + v)::DOUBLE))
+      |      - ln((c_all + 1)::DOUBLE / ((n_all + v)::DOUBLE)) AS logratio
+      |  FROM model, t
+      |)
+      |SELECT doc_id, round(sum(logratio), 6) AS log_weight,
+      |  count(*)::BIGINT AS n_tokens
+      |FROM w JOIN m USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------- full Gopher rule set
 
   /** The Gopher document-quality stop-word set (Rae et al. 2021,

@@ -284,6 +284,60 @@ object TextOps {
       |ORDER BY freq DESC, word
       |LIMIT 100""".stripMargin
 
+  /** TF-IDF keyword extraction: the top-3 terms per document by
+    * tf·ln(N/df) over the normalized vocabulary — the per-document
+    * topical summary feeding search/labeling stages downstream of
+    * curation.
+    *
+    * Scale shape: one (doc_id, word) aggregation for tf; df is a
+    * vocab-sized rollup of THAT (no second corpus scan) broadcast
+    * back to the tf table; top-3 is a per-doc window. Ordering is on
+    * the ROUNDED score so the cross-engine tie-break is exact. N
+    * lands driver-side as one scalar (at scale: a cheap side count).
+    */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(normalizedWords).as("word"))
+      .filter(col("word") =!= "")
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val nDocs = Tables.documents(spark, dir).count()
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "word")
+      .withColumn("tfidf",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "word", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+
+  def tfidfSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(trim(regexp_replace(regexp_replace(
+      |      lower(trim(text)), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
+      |      x -> x <> '')) AS word
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2
+      |), dfq AS (
+      |  SELECT word, count(*) AS df FROM tf GROUP BY 1
+      |), n AS (
+      |  SELECT count(*) AS n_docs FROM documents
+      |), scored AS (
+      |  SELECT doc_id, word,
+      |    round(tf * ln(n_docs::DOUBLE / df), 6) AS tfidf
+      |  FROM tf JOIN dfq USING (word) CROSS JOIN n
+      |), ranked AS (
+      |  SELECT doc_id, word, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank
+      |  FROM scored
+      |)
+      |SELECT doc_id, rank, word, tfidf
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   // ---------------------------------------------------------- BM25
 
   /** Seed-query terms for the relevance-scoring query (fixed, from

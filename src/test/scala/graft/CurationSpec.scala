@@ -83,6 +83,21 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("importance weights rank target-domain docs above the rest") {
+    val w = Curation.importanceWeights(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
+    val src = Tables.documents(spark, sfDir).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(w.keySet == src.keySet, "every doc scored")
+    val (target, rest) = w.partition { case (id, _) => src(id) == "src0" }
+    assert(target.nonEmpty && rest.nonEmpty)
+    // the target LM fits its own domain better on average — the
+    // separation importance resampling relies on
+    val mt = target.values.sum / target.size
+    val mr = rest.values.sum / rest.size
+    assert(mt > mr, s"target mean $mt !> rest mean $mr")
+  }
+
   test("gopherQuality judges each rule on crafted documents") {
     import spark.implicits._
     val good = ("the analytics engine and the scheduler have to " +

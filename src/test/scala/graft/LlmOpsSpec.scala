@@ -240,6 +240,25 @@ class LlmOpsSpec extends SparkSuite {
     assert(approx.groupBy(_.getAs[Long]("probe_id")).forall(_._2.length == 10))
   }
 
+  test("tfidf emits up to 3 ranked keywords per doc, scores sane") {
+    val rows = TextOps.tfidf(spark, sfDir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    // every document has words in this corpus → every doc is keyed
+    assert(byDoc.size == Tables.documents(spark, sfDir).count())
+    byDoc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rs.length))
+      val scores = sorted.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        "scores non-increasing in rank")
+      assert(rs.length <= 3)
+      assert(scores.forall(_ >= 0.0), "idf = ln(N/df) >= 0")
+    }
+    // keywords discriminate: not every doc picks the same top word
+    assert(rows.filter(_.getAs[Int]("rank") == 1)
+      .map(_.getAs[String]("word")).distinct.length > 1)
+  }
+
   test("annPq recall with exact rerank against brute force") {
     val exactRows = Similarity.annBruteForce(spark, sfDir).collect()
     val exact = exactRows.map(r => (r.getAs[Long]("probe_id"),
