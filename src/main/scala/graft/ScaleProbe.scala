@@ -70,6 +70,9 @@ object ScaleProbe {
     time("gopher_quality")(operators.Curation.gopherQualityDocs(bigDocs))
     time("line_dedup")(operators.Curation.lineDedupDocs(bigDocs))
     time("span_dedup")(operators.Curation.spanDedupDocs(bigDocs))
+    time("gopher_chain")(operators.Curation.gopherChainDocs(bigDocs))
+    time("tfidf")(operators.TextOps.tfidfDocs(bigDocs))
+    time("importance_w")(operators.Curation.importanceWeightsDocs(bigDocs))
     spark.stop()
   }
 }

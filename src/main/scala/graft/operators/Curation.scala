@@ -474,8 +474,11 @@ object Curation {
     * rounded at 6 decimals on both sides (reorder noise ~ulp·n_tokens
     * is far below that at document length).
     */
-  def importanceWeights(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(spark, dir)
+  def importanceWeights(spark: SparkSession, dir: String): DataFrame =
+    importanceWeightsDocs(Tables.documents(spark, dir))
+
+  private[graft] def importanceWeightsDocs(docs: DataFrame): DataFrame = {
+    val words = docs
       .select(col("doc_id"), (col("source") === DsirTarget).as("is_t"),
         explode(TextOps.normalizedWords).as("word"))
       .filter(col("word") =!= "")

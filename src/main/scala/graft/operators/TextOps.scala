@@ -289,21 +289,26 @@ object TextOps {
     * topical summary feeding search/labeling stages downstream of
     * curation.
     *
-    * Scale shape: one (doc_id, word) aggregation for tf; df is a
-    * vocab-sized rollup of THAT (no second corpus scan) broadcast
-    * back to the tf table; top-3 is a per-doc window. Ordering is on
-    * the ROUNDED score so the cross-engine tie-break is exact. N
-    * lands driver-side as one scalar (at scale: a cheap side count).
+    * Scale shape: ONE corpus scan into the (doc_id, word) tf
+    * aggregation; df is a count window over the word key of THAT
+    * table (a tf-sized shuffle — a self-join would rescan the corpus
+    * per side, 4 scans measured before this shape); top-3 is a
+    * per-doc window. Ordering is on the ROUNDED score so the
+    * cross-engine tie-break is exact. N lands driver-side as one
+    * scalar (at scale: a cheap metadata count).
     */
-  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+  def tfidf(spark: SparkSession, dir: String): DataFrame =
+    tfidfDocs(Tables.documents(spark, dir))
+
+  private[graft] def tfidfDocs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val words = Tables.documents(spark, dir)
+    val words = docs
       .select(col("doc_id"), explode(normalizedWords).as("word"))
       .filter(col("word") =!= "")
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val nDocs = Tables.documents(spark, dir).count()
-    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "word")
+    val nDocs = docs.count()
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
       .withColumn("tfidf",
         round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
     val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("word"))

@@ -68,4 +68,18 @@ class PlanSpec extends SparkSuite {
     assert(exchanges(TextOps.tokenCount(spark, sfDir).limit(10)) == 0)
     assert(exchanges(TextOps.qualityScore(spark, sfDir).limit(10)) == 0)
   }
+
+  test("full gopher chain is a shuffle-free narrow projection") {
+    val chain = graft.operators.Curation
+      .gopherChainDocs(Tables.documents(spark, sfDir))
+    assert(exchanges(chain) == 0, "chain must stay narrow (streamable)")
+  }
+
+  test("tfidf scans the corpus once (df from the tf table, no self-join)") {
+    // df comes from a window over the tf aggregate, not a rescan per
+    // join side (the join formulation measured 4 corpus scans)
+    val plan = TextOps.tfidf(spark, sfDir).queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one documents scan in the scored plan, got $scans")
+  }
 }
