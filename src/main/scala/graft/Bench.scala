@@ -47,19 +47,25 @@ object Bench {
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       var best = Double.MaxValue
-      var ok = true
+      var lastErrSecs = 0.0
+      var anyOk = false
+      var halted = false
       var i = 0
-      while (ok && i < runs) {
+      while (!halted && i < runs) {
         val t0 = System.nanoTime()
-        ok =
+        val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); false }
         val secs = (System.nanoTime() - t0) / 1e9
-        best = if (ok) math.min(best, secs) else secs
+        // an error stops this query's remaining runs, but a minimum
+        // already measured from a COMPLETED run stands — only a query
+        // with zero successful runs is graded failed
+        if (ok) { anyOk = true; best = math.min(best, secs) }
+        else { halted = true; lastErrSecs = secs }
         i += 1
       }
-      if (!ok) failed += name
-      name -> (if (ok) best else -best)
+      if (!anyOk) failed += name
+      name -> (if (anyOk) best else -lastErrSecs)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -416,10 +416,14 @@ object Curation {
     * production key ranges swap in xxhash64 the same way.
     */
   def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the narrow (doc_id, source, n_tok) projection feeds
+    // BOTH the per-source totals and the acceptance filter — without
+    // it the scan + tokenize replays once per consumer
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
         size(filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
           w => w =!= lit(""))).cast("long").as("n_tok"))
+      .persist()
     val perSource = docs.groupBy("source").agg(sum("n_tok").as("n_tokens"))
     val minTok = perSource.agg(min("n_tokens").as("min_tokens"))
     val rates = perSource.crossJoin(broadcast(minTok))
@@ -464,38 +468,45 @@ object Curation {
     * the shared vocabulary. High-weight documents are what importance
     * resampling keeps when steering a web corpus toward a seed domain.
     *
-    * Scale shape: the LM "training" is ONE word-keyed aggregation of
-    * the corpus — target counts ride along as a conditional sum, no
-    * second scan; the three scalar totals aggregate to a single row
-    * broadcast back; scoring joins doc tokens to the vocab-sized model
-    * (broadcast). Cross-engine parity: the smoothed probabilities are
+    * Scale shape: the corpus is tokenized exactly ONCE into a cached
+    * (doc_id, word, tf) table; per-word corpus/target masses come from
+    * a count window over the word key of THAT table (re-deriving them
+    * as a separate aggregate joined back would replay the corpus scan
+    * per consumer — measured before this shape); the three scalar
+    * totals are one action over the cached table, inlined as
+    * literals. Cross-engine parity: the smoothed probabilities are
     * exact-integer divisions fed to ln (same libm rounding both
-    * engines, cf. [[TextOps.bm25]]); the per-doc sum of logs is
-    * rounded at 6 decimals on both sides (reorder noise ~ulp·n_tokens
-    * is far below that at document length).
+    * engines, cf. [[TextOps.bm25]]); the per-doc Σ tf·ln-ratio is
+    * rounded at 6 decimals on both sides, computed at tf granularity
+    * on both engines so the product/sum shapes match (reorder noise
+    * ~ulp·n_terms is far below the 6th decimal at document length).
     */
   def importanceWeights(spark: SparkSession, dir: String): DataFrame =
     importanceWeightsDocs(Tables.documents(spark, dir))
 
   private[graft] def importanceWeightsDocs(docs: DataFrame): DataFrame = {
-    val words = docs
+    val tf = docs
       .select(col("doc_id"), (col("source") === DsirTarget).as("is_t"),
         explode(TextOps.normalizedWords).as("word"))
       .filter(col("word") =!= "")
-    val model = words.groupBy("word")
-      .agg(count(lit(1)).as("c_all"),
-        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
-    val totals = model.agg(sum("c_all").as("n_all"), sum("c_t").as("n_t"),
-      count(lit(1)).as("v"))
-    val scoredModel = model.crossJoin(broadcast(totals))
-      .select(col("word"),
-        (log((col("c_t") + 1).cast("double") / (col("n_t") + col("v")).cast("double"))
-          - log((col("c_all") + 1).cast("double") / (col("n_all") + col("v")).cast("double")))
-          .as("logratio"))
-    words.join(broadcast(scoredModel), "word")
+      .groupBy("doc_id", "word")
+      // is_t is constant per doc_id, so first() is deterministic here
+      .agg(count(lit(1)).as("tf"), first("is_t").as("is_t"))
+      .persist()
+    val t = tf.agg(sum("tf").as("n_all"),
+      sum(when(col("is_t"), col("tf")).otherwise(0L)).as("n_t"),
+      countDistinct("word").as("v")).head
+    val (nAll, nT, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val w = Window.partitionBy("word")
+    tf
+      .withColumn("c_all", sum("tf").over(w))
+      .withColumn("c_t", sum(when(col("is_t"), col("tf")).otherwise(0L)).over(w))
+      .withColumn("logratio",
+        log((col("c_t") + 1).cast("double") / lit((nT + v).toDouble))
+          - log((col("c_all") + 1).cast("double") / lit((nAll + v).toDouble)))
       .groupBy("doc_id")
-      .agg(round(sum("logratio"), 6).as("log_weight"),
-        count(lit(1)).as("n_tokens"))
+      .agg(round(sum(col("tf") * col("logratio")), 6).as("log_weight"),
+        sum("tf").as("n_tokens"))
       .orderBy("doc_id")
   }
 
@@ -506,24 +517,26 @@ object Curation {
       |      lower(trim(text)), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
       |      x -> x <> '')) AS word
       |  FROM documents
-      |), model AS (
-      |  SELECT word, count(*)::BIGINT AS c_all,
-      |    sum(CASE WHEN is_t THEN 1 ELSE 0 END)::BIGINT AS c_t
-      |  FROM w GROUP BY word
+      |), tf AS (
+      |  SELECT doc_id, word, count(*)::BIGINT AS tf, bool_or(is_t) AS is_t
+      |  FROM w GROUP BY doc_id, word
       |), t AS (
-      |  SELECT sum(c_all)::BIGINT AS n_all, sum(c_t)::BIGINT AS n_t,
-      |    count(*)::BIGINT AS v
-      |  FROM model
+      |  SELECT sum(tf)::BIGINT AS n_all,
+      |    sum(CASE WHEN is_t THEN tf ELSE 0 END)::BIGINT AS n_t,
+      |    count(DISTINCT word)::BIGINT AS v
+      |  FROM tf
       |), m AS (
-      |  SELECT word,
+      |  SELECT doc_id, tf,
       |    ln((c_t + 1)::DOUBLE / ((n_t + v)::DOUBLE))
       |      - ln((c_all + 1)::DOUBLE / ((n_all + v)::DOUBLE)) AS logratio
-      |  FROM model, t
+      |  FROM (SELECT doc_id, word, tf, is_t,
+      |          sum(tf) OVER (PARTITION BY word) AS c_all,
+      |          sum(CASE WHEN is_t THEN tf ELSE 0 END) OVER (PARTITION BY word) AS c_t
+      |        FROM tf), t
       |)
-      |SELECT doc_id, round(sum(logratio), 6) AS log_weight,
-      |  count(*)::BIGINT AS n_tokens
-      |FROM w JOIN m USING (word)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |SELECT doc_id, round(sum(tf * logratio), 6) AS log_weight,
+      |  sum(tf)::BIGINT AS n_tokens
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------- full Gopher rule set
 

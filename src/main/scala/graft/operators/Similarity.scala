@@ -118,9 +118,12 @@ object Similarity {
   private[operators] def meanAssignedDistance(idx: IvfIndex): Double =
     idx.assigned
       .join(broadcast(idx.centers), col("cell") === col("center_cell"))
-      .select(avg(sqrt(Dedup.dot(col("v"), col("v"))
+      // d2 can round to ~-1e-16 for a vector sitting on its centroid
+      // (near-dup embeddings do) — unguarded sqrt would NaN the mean
+      // and permanently disable the drift-recluster comparison
+      .select(avg(sqrt(greatest(Dedup.dot(col("v"), col("v"))
         - lit(2.0) * Dedup.dot(col("v"), col("center"))
-        + Dedup.dot(col("center"), col("center")))).as("d"))
+        + Dedup.dot(col("center"), col("center")), lit(0.0)))).as("d"))
       .head.getDouble(0)
 
   /** INCREMENTAL index maintenance — how a 100 TB deployment absorbs
@@ -230,23 +233,6 @@ object Similarity {
   private[graft] def hammingMasks(radius: Int): Seq[Long] =
     (0 until (1 << NumPlanes)).filter(Integer.bitCount(_) <= radius).map(_.toLong)
 
-  /** LSH-bucketed approximate top-k: corpus is signed into 8-bit
-    * hyperplane buckets; each probe EXPANDS to its hamming ≤ 3 code
-    * set (93 codes) and equi-joins the corpus on `code` — a true
-    * bucket LOOKUP (broadcast hash join on the code key), not a scan:
-    * corpus rows outside the probed buckets are rejected at the hash
-    * table, so cost is O(corpus ∩ probed buckets), independent of the
-    * probe-batch size. At 100 TB the probe side stays
-    * (probes × 93) rows — broadcastable for 10k+ probe batches.
-    *
-    * Selectivity caveat: NumPlanes = 8 gives only 256 buckets, and
-    * radius 3 probes 93/256 ≈ 36% of the code space — sized for the
-    * recall sweep on the test corpus (RecallProbe), not for
-    * production. At scale raise the planes (16-24 → 65k-16M buckets)
-    * and shrink the radius (1-2); the expansion set grows as
-    * Σ C(planes,k), k ≤ radius, so planes=16/radius=2 is 137 codes
-    * per probe over 65k buckets ≈ 0.2% of the space probed.
-    */
   /** Int8 scalar-quantized approximate top-k with exact reranking —
     * the memory-bound scale path (the index stores 1 byte/dim, 8×
     * smaller than float64 and 4× smaller than float32, so 8× more
@@ -397,6 +383,23 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** LSH-bucketed approximate top-k: corpus is signed into 8-bit
+    * hyperplane buckets; each probe EXPANDS to its hamming ≤ 3 code
+    * set (93 codes) and equi-joins the corpus on `code` — a true
+    * bucket LOOKUP (broadcast hash join on the code key), not a scan:
+    * corpus rows outside the probed buckets are rejected at the hash
+    * table, so cost is O(corpus ∩ probed buckets), independent of the
+    * probe-batch size. At 100 TB the probe side stays
+    * (probes × 93) rows — broadcastable for 10k+ probe batches.
+    *
+    * Selectivity caveat: NumPlanes = 8 gives only 256 buckets, and
+    * radius 3 probes 93/256 ≈ 36% of the code space — sized for the
+    * recall sweep on the test corpus (RecallProbe), not for
+    * production. At scale raise the planes (16-24 → 65k-16M buckets)
+    * and shrink the radius (1-2); the expansion set grows as
+    * Σ C(planes,k), k ≤ radius, so planes=16/radius=2 is 137 codes
+    * per probe over 65k buckets ≈ 0.2% of the space probed.
+    */
   def annLsh(spark: SparkSession, dir: String, radius: Int = 3): DataFrame = {
     val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
       .withColumn("code", lshCode(col("v")))
