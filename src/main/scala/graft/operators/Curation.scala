@@ -454,6 +454,61 @@ object Curation {
       |WHERE (doc_id % 1000003 * 2654435761) % 1000000 < accept_ppm
       |ORDER BY doc_id""".stripMargin
 
+  /** The END-TO-END curation verdict: exact dedup ∧ the full Gopher
+    * chain ∧ near-dup canonical selection, per document with per-stage
+    * attribution — the composed pipeline a corpus actually ships
+    * through, as one query. `survived` is the training-set membership
+    * bit; the stage columns say WHY a document fell out.
+    *
+    *  - keep_exact: first copy of its byte-identical text
+    *    ([[Dedup.exact]] semantics as a min-id window on the hash).
+    *  - keep_chain: passes repetition ∧ table-A1 quality rules
+    *    ([[gopherChain]]).
+    *  - is_canonical: its near-dup cluster's content-chosen
+    *    representative ([[Dedup.dedupCanonical]]).
+    *
+    * Scale shape: three independent verdict branches equi-joined on
+    * doc_id (same key → exchange reuse); each branch keeps its own
+    * optimal shape (hash window / narrow projection / component
+    * resolution) rather than serializing into one pass.
+    */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exactKeep = docs.select(col("doc_id"),
+      (col("doc_id") === min("doc_id").over(
+        Window.partitionBy(md5(col("text").cast("binary"))))).as("keep_exact"))
+    val chain = gopherChainDocs(docs)
+      .select(col("doc_id"), col("keep_doc").as("keep_chain"))
+    val canon = Dedup.dedupCanonical(spark, dir)
+      .select(col("doc_id"), col("is_canonical"))
+    exactKeep.join(chain, "doc_id").join(canon, "doc_id")
+      .select(col("doc_id"), col("keep_exact"), col("keep_chain"),
+        col("is_canonical"),
+        (col("keep_exact") && col("keep_chain") && col("is_canonical"))
+          .as("survived"))
+      .orderBy("doc_id")
+  }
+
+  def curationPipelineSql: String =
+    s"""WITH RECURSIVE $gopherChainCtes, chain AS (
+      |  SELECT rep.doc_id, (keep_rep AND keep_quality) AS keep_chain
+      |  FROM rep JOIN q ON rep.doc_id = q.doc_id
+      |), ${Dedup.clusterClosureCtes}, canon AS (
+      |  SELECT cl.vec_id AS doc_id,
+      |    (cl.vec_id = first_value(cl.vec_id) OVER (PARTITION BY cl.cluster_id
+      |      ORDER BY dd.n_chars DESC, cl.vec_id)) AS is_canonical
+      |  FROM clusters cl JOIN documents dd ON dd.doc_id = cl.vec_id
+      |), ex AS (
+      |  SELECT doc_id,
+      |    (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keep_exact
+      |  FROM documents
+      |)
+      |SELECT ex.doc_id, keep_exact, keep_chain, is_canonical,
+      |  (keep_exact AND keep_chain AND is_canonical) AS survived
+      |FROM ex JOIN chain ON chain.doc_id = ex.doc_id
+      |JOIN canon ON canon.doc_id = ex.doc_id
+      |ORDER BY ex.doc_id""".stripMargin
+
   /** Target domain for [[importanceWeights]]: one of the corpus
     * sources stands in for the seed corpus that defines the
     * distribution to resample toward.
@@ -537,6 +592,72 @@ object Curation {
       |SELECT doc_id, round(sum(tf * logratio), 6) AS log_weight,
       |  sum(tf)::BIGINT AS n_tokens
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Bucket count for the hashed DSIR variant — fixed model size
+    * regardless of vocabulary (the paper uses hashed n-gram features
+    * for exactly this reason).
+    */
+  private val HashBuckets = 1024
+
+  /** Train the HASHED importance model: words hash into a fixed
+    * `buckets`-sized space, so the model is a dense double array
+    * independent of vocabulary size — small enough to collect and
+    * broadcast into a narrow per-row scoring expression. One
+    * bucket-keyed aggregation over the corpus; smoothing as in
+    * [[importanceWeights]] with the bucket space as the vocabulary.
+    */
+  private[graft] def hashedImportanceModel(docs: DataFrame,
+      buckets: Int = HashBuckets): Array[Double] = {
+    val counts = docs
+      .select((col("source") === DsirTarget).as("is_t"),
+        explode(TextOps.normalizedWords).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(pmod(xxhash64(col("word")), lit(buckets.toLong)).as("b"))
+      .agg(count(lit(1)).as("c_all"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+      .collect().map(r => r.getLong(0).toInt -> (r.getLong(1), r.getLong(2))).toMap
+    val nAll = counts.values.map(_._1).sum
+    val nT = counts.values.map(_._2).sum
+    // smooth over the OCCUPIED bucket space, not the full table: with
+    // B ≫ vocab, an add-1 prior over all B buckets shifts every token
+    // by ln((n+V)/(n+B)) relative to the exact model — a length
+    // penalty that can flip the domain separation outright
+    val vEff = counts.size
+    Array.tabulate(buckets) { b =>
+      val (ca, ct) = counts.getOrElse(b, (0L, 0L))
+      math.log((ct + 1).toDouble / (nT + vEff)) -
+        math.log((ca + 1).toDouble / (nAll + vEff))
+    }
+  }
+
+  /** Score documents against a trained hashed model: per-row
+    * Σ model[hash(word)] — a pure projection (the model rides in the
+    * plan as a literal), so it runs unchanged inside the streaming
+    * tier ([[graft.streaming.TickStream.importanceDocsStream]]).
+    * The fold is left-to-right per document on every engine path, so
+    * batch and streamed scores are bit-identical.
+    */
+  private[graft] def hashedImportanceScore(docs: DataFrame,
+      model: Array[Double], buckets: Int = HashBuckets): DataFrame = {
+    val ws = filter(TextOps.normalizedWords, w => w =!= lit(""))
+    docs.select(col("doc_id"),
+      round(aggregate(
+        transform(ws, w => element_at(typedLit(model.toSeq),
+          pmod(xxhash64(w), lit(buckets.toLong)).cast("int") + 1)),
+        lit(0.0), _ + _), 6).as("log_weight"),
+      size(ws).as("n_tokens"))
+  }
+
+  /** The production-shaped DSIR dual of [[importanceWeights]]: hashed
+    * features → fixed-size broadcast model → narrow scoring (train
+    * offline, serve anywhere — batch or stream). No SQL oracle
+    * (xxhash64 has no DuckDB dual); the spec pins the same
+    * target-domain separation as the exact variant.
+    */
+  def importanceWeightsHashed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    hashedImportanceScore(docs, hashedImportanceModel(docs)).orderBy("doc_id")
+  }
 
   // ----------------------------------------------- full Gopher rule set
 
@@ -661,8 +782,12 @@ object Curation {
       .select(col("doc_id"), col("keep_rep"), col("keep_quality"),
         (col("keep_rep") && col("keep_quality")).as("keep_doc"))
 
-  def gopherChainSql: String =
-    s"""WITH s AS (
+  /** Shared DuckDB CTE block for the chain verdicts (`rep` keep_rep +
+    * `q` keep_quality), composed into [[gopherChainSql]] and
+    * [[curationPipelineSql]]. Callers open the WITH clause.
+    */
+  private val gopherChainCtes: String =
+    s"""s AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(text, '[.!?]\\s+'), x -> x <> '') AS sents
       |  FROM documents
@@ -709,7 +834,10 @@ object Curation {
       |     AND len(list_intersect(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
       |       list_transform(ws, x -> lower(x)))) >= 2) AS keep_quality
       |  FROM d
-      |)
+      |)""".stripMargin
+
+  def gopherChainSql: String =
+    s"""WITH $gopherChainCtes
       |SELECT rep.doc_id, keep_rep, keep_quality,
       |  (keep_rep AND keep_quality) AS keep_doc
       |FROM rep JOIN q ON rep.doc_id = q.doc_id

@@ -286,8 +286,15 @@ object Dedup {
     * reachable id — the same fixpoint the distributed label
     * propagation converges to.
     */
-  def embeddingClustersSql: String =
-    """WITH RECURSIVE e AS (
+  /** Shared DuckDB CTE block: the exact transitive closure over the
+    * cosine-threshold pair graph (`reach` fixpoint + min-label
+    * `clusters`). Composed into [[embeddingClustersSql]],
+    * [[dedupCanonicalSql]], and Curation's pipeline oracle — one
+    * definition so the closure semantics cannot drift between duals.
+    * Callers must open with `WITH RECURSIVE`.
+    */
+  private[operators] val clusterClosureCtes: String =
+    """e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |    sqrt(list_sum(list_transform(list_zip(embedding::DOUBLE[], embedding::DOUBLE[]),
       |      z -> z[1] * z[2]))) AS norm
@@ -305,9 +312,14 @@ object Dedup {
       |  UNION
       |  SELECT ed.src AS id, reach.r AS r
       |  FROM reach JOIN edges ed ON ed.dst = reach.id
-      |)
-      |SELECT id AS vec_id, min(r) AS cluster_id, (id = min(r)) AS keep
-      |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
+      |), clusters AS (
+      |  SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
+      |)""".stripMargin
+
+  def embeddingClustersSql: String =
+    s"""WITH RECURSIVE $clusterClosureCtes
+      |SELECT vec_id, cluster_id, (vec_id = cluster_id) AS keep
+      |FROM clusters ORDER BY vec_id""".stripMargin
 
   /** Per-cluster CANONICAL-document selection joined back to the
     * corpus — the final dedup step after [[embeddingClusters]]: every
@@ -343,27 +355,7 @@ object Dedup {
     * winner via the same first_value window.
     */
   def dedupCanonicalSql: String =
-    """WITH RECURSIVE e AS (
-      |  SELECT vec_id, embedding::DOUBLE[] AS v,
-      |    sqrt(list_sum(list_transform(list_zip(embedding::DOUBLE[], embedding::DOUBLE[]),
-      |      z -> z[1] * z[2]))) AS norm
-      |  FROM embeddings
-      |), pairs AS (
-      |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
-      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
-      |  WHERE list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
-      |      / (a.norm * b.norm) >= 0.4
-      |), edges AS (
-      |  SELECT a_id AS src, b_id AS dst FROM pairs
-      |  UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs
-      |), reach(id, r) AS (
-      |  SELECT vec_id AS id, vec_id AS r FROM embeddings
-      |  UNION
-      |  SELECT ed.src AS id, reach.r AS r
-      |  FROM reach JOIN edges ed ON ed.dst = reach.id
-      |), clusters AS (
-      |  SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
-      |), joined AS (
+    s"""WITH RECURSIVE $clusterClosureCtes, joined AS (
       |  SELECT c.vec_id, c.cluster_id, d.n_chars,
       |    first_value(c.vec_id) OVER (PARTITION BY c.cluster_id
       |      ORDER BY d.n_chars DESC, c.vec_id) AS canonical_id

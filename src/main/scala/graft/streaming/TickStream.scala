@@ -150,6 +150,16 @@ object TickStream {
   def fullQualityDocsStream(docs: DataFrame): DataFrame =
     graft.operators.Curation.gopherChainDocs(docs)
 
+  /** Streaming importance scoring — train offline, serve online: a
+    * batch-trained hashed DSIR model
+    * ([[graft.operators.Curation.hashedImportanceModel]]) rides into
+    * the stream as a plan literal; scoring is a pure projection with
+    * zero shuffle and zero state. Streamed scores are bit-identical
+    * to the batch dual (spec-asserted).
+    */
+  def importanceDocsStream(docs: DataFrame, model: Array[Double]): DataFrame =
+    graft.operators.Curation.hashedImportanceScore(docs, model)
+
   /** Watermarked tumbling-window aggregation per event_type — the
     * streaming dual of Warehouse.windowAgg. State is bounded by the
     * 10-minute watermark.

@@ -83,6 +83,26 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("curation pipeline composes its three stage verdicts") {
+    val pipe = Curation.curationPipeline(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val chain = Curation.gopherChain(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep_doc")).toMap
+    val canon = graft.operators.Dedup.dedupCanonical(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_canonical")).toMap
+    val exactSurvivors = graft.operators.Dedup.exact(spark, sfDir).collect()
+      .map(_.getAs[Long]("keep_id")).toSet
+    assert(pipe.nonEmpty && pipe.keySet == chain.keySet)
+    pipe.foreach { case (id, r) =>
+      assert(r.getAs[Boolean]("keep_chain") == chain(id), s"doc $id chain")
+      assert(r.getAs[Boolean]("is_canonical") == canon(id), s"doc $id canon")
+      assert(r.getAs[Boolean]("keep_exact") == exactSurvivors.contains(id),
+        s"doc $id exact")
+      assert(r.getAs[Boolean]("survived") ==
+        (chain(id) && canon(id) && exactSurvivors.contains(id)), s"doc $id")
+    }
+  }
+
   test("importance weights rank target-domain docs above the rest") {
     val w = Curation.importanceWeights(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
@@ -96,6 +116,26 @@ class CurationSpec extends SparkSuite {
     val mt = target.values.sum / target.size
     val mr = rest.values.sum / rest.size
     assert(mt > mr, s"target mean $mt !> rest mean $mr")
+  }
+
+  test("hashed importance weights keep the target-domain separation") {
+    val w = Curation.importanceWeightsHashed(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
+    val src = Tables.documents(spark, sfDir).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(w.keySet == src.keySet)
+    val (target, rest) = w.partition { case (id, _) => src(id) == "src0" }
+    val mt = target.values.sum / target.size
+    val mr = rest.values.sum / rest.size
+    assert(mt > mr, s"hashed target mean $mt !> rest mean $mr")
+    // 1024 buckets on this vocabulary: hashing must track the exact
+    // model closely — rank correlation via mean abs score gap
+    val exact = Curation.importanceWeights(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
+    val agree = w.keys.count { id =>
+      (w(id) > mt) == (exact(id) > exact.values.sum / exact.size) }
+    assert(agree.toDouble / w.size > 0.6,
+      "hashed scores should broadly agree with the exact model")
   }
 
   test("gopherQuality judges each rule on crafted documents") {

@@ -353,6 +353,19 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streamed hashed importance scores are bit-identical to batch") {
+    val batchDocs = Tables.documents(spark, sfDir)
+    val model = graft.operators.Curation.hashedImportanceModel(batchDocs)
+    val out = TickStream.importanceDocsStream(
+      TickStream.docsStream(spark, sfDir), model)
+    runToMemory(out, "doc_importance")
+    val streamed = spark.table("doc_importance")
+    val batch = graft.operators.Curation.hashedImportanceScore(batchDocs, model)
+    assert(streamed.count() == batch.count())
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("featureExtract emits a normalized embedding per document") {
     val df = Multimodal.featureExtract(spark, sfDir)
     val rows = df.collect()
