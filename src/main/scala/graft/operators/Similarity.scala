@@ -24,7 +24,7 @@ object Similarity {
   // ~3, so radius 3 keeps recall high while scoring ~1/3 of buckets.
   private val NumPlanes = 8
 
-  private def vecs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))
@@ -341,29 +341,88 @@ object Similarity {
     * fuse the code-gather into one codegen expression like
     * [[graft.functions.VectorDot]].
     */
-  def annPq(spark: SparkSession, dir: String, rerank: Int = 32): DataFrame = {
+  /** A fitted PQ index: the encoded corpus (vec_id, codes, recon
+    * norm — the ONLY per-vector state a deployment stores) plus the
+    * per-subspace codebooks. Built once, searched many times;
+    * persistable via [[savePqIndex]]/[[loadPqIndex]] like the IVF
+    * index.
+    */
+  case class PqIndex(encoded: DataFrame, books: Array[Array[Array[Double]]])
+
+  def pqIndex(spark: SparkSession, dir: String): PqIndex = {
     val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
     val books = fitPqCodebooks(corpus)
+    PqIndex(encodePq(corpus, books), books)
+  }
+
+  /** ENCODE: argmin centroid per subspace (first min wins —
+    * deterministic) + the reconstruction norm the cosine needs.
+    */
+  private def encodePq(corpus: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
     val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
-    // ENCODE: argmin centroid per subspace (first min wins — deterministic)
     val codeCols = (0 until PqM).map { m =>
       val sub = slice(col("v"), m * PqSub + 1, PqSub)
       val d2s = transform(typedLit(books(m).map(_.toSeq).toSeq), c =>
         aggregate(zip_with(c, sub, (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
       (array_position(d2s, array_min(d2s)) - 1).cast("int")
     }
-    val index = corpus
+    corpus
       .select(col("vec_id"), array(codeCols: _*).as("codes"))
       .withColumn("dq", flatten(transform(col("codes"),
         (c, m) => element_at(element_at(booksLit, m + 1), c + 1))))
       .withColumn("dq_norm", sqrt(Dedup.dot(col("dq"), col("dq"))))
-      .select("vec_id", "codes", "dq_norm") // what a deployment stores
+      .select("vec_id", "codes", "dq_norm")
+  }
+
+  /** Persist a fitted PQ index: the encoded corpus plus the codebooks
+    * (flattened to (m, c, center) rows). Build once, serve many —
+    * at scale the encode pass over the corpus dominates, so query
+    * jobs load instead of refitting.
+    */
+  def savePqIndex(idx: PqIndex, path: String): Unit = {
+    idx.encoded.write.mode("overwrite").parquet(s"$path/encoded")
+    val spark = idx.encoded.sparkSession
+    val rows = for {
+      (cents, m) <- idx.books.zipWithIndex
+      (center, c) <- cents.zipWithIndex
+    } yield (m, c, center.toSeq)
+    spark.createDataFrame(rows.toIndexedSeq).toDF("m", "c", "center")
+      .write.mode("overwrite").parquet(s"$path/books")
+  }
+
+  def loadPqIndex(spark: SparkSession, path: String): PqIndex = {
+    val encoded = spark.read.parquet(s"$path/encoded")
+    require(encoded.columns.toSet == Set("vec_id", "codes", "dq_norm"),
+      s"invalid PQ index at $path/encoded: ${encoded.columns.mkString(",")}")
+    val bookRows = spark.read.parquet(s"$path/books")
+      .select("m", "c", "center").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(bookRows.length == PqM * PqK,
+      s"invalid PQ codebooks at $path/books: ${bookRows.length} rows")
+    val books = bookRows.groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    PqIndex(encoded.select("vec_id", "codes", "dq_norm"), books)
+  }
+
+  def annPq(spark: SparkSession, dir: String, rerank: Int = 32): DataFrame = {
+    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
+    val books = fitPqCodebooks(corpus)
+    annPqSearch(PqIndex(encodePq(corpus, books), books), corpus, rerank)
+  }
+
+  /** SEARCH (ADC) + exact rerank against a fitted index; `corpus`
+    * supplies the probe vectors and the rerank fetch — the index side
+    * never touches a float vector.
+    */
+  def annPqSearch(idx: PqIndex, corpus: DataFrame, rerank: Int): DataFrame = {
+    val booksLit = typedLit(idx.books.map(_.map(_.toSeq).toSeq).toSeq)
     val probes = corpus.filter(col("vec_id") < NumProbes)
       .toDF("probe_id", "p_v", "p_norm")
       .withColumn("tab", transform(booksLit, (cents, m) =>
         transform(cents, c =>
           Dedup.dot(c, slice(col("p_v"), m * PqSub + lit(1), lit(PqSub))))))
-    val approx = index.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+    val approx = idx.encoded.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("approx_cos",
         aggregate(transform(col("codes"), (c, m) =>
           element_at(element_at(col("tab"), m + 1), c + 1)),

@@ -87,7 +87,10 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  def qualityScoreSql: String =
+  /** The score SELECT without its driver-determinism ORDER BY —
+    * shared by [[qualityScoreSql]] and [[qualityPruneSql]]'s CTE.
+    */
+  private val qualityScoreSelect: String =
     """SELECT doc_id,
       |  len(ws) AS n_words,
       |  round(alpha_chars / n_words_d, 8) AS mean_word_len,
@@ -106,7 +109,50 @@ object TextOps {
       |      / n_chars AS punct_ratio
       |  FROM (SELECT doc_id, text, n_chars,
       |          string_split_regex(trim(text), '\s+') AS ws
-      |        FROM documents))
+      |        FROM documents))""".stripMargin
+
+  def qualityScoreSql: String =
+    qualityScoreSelect + "\nORDER BY doc_id"
+
+  /** Per-domain quality PRUNING: keep each source's top half by
+    * quality score — the mixture-level quality gate (a global cutoff
+    * would empty weak domains entirely; per-domain ranks preserve the
+    * mixture while dropping each domain's worst mass).
+    *
+    * Deliberately RANK-based, not threshold-based: keep = rank ≤
+    * ⌈n/2⌉ under the deterministic (score desc, doc_id) order — all
+    * integer logic, so the verdict is cross-engine exact, where an
+    * interpolated percentile cutoff would sit at ulp-divergent
+    * midpoints. One shuffle on the source key for both windows.
+    */
+  def qualityPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityScore(spark, dir).select("doc_id", "quality_score")
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    val w = Window.partitionBy("source")
+    val wr = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    scored.join(src, "doc_id")
+      .withColumn("n_source", count(lit(1)).over(w))
+      .withColumn("rank_in_source", row_number().over(wr))
+      .withColumn("keep_doc", col("rank_in_source") * 2 <= col("n_source") + 1)
+      .select("doc_id", "source", "quality_score", "n_source",
+        "rank_in_source", "keep_doc")
+      .orderBy("doc_id")
+  }
+
+  def qualityPruneSql: String =
+    s"""WITH qs AS (
+      |$qualityScoreSelect
+      |)
+      |SELECT doc_id, source, quality_score, n_source, rank_in_source,
+      |  (rank_in_source * 2 <= n_source + 1) AS keep_doc
+      |FROM (
+      |  SELECT qs.doc_id, d.source, qs.quality_score,
+      |    count(*) OVER (PARTITION BY d.source) AS n_source,
+      |    row_number() OVER (PARTITION BY d.source
+      |      ORDER BY qs.quality_score DESC, qs.doc_id) AS rank_in_source
+      |  FROM qs JOIN documents d ON d.doc_id = qs.doc_id)
       |ORDER BY doc_id""".stripMargin
 
   /** Heuristic language ID: CJK charset test, then stopword-hit

@@ -259,6 +259,22 @@ class LlmOpsSpec extends SparkSuite {
       .map(_.getAs[String]("word")).distinct.length > 1)
   }
 
+  test("qualityPrune keeps exactly each source's top half by score") {
+    val rows = TextOps.qualityPrune(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (s, rs) =>
+      val n = rs.length
+      assert(rs.forall(_.getAs[Long]("n_source") == n))
+      val kept = rs.filter(_.getAs[Boolean]("keep_doc"))
+      assert(kept.length == (n + 1) / 2, s"source $s kept ${kept.length}/$n")
+      val minKept = kept.map(_.getAs[Double]("quality_score")).min
+      rs.filterNot(_.getAs[Boolean]("keep_doc")).foreach { r =>
+        assert(r.getAs[Double]("quality_score") <= minKept,
+          s"dropped doc outscores a kept one in $s")
+      }
+    }
+  }
+
   test("annPq recall with exact rerank against brute force") {
     val exactRows = Similarity.annBruteForce(spark, sfDir).collect()
     val exact = exactRows.map(r => (r.getAs[Long]("probe_id"),
@@ -362,6 +378,20 @@ class LlmOpsSpec extends SparkSuite {
     val fresh = Similarity.annIvfSearch(idx, 3).collect().map(_.toString).sorted
     val reread = Similarity.annIvfSearch(loaded, 3).collect().map(_.toString).sorted
     assert(fresh.sameElements(reread), "loaded index diverged from fresh build")
+  }
+
+  test("persisted PQ index searches identically to a fresh build") {
+    val path = java.nio.file.Files.createTempDirectory("pq_idx").toString
+    val idx = Similarity.pqIndex(spark, sfDir)
+    Similarity.savePqIndex(idx, path)
+    val loaded = Similarity.loadPqIndex(spark, path)
+    val corpus = Similarity.vecs(spark, sfDir).toDF("vec_id", "v", "norm")
+    val fresh = Similarity.annPqSearch(idx, corpus, 32)
+      .collect().map(_.toString).sorted
+    val reread = Similarity.annPqSearch(loaded, corpus, 32)
+      .collect().map(_.toString).sorted
+    assert(fresh.sameElements(reread), "loaded PQ index diverged")
+    assert(fresh.nonEmpty)
   }
 
   test("annLsh candidate selection is a bucket equi-join, not a scan") {
