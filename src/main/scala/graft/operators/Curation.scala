@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -424,16 +424,54 @@ object Curation {
         size(filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
           w => w =!= lit(""))).cast("long").as("n_tok"))
       .persist()
+    docs.join(broadcast(mixtureRatesOf(docs)), Seq("source"))
+      .filter(mixtureAccept(col("doc_id"), col("accept_ppm")))
+      .select(col("doc_id"), col("source"), col("accept_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source acceptance rates (ppm) of the α = 0.5 temperature
+    * mixture over a (source, n_tok) projection — one tiny DataFrame
+    * (a row per source), shared by the batch sampler and the
+    * streaming serve path (collected + broadcast there).
+    */
+  private[graft] def mixtureRatesOf(docs: DataFrame): DataFrame = {
     val perSource = docs.groupBy("source").agg(sum("n_tok").as("n_tokens"))
     val minTok = perSource.agg(min("n_tokens").as("min_tokens"))
-    val rates = perSource.crossJoin(broadcast(minTok))
+    perSource.crossJoin(broadcast(minTok))
       .select(col("source"),
         round(sqrt(col("min_tokens").cast("double") / col("n_tokens").cast("double"))
           * 1000000, 0).cast("long").as("accept_ppm"))
-    docs.join(broadcast(rates), Seq("source"))
-      .filter((col("doc_id") % 1000003L * lit(2654435761L)) % 1000000L < col("accept_ppm"))
-      .select(col("doc_id"), col("source"), col("accept_ppm"))
-      .orderBy("doc_id")
+  }
+
+  /** The deterministic per-document acceptance test (multiplicative
+    * doc_id hash vs a ppm rate) — ONE definition so batch and stream
+    * cannot drift.
+    */
+  private[graft] def mixtureAccept(docId: Column, acceptPpm: Column): Column =
+    (docId % 1000003L * lit(2654435761L)) % 1000000L < acceptPpm
+
+  /** Batch-side training output for the streaming sampler: the rates
+    * as a driver map (a handful of sources — always collectable).
+    */
+  def mixtureRates(spark: SparkSession, dir: String): Map[String, Long] =
+    mixtureRatesOf(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
+          w => w =!= lit(""))).cast("long").as("n_tok")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Streaming mixture acceptance: batch-trained rates ride in as a
+    * map literal; the filter is a pure row predicate (zero state).
+    * Documents from sources UNSEEN at training time are dropped —
+    * they have no place in the trained mixture; retrain to admit them.
+    */
+  private[graft] def mixtureAcceptDocs(docs: DataFrame,
+      rates: Map[String, Long]): DataFrame = {
+    val ppm = element_at(typedLit(rates), col("source"))
+    docs.withColumn("accept_ppm", ppm)
+      .filter(col("accept_ppm").isNotNull &&
+        mixtureAccept(col("doc_id"), col("accept_ppm")))
   }
 
   def mixtureSampleSql: String =

@@ -336,9 +336,34 @@ object Dedup {
     * join back, so the whole selection costs a single shuffle on the
     * cluster key after the component resolution.
     */
-  def dedupCanonical(spark: SparkSession, dir: String): DataFrame = {
+  def dedupCanonical(spark: SparkSession, dir: String): DataFrame =
+    canonicalOf(spark, dir, embeddingClusters(spark, dir)
+      .select("vec_id", "cluster_id"))
+
+  /** The 100 TB canonical path: the SAME component resolution and
+    * content selection as [[dedupCanonical]], with candidate pairs
+    * from the [[embeddingDedupLsh]] buckets instead of the exact
+    * all-pairs kernel — the pair-source swap the cluster scaladoc
+    * promises, realized. LSH pairs ⊆ exact pairs, so LSH clusters
+    * REFINE the exact clusters (each is contained in one exact
+    * cluster — spec-asserted); missed pairs can split a cluster,
+    * never merge two.
+    */
+  def dedupCanonicalLsh(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = embeddingDedupLsh(spark, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val verts = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
+    canonicalOf(spark, dir, connectedComponents(verts, pairs)
+      .select(col("id").as("vec_id"), col("label").as("cluster_id")))
+  }
+
+  /** Content-chosen representative per cluster (max n_chars, ties →
+    * min id) via one first_value window — shared by the exact and
+    * LSH-bucketed cluster sources.
+    */
+  private def canonicalOf(spark: SparkSession, dir: String,
+      clusters: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val clusters = embeddingClusters(spark, dir).select("vec_id", "cluster_id")
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("n_chars").desc, col("vec_id"))

@@ -160,6 +160,16 @@ object TickStream {
   def importanceDocsStream(docs: DataFrame, model: Array[Double]): DataFrame =
     graft.operators.Curation.hashedImportanceScore(docs, model)
 
+  /** Streaming mixture sampling — the serve side of
+    * [[graft.operators.Curation.mixtureSample]]: per-source acceptance
+    * rates trained in batch ([[graft.operators.Curation.mixtureRates]])
+    * are applied as a stateless row predicate (same deterministic
+    * doc_id hash as batch, so accepted sets are identical —
+    * spec-asserted). Unseen sources drop until the rates retrain.
+    */
+  def mixtureDocsStream(docs: DataFrame, rates: Map[String, Long]): DataFrame =
+    graft.operators.Curation.mixtureAcceptDocs(docs, rates)
+
   /** Watermarked tumbling-window aggregation per event_type — the
     * streaming dual of Warehouse.windowAgg. State is bounded by the
     * 10-minute watermark.

@@ -317,6 +317,22 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("dedupCanonicalLsh refines the exact clusters, never merges them") {
+    val lsh = Dedup.dedupCanonicalLsh(spark, sfDir).collect()
+    val exact = Dedup.dedupCanonical(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(lsh.length == exact.size, "every doc maps in the LSH path too")
+    // one canonical per LSH cluster, chosen inside the cluster
+    lsh.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rows) =>
+      assert(rows.map(_.getAs[Long]("canonical_id")).distinct.length == 1)
+      assert(rows.count(_.getAs[Boolean]("is_canonical")) == 1)
+      // refinement: all members of an LSH cluster share ONE exact
+      // cluster (missed pairs can split, never merge)
+      assert(rows.map(r => exact(r.getAs[Long]("doc_id"))).distinct.length == 1,
+        s"LSH cluster $cid spans multiple exact clusters")
+    }
+  }
+
   test("embeddingDedupLsh: exact subset of all-pairs, recall pinned") {
     val exact = Dedup.embeddingDedup(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

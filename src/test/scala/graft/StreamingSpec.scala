@@ -366,6 +366,19 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streamed mixture acceptance equals the batch sample exactly") {
+    val rates = graft.operators.Curation.mixtureRates(spark, sfDir)
+    val out = TickStream.mixtureDocsStream(TickStream.docsStream(spark, sfDir), rates)
+    runToMemory(out, "doc_mixture")
+    val streamed = spark.table("doc_mixture")
+      .select("doc_id", "source", "accept_ppm").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = graft.operators.Curation.mixtureSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch, "streamed accepted set diverged from batch")
+    assert(streamed.nonEmpty)
+  }
+
   test("featureExtract emits a normalized embedding per document") {
     val df = Multimodal.featureExtract(spark, sfDir)
     val rows = df.collect()
