@@ -73,6 +73,9 @@ object ScaleProbe {
     time("gopher_chain")(operators.Curation.gopherChainDocs(bigDocs))
     time("tfidf")(operators.TextOps.tfidfDocs(bigDocs))
     time("importance_w")(operators.Curation.importanceWeightsDocs(bigDocs))
+    time("importance_h")(operators.Curation.hashedImportanceScore(bigDocs,
+      operators.Curation.hashedImportanceModel(bigDocs)))
+    time("perplexity")(operators.TextOps.perplexityDocs(bigDocs))
     spark.stop()
   }
 }

@@ -389,6 +389,81 @@ object TextOps {
       |SELECT doc_id, rank, word, tfidf
       |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** CCNet-style LM perplexity scoring (Wenzek et al. 2020): per-doc
+    * cross-entropy and perplexity under an add-1-smoothed word-bigram
+    * LM trained on the corpus itself — the fluency gate that drops
+    * gibberish the rule filters miss. P(w2|w1) = (c12+1)/(c1+V) with
+    * V = predecessor vocabulary size; docs under 2 words carry no
+    * bigram and drop out (nothing to score).
+    *
+    * Scale shape: ONE corpus scan into a cached (doc_id, w1, w2, n)
+    * table; global bigram/left-context masses come from windows over
+    * THAT table (the (w1,w2) window's shuffle also serves the w1
+    * window via partial reuse); V is one action on the cached table.
+    * Parity: integer ratios into ln (cf. [[bm25]]), Σ n·lp at the
+    * same granularity both engines, ÷ and exp on the rounded-free
+    * path guarded by the 6-decimal output rounding.
+    */
+  def perplexity(spark: SparkSession, dir: String): DataFrame =
+    perplexityDocs(Tables.documents(spark, dir))
+
+  private[graft] def perplexityDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = filter(normalizedWords, w => w =!= lit(""))
+    val pairs = docs
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
+        slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val tf = pairs.groupBy("doc_id", "w1", "w2")
+      .agg(count(lit(1)).as("n")).persist()
+    val v = tf.agg(countDistinct("w1")).head.getLong(0)
+    val w12 = Window.partitionBy("w1", "w2")
+    val w1w = Window.partitionBy("w1")
+    tf
+      .withColumn("c12", sum("n").over(w12))
+      .withColumn("c1", sum("n").over(w1w))
+      .withColumn("lp", log((col("c12") + 1).cast("double")
+        / (col("c1") + lit(v)).cast("double")))
+      .groupBy("doc_id")
+      .agg(sum(col("n") * col("lp")).as("lp_sum"), sum("n").as("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("lp_sum") / col("n_bigrams"), 6).as("cross_entropy"),
+        round(exp(-col("lp_sum") / col("n_bigrams")), 6).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
+  def perplexitySql: String =
+    """WITH ws0 AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+      |      lower(trim(text)), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
+      |      x -> x <> '') AS ws
+      |  FROM documents
+      |), bg AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT doc_id, ws,
+      |          unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS i
+      |        FROM ws0)
+      |), tf AS (
+      |  SELECT doc_id, w1, w2, count(*)::BIGINT AS n
+      |  FROM bg GROUP BY 1, 2, 3
+      |), vv AS (SELECT count(DISTINCT w1)::BIGINT AS v FROM tf),
+      |m AS (
+      |  SELECT doc_id, n,
+      |    ln((c12 + 1)::DOUBLE / ((c1 + v)::DOUBLE)) AS lp
+      |  FROM (SELECT doc_id, n,
+      |          sum(n) OVER (PARTITION BY w1, w2) AS c12,
+      |          sum(n) OVER (PARTITION BY w1) AS c1
+      |        FROM tf), vv
+      |)
+      |SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+      |  round(-sum(n * lp) / sum(n), 6) AS cross_entropy,
+      |  round(exp(-sum(n * lp) / sum(n)), 6) AS perplexity
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------- BM25
 
   /** Seed-query terms for the relevance-scoring query (fixed, from

@@ -259,6 +259,19 @@ class LlmOpsSpec extends SparkSuite {
       .map(_.getAs[String]("word")).distinct.length > 1)
   }
 
+  test("perplexity scores every multi-word doc under the corpus LM") {
+    val rows = TextOps.perplexity(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count(),
+      "synthetic corpus has no sub-2-word docs — all must score")
+    rows.foreach { r =>
+      val ce = r.getAs[Double]("cross_entropy")
+      val ppl = r.getAs[Double]("perplexity")
+      assert(ce > 0.0 && ppl > 1.0, "smoothed probs are < 1")
+      assert(math.abs(math.exp(ce) - ppl) < 1e-3, "ppl == exp(ce)")
+      assert(r.getAs[Long]("n_bigrams") > 0)
+    }
+  }
+
   test("qualityPrune keeps exactly each source's top half by score") {
     val rows = TextOps.qualityPrune(spark, sfDir).collect()
     assert(rows.nonEmpty)
