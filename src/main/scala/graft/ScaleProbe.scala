@@ -37,6 +37,10 @@ object ScaleProbe {
       df.write.mode("overwrite").format("noop").save()
       println(f"[scale] $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
         f"(${replicas}x = ${replicas * 100}%d k ticks)")
+      // builder-internal caches (importance tf, perplexity bigrams)
+      // must not sit in executor memory while LATER operators are
+      // timed — each probe starts from a cold cache
+      spark.catalog.clearCache()
     }
 
     val views = big.filter(col("event_type") === "view").drop("event_type")

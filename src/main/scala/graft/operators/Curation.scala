@@ -436,7 +436,11 @@ object Curation {
     * streaming serve path (collected + broadcast there).
     */
   private[graft] def mixtureRatesOf(docs: DataFrame): DataFrame = {
+    // persisted: perSource (a row per source) feeds both the minimum
+    // aggregate and the crossJoin — without it the corpus scan under
+    // it replays per consumer when `docs` itself isn't cached
     val perSource = docs.groupBy("source").agg(sum("n_tok").as("n_tokens"))
+      .persist()
     val minTok = perSource.agg(min("n_tokens").as("min_tokens"))
     perSource.crossJoin(broadcast(minTok))
       .select(col("source"),
@@ -531,20 +535,17 @@ object Curation {
     s"""WITH RECURSIVE $gopherChainCtes, chain AS (
       |  SELECT rep.doc_id, (keep_rep AND keep_quality) AS keep_chain
       |  FROM rep JOIN q ON rep.doc_id = q.doc_id
-      |), ${Dedup.clusterClosureCtes}, canon AS (
-      |  SELECT cl.vec_id AS doc_id,
-      |    (cl.vec_id = first_value(cl.vec_id) OVER (PARTITION BY cl.cluster_id
-      |      ORDER BY dd.n_chars DESC, cl.vec_id)) AS is_canonical
-      |  FROM clusters cl JOIN documents dd ON dd.doc_id = cl.vec_id
-      |), ex AS (
+      |), ${Dedup.clusterClosureCtes}, ${Dedup.canonicalSelectionCte}, ex AS (
       |  SELECT doc_id,
       |    (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keep_exact
       |  FROM documents
       |)
-      |SELECT ex.doc_id, keep_exact, keep_chain, is_canonical,
-      |  (keep_exact AND keep_chain AND is_canonical) AS survived
+      |SELECT ex.doc_id, keep_exact, keep_chain,
+      |  (canon.vec_id = canon.canonical_id) AS is_canonical,
+      |  (keep_exact AND keep_chain AND (canon.vec_id = canon.canonical_id))
+      |    AS survived
       |FROM ex JOIN chain ON chain.doc_id = ex.doc_id
-      |JOIN canon ON canon.doc_id = ex.doc_id
+      |JOIN canon ON canon.vec_id = ex.doc_id
       |ORDER BY ex.doc_id""".stripMargin
 
   /** Target domain for [[importanceWeights]]: one of the corpus
@@ -676,7 +677,11 @@ object Curation {
     * batch and streamed scores are bit-identical.
     */
   private[graft] def hashedImportanceScore(docs: DataFrame,
-      model: Array[Double], buckets: Int = HashBuckets): DataFrame = {
+      model: Array[Double]): DataFrame = {
+    // the bucket count IS the model length — a separate parameter
+    // could silently disagree with how the model was trained (wrong
+    // buckets or an out-of-range element_at under ANSI mode)
+    val buckets = model.length
     val ws = filter(TextOps.normalizedWords, w => w =!= lit(""))
     docs.select(col("doc_id"),
       round(aggregate(

@@ -197,7 +197,18 @@ object Dedup {
     * tradeoff, pinned in LlmOpsSpec.
     */
   def embeddingDedupLsh(spark: SparkSession, dir: String,
-      radius: Int = 3): DataFrame = {
+      radius: Int = 3): DataFrame =
+    embeddingPairsLshBase(spark, dir, radius)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy("a_id", "b_id")
+
+  /** Unsorted/unrounded LSH pair kernel for internal composition
+    * (mirrors [[embeddingPairsBase]] — the trailing ORDER BY on the
+    * query entry is driver determinism only and would cost a useless
+    * global sort mid-pipeline).
+    */
+  private[operators] def embeddingPairsLshBase(spark: SparkSession,
+      dir: String, radius: Int = 3): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
@@ -211,8 +222,6 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos", dot(col("a_v"), col("b_v")) / (col("a_norm") * col("b_norm")))
       .filter(col("cos") >= 0.4)
-      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
-      .orderBy("a_id", "b_id")
   }
 
   // ------------------------------------------------- cluster resolution
@@ -350,7 +359,7 @@ object Dedup {
     * never merge two.
     */
   def dedupCanonicalLsh(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = embeddingDedupLsh(spark, dir)
+    val pairs = embeddingPairsLshBase(spark, dir)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val verts = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
     canonicalOf(spark, dir, connectedComponents(verts, pairs)
@@ -379,16 +388,24 @@ object Dedup {
     * recursive closure, joined to `documents` for the content signal,
     * winner via the same first_value window.
     */
+  /** Shared DuckDB CTE: the content-chosen canonical per cluster
+    * (`canon`), over the `clusters` CTE of [[clusterClosureCtes]] —
+    * one definition for [[dedupCanonicalSql]] and Curation's pipeline
+    * oracle so the selection window cannot drift between duals.
+    */
+  private[operators] val canonicalSelectionCte: String =
+    """canon AS (
+      |  SELECT cl.vec_id, cl.cluster_id,
+      |    first_value(cl.vec_id) OVER (PARTITION BY cl.cluster_id
+      |      ORDER BY dd.n_chars DESC, cl.vec_id) AS canonical_id
+      |  FROM clusters cl JOIN documents dd ON dd.doc_id = cl.vec_id
+      |)""".stripMargin
+
   def dedupCanonicalSql: String =
-    s"""WITH RECURSIVE $clusterClosureCtes, joined AS (
-      |  SELECT c.vec_id, c.cluster_id, d.n_chars,
-      |    first_value(c.vec_id) OVER (PARTITION BY c.cluster_id
-      |      ORDER BY d.n_chars DESC, c.vec_id) AS canonical_id
-      |  FROM clusters c JOIN documents d ON d.doc_id = c.vec_id
-      |)
+    s"""WITH RECURSIVE $clusterClosureCtes, $canonicalSelectionCte
       |SELECT vec_id AS doc_id, cluster_id, canonical_id,
       |  (vec_id = canonical_id) AS is_canonical
-      |FROM joined ORDER BY doc_id""".stripMargin
+      |FROM canon ORDER BY doc_id""".stripMargin
 
   def embeddingDedupSql: String =
     """WITH e AS (

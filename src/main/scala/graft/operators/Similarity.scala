@@ -398,10 +398,16 @@ object Similarity {
     val bookRows = spark.read.parquet(s"$path/books")
       .select("m", "c", "center").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    require(bookRows.length == PqM * PqK,
-      s"invalid PQ codebooks at $path/books: ${bookRows.length} rows")
-    val books = bookRows.groupBy(_._1).toArray.sortBy(_._1)
-      .map(_._2.sortBy(_._2).map(_._3))
+    // a row-count check alone would admit duplicated/missing (m, c)
+    // rows and silently misalign centroid positions vs ids — require
+    // the keys to cover the full PqM × PqK grid exactly
+    val keys = bookRows.map(r => (r._1, r._2))
+    val expected = for (m <- 0 until PqM; c <- 0 until PqK) yield (m, c)
+    require(keys.length == expected.length && keys.toSet == expected.toSet,
+      s"invalid PQ codebooks at $path/books: keys do not cover " +
+        s"${PqM}x$PqK (got ${keys.length} rows, ${keys.toSet.size} distinct)")
+    val byKey = bookRows.map(r => (r._1, r._2) -> r._3).toMap
+    val books = Array.tabulate(PqM, PqK)((m, c) => byKey((m, c)))
     PqIndex(encoded.select("vec_id", "codes", "dq_norm"), books)
   }
 

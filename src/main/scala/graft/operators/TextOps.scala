@@ -400,6 +400,9 @@ object TextOps {
     * table; global bigram/left-context masses come from windows over
     * THAT table (the (w1,w2) window's shuffle also serves the w1
     * window via partial reuse); V is one action on the cached table.
+    * The cache lives for the session (like [[bigramQuality]]'s model
+    * cache) — a production LM build would persist the counts table to
+    * storage instead.
     * Parity: integer ratios into ln (cf. [[bm25]]), Σ n·lp at the
     * same granularity both engines, ÷ and exp on the rounded-free
     * path guarded by the 6-decimal output rounding.

@@ -129,11 +129,14 @@ class CurationSpec extends SparkSuite {
     val mr = rest.values.sum / rest.size
     assert(mt > mr, s"hashed target mean $mt !> rest mean $mr")
     // 1024 buckets on this vocabulary: hashing must track the exact
-    // model closely — rank correlation via mean abs score gap
+    // model closely — compare LIKE-FOR-LIKE (each score against its
+    // own model's overall mean), not across two different thresholds
     val exact = Curation.importanceWeights(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
+    val hashedMean = w.values.sum / w.size
+    val exactMean = exact.values.sum / exact.size
     val agree = w.keys.count { id =>
-      (w(id) > mt) == (exact(id) > exact.values.sum / exact.size) }
+      (w(id) > hashedMean) == (exact(id) > exactMean) }
     assert(agree.toDouble / w.size > 0.6,
       "hashed scores should broadly agree with the exact model")
   }
