@@ -36,6 +36,12 @@ object PlanDump {
     dump("q_bm25", operators.TextOps.bm25(spark, dir))
     dump("q_ann_sq8", operators.Similarity.annSq8(spark, dir))
     dump("q_mixture_sample", operators.Curation.mixtureSample(spark, dir))
+    dump("q_tfidf", operators.TextOps.tfidf(spark, dir))
+    dump("q_gopher_chain", operators.Curation.gopherChain(spark, dir))
+    dump("q_curation_pipeline", operators.Curation.curationPipeline(spark, dir))
+    dump("q_ann_pq", operators.Similarity.annPq(spark, dir))
+    dump("q_perplexity", operators.TextOps.perplexity(spark, dir))
+    dump("q_quality_prune", operators.TextOps.qualityPrune(spark, dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plandump] wrote PLANS.md")
     spark.stop()

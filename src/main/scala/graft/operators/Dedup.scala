@@ -224,6 +224,31 @@ object Dedup {
       .filter(col("cos") >= 0.4)
   }
 
+  /** SemDeDup-style near-dup candidates (Abbas et al. 2023): coarse
+    * KMeans clusters the embedding space, pairs are compared only
+    * WITHIN a cluster — the third candidate-generation strategy next
+    * to exact all-pairs (verify scale) and LSH buckets: compare cost
+    * is Σ|cell|² ≪ n², and the quantizer is the SAME one the IVF
+    * search index maintains, so one clustering serves search and
+    * dedup. Exact-cosine post-filter keeps precision at 1.0 (output ⊆
+    * the all-pairs result, spec-asserted); pairs straddling a cell
+    * boundary are the recall tradeoff.
+    */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: the assignment projection feeds both sides of the
+    // intra-cell self-join
+    val assigned = Similarity.ivfIndex(spark, dir).assigned.persist()
+    val a = assigned.toDF("a_id", "a_v", "a_norm", "cell")
+    val b = assigned.toDF("b_id", "b_v", "b_norm", "cell")
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", dot(col("a_v"), col("b_v")) / (col("a_norm") * col("b_norm")))
+      .filter(col("cos") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"),
+        col("cell"))
+      .orderBy("a_id", "b_id")
+  }
+
   // ------------------------------------------------- cluster resolution
 
   /** Connected components over an undirected edge set (`src`, `dst`)

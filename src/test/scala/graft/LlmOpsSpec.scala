@@ -330,6 +330,19 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("semDedup candidates are exact pairs bounded to shared cells") {
+    val exact = Dedup.embeddingDedup(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sem = Dedup.semDedup(spark, sfDir).collect()
+    val pairs = sem.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty, "the 16-cell quantizer must co-locate some pairs")
+    assert(pairs.subsetOf(exact.keySet), "precision must be 1.0")
+    // cell-bounded cosines are the SAME exact kernel — values equal
+    sem.foreach { r =>
+      assert(exact((r.getLong(0), r.getLong(1))) == r.getDouble(2))
+    }
+  }
+
   test("dedupCanonicalLsh refines the exact clusters, never merges them") {
     val lsh = Dedup.dedupCanonicalLsh(spark, sfDir).collect()
     val exact = Dedup.dedupCanonical(spark, sfDir).collect()
