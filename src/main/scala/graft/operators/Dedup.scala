@@ -249,6 +249,48 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** SEMANTIC decontamination — the embedding dual of
+    * [[Curation.decontaminate]]'s n-gram membership test: flag
+    * training vectors whose max cosine against ANY eval-set vector
+    * (vec_id < 10, the same probe split) clears the threshold.
+    * Catches paraphrased leakage that exact n-gram overlap misses.
+    *
+    * Scale shape: the eval set is tiny and BROADCAST; the corpus
+    * never shuffles for scoring — one narrow pass + a per-vector max
+    * aggregation on the already-colocated key.
+    */
+  def semanticDecontaminate(spark: SparkSession, dir: String,
+      threshold: Double = 0.35): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+    val eval = e.filter(col("vec_id") < 10)
+      .toDF("eval_id", "e_v", "e_norm")
+    e.filter(col("vec_id") >= 10)
+      .join(broadcast(eval))
+      .withColumn("cos", dot(col("v"), col("e_v")) / (col("norm") * col("e_norm")))
+      .groupBy("vec_id")
+      .agg(round(max("cos"), 6).as("max_eval_cos"))
+      .withColumn("contaminated", col("max_eval_cos") >= threshold)
+      .orderBy("vec_id")
+  }
+
+  def semanticDecontaminateSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_sum(list_transform(list_zip(embedding::DOUBLE[], embedding::DOUBLE[]),
+      |      z -> z[1] * z[2]))) AS norm
+      |  FROM embeddings
+      |), ev AS (SELECT vec_id AS eval_id, v AS e_v, norm AS e_norm FROM e WHERE vec_id < 10),
+      |tr AS (SELECT * FROM e WHERE vec_id >= 10)
+      |SELECT tr.vec_id,
+      |  round(max(list_sum(list_transform(list_zip(tr.v, ev.e_v), z -> z[1] * z[2]))
+      |    / (tr.norm * ev.e_norm)), 6) AS max_eval_cos,
+      |  (round(max(list_sum(list_transform(list_zip(tr.v, ev.e_v), z -> z[1] * z[2]))
+      |    / (tr.norm * ev.e_norm)), 6) >= 0.35) AS contaminated
+      |FROM tr CROSS JOIN ev
+      |GROUP BY tr.vec_id ORDER BY tr.vec_id""".stripMargin
+
   // ------------------------------------------------- cluster resolution
 
   /** Connected components over an undirected edge set (`src`, `dst`)

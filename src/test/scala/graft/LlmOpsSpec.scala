@@ -330,6 +330,18 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("semanticDecontaminate scores every training vector vs the eval set") {
+    val rows = Dedup.semanticDecontaminate(spark, sfDir).collect()
+    val nTrain = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= 10).count()
+    assert(rows.length == nTrain)
+    rows.foreach { r =>
+      val c = r.getAs[Double]("max_eval_cos")
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(r.getAs[Boolean]("contaminated") == (c >= 0.35))
+    }
+  }
+
   test("semDedup candidates are exact pairs bounded to shared cells") {
     val exact = Dedup.embeddingDedup(spark, sfDir).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
