@@ -55,6 +55,11 @@ object RecallProbe {
       val recall = (exact & got).size.toDouble / exact.size
       println(f"[recall] pq  rerank=$rerank%3d recall@10=$recall%.3f")
     }
+    for (nProbe <- Seq(2, 4, 8); rerank <- Seq(32, 64)) {
+      val got = pairs(operators.Similarity.annIvfPq(spark, dir, nProbe, rerank))
+      val recall = (exact & got).size.toDouble / exact.size
+      println(f"[recall] ivfpq nProbe=$nProbe rerank=$rerank%2d recall@10=$recall%.3f")
+    }
     spark.stop()
   }
 }

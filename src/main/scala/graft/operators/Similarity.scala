@@ -448,6 +448,87 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** IVF-PQ — the composition of both index families, and the
+    * standard production ANN layout: the IVF coarse quantizer prunes
+    * the search to nProbe cells, and within a cell candidates are
+    * scored from PQ codes of their RESIDUAL (v − center), which the
+    * codebooks fit far better than raw vectors (residuals are
+    * centered, so the 4-bit budget spends on local structure).
+    *
+    *  - INDEX: (vec_id, cell, codes, recon_norm) — 1 int + 8 codes +
+    *    1 norm per vector; no float vectors.
+    *  - SEARCH: probes expand to their nProbe nearest cells
+    *    ([[annIvfSearch]]'s pruning); a candidate's approximate score
+    *    is ⟨p, center_cell⟩ (one dot per (probe, cell) — computed
+    *    once on the broadcast side) plus the PqM residual table
+    *    lookups; exact rerank on the top `rerank`.
+    *
+    * Reconstruction view: center + dq(residual codes) ≈ v, so
+    * ⟨p, recon⟩ = ⟨p, center⟩ + ⟨p, dq⟩ — the two terms this search
+    * sums without ever touching v.
+    */
+  def annIvfPq(spark: SparkSession, dir: String, nProbe: Int = 4,
+      rerank: Int = 32): DataFrame = {
+    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
+    val ivf = ivfIndex(spark, dir)
+    // residual per vector vs its assigned center
+    val resid = ivf.assigned
+      .join(broadcast(ivf.centers), col("cell") === col("center_cell"))
+      .withColumn("r", zip_with(col("v"), col("center"), (a, b) => a - b))
+    val books = fitPqCodebooks(resid.select(col("vec_id"), col("r").as("v"),
+      col("norm")))
+    val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    val codeCols = (0 until PqM).map { m =>
+      val sub = slice(col("r"), m * PqSub + 1, PqSub)
+      val d2s = transform(typedLit(books(m).map(_.toSeq).toSeq), c =>
+        aggregate(zip_with(c, sub, (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
+      (array_position(d2s, array_min(d2s)) - 1).cast("int")
+    }
+    // recon = center + dq(codes); its norm is stored, v is discarded
+    val index = resid
+      .select(col("vec_id"), col("cell"), col("center"),
+        array(codeCols: _*).as("codes"))
+      .withColumn("dq", flatten(transform(col("codes"),
+        (c, m) => element_at(element_at(booksLit, m + 1), c + 1))))
+      .withColumn("recon", zip_with(col("center"), col("dq"), (a, b) => a + b))
+      .withColumn("recon_norm", sqrt(Dedup.dot(col("recon"), col("recon"))))
+      .select("vec_id", "cell", "codes", "recon_norm")
+    // probe → nProbe nearest cells, carrying ⟨p, center⟩ and the
+    // residual distance table per probed cell
+    val probes = corpus.filter(col("vec_id") < NumProbes)
+      .toDF("probe_id", "p_v", "p_norm")
+    val probeCells = probes.crossJoin(broadcast(ivf.centers))
+      .withColumn("d2", Dedup.dot(col("center"), col("center"))
+        - lit(2.0) * Dedup.dot(col("p_v"), col("center")))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("d2"), col("center_cell"))))
+      .filter(col("cell_rank") <= nProbe)
+      .withColumn("p_dot_center", Dedup.dot(col("p_v"), col("center")))
+      .withColumn("tab", transform(booksLit, (cents, m) =>
+        transform(cents, c =>
+          Dedup.dot(c, slice(col("p_v"), m * PqSub + lit(1), lit(PqSub))))))
+      .select(col("probe_id"), col("p_v"), col("p_norm"),
+        col("center_cell").as("cell"), col("p_dot_center"), col("tab"))
+    val approx = index.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("approx_cos",
+        (col("p_dot_center") + aggregate(transform(col("codes"), (c, m) =>
+          element_at(element_at(col("tab"), m + 1), c + 1)),
+          lit(0.0), _ + _)) / (col("recon_norm") * col("p_norm")))
+    val wa = Window.partitionBy("probe_id").orderBy(col("approx_cos").desc, col("vec_id"))
+    val cands = approx.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+      .select("probe_id", "p_v", "p_norm", "vec_id")
+    val rescored = cands.join(corpus, Seq("vec_id"))
+      .withColumn("cos", Dedup.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: corpus is signed into 8-bit
     * hyperplane buckets; each probe EXPANDS to its hamming ≤ 3 code
     * set (93 codes) and equi-joins the corpus on `code` — a true
