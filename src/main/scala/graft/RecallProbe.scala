@@ -55,11 +55,16 @@ object RecallProbe {
       val recall = (exact & got).size.toDouble / exact.size
       println(f"[recall] pq  rerank=$rerank%3d recall@10=$recall%.3f")
     }
+    // one IVF+PQ fit, many searches — the sweep varies only the knobs
+    val ivfpq = operators.Similarity.ivfPqIndex(spark, dir)
+    ivfpq.encoded.cache().count(): Unit
+    val pqCorpus = operators.Similarity.vecs(spark, dir).toDF("vec_id", "v", "norm")
     for (nProbe <- Seq(2, 4, 8); rerank <- Seq(32, 64)) {
-      val got = pairs(operators.Similarity.annIvfPq(spark, dir, nProbe, rerank))
+      val got = pairs(operators.Similarity.annIvfPqSearch(ivfpq, pqCorpus, nProbe, rerank))
       val recall = (exact & got).size.toDouble / exact.size
       println(f"[recall] ivfpq nProbe=$nProbe rerank=$rerank%2d recall@10=$recall%.3f")
     }
+    ivfpq.encoded.unpersist()
     spark.stop()
   }
 }

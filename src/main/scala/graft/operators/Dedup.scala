@@ -235,9 +235,11 @@ object Dedup {
     * boundary are the recall tradeoff.
     */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
-    // persisted: the assignment projection feeds both sides of the
-    // intra-cell self-join
-    val assigned = Similarity.ivfIndex(spark, dir).assigned.persist()
+    // NOT persisted: a lazily-referenced cache would pin executor
+    // memory for the whole session (queries can't unpersist it); the
+    // assignment is a narrow broadcast-model map, so the self-join
+    // recomputing it per side costs one extra scan, not a refit
+    val assigned = Similarity.ivfIndex(spark, dir).assigned
     val a = assigned.toDF("a_id", "a_v", "a_norm", "cell")
     val b = assigned.toDF("b_id", "b_v", "b_norm", "cell")
     a.join(b, Seq("cell"))
@@ -249,10 +251,18 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Eval-set id split (vec_id < EvalVecs plays the benchmark set —
+    * same convention as Curation's `EvalDocs` n-gram split) and the
+    * contamination cosine threshold; interpolated into BOTH the Spark
+    * query and the SQL oracle so the duals cannot drift.
+    */
+  private val EvalVecs = 10L
+  private val SemanticDeconThreshold = 0.35
+
   /** SEMANTIC decontamination — the embedding dual of
     * [[Curation.decontaminate]]'s n-gram membership test: flag
     * training vectors whose max cosine against ANY eval-set vector
-    * (vec_id < 10, the same probe split) clears the threshold.
+    * (vec_id < EvalVecs, the eval split) clears the threshold.
     * Catches paraphrased leakage that exact n-gram overlap misses.
     *
     * Scale shape: the eval set is tiny and BROADCAST; the corpus
@@ -260,13 +270,13 @@ object Dedup {
     * aggregation on the already-colocated key.
     */
   def semanticDecontaminate(spark: SparkSession, dir: String,
-      threshold: Double = 0.35): DataFrame = {
+      threshold: Double = SemanticDeconThreshold): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val eval = e.filter(col("vec_id") < 10)
+    val eval = e.filter(col("vec_id") < EvalVecs)
       .toDF("eval_id", "e_v", "e_norm")
-    e.filter(col("vec_id") >= 10)
+    e.filter(col("vec_id") >= EvalVecs)
       .join(broadcast(eval))
       .withColumn("cos", dot(col("v"), col("e_v")) / (col("norm") * col("e_norm")))
       .groupBy("vec_id")
@@ -276,18 +286,18 @@ object Dedup {
   }
 
   def semanticDecontaminateSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v,
       |    sqrt(list_sum(list_transform(list_zip(embedding::DOUBLE[], embedding::DOUBLE[]),
       |      z -> z[1] * z[2]))) AS norm
       |  FROM embeddings
-      |), ev AS (SELECT vec_id AS eval_id, v AS e_v, norm AS e_norm FROM e WHERE vec_id < 10),
-      |tr AS (SELECT * FROM e WHERE vec_id >= 10)
+      |), ev AS (SELECT vec_id AS eval_id, v AS e_v, norm AS e_norm FROM e
+      |          WHERE vec_id < $EvalVecs),
+      |tr AS (SELECT * FROM e WHERE vec_id >= $EvalVecs)
       |SELECT tr.vec_id,
       |  round(max(list_sum(list_transform(list_zip(tr.v, ev.e_v), z -> z[1] * z[2]))
       |    / (tr.norm * ev.e_norm)), 6) AS max_eval_cos,
-      |  (round(max(list_sum(list_transform(list_zip(tr.v, ev.e_v), z -> z[1] * z[2]))
-      |    / (tr.norm * ev.e_norm)), 6) >= 0.35) AS contaminated
+      |  (max_eval_cos >= $SemanticDeconThreshold) AS contaminated
       |FROM tr CROSS JOIN ev
       |GROUP BY tr.vec_id ORDER BY tr.vec_id""".stripMargin
 

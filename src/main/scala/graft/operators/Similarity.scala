@@ -283,15 +283,7 @@ object Similarity {
     val cands = approx.withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= rerank)
       .select("probe_id", "p_v", "p_norm", "vec_id")
-    // exact rerank: only `rerank` candidates per probe fetch true vectors
-    val rescored = cands.join(corpus, Seq("vec_id"))
-      .withColumn("cos", Dedup.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
-    rescored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cosine"))
-      .orderBy("probe_id", "rank")
+    exactRerankTopK(cands, corpus)
   }
 
   // ------------------------------------------------- product quantization
@@ -315,6 +307,50 @@ object Similarity {
       new KMeans().setK(PqK).setSeed(42L + m).setMaxIter(5)
         .fit(feats).clusterCenters.map(_.toArray)
     }
+  }
+
+  /** Per-subspace argmin code columns for vector column `vcol` (first
+    * min wins — deterministic) — the ONE encode definition shared by
+    * the raw-vector and residual (IVF-PQ) paths.
+    */
+  private def pqCodeCols(books: Array[Array[Array[Double]]],
+      vcol: Column): Seq[Column] =
+    (0 until PqM).map { m =>
+      val sub = slice(vcol, m * PqSub + 1, PqSub)
+      val d2s = transform(typedLit(books(m).map(_.toSeq).toSeq), c =>
+        aggregate(zip_with(c, sub, (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
+      (array_position(d2s, array_min(d2s)) - 1).cast("int")
+    }
+
+  /** ADC distance table for a probe vector column:
+    * tab[m][c] = ⟨probe_m, book_m[c]⟩ — computed once per probe,
+    * BEFORE any join fan-out.
+    */
+  private def pqTable(books: Array[Array[Array[Double]]], pv: Column): Column =
+    transform(typedLit(books.map(_.map(_.toSeq).toSeq).toSeq), (cents, m) =>
+      transform(cents, c =>
+        Dedup.dot(c, slice(pv, m * PqSub + lit(1), lit(PqSub)))))
+
+  /** Σ over subspaces of the table lookup for a candidate's codes —
+    * the per-candidate ADC score (no float math).
+    */
+  private def pqAdcSum(tab: Column, codes: Column): Column =
+    aggregate(transform(codes, (c, m) =>
+      element_at(element_at(tab, m + 1), c + 1)), lit(0.0), _ + _)
+
+  /** The shared exact-rerank tail of every quantized variant: the
+    * candidates (probe_id, p_v, p_norm, vec_id) fetch true vectors by
+    * id, re-score exactly, and emit the ranked top-k.
+    */
+  private def exactRerankTopK(cands: DataFrame, corpus: DataFrame): DataFrame = {
+    val rescored = cands.join(corpus, Seq("vec_id"))
+      .withColumn("cos", Dedup.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("probe_id", "rank")
   }
 
   /** Product-quantized approximate top-k with exact reranking — the
@@ -361,14 +397,8 @@ object Similarity {
   private def encodePq(corpus: DataFrame,
       books: Array[Array[Array[Double]]]): DataFrame = {
     val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
-    val codeCols = (0 until PqM).map { m =>
-      val sub = slice(col("v"), m * PqSub + 1, PqSub)
-      val d2s = transform(typedLit(books(m).map(_.toSeq).toSeq), c =>
-        aggregate(zip_with(c, sub, (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
-      (array_position(d2s, array_min(d2s)) - 1).cast("int")
-    }
     corpus
-      .select(col("vec_id"), array(codeCols: _*).as("codes"))
+      .select(col("vec_id"), array(pqCodeCols(books, col("v")): _*).as("codes"))
       .withColumn("dq", flatten(transform(col("codes"),
         (c, m) => element_at(element_at(booksLit, m + 1), c + 1))))
       .withColumn("dq_norm", sqrt(Dedup.dot(col("dq"), col("dq"))))
@@ -422,30 +452,17 @@ object Similarity {
     * never touches a float vector.
     */
   def annPqSearch(idx: PqIndex, corpus: DataFrame, rerank: Int): DataFrame = {
-    val booksLit = typedLit(idx.books.map(_.map(_.toSeq).toSeq).toSeq)
     val probes = corpus.filter(col("vec_id") < NumProbes)
       .toDF("probe_id", "p_v", "p_norm")
-      .withColumn("tab", transform(booksLit, (cents, m) =>
-        transform(cents, c =>
-          Dedup.dot(c, slice(col("p_v"), m * PqSub + lit(1), lit(PqSub))))))
+      .withColumn("tab", pqTable(idx.books, col("p_v")))
     val approx = idx.encoded.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
       .withColumn("approx_cos",
-        aggregate(transform(col("codes"), (c, m) =>
-          element_at(element_at(col("tab"), m + 1), c + 1)),
-          lit(0.0), _ + _) / (col("dq_norm") * col("p_norm")))
+        pqAdcSum(col("tab"), col("codes")) / (col("dq_norm") * col("p_norm")))
     val wa = Window.partitionBy("probe_id").orderBy(col("approx_cos").desc, col("vec_id"))
     val cands = approx.withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= rerank)
       .select("probe_id", "p_v", "p_norm", "vec_id")
-    // exact rerank: only `rerank` candidates per probe fetch true vectors
-    val rescored = cands.join(corpus, Seq("vec_id"))
-      .withColumn("cos", Dedup.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
-    rescored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cosine"))
-      .orderBy("probe_id", "rank")
+    exactRerankTopK(cands, corpus)
   }
 
   /** IVF-PQ — the composition of both index families, and the
@@ -467,9 +484,15 @@ object Similarity {
     * ⟨p, recon⟩ = ⟨p, center⟩ + ⟨p, dq⟩ — the two terms this search
     * sums without ever touching v.
     */
-  def annIvfPq(spark: SparkSession, dir: String, nProbe: Int = 4,
-      rerank: Int = 32): DataFrame = {
-    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
+  /** A fitted IVF-PQ index: cell id + residual codes + recon norm per
+    * vector, the coarse centroids, and the residual codebooks. Built
+    * once, searched many (RecallProbe sweeps nProbe × rerank against
+    * one fit, mirroring [[IvfIndex]]/[[PqIndex]]).
+    */
+  case class IvfPqIndex(encoded: DataFrame, centers: DataFrame,
+      books: Array[Array[Array[Double]]])
+
+  def ivfPqIndex(spark: SparkSession, dir: String): IvfPqIndex = {
     val ivf = ivfIndex(spark, dir)
     // residual per vector vs its assigned center
     val resid = ivf.assigned
@@ -478,55 +501,50 @@ object Similarity {
     val books = fitPqCodebooks(resid.select(col("vec_id"), col("r").as("v"),
       col("norm")))
     val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
-    val codeCols = (0 until PqM).map { m =>
-      val sub = slice(col("r"), m * PqSub + 1, PqSub)
-      val d2s = transform(typedLit(books(m).map(_.toSeq).toSeq), c =>
-        aggregate(zip_with(c, sub, (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
-      (array_position(d2s, array_min(d2s)) - 1).cast("int")
-    }
     // recon = center + dq(codes); its norm is stored, v is discarded
-    val index = resid
+    val encoded = resid
       .select(col("vec_id"), col("cell"), col("center"),
-        array(codeCols: _*).as("codes"))
+        array(pqCodeCols(books, col("r")): _*).as("codes"))
       .withColumn("dq", flatten(transform(col("codes"),
         (c, m) => element_at(element_at(booksLit, m + 1), c + 1))))
       .withColumn("recon", zip_with(col("center"), col("dq"), (a, b) => a + b))
       .withColumn("recon_norm", sqrt(Dedup.dot(col("recon"), col("recon"))))
       .select("vec_id", "cell", "codes", "recon_norm")
-    // probe → nProbe nearest cells, carrying ⟨p, center⟩ and the
-    // residual distance table per probed cell
+    IvfPqIndex(encoded, ivf.centers, books)
+  }
+
+  def annIvfPq(spark: SparkSession, dir: String, nProbe: Int = 4,
+      rerank: Int = 32): DataFrame = {
+    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
+    annIvfPqSearch(ivfPqIndex(spark, dir), corpus, nProbe, rerank)
+  }
+
+  def annIvfPqSearch(idx: IvfPqIndex, corpus: DataFrame, nProbe: Int,
+      rerank: Int): DataFrame = {
+    // the ADC table is cell-independent: computed ONCE per probe,
+    // before the cell fan-out duplicates the row nProbe times
     val probes = corpus.filter(col("vec_id") < NumProbes)
       .toDF("probe_id", "p_v", "p_norm")
-    val probeCells = probes.crossJoin(broadcast(ivf.centers))
+      .withColumn("tab", pqTable(idx.books, col("p_v")))
+    val probeCells = probes.crossJoin(broadcast(idx.centers))
       .withColumn("d2", Dedup.dot(col("center"), col("center"))
         - lit(2.0) * Dedup.dot(col("p_v"), col("center")))
       .withColumn("cell_rank", row_number().over(
         Window.partitionBy("probe_id").orderBy(col("d2"), col("center_cell"))))
       .filter(col("cell_rank") <= nProbe)
       .withColumn("p_dot_center", Dedup.dot(col("p_v"), col("center")))
-      .withColumn("tab", transform(booksLit, (cents, m) =>
-        transform(cents, c =>
-          Dedup.dot(c, slice(col("p_v"), m * PqSub + lit(1), lit(PqSub))))))
       .select(col("probe_id"), col("p_v"), col("p_norm"),
         col("center_cell").as("cell"), col("p_dot_center"), col("tab"))
-    val approx = index.join(broadcast(probeCells), Seq("cell"))
+    val approx = idx.encoded.join(broadcast(probeCells), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("approx_cos",
-        (col("p_dot_center") + aggregate(transform(col("codes"), (c, m) =>
-          element_at(element_at(col("tab"), m + 1), c + 1)),
-          lit(0.0), _ + _)) / (col("recon_norm") * col("p_norm")))
+        (col("p_dot_center") + pqAdcSum(col("tab"), col("codes")))
+          / (col("recon_norm") * col("p_norm")))
     val wa = Window.partitionBy("probe_id").orderBy(col("approx_cos").desc, col("vec_id"))
     val cands = approx.withColumn("arank", row_number().over(wa))
       .filter(col("arank") <= rerank)
       .select("probe_id", "p_v", "p_norm", "vec_id")
-    val rescored = cands.join(corpus, Seq("vec_id"))
-      .withColumn("cos", Dedup.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
-    rescored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 6).as("cosine"))
-      .orderBy("probe_id", "rank")
+    exactRerankTopK(cands, corpus)
   }
 
   /** LSH-bucketed approximate top-k: corpus is signed into 8-bit
