@@ -423,8 +423,22 @@ object Dedup {
     * cluster key after the component resolution.
     */
   def dedupCanonical(spark: SparkSession, dir: String): DataFrame =
-    canonicalOf(spark, dir, embeddingClusters(spark, dir)
-      .select("vec_id", "cluster_id"))
+    canonicalOf(embeddingClusters(spark, dir).select("vec_id", "cluster_id"),
+      ncharsScore(spark, dir))
+
+  /** Canonical selection weighted by the QUALITY score instead of raw
+    * size — what a curation pass actually wants to keep from a
+    * near-dup cluster is its best-written member, not its longest.
+    * Same resolution and window; only the score signal differs.
+    */
+  def dedupCanonicalQuality(spark: SparkSession, dir: String): DataFrame =
+    canonicalOf(embeddingClusters(spark, dir).select("vec_id", "cluster_id"),
+      TextOps.qualityScore(spark, dir)
+        .select(col("doc_id"), col("quality_score").as("score")))
+
+  private def ncharsScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars").as("score"))
 
   /** The 100 TB canonical path: the SAME component resolution and
     * content selection as [[dedupCanonical]], with candidate pairs
@@ -439,21 +453,22 @@ object Dedup {
     val pairs = embeddingPairsLshBase(spark, dir)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val verts = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
-    canonicalOf(spark, dir, connectedComponents(verts, pairs)
-      .select(col("id").as("vec_id"), col("label").as("cluster_id")))
+    canonicalOf(connectedComponents(verts, pairs)
+      .select(col("id").as("vec_id"), col("label").as("cluster_id")),
+      ncharsScore(spark, dir))
   }
 
-  /** Content-chosen representative per cluster (max n_chars, ties →
-    * min id) via one first_value window — shared by the exact and
-    * LSH-bucketed cluster sources.
+  /** Representative per cluster by a caller-chosen (doc_id, score)
+    * signal (max score, ties → min id) via one first_value window —
+    * shared by the exact/LSH cluster sources and the n_chars/quality
+    * score signals.
     */
-  private def canonicalOf(spark: SparkSession, dir: String,
-      clusters: DataFrame): DataFrame = {
+  private def canonicalOf(clusters: DataFrame,
+      scores: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
     val w = Window.partitionBy("cluster_id")
-      .orderBy(col("n_chars").desc, col("vec_id"))
-    clusters.join(docs, col("vec_id") === col("doc_id")).drop("doc_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    clusters.join(scores, col("vec_id") === col("doc_id")).drop("doc_id")
       .withColumn("canonical_id", first("vec_id").over(w))
       .select(col("vec_id").as("doc_id"), col("cluster_id"),
         col("canonical_id"),
@@ -465,24 +480,38 @@ object Dedup {
     * recursive closure, joined to `documents` for the content signal,
     * winner via the same first_value window.
     */
-  /** Shared DuckDB CTE: the content-chosen canonical per cluster
-    * (`canon`), over the `clusters` CTE of [[clusterClosureCtes]] —
-    * one definition for [[dedupCanonicalSql]] and Curation's pipeline
-    * oracle so the selection window cannot drift between duals.
+  /** Shared DuckDB `canon` CTE builder: the score-chosen canonical
+    * per cluster over the `clusters` CTE of [[clusterClosureCtes]],
+    * parameterized by the score join — ONE window definition for
+    * [[dedupCanonicalSql]], [[dedupCanonicalQualitySql]], and
+    * Curation's pipeline oracle so the selection cannot drift.
     */
-  private[operators] val canonicalSelectionCte: String =
-    """canon AS (
+  private[operators] def canonicalSelectionCteOn(joinTable: String,
+      joinKey: String, scoreExpr: String): String =
+    s"""canon AS (
       |  SELECT cl.vec_id, cl.cluster_id,
       |    first_value(cl.vec_id) OVER (PARTITION BY cl.cluster_id
-      |      ORDER BY dd.n_chars DESC, cl.vec_id) AS canonical_id
-      |  FROM clusters cl JOIN documents dd ON dd.doc_id = cl.vec_id
+      |      ORDER BY $scoreExpr DESC, cl.vec_id) AS canonical_id
+      |  FROM clusters cl JOIN $joinTable ON $joinKey = cl.vec_id
       |)""".stripMargin
+
+  private[operators] val canonicalSelectionCte: String =
+    canonicalSelectionCteOn("documents dd", "dd.doc_id", "dd.n_chars")
+
+  private val canonicalSelect: String =
+    """SELECT vec_id AS doc_id, cluster_id, canonical_id,
+      |  (vec_id = canonical_id) AS is_canonical
+      |FROM canon ORDER BY doc_id""".stripMargin
 
   def dedupCanonicalSql: String =
     s"""WITH RECURSIVE $clusterClosureCtes, $canonicalSelectionCte
-      |SELECT vec_id AS doc_id, cluster_id, canonical_id,
-      |  (vec_id = canonical_id) AS is_canonical
-      |FROM canon ORDER BY doc_id""".stripMargin
+      |$canonicalSelect""".stripMargin
+
+  def dedupCanonicalQualitySql: String =
+    s"""WITH RECURSIVE $clusterClosureCtes, qs AS (
+      |${TextOps.qualityScoreSelect}
+      |), ${canonicalSelectionCteOn("qs", "qs.doc_id", "qs.quality_score")}
+      |$canonicalSelect""".stripMargin
 
   def embeddingDedupSql: String =
     """WITH e AS (

@@ -412,33 +412,45 @@ object Similarity {
     */
   def savePqIndex(idx: PqIndex, path: String): Unit = {
     idx.encoded.write.mode("overwrite").parquet(s"$path/encoded")
-    val spark = idx.encoded.sparkSession
-    val rows = for {
-      (cents, m) <- idx.books.zipWithIndex
-      (center, c) <- cents.zipWithIndex
-    } yield (m, c, center.toSeq)
-    spark.createDataFrame(rows.toIndexedSeq).toDF("m", "c", "center")
-      .write.mode("overwrite").parquet(s"$path/books")
+    saveBooks(idx.encoded.sparkSession, idx.books, s"$path/books")
   }
 
   def loadPqIndex(spark: SparkSession, path: String): PqIndex = {
     val encoded = spark.read.parquet(s"$path/encoded")
     require(encoded.columns.toSet == Set("vec_id", "codes", "dq_norm"),
       s"invalid PQ index at $path/encoded: ${encoded.columns.mkString(",")}")
-    val bookRows = spark.read.parquet(s"$path/books")
+    PqIndex(encoded.select("vec_id", "codes", "dq_norm"),
+      loadBooks(spark, s"$path/books"))
+  }
+
+  /** Codebook persistence shared by the PQ and IVF-PQ indexes:
+    * flattened to (m, c, center) rows on save; on load the keys must
+    * cover the full PqM × PqK grid exactly — a row-count check alone
+    * would admit duplicated/missing rows and silently misalign
+    * centroid positions vs ids.
+    */
+  private def saveBooks(spark: SparkSession,
+      books: Array[Array[Array[Double]]], path: String): Unit = {
+    val rows = for {
+      (cents, m) <- books.zipWithIndex
+      (center, c) <- cents.zipWithIndex
+    } yield (m, c, center.toSeq)
+    spark.createDataFrame(rows.toIndexedSeq).toDF("m", "c", "center")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private def loadBooks(spark: SparkSession,
+      path: String): Array[Array[Array[Double]]] = {
+    val bookRows = spark.read.parquet(path)
       .select("m", "c", "center").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
-    // a row-count check alone would admit duplicated/missing (m, c)
-    // rows and silently misalign centroid positions vs ids — require
-    // the keys to cover the full PqM × PqK grid exactly
     val keys = bookRows.map(r => (r._1, r._2))
     val expected = for (m <- 0 until PqM; c <- 0 until PqK) yield (m, c)
     require(keys.length == expected.length && keys.toSet == expected.toSet,
-      s"invalid PQ codebooks at $path/books: keys do not cover " +
+      s"invalid PQ codebooks at $path: keys do not cover " +
         s"${PqM}x$PqK (got ${keys.length} rows, ${keys.toSet.size} distinct)")
     val byKey = bookRows.map(r => (r._1, r._2) -> r._3).toMap
-    val books = Array.tabulate(PqM, PqK)((m, c) => byKey((m, c)))
-    PqIndex(encoded.select("vec_id", "codes", "dq_norm"), books)
+    Array.tabulate(PqM, PqK)((m, c) => byKey((m, c)))
   }
 
   def annPq(spark: SparkSession, dir: String, rerank: Int = 32): DataFrame = {
@@ -511,6 +523,28 @@ object Similarity {
       .withColumn("recon_norm", sqrt(Dedup.dot(col("recon"), col("recon"))))
       .select("vec_id", "cell", "codes", "recon_norm")
     IvfPqIndex(encoded, ivf.centers, books)
+  }
+
+  /** Persist / reload a fitted IVF-PQ index (encoded corpus + coarse
+    * centroids + residual codebooks) — same build-once/serve-many
+    * contract as [[saveIvfIndex]] and [[savePqIndex]]; loaded search
+    * equals a fresh build (spec-asserted).
+    */
+  def saveIvfPqIndex(idx: IvfPqIndex, path: String): Unit = {
+    idx.encoded.write.mode("overwrite").parquet(s"$path/encoded")
+    idx.centers.write.mode("overwrite").parquet(s"$path/centers")
+    saveBooks(idx.encoded.sparkSession, idx.books, s"$path/books")
+  }
+
+  def loadIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex = {
+    val encoded = spark.read.parquet(s"$path/encoded")
+    require(encoded.columns.toSet == Set("vec_id", "cell", "codes", "recon_norm"),
+      s"invalid IVF-PQ index at $path/encoded: ${encoded.columns.mkString(",")}")
+    val centers = spark.read.parquet(s"$path/centers")
+    require(centers.columns.toSet == Set("center_cell", "center"),
+      s"invalid IVF-PQ centers at $path/centers: ${centers.columns.mkString(",")}")
+    IvfPqIndex(encoded.select("vec_id", "cell", "codes", "recon_norm"),
+      centers.select("center_cell", "center"), loadBooks(spark, s"$path/books"))
   }
 
   def annIvfPq(spark: SparkSession, dir: String, nProbe: Int = 4,

@@ -88,9 +88,10 @@ object TextOps {
   }
 
   /** The score SELECT without its driver-determinism ORDER BY —
-    * shared by [[qualityScoreSql]] and [[qualityPruneSql]]'s CTE.
+    * shared by [[qualityScoreSql]], [[qualityPruneSql]]'s CTE, and
+    * Dedup's quality-weighted canonical oracle.
     */
-  private val qualityScoreSelect: String =
+  private[operators] val qualityScoreSelect: String =
     """SELECT doc_id,
       |  len(ws) AS n_words,
       |  round(alpha_chars / n_words_d, 8) AS mean_word_len,

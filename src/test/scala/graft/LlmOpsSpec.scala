@@ -470,6 +470,36 @@ class LlmOpsSpec extends SparkSuite {
     assert(fresh.nonEmpty)
   }
 
+  test("persisted IVF-PQ index searches identically to a fresh build") {
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_idx").toString
+    val idx = Similarity.ivfPqIndex(spark, sfDir)
+    Similarity.saveIvfPqIndex(idx, path)
+    val loaded = Similarity.loadIvfPqIndex(spark, path)
+    val corpus = Similarity.vecs(spark, sfDir).toDF("vec_id", "v", "norm")
+    val fresh = Similarity.annIvfPqSearch(idx, corpus, 4, 32)
+      .collect().map(_.toString).sorted
+    val reread = Similarity.annIvfPqSearch(loaded, corpus, 4, 32)
+      .collect().map(_.toString).sorted
+    assert(fresh.sameElements(reread), "loaded IVF-PQ index diverged")
+    assert(fresh.nonEmpty)
+  }
+
+  test("dedupCanonicalQuality picks each cluster's best-written doc") {
+    val canon = Dedup.dedupCanonicalQuality(spark, sfDir).collect()
+    val quality = graft.operators.TextOps.qualityScore(spark, sfDir)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(canon.nonEmpty)
+    canon.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rows) =>
+      val canons = rows.map(_.getAs[Long]("canonical_id")).distinct
+      assert(canons.length == 1)
+      val best = rows.map(_.getAs[Long]("doc_id"))
+        .maxBy(id => (quality(id), -id))
+      assert(canons.head == best, s"cluster $cid: ${canons.head} != $best")
+      assert(rows.count(_.getAs[Boolean]("is_canonical")) == 1)
+    }
+  }
+
   test("annLsh candidate selection is a bucket equi-join, not a scan") {
     // the probe side expands to its hamming<=3 code set and hash-joins
     // on `code`: corpus rows outside probed buckets are rejected at the
