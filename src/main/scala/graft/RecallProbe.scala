@@ -50,10 +50,34 @@ object RecallProbe {
       val recall = (exact & got).size.toDouble / exact.size
       println(f"[recall] sq8 rerank=$rerank%2d recall@10=$recall%.3f")
     }
+    // one PQ fit, many searches — the sweep varies only rerank
+    val pqCorpus0 = operators.Similarity.vecs(spark, dir).toDF("vec_id", "v", "norm")
+    val pq = operators.Similarity.pqIndex(spark, dir)
+    pq.encoded.cache().count(): Unit
     for (rerank <- Seq(10, 16, 32, 64, 128)) {
-      val got = pairs(operators.Similarity.annPq(spark, dir, rerank))
+      val got = pairs(operators.Similarity.annPqSearch(pq, pqCorpus0, rerank))
       val recall = (exact & got).size.toDouble / exact.size
       println(f"[recall] pq  rerank=$rerank%3d recall@10=$recall%.3f")
+    }
+    pq.encoded.unpersist()
+    // OPQ vs PQ at the same rerank: the rotation's contribution
+    val opq = operators.Similarity.opqIndex(spark, dir)
+    opq.encoded.cache().count(): Unit
+    for (rerank <- Seq(10, 16, 32, 64, 128)) {
+      val got = pairs(operators.Similarity.annOpqSearch(opq, pqCorpus0, rerank))
+      val recall = (exact & got).size.toDouble / exact.size
+      println(f"[recall] opq rerank=$rerank%3d recall@10=$recall%.3f")
+    }
+    opq.encoded.unpersist()
+    // codebook-fit sample sensitivity: recall at rerank=32 as the fit
+    // shrinks to a hash sample (cap ≥ corpus ≡ full fit)
+    for (cap <- Seq(1000000L, 1024L, 256L, 64L)) {
+      val books = operators.Similarity.fitPqCodebooks(pqCorpus0, cap)
+      val sidx = operators.Similarity.PqIndex(
+        operators.Similarity.encodePq(pqCorpus0, books), books)
+      val got = pairs(operators.Similarity.annPqSearch(sidx, pqCorpus0, 32))
+      val recall = (exact & got).size.toDouble / exact.size
+      println(f"[recall] pq  fitCap=$cap%7d rerank= 32 recall@10=$recall%.3f")
     }
     // one IVF+PQ fit, many searches — the sweep varies only the knobs
     val ivfpq = operators.Similarity.ivfPqIndex(spark, dir)

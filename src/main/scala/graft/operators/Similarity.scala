@@ -292,21 +292,44 @@ object Similarity {
   private val PqSub = 8 // dims per subspace
   private val PqK = 16 // centroids per subspace → 4-bit codes
 
-  /** Fit the per-subspace PQ codebooks (`[m][c][dim]`): PqM seeded
-    * KMeans fits over the corpus slices. At 100 TB the fit runs on a
-    * driver-bounded SAMPLE of the corpus (codebook quality saturates
-    * far below full-corpus size); encoding is the only full pass.
+  /** Codebook-fit sample cap: PQ codebook quality saturates far below
+    * corpus size, so the fit draws at most ~this many vectors. Sized so
+    * every KMeans fit is comfortably driver-adjacent work; corpora at
+    * or under the cap fit on every vector (bit-identical to uncapped).
     */
-  private[operators] def fitPqCodebooks(
-      corpus: DataFrame): Array[Array[Array[Double]]] = {
+  private[graft] val PqFitSampleCap = 65536L
+
+  /** Deterministic hash sample of ~`cap` corpus rows: keep iff
+    * xxhash64(vec_id) ≡ 0 mod ⌈n/cap⌉ — reproducible across runs and
+    * cluster layouts, no RNG state. Corpora at or under the cap pass
+    * through whole (bit-identical to no sampling).
+    */
+  private def hashSample(corpus: DataFrame, cap: Long): DataFrame = {
+    val n = corpus.count()
+    val every = math.max(1L, (n + cap - 1) / cap)
+    if (every == 1L) corpus
+    else corpus.filter(pmod(xxhash64(col("vec_id")), lit(every)) === 0)
+  }
+
+  /** Fit the per-subspace PQ codebooks (`[m][c][dim]`): PqM seeded
+    * KMeans fits over a deterministic [[hashSample]] of at most
+    * ~`sampleCap` vectors. The sample is CACHED across the PqM fits,
+    * so at 100 TB the fit costs O(sample × PqM) instead of PqM
+    * full-corpus scans; the encode pass is the only full scan left.
+    */
+  private[graft] def fitPqCodebooks(corpus: DataFrame,
+      sampleCap: Long = PqFitSampleCap): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    (0 until PqM).toArray.map { m =>
-      val feats = corpus.select(
-        array_to_vector(slice(col("v"), m * PqSub + 1, PqSub)).as("features"))
-      new KMeans().setK(PqK).setSeed(42L + m).setMaxIter(5)
-        .fit(feats).clusterCenters.map(_.toArray)
-    }
+    val sample = hashSample(corpus, sampleCap).select(col("v")).persist()
+    try {
+      (0 until PqM).toArray.map { m =>
+        val feats = sample.select(
+          array_to_vector(slice(col("v"), m * PqSub + 1, PqSub)).as("features"))
+        new KMeans().setK(PqK).setSeed(42L + m).setMaxIter(5)
+          .fit(feats).clusterCenters.map(_.toArray)
+      }
+    } finally sample.unpersist()
   }
 
   /** Per-subspace argmin code columns for vector column `vcol` (first
@@ -394,7 +417,7 @@ object Similarity {
   /** ENCODE: argmin centroid per subspace (first min wins —
     * deterministic) + the reconstruction norm the cosine needs.
     */
-  private def encodePq(corpus: DataFrame,
+  private[graft] def encodePq(corpus: DataFrame,
       books: Array[Array[Array[Double]]]): DataFrame = {
     val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
     corpus
@@ -459,6 +482,23 @@ object Similarity {
     annPqSearch(PqIndex(encodePq(corpus, books), books), corpus, rerank)
   }
 
+  /** The shared ADC scan + rerank tail of the flat quantized variants:
+    * probes (carrying their precomputed `tab`) broadcast against the
+    * encoded corpus, approximate rank, exact rerank of the top
+    * `rerank`.
+    */
+  private def adcScanRerank(encoded: DataFrame, probes: DataFrame,
+      corpus: DataFrame, rerank: Int): DataFrame = {
+    val approx = encoded.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("approx_cos",
+        pqAdcSum(col("tab"), col("codes")) / (col("dq_norm") * col("p_norm")))
+    val wa = Window.partitionBy("probe_id").orderBy(col("approx_cos").desc, col("vec_id"))
+    val cands = approx.withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= rerank)
+      .select("probe_id", "p_v", "p_norm", "vec_id")
+    exactRerankTopK(cands, corpus)
+  }
+
   /** SEARCH (ADC) + exact rerank against a fitted index; `corpus`
     * supplies the probe vectors and the rerank fetch — the index side
     * never touches a float vector.
@@ -467,14 +507,120 @@ object Similarity {
     val probes = corpus.filter(col("vec_id") < NumProbes)
       .toDF("probe_id", "p_v", "p_norm")
       .withColumn("tab", pqTable(idx.books, col("p_v")))
-    val approx = idx.encoded.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .withColumn("approx_cos",
-        pqAdcSum(col("tab"), col("codes")) / (col("dq_norm") * col("p_norm")))
-    val wa = Window.partitionBy("probe_id").orderBy(col("approx_cos").desc, col("vec_id"))
-    val cands = approx.withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= rerank)
-      .select("probe_id", "p_v", "p_norm", "vec_id")
-    exactRerankTopK(cands, corpus)
+    adcScanRerank(idx.encoded, probes, corpus, rerank)
+  }
+
+  // ------------------------------------------------ optimized PQ (OPQ)
+
+  /** Parametric OPQ rotation (Ge et al. 2013, "Optimized Product
+    * Quantization", the closed-form variant): PQ quantizes each 8-dim
+    * slice independently, so its error is worst when variance is
+    * concentrated in a few dims that share a slice. The fix is an
+    * ORTHOGONAL rotation applied before encoding:
+    *
+    *  1. Second-moment matrix E[v·vᵀ] over the fit sample (uncentered —
+    *     centering would break ⟨p,v⟩ preservation; one distributed
+    *     Gramian pass, 64×64 to the driver).
+    *  2. Driver-side symmetric eigendecomposition (64×64 — trivial).
+    *  3. Eigenvalue-BALANCED allocation: eigenvectors are dealt in
+    *     descending-λ order to the subspace with the smallest
+    *     log-product of assigned λ so far — equalizing per-subspace
+    *     variance products, the free-rotation objective's closed-form
+    *     proxy for Gaussian data.
+    *
+    * The resulting R (rows = reordered eigenvectors) is orthogonal, so
+    * ⟨Rp, Rv⟩ = ⟨p, v⟩ and norms are unchanged: searching rotated
+    * codes against rotated probes approximates the ORIGINAL cosines,
+    * and the exact rerank stays in original space.
+    */
+  private[graft] def fitOpqRotation(corpus: DataFrame,
+      sampleCap: Long = PqFitSampleCap): Array[Array[Double]] = {
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val sample = hashSample(corpus, sampleCap).select("v")
+      .rdd.map(r => OldVectors.dense(r.getSeq[Double](0).toArray))
+    val dim = PqM * PqSub
+    val gram = new RowMatrix(sample).computeGramianMatrix()
+    val es = breeze.linalg.eigSym(
+      new breeze.linalg.DenseMatrix(dim, dim, gram.toArray))
+    val order = (0 until dim).sortBy(i => -es.eigenvalues(i))
+    val logSum = Array.fill(PqM)(0.0)
+    val counts = Array.fill(PqM)(0)
+    val assign = Array.fill(PqM)(List.newBuilder[Int])
+    for (i <- order) {
+      val m = (0 until PqM).filter(counts(_) < PqSub)
+        .minBy(j => (logSum(j), j))
+      assign(m) += i
+      counts(m) += 1
+      logSum(m) += math.log(math.max(es.eigenvalues(i), 1e-12))
+    }
+    assign.flatMap(_.result())
+      .map(i => Array.tabulate(dim)(j => es.eigenvectors(j, i)))
+  }
+
+  /** v′ = R·v as a column: one codegen'd dot per output dim (64 dots
+    * of 64 here; a production hot path would fuse the matmul into one
+    * expression like [[graft.functions.VectorDot]]).
+    */
+  private def rotate(rot: Array[Array[Double]], vcol: Column): Column =
+    array(rot.toIndexedSeq.map(r => Dedup.dot(typedLit(r.toSeq), vcol)): _*)
+
+  /** A fitted OPQ index: the PQ-encoded ROTATED corpus, the rotation,
+    * and the rotated-space codebooks. Same build-once/serve-many and
+    * persistence contract as [[PqIndex]].
+    */
+  case class OpqIndex(encoded: DataFrame, rot: Array[Array[Double]],
+      books: Array[Array[Array[Double]]])
+
+  def opqIndex(spark: SparkSession, dir: String): OpqIndex = {
+    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
+    val rot = fitOpqRotation(corpus)
+    // |Rv| = |v|: the stored norm column stays valid after rotation
+    val rotated = corpus.withColumn("v", rotate(rot, col("v")))
+    val books = fitPqCodebooks(rotated)
+    OpqIndex(encodePq(rotated, books), rot, books)
+  }
+
+  def annOpq(spark: SparkSession, dir: String, rerank: Int = 32): DataFrame = {
+    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
+    annOpqSearch(opqIndex(spark, dir), corpus, rerank)
+  }
+
+  /** SEARCH: probes rotate into code space for the ADC tables; the
+    * exact rerank fetches ORIGINAL vectors, so final cosines are exact
+    * original-space cosines like every other quantized variant.
+    */
+  def annOpqSearch(idx: OpqIndex, corpus: DataFrame, rerank: Int): DataFrame = {
+    val probes = corpus.filter(col("vec_id") < NumProbes)
+      .toDF("probe_id", "p_v", "p_norm")
+      .withColumn("tab", pqTable(idx.books, rotate(idx.rot, col("p_v"))))
+    adcScanRerank(idx.encoded, probes, corpus, rerank)
+  }
+
+  /** Persist / reload a fitted OPQ index — the PQ layout plus the
+    * rotation as (i, row) parquet; loaded search == fresh (spec).
+    */
+  def saveOpqIndex(idx: OpqIndex, path: String): Unit = {
+    idx.encoded.write.mode("overwrite").parquet(s"$path/encoded")
+    saveBooks(idx.encoded.sparkSession, idx.books, s"$path/books")
+    idx.encoded.sparkSession.createDataFrame(
+      idx.rot.zipWithIndex.toIndexedSeq.map { case (r, i) => (i, r.toSeq) })
+      .toDF("i", "row").write.mode("overwrite").parquet(s"$path/rot")
+  }
+
+  def loadOpqIndex(spark: SparkSession, path: String): OpqIndex = {
+    val encoded = spark.read.parquet(s"$path/encoded")
+    require(encoded.columns.toSet == Set("vec_id", "codes", "dq_norm"),
+      s"invalid OPQ index at $path/encoded: ${encoded.columns.mkString(",")}")
+    val dim = PqM * PqSub
+    val rotRows = spark.read.parquet(s"$path/rot").select("i", "row")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    require(rotRows.length == dim && rotRows.map(_._1).toSet == (0 until dim).toSet
+      && rotRows.forall(_._2.length == dim),
+      s"invalid OPQ rotation at $path/rot: ${rotRows.length} rows")
+    val rot = rotRows.sortBy(_._1).map(_._2)
+    OpqIndex(encoded.select("vec_id", "codes", "dq_norm"), rot,
+      loadBooks(spark, s"$path/books"))
   }
 
   /** IVF-PQ — the composition of both index families, and the
