@@ -903,12 +903,22 @@ object Curation {
   def lineDedup(spark: SparkSession, dir: String): DataFrame =
     lineDedupDocs(Tables.documents(spark, dir))
 
-  private[graft] def lineDedupDocs(docs: DataFrame): DataFrame = {
+  /** (doc_id, pos, line, rn) with rn = 1 on each line's first corpus
+    * occurrence — the shared marking pass of [[lineDedupDocs]], also
+    * the ground truth the streaming dual
+    * ([[graft.streaming.TickStream.lineDedupDocsStream]]) is spec'd
+    * against.
+    */
+  private[graft] def lineMarkedDocs(docs: DataFrame): DataFrame = {
     val lines = docs
       .select(col("doc_id"), posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
       .filter(trim(col("line")) =!= "")
     val w = Window.partitionBy("line").orderBy("doc_id", "pos")
-    val marked = lines.withColumn("rn", row_number().over(w))
+    lines.withColumn("rn", row_number().over(w))
+  }
+
+  private[graft] def lineDedupDocs(docs: DataFrame): DataFrame = {
+    val marked = lineMarkedDocs(docs)
     val perDoc = marked.groupBy("doc_id").agg(
       count(lit(1)).as("n_lines"),
       sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),

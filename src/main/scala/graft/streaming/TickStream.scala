@@ -131,6 +131,64 @@ object TickStream {
       // is the natural composition
       .drop("ingest_ts")
 
+  case class DocLine(doc_id: Long, pos: Int, line: String,
+      ingest_ts: java.sql.Timestamp)
+
+  case class LineVerdict(doc_id: Long, pos: Int, line: String, kept: Boolean)
+
+  /** Streaming dual of the C4-style corpus-level LINE dedup
+    * ([[graft.operators.Curation.lineDedupDocs]]): documents explode
+    * into non-blank (doc_id, pos, line) rows, and a STATEFUL per-line
+    * key store keeps each line's first occurrence — within a
+    * microbatch "first" is min (doc_id, pos), matching the batch
+    * dual's deterministic order; across microbatches the earlier
+    * batch wins. Every line row is emitted with its keep verdict so
+    * downstream reassembly (or drop-attribution) composes.
+    *
+    * State is one boolean per distinct line seen, keyed by the line
+    * text, evicted by an event-time timeout driven off an INGEST-time
+    * watermark (documents carry no event time; an eviction fires only
+    * as later arrivals advance the watermark — no empty-batch churn).
+    * Same two-tier contract as [[dedupDocsStream]], including its
+    * restart caveat: the streaming tier collapses duplicates inside
+    * the TTL window per checkpoint lineage, and cross-window (or
+    * cross-restart) duplicates fall to the batch compaction. A
+    * production deployment keys state on a 128-bit line fingerprint
+    * instead of the text (same shuffle, ~16 bytes of key per entry
+    * regardless of line length).
+    */
+  def lineDedupDocsStream(spark: SparkSession, docs: DataFrame,
+      stateTtlMinutes: Int = 30): Dataset[LineVerdict] = {
+    import spark.implicits._
+    val ttlMs = stateTtlMinutes * 60000L
+    def update(line: String, rows: Iterator[DocLine],
+        state: GroupState[Boolean]): Iterator[LineVerdict] = {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        val sorted = rows.toSeq.sortBy(r => (r.doc_id, r.pos))
+        val alreadySeen = state.exists
+        if (!alreadySeen) state.update(true)
+        // TTL extends from the newest arrival of this line
+        state.setTimeoutTimestamp(sorted.map(_.ingest_ts.getTime).max + ttlMs)
+        sorted.iterator.zipWithIndex.map { case (r, i) =>
+          LineVerdict(r.doc_id, r.pos, r.line, kept = !alreadySeen && i == 0)
+        }
+      }
+    }
+    docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .filter(trim(col("line")) =!= "")
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", s"$stateTtlMinutes minutes")
+      .as[DocLine]
+      .groupByKey(_.line)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** Streaming quality filtering: the Gopher repetition verdicts as a
     * stateless per-row projection (the narrow formulation of
     * [[graft.operators.Curation.gopherFiltersDocs]] — no shuffle, no

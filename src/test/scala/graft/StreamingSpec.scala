@@ -333,6 +333,57 @@ class StreamingSpec extends SparkSuite {
     assert(survivors.length == batchFps.size)
   }
 
+  test("streaming line dedup verdicts equal batch, state carries across batches") {
+    // the synthetic corpus has NO duplicate lines (every doc is one
+    // distinct line), so plant verbatim copies of the first 6 docs
+    // under shifted ids and stage them so ALL copies arrive in a LATER
+    // microbatch than every original: the stream's first arrival is
+    // then the batch dual's min (doc_id, pos) and the verdict maps
+    // must agree EXACTLY — which simultaneously proves the line-key
+    // state persists across microbatches (the copies' drops depend on
+    // state written two batches earlier).
+    val docs = Tables.documents(spark, sfDir)
+    val copies = docs.filter(col("doc_id") < 6)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val all = docs.unionByName(copies)
+    val staged = java.nio.file.Files.createTempDirectory("linesplit").toString
+    Seq(
+      docs.filter(col("doc_id") % 2 === 0),
+      docs.filter(col("doc_id") % 2 === 1),
+      copies
+    ).zipWithIndex.foreach { case (part, p) =>
+      part.coalesce(1).write.parquet(s"$staged/f$p.parquet")
+    }
+    val streamDir = java.nio.file.Files.createTempDirectory("lineflat")
+    new java.io.File(staged).listFiles().filter(_.isDirectory).sortBy(_.getName)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        val dst = streamDir.resolve(f"part$i%02d.parquet")
+        java.nio.file.Files.copy(f.toPath, dst)
+        require(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+      }
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(streamDir.toString)
+    runToMemory(TickStream.lineDedupDocsStream(spark, stream).toDF, "line_dedup_stream")
+    val streamed = spark.table("line_dedup_stream").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos")) ->
+        (r.getAs[String]("line"), r.getAs[Boolean]("kept"))).toMap
+    val batch = graft.operators.Curation.lineMarkedDocs(all).collect()
+    assert(streamed.size == batch.length, "row universe must match")
+    batch.foreach { r =>
+      val k = (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"))
+      val (line, kept) = streamed(k)
+      assert(line == r.getAs[String]("line"))
+      assert(kept == (r.getAs[Int]("rn") == 1), s"verdict diverged at $k")
+    }
+    // exactly one survivor per distinct line, none of them a copy
+    val keptRows = streamed.collect { case ((id, _), (line, true)) => (id, line) }
+    assert(keptRows.size == keptRows.map(_._2).toSet.size)
+    assert(keptRows.forall(_._1 < 1000000L), "a late copy beat its original")
+  }
+
   test("streaming gopher verdicts equal the batch quality filter") {
     val out = TickStream.qualityDocsStream(TickStream.docsStream(spark, sfDir))
     runToMemory(out, "doc_quality")
