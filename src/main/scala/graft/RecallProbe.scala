@@ -69,6 +69,12 @@ object RecallProbe {
       println(f"[recall] opq rerank=$rerank%3d recall@10=$recall%.3f")
     }
     opq.encoded.unpersist()
+    // graph ANN: recall vs the search beam width
+    for (ef <- Seq(4, 8, 16, 32, 64)) {
+      val got = pairs(operators.Similarity.annGraph(spark, dir, efSearch = ef))
+      val recall = (exact & got).size.toDouble / exact.size
+      println(f"[recall] nsw efSearch=$ef%2d recall@10=$recall%.3f")
+    }
     // codebook-fit sample sensitivity: recall at rerank=32 as the fit
     // shrinks to a hash sample (cap ≥ corpus ≡ full fit)
     for (cap <- Seq(1000000L, 1024L, 256L, 64L)) {

@@ -727,6 +727,121 @@ object Similarity {
     exactRerankTopK(cands, corpus)
   }
 
+  // ------------------------------------------------------- graph ANN
+
+  /** Graph-based ANN (NSW — the single-layer core of HNSW, Malkov &
+    * Yashunin 2016) as the LOW-LATENCY serve path: per-PARTITION
+    * navigable-small-world graphs + a global top-k merge.
+    *
+    *  - BUILD (mapPartitions, no shuffle past the initial hash
+    *    partitioning): vectors insert in id order; each new node beam-
+    *    searches the graph built so far (`efConstruction` beam) for its
+    *    `maxDeg` nearest and links bidirectionally; adjacency lists
+    *    prune back to `maxDeg` keeping the highest-cosine edges. A
+    *    deployment persists each shard's adjacency next to its
+    *    vectors and reuses it across probe batches.
+    *  - SEARCH: probes broadcast; each shard beam-searches its own
+    *    graph (`efSearch` beam, greedy best-first with a visited set,
+    *    ties on id) and emits its local top-k; a window takes the
+    *    global top-k per probe — the standard shard-and-merge layout,
+    *    O(log n)-ish hops per shard instead of a shard scan.
+    *
+    * Cosines are computed EXACTLY during the walk (the graph only
+    * decides which vectors get scored), so emitted values match the
+    * brute-force kernel bit-for-bit; only the candidate set is
+    * approximate. Recall vs beam width is swept by RecallProbe.
+    */
+  def annGraph(spark: SparkSession, dir: String, efSearch: Int = 32,
+      maxDeg: Int = 8, efConstruction: Int = 32,
+      numShards: Int = 4): DataFrame = {
+    import spark.implicits._
+    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
+    val probes = corpus.filter(col("vec_id") < NumProbes)
+      .as[(Long, Seq[Double], Double)].collect()
+      .sortBy(_._1).map { case (id, v, n) => (id, v.toArray, n) }
+    val bProbes = spark.sparkContext.broadcast(probes)
+    val local = corpus.repartition(numShards, col("vec_id"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { iter =>
+        val nodes = iter.map { case (id, v, n) => (id, v.toArray, n) }
+          .toArray.sortBy(_._1)
+        if (nodes.isEmpty) Iterator.empty
+        else {
+          val adj = Array.fill(nodes.length)(
+            scala.collection.mutable.ArrayBuffer.empty[Int])
+          def cos(q: Array[Double], qn: Double, i: Int): Double = {
+            val v = nodes(i)._2
+            var s = 0.0
+            var d = 0
+            while (d < v.length) { s += q(d) * v(d); d += 1 }
+            s / (qn * nodes(i)._3)
+          }
+          /** Greedy best-first beam over the first `built` nodes:
+            * expand the best unexpanded candidate until the beam's
+            * worst member beats every frontier node.
+            */
+          def beam(q: Array[Double], qn: Double, ef: Int,
+              built: Int): Array[(Double, Int)] = {
+            val visited = new java.util.BitSet(built)
+            // frontier: best cos first; results: worst cos first
+            val frontier = scala.collection.mutable.PriorityQueue
+              .empty[(Double, Int)](Ordering.by(t => (t._1, -t._2)))
+            val results = scala.collection.mutable.PriorityQueue
+              .empty[(Double, Int)](Ordering.by(t => (-t._1, t._2)))
+            val c0 = cos(q, qn, 0)
+            visited.set(0)
+            frontier.enqueue((c0, 0))
+            results.enqueue((c0, 0))
+            while (frontier.nonEmpty &&
+                (results.size < ef || frontier.head._1 > results.head._1)) {
+              val (_, node) = frontier.dequeue()
+              adj(node).foreach { nb =>
+                if (nb < built && !visited.get(nb)) {
+                  visited.set(nb)
+                  val c = cos(q, qn, nb)
+                  if (results.size < ef || c > results.head._1) {
+                    frontier.enqueue((c, nb))
+                    results.enqueue((c, nb))
+                    if (results.size > ef) results.dequeue(): Unit
+                  }
+                }
+              }
+            }
+            results.dequeueAll.toArray.sortBy(t => (-t._1, t._2))
+          }
+          def prune(i: Int): Unit =
+            if (adj(i).length > maxDeg) {
+              val kept = adj(i).map(j => (cos(nodes(i)._2, nodes(i)._3, j), j))
+                .sortBy(t => (-t._1, t._2)).take(maxDeg).map(_._2)
+              adj(i).clear()
+              adj(i) ++= kept
+            }
+          var i = 1
+          while (i < nodes.length) {
+            beam(nodes(i)._2, nodes(i)._3, efConstruction, i)
+              .take(maxDeg).foreach { case (_, j) =>
+                adj(i) += j
+                adj(j) += i
+                prune(j)
+              }
+            i += 1
+          }
+          bProbes.value.iterator.flatMap { case (pid, pv, pn) =>
+            beam(pv, pn, efSearch, nodes.length)
+              .filter { case (_, j) => nodes(j)._1 != pid }
+              .take(TopK)
+              .map { case (c, j) => (pid, nodes(j)._1, c) }
+          }
+        }
+      }.toDF("probe_id", "neighbor_id", "cos")
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    local.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** LSH-bucketed approximate top-k: corpus is signed into 8-bit
     * hyperplane buckets; each probe EXPANDS to its hamming ≤ 3 code
     * set (93 codes) and equi-joins the corpus on `code` — a true

@@ -372,6 +372,31 @@ class LlmOpsSpec extends SparkSuite {
     assert(fresh == reread)
   }
 
+  test("annGraph: NSW beam search recall, exact cosines, full result shape") {
+    val exactRows = Similarity.annBruteForce(spark, sfDir).collect()
+    val exact = exactRows.map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.annGraph(spark, sfDir).collect()
+    val got = approx.map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // RecallProbe @ sf0.01: efSearch 4/8/16/32/64 →
+    // 0.46/0.66/0.90/1.00/1.00 with maxDeg=8 over 4 shards
+    assert(recall >= 0.7, s"graph recall $recall")
+    // the graph only picks WHICH vectors get scored — scored cosines
+    // are the exact kernel, identical to brute force
+    val exactCos = exactRows.map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    approx.foreach { r =>
+      val k = (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))
+      exactCos.get(k).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+    assert(approx.groupBy(_.getAs[Long]("probe_id")).forall(_._2.length == 10))
+    // deterministic: a second build+search returns the same rows
+    val again = Similarity.annGraph(spark, sfDir).collect()
+    assert(approx.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("dedupCanonical keeps the largest doc per cluster, maps every doc") {
     val canon = Dedup.dedupCanonical(spark, sfDir).collect()
     val clusters = Dedup.embeddingClusters(spark, sfDir).collect()
