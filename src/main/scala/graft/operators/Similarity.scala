@@ -751,15 +751,109 @@ object Similarity {
     * brute-force kernel bit-for-bit; only the candidate set is
     * approximate. Recall vs beam width is swept by RecallProbe.
     */
+  /** (vec_id, vector, norm) — a shard-local graph node. */
+  private type NswNode = (Long, Array[Double], Double)
+
+  private def nswCos(nodes: Array[NswNode], q: Array[Double], qn: Double,
+      i: Int): Double = {
+    val v = nodes(i)._2
+    var s = 0.0
+    var d = 0
+    while (d < v.length) { s += q(d) * v(d); d += 1 }
+    s / (qn * nodes(i)._3)
+  }
+
+  /** Greedy best-first beam over the first `built` nodes: expand the
+    * best unexpanded candidate until the beam's worst member beats
+    * every frontier node. Ties break on node index (deterministic).
+    */
+  private def nswBeam(nodes: Array[NswNode], adj: Int => Iterator[Int],
+      q: Array[Double], qn: Double, ef: Int,
+      built: Int): Array[(Double, Int)] = {
+    val visited = new java.util.BitSet(built)
+    // frontier: best cos first; results: worst cos first
+    val frontier = scala.collection.mutable.PriorityQueue
+      .empty[(Double, Int)](Ordering.by(t => (t._1, -t._2)))
+    val results = scala.collection.mutable.PriorityQueue
+      .empty[(Double, Int)](Ordering.by(t => (-t._1, t._2)))
+    val c0 = nswCos(nodes, q, qn, 0)
+    visited.set(0)
+    frontier.enqueue((c0, 0))
+    results.enqueue((c0, 0))
+    while (frontier.nonEmpty &&
+        (results.size < ef || frontier.head._1 > results.head._1)) {
+      val (_, node) = frontier.dequeue()
+      adj(node).foreach { nb =>
+        if (nb < built && !visited.get(nb)) {
+          visited.set(nb)
+          val c = nswCos(nodes, q, qn, nb)
+          if (results.size < ef || c > results.head._1) {
+            frontier.enqueue((c, nb))
+            results.enqueue((c, nb))
+            if (results.size > ef) results.dequeue(): Unit
+          }
+        }
+      }
+    }
+    results.dequeueAll.toArray.sortBy(t => (-t._1, t._2))
+  }
+
+  /** NSW construction over id-sorted shard nodes: insert in order,
+    * beam-search the graph built so far, link bidirectionally, prune
+    * adjacency back to `maxDeg` keeping the highest-cosine edges.
+    */
+  private def nswBuild(nodes: Array[NswNode], maxDeg: Int,
+      efConstruction: Int): Array[Array[Int]] = {
+    val adj = Array.fill(nodes.length)(
+      scala.collection.mutable.ArrayBuffer.empty[Int])
+    def prune(i: Int): Unit =
+      if (adj(i).length > maxDeg) {
+        val kept = adj(i)
+          .map(j => (nswCos(nodes, nodes(i)._2, nodes(i)._3, j), j))
+          .sortBy(t => (-t._1, t._2)).take(maxDeg).map(_._2)
+        adj(i).clear()
+        adj(i) ++= kept
+      }
+    var i = 1
+    while (i < nodes.length) {
+      nswBeam(nodes, adj(_).iterator, nodes(i)._2, nodes(i)._3,
+        efConstruction, i)
+        .take(maxDeg).foreach { case (_, j) =>
+          adj(i) += j
+          adj(j) += i
+          prune(j)
+        }
+      i += 1
+    }
+    adj.map(_.toArray)
+  }
+
+  /** Probe vectors as a driver array (id asc) for the graph walks. */
+  private def probeArray(corpus: DataFrame): Array[NswNode] = {
+    import corpus.sparkSession.implicits._
+    corpus.filter(col("vec_id") < NumProbes)
+      .as[(Long, Seq[Double], Double)].collect()
+      .sortBy(_._1).map { case (id, v, n) => (id, v.toArray, n) }
+  }
+
+  /** Per-shard (probe_id, neighbor_id, cos) candidates → global
+    * top-k per probe in the query result shape.
+    */
+  private def mergeShardTopK(local: DataFrame): DataFrame = {
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    local.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
   def annGraph(spark: SparkSession, dir: String, efSearch: Int = 32,
       maxDeg: Int = 8, efConstruction: Int = 32,
       numShards: Int = 4): DataFrame = {
     import spark.implicits._
     val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
-    val probes = corpus.filter(col("vec_id") < NumProbes)
-      .as[(Long, Seq[Double], Double)].collect()
-      .sortBy(_._1).map { case (id, v, n) => (id, v.toArray, n) }
-    val bProbes = spark.sparkContext.broadcast(probes)
+    val bProbes = spark.sparkContext.broadcast(probeArray(corpus))
     val local = corpus.repartition(numShards, col("vec_id"))
       .as[(Long, Seq[Double], Double)]
       .mapPartitions { iter =>
@@ -767,79 +861,86 @@ object Similarity {
           .toArray.sortBy(_._1)
         if (nodes.isEmpty) Iterator.empty
         else {
-          val adj = Array.fill(nodes.length)(
-            scala.collection.mutable.ArrayBuffer.empty[Int])
-          def cos(q: Array[Double], qn: Double, i: Int): Double = {
-            val v = nodes(i)._2
-            var s = 0.0
-            var d = 0
-            while (d < v.length) { s += q(d) * v(d); d += 1 }
-            s / (qn * nodes(i)._3)
-          }
-          /** Greedy best-first beam over the first `built` nodes:
-            * expand the best unexpanded candidate until the beam's
-            * worst member beats every frontier node.
-            */
-          def beam(q: Array[Double], qn: Double, ef: Int,
-              built: Int): Array[(Double, Int)] = {
-            val visited = new java.util.BitSet(built)
-            // frontier: best cos first; results: worst cos first
-            val frontier = scala.collection.mutable.PriorityQueue
-              .empty[(Double, Int)](Ordering.by(t => (t._1, -t._2)))
-            val results = scala.collection.mutable.PriorityQueue
-              .empty[(Double, Int)](Ordering.by(t => (-t._1, t._2)))
-            val c0 = cos(q, qn, 0)
-            visited.set(0)
-            frontier.enqueue((c0, 0))
-            results.enqueue((c0, 0))
-            while (frontier.nonEmpty &&
-                (results.size < ef || frontier.head._1 > results.head._1)) {
-              val (_, node) = frontier.dequeue()
-              adj(node).foreach { nb =>
-                if (nb < built && !visited.get(nb)) {
-                  visited.set(nb)
-                  val c = cos(q, qn, nb)
-                  if (results.size < ef || c > results.head._1) {
-                    frontier.enqueue((c, nb))
-                    results.enqueue((c, nb))
-                    if (results.size > ef) results.dequeue(): Unit
-                  }
-                }
-              }
-            }
-            results.dequeueAll.toArray.sortBy(t => (-t._1, t._2))
-          }
-          def prune(i: Int): Unit =
-            if (adj(i).length > maxDeg) {
-              val kept = adj(i).map(j => (cos(nodes(i)._2, nodes(i)._3, j), j))
-                .sortBy(t => (-t._1, t._2)).take(maxDeg).map(_._2)
-              adj(i).clear()
-              adj(i) ++= kept
-            }
-          var i = 1
-          while (i < nodes.length) {
-            beam(nodes(i)._2, nodes(i)._3, efConstruction, i)
-              .take(maxDeg).foreach { case (_, j) =>
-                adj(i) += j
-                adj(j) += i
-                prune(j)
-              }
-            i += 1
-          }
+          val adj = nswBuild(nodes, maxDeg, efConstruction)
           bProbes.value.iterator.flatMap { case (pid, pv, pn) =>
-            beam(pv, pn, efSearch, nodes.length)
+            nswBeam(nodes, adj(_).iterator, pv, pn, efSearch, nodes.length)
               .filter { case (_, j) => nodes(j)._1 != pid }
               .take(TopK)
               .map { case (c, j) => (pid, nodes(j)._1, c) }
           }
         }
       }.toDF("probe_id", "neighbor_id", "cos")
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
-    local.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(col("probe_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cosine"))
-      .orderBy("probe_id", "rank")
+    mergeShardTopK(local)
+  }
+
+  /** A fitted per-shard NSW graph: one row per vector carrying its
+    * shard id, float vector, norm, and neighbor VEC ids. Build once,
+    * serve many probe batches; persistable like the quantized indexes.
+    * Graphs are identical to the fused [[annGraph]] build (same hash
+    * sharding, same id-ordered insertion), so searches agree exactly
+    * (spec-asserted).
+    */
+  case class GraphIndex(nodes: DataFrame)
+
+  def graphIndex(spark: SparkSession, dir: String, maxDeg: Int = 8,
+      efConstruction: Int = 32, numShards: Int = 4): GraphIndex = {
+    import spark.implicits._
+    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
+    val nodesDf = corpus.repartition(numShards, col("vec_id"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { iter =>
+        val shard = org.apache.spark.TaskContext.getPartitionId()
+        val nodes = iter.map { case (id, v, n) => (id, v.toArray, n) }
+          .toArray.sortBy(_._1)
+        if (nodes.isEmpty) Iterator.empty
+        else {
+          val adj = nswBuild(nodes, maxDeg, efConstruction)
+          nodes.indices.iterator.map { i =>
+            (shard, nodes(i)._1, nodes(i)._2.toSeq, nodes(i)._3,
+              adj(i).map(j => nodes(j)._1).toSeq)
+          }
+        }
+      }.toDF("shard", "vec_id", "v", "norm", "nbrs")
+    GraphIndex(nodesDf)
+  }
+
+  /** Serve a probe batch from a fitted graph: shards regroup (one
+    * shuffle of the index, none of any corpus), rebuild their local
+    * id maps, and beam-search; the shard top-ks merge globally.
+    */
+  def annGraphSearch(idx: GraphIndex, corpus: DataFrame,
+      efSearch: Int = 32): DataFrame = {
+    val spark = idx.nodes.sparkSession
+    import spark.implicits._
+    val bProbes = spark.sparkContext.broadcast(probeArray(corpus))
+    val local = idx.nodes.as[(Int, Long, Seq[Double], Double, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val rs = rows.toArray.sortBy(_._2)
+        val nodes: Array[NswNode] = rs.map(r => (r._2, r._3.toArray, r._4))
+        val idToIdx = nodes.iterator.map(_._1).zipWithIndex.toMap
+        val adj = rs.map(_._5.iterator.map(idToIdx).toArray)
+        bProbes.value.iterator.flatMap { case (pid, pv, pn) =>
+          nswBeam(nodes, adj(_).iterator, pv, pn, efSearch, nodes.length)
+            .filter { case (_, j) => nodes(j)._1 != pid }
+            .take(TopK)
+            .map { case (c, j) => (pid, nodes(j)._1, c) }
+        }
+      }.toDF("probe_id", "neighbor_id", "cos")
+    mergeShardTopK(local)
+  }
+
+  /** Persist / reload a fitted NSW graph index; loaded search == fresh
+    * (spec-asserted).
+    */
+  def saveGraphIndex(idx: GraphIndex, path: String): Unit =
+    idx.nodes.write.mode("overwrite").parquet(path)
+
+  def loadGraphIndex(spark: SparkSession, path: String): GraphIndex = {
+    val nodes = spark.read.parquet(path)
+    require(nodes.columns.toSet == Set("shard", "vec_id", "v", "norm", "nbrs"),
+      s"invalid graph index at $path: ${nodes.columns.mkString(",")}")
+    GraphIndex(nodes.select("shard", "vec_id", "v", "norm", "nbrs"))
   }
 
   /** LSH-bucketed approximate top-k: corpus is signed into 8-bit

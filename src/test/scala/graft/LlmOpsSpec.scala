@@ -397,6 +397,21 @@ class LlmOpsSpec extends SparkSuite {
     assert(approx.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("graph index: build-once search equals fused; save/load round-trips") {
+    val corpus = Similarity.vecs(spark, sfDir).toDF("vec_id", "v", "norm")
+    val fused = Similarity.annGraph(spark, sfDir).collect().map(_.toString).toSeq
+    val idx = Similarity.graphIndex(spark, sfDir)
+    val viaIdx = Similarity.annGraphSearch(idx, corpus)
+      .collect().map(_.toString).toSeq
+    assert(fused == viaIdx, "index-path search diverged from the fused build")
+    val path = java.nio.file.Files.createTempDirectory("graft_nsw").toString
+    Similarity.saveGraphIndex(idx, path)
+    val loaded = Similarity.annGraphSearch(
+      Similarity.loadGraphIndex(spark, path), corpus)
+      .collect().map(_.toString).toSeq
+    assert(viaIdx == loaded)
+  }
+
   test("dedupCanonical keeps the largest doc per cluster, maps every doc") {
     val canon = Dedup.dedupCanonical(spark, sfDir).collect()
     val clusters = Dedup.embeddingClusters(spark, sfDir).collect()

@@ -384,6 +384,34 @@ class StreamingSpec extends SparkSuite {
     assert(keptRows.forall(_._1 < 1000000L), "a late copy beat its original")
   }
 
+  test("streaming line dedup is identical on the RocksDB state store") {
+    // the line-key store is the stateful operator whose cardinality
+    // actually explodes at corpus scale (one entry per distinct line)
+    // — prove it on the disk-spilling backend
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = TickStream.lineDedupDocsStream(spark,
+        TickStream.docsStream(spark, sfDir))
+      runToMemory(out.toDF, "line_dedup_rocks")
+      val streamed = spark.table("line_dedup_rocks").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"),
+          r.getAs[String]("line"), r.getAs[Boolean]("kept"))).toSet
+      val batch = graft.operators.Curation
+        .lineMarkedDocs(Tables.documents(spark, sfDir)).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"),
+          r.getAs[String]("line"), r.getAs[Int]("rn") == 1)).toSet
+      assert(streamed == batch, "RocksDB-backed line dedup diverged")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming gopher verdicts equal the batch quality filter") {
     val out = TickStream.qualityDocsStream(TickStream.docsStream(spark, sfDir))
     runToMemory(out, "doc_quality")
