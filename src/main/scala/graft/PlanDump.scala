@@ -42,6 +42,8 @@ object PlanDump {
     dump("q_ann_pq", operators.Similarity.annPq(spark, dir))
     dump("q_perplexity", operators.TextOps.perplexity(spark, dir))
     dump("q_quality_prune", operators.TextOps.qualityPrune(spark, dir))
+    dump("q_ann_opq", operators.Similarity.annOpq(spark, dir))
+    dump("q_model_readiness", operators.Forecast.modelReadiness(spark, dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plandump] wrote PLANS.md")
     spark.stop()

@@ -80,6 +80,23 @@ object ScaleProbe {
     time("importance_h")(operators.Curation.hashedImportanceScore(bigDocs,
       operators.Curation.hashedImportanceModel(bigDocs)))
     time("perplexity")(operators.TextOps.perplexityDocs(bigDocs))
+
+    // ANN index families over a replicated embedding corpus (distinct
+    // vec_ids per replica; probes stay the fixed vec_id < 5 set).
+    // Shard count scales with the corpus — the per-shard NSW build is
+    // O(n_shard · ef · deg), so constant-size shards keep build time
+    // flat per executor at 100 TB.
+    val emb = Tables.embeddings(spark, dir)
+    val bigEmb = (0 until replicas).map { i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+    }.reduce(_ unionByName _)
+    val corpus = operators.Similarity.vecsOf(bigEmb).toDF("vec_id", "v", "norm")
+    val nswIdx = operators.Similarity.graphIndexOf(corpus, numShards = 32)
+    time("nsw_build")(nswIdx.nodes)
+    val cached = operators.Similarity.GraphIndex(nswIdx.nodes.cache())
+    cached.nodes.count(): Unit
+    time("nsw_search")(operators.Similarity.annGraphSearch(cached, corpus))
+    time("opq_index")(operators.Similarity.opqIndexOf(corpus).encoded)
     spark.stop()
   }
 }

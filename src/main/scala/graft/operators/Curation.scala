@@ -435,17 +435,50 @@ object Curation {
     * (a row per source), shared by the batch sampler and the
     * streaming serve path (collected + broadcast there).
     */
-  private[graft] def mixtureRatesOf(docs: DataFrame): DataFrame = {
-    // persisted: perSource (a row per source) feeds both the minimum
+  private[graft] def mixtureRatesOf(docs: DataFrame): DataFrame =
+    ratesByKey(docs, "source")
+
+  /** α = 0.5 temperature acceptance rates (ppm) over a (key, n_tok)
+    * projection, for any grouping key — shared by the source mixture
+    * and the cluster (topic) mixture.
+    */
+  private def ratesByKey(docs: DataFrame, key: String): DataFrame = {
+    // persisted: perKey (a row per key) feeds both the minimum
     // aggregate and the crossJoin — without it the corpus scan under
     // it replays per consumer when `docs` itself isn't cached
-    val perSource = docs.groupBy("source").agg(sum("n_tok").as("n_tokens"))
+    val perKey = docs.groupBy(key).agg(sum("n_tok").as("n_tokens"))
       .persist()
-    val minTok = perSource.agg(min("n_tokens").as("min_tokens"))
-    perSource.crossJoin(broadcast(minTok))
-      .select(col("source"),
+    val minTok = perKey.agg(min("n_tokens").as("min_tokens"))
+    perKey.crossJoin(broadcast(minTok))
+      .select(col(key),
         round(sqrt(col("min_tokens").cast("double") / col("n_tokens").cast("double"))
           * 1000000, 0).cast("long").as("accept_ppm"))
+  }
+
+  /** Cluster-temperature rebalancing — the SEMANTIC dual of
+    * [[mixtureSample]]: source labels say who WROTE a doc; the coarse
+    * cells of the SAME seeded IVF quantizer the ANN index and SemDeDup
+    * share say what it is ABOUT. Docs group by their embedding's cell,
+    * per-cell token masses get the identical α = 0.5 treatment, and
+    * thinning applies the SAME deterministic doc_id hash predicate —
+    * over-represented TOPICS thin toward balance even when every doc
+    * carries one source label. The assignment is a narrow
+    * broadcast-model map; one shuffle on the cell key for the masses.
+    * (KMeans cells aren't SQL-expressible → rows-only + spec.)
+    */
+  def topicMix(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Similarity.ivfIndex(spark, dir).assigned
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
+          w => w =!= lit(""))).cast("long").as("n_tok"))
+      .join(cells, Seq("doc_id"))
+      .persist()
+    docs.join(broadcast(ratesByKey(docs, "cell")), Seq("cell"))
+      .filter(mixtureAccept(col("doc_id"), col("accept_ppm")))
+      .select(col("doc_id"), col("cell"), col("accept_ppm"))
+      .orderBy("doc_id")
   }
 
   /** The deterministic per-document acceptance test (multiplicative

@@ -666,4 +666,35 @@ object Forecast {
           }
       }
     }
+
+  /** Per-symbol data-readiness / model-status surface: data-point
+    * count and time span over the trailing 7 days (anchored at the
+    * corpus max ts — the batch stand-in for the reference's NOW()),
+    * plus the trainable verdict at the reference's ≥ 50-point
+    * threshold. Mirrors check_arima_status.py:23-43 (the availability
+    * sweep that decides which symbols get models) and the data_points
+    * facet of get_model_status (arima_forecasting.py:326-338);
+    * busiest symbols first like the reference's ORDER BY data_points.
+    * One shuffle on the symbol key; the max-ts anchor broadcasts.
+    */
+  def modelReadiness(spark: SparkSession, dir: String,
+      minPoints: Int = 50): DataFrame = {
+    val ev = graft.Tables.events(spark, dir)
+    val maxTs = ev.agg(max("ts").as("max_ts"))
+    ev.crossJoin(broadcast(maxTs))
+      .filter(col("ts") >= col("max_ts") - expr("INTERVAL 7 DAYS"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("data_points"),
+        min("ts").as("earliest"), max("ts").as("latest"))
+      .withColumn("trainable", col("data_points") >= minPoints)
+      .orderBy(col("data_points").desc, col("user_id"))
+  }
+
+  def modelReadinessSql: String =
+    """SELECT user_id, count(*) AS data_points, min(ts) AS earliest,
+      |  max(ts) AS latest, count(*) >= 50 AS trainable
+      |FROM events
+      |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+      |GROUP BY user_id
+      |ORDER BY data_points DESC, user_id""".stripMargin
 }

@@ -25,8 +25,11 @@ object Similarity {
   private val NumPlanes = 8
 
   private[graft] def vecs(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    vecsOf(Tables.embeddings(spark, dir))
+
+  /** (vec_id, v, norm) corpus from any (vec_id, embedding) table. */
+  private[graft] def vecsOf(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))
 
   /** Brute-force cosine top-k for probe vectors (vec_id < 5):
@@ -293,11 +296,15 @@ object Similarity {
   private val PqK = 16 // centroids per subspace → 4-bit codes
 
   /** Codebook-fit sample cap: PQ codebook quality saturates far below
-    * corpus size, so the fit draws at most ~this many vectors. Sized so
-    * every KMeans fit is comfortably driver-adjacent work; corpora at
-    * or under the cap fit on every vector (bit-identical to uncapped).
+    * corpus size — 16k samples is 1k per centroid per subspace, an
+    * order of magnitude past saturation for PqK=16 — so the fit draws
+    * at most ~this many vectors and the KMeans cost stays FLAT in
+    * corpus size (ScaleProbe: the fit dominates the index build, so an
+    * uncapped fit would scale the build linearly for zero recall).
+    * Corpora at or under the cap fit on every vector (bit-identical
+    * to uncapped).
     */
-  private[graft] val PqFitSampleCap = 65536L
+  private[graft] val PqFitSampleCap = 16384L
 
   /** Deterministic hash sample of ~`cap` corpus rows: keep iff
     * xxhash64(vec_id) ≡ 0 mod ⌈n/cap⌉ — reproducible across runs and
@@ -572,8 +579,10 @@ object Similarity {
   case class OpqIndex(encoded: DataFrame, rot: Array[Array[Double]],
       books: Array[Array[Array[Double]]])
 
-  def opqIndex(spark: SparkSession, dir: String): OpqIndex = {
-    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
+  def opqIndex(spark: SparkSession, dir: String): OpqIndex =
+    opqIndexOf(vecs(spark, dir).toDF("vec_id", "v", "norm"))
+
+  private[graft] def opqIndexOf(corpus: DataFrame): OpqIndex = {
     val rot = fitOpqRotation(corpus)
     // |Rv| = |v|: the stored norm column stays valid after rotation
     val rotated = corpus.withColumn("v", rotate(rot, col("v")))
@@ -849,10 +858,15 @@ object Similarity {
   }
 
   def annGraph(spark: SparkSession, dir: String, efSearch: Int = 32,
+      maxDeg: Int = 8, efConstruction: Int = 32, numShards: Int = 4): DataFrame =
+    annGraphOf(vecs(spark, dir).toDF("vec_id", "v", "norm"),
+      efSearch, maxDeg, efConstruction, numShards)
+
+  private[graft] def annGraphOf(corpus: DataFrame, efSearch: Int = 32,
       maxDeg: Int = 8, efConstruction: Int = 32,
       numShards: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
     val bProbes = spark.sparkContext.broadcast(probeArray(corpus))
     val local = corpus.repartition(numShards, col("vec_id"))
       .as[(Long, Seq[Double], Double)]
@@ -883,9 +897,14 @@ object Similarity {
   case class GraphIndex(nodes: DataFrame)
 
   def graphIndex(spark: SparkSession, dir: String, maxDeg: Int = 8,
+      efConstruction: Int = 32, numShards: Int = 4): GraphIndex =
+    graphIndexOf(vecs(spark, dir).toDF("vec_id", "v", "norm"),
+      maxDeg, efConstruction, numShards)
+
+  private[graft] def graphIndexOf(corpus: DataFrame, maxDeg: Int = 8,
       efConstruction: Int = 32, numShards: Int = 4): GraphIndex = {
+    val spark = corpus.sparkSession
     import spark.implicits._
-    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
     val nodesDf = corpus.repartition(numShards, col("vec_id"))
       .as[(Long, Seq[Double], Double)]
       .mapPartitions { iter =>

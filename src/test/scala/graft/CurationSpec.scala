@@ -17,6 +17,45 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("topicMix: smallest cell whole, rates antitone in mass, hash-exact") {
+    val rows = Curation.topicMix(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // acceptance is the exact deterministic hash — recompute per doc
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ppm = r.getAs[Long]("accept_ppm")
+      assert(ppm > 0 && ppm <= 1000000L)
+      assert(id % 1000003L * 2654435761L % 1000000L < ppm, s"doc $id hash-fails")
+    }
+    // per-cell rates: join cells to token counts and rebuild the rule
+    val cells = graft.operators.Similarity.ivfIndex(spark, sfDir).assigned
+      .select(col("vec_id").as("doc_id"), col("cell")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("cell")).toMap
+    // the operator's exact token expression (mismatched tokenization
+    // here would corrupt the reconstructed masses)
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(filter(split(trim(col("text")), "[ \\t\\n\\f\\r]+"),
+          w => w =!= lit(""))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mass = cells.groupMapReduce(_._2)(kv => toks(kv._1))(_ + _)
+    val minMass = mass.values.min
+    val ppmByCell = rows.map(r => r.getAs[Int]("cell") -> r.getAs[Long]("accept_ppm")).toMap
+    // smallest cell keeps everything: ppm hits the full million and
+    // every one of its docs is in the accepted set
+    val smallCell = mass.minBy(kv => (kv._2, kv._1))._1
+    if (ppmByCell.contains(smallCell)) assert(ppmByCell(smallCell) == 1000000L)
+    val acceptedOfSmall = rows.filter(_.getAs[Int]("cell") == smallCell)
+    assert(acceptedOfSmall.length == cells.count(_._2 == smallCell))
+    // rates antitone in cell token mass
+    for ((c1, p1) <- ppmByCell; (c2, p2) <- ppmByCell
+         if mass(c1) < mass(c2))
+      assert(p1 >= p2, s"cell $c1 (lighter) has lower rate than $c2")
+    // deterministic end to end (seeded quantizer + exact hash)
+    val again = Curation.topicMix(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("decontaminate only flags docs that genuinely share an 8-gram") {
     val flagged = Curation.decontaminate(spark, sfDir)
     val rows = flagged.collect()
