@@ -69,12 +69,17 @@ object RecallProbe {
       println(f"[recall] opq rerank=$rerank%3d recall@10=$recall%.3f")
     }
     opq.encoded.unpersist()
-    // graph ANN: recall vs the search beam width
+    // graph ANN: one build, many searches — efSearch only affects the
+    // walk, so the sweep serves from a single cached GraphIndex
+    val nsw = operators.Similarity.graphIndex(spark, dir)
+    nsw.nodes.cache().count(): Unit
+    val nswCorpus = operators.Similarity.vecs(spark, dir).toDF("vec_id", "v", "norm")
     for (ef <- Seq(4, 8, 16, 32, 64)) {
-      val got = pairs(operators.Similarity.annGraph(spark, dir, efSearch = ef))
+      val got = pairs(operators.Similarity.annGraphSearch(nsw, nswCorpus, ef))
       val recall = (exact & got).size.toDouble / exact.size
       println(f"[recall] nsw efSearch=$ef%2d recall@10=$recall%.3f")
     }
+    nsw.nodes.unpersist()
     // codebook-fit sample sensitivity: recall at rerank=32 as the fit
     // shrinks to a hash sample (cap ≥ corpus ≡ full fit)
     for (cap <- Seq(1000000L, 1024L, 256L, 64L)) {

@@ -83,15 +83,17 @@ object ScaleProbe {
 
     // ANN index families over a replicated embedding corpus (distinct
     // vec_ids per replica; probes stay the fixed vec_id < 5 set).
-    // Shard count scales with the corpus — the per-shard NSW build is
-    // O(n_shard · ef · deg), so constant-size shards keep build time
-    // flat per executor at 100 TB.
+    // Shard count scales WITH the replicas (one shard per replica's
+    // 2000 vectors) — the per-shard NSW build is O(n_shard · ef ·
+    // deg), so constant-SIZE shards are what keep build time flat per
+    // executor at 100 TB, and that is the regime this probe measures.
     val emb = Tables.embeddings(spark, dir)
     val bigEmb = (0 until replicas).map { i =>
       emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
     }.reduce(_ unionByName _)
     val corpus = operators.Similarity.vecsOf(bigEmb).toDF("vec_id", "v", "norm")
-    val nswIdx = operators.Similarity.graphIndexOf(corpus, numShards = 32)
+    val nswIdx = operators.Similarity.graphIndexOf(corpus,
+      numShards = math.max(8, replicas))
     time("nsw_build")(nswIdx.nodes)
     val cached = operators.Similarity.GraphIndex(nswIdx.nodes.cache())
     cached.nodes.count(): Unit

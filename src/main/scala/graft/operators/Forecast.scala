@@ -675,11 +675,15 @@ object Forecast {
     * sweep that decides which symbols get models) and the data_points
     * facet of get_model_status (arima_forecasting.py:326-338);
     * busiest symbols first like the reference's ORDER BY data_points.
-    * One shuffle on the symbol key; the max-ts anchor broadcasts.
+    * Counts VALID ticks (the reference's table only ever holds
+    * producer-validated rows, and every model op here trains on
+    * validTicks — a raw count would call symbols trainable that
+    * arimaForecast's min_observations then rejects). One shuffle on
+    * the symbol key; the max-ts anchor broadcasts.
     */
   def modelReadiness(spark: SparkSession, dir: String,
       minPoints: Int = 50): DataFrame = {
-    val ev = graft.Tables.events(spark, dir)
+    val ev = Warehouse.validTicks(spark, dir)
     val maxTs = ev.agg(max("ts").as("max_ts"))
     ev.crossJoin(broadcast(maxTs))
       .filter(col("ts") >= col("max_ts") - expr("INTERVAL 7 DAYS"))
@@ -691,10 +695,15 @@ object Forecast {
   }
 
   def modelReadinessSql: String =
-    """SELECT user_id, count(*) AS data_points, min(ts) AS earliest,
+    """WITH valid AS (
+      |  SELECT user_id, ts FROM events
+      |  WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)
+      |    AND user_id IS NOT NULL
+      |)
+      |SELECT user_id, count(*) AS data_points, min(ts) AS earliest,
       |  max(ts) AS latest, count(*) >= 50 AS trainable
-      |FROM events
-      |WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 7 DAY
+      |FROM valid
+      |WHERE ts >= (SELECT max(ts) FROM valid) - INTERVAL 7 DAY
       |GROUP BY user_id
       |ORDER BY data_points DESC, user_id""".stripMargin
 }

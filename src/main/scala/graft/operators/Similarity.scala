@@ -326,17 +326,25 @@ object Similarity {
     */
   private[graft] def fitPqCodebooks(corpus: DataFrame,
       sampleCap: Long = PqFitSampleCap): Array[Array[Array[Double]]] = {
+    val sample = hashSample(corpus, sampleCap).select(col("v")).persist()
+    try fitPqCodebooksOnSample(sample)
+    finally sample.unpersist()
+  }
+
+  /** The PqM KMeans fits over an ALREADY-sampled (and ideally cached)
+    * `v` projection — split out so [[opqIndexOf]] can reuse one
+    * sample for both the rotation and the codebooks.
+    */
+  private def fitPqCodebooksOnSample(
+      sample: DataFrame): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val sample = hashSample(corpus, sampleCap).select(col("v")).persist()
-    try {
-      (0 until PqM).toArray.map { m =>
-        val feats = sample.select(
-          array_to_vector(slice(col("v"), m * PqSub + 1, PqSub)).as("features"))
-        new KMeans().setK(PqK).setSeed(42L + m).setMaxIter(5)
-          .fit(feats).clusterCenters.map(_.toArray)
-      }
-    } finally sample.unpersist()
+    (0 until PqM).toArray.map { m =>
+      val feats = sample.select(
+        array_to_vector(slice(col("v"), m * PqSub + 1, PqSub)).as("features"))
+      new KMeans().setK(PqK).setSeed(42L + m).setMaxIter(5)
+        .fit(feats).clusterCenters.map(_.toArray)
+    }
   }
 
   /** Per-subspace argmin code columns for vector column `vcol` (first
@@ -541,10 +549,17 @@ object Similarity {
     * and the exact rerank stays in original space.
     */
   private[graft] def fitOpqRotation(corpus: DataFrame,
-      sampleCap: Long = PqFitSampleCap): Array[Array[Double]] = {
+      sampleCap: Long = PqFitSampleCap): Array[Array[Double]] =
+    fitOpqRotationOnSample(hashSample(corpus, sampleCap).select("v"))
+
+  /** Rotation fit over an already-sampled `v` projection (see
+    * [[fitPqCodebooksOnSample]] for why the sample is shared).
+    */
+  private def fitOpqRotationOnSample(
+      sampleDf: DataFrame): Array[Array[Double]] = {
     import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
     import org.apache.spark.mllib.linalg.distributed.RowMatrix
-    val sample = hashSample(corpus, sampleCap).select("v")
+    val sample = sampleDf.select("v")
       .rdd.map(r => OldVectors.dense(r.getSeq[Double](0).toArray))
     val dim = PqM * PqSub
     val gram = new RowMatrix(sample).computeGramianMatrix()
@@ -583,10 +598,17 @@ object Similarity {
     opqIndexOf(vecs(spark, dir).toDF("vec_id", "v", "norm"))
 
   private[graft] def opqIndexOf(corpus: DataFrame): OpqIndex = {
-    val rot = fitOpqRotation(corpus)
+    // ONE hash sample, cached, feeds both fits: the rotation's Gramian
+    // and the (rotated) codebook KMeans — sampling inside each fit
+    // would scan the corpus twice for identical rows. Same rows, same
+    // seeds → results are identical to the two-pass formulation.
+    val sample = hashSample(corpus, PqFitSampleCap).select("v").persist()
+    val (rot, books) = try {
+      val r = fitOpqRotationOnSample(sample)
+      (r, fitPqCodebooksOnSample(sample.withColumn("v", rotate(r, col("v")))))
+    } finally sample.unpersist()
     // |Rv| = |v|: the stored norm column stays valid after rotation
     val rotated = corpus.withColumn("v", rotate(rot, col("v")))
-    val books = fitPqCodebooks(rotated)
     OpqIndex(encodePq(rotated, books), rot, books)
   }
 
