@@ -157,7 +157,7 @@ object Dedup {
     * bit-identical to the HOF fold `aggregate(zip_with(a, b, _*_),
     * 0d, _+_)` but ~100× faster per pair.
     */
-  private[operators] def dot(a: Column, b: Column): Column =
+  private[graft] def dot(a: Column, b: Column): Column =
     graft.functions.VectorDot.vector_dot(a, b)
 
   /** Embedding-cosine near-dup pairs (cos ≥ 0.4). Brute-force

@@ -518,11 +518,22 @@ object Similarity {
     * supplies the probe vectors and the rerank fetch — the index side
     * never touches a float vector.
     */
-  def annPqSearch(idx: PqIndex, corpus: DataFrame, rerank: Int): DataFrame = {
-    val probes = corpus.filter(col("vec_id") < NumProbes)
-      .toDF("probe_id", "p_v", "p_norm")
+  def annPqSearch(idx: PqIndex, corpus: DataFrame, rerank: Int): DataFrame =
+    annPqSearchProbes(idx,
+      corpus.filter(col("vec_id") < NumProbes).toDF("probe_id", "p_v", "p_norm"),
+      corpus, rerank)
+
+  /** SEARCH against an EXPLICIT probe batch (probe_id, p_v, p_norm) —
+    * the serve-path entry: any probe set (an online query batch, a
+    * probe microbatch from a stream) searches the same fitted index;
+    * per-probe results are independent, so batching is pure
+    * throughput. `corpus` still backs the exact rerank fetch.
+    */
+  def annPqSearchProbes(idx: PqIndex, probes: DataFrame, corpus: DataFrame,
+      rerank: Int): DataFrame = {
+    val p = probes.toDF("probe_id", "p_v", "p_norm")
       .withColumn("tab", pqTable(idx.books, col("p_v")))
-    adcScanRerank(idx.encoded, probes, corpus, rerank)
+    adcScanRerank(idx.encoded, p, corpus, rerank)
   }
 
   // ------------------------------------------------ optimized PQ (OPQ)

@@ -228,6 +228,44 @@ object TickStream {
   def mixtureDocsStream(docs: DataFrame, rates: Map[String, Long]): DataFrame =
     graft.operators.Curation.mixtureAcceptDocs(docs, rates)
 
+  /** Streaming source over the embeddings table — the probe-query leg
+    * of an online ANN serve (file source standing in for the query
+    * bus).
+    */
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    spark.readStream.schema(schema)
+      .parquet(stageFile(dir, "embeddings.parquet").toString)
+  }
+
+  /** Streaming ANN serve — train offline, serve online for vector
+    * search: a FITTED PQ index (built/loaded once,
+    * [[graft.operators.Similarity.PqIndex]]) answers a stream of
+    * probe vectors per microbatch via foreachBatch. Each batch is a
+    * pure stream-static pipeline (broadcast probe tables → ADC scan →
+    * exact rerank) with zero streaming state; per-probe results are
+    * independent, so the union over microbatches equals one batch
+    * search over all probes (spec-asserted). `writeBatch` receives
+    * each microbatch's ranked results — the production sink is the
+    * JDBC/parquet upsert legs of [[graft.sources.Sinks]].
+    */
+  def annServeStream(probeStream: DataFrame,
+      idx: graft.operators.Similarity.PqIndex, corpus: DataFrame,
+      rerank: Int = 32)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    probeStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val probes = batch
+        .select(col("vec_id").as("probe_id"),
+          col("embedding").cast("array<double>").as("p_v"))
+        .withColumn("p_norm",
+          sqrt(graft.operators.Dedup.dot(col("p_v"), col("p_v"))))
+      writeBatch(graft.operators.Similarity
+        .annPqSearchProbes(idx, probes, corpus, rerank), batchId)
+    }
+
   /** Watermarked tumbling-window aggregation per event_type — the
     * streaming dual of Warehouse.windowAgg. State is bounded by the
     * 10-minute watermark.

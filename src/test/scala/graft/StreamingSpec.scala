@@ -412,6 +412,45 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming ANN serve equals the batch search over all probes") {
+    import graft.operators.Similarity
+    val corpus = Similarity.vecs(spark, sfDir).toDF("vec_id", "v", "norm")
+    val idx = Similarity.pqIndex(spark, sfDir)
+    idx.encoded.cache().count(): Unit
+    // probe stream: the 5 probe vectors split across 2 microbatches
+    val emb = Tables.embeddings(spark, sfDir)
+    val staged = java.nio.file.Files.createTempDirectory("annserve").toString
+    Seq(emb.filter(col("vec_id") < 3),
+      emb.filter(col("vec_id") >= 3 && col("vec_id") < 5))
+      .zipWithIndex.foreach { case (p, i) =>
+        p.coalesce(1).write.parquet(s"$staged/f$i.parquet")
+      }
+    val streamDir = java.nio.file.Files.createTempDirectory("annserveflat")
+    new java.io.File(staged).listFiles().filter(_.isDirectory).sortBy(_.getName)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        val dst = streamDir.resolve(f"part$i%02d.parquet")
+        java.nio.file.Files.copy(f.toPath, dst)
+        require(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+      }
+    val probeStream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("annserve_ckpt").toString
+    val q = TickStream.annServeStream(probeStream, idx, corpus) { (df, _) =>
+      buf.synchronized { buf ++= df.collect().map(_.toString): Unit }
+    }.option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    // per-probe independence: the union over microbatches must equal
+    // ONE batch search over all five probes, row for row
+    val batch = Similarity.annPqSearch(idx, corpus, 32)
+      .collect().map(_.toString)
+    assert(buf.sorted.toSeq == batch.sorted.toSeq,
+      s"streamed ${buf.length} rows vs batch ${batch.length}")
+    idx.encoded.unpersist(): Unit
+  }
+
   test("streaming gopher verdicts equal the batch quality filter") {
     val out = TickStream.qualityDocsStream(TickStream.docsStream(spark, sfDir))
     runToMemory(out, "doc_quality")
