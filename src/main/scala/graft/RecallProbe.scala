@@ -69,6 +69,15 @@ object RecallProbe {
       println(f"[recall] opq rerank=$rerank%3d recall@10=$recall%.3f")
     }
     opq.encoded.unpersist()
+    // the non-parametric alternation vs the parametric seed
+    val opqNp = operators.Similarity.opqIndexNp(spark, dir)
+    opqNp.encoded.cache().count(): Unit
+    for (rerank <- Seq(10, 16, 32, 64, 128)) {
+      val got = pairs(operators.Similarity.annOpqSearch(opqNp, pqCorpus0, rerank))
+      val recall = (exact & got).size.toDouble / exact.size
+      println(f"[recall] opqN rerank=$rerank%3d recall@10=$recall%.3f")
+    }
+    opqNp.encoded.unpersist()
     // graph ANN: one build, many searches — efSearch only affects the
     // walk, so the sweep serves from a single cached GraphIndex
     val nsw = operators.Similarity.graphIndex(spark, dir)

@@ -361,6 +361,34 @@ class LlmOpsSpec extends SparkSuite {
     assert(approx.groupBy(_.getAs[Long]("probe_id")).forall(_._2.length == 10))
   }
 
+  test("annOpqNp: Procrustes alternation keeps orthogonality and recall") {
+    val corpus = Similarity.vecs(spark, sfDir).toDF("vec_id", "v", "norm")
+    val (rot, books) = Similarity.fitOpqNp(corpus)
+    assert(books != null && books.length == 8)
+    val dim = rot.length
+    for (i <- 0 until dim; j <- i until dim) {
+      val d = rot(i).zip(rot(j)).map { case (a, b) => a * b }.sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-9,
+        s"NP rotation not orthogonal at [$i][$j]: $d")
+    }
+    val exactRows = Similarity.annBruteForce(spark, sfDir).collect()
+    val exact = exactRows.map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.annOpqNp(spark, sfDir).collect()
+    val got = approx.map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"OPQ-NP recall $recall")
+    // reranked cosines remain exact original-space cosines
+    val exactCos = exactRows.map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    approx.foreach { r =>
+      val k = (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))
+      exactCos.get(k).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+    assert(approx.groupBy(_.getAs[Long]("probe_id")).forall(_._2.length == 10))
+  }
+
   test("OPQ index save/load: loaded search equals a fresh build") {
     val corpus = Similarity.vecs(spark, sfDir).toDF("vec_id", "v", "norm")
     val idx = Similarity.opqIndex(spark, sfDir)
