@@ -926,9 +926,19 @@ object Similarity {
     * adjacency back to `maxDeg` keeping the highest-cosine edges.
     */
   private def nswBuild(nodes: Array[NswNode], maxDeg: Int,
-      efConstruction: Int): Array[Array[Int]] = {
-    val adj = Array.fill(nodes.length)(
-      scala.collection.mutable.ArrayBuffer.empty[Int])
+      efConstruction: Int): Array[Array[Int]] =
+    nswExtend(nodes,
+      Array.fill(nodes.length)(scala.collection.mutable.ArrayBuffer.empty[Int]),
+      1, maxDeg, efConstruction)
+
+  /** Insert nodes `from` until the end into a graph whose first
+    * `from` nodes already carry adjacency — the one insertion loop
+    * behind both the fresh build (`from = 1`, empty adjacency) and
+    * incremental appends ([[updateGraphIndex]]).
+    */
+  private def nswExtend(nodes: Array[NswNode],
+      adj: Array[scala.collection.mutable.ArrayBuffer[Int]], from: Int,
+      maxDeg: Int, efConstruction: Int): Array[Array[Int]] = {
     def prune(i: Int): Unit =
       if (adj(i).length > maxDeg) {
         val kept = adj(i)
@@ -937,7 +947,7 @@ object Similarity {
         adj(i).clear()
         adj(i) ++= kept
       }
-    var i = 1
+    var i = math.max(from, 1) // node 0 seeds the graph edge-free
     while (i < nodes.length) {
       nswBeam(nodes, adj(_).iterator, nodes(i)._2, nodes(i)._3,
         efConstruction, i)
@@ -1061,6 +1071,67 @@ object Similarity {
         }
       }.toDF("probe_id", "neighbor_id", "cos")
     mergeShardTopK(local)
+  }
+
+  /** INCREMENTAL graph maintenance — append an ingest batch to a
+    * fitted [[GraphIndex]] without rebuilding: new vectors hash to
+    * their shard with the SAME partitioner as the build (so routing
+    * matches a from-scratch shard layout), and each shard inserts its
+    * arrivals into the EXISTING graph via the same id-ordered
+    * insertion loop the build uses — existing adjacency is untouched
+    * except where pruning rewires a neighbor toward a closer new
+    * node. Cost is O(batch · ef · deg) per shard; the standing corpus
+    * is read, not re-linked. (Unlike the IVF path there is no model
+    * to drift: the graph IS the data structure, so appends never
+    * force a refit.)
+    *
+    * Shard count is recovered as max(shard)+1 — valid because the
+    * build enumerates TaskContext partition ids over a hash
+    * partitioning that leaves no trailing shard empty at any
+    * realistic corpus/shard ratio; a deployment would persist the
+    * shard count alongside the index.
+    */
+  def updateGraphIndex(idx: GraphIndex, newVecs: DataFrame,
+      maxDeg: Int = 8, efConstruction: Int = 32): GraphIndex = {
+    val spark = idx.nodes.sparkSession
+    import spark.implicits._
+    val numShards = idx.nodes.agg(max("shard")).head.getInt(0) + 1
+    val batch = newVecs
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))
+      .repartition(numShards, col("vec_id"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { iter =>
+        val shard = org.apache.spark.TaskContext.getPartitionId()
+        iter.map { case (id, v, n) =>
+          (shard, id, v, n, null: Seq[Long])
+        }
+      }.toDF("shard", "vec_id", "v", "norm", "nbrs")
+    val merged = idx.nodes.unionByName(batch)
+      .as[(Int, Long, Seq[Double], Double, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, rows) =>
+        val (oldRows, newRows) = rows.toArray.partition(_._5 != null)
+        val olds = oldRows.sortBy(_._2)
+        val news = newRows.sortBy(_._2)
+        val nodes: Array[NswNode] =
+          (olds ++ news).map(r => (r._2, r._3.toArray, r._4))
+        if (nodes.isEmpty) Iterator.empty
+        else {
+          val idToIdx = nodes.iterator.map(_._1).zipWithIndex.toMap
+          val adj = Array.fill(nodes.length)(
+            scala.collection.mutable.ArrayBuffer.empty[Int])
+          olds.zipWithIndex.foreach { case (r, i) =>
+            adj(i) ++= r._5.iterator.map(idToIdx)
+          }
+          val full = nswExtend(nodes, adj, olds.length, maxDeg, efConstruction)
+          nodes.indices.iterator.map { i =>
+            (shard, nodes(i)._1, nodes(i)._2.toSeq, nodes(i)._3,
+              full(i).map(j => nodes(j)._1).toSeq)
+          }
+        }
+      }.toDF("shard", "vec_id", "v", "norm", "nbrs")
+    GraphIndex(merged)
   }
 
   /** Persist / reload a fitted NSW graph index; loaded search == fresh

@@ -440,6 +440,33 @@ class LlmOpsSpec extends SparkSuite {
     assert(viaIdx == loaded)
   }
 
+  test("updateGraphIndex appends in place and new vectors become findable") {
+    val corpus = Similarity.vecs(spark, sfDir).toDF("vec_id", "v", "norm")
+    val idx = Similarity.graphIndex(spark, sfDir)
+    // ingest batch: verbatim copies of the 5 probe vectors, fresh ids
+    val batch = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val updated = Similarity.updateGraphIndex(idx, batch)
+    // row accounting: all old nodes plus each new node exactly once
+    assert(updated.nodes.count() == idx.nodes.count() + 5)
+    assert(updated.nodes.select("vec_id").distinct().count()
+      == updated.nodes.count())
+    // each probe's planted twin surfaces as its rank-1 neighbor
+    val res = Similarity.annGraphSearch(updated, corpus).collect()
+    val byProbe = res.groupBy(_.getAs[Long]("probe_id"))
+    (0L until 5L).foreach { p =>
+      val top = byProbe(p).minBy(_.getAs[Int]("rank"))
+      assert(top.getAs[Long]("neighbor_id") == p + 1000000L,
+        s"probe $p: expected its twin first, got $top")
+      assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-6)
+    }
+    // deterministic append
+    val again = Similarity.updateGraphIndex(idx, batch)
+    assert(updated.nodes.collect().map(_.toString).sorted.toSeq
+      == again.nodes.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("dedupCanonical keeps the largest doc per cluster, maps every doc") {
     val canon = Dedup.dedupCanonical(spark, sfDir).collect()
     val clusters = Dedup.embeddingClusters(spark, sfDir).collect()
