@@ -23,14 +23,12 @@ object MseProbe {
     def mse(idx: operators.Similarity.OpqIndex): Double = {
       val corpus = operators.Similarity.vecs(spark, dir).toDF("vec_id", "v", "norm")
       val rot = idx.rot
-      val booksLit = typedLit(idx.books.map(_.map(_.toSeq).toSeq).toSeq)
       val rotated = corpus.withColumn("rv",
         array(rot.toIndexedSeq.map(r =>
           aggregate(zip_with(typedLit(r.toSeq), col("v"), (a, b) => a * b),
             lit(0.0), _ + _)): _*))
       rotated.join(idx.encoded, "vec_id")
-        .withColumn("dq", flatten(transform(col("codes"),
-          (c, m) => element_at(element_at(booksLit, m + 1), c + 1))))
+        .withColumn("dq", operators.Similarity.pqReconstruct(idx.books, col("codes")))
         .withColumn("e2", aggregate(zip_with(col("rv"), col("dq"),
           (a, b) => (a - b) * (a - b)), lit(0.0), _ + _))
         .agg(avg("e2")).head.getDouble(0)

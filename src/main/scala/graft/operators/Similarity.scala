@@ -369,6 +369,18 @@ object Similarity {
       transform(cents, c =>
         Dedup.dot(c, slice(pv, m * PqSub + lit(1), lit(PqSub)))))
 
+  /** Decode a codes column back to its reconstruction vector — the
+    * ONE definition of the code→centroid gather (encode, the OPQ-NP
+    * alternation, IVF-PQ, and MseProbe all reconstruct with it; a
+    * drifted copy would make them silently decode differently).
+    */
+  private[graft] def pqReconstruct(books: Array[Array[Array[Double]]],
+      codes: Column): Column = {
+    val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+    flatten(transform(codes,
+      (c, m) => element_at(element_at(booksLit, m + 1), c + 1)))
+  }
+
   /** Σ over subspaces of the table lookup for a candidate's codes —
     * the per-candidate ADC score (no float math).
     */
@@ -433,15 +445,12 @@ object Similarity {
     * deterministic) + the reconstruction norm the cosine needs.
     */
   private[graft] def encodePq(corpus: DataFrame,
-      books: Array[Array[Array[Double]]]): DataFrame = {
-    val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
+      books: Array[Array[Array[Double]]]): DataFrame =
     corpus
       .select(col("vec_id"), array(pqCodeCols(books, col("v")): _*).as("codes"))
-      .withColumn("dq", flatten(transform(col("codes"),
-        (c, m) => element_at(element_at(booksLit, m + 1), c + 1))))
+      .withColumn("dq", pqReconstruct(books, col("codes")))
       .withColumn("dq_norm", sqrt(Dedup.dot(col("dq"), col("dq"))))
       .select("vec_id", "codes", "dq_norm")
-  }
 
   /** Persist a fitted PQ index: the encoded corpus plus the codebooks
     * (flattened to (m, c, center) rows). Build once, serve many —
@@ -503,8 +512,15 @@ object Similarity {
     * `rerank`.
     */
   private def adcScanRerank(encoded: DataFrame, probes: DataFrame,
-      corpus: DataFrame, rerank: Int): DataFrame = {
-    val approx = encoded.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      corpus: DataFrame, rerank: Int, excludeSelf: Boolean): DataFrame = {
+    // excludeSelf only for EVAL paths whose probes ARE corpus rows —
+    // an online query's probe_id lives in its own id space, and
+    // filtering on it would silently drop the corpus vector that
+    // happens to share the number
+    val joined = encoded.crossJoin(broadcast(probes))
+    val approx = (if (excludeSelf)
+        joined.filter(col("vec_id") =!= col("probe_id"))
+      else joined)
       .withColumn("approx_cos",
         pqAdcSum(col("tab"), col("codes")) / (col("dq_norm") * col("p_norm")))
     val wa = Window.partitionBy("probe_id").orderBy(col("approx_cos").desc, col("vec_id"))
@@ -518,10 +534,12 @@ object Similarity {
     * supplies the probe vectors and the rerank fetch — the index side
     * never touches a float vector.
     */
-  def annPqSearch(idx: PqIndex, corpus: DataFrame, rerank: Int): DataFrame =
-    annPqSearchProbes(idx,
-      corpus.filter(col("vec_id") < NumProbes).toDF("probe_id", "p_v", "p_norm"),
-      corpus, rerank)
+  def annPqSearch(idx: PqIndex, corpus: DataFrame, rerank: Int): DataFrame = {
+    val probes = corpus.filter(col("vec_id") < NumProbes)
+      .toDF("probe_id", "p_v", "p_norm")
+      .withColumn("tab", pqTable(idx.books, col("p_v")))
+    adcScanRerank(idx.encoded, probes, corpus, rerank, excludeSelf = true)
+  }
 
   /** SEARCH against an EXPLICIT probe batch (probe_id, p_v, p_norm) —
     * the serve-path entry: any probe set (an online query batch, a
@@ -533,7 +551,8 @@ object Similarity {
       rerank: Int): DataFrame = {
     val p = probes.toDF("probe_id", "p_v", "p_norm")
       .withColumn("tab", pqTable(idx.books, col("p_v")))
-    adcScanRerank(idx.encoded, p, corpus, rerank)
+    // NO self-exclusion: external probes use their own id space
+    adcScanRerank(idx.encoded, p, corpus, rerank, excludeSelf = false)
   }
 
   // ------------------------------------------------ optimized PQ (OPQ)
@@ -632,11 +651,9 @@ object Similarity {
       for (_ <- 0 until iters) {
         val rotated = sampleDf.withColumn("v", rotate(rot, col("v")))
         books = fitPqCodebooksOnSample(rotated)
-        val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
         val recon = rotated
           .select(col("vec_id"), array(pqCodeCols(books, col("v")): _*).as("codes"))
-          .withColumn("dq", flatten(transform(col("codes"),
-            (c, m) => element_at(element_at(booksLit, m + 1), c + 1))))
+          .withColumn("dq", pqReconstruct(books, col("codes")))
           .select("vec_id", "dq").collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
           .sortBy(_._1).map(_._2)
@@ -658,6 +675,9 @@ object Similarity {
         val s = svd.U * svd.Vt // column-convention optimum
         rot = Array.tabulate(dim, dim)((r, c) => s(c, r)) // R = Sᵀ
       }
+      if (books == null) // iters = 0: the parametric seed, no alternation
+        books = fitPqCodebooksOnSample(
+          sampleDf.withColumn("v", rotate(rot, col("v"))))
       (rot, books)
     } finally sampleDf.unpersist(): Unit
   }
@@ -665,9 +685,18 @@ object Similarity {
   def opqIndexNp(spark: SparkSession, dir: String, iters: Int = 3): OpqIndex = {
     val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
     val (rot, books) = fitOpqNp(corpus, iters)
+    opqIndexFromFit(corpus, rot, books)
+  }
+
+  /** Assemble an OpqIndex from an existing (rotation, codebooks) fit —
+    * lets callers (and the spec) reuse one alternation for both
+    * rotation checks and the search index.
+    */
+  private[graft] def opqIndexFromFit(corpus: DataFrame,
+      rot: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): OpqIndex =
     OpqIndex(encodePq(corpus.withColumn("v", rotate(rot, col("v"))), books),
       rot, books)
-  }
 
   /** OPQ with the non-parametric alternation — same index/search
     * shape as [[annOpq]] (OpqIndex is rotation-agnostic), tighter
@@ -717,7 +746,7 @@ object Similarity {
     val probes = corpus.filter(col("vec_id") < NumProbes)
       .toDF("probe_id", "p_v", "p_norm")
       .withColumn("tab", pqTable(idx.books, rotate(idx.rot, col("p_v"))))
-    adcScanRerank(idx.encoded, probes, corpus, rerank)
+    adcScanRerank(idx.encoded, probes, corpus, rerank, excludeSelf = true)
   }
 
   /** Persist / reload a fitted OPQ index — the PQ layout plus the
@@ -781,13 +810,11 @@ object Similarity {
       .withColumn("r", zip_with(col("v"), col("center"), (a, b) => a - b))
     val books = fitPqCodebooks(resid.select(col("vec_id"), col("r").as("v"),
       col("norm")))
-    val booksLit = typedLit(books.map(_.map(_.toSeq).toSeq).toSeq)
     // recon = center + dq(codes); its norm is stored, v is discarded
     val encoded = resid
       .select(col("vec_id"), col("cell"), col("center"),
         array(pqCodeCols(books, col("r")): _*).as("codes"))
-      .withColumn("dq", flatten(transform(col("codes"),
-        (c, m) => element_at(element_at(booksLit, m + 1), c + 1))))
+      .withColumn("dq", pqReconstruct(books, col("codes")))
       .withColumn("recon", zip_with(col("center"), col("dq"), (a, b) => a + b))
       .withColumn("recon_norm", sqrt(Dedup.dot(col("recon"), col("recon"))))
       .select("vec_id", "cell", "codes", "recon_norm")
@@ -1080,10 +1107,15 @@ object Similarity {
     * arrivals into the EXISTING graph via the same id-ordered
     * insertion loop the build uses — existing adjacency is untouched
     * except where pruning rewires a neighbor toward a closer new
-    * node. Cost is O(batch · ef · deg) per shard; the standing corpus
-    * is read, not re-linked. (Unlike the IVF path there is no model
-    * to drift: the graph IS the data structure, so appends never
-    * force a refit.)
+    * node. INSERTION work is O(batch · ef · deg) per shard and the
+    * standing corpus is never re-LINKED — but as an immutable-
+    * DataFrame index the append still rewrites the index rows (one
+    * shuffle of index + batch; amortize by micro-batching appends,
+    * and persist/save the result before serving repeatedly — the
+    * returned frame is lazy). A mutable shard store (e.g. RocksDB
+    * per executor) would make the rewrite in-place. (Unlike the IVF
+    * path there is no model to drift: the graph IS the data
+    * structure, so appends never force a refit.)
     *
     * Shard count is recovered as max(shard)+1 — valid because the
     * build enumerates TaskContext partition ids over a hash
@@ -1119,6 +1151,11 @@ object Similarity {
         if (nodes.isEmpty) Iterator.empty
         else {
           val idToIdx = nodes.iterator.map(_._1).zipWithIndex.toMap
+          // a re-delivered id would silently rewire in-links to the
+          // newest copy and strand the old node — fail loudly instead
+          // (duplicates always land in the same shard: same hash)
+          require(idToIdx.size == nodes.length,
+            s"duplicate vec_ids appended into shard $shard")
           val adj = Array.fill(nodes.length)(
             scala.collection.mutable.ArrayBuffer.empty[Int])
           olds.zipWithIndex.foreach { case (r, i) =>

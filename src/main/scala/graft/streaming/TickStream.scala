@@ -228,19 +228,6 @@ object TickStream {
   def mixtureDocsStream(docs: DataFrame, rates: Map[String, Long]): DataFrame =
     graft.operators.Curation.mixtureAcceptDocs(docs, rates)
 
-  /** Streaming source over the embeddings table — the probe-query leg
-    * of an online ANN serve (file source standing in for the query
-    * bus).
-    */
-  def embeddingsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("vec_id", LongType),
-      StructField("embedding", ArrayType(FloatType)),
-      StructField("label", IntegerType)))
-    spark.readStream.schema(schema)
-      .parquet(stageFile(dir, "embeddings.parquet").toString)
-  }
-
   /** Streaming ANN serve — train offline, serve online for vector
     * search: a FITTED PQ index (built/loaded once,
     * [[graft.operators.Similarity.PqIndex]]) answers a stream of

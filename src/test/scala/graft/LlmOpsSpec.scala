@@ -374,7 +374,10 @@ class LlmOpsSpec extends SparkSuite {
     val exactRows = Similarity.annBruteForce(spark, sfDir).collect()
     val exact = exactRows.map(r => (r.getAs[Long]("probe_id"),
       r.getAs[Long]("neighbor_id"))).toSet
-    val approx = Similarity.annOpqNp(spark, sfDir).collect()
+    // reuse the SAME alternation for the search index (the fit is
+    // deterministic but 3x8 KMeans fits are the suite's slowest work)
+    val idx = Similarity.opqIndexFromFit(corpus, rot, books)
+    val approx = Similarity.annOpqSearch(idx, corpus, 32).collect()
     val got = approx.map(r => (r.getAs[Long]("probe_id"),
       r.getAs[Long]("neighbor_id"))).toSet
     val recall = (exact & got).size.toDouble / exact.size

@@ -443,11 +443,21 @@ class StreamingSpec extends SparkSuite {
     q.processAllAvailable()
     q.stop()
     // per-probe independence: the union over microbatches must equal
-    // ONE batch search over all five probes, row for row
-    val batch = Similarity.annPqSearch(idx, corpus, 32)
-      .collect().map(_.toString)
+    // ONE batch search over all five probes, row for row (the same
+    // explicit-probe entry — external probe ids never self-exclude)
+    val batchProbes = corpus.filter(col("vec_id") < 5)
+      .toDF("probe_id", "p_v", "p_norm")
+    val batchRows = Similarity.annPqSearchProbes(idx, batchProbes, corpus, 32)
+      .collect()
+    val batch = batchRows.map(_.toString)
     assert(buf.sorted.toSeq == batch.sorted.toSeq,
       s"streamed ${buf.length} rows vs batch ${batch.length}")
+    // with corpus-row probes, each probe's own vector tops its list at
+    // cosine 1 — the serve contract never drops an id-colliding match
+    batchRows.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") == r.getAs[Long]("probe_id"))
+      assert(r.getAs[Double]("cosine") == 1.0)
+    }
     idx.encoded.unpersist(): Unit
   }
 
