@@ -576,4 +576,90 @@ object TextOps {
     """SELECT doc_id,
       |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- hybrid search
+
+  private val RrfK = 60 // the standard reciprocal-rank-fusion constant
+
+  /** HYBRID retrieval — reciprocal-rank fusion (Cormack et al. 2009)
+    * of a lexical and a semantic ranking, the standard shape of
+    * retrieval-based curation when neither signal alone suffices:
+    *
+    *  - lexical list: the [[bm25]] top-20 for the seed query terms;
+    *  - semantic list: exact-cosine top-20 of the corpus against the
+    *    query vector (vec_id 0; doc_id ≡ vec_id), the brute-force
+    *    kernel every ANN variant reranks with — at scale this leg
+    *    swaps to any of the ANN indexes unchanged (fusion only reads
+    *    ranks);
+    *  - fusion: rrf(d) = Σ_lists 1/(K + rank_d), K = 60; docs missing
+    *    from a list contribute 0. Ordering is on the ROUNDED score +
+    *    doc_id in both engines, so the oracle comparison is exact.
+    *
+    * Both input rankings already hash-match DuckDB (q_bm25,
+    * q_ann_bruteforce), which is what makes the fused surface fully
+    * SQL-oracled rather than rows-only. Scale shape: each leg is its
+    * own top-20 (broadcastable), fusion joins two 20-row lists.
+    */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25(spark, dir).select(col("doc_id"), col("rank").as("rank_lex"))
+    val corpus = Similarity.vecs(spark, dir).toDF("vec_id", "v", "norm")
+    val probe = corpus.filter(col("vec_id") === 0).toDF("probe_id", "p_v", "p_norm")
+    val sem = corpus.join(broadcast(probe), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", Dedup.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")))
+      .orderBy(col("cos").desc, col("vec_id")).limit(20)
+      .withColumn("rank_sem", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))))
+      .select(col("vec_id").as("doc_id"), col("rank_sem"))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        when(col("rank_lex").isNotNull,
+          lit(1.0) / (lit(RrfK) + col("rank_lex"))).otherwise(lit(0.0)) +
+        when(col("rank_sem").isNotNull,
+          lit(1.0) / (lit(RrfK) + col("rank_sem"))).otherwise(lit(0.0)), 6))
+      .withColumn("rank_lex", coalesce(col("rank_lex"), lit(0)))
+      .withColumn("rank_sem", coalesce(col("rank_sem"), lit(0)))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .select("rank", "doc_id", "rrf", "rank_lex", "rank_sem")
+  }
+
+  def hybridSearchSql: String =
+    s"""WITH lex AS (
+      |  SELECT doc_id, rank AS rank_lex FROM (
+      |${bm25Sql.linesIterator.map("    " + _).mkString("\n")}
+      |  )
+      |), e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |    sqrt(list_sum(list_transform(list_zip(embedding::DOUBLE[], embedding::DOUBLE[]),
+      |      z -> z[1] * z[2]))) AS norm
+      |  FROM embeddings
+      |), sem AS (
+      |  SELECT vec_id AS doc_id,
+      |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rank_sem
+      |  FROM (
+      |    SELECT c.vec_id,
+      |      list_sum(list_transform(list_zip(c.v, p.v), z -> z[1] * z[2]))
+      |        / (c.norm * p.norm) AS cos
+      |    FROM e c JOIN e p ON p.vec_id = 0 AND c.vec_id <> 0
+      |    ORDER BY cos DESC, c.vec_id LIMIT 20
+      |  )
+      |)
+      |SELECT row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank,
+      |  doc_id, rrf, rank_lex, rank_sem
+      |FROM (
+      |  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+      |    round(
+      |      (CASE WHEN l.rank_lex IS NOT NULL
+      |        THEN 1.0::DOUBLE / ($RrfK + l.rank_lex) ELSE 0.0::DOUBLE END)
+      |      + (CASE WHEN s.rank_sem IS NOT NULL
+      |        THEN 1.0::DOUBLE / ($RrfK + s.rank_sem) ELSE 0.0::DOUBLE END),
+      |      6) AS rrf,
+      |    coalesce(l.rank_lex, 0) AS rank_lex,
+      |    coalesce(s.rank_sem, 0) AS rank_sem
+      |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+      |  ORDER BY rrf DESC, doc_id LIMIT 20
+      |)
+      |ORDER BY rank""".stripMargin
 }
