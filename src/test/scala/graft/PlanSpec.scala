@@ -75,6 +75,22 @@ class PlanSpec extends SparkSuite {
     assert(exchanges(chain) == 0, "chain must stay narrow (streamable)")
   }
 
+  test("annLsh candidate lookup is a hash join on the bucket code") {
+    // the multiprobe expansion must reach the corpus as an equi-join
+    // key — a BroadcastNestedLoopJoin here is the scan-per-probe
+    // regression the round-3 rewrite removed
+    val plan = formatted(graft.operators.Similarity.annLsh(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), "expected a code-key hash join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "probe lookup degraded to a nested-loop corpus scan")
+  }
+
+  test("modelReadiness pushes tick validation to the parquet scan") {
+    val plan = formatted(graft.operators.Forecast.modelReadiness(spark, sfDir))
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(value,0.0)"),
+      "validity predicate not pushed to the scan")
+  }
+
   test("tfidf scans the corpus once (df from the tf table, no self-join)") {
     // df comes from a window over the tf aggregate, not a rescan per
     // join side (the join formulation measured 4 corpus scans)
