@@ -649,7 +649,9 @@ object Similarity {
       var rot = fitOpqRotationOnSample(sampleDf)
       var books: Array[Array[Array[Double]]] = null
       for (_ <- 0 until iters) {
-        val rotated = sampleDf.withColumn("v", rotate(rot, col("v")))
+        // cache the rotated sample per iteration (see opqIndexOf — the
+        // KMeans fits would otherwise replay the rotation per pass)
+        val rotated = sampleDf.withColumn("v", rotate(rot, col("v"))).persist()
         books = fitPqCodebooksOnSample(rotated)
         val recon = rotated
           .select(col("vec_id"), array(pqCodeCols(books, col("v")): _*).as("codes"))
@@ -674,10 +676,13 @@ object Similarity {
         val svd = breeze.linalg.svd(m)
         val s = svd.U * svd.Vt // column-convention optimum
         rot = Array.tabulate(dim, dim)((r, c) => s(c, r)) // R = Sᵀ
+        rotated.unpersist(): Unit
       }
-      if (books == null) // iters = 0: the parametric seed, no alternation
-        books = fitPqCodebooksOnSample(
-          sampleDf.withColumn("v", rotate(rot, col("v"))))
+      if (books == null) { // iters = 0: the parametric seed, no alternation
+        val rotated = sampleDf.withColumn("v", rotate(rot, col("v"))).persist()
+        try books = fitPqCodebooksOnSample(rotated)
+        finally rotated.unpersist(): Unit
+      }
       (rot, books)
     } finally sampleDf.unpersist(): Unit
   }
@@ -726,7 +731,13 @@ object Similarity {
     val sample = hashSample(corpus, PqFitSampleCap).select("v").persist()
     val (rot, books) = try {
       val r = fitOpqRotationOnSample(sample)
-      (r, fitPqCodebooksOnSample(sample.withColumn("v", rotate(r, col("v")))))
+      // materialize the ROTATED sample: the 8 KMeans fits scan their
+      // input repeatedly, and a lazy rotation over the cached raw
+      // sample would replay the 64x64 matmul on every pass (measured
+      // 2x the whole index-build time)
+      val rotSample = sample.withColumn("v", rotate(r, col("v"))).persist()
+      try (r, fitPqCodebooksOnSample(rotSample))
+      finally rotSample.unpersist(): Unit
     } finally sample.unpersist()
     // |Rv| = |v|: the stored norm column stays valid after rotation
     val rotated = corpus.withColumn("v", rotate(rot, col("v")))
