@@ -35,12 +35,21 @@ object Similarity {
   /** Brute-force cosine top-k for probe vectors (vec_id < 5):
     * exact baseline the approximate variant is measured against.
     */
+  /** Exact cosine of every corpus row against the broadcast probe
+    * rows, self-excluded — the ONE brute-force scoring kernel
+    * ([[annBruteForce]] and the hybrid fusion's semantic leg share
+    * it, which is what keeps their oracle hash matches coupled).
+    */
+  private[graft] def cosineScores(corpus: DataFrame,
+      probes: DataFrame): DataFrame =
+    corpus.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", Dedup.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")))
+
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
     val probes = corpus.filter(col("vec_id") < NumProbes)
       .toDF("probe_id", "p_v", "p_norm")
-    val scored = corpus.join(broadcast(probes), col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", Dedup.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")))
+    val scored = cosineScores(corpus, probes)
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
@@ -49,13 +58,20 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
-  def annBruteForceSql: String =
-    s"""WITH e AS (
+  /** The embeddings-with-norm CTE body shared by every SQL dual that
+    * scores exact cosines (annBruteForceSql, hybridSearchSql) — one
+    * definition so the duals cannot drift.
+    */
+  private[graft] val embNormCteSql: String =
+    """e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |    sqrt(list_sum(list_transform(list_zip(embedding::DOUBLE[], embedding::DOUBLE[]),
        |      z -> z[1] * z[2]))) AS norm
        |  FROM embeddings
-       |), scored AS (
+       |)""".stripMargin
+
+  def annBruteForceSql: String =
+    s"""WITH $embNormCteSql, scored AS (
        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
        |    list_sum(list_transform(list_zip(c.v, p.v), z -> z[1] * z[2]))
        |      / (c.norm * p.norm) AS cos
@@ -652,6 +668,7 @@ object Similarity {
         // cache the rotated sample per iteration (see opqIndexOf — the
         // KMeans fits would otherwise replay the rotation per pass)
         val rotated = sampleDf.withColumn("v", rotate(rot, col("v"))).persist()
+        try {
         books = fitPqCodebooksOnSample(rotated)
         val recon = rotated
           .select(col("vec_id"), array(pqCodeCols(books, col("v")): _*).as("codes"))
@@ -676,7 +693,7 @@ object Similarity {
         val svd = breeze.linalg.svd(m)
         val s = svd.U * svd.Vt // column-convention optimum
         rot = Array.tabulate(dim, dim)((r, c) => s(c, r)) // R = Sᵀ
-        rotated.unpersist(): Unit
+        } finally rotated.unpersist(): Unit
       }
       if (books == null) { // iters = 0: the parametric seed, no alternation
         val rotated = sampleDf.withColumn("v", rotate(rot, col("v"))).persist()
@@ -733,8 +750,8 @@ object Similarity {
       val r = fitOpqRotationOnSample(sample)
       // materialize the ROTATED sample: the 8 KMeans fits scan their
       // input repeatedly, and a lazy rotation over the cached raw
-      // sample would replay the 64x64 matmul on every pass (measured
-      // 2x the whole index-build time)
+      // sample would replay the 64x64 matmul on every pass (measured 2.6x
+      // the whole index-build time at the 20x ScaleProbe replica)
       val rotSample = sample.withColumn("v", rotate(r, col("v"))).persist()
       try (r, fitPqCodebooksOnSample(rotSample))
       finally rotSample.unpersist(): Unit

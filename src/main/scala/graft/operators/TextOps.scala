@@ -605,8 +605,7 @@ object TextOps {
     val lex = bm25(spark, dir).select(col("doc_id"), col("rank").as("rank_lex"))
     val corpus = Similarity.vecs(spark, dir).toDF("vec_id", "v", "norm")
     val probe = corpus.filter(col("vec_id") === 0).toDF("probe_id", "p_v", "p_norm")
-    val sem = corpus.join(broadcast(probe), col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", Dedup.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")))
+    val sem = Similarity.cosineScores(corpus, probe)
       .orderBy(col("cos").desc, col("vec_id")).limit(20)
       .withColumn("rank_sem", row_number().over(
         Window.orderBy(col("cos").desc, col("vec_id"))))
@@ -630,12 +629,7 @@ object TextOps {
       |  SELECT doc_id, rank AS rank_lex FROM (
       |${bm25Sql.linesIterator.map("    " + _).mkString("\n")}
       |  )
-      |), e AS (
-      |  SELECT vec_id, embedding::DOUBLE[] AS v,
-      |    sqrt(list_sum(list_transform(list_zip(embedding::DOUBLE[], embedding::DOUBLE[]),
-      |      z -> z[1] * z[2]))) AS norm
-      |  FROM embeddings
-      |), sem AS (
+      |), ${Similarity.embNormCteSql}, sem AS (
       |  SELECT vec_id AS doc_id,
       |    row_number() OVER (ORDER BY cos DESC, vec_id) AS rank_sem
       |  FROM (
