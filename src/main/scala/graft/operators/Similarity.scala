@@ -1017,9 +1017,16 @@ object Similarity {
   }
 
   /** Probe vectors as a driver array (id asc) for the graph walks. */
-  private def probeArray(corpus: DataFrame): Array[NswNode] = {
-    import corpus.sparkSession.implicits._
-    corpus.filter(col("vec_id") < NumProbes)
+  private def probeArray(corpus: DataFrame): Array[NswNode] =
+    probeArrayOf(corpus.filter(col("vec_id") < NumProbes)
+      .toDF("probe_id", "p_v", "p_norm"))
+
+  /** Any explicit (probe_id, p_v, p_norm) batch as a driver array —
+    * probe batches stay serve-request-sized, never corpus-sized.
+    */
+  private def probeArrayOf(probes: DataFrame): Array[NswNode] = {
+    import probes.sparkSession.implicits._
+    probes.toDF("probe_id", "p_v", "p_norm")
       .as[(Long, Seq[Double], Double)].collect()
       .sortBy(_._1).map { case (id, v, n) => (id, v.toArray, n) }
   }
@@ -1105,12 +1112,25 @@ object Similarity {
   /** Serve a probe batch from a fitted graph: shards regroup (one
     * shuffle of the index, none of any corpus), rebuild their local
     * id maps, and beam-search; the shard top-ks merge globally.
+    * Probes here ARE corpus rows (the eval surface), so self-matches
+    * are excluded.
     */
   def annGraphSearch(idx: GraphIndex, corpus: DataFrame,
-      efSearch: Int = 32): DataFrame = {
+      efSearch: Int = 32): DataFrame =
+    annGraphSearchProbes(idx,
+      corpus.filter(col("vec_id") < NumProbes).toDF("probe_id", "p_v", "p_norm"),
+      efSearch, excludeSelf = true)
+
+  /** Graph search against an EXPLICIT probe batch — the serve-path
+    * entry (see [[annPqSearchProbes]] for the excludeSelf contract:
+    * external probe ids live in their own space and never filter the
+    * corpus).
+    */
+  def annGraphSearchProbes(idx: GraphIndex, probes: DataFrame,
+      efSearch: Int = 32, excludeSelf: Boolean = false): DataFrame = {
     val spark = idx.nodes.sparkSession
     import spark.implicits._
-    val bProbes = spark.sparkContext.broadcast(probeArray(corpus))
+    val bProbes = spark.sparkContext.broadcast(probeArrayOf(probes))
     val local = idx.nodes.as[(Int, Long, Seq[Double], Double, Seq[Long])]
       .groupByKey(_._1)
       .flatMapGroups { (_, rows) =>
@@ -1120,7 +1140,7 @@ object Similarity {
         val adj = rs.map(_._5.iterator.map(idToIdx).toArray)
         bProbes.value.iterator.flatMap { case (pid, pv, pn) =>
           nswBeam(nodes, adj(_).iterator, pv, pn, efSearch, nodes.length)
-            .filter { case (_, j) => nodes(j)._1 != pid }
+            .filter { case (_, j) => !excludeSelf || nodes(j)._1 != pid }
             .take(TopK)
             .map { case (c, j) => (pid, nodes(j)._1, c) }
         }

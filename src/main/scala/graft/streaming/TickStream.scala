@@ -244,14 +244,33 @@ object TickStream {
       rerank: Int = 32)(
       writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     probeStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val probes = batch
-        .select(col("vec_id").as("probe_id"),
-          col("embedding").cast("array<double>").as("p_v"))
-        .withColumn("p_norm",
-          sqrt(graft.operators.Dedup.dot(col("p_v"), col("p_v"))))
       writeBatch(graft.operators.Similarity
-        .annPqSearchProbes(idx, probes, corpus, rerank), batchId)
+        .annPqSearchProbes(idx, probeVectors(batch), corpus, rerank), batchId)
     }
+
+  /** The graph-index flavor of [[annServeStream]]: the same
+    * foreachBatch serve loop over a fitted NSW [[graft.operators.Similarity.GraphIndex]]
+    * — per-shard beam searches with zero streaming state. Any fitted
+    * index family serves this way; only the per-batch search function
+    * differs.
+    */
+  def annGraphServeStream(probeStream: DataFrame,
+      idx: graft.operators.Similarity.GraphIndex, efSearch: Int = 32)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    probeStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Similarity.annGraphSearchProbes(
+        idx, probeVectors(batch), efSearch), batchId)
+    }
+
+  /** (probe_id, p_v, p_norm) from an embeddings-shaped microbatch —
+    * the one probe-preparation both serve streams share.
+    */
+  private def probeVectors(batch: DataFrame): DataFrame =
+    batch
+      .select(col("vec_id").as("probe_id"),
+        col("embedding").cast("array<double>").as("p_v"))
+      .withColumn("p_norm",
+        sqrt(graft.operators.Dedup.dot(col("p_v"), col("p_v"))))
 
   /** Watermarked tumbling-window aggregation per event_type — the
     * streaming dual of Warehouse.windowAgg. State is bounded by the

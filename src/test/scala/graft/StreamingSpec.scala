@@ -461,6 +461,44 @@ class StreamingSpec extends SparkSuite {
     idx.encoded.unpersist(): Unit
   }
 
+  test("streaming graph-ANN serve equals the batch graph search") {
+    import graft.operators.Similarity
+    val idx = Similarity.graphIndex(spark, sfDir)
+    idx.nodes.cache().count(): Unit
+    val emb = Tables.embeddings(spark, sfDir)
+    val staged = java.nio.file.Files.createTempDirectory("gserve").toString
+    Seq(emb.filter(col("vec_id") < 2),
+      emb.filter(col("vec_id") >= 2 && col("vec_id") < 5))
+      .zipWithIndex.foreach { case (p, i) =>
+        p.coalesce(1).write.parquet(s"$staged/f$i.parquet")
+      }
+    val streamDir = java.nio.file.Files.createTempDirectory("gserveflat")
+    new java.io.File(staged).listFiles().filter(_.isDirectory).sortBy(_.getName)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        val dst = streamDir.resolve(f"part$i%02d.parquet")
+        java.nio.file.Files.copy(f.toPath, dst)
+        require(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+      }
+    val probeStream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("gserve_ckpt").toString
+    val q = TickStream.annGraphServeStream(probeStream, idx) { (df, _) =>
+      buf.synchronized { buf ++= df.collect().map(_.toString): Unit }
+    }.option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val corpus = Similarity.vecs(spark, sfDir).toDF("vec_id", "v", "norm")
+    val batchProbes = corpus.filter(col("vec_id") < 5)
+      .toDF("probe_id", "p_v", "p_norm")
+    val batch = Similarity.annGraphSearchProbes(idx, batchProbes)
+      .collect().map(_.toString)
+    assert(buf.sorted.toSeq == batch.sorted.toSeq,
+      s"streamed ${buf.length} rows vs batch ${batch.length}")
+    idx.nodes.unpersist(): Unit
+  }
+
   test("streaming gopher verdicts equal the batch quality filter") {
     val out = TickStream.qualityDocsStream(TickStream.docsStream(spark, sfDir))
     runToMemory(out, "doc_quality")
