@@ -44,6 +44,7 @@ object PlanDump {
     dump("q_quality_prune", operators.TextOps.qualityPrune(spark, dir))
     dump("q_ann_opq", operators.Similarity.annOpq(spark, dir))
     dump("q_model_readiness", operators.Forecast.modelReadiness(spark, dir))
+    dump("q_hybrid_search", operators.TextOps.hybridSearch(spark, dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plandump] wrote PLANS.md")
     spark.stop()
