@@ -1046,6 +1046,90 @@ object Curation {
        |  sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS dup_span_frac
        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Duplicated-span REMOVAL — the transformation behind the
+    * [[spanDedup]] signal (Lee et al. 2022's exact-substring dedup,
+    * at word `SpanN`-gram granularity): every corpus-wide duplicate
+    * occurrence of a span (rn > 1 under the deterministic (doc_id,
+    * pos) order) marks its `SpanN` word positions for removal;
+    * survivors reassemble in document order. Removal positions are
+    * defined on the ORIGINAL text (the cascade a suffix-array pass
+    * would catch re-runs as compaction — documented simplification).
+    *
+    * Scale shape: one shuffle keyed by the span text for the
+    * first-occurrence window, one doc_id shuffle for reassembly —
+    * identical to [[lineDedup]] with spans for lines.
+    */
+  def spanRemoval(spark: SparkSession, dir: String): DataFrame =
+    spanRemovalDocs(Tables.documents(spark, dir))
+
+  private[graft] def spanRemovalDocs(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      split(trim(col("text")), s"[${TextOps.Ws}]+").as("ws"))
+    val spans = tok.select(col("doc_id"), posexplode(
+      when(size(col("ws")) >= SpanN,
+        expr(s"transform(sequence(1, size(ws) - ${SpanN - 1}), " +
+          s"i -> array_join(slice(ws, i, $SpanN), ' '))"))
+        .otherwise(typedLit(Seq.empty[String]))).as(Seq("pos", "gram")))
+    val w = Window.partitionBy("gram").orderBy("doc_id", "pos")
+    val dupPos = spans.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + SpanN - 1)).as("wp"))
+      .distinct()
+    val wordsDf = tok
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("wp", "word")))
+    val perDoc = wordsDf.join(dupPos, Seq("doc_id", "wp"), "left_anti")
+      .groupBy("doc_id").agg(
+        array_join(transform(array_sort(collect_list(
+          struct(col("wp"), col("word")))), s => s.getField("word")), " ")
+          .as("text_kept"))
+    val removed = dupPos.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+    tok.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+      .orderBy("doc_id")
+  }
+
+  def spanRemovalSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    unnest(range(1, len(ws) - ${SpanN - 1} + 1)) AS pos,
+       |    unnest(list_transform(range(1, len(ws) - ${SpanN - 1} + 1),
+       |      i -> array_to_string(ws[i:i + ${SpanN - 1}], ' '))) AS gram
+       |  FROM d WHERE len(ws) >= $SpanN
+       |), r AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+       |  FROM g
+       |), dup AS (
+       |  SELECT DISTINCT doc_id, unnest(range(pos, pos + $SpanN)) AS wp
+       |  FROM r WHERE rn > 1
+       |), w AS (
+       |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS wp, unnest(ws) AS word
+       |  FROM d
+       |), kept AS (
+       |  SELECT w.doc_id, w.wp, w.word
+       |  FROM w LEFT JOIN dup ON w.doc_id = dup.doc_id AND w.wp = dup.wp
+       |  WHERE dup.wp IS NULL
+       |), agg AS (
+       |  SELECT doc_id, string_agg(word, ' ' ORDER BY wp) AS text_kept
+       |  FROM kept GROUP BY doc_id
+       |), rem AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_removed FROM dup GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, len(d.ws)::BIGINT AS n_words,
+       |  coalesce(rem.n_removed, 0) AS n_removed,
+       |  coalesce(agg.text_kept, '') AS text_kept
+       |FROM d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |LEFT JOIN rem ON d.doc_id = rem.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   /** The same packing as one SQL window cumsum — correct at oracle
     * scale, where a global ORDER BY window is affordable.
     */

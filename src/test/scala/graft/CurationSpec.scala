@@ -56,6 +56,34 @@ class CurationSpec extends SparkSuite {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("spanRemoval: clean docs untouched, removal agrees with the span signal") {
+    val rem = Curation.spanRemoval(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("text_kept"))).toMap
+    val sig = Curation.spanDedup(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_spans")).toMap
+    val words = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(trim(col("text")), "[ \\t\\n\\f\\r]+").as("ws"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](1)).toMap
+    assert(rem.nonEmpty && rem.keySet == words.keySet)
+    assert(rem.exists(_._2._2 > 0), "corpus has repeated spans — some must remove")
+    rem.foreach { case (id, (nWords, nRemoved, kept)) =>
+      assert(nWords == words(id).length)
+      assert(nRemoved >= 0 && nRemoved <= nWords)
+      // a doc with no duplicated spans loses nothing and reassembles
+      // to its full text (removal derives from the SAME rn>1 marking
+      // the signal counts)
+      if (sig.getOrElse(id, 0L) == 0L) {
+        assert(nRemoved == 0L, s"doc $id removed words without dup spans")
+        assert(kept == words(id).mkString(" "), s"doc $id altered")
+      }
+      // removal only ever shrinks, by exactly the removed count
+      val keptWords = if (kept.isEmpty) 0 else kept.split(" ", -1).length
+      assert(keptWords == nWords - nRemoved, s"doc $id word accounting")
+    }
+  }
+
   test("decontaminate only flags docs that genuinely share an 8-gram") {
     val flagged = Curation.decontaminate(spark, sfDir)
     val rows = flagged.collect()
