@@ -527,4 +527,42 @@ object Dedup {
       |WHERE list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
       |    / (a.norm * b.norm) >= 0.4
       |ORDER BY a_id, b_id""".stripMargin
+
+  // ------------------------------------------------- cross-run bloom gate
+
+  /** CROSS-RUN incremental dedup gate — how an ingest batch dedups
+    * against a 100 TB STANDING corpus without joining it: the standing
+    * tier's content fingerprints aggregate into a Bloom filter once
+    * per compaction (mergeable, ~1.2 bytes/item at 1% fpp — a 10¹⁰-doc
+    * corpus gates from ~12 GB of executor-broadcastable state), and
+    * each batch row probes the broadcast filter. NO false negatives:
+    * every true duplicate is flagged; false positives at rate ~fpp
+    * route to the exact keyed join, which now sees only the flagged
+    * sliver instead of batch × corpus. (The probe is a Scala UDF over
+    * the sketch — no public Catalyst expression exposes mightContain;
+    * the per-row work is a few hash functions, and Spark's internal
+    * BloomFilterMightContain is the drop-in once public.)
+    *
+    * The query slice overlaps standing (doc_id < 400) with a batch
+    * (doc_id ≥ 350): docs 350-399 are true duplicates by fingerprint
+    * and MUST flag; 400+ are fresh and flag only at ~fpp.
+    */
+  def bloomGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fingerprint"))
+    bloomGateDocs(docs.filter(col("doc_id") < 400),
+      docs.filter(col("doc_id") >= 350))
+  }
+
+  private[graft] def bloomGateDocs(standing: DataFrame, batch: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    val expected = math.max(standing.count(), 1L)
+    val bloom = standing.stat.bloomFilter("fingerprint", expected, fpp)
+    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => bc.value.mightContain(fp))
+    batch
+      .withColumn("candidate_dup", mightContain(col("fingerprint")))
+      .select("doc_id", "candidate_dup")
+      .orderBy("doc_id")
+  }
 }

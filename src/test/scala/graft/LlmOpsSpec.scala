@@ -470,6 +470,23 @@ class LlmOpsSpec extends SparkSuite {
       == again.nodes.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("bloomGate: every true duplicate flags; fresh docs mostly pass") {
+    val rows = Dedup.bloomGate(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("candidate_dup"))
+    val (overlap, fresh) = rows.partition(_._1 < 400)
+    assert(overlap.nonEmpty && fresh.nonEmpty)
+    // Bloom filters have NO false negatives: the overlap slice shares
+    // its fingerprints with the standing side and must all flag
+    overlap.foreach { case (id, dup) => assert(dup, s"true dup $id missed") }
+    // fresh docs flag only at ~the configured fpp (1%; allow slack)
+    val fpRate = fresh.count(_._2).toDouble / fresh.length
+    assert(fpRate <= 0.05, s"false-positive rate $fpRate")
+    // deterministic (the filter's bit array is an order-independent OR)
+    val again = Dedup.bloomGate(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("candidate_dup"))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("dedupCanonical keeps the largest doc per cluster, maps every doc") {
     val canon = Dedup.dedupCanonical(spark, sfDir).collect()
     val clusters = Dedup.embeddingClusters(spark, sfDir).collect()
