@@ -555,14 +555,29 @@ object Dedup {
   }
 
   private[graft] def bloomGateDocs(standing: DataFrame, batch: DataFrame,
-      fpp: Double = 0.01): DataFrame = {
-    val expected = math.max(standing.count(), 1L)
-    val bloom = standing.stat.bloomFilter("fingerprint", expected, fpp)
-    val bc = batch.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((fp: String) => bc.value.mightContain(fp))
+      fpp: Double = 0.01): DataFrame =
     batch
-      .withColumn("candidate_dup", mightContain(col("fingerprint")))
+      .withColumn("candidate_dup",
+        bloomHit(batch.sparkSession, fingerprintBloom(standing, fpp))(col("fingerprint")))
       .select("doc_id", "candidate_dup")
       .orderBy("doc_id")
+
+  /** Build the standing tier's fingerprint Bloom filter — the
+    * compaction-time artifact both the batch gate and the streaming
+    * gate ([[graft.streaming.TickStream.dedupDocsStreamGated]]) probe.
+    */
+  private[graft] def fingerprintBloom(standing: DataFrame,
+      fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
+    val expected = math.max(standing.count(), 1L)
+    standing.stat.bloomFilter("fingerprint", expected, fpp)
+  }
+
+  /** The broadcast membership probe as a column function (UDF — see
+    * [[bloomGate]] for why no native expression exists yet).
+    */
+  private[graft] def bloomHit(spark: SparkSession,
+      bloom: org.apache.spark.util.sketch.BloomFilter): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(bloom)
+    udf((fp: String) => bc.value.mightContain(fp))
   }
 }

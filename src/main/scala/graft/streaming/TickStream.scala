@@ -120,9 +120,12 @@ object TickStream {
     */
   def dedupDocsStream(docs: DataFrame,
       watermarkDelay: String = "10 minutes"): DataFrame =
-    docs
-      .withColumn("fingerprint",
-        graft.operators.TextOps.fingerprintCol(col("text")))
+    dedupFingerprinted(docs.withColumn("fingerprint",
+      graft.operators.TextOps.fingerprintCol(col("text"))), watermarkDelay)
+
+  private def dedupFingerprinted(withFp: DataFrame,
+      watermarkDelay: String): DataFrame =
+    withFp
       .withColumn("ingest_ts", current_timestamp())
       .withWatermark("ingest_ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
@@ -130,6 +133,29 @@ object TickStream {
       // downstream stages — qualityDocsStream(dedupDocsStream(...))
       // is the natural composition
       .drop("ingest_ts")
+
+  /** [[dedupDocsStream]] gated by a STANDING-corpus Bloom filter (the
+    * compaction-time artifact of
+    * [[graft.operators.Dedup.fingerprintBloom]]): rows whose
+    * fingerprint hits the broadcast filter drop BEFORE touching
+    * streaming state, so cross-run duplicates never key the state
+    * store and within-stream dedup state stays bounded by genuinely
+    * new content. No false negatives means no standing duplicate ever
+    * passes; the ~fpp false positives are the documented trade — a
+    * bounded sliver of fresh rows drops with them, and a deployment
+    * that can't tolerate it routes flagged rows to the exact batch
+    * join instead of dropping (the [[graft.operators.Dedup.bloomGate]]
+    * shape).
+    */
+  def dedupDocsStreamGated(docs: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val hit = graft.operators.Dedup.bloomHit(docs.sparkSession, bloom)
+    dedupFingerprinted(
+      docs.withColumn("fingerprint",
+        graft.operators.TextOps.fingerprintCol(col("text")))
+        .filter(!hit(col("fingerprint"))), watermarkDelay)
+  }
 
   case class DocLine(doc_id: Long, pos: Int, line: String,
       ingest_ts: java.sql.Timestamp)

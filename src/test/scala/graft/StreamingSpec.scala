@@ -499,6 +499,28 @@ class StreamingSpec extends SparkSuite {
     idx.nodes.unpersist(): Unit
   }
 
+  test("bloom-gated doc dedup stream: standing dups never pass, fresh flow") {
+    import graft.operators.{Dedup, TextOps}
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("fingerprint", TextOps.fingerprintCol(col("text")))
+    val standingIds = docs.filter(col("doc_id") < 400)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = Dedup.fingerprintBloom(docs.filter(col("doc_id") < 400))
+    val out = TickStream.dedupDocsStreamGated(
+      TickStream.docsStream(spark, sfDir), bloom)
+    runToMemory(out, "doc_dedup_gated")
+    val survivors = spark.table("doc_dedup_gated")
+      .select("doc_id").collect().map(_.getLong(0))
+    // no false negatives: nothing from the standing corpus survives
+    assert(survivors.forall(id => !standingIds.contains(id)),
+      "a standing duplicate passed the gate")
+    // fresh docs flow modulo ~fpp false positives (1%; allow slack)
+    val nFresh = docs.filter(col("doc_id") >= 400).count()
+    assert(survivors.length >= nFresh * 0.95,
+      s"only ${survivors.length}/$nFresh fresh docs survived")
+    assert(survivors.distinct.length == survivors.length)
+  }
+
   test("streaming gopher verdicts equal the batch quality filter") {
     val out = TickStream.qualityDocsStream(TickStream.docsStream(spark, sfDir))
     runToMemory(out, "doc_quality")
