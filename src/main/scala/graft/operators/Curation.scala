@@ -1078,16 +1078,22 @@ object Curation {
       .distinct()
     val wordsDf = tok
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("wp", "word")))
-    val perDoc = wordsDf.join(dupPos, Seq("doc_id", "wp"), "left_anti")
+    // ONE aggregation computes count, removed mass, and the kept text
+    // (flag join instead of anti-join), so the tokenization runs twice
+    // — spans + words — not three times; the docs rejoin below prunes
+    // to doc_id like lineDedup's
+    val perDoc = wordsDf
+      .join(dupPos.withColumn("removed", lit(true)), Seq("doc_id", "wp"), "left")
       .groupBy("doc_id").agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
         array_join(transform(array_sort(collect_list(
-          struct(col("wp"), col("word")))), s => s.getField("word")), " ")
-          .as("text_kept"))
-    val removed = dupPos.groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
-    tok.select(col("doc_id"), size(col("ws")).cast("long").as("n_words"))
+          when(col("removed").isNull, struct(col("wp"), col("word"))))),
+          s => s.getField("word")), " ").as("text_kept"))
+    docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
-      .join(removed, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_words"),
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("text_kept"), lit("")).as("text_kept"))
       .orderBy("doc_id")

@@ -568,8 +568,14 @@ object Dedup {
     */
   private[graft] def fingerprintBloom(standing: DataFrame,
       fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
-    val expected = math.max(standing.count(), 1L)
-    standing.stat.bloomFilter("fingerprint", expected, fpp)
+    // cached around the two actions (size count + filter aggregation)
+    // so the build is one standing scan, not two; a deployment passes
+    // the expected count from table stats and skips the count job
+    val fps = standing.select("fingerprint").persist()
+    try {
+      val expected = math.max(fps.count(), 1L)
+      fps.stat.bloomFilter("fingerprint", expected, fpp)
+    } finally fps.unpersist(): Unit
   }
 
   /** The broadcast membership probe as a column function (UDF — see
@@ -578,6 +584,8 @@ object Dedup {
   private[graft] def bloomHit(spark: SparkSession,
       bloom: org.apache.spark.util.sketch.BloomFilter): org.apache.spark.sql.expressions.UserDefinedFunction = {
     val bc = spark.sparkContext.broadcast(bloom)
-    udf((fp: String) => bc.value.mightContain(fp))
+    // null-safe: a null fingerprint (null text) is never a member —
+    // sketch.BloomFilter.mightContain(null) throws
+    udf((fp: String) => fp != null && bc.value.mightContain(fp))
   }
 }
