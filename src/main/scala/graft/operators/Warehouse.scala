@@ -421,6 +421,68 @@ object Warehouse {
        |WHERE rn <= 7
        |ORDER BY user_id, trade_date DESC""".stripMargin
 
+  /** Pairwise RETURN CORRELATION — the co-movement screen of a
+    * market-analytics engine: daily close-to-close returns per symbol
+    * (from the validated daily OHLC), aligned by date in a
+    * self-equi-join, Pearson-correlated per pair (codegen'd corr
+    * aggregate), bounded to pairs with ≥ `minDays` common sessions,
+    * strongest |ρ| first, top 50.
+    *
+    * Cross-engine determinism: ordering and the top-N cut use the
+    * ROUNDED coefficient (6 dp) with (a_id, b_id) tie-breaks;
+    * zero-variance pairs (corr NaN in Spark / NULL in DuckDB) are
+    * filtered on both sides. Scale shape: the date equi-join keys the
+    * shuffle on trade_date and the pair aggregation on (a, b) — the
+    * classic O(symbols²·days) screen; at very large universes the
+    * production path is a covariance-matrix sketch over a chosen hot
+    * set, with this exact join as its verifier.
+    */
+  def returnCorr(spark: SparkSession, dir: String,
+      minDays: Int = 15): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("trade_date")
+    val rets = ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"),
+      "trade_date", validated = true)
+      .select(col("user_id"), col("trade_date"), col("close_price"))
+      // validated source ⇒ close > 0, so no zero-divisor guard needed;
+      // the oracle dual carries the identical shape
+      .withColumn("prev", lag("close_price", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), col("trade_date"),
+        (col("close_price") / col("prev") - 1.0).as("ret"))
+    rets.toDF("a_id", "trade_date", "a_ret")
+      .join(rets.toDF("b_id", "trade_date", "b_ret"), Seq("trade_date"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("n_days"), corr("a_ret", "b_ret").as("c"))
+      .filter(col("n_days") >= minDays && col("c").isNotNull && !isnan(col("c")))
+      .withColumn("correlation", round(col("c"), 6))
+      .orderBy(abs(col("correlation")).desc, col("a_id"), col("b_id"))
+      .limit(50)
+      .select("a_id", "b_id", "n_days", "correlation")
+  }
+
+  def returnCorrSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), rets AS (
+       |  SELECT user_id, trade_date,
+       |    close_price / lag(close_price) OVER (PARTITION BY user_id
+       |      ORDER BY trade_date) - 1.0 AS ret
+       |  FROM ohlc
+       |), r AS (
+       |  SELECT user_id, trade_date, ret FROM rets WHERE ret IS NOT NULL
+       |), pairs AS (
+       |  SELECT a.user_id AS a_id, b.user_id AS b_id,
+       |    count(*)::BIGINT AS n_days,
+       |    round(corr(a.ret, b.ret), 6) AS correlation
+       |  FROM r a JOIN r b
+       |    ON a.trade_date = b.trade_date AND a.user_id < b.user_id
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= 15 AND corr(a.ret, b.ret) IS NOT NULL
+       |)
+       |SELECT a_id, b_id, n_days, correlation FROM pairs
+       |ORDER BY abs(correlation) DESC, a_id, b_id LIMIT 50""".stripMargin
+
   /** Hierarchical rollup: (event_type, day) with subtotals and a grand
     * total — OLAP grouping-sets coverage.
     */
