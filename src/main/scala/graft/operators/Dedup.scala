@@ -538,10 +538,10 @@ object Dedup {
     * each batch row probes the broadcast filter. NO false negatives:
     * every true duplicate is flagged; false positives at rate ~fpp
     * route to the exact keyed join, which now sees only the flagged
-    * sliver instead of batch × corpus. (The probe is a Scala UDF over
-    * the sketch — no public Catalyst expression exposes mightContain;
-    * the per-row work is a few hash functions, and Spark's internal
-    * BloomFilterMightContain is the drop-in once public.)
+    * sliver instead of batch × corpus. (The probe is the native
+    * [[graft.functions.BloomMightContain]] expression — the gate
+    * stays inside whole-stage codegen; Spark exposes no public
+    * might_contain, so the engine ships its own.)
     *
     * The query slice overlaps standing (doc_id < 400) with a batch
     * (doc_id ≥ 350): docs 350-399 are true duplicates by fingerprint
@@ -570,22 +570,23 @@ object Dedup {
       fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter = {
     // cached around the two actions (size count + filter aggregation)
     // so the build is one standing scan, not two; a deployment passes
-    // the expected count from table stats and skips the count job
-    val fps = standing.select("fingerprint").persist()
+    // the expected count from table stats and skips the count job.
+    // Null fingerprints (null text) are excluded: stat.bloomFilter
+    // NPEs on null values, and a null is never a member anyway —
+    // matching the probe side, which returns false for null.
+    val fps = standing.select("fingerprint")
+      .filter(col("fingerprint").isNotNull).persist()
     try {
       val expected = math.max(fps.count(), 1L)
       fps.stat.bloomFilter("fingerprint", expected, fpp)
     } finally fps.unpersist(): Unit
   }
 
-  /** The broadcast membership probe as a column function (UDF — see
-    * [[bloomGate]] for why no native expression exists yet).
+  /** The broadcast membership probe as a column function — the
+    * native codegen'd [[graft.functions.BloomMightContain]]
+    * expression (null fingerprint → false, never null).
     */
   private[graft] def bloomHit(spark: SparkSession,
-      bloom: org.apache.spark.util.sketch.BloomFilter): org.apache.spark.sql.expressions.UserDefinedFunction = {
-    val bc = spark.sparkContext.broadcast(bloom)
-    // null-safe: a null fingerprint (null text) is never a member —
-    // sketch.BloomFilter.mightContain(null) throws
-    udf((fp: String) => fp != null && bc.value.mightContain(fp))
-  }
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column => Column =
+    graft.functions.BloomMightContain.bloom_might_contain(spark, bloom)
 }

@@ -470,6 +470,37 @@ class LlmOpsSpec extends SparkSuite {
       == again.nodes.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("bloom_might_contain: parity with sketch probes, null-safe both sides, codegen'd") {
+    import spark.implicits._
+    // build side tolerates null fingerprints (null-text docs) — they
+    // are excluded, matching the probe's null → false
+    val standing = Seq(Some("alpha"), Some("βeta"), Some("gamma"), None)
+      .toDF("fingerprint")
+    val bloom = Dedup.fingerprintBloom(standing)
+    val probed = Seq(Some("alpha"), Some("βeta"), Some("delta"), None)
+      .toDF("fingerprint")
+      .withColumn("hit", Dedup.bloomHit(spark, bloom)(col("fingerprint")))
+    val hits = probed.collect()
+      .map(r => Option(r.getString(0)) -> r.getBoolean(1)).toMap
+    assert(hits(Some("alpha")) && hits(Some("βeta")), "members must flag")
+    assert(!hits(None), "null fingerprint must probe false, never null")
+    // bit-parity with the sketch's own String probe (UTF-8 path incl.
+    // multi-byte), for every non-null value
+    hits.foreach { case (fp, hit) =>
+      assert(hit == fp.exists(bloom.mightContainString), s"parity on $fp")
+    }
+    // the probe is a native expression: on the parquet-backed gate
+    // (local relations above constant-fold through the eval path) the
+    // executed plan keeps it inside WholeStageCodegen, no ScalaUDF
+    val gate = Dedup.bloomGate(spark, sfDir)
+    gate.collect() // materialize so AQE settles on the final plan
+    val plan = gate.queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"probe left codegen:\n$plan")
+    val codegenSpan = plan.linesIterator
+      .exists(l => l.contains("*") && l.contains("bloom_might_contain"))
+    assert(codegenSpan, s"probe outside WholeStageCodegen:\n$plan")
+  }
+
   test("bloomGate: every true duplicate flags; fresh docs mostly pass") {
     val rows = Dedup.bloomGate(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("candidate_dup"))
