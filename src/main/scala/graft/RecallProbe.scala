@@ -30,11 +30,38 @@ object RecallProbe {
     val exact = pairs(operators.Similarity.annBruteForce(spark, dir))
     require(exact.nonEmpty, s"no brute-force ground truth at $dir")
     println(f"[recall] ground truth: ${exact.size} (probe, neighbor) pairs @ $dir")
+    // legacy single-table 8-plane family — the historical curve (256
+    // buckets: usable recall on the uniform corpus only because each
+    // probe scans up to ~36% of the space)
     for (radius <- 1 to 4) {
-      val masks = operators.Similarity.hammingMasks(radius).size
-      val got = pairs(operators.Similarity.annLsh(spark, dir, radius))
+      val masks = operators.Similarity.hammingMasks(radius, 8).size
+      val got = pairs(operators.Similarity.annLsh(spark, dir, radius,
+        numPlanes = 8, numTables = 1))
       val recall = (exact & got).size.toDouble / exact.size
-      println(f"[recall] lsh radius=$radius codes/probe=$masks%3d recall@10=$recall%.3f")
+      println(f"[recall] lsh8  radius=$radius codes/probe=$masks%3d recall@10=$recall%.3f")
+    }
+    // production default (16 planes, 65k buckets/table) on the SAME
+    // uniform corpus — expected ~0: top-10 neighbors at cosine ≈ 0.3
+    // are statistically near-random, the documented LSH hard instance
+    for ((radius, tables) <- Seq((2, 1), (1, 4), (2, 4))) {
+      val got = pairs(operators.Similarity.annLsh(spark, dir, radius,
+        numPlanes = 16, numTables = tables))
+      val recall = (exact & got).size.toDouble / exact.size
+      println(f"[recall] lsh16 radius=$radius tables=$tables uniform recall@10=$recall%.3f")
+    }
+    // clustered corpus (same-cluster cosine ≈ 0.9): the near-duplicate
+    // regime the production default is sized for
+    locally {
+      val cl = SynthData.clustered(spark, 2000).cache()
+      val clProbes = cl.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+        .toDF("probe_id", "p_v", "p_norm")
+      val clExact = pairs(operators.Similarity.annBruteForceOn(cl, clProbes))
+      for ((radius, tables) <- Seq((2, 1), (1, 4), (2, 4))) {
+        val got = pairs(operators.Similarity.annLshOn(cl, clProbes, radius, 16, tables))
+        val recall = (clExact & got).size.toDouble / clExact.size
+        println(f"[recall] lsh16 radius=$radius tables=$tables clustered recall@10=$recall%.3f")
+      }
+      cl.unpersist(): Unit
     }
     // one quantizer fit, many searches: the sweep varies only nProbe
     val idx = operators.Similarity.ivfIndex(spark, dir)
@@ -109,6 +136,28 @@ object RecallProbe {
       println(f"[recall] ivfpq nProbe=$nProbe rerank=$rerank%2d recall@10=$recall%.3f")
     }
     ivfpq.encoded.unpersist()
+    // PQ vs OPQ on an ANISOTROPIC corpus (decaying per-dim energy
+    // under a fixed rotation): the regime where OPQ's learned
+    // rotation should separate from plain PQ beyond run noise —
+    // the uniform corpus is too isotropic for a measurable gap
+    locally {
+      val an = SynthData.anisotropic(spark, 2000).cache()
+      val anExact = pairs(operators.Similarity.annBruteForceOn(
+        an, an.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+          .toDF("probe_id", "p_v", "p_norm")))
+      val anBooks = operators.Similarity.fitPqCodebooks(an)
+      val pqAn = operators.Similarity.PqIndex(
+        operators.Similarity.encodePq(an, anBooks), anBooks)
+      val opqAn = operators.Similarity.opqIndexOf(an)
+      for (rerank <- Seq(10, 16, 32)) {
+        val gotPq = pairs(operators.Similarity.annPqSearch(pqAn, an, rerank))
+        val gotOpq = pairs(operators.Similarity.annOpqSearch(opqAn, an, rerank))
+        val rPq = (anExact & gotPq).size.toDouble / anExact.size
+        val rOpq = (anExact & gotOpq).size.toDouble / anExact.size
+        println(f"[recall] anis rerank=$rerank%3d pq=$rPq%.3f opq=$rOpq%.3f gap=${rOpq - rPq}%+.3f")
+      }
+      an.unpersist(): Unit
+    }
     spark.stop()
   }
 }

@@ -59,6 +59,30 @@ object ScaleProbe {
     // times #keys × (grid fit + walk-forward backtest)
     val validTicks = operators.Warehouse.validTicksOf(big)
       .select("user_id", "event_id", "ts", "value")
+
+    // pairwise return correlation across growing SYMBOL universes:
+    // pair count is inherently quadratic, so the evidence of the
+    // bucketed tile join is (a) wall clock growing far slower than
+    // pairs² thanks to #dates·buckets² parallel tiles and (b) no
+    // single straggler task. Universe = sf0.01's 150 symbols × k.
+    locally {
+      val small = Tables.events(spark,
+        dir.replace("sf0.1", "sf0.01"))
+      for (k <- Seq(1, 5, 10).filter(_ <= replicas)) {
+        val uni = (0 until k).map { i =>
+          small.withColumn("user_id", col("user_id") + lit(i * 1000000L))
+            .withColumn("event_id", col("event_id") + lit(i * 100000000L))
+        }.reduce(_ unionByName _)
+        val rets = operators.Warehouse.dailyReturnsOf(
+          operators.Warehouse.validTicksOf(uni))
+        val t0 = System.nanoTime()
+        operators.Warehouse.returnCorrOf(rets)
+          .write.mode("overwrite").format("noop").save()
+        println(f"[scale] return_corr     ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
+          f"(${k * 150}%d symbols, ~${(k * 150L) * (k * 150L) / 2000}%d k pairs)")
+      }
+      spark.catalog.clearCache()
+    }
     time("arima_forecast")(operators.Forecast.arimaForecastTicks(validTicks))
     time("forecast_acc")(operators.Forecast.forecastAccuracyTicks(validTicks))
 

@@ -19,10 +19,18 @@ object Similarity {
 
   private val TopK = 10
   private val NumProbes = 5
-  // 8 planes / hamming-3 multiprobe: at the corpus' neighbor cosines
-  // (~0.3-0.5 → per-plane agreement ~0.6) expected signature hamming is
-  // ~3, so radius 3 keeps recall high while scoring ~1/3 of buckets.
+  // Legacy single-table signature width (embeddingDedupLsh still uses
+  // it: 256 buckets + radius-3 multiprobe suit a SELF-join where both
+  // sides expand). The SEARCH default below is 16 planes (65k buckets).
   private val NumPlanes = 8
+  // Production search defaults (annLsh): 16 hyperplanes → 65 536
+  // buckets per table; radius-2 multiprobe → Σ C(16,k), k ≤ 2 = 137
+  // codes per probe per table ≈ 0.2% of each table's bucket space;
+  // 4 independent tables for recall (standard E2LSH layout — recall
+  // compounds as 1-(1-p_table)^L while the probed fraction only adds).
+  private val SearchPlanes = 16
+  private val SearchRadius = 2
+  private val SearchTables = 4
 
   private[graft] def vecs(spark: SparkSession, dir: String): DataFrame =
     vecsOf(Tables.embeddings(spark, dir))
@@ -47,8 +55,16 @@ object Similarity {
 
   def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
     val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
-    val probes = corpus.filter(col("vec_id") < NumProbes)
-      .toDF("probe_id", "p_v", "p_norm")
+    annBruteForceOn(corpus, corpus.filter(col("vec_id") < NumProbes)
+      .toDF("probe_id", "p_v", "p_norm"))
+  }
+
+  /** [[annBruteForce]] over an explicit corpus/probe pair — the exact
+    * ground truth the synthetic-corpus recall harnesses compare
+    * against (same shape contract as [[annLshOn]]).
+    */
+  private[graft] def annBruteForceOn(corpus: DataFrame,
+      probes: DataFrame): DataFrame = {
     val scored = cosineScores(corpus, probes)
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -235,22 +251,27 @@ object Similarity {
 
   /** Deterministic ±1 random hyperplanes (seeded, stable across
     * runs/JVMs since java.util.Random's algorithm is specified).
+    * `table` selects an independent plane set per LSH table; table 0
+    * at k=8 reproduces the original single-table planes bit-for-bit.
     */
-  private[operators] def planes: Seq[Array[Double]] = {
-    val rnd = new java.util.Random(42L)
-    Seq.fill(NumPlanes)(Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  private[operators] def planesFor(table: Int, k: Int): Seq[Array[Double]] = {
+    val rnd = new java.util.Random(42L + table * 7919L)
+    Seq.fill(k)(Array.fill(64)(if (rnd.nextBoolean()) 1.0 else -1.0))
   }
 
-  private[operators] def lshCode(v: Column): Column =
-    planes.zipWithIndex.map { case (p, j) =>
+  private[operators] def lshCode(v: Column, table: Int = 0,
+      k: Int = NumPlanes): Column =
+    planesFor(table, k).zipWithIndex.map { case (p, j) =>
       when(Dedup.dot(v, typedLit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** All 8-bit XOR masks of popcount ≤ radius — the multiprobe
-    * expansion set (radius 3 → Σ C(8,k), k ≤ 3 = 93 codes per probe).
+  /** All k-bit XOR masks of popcount ≤ radius — the multiprobe
+    * expansion set (k=8, radius 3 → Σ C(8,j), j ≤ 3 = 93 codes;
+    * k=16, radius 2 → 137 codes over 65 536 buckets).
     */
-  private[graft] def hammingMasks(radius: Int): Seq[Long] =
-    (0 until (1 << NumPlanes)).filter(Integer.bitCount(_) <= radius).map(_.toLong)
+  private[graft] def hammingMasks(radius: Int,
+      k: Int = NumPlanes): Seq[Long] =
+    (0 until (1 << k)).filter(Integer.bitCount(_) <= radius).map(_.toLong)
 
   /** Int8 scalar-quantized approximate top-k with exact reranking —
     * the memory-bound scale path (the index stores 1 byte/dim, 8×
@@ -1232,34 +1253,60 @@ object Similarity {
     GraphIndex(nodes.select("shard", "vec_id", "v", "norm", "nbrs"))
   }
 
-  /** LSH-bucketed approximate top-k: corpus is signed into 8-bit
-    * hyperplane buckets; each probe EXPANDS to its hamming ≤ 3 code
-    * set (93 codes) and equi-joins the corpus on `code` — a true
-    * bucket LOOKUP (broadcast hash join on the code key), not a scan:
-    * corpus rows outside the probed buckets are rejected at the hash
-    * table, so cost is O(corpus ∩ probed buckets), independent of the
-    * probe-batch size. At 100 TB the probe side stays
-    * (probes × 93) rows — broadcastable for 10k+ probe batches.
+  /** LSH-bucketed approximate top-k at the production (scale-safe)
+    * default: `numTables` independent 16-plane signatures → 65 536
+    * buckets per table; each probe expands to its hamming ≤ 2 code
+    * set (137 codes per table ≈ 0.2% of the bucket space) and
+    * equi-joins the corpus on (table, code) — a true bucket LOOKUP
+    * (broadcast hash join on the key), not a scan: corpus rows
+    * outside the probed buckets are rejected at the hash table, so
+    * cost is O(corpus ∩ probed buckets), independent of probe-batch
+    * size. Probe side stays (probes × tables × 137) rows —
+    * broadcastable for 10k+ probe batches. Candidates found in more
+    * than one table are deduped by (probe_id, vec_id) before ranking.
     *
-    * Selectivity caveat: NumPlanes = 8 gives only 256 buckets, and
-    * radius 3 probes 93/256 ≈ 36% of the code space — sized for the
-    * recall sweep on the test corpus (RecallProbe), not for
-    * production. At scale raise the planes (16-24 → 65k-16M buckets)
-    * and shrink the radius (1-2); the expansion set grows as
-    * Σ C(planes,k), k ≤ radius, so planes=16/radius=2 is 137 codes
-    * per probe over 65k buckets ≈ 0.2% of the space probed.
+    * Recall envelope (RecallProbe + LlmOpsSpec): on a clustered
+    * corpus — the near-duplicate workload LSH is for, neighbor
+    * cosine ≥ ~0.85 — the default reaches recall@10 ≥ 0.9 while
+    * probing < 1% of the bucket space. On the UNIFORM synthetic test
+    * corpus top-10 neighbors sit at cosine ≈ 0.3 (per-plane agreement
+    * ≈ 0.6, statistically near-random): no sublinear hash family can
+    * retrieve them, so the registered entry's recall there is
+    * intentionally unpinned — that corpus is the documented hard
+    * instance, and brute/IVF/PQ are the right tools for it.
     */
-  def annLsh(spark: SparkSession, dir: String, radius: Int = 3): DataFrame = {
+  def annLsh(spark: SparkSession, dir: String,
+      radius: Int = SearchRadius, numPlanes: Int = SearchPlanes,
+      numTables: Int = SearchTables): DataFrame = {
     val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
-      .withColumn("code", lshCode(col("v")))
-    val probes = corpus.filter(col("vec_id") < NumProbes)
-      .toDF("probe_id", "p_v", "p_norm", "p_code")
-      .withColumn("m", explode(typedLit(hammingMasks(radius))))
-      .withColumn("code", col("m").bitwiseXOR(col("p_code")))
-      .drop("m", "p_code")
-    val scored = corpus.join(broadcast(probes), Seq("code"))
+    annLshOn(corpus, corpus.filter(col("vec_id") < NumProbes)
+        .toDF("probe_id", "p_v", "p_norm"),
+      radius, numPlanes, numTables)
+  }
+
+  /** [[annLsh]] over an explicit (vec_id, v, norm) corpus and
+    * (probe_id, p_v, p_norm) probe set — lets RecallProbe and the
+    * spec drive the same kernel with synthetic clustered corpora.
+    */
+  private[graft] def annLshOn(corpus0: DataFrame, probes0: DataFrame,
+      radius: Int, numPlanes: Int, numTables: Int): DataFrame = {
+    def tableCodes(v: String): Column = explode(array(
+      (0 until numTables).map(t =>
+        struct(lit(t).as("t"), lshCode(col(v), t, numPlanes).as("c"))): _*))
+    val corpus = corpus0
+      .withColumn("tc", tableCodes("v"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("tc.t").as("t"), col("tc.c").as("code"))
+    val probes = probes0
+      .withColumn("tc", tableCodes("p_v"))
+      .withColumn("m", explode(typedLit(hammingMasks(radius, numPlanes))))
+      .select(col("probe_id"), col("p_v"), col("p_norm"),
+        col("tc.t").as("t"), col("m").bitwiseXOR(col("tc.c")).as("code"))
+    val scored = corpus.join(broadcast(probes), Seq("t", "code"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", Dedup.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")))
+      // a pair colliding in several tables must rank once, not L times
+      .groupBy("probe_id", "vec_id").agg(max("cos").as("cos"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)

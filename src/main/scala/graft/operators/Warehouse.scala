@@ -431,11 +431,23 @@ object Warehouse {
     * Cross-engine determinism: ordering and the top-N cut use the
     * ROUNDED coefficient (6 dp) with (a_id, b_id) tie-breaks;
     * zero-variance pairs (corr NaN in Spark / NULL in DuckDB) are
-    * filtered on both sides. Scale shape: the date equi-join keys the
-    * shuffle on trade_date and the pair aggregation on (a, b) — the
-    * classic O(symbols²·days) screen; at very large universes the
-    * production path is a covariance-matrix sketch over a chosen hot
-    * set, with this exact join as its verifier.
+    * filtered on both sides.
+    *
+    * Scale shape: a plain date equi-join would key the shuffle on
+    * trade_date alone — parallelism capped at #distinct dates (30 on
+    * this corpus) with each task materializing a symbols² pair block.
+    * Instead the pair space is tiled into `buckets`² symbol-bucket
+    * tiles (a triangle/"theta-join" replication: each side is
+    * replicated `buckets`× against the OTHER side's bucket id, so a
+    * pair meets in exactly ONE tile), keying the shuffle on
+    * (trade_date, a_bucket, b_bucket): parallelism rises to
+    * #dates·buckets² and per-task pair blocks shrink by buckets².
+    * The screen's total work is inherently Ω(pairs·days); bucketing
+    * makes it evenly parallel — at a 100× universe raise `buckets`
+    * ∝ symbols to hold tile size constant. The production path at
+    * very large universes remains a covariance sketch over a chosen
+    * hot set, with this exact join as its verifier (ScaleProbe times
+    * the bucketed join across synthetic universe sizes).
     */
   def returnCorr(spark: SparkSession, dir: String,
       minDays: Int = 15): DataFrame = {
@@ -449,8 +461,22 @@ object Warehouse {
       .filter(col("prev").isNotNull)
       .select(col("user_id"), col("trade_date"),
         (col("close_price") / col("prev") - 1.0).as("ret"))
-    rets.toDF("a_id", "trade_date", "a_ret")
-      .join(rets.toDF("b_id", "trade_date", "b_ret"), Seq("trade_date"))
+    returnCorrOf(rets, minDays)
+  }
+
+  /** The bucketed pair screen over an explicit (user_id, trade_date,
+    * ret) frame — ScaleProbe drives it with replicated universes.
+    */
+  private[graft] def returnCorrOf(rets: DataFrame, minDays: Int = 15,
+      buckets: Int = 8): DataFrame = {
+    val tiles = array((0 until buckets).map(lit): _*)
+    val a = rets.toDF("a_id", "trade_date", "a_ret")
+      .withColumn("ab", pmod(hash(col("a_id")), lit(buckets)))
+      .withColumn("bb", explode(tiles))
+    val b = rets.toDF("b_id", "trade_date", "b_ret")
+      .withColumn("bb", pmod(hash(col("b_id")), lit(buckets)))
+      .withColumn("ab", explode(tiles))
+    a.join(b, Seq("trade_date", "ab", "bb"))
       .filter(col("a_id") < col("b_id"))
       .groupBy("a_id", "b_id")
       .agg(count(lit(1)).as("n_days"), corr("a_ret", "b_ret").as("c"))
@@ -459,6 +485,28 @@ object Warehouse {
       .orderBy(abs(col("correlation")).desc, col("a_id"), col("b_id"))
       .limit(50)
       .select("a_id", "b_id", "n_days", "correlation")
+  }
+
+  /** Daily close-to-close returns from an explicit validated tick
+    * frame — the [[returnCorr]] input shape for synthetic universes
+    * (same close semantics as [[ohlcBy]]: last value by (ts,
+    * event_id) per (symbol, day), unrounded).
+    */
+  private[graft] def dailyReturnsOf(ticks: DataFrame): DataFrame = {
+    val wd = Window.partitionBy(col("user_id"), col("trade_date"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val w = Window.partitionBy("user_id").orderBy("trade_date")
+    ticks
+      .select(col("user_id"), to_date(col("ts")).as("trade_date"),
+        col("ts"), col("event_id"), col("value"))
+      .withColumn("close", last("value").over(wd))
+      .groupBy("user_id", "trade_date")
+      .agg(max("close").as("close_price"))
+      .withColumn("prev", lag("close_price", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("user_id"), col("trade_date"),
+        (col("close_price") / col("prev") - 1.0).as("ret"))
   }
 
   def returnCorrSql: String =

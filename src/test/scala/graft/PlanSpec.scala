@@ -75,6 +75,24 @@ class PlanSpec extends SparkSuite {
     assert(exchanges(chain) == 0, "chain must stay narrow (streamable)")
   }
 
+  test("returnCorr pair join is keyed on (date, bucket, bucket), not date alone") {
+    // a date-only join key caps the pair stage at #distinct dates
+    // tasks (30 here) with a symbols²-row block per task — the tile
+    // bucketing must reach the shuffle as part of the join key. At
+    // test SF the rets side is broadcast-sized, which would hide the
+    // shuffle: disable auto-broadcast to see the at-scale join plan.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = formatted(graft.operators.Warehouse.returnCorr(spark, sfDir))
+      val part = "hashpartitioning\\(([^)]*)\\)".r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(part.exists(k => k.contains("trade_date") && k.contains("ab")
+          && k.contains("bb")),
+        s"pair shuffle not keyed by the symbol-bucket tiles: $part")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("annLsh candidate lookup is a hash join on the bucket code") {
     // the multiprobe expansion must reach the corpus as an equi-join
     // key — a BroadcastNestedLoopJoin here is the scan-per-probe
