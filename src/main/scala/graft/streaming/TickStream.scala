@@ -404,6 +404,18 @@ object TickStream {
     out.iterator
   }
 
+  /** Streaming dead-letter leg: the classified reject ledger over a
+    * live events stream — the same stateless classification the batch
+    * [[graft.operators.ErrorLedger]] runs (one shared definition, so
+    * batch and stream cannot drift), appended to a quarantine sink
+    * instead of dropped (reference records every failed insert in
+    * ingestion_errors, shared/error_handling.py + current_schema
+    * .sql:110-118). Stateless narrow projection → append mode, no
+    * watermark, exactly-once into a checkpointed file sink.
+    */
+  def deadLetterStream(events: DataFrame): DataFrame =
+    graft.operators.ErrorLedger.ingestionErrorsOf(events)
+
   /** Streaming per-symbol indicators via flatMapGroupsWithState.
     * Applies the same tick validation as the batch path
     * (Warehouse.validTicks) so streaming state never ingests the

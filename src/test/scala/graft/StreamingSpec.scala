@@ -579,4 +579,45 @@ class StreamingSpec extends SparkSuite {
     val single = Multimodal.featureExtract(spark, sfDir, batchSize = 1).collect()
     assert(rows.map(_.toString).sameElements(single.map(_.toString)))
   }
+
+  test("streaming dead-letter ledger lands every reject exactly once") {
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "2024-01-01 10:00:00", Option(7L), "click", Option(101.5)),
+      (2L, "2024-01-01 10:01:00", Option.empty[Long], "click", Option(5.0)),
+      (3L, "2024-01-01 10:02:00", Option(7L), "click", Option.empty[Double]),
+      (4L, "2024-01-01 10:03:00", Option(7L), "click", Option(Double.NaN)),
+      (5L, "2024-01-01 10:04:00", Option(8L), "click", Option(0.0)),
+      (6L, "2024-01-01 10:05:00", Option(8L), "click", Option(-3.2)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    // two source files → two microbatches (maxFilesPerTrigger=1): the
+    // sink must hold each reject ONCE across batch boundaries
+    val srcDir = java.nio.file.Files.createTempDirectory("dl_src").toString
+    dirty.filter(col("event_id") <= 3).coalesce(1).write.mode("append").parquet(srcDir)
+    dirty.filter(col("event_id") > 3).coalesce(1).write.mode("append").parquet(srcDir)
+    val sinkDir = java.nio.file.Files.createTempDirectory("dl_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("dl_ckpt").toString
+    val stream = spark.readStream.schema(dirty.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = TickStream.deadLetterStream(stream).writeStream
+      .outputMode("append").format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(sinkDir).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("error_type")))
+    // exactly once: one ledger row per reject, none for the valid tick
+    assert(landed.length == landed.distinct.length, "duplicate ledger rows")
+    assert(landed.toMap == Map(2L -> "missing_company", 3L -> "null_price",
+      4L -> "nan_price", 5L -> "nonpositive_price", 6L -> "nonpositive_price"))
+    // and the streamed ledger row-for-row equals the batch ledger
+    val batch = graft.operators.ErrorLedger.ingestionErrorsOf(dirty)
+      .collect().map(_.toString).sorted.toSeq
+    val streamed = spark.read.parquet(sinkDir)
+      .select(graft.operators.ErrorLedger.ingestionErrorsOf(dirty).columns.map(col): _*)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
 }

@@ -114,4 +114,33 @@ class WarehouseSpec extends SparkSuite {
       .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
     assert(total == Tables.events(spark, sfDir).count())
   }
+
+  test("error ledger and valid ticks exactly partition a dirty input") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "2024-01-01 10:00:00", Option(7L), "click", Option(101.5)),
+      (2L, "2024-01-01 10:01:00", Option.empty[Long], "click", Option(5.0)),
+      (3L, "2024-01-01 10:02:00", Option(7L), "click", Option.empty[Double]),
+      (4L, "2024-01-01 10:03:00", Option(7L), "click", Option(Double.NaN)),
+      (5L, "2024-01-01 10:04:00", Option(8L), "click", Option(0.0)),
+      (6L, "2024-01-01 10:05:00", Option(8L), "click", Option(-3.2)),
+      // missing company AND missing price: required-field check wins,
+      // matching the reference validator's check order
+      (7L, "2024-01-01 10:06:00", Option.empty[Long], "click", Option.empty[Double]))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val valid = Warehouse.validTicksOf(dirty)
+    val ledger = graft.operators.ErrorLedger.ingestionErrorsOf(dirty)
+    assert(valid.select("event_id").as[Long].collect().toSet == Set(1L))
+    val classes = ledger.collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[String]("error_type")).toMap
+    assert(classes == Map(2L -> "missing_company", 3L -> "null_price",
+      4L -> "nan_price", 5L -> "nonpositive_price",
+      6L -> "nonpositive_price", 7L -> "missing_company"))
+    // partition: every input row in exactly one leg
+    assert(valid.count() + ledger.count() == dirty.count())
+    assert(ledger.select("component_name").distinct().as[String]
+      .collect().toSeq == Seq(graft.operators.ErrorLedger.Component))
+  }
 }
