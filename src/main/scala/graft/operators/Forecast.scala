@@ -208,11 +208,21 @@ object Forecast {
     * (analytics_consumer.py:374-377); the linear-regression row uses
     * the fixed 0.8 of batch_predict_linear_regression.py:76.
     */
-  def predictions(spark: SparkSession, dir: String): DataFrame = {
+  def predictions(spark: SparkSession, dir: String): DataFrame =
+    predictionsFrom(spark, dir, modelRegistry(spark, dir))
+
+  /** [[predictions]] SERVED from an already-fitted model registry
+    * (the reference serves from its ml_models cache rather than
+    * refitting per request, arima_forecasting.py self.models): the
+    * ARIMA leg is a narrow projection over registry rows — pass a
+    * [[loadModelRegistry]] result to serve from disk.
+    */
+  def predictionsFrom(spark: SparkSession, dir: String,
+      registry: DataFrame): DataFrame = {
     // consume the UNSORTED internal variants — the driver queries'
     // trailing ORDER BYs would each cost a global range sort that the
     // union + final sort here immediately discards
-    val arima = arimaForecastBase(spark, dir)
+    val arima = arimaForecastFromRegistry(registry)
       .select(
         col("user_id"),
         col("forecast_1").as("predicted_price"),
@@ -617,6 +627,165 @@ object Forecast {
                 Seq(r4(res.lower(h)), r4(res.upper(h))))))
       }
     }
+
+  // ------------------------------------------------ model registry
+
+  /** A fitted, servable ARIMA model — the row the registry persists
+    * (the reference's ml_models table, enhanced_schema.sql:159-182,
+    * and the in-memory `self.models` cache of arima_forecasting.py):
+    * order, AIC, coefficients, residual variance, and the TINY serve
+    * state — the last max(p, q) centered values and stage-1 residuals
+    * plus the last value of each differencing level — which is all
+    * [[armaForecasts]]/[[forecastFromFit]] ever read of their inputs,
+    * so serving from the registry is bit-identical to forecasting at
+    * fit time (spec-asserted) without touching the tick history.
+    */
+  private[graft] case class ArimaModel(p: Int, d: Int, q: Int, aic: Double,
+      mean: Double, sigma2: Double, w: Array[Double],
+      zcTail: Array[Double], residTail: Array[Double],
+      levelLasts: Array[Double], nObs: Long, lastPrice: Double)
+
+  /** Full auto fit that KEEPS the model (order grid identical to
+    * [[arimaFitSeries]] — same d, same AIC winner).
+    */
+  private[graft] def arimaFitModel(prices: Array[Double]): Option[ArimaModel] = {
+    if (prices.length < MinObservations) return None
+    val (d, series) = chooseD(prices)
+    val mean = series.sum / series.length
+    val zc = series.map(_ - mean)
+    val pLong = sharedPLong(zc.length)
+    val resid = longArResiduals(zc, pLong).orNull
+    val fits = for {
+      p <- 0 to MaxP; q <- 0 to MaxQ
+      c <- fitArma(zc, mean, resid, pLong, p, q)
+    } yield (p, q, c)
+    if (fits.isEmpty) None
+    else {
+      val (p, q, c) = fits.minBy { case (fp, fq, fc) => (fc.aic, fp, fq) }
+      // both tails at the COMMON length max(p, q): armaForecasts
+      // indexes z and resid from one shared n, so equal lengths keep
+      // the serve-time indices aligned with the fit-time ones
+      val tl = math.max(p, q)
+      val levels = ArrayBuffer(prices)
+      while (levels.length <= d) levels += diff(levels.last)
+      Some(ArimaModel(p, d, q, c.aic, c.mean, c.sigma2, c.w,
+        zc.takeRight(tl),
+        if (q > 0 && resid != null) resid.takeRight(tl) else Array.empty,
+        Array.tabulate(d)(lvl => levels(lvl).last),
+        prices.length.toLong, prices.last))
+    }
+  }
+
+  /** Forecast from a REGISTRY model — no tick history: the stored
+    * tails feed the ARMA recursion, the stored level lasts integrate
+    * back to price, the ψ-band comes from the stored coefficients.
+    * Arithmetic is the same code path as [[forecastFromFit]], so the
+    * served numbers equal the fit-time numbers exactly.
+    */
+  private[graft] def serveModel(m: ArimaModel, steps: Int = Steps): ArimaResult = {
+    val c = ArmaCoef(m.aic, m.w, m.mean, m.sigma2)
+    val zhat = armaForecasts(m.zcTail,
+      if (m.q > 0) m.residTail else null, c, m.p, m.q, steps).map(_ + m.mean)
+    val lasts = m.levelLasts.clone()
+    val fLevel = new Array[Double](steps)
+    for (h <- 0 until steps) {
+      var acc = zhat(h)
+      for (lvl <- (0 until m.d).reverse) { acc += lasts(lvl); lasts(lvl) = acc }
+      fLevel(h) = acc
+    }
+    val psi = psiWeightsIntegrated(m.w, m.p, m.q, m.d, steps)
+    val lower = new Array[Double](steps)
+    val upper = new Array[Double](steps)
+    var varAcc = 0.0
+    for (h <- 0 until steps) {
+      varAcc += psi(h) * psi(h)
+      val se = math.sqrt(math.max(m.sigma2 * varAcc, 0.0))
+      lower(h) = fLevel(h) - Z95 * se
+      upper(h) = fLevel(h) + Z95 * se
+    }
+    ArimaResult(m.p, m.d, m.q, m.aic, m.sigma2, fLevel, lower, upper)
+  }
+
+  private val registrySchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("n_obs", LongType),
+    StructField("p", IntegerType), StructField("d", IntegerType),
+    StructField("q", IntegerType), StructField("aic", DoubleType),
+    StructField("mean", DoubleType), StructField("sigma2", DoubleType),
+    StructField("w", ArrayType(DoubleType)),
+    StructField("zc_tail", ArrayType(DoubleType)),
+    StructField("resid_tail", ArrayType(DoubleType)),
+    StructField("level_lasts", ArrayType(DoubleType)),
+    StructField("last_price", DoubleType),
+    StructField("trained_at", TimestampType)))
+
+  /** FIT: one registry row per trainable symbol (full precision — the
+    * registry is serve state, rounding happens at the output surface
+    * like every other query). Same per-key sorted-run shape as the
+    * forecast itself; `trained_at` is the last training tick's event
+    * time, not wall clock, so rebuilds are deterministic.
+    */
+  def modelRegistry(spark: SparkSession, dir: String): DataFrame =
+    modelRegistryTicks(Warehouse.validTicks(spark, dir))
+
+  private[graft] def modelRegistryTicks(ticksIn: DataFrame): DataFrame =
+    perKeyTicks(ticksIn, registrySchema) { (user, ticks) =>
+      val prices = ticks.map(_._3).toArray
+      arimaFitModel(prices) match {
+        case None => Iterator.empty
+        case Some(m) => Iterator.single(Row.fromSeq(Seq[Any](
+          user, m.nObs, m.p, m.d, m.q, m.aic, m.mean, m.sigma2,
+          m.w.toSeq, m.zcTail.toSeq, m.residTail.toSeq, m.levelLasts.toSeq,
+          m.lastPrice, ticks.last._2)))
+      }
+    }
+
+  /** Persist / reload the fitted registry; loaded serve == fresh fit
+    * (spec-asserted) — the same save/load contract every ANN index
+    * has.
+    */
+  def saveModelRegistry(registry: DataFrame, path: String): Unit =
+    registry.write.mode("overwrite").parquet(path)
+
+  def loadModelRegistry(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(df.columns.toSeq == registrySchema.fieldNames.toSeq,
+      s"invalid model registry at $path: ${df.columns.mkString(",")}")
+    df
+  }
+
+  /** SERVE: the arimaForecast output surface re-derived from registry
+    * rows alone (a narrow per-row projection — no tick scan, no
+    * refit: the operational read path once models are fitted).
+    */
+  def arimaForecastFromRegistry(registry: DataFrame): DataFrame = {
+    val spark = registry.sparkSession
+    val rdd = registry.rdd.map { r =>
+      val m = ArimaModel(r.getAs[Int]("p"), r.getAs[Int]("d"),
+        r.getAs[Int]("q"), r.getAs[Double]("aic"), r.getAs[Double]("mean"),
+        r.getAs[Double]("sigma2"), r.getAs[Seq[Double]]("w").toArray,
+        r.getAs[Seq[Double]]("zc_tail").toArray,
+        r.getAs[Seq[Double]]("resid_tail").toArray,
+        r.getAs[Seq[Double]]("level_lasts").toArray,
+        r.getAs[Long]("n_obs"), r.getAs[Double]("last_price"))
+      val res = serveModel(m)
+      Row.fromSeq(Seq[Any](r.getAs[Long]("user_id"), m.nObs, res.p, res.d,
+        res.q, r4(res.aic), m.lastPrice) ++
+        (0 until Steps).map(h => r4(res.forecasts(h))) ++
+        (0 until Steps).flatMap(h => Seq(r4(res.lower(h)), r4(res.upper(h)))))
+    }
+    spark.createDataFrame(rdd, arimaSchema)
+  }
+
+  /** Registry summary surface (no array columns — the driver query):
+    * what models exist, their orders, fit quality, freshness.
+    */
+  def modelRegistryQuery(spark: SparkSession, dir: String): DataFrame =
+    modelRegistry(spark, dir)
+      .select(col("user_id"), col("n_obs"), col("p"), col("d"), col("q"),
+        round(col("aic"), 4).as("aic"),
+        round(col("sigma2"), 8).as("sigma2"),
+        col("last_price"), col("trained_at"))
+      .orderBy("user_id")
 
   private val BacktestN = 20
 

@@ -130,4 +130,37 @@ class ForecastSpec extends SparkSuite {
       assert(r.getLong(r.fieldIndex("n_backtest")) >= 5)
     }
   }
+
+  test("model registry: saved+loaded serve equals the fresh forecast exactly") {
+    val reg = Forecast.modelRegistry(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("arima_reg").toString
+    Forecast.saveModelRegistry(reg, path)
+    val served = Forecast.arimaForecastFromRegistry(
+        Forecast.loadModelRegistry(spark, path))
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    val fresh = Forecast.arimaForecast(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    // bit-identical: order, AIC, every forecast step and CI bound —
+    // the registry's tail state loses nothing vs the full history
+    assert(served.nonEmpty && served == fresh)
+    // one model per trainable symbol, and serve never refits: a
+    // corrupted registry must fail loudly at load, not serve garbage
+    assert(reg.count() == fresh.length)
+    val bad = java.nio.file.Files.createTempDirectory("arima_reg_bad").toString
+    Tables.events(spark, sfDir).limit(5).write.mode("overwrite").parquet(bad)
+    intercept[IllegalArgumentException] {
+      Forecast.loadModelRegistry(spark, bad)
+    }: Unit
+  }
+
+  test("predictions served from a loaded registry equal the inline fit path") {
+    val path = java.nio.file.Files.createTempDirectory("arima_reg2").toString
+    Forecast.saveModelRegistry(Forecast.modelRegistry(spark, sfDir), path)
+    val fromDisk = Forecast.predictionsFrom(spark, sfDir,
+        Forecast.loadModelRegistry(spark, path))
+      .collect().map(_.toString).toSeq
+    val inline = Forecast.predictions(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(fromDisk.nonEmpty && fromDisk == inline)
+  }
 }
