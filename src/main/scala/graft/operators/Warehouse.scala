@@ -392,6 +392,35 @@ object Warehouse {
       |GROUP BY n_nationkey, n_name
       |ORDER BY company_count DESC, industry""".stripMargin
 
+  /** Members of ONE industry (get_companies_by_industry,
+    * utils/company_manager.py:195-214): companies joined to the
+    * industry dim, filtered to the requested industry, ticker order.
+    * The filter lands on the DIM side before the broadcast, so the
+    * fact scan only tests the broadcast hash — no shuffle at any
+    * corpus size (dim mapping: nation=industry, customer=company,
+    * c_name=ticker, c_mktsegment=sector).
+    */
+  def companiesByIndustry(spark: SparkSession, dir: String,
+      industry: String = "NATION_7"): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .filter(col("n_name") === industry)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey").as("company_id"),
+        col("c_name").as("company_name"),
+        col("c_mktsegment").as("sector"),
+        col("c_acctbal").as("account_balance"),
+        col("n_name").as("industry"))
+      .orderBy("company_name")
+
+  def companiesByIndustrySql: String =
+    """SELECT c_custkey AS company_id, c_name AS company_name,
+      |  c_mktsegment AS sector, c_acctbal AS account_balance,
+      |  n_name AS industry
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_name = 'NATION_7'
+      |ORDER BY company_name""".stripMargin
+
   /** Recent per-company price history (utils/company_manager.py:312-335):
     * the latest `days` daily-OHLC rows per company joined to the dim —
     * a bounded per-key history fetch (row_number per key, not a global
