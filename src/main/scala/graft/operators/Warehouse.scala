@@ -464,19 +464,21 @@ object Warehouse {
     *
     * Scale shape: a plain date equi-join would key the shuffle on
     * trade_date alone — parallelism capped at #distinct dates (30 on
-    * this corpus) with each task materializing a symbols² pair block.
-    * Instead the pair space is tiled into `buckets`² symbol-bucket
-    * tiles (a triangle/"theta-join" replication: each side is
-    * replicated `buckets`× against the OTHER side's bucket id, so a
-    * pair meets in exactly ONE tile), keying the shuffle on
-    * (trade_date, a_bucket, b_bucket): parallelism rises to
-    * #dates·buckets² and per-task pair blocks shrink by buckets².
-    * The screen's total work is inherently Ω(pairs·days); bucketing
-    * makes it evenly parallel — at a 100× universe raise `buckets`
-    * ∝ symbols to hold tile size constant. The production path at
-    * very large universes remains a covariance sketch over a chosen
-    * hot set, with this exact join as its verifier (ScaleProbe times
-    * the bucketed join across synthetic universe sizes).
+    * this corpus) with each task materializing a symbols²-row
+    * pair-DATE block. Instead each symbol is compacted to three dense
+    * moment vectors on the session-date grid and the pair space is
+    * tiled into `buckets`² symbol-bucket tiles (a triangle/theta-join
+    * replication: each side is replicated `buckets`× against the
+    * OTHER side's bucket id, so a pair meets in exactly ONE tile).
+    * The pair stage joins #symbols·buckets compact rows across
+    * buckets² parallel tiles and computes each pair's correlation
+    * with six codegen'd dot products — work is the unavoidable
+    * Ω(pairs·days) FLOPs, but shuffle volume is O(symbols·buckets·
+    * days) and nothing date-keyed ever materializes. At a 100×
+    * universe raise `buckets` ∝ symbols to hold tile size constant.
+    * The production path at very large universes remains a covariance
+    * sketch over a chosen hot set, with this exact screen as its
+    * verifier (ScaleProbe times it across synthetic universe sizes).
     */
   def returnCorr(spark: SparkSession, dir: String,
       minDays: Int = 15): DataFrame = {
@@ -495,25 +497,66 @@ object Warehouse {
 
   /** The bucketed pair screen over an explicit (user_id, trade_date,
     * ret) frame — ScaleProbe drives it with replicated universes.
+    *
+    * Moment-vector formulation: each symbol is densified onto the
+    * global session-date grid as THREE tiny aligned arrays — returns
+    * (0 where absent), a presence mask, squared returns. Every
+    * pairwise statistic over a pair's COMMON sessions is then a dot
+    * product of two such arrays (n = m_a·m_b, Σx = r_a·m_b,
+    * Σx² = r²_a·m_b, Σxy = r_a·r_b), so the pair stage joins
+    * #symbols·buckets rows instead of #symbols·#dates rows and emits
+    * one row per pair directly — no pair-date materialization, no
+    * second aggregation shuffle, and the six dots run through the
+    * codegen'd VectorDot kernel. The date grid itself never shuffles
+    * anything big: it is a #dates-row broadcast.
     */
   private[graft] def returnCorrOf(rets: DataFrame, minDays: Int = 15,
       buckets: Int = 8): DataFrame = {
+    // global session-date index (tiny single-partition window: one row
+    // per trading day)
+    val datesIdx = rets.select("trade_date").distinct()
+      .withColumn("di", row_number().over(Window.orderBy("trade_date")) - 1)
+    // grid length on the driver: it sizes the dense arrays (max(…,1)
+    // only guards the empty-input sequence bounds — no data, no rows)
+    val n = math.max(datesIdx.count().toInt, 1)
+    val sym = rets.join(broadcast(datesIdx), Seq("trade_date"))
+      .groupBy("user_id")
+      .agg(map_from_entries(collect_list(struct(col("di"), col("ret")))).as("m"))
+      .select(col("user_id"),
+        transform(sequence(lit(0), lit(n - 1)),
+          i => coalesce(col("m")(i), lit(0.0))).as("r"),
+        transform(sequence(lit(0), lit(n - 1)),
+          i => when(col("m")(i).isNotNull, 1.0).otherwise(0.0)).as("mk"))
+      .withColumn("r2", transform(col("r"), x => x * x))
     val tiles = array((0 until buckets).map(lit): _*)
-    val a = rets.toDF("a_id", "trade_date", "a_ret")
+    val a = sym.toDF("a_id", "a_r", "a_mk", "a_r2")
       .withColumn("ab", pmod(hash(col("a_id")), lit(buckets)))
       .withColumn("bb", explode(tiles))
-    val b = rets.toDF("b_id", "trade_date", "b_ret")
+    val b = sym.toDF("b_id", "b_r", "b_mk", "b_r2")
       .withColumn("bb", pmod(hash(col("b_id")), lit(buckets)))
       .withColumn("ab", explode(tiles))
-    a.join(b, Seq("trade_date", "ab", "bb"))
+    val paired = a.join(b, Seq("ab", "bb"))
       .filter(col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("n_days"), corr("a_ret", "b_ret").as("c"))
-      .filter(col("n_days") >= minDays && col("c").isNotNull && !isnan(col("c")))
-      .withColumn("correlation", round(col("c"), 6))
+      .select(col("a_id"), col("b_id"),
+        Dedup.dot(col("a_mk"), col("b_mk")).as("nd"),
+        Dedup.dot(col("a_r"), col("b_mk")).as("sx"),
+        Dedup.dot(col("b_r"), col("a_mk")).as("sy"),
+        Dedup.dot(col("a_r2"), col("b_mk")).as("sxx"),
+        Dedup.dot(col("b_r2"), col("a_mk")).as("syy"),
+        Dedup.dot(col("a_r"), col("b_r")).as("sxy"))
+      .filter(col("nd") >= minDays)
+      .withColumn("cnum", col("sxy") - col("sx") * col("sy") / col("nd"))
+      .withColumn("cden", sqrt(
+        (col("sxx") - col("sx") * col("sx") / col("nd")) *
+        (col("syy") - col("sy") * col("sy") / col("nd"))))
+      // zero-variance pairs (corr undefined) drop, as in the oracle
+      .filter(col("cden") > 0)
+      .withColumn("correlation", round(col("cnum") / col("cden"), 6))
+    paired
+      .select(col("a_id"), col("b_id"),
+        col("nd").cast("long").as("n_days"), col("correlation"))
       .orderBy(abs(col("correlation")).desc, col("a_id"), col("b_id"))
       .limit(50)
-      .select("a_id", "b_id", "n_days", "correlation")
   }
 
   /** Daily close-to-close returns from an explicit validated tick

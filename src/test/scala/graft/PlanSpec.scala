@@ -75,11 +75,12 @@ class PlanSpec extends SparkSuite {
     assert(exchanges(chain) == 0, "chain must stay narrow (streamable)")
   }
 
-  test("returnCorr pair join is keyed on (date, bucket, bucket), not date alone") {
-    // a date-only join key caps the pair stage at #distinct dates
-    // tasks (30 here) with a symbols²-row block per task — the tile
-    // bucketing must reach the shuffle as part of the join key. At
-    // test SF the rets side is broadcast-sized, which would hide the
+  test("returnCorr pair join is keyed on the bucket tiles, not dates") {
+    // a date-keyed pair join caps the stage at #distinct dates tasks
+    // (30 here) and materializes symbols²-row pair-date blocks — the
+    // tile bucketing must reach the shuffle as the join key, and the
+    // pair-date blow-up must not appear anywhere in the plan. At test
+    // SF the symbol side is broadcast-sized, which would hide the
     // shuffle: disable auto-broadcast to see the at-scale join plan.
     val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -87,8 +88,8 @@ class PlanSpec extends SparkSuite {
       val plan = formatted(graft.operators.Warehouse.returnCorr(spark, sfDir))
       val part = "hashpartitioning\\(([^)]*)\\)".r
         .findAllMatchIn(plan).map(_.group(1)).toSeq
-      assert(part.exists(k => k.contains("trade_date") && k.contains("ab")
-          && k.contains("bb")),
+      assert(part.exists(k => k.contains("ab") && k.contains("bb")
+          && !k.contains("trade_date")),
         s"pair shuffle not keyed by the symbol-bucket tiles: $part")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
