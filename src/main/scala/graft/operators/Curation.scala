@@ -1136,6 +1136,119 @@ object Curation {
        |LEFT JOIN rem ON d.doc_id = rem.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------------- exact-substring dedup tier
+
+  /** Repeated-substring threshold, in tokens (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", §4:
+    * repeated spans of ≥ 50 tokens are excised corpus-wide).
+    */
+  private val SubstringN = 50
+
+  /** Rolling polynomial hash bases (odd, so multiplication is a
+    * bijection mod 2⁶⁴); two independent lanes make the window key an
+    * effective 128-bit fingerprint — corpus-scale collision odds are
+    * ~n²/2¹²⁸, so no content re-verification pass is needed.
+    */
+  private val HashBase1 = 1000003L
+  private val HashBase2 = 998244353L
+
+  private def fnv64(s: String, seed: Long): Long = {
+    var h = seed ^ 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** All `n`-token window fingerprints of one token sequence for one
+    * base/seed lane: prefix polynomial hashes, windows by subtraction
+    * — O(tokens), natural Long overflow = arithmetic mod 2⁶⁴.
+    */
+  private def windowHashes(ws: Seq[String], n: Int, base: Long,
+      seed: Long): Array[Long] = {
+    val m = ws.length
+    if (m < n) return Array.empty
+    val h = new Array[Long](m)
+    var i = 0
+    while (i < m) { h(i) = fnv64(ws(i), seed); i += 1 }
+    var bn = 1L
+    i = 0
+    while (i < n) { bn *= base; i += 1 }
+    val pre = new Array[Long](m + 1)
+    i = 0
+    while (i < m) { pre(i + 1) = pre(i) * base + h(i); i += 1 }
+    Array.tabulate(m - n + 1)(j => pre(j + n) - pre(j) * bn)
+  }
+
+  /** EXACT-substring dedup — the heavy-duty tier behind
+    * [[spanRemoval]]'s 5-gram approximation (Lee et al. 2022 run a
+    * suffix array over the concatenated corpus; the Spark-native
+    * equivalent of its ≥L-repeat scan is this rolling-fingerprint
+    * sweep, because a repeated span of length ≥ L contains a repeated
+    * L-token window at its start, and every repeated L-window marks
+    * exactly the span tokens the suffix-array pass would): every
+    * 50-token window is fingerprinted with two rolling polynomial
+    * hash lanes (8+8 bytes per position — the corpus text itself
+    * never shuffles as n-gram strings); window occurrences after the
+    * first in (doc_id, pos) order mark their token range; marked
+    * ranges (overlapping repeats union naturally) are excised.
+    *
+    * Scale shape: per-doc narrow fingerprinting, ONE shuffle on the
+    * 128-bit window key whose buckets are occurrence lists (almost
+    * always singletons), a dup-position aggregation sized by the
+    * duplicated mass only, and a doc_id re-join for the rewrite. At
+    * 100 TB the fingerprint table is ~24 B/token — the same order as
+    * the tokenized corpus — against the quadratic-adjacent cost of
+    * materializing 50-gram strings.
+    *
+    * Rows-only entry (the rolling fingerprint is not SQL-expressible
+    * at this size); CurationSpec plants long cross-doc duplicates and
+    * proves they are excised while clean docs pass untouched.
+    */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupDocs(Tables.documents(spark, dir))
+
+  private[graft] def substringDedupDocs(docs: DataFrame,
+      minTokens: Int = SubstringN): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(col("doc_id"),
+      split(trim(col("text")), s"[${TextOps.Ws}]+").as("ws"))
+    val wins = words.as[(Long, Seq[String])].flatMap { case (id, ws) =>
+      val w1 = windowHashes(ws, minTokens, HashBase1, 0L)
+      val w2 = windowHashes(ws, minTokens, HashBase2, 0x9e3779b97f4a7c15L)
+      w1.indices.iterator.map(i => (w1(i), w2(i), id, i))
+    }.toDF("h1", "h2", "doc_id", "pos")
+    val w = Window.partitionBy("h1", "h2").orderBy("doc_id", "pos")
+    val dupStarts = wins.withColumn("rn", row_number().over(w))
+      .filter(col("rn") > 1)
+      .groupBy("doc_id").agg(collect_list("pos").as("starts"))
+    words.join(dupStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("ws"),
+        coalesce(col("starts"), typedLit(Seq.empty[Int])).as("starts"))
+      .as[(Long, Seq[String], Seq[Int])]
+      .map { case (id, ws, starts) =>
+        val mask = new Array[Boolean](ws.length)
+        starts.foreach { s =>
+          var i = s; val end = math.min(s + minTokens, ws.length)
+          while (i < end) { mask(i) = true; i += 1 }
+        }
+        val kept = new scala.collection.mutable.StringBuilder
+        var removed = 0L
+        var i = 0
+        while (i < ws.length) {
+          if (mask(i)) removed += 1
+          else {
+            if (kept.nonEmpty) kept.append(' ')
+            kept.append(ws(i))
+          }
+          i += 1
+        }
+        (id, ws.length.toLong, removed, kept.toString)
+      }
+      .toDF("doc_id", "n_words", "n_removed", "text_kept")
+      .orderBy("doc_id")
+  }
+
   /** The same packing as one SQL window cumsum — correct at oracle
     * scale, where a global ORDER BY window is affordable.
     */

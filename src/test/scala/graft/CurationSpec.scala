@@ -363,4 +363,38 @@ class CurationSpec extends SparkSuite {
       assert(math.abs(frac - rate) < 0.15, s"$lang sampled $frac, target $rate")
     }
   }
+
+  test("substringDedup excises planted >=50-token repeats, keeps clean docs") {
+    import spark.implicits._
+    val core = (0 until 60).map(i => s"core$i")     // the repeated span
+    val docA = (0 until 30).map(i => s"a$i") ++ core ++ (0 until 30).map(i => s"z$i")
+    val docB = core ++ (0 until 60).map(i => s"b$i") // 60-token copy of A's middle
+    val docC = (0 until 80).map(i => s"c$i")         // clean
+    val docD = docA                                  // full exact copy
+    val docs = Seq(
+      (1L, docA.mkString(" ")), (2L, docB.mkString(" ")),
+      (3L, docC.mkString(" ")), (4L, docD.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Curation.substringDedupDocs(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_removed"),
+         r.getAs[String]("text_kept"))).toMap
+    // first occurrence (doc 1) keeps everything
+    assert(out(1L) == (120L, 0L, docA.mkString(" ")))
+    // doc 2 loses exactly the 60 copied tokens, keeps its unique tail
+    assert(out(2L)._2 == 60L)
+    assert(out(2L)._3 == (0 until 60).map(i => s"b$i").mkString(" "))
+    // clean doc untouched
+    assert(out(3L) == (80L, 0L, docC.mkString(" ")))
+    // the full copy is excised entirely
+    assert(out(4L) == (120L, 120L, ""))
+    // real corpus: mass conservation + determinism of the fingerprints
+    val real = Curation.substringDedup(spark, sfDir).collect()
+    assert(real.length == Tables.documents(spark, sfDir).count())
+    real.foreach { r =>
+      val kept = r.getAs[String]("text_kept")
+      val keptWords = if (kept.isEmpty) 0L else kept.split(" ").length.toLong
+      assert(keptWords == r.getAs[Long]("n_words") - r.getAs[Long]("n_removed"))
+    }
+  }
 }
