@@ -45,6 +45,11 @@ object PlanDump {
     dump("q_ann_opq", operators.Similarity.annOpq(spark, dir))
     dump("q_model_readiness", operators.Forecast.modelReadiness(spark, dir))
     dump("q_hybrid_search", operators.TextOps.hybridSearch(spark, dir))
+    dump("q_bloom_gate", operators.Dedup.bloomGate(spark, dir))
+    dump("q_return_corr", operators.Warehouse.returnCorr(spark, dir))
+    dump("q_substring_dedup", operators.Curation.substringDedup(spark, dir))
+    dump("q_ingest_errors", operators.ErrorLedger.ingestionErrors(spark, dir))
+    dump("q_companies_by_industry", operators.Warehouse.companiesByIndustry(spark, dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plandump] wrote PLANS.md")
     spark.stop()

@@ -47,7 +47,10 @@ case class BloomMightContain(child: Expression,
   override def prettyName: String = "bloom_might_contain"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case StringType => TypeCheckResult.TypeCheckSuccess
+    // any collation is accepted: the probe reads raw UTF-8 bytes, and
+    // Bloom membership is a byte-level question — collation affects
+    // comparison order, never the stored encoding
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
       s"bloom_might_contain expects a string column, got $t")
   }
@@ -82,12 +85,25 @@ case class BloomMightContain(child: Expression,
 }
 
 object BloomMightContain {
-  /** Column API: broadcast `bloom` once and return the probe as a
-    * reusable column function — `false` for null input, never null.
+  /** Column API: broadcasts `bloom` ONCE PER CALL and returns the
+    * probe as a reusable column function — `false` for null input,
+    * never null. The returned function can gate any number of frames
+    * against the SAME broadcast, but calling `bloom_might_contain`
+    * itself again re-broadcasts: a driver loop that rebuilds the gate
+    * per ingest batch should hold the broadcast handle instead —
+    * broadcast once with `spark.sparkContext.broadcast(bloom)`, probe
+    * via [[fromBroadcast]], and `destroy()` the handle when the
+    * standing sketch is replaced, or stale multi-GB sketches
+    * accumulate on executors.
     */
   def bloom_might_contain(spark: SparkSession,
-      bloom: BloomFilter): Column => Column = {
-    val bc = spark.sparkContext.broadcast(bloom)
+      bloom: BloomFilter): Column => Column =
+    fromBroadcast(spark.sparkContext.broadcast(bloom))
+
+  /** The probe over a CALLER-OWNED broadcast handle — the re-use path
+    * for long-lived gates (the caller controls the handle's lifetime
+    * and is responsible for `destroy()` on sketch replacement).
+    */
+  def fromBroadcast(bc: Broadcast[BloomFilter]): Column => Column =
     c => GraftShim.column(BloomMightContain(GraftShim.expression(c), bc))
-  }
 }

@@ -528,10 +528,33 @@ class LlmOpsSpec extends SparkSuite {
     val gate = Dedup.bloomGate(spark, sfDir)
     gate.collect() // materialize so AQE settles on the final plan
     val plan = gate.queryExecution.executedPlan.toString
-    assert(!plan.contains("UDF"), s"probe left codegen:\n$plan")
+    // assert on the expression tree, not a plan-string substring: an
+    // unlucky alias containing "UDF" must not fail this test
+    val hasScalaUdf = gate.queryExecution.executedPlan
+      .flatMap(_.expressions).exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF]))
+    assert(!hasScalaUdf, s"probe left codegen (ScalaUDF in plan):\n$plan")
     val codegenSpan = plan.linesIterator
       .exists(l => l.contains("*") && l.contains("bloom_might_contain"))
     assert(codegenSpan, s"probe outside WholeStageCodegen:\n$plan")
+    // a collated string column probes by bytes like the default one
+    val collated = probed
+      .withColumn("cfp", expr("collate(fingerprint, 'UTF8_LCASE')"))
+      .withColumn("chit", Dedup.bloomHit(spark, bloom)(col("cfp")))
+      .collect().map(r => Option(r.getAs[String]("cfp")) -> r.getAs[Boolean]("chit"))
+    collated.foreach { case (fp, hit) =>
+      assert(hit == fp.exists(bloom.mightContainString), s"collated parity on $fp")
+    }
+    // caller-owned broadcast: one handle serves many gates, and the
+    // caller can destroy it when the standing sketch is replaced
+    val bc = spark.sparkContext.broadcast(bloom)
+    val viaHandle = graft.functions.BloomMightContain.fromBroadcast(bc)
+    val h1 = probed.withColumn("h", viaHandle(col("fingerprint")))
+      .select("h").collect().map(_.getBoolean(0)).toSeq
+    val h2 = probed.withColumn("h", viaHandle(col("fingerprint")))
+      .select("h").collect().map(_.getBoolean(0)).toSeq
+    assert(h1 == h2 && h1 == probed.select("hit").collect().map(_.getBoolean(0)).toSeq)
+    bc.destroy()
   }
 
   test("bloomGate: every true duplicate flags; fresh docs mostly pass") {
