@@ -82,17 +82,24 @@ object Bench {
       names.map(name => minOfRuns(name)(() => SparkEntry.queries(name)(spark, sfDir)))
 
     val results = runGroup(headline)
-    val extResults = runGroup(extended) :+ {
-      // the ANN serve path: search against a PREBUILT product-quantized
-      // index (build cost excluded — that is q_ann_pq's number); this
-      // is the per-probe-batch latency an online retrieval user pays
+    val extResults = runGroup(extended) ++ {
+      // the ANN serve paths: search against PREBUILT indexes (build
+      // cost excluded — that is q_ann_pq / q_ann_hnsw's number); this
+      // is the per-probe-batch latency an online retrieval user pays,
+      // for the compressed-scan family (PQ) and the graph family
+      // (HNSW) side by side
       val corpus = operators.Similarity.vecs(spark, sfDir).toDF("vec_id", "v", "norm")
       val idx = operators.Similarity.pqIndex(spark, sfDir)
       idx.encoded.cache().count(): Unit
-      val r = minOfRuns("q_ann_pq_search")(() =>
+      val rPq = minOfRuns("q_ann_pq_search")(() =>
         operators.Similarity.annPqSearch(idx, corpus, 32))
       idx.encoded.unpersist(): Unit
-      r
+      val hidx = operators.Similarity.hnswIndex(spark, sfDir)
+      hidx.nodes.cache().count(): Unit
+      val rHnsw = minOfRuns("q_ann_hnsw_search")(() =>
+        operators.Similarity.annHnswSearch(hidx, corpus))
+      hidx.nodes.unpersist(): Unit
+      Seq(rPq, rHnsw)
     }
 
     def fmt(rs: Seq[(String, Double)]): String =

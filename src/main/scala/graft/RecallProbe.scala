@@ -116,6 +116,17 @@ object RecallProbe {
       println(f"[recall] nsw efSearch=$ef%2d recall@10=$recall%.3f")
     }
     nsw.nodes.unpersist()
+    // the layered hierarchy at the same beam widths: recall should
+    // track flat NSW (same layer-0 beam) — the layers buy ENTRY cost,
+    // not recall, so a material recall drop here flags a build bug
+    val hnsw = operators.Similarity.hnswIndex(spark, dir)
+    hnsw.nodes.cache().count(): Unit
+    for (ef <- Seq(4, 8, 16, 32, 64)) {
+      val got = pairs(operators.Similarity.annHnswSearch(hnsw, nswCorpus, ef))
+      val recall = (exact & got).size.toDouble / exact.size
+      println(f"[recall] hnsw efSearch=$ef%2d recall@10=$recall%.3f")
+    }
+    hnsw.nodes.unpersist()
     // codebook-fit sample sensitivity: recall at rerank=32 as the fit
     // shrinks to a hash sample (cap ≥ corpus ≡ full fit)
     for (cap <- Seq(1000000L, 1024L, 256L, 64L)) {
@@ -149,12 +160,17 @@ object RecallProbe {
       val pqAn = operators.Similarity.PqIndex(
         operators.Similarity.encodePq(an, anBooks), anBooks)
       val opqAn = operators.Similarity.opqIndexOf(an)
+      // the non-parametric alternation on the SAME anisotropic corpus:
+      // where the gains the uniform sweep couldn't show become visible
+      val opqNpAn = operators.Similarity.opqIndexNpOf(an)
       for (rerank <- Seq(10, 16, 32)) {
         val gotPq = pairs(operators.Similarity.annPqSearch(pqAn, an, rerank))
         val gotOpq = pairs(operators.Similarity.annOpqSearch(opqAn, an, rerank))
+        val gotNp = pairs(operators.Similarity.annOpqSearch(opqNpAn, an, rerank))
         val rPq = (anExact & gotPq).size.toDouble / anExact.size
         val rOpq = (anExact & gotOpq).size.toDouble / anExact.size
-        println(f"[recall] anis rerank=$rerank%3d pq=$rPq%.3f opq=$rOpq%.3f gap=${rOpq - rPq}%+.3f")
+        val rNp = (anExact & gotNp).size.toDouble / anExact.size
+        println(f"[recall] anis rerank=$rerank%3d pq=$rPq%.3f opq=$rOpq%.3f opqNp=$rNp%.3f gap=${rOpq - rPq}%+.3f")
       }
       an.unpersist(): Unit
     }

@@ -122,6 +122,14 @@ object ScaleProbe {
     val cached = operators.Similarity.GraphIndex(nswIdx.nodes.cache())
     cached.nodes.count(): Unit
     time("nsw_search")(operators.Similarity.annGraphSearch(cached, corpus))
+    cached.nodes.unpersist(): Unit
+    val hnswIdx = operators.Similarity.hnswIndexOf(corpus,
+      numShards = math.max(8, replicas))
+    time("hnsw_build")(hnswIdx.nodes)
+    val hcached = operators.Similarity.HnswIndex(hnswIdx.nodes.cache())
+    hcached.nodes.count(): Unit
+    time("hnsw_search")(operators.Similarity.annHnswSearch(hcached, corpus))
+    hcached.nodes.unpersist(): Unit
     time("opq_index")(operators.Similarity.opqIndexOf(corpus).encoded)
     spark.stop()
   }

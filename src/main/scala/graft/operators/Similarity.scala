@@ -725,8 +725,14 @@ object Similarity {
     } finally sampleDf.unpersist(): Unit
   }
 
-  def opqIndexNp(spark: SparkSession, dir: String, iters: Int = 3): OpqIndex = {
-    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
+  def opqIndexNp(spark: SparkSession, dir: String, iters: Int = 3): OpqIndex =
+    opqIndexNpOf(vecs(spark, dir).toDF("vec_id", "v", "norm"), iters)
+
+  /** The explicit-corpus entry for the non-parametric fit — the
+    * synthetic-corpus recall harnesses drive it directly.
+    */
+  private[graft] def opqIndexNpOf(corpus: DataFrame,
+      iters: Int = 3): OpqIndex = {
     val (rot, books) = fitOpqNp(corpus, iters)
     opqIndexFromFit(corpus, rot, books)
   }
@@ -965,20 +971,22 @@ object Similarity {
   /** Greedy best-first beam over the first `built` nodes: expand the
     * best unexpanded candidate until the beam's worst member beats
     * every frontier node. Ties break on node index (deterministic).
+    * `start` is the walk's seed (node 0 for the flat NSW graph; the
+    * descent's hand-off for the layered HNSW walk).
     */
   private def nswBeam(nodes: Array[NswNode], adj: Int => Iterator[Int],
       q: Array[Double], qn: Double, ef: Int,
-      built: Int): Array[(Double, Int)] = {
+      built: Int, start: Int = 0): Array[(Double, Int)] = {
     val visited = new java.util.BitSet(built)
     // frontier: best cos first; results: worst cos first
     val frontier = scala.collection.mutable.PriorityQueue
       .empty[(Double, Int)](Ordering.by(t => (t._1, -t._2)))
     val results = scala.collection.mutable.PriorityQueue
       .empty[(Double, Int)](Ordering.by(t => (-t._1, t._2)))
-    val c0 = nswCos(nodes, q, qn, 0)
-    visited.set(0)
-    frontier.enqueue((c0, 0))
-    results.enqueue((c0, 0))
+    val c0 = nswCos(nodes, q, qn, start)
+    visited.set(start)
+    frontier.enqueue((c0, start))
+    results.enqueue((c0, start))
     while (frontier.nonEmpty &&
         (results.size < ef || frontier.head._1 > results.head._1)) {
       val (_, node) = frontier.dequeue()
@@ -1251,6 +1259,305 @@ object Similarity {
     require(nodes.columns.toSet == Set("shard", "vec_id", "v", "norm", "nbrs"),
       s"invalid graph index at $path: ${nodes.columns.mkString(",")}")
     GraphIndex(nodes.select("shard", "vec_id", "v", "norm", "nbrs"))
+  }
+
+  // ------------------------------------------------------ HNSW layers
+
+  /** HIERARCHICAL NSW (the full Malkov & Yashunin 2016 layout): the
+    * flat per-shard NSW graph above gains a layer hierarchy — node i
+    * appears in layers 0..level(i), where level is geometric with
+    * ratio 1/maxDeg, so layer L+1 holds ~1/maxDeg of layer L. A
+    * search GREEDY-DESCENDS from the top layer's entry point (one
+    * closest-neighbor hop per layer, ef=1) and only runs the wide
+    * `efSearch` beam on layer 0, entering it next to the answer
+    * instead of at an arbitrary seed — the upper layers are the
+    * express lanes that make per-shard entry O(log n) hops even when
+    * the shard no longer fits the beam's locality, which is what the
+    * flat NSW walk loses at 100 TB shard sizes.
+    *
+    * Everything the flat graph pins still holds here: cosines are
+    * computed exactly during the walk (bit-equal to the brute-force
+    * kernel on whatever the walk scores), ties break on node index,
+    * and the build is deterministic — levels derive from a splitmix64
+    * hash of the VECTOR id (not a driver RNG), so the same corpus
+    * always builds the same hierarchy on any cluster layout, and an
+    * appended batch assigns the same levels it would have been built
+    * with. Layer-0 degree is 2·maxDeg (the standard M0 = 2M), upper
+    * layers maxDeg.
+    */
+  private def hnswLevel(id: Long, maxDeg: Int): Int = {
+    var h = id * 0x9E3779B97F4A7C15L
+    h ^= (h >>> 30); h *= 0xBF58476D1CE4E5B9L
+    h ^= (h >>> 27); h *= 0x94D049BB133111EBL
+    h ^= (h >>> 31)
+    val u = ((h >>> 11) + 1).toDouble / (1L << 53).toDouble // (0, 1]
+    val mL = 1.0 / math.log(math.max(maxDeg, 2).toDouble)
+    math.min(12, (-math.log(u) * mL).toInt)
+  }
+
+  /** One greedy ef=1 hop sequence at `layer`: move to the strictly
+    * best neighbor until local maximum (strict improvement only, so
+    * termination is guaranteed and the path deterministic).
+    */
+  private def hnswGreedy(nodes: Array[NswNode],
+      adj: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]],
+      layer: Int, start: Int, q: Array[Double], qn: Double,
+      built: Int): Int = {
+    var cur = start
+    var curCos = nswCos(nodes, q, qn, cur)
+    var improved = true
+    while (improved) {
+      improved = false
+      adj(cur)(layer).foreach { nb =>
+        if (nb < built) {
+          val c = nswCos(nodes, q, qn, nb)
+          if (c > curCos) { cur = nb; curCos = c; improved = true }
+        }
+      }
+    }
+    cur
+  }
+
+  /** Insert nodes `from` until the end into a layered graph whose
+    * first `from` nodes already carry adjacency — the HNSW analogue
+    * of [[nswExtend]], shared by fresh builds (`from = 1`) and
+    * incremental appends. `adj(i)(l)` is node i's layer-l neighbor
+    * list (length level(i)+1). Returns the final entry node.
+    */
+  private def hnswExtend(nodes: Array[NswNode], levels: Array[Int],
+      adj: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]],
+      from: Int, maxDeg: Int, efConstruction: Int): Int = {
+    def layerAdj(l: Int)(j: Int): Iterator[Int] =
+      if (l <= levels(j)) adj(j)(l).iterator else Iterator.empty
+    def prune(j: Int, l: Int, deg: Int): Unit =
+      if (adj(j)(l).length > deg) {
+        val kept = adj(j)(l)
+          .map(k => (nswCos(nodes, nodes(j)._2, nodes(j)._3, k), k))
+          .sortBy(t => (-t._1, t._2)).take(deg).map(_._2)
+        adj(j)(l).clear()
+        adj(j)(l) ++= kept
+      }
+    // entry among the first `from` nodes: first (insertion-order) node
+    // of maximal level — exactly what the build below maintains
+    var entry = 0
+    var e = 1
+    while (e < from) { if (levels(e) > levels(entry)) entry = e; e += 1 }
+    var i = math.max(from, 1) // node 0 seeds the hierarchy edge-free
+    while (i < nodes.length) {
+      val (q, qn) = (nodes(i)._2, nodes(i)._3)
+      var ep = entry
+      var l = levels(entry)
+      while (l > levels(i)) { // express descent above the new node
+        ep = hnswGreedy(nodes, adj, l, ep, q, qn, i)
+        l -= 1
+      }
+      while (l >= 0) { // link layers the new node participates in
+        val found = nswBeam(nodes, layerAdj(l), q, qn, efConstruction, i, ep)
+        val deg = if (l == 0) maxDeg * 2 else maxDeg
+        found.take(deg).foreach { case (_, j) =>
+          adj(i)(l) += j
+          adj(j)(l) += i
+          prune(j, l, deg)
+        }
+        ep = found.head._2
+        l -= 1
+      }
+      if (levels(i) > levels(entry)) entry = i
+      i += 1
+    }
+    entry
+  }
+
+  private def hnswBuild(nodes: Array[NswNode], maxDeg: Int,
+      efConstruction: Int): (Array[Int],
+      Array[Array[scala.collection.mutable.ArrayBuffer[Int]]], Int) = {
+    val levels = Array.tabulate(nodes.length)(i => hnswLevel(nodes(i)._1, maxDeg))
+    val adj = Array.tabulate(nodes.length)(i =>
+      Array.fill(levels(i) + 1)(scala.collection.mutable.ArrayBuffer.empty[Int]))
+    val entry = hnswExtend(nodes, levels, adj, 1, maxDeg, efConstruction)
+    (levels, adj, entry)
+  }
+
+  /** Full layered search on one shard: descend layers top..1 with
+    * ef=1 greedy hops, then the usual `efSearch` beam on layer 0
+    * seeded at the descent's hand-off.
+    */
+  private def hnswSearchLocal(nodes: Array[NswNode], levels: Array[Int],
+      adj: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]],
+      entry: Int, q: Array[Double], qn: Double,
+      ef: Int): Array[(Double, Int)] = {
+    var ep = entry
+    var l = levels(entry)
+    while (l > 0) { ep = hnswGreedy(nodes, adj, l, ep, q, qn, nodes.length); l -= 1 }
+    nswBeam(nodes, adj(_)(0).iterator, q, qn, ef, nodes.length, ep)
+  }
+
+  def annHnsw(spark: SparkSession, dir: String, efSearch: Int = 32,
+      maxDeg: Int = 8, efConstruction: Int = 32, numShards: Int = 4): DataFrame =
+    annHnswOf(vecs(spark, dir).toDF("vec_id", "v", "norm"),
+      efSearch, maxDeg, efConstruction, numShards)
+
+  private[graft] def annHnswOf(corpus: DataFrame, efSearch: Int = 32,
+      maxDeg: Int = 8, efConstruction: Int = 32,
+      numShards: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bProbes = spark.sparkContext.broadcast(probeArray(corpus))
+    val local = corpus.repartition(numShards, col("vec_id"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { iter =>
+        val nodes = iter.map { case (id, v, n) => (id, v.toArray, n) }
+          .toArray.sortBy(_._1)
+        if (nodes.isEmpty) Iterator.empty
+        else {
+          val (levels, adj, entry) = hnswBuild(nodes, maxDeg, efConstruction)
+          bProbes.value.iterator.flatMap { case (pid, pv, pn) =>
+            hnswSearchLocal(nodes, levels, adj, entry, pv, pn, efSearch)
+              .filter { case (_, j) => nodes(j)._1 != pid }
+              .take(TopK)
+              .map { case (c, j) => (pid, nodes(j)._1, c) }
+          }
+        }
+      }.toDF("probe_id", "neighbor_id", "cos")
+    mergeShardTopK(local)
+  }
+
+  /** A fitted per-shard HNSW hierarchy: one row per vector carrying
+    * its layered neighbor lists (`lnbrs(l)` = layer-l neighbor VEC
+    * ids; `lnbrs.size - 1` IS the node's level, so the hierarchy
+    * round-trips through parquet with no extra column). The entry
+    * point is derived, not stored: the lowest-id node of maximal
+    * level — the same node the id-ordered build promotes last.
+    */
+  case class HnswIndex(nodes: DataFrame)
+
+  def hnswIndex(spark: SparkSession, dir: String, maxDeg: Int = 8,
+      efConstruction: Int = 32, numShards: Int = 4): HnswIndex =
+    hnswIndexOf(vecs(spark, dir).toDF("vec_id", "v", "norm"),
+      maxDeg, efConstruction, numShards)
+
+  private[graft] def hnswIndexOf(corpus: DataFrame, maxDeg: Int = 8,
+      efConstruction: Int = 32, numShards: Int = 4): HnswIndex = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val nodesDf = corpus.repartition(numShards, col("vec_id"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { iter =>
+        val shard = org.apache.spark.TaskContext.getPartitionId()
+        val nodes = iter.map { case (id, v, n) => (id, v.toArray, n) }
+          .toArray.sortBy(_._1)
+        if (nodes.isEmpty) Iterator.empty
+        else {
+          val (_, adj, _) = hnswBuild(nodes, maxDeg, efConstruction)
+          nodes.indices.iterator.map { i =>
+            (shard, nodes(i)._1, nodes(i)._2.toSeq, nodes(i)._3,
+              adj(i).map(_.map(j => nodes(j)._1).toSeq).toSeq)
+          }
+        }
+      }.toDF("shard", "vec_id", "v", "norm", "lnbrs")
+    HnswIndex(nodesDf)
+  }
+
+  def annHnswSearch(idx: HnswIndex, corpus: DataFrame,
+      efSearch: Int = 32): DataFrame =
+    annHnswSearchProbes(idx,
+      corpus.filter(col("vec_id") < NumProbes).toDF("probe_id", "p_v", "p_norm"),
+      efSearch, excludeSelf = true)
+
+  /** Layered search against an explicit probe batch (same serve-path
+    * contract as [[annGraphSearchProbes]]).
+    */
+  def annHnswSearchProbes(idx: HnswIndex, probes: DataFrame,
+      efSearch: Int = 32, excludeSelf: Boolean = false): DataFrame = {
+    val spark = idx.nodes.sparkSession
+    import spark.implicits._
+    val bProbes = spark.sparkContext.broadcast(probeArrayOf(probes))
+    val local = idx.nodes.as[(Int, Long, Seq[Double], Double, Seq[Seq[Long]])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, rows) =>
+        val rs = rows.toArray.sortBy(_._2)
+        val nodes: Array[NswNode] = rs.map(r => (r._2, r._3.toArray, r._4))
+        val idToIdx = nodes.iterator.map(_._1).zipWithIndex.toMap
+        val levels = rs.map(_._5.length - 1)
+        val adj = rs.map(_._5.map(layer =>
+          layer.iterator.map(idToIdx)
+            .to(scala.collection.mutable.ArrayBuffer)).toArray)
+        val maxLevel = levels.max
+        val entry = levels.indexOf(maxLevel)
+        bProbes.value.iterator.flatMap { case (pid, pv, pn) =>
+          hnswSearchLocal(nodes, levels, adj, entry, pv, pn, efSearch)
+            .filter { case (_, j) => !excludeSelf || nodes(j)._1 != pid }
+            .take(TopK)
+            .map { case (c, j) => (pid, nodes(j)._1, c) }
+        }
+      }.toDF("probe_id", "neighbor_id", "cos")
+    mergeShardTopK(local)
+  }
+
+  /** Incremental HNSW maintenance — same contract as
+    * [[updateGraphIndex]] (hash-routed batch, per-shard id-ordered
+    * insertion into the standing hierarchy, duplicate ids fail
+    * loudly); levels for the arrivals come from the same id hash the
+    * build uses, so an appended node lands on exactly the layers a
+    * from-scratch build would give it.
+    */
+  def updateHnswIndex(idx: HnswIndex, newVecs: DataFrame,
+      maxDeg: Int = 8, efConstruction: Int = 32): HnswIndex = {
+    val spark = idx.nodes.sparkSession
+    import spark.implicits._
+    val numShards = idx.nodes.agg(max("shard")).head.getInt(0) + 1
+    val batch = newVecs
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))
+      .repartition(numShards, col("vec_id"))
+      .as[(Long, Seq[Double], Double)]
+      .mapPartitions { iter =>
+        val shard = org.apache.spark.TaskContext.getPartitionId()
+        iter.map { case (id, v, n) =>
+          (shard, id, v, n, null: Seq[Seq[Long]])
+        }
+      }.toDF("shard", "vec_id", "v", "norm", "lnbrs")
+    val merged = idx.nodes.unionByName(batch)
+      .as[(Int, Long, Seq[Double], Double, Seq[Seq[Long]])]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, rows) =>
+        val (oldRows, newRows) = rows.toArray.partition(_._5 != null)
+        val olds = oldRows.sortBy(_._2)
+        val news = newRows.sortBy(_._2)
+        val nodes: Array[NswNode] =
+          (olds ++ news).map(r => (r._2, r._3.toArray, r._4))
+        if (nodes.isEmpty) Iterator.empty
+        else {
+          val idToIdx = nodes.iterator.map(_._1).zipWithIndex.toMap
+          require(idToIdx.size == nodes.length,
+            s"duplicate vec_ids appended into shard $shard")
+          val levels = olds.map(_._5.length - 1) ++
+            news.map(r => hnswLevel(r._2, maxDeg))
+          val adj = Array.tabulate(nodes.length) { i =>
+            if (i < olds.length)
+              olds(i)._5.map(layer => layer.iterator.map(idToIdx)
+                .to(scala.collection.mutable.ArrayBuffer)).toArray
+            else Array.fill(levels(i) + 1)(
+              scala.collection.mutable.ArrayBuffer.empty[Int])
+          }
+          hnswExtend(nodes, levels, adj, olds.length, maxDeg, efConstruction)
+          nodes.indices.iterator.map { i =>
+            (shard, nodes(i)._1, nodes(i)._2.toSeq, nodes(i)._3,
+              adj(i).map(_.map(j => nodes(j)._1).toSeq).toSeq)
+          }
+        }
+      }.toDF("shard", "vec_id", "v", "norm", "lnbrs")
+    HnswIndex(merged)
+  }
+
+  def saveHnswIndex(idx: HnswIndex, path: String): Unit =
+    idx.nodes.write.mode("overwrite").parquet(path)
+
+  def loadHnswIndex(spark: SparkSession, path: String): HnswIndex = {
+    val nodes = spark.read.parquet(path)
+    require(nodes.columns.toSet == Set("shard", "vec_id", "v", "norm", "lnbrs"),
+      s"invalid hnsw index at $path: ${nodes.columns.mkString(",")}")
+    HnswIndex(nodes.select("shard", "vec_id", "v", "norm", "lnbrs"))
   }
 
   /** LSH-bucketed approximate top-k at the production (scale-safe)

@@ -503,6 +503,68 @@ class LlmOpsSpec extends SparkSuite {
       == again.nodes.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("annHnsw: layered descent recall, exact cosines, determinism") {
+    val exactRows = Similarity.annBruteForce(spark, sfDir).collect()
+    val exact = exactRows.map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val approx = Similarity.annHnsw(spark, sfDir).collect()
+    val got = approx.map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.7, s"hnsw recall $recall")
+    // the hierarchy only changes WHERE the layer-0 beam enters — the
+    // scored cosines are still the exact kernel
+    val exactCos = exactRows.map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    approx.foreach { r =>
+      val k = (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))
+      exactCos.get(k).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+    assert(approx.groupBy(_.getAs[Long]("probe_id")).forall(_._2.length == 10))
+    // levels hash off vec_ids, not an RNG: build+search is a pure
+    // function of the corpus
+    val again = Similarity.annHnsw(spark, sfDir).collect()
+    assert(approx.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("hnsw index: real hierarchy, fused == index path, save/load, append") {
+    val corpus = Similarity.vecs(spark, sfDir).toDF("vec_id", "v", "norm")
+    val idx = Similarity.hnswIndex(spark, sfDir)
+    // the hierarchy is real: levels are geometric(1/maxDeg), so a
+    // ~1000-vector corpus must place SOME nodes above layer 0 and
+    // most below; lnbrs length encodes the level
+    val levels = idx.nodes.select(size(col("lnbrs")).cast("long"))
+      .collect().map(_.getLong(0) - 1)
+    assert(levels.max >= 1, "no node above layer 0 — hierarchy degenerate")
+    val upperFrac = levels.count(_ >= 1).toDouble / levels.length
+    assert(upperFrac > 0.02 && upperFrac < 0.35,
+      s"layer-1 occupancy $upperFrac outside the geometric envelope")
+    val fused = Similarity.annHnsw(spark, sfDir).collect().map(_.toString).toSeq
+    val viaIdx = Similarity.annHnswSearch(idx, corpus)
+      .collect().map(_.toString).toSeq
+    assert(fused == viaIdx, "index-path search diverged from the fused build")
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw").toString
+    Similarity.saveHnswIndex(idx, path)
+    val loaded = Similarity.annHnswSearch(
+      Similarity.loadHnswIndex(spark, path), corpus)
+      .collect().map(_.toString).toSeq
+    assert(viaIdx == loaded)
+    // append: planted twins of the probes become rank-1 neighbors
+    val batch = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 5)
+      .select((col("vec_id") + 2000000L).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    val updated = Similarity.updateHnswIndex(idx, batch)
+    assert(updated.nodes.count() == idx.nodes.count() + 5)
+    val res = Similarity.annHnswSearch(updated, corpus).collect()
+    val byProbe = res.groupBy(_.getAs[Long]("probe_id"))
+    (0L until 5L).foreach { p =>
+      val top = byProbe(p).minBy(_.getAs[Int]("rank"))
+      assert(top.getAs[Long]("neighbor_id") == p + 2000000L,
+        s"probe $p: expected its twin first, got $top")
+      assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-6)
+    }
+  }
+
   test("bloom_might_contain: parity with sketch probes, null-safe both sides, codegen'd") {
     import spark.implicits._
     // build side tolerates null fingerprints (null-text docs) — they
