@@ -222,13 +222,7 @@ object Forecast {
     // consume the UNSORTED internal variants — the driver queries'
     // trailing ORDER BYs would each cost a global range sort that the
     // union + final sort here immediately discards
-    val arima = arimaForecastFromRegistry(registry)
-      .select(
-        col("user_id"),
-        col("forecast_1").as("predicted_price"),
-        greatest(lit(0.0), least(lit(1.0),
-          lit(1.0) / (lit(1.0) + abs(col("aic")) / 100.0))).as("confidence_score"),
-        lit("ARIMA").as("model_type"))
+    val arima = registryServeSurface(registry)
     val latestAutoreg = {
       // temporally last window: (ts, event_id) desc, matching the
       // repo-wide latest-row convention (event_id alone is not
@@ -775,6 +769,24 @@ object Forecast {
     }
     spark.createDataFrame(rdd, arimaSchema)
   }
+
+  /** One scoring row per registered model — next-price forecast plus
+    * the reference's AIC→confidence transform
+    * max(0, min(1, 1/(1+|aic|/100))) (analytics_consumer.py:374-377).
+    * This is the BROADCASTABLE serve surface: registry-sized (one row
+    * per symbol, never tick-sized), shared by the batch predictions
+    * query and the streaming scoring leg
+    * ([[graft.streaming.TickStream.forecastServeStream]]) so the two
+    * cannot drift. Callers serving many batches should cache it.
+    */
+  def registryServeSurface(registry: DataFrame): DataFrame =
+    arimaForecastFromRegistry(registry)
+      .select(
+        col("user_id"),
+        col("forecast_1").as("predicted_price"),
+        greatest(lit(0.0), least(lit(1.0),
+          lit(1.0) / (lit(1.0) + abs(col("aic")) / 100.0))).as("confidence_score"),
+        lit("ARIMA").as("model_type"))
 
   /** Registry summary surface (no array columns — the driver query):
     * what models exist, their orders, fit quality, freshness.

@@ -288,6 +288,90 @@ object TickStream {
         idx, probeVectors(batch), efSearch), batchId)
     }
 
+  /** The HNSW flavor of [[annGraphServeStream]] — the layered
+    * hierarchy serves probe batches exactly like the flat graph (the
+    * descent is per-probe, stateless); at 100 TB shard sizes this is
+    * the serve leg to prefer: narrow beams keep latency down and the
+    * layer descent keeps their recall (RecallProbe: 0.98 at
+    * efSearch=8 vs the flat graph's 0.66).
+    */
+  def annHnswServeStream(probeStream: DataFrame,
+      idx: graft.operators.Similarity.HnswIndex, efSearch: Int = 32)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    probeStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Similarity.annHnswSearchProbes(
+        idx, probeVectors(batch), efSearch), batchId)
+    }
+
+  /** Streaming INDEX MAINTENANCE — the ingest-side dual of the serve
+    * streams: each microbatch of newly-arrived embeddings appends
+    * into the standing HNSW hierarchy through
+    * [[graft.operators.Similarity.updateHnswIndex]] (hash-routed to
+    * its shard, id-ordered insertion, levels from the same id hash a
+    * fresh build uses), and the updated index is handed to the
+    * caller to swap into the serve path — together with
+    * [[annHnswServeStream]] this closes the loop: ingest maintains
+    * the index, serve probes whatever the last completed batch
+    * published. The standing index is `localCheckpoint`ed each batch:
+    * appends are LAZY, so without truncation batch N's index would
+    * re-walk every prior batch's insertion on every action — the
+    * checkpoint makes each append's cost O(that batch) and unpins the
+    * microbatch source it derived from.
+    */
+  def hnswMaintainStream(embStream: DataFrame,
+      initial: graft.operators.Similarity.HnswIndex,
+      maxDeg: Int = 8, efConstruction: Int = 32)(
+      onUpdate: (graft.operators.Similarity.HnswIndex, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // driver-held standing index, swapped once per completed batch —
+    // foreachBatch runs serially, so no synchronization is needed
+    var idx = initial
+    embStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val vecs = batch.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val appended = graft.operators.Similarity
+        .updateHnswIndex(idx, vecs, maxDeg, efConstruction)
+      idx = graft.operators.Similarity.HnswIndex(
+        appended.nodes.localCheckpoint(true))
+      onUpdate(idx, batchId)
+    }
+  }
+
+  /** Registry-SERVED streaming forecasts — the live leg of the
+    * reference's predictions flow (analytics_consumer.py:366-377
+    * scores each arriving tick against its symbol's CACHED fitted
+    * model, never refitting in the hot path; ml_models table,
+    * enhanced_schema.sql:159-182): each microbatch validates its
+    * ticks with the SAME predicate as batch ingest, then
+    * broadcast-joins the standing registry's serve surface on
+    * user_id — one output row per arriving valid tick of a modeled
+    * symbol, carrying the model's next-price forecast and AIC
+    * confidence next to the observed price. Zero streaming state and
+    * zero fitting: the registry is fitted once
+    * ([[graft.operators.Forecast.modelRegistry]] or loaded from
+    * disk), its serve surface derived once
+    * ([[graft.operators.Forecast.registryServeSurface]] — cache it)
+    * and only PROBED here, so scoring cost per batch is one broadcast
+    * hash join against a registry-sized (per-symbol, never
+    * tick-sized) table — the shape that holds when the tick stream is
+    * 1000× and models refresh on their own slower cadence.
+    */
+  def forecastServeStream(ticks: DataFrame, serveSurface: DataFrame)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ticks.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(scoreTicksAgainstRegistry(batch, serveSurface), batchId)
+    }
+
+  /** The one scoring projection [[forecastServeStream]] runs per
+    * microbatch — exposed so the spec's batch dual IS the same code.
+    */
+  def scoreTicksAgainstRegistry(ticks: DataFrame,
+      serveSurface: DataFrame): DataFrame =
+    graft.operators.Warehouse.validTicksOf(ticks)
+      .join(broadcast(serveSurface), Seq("user_id"))
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("value").as("price"), col("predicted_price"),
+        col("confidence_score"), col("model_type"))
+
   /** (probe_id, p_v, p_norm) from an embeddings-shaped microbatch —
     * the one probe-preparation both serve streams share.
     */

@@ -580,6 +580,145 @@ class StreamingSpec extends SparkSuite {
     assert(rows.map(_.toString).sameElements(single.map(_.toString)))
   }
 
+  test("streaming hnsw serve equals the batch layered search") {
+    import graft.operators.Similarity
+    val idx = Similarity.hnswIndex(spark, sfDir)
+    idx.nodes.cache().count(): Unit
+    val emb = Tables.embeddings(spark, sfDir)
+    val staged = java.nio.file.Files.createTempDirectory("hserve").toString
+    Seq(emb.filter(col("vec_id") < 2),
+      emb.filter(col("vec_id") >= 2 && col("vec_id") < 5))
+      .zipWithIndex.foreach { case (p, i) =>
+        p.coalesce(1).write.parquet(s"$staged/f$i.parquet")
+      }
+    val streamDir = java.nio.file.Files.createTempDirectory("hserveflat")
+    new java.io.File(staged).listFiles().filter(_.isDirectory).sortBy(_.getName)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        val dst = streamDir.resolve(f"part$i%02d.parquet")
+        java.nio.file.Files.copy(f.toPath, dst)
+        require(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+      }
+    val probeStream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("hserve_ckpt").toString
+    val q = TickStream.annHnswServeStream(probeStream, idx) { (df, _) =>
+      buf.synchronized { buf ++= df.collect().map(_.toString): Unit }
+    }.option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val corpus = Similarity.vecs(spark, sfDir).toDF("vec_id", "v", "norm")
+    val batchProbes = corpus.filter(col("vec_id") < 5)
+      .toDF("probe_id", "p_v", "p_norm")
+    val batch = Similarity.annHnswSearchProbes(idx, batchProbes)
+      .collect().map(_.toString)
+    assert(buf.sorted.toSeq == batch.sorted.toSeq,
+      s"streamed ${buf.length} rows vs batch ${batch.length}")
+    idx.nodes.unpersist(): Unit
+  }
+
+  test("hnsw maintenance stream appends each microbatch into the standing index") {
+    import graft.operators.Similarity
+    val idx0 = Similarity.hnswIndex(spark, sfDir)
+    idx0.nodes.cache().count(): Unit
+    val n0 = idx0.nodes.count()
+    val emb = Tables.embeddings(spark, sfDir)
+    // ingest: twins of the 5 probe vectors at fresh ids, arriving as
+    // two microbatches
+    val twins = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+    val srcDir = java.nio.file.Files.createTempDirectory("hmnt_src").toString
+    twins.filter(col("vec_id") < 3000003L).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    twins.filter(col("vec_id") >= 3000003L).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(twins.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var live: Similarity.HnswIndex = idx0
+    val ckpt = java.nio.file.Files.createTempDirectory("hmnt_ckpt").toString
+    val q = TickStream.hnswMaintainStream(stream, idx0) { (ix, bid) =>
+      live = ix
+      seen += ix.nodes.count()
+    }.option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    // the index grew batch by batch, exactly once per arrival
+    assert(seen.toSeq == Seq(n0 + 3, n0 + 5), s"growth was $seen")
+    assert(live.nodes.select("vec_id").distinct().count() == n0 + 5)
+    // serve from the maintained hierarchy: every planted twin is its
+    // probe's rank-1 neighbor at cosine 1
+    val corpus = Similarity.vecs(spark, sfDir).toDF("vec_id", "v", "norm")
+    val res = Similarity.annHnswSearch(live, corpus).collect()
+    val byProbe = res.groupBy(_.getAs[Long]("probe_id"))
+    (0L until 5L).foreach { p =>
+      val top = byProbe(p).minBy(_.getAs[Int]("rank"))
+      assert(top.getAs[Long]("neighbor_id") == p + 3000000L,
+        s"probe $p: expected its streamed twin first, got $top")
+      assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-6)
+    }
+    idx0.nodes.unpersist(): Unit
+  }
+
+  test("registry-served forecast stream scores ticks without refitting") {
+    import graft.operators.Forecast
+    // standing state: fit ONCE, derive the serve surface once — the
+    // stream only probes it
+    val registry = Forecast.modelRegistry(spark, sfDir)
+    val served = Forecast.registryServeSurface(registry).cache()
+    served.count(): Unit
+    val modeled = served.select("user_id").collect().map(_.getLong(0)).toSet
+    assert(modeled.nonEmpty, "no trainable symbols at this SF")
+    // live traffic: real ticks plus a reject and an unmodeled symbol —
+    // neither may produce a scoring row
+    import spark.implicits._
+    val crafted = Seq(
+      (900001L, "2024-06-01 10:00:00", Option(modeled.head), "click",
+        Option(-5.0)),                                   // invalid price
+      (900002L, "2024-06-01 10:01:00", Option(999999L), "click",
+        Option(50.0)))                                   // no model
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val events = Tables.events(spark, sfDir)
+      .select(crafted.columns.map(col): _*).unionByName(crafted)
+    val srcDir = java.nio.file.Files.createTempDirectory("fsv_src").toString
+    events.filter(col("event_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    events.filter(col("event_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val ckpt = java.nio.file.Files.createTempDirectory("fsv_ckpt").toString
+    val q = TickStream.forecastServeStream(stream, served) { (df, _) =>
+      buf.synchronized { buf ++= df.collect().map(_.toString): Unit }
+    }.option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    // stateless scoring: the union over microbatches equals the batch
+    // dual over all staged events, row for row
+    val batch = TickStream.scoreTicksAgainstRegistry(events, served).collect()
+    assert(buf.sorted.toSeq == batch.map(_.toString).sorted.toSeq,
+      s"streamed ${buf.length} rows vs batch ${batch.length}")
+    // neither the reject nor the unmodeled symbol scored
+    assert(!batch.exists(_.getAs[Long]("event_id") >= 900001L))
+    // every modeled symbol's valid tick scored exactly once, with the
+    // model's own next-price forecast from the predictions surface
+    val validCount = graft.operators.Warehouse.validTicksOf(events)
+      .filter(col("user_id").isin(modeled.toSeq: _*)).count()
+    assert(batch.length.toLong == validCount)
+    val predictions = Forecast.predictionsFrom(spark, sfDir, registry)
+      .filter(col("model_type") === "ARIMA").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("predicted_price"))
+      .toMap
+    batch.foreach { r =>
+      assert(predictions(r.getAs[Long]("user_id"))
+        == r.getAs[Double]("predicted_price"))
+    }
+    served.unpersist(): Unit
+  }
+
   test("streaming dead-letter ledger lands every reject exactly once") {
     import spark.implicits._
     val dirty = Seq(
