@@ -50,6 +50,8 @@ object PlanDump {
     dump("q_substring_dedup", operators.Curation.substringDedup(spark, dir))
     dump("q_ingest_errors", operators.ErrorLedger.ingestionErrors(spark, dir))
     dump("q_companies_by_industry", operators.Warehouse.companiesByIndustry(spark, dir))
+    dump("q_price_ffill", operators.Warehouse.priceFfill(spark, dir))
+    dump("q_gopher_ngram_rep", operators.Curation.gopherNgramRep(spark, dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plandump] wrote PLANS.md")
     spark.stop()

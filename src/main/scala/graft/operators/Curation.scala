@@ -142,6 +142,125 @@ object Curation {
       |FROM sm JOIN wm ON sm.doc_id = wm.doc_id
       |ORDER BY sm.doc_id""".stripMargin
 
+  // Rae et al. 2021 table A1, second block — the N-GRAM repetition
+  // thresholds (top n-gram char fraction for n=2..4, duplicate
+  // n-gram char fraction for n=5..10)
+  private val TopNgramMax =
+    Seq(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  private val DupNgramMax =
+    Seq(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** The remaining Gopher repetition rules — the N-GRAM block of
+    * table A1 ([[gopherFiltersDocs]] covers its sentence/word rows):
+    * per document, the character mass held by repeated word n-grams,
+    * as a fraction of the document's normalized character count
+    * (words joined by single spaces — the same measure on both
+    * engines).
+    *
+    *  - top_{2,3,4}gram_frac: the LARGEST char mass any single
+    *    n-gram accounts for (occurrences × n-gram length). Taking
+    *    the max of count×length directly (rather than "the most
+    *    frequent n-gram's mass") makes ties deterministic on every
+    *    engine — when counts tie, the more character-covering gram
+    *    is the binding one.
+    *  - dup_{5..10}gram_frac: total char mass of n-grams occurring
+    *    more than once, ALL occurrences counted (overlapping
+    *    occurrences each count — the standard mass approximation;
+    *    exact de-overlapping is [[spanDedupDocs]]'s job).
+    *
+    * Verdict: keep iff every fraction is at or under its table-A1
+    * threshold (0.20/0.18/0.16, 0.15 down to 0.10). All fractions
+    * are exact integer÷integer IEEE divisions — hash parity with no
+    * rounding.
+    *
+    * Scale shape: pure per-row projection over array HOFs — zero
+    * shuffle, zero state, streaming-legal like the rest of the
+    * chain. Per-doc cost is O(distinct·total) per n (9 n values);
+    * for book-length outliers the explode+groupBy dual (the
+    * [[gopherFiltersDocs]] shape) amortizes better — same numbers,
+    * one shuffle.
+    */
+  def gopherNgramRep(spark: SparkSession, dir: String): DataFrame =
+    gopherNgramRepDocs(Tables.documents(spark, dir))
+
+  private[graft] def gopherNgramRepDocs(docs: DataFrame): DataFrame = {
+    val ws = filter(TextOps.normalizedWords, w => w =!= lit(""))
+    val base = docs.select(col("doc_id"), ws.as("ws_r"))
+      .filter(size(col("ws_r")) > 0)
+      .withColumn("total_chars", length(array_join(col("ws_r"), " ")))
+    def ngrams(n: Int): Column =
+      when(size(col("ws_r")) >= n,
+        expr(s"transform(sequence(0, size(ws_r) - $n), " +
+          s"i -> array_join(slice(ws_r, i + 1, $n), ' '))"))
+        .otherwise(typedLit(Seq.empty[String]))
+    def masses(n: Int): Column = // per distinct gram: occurrences × chars
+      transform(array_distinct(ngrams(n)),
+        g => size(filter(ngrams(n), x => x === g)) * length(g))
+    def topFrac(n: Int): Column =
+      coalesce(array_max(masses(n)), lit(0)).cast("double") /
+        col("total_chars").cast("double")
+    def dupFrac(n: Int): Column =
+      aggregate(transform(array_distinct(ngrams(n)),
+        g => {
+          val cnt = size(filter(ngrams(n), x => x === g))
+          when(cnt > lit(1), cnt * length(g)).otherwise(lit(0))
+        }), lit(0), (acc, x) => acc + x).cast("double") /
+        col("total_chars").cast("double")
+    val fracs = base.select(
+      col("doc_id") +:
+        (TopNgramMax.map { case (n, _) => topFrac(n).as(s"top_${n}gram_frac") } ++
+          DupNgramMax.map { case (n, _) => dupFrac(n).as(s"dup_${n}gram_frac") }): _*)
+    val keep = (TopNgramMax.map { case (n, t) => col(s"top_${n}gram_frac") <= t } ++
+      DupNgramMax.map { case (n, t) => col(s"dup_${n}gram_frac") <= t })
+      .reduce(_ && _)
+    fracs.withColumn("keep_doc", keep).orderBy("doc_id")
+  }
+
+  def gopherNgramRepSql: String = {
+    val perN = (TopNgramMax ++ DupNgramMax).map(_._1).map { n =>
+      s"""ng$n AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(ws) >= $n THEN
+         |    list_transform(range(1, len(ws) - $n + 2),
+         |      i -> array_to_string(ws[i:i+${n - 1}], ' '))
+         |    ELSE []::VARCHAR[] END) AS g
+         |  FROM b
+         |), c$n AS (
+         |  SELECT doc_id, g, count(*) AS cnt FROM ng$n GROUP BY 1, 2
+         |), m$n AS (
+         |  SELECT doc_id, max(cnt * length(g)) AS topmass,
+         |    sum(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS dupmass
+         |  FROM c$n GROUP BY 1
+         |)""".stripMargin
+    }.mkString(", ")
+    val topSel = TopNgramMax.map { case (n, _) =>
+      s"coalesce(m$n.topmass, 0)::DOUBLE / total_chars AS top_${n}gram_frac"
+    }
+    val dupSel = DupNgramMax.map { case (n, _) =>
+      s"coalesce(m$n.dupmass, 0)::DOUBLE / total_chars AS dup_${n}gram_frac"
+    }
+    val joins = (TopNgramMax ++ DupNgramMax).map(_._1)
+      .map(n => s"LEFT JOIN m$n ON m$n.doc_id = b.doc_id").mkString("\n")
+    val keep = (TopNgramMax.map { case (n, t) => s"top_${n}gram_frac <= $t" } ++
+      DupNgramMax.map { case (n, t) => s"dup_${n}gram_frac <= $t" })
+      .mkString(" AND ")
+    s"""WITH w AS (
+       |  SELECT doc_id, list_filter(string_split(trim(regexp_replace(regexp_replace(
+       |    lower(trim(text)), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+       |    x -> x <> '') AS ws
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, ws, length(array_to_string(ws, ' ')) AS total_chars
+       |  FROM w WHERE len(ws) > 0
+       |), $perN, f AS (
+       |  SELECT b.doc_id,
+       |    ${(topSel ++ dupSel).mkString(",\n    ")}
+       |  FROM b
+       |$joins
+       |)
+       |SELECT *, ($keep) AS keep_doc FROM f
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * word 8-gram with the eval set (doc_id < EvalDocs here; in
     * production, the benchmark suite) — the standard test-set-overlap

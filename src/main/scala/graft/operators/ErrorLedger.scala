@@ -95,6 +95,69 @@ object ErrorLedger {
         max("event_id").as("last_event_id"))
       .orderBy("component_name", "error_type")
 
+  /** LEDGER-DRIVEN REPLAY — the operational loop the reference's
+    * `resolved` flag exists for (ingestion_errors.resolved + the
+    * resolve/requeue handling of shared/error_handling.py): an
+    * operator corrects quarantined payloads upstream and the fixes
+    * re-enter ingest through the SAME validation gate as first-pass
+    * traffic — a correction is never trusted, only re-validated.
+    *
+    * `corrections` is (event_id, user_id, value) — the fixed fields
+    * for some subset of quarantined events (null = "no fix for this
+    * field", so a correction may fix the price while the key was fine
+    * and vice versa). The corrected payload is the original event
+    * with fixed fields coalesced over the broken ones.
+    *
+    * Returns the corrected rejects re-partitioned by the one reject
+    * predicate: `accepted` rows (events-shaped, appendable to the
+    * valid stream) and `requeued` rows (a fresh ledger over the
+    * still-failing payloads — same classification, so a bad fix just
+    * cycles back with its new error class). By construction
+    * accepted ∪ requeued = corrected rejects exactly once, and
+    * replaying `accepted` is a no-op (they are no longer rejects) —
+    * the loop is idempotent, spec-asserted.
+    *
+    * Scale shape: rejects are a filtered sliver of the scan and
+    * corrections are operator-sized — the join broadcasts the
+    * corrections; everything else is the same stateless projection as
+    * first-pass ingest.
+    */
+  case class ReplayResult(accepted: DataFrame, requeued: DataFrame)
+
+  def replayResolved(events: DataFrame, corrections: DataFrame): ReplayResult = {
+    val fixes = corrections.select(
+      col("event_id").as("fx_event_id"),
+      col("user_id").as("fx_user_id"),
+      col("value").as("fx_value"))
+    val corrected = events.filter(invalidTick)
+      .join(broadcast(fixes), col("event_id") === col("fx_event_id"))
+      .select(col("event_id"), col("ts"),
+        coalesce(col("fx_user_id"), col("user_id")).as("user_id"),
+        col("event_type"),
+        // the fix leads the coalesce, so a supplied price replaces the
+        // broken one (incl. NaN — non-null, but second in line); an
+        // unfixed field keeps its original brokenness and requeues
+        // under its true class
+        coalesce(col("fx_value"), col("value")).as("value"))
+    ReplayResult(
+      accepted = corrected.filter(!invalidTick),
+      requeued = ingestionErrorsOf(corrected))
+  }
+
+  /** The ledger with the reference's `resolved` flag materialized: a
+    * quarantined row is resolved iff a correction exists AND its
+    * corrected payload re-validates — marking is DERIVED from the
+    * replay outcome, never asserted by the fix's presence alone.
+    */
+  def resolvedLedger(events: DataFrame, corrections: DataFrame): DataFrame = {
+    val ok = replayResolved(events, corrections).accepted
+      .select(col("event_id").as("ok_event_id"))
+    ingestionErrorsOf(events)
+      .join(broadcast(ok), col("event_id") === col("ok_event_id"), "left")
+      .withColumn("resolved", col("ok_event_id").isNotNull)
+      .drop("ok_event_id")
+  }
+
   def ingestionErrorStatsSql: String =
     s"""SELECT '$Component' AS component_name,
        |  CASE WHEN user_id IS NULL THEN 'missing_company'

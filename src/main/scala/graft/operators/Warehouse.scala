@@ -450,6 +450,62 @@ object Warehouse {
        |WHERE rn <= 7
        |ORDER BY user_id, trade_date DESC""".stripMargin
 
+  /** CALENDAR-ALIGNED daily price grid with forward fill — the
+    * continuous-series surface behind every dashboard line chart and
+    * the gap semantics the reference's realtime→historical migration
+    * implies (a symbol with no trades on a day carries its last
+    * close; current_schema.sql:165-200 only materializes traded
+    * days, so consumers re-derive this alignment ad hoc — here it is
+    * the engine's job): per symbol, every calendar day from its
+    * first to its last session, last observed close carried across
+    * gaps, `is_observed` flagging real sessions.
+    *
+    * Scale shape: the grid is |symbols|·|calendar days| rows — the
+    * DENSIFIED series is the output, so that cost is the answer, not
+    * overhead; everything keys on user_id (span agg, grid⋈daily
+    * join, fill window all share the partitioning, which AQE reuses)
+    * and the fill is one running `last(ignoreNulls)` — no self-join,
+    * no per-gap scan. Values are carried verbatim (no arithmetic),
+    * so cross-engine hash parity is free.
+    */
+  def priceFfill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"),
+      "trade_date", validated = true)
+      .select(col("user_id"), col("trade_date"), col("close_price"))
+    val grid = daily.groupBy("user_id")
+      .agg(min("trade_date").as("d0"), max("trade_date").as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("trade_date"))
+    val w = Window.partitionBy("user_id").orderBy("trade_date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "trade_date"), "left")
+      .withColumn("is_observed", col("close_price").isNotNull)
+      .withColumn("filled", last("close_price", ignoreNulls = true).over(w))
+      .select(col("user_id"), col("trade_date"),
+        col("filled").as("close_price"), col("is_observed"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def priceFfillSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), daily AS (
+       |  SELECT user_id, trade_date, close_price FROM ohlc
+       |), grid AS (
+       |  SELECT user_id,
+       |    unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS trade_date
+       |  FROM (SELECT user_id, min(trade_date) AS d0, max(trade_date) AS d1
+       |        FROM daily GROUP BY 1)
+       |)
+       |SELECT g.user_id, g.trade_date,
+       |  last_value(d.close_price IGNORE NULLS) OVER (
+       |    PARTITION BY g.user_id ORDER BY g.trade_date
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_price,
+       |  d.close_price IS NOT NULL AS is_observed
+       |FROM grid g LEFT JOIN daily d
+       |  ON g.user_id = d.user_id AND g.trade_date = d.trade_date
+       |ORDER BY g.user_id, g.trade_date""".stripMargin
+
   /** Pairwise RETURN CORRELATION — the co-movement screen of a
     * market-analytics engine: daily close-to-close returns per symbol
     * (from the validated daily OHLC), aligned by date in a
@@ -511,7 +567,7 @@ object Warehouse {
     * anything big: it is a #dates-row broadcast.
     */
   private[graft] def returnCorrOf(rets: DataFrame, minDays: Int = 15,
-      buckets: Int = 8): DataFrame = {
+      bucketsIn: Int = 0): DataFrame = {
     // global session-date index (tiny single-partition window: one row
     // per trading day)
     val datesIdx = rets.select("trade_date").distinct()
@@ -519,6 +575,24 @@ object Warehouse {
     // grid length on the driver: it sizes the dense arrays (max(…,1)
     // only guards the empty-input sequence bounds — no data, no rows)
     val n = math.max(datesIdx.count().toInt, 1)
+    // ADAPTIVE tiling (bucketsIn = 0), two regimes: the tile count
+    // (buckets²) must at least cover the cluster's parallelism so no
+    // core idles (floor: buckets² ≈ 2·defaultParallelism), and past
+    // that the bucket SIDE holds near 128 symbols so tile pair-work
+    // stays ~constant as the universe grows — buckets scales linearly
+    // with symbols (the scaladoc's "raise buckets ∝ symbols"). Shuffle
+    // volume is symbols·buckets compact rows, and the result is
+    // bucket-count INVARIANT (every pair still meets in exactly one
+    // tile — spec-asserted), so the knob tunes parallelism only, never
+    // values. The distinct count is a cheap symbols-sized aggregate
+    // next to the Ω(pairs·days) pair stage.
+    val buckets = if (bucketsIn > 0) bucketsIn
+    else {
+      val nSym = rets.select("user_id").distinct().count()
+      val parFloor = math.ceil(math.sqrt(
+        2.0 * rets.sparkSession.sparkContext.defaultParallelism)).toInt
+      math.max(parFloor, math.ceil(nSym / 128.0).toInt)
+    }
     val sym = rets.join(broadcast(datesIdx), Seq("trade_date"))
       .groupBy("user_id")
       .agg(map_from_entries(collect_list(struct(col("di"), col("ret")))).as("m"))

@@ -17,6 +17,48 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("gopherNgramRep: crafted repeats hit their exact char masses") {
+    import spark.implicits._
+    // A: one word ×4 — overlapping 2-grams, mass may exceed the doc
+    // (3 occurrences × 9 chars over 19 chars) — the documented
+    // all-occurrences approximation; too short for any dup rule
+    // B: 60 distinct words — nothing repeats, every dup frac exactly 0
+    // C: a 5-word phrase repeated around unique filler — the dup-5gram
+    // rule's canonical target
+    val phrase = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (1L, "spam spam spam spam"),
+      (2L, (0 until 60).map(i => s"w${i}word").mkString(" ")),
+      (3L, s"$phrase one two three four five $phrase"))
+      .toDF("doc_id", "text")
+    val out = Curation.gopherNgramRepDocs(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val a = out(1L)
+    assert(a.getAs[Double]("top_2gram_frac") == 27.0 / 19.0) // 3 × "spam spam"
+    assert(a.getAs[Double]("top_3gram_frac") == 28.0 / 19.0) // 2 × 14 chars
+    assert(a.getAs[Double]("dup_5gram_frac") == 0.0)         // only 4 words
+    assert(!a.getAs[Boolean]("keep_doc"))
+    val b = out(2L)
+    Seq(5, 6, 7, 8, 9, 10).foreach(n =>
+      assert(b.getAs[Double](s"dup_${n}gram_frac") == 0.0))
+    assert(b.getAs[Boolean]("keep_doc"))
+    val c = out(3L)
+    val total = (phrase + " one two three four five " + phrase).length
+    assert(c.getAs[Double]("dup_5gram_frac") == 2.0 * phrase.length / total)
+    assert(c.getAs[Double]("dup_6gram_frac") == 0.0) // no 6-gram repeats
+    assert(!c.getAs[Boolean]("keep_doc"))
+    // thresholds bind exactly as published (table A1)
+    out.values.foreach { r =>
+      val expect = Seq(("top_2gram_frac", 0.20), ("top_3gram_frac", 0.18),
+        ("top_4gram_frac", 0.16), ("dup_5gram_frac", 0.15),
+        ("dup_6gram_frac", 0.14), ("dup_7gram_frac", 0.13),
+        ("dup_8gram_frac", 0.12), ("dup_9gram_frac", 0.11),
+        ("dup_10gram_frac", 0.10))
+        .forall { case (f, t) => r.getAs[Double](f) <= t }
+      assert(r.getAs[Boolean]("keep_doc") == expect)
+    }
+  }
+
   test("topicMix: smallest cell whole, rates antitone in mass, hash-exact") {
     val rows = Curation.topicMix(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -94,6 +94,21 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
+  test("returnCorr tile count tunes parallelism, never values") {
+    // the adaptive default must agree with ANY explicit bucket count:
+    // every pair meets in exactly one tile regardless, so the knob is
+    // free to scale ∝ symbols at a 100× universe
+    val rets = graft.operators.Warehouse.dailyReturnsOf(
+      graft.operators.Warehouse.validTicks(spark, sfDir))
+    val auto = graft.operators.Warehouse.returnCorrOf(rets)
+      .collect().map(_.toString).toSeq
+    for (b <- Seq(1, 3, 8)) {
+      val explicit = graft.operators.Warehouse.returnCorrOf(rets, bucketsIn = b)
+        .collect().map(_.toString).toSeq
+      assert(explicit == auto, s"buckets=$b changed the result")
+    }
+  }
+
   test("annLsh candidate lookup is a hash join on the bucket code") {
     // the multiprobe expansion must reach the corpus as an equi-join
     // key — a BroadcastNestedLoopJoin here is the scan-per-probe

@@ -143,4 +143,80 @@ class WarehouseSpec extends SparkSuite {
     assert(ledger.select("component_name").distinct().as[String]
       .collect().toSeq == Seq(graft.operators.ErrorLedger.Component))
   }
+
+  test("priceFfill: contiguous calendar grid, carried closes, exact flags") {
+    import org.apache.spark.sql.functions._
+    val rows = Warehouse.priceFfill(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[java.sql.Date]("trade_date").getTime)
+      // every calendar day between first and last session, no holes
+      sorted.map(_.getAs[java.sql.Date]("trade_date").toLocalDate)
+        .sliding(2).foreach {
+          case Array(a, b) => assert(b == a.plusDays(1), s"gap after $a")
+          case _ =>
+        }
+      // the first grid day is a real session; gap days carry the last
+      // observed close verbatim
+      assert(sorted.head.getAs[Boolean]("is_observed"))
+      var lastObs = Double.NaN
+      sorted.foreach { r =>
+        val c = r.getAs[Double]("close_price")
+        if (r.getAs[Boolean]("is_observed")) lastObs = c
+        else assert(c == lastObs, "gap day does not carry the last close")
+      }
+    }
+    // observed rows are exactly the validated (symbol, day) sessions
+    val sessions = Warehouse.validTicks(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts"))).distinct().count()
+    assert(rows.count(_.getAs[Boolean]("is_observed")).toLong == sessions)
+  }
+
+  test("ledger replay re-validates corrections; bad fixes requeue") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "2024-01-01 10:00:00", Option(7L), "click", Option(101.5)),
+      (2L, "2024-01-01 10:01:00", Option.empty[Long], "click", Option(5.0)),
+      (3L, "2024-01-01 10:02:00", Option(7L), "click", Option.empty[Double]),
+      (4L, "2024-01-01 10:03:00", Option(7L), "click", Option(Double.NaN)),
+      (5L, "2024-01-01 10:04:00", Option(8L), "click", Option(0.0)),
+      (6L, "2024-01-01 10:05:00", Option(8L), "click", Option(-3.2)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", to_timestamp(col("ts")))
+    val fixes = Seq(
+      (2L, Option(9L), Option.empty[Double]),   // key fix, price was fine
+      (3L, Option.empty[Long], Option(77.0)),   // price fix
+      (4L, Option.empty[Long], Option(-1.0)),   // BAD fix: still nonpositive
+      (5L, Option.empty[Long], Option(55.5)))   // price fix; 6 has no fix
+      .toDF("event_id", "user_id", "value")
+    val r = graft.operators.ErrorLedger.replayResolved(dirty, fixes)
+    // good fixes re-enter ingest with the corrected payload...
+    val acc = r.accepted.collect()
+      .map(x => x.getAs[Long]("event_id") ->
+        (x.getAs[Long]("user_id"), x.getAs[Double]("value"))).toMap
+    assert(acc == Map(2L -> (9L, 5.0), 3L -> (7L, 77.0), 5L -> (8L, 55.5)))
+    assert(graft.operators.Warehouse.validTicksOf(r.accepted).count() == 3)
+    // ...the bad fix cycles back reclassified under its NEW failure
+    val requeued = r.requeued.collect()
+      .map(x => x.getAs[Long]("event_id") -> x.getAs[String]("error_type"))
+    assert(requeued.toSeq == Seq(4L -> "nonpositive_price"))
+    // unfixed rejects (6) are untouched: not accepted, not requeued —
+    // they simply stay on the standing ledger
+    assert(!acc.contains(6L) && !requeued.exists(_._1 == 6L))
+    // idempotent: replaying the union of first-pass valids and the
+    // accepted rows produces nothing (they are no longer rejects)
+    val again = graft.operators.ErrorLedger.replayResolved(
+      graft.operators.Warehouse.validTicksOf(dirty)
+        .select(dirty.columns.map(col): _*)
+        .unionByName(r.accepted), fixes)
+    assert(again.accepted.count() == 0 && again.requeued.count() == 0)
+    // resolved flag derives from replay outcome, not fix presence:
+    // 4 has a fix but stays unresolved
+    val resolved = graft.operators.ErrorLedger.resolvedLedger(dirty, fixes)
+      .collect().map(x => x.getAs[Long]("event_id")
+        -> x.getAs[Boolean]("resolved")).toMap
+    assert(resolved == Map(2L -> true, 3L -> true, 4L -> false,
+      5L -> true, 6L -> false))
+  }
 }
