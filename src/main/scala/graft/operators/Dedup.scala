@@ -81,10 +81,27 @@ object Dedup {
     * candidates — 12M pairs), while 3-gram shingles only collide for
     * genuinely similar text.
     */
+  /** The one signature definition every minhash consumer shares —
+    * batch LSH, the near-dup gate, and the streaming gate probe the
+    * SAME bands because they compute the same signatures.
+    */
+  private[graft] def sigCol(text: Column): Column =
+    graft.functions.MinHashShingles
+      .minhash_shingles(split(trim(text), "\\s+"), NumHashes, 3)
+
   private def signatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), graft.functions.MinHashShingles
-        .minhash_shingles(split(trim(col("text")), "\\s+"), NumHashes, 3).as("sig"))
+      .select(col("doc_id"), sigCol(col("text")).as("sig"))
+
+  /** One xxhash64 bucket per two-row band — the band key both the
+    * LSH equi-join and the cross-run near-dup gate hash (shared
+    * definition: a pair the join would bucket together is exactly a
+    * pair whose gate keys collide).
+    */
+  private def bandBuckets(sig: Column): Seq[Column] =
+    (0 until NumBands).map { j =>
+      xxhash64(element_at(sig, 2 * j + 1), element_at(sig, 2 * j + 2), lit(j))
+    }
 
   /** MinHash + LSH near-dup pairs: shingle→minhash→band→bucket-join.
     * Candidate pairs collide on ≥1 of 16 two-row bands; survivors are
@@ -95,10 +112,8 @@ object Dedup {
     // recompute, and a lazily-referenced cache would pin executor
     // memory for the whole session (queries can't unpersist it)
     val sigs = signatures(spark, dir)
-    val banded = sigs.select(col("doc_id"), posexplode(
-      array((0 until NumBands).map { j =>
-        xxhash64(element_at(col("sig"), 2 * j + 1), element_at(col("sig"), 2 * j + 2), lit(j))
-      }: _*)).as(Seq("band", "bucket")))
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array(bandBuckets(col("sig")): _*)).as(Seq("band", "bucket")))
     val candidates = banded.as("a")
       .join(banded.toDF("b_doc_id", "b_band", "b_bucket").as("b"),
         col("band") === col("b_band") && col("bucket") === col("b_bucket")
@@ -589,4 +604,84 @@ object Dedup {
   private[graft] def bloomHit(spark: SparkSession,
       bloom: org.apache.spark.util.sketch.BloomFilter): Column => Column =
     graft.functions.BloomMightContain.bloom_might_contain(spark, bloom)
+
+  // --------------------------------------------- cross-run near-dup gate
+
+  /** CROSS-RUN NEAR-dup gate — the MinHash tier of the standing-corpus
+    * story. [[bloomGate]] catches exact re-deliveries by content
+    * fingerprint; an EDITED copy (boilerplate variant, near-dup) never
+    * shares a fingerprint but does share LSH band buckets. At
+    * compaction the standing tier's 16 band keys per doc ("band:
+    * bucket" over the SAME [[bandBuckets]] the batch LSH join hashes)
+    * aggregate into a Bloom; an arriving doc computes its own 16 keys
+    * and probes all of them as an OR of 16 codegen'd
+    * [[graft.functions.BloomMightContain]] probes (static columns, not
+    * a HOF — the whole gate stays inside whole-stage codegen and
+    * short-circuits on the first hit).
+    *
+    * NO false negatives vs the batch candidate rule, by construction:
+    * any doc the LSH join would pair with the standing corpus shares a
+    * band key, and Bloom membership never misses. False positives
+    * compound across the 16 probes (≈ 1-(1-fpp)^16), so the default
+    * fpp is 0.001 (≈ 1.6% flag rate on genuinely fresh docs); flagged
+    * docs route to the exact band equi-join against the standing tier
+    * — batch × corpus work shrinks to the flagged sliver, the same
+    * two-tier layout as the exact gate. Sizing: 16 keys/doc ≈ 29
+    * bytes/doc at 0.001 — a 10⁹-doc standing tier gates from ~29 GB,
+    * shardable by band if one broadcast is too big.
+    *
+    * Query slice mirrors [[bloomGate]]: standing = doc_id < 400,
+    * batch = doc_id ≥ 350 — 350-399 share ALL bands with themselves
+    * and must flag; 400+ flag only if they genuinely near-dup the
+    * standing corpus (or at ~compound-fpp).
+    */
+  def nearDupGate(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(spark, dir)
+    nearDupGateDocs(sigs.filter(col("doc_id") < 400),
+      sigs.filter(col("doc_id") >= 350))
+  }
+
+  private[graft] def nearDupGateDocs(standing: DataFrame, batch: DataFrame,
+      fpp: Double = 0.001): DataFrame = {
+    val hit = bandKeyHit(batch.sparkSession, bandBloom(standing, fpp))
+    batch
+      .withColumn("candidate_near_dup", hit(col("sig")))
+      .select("doc_id", "candidate_near_dup")
+      .orderBy("doc_id")
+  }
+
+  /** Build the standing tier's band-key Bloom — the compaction
+    * artifact the batch and streaming near-dup gates probe.
+    */
+  private[graft] def bandBloom(standing: DataFrame,
+      fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter = {
+    val keys = standing
+      .select(explode(array(bandKeyCols(col("sig")): _*)).as("band_key"))
+      .filter(col("band_key").isNotNull).persist()
+    try {
+      val expected = math.max(keys.count(), 1L)
+      keys.stat.bloomFilter("band_key", expected, fpp)
+    } finally keys.unpersist(): Unit
+  }
+
+  /** The 16 band keys as STRING columns ("band:bucket" — the Bloom
+    * stores strings so the probe reuses the native expression
+    * unchanged). Null signature (null text) → null keys, excluded on
+    * build, false on probe — same null contract as the exact gate.
+    */
+  private def bandKeyCols(sig: Column): Seq[Column] =
+    bandBuckets(sig).zipWithIndex.map { case (b, j) =>
+      // xxhash64 hashes PAST nulls (returns the seed hash), so a null
+      // signature must null its keys explicitly or every null-text
+      // doc would share one constant key set and cross-flag
+      when(sig.isNull, lit(null)).otherwise(concat_ws(":", lit(j), b))
+    }
+
+  /** The OR-of-16-probes membership test over a signature column. */
+  private[graft] def bandKeyHit(spark: SparkSession,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column => Column = {
+    val probe = graft.functions.BloomMightContain
+      .fromBroadcast(spark.sparkContext.broadcast(bloom))
+    sig => bandKeyCols(sig).map(probe).reduce(_ || _)
+  }
 }

@@ -157,6 +157,26 @@ object TickStream {
         .filter(!hit(col("fingerprint"))), watermarkDelay)
   }
 
+  /** The NEAR-dup flavor of the gated ingest: arriving docs compute
+    * their MinHash band keys and probe the standing corpus's band
+    * Bloom ([[graft.operators.Dedup.bandBloom]], built at compaction)
+    * — a STATELESS projection (16 codegen'd probes ORed), so it runs
+    * identically in batch and here, no watermark, no state. The flag
+    * is a ROUTING decision: flagged docs detour to the exact band
+    * equi-join against the standing tier, clean docs proceed (e.g.
+    * into [[dedupDocsStreamGated]]'s exact-dedup leg) — edited
+    * re-deliveries that the fingerprint gate cannot see get caught
+    * here before they pollute the corpus.
+    */
+  def nearDupDocsStream(docs: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val hit = graft.operators.Dedup.bandKeyHit(docs.sparkSession, bloom)
+    docs
+      .withColumn("sig", graft.operators.Dedup.sigCol(col("text")))
+      .withColumn("candidate_near_dup", hit(col("sig")))
+      .drop("sig")
+  }
+
   case class DocLine(doc_id: Long, pos: Int, line: String,
       ingest_ts: java.sql.Timestamp)
 

@@ -619,6 +619,47 @@ class LlmOpsSpec extends SparkSuite {
     bc.destroy()
   }
 
+  test("nearDupGate: no false negatives vs the LSH candidate rule, codegen'd") {
+    import spark.implicits._
+    val gate = Dedup.nearDupGate(spark, sfDir)
+    gate.collect(): Unit
+    val flags = gate.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("candidate_near_dup"))
+      .toMap
+    // the standing overlap (350-399) shares every band with itself —
+    // all must flag
+    flags.filter(_._1 < 400).foreach { case (id, f) =>
+      assert(f, s"standing-overlap doc $id not flagged")
+    }
+    // NO false negatives vs the batch LSH rule: any batch doc sharing
+    // a band bucket with ANY standing doc must flag — recompute the
+    // band-collision set directly from signatures
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Dedup.sigCol(col("text")).as("sig"))
+    def banded(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      posexplode(array((0 until 16).map { j =>
+        xxhash64(element_at(col("sig"), 2 * j + 1),
+          element_at(col("sig"), 2 * j + 2), lit(j))
+      }: _*)).as(Seq("band", "bucket")))
+    val mustFlag = banded(sigs.filter(col("doc_id") >= 350))
+      .join(banded(sigs.filter(col("doc_id") < 400))
+        .toDF("s_doc_id", "band", "bucket"), Seq("band", "bucket"))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    mustFlag.foreach(id => assert(flags(id), s"band-sharing doc $id missed"))
+    // fresh docs WITHOUT a standing band partner flag only at the
+    // compound Bloom fpp — a handful at most, never wholesale
+    val fresh = flags.keySet.filter(_ >= 400) -- mustFlag
+    val falsePos = fresh.count(flags)
+    assert(falsePos.toDouble / math.max(fresh.size, 1) <= 0.15,
+      s"$falsePos/${fresh.size} clean docs flagged")
+    // the 16-probe OR stays native and inside whole-stage codegen
+    val plan = gate.queryExecution.executedPlan
+    assert(!plan.flatMap(_.expressions).exists(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])))
+    assert(plan.toString.linesIterator.exists(l =>
+      l.contains("*") && l.contains("bloom_might_contain")))
+  }
+
   test("bloomGate: every true duplicate flags; fresh docs mostly pass") {
     val rows = Dedup.bloomGate(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("candidate_dup"))

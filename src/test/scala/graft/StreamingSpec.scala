@@ -618,6 +618,41 @@ class StreamingSpec extends SparkSuite {
     idx.nodes.unpersist(): Unit
   }
 
+  test("near-dup gate stream flags identically to batch, stateless") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val standing = docs.filter(col("doc_id") < 400)
+      .select(col("doc_id"), Dedup.sigCol(col("text")).as("sig"))
+    val bloom = Dedup.bandBloom(standing)
+    val batchDocs = docs.filter(col("doc_id") >= 350)
+      .select("doc_id", "text", "source", "lang")
+    val srcDir = java.nio.file.Files.createTempDirectory("ndg_src").toString
+    batchDocs.filter(col("doc_id") < 450).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    batchDocs.filter(col("doc_id") >= 450).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val sinkDir = java.nio.file.Files.createTempDirectory("ndg_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ndg_ckpt").toString
+    val q = TickStream.nearDupDocsStream(stream, bloom)
+      .select("doc_id", "candidate_near_dup")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(sinkDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("candidate_near_dup"))
+      .sorted.toSeq
+    val batch = TickStream.nearDupDocsStream(batchDocs, bloom)
+      .select("doc_id", "candidate_near_dup").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("candidate_near_dup"))
+      .sorted.toSeq
+    assert(streamed == batch, "streamed flags diverge from batch")
+    assert(streamed.count(_._2) > 0, "overlap docs must flag")
+  }
+
   test("hnsw maintenance stream appends each microbatch into the standing index") {
     import graft.operators.Similarity
     val idx0 = Similarity.hnswIndex(spark, sfDir)
