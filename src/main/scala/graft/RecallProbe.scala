@@ -127,6 +127,26 @@ object RecallProbe {
       println(f"[recall] hnsw efSearch=$ef%2d recall@10=$recall%.3f")
     }
     hnsw.nodes.unpersist()
+    // link-selector ablation on the CLUSTERED corpus — the regime
+    // where closest-k links a node entirely inside its own cluster
+    // and the alg.-4 diversity heuristic keeps the bridge edges
+    locally {
+      val cl = SynthData.clustered(spark, 2000).cache()
+      val clExact = pairs(operators.Similarity.annBruteForceOn(
+        cl, cl.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+          .toDF("probe_id", "p_v", "p_norm")))
+      for (heur <- Seq(false, true)) {
+        val idx = operators.Similarity.hnswIndexOf(cl, heuristic = heur)
+        idx.nodes.cache().count(): Unit
+        for (ef <- Seq(4, 8, 16)) {
+          val got = pairs(operators.Similarity.annHnswSearch(idx, cl, ef))
+          val recall = (clExact & got).size.toDouble / clExact.size
+          println(f"[recall] hnswSel heur=$heur%-5s efSearch=$ef%2d recall@10=$recall%.3f")
+        }
+        idx.nodes.unpersist(): Unit
+      }
+      cl.unpersist(): Unit
+    }
     // codebook-fit sample sensitivity: recall at rerank=32 as the fit
     // shrinks to a hash sample (cap ≥ corpus ≡ full fit)
     for (cap <- Seq(1000000L, 1024L, 256L, 64L)) {

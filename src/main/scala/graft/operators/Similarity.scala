@@ -1283,7 +1283,10 @@ object Similarity {
     * always builds the same hierarchy on any cluster layout, and an
     * appended batch assigns the same levels it would have been built
     * with. Layer-0 degree is 2·maxDeg (the standard M0 = 2M), upper
-    * layers maxDeg.
+    * layers maxDeg. Links are chosen by the [[selectNeighbors]]
+    * diversity heuristic (alg. 4) by default — on clustered corpora
+    * closest-k wires each node into its own cluster only, while the
+    * heuristic keeps the bridges (RecallProbe ablates both).
     */
   private def hnswLevel(id: Long, maxDeg: Int): Int = {
     var h = id * 0x9E3779B97F4A7C15L
@@ -1318,22 +1321,53 @@ object Similarity {
     cur
   }
 
+  /** Select-neighbors HEURISTIC (Malkov & Yashunin alg. 4): scan
+    * candidates best-first and keep one only if it is closer to the
+    * query node than to every neighbor already kept. Closest-k links
+    * a clustered node entirely inside its own cluster; the diversity
+    * test prunes that redundancy and preserves the BRIDGE edges
+    * navigability depends on — the difference shows exactly on
+    * clustered corpora (RecallProbe sweeps both selectors there).
+    * Deterministic: candidates arrive sorted by (-cos, idx) and the
+    * scan order decides ties.
+    */
+  private def selectNeighbors(nodes: Array[NswNode],
+      cands: Array[(Double, Int)], deg: Int): Seq[Int] = {
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < cands.length && kept.length < deg) {
+      val (cq, c) = cands(i)
+      val dominated = kept.exists(r =>
+        nswCos(nodes, nodes(c)._2, nodes(c)._3, r) > cq)
+      if (!dominated) kept += c
+      i += 1
+    }
+    kept.toSeq
+  }
+
   /** Insert nodes `from` until the end into a layered graph whose
     * first `from` nodes already carry adjacency — the HNSW analogue
     * of [[nswExtend]], shared by fresh builds (`from = 1`) and
     * incremental appends. `adj(i)(l)` is node i's layer-l neighbor
     * list (length level(i)+1). Returns the final entry node.
+    * `heuristic` picks the link selector: alg. 4 diversity pruning
+    * (default) or plain closest-k (the flat graph's rule).
     */
   private def hnswExtend(nodes: Array[NswNode], levels: Array[Int],
       adj: Array[Array[scala.collection.mutable.ArrayBuffer[Int]]],
-      from: Int, maxDeg: Int, efConstruction: Int): Int = {
+      from: Int, maxDeg: Int, efConstruction: Int,
+      heuristic: Boolean = true): Int = {
     def layerAdj(l: Int)(j: Int): Iterator[Int] =
       if (l <= levels(j)) adj(j)(l).iterator else Iterator.empty
+    def select(cands: Array[(Double, Int)], deg: Int): Seq[Int] =
+      if (heuristic) selectNeighbors(nodes, cands, deg)
+      else cands.take(deg).map(_._2).toSeq
     def prune(j: Int, l: Int, deg: Int): Unit =
       if (adj(j)(l).length > deg) {
-        val kept = adj(j)(l)
+        val cands = adj(j)(l)
           .map(k => (nswCos(nodes, nodes(j)._2, nodes(j)._3, k), k))
-          .sortBy(t => (-t._1, t._2)).take(deg).map(_._2)
+          .sortBy(t => (-t._1, t._2)).toArray
+        val kept = select(cands, deg)
         adj(j)(l).clear()
         adj(j)(l) ++= kept
       }
@@ -1354,7 +1388,7 @@ object Similarity {
       while (l >= 0) { // link layers the new node participates in
         val found = nswBeam(nodes, layerAdj(l), q, qn, efConstruction, i, ep)
         val deg = if (l == 0) maxDeg * 2 else maxDeg
-        found.take(deg).foreach { case (_, j) =>
+        select(found, deg).foreach { j =>
           adj(i)(l) += j
           adj(j)(l) += i
           prune(j, l, deg)
@@ -1369,12 +1403,12 @@ object Similarity {
   }
 
   private def hnswBuild(nodes: Array[NswNode], maxDeg: Int,
-      efConstruction: Int): (Array[Int],
+      efConstruction: Int, heuristic: Boolean = true): (Array[Int],
       Array[Array[scala.collection.mutable.ArrayBuffer[Int]]], Int) = {
     val levels = Array.tabulate(nodes.length)(i => hnswLevel(nodes(i)._1, maxDeg))
     val adj = Array.tabulate(nodes.length)(i =>
       Array.fill(levels(i) + 1)(scala.collection.mutable.ArrayBuffer.empty[Int]))
-    val entry = hnswExtend(nodes, levels, adj, 1, maxDeg, efConstruction)
+    val entry = hnswExtend(nodes, levels, adj, 1, maxDeg, efConstruction, heuristic)
     (levels, adj, entry)
   }
 
@@ -1437,7 +1471,8 @@ object Similarity {
       maxDeg, efConstruction, numShards)
 
   private[graft] def hnswIndexOf(corpus: DataFrame, maxDeg: Int = 8,
-      efConstruction: Int = 32, numShards: Int = 4): HnswIndex = {
+      efConstruction: Int = 32, numShards: Int = 4,
+      heuristic: Boolean = true): HnswIndex = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val nodesDf = corpus.repartition(numShards, col("vec_id"))
@@ -1448,7 +1483,7 @@ object Similarity {
           .toArray.sortBy(_._1)
         if (nodes.isEmpty) Iterator.empty
         else {
-          val (_, adj, _) = hnswBuild(nodes, maxDeg, efConstruction)
+          val (_, adj, _) = hnswBuild(nodes, maxDeg, efConstruction, heuristic)
           nodes.indices.iterator.map { i =>
             (shard, nodes(i)._1, nodes(i)._2.toSeq, nodes(i)._3,
               adj(i).map(_.map(j => nodes(j)._1).toSeq).toSeq)

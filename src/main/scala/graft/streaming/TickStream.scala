@@ -312,7 +312,7 @@ object TickStream {
     * hierarchy serves probe batches exactly like the flat graph (the
     * descent is per-probe, stateless); at 100 TB shard sizes this is
     * the serve leg to prefer: narrow beams keep latency down and the
-    * layer descent keeps their recall (RecallProbe: 0.98 at
+    * layer descent keeps their recall (RecallProbe: 0.96 at
     * efSearch=8 vs the flat graph's 0.66).
     */
   def annHnswServeStream(probeStream: DataFrame,
