@@ -359,6 +359,84 @@ object Dedup {
     labels
   }
 
+  /** STAR-CONTRACTION connected components (the alternating
+    * large-star/small-star algorithm of Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond") — the
+    * O(log n)-ROUND fallback behind [[connectedComponents]]: the
+    * default min-label loop costs rounds proportional to component
+    * DIAMETER, which is right for near-dup clusters (dense
+    * quasi-cliques, diameter 2-4) but degenerates on adversarially
+    * CHAIN-shaped graphs (a 1000-link chain = ~1000 rounds). Star
+    * contraction bounds rounds at O(log n) regardless of shape:
+    *
+    *  - large-star: every node u points its LARGER neighbors at the
+    *    minimum of its neighborhood (∪ itself) — long tails fold in
+    *    half;
+    *  - small-star: u points its smaller-or-equal neighbors (except
+    *    the min itself) at that minimum — stars flatten;
+    *
+    * alternated to a fixpoint (edge set unchanged), after which every
+    * surviving edge is (v, component-min) and labels read off
+    * directly. Each half-round is one groupBy shuffle over the edge
+    * list plus a distinct; edges are checkpointed per round like the
+    * default loop. BOTH algorithms converge to the identical
+    * (id, min-label) output, spec-asserted on the real pair graph and
+    * on a planted chain the default loop would need ~n rounds for —
+    * at 100 TB, run the default for duplicate clusters and switch
+    * here when a degenerate graph shows up in round telemetry.
+    */
+  private[graft] def connectedComponentsStar(vertices: DataFrame,
+      edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val spark = vertices.sparkSession
+    // undirected, deduped, self-loop-free working edge list
+    var e = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(eager = true)
+    var stable = false
+    var rounds = 0
+    while (!stable && rounds < maxRounds) {
+      // LARGE-STAR over the symmetric list: each node u points its
+      // larger neighbors at m(u) = min(N(u) ∪ {u}); every undirected
+      // edge is processed from its smaller endpoint's side
+      val mLarge = e.groupBy("src").agg(min("dst").as("m0"))
+        .select(col("src"), least(col("m0"), col("src")).as("m"))
+      val afterLarge = e.filter(col("dst") > col("src"))
+        .join(mLarge, "src")
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      // SMALL-STAR: key each edge on its larger endpoint; u and its
+      // smaller neighbors all point at m = min of that neighborhood
+      val symL = afterLarge
+        .union(afterLarge.select(col("dst").as("src"), col("src").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      val byLarger = symL.filter(col("dst") < col("src"))
+      val mSmall = byLarger.groupBy("src").agg(min("dst").as("m"))
+      val next = byLarger.join(mSmall, "src")
+        .select(col("dst").as("v"), col("m"))
+        .union(mSmall.select(col("src").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .toDF("src", "dst").distinct()
+      // the fixpoint is star edges (member → center); re-symmetrize so
+      // the next round's large-star sees the undirected graph
+      val nextSym = next
+        .union(next.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint(eager = true)
+      stable = nextSym.exceptAll(e).isEmpty && e.exceptAll(nextSym).isEmpty
+      e = nextSym
+      rounds += 1
+    }
+    require(stable, s"star contraction did not converge in $maxRounds rounds")
+    // fixpoint edges are (member, component-min) both ways; a vertex's
+    // label is the min across its edges, itself for singletons
+    val labels = e.select(col("src").as("id"),
+        least(col("src"), col("dst")).as("l"))
+      .groupBy("id").agg(min("l").as("label"))
+    vertices.select(col("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
   /** Duplicate-CLUSTER resolution — the step that actually dedups a
     * corpus. Near-dup PAIRS alone don't: similarity is not transitive
     * at the candidate level (A~B and B~C must collapse into ONE
@@ -683,5 +761,53 @@ object Dedup {
     val probe = graft.functions.BloomMightContain
       .fromBroadcast(spark.sparkContext.broadcast(bloom))
     sig => bandKeyCols(sig).map(probe).reduce(_ || _)
+  }
+
+  /** Per-BAND sharded variant of [[bandBloom]] — the deployment shape
+    * when one monolithic band Bloom outgrows a comfortable broadcast
+    * (~29 GB at 10⁹ docs): 16 independent Blooms, one per band, each
+    * 1/16th the size, built in ONE corpus pass (every partition fills
+    * a 16-Bloom array, arrays tree-merge — BloomFilter is mergeable,
+    * the same property compaction relies on). Beyond the smaller
+    * broadcast ceiling, bands now COMPACT INDEPENDENTLY: a rolling
+    * corpus rebuilds one band's Bloom at a time instead of the whole
+    * sketch, and executors under memory pressure evict per band.
+    * Probe side is the same OR of 16 native probes, each against its
+    * own band's filter; per-band fpp and the compound flag rate are
+    * unchanged, so the gate's contract (no false negatives, ~1.6%
+    * compound fp) carries over verbatim — spec asserts the sharded
+    * gate flags every band-collision doc exactly like the monolith.
+    */
+  private[graft] def bandBloomsSharded(standing: DataFrame,
+      fpp: Double = 0.001): Array[org.apache.spark.util.sketch.BloomFilter] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val keys = standing.filter(col("sig").isNotNull)
+      .select(array(bandKeyCols(col("sig")): _*).as("ks")).persist()
+    try {
+      val expected = math.max(keys.count(), 1L) // one key per doc per band
+      keys.rdd.mapPartitions { iter =>
+        val bs = Array.fill(NumBands)(BloomFilter.create(expected, fpp))
+        iter.foreach { row =>
+          val ks = row.getSeq[String](0)
+          var j = 0
+          while (j < NumBands) { bs(j).putString(ks(j)); j += 1 }
+        }
+        Iterator.single(bs)
+      }.treeReduce { (a, b) =>
+        var j = 0
+        while (j < NumBands) { a(j).mergeInPlace(b(j)); j += 1 }
+        a
+      }
+    } finally keys.unpersist(): Unit
+  }
+
+  /** The sharded-gate probe: band j's key checks band j's Bloom. */
+  private[graft] def bandKeyHitSharded(spark: SparkSession,
+      blooms: Array[org.apache.spark.util.sketch.BloomFilter]): Column => Column = {
+    require(blooms.length == NumBands, s"expected $NumBands band blooms")
+    val probes = blooms.map(b => graft.functions.BloomMightContain
+      .fromBroadcast(spark.sparkContext.broadcast(b)))
+    sig => bandKeyCols(sig).zip(probes).map { case (k, p) => p(k) }
+      .reduce(_ || _)
   }
 }

@@ -154,6 +154,38 @@ class LlmOpsSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("star contraction matches the default loop, incl. a planted long chain") {
+    import spark.implicits._
+    // the crafted graph the default loop's spec uses...
+    val verts = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 20L, 21L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (13L, 12L)).toDF("src", "dst")
+    val star = Dedup.connectedComponentsStar(verts, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = Dedup.connectedComponents(verts, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == loop)
+    // ...plus the shape the default loop is WRONG for at scale: a
+    // 256-link chain is ~256 min-propagation rounds but must stay
+    // inside star contraction's O(log n) budget (maxRounds = 64 would
+    // blow up if rounds scaled with diameter)
+    val n = 256
+    val chainVerts = (0L until n.toLong).toDF("id")
+    val chainEdges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val chainLabels = Dedup.connectedComponentsStar(chainVerts, chainEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainLabels == (0L until n.toLong).map(_ -> 0L).toMap)
+    // real pair graph: identical labels from both algorithms
+    val pairs = Dedup.embeddingDedup(spark, sfDir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val ids = Tables.embeddings(spark, sfDir).select(col("vec_id").as("id"))
+    val viaStar = Dedup.connectedComponentsStar(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLoop = Dedup.connectedComponents(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaLoop)
+  }
+
   test("embeddingClusters equals a driver-side union-find over the pairs") {
     // independent oracle: union-find over the collected exact pairs
     val pairs = Dedup.embeddingDedup(spark, sfDir).collect()
@@ -658,6 +690,18 @@ class LlmOpsSpec extends SparkSuite {
       _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.ScalaUDF])))
     assert(plan.toString.linesIterator.exists(l =>
       l.contains("*") && l.contains("bloom_might_contain")))
+    // the per-band SHARDED layout honors the same contract: every
+    // band-collision doc flags there too (fp sets may differ — the
+    // hash layouts are independent — but the no-false-negative
+    // guarantee is per band and survives the sharding)
+    val shardedHit = Dedup.bandKeyHitSharded(spark,
+      Dedup.bandBloomsSharded(sigs.filter(col("doc_id") < 400)))
+    val shardedFlags = sigs.filter(col("doc_id") >= 350)
+      .withColumn("f", shardedHit(col("sig")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("f"))
+      .toMap
+    (mustFlag ++ flags.keySet.filter(_ < 400)).foreach(id =>
+      assert(shardedFlags(id), s"sharded gate missed band-sharing doc $id"))
   }
 
   test("bloomGate: every true duplicate flags; fresh docs mostly pass") {
