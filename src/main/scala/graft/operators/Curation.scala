@@ -797,12 +797,26 @@ object Curation {
     * bucket-keyed aggregation over the corpus; smoothing as in
     * [[importanceWeights]] with the bucket space as the vocabulary.
     */
+  /** DSIR hashed FEATURES — unigrams ∪ word BIGRAMS, the feature set
+    * of Xie et al. §3 (hashed n-grams up to n=2 share one bucket
+    * space): bigrams are what let the model see word ORDER, so two
+    * documents with identical word multisets but different phrasing
+    * score differently (spec-pinned). One definition feeds the model
+    * count and the scorer, so train and serve cannot drift.
+    */
+  private def dsirFeatures(ws: Column): Column =
+    concat(ws,
+      when(size(ws) >= 2,
+        transform(sequence(lit(0), size(ws) - 2),
+          i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+        .otherwise(typedLit(Seq.empty[String])))
+
   private[graft] def hashedImportanceModel(docs: DataFrame,
       buckets: Int = HashBuckets): Array[Double] = {
+    val ws = filter(TextOps.normalizedWords, w => w =!= lit(""))
     val counts = docs
       .select((col("source") === DsirTarget).as("is_t"),
-        explode(TextOps.normalizedWords).as("word"))
-      .filter(col("word") =!= "")
+        explode(dsirFeatures(ws)).as("word"))
       .groupBy(pmod(xxhash64(col("word")), lit(buckets.toLong)).as("b"))
       .agg(count(lit(1)).as("c_all"),
         sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
@@ -822,11 +836,14 @@ object Curation {
   }
 
   /** Score documents against a trained hashed model: per-row
-    * Σ model[hash(word)] — a pure projection (the model rides in the
-    * plan as a literal), so it runs unchanged inside the streaming
-    * tier ([[graft.streaming.TickStream.importanceDocsStream]]).
-    * The fold is left-to-right per document on every engine path, so
-    * batch and streamed scores are bit-identical.
+    * Σ model[hash(feature)] over the same unigram∪bigram features the
+    * model counted — a pure projection (the model rides in the plan
+    * as a literal), so it runs unchanged inside the streaming tier
+    * ([[graft.streaming.TickStream.importanceDocsStream]]). The fold
+    * is left-to-right per document on every engine path, so batch and
+    * streamed scores are bit-identical. `n_tokens` stays the UNIGRAM
+    * count (the resampling budget is measured in tokens, not
+    * features).
     */
   private[graft] def hashedImportanceScore(docs: DataFrame,
       model: Array[Double]): DataFrame = {
@@ -837,7 +854,7 @@ object Curation {
     val ws = filter(TextOps.normalizedWords, w => w =!= lit(""))
     docs.select(col("doc_id"),
       round(aggregate(
-        transform(ws, w => element_at(typedLit(model.toSeq),
+        transform(dsirFeatures(ws), w => element_at(typedLit(model.toSeq),
           pmod(xxhash64(w), lit(buckets.toLong)).cast("int") + 1)),
         lit(0.0), _ + _), 6).as("log_weight"),
       size(ws).as("n_tokens"))

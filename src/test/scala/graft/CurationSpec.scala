@@ -250,6 +250,26 @@ class CurationSpec extends SparkSuite {
       "hashed scores should broadly agree with the exact model")
   }
 
+  test("hashed DSIR features see word order (bigrams)") {
+    import spark.implicits._
+    // target phrasing "alpha beta", off-domain phrasing reversed; the
+    // probe pair shares one unigram multiset and differs only in
+    // order — a unigram model scores them identically, the bigram
+    // features must prefer the target's phrasing
+    val docs = (Seq.tabulate(20)(i => (i.toLong, "alpha beta " * 30, "src0")) ++
+      Seq.tabulate(20)(i => ((100 + i).toLong, "beta alpha " * 30, "srcX")) ++
+      Seq((200L, "alpha beta alpha beta", "srcY"),
+        (201L, "beta alpha beta alpha", "srcY")))
+      .toDF("doc_id", "text", "source")
+    val model = Curation.hashedImportanceModel(docs)
+    val scores = Curation.hashedImportanceScore(
+      docs.filter(col("doc_id") >= 200L), model)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight"))
+      .toMap
+    assert(scores(200L) > scores(201L),
+      s"order-insensitive scores: $scores")
+  }
+
   test("gopherQuality judges each rule on crafted documents") {
     import spark.implicits._
     val good = ("the analytics engine and the scheduler have to " +
