@@ -127,6 +127,31 @@ object RecallProbe {
       println(f"[recall] hnsw efSearch=$ef%2d recall@10=$recall%.3f")
     }
     hnsw.nodes.unpersist()
+    // segmented serve: a main hierarchy over ~80% of the corpus plus
+    // two 10% segments, vs the monolithic index above — the merged
+    // re-rank must not cost recall (every segment is searched with
+    // its own beam, so the union can only add candidates)
+    locally {
+      import org.apache.spark.sql.functions.col
+      val main8 = operators.Similarity.hnswIndexOf(
+        nswCorpus.filter(col("vec_id") % 10 < 8))
+      var segd = operators.Similarity.HnswSegmented(main8, Nil)
+      for (m <- Seq(8, 9))
+        segd = operators.Similarity.hnswAppendSegment(segd,
+          nswCorpus.filter(col("vec_id") % 10 === m).select("vec_id", "v"))
+      segd.main.nodes.cache().count(): Unit
+      segd.segments.foreach(s => s.nodes.cache().count(): Unit)
+      val probes = nswCorpus.filter(col("vec_id") < 5)
+        .toDF("probe_id", "p_v", "p_norm")
+      for (ef <- Seq(8, 16, 32)) {
+        val got = pairs(operators.Similarity.annHnswSearchSegmented(
+          segd, probes, ef, excludeSelf = true))
+        val recall = (exact & got).size.toDouble / exact.size
+        println(f"[recall] hnswSeg 80+10+10 efSearch=$ef%2d recall@10=$recall%.3f")
+      }
+      segd.main.nodes.unpersist(): Unit
+      segd.segments.foreach(s => s.nodes.unpersist(): Unit)
+    }
     // link-selector ablation on the CLUSTERED corpus — the regime
     // where closest-k links a node entirely inside its own cluster
     // and the alg.-4 diversity heuristic keeps the bridge edges

@@ -779,12 +779,15 @@ object Dedup {
     * gate flags every band-collision doc exactly like the monolith.
     */
   private[graft] def bandBloomsSharded(standing: DataFrame,
-      fpp: Double = 0.001): Array[org.apache.spark.util.sketch.BloomFilter] = {
+      fpp: Double = 0.001, capacity: Long = 0L): Array[org.apache.spark.util.sketch.BloomFilter] = {
     import org.apache.spark.util.sketch.BloomFilter
     val keys = standing.filter(col("sig").isNotNull)
       .select(array(bandKeyCols(col("sig")): _*).as("ks")).persist()
     try {
-      val expected = math.max(keys.count(), 1L) // one key per doc per band
+      // a caller-fixed capacity keeps every build's bit size identical
+      // (mergeInPlace requires it — the rolling gate unions epochs)
+      val expected =
+        if (capacity > 0L) capacity else math.max(keys.count(), 1L) // one key per doc per band
       keys.rdd.mapPartitions { iter =>
         val bs = Array.fill(NumBands)(BloomFilter.create(expected, fpp))
         iter.foreach { row =>
@@ -809,5 +812,62 @@ object Dedup {
       .fromBroadcast(spark.sparkContext.broadcast(b)))
     sig => bandKeyCols(sig).zip(probes).map { case (k, p) => p(k) }
       .reduce(_ || _)
+  }
+
+  /** TTL'd ROLLING band gate — the eviction story a WINDOWED standing
+    * corpus needs (dedup against "the last K days", not all history):
+    * a monolithic Bloom can only grow, so expiry is impossible once
+    * keys are folded in. The rolling gate keeps one per-epoch array
+    * of sharded band Blooms (all built at the SAME fixed capacity so
+    * their bit layouts merge) and derives the SERVING array — the
+    * band-wise union of the retained epochs — whenever an epoch
+    * rotates in: appending epoch N evicts epochs ≤ N − window in O(1)
+    * (drop the array — nothing is rebuilt) and re-unions K small
+    * filters (a bitwise OR, corpus never rescanned). Probing is the
+    * unchanged [[bandKeyHitSharded]] against `serving`: ONE probe per
+    * band regardless of window size, same no-false-negative contract
+    * within the window; docs only seen in evicted epochs stop
+    * flagging (down to the compound fpp). Per-epoch filters are
+    * cloned before the union so rotation never corrupts them
+    * (mergeInPlace mutates its receiver) — spec-asserted by rotating
+    * twice and re-probing.
+    */
+  case class RollingBandGate(windowEpochs: Int, capacity: Long,
+      fpp: Double, epochs: Vector[(Long, Array[org.apache.spark.util.sketch.BloomFilter])],
+      serving: Array[org.apache.spark.util.sketch.BloomFilter])
+
+  private[graft] def emptyRollingGate(windowEpochs: Int, capacity: Long,
+      fpp: Double = 0.001): RollingBandGate = {
+    require(windowEpochs >= 1 && capacity > 0L,
+      "rolling gate needs a window and a fixed per-epoch capacity")
+    RollingBandGate(windowEpochs, capacity, fpp, Vector.empty,
+      Array.fill(NumBands)(
+        org.apache.spark.util.sketch.BloomFilter.create(capacity, fpp)))
+  }
+
+  private def cloneBloom(b: org.apache.spark.util.sketch.BloomFilter): org.apache.spark.util.sketch.BloomFilter = {
+    val bos = new java.io.ByteArrayOutputStream()
+    b.writeTo(bos)
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+  }
+
+  /** Rotate `epochId`'s corpus slice into the gate: build its sharded
+    * band Blooms (one corpus pass), evict epochs that fall out of the
+    * window, re-derive the serving union from clones.
+    */
+  private[graft] def rollingGateAppend(gate: RollingBandGate,
+      standingSlice: DataFrame, epochId: Long): RollingBandGate = {
+    require(gate.epochs.forall(_._1 < epochId),
+      s"epoch ids must be appended in increasing order (got $epochId)")
+    val fresh = bandBloomsSharded(standingSlice, gate.fpp, gate.capacity)
+    val retained = (gate.epochs :+ (epochId -> fresh))
+      .takeRight(gate.windowEpochs)
+    val serving = retained.head._2.map(cloneBloom)
+    retained.tail.foreach { case (_, bs) =>
+      var j = 0
+      while (j < NumBands) { serving(j).mergeInPlace(bs(j)); j += 1 }
+    }
+    gate.copy(epochs = retained, serving = serving)
   }
 }

@@ -747,6 +747,74 @@ object Forecast {
     df
   }
 
+  /** REFRESH POLICY — which registered models are stale given the
+    * current tick corpus. A symbol needs a (re)fit when:
+    *  - it has no registry row (new symbol; trainability is decided
+    *    by the fit itself, which rejects short histories — the same
+    *    ≥ 50-point bar [[modelReadiness]] reports), or
+    *  - at least `minNewObs` valid ticks arrived after its
+    *    `trained_at` (the fit would see materially new data), or
+    *  - its latest tick leads `trained_at` by more than `maxLagDays`
+    *    (drift guard: even a trickle of new data eventually forces a
+    *    refit).
+    * Both signals come from the registry row alone plus one per-symbol
+    * aggregate of the corpus (`n_obs` is the full fit-time count and
+    * `trained_at` the last training tick's EVENT time, so the
+    * decision is deterministic — no wall clock). One shuffle on
+    * user_id; the registry side broadcasts (it is symbol-sized).
+    */
+  private[graft] def staleModels(registry: DataFrame, ticksIn: DataFrame,
+      minNewObs: Long = 10, maxLagDays: Int = 7): DataFrame =
+    ticksIn
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("cur_obs"), max("ts").as("latest_ts"))
+      .join(broadcast(registry.select(col("user_id"), col("n_obs"),
+        col("trained_at"))), Seq("user_id"), "left")
+      .filter(col("n_obs").isNull
+        || (col("cur_obs") - col("n_obs")) >= minNewObs
+        || col("latest_ts") > col("trained_at") + expr(s"INTERVAL $maxLagDays DAYS"))
+      .select("user_id")
+
+  /** Staleness-triggered SELECTIVE refit — the registry maintenance
+    * loop (the reference refreshes its ml_models cache per symbol on
+    * its own cadence, arima_forecasting.py self.models, rather than
+    * refitting the world): symbols flagged by [[staleModels]] are
+    * refit from their full tick history (a semi-join keeps the fit
+    * scan to the stale slice); every other registry row is carried
+    * VERBATIM — not refit, not rewritten — so a refresh with nothing
+    * stale is a no-op and fit cost scales with what changed, not with
+    * the symbol universe. A stale symbol whose refit yields no row
+    * (history still below the trainable bar) keeps its previous model:
+    * the serve path never loses a model to an in-flight refresh —
+    * callers swap the returned registry in only when it is complete,
+    * serving from the previous one meanwhile (same publish-then-swap
+    * contract as [[graft.streaming.TickStream.hnswMaintainStream]]).
+    */
+  def refreshModelRegistry(spark: SparkSession, dir: String,
+      registry: DataFrame, minNewObs: Long = 10,
+      maxLagDays: Int = 7): DataFrame =
+    refreshModelRegistryTicks(registry, Warehouse.validTicks(spark, dir),
+      minNewObs, maxLagDays)
+
+  private[graft] def refreshModelRegistryTicks(registry: DataFrame,
+      ticksIn: DataFrame, minNewObs: Long = 10,
+      maxLagDays: Int = 7): DataFrame = {
+    val stale = staleModels(registry, ticksIn, minNewObs, maxLagDays)
+    val refit = modelRegistryTicks(
+      ticksIn.join(broadcast(stale), Seq("user_id"), "left_semi"))
+    // full-outer + struct coalesce keeps ONE reference to the refit
+    // subplan (an anti-join + union would evaluate the fits twice —
+    // the RDD-backed fit plan gets no exchange reuse); refit wins
+    // where present, the previous model is carried otherwise
+    val rest = registrySchema.fieldNames.filterNot(_ == "user_id")
+    def packed(df: DataFrame, as: String) =
+      df.select(col("user_id"), struct(rest.map(col).toSeq: _*).as(as))
+    packed(registry, "old").join(packed(refit, "new"),
+        Seq("user_id"), "full_outer")
+      .select(col("user_id"), coalesce(col("new"), col("old")).as("m"))
+      .select(col("user_id") +: rest.map(f => col(s"m.$f").as(f)): _*)
+  }
+
   /** SERVE: the arimaForecast output surface re-derived from registry
     * rows alone (a narrow per-row projection — no tick scan, no
     * refit: the operational read path once models are fitted).

@@ -1585,6 +1585,73 @@ object Similarity {
     HnswIndex(merged)
   }
 
+  /** A SEGMENTED HNSW deployment — the micro-append economics
+    * [[updateHnswIndex]] cannot give: as an immutable-DataFrame index
+    * every direct append REWRITES the whole standing index (one
+    * shuffle of index + batch), so a stream of small batches pays
+    * O(index) per batch. The segment tier is the standard LSM-style
+    * answer: each ingest batch becomes its own small single-shard
+    * hierarchy (build cost O(batch·log batch), the standing `main` is
+    * NOT touched), serve searches main + every open segment and
+    * re-ranks the union, and a periodic [[compactHnswSegments]] folds
+    * all segments into main with ONE rewrite — amortizing the
+    * O(index) cost over however many batches accumulated between
+    * compactions. Search cost grows with the open-segment count
+    * (each segment adds a beam descent per probe), which is the knob:
+    * compact when segments × per-segment latency outweighs one
+    * rewrite.
+    */
+  case class HnswSegmented(main: HnswIndex, segments: List[HnswIndex])
+
+  /** Open a new segment for an ingest batch: a fresh single-shard
+    * hierarchy over just the batch. `main` and existing segments are
+    * untouched (reference-equal — spec-asserted); duplicate ids
+    * across main/segments surface at compaction, exactly like a
+    * direct append would fail.
+    */
+  def hnswAppendSegment(seg: HnswSegmented, newVecs: DataFrame,
+      maxDeg: Int = 8, efConstruction: Int = 32): HnswSegmented = {
+    val prepared = newVecs
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))
+    seg.copy(segments = seg.segments :+
+      hnswIndexOf(prepared, maxDeg, efConstruction, numShards = 1))
+  }
+
+  /** Serve across main + open segments: each index answers the probe
+    * batch independently (same per-shard layered descent as
+    * [[annHnswSearchProbes]]) and the union re-ranks to one global
+    * top-k per probe — identical surface to the un-segmented search.
+    */
+  def annHnswSearchSegmented(seg: HnswSegmented, probes: DataFrame,
+      efSearch: Int = 32, excludeSelf: Boolean = false): DataFrame = {
+    val per = (seg.main :: seg.segments)
+      .map(ix => annHnswSearchProbes(ix, probes, efSearch, excludeSelf)
+        .select("probe_id", "neighbor_id", "cosine"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    per.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select("probe_id", "rank", "neighbor_id", "cosine")
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Fold every open segment into `main` with ONE index rewrite (the
+    * same id-ordered insertion a direct [[updateHnswIndex]] of the
+    * concatenated batches would run, so the compacted index is
+    * bit-identical to having appended them directly — spec-asserted);
+    * segment order cannot matter because insertion is id-ordered.
+    */
+  def compactHnswSegments(seg: HnswSegmented, maxDeg: Int = 8,
+      efConstruction: Int = 32): HnswSegmented =
+    if (seg.segments.isEmpty) seg
+    else HnswSegmented(
+      updateHnswIndex(seg.main,
+        seg.segments.map(_.nodes.select("vec_id", "v")).reduce(_ unionByName _),
+        maxDeg, efConstruction),
+      Nil)
+
   def saveHnswIndex(idx: HnswIndex, path: String): Unit =
     idx.nodes.write.mode("overwrite").parquet(path)
 

@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   * flatMapGroupsWithState — the scale knobs a 1000-executor streaming
   * job needs.
   */
-object TickStream {
+object TickStream extends Serializable {
 
   /** JSON tick-message schema exactly as the producer emits it
     * (producer.py:100-127).
@@ -176,6 +176,30 @@ object TickStream {
       .withColumn("candidate_near_dup", hit(col("sig")))
       .drop("sig")
   }
+
+  /** [[nearDupDocsStream]] against a ROLLING standing window: each
+    * microbatch probes the gate's CURRENT serving Blooms, late-bound
+    * through `gate` — so an epoch rotation
+    * ([[graft.operators.Dedup.rollingGateAppend]], run by whatever
+    * maintains the standing corpus) swaps the probed union between
+    * batches without restarting the query. The static variant binds
+    * one Bloom for the query's lifetime; a windowed corpus needs the
+    * probe to follow the window. Flags keep the rolling gate's
+    * contract: no false negatives within the retained window, evicted
+    * epochs decay to the compound fpp (spec rotates mid-stream and
+    * asserts both sides).
+    */
+  def nearDupDocsStreamRolling(docs: DataFrame,
+      gate: () => graft.operators.Dedup.RollingBandGate)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val hit = graft.operators.Dedup.bandKeyHitSharded(
+        batch.sparkSession, gate().serving)
+      writeBatch(batch
+        .withColumn("sig", graft.operators.Dedup.sigCol(col("text")))
+        .withColumn("candidate_near_dup", hit(col("sig")))
+        .drop("sig"), batchId)
+    }
 
   case class DocLine(doc_id: Long, pos: Int, line: String,
       ingest_ts: java.sql.Timestamp)
@@ -381,6 +405,91 @@ object TickStream {
       writeBatch(scoreTicksAgainstRegistry(batch, serveSurface), batchId)
     }
 
+  /** SEGMENTED HNSW maintenance — [[hnswMaintainStream]] without its
+    * documented flaw: the direct-append loop rewrites the WHOLE
+    * standing index every microbatch (O(index) per batch — its own
+    * scaladoc says to amortize by batching). Here each microbatch
+    * becomes a SEGMENT (build cost O(batch·log batch), `main` is
+    * never touched — [[graft.operators.Similarity.hnswAppendSegment]]),
+    * and once `maxSegments` are open the tier compacts: ONE rewrite
+    * absorbing every open segment, bit-identical to having appended
+    * them directly. `maxSegments` is the latency-vs-rewrite knob —
+    * serve cost grows by one beam descent per open segment
+    * ([[graft.operators.Similarity.annHnswSearchSegmented]]), so
+    * compact when segments × per-segment latency outweighs one
+    * rewrite amortized over `maxSegments` batches. Fresh segments and
+    * compacted mains are `localCheckpoint`ed (appends are lazy — see
+    * [[hnswMaintainStream]]) and the whole tier publishes via
+    * `onUpdate`, publish-then-swap like every maintenance loop here.
+    */
+  def hnswSegmentMaintainStream(embStream: DataFrame,
+      initial: graft.operators.Similarity.HnswSegmented,
+      maxSegments: Int = 8, maxDeg: Int = 8, efConstruction: Int = 32)(
+      onUpdate: (graft.operators.Similarity.HnswSegmented, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var seg = initial
+    embStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val vecs = batch.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val appended = graft.operators.Similarity
+        .hnswAppendSegment(seg, vecs, maxDeg, efConstruction)
+      val pinned = appended.segments.init :+
+        graft.operators.Similarity.HnswIndex(
+          appended.segments.last.nodes.localCheckpoint(true))
+      seg = appended.copy(segments = pinned)
+      if (seg.segments.length >= maxSegments) {
+        val compacted = graft.operators.Similarity
+          .compactHnswSegments(seg, maxDeg, efConstruction)
+        seg = graft.operators.Similarity.HnswSegmented(
+          graft.operators.Similarity.HnswIndex(
+            compacted.main.nodes.localCheckpoint(true)), Nil)
+      }
+      onUpdate(seg, batchId)
+    }
+  }
+
+  /** Streaming REGISTRY MAINTENANCE — the refresh cadence of
+    * [[graft.operators.Forecast.refreshModelRegistry]] driven by the
+    * live tick stream (the ingest-side dual of [[forecastServeStream]],
+    * closing the fit/serve loop the same way [[hnswMaintainStream]]
+    * closes the index one): each microbatch counts its VALID arrivals
+    * per symbol — a symbol-sized aggregate; the stream itself is
+    * never buffered here, production batches land in the lake
+    * (`history`) through their own sink — and once any symbol's
+    * accumulated arrivals reach `minNewObs`, the standing registry
+    * refreshes from `history`: [[graft.operators.Forecast.staleModels]]
+    * decides EXACTLY which symbols refit (the counters are only the
+    * trigger, so clearing them on refresh can delay the next check
+    * but never mis-fit), fresh rows carry verbatim, and the result is
+    * `localCheckpoint`ed (fits run once, not per downstream probe)
+    * and published through `onUpdate` — publish-then-swap: the serve
+    * stream keeps probing the PREVIOUS registry until the new one
+    * lands, so a refresh in flight never leaves forecasts unserved.
+    */
+  def registryMaintainStream(ticks: DataFrame, initial: DataFrame,
+      history: () => DataFrame, minNewObs: Long = 10, maxLagDays: Int = 7)(
+      onUpdate: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // driver-held standing registry + arrival counters — foreachBatch
+    // runs serially, so no synchronization is needed
+    var registry = initial
+    val arrivals = scala.collection.mutable.Map.empty[Long, Long]
+    ticks.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      graft.operators.Warehouse.validTicksOf(batch)
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .collect().foreach { r =>
+          val u = r.getLong(0)
+          arrivals(u) = arrivals.getOrElse(u, 0L) + r.getLong(1)
+        }
+      if (arrivals.valuesIterator.exists(_ >= minNewObs)) {
+        registry = graft.operators.Forecast.refreshModelRegistryTicks(
+          registry,
+          graft.operators.Warehouse.validTicksOf(history()),
+          minNewObs, maxLagDays).localCheckpoint(true)
+        arrivals.clear()
+        onUpdate(registry, batchId)
+      }
+    }
+  }
+
   /** The one scoring projection [[forecastServeStream]] runs per
     * microbatch — exposed so the spec's batch dual IS the same code.
     */
@@ -391,6 +500,110 @@ object TickStream {
       .select(col("user_id"), col("event_id"), col("ts"),
         col("value").as("price"), col("predicted_price"),
         col("confidence_score"), col("model_type"))
+
+  /** One not-yet-emitted observed day of a symbol: the day's close is
+    * the value at the max (ts, event_id) seen so far — the same
+    * last-tick-of-day definition the batch OHLC uses.
+    */
+  case class FfillPendingDay(day: Int, ts_micros: Long, event_id: Long,
+      close: Double)
+
+  case class FfillState(lastDay: Int, lastClose: Double,
+      hasEmitted: Boolean, pending: List[FfillPendingDay])
+
+  case class FfillRow(user_id: Long, trade_date: java.time.LocalDate,
+      close_price: Double, is_observed: Boolean)
+
+  private val DayMs = 86400000L
+
+  /** Streaming dual of [[graft.operators.Warehouse.priceFfill]] — the
+    * forward-filled daily close grid emitted as the WATERMARK
+    * completes each calendar day (UTC days, like the batch dual under
+    * the repo-wide UTC session): per symbol, state holds the carried
+    * close plus the last observed (ts, event_id, value) of each
+    * not-yet-complete day; once the event-time watermark passes a
+    * day's end (no tick for it can arrive anymore), every grid day up
+    * through it — observed days with their own close, gap days with
+    * the carried close and `is_observed = false` — is emitted exactly
+    * once, in order. An event-time TIMEOUT at the earliest pending
+    * day's end keeps emission moving when a symbol goes quiet (its
+    * completed days still emit as OTHER symbols' ticks advance the
+    * watermark) — the same EventTimeTimeout-not-ProcessingTime choice
+    * as [[lineDedupDocsStream]], so an idle stream never churns empty
+    * batches. Gap days between two pending observed days ride along
+    * and are emitted with the run that completes them, which yields
+    * the identical row set.
+    *
+    * State is O(pending days) per symbol — bounded by the watermark
+    * delay in days plus one, independent of tick volume; emitted days
+    * leave state immediately. Ticks are validated with the SAME
+    * predicate as batch ingest, so streamed and batch grids agree row
+    * for row on completed days (spec-asserted across microbatch
+    * splits).
+    */
+  def priceFfillStream(spark: SparkSession, ticks: DataFrame,
+      watermarkDelay: String = "10 minutes"): Dataset[FfillRow] = {
+    import spark.implicits._
+    def update(userId: Long, rows: Iterator[Tick],
+        state: GroupState[FfillState]): Iterator[FfillRow] = {
+      var st = state.getOption.getOrElse(
+        FfillState(Int.MinValue, 0.0, hasEmitted = false, Nil))
+      var pending = st.pending
+      if (!state.hasTimedOut) rows.foreach { t =>
+        val m = tsMicros(t.ts)
+        val day = Math.floorDiv(m, DayMs * 1000L).toInt
+        // a day at or before the emitted frontier is closed — its row
+        // is already out (the watermark filtered later arrivals; this
+        // guard keeps exactly-once emission even if one slips through)
+        if (!(st.hasEmitted && day <= st.lastDay)) {
+          val cur = pending.find(_.day == day)
+          if (cur.forall(p => m > p.ts_micros
+              || (m == p.ts_micros && t.event_id > p.event_id)))
+            pending = FfillPendingDay(day, m, t.event_id, t.value) ::
+              pending.filterNot(_.day == day)
+        }
+      }
+      // a day is complete once the watermark reaches its end
+      val wm = state.getCurrentWatermarkMs()
+      val out = Seq.newBuilder[FfillRow]
+      if (pending.nonEmpty) {
+        val maxComplete = Math.floorDiv(wm, DayMs) - 1L
+        // the grid never runs past the last OBSERVED day (the batch
+        // grid ends at max trade_date); gap days up to a later
+        // pending day emit with the run that completes them
+        val end = math.min(maxComplete, pending.map(_.day).max.toLong).toInt
+        val start =
+          if (st.hasEmitted) st.lastDay + 1 else pending.map(_.day).min
+        if (end >= start) {
+          val byDay = pending.map(p => p.day -> p).toMap
+          var carried = st.lastClose
+          (start to end).foreach { d =>
+            val obs = byDay.get(d)
+            obs.foreach(p => carried = p.close)
+            out += FfillRow(userId, java.time.LocalDate.ofEpochDay(d.toLong),
+              carried, obs.nonEmpty)
+          }
+          pending = pending.filter(_.day > end)
+          st = FfillState(end, carried, hasEmitted = true, pending)
+        } else st = st.copy(pending = pending)
+      } else st = st.copy(pending = pending)
+      state.update(st)
+      if (pending.nonEmpty) {
+        // wake when the earliest still-pending day completes; after
+        // the emission above every remaining day ends past the
+        // watermark, so this timestamp is always legal
+        val wake = (pending.map(_.day).min.toLong + 1L) * DayMs
+        if (wake > wm) state.setTimeoutTimestamp(wake)
+      }
+      out.result().iterator
+    }
+    graft.operators.Warehouse.validTicksOf(ticks)
+      .withWatermark("ts", watermarkDelay)
+      .select("user_id", "event_id", "ts", "value").as[Tick]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
 
   /** (probe_id, p_v, p_norm) from an embeddings-shaped microbatch —
     * the one probe-preparation both serve streams share.

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Forecast
+import org.apache.spark.sql.functions.col
 
 class ForecastSpec extends SparkSuite {
 
@@ -151,6 +152,57 @@ class ForecastSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Forecast.loadModelRegistry(spark, bad)
     }: Unit
+  }
+
+  test("registry refresh refits only stale symbols, keeps the rest verbatim") {
+    import spark.implicits._
+    // hourly ticks; price pattern fits cleanly at 60+ points
+    def mk(user: Long, hours: Range): Seq[(Long, java.sql.Timestamp, Long, String, Double)] =
+      hours.map(h => (user * 100000L + h,
+        new java.sql.Timestamp(1700000000000L + 3600000L * h), user, "tick",
+        100.0 + user + 5.0 * math.sin(h * 0.7) + 0.01 * h))
+    def df(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val base = df(mk(1, 0 until 60) ++ mk(2, 0 until 60))
+    val registry = Forecast.modelRegistryTicks(base)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().sortBy(_.getLong(0)).map(_.toString).toSeq
+    assert(registry.count() == 2)
+
+    // nothing new → nothing stale, refresh is the identity
+    assert(Forecast.staleModels(registry, base).count() == 0)
+    assert(rows(Forecast.refreshModelRegistryTicks(registry, base))
+      == rows(registry))
+
+    // +12 ticks for symbol 2 (≥ minNewObs) and a brand-new symbol 3:
+    // both stale; symbol 1 untouched and carried verbatim
+    val grown = df(mk(1, 0 until 60) ++ mk(2, 0 until 72) ++ mk(3, 0 until 60))
+    val stale = Forecast.staleModels(registry, grown)
+      .collect().map(_.getLong(0)).toSet
+    assert(stale == Set(2L, 3L), s"stale = $stale")
+    val refreshed = Forecast.refreshModelRegistryTicks(registry, grown)
+    val byUser = refreshed.collect().map(r => r.getLong(0) -> r.toString).toMap
+    assert(byUser.keySet == Set(1L, 2L, 3L))
+    assert(byUser(1L) == rows(registry.filter(col("user_id") === 1L)).head,
+      "unchanged symbol must carry its old registry row bit-identically")
+    val fresh = Forecast.modelRegistryTicks(grown)
+    val freshBy = fresh.collect().map(r => r.getLong(0) -> r.toString).toMap
+    assert(byUser(2L) == freshBy(2L) && byUser(3L) == freshBy(3L),
+      "stale symbols must equal a from-scratch fit on the full history")
+
+    // a trickle below minNewObs still goes stale once it lags > 7 days
+    val lagged = df(mk(1, 0 until 60) ++ mk(1, 252 until 254) ++ mk(2, 0 until 60))
+    val staleLag = Forecast.staleModels(registry, lagged)
+      .collect().map(_.getLong(0)).toSet
+    assert(staleLag == Set(1L), s"staleLag = $staleLag")
+
+    // a stale symbol whose history cannot fit keeps its previous model
+    // (serve never loses a model to an in-flight refresh)
+    val trimmed = df(mk(1, 0 until 20) ++ mk(2, 0 until 60))
+    val kept = Forecast.refreshModelRegistryTicks(registry, trimmed,
+      minNewObs = -1000L)
+    assert(rows(kept) == rows(registry),
+      "failed refits must carry the previous rows verbatim")
   }
 
   test("predictions served from a loaded registry equal the inline fit path") {

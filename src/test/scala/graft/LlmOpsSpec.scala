@@ -597,6 +597,60 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("segmented hnsw: appends leave main untouched, merged serve, one-rewrite compaction") {
+    val corpus = Similarity.vecs(spark, sfDir).toDF("vec_id", "v", "norm")
+    val mainIdx = Similarity.hnswIndex(spark, sfDir)
+    def twins(lo: Long, hi: Long) = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select((col("vec_id") + 2000000L).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    var seg = Similarity.HnswSegmented(mainIdx, Nil)
+    seg = Similarity.hnswAppendSegment(seg, twins(0, 3))
+    seg = Similarity.hnswAppendSegment(seg, twins(3, 5))
+    // the append economics: main's node frame is the SAME object —
+    // nothing about the standing index was recomputed or rewritten
+    assert((seg.main.nodes eq mainIdx.nodes) && seg.segments.length == 2,
+      "segment append must not touch main")
+    // merged serve: each twin lives ONLY in a segment, so finding it
+    // rank-1 proves the segment legs participate in the global top-k
+    val probes = corpus.filter(col("vec_id") < 5)
+      .toDF("probe_id", "p_v", "p_norm")
+    val res = Similarity.annHnswSearchSegmented(seg, probes,
+      excludeSelf = true).collect()
+    val byProbe = res.groupBy(_.getAs[Long]("probe_id"))
+    (0L until 5L).foreach { p =>
+      val top = byProbe(p).minBy(_.getAs[Int]("rank"))
+      assert(top.getAs[Long]("neighbor_id") == p + 2000000L,
+        s"probe $p: expected its segment twin first, got $top")
+      assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-6)
+    }
+    // the union re-ranks to ONE top-k: full rank runs, descending
+    byProbe.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to rows.length),
+        "ranks must be a contiguous 1..k run after the merge")
+      val cosines = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cosines == cosines.sorted.reverse, "merge must rank by cosine")
+    }
+    // compaction = ONE rewrite, bit-identical to having appended the
+    // concatenated batches directly (id-ordered insertion makes
+    // segment order irrelevant)
+    val compacted = Similarity.compactHnswSegments(seg)
+    assert(compacted.segments.isEmpty)
+    val direct = Similarity.updateHnswIndex(mainIdx, twins(0, 5))
+    assert(compacted.main.nodes.collect().map(_.toString).sorted.toSeq
+      == direct.nodes.collect().map(_.toString).sorted.toSeq,
+      "compacted index diverged from a direct append")
+    // and the compacted index still serves the twins rank-1
+    val resC = Similarity.annHnswSearchProbes(compacted.main, probes,
+      excludeSelf = true).collect().groupBy(_.getAs[Long]("probe_id"))
+    (0L until 5L).foreach { p =>
+      val top = resC(p).minBy(_.getAs[Int]("rank"))
+      assert(top.getAs[Long]("neighbor_id") == p + 2000000L,
+        s"post-compaction probe $p lost its twin: $top")
+    }
+  }
+
   test("bloom_might_contain: parity with sketch probes, null-safe both sides, codegen'd") {
     import spark.implicits._
     // build side tolerates null fingerprints (null-text docs) — they
@@ -702,6 +756,52 @@ class LlmOpsSpec extends SparkSuite {
       .toMap
     (mustFlag ++ flags.keySet.filter(_ < 400)).foreach(id =>
       assert(shardedFlags(id), s"sharded gate missed band-sharing doc $id"))
+  }
+
+  test("rolling band gate: retained epochs always flag, evicted epochs forget") {
+    import spark.implicits._
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Dedup.sigCol(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+    def slice(lo: Long, hi: Long) =
+      sigs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    def flags(g: Dedup.RollingBandGate): Map[Long, Boolean] = {
+      val hit = Dedup.bandKeyHitSharded(spark, g.serving)
+      sigs.withColumn("f", hit(col("sig"))).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("f")).toMap
+    }
+    var gate = Dedup.emptyRollingGate(windowEpochs = 2, capacity = 400L)
+    // the empty gate flags nothing
+    assert(flags(gate).count(_._2) == 0, "empty gate must not flag")
+    gate = Dedup.rollingGateAppend(gate, slice(0, 150), 1L)
+    gate = Dedup.rollingGateAppend(gate, slice(150, 300), 2L)
+    val f2 = flags(gate)
+    f2.keys.filter(_ < 300L).foreach(id =>
+      assert(f2(id), s"in-window doc $id missed — no false negatives"))
+    // epoch 3 rotates epoch 1 out (window 2): eviction is a drop, the
+    // standing corpus is never rescanned
+    gate = Dedup.rollingGateAppend(gate, slice(300, 400), 3L)
+    assert(gate.epochs.map(_._1) == Vector(2L, 3L))
+    val f3 = flags(gate)
+    f3.keys.filter(id => id >= 150L && id < 400L).foreach(id =>
+      assert(f3(id), s"retained-epoch doc $id missed after rotation"))
+    // evicted docs may still flag if they GENUINELY share a band with
+    // a retained doc (real near-dups) or at the compound fpp — but a
+    // leak of epoch 1's bits into the serving union (a clone bug)
+    // would keep them ALL flagging
+    def banded(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+      posexplode(array((0 until 16).map { j =>
+        xxhash64(element_at(col("sig"), 2 * j + 1),
+          element_at(col("sig"), 2 * j + 2), lit(j))
+      }: _*)).as(Seq("band", "bucket")))
+    val legit = banded(slice(0, 150))
+      .join(banded(slice(150, 400)).toDF("s_doc_id", "band", "bucket"),
+        Seq("band", "bucket"))
+      .select("doc_id").distinct().as[Long].collect().toSet
+    val evictedClean = f3.keys.filter(_ < 150L).filterNot(legit).toSeq
+    val leaked = evictedClean.count(f3)
+    assert(leaked.toDouble / math.max(evictedClean.size, 1) <= 0.15,
+      s"$leaked/${evictedClean.size} evicted docs still flag — epoch bits leaked")
   }
 
   test("bloomGate: every true duplicate flags; fresh docs mostly pass") {

@@ -93,6 +93,37 @@ class StreamingSpec extends SparkSuite {
       "incremental streaming state diverged from batch")
   }
 
+  test("priceFfillStream emits exactly the batch grid's watermark-complete days") {
+    val schema = Tables.events(spark, sfDir).schema
+    // the final watermark is max valid event time minus the delay;
+    // every grid day strictly before it must have been emitted, and
+    // nothing at or past it may be
+    val delayMs = 10L * 60000L
+    val maxTs = Warehouse.validTicks(spark, sfDir)
+      .agg(max("ts")).head.getTimestamp(0).getTime
+    val maxCompleteDay = Math.floorDiv(maxTs - delayMs, 86400000L) - 1L
+    val expected = Warehouse.priceFfill(spark, sfDir)
+      .filter(datediff(col("trade_date"), lit("1970-01-01")) <= maxCompleteDay)
+    for (nParts <- Seq(2, 4)) {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageTimeOrderedSplit(nParts))
+      runToMemory(TickStream.priceFfillStream(spark, stream).toDF(),
+        s"ffill_$nParts")
+      val streamed = spark.table(s"ffill_$nParts")
+      assert(streamed.count() == expected.count(),
+        s"grid row count diverged at $nParts-way split: " +
+          s"${streamed.count()} vs ${expected.count()}")
+      assert(streamed.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(streamed).count() == 0,
+        s"ffill grid diverged from batch at $nParts-way split")
+      // exactly-once: no grid day may appear twice
+      assert(streamed.groupBy("user_id", "trade_date").count()
+        .filter(col("count") > 1).count() == 0,
+        "a grid day was emitted more than once")
+    }
+  }
+
   test("sessionizer state survives every 2..5-way microbatch split") {
     val schema = Tables.events(spark, sfDir).schema
     val batch = Warehouse.sessionize(spark, sfDir)
@@ -618,6 +649,57 @@ class StreamingSpec extends SparkSuite {
     idx.nodes.unpersist(): Unit
   }
 
+  test("rolling near-dup stream follows an epoch rotation mid-query") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sfDir)
+    val sigs = docs
+      .select(col("doc_id"), Dedup.sigCol(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+    // window 1: the standing corpus is ONE epoch at a time — slice A
+    // (docs 0-199) now, slice B (docs 200-399) after the rotation
+    var gate = Dedup.emptyRollingGate(windowEpochs = 1, capacity = 400L)
+    gate = Dedup.rollingGateAppend(gate,
+      sigs.filter(col("doc_id") < 200), 1L)
+    // probes: the same A∪B docs arrive in two microbatches (identical
+    // content, distinct files) — the rotation between them is the
+    // only thing that can change the flags
+    val probeDocs = docs.filter(col("doc_id") < 400)
+      .select("doc_id", "text", "source", "lang")
+    val srcDir = java.nio.file.Files.createTempDirectory("ndr_src").toString
+    probeDocs.coalesce(1).write.mode("append").parquet(srcDir)
+    probeDocs.coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(probeDocs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Boolean]]
+    val ckpt = java.nio.file.Files.createTempDirectory("ndr_ckpt").toString
+    val q = TickStream.nearDupDocsStreamRolling(stream, () => gate) { (df, _) =>
+      perBatch.synchronized {
+        perBatch += df.select("doc_id", "candidate_near_dup").collect()
+          .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        // rotate AFTER the first batch: epoch 2 replaces epoch 1
+        if (perBatch.length == 1)
+          gate = Dedup.rollingGateAppend(gate,
+            sigs.filter(col("doc_id") >= 200 && col("doc_id") < 400), 2L)
+        (): Unit
+      }
+    }.option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(perBatch.length == 2, s"expected 2 microbatches, got ${perBatch.length}")
+    val sigIds = sigs.select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch 1 probed epoch A: every A doc self-collides and must flag
+    sigIds.filter(_ < 200L).foreach(id =>
+      assert(perBatch(0)(id), s"epoch-A doc $id missed pre-rotation"))
+    // batch 2 probed epoch B only: every B doc flags, and A docs that
+    // genuinely near-dup nothing in B decay to the compound fpp
+    sigIds.filter(id => id >= 200L && id < 400L).foreach(id =>
+      assert(perBatch(1)(id), s"epoch-B doc $id missed post-rotation"))
+    val aFlagsAfter = sigIds.filter(_ < 200L).count(perBatch(1))
+    val aFlagsBefore = sigIds.filter(_ < 200L).count(perBatch(0))
+    assert(aFlagsAfter < aFlagsBefore,
+      s"rotation had no effect: $aFlagsBefore -> $aFlagsAfter A-docs flagged")
+  }
+
   test("near-dup gate stream flags identically to batch, stateless") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sfDir)
@@ -752,6 +834,99 @@ class StreamingSpec extends SparkSuite {
         == r.getAs[Double]("predicted_price"))
     }
     served.unpersist(): Unit
+  }
+
+  test("segmented hnsw maintenance: segments per batch, compaction at the bar") {
+    import graft.operators.Similarity
+    val idx0 = Similarity.hnswIndex(spark, sfDir)
+    idx0.nodes.cache().count(): Unit
+    val n0 = idx0.nodes.count()
+    val emb = Tables.embeddings(spark, sfDir)
+    val twins = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 4000000L).as("vec_id"), col("embedding"))
+    val srcDir = java.nio.file.Files.createTempDirectory("hseg_src").toString
+    // three microbatches: 2 + 2 + 1 twins
+    twins.filter(col("vec_id") < 4000002L).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    twins.filter(col("vec_id") >= 4000002L && col("vec_id") < 4000004L)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    twins.filter(col("vec_id") >= 4000004L).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(twins.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val traj = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var live = Similarity.HnswSegmented(idx0, Nil)
+    val ckpt = java.nio.file.Files.createTempDirectory("hseg_ckpt").toString
+    val q = TickStream.hnswSegmentMaintainStream(stream, live,
+      maxSegments = 2) { (s, _) =>
+      live = s
+      traj += s.segments.length -> s.main.nodes.count(): Unit
+    }.option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    // batch 1 opens a segment (main untouched); batch 2 hits the bar
+    // and compacts both into main; batch 3 opens a fresh segment
+    assert(traj.toSeq == Seq(1 -> n0, 0 -> (n0 + 4), 1 -> (n0 + 4)),
+      s"segment/main trajectory was $traj")
+    // serve across main + the open segment: every streamed twin is
+    // its probe's rank-1 neighbor, wherever it currently lives
+    val probes = Similarity.vecs(spark, sfDir)
+      .toDF("vec_id", "v", "norm").filter(col("vec_id") < 5)
+      .toDF("probe_id", "p_v", "p_norm")
+    val res = Similarity.annHnswSearchSegmented(live, probes,
+      excludeSelf = true).collect()
+    val byProbe = res.groupBy(_.getAs[Long]("probe_id"))
+    (0L until 5L).foreach { p =>
+      val top = byProbe(p).minBy(_.getAs[Int]("rank"))
+      assert(top.getAs[Long]("neighbor_id") == p + 4000000L,
+        s"probe $p: expected its streamed twin first, got $top")
+      assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-6)
+    }
+    idx0.nodes.unpersist(): Unit
+  }
+
+  test("registry maintenance stream refreshes on the arrival trigger, full registries swap") {
+    import graft.operators.{Forecast, Warehouse}
+    val schema = Tables.events(spark, sfDir).schema
+    val valid = Warehouse.validTicks(spark, sfDir)
+    // an AGED standing registry: fit on the first ~60% of history by
+    // event time — the live stream must trigger a refresh that brings
+    // every symbol back to a full-history fit
+    val cut = valid.agg(expr("percentile(cast(ts AS double), 0.6)"))
+      .head.getDouble(0)
+    val initial = Forecast.modelRegistryTicks(
+      valid.filter(col("ts").cast("double") <= cut)).localCheckpoint(true)
+    assert(initial.count() > 0, "aged registry empty — cut too early")
+    def run(minNewObs: Long): Seq[(Long, Seq[String])] = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageTimeOrderedSplit(3))
+      val updates = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+      val ckpt = java.nio.file.Files.createTempDirectory("regm_ckpt").toString
+      val q = TickStream.registryMaintainStream(stream, initial,
+        () => Tables.events(spark, sfDir), minNewObs = minNewObs) { (reg, id) =>
+        updates.synchronized {
+          updates += id -> reg.collect().map(_.toString).toSeq: Unit
+        }
+      }.option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      updates.toSeq
+    }
+    val updates = run(minNewObs = 10L)
+    assert(updates.nonEmpty, "arrival trigger never fired")
+    // the published registry is COMPLETE (publish-then-swap, never a
+    // partial refit) and its final state equals a from-scratch fit on
+    // full history — every symbol had ≥ minNewObs new ticks, so all
+    // went stale and refit
+    val fresh = Forecast.modelRegistry(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(updates.last._2.sorted == fresh,
+      "refreshed registry diverged from the full-history fit")
+    // a bar the traffic never reaches: no refresh, serve keeps the
+    // standing registry untouched
+    assert(run(minNewObs = Long.MaxValue / 2).isEmpty,
+      "refresh fired below the arrival bar")
   }
 
   test("streaming dead-letter ledger lands every reject exactly once") {
