@@ -129,6 +129,24 @@ object ScaleProbe {
     val hcached = operators.Similarity.HnswIndex(hnswIdx.nodes.cache())
     hcached.nodes.count(): Unit
     time("hnsw_search")(operators.Similarity.annHnswSearch(hcached, corpus))
+    // micro-append economics at scale: a 100-vector batch into the
+    // replicas×2k-node standing index. The DIRECT append rewrites
+    // every index row (O(index) per batch — it must grow with the
+    // replicas); the SEGMENT append builds a 100-node graph and
+    // leaves main untouched (O(batch) — it must stay flat). The gap
+    // between these two lines is the reason hnswSegmentMaintainStream
+    // runs segmented.
+    val batch100 = corpus.filter(col("vec_id") < 100)
+      .select((col("vec_id") + 900000000L).as("vec_id"), col("v"))
+      .localCheckpoint(true) // pin the batch: its cost must not ride
+                             // the replica-scaled input scan
+    hcached.nodes.cache().count(): Unit // time() clears the cache
+    time("hnsw_append_dir")(
+      operators.Similarity.updateHnswIndex(hcached, batch100).nodes)
+    hcached.nodes.cache().count(): Unit
+    time("hnsw_append_seg")(operators.Similarity.hnswAppendSegment(
+      operators.Similarity.HnswSegmented(hcached, Nil), batch100)
+      .segments.head.nodes)
     hcached.nodes.unpersist(): Unit
     time("opq_index")(operators.Similarity.opqIndexOf(corpus).encoded)
     spark.stop()

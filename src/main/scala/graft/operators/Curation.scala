@@ -803,20 +803,35 @@ object Curation {
     * documents with identical word multisets but different phrasing
     * score differently (spec-pinned). One definition feeds the model
     * count and the scorer, so train and serve cannot drift.
+    *
+    * `ws` MUST be a bound column (callers materialize the normalized
+    * word array in a prior projection), and the bigrams come from
+    * `zip_with` over two slices — array ARGUMENTS evaluate once per
+    * row. The tempting per-index formulation
+    * (`transform(sequence(...), i => element_at(ws, i+1) ...)`)
+    * re-evaluates `ws` for every element of every lambda call: with
+    * the regex-normalization subtree inlined that is O(words × text)
+    * full-text regex passes per document — a measured multi-minute
+    * stall at ScaleProbe 20× that this shape avoids.
     */
   private def dsirFeatures(ws: Column): Column =
     concat(ws,
       when(size(ws) >= 2,
-        transform(sequence(lit(0), size(ws) - 2),
-          i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2))))
+        zip_with(slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat_ws(" ", a, b)))
         .otherwise(typedLit(Seq.empty[String])))
 
   private[graft] def hashedImportanceModel(docs: DataFrame,
       buckets: Int = HashBuckets): Array[Double] = {
-    val ws = filter(TextOps.normalizedWords, w => w =!= lit(""))
     val counts = docs
+      // materialize the normalized words FIRST: every dsirFeatures
+      // reference below is then a bound column, so the regex
+      // normalization runs once per row no matter how many times the
+      // feature builder touches the array
       .select((col("source") === DsirTarget).as("is_t"),
-        explode(dsirFeatures(ws)).as("word"))
+        filter(TextOps.normalizedWords, w => w =!= lit("")).as("ws"))
+      .select(col("is_t"), explode(dsirFeatures(col("ws"))).as("word"))
       .groupBy(pmod(xxhash64(col("word")), lit(buckets.toLong)).as("b"))
       .agg(count(lit(1)).as("c_all"),
         sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
@@ -851,13 +866,19 @@ object Curation {
     // could silently disagree with how the model was trained (wrong
     // buckets or an out-of-range element_at under ANSI mode)
     val buckets = model.length
-    val ws = filter(TextOps.normalizedWords, w => w =!= lit(""))
-    docs.select(col("doc_id"),
-      round(aggregate(
-        transform(dsirFeatures(ws), w => element_at(typedLit(model.toSeq),
-          pmod(xxhash64(w), lit(buckets.toLong)).cast("int") + 1)),
-        lit(0.0), _ + _), 6).as("log_weight"),
-      size(ws).as("n_tokens"))
+    docs
+      // bind the normalized words before feature building — see
+      // [[dsirFeatures]]: a bound column keeps the regex pass at one
+      // per row
+      .select(col("doc_id"),
+        filter(TextOps.normalizedWords, w => w =!= lit("")).as("ws"))
+      .select(col("doc_id"),
+        round(aggregate(
+          transform(dsirFeatures(col("ws")),
+            w => element_at(typedLit(model.toSeq),
+              pmod(xxhash64(w), lit(buckets.toLong)).cast("int") + 1)),
+          lit(0.0), _ + _), 6).as("log_weight"),
+        size(col("ws")).as("n_tokens"))
   }
 
   /** The production-shaped DSIR dual of [[importanceWeights]]: hashed

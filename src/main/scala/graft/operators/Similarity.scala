@@ -1624,18 +1624,54 @@ object Similarity {
     * top-k per probe — identical surface to the un-segmented search.
     */
   def annHnswSearchSegmented(seg: HnswSegmented, probes: DataFrame,
-      efSearch: Int = 32, excludeSelf: Boolean = false): DataFrame = {
-    val per = (seg.main :: seg.segments)
-      .map(ix => annHnswSearchProbes(ix, probes, efSearch, excludeSelf)
-        .select("probe_id", "neighbor_id", "cosine"))
+      efSearch: Int = 32, excludeSelf: Boolean = false): DataFrame =
+    mergeSegmentedTopK((seg.main :: seg.segments)
+      .map(ix => annHnswSearchProbes(ix, probes, efSearch, excludeSelf)))
+
+  /** Re-rank per-index top-ks (main + open segments) into one global
+    * top-k per probe — shared by the HNSW and flat-NSW segment tiers.
+    */
+  private def mergeSegmentedTopK(per: Seq[DataFrame]): DataFrame = {
     val w = Window.partitionBy("probe_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    per.reduce(_ unionByName _)
+    per.map(_.select("probe_id", "neighbor_id", "cosine"))
+      .reduce(_ unionByName _)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select("probe_id", "rank", "neighbor_id", "cosine")
       .orderBy("probe_id", "rank")
   }
+
+  /** Segment tier for the FLAT graph — the same micro-append
+    * economics as [[HnswSegmented]] (segments never rewrite main,
+    * merged serve, one-rewrite compaction) for deployments running
+    * single-layer NSW.
+    */
+  case class NswSegmented(main: GraphIndex, segments: List[GraphIndex])
+
+  def nswAppendSegment(seg: NswSegmented, newVecs: DataFrame,
+      maxDeg: Int = 8, efConstruction: Int = 32): NswSegmented = {
+    val prepared = newVecs
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))
+    seg.copy(segments = seg.segments :+
+      graphIndexOf(prepared, maxDeg, efConstruction, numShards = 1))
+  }
+
+  def annGraphSearchSegmented(seg: NswSegmented, probes: DataFrame,
+      efSearch: Int = 32, excludeSelf: Boolean = false): DataFrame =
+    mergeSegmentedTopK((seg.main :: seg.segments)
+      .map(ix => annGraphSearchProbes(ix, probes, efSearch, excludeSelf)))
+
+  def compactNswSegments(seg: NswSegmented, maxDeg: Int = 8,
+      efConstruction: Int = 32): NswSegmented =
+    if (seg.segments.isEmpty) seg
+    else NswSegmented(
+      updateGraphIndex(seg.main,
+        seg.segments.map(_.nodes.select("vec_id", "v"))
+          .reduce(_ unionByName _),
+        maxDeg, efConstruction),
+      Nil)
 
   /** Fold every open segment into `main` with ONE index rewrite (the
     * same id-ordered insertion a direct [[updateHnswIndex]] of the

@@ -405,6 +405,25 @@ object TickStream extends Serializable {
       writeBatch(scoreTicksAgainstRegistry(batch, serveSurface), batchId)
     }
 
+  /** The SEGMENTED serve leg — [[annHnswServeStream]] over a
+    * [[graft.operators.Similarity.HnswSegmented]], late-bound through
+    * `seg` exactly like [[nearDupDocsStreamRolling]]'s gate: each
+    * probe microbatch searches whatever main + open segments the
+    * maintenance loop last published, so serve follows appends AND
+    * compactions mid-query with no restart. Compose with
+    * [[hnswSegmentMaintainStream]] for the full live loop: ingest
+    * opens segments and compacts at the bar, serve probes the
+    * current tier.
+    */
+  def annHnswServeStreamSegmented(probeStream: DataFrame,
+      seg: () => graft.operators.Similarity.HnswSegmented,
+      efSearch: Int = 32)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    probeStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      writeBatch(graft.operators.Similarity.annHnswSearchSegmented(
+        seg(), probeVectors(batch), efSearch), batchId)
+    }
+
   /** SEGMENTED HNSW maintenance — [[hnswMaintainStream]] without its
     * documented flaw: the direct-append loop rewrites the WHOLE
     * standing index every microbatch (O(index) per batch — its own

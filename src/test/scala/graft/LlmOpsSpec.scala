@@ -651,6 +651,35 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("segmented flat-NSW mirrors the HNSW segment tier") {
+    val mainIdx = Similarity.graphIndex(spark, sfDir)
+    def twins(lo: Long, hi: Long) = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select((col("vec_id") + 5000000L).as("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+    var seg = Similarity.NswSegmented(mainIdx, Nil)
+    seg = Similarity.nswAppendSegment(seg, twins(0, 3))
+    seg = Similarity.nswAppendSegment(seg, twins(3, 5))
+    assert((seg.main.nodes eq mainIdx.nodes) && seg.segments.length == 2,
+      "segment append must not touch main")
+    val probes = Similarity.vecs(spark, sfDir).toDF("vec_id", "v", "norm")
+      .filter(col("vec_id") < 5).toDF("probe_id", "p_v", "p_norm")
+    val res = Similarity.annGraphSearchSegmented(seg, probes,
+      excludeSelf = true).collect()
+    val byProbe = res.groupBy(_.getAs[Long]("probe_id"))
+    (0L until 5L).foreach { p =>
+      val top = byProbe(p).minBy(_.getAs[Int]("rank"))
+      assert(top.getAs[Long]("neighbor_id") == p + 5000000L,
+        s"probe $p: expected its segment twin first, got $top")
+    }
+    val compacted = Similarity.compactNswSegments(seg)
+    assert(compacted.segments.isEmpty)
+    val direct = Similarity.updateGraphIndex(mainIdx, twins(0, 5))
+    assert(compacted.main.nodes.collect().map(_.toString).sorted.toSeq
+      == direct.nodes.collect().map(_.toString).sorted.toSeq,
+      "NSW compaction diverged from a direct append")
+  }
+
   test("bloom_might_contain: parity with sketch probes, null-safe both sides, codegen'd") {
     import spark.implicits._
     // build side tolerates null fingerprints (null-text docs) — they

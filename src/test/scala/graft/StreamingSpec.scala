@@ -97,30 +97,71 @@ class StreamingSpec extends SparkSuite {
     val schema = Tables.events(spark, sfDir).schema
     // the final watermark is max valid event time minus the delay;
     // every grid day strictly before it must have been emitted, and
-    // nothing at or past it may be
-    val delayMs = 10L * 60000L
+    // nothing at or past it may be — swept at a minutes-scale delay
+    // (one incomplete trailing day) and a days-scale one (several
+    // trailing days withheld, the partial-emission boundary)
     val maxTs = Warehouse.validTicks(spark, sfDir)
       .agg(max("ts")).head.getTimestamp(0).getTime
-    val maxCompleteDay = Math.floorDiv(maxTs - delayMs, 86400000L) - 1L
-    val expected = Warehouse.priceFfill(spark, sfDir)
-      .filter(datediff(col("trade_date"), lit("1970-01-01")) <= maxCompleteDay)
-    for (nParts <- Seq(2, 4)) {
+    val batchGrid = Warehouse.priceFfill(spark, sfDir)
+    for ((delay, delayMs, nParts) <- Seq(
+        ("10 minutes", 10L * 60000L, 2),
+        ("10 minutes", 10L * 60000L, 4),
+        ("2 days", 2L * 86400000L, 2))) {
+      val maxCompleteDay = Math.floorDiv(maxTs - delayMs, 86400000L) - 1L
+      val expected = batchGrid
+        .filter(datediff(col("trade_date"), lit("1970-01-01")) <= maxCompleteDay)
+      assert(expected.count() < batchGrid.count(),
+        s"delay $delay withholds nothing — the boundary is untested")
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(stageTimeOrderedSplit(nParts))
-      runToMemory(TickStream.priceFfillStream(spark, stream).toDF(),
-        s"ffill_$nParts")
-      val streamed = spark.table(s"ffill_$nParts")
+      val name = s"ffill_${nParts}_${delayMs}"
+      runToMemory(TickStream.priceFfillStream(spark, stream, delay).toDF(),
+        name)
+      val streamed = spark.table(name)
       assert(streamed.count() == expected.count(),
-        s"grid row count diverged at $nParts-way split: " +
+        s"grid row count diverged at $nParts-way split, delay $delay: " +
           s"${streamed.count()} vs ${expected.count()}")
       assert(streamed.exceptAll(expected).count() == 0 &&
         expected.exceptAll(streamed).count() == 0,
-        s"ffill grid diverged from batch at $nParts-way split")
+        s"ffill grid diverged from batch at $nParts-way split, delay $delay")
       // exactly-once: no grid day may appear twice
       assert(streamed.groupBy("user_id", "trade_date").count()
         .filter(col("count") > 1).count() == 0,
         "a grid day was emitted more than once")
+    }
+  }
+
+  test("priceFfillStream is identical on the RocksDB state store") {
+    // same grid, disk-backed state — the per-symbol pending-day state
+    // must survive the provider swap untouched
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = Tables.events(spark, sfDir).schema
+      val delayMs = 10L * 60000L
+      val maxTs = Warehouse.validTicks(spark, sfDir)
+        .agg(max("ts")).head.getTimestamp(0).getTime
+      val maxCompleteDay = Math.floorDiv(maxTs - delayMs, 86400000L) - 1L
+      val expected = Warehouse.priceFfill(spark, sfDir)
+        .filter(datediff(col("trade_date"), lit("1970-01-01")) <= maxCompleteDay)
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageTimeOrderedSplit(3))
+      runToMemory(TickStream.priceFfillStream(spark, stream).toDF(),
+        "rocks_ffill")
+      val streamed = spark.table("rocks_ffill")
+      assert(streamed.count() == expected.count())
+      assert(streamed.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(streamed).count() == 0,
+        "RocksDB-backed ffill grid diverged from batch")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
   }
 
@@ -609,6 +650,63 @@ class StreamingSpec extends SparkSuite {
     // batched run equals row-at-a-time run (batch shape is transparent)
     val single = Multimodal.featureExtract(spark, sfDir, batchSize = 1).collect()
     assert(rows.map(_.toString).sameElements(single.map(_.toString)))
+  }
+
+  test("segmented hnsw serve follows appends published mid-query") {
+    import graft.operators.Similarity
+    val mainIdx = Similarity.hnswIndex(spark, sfDir)
+    mainIdx.nodes.cache().count(): Unit
+    var seg = Similarity.HnswSegmented(mainIdx, Nil)
+    val emb = Tables.embeddings(spark, sfDir)
+    // probes arrive in two microbatches; between them the maintainer
+    // publishes a segment holding twins of the SECOND batch's probes
+    val staged = java.nio.file.Files.createTempDirectory("hsegserve").toString
+    Seq(emb.filter(col("vec_id") < 2),
+      emb.filter(col("vec_id") >= 2 && col("vec_id") < 5))
+      .zipWithIndex.foreach { case (p, i) =>
+        p.coalesce(1).write.parquet(s"$staged/f$i.parquet")
+      }
+    val streamDir = java.nio.file.Files.createTempDirectory("hsegserveflat")
+    new java.io.File(staged).listFiles().filter(_.isDirectory).sortBy(_.getName)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        val dst = streamDir.resolve(f"part$i%02d.parquet")
+        java.nio.file.Files.copy(f.toPath, dst)
+        require(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+      }
+    val probeStream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Array[org.apache.spark.sql.Row]]
+    val ckpt = java.nio.file.Files.createTempDirectory("hsegserve_ckpt").toString
+    val q = TickStream.annHnswServeStreamSegmented(probeStream, () => seg) {
+      (df, _) =>
+        perBatch.synchronized {
+          perBatch += df.collect()
+          if (perBatch.length == 1)
+            seg = Similarity.hnswAppendSegment(seg,
+              emb.filter(col("vec_id") >= 2 && col("vec_id") < 5)
+                .select((col("vec_id") + 6000000L).as("vec_id"),
+                  col("embedding").cast("array<double>").as("v")))
+          (): Unit
+        }
+    }.option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(perBatch.length == 2, s"expected 2 microbatches, got ${perBatch.length}")
+    // batch 1 served BEFORE the segment existed: no twin can appear
+    assert(!perBatch(0).exists(_.getAs[Long]("neighbor_id") >= 6000000L),
+      "segment results leaked into the pre-append batch")
+    // batch 2 serves across main + the published segment: each probe
+    // finds its twin at cosine 1 (top-2 — the probe's own corpus
+    // vector ties at cosine 1 and wins the id tie-break)
+    val byProbe = perBatch(1).groupBy(_.getAs[Long]("probe_id"))
+    (2L until 5L).foreach { p =>
+      val top2 = byProbe(p).sortBy(_.getAs[Int]("rank")).take(2)
+      assert(top2.exists(r => r.getAs[Long]("neighbor_id") == p + 6000000L
+          && math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-6),
+        s"probe $p: published segment twin missing from ${top2.toSeq}")
+    }
+    mainIdx.nodes.unpersist(): Unit
   }
 
   test("streaming hnsw serve equals the batch layered search") {
