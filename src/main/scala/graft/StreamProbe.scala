@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Streaming THROUGHPUT probe — the end-to-end ticks/second of the
+  * stateful streaming tier, the number to hold against the
+  * reference's measured ~1k msg/s single-consumer analytics loop
+  * (SURVEY §6: analytics_consumer.py recomputes full-history
+  * indicators per tick; graft's streaming tier carries O(1) state
+  * per symbol instead). Each probe drives the operator with the sf
+  * events table staged as an N-file stream (the file source is the
+  * sandbox's Kafka stand-in), runs to completion, and reports
+  * rows/second of wall-clock including source, state store and sink
+  * — deliberately end-to-end, not kernel-only.
+  *
+  * Usage: sbt "runMain graft.StreamProbe [sfDir] [files]"
+  */
+object StreamProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nFiles = args.lift(1).map(_.toInt).getOrElse(8)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.expressions.Window
+
+    // stage the events table as nFiles time-ordered stream files with
+    // strictly increasing mtimes (same discipline as the specs: the
+    // file source orders batches by mtime)
+    val ev = Tables.events(spark, dir)
+    val total = ev.count()
+    val staged = java.nio.file.Files.createTempDirectory("sprobe").toString
+    val flat = java.nio.file.Files.createTempDirectory("sprobe_flat")
+    ev.withColumn("part",
+        org.apache.spark.sql.functions.ntile(nFiles)
+          .over(Window.orderBy("ts", "event_id")))
+      .write.partitionBy("part").parquet(s"$staged/w")
+    val parts = new java.io.File(s"$staged/w").listFiles()
+      .filter(_.getName.startsWith("part=")).sortBy(
+        f => f.getName.stripPrefix("part=").toInt)
+    parts.zipWithIndex.foreach { case (d, i) =>
+      d.listFiles().filter(_.getName.endsWith(".parquet")).zipWithIndex
+        .foreach { case (f, j) =>
+          val dst = flat.resolve(f"f$i%03d_$j%02d.parquet")
+          java.nio.file.Files.copy(f.toPath, dst)
+          require(dst.toFile.setLastModified(1700000000000L + i * 60000L + j))
+        }
+    }
+    val schema = ev.drop("part").schema
+
+    def probe(name: String, rows: Long)(
+        build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+      val ckpt = java.nio.file.Files.createTempDirectory(s"sprobe_$name").toString
+      val t0 = System.nanoTime()
+      val q = build(stream).writeStream.format("noop")
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[stream] $name%-18s ${rows / secs}%9.0f rows/s " +
+        f"($rows rows, $secs%6.2f s, $nFiles batches)")
+    }
+
+    // the reference's consumer loop: full indicator state per tick
+    probe("indicators", total)(s =>
+      graft.streaming.TickStream.statefulIndicators(spark, s).toDF())
+    // gap sessionization — the second stateful operator
+    probe("sessionize", total)(s =>
+      graft.streaming.TickStream.sessionizeStream(spark, s).toDF())
+    // watermark-complete daily grid (state = pending days per symbol)
+    probe("price_ffill", total)(s =>
+      graft.streaming.TickStream.priceFfillStream(spark, s).toDF())
+    // stateless contrast: validation + windowed agg shuffle
+    probe("windowed_agg", total)(s =>
+      graft.streaming.TickStream.windowedAgg(s))
+    spark.stop()
+  }
+}

@@ -201,6 +201,44 @@ object TickStream extends Serializable {
         .drop("sig"), batchId)
     }
 
+  /** Rotate the rolling near-dup gate off the STREAM'S OWN clock —
+    * the maintenance dual of [[nearDupDocsStreamRolling]]: each
+    * microbatch advances a driver-held epoch high-water mark from its
+    * max `tsCol`; once the clock moves INTO epoch N+1, epoch N is
+    * complete (no more docs can land in it, same day-completion logic
+    * as [[priceFfillStream]]) and its standing slice — `epochSlice`,
+    * in production the lake partition the ingest sink just sealed —
+    * rotates into the gate via
+    * [[graft.operators.Dedup.rollingGateAppend]]: beyond-window
+    * epochs evict, the serving union re-derives, and the swapped gate
+    * publishes through `onRotate` for the probe stream to late-bind.
+    * Epochs the stream never reaches stay unsealed (a probe never
+    * flags against a half-built epoch). The first batch only sets the
+    * baseline — epochs before the stream started are the initial
+    * gate's business.
+    */
+  def rollingGateMaintainStream(docs: DataFrame,
+      initial: graft.operators.Dedup.RollingBandGate, epochMs: Long,
+      tsCol: String, epochSlice: Long => DataFrame)(
+      onRotate: (graft.operators.Dedup.RollingBandGate, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var gate = initial
+    var lastSealed: Option[Long] = initial.epochs.lastOption.map(_._1)
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val mx = batch.agg(max(col(tsCol))).head
+      if (!mx.isNullAt(0)) {
+        val nowEpoch = Math.floorDiv(mx.getTimestamp(0).getTime, epochMs)
+        val from = lastSealed.map(_ + 1).getOrElse(nowEpoch)
+        (from until nowEpoch).foreach { e =>
+          gate = graft.operators.Dedup.rollingGateAppend(gate,
+            epochSlice(e), e)
+          onRotate(gate, e)
+        }
+        lastSealed = Some(math.max(lastSealed.getOrElse(nowEpoch - 1),
+          nowEpoch - 1))
+      }
+    }
+  }
+
   case class DocLine(doc_id: Long, pos: Int, line: String,
       ingest_ts: java.sql.Timestamp)
 

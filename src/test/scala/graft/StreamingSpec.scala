@@ -798,6 +798,72 @@ class StreamingSpec extends SparkSuite {
       s"rotation had no effect: $aFlagsBefore -> $aFlagsAfter A-docs flagged")
   }
 
+  test("rolling gate maintenance seals epochs off the stream's own clock") {
+    import graft.operators.Dedup
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Dedup.sigCol(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+    val dayMs = 86400000L
+    // three ingest "days": docs 0-99 on epoch day 19000, 100-199 on
+    // 19001, 200-299 on 19002 — one file per day, arriving in order
+    val dayExpr = (lit(19000L) + floor(col("doc_id") / 100)).cast("long")
+    val staged = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"),
+        ((dayExpr * lit(86400L)) + lit(3600L)).cast("timestamp").as("ts"))
+    val srcDir = java.nio.file.Files.createTempDirectory("rgm_src")
+    (0 until 3).foreach { d =>
+      val f = java.nio.file.Files.createTempDirectory(s"rgm_f$d")
+        .resolve("w").toString
+      staged.filter(col("doc_id") >= d * 100 && col("doc_id") < (d + 1) * 100)
+        .coalesce(1).write.parquet(f)
+      new java.io.File(f).listFiles().filter(_.getName.endsWith(".parquet"))
+        .zipWithIndex.foreach { case (p, i) =>
+          val dst = srcDir.resolve(f"part$d%02d$i%02d.parquet")
+          java.nio.file.Files.copy(p.toPath, dst)
+          require(dst.toFile.setLastModified(1700000000000L + d * 60000L + i))
+        }
+    }
+    val stream = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    def sliceOf(e: Long) = {
+      val d = e - 19000L
+      sigs.filter(col("doc_id") >= d * 100 && col("doc_id") < (d + 1) * 100)
+    }
+    val published = scala.collection.mutable.ArrayBuffer.empty[(Long, Dedup.RollingBandGate)]
+    val ckpt = java.nio.file.Files.createTempDirectory("rgm_ckpt").toString
+    val q = TickStream.rollingGateMaintainStream(stream,
+      Dedup.emptyRollingGate(windowEpochs = 1, capacity = 400L),
+      dayMs, "ts", sliceOf) { (g, e) =>
+      published.synchronized { published += e -> g: Unit }
+    }.option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    // day 19000 seals when the clock enters 19001; 19001 when it
+    // enters 19002; 19002 never seals — the stream never left it, so
+    // probes must never flag against the half-built epoch
+    assert(published.map(_._1).toSeq == Seq(19000L, 19001L),
+      s"sealed epochs were ${published.map(_._1)}")
+    assert(published.head._2.epochs.map(_._1) == Vector(19000L))
+    val finalGate = published.last._2
+    assert(finalGate.epochs.map(_._1) == Vector(19001L),
+      "window-1 rotation must have evicted day 19000")
+    val hit = Dedup.bandKeyHitSharded(spark, finalGate.serving)
+    val flags = sigs.filter(col("doc_id") < 300)
+      .withColumn("f", hit(col("sig"))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("f")).toMap
+    flags.keys.filter(id => id >= 100L && id < 200L).foreach(id =>
+      assert(flags(id), s"doc $id of the retained epoch missed"))
+    val dayFlagRate = (lo: Long, hi: Long) => {
+      val ids = flags.keys.filter(id => id >= lo && id < hi).toSeq
+      ids.count(flags).toDouble / math.max(ids.size, 1)
+    }
+    assert(dayFlagRate(0L, 100L) < 0.5,
+      "evicted epoch 19000 still flags wholesale")
+    assert(dayFlagRate(200L, 300L) < 0.5,
+      "unsealed epoch 19002 flags — a half-built epoch leaked into serving")
+  }
+
   test("near-dup gate stream flags identically to batch, stateless") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sfDir)
