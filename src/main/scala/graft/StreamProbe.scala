@@ -14,12 +14,15 @@ import org.apache.spark.sql.functions._
   * rows/second of wall-clock including source, state store and sink
   * — deliberately end-to-end, not kernel-only.
   *
-  * Usage: sbt "runMain graft.StreamProbe [sfDir] [files]"
+  * Usage: sbt "runMain graft.StreamProbe [sfDir] [files] [replicas]"
+  * (SPARK_GRAFT_STATE_STORE=rocksdb swaps the state backend — the
+  * disk-spilling provider the cluster runs.)
   */
 object StreamProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val nFiles = args.lift(1).map(_.toInt).getOrElse(8)
+    val replicas = args.lift(2).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -28,12 +31,23 @@ object StreamProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb")) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      println("[stream] state store: RocksDB")
+    }
     import org.apache.spark.sql.expressions.Window
 
     // stage the events table as nFiles time-ordered stream files with
     // strictly increasing mtimes (same discipline as the specs: the
-    // file source orders batches by mtime)
-    val ev = Tables.events(spark, dir)
+    // file source orders batches by mtime); replicas scale volume AND
+    // key cardinality like ScaleProbe (distinct key space per replica)
+    val ev0 = Tables.events(spark, dir)
+    val ev = if (replicas <= 1) ev0
+      else (0 until replicas).map { i =>
+        ev0.withColumn("user_id", col("user_id") + lit(i * 1000000L))
+          .withColumn("event_id", col("event_id") + lit(i * 100000000L))
+      }.reduce(_ unionByName _)
     val total = ev.count()
     val staged = java.nio.file.Files.createTempDirectory("sprobe").toString
     val flat = java.nio.file.Files.createTempDirectory("sprobe_flat")

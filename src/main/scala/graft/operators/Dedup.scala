@@ -870,4 +870,44 @@ object Dedup {
     }
     gate.copy(epochs = retained, serving = serving)
   }
+
+  /** The EXACT-dedup dual of [[RollingBandGate]] — the [[bloomGate]]
+    * fingerprint tier against a SLIDING standing window: one
+    * fingerprint key per doc instead of 16 band keys, same
+    * fixed-capacity per-epoch filters (bit layouts must merge), same
+    * O(1) eviction + clone-union rotation. Probe with the unchanged
+    * [[bloomHit]] on `serving`; an exact re-delivery flags while its
+    * epoch is retained and decays to the single-probe fpp once
+    * evicted. Together with [[RollingBandGate]] the two-tier
+    * standing-corpus story (exact + near-dup) rolls as a pair.
+    */
+  case class RollingExactGate(windowEpochs: Int, capacity: Long,
+      fpp: Double,
+      epochs: Vector[(Long, org.apache.spark.util.sketch.BloomFilter)],
+      serving: org.apache.spark.util.sketch.BloomFilter)
+
+  private[graft] def emptyRollingExactGate(windowEpochs: Int,
+      capacity: Long, fpp: Double = 0.01): RollingExactGate = {
+    require(windowEpochs >= 1 && capacity > 0L,
+      "rolling gate needs a window and a fixed per-epoch capacity")
+    RollingExactGate(windowEpochs, capacity, fpp, Vector.empty,
+      org.apache.spark.util.sketch.BloomFilter.create(capacity, fpp))
+  }
+
+  /** Rotate `epochId`'s fingerprinted slice (a `fingerprint` column,
+    * nulls excluded like [[fingerprintBloom]]) into the exact gate.
+    */
+  private[graft] def rollingExactGateAppend(gate: RollingExactGate,
+      standingSlice: DataFrame, epochId: Long): RollingExactGate = {
+    require(gate.epochs.forall(_._1 < epochId),
+      s"epoch ids must be appended in increasing order (got $epochId)")
+    val fresh = standingSlice.select("fingerprint")
+      .filter(col("fingerprint").isNotNull)
+      .stat.bloomFilter("fingerprint", gate.capacity, gate.fpp)
+    val retained = (gate.epochs :+ (epochId -> fresh))
+      .takeRight(gate.windowEpochs)
+    val serving = cloneBloom(retained.head._2)
+    retained.tail.foreach { case (_, b) => serving.mergeInPlace(b): Unit }
+    gate.copy(epochs = retained, serving = serving)
+  }
 }

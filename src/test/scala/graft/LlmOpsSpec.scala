@@ -833,6 +833,43 @@ class LlmOpsSpec extends SparkSuite {
       s"$leaked/${evictedClean.size} evicted docs still flag — epoch bits leaked")
   }
 
+  test("rolling exact gate: retained fingerprints flag, evicted decay to fpp") {
+    val fps = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.operators.TextOps.fingerprintCol(col("text")).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
+    def slice(lo: Long, hi: Long) =
+      fps.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    def flags(g: Dedup.RollingExactGate): Map[Long, Boolean] = {
+      val hit = Dedup.bloomHit(spark, g.serving)
+      fps.withColumn("f", hit(col("fingerprint"))).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("f")).toMap
+    }
+    var gate = Dedup.emptyRollingExactGate(windowEpochs = 2, capacity = 400L)
+    assert(flags(gate).count(_._2) == 0, "empty gate must not flag")
+    gate = Dedup.rollingExactGateAppend(gate, slice(0, 150), 1L)
+    gate = Dedup.rollingExactGateAppend(gate, slice(150, 300), 2L)
+    val f2 = flags(gate)
+    f2.keys.filter(_ < 300L).foreach(id =>
+      assert(f2(id), s"in-window fingerprint $id missed"))
+    gate = Dedup.rollingExactGateAppend(gate, slice(300, 400), 3L)
+    assert(gate.epochs.map(_._1) == Vector(2L, 3L))
+    val f3 = flags(gate)
+    f3.keys.filter(id => id >= 150L && id < 400L).foreach(id =>
+      assert(f3(id), s"retained-epoch fingerprint $id missed after rotation"))
+    // exact fingerprints of the evicted slice can only still flag via
+    // a GENUINE duplicate text in a retained slice or the plain fpp —
+    // wholesale flagging means epoch bits leaked through the rotation
+    val dupOfRetained = fps.toDF("a_id", "fingerprint")
+      .filter(col("a_id") < 150)
+      .join(slice(150, 400).select("fingerprint"), Seq("fingerprint"))
+      .select("a_id").collect().map(_.getLong(0)).toSet
+    val evictedClean = f3.keys.filter(_ < 150L).filterNot(dupOfRetained).toSeq
+    val leaked = evictedClean.count(f3)
+    assert(leaked.toDouble / math.max(evictedClean.size, 1) <= 0.1,
+      s"$leaked/${evictedClean.size} evicted fingerprints still flag")
+  }
+
   test("bloomGate: every true duplicate flags; fresh docs mostly pass") {
     val rows = Dedup.bloomGate(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("candidate_dup"))
