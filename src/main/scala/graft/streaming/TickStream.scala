@@ -201,6 +201,30 @@ object TickStream extends Serializable {
         .drop("sig"), batchId)
     }
 
+  /** The EXACT-gate twin of [[nearDupDocsStreamRolling]]: flag each
+    * microbatch's fingerprints against the CURRENT serving filter of
+    * a [[graft.operators.Dedup.RollingExactGate]], late-bound through
+    * `gate` — epoch rotation swaps the probed window mid-query.
+    * (The continuous [[dedupDocsStreamGated]] cannot late-bind: its
+    * Bloom rides the physical plan for the query's lifetime, the
+    * right shape for an all-history standing corpus; a WINDOWED
+    * corpus flags per batch here and routes flagged rows to the exact
+    * batch join, keeping streaming state clear of the standing tier
+    * either way.)
+    */
+  def dedupDocsStreamRolling(docs: DataFrame,
+      gate: () => graft.operators.Dedup.RollingExactGate)(
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val hit = graft.operators.Dedup.bloomHit(
+        batch.sparkSession, gate().serving)
+      writeBatch(batch
+        .withColumn("fingerprint",
+          graft.operators.TextOps.fingerprintCol(col("text")))
+        .withColumn("candidate_dup", hit(col("fingerprint")))
+        .drop("fingerprint"), batchId)
+    }
+
   /** Rotate the rolling near-dup gate off the STREAM'S OWN clock —
     * the maintenance dual of [[nearDupDocsStreamRolling]]: each
     * microbatch advances a driver-held epoch high-water mark from its

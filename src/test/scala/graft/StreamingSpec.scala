@@ -798,6 +798,48 @@ class StreamingSpec extends SparkSuite {
       s"rotation had no effect: $aFlagsBefore -> $aFlagsAfter A-docs flagged")
   }
 
+  test("rolling exact-dedup stream follows an epoch rotation mid-query") {
+    import graft.operators.{Dedup, TextOps}
+    val docs = Tables.documents(spark, sfDir)
+    val fps = docs
+      .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
+    def slice(lo: Long, hi: Long) =
+      fps.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    var gate = Dedup.emptyRollingExactGate(windowEpochs = 1, capacity = 400L)
+    gate = Dedup.rollingExactGateAppend(gate, slice(0, 200), 1L)
+    val probeDocs = docs.filter(col("doc_id") < 400)
+      .select("doc_id", "text", "source", "lang")
+    val srcDir = java.nio.file.Files.createTempDirectory("der_src").toString
+    probeDocs.coalesce(1).write.mode("append").parquet(srcDir)
+    probeDocs.coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(probeDocs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Map[Long, Boolean]]
+    val ckpt = java.nio.file.Files.createTempDirectory("der_ckpt").toString
+    val q = TickStream.dedupDocsStreamRolling(stream, () => gate) { (df, _) =>
+      perBatch.synchronized {
+        perBatch += df.select("doc_id", "candidate_dup").collect()
+          .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+        if (perBatch.length == 1)
+          gate = Dedup.rollingExactGateAppend(gate, slice(200, 400), 2L)
+        (): Unit
+      }
+    }.option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(perBatch.length == 2, s"expected 2 microbatches, got ${perBatch.length}")
+    val fpIds = fps.select("doc_id").collect().map(_.getLong(0)).toSet
+    fpIds.filter(_ < 200L).foreach(id =>
+      assert(perBatch(0)(id), s"epoch-1 fingerprint $id missed pre-rotation"))
+    fpIds.filter(id => id >= 200L && id < 400L).foreach(id =>
+      assert(perBatch(1)(id), s"epoch-2 fingerprint $id missed post-rotation"))
+    val before = fpIds.filter(_ < 200L).count(perBatch(0))
+    val after = fpIds.filter(_ < 200L).count(perBatch(1))
+    assert(after < before,
+      s"rotation had no effect on exact flags: $before -> $after")
+  }
+
   test("rolling gate maintenance seals epochs off the stream's own clock") {
     import graft.operators.Dedup
     val sigs = Tables.documents(spark, sfDir)
