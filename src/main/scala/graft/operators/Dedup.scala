@@ -655,6 +655,58 @@ object Dedup {
       .select("doc_id", "candidate_dup")
       .orderBy("doc_id")
 
+  /** TWO-TIER gate RESOLUTION — the query behind [[bloomGate]]'s
+    * documented contract that false positives "route to the exact
+    * join on the flagged sliver only": the Bloom flags candidates,
+    * and ONLY flagged docs enter the exact fingerprint semi-join
+    * against the standing tier; everything else short-circuits to
+    * not-a-dup without touching the join. Because the Bloom has no
+    * false negatives, the final `confirmed_dup` verdict equals a
+    * direct exact-membership test with no Bloom at all — which is
+    * exactly what the DuckDB oracle computes, so the hash-match
+    * PROVES the pruning loses nothing. Scale shape: at a 10⁹-doc
+    * standing tier the semi-join's probe side is |true dups| + ~fpp
+    * of the fresh batch (the flagged sliver), never the whole batch;
+    * the standing side shuffles once on the fingerprint key.
+    */
+  def gateResolve(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.fingerprintCol(col("text")).as("fingerprint"))
+    gateResolveDocs(docs.filter(col("doc_id") < 400),
+      docs.filter(col("doc_id") >= 350))
+  }
+
+  private[graft] def gateResolveDocs(standing: DataFrame, batch: DataFrame,
+      fpp: Double = 0.01): DataFrame = {
+    val flagged = batch.withColumn("candidate_dup",
+      bloomHit(batch.sparkSession, fingerprintBloom(standing, fpp))(col("fingerprint")))
+    val confirmed = flagged.filter(col("candidate_dup"))
+      .join(standing.select("fingerprint")
+        .filter(col("fingerprint").isNotNull).distinct(),
+        Seq("fingerprint"), "left_semi")
+      .select(col("doc_id"), lit(true).as("hit"))
+    flagged.select("doc_id")
+      .join(confirmed, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hit"), lit(false)).as("confirmed_dup"))
+      .orderBy("doc_id")
+  }
+
+  def gateResolveSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |  FROM documents
+      |), standing AS (
+      |  SELECT DISTINCT fingerprint FROM fp
+      |  WHERE doc_id < 400 AND fingerprint IS NOT NULL
+      |)
+      |SELECT b.doc_id,
+      |  COALESCE(b.fingerprint IN (SELECT fingerprint FROM standing),
+      |    FALSE) AS confirmed_dup
+      |FROM fp b WHERE b.doc_id >= 350
+      |ORDER BY b.doc_id""".stripMargin
+
   /** Build the standing tier's fingerprint Bloom filter — the
     * compaction-time artifact both the batch gate and the streaming
     * gate ([[graft.streaming.TickStream.dedupDocsStreamGated]]) probe.

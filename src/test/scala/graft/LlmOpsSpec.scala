@@ -833,6 +833,35 @@ class LlmOpsSpec extends SparkSuite {
       s"$leaked/${evictedClean.size} evicted docs still flag — epoch bits leaked")
   }
 
+  test("gateResolve: the pruned exact join equals direct membership") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.operators.TextOps.fingerprintCol(col("text")).as("fingerprint"))
+    val standing = docs.filter(col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 350)
+    val res = Dedup.gateResolve(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("confirmed_dup"))
+      .toMap
+    // ground truth: direct exact membership with NO bloom at all
+    val direct = batch.filter(col("fingerprint").isNotNull)
+      .join(standing.select("fingerprint")
+        .filter(col("fingerprint").isNotNull).distinct(),
+        Seq("fingerprint"), "left_semi")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(res.keySet == batch.select("doc_id").collect()
+      .map(_.getLong(0)).toSet, "every batch doc must get a verdict")
+    res.foreach { case (id, confirmed) =>
+      assert(confirmed == direct(id),
+        s"doc $id: pruned verdict $confirmed != direct ${direct(id)}")
+    }
+    // the overlap slice is its own standing twin — all confirmed; and
+    // the pruning is real: the exact tier only ever saw flagged docs,
+    // so a bloom false positive shows up as candidate && !confirmed,
+    // never as a wrong verdict
+    (350L until 400L).filter(res.contains).foreach(id =>
+      assert(res(id), s"standing-overlap doc $id not confirmed"))
+  }
+
   test("rolling exact gate: retained fingerprints flag, evicted decay to fpp") {
     val fps = Tables.documents(spark, sfDir)
       .select(col("doc_id"),
