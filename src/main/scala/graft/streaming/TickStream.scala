@@ -244,24 +244,29 @@ object TickStream extends Serializable {
   def rollingGateMaintainStream(docs: DataFrame,
       initial: graft.operators.Dedup.RollingBandGate, epochMs: Long,
       tsCol: String, epochSlice: Long => DataFrame)(
-      onRotate: (graft.operators.Dedup.RollingBandGate, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    var gate = initial
-    var lastSealed: Option[Long] = initial.epochs.lastOption.map(_._1)
-    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      val mx = batch.agg(max(col(tsCol))).head
-      if (!mx.isNullAt(0)) {
-        val nowEpoch = Math.floorDiv(mx.getTimestamp(0).getTime, epochMs)
-        val from = lastSealed.map(_ + 1).getOrElse(nowEpoch)
-        (from until nowEpoch).foreach { e =>
-          gate = graft.operators.Dedup.rollingGateAppend(gate,
-            epochSlice(e), e)
-          onRotate(gate, e)
+      onRotate: (graft.operators.Dedup.RollingBandGate, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    // maintenance state = (standing gate, epoch high-water mark);
+    // each sealed epoch publishes its own rotation, so one batch that
+    // jumps the clock several epochs emits one gate per seal
+    maintainStream(docs,
+        (initial, initial.epochs.lastOption.map(_._1))) {
+      case ((gate0, lastSealed), batch, _) =>
+        val mx = batch.agg(max(col(tsCol))).head
+        if (mx.isNullAt(0)) ((gate0, lastSealed), Nil)
+        else {
+          val nowEpoch = Math.floorDiv(mx.getTimestamp(0).getTime, epochMs)
+          val from = lastSealed.map(_ + 1).getOrElse(nowEpoch)
+          val (gate, rotations) = (from until nowEpoch).foldLeft(
+              (gate0, Vector.empty[(graft.operators.Dedup.RollingBandGate, Long)])) {
+            case ((g, acc), e) =>
+              val rotated = graft.operators.Dedup.rollingGateAppend(g,
+                epochSlice(e), e)
+              (rotated, acc :+ (rotated -> e))
+          }
+          ((gate, Some(math.max(lastSealed.getOrElse(nowEpoch - 1),
+            nowEpoch - 1))), rotations)
         }
-        lastSealed = Some(math.max(lastSealed.getOrElse(nowEpoch - 1),
-          nowEpoch - 1))
-      }
-    }
-  }
+    } { case ((gate, epoch), _) => onRotate(gate, epoch) }
 
   case class DocLine(doc_id: Long, pos: Int, line: String,
       ingest_ts: java.sql.Timestamp)
@@ -409,6 +414,37 @@ object TickStream extends Serializable {
         idx, probeVectors(batch), efSearch), batchId)
     }
 
+  /** The GENERIC publish-then-swap maintenance loop — the one
+    * skeleton every driver-held standing-artifact stream shares
+    * ([[hnswMaintainStream]], [[hnswSegmentMaintainStream]],
+    * [[registryMaintainStream]] and [[rollingGateMaintainStream]]
+    * are all thin `step` functions over it): each microbatch folds
+    * into the maintenance state `S` and emits zero or more published
+    * artifacts `P` — a Mealy machine over microbatches. The loop
+    * owns the swap discipline so no flavor re-implements it:
+    * foreachBatch runs serially, so the fold variable needs no
+    * synchronization; the state swap happens BEFORE any publication,
+    * so a published artifact is never ahead of the state that
+    * produced it; an empty emission means the serve side keeps
+    * probing the previous artifact untouched (the refresh-in-flight
+    * guarantee). `step` keeps its own trigger state inside `S`
+    * (arrival counters, epoch high-water marks) — the flavor decides
+    * WHAT publishes, the stream decides WHEN it runs — and owns
+    * `localCheckpoint`ing any lazy plan it emits, so a publication
+    * hands the serve side an artifact whose cost is already paid
+    * (see [[hnswMaintainStream]] for why that matters).
+    */
+  def maintainStream[S, P](stream: DataFrame, initial: S)(
+      step: (S, DataFrame, Long) => (S, Seq[P]))(
+      onPublish: (P, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var standing = initial
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val (next, published) = step(standing, batch, batchId)
+      standing = next
+      published.foreach(onPublish(_, batchId))
+    }
+  }
+
   /** Streaming INDEX MAINTENANCE — the ingest-side dual of the serve
     * streams: each microbatch of newly-arrived embeddings appends
     * into the standing HNSW hierarchy through
@@ -427,20 +463,16 @@ object TickStream extends Serializable {
   def hnswMaintainStream(embStream: DataFrame,
       initial: graft.operators.Similarity.HnswIndex,
       maxDeg: Int = 8, efConstruction: Int = 32)(
-      onUpdate: (graft.operators.Similarity.HnswIndex, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    // driver-held standing index, swapped once per completed batch —
-    // foreachBatch runs serially, so no synchronization is needed
-    var idx = initial
-    embStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onUpdate: (graft.operators.Similarity.HnswIndex, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    maintainStream(embStream, initial) { (idx, batch, _) =>
       val vecs = batch.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       val appended = graft.operators.Similarity
         .updateHnswIndex(idx, vecs, maxDeg, efConstruction)
-      idx = graft.operators.Similarity.HnswIndex(
+      val next = graft.operators.Similarity.HnswIndex(
         appended.nodes.localCheckpoint(true))
-      onUpdate(idx, batchId)
-    }
-  }
+      (next, Seq(next))
+    }(onUpdate)
 
   /** Registry-SERVED streaming forecasts — the live leg of the
     * reference's predictions flow (analytics_consumer.py:366-377
@@ -506,27 +538,25 @@ object TickStream extends Serializable {
   def hnswSegmentMaintainStream(embStream: DataFrame,
       initial: graft.operators.Similarity.HnswSegmented,
       maxSegments: Int = 8, maxDeg: Int = 8, efConstruction: Int = 32)(
-      onUpdate: (graft.operators.Similarity.HnswSegmented, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    var seg = initial
-    embStream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      onUpdate: (graft.operators.Similarity.HnswSegmented, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    maintainStream(embStream, initial) { (seg0, batch, _) =>
       val vecs = batch.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       val appended = graft.operators.Similarity
-        .hnswAppendSegment(seg, vecs, maxDeg, efConstruction)
+        .hnswAppendSegment(seg0, vecs, maxDeg, efConstruction)
       val pinned = appended.segments.init :+
         graft.operators.Similarity.HnswIndex(
           appended.segments.last.nodes.localCheckpoint(true))
-      seg = appended.copy(segments = pinned)
-      if (seg.segments.length >= maxSegments) {
+      val opened = appended.copy(segments = pinned)
+      val seg = if (opened.segments.length >= maxSegments) {
         val compacted = graft.operators.Similarity
-          .compactHnswSegments(seg, maxDeg, efConstruction)
-        seg = graft.operators.Similarity.HnswSegmented(
+          .compactHnswSegments(opened, maxDeg, efConstruction)
+        graft.operators.Similarity.HnswSegmented(
           graft.operators.Similarity.HnswIndex(
             compacted.main.nodes.localCheckpoint(true)), Nil)
-      }
-      onUpdate(seg, batchId)
-    }
-  }
+      } else opened
+      (seg, Seq(seg))
+    }(onUpdate)
 
   /** Streaming REGISTRY MAINTENANCE — the refresh cadence of
     * [[graft.operators.Forecast.refreshModelRegistry]] driven by the
@@ -548,28 +578,24 @@ object TickStream extends Serializable {
     */
   def registryMaintainStream(ticks: DataFrame, initial: DataFrame,
       history: () => DataFrame, minNewObs: Long = 10, maxLagDays: Int = 7)(
-      onUpdate: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    // driver-held standing registry + arrival counters — foreachBatch
-    // runs serially, so no synchronization is needed
-    var registry = initial
-    val arrivals = scala.collection.mutable.Map.empty[Long, Long]
-    ticks.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      graft.operators.Warehouse.validTicksOf(batch)
-        .groupBy("user_id").agg(count(lit(1)).as("n"))
-        .collect().foreach { r =>
-          val u = r.getLong(0)
-          arrivals(u) = arrivals.getOrElse(u, 0L) + r.getLong(1)
-        }
-      if (arrivals.valuesIterator.exists(_ >= minNewObs)) {
-        registry = graft.operators.Forecast.refreshModelRegistryTicks(
-          registry,
-          graft.operators.Warehouse.validTicksOf(history()),
-          minNewObs, maxLagDays).localCheckpoint(true)
-        arrivals.clear()
-        onUpdate(registry, batchId)
-      }
-    }
-  }
+      onUpdate: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    // maintenance state = (standing registry, per-symbol arrival
+    // counters — the trigger, carried across quiet batches)
+    maintainStream(ticks, (initial, Map.empty[Long, Long])) {
+      case ((registry, counted), batch, _) =>
+        val arrivals = graft.operators.Warehouse.validTicksOf(batch)
+          .groupBy("user_id").agg(count(lit(1)).as("n"))
+          .collect().foldLeft(counted) { (m, r) =>
+            m.updated(r.getLong(0), m.getOrElse(r.getLong(0), 0L) + r.getLong(1))
+          }
+        if (arrivals.valuesIterator.exists(_ >= minNewObs)) {
+          val refreshed = graft.operators.Forecast.refreshModelRegistryTicks(
+            registry,
+            graft.operators.Warehouse.validTicksOf(history()),
+            minNewObs, maxLagDays).localCheckpoint(true)
+          ((refreshed, Map.empty[Long, Long]), Seq(refreshed))
+        } else ((registry, arrivals), Nil)
+    } { case (registry, batchId) => onUpdate(registry, batchId) }
 
   /** The one scoring projection [[forecastServeStream]] runs per
     * microbatch — exposed so the spec's batch dual IS the same code.

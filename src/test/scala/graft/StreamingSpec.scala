@@ -906,6 +906,42 @@ class StreamingSpec extends SparkSuite {
       "unsealed epoch 19002 flags — a half-built epoch leaked into serving")
   }
 
+  test("generic maintain loop: state threads through quiet batches, emissions publish in order") {
+    val streamDir = stageTimeOrderedSplit(3)
+    val schema = Tables.events(spark, sfDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+    val published = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("gml_ckpt").toString
+    // state = (rows folded so far, batches seen); batch 1 publishes
+    // nothing, batch 2 publishes twice, batch 3 once — the three
+    // cadences the concrete loops use (quiet trigger, per-epoch
+    // multi-publish, once-per-batch)
+    val q = TickStream.maintainStream(stream, (0L, 0)) {
+      case ((rows, batches), batch, _) =>
+        val next = (rows + batch.count(), batches + 1)
+        val out = next._2 match {
+          case 1 => Nil
+          case 2 => Seq(s"a:${next._1}", s"b:${next._1}")
+          case _ => Seq(s"c:${next._1}")
+        }
+        (next, out)
+    } { (p, bid) => published.synchronized { published += p -> bid: Unit } }
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(published.map(_._2).toSeq == Seq(1L, 1L, 2L),
+      s"publication batch ids were ${published.map(_._2)} — batch 0 " +
+        "must stay quiet, batch 1 must publish both emissions")
+    assert(published.map(_._1.head).toSeq == Seq('a', 'b', 'c'),
+      "same-batch emissions must publish in emission order")
+    // both batch-1 emissions carry the same already-swapped state,
+    // and the final emission saw every row including batch 0's —
+    // the quiet batch still folded
+    assert(published(0)._1.drop(2) == published(1)._1.drop(2))
+    assert(published.last._1 == s"c:${Tables.events(spark, sfDir).count()}")
+  }
+
   test("near-dup gate stream flags identically to batch, stateless") {
     import graft.operators.Dedup
     val docs = Tables.documents(spark, sfDir)
