@@ -1,0 +1,197 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** fastText-style supervised quality classifier (Joulin et al. 2016,
+  * "Bag of Tricks for Efficient Text Classification"): logistic
+  * regression over HASHED unigram∪bigram bag-of-features — the
+  * learned tier above the heuristic quality scores
+  * ([[TextOps.qualityScore]], [[Curation.gopherFiltersDocs]]) and the
+  * discriminative dual of the generative DSIR importance model
+  * ([[Curation.importanceWeightsHashed]]): DSIR asks "how much more
+  * likely is this text under the target domain's LM", the classifier
+  * asks "does a trained separator call this text target-like". This
+  * is the CCNet/LLaMA-style page-quality filter shape (a linear
+  * model over hashed n-grams scoring "seed-corpus-like" pages).
+  *
+  * Both tiers share ONE feature definition —
+  * [[Curation.dsirFeatures]] hashed into [[Curation.HashBuckets]]
+  * buckets — so the two models are comparable feature-for-feature
+  * and train/serve cannot drift.
+  *
+  * Scale shape: documents featurize ONCE into cached sparse
+  * unit-ℓ₂ presence vectors — one narrow shuffle on
+  * (doc_id, bucket); each of the `iters` full-batch GD steps is then
+  * a map-side-only `treeAggregate` (gradient = B+1 doubles per
+  * partition, the model broadcast per step), so the loop never
+  * shuffles the corpus and the driver holds only O(B) state. At
+  * 100 TB you fit on a sampled slice (the model saturates long
+  * before the corpus ends) and serve everywhere — serving is a pure
+  * per-row projection ([[classifierScore]]) that runs unchanged in
+  * the streaming tier. Full-batch GD (not SGD) keeps the fit
+  * DETERMINISTIC: zero init, fixed step, partition-stable sums — the
+  * property every registry/save-load spec in this repo leans on.
+  */
+object Classifier {
+
+  /** The shared hash-table size ([[Curation.HashBuckets]]), exposed
+    * for the measurement harness.
+    */
+  private[graft] def defaultBuckets: Int = Curation.HashBuckets
+
+  /** One featurized training document: `idx` ascending distinct
+    * bucket ids, `v` the matching presence weights (each 1/√k), `y`
+    * the label.
+    */
+  private[graft] case class FeatDoc(doc_id: Long, y: Double,
+      idx: Array[Int], v: Array[Double])
+
+  /** Featurize for training: normalized words bound FIRST (one regex
+    * pass per row — see [[Curation.dsirFeatures]]'s contract), the
+    * unigram∪bigram features hashed, and each document reduced to its
+    * DISTINCT bucket set with weight 1/√k (binary presence,
+    * ℓ₂-normalized — ‖x‖₂ = 1 EXACTLY, which both pins the loss's
+    * smoothness bound for the monotone-step guarantee in [[fit]] and
+    * keeps per-feature gradients at err/√k instead of a tf/n
+    * average's err/k, the difference between converging in tens of
+    * full-batch steps and never leaving the bias). Buckets sort
+    * ascending so downstream float folds are order-stable. Docs with
+    * no features carry nothing a linear model can use and are
+    * dropped here; serving still scores them (bias only).
+    */
+  private[graft] def featurize(docs: DataFrame,
+      buckets: Int = Curation.HashBuckets): Dataset[FeatDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"),
+        (col("source") === Curation.DsirTarget).cast("double").as("y"),
+        filter(TextOps.normalizedWords, w => w =!= lit("")).as("ws"))
+      .select(col("doc_id"), col("y"),
+        explode(Curation.dsirFeatures(col("ws"))).as("f"))
+      .groupBy(col("doc_id"), col("y"),
+        pmod(xxhash64(col("f")), lit(buckets.toLong)).cast("int").as("b"))
+      .agg(count(lit(1)).as("tf")) // collapse repeats: presence only
+      .groupBy("doc_id", "y")
+      .agg(sort_array(collect_list(col("b"))).as("idx"))
+      .select(col("doc_id"), col("y"), col("idx"),
+        transform(col("idx"),
+          _ => lit(1.0) / sqrt(size(col("idx")))).as("v"))
+      .as[FeatDoc]
+  }
+
+  /** Fit by deterministic full-batch gradient descent on the mean
+    * log-loss with ℓ₂ regularization. Returns (weights of length
+    * buckets+1 — last slot the bias, per-iteration mean losses).
+    * Each step: broadcast w, ONE treeAggregate for (gradient, loss),
+    * a driver-side O(B) update — no corpus shuffle anywhere in the
+    * loop. Unit-ℓ₂ features (‖x‖₂ = 1, [[featurize]]) bound the mean
+    * log-loss's smoothness at L ≤ ¼ + λ — so the default step
+    * 3 < 1/L guarantees MONOTONE descent (the spec pins it); raising
+    * lr past ~4 forfeits that guarantee before it buys speed.
+    */
+  private[graft] def fit(feats: Dataset[FeatDoc],
+      buckets: Int = Curation.HashBuckets, iters: Int = 150,
+      lr: Double = 3.0, l2: Double = 1e-6): (Array[Double], Array[Double]) = {
+    val cached = feats.persist()
+    val n = cached.count().toDouble
+    // inverse-frequency CLASS WEIGHTS (positives are the seed domain,
+    // typically a few % of the corpus): each class carries half the
+    // weighted loss, so the minority's gradient isn't drowned — and
+    // because the weights average to exactly 1 over the corpus, the
+    // smoothness bound (and the monotone-step guarantee) is unchanged
+    val nPos = cached.filter(_.y > 0.5).count().toDouble
+    val (wPos, wNeg) =
+      if (nPos == 0.0 || nPos == n) (1.0, 1.0)
+      else (n / (2.0 * nPos), n / (2.0 * (n - nPos)))
+    val sc = cached.sparkSession.sparkContext
+    var w = new Array[Double](buckets + 1)
+    val losses = new Array[Double](iters)
+    var it = 0
+    while (it < iters) {
+      val bw = sc.broadcast(w)
+      val (grad, loss) = cached.rdd.treeAggregate(
+        (new Array[Double](buckets + 1), 0.0))(
+        seqOp = { case ((g, l), d) =>
+          val ww = bw.value
+          var z = ww(buckets)
+          var i = 0
+          while (i < d.idx.length) { z += ww(d.idx(i)) * d.v(i); i += 1 }
+          val p = 1.0 / (1.0 + math.exp(-z))
+          val cw = if (d.y > 0.5) wPos else wNeg
+          val err = cw * (p - d.y)
+          i = 0
+          while (i < d.idx.length) { g(d.idx(i)) += err * d.v(i); i += 1 }
+          g(buckets) += err
+          val py = if (d.y > 0.5) p else 1.0 - p
+          (g, l - cw * math.log(math.max(py, 1e-12)))
+        },
+        combOp = { case ((g1, l1), (g2, l2s)) =>
+          var i = 0
+          while (i < g1.length) { g1(i) += g2(i); i += 1 }
+          (g1, l1 + l2s)
+        })
+      bw.destroy()
+      val w2 = new Array[Double](buckets + 1)
+      var i = 0
+      while (i < w2.length) {
+        w2(i) = w(i) - lr * (grad(i) / n + l2 * w(i))
+        i += 1
+      }
+      w = w2
+      losses(it) = loss / n
+      it += 1
+    }
+    cached.unpersist()
+    (w, losses)
+  }
+
+  /** Score documents against a trained model — a PURE projection (the
+    * model rides in the plan as a literal, same serve shape as
+    * [[Curation.hashedImportanceScore]]), so it runs unchanged inside
+    * the streaming tier with zero state and zero shuffle. `prob` is
+    * σ(Σ_present w_b/√k + bias) — exactly the training feature
+    * vector; featureless docs score the bias alone.
+    */
+  private[graft] def classifierScore(docs: DataFrame,
+      model: Array[Double]): DataFrame = {
+    val buckets = model.length - 1
+    docs
+      .select(col("doc_id"),
+        (col("source") === Curation.DsirTarget).as("is_target"),
+        filter(TextOps.normalizedWords, w => w =!= lit("")).as("ws"))
+      // the distinct bucket set is BOUND before the fold, so the
+      // hash+distinct chain evaluates once per row and the weight
+      // fold walks k ≤ B ints — the same presence/√k vector training
+      // used, rebuilt without a shuffle
+      .withColumn("bs", array_distinct(transform(
+        Curation.dsirFeatures(col("ws")),
+        f => pmod(xxhash64(f), lit(buckets.toLong)).cast("int"))))
+      .withColumn("z",
+        when(size(col("bs")) > 0,
+          aggregate(col("bs"), lit(0.0),
+            (acc, b) => acc + element_at(typedLit(model.toSeq), b + 1))
+            / sqrt(size(col("bs"))))
+          .otherwise(lit(0.0)) + lit(model(buckets)))
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("prob"),
+        (col("z") > 0).as("pred_target"), col("is_target"))
+  }
+
+  /** The registered query: fit on the 4/5 hash split, score EVERY
+    * document, carry the split flag so held-out quality is auditable
+    * downstream. Iterative training is not SQL-expressible — rows +
+    * spec (loss monotone, train AND held-out accuracy bars, stream
+    * parity).
+    */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (model, _) = fit(featurize(
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(5L)) =!= 0L)))
+    classifierScore(docs, model)
+      .withColumn("is_holdout",
+        pmod(xxhash64(col("doc_id")), lit(5L)) === 0L)
+      .orderBy("doc_id")
+  }
+}

@@ -704,7 +704,7 @@ object Curation {
     * sources stands in for the seed corpus that defines the
     * distribution to resample toward.
     */
-  private val DsirTarget = "src0"
+  private[operators] val DsirTarget = "src0"
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every
@@ -788,7 +788,7 @@ object Curation {
     * regardless of vocabulary (the paper uses hashed n-gram features
     * for exactly this reason).
     */
-  private val HashBuckets = 1024
+  private[operators] val HashBuckets = 1024
 
   /** Train the HASHED importance model: words hash into a fixed
     * `buckets`-sized space, so the model is a dense double array
@@ -814,7 +814,7 @@ object Curation {
     * full-text regex passes per document — a measured multi-minute
     * stall at ScaleProbe 20× that this shape avoids.
     */
-  private def dsirFeatures(ws: Column): Column =
+  private[operators] def dsirFeatures(ws: Column): Column =
     concat(ws,
       when(size(ws) >= 2,
         zip_with(slice(ws, lit(1), size(ws) - 1),

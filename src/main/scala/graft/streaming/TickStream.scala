@@ -355,6 +355,16 @@ object TickStream extends Serializable {
   def importanceDocsStream(docs: DataFrame, model: Array[Double]): DataFrame =
     graft.operators.Curation.hashedImportanceScore(docs, model)
 
+  /** Streaming quality CLASSIFICATION — the learned tier next to
+    * [[importanceDocsStream]]'s generative one, same train-offline /
+    * serve-online shape: a batch-trained
+    * [[graft.operators.Classifier]] model rides into the stream as a
+    * plan literal; scoring is a pure projection with zero shuffle and
+    * zero state, bit-identical to the batch dual (spec-asserted).
+    */
+  def classifierDocsStream(docs: DataFrame, model: Array[Double]): DataFrame =
+    graft.operators.Classifier.classifierScore(docs, model)
+
   /** Streaming mixture sampling — the serve side of
     * [[graft.operators.Curation.mixtureSample]]: per-source acceptance
     * rates trained in batch ([[graft.operators.Curation.mixtureRates]])

@@ -626,6 +626,21 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streamed classifier scores are bit-identical to batch") {
+    import graft.operators.Classifier
+    val batchDocs = Tables.documents(spark, sfDir)
+    val (model, _) = Classifier.fit(Classifier.featurize(
+      batchDocs.filter(pmod(xxhash64(col("doc_id")), lit(5L)) =!= 0L)))
+    val out = TickStream.classifierDocsStream(
+      TickStream.docsStream(spark, sfDir), model)
+    runToMemory(out, "doc_classifier")
+    val streamed = spark.table("doc_classifier")
+    val batch = Classifier.classifierScore(batchDocs, model)
+    assert(streamed.count() == batch.count())
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("streamed mixture acceptance equals the batch sample exactly") {
     val rates = graft.operators.Curation.mixtureRates(spark, sfDir)
     val out = TickStream.mixtureDocsStream(TickStream.docsStream(spark, sfDir), rates)
