@@ -24,9 +24,9 @@ import org.apache.spark.sql.functions._
   * Scale shape: documents featurize ONCE into cached sparse
   * unit-ℓ₂ presence vectors — one narrow shuffle on
   * (doc_id, bucket); each of the `iters` full-batch GD steps is then
-  * a map-side-only `treeAggregate` (gradient = B+1 doubles per
-  * partition, the model broadcast per step), so the loop never
-  * shuffles the corpus and the driver holds only O(B) state. At
+  * one map-side gradient pass (B+1 doubles per partition, the model
+  * broadcast per step), so the loop never shuffles the corpus and
+  * the driver holds only O(B) state. At
   * 100 TB you fit on a sampled slice (the model saturates long
   * before the corpus ends) and serve everywhere — serving is a pure
   * per-row projection ([[classifierScore]]) that runs unchanged in
@@ -84,9 +84,10 @@ object Classifier {
   /** Fit by deterministic full-batch gradient descent on the mean
     * log-loss with ℓ₂ regularization. Returns (weights of length
     * buckets+1 — last slot the bias, per-iteration mean losses).
-    * Each step: broadcast w, ONE treeAggregate for (gradient, loss),
-    * a driver-side O(B) update — no corpus shuffle anywhere in the
-    * loop. Unit-ℓ₂ features (‖x‖₂ = 1, [[featurize]]) bound the mean
+    * Each step: broadcast w, one map-side pass producing
+    * per-partition (gradient, loss) partials combined on the driver
+    * in partition order, an O(B) update — no corpus shuffle anywhere
+    * in the loop. Unit-ℓ₂ features (‖x‖₂ = 1, [[featurize]]) bound the mean
     * log-loss's smoothness at L ≤ ¼ + λ — so the default step
     * 3 < 1/L guarantees MONOTONE descent (the spec pins it); raising
     * lr past ~4 forfeits that guarantee before it buys speed.
@@ -94,7 +95,14 @@ object Classifier {
   private[graft] def fit(feats: Dataset[FeatDoc],
       buckets: Int = Curation.HashBuckets, iters: Int = 150,
       lr: Double = 3.0, l2: Double = 1e-6): (Array[Double], Array[Double]) = {
-    val cached = feats.persist()
+    // pin the aggregation layout BEFORE caching: an explicit
+    // partition count + in-partition sort makes every float sum's
+    // order a function of the data alone, so the same corpus fits to
+    // bit-identical weights in ANY execution context (a streaming
+    // microbatch refit runs with different AQE/partition settings
+    // than a batch session — the maintenance spec compares the two)
+    val cached = feats.repartition(32, col("doc_id"))
+      .sortWithinPartitions("doc_id").persist()
     val n = cached.count().toDouble
     // inverse-frequency CLASS WEIGHTS (positives are the seed domain,
     // typically a few % of the corpus): each class carries half the
@@ -111,10 +119,17 @@ object Classifier {
     var it = 0
     while (it < iters) {
       val bw = sc.broadcast(w)
-      val (grad, loss) = cached.rdd.treeAggregate(
-        (new Array[Double](buckets + 1), 0.0))(
-        seqOp = { case ((g, l), d) =>
-          val ww = bw.value
+      // per-partition partials, combined on the driver in PARTITION
+      // INDEX order — a treeAggregate would combine in task-arrival
+      // order, making two fits of the same corpus differ by ulps
+      // (this is the one place bit-determinism is bought, at
+      // partitions × (B+1) doubles per step of driver traffic; a
+      // fit that doesn't need bit-equality can tree-combine instead)
+      val partials = cached.rdd.mapPartitionsWithIndex { (pid, rows) =>
+        val ww = bw.value
+        val g = new Array[Double](ww.length)
+        var l = 0.0
+        rows.foreach { d =>
           var z = ww(buckets)
           var i = 0
           while (i < d.idx.length) { z += ww(d.idx(i)) * d.v(i); i += 1 }
@@ -125,13 +140,17 @@ object Classifier {
           while (i < d.idx.length) { g(d.idx(i)) += err * d.v(i); i += 1 }
           g(buckets) += err
           val py = if (d.y > 0.5) p else 1.0 - p
-          (g, l - cw * math.log(math.max(py, 1e-12)))
-        },
-        combOp = { case ((g1, l1), (g2, l2s)) =>
-          var i = 0
-          while (i < g1.length) { g1(i) += g2(i); i += 1 }
-          (g1, l1 + l2s)
-        })
+          l -= cw * math.log(math.max(py, 1e-12))
+        }
+        Iterator((pid, (g, l)))
+      }.collect().sortBy(_._1)
+      val grad = new Array[Double](buckets + 1)
+      var loss = 0.0
+      partials.foreach { case (_, (g, l)) =>
+        var i = 0
+        while (i < grad.length) { grad(i) += g(i); i += 1 }
+        loss += l
+      }
       bw.destroy()
       val w2 = new Array[Double](buckets + 1)
       var i = 0
@@ -177,6 +196,29 @@ object Classifier {
       .select(col("doc_id"),
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("prob"),
         (col("z") > 0).as("pred_target"), col("is_target"))
+  }
+
+  /** Persist a fitted model as (slot, weight) rows — slot `buckets`
+    * is the bias — the registry discipline every fitted artifact here
+    * follows (ANN codebooks, the ARIMA registry): fit once, serve
+    * from disk; the spec pins load == fresh bit-identically.
+    */
+  def saveModel(spark: SparkSession, model: Array[Double],
+      path: String): Unit =
+    spark.createDataFrame(model.zipWithIndex.toIndexedSeq.map {
+      case (wi, i) => (i, wi)
+    }).toDF("slot", "w").write.mode("overwrite").parquet(path)
+
+  def loadModel(spark: SparkSession, path: String): Array[Double] = {
+    val rows = spark.read.parquet(path).select("slot", "w").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1))
+    require(rows.nonEmpty &&
+      rows.map(_._1).toSet == (0 until rows.length).toSet,
+      s"invalid classifier model at $path: slots do not cover " +
+        s"0..${rows.length - 1}")
+    val out = new Array[Double](rows.length)
+    rows.foreach { case (i, wi) => out(i) = wi }
+    out
   }
 
   /** The registered query: fit on the 4/5 hash split, score EVERY

@@ -365,6 +365,28 @@ object TickStream extends Serializable {
   def classifierDocsStream(docs: DataFrame, model: Array[Double]): DataFrame =
     graft.operators.Classifier.classifierScore(docs, model)
 
+  /** Classifier MAINTENANCE — the fifth [[maintainStream]] flavor,
+    * and the measure of what the generic loop buys: a new standing
+    * artifact (the classifier weight vector) costs exactly one step
+    * function. Same arrival-counter cadence as
+    * [[registryMaintainStream]] — the counter only TRIGGERS (a refit
+    * always reads the full `history()`, so a delayed trigger can
+    * never mis-fit), quiet batches publish nothing and serve keeps
+    * the previous model ([[classifierDocsStream]] probes whatever
+    * was last published).
+    */
+  def classifierMaintainStream(docs: DataFrame, initial: Array[Double],
+      history: () => DataFrame, minNewDocs: Long = 100)(
+      onUpdate: (Array[Double], Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    maintainStream(docs, (initial, 0L)) { case ((model, seen), batch, _) =>
+      val arrived = seen + batch.count()
+      if (arrived >= minNewDocs) {
+        val refit = graft.operators.Classifier.fit(
+          graft.operators.Classifier.featurize(history()))._1
+        ((refit, 0L), Seq(refit))
+      } else ((model, arrived), Nil)
+    }(onUpdate)
+
   /** Streaming mixture sampling — the serve side of
     * [[graft.operators.Curation.mixtureSample]]: per-source acceptance
     * rates trained in batch ([[graft.operators.Curation.mixtureRates]])

@@ -300,6 +300,22 @@ class CurationSpec extends SparkSuite {
     assert(sep >= 0.25, s"mean-prob separation $sep")
   }
 
+  test("classifier model save/load round-trips bit-identically") {
+    import graft.operators.Classifier
+    val docs = Tables.documents(spark, sfDir)
+    val (model, _) = Classifier.fit(Classifier.featurize(docs))
+    val path = java.nio.file.Files
+      .createTempDirectory("clf_model").toString + "/m"
+    Classifier.saveModel(spark, model, path)
+    val loaded = Classifier.loadModel(spark, path)
+    assert(loaded.sameElements(model), "loaded weights differ")
+    val fresh = Classifier.classifierScore(docs, model)
+      .collect().map(_.toSeq).toSet
+    val served = Classifier.classifierScore(docs, loaded)
+      .collect().map(_.toSeq).toSet
+    assert(served == fresh, "serve-from-disk scores diverged")
+  }
+
   test("gopherQuality judges each rule on crafted documents") {
     import spark.implicits._
     val good = ("the analytics engine and the scheduler have to " +

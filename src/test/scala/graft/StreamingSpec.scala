@@ -641,6 +641,36 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("classifier maintenance refits at the arrival bar, stays quiet below it") {
+    import graft.operators.Classifier
+    val docs = Tables.documents(spark, sfDir)
+    val total = docs.count()
+    def run(bar: Long): Seq[Array[Double]] = {
+      val published = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      val ckpt = java.nio.file.Files.createTempDirectory("cmnt_ckpt").toString
+      val q = TickStream.classifierMaintainStream(
+        TickStream.docsStream(spark, sfDir),
+        new Array[Double](Classifier.defaultBuckets + 1),
+        () => docs, minNewDocs = bar) { (m, _) =>
+        published.synchronized { published += m: Unit }
+      }.option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      published.toSeq
+    }
+    assert(run(total + 1).isEmpty,
+      "a bar above total arrivals must never trigger a refit")
+    val pubs = run(total)
+    assert(pubs.length == 1, s"expected one refit, got ${pubs.length}")
+    val direct = Classifier.fit(Classifier.featurize(docs))._1
+    val nDiff = pubs.head.zip(direct).count { case (a, b) => a != b }
+    val maxDiff = pubs.head.zip(direct)
+      .map { case (a, b) => math.abs(a - b) }.max
+    assert(pubs.head.sameElements(direct),
+      s"streamed refit diverged from the direct full-history fit: " +
+        s"$nDiff/${direct.length} slots differ, max |delta| = $maxDiff")
+  }
+
   test("streamed mixture acceptance equals the batch sample exactly") {
     val rates = graft.operators.Curation.mixtureRates(spark, sfDir)
     val out = TickStream.mixtureDocsStream(TickStream.docsStream(spark, sfDir), rates)
