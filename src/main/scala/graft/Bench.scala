@@ -95,18 +95,36 @@ object Bench {
       // cost excluded — that is q_ann_pq / q_ann_hnsw's number); this
       // is the per-probe-batch latency an online retrieval user pays,
       // for the compressed-scan family (PQ) and the graph family
-      // (HNSW) side by side
+      // (HNSW) side by side. Each build runs under the same failure
+      // discipline as the queries: a crashed build grades its serve
+      // entry failed (negative time + penalty) instead of killing the
+      // whole run before the metrics line prints.
+      def servePath(name: String)(prep: () => (() => DataFrame, () => Unit)): (String, Double, Double) =
+        try {
+          val (thunk, cleanup) = prep()
+          val r = minOfRuns(name)(thunk)
+          cleanup()
+          r
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name index build: $e")
+            failed += name
+            // strictly negative: -0.0 would dodge the `< 0` penalty
+            (name, -0.001, -0.001)
+        }
       val corpus = operators.Similarity.vecs(spark, sfDir).toDF("vec_id", "v", "norm")
-      val idx = operators.Similarity.pqIndex(spark, sfDir)
-      idx.encoded.cache().count(): Unit
-      val rPq = minOfRuns("q_ann_pq_search")(() =>
-        operators.Similarity.annPqSearch(idx, corpus, 32))
-      idx.encoded.unpersist(): Unit
-      val hidx = operators.Similarity.hnswIndex(spark, sfDir)
-      hidx.nodes.cache().count(): Unit
-      val rHnsw = minOfRuns("q_ann_hnsw_search")(() =>
-        operators.Similarity.annHnswSearch(hidx, corpus))
-      hidx.nodes.unpersist(): Unit
+      val rPq = servePath("q_ann_pq_search") { () =>
+        val idx = operators.Similarity.pqIndex(spark, sfDir)
+        idx.encoded.cache().count(): Unit
+        (() => operators.Similarity.annPqSearch(idx, corpus, 32),
+          () => { idx.encoded.unpersist(): Unit })
+      }
+      val rHnsw = servePath("q_ann_hnsw_search") { () =>
+        val hidx = operators.Similarity.hnswIndex(spark, sfDir)
+        hidx.nodes.cache().count(): Unit
+        (() => operators.Similarity.annHnswSearch(hidx, corpus),
+          () => { hidx.nodes.unpersist(): Unit })
+      }
       Seq(rPq, rHnsw)
     }
 

@@ -1369,7 +1369,11 @@ object Curation {
     val spark = docs.sparkSession
     import spark.implicits._
     val words = docs.select(col("doc_id"),
-      split(trim(col("text")), s"[${TextOps.Ws}]+").as("ws"))
+      // null text ⇒ empty word array, matching the null-text contract
+      // of the fingerprint dedup tier (a bare split(null) would NPE
+      // the typed flatMap below)
+      coalesce(split(trim(col("text")), s"[${TextOps.Ws}]+"),
+        typedLit(Seq.empty[String])).as("ws"))
     val wins = words.as[(Long, Seq[String])].flatMap { case (id, ws) =>
       val w1 = windowHashes(ws, minTokens, HashBase1, 0L)
       val w2 = windowHashes(ws, minTokens, HashBase2, 0x9e3779b97f4a7c15L)

@@ -856,12 +856,26 @@ object Dedup {
     } finally keys.unpersist(): Unit
   }
 
-  /** The sharded-gate probe: band j's key checks band j's Bloom. */
+  /** The sharded-gate probe: band j's key checks band j's Bloom.
+    * Broadcasts every filter ONCE PER CALL — one-shot batch use; a
+    * loop that probes a long-lived gate should hold the handles and
+    * use [[bandKeyHitBroadcast]] (see
+    * [[graft.functions.BloomMightContain.fromBroadcast]]'s contract).
+    */
   private[graft] def bandKeyHitSharded(spark: SparkSession,
-      blooms: Array[org.apache.spark.util.sketch.BloomFilter]): Column => Column = {
-    require(blooms.length == NumBands, s"expected $NumBands band blooms")
-    val probes = blooms.map(b => graft.functions.BloomMightContain
-      .fromBroadcast(spark.sparkContext.broadcast(b)))
+      blooms: Array[org.apache.spark.util.sketch.BloomFilter]): Column => Column =
+    bandKeyHitBroadcast(blooms.map(spark.sparkContext.broadcast(_)))
+
+  /** The sharded-gate probe over CALLER-OWNED broadcast handles — the
+    * reuse path for long-lived gates: broadcast each serving array
+    * once per rotation, probe any number of batches, `destroy()` the
+    * previous handles on swap so evicted multi-GB sketches leave the
+    * executors (the rolling probe streams do exactly this).
+    */
+  private[graft] def bandKeyHitBroadcast(
+      bcs: Array[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]]): Column => Column = {
+    require(bcs.length == NumBands, s"expected $NumBands band blooms")
+    val probes = bcs.map(graft.functions.BloomMightContain.fromBroadcast)
     sig => bandKeyCols(sig).zip(probes).map { case (k, p) => p(k) }
       .reduce(_ || _)
   }

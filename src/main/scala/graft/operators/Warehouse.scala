@@ -568,13 +568,20 @@ object Warehouse {
     */
   private[graft] def returnCorrOf(rets: DataFrame, minDays: Int = 15,
       bucketsIn: Int = 0): DataFrame = {
+    // the returns pipeline (validated OHLC windows + lag) feeds THREE
+    // consumers — the grid/universe sizing action, the date index and
+    // the pair job — so persist it and take both driver counts in ONE
+    // pass, or the most expensive upstream stage runs three times
+    val cached = rets.persist()
+    val sizes = cached.agg(countDistinct("trade_date").as("nd"),
+      countDistinct("user_id").as("ns")).head
     // global session-date index (tiny single-partition window: one row
     // per trading day)
-    val datesIdx = rets.select("trade_date").distinct()
+    val datesIdx = cached.select("trade_date").distinct()
       .withColumn("di", row_number().over(Window.orderBy("trade_date")) - 1)
     // grid length on the driver: it sizes the dense arrays (max(…,1)
     // only guards the empty-input sequence bounds — no data, no rows)
-    val n = math.max(datesIdx.count().toInt, 1)
+    val n = math.max(sizes.getLong(0).toInt, 1)
     // ADAPTIVE tiling (bucketsIn = 0), two regimes: the tile count
     // (buckets²) must at least cover the cluster's parallelism so no
     // core idles (floor: buckets² ≈ 2·defaultParallelism), and past
@@ -588,12 +595,12 @@ object Warehouse {
     // next to the Ω(pairs·days) pair stage.
     val buckets = if (bucketsIn > 0) bucketsIn
     else {
-      val nSym = rets.select("user_id").distinct().count()
+      val nSym = sizes.getLong(1)
       val parFloor = math.ceil(math.sqrt(
         2.0 * rets.sparkSession.sparkContext.defaultParallelism)).toInt
       math.max(parFloor, math.ceil(nSym / 128.0).toInt)
     }
-    val sym = rets.join(broadcast(datesIdx), Seq("trade_date"))
+    val sym = cached.join(broadcast(datesIdx), Seq("trade_date"))
       .groupBy("user_id")
       .agg(map_from_entries(collect_list(struct(col("di"), col("ret")))).as("m"))
       .select(col("user_id"),

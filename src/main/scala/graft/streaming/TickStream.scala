@@ -191,15 +191,28 @@ object TickStream extends Serializable {
     */
   def nearDupDocsStreamRolling(docs: DataFrame,
       gate: () => graft.operators.Dedup.RollingBandGate)(
-      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // broadcast the serving array once per ROTATION, not per batch:
+    // rotation replaces the serving array wholesale, so reference
+    // identity is the swap signal; superseded handles destroy() so
+    // evicted multi-GB sketches leave the executors instead of
+    // accumulating one stale broadcast set per microbatch
+    var heldServing: Array[org.apache.spark.util.sketch.BloomFilter] = null
+    var heldBcs: Array[org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]] = null
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val hit = graft.operators.Dedup.bandKeyHitSharded(
-        batch.sparkSession, gate().serving)
+      val serving = gate().serving
+      if (heldBcs == null || (heldServing ne serving)) {
+        if (heldBcs != null) heldBcs.foreach(_.destroy())
+        heldServing = serving
+        heldBcs = serving.map(batch.sparkSession.sparkContext.broadcast(_))
+      }
+      val hit = graft.operators.Dedup.bandKeyHitBroadcast(heldBcs)
       writeBatch(batch
         .withColumn("sig", graft.operators.Dedup.sigCol(col("text")))
         .withColumn("candidate_near_dup", hit(col("sig")))
         .drop("sig"), batchId)
     }
+  }
 
   /** The EXACT-gate twin of [[nearDupDocsStreamRolling]]: flag each
     * microbatch's fingerprints against the CURRENT serving filter of
@@ -214,16 +227,26 @@ object TickStream extends Serializable {
     */
   def dedupDocsStreamRolling(docs: DataFrame,
       gate: () => graft.operators.Dedup.RollingExactGate)(
-      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      writeBatch: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // same per-rotation broadcast reuse + destroy discipline as
+    // [[nearDupDocsStreamRolling]], for the single exact filter
+    var heldServing: org.apache.spark.util.sketch.BloomFilter = null
+    var heldBc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter] = null
     docs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val hit = graft.operators.Dedup.bloomHit(
-        batch.sparkSession, gate().serving)
+      val serving = gate().serving
+      if (heldBc == null || (heldServing ne serving)) {
+        if (heldBc != null) heldBc.destroy()
+        heldServing = serving
+        heldBc = batch.sparkSession.sparkContext.broadcast(serving)
+      }
+      val hit = graft.functions.BloomMightContain.fromBroadcast(heldBc)
       writeBatch(batch
         .withColumn("fingerprint",
           graft.operators.TextOps.fingerprintCol(col("text")))
         .withColumn("candidate_dup", hit(col("fingerprint")))
         .drop("fingerprint"), batchId)
     }
+  }
 
   /** Rotate the rolling near-dup gate off the STREAM'S OWN clock —
     * the maintenance dual of [[nearDupDocsStreamRolling]]: each
@@ -255,7 +278,14 @@ object TickStream extends Serializable {
         if (mx.isNullAt(0)) ((gate0, lastSealed), Nil)
         else {
           val nowEpoch = Math.floorDiv(mx.getTimestamp(0).getTime, epochMs)
-          val from = lastSealed.map(_ + 1).getOrElse(nowEpoch)
+          // clamp catch-up to the retention window: after a long gap
+          // every epoch below nowEpoch − window would be built only
+          // to evict immediately (a full slice scan + Bloom build per
+          // epoch, serially, inside one microbatch) — it can never
+          // reach the serving union, so seal only the reachable tail
+          val from = math.max(
+            lastSealed.map(_ + 1).getOrElse(nowEpoch),
+            nowEpoch - gate0.windowEpochs)
           val (gate, rotations) = (from until nowEpoch).foldLeft(
               (gate0, Vector.empty[(graft.operators.Dedup.RollingBandGate, Long)])) {
             case ((g, acc), e) =>
@@ -465,6 +495,20 @@ object TickStream extends Serializable {
     * `localCheckpoint`ing any lazy plan it emits, so a publication
     * hands the serve side an artifact whose cost is already paid
     * (see [[hnswMaintainStream]] for why that matters).
+    *
+    * FAILURE CONTRACT: the fold state is driver-held and
+    * session-scoped — it does NOT survive a restart, and `onPublish`
+    * must not throw (a publish failure fails the query with the
+    * post-swap state already folded, so that emission is not
+    * re-delivered). Durability is the CALLER'S leg of the loop:
+    * persist each published artifact (every flavor's artifact has a
+    * save/load — indexes, registries, classifier models) and restart
+    * with `initial` = the last durably published artifact, exactly
+    * like the specs construct their initial gates and registries.
+    * Trigger state (counters, high-water marks) restarts empty,
+    * which can DELAY the next publication but never corrupt one —
+    * every refit reads full history, every rotation re-derives its
+    * epoch from the lake.
     */
   def maintainStream[S, P](stream: DataFrame, initial: S)(
       step: (S, DataFrame, Long) => (S, Seq[P]))(

@@ -481,7 +481,8 @@ class CurationSpec extends SparkSuite {
     val docD = docA                                  // full exact copy
     val docs = Seq(
       (1L, docA.mkString(" ")), (2L, docB.mkString(" ")),
-      (3L, docC.mkString(" ")), (4L, docD.mkString(" ")))
+      (3L, docC.mkString(" ")), (4L, docD.mkString(" ")),
+      (5L, null: String))                            // null-text contract
       .toDF("doc_id", "text")
     val out = Curation.substringDedupDocs(docs).collect()
       .map(r => r.getAs[Long]("doc_id") ->
@@ -496,6 +497,8 @@ class CurationSpec extends SparkSuite {
     assert(out(3L) == (80L, 0L, docC.mkString(" ")))
     // the full copy is excised entirely
     assert(out(4L) == (120L, 120L, ""))
+    // a null-text doc flows through as empty, same as the exact tier
+    assert(out(5L) == (0L, 0L, ""))
     // real corpus: mass conservation + determinism of the fingerprints
     val real = Curation.substringDedup(spark, sfDir).collect()
     assert(real.length == Tables.documents(spark, sfDir).count())
