@@ -347,14 +347,16 @@ object Dedup {
       val nbrMin = und.withColumnRenamed("dst", "id")
         .join(labels, "id")
         .groupBy(col("src").as("id")).agg(min("label").as("nbr_min"))
+      // carry the old label through the checkpoint so convergence is
+      // a filter over the materialized round, not a second shuffle
+      // join of next against labels every iteration
       val next = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .localCheckpoint(eager = true)
-      changed = next.toDF("id", "new_label").join(labels, "id")
-        .filter(col("new_label") =!= col("label")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old_label")).count()
+      labels = next.select("id", "label")
     }
     labels
   }
