@@ -395,6 +395,7 @@ object Dedup {
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(eager = true)
+    var eCount = e.count()
     var stable = false
     var rounds = 0
     while (!stable && rounds < maxRounds) {
@@ -424,8 +425,13 @@ object Dedup {
       val nextSym = next
         .union(next.select(col("dst").as("src"), col("src").as("dst")))
         .distinct().localCheckpoint(eager = true)
-      stable = nextSym.exceptAll(e).isEmpty && e.exceptAll(nextSym).isEmpty
+      // both sides are distinct sets, so equal cardinality plus one
+      // empty difference IS set equality — half the convergence cost
+      // of a two-sided exceptAll (the count is carried, not recomputed)
+      val nextCount = nextSym.count()
+      stable = nextCount == eCount && nextSym.exceptAll(e).isEmpty
       e = nextSym
+      eCount = nextCount
       rounds += 1
     }
     require(stable, s"star contraction did not converge in $maxRounds rounds")
