@@ -119,14 +119,14 @@ object ScaleProbe {
     val nswIdx = operators.Similarity.graphIndexOf(corpus,
       numShards = math.max(8, replicas))
     time("nsw_build")(nswIdx.nodes)
-    val cached = operators.Similarity.GraphIndex(nswIdx.nodes.cache())
+    val cached = nswIdx.copy(nodes = nswIdx.nodes.cache())
     cached.nodes.count(): Unit
     time("nsw_search")(operators.Similarity.annGraphSearch(cached, corpus))
     cached.nodes.unpersist(): Unit
     val hnswIdx = operators.Similarity.hnswIndexOf(corpus,
       numShards = math.max(8, replicas))
     time("hnsw_build")(hnswIdx.nodes)
-    val hcached = operators.Similarity.HnswIndex(hnswIdx.nodes.cache())
+    val hcached = hnswIdx.copy(nodes = hnswIdx.nodes.cache())
     hcached.nodes.count(): Unit
     time("hnsw_search")(operators.Similarity.annHnswSearch(hcached, corpus))
     // micro-append economics at scale: a 100-vector batch into the

@@ -1107,9 +1107,14 @@ object Similarity {
     * serve many probe batches; persistable like the quantized indexes.
     * Graphs are identical to the fused [[annGraph]] build (same hash
     * sharding, same id-ordered insertion), so searches agree exactly
-    * (spec-asserted).
+    * (spec-asserted). `numShards` is carried IN the index (not
+    * re-derived as max(shard)+1, which NPEs on an empty standing
+    * index and undercounts when the top-numbered shard happens to be
+    * empty — an undercount silently changes append hash routing, so a
+    * re-delivered vec_id could land in a different shard and bypass
+    * the per-shard duplicate-id check).
     */
-  case class GraphIndex(nodes: DataFrame)
+  case class GraphIndex(nodes: DataFrame, numShards: Int)
 
   def graphIndex(spark: SparkSession, dir: String, maxDeg: Int = 8,
       efConstruction: Int = 32, numShards: Int = 4): GraphIndex =
@@ -1135,7 +1140,7 @@ object Similarity {
           }
         }
       }.toDF("shard", "vec_id", "v", "norm", "nbrs")
-    GraphIndex(nodesDf)
+    GraphIndex(nodesDf, numShards)
   }
 
   /** Serve a probe batch from a fitted graph: shards regroup (one
@@ -1194,17 +1199,15 @@ object Similarity {
     * path there is no model to drift: the graph IS the data
     * structure, so appends never force a refit.)
     *
-    * Shard count is recovered as max(shard)+1 — valid because the
-    * build enumerates TaskContext partition ids over a hash
-    * partitioning that leaves no trailing shard empty at any
-    * realistic corpus/shard ratio; a deployment would persist the
-    * shard count alongside the index.
+    * Shard count comes from the index itself (see [[GraphIndex]]) —
+    * routing stays identical to the build's partitioner even on an
+    * empty or unevenly-occupied standing index.
     */
   def updateGraphIndex(idx: GraphIndex, newVecs: DataFrame,
       maxDeg: Int = 8, efConstruction: Int = 32): GraphIndex = {
     val spark = idx.nodes.sparkSession
     import spark.implicits._
-    val numShards = idx.nodes.agg(max("shard")).head.getInt(0) + 1
+    val numShards = idx.numShards
     val batch = newVecs
       .select(col("vec_id"), col("v").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))
@@ -1245,20 +1248,48 @@ object Similarity {
           }
         }
       }.toDF("shard", "vec_id", "v", "norm", "nbrs")
-    GraphIndex(merged)
+    GraphIndex(merged, numShards)
   }
 
   /** Persist / reload a fitted NSW graph index; loaded search == fresh
-    * (spec-asserted).
+    * (spec-asserted). The shard count rides in a tiny sidecar file
+    * next to the parquet (written AFTER the overwrite so the mode
+    * doesn't delete it); pre-sidecar saves fall back to the old
+    * max(shard)+1 derivation, which is only wrong in the
+    * empty-top-shard corner the sidecar now closes.
     */
-  def saveGraphIndex(idx: GraphIndex, path: String): Unit =
+  def saveGraphIndex(idx: GraphIndex, path: String): Unit = {
     idx.nodes.write.mode("overwrite").parquet(path)
+    writeShardMeta(idx.nodes.sparkSession, path, idx.numShards)
+  }
 
   def loadGraphIndex(spark: SparkSession, path: String): GraphIndex = {
     val nodes = spark.read.parquet(path)
     require(nodes.columns.toSet == Set("shard", "vec_id", "v", "norm", "nbrs"),
       s"invalid graph index at $path: ${nodes.columns.mkString(",")}")
-    GraphIndex(nodes.select("shard", "vec_id", "v", "norm", "nbrs"))
+    val ns = readShardMeta(spark, path).getOrElse(
+      nodes.agg(coalesce(max("shard") + 1, lit(1))).head.getInt(0))
+    GraphIndex(nodes.select("shard", "vec_id", "v", "norm", "nbrs"), ns)
+  }
+
+  private[graft] def writeShardMeta(spark: SparkSession, path: String,
+      numShards: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_shards")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(numShards.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[graft] def readShardMeta(spark: SparkSession,
+      path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_graft_shards")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
   }
 
   // ------------------------------------------------------ HNSW layers
@@ -1462,8 +1493,10 @@ object Similarity {
     * round-trips through parquet with no extra column). The entry
     * point is derived, not stored: the lowest-id node of maximal
     * level — the same node the id-ordered build promotes last.
+    * `numShards` is carried in the index for the same append-routing
+    * reason as [[GraphIndex]].
     */
-  case class HnswIndex(nodes: DataFrame)
+  case class HnswIndex(nodes: DataFrame, numShards: Int)
 
   def hnswIndex(spark: SparkSession, dir: String, maxDeg: Int = 8,
       efConstruction: Int = 32, numShards: Int = 4): HnswIndex =
@@ -1490,7 +1523,7 @@ object Similarity {
           }
         }
       }.toDF("shard", "vec_id", "v", "norm", "lnbrs")
-    HnswIndex(nodesDf)
+    HnswIndex(nodesDf, numShards)
   }
 
   def annHnswSearch(idx: HnswIndex, corpus: DataFrame,
@@ -1540,7 +1573,7 @@ object Similarity {
       maxDeg: Int = 8, efConstruction: Int = 32): HnswIndex = {
     val spark = idx.nodes.sparkSession
     import spark.implicits._
-    val numShards = idx.nodes.agg(max("shard")).head.getInt(0) + 1
+    val numShards = idx.numShards
     val batch = newVecs
       .select(col("vec_id"), col("v").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))
@@ -1582,7 +1615,7 @@ object Similarity {
           }
         }
       }.toDF("shard", "vec_id", "v", "norm", "lnbrs")
-    HnswIndex(merged)
+    HnswIndex(merged, numShards)
   }
 
   /** A SEGMENTED HNSW deployment — the micro-append economics
@@ -1688,14 +1721,18 @@ object Similarity {
         maxDeg, efConstruction),
       Nil)
 
-  def saveHnswIndex(idx: HnswIndex, path: String): Unit =
+  def saveHnswIndex(idx: HnswIndex, path: String): Unit = {
     idx.nodes.write.mode("overwrite").parquet(path)
+    writeShardMeta(idx.nodes.sparkSession, path, idx.numShards)
+  }
 
   def loadHnswIndex(spark: SparkSession, path: String): HnswIndex = {
     val nodes = spark.read.parquet(path)
     require(nodes.columns.toSet == Set("shard", "vec_id", "v", "norm", "lnbrs"),
       s"invalid hnsw index at $path: ${nodes.columns.mkString(",")}")
-    HnswIndex(nodes.select("shard", "vec_id", "v", "norm", "lnbrs"))
+    val ns = readShardMeta(spark, path).getOrElse(
+      nodes.agg(coalesce(max("shard") + 1, lit(1))).head.getInt(0))
+    HnswIndex(nodes.select("shard", "vec_id", "v", "norm", "lnbrs"), ns)
   }
 
   /** LSH-bucketed approximate top-k at the production (scale-safe)

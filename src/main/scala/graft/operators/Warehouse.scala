@@ -51,6 +51,36 @@ object Warehouse {
       |  AND user_id IS NOT NULL
       |ORDER BY event_id""".stripMargin
 
+  /** Trading-hours session gate (error_handling.py:284-293,
+    * `is_trading_hours`: weekday ∧ hour ∈ [9, 16]). The reference
+    * checks the DRIVER's wall clock once per call — useless for
+    * historical reprocessing — so the predicate applies to each
+    * tick's own event time instead, composed with the validation
+    * predicate (the reference consumer gates ingest on both). A real
+    * deployment would extend the session calendar with holidays; the
+    * predicate is a plain codegen'd conjunction pushed into the scan,
+    * so the calendar can grow to a broadcast join without changing
+    * the shape.
+    */
+  def tradingHours(spark: SparkSession, dir: String): DataFrame =
+    tradingHoursOf(validTicksOf(Tables.events(spark, dir)))
+      .orderBy("event_id")
+
+  /** The session predicate on an arbitrary validated tick frame —
+    * Spark `dayofweek` is 1=Sunday..7=Saturday, so Mon-Fri = [2, 6].
+    */
+  def tradingHoursOf(ticks: DataFrame): DataFrame =
+    ticks.filter(dayofweek(col("ts")).between(2, 6) &&
+      hour(col("ts")).between(9, 16))
+
+  def tradingHoursSql: String =
+    """SELECT event_id, ts, user_id, event_type, value
+      |FROM events
+      |WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)
+      |  AND user_id IS NOT NULL
+      |  AND isodow(ts) <= 5 AND hour(ts) BETWEEN 9 AND 16
+      |ORDER BY event_id""".stripMargin
+
   /** Duplicate (key, ts) suppression keeping the first-arrived row
     * (producer.py:243-252). One shuffle on user_id.
     */
@@ -570,9 +600,12 @@ object Warehouse {
       bucketsIn: Int = 0): DataFrame = {
     // the returns pipeline (validated OHLC windows + lag) feeds THREE
     // consumers — the grid/universe sizing action, the date index and
-    // the pair job — so persist it and take both driver counts in ONE
-    // pass, or the most expensive upstream stage runs three times
-    val cached = rets.persist()
+    // the pair job — so materialize it once up front, or the most
+    // expensive upstream stage runs three times. localCheckpoint
+    // (not persist) so the blocks are released when the plan is GC'd:
+    // the returned frame references the cache lazily, so an explicit
+    // unpersist here would race callers' terminal actions.
+    val cached = rets.localCheckpoint(true)
     val sizes = cached.agg(countDistinct("trade_date").as("nd"),
       countDistinct("user_id").as("ns")).head
     // global session-date index (tiny single-partition window: one row

@@ -534,21 +534,34 @@ object TickStream extends Serializable {
     * appends are LAZY, so without truncation batch N's index would
     * re-walk every prior batch's insertion on every action — the
     * checkpoint makes each append's cost O(that batch) and unpins the
-    * microbatch source it derived from.
+    * microbatch source it derived from. Superseded generations'
+    * checkpoint blocks are released with a ONE-GENERATION lag (when
+    * batch N lands, batch N-2's blocks free — the same
+    * keep-one-handle discipline as the rolling probes' broadcast
+    * destroy()): the serve stream swaps to N only via `onUpdate`, so
+    * a probe batch already in flight against N-1 gets a full batch
+    * interval to drain before its blocks vanish (a localCheckpoint
+    * cannot recompute — lineage is truncated). Without the release, a
+    * long-running query leaves every generation's pinned blocks to
+    * ContextCleaner GC. The caller's `initial` is never unpersisted.
     */
   def hnswMaintainStream(embStream: DataFrame,
       initial: graft.operators.Similarity.HnswIndex,
       maxDeg: Int = 8, efConstruction: Int = 32)(
-      onUpdate: (graft.operators.Similarity.HnswIndex, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      onUpdate: (graft.operators.Similarity.HnswIndex, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var retiring: Option[graft.operators.Similarity.HnswIndex] = None
     maintainStream(embStream, initial) { (idx, batch, _) =>
       val vecs = batch.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       val appended = graft.operators.Similarity
         .updateHnswIndex(idx, vecs, maxDeg, efConstruction)
-      val next = graft.operators.Similarity.HnswIndex(
-        appended.nodes.localCheckpoint(true))
+      val next = appended.copy(nodes = appended.nodes.localCheckpoint(true))
+      retiring.filter(r => !(r eq initial)).foreach(r =>
+        org.apache.spark.sql.GraftShim.unpersistCheckpoint(r.nodes))
+      retiring = Some(idx)
       (next, Seq(next))
     }(onUpdate)
+  }
 
   /** Registry-SERVED streaming forecasts — the live leg of the
     * reference's predictions flow (analytics_consumer.py:366-377
@@ -614,25 +627,35 @@ object TickStream extends Serializable {
   def hnswSegmentMaintainStream(embStream: DataFrame,
       initial: graft.operators.Similarity.HnswSegmented,
       maxSegments: Int = 8, maxDeg: Int = 8, efConstruction: Int = 32)(
-      onUpdate: (graft.operators.Similarity.HnswSegmented, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      onUpdate: (graft.operators.Similarity.HnswSegmented, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // compaction retires a whole tier (old main + every folded
+    // segment); release its checkpoint blocks one generation later so
+    // in-flight serve batches drain first (see hnswMaintainStream)
+    var retiring: List[DataFrame] = Nil
+    val initialNodes = (initial.main +: initial.segments).map(_.nodes).toSet
     maintainStream(embStream, initial) { (seg0, batch, _) =>
       val vecs = batch.select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
       val appended = graft.operators.Similarity
         .hnswAppendSegment(seg0, vecs, maxDeg, efConstruction)
       val pinned = appended.segments.init :+
-        graft.operators.Similarity.HnswIndex(
-          appended.segments.last.nodes.localCheckpoint(true))
+        appended.segments.last.copy(
+          nodes = appended.segments.last.nodes.localCheckpoint(true))
       val opened = appended.copy(segments = pinned)
+      retiring.foreach(org.apache.spark.sql.GraftShim.unpersistCheckpoint)
+      retiring = Nil
       val seg = if (opened.segments.length >= maxSegments) {
         val compacted = graft.operators.Similarity
           .compactHnswSegments(opened, maxDeg, efConstruction)
+        retiring = (opened.main +: opened.segments).map(_.nodes)
+          .filterNot(initialNodes).toList
         graft.operators.Similarity.HnswSegmented(
-          graft.operators.Similarity.HnswIndex(
-            compacted.main.nodes.localCheckpoint(true)), Nil)
+          compacted.main.copy(
+            nodes = compacted.main.nodes.localCheckpoint(true)), Nil)
       } else opened
       (seg, Seq(seg))
     }(onUpdate)
+  }
 
   /** Streaming REGISTRY MAINTENANCE — the refresh cadence of
     * [[graft.operators.Forecast.refreshModelRegistry]] driven by the

@@ -22,6 +22,21 @@ object GraftShim {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Release the block-manager blocks pinned by a `localCheckpoint`ed
+    * DataFrame. `Dataset.unpersist` only reaches CacheManager entries,
+    * not the checkpointed RDD behind a `LogicalRDD` plan, so
+    * long-running maintenance loops that checkpoint a fresh artifact
+    * per microbatch would otherwise leave every superseded
+    * generation's blocks to ContextCleaner GC. No-op on plans without
+    * a LogicalRDD leaf.
+    */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Idempotently add a planner strategy to the session. */
   def addStrategy(spark: SparkSession,
       strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {

@@ -11,6 +11,22 @@ class WarehouseSpec extends SparkSuite {
     assert(df.filter("value <= 0 OR value IS NULL").count() == 0)
   }
 
+  test("tradingHours keeps exactly the weekday 9-16h validated ticks") {
+    import org.apache.spark.sql.functions._
+    val valid = Warehouse.validateTicks(spark, sfDir)
+    val gated = Warehouse.tradingHours(spark, sfDir)
+    val n = gated.count()
+    // strict subset of the validated stream (the synthetic feed spans
+    // all hours, so the gate must actually drop something)
+    assert(n > 0 && n < valid.count())
+    assert(gated.filter(!dayofweek(col("ts")).between(2, 6) ||
+      !hour(col("ts")).between(9, 16)).count() == 0)
+    // complement check: everything dropped is off-session, not lost
+    val offSession = valid.filter(!(dayofweek(col("ts")).between(2, 6) &&
+      hour(col("ts")).between(9, 16))).count()
+    assert(n + offSession == valid.count())
+  }
+
   test("dedupTicks yields unique (user_id, ts)") {
     val df = Warehouse.dedupTicks(spark, sfDir)
     assert(df.groupBy("user_id", "ts").count().filter("count > 1").count() == 0)
