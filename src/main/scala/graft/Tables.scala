@@ -20,11 +20,17 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as a nanosecond long and floor-divide to
-    * micros with integer `div` (a double division would lose ulp-level
-    * precision at epoch-nanos magnitude), matching DuckDB's own
-    * nanos→micros truncation so oracle timestamps agree exactly.
+  /** `events.ts` normalization — the generator has shipped two parquet
+    * layouts and both must read as session-TZ `TIMESTAMP`:
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so read
+    *    as a nanosecond long (legacy flag) and floor-divide to micros
+    *    with integer `div` (a double division would lose ulp-level
+    *    precision at epoch-nanos magnitude), matching DuckDB's own
+    *    nanos→micros truncation so oracle timestamps agree exactly;
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark infers
+    *    TIMESTAMP_NTZ; cast to `TIMESTAMP` re-reads the wall clock in
+    *    the session TZ (pinned UTC by every entry point), the same
+    *    naive reading DuckDB applies.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -33,7 +39,10 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => raw // already a timestamp (e.g. a re-written copy)
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already a session-TZ timestamp
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")

@@ -81,13 +81,25 @@ object TickStream extends Serializable {
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // peek the batch-inferred ts type once (footer read): the generator
+    // has shipped both TIMESTAMP(NANOS)→long and MICROS→NTZ layouts,
+    // and the stream must declare the matching source schema before
+    // normalizing to session-TZ TIMESTAMP exactly like Tables.events
+    val tsType = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType
     val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
+    val raw = spark.readStream.schema(schema)
       .parquet(stageFile(dir, "events.parquet").toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Streaming source over the documents table — the ingestion leg of
