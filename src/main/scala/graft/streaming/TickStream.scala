@@ -575,6 +575,45 @@ object TickStream extends Serializable {
     }(onUpdate)
   }
 
+  /** Streaming CLUSTER-IDENTITY maintenance — the cross-run tier for
+    * component labels, completing the standing-corpus dedup story:
+    * the rolling exact and near-dup GATES answer "have we seen this
+    * content", this answers "which cluster does it belong to" without
+    * ever reclustering the corpus. Each microbatch of near-dup PAIRS
+    * (`src`, `dst` — the output of the gate/LSH candidate tier; both
+    * endpoints are taken as the batch's vertices) folds into the
+    * standing `(id, label)` table via
+    * [[graft.operators.Dedup.updateComponents]]: batch edges contract
+    * to edges between standing labels, the batch-sized label graph
+    * resolves, and only touched components relabel — cost per batch
+    * is O(batch + touched components), never O(corpus). The published
+    * label table is what [[graft.operators.Dedup.dedupCanonical]]-style
+    * selection reads downstream.
+    *
+    * Same checkpoint-and-release discipline as [[hnswMaintainStream]]:
+    * each generation is `localCheckpoint`ed so batch N's fold costs
+    * O(batch) instead of re-walking every prior batch's joins, and
+    * superseded generations' blocks free with a one-generation lag
+    * (in-flight readers of N-1 get a batch interval to drain; the
+    * caller's `initial` is never unpersisted).
+    */
+  def componentsMaintainStream(pairStream: DataFrame, initial: DataFrame)(
+      onUpdate: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var retiring: Option[DataFrame] = None
+    maintainStream(pairStream, initial) { (labels, batch, _) =>
+      val edges = batch.select(col("src"), col("dst"))
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      val next = graft.operators.Dedup
+        .updateComponents(labels, verts, edges)
+        .localCheckpoint(eager = true)
+      retiring.filter(r => !(r eq initial)).foreach(r =>
+        org.apache.spark.sql.GraftShim.unpersistCheckpoint(r))
+      retiring = Some(labels)
+      (next, Seq(next))
+    }(onUpdate)
+  }
+
   /** Registry-SERVED streaming forecasts — the live leg of the
     * reference's predictions flow (analytics_consumer.py:366-377
     * scores each arriving tick against its symbol's CACHED fitted

@@ -175,6 +175,19 @@ class LlmOpsSpec extends SparkSuite {
     val chainLabels = Dedup.connectedComponentsStar(chainVerts, chainEdges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(chainLabels == (0L until n.toLong).map(_ -> 0L).toMap)
+    // the DEFAULT loop now survives the same chain: its round budget
+    // trips after `switchAfter` propagation rounds and the contracted
+    // remainder finishes in one shot — via the guarded DRIVER
+    // union-find tail (default) and via the distributed STAR tail
+    // (forced by a zero driver budget): exact labels through both
+    val chainDriver = Dedup.connectedComponents(chainVerts, chainEdges,
+        switchAfter = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainDriver == chainLabels)
+    val chainStar = Dedup.connectedComponents(chainVerts, chainEdges,
+        switchAfter = 4, driverSolveMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainStar == chainLabels)
     // real pair graph: identical labels from both algorithms
     val pairs = Dedup.embeddingDedup(spark, sfDir)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -184,6 +197,39 @@ class LlmOpsSpec extends SparkSuite {
     val viaLoop = Dedup.connectedComponents(ids, pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaStar == viaLoop)
+  }
+
+  test("updateComponents folds a batch into standing labels == from-scratch") {
+    import spark.implicits._
+    // standing graph: cluster {1,2,3} (label 1), cluster {10,11}
+    // (label 10), singletons 20, 21
+    val standingVerts = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("id")
+    val standingEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val standing = Dedup.connectedComponents(standingVerts, standingEdges)
+    // batch: edge (3,10) MERGES the two standing clusters; new vertex
+    // 0 attaches to cluster 1 and TAKES OVER as its minimum; new pair
+    // (30,31) is a cluster of only-new ids; new vertex 40 arrives
+    // with no edges; vertex 21 is never touched
+    val newVerts = Seq(0L, 30L, 31L, 40L).toDF("id")
+    val newEdges = Seq((3L, 10L), (0L, 1L), (30L, 31L)).toDF("src", "dst")
+    val got = Dedup.updateComponents(standing, newVerts, newEdges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.connectedComponents(
+        standingVerts.union(newVerts),
+        standingEdges.union(newEdges))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == scratch)
+    // spot-check the planted shapes, not just agreement
+    assert(got(10L) == 0L && got(3L) == 0L, "cross-batch merge + takeover")
+    assert(got(30L) == 30L && got(31L) == 30L)
+    assert(got(40L) == 40L && got(21L) == 21L)
+
+    // real corpus: standing half + arriving half == one-shot clustering
+    val incr = Dedup.embeddingClustersIncremental(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val full = Dedup.embeddingClusters(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(incr.sameElements(full))
   }
 
   test("embeddingClusters equals a driver-side union-find over the pairs") {

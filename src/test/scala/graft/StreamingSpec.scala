@@ -1065,6 +1065,45 @@ class StreamingSpec extends SparkSuite {
     idx0.nodes.unpersist(): Unit
   }
 
+  test("components maintenance stream folds pair batches into standing labels") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // standing artifact: clusters {1,2,3} and {10,11}, singleton 21
+    val standing = Dedup.connectedComponents(
+      Seq(1L, 2L, 3L, 10L, 11L, 21L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst"))
+      .localCheckpoint(eager = true)
+    // batch 1: only-new cluster (30,31) + new min 0 joining cluster 1;
+    // batch 2: the CROSS-BATCH merge the incremental tier exists for —
+    // one edge joins the two standing clusters
+    val b1 = Seq((30L, 31L), (0L, 1L)).toDF("src", "dst")
+    val b2 = Seq((3L, 10L)).toDF("src", "dst")
+    val srcDir = java.nio.file.Files.createTempDirectory("cmnt_src").toString
+    b1.coalesce(1).write.mode("append").parquet(srcDir)
+    b2.coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    var live = standing
+    var generations = 0
+    val ckpt = java.nio.file.Files.createTempDirectory("cmnt_ckpt").toString
+    val q = TickStream.componentsMaintainStream(stream, standing) { (labels, _) =>
+      live = labels
+      generations += 1
+    }.option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(generations == 2, s"one publication per microbatch, got $generations")
+    val got = live.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.connectedComponents(
+        Seq(0L, 1L, 2L, 3L, 10L, 11L, 21L, 30L, 31L).toDF("id"),
+        Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L), (0L, 1L), (3L, 10L))
+          .toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == scratch, "streamed fold diverges from from-scratch labels")
+    assert(got(11L) == 0L, "cross-batch merge must relabel to the new min")
+    assert(got(21L) == 21L, "untouched singleton must keep its label")
+  }
+
   test("registry-served forecast stream scores ticks without refitting") {
     import graft.operators.Forecast
     // standing state: fit ONCE, derive the serve surface once — the
