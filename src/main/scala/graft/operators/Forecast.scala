@@ -218,25 +218,22 @@ object Forecast {
     * [[loadModelRegistry]] result to serve from disk.
     */
   def predictionsFrom(spark: SparkSession, dir: String,
-      registry: DataFrame): DataFrame = {
-    // consume the UNSORTED internal variants — the driver queries'
-    // trailing ORDER BYs would each cost a global range sort that the
-    // union + final sort here immediately discards
-    val arima = registryServeSurface(registry)
-    val latestAutoreg = {
-      // temporally last window: (ts, event_id) desc, matching the
-      // repo-wide latest-row convention (event_id alone is not
-      // guaranteed monotone with time)
-      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
-      linregAutoregBase(spark, dir)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("predicted_price"),
-          lit(0.8).as("confidence_score"),
-          lit("LinearRegression").as("model_type"))
-    }
-    arima.unionByName(latestAutoreg).orderBy("user_id", "model_type")
-  }
+      registry: DataFrame): DataFrame =
+    predictionsServed(registry, linregRegistry(spark, dir))
+
+  /** [[predictions]] with BOTH legs served from fitted registries —
+    * the ARIMA leg from [[registryServeSurface]], the linreg leg from
+    * [[linregServeSurface]] (the registry stores the last feature
+    * window, so its served value is bit-identical to the latest
+    * per-key [[linregAutoreg]] row the previous window-pick
+    * computed — spec-asserted). Pass loaded registries to serve the
+    * whole table from disk with zero fitting.
+    */
+  def predictionsServed(arimaRegistry: DataFrame,
+      linregReg: DataFrame): DataFrame =
+    registryServeSurface(arimaRegistry)
+      .unionByName(linregServeSurface(linregReg))
+      .orderBy("user_id", "model_type")
 
   private val arimaSchema = StructType(
     Seq(
@@ -802,11 +799,18 @@ object Forecast {
     val stale = staleModels(registry, ticksIn, minNewObs, maxLagDays)
     val refit = modelRegistryTicks(
       ticksIn.join(broadcast(stale), Seq("user_id"), "left_semi"))
-    // full-outer + struct coalesce keeps ONE reference to the refit
-    // subplan (an anti-join + union would evaluate the fits twice —
-    // the RDD-backed fit plan gets no exchange reuse); refit wins
-    // where present, the previous model is carried otherwise
-    val rest = registrySchema.fieldNames.filterNot(_ == "user_id")
+    mergeRegistries(registry, refit, registrySchema.fieldNames.toSeq)
+  }
+
+  /** Shared refresh MERGE (ARIMA and linreg registries): full-outer +
+    * struct coalesce keeps ONE reference to the refit subplan (an
+    * anti-join + union would evaluate the fits twice — the RDD-backed
+    * fit plan gets no exchange reuse); refit wins where present, the
+    * previous model is carried otherwise.
+    */
+  private def mergeRegistries(registry: DataFrame, refit: DataFrame,
+      fieldNames: Seq[String]): DataFrame = {
+    val rest = fieldNames.filterNot(_ == "user_id")
     def packed(df: DataFrame, as: String) =
       df.select(col("user_id"), struct(rest.map(col).toSeq: _*).as(as))
     packed(registry, "old").join(packed(refit, "new"),
@@ -855,6 +859,131 @@ object Forecast {
         greatest(lit(0.0), least(lit(1.0),
           lit(1.0) / (lit(1.0) + abs(col("aic")) / 100.0))).as("confidence_score"),
         lit("ARIMA").as("model_type"))
+
+  // ------------------------------------------- linreg model registry
+
+  private val linregRegistrySchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("n_obs", LongType),
+    StructField("n_train", LongType), StructField("train_mse", DoubleType),
+    StructField("w", ArrayType(DoubleType)),
+    StructField("last_window", ArrayType(DoubleType)),
+    StructField("trained_at", TimestampType)))
+
+  /** FIT: the linear-regression model registry — the persistence the
+    * reference gives this model family (train_linear_regression.py:
+    * 59-63 joblib-saves the fitted pipeline;
+    * batch_predict_linear_regression.py serves from it) with the same
+    * save/load == refit discipline as the ARIMA registry and the
+    * quality classifier. One row per trainable symbol: the window-5
+    * OLS coefficients `w` (intercept + 5 lag weights, the exact fit
+    * [[linregAutoreg]] computes), the training-sample count and MSE,
+    * and the LAST feature window — the five prices the latest
+    * [[linregAutoreg]] row scores — so serving needs no tick scan.
+    * `trained_at` is the last training tick's event time (not wall
+    * clock): rebuilds are deterministic, and [[staleModels]] reads
+    * `n_obs`/`trained_at` here exactly as it does off the ARIMA
+    * registry (same column contract, same refresh policy).
+    */
+  def linregRegistry(spark: SparkSession, dir: String): DataFrame =
+    linregRegistryTicks(Warehouse.validTicks(spark, dir))
+
+  private[graft] def linregRegistryTicks(ticksIn: DataFrame): DataFrame =
+    perKeyTicks(ticksIn, linregRegistrySchema) { (user, ticks) =>
+      val prices = ticks.map(_._3).toArray
+      if (prices.length < WindowSize + 2) Iterator.empty
+      else {
+        val xs = ArrayBuffer.empty[Array[Double]]
+        val ys = ArrayBuffer.empty[Double]
+        var i = WindowSize
+        while (i < prices.length - 1) {
+          xs += prices.slice(i - WindowSize, i)
+          ys += prices(i + 1)
+          i += 1
+        }
+        olsFit(xs.toArray, ys.toArray) match {
+          case None => Iterator.empty
+          case Some(w) =>
+            val mse = xs.indices.map { j =>
+              val d = predictRow(w, xs(j)) - ys(j); d * d
+            }.sum / xs.length
+            // the window the LATEST autoreg prediction row scores
+            // (j = n-1 → prices[n-6 .. n-2]) so registry serve is
+            // bit-identical to the latest per-key prediction
+            val lastWin = prices.slice(
+              prices.length - WindowSize - 1, prices.length - 1)
+            Iterator.single(Row.fromSeq(Seq[Any](
+              user, prices.length.toLong, xs.length.toLong, mse,
+              w.toSeq, lastWin.toSeq, ticks.last._2)))
+        }
+      }
+    }
+
+  /** Persist / reload the fitted linreg registry; loaded serve ==
+    * fresh fit (spec-asserted, bit-identical doubles).
+    */
+  def saveLinregRegistry(registry: DataFrame, path: String): Unit =
+    registry.write.mode("overwrite").parquet(path)
+
+  def loadLinregRegistry(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    require(df.columns.toSeq == linregRegistrySchema.fieldNames.toSeq,
+      s"invalid linreg registry at $path: ${df.columns.mkString(",")}")
+    df
+  }
+
+  /** [[refreshModelRegistryTicks]] for the linreg family — identical
+    * policy ([[staleModels]] reads the shared `n_obs`/`trained_at`
+    * contract) and identical single-reference merge; only the refit
+    * leg differs.
+    */
+  def refreshLinregRegistry(spark: SparkSession, dir: String,
+      registry: DataFrame, minNewObs: Long = 10,
+      maxLagDays: Int = 7): DataFrame =
+    refreshLinregRegistryTicks(registry, Warehouse.validTicks(spark, dir),
+      minNewObs, maxLagDays)
+
+  private[graft] def refreshLinregRegistryTicks(registry: DataFrame,
+      ticksIn: DataFrame, minNewObs: Long = 10,
+      maxLagDays: Int = 7): DataFrame = {
+    val stale = staleModels(registry, ticksIn, minNewObs, maxLagDays)
+    val refit = linregRegistryTicks(
+      ticksIn.join(broadcast(stale), Seq("user_id"), "left_semi"))
+    mergeRegistries(registry, refit, linregRegistrySchema.fieldNames.toSeq)
+  }
+
+  /** The linreg scoring surface — one row per registered symbol with
+    * the next-price prediction and the reference's fixed 0.8
+    * confidence (batch_predict_linear_regression.py:76). A
+    * plan-literal projection over registry rows (no tick scan, no
+    * refit, codegen end to end): `aggregate` folds the lag products
+    * onto the intercept in the SAME left-to-right association as the
+    * fit-side `predictRow`, so served values are bit-identical to the
+    * latest [[linregAutoreg]] row per symbol (spec-asserted).
+    * Registry-sized, so the predictions union and any streaming
+    * scoring leg can broadcast it.
+    */
+  def linregServeSurface(registry: DataFrame): DataFrame =
+    registry.select(
+      col("user_id"),
+      expr("""aggregate(zip_with(slice(w, 2, 5), last_window,
+             |  (a, b) -> a * b), w[0], (acc, x) -> acc + x)""".stripMargin)
+        .as("predicted_price"),
+      lit(0.8).as("confidence_score"),
+      lit("LinearRegression").as("model_type"))
+
+  /** Linreg registry summary surface (no array columns — the driver
+    * query): which symbols have models, their sample counts, fit
+    * quality, the served next-price, freshness.
+    */
+  def linregRegistryQuery(spark: SparkSession, dir: String): DataFrame = {
+    val reg = linregRegistry(spark, dir)
+    reg.join(linregServeSurface(reg), Seq("user_id"))
+      .select(col("user_id"), col("n_obs"), col("n_train"),
+        round(col("train_mse"), 4).as("train_mse"),
+        round(col("predicted_price"), 4).as("predicted_price"),
+        col("trained_at"))
+      .orderBy("user_id")
+  }
 
   /** Registry summary surface (no array columns — the driver query):
     * what models exist, their orders, fit quality, freshness.

@@ -725,9 +725,18 @@ object TickStream extends Serializable {
     * and published through `onUpdate` — publish-then-swap: the serve
     * stream keeps probing the PREVIOUS registry until the new one
     * lands, so a refresh in flight never leaves forecasts unserved.
+    *
+    * `refresh` is the model family's refit leg — ARIMA
+    * ([[graft.operators.Forecast.refreshModelRegistryTicks]], the
+    * default) and linreg
+    * ([[graft.operators.Forecast.refreshLinregRegistryTicks]]) share
+    * the trigger, staleness policy, and swap discipline; only the fit
+    * differs.
     */
   def registryMaintainStream(ticks: DataFrame, initial: DataFrame,
-      history: () => DataFrame, minNewObs: Long = 10, maxLagDays: Int = 7)(
+      history: () => DataFrame, minNewObs: Long = 10, maxLagDays: Int = 7,
+      refresh: (DataFrame, DataFrame, Long, Int) => DataFrame =
+        graft.operators.Forecast.refreshModelRegistryTicks(_, _, _, _))(
       onUpdate: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     // maintenance state = (standing registry, per-symbol arrival
     // counters — the trigger, carried across quiet batches)
@@ -739,7 +748,7 @@ object TickStream extends Serializable {
             m.updated(r.getLong(0), m.getOrElse(r.getLong(0), 0L) + r.getLong(1))
           }
         if (arrivals.valuesIterator.exists(_ >= minNewObs)) {
-          val refreshed = graft.operators.Forecast.refreshModelRegistryTicks(
+          val refreshed = refresh(
             registry,
             graft.operators.Warehouse.validTicksOf(history()),
             minNewObs, maxLagDays).localCheckpoint(true)

@@ -215,4 +215,63 @@ class ForecastSpec extends SparkSuite {
       .collect().map(_.toString).toSeq
     assert(fromDisk.nonEmpty && fromDisk == inline)
   }
+
+  test("linreg registry: saved+loaded serve is bit-identical to the latest autoreg row") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val reg = Forecast.linregRegistry(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("linreg_reg").toString
+    Forecast.saveLinregRegistry(reg, path)
+    val served = Forecast.linregServeSurface(
+        Forecast.loadLinregRegistry(spark, path))
+      .orderBy("user_id").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    // independent dual: the temporally-last prediction row per symbol
+    // from the full autoreg surface — the exact leg predictions used
+    // to compute inline
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    val latest = Forecast.linregAutoreg(spark, sfDir)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .orderBy("user_id").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("predicted_price"))
+    // BIT-identical doubles (the serve projection folds lag products
+    // in predictRow's left-to-right association), not approximate
+    assert(served.nonEmpty && served.sameElements(latest))
+    // one model per symbol that clears the trainable bar; corrupted
+    // registries fail loudly at load
+    assert(reg.count() == latest.length)
+    val bad = java.nio.file.Files.createTempDirectory("linreg_reg_bad").toString
+    Tables.events(spark, sfDir).limit(5).write.mode("overwrite").parquet(bad)
+    intercept[IllegalArgumentException] {
+      Forecast.loadLinregRegistry(spark, bad)
+    }: Unit
+  }
+
+  test("linreg registry refresh refits only stale symbols, keeps the rest verbatim") {
+    import spark.implicits._
+    def mk(user: Long, hours: Range): Seq[(Long, java.sql.Timestamp, Long, String, Double)] =
+      hours.map(h => (user * 100000L + h,
+        new java.sql.Timestamp(1700000000000L + 3600000L * h), user, "tick",
+        100.0 + user + 5.0 * math.sin(h * 0.7) + 0.01 * h))
+    def df(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().sortBy(_.getLong(0)).map(_.toString).toSeq
+    val base = df(mk(1, 0 until 60) ++ mk(2, 0 until 60))
+    val registry = Forecast.linregRegistryTicks(base)
+    assert(registry.count() == 2)
+    // nothing new → identity; growth → refit only the grown + new
+    assert(rows(Forecast.refreshLinregRegistryTicks(registry, base))
+      == rows(registry))
+    val grown = df(mk(1, 0 until 60) ++ mk(2, 0 until 72) ++ mk(3, 0 until 60))
+    val refreshed = Forecast.refreshLinregRegistryTicks(registry, grown)
+    val byUser = refreshed.collect().map(r => r.getLong(0) -> r.toString).toMap
+    val freshBy = Forecast.linregRegistryTicks(grown)
+      .collect().map(r => r.getLong(0) -> r.toString).toMap
+    assert(byUser.keySet == Set(1L, 2L, 3L))
+    assert(byUser(1L) == rows(registry.filter(col("user_id") === 1L)).head,
+      "unchanged symbol must carry its old registry row bit-identically")
+    assert(byUser(2L) == freshBy(2L) && byUser(3L) == freshBy(3L),
+      "stale symbols must equal a from-scratch fit on the full history")
+  }
 }
