@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** fastText-style supervised quality classifier (Joulin et al. 2016,
@@ -219,6 +219,62 @@ object Classifier {
     val out = new Array[Double](rows.length)
     rows.foreach { case (i, wi) => out(i) = wi }
     out
+  }
+
+  /** AGREEMENT surface between the two learned quality tiers — the
+    * cross-validation a data-curation user actually runs before
+    * trusting either filter: the discriminative classifier and the
+    * generative DSIR importance model share ONE feature definition
+    * ([[Curation.dsirFeatures]] hashed into the same bucket space), so
+    * per-document disagreement is model disagreement, not feature
+    * skew. One row per document: both raw scores plus each score's
+    * corpus PERCENTILE (exact quantile boundaries, so the two scales
+    * become comparable rank space) and the percentile gap — sort by
+    * `pctile_gap` descending and you are reading the documents the two
+    * tiers fight over.
+    *
+    * Scale shape: both scorers are plan-literal projections over one
+    * corpus scan (the joined frame is checkpointed once and feeds the
+    * two boundary computations + the output); percentiles come from
+    * 99 exact quantile boundaries (model-sized driver state, the same
+    * approxQuantile machinery q_percentiles_approx trusts at scale
+    * with a nonzero error budget) folded per row as a broadcast
+    * literal — no global rank window, no corpus sort. Not
+    * SQL-expressible (classifier fit) — rows + spec (Spearman rank
+    * agreement, percentile monotonicity, gap quantiles).
+    */
+  def clfDsirAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (model, _) = fit(featurize(
+      docs.filter(pmod(xxhash64(col("doc_id")), lit(5L)) =!= 0L)))
+    val clf = classifierScore(docs, model)
+      .select(col("doc_id"), col("prob").as("clf_prob"))
+    // rank DSIR on the PER-TOKEN log-ratio: the raw Σ log-ratio scales
+    // with document length while the classifier's unit-ℓ₂ features
+    // make its score length-invariant, so ranking the raw sum against
+    // prob would measure length skew, not model agreement (raw rho
+    // 0.35 vs 0.59 per-token, measured @ sf0.001). Both surfaces kept.
+    val dsir = Curation.hashedImportanceScore(docs,
+        Curation.hashedImportanceModel(docs))
+      .select(col("doc_id"), col("log_weight").as("dsir_logw"),
+        when(col("n_tokens") > 0, col("log_weight") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("dsir_lpt"))
+    // materialized once: the scores feed two quantile actions plus the
+    // output (localCheckpoint, not persist — released with the plan,
+    // the returnCorrOf discipline)
+    val joined = clf.join(dsir, "doc_id").localCheckpoint(true)
+    val ps = (1 to 99).map(_ / 100.0).toArray
+    val qClf = joined.stat.approxQuantile("clf_prob", ps, 0.0)
+    val qDsir = joined.stat.approxQuantile("dsir_lpt", ps, 0.0)
+    def pctile(c: Column, bounds: Array[Double]): Column =
+      aggregate(typedLit(bounds.toSeq), lit(0),
+        (acc, b) => acc + when(c >= b, 1).otherwise(0))
+    joined
+      .withColumn("clf_pctile", pctile(col("clf_prob"), qClf))
+      .withColumn("dsir_pctile", pctile(col("dsir_lpt"), qDsir))
+      .withColumn("pctile_gap",
+        abs(col("clf_pctile") - col("dsir_pctile")))
+      .orderBy("doc_id")
   }
 
   /** The registered query: fit on the 4/5 hash split, score EVERY

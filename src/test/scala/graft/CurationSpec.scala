@@ -316,6 +316,46 @@ class CurationSpec extends SparkSuite {
     assert(served == fresh, "serve-from-disk scores diverged")
   }
 
+  test("classifier and DSIR tiers rank-agree; percentiles re-code their scores") {
+    import graft.operators.Classifier
+    val res = Classifier.clfDsirAgreement(spark, sfDir).collect()
+    assert(res.length == Tables.documents(spark, sfDir).count(),
+      "every doc gets an agreement row")
+    // percentile columns are monotone re-codings of their raw scores
+    for ((score, pct) <- Seq("clf_prob" -> "clf_pctile", "dsir_lpt" -> "dsir_pctile")) {
+      res.sortBy(_.getAs[Double](score)).toSeq.sliding(2).foreach { w =>
+        assert(w(0).getAs[Int](pct) <= w(1).getAs[Int](pct),
+          s"$pct not monotone in $score") }
+    }
+    // Spearman rank agreement between the two tiers (average ranks on
+    // ties) — the models share one feature space and one target
+    // domain, so their orderings must largely agree
+    def ranks(xs: Array[Double]): Array[Double] = {
+      val idx = xs.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](xs.length)
+      var i = 0
+      while (i < idx.length) {
+        var j = i
+        while (j + 1 < idx.length && idx(j + 1)._1 == idx(i)._1) j += 1
+        val avg = (i + j) / 2.0 + 1.0
+        (i to j).foreach(k => out(idx(k)._2) = avg)
+        i = j + 1
+      }
+      out
+    }
+    val a = ranks(res.map(_.getAs[Double]("clf_prob")))
+    val b = ranks(res.map(_.getAs[Double]("dsir_lpt")))
+    val n = a.length
+    val ma = a.sum / n; val mb = b.sum / n
+    val rho = a.indices.map(i => (a(i) - ma) * (b(i) - mb)).sum /
+      math.sqrt(a.indices.map(i => (a(i) - ma) * (a(i) - ma)).sum *
+        a.indices.map(i => (b(i) - mb) * (b(i) - mb)).sum)
+    val gaps = res.map(_.getAs[Int]("pctile_gap")).sorted
+    info(f"spearman rho = $rho%.3f, gap p50=${gaps(n / 2)} p90=${gaps(n * 9 / 10)}")
+    assert(rho >= 0.5, s"rank agreement collapsed: rho = $rho")
+    assert(gaps(n / 2) <= 25, s"median percentile gap ${gaps(n / 2)}")
+  }
+
   test("gopherQuality judges each rule on crafted documents") {
     import spark.implicits._
     val good = ("the analytics engine and the scheduler have to " +
