@@ -128,6 +128,50 @@ object Bench {
       Seq(rPq, rHnsw)
     }
 
+    // STREAMING group: end-to-end rows/second of the four stateful
+    // operators over the events table staged as an 8-file stream
+    // (identical source shape to StreamProbe, whose numbers previously
+    // lived only in SURVEY prose — in the artifact, a streaming-tier
+    // regression is visible round over round). One run each: a
+    // streaming query amortizes source+state+sink over the whole
+    // table, so per-run variance is far below the batch queries'.
+    // Rates are rows/s (HIGHER is better, unlike the seconds above);
+    // a crashed operator reports -1 and lands in errors.
+    val streaming: Seq[(String, Double)] = try {
+      val (flat, schema, total) = StreamProbe.stageEvents(spark, sfDir, 8, 1)
+      def sprobe(name: String)(
+          build: DataFrame => DataFrame): (String, Double) = {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(flat)
+        val ckpt = java.nio.file.Files.createTempDirectory(s"bench_$name").toString
+        val t0 = System.nanoTime()
+        try {
+          val q = build(stream).writeStream.format("noop")
+            .option("checkpointLocation", ckpt).start()
+          q.processAllAvailable()
+          q.stop()
+          name -> total / ((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name: $e")
+          failed += name
+          name -> -1.0
+        }
+      }
+      Seq(
+        sprobe("stream_indicators")(s =>
+          graft.streaming.TickStream.statefulIndicators(spark, s).toDF()),
+        sprobe("stream_sessionize")(s =>
+          graft.streaming.TickStream.sessionizeStream(spark, s).toDF()),
+        sprobe("stream_price_ffill")(s =>
+          graft.streaming.TickStream.priceFfillStream(spark, s).toDF()),
+        sprobe("stream_windowed_agg")(s =>
+          graft.streaming.TickStream.windowedAgg(s)))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming stage: $e")
+      failed += "streaming_stage"
+      Seq.empty
+    }
+
     def fmt(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // failed queries report negative elapsed per-query and charge a
@@ -141,7 +185,7 @@ object Bench {
     val warm = results.map(r => r._1 -> r._2)
     val extWarm = extResults.map(r => r._1 -> r._2)
     val cold = (results ++ extResults).map(r => r._1 -> r._3)
-    println(s"""{"metric":"total","value":${tot(warm)},"unit":"sec","queries":${fmt(warm)},"extended":${fmt(extWarm)},"extended_total":${tot(extWarm)},"cold":${fmt(cold)},"cold_total":${tot(cold)},"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${tot(warm)},"unit":"sec","queries":${fmt(warm)},"extended":${fmt(extWarm)},"extended_total":${tot(extWarm)},"cold":${fmt(cold)},"cold_total":${tot(cold)},"streaming_rows_per_sec":${fmt(streaming)},"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -19,29 +19,18 @@ import org.apache.spark.sql.functions._
   * disk-spilling provider the cluster runs.)
   */
 object StreamProbe {
-  def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val nFiles = args.lift(1).map(_.toInt).getOrElse(8)
-    val replicas = args.lift(2).map(_.toInt).getOrElse(1)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb")) {
-      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      println("[stream] state store: RocksDB")
-    }
-    import org.apache.spark.sql.expressions.Window
 
-    // stage the events table as nFiles time-ordered stream files with
-    // strictly increasing mtimes (same discipline as the specs: the
-    // file source orders batches by mtime); replicas scale volume AND
-    // key cardinality like ScaleProbe (distinct key space per replica)
+  /** Stage the events table as `nFiles` time-ordered stream files with
+    * strictly increasing mtimes (same discipline as the specs: the
+    * file source orders batches by mtime); `replicas` scales volume
+    * AND key cardinality like ScaleProbe (distinct key space per
+    * replica). Returns (staged dir, source schema, total rows) —
+    * shared by this probe and the bench's streaming group so the two
+    * measure the identical source shape.
+    */
+  private[graft] def stageEvents(spark: SparkSession, dir: String,
+      nFiles: Int, replicas: Int): (String, org.apache.spark.sql.types.StructType, Long) = {
+    import org.apache.spark.sql.expressions.Window
     val ev0 = Tables.events(spark, dir)
     val ev = if (replicas <= 1) ev0
       else (0 until replicas).map { i =>
@@ -66,12 +55,32 @@ object StreamProbe {
           require(dst.toFile.setLastModified(1700000000000L + i * 60000L + j))
         }
     }
-    val schema = ev.drop("part").schema
+    (flat.toString, ev.drop("part").schema, total)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val nFiles = args.lift(1).map(_.toInt).getOrElse(8)
+    val replicas = args.lift(2).map(_.toInt).getOrElse(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.get("SPARK_GRAFT_STATE_STORE").contains("rocksdb")) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      println("[stream] state store: RocksDB")
+    }
+    val (flat, schema, total) = stageEvents(spark, dir, nFiles, replicas)
 
     def probe(name: String, rows: Long)(
         build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
       val stream = spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+        .option("maxFilesPerTrigger", "1").parquet(flat)
       val ckpt = java.nio.file.Files.createTempDirectory(s"sprobe_$name").toString
       val t0 = System.nanoTime()
       val q = build(stream).writeStream.format("noop")
