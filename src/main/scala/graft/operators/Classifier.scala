@@ -204,12 +204,16 @@ object Classifier {
     * from disk; the spec pins load == fresh bit-identically.
     */
   def saveModel(spark: SparkSession, model: Array[Double],
-      path: String): Unit =
+      path: String): Unit = {
     spark.createDataFrame(model.zipWithIndex.toIndexedSeq.map {
       case (wi, i) => (i, wi)
     }).toDF("slot", "w").write.mode("overwrite").parquet(path)
+    IndexManifest.write(spark, path, "quality_classifier", Seq("."),
+      Map("buckets" -> (model.length - 1).toString))
+  }
 
   def loadModel(spark: SparkSession, path: String): Array[Double] = {
+    IndexManifest.validate(spark, path, "quality_classifier", Seq(".")): Unit
     val rows = spark.read.parquet(path).select("slot", "w").collect()
       .map(r => r.getInt(0) -> r.getDouble(1))
     require(rows.nonEmpty &&

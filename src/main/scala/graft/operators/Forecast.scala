@@ -734,10 +734,13 @@ object Forecast {
     * (spec-asserted) — the same save/load contract every ANN index
     * has.
     */
-  def saveModelRegistry(registry: DataFrame, path: String): Unit =
+  def saveModelRegistry(registry: DataFrame, path: String): Unit = {
     registry.write.mode("overwrite").parquet(path)
+    IndexManifest.write(registry.sparkSession, path, "arima_registry", Seq("."))
+  }
 
   def loadModelRegistry(spark: SparkSession, path: String): DataFrame = {
+    IndexManifest.validate(spark, path, "arima_registry", Seq(".")): Unit
     val df = spark.read.parquet(path)
     require(df.columns.toSeq == registrySchema.fieldNames.toSeq,
       s"invalid model registry at $path: ${df.columns.mkString(",")}")
@@ -921,10 +924,13 @@ object Forecast {
   /** Persist / reload the fitted linreg registry; loaded serve ==
     * fresh fit (spec-asserted, bit-identical doubles).
     */
-  def saveLinregRegistry(registry: DataFrame, path: String): Unit =
+  def saveLinregRegistry(registry: DataFrame, path: String): Unit = {
     registry.write.mode("overwrite").parquet(path)
+    IndexManifest.write(registry.sparkSession, path, "linreg_registry", Seq("."))
+  }
 
   def loadLinregRegistry(spark: SparkSession, path: String): DataFrame = {
+    IndexManifest.validate(spark, path, "linreg_registry", Seq(".")): Unit
     val df = spark.read.parquet(path)
     require(df.columns.toSeq == linregRegistrySchema.fieldNames.toSeq,
       s"invalid linreg registry at $path: ${df.columns.mkString(",")}")

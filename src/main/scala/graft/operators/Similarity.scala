@@ -126,9 +126,12 @@ object Similarity {
   def saveIvfIndex(idx: IvfIndex, path: String): Unit = {
     idx.assigned.write.mode("overwrite").parquet(s"$path/assigned")
     idx.centers.write.mode("overwrite").parquet(s"$path/centers")
+    IndexManifest.write(idx.assigned.sparkSession, path, "ann_ivf",
+      Seq("assigned", "centers"))
   }
 
   def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    IndexManifest.validate(spark, path, "ann_ivf", Seq("assigned", "centers")): Unit
     val assigned = spark.read.parquet(s"$path/assigned")
     val centers = spark.read.parquet(s"$path/centers")
     // validate + re-project to canonical order: the search path renames
@@ -497,9 +500,12 @@ object Similarity {
   def savePqIndex(idx: PqIndex, path: String): Unit = {
     idx.encoded.write.mode("overwrite").parquet(s"$path/encoded")
     saveBooks(idx.encoded.sparkSession, idx.books, s"$path/books")
+    IndexManifest.write(idx.encoded.sparkSession, path, "ann_pq",
+      Seq("encoded", "books"))
   }
 
   def loadPqIndex(spark: SparkSession, path: String): PqIndex = {
+    IndexManifest.validate(spark, path, "ann_pq", Seq("encoded", "books")): Unit
     val encoded = spark.read.parquet(s"$path/encoded")
     require(encoded.columns.toSet == Set("vec_id", "codes", "dq_norm"),
       s"invalid PQ index at $path/encoded: ${encoded.columns.mkString(",")}")
@@ -813,9 +819,13 @@ object Similarity {
     idx.encoded.sparkSession.createDataFrame(
       idx.rot.zipWithIndex.toIndexedSeq.map { case (r, i) => (i, r.toSeq) })
       .toDF("i", "row").write.mode("overwrite").parquet(s"$path/rot")
+    IndexManifest.write(idx.encoded.sparkSession, path, "ann_opq",
+      Seq("encoded", "books", "rot"))
   }
 
   def loadOpqIndex(spark: SparkSession, path: String): OpqIndex = {
+    IndexManifest.validate(spark, path, "ann_opq",
+      Seq("encoded", "books", "rot")): Unit
     val encoded = spark.read.parquet(s"$path/encoded")
     require(encoded.columns.toSet == Set("vec_id", "codes", "dq_norm"),
       s"invalid OPQ index at $path/encoded: ${encoded.columns.mkString(",")}")
@@ -885,9 +895,13 @@ object Similarity {
     idx.encoded.write.mode("overwrite").parquet(s"$path/encoded")
     idx.centers.write.mode("overwrite").parquet(s"$path/centers")
     saveBooks(idx.encoded.sparkSession, idx.books, s"$path/books")
+    IndexManifest.write(idx.encoded.sparkSession, path, "ann_ivfpq",
+      Seq("encoded", "centers", "books"))
   }
 
   def loadIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex = {
+    IndexManifest.validate(spark, path, "ann_ivfpq",
+      Seq("encoded", "centers", "books")): Unit
     val encoded = spark.read.parquet(s"$path/encoded")
     require(encoded.columns.toSet == Set("vec_id", "cell", "codes", "recon_norm"),
       s"invalid IVF-PQ index at $path/encoded: ${encoded.columns.mkString(",")}")
@@ -1261,9 +1275,12 @@ object Similarity {
   def saveGraphIndex(idx: GraphIndex, path: String): Unit = {
     idx.nodes.write.mode("overwrite").parquet(path)
     writeShardMeta(idx.nodes.sparkSession, path, idx.numShards)
+    IndexManifest.write(idx.nodes.sparkSession, path, "ann_nsw", Seq("."),
+      Map("num_shards" -> idx.numShards.toString))
   }
 
   def loadGraphIndex(spark: SparkSession, path: String): GraphIndex = {
+    IndexManifest.validate(spark, path, "ann_nsw", Seq(".")): Unit
     val nodes = spark.read.parquet(path)
     require(nodes.columns.toSet == Set("shard", "vec_id", "v", "norm", "nbrs"),
       s"invalid graph index at $path: ${nodes.columns.mkString(",")}")
@@ -1724,9 +1741,12 @@ object Similarity {
   def saveHnswIndex(idx: HnswIndex, path: String): Unit = {
     idx.nodes.write.mode("overwrite").parquet(path)
     writeShardMeta(idx.nodes.sparkSession, path, idx.numShards)
+    IndexManifest.write(idx.nodes.sparkSession, path, "ann_hnsw", Seq("."),
+      Map("num_shards" -> idx.numShards.toString))
   }
 
   def loadHnswIndex(spark: SparkSession, path: String): HnswIndex = {
+    IndexManifest.validate(spark, path, "ann_hnsw", Seq(".")): Unit
     val nodes = spark.read.parquet(path)
     require(nodes.columns.toSet == Set("shard", "vec_id", "v", "norm", "lnbrs"),
       s"invalid hnsw index at $path: ${nodes.columns.mkString(",")}")

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Classifier, Forecast, IndexManifest, Similarity}
+
+/** One spec over the UNIFIED artifact manifest: every persisted
+  * family writes the same versioned envelope and every loader
+  * validates through the same entry point — plus the three contracts
+  * that make it useful: cross-family loads fail at the manifest,
+  * pre-manifest (legacy) saves stay readable, and a drifted part
+  * schema fails with the part named.
+  */
+class ManifestSpec extends SparkSuite {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/idx"
+
+  test("all nine persisted families write and validate one manifest") {
+    // ANN multi-part families
+    val ivfPath = tmp("man_ivf")
+    Similarity.saveIvfIndex(Similarity.ivfIndex(spark, sfDir), ivfPath)
+    assert(IndexManifest.validate(spark, ivfPath, "ann_ivf",
+      Seq("assigned", "centers")).isDefined)
+    assert(Similarity.loadIvfIndex(spark, ivfPath).assigned.count() > 0)
+
+    val pqPath = tmp("man_pq")
+    Similarity.savePqIndex(Similarity.pqIndex(spark, sfDir), pqPath)
+    assert(Similarity.loadPqIndex(spark, pqPath).encoded.count() > 0)
+
+    val opqPath = tmp("man_opq")
+    Similarity.saveOpqIndex(Similarity.opqIndex(spark, sfDir), opqPath)
+    assert(Similarity.loadOpqIndex(spark, opqPath).rot.nonEmpty)
+
+    val ivfpqPath = tmp("man_ivfpq")
+    Similarity.saveIvfPqIndex(Similarity.ivfPqIndex(spark, sfDir), ivfpqPath)
+    assert(Similarity.loadIvfPqIndex(spark, ivfpqPath).books.nonEmpty)
+
+    // root-parquet families (manifest rides inside the parquet dir as
+    // an underscore sidecar) — params carry the shard count
+    val nswPath = tmp("man_nsw")
+    val nsw = Similarity.graphIndex(spark, sfDir)
+    Similarity.saveGraphIndex(nsw, nswPath)
+    val nswParams = IndexManifest.validate(spark, nswPath, "ann_nsw", Seq("."))
+    assert(nswParams.exists(_.get("num_shards")
+      .contains(nsw.numShards.toString)))
+    assert(Similarity.loadGraphIndex(spark, nswPath).numShards == nsw.numShards)
+
+    val hnswPath = tmp("man_hnsw")
+    val hnsw = Similarity.hnswIndex(spark, sfDir)
+    Similarity.saveHnswIndex(hnsw, hnswPath)
+    assert(Similarity.loadHnswIndex(spark, hnswPath).numShards == hnsw.numShards)
+
+    // model registries + classifier
+    val arimaPath = tmp("man_arima")
+    Forecast.saveModelRegistry(Forecast.modelRegistry(spark, sfDir), arimaPath)
+    assert(Forecast.loadModelRegistry(spark, arimaPath).count() > 0)
+
+    val linregPath = tmp("man_linreg")
+    Forecast.saveLinregRegistry(Forecast.linregRegistry(spark, sfDir), linregPath)
+    assert(Forecast.loadLinregRegistry(spark, linregPath).count() > 0)
+
+    val clfPath = tmp("man_clf")
+    val (model, _) = Classifier.fit(Classifier.featurize(
+      Tables.documents(spark, sfDir)))
+    Classifier.saveModel(spark, model, clfPath)
+    assert(Classifier.loadModel(spark, clfPath).sameElements(model))
+
+    // CROSS-FAMILY GUARD: a PQ directory refuses to load as OPQ at
+    // the manifest (named families in the message), instead of
+    // failing deep inside a misaligned part read
+    val wrong = intercept[IllegalArgumentException] {
+      Similarity.loadOpqIndex(spark, pqPath)
+    }
+    assert(wrong.getMessage.contains("ann_pq")
+      && wrong.getMessage.contains("ann_opq"), wrong.getMessage)
+    // same guard across artifact kinds: an ARIMA registry is not a
+    // linreg registry
+    val wrongReg = intercept[IllegalArgumentException] {
+      Forecast.loadLinregRegistry(spark, arimaPath)
+    }
+    assert(wrongReg.getMessage.contains("arima_registry"), wrongReg.getMessage)
+
+    // LEGACY: deleting the manifest reverts the path to a
+    // pre-manifest save — still loadable, guarded only by the
+    // loader's original column checks
+    val mf = new org.apache.hadoop.fs.Path(hnswPath, "_graft_manifest")
+    mf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(mf, false): Unit
+    assert(Similarity.loadHnswIndex(spark, hnswPath).numShards == hnsw.numShards)
+
+    // DRIFT: rewrite one part with a different schema — validate
+    // fails naming the part, before any join can misalign
+    import spark.implicits._
+    Seq((0, 0.0)).toDF("center_cell", "bogus")
+      .write.mode("overwrite").parquet(s"$ivfPath/centers")
+    val drift = intercept[IllegalArgumentException] {
+      Similarity.loadIvfIndex(spark, ivfPath)
+    }
+    assert(drift.getMessage.contains("centers")
+      && drift.getMessage.contains("drifted"), drift.getMessage)
+  }
+}
