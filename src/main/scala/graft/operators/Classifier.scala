@@ -232,7 +232,7 @@ object Classifier {
     * ([[Curation.dsirFeatures]] hashed into the same bucket space), so
     * per-document disagreement is model disagreement, not feature
     * skew. One row per document: both raw scores plus each score's
-    * corpus PERCENTILE (exact quantile boundaries, so the two scales
+    * corpus PERCENTILE (shared quantile boundaries, so the two scales
     * become comparable rank space) and the percentile gap — sort by
     * `pctile_gap` descending and you are reading the documents the two
     * tiers fight over.
@@ -240,10 +240,10 @@ object Classifier {
     * Scale shape: both scorers are plan-literal projections over one
     * corpus scan (the joined frame is checkpointed once and feeds the
     * two boundary computations + the output); percentiles come from
-    * 99 exact quantile boundaries (model-sized driver state, the same
-    * approxQuantile machinery q_percentiles_approx trusts at scale
-    * with a nonzero error budget) folded per row as a broadcast
-    * literal — no global rank window, no corpus sort. Not
+    * 99 approxQuantile boundaries at a 1e-3 error budget (bounded
+    * summaries, model-sized driver state — the same machinery
+    * q_percentiles_approx trusts at scale) folded per row as a
+    * broadcast literal — no global rank window, no corpus sort. Not
     * SQL-expressible (classifier fit) — rows + spec (Spearman rank
     * agreement, percentile monotonicity, gap quantiles).
     */
@@ -268,8 +268,13 @@ object Classifier {
     // the returnCorrOf discipline)
     val joined = clf.join(dsir, "doc_id").localCheckpoint(true)
     val ps = (1 to 99).map(_ / 100.0).toArray
-    val qClf = joined.stat.approxQuantile("clf_prob", ps, 0.0)
-    val qDsir = joined.stat.approxQuantile("dsir_lpt", ps, 0.0)
+    // nonzero error budget: epsilon=0 would make the Greenwald-Khanna
+    // summaries retain every value (O(corpus) driver state); at 1e-3
+    // the summary is bounded and the boundary error (≤ 0.1% of rank
+    // space) is far below the percentile granularity being assigned.
+    // Still deterministic for a fixed corpus + partitioning.
+    val qClf = joined.stat.approxQuantile("clf_prob", ps, 0.001)
+    val qDsir = joined.stat.approxQuantile("dsir_lpt", ps, 0.001)
     def pctile(c: Column, bounds: Array[Double]): Column =
       aggregate(typedLit(bounds.toSeq), lit(0),
         (acc, b) => acc + when(c >= b, 1).otherwise(0))

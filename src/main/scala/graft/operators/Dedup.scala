@@ -356,7 +356,7 @@ object Dedup {
     */
   private[graft] def connectedComponents(vertices: DataFrame,
       edges: DataFrame, switchAfter: Int = 3,
-      driverSolveMaxEdges: Long = 4000000L): DataFrame = {
+      driverSolveMaxEdges: Long = 1000000L): DataFrame = {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(eager = true) // scanned every round — compute once
@@ -406,10 +406,18 @@ object Dedup {
         .select(col("src_label").as("src"), col("dst_label").as("dst"))
         .filter(col("src") =!= col("dst")).distinct()
         .localCheckpoint(eager = true) // counted, then solved — one compute
-      val solved: DataFrame =
+      // only the driver-solved tail may be broadcast-hinted: its size
+      // just passed the count guard. The star tail's mapping is one
+      // row per non-minimum label — unbounded — so it joins unhinted
+      // and the planner picks shuffle vs broadcast from its real size.
+      val (solved, solvedIsBounded): (DataFrame, Boolean) =
         if (labelEdges.count() <= driverSolveMaxEdges) {
           // tail fits the driver: union-find with path compression —
-          // every remaining round collapses into one collect
+          // every remaining round collapses into one collect. The 1M
+          // edge cap bounds the collect at tens of MB of driver heap
+          // (this is the largest guarded collect in the repo — size
+          // the driver accordingly, or lower the cap to force the
+          // distributed tail earlier).
           val es = labelEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
           val parent = scala.collection.mutable.Map.empty[Long, Long]
           def find(x: Long): Long = {
@@ -426,15 +434,16 @@ object Dedup {
           val mapping = parent.keys.map(k => (k, find(k)))
             .filter { case (k, r) => k != r }.toSeq
           import spark.implicits._
-          mapping.toDF("old_label", "new_label")
+          (mapping.toDF("old_label", "new_label"), true)
         } else {
           // oversized tail: the distributed O(log n)-round solver
           val lVerts = labels.select(col("label").as("id")).distinct()
-          connectedComponentsStar(lVerts, labelEdges)
+          (connectedComponentsStar(lVerts, labelEdges)
             .filter(col("id") =!= col("label"))
-            .toDF("old_label", "new_label")
+            .toDF("old_label", "new_label"), false)
         }
-      labels.join(broadcast(solved), col("label") === col("old_label"), "left")
+      val hinted = if (solvedIsBounded) broadcast(solved) else solved
+      labels.join(hinted, col("label") === col("old_label"), "left")
         .select(col("id"),
           coalesce(col("new_label"), col("label")).as("label"))
     }
@@ -554,27 +563,42 @@ object Dedup {
     * cross-batch merges, including a new vertex that takes over as a
     * standing component's minimum.
     *
-    * Scale shape: the standing table never reshuffles on itself — the
-    * two joins against it (endpoint→label resolution, final relabel)
-    * both have a batch-sized / touched-component-sized other side
-    * that AQE broadcasts, and the iterative solver only ever sees the
-    * contracted batch graph.
+    * Scale shape: the standing table is consulted EXACTLY ONCE per
+    * batch — a single batch-keyed left join that resolves every batch
+    * id's standing label AND its membership in one pass, checkpointed
+    * so the edge-resolution and arrival legs reuse it instead of
+    * re-probing the corpus (the first cut did an anti-join plus two
+    * corpus-sized resolution joins — three standing consultations per
+    * batch). Everything downstream of that lookup is batch-sized and
+    * broadcastable; the final relabel is a broadcast join against a
+    * touched-component-sized mapping (bounded by the batch label
+    * graph), so the standing table itself is never shuffled by the
+    * relabel. Keep the standing artifact hash-partitioned on `id`
+    * (componentsMaintainStream does) so the per-batch lookup join
+    * reuses its layout instead of re-sorting the corpus.
     */
   private[graft] def updateComponents(standing: DataFrame,
       newVertices: DataFrame, newEdges: DataFrame): DataFrame = {
     val edges = newEdges.select(col("src"), col("dst"))
-    // ids this batch introduces (defensively including edge endpoints
-    // the caller did not list as vertices) start as their own labels
-    val arriving = newVertices.select(col("id"))
+    // every id this batch touches (defensively including edge
+    // endpoints the caller did not list as vertices)
+    val batchIds = newVertices.select(col("id"))
       .union(edges.select(col("src").as("id")))
       .union(edges.select(col("dst").as("id")))
       .distinct()
-      .join(standing.select("id"), Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("label"))
-    val labels0 = standing.select("id", "label").unionByName(arriving)
-    // contract each new edge to its endpoints' current labels
-    val srcLab = labels0.toDF("src", "src_label")
-    val dstLab = labels0.toDF("dst", "dst_label")
+    // the ONE standing lookup: current label (self for unseen ids)
+    // plus the membership flag, materialized batch-sized
+    val batchLab = batchIds
+      .join(standing.select(col("id"), col("label"),
+        lit(true).as("known")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("label"), col("id")).as("label"),
+        coalesce(col("known"), lit(false)).as("known"))
+      .localCheckpoint(eager = true)
+    // contract each new edge to its endpoints' current labels — all
+    // batch-sized joins from here on
+    val srcLab = batchLab.select(col("id").as("src"), col("label").as("src_label"))
+    val dstLab = batchLab.select(col("id").as("dst"), col("label").as("dst_label"))
     val labelEdges = edges
       .join(srcLab, "src").join(dstLab, "dst")
       .select(col("src_label").as("src"), col("dst_label").as("dst"))
@@ -586,7 +610,8 @@ object Dedup {
     val mapping = connectedComponents(touched, labelEdges)
       .filter(col("id") =!= col("label"))
       .toDF("old_label", "new_label")
-    labels0
+    val arriving = batchLab.filter(!col("known")).select("id", "label")
+    standing.select("id", "label").unionByName(arriving)
       .join(broadcast(mapping), col("label") === col("old_label"), "left")
       .select(col("id"),
         coalesce(col("new_label"), col("label")).as("label"))

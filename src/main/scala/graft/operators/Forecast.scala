@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -968,12 +968,20 @@ object Forecast {
     * Registry-sized, so the predictions union and any streaming
     * scoring leg can broadcast it.
     */
+  /** The served next-price as a COLUMN over registry rows — shared by
+    * [[linregServeSurface]] and [[linregRegistryQuery]] so the fold
+    * (and its bit-identity contract with `predictRow`) has one
+    * definition. Lag count derives from [[WindowSize]]: the fit, the
+    * stored window, and this fold cannot disagree.
+    */
+  private def linregServedPrice: Column =
+    expr(s"""aggregate(zip_with(slice(w, 2, $WindowSize), last_window,
+            |  (a, b) -> a * b), w[0], (acc, x) -> acc + x)""".stripMargin)
+
   def linregServeSurface(registry: DataFrame): DataFrame =
     registry.select(
       col("user_id"),
-      expr("""aggregate(zip_with(slice(w, 2, 5), last_window,
-             |  (a, b) -> a * b), w[0], (acc, x) -> acc + x)""".stripMargin)
-        .as("predicted_price"),
+      linregServedPrice.as("predicted_price"),
       lit(0.8).as("confidence_score"),
       lit("LinearRegression").as("model_type"))
 
@@ -981,15 +989,17 @@ object Forecast {
     * query): which symbols have models, their sample counts, fit
     * quality, the served next-price, freshness.
     */
-  def linregRegistryQuery(spark: SparkSession, dir: String): DataFrame = {
-    val reg = linregRegistry(spark, dir)
-    reg.join(linregServeSurface(reg), Seq("user_id"))
+  def linregRegistryQuery(spark: SparkSession, dir: String): DataFrame =
+    // the served price is a pure projection of the registry row, so it
+    // rides in the same select — a join with linregServeSurface would
+    // reference the RDD-backed fit plan twice (no exchange reuse, the
+    // mergeRegistries lesson) and run every OLS fit twice
+    linregRegistry(spark, dir)
       .select(col("user_id"), col("n_obs"), col("n_train"),
         round(col("train_mse"), 4).as("train_mse"),
-        round(col("predicted_price"), 4).as("predicted_price"),
+        round(linregServedPrice, 4).as("predicted_price"),
         col("trained_at"))
       .orderBy("user_id")
-  }
 
   /** Registry summary surface (no array columns — the driver query):
     * what models exist, their orders, fit quality, freshness.

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 
 /** Unified persisted-artifact MANIFEST — one versioned envelope for
-  * every fitted artifact this library saves (seven ANN index families,
+  * every fitted artifact this library saves (six ANN index families,
   * the ARIMA and linreg model registries, the quality-classifier
   * model). Each family previously shipped a bespoke save/load pair
   * whose only guard was a column-set `require`; nine independent

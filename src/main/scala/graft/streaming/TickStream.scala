@@ -604,8 +604,12 @@ object TickStream extends Serializable {
       val edges = batch.select(col("src"), col("dst"))
       val verts = edges.select(col("src").as("id"))
         .union(edges.select(col("dst").as("id"))).distinct()
+      // keep the standing artifact hash-partitioned on id so the next
+      // batch's single lookup join reuses this layout instead of
+      // re-sorting the corpus (updateComponents' scale contract)
       val next = graft.operators.Dedup
         .updateComponents(labels, verts, edges)
+        .repartition(col("id"))
         .localCheckpoint(eager = true)
       retiring.filter(r => !(r eq initial)).foreach(r =>
         org.apache.spark.sql.GraftShim.unpersistCheckpoint(r))
