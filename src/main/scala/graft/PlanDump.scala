@@ -53,6 +53,10 @@ object PlanDump {
     dump("q_price_ffill", operators.Warehouse.priceFfill(spark, dir))
     dump("q_gopher_ngram_rep", operators.Curation.gopherNgramRep(spark, dir))
     dump("q_gate_resolve", operators.Dedup.gateResolve(spark, dir))
+    dump("q_trading_hours", operators.Warehouse.tradingHours(spark, dir))
+    dump("q_linreg_registry", operators.Forecast.linregRegistryQuery(spark, dir))
+    dump("q_dedup_clusters_incr",
+      operators.Dedup.embeddingClustersIncremental(spark, dir, split = 25L))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plandump] wrote PLANS.md")
     spark.stop()
