@@ -42,9 +42,36 @@ object TickStream extends Serializable {
     StructField("market_cap", DoubleType),
     StructField("pe_ratio", DoubleType)))
 
+  /** The Kafka source's EXACT output schema (the columns
+    * `readStream.format("kafka")` emits) — the wire contract
+    * [[parseTicks]] consumes: only `value` is read, cast from binary.
+    * This sandbox has no broker and no spark-sql-kafka connector jar,
+    * so the source construction itself cannot run here; what IS
+    * proven (StreamingSpec) is the whole parse+validate leg over
+    * frames of exactly this shape, streamed and batch — so the
+    * production swap is ONE source line:
+    * `spark.readStream.format("kafka")
+    *   .option("kafka.bootstrap.servers", brokers)
+    *   .option("subscribe", topic).load()` piped into [[parseTicks]],
+    * with the consumer's group/offset handling owned by the
+    * checkpointed query exactly as the file source's is.
+    */
+  val kafkaWireSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
   /** Parse + validate a stream of JSON tick messages (the consumer's
     * input contract): malformed JSON → dropped; null/≤0 prices and
-    * negative volume rejected as in producer.py:255-288.
+    * negative volume rejected as in producer.py:255-288. Consumes any
+    * frame carrying a string-castable `value` column — the file
+    * stand-in AND the Kafka wire shape ([[kafkaWireSchema]], where
+    * `value` arrives as the message's UTF-8 bytes) parse through this
+    * one definition.
     */
   def parseTicks(raw: DataFrame): DataFrame =
     raw.select(from_json(col("value").cast("string"), tickMessageSchema).as("m"))

@@ -329,6 +329,48 @@ class StreamingSpec extends SparkSuite {
     assert(rows.length == 1 && rows.head.getAs[String]("ticker_symbol") == "AAPL")
   }
 
+  test("parseTicks consumes the exact Kafka wire shape, streamed and batch") {
+    // frames shaped EXACTLY like readStream.format("kafka")'s output
+    // (kafkaWireSchema: binary key/value + topic/partition/offset/
+    // timestamp metadata) — the connector jar isn't in this sandbox,
+    // so this pins the whole parse+validate leg against the wire
+    // contract; the production swap is the one source line the
+    // schema's scaladoc quotes
+    val good = """{"ticker_symbol":"AAPL","current_price":123.4,"volume":10,"trade_datetime":"2024-01-01T00:00:00Z","timestamp":"2024-01-01T00:00:00Z"}"""
+    val badPrice = """{"ticker_symbol":"MSFT","current_price":-5.0,"volume":10}"""
+    val malformed = """{not json"""
+    def wireRow(payload: String, off: Long) = org.apache.spark.sql.Row(
+      "k".getBytes("UTF-8"), payload.getBytes("UTF-8"), "ticks",
+      0, off, new java.sql.Timestamp(1700000000000L + off), 0)
+    val rows = java.util.Arrays.asList(
+      wireRow(good, 0L), wireRow(badPrice, 1L), wireRow(malformed, 2L))
+    val wire = spark.createDataFrame(rows, TickStream.kafkaWireSchema)
+    // batch leg
+    val parsed = TickStream.parseTicks(wire).collect()
+    assert(parsed.length == 1
+      && parsed.head.getAs[String]("ticker_symbol") == "AAPL"
+      && parsed.head.getAs[Double]("current_price") == 123.4)
+    // streamed leg: the same wire frame through a checkpointed query
+    // (binary columns round-trip parquet, mtime-ordered like every
+    // file-source spec here)
+    val srcDir = java.nio.file.Files.createTempDirectory("kwire_src").toString
+    wire.coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(TickStream.kafkaWireSchema)
+      .parquet(srcDir)
+    val sinkDir = java.nio.file.Files.createTempDirectory("kwire_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("kwire_ckpt").toString
+    val q = TickStream.parseTicks(stream)
+      .select("ticker_symbol", "current_price", "volume")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(sinkDir).collect()
+    assert(streamed.length == 1
+      && streamed.head.getAs[String]("ticker_symbol") == "AAPL",
+      "streamed wire parse must match the batch leg")
+  }
+
   test("multimodal metadata is deterministic and complete") {
     val df = Multimodal.multimodalMeta(spark, sfDir)
     assert(df.count() == Tables.documents(spark, sfDir).count())
