@@ -578,7 +578,19 @@ object Dedup {
     * reuses its layout instead of re-sorting the corpus.
     */
   private[graft] def updateComponents(standing: DataFrame,
-      newVertices: DataFrame, newEdges: DataFrame): DataFrame = {
+      newVertices: DataFrame, newEdges: DataFrame): DataFrame =
+    updateComponentsDetailed(standing, newVertices, newEdges)._1
+
+  /** [[updateComponents]] plus the fold's TOUCHED-CLUSTER set — every
+    * cluster id (under both its pre- and post-fold naming) whose
+    * membership this batch changed: labels the merge mapping rewrote
+    * or produced, plus arriving ids' own labels (covers singleton
+    * arrivals the mapping never sees). Downstream incremental
+    * consumers ([[updateCanonical]]) recompute exactly these clusters
+    * and carry everything else verbatim.
+    */
+  private[graft] def updateComponentsDetailed(standing: DataFrame,
+      newVertices: DataFrame, newEdges: DataFrame): (DataFrame, DataFrame) = {
     val edges = newEdges.select(col("src"), col("dst"))
     // every id this batch touches (defensively including edge
     // endpoints the caller did not list as vertices)
@@ -607,14 +619,54 @@ object Dedup {
     val touched = labelEdges.select(col("src").as("id"))
       .union(labelEdges.select(col("dst").as("id"))).distinct()
     // solve the batch-sized label graph, keep only strict relabels
+    // (checkpointed: the relabel join AND the touched-set derivation
+    // both read it)
     val mapping = connectedComponents(touched, labelEdges)
       .filter(col("id") =!= col("label"))
       .toDF("old_label", "new_label")
+      .localCheckpoint(eager = true)
     val arriving = batchLab.filter(!col("known")).select("id", "label")
-    standing.select("id", "label").unionByName(arriving)
+    val relabeled = standing.select("id", "label").unionByName(arriving)
       .join(broadcast(mapping), col("label") === col("old_label"), "left")
       .select(col("id"),
         coalesce(col("new_label"), col("label")).as("label"))
+    val touchedClusters = mapping.select(col("old_label").as("cluster_id"))
+      .union(mapping.select(col("new_label").as("cluster_id")))
+      .union(arriving.select(col("label").as("cluster_id")))
+      .distinct()
+    (relabeled, touchedClusters)
+  }
+
+  /** Incremental CANONICAL maintenance — the consumer tier of
+    * [[updateComponentsDetailed]]: once a batch folds into the
+    * standing labels, the (doc → cluster representative) table only
+    * changes for the fold's TOUCHED clusters, so the first_value
+    * selection window recomputes over exactly those clusters' members
+    * and every other canonical row carries VERBATIM. Merges move
+    * whole clusters (never individual members), so a row whose
+    * cluster id is not in the touched set — under either its old or
+    * new naming, both of which the touched set carries — cannot have
+    * changed cluster or representative.
+    *
+    * Scale shape: the touched set is batch-bounded and broadcasts
+    * into both legs (the members semi-join and the carried
+    * anti-join); the recompute window shuffles only touched members;
+    * the standing canonical table is consulted once (the anti-join)
+    * and never reshuffled. Spec: fold == from-scratch canonical on
+    * planted cross-batch merges, carried rows bit-identical.
+    */
+  private[graft] def updateCanonical(standingCanon: DataFrame,
+      newLabels: DataFrame, touchedClusters: DataFrame,
+      scores: DataFrame): DataFrame = {
+    val touched = touchedClusters.select(col("cluster_id"))
+    val carried = standingCanon
+      .join(broadcast(touched), Seq("cluster_id"), "left_anti")
+      .select("doc_id", "cluster_id", "canonical_id", "is_canonical")
+    val members = newLabels
+      .join(broadcast(touched), newLabels("label") === touched("cluster_id"),
+        "left_semi")
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+    carried.unionByName(canonicalOfBase(members, scores))
   }
 
   /** [[embeddingClusters]] computed INCREMENTALLY via
@@ -761,6 +813,14 @@ object Dedup {
     * score signals.
     */
   private def canonicalOf(clusters: DataFrame,
+      scores: DataFrame): DataFrame =
+    canonicalOfBase(clusters, scores).orderBy("doc_id")
+
+  /** Unordered selection kernel (the trailing ORDER BY on the driver
+    * queries is output determinism only — [[updateCanonical]]'s union
+    * leg would pay it for nothing).
+    */
+  private def canonicalOfBase(clusters: DataFrame,
       scores: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("cluster_id")
@@ -770,7 +830,6 @@ object Dedup {
       .select(col("vec_id").as("doc_id"), col("cluster_id"),
         col("canonical_id"),
         (col("vec_id") === col("canonical_id")).as("is_canonical"))
-      .orderBy("doc_id")
   }
 
   /** DuckDB dual of [[dedupCanonical]]: the [[embeddingClustersSql]]

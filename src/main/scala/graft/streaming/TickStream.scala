@@ -645,6 +645,46 @@ object TickStream extends Serializable {
     }(onUpdate)
   }
 
+  /** [[componentsMaintainStream]] extended one consumer tier: each
+    * pair microbatch folds the standing LABELS (via
+    * [[graft.operators.Dedup.updateComponents]]'s detailed variant)
+    * AND the standing CANONICAL table — the (doc → surviving
+    * representative) map a dedup pass actually applies — using the
+    * fold's touched-cluster set: only clusters this batch changed
+    * re-run the selection window
+    * ([[graft.operators.Dedup.updateCanonical]]), every other
+    * canonical row carries verbatim. `scores` is the selection signal
+    * (content length / quality — the same signal the batch canonical
+    * queries use); it is scanned only for touched members. Publishes
+    * the (labels, canonical) pair per batch with the same
+    * one-generation checkpoint-release discipline; both standing
+    * frames stay hash-partitioned on their join keys so the next
+    * fold's lookups reuse the layout.
+    */
+  def canonicalMaintainStream(pairStream: DataFrame,
+      initialLabels: DataFrame, initialCanon: DataFrame,
+      scores: DataFrame)(
+      onUpdate: ((DataFrame, DataFrame), Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var retiring: List[DataFrame] = Nil
+    maintainStream(pairStream, (initialLabels, initialCanon)) {
+      case ((labels, canon), batch, _) =>
+        val edges = batch.select(col("src"), col("dst"))
+        val verts = edges.select(col("src").as("id"))
+          .union(edges.select(col("dst").as("id"))).distinct()
+        val (foldedLabels, touched) = graft.operators.Dedup
+          .updateComponentsDetailed(labels, verts, edges)
+        val nextLabels = foldedLabels
+          .repartition(col("id")).localCheckpoint(eager = true)
+        val nextCanon = graft.operators.Dedup
+          .updateCanonical(canon, nextLabels, touched, scores)
+          .repartition(col("cluster_id")).localCheckpoint(eager = true)
+        retiring.filterNot(r => (r eq initialLabels) || (r eq initialCanon))
+          .foreach(org.apache.spark.sql.GraftShim.unpersistCheckpoint)
+        retiring = List(labels, canon)
+        ((nextLabels, nextCanon), Seq((nextLabels, nextCanon)))
+    } { case (pair, batchId) => onUpdate(pair, batchId) }
+  }
+
   /** Registry-SERVED streaming forecasts — the live leg of the
     * reference's predictions flow (analytics_consumer.py:366-377
     * scores each arriving tick against its symbol's CACHED fitted

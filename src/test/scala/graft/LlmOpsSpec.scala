@@ -232,6 +232,57 @@ class LlmOpsSpec extends SparkSuite {
     assert(incr.sameElements(full))
   }
 
+  test("updateCanonical recomputes touched clusters only == from-scratch") {
+    import spark.implicits._
+    // same planted topology as the updateComponents spec
+    val standingVerts = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("id")
+    val standingEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst")
+    val standing = Dedup.connectedComponents(standingVerts, standingEdges)
+      .localCheckpoint(eager = true)
+    // scores: id 10 dominates, so the cross-batch merge must move the
+    // merged cluster's representative to the ABSORBED side; everyone
+    // else scores their own id (ties impossible)
+    def scoresOf(ids: Seq[Long]) = ids
+      .map(i => (i, if (i == 10L) 999.0 else i.toDouble))
+      .toDF("doc_id", "score")
+    val emptyCanon = Seq.empty[(Long, Long, Long, Boolean)]
+      .toDF("doc_id", "cluster_id", "canonical_id", "is_canonical")
+    def allClusters(labels: org.apache.spark.sql.DataFrame) =
+      labels.select(col("label").as("cluster_id")).distinct()
+    // bootstrap: fold-into-empty with every cluster touched IS the
+    // from-scratch computation
+    val standingIds = Seq(1L, 2L, 3L, 10L, 11L, 20L, 21L)
+    val canon0 = Dedup.updateCanonical(emptyCanon, standing,
+      allClusters(standing), scoresOf(standingIds))
+      .localCheckpoint(eager = true)
+    // batch fold: merge {1,2,3}+{10,11} via (3,10), new min 0, new
+    // cluster (30,31), singleton 40
+    val newVerts = Seq(0L, 30L, 31L, 40L).toDF("id")
+    val newEdges = Seq((3L, 10L), (0L, 1L), (30L, 31L)).toDF("src", "dst")
+    val (newLabels, touched) =
+      Dedup.updateComponentsDetailed(standing, newVerts, newEdges)
+    val allIds = standingIds ++ Seq(0L, 30L, 31L, 40L)
+    val incr = Dedup.updateCanonical(canon0, newLabels, touched,
+      scoresOf(allIds))
+    val scratch = Dedup.updateCanonical(emptyCanon, newLabels,
+      allClusters(newLabels), scoresOf(allIds))
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(rows(incr) == rows(scratch))
+    val byDoc = rows(incr).map(t => t._1 -> t).toMap
+    // the merged cluster (label 0) elects the dominant absorbed member
+    assert(byDoc(0L) == ((0L, 0L, 10L, false)), s"got ${byDoc(0L)}")
+    assert(byDoc(10L)._4, "id 10 must be the merged cluster's canonical")
+    // untouched singletons carry their standing rows verbatim
+    val canon0ByDoc = rows(canon0).map(t => t._1 -> t).toMap
+    assert(byDoc(20L) == canon0ByDoc(20L) && byDoc(21L) == canon0ByDoc(21L))
+    // only-new cluster and singleton arrival are their own canonicals
+    assert(byDoc(31L) == ((31L, 30L, 31L, true)),
+      "score 31 > 30 → 31 is the new pair's canonical")
+    assert(byDoc(40L)._4)
+  }
+
   test("embeddingClusters equals a driver-side union-find over the pairs") {
     // independent oracle: union-find over the collected exact pairs
     val pairs = Dedup.embeddingDedup(spark, sfDir).collect()

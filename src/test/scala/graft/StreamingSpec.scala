@@ -1146,6 +1146,60 @@ class StreamingSpec extends SparkSuite {
     assert(got(21L) == 21L, "untouched singleton must keep its label")
   }
 
+  test("canonical maintenance stream folds labels AND representatives per batch") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    // standing: clusters {1,2,3} and {10,11}, singleton 21; id 10 has
+    // the dominant score so the batch-2 merge must move the merged
+    // cluster's representative
+    val standing = Dedup.connectedComponents(
+      Seq(1L, 2L, 3L, 10L, 11L, 21L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst"))
+      .localCheckpoint(eager = true)
+    val allIds = Seq(0L, 1L, 2L, 3L, 10L, 11L, 21L, 30L, 31L)
+    val scores = allIds.map(i => (i, if (i == 10L) 999.0 else i.toDouble))
+      .toDF("doc_id", "score").localCheckpoint(eager = true)
+    val emptyCanon = Seq.empty[(Long, Long, Long, Boolean)]
+      .toDF("doc_id", "cluster_id", "canonical_id", "is_canonical")
+    val canon0 = Dedup.updateCanonical(emptyCanon, standing,
+      standing.select(col("label").as("cluster_id")).distinct(), scores)
+      .localCheckpoint(eager = true)
+    val b1 = Seq((30L, 31L), (0L, 1L)).toDF("src", "dst")
+    val b2 = Seq((3L, 10L)).toDF("src", "dst")
+    val srcDir = java.nio.file.Files.createTempDirectory("canmnt_src").toString
+    b1.coalesce(1).write.mode("append").parquet(srcDir)
+    b2.coalesce(1).write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(b1.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    var live: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+      (standing, canon0)
+    val ckpt = java.nio.file.Files.createTempDirectory("canmnt_ckpt").toString
+    val q = TickStream.canonicalMaintainStream(stream, standing, canon0, scores) {
+      (pair, _) => live = pair
+    }.option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    q.stop()
+    val (labels, canon) = live
+    // from-scratch dual over the union graph
+    val scratchLabels = Dedup.connectedComponents(
+      allIds.toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L), (0L, 1L), (3L, 10L))
+        .toDF("src", "dst"))
+    val scratchCanon = Dedup.updateCanonical(emptyCanon, scratchLabels,
+      scratchLabels.select(col("label").as("cluster_id")).distinct(), scores)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(rows(canon) == rows(scratchCanon),
+      "streamed canonical fold diverges from from-scratch")
+    val byDoc = rows(canon).map(t => t._1 -> t).toMap
+    assert(byDoc(0L)._3 == 10L && byDoc(10L)._4,
+      "merged cluster must elect the dominant absorbed member")
+    assert(byDoc(21L) == ((21L, 21L, 21L, true)), "untouched singleton carried")
+    assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      scratchLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("registry-served forecast stream scores ticks without refitting") {
     import graft.operators.Forecast
     // standing state: fit ONCE, derive the serve surface once — the
