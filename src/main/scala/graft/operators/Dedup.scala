@@ -637,6 +637,38 @@ object Dedup {
     (relabeled, touchedClusters)
   }
 
+  /** Persist / reload the standing CLUSTER STATE — the (id, label)
+    * component table plus the (doc → representative) canonical table
+    * the incremental fold maintains — under the shared
+    * [[IndexManifest]] discipline every other standing artifact has
+    * (family guard, per-part schema hash): this is the durability leg
+    * of the maintainStream contract for
+    * [[graft.streaming.TickStream.canonicalMaintainStream]] — persist
+    * each published generation, restart with the loaded pair as
+    * `initial`.
+    */
+  def saveClusterState(labels: DataFrame, canon: DataFrame,
+      path: String): Unit = {
+    labels.write.mode("overwrite").parquet(s"$path/labels")
+    canon.write.mode("overwrite").parquet(s"$path/canonical")
+    IndexManifest.write(labels.sparkSession, path, "cluster_state",
+      Seq("labels", "canonical"))
+  }
+
+  def loadClusterState(spark: SparkSession,
+      path: String): (DataFrame, DataFrame) = {
+    IndexManifest.validate(spark, path, "cluster_state",
+      Seq("labels", "canonical")): Unit
+    val labels = spark.read.parquet(s"$path/labels")
+    require(labels.columns.toSeq == Seq("id", "label"),
+      s"invalid cluster labels at $path/labels: ${labels.columns.mkString(",")}")
+    val canon = spark.read.parquet(s"$path/canonical")
+    require(canon.columns.toSeq ==
+      Seq("doc_id", "cluster_id", "canonical_id", "is_canonical"),
+      s"invalid canonical table at $path/canonical: ${canon.columns.mkString(",")}")
+    (labels, canon)
+  }
+
   /** Incremental CANONICAL maintenance — the consumer tier of
     * [[updateComponentsDetailed]]: once a batch folds into the
     * standing labels, the (doc → cluster representative) table only

@@ -5,8 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Unified persisted-artifact MANIFEST — one versioned envelope for
   * every fitted artifact this library saves (six ANN index families,
   * the ARIMA and linreg model registries, the quality-classifier
-  * model). Each family previously shipped a bespoke save/load pair
-  * whose only guard was a column-set `require`; nine independent
+  * model, the incremental dedup tier's cluster state). Each family
+  * previously shipped a bespoke save/load pair whose only guard was
+  * a column-set `require`; ten independent
   * layouts is how silent format drift happens (a path saved by one
   * family loaded by another, a part schema changed by a refactor with
   * the loader's check forgotten). The manifest closes both holes with

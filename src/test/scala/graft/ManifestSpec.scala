@@ -15,7 +15,7 @@ class ManifestSpec extends SparkSuite {
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString + "/idx"
 
-  test("all nine persisted families write and validate one manifest") {
+  test("all ten persisted families write and validate one manifest") {
     // ANN multi-part families
     val ivfPath = tmp("man_ivf")
     Similarity.saveIvfIndex(Similarity.ivfIndex(spark, sfDir), ivfPath)
@@ -65,6 +65,23 @@ class ManifestSpec extends SparkSuite {
     Classifier.saveModel(spark, model, clfPath)
     assert(Classifier.loadModel(spark, clfPath).sameElements(model))
 
+    // cluster state (labels + canonical) — the incremental dedup
+    // tier's standing artifact, same envelope
+    val csPath = tmp("man_cs")
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 3L)).toDF("id", "label")
+    val canon = Seq((1L, 1L, 2L, false), (2L, 1L, 2L, true),
+      (3L, 3L, 3L, true))
+      .toDF("doc_id", "cluster_id", "canonical_id", "is_canonical")
+    graft.operators.Dedup.saveClusterState(labels, canon, csPath)
+    val (lLoaded, cLoaded) = graft.operators.Dedup.loadClusterState(spark, csPath)
+    assert(lLoaded.collect().map(_.toSeq).toSet == labels.collect().map(_.toSeq).toSet)
+    assert(cLoaded.collect().map(_.toSeq).toSet == canon.collect().map(_.toSeq).toSet)
+    val wrongCs = intercept[IllegalArgumentException] {
+      Forecast.loadModelRegistry(spark, csPath)
+    }
+    assert(wrongCs.getMessage.contains("cluster_state"), wrongCs.getMessage)
+
     // CROSS-FAMILY GUARD: a PQ directory refuses to load as OPQ at
     // the manifest (named families in the message), instead of
     // failing deep inside a misaligned part read
@@ -90,7 +107,6 @@ class ManifestSpec extends SparkSuite {
 
     // DRIFT: rewrite one part with a different schema — validate
     // fails naming the part, before any join can misalign
-    import spark.implicits._
     Seq((0, 0.0)).toDF("center_cell", "bogus")
       .write.mode("overwrite").parquet(s"$ivfPath/centers")
     val drift = intercept[IllegalArgumentException] {
