@@ -158,7 +158,8 @@ object ScaleProbe {
     // single batch-keyed lookup join and the narrow broadcast relabel,
     // so its line must stay near-FLAT while the from-scratch line
     // grows with the corpus — the gap is the reason the incremental
-    // tier exists (measured 3.1 s vs 12.0 s at 4M vertices).
+    // tier exists (this probe at 20× / 4M vertices: 2.5 s fold vs
+    // 29.9 s from scratch, ≈12× — the SURVEY §6 number).
     locally {
       val n = replicas * 200000L
       val verts = spark.range(n).select(col("id"))

@@ -588,6 +588,15 @@ object Dedup {
     * arrivals the mapping never sees). Downstream incremental
     * consumers ([[updateCanonical]]) recompute exactly these clusters
     * and carry everything else verbatim.
+    *
+    * Checkpoint lifecycle: the two internal eager checkpoints
+    * (`batchLab`, `mapping`) are BATCH-sized and become unreachable
+    * as soon as the caller materializes the outputs (both outputs'
+    * checkpointed plans carry no reference back), so ContextCleaner
+    * reclaims them on its normal cadence — unlike the RETAINED
+    * standing generations, which the maintenance streams release
+    * explicitly (a localCheckpoint cannot recompute, so an explicit
+    * release here would have to wait for the caller's action anyway).
     */
   private[graft] def updateComponentsDetailed(standing: DataFrame,
       newVertices: DataFrame, newEdges: DataFrame): (DataFrame, DataFrame) = {
@@ -850,14 +859,21 @@ object Dedup {
 
   /** Unordered selection kernel (the trailing ORDER BY on the driver
     * queries is output determinism only — [[updateCanonical]]'s union
-    * leg would pay it for nothing).
+    * leg would pay it for nothing). The score join is LEFT, not
+    * inner: a member with no score row must stay IN the canonical
+    * table (an inner join would silently drop it — in the streaming
+    * fold that would let labels and canonical diverge for docs whose
+    * score hasn't landed yet). Score-less members sort after scored
+    * ones (`desc` is nulls-last), so they never win a mixed cluster
+    * and an all-score-less cluster falls back to min id.
     */
   private def canonicalOfBase(clusters: DataFrame,
       scores: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("cluster_id")
       .orderBy(col("score").desc, col("vec_id"))
-    clusters.join(scores, col("vec_id") === col("doc_id")).drop("doc_id")
+    clusters.join(scores, col("vec_id") === col("doc_id"), "left")
+      .drop("doc_id")
       .withColumn("canonical_id", first("vec_id").over(w))
       .select(col("vec_id").as("doc_id"), col("cluster_id"),
         col("canonical_id"),

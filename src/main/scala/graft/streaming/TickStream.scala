@@ -675,9 +675,15 @@ object TickStream extends Serializable {
           .updateComponentsDetailed(labels, verts, edges)
         val nextLabels = foldedLabels
           .repartition(col("id")).localCheckpoint(eager = true)
+        // checkpoint WITHOUT repartitioning: nothing consults the
+        // standing canonical table by shuffle (its one consultation
+        // is the broadcast anti-join, which ignores partitioning), so
+        // a per-batch repartition would be an O(corpus) shuffle for
+        // no consumer — exactly what the incremental tier exists to
+        // avoid. Only the labels table's id layout is reused.
         val nextCanon = graft.operators.Dedup
           .updateCanonical(canon, nextLabels, touched, scores)
-          .repartition(col("cluster_id")).localCheckpoint(eager = true)
+          .localCheckpoint(eager = true)
         retiring.filterNot(r => (r eq initialLabels) || (r eq initialCanon))
           .foreach(org.apache.spark.sql.GraftShim.unpersistCheckpoint)
         retiring = List(labels, canon)

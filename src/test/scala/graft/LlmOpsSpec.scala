@@ -281,6 +281,21 @@ class LlmOpsSpec extends SparkSuite {
     assert(byDoc(31L) == ((31L, 30L, 31L, true)),
       "score 31 > 30 → 31 is the new pair's canonical")
     assert(byDoc(40L)._4)
+
+    // SCORE-LESS members must stay in the canonical table (left join):
+    // they lose any mixed cluster but an all-score-less cluster falls
+    // back to min id — a doc whose score hasn't landed yet must never
+    // silently vanish from the rewrite map
+    val (labels2, touched2) = Dedup.updateComponentsDetailed(
+      newLabels, Seq(50L, 51L).toDF("id"),
+      Seq((50L, 51L), (50L, 30L)).toDF("src", "dst"))
+    val incr2 = Dedup.updateCanonical(incr, labels2, touched2,
+      scoresOf(allIds)) // no rows for 50/51
+    val byDoc2 = rows(incr2).map(t => t._1 -> t).toMap
+    assert(byDoc2.contains(50L) && byDoc2.contains(51L),
+      "score-less arrivals vanished from the canonical table")
+    assert(byDoc2(50L)._3 == 31L && byDoc2(51L)._3 == 31L,
+      "scored member 31 must still win the merged cluster")
   }
 
   test("embeddingClusters equals a driver-side union-find over the pairs") {
