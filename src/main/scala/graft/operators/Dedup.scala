@@ -734,6 +734,38 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** [[dedupCanonical]] computed INCREMENTALLY: the standing half's
+    * labels AND canonical table are the prior run's artifacts; the
+    * arriving half folds in as one maintenance batch through
+    * [[updateComponentsDetailed]] + [[updateCanonical]] (only touched
+    * clusters re-run the selection window, the rest carry verbatim).
+    * Registered with the SAME DuckDB oracle as q_dedup_canonical: the
+    * hash match proves the carried/recomputed split loses nothing —
+    * the incremental tier's rewrite map IS the from-scratch one.
+    */
+  def dedupCanonicalIncremental(spark: SparkSession, dir: String,
+      split: Long = 250L): DataFrame = {
+    val pairs = embeddingPairsBase(spark, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val standingPairs = pairs.filter(col("src") < split && col("dst") < split)
+    val newPairs = pairs.filter(col("src") >= split || col("dst") >= split)
+    val ids = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
+    val scores = ncharsScore(spark, dir)
+    val standingLabels = connectedComponents(
+      ids.filter(col("id") < split), standingPairs)
+      .localCheckpoint(eager = true) // the prior run's artifact: feeds
+                                     // its canonical AND the fold
+    import spark.implicits._
+    val emptyCanon = Seq.empty[(Long, Long, Long, Boolean)]
+      .toDF("doc_id", "cluster_id", "canonical_id", "is_canonical")
+    val standingCanon = updateCanonical(emptyCanon, standingLabels,
+      standingLabels.select(col("label").as("cluster_id")).distinct(), scores)
+    val (labels, touched) = updateComponentsDetailed(standingLabels,
+      ids.filter(col("id") >= split), newPairs)
+    updateCanonical(standingCanon, labels, touched, scores)
+      .orderBy("doc_id")
+  }
+
   /** Duplicate-CLUSTER resolution — the step that actually dedups a
     * corpus. Near-dup PAIRS alone don't: similarity is not transitive
     * at the candidate level (A~B and B~C must collapse into ONE
