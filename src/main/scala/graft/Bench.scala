@@ -137,27 +137,46 @@ object Bench {
     // table, so per-run variance is far below the batch queries'.
     // Rates are rows/s (HIGHER is better, unlike the seconds above);
     // a crashed operator reports -1 and lands in errors.
+    // The group runs at StreamProbe's shuffle-partition shape (8, not
+    // the batch session's 32): the stateful operators' per-batch cost
+    // is dominated by state-store tasks × batches, so the divisor —
+    // not the operator — owned the number when the two harnesses
+    // disagreed. Pinning (and recording) the shape makes the
+    // round-over-round delta mean the operator changed.
+    val streamParts =
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8").toInt.max(1)
     val streaming: Seq[(String, Double)] = try {
+      spark.conf.set("spark.sql.shuffle.partitions", streamParts)
       val (flat, schema, total) = StreamProbe.stageEvents(spark, sfDir, 8, 1)
+      val cleanups = scala.collection.mutable.ArrayBuffer(flat)
       def sprobe(name: String)(
           build: DataFrame => DataFrame): (String, Double) = {
         val stream = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(flat)
         val ckpt = java.nio.file.Files.createTempDirectory(s"bench_$name").toString
+        cleanups += ckpt
         val t0 = System.nanoTime()
+        // hold the handle OUTSIDE the try and stop in a finally: a
+        // probe that throws mid-run must not leave its query running
+        // in the background, competing for cores with the remaining
+        // probes
+        var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
-          val q = build(stream).writeStream.format("noop")
+          q = build(stream).writeStream.format("noop")
             .option("checkpointLocation", ckpt).start()
           q.processAllAvailable()
-          q.stop()
           name -> total / ((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name: $e")
           failed += name
           name -> -1.0
+        } finally {
+          if (q != null)
+            try q.stop() catch { case e: Throwable =>
+              System.err.println(s"[bench] $name stop: $e") }
         }
       }
-      Seq(
+      val rates = Seq(
         sprobe("stream_indicators")(s =>
           graft.streaming.TickStream.statefulIndicators(spark, s).toDF()),
         sprobe("stream_sessionize")(s =>
@@ -166,11 +185,21 @@ object Bench {
           graft.streaming.TickStream.priceFfillStream(spark, s).toDF()),
         sprobe("stream_windowed_agg")(s =>
           graft.streaming.TickStream.windowedAgg(s)))
+      // the staged corpus copy and checkpoints are per-run scratch —
+      // delete them or repeated rounds accumulate corpus copies in /tmp
+      cleanups.foreach { d =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+            .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () }
+      }
+      rates
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming stage: $e")
       failed += "streaming_stage"
       Seq.empty
-    }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
 
     def fmt(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
@@ -185,7 +214,7 @@ object Bench {
     val warm = results.map(r => r._1 -> r._2)
     val extWarm = extResults.map(r => r._1 -> r._2)
     val cold = (results ++ extResults).map(r => r._1 -> r._3)
-    println(s"""{"metric":"total","value":${tot(warm)},"unit":"sec","queries":${fmt(warm)},"extended":${fmt(extWarm)},"extended_total":${tot(extWarm)},"cold":${fmt(cold)},"cold_total":${tot(cold)},"streaming_rows_per_sec":${fmt(streaming)},"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${tot(warm)},"unit":"sec","queries":${fmt(warm)},"extended":${fmt(extWarm)},"extended_total":${tot(extWarm)},"cold":${fmt(cold)},"cold_total":${tot(cold)},"streaming_rows_per_sec":${fmt(streaming)},"stream_shuffle_partitions":$streamParts,"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -57,6 +57,12 @@ object PlanDump {
     dump("q_linreg_registry", operators.Forecast.linregRegistryQuery(spark, dir))
     dump("q_dedup_clusters_incr",
       operators.Dedup.embeddingClustersIncremental(spark, dir, split = 25L))
+    dump("q_dedup_canonical_incr",
+      operators.Dedup.dedupCanonicalIncremental(spark, dir, split = 25L))
+    dump("q_dedup_canonical_quality_incr",
+      operators.Dedup.dedupCanonicalQualityIncremental(spark, dir, split = 25L))
+    dump("q_clf_dsir_agreement",
+      operators.Classifier.clfDsirAgreement(spark, dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plandump] wrote PLANS.md")
     spark.stop()

@@ -55,6 +55,13 @@ object StreamProbe {
           require(dst.toFile.setLastModified(1700000000000L + i * 60000L + j))
         }
     }
+    // the partitioned write was only a vehicle for the time split —
+    // drop it now or every probe/bench run leaves a corpus copy in /tmp
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(staged)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    } catch { case _: Throwable => () }
     (flat.toString, ev.drop("part").schema, total)
   }
 

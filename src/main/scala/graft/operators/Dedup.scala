@@ -700,11 +700,24 @@ object Dedup {
       newLabels: DataFrame, touchedClusters: DataFrame,
       scores: DataFrame): DataFrame = {
     val touched = touchedClusters.select(col("cluster_id"))
+    // The broadcast hint is GUARDED, not unconditional: on the
+    // maintenance path the touched set is batch-bounded and must
+    // broadcast (a shuffle join here would reshuffle the standing
+    // canonical — the O(corpus) cost this tier exists to avoid), but
+    // the fold-into-empty BOOTSTRAP path touches every cluster, and
+    // force-broadcasting a corpus-scale set blows the broadcast /
+    // driver limits regardless of what the docstring promises for
+    // batches. Over the guard (4M ids ≈ 32 MB — far beyond any sane
+    // batch, so the count() action only ever bites on bootstrap) the
+    // hint drops and the planner/AQE picks; bootstrap recomputes
+    // everything anyway, so its shuffle is honest work.
+    val hinted =
+      if (touched.count() <= 4000000L) broadcast(touched) else touched
     val carried = standingCanon
-      .join(broadcast(touched), Seq("cluster_id"), "left_anti")
+      .join(hinted, Seq("cluster_id"), "left_anti")
       .select("doc_id", "cluster_id", "canonical_id", "is_canonical")
     val members = newLabels
-      .join(broadcast(touched), newLabels("label") === touched("cluster_id"),
+      .join(hinted, newLabels("label") === hinted("cluster_id"),
         "left_semi")
       .select(col("id").as("vec_id"), col("label").as("cluster_id"))
     carried.unionByName(canonicalOfBase(members, scores))
@@ -744,13 +757,34 @@ object Dedup {
     * the incremental tier's rewrite map IS the from-scratch one.
     */
   def dedupCanonicalIncremental(spark: SparkSession, dir: String,
-      split: Long = 250L): DataFrame = {
+      split: Long = 250L): DataFrame =
+    dedupCanonicalIncrementalOf(spark, dir, split, ncharsScore(spark, dir))
+
+  /** [[dedupCanonicalQuality]] computed INCREMENTALLY — the
+    * quality-curated standing corpus no longer recomputes from
+    * scratch: the SAME fold as [[dedupCanonicalIncremental]]
+    * ([[updateComponentsDetailed]] + [[updateCanonical]], touched
+    * clusters recompute, the rest carry verbatim) with the selection
+    * signal swapped from content length to the quality score —
+    * exactly the parameterization [[updateCanonical]]'s `scores`
+    * argument exists for. Registered under the same composed
+    * closure + quality-window oracle as q_dedup_canonical_quality:
+    * the hash match proves the incremental rewrite map equals the
+    * from-scratch one under the quality signal too.
+    */
+  def dedupCanonicalQualityIncremental(spark: SparkSession, dir: String,
+      split: Long = 250L): DataFrame =
+    dedupCanonicalIncrementalOf(spark, dir, split,
+      TextOps.qualityScore(spark, dir)
+        .select(col("doc_id"), col("quality_score").as("score")))
+
+  private def dedupCanonicalIncrementalOf(spark: SparkSession, dir: String,
+      split: Long, scores: DataFrame): DataFrame = {
     val pairs = embeddingPairsBase(spark, dir)
       .select(col("a_id").as("src"), col("b_id").as("dst"))
     val standingPairs = pairs.filter(col("src") < split && col("dst") < split)
     val newPairs = pairs.filter(col("src") >= split || col("dst") >= split)
     val ids = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
-    val scores = ncharsScore(spark, dir)
     val standingLabels = connectedComponents(
       ids.filter(col("id") < split), standingPairs)
       .localCheckpoint(eager = true) // the prior run's artifact: feeds

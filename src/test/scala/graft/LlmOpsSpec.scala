@@ -1217,6 +1217,21 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("dedupCanonicalQualityIncremental equals the from-scratch quality canonical") {
+    // the quality-signal dual of the incremental==from-scratch proof:
+    // the standing half folds the arriving half in one batch, touched
+    // clusters re-run the quality-ordered selection window, everything
+    // else carries — and the result must be row-identical to the
+    // from-scratch quality canonical over the whole corpus
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("canonical_id"), r.getAs[Boolean]("is_canonical")))
+      .sortBy(_._1).toSeq
+    assert(rows(Dedup.dedupCanonicalQualityIncremental(spark, sfDir)) ==
+      rows(Dedup.dedupCanonicalQuality(spark, sfDir)),
+      "incremental quality canonical diverges from from-scratch")
+  }
+
   test("annLsh candidate selection is a bucket equi-join, not a scan") {
     // the probe side expands to its hamming<=3 code set and hash-joins
     // on `code`: corpus rows outside probed buckets are rejected at the

@@ -125,6 +125,57 @@ class PlanSpec extends SparkSuite {
       "validity predicate not pushed to the scan")
   }
 
+  test("incremental fold: broadcast relabel, standing tables never reshuffled") {
+    // updateComponents / updateCanonical's scale contract, pinned so a
+    // refactor that reintroduces an O(corpus) exchange on a standing
+    // artifact (caught by hand in round 7, commit 59e69c8) fails here
+    // instead: the relabel join is a BROADCAST of the batch-bounded
+    // mapping, the standing labels feed the output exactly once (the
+    // batch lookup is checkpointed away), and no shuffle exchange sits
+    // above either standing table's scan. Standing tables are staged
+    // as parquet so their scans are identifiable in the plan; AQE is
+    // disabled so the planned tree is the asserted tree.
+    import graft.operators.Dedup
+    import spark.implicits._
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("incrplan").toString
+      Seq.tabulate(1000)(i => (i.toLong, (i % 100).toLong)).toDF("id", "label")
+        .write.parquet(s"$tmp/standing_labels")
+      Seq.tabulate(1000)(i =>
+          (i.toLong, (i % 100).toLong, (i % 100).toLong, i < 100))
+        .toDF("doc_id", "cluster_id", "canonical_id", "is_canonical")
+        .write.parquet(s"$tmp/standing_canon")
+      val standing = spark.read.parquet(s"$tmp/standing_labels")
+      val standingCanon = spark.read.parquet(s"$tmp/standing_canon")
+      val scores = Seq.tabulate(1100)(i => (i.toLong, i.toDouble))
+        .toDF("doc_id", "score")
+      val (labels, touched) = Dedup.updateComponentsDetailed(standing,
+        Seq(2000L, 2001L).toDF("id"),
+        Seq((2000L, 1L), (2000L, 2001L)).toDF("src", "dst"))
+      val canon = Dedup.updateCanonical(standingCanon, labels, touched, scores)
+      def shufflesOver(df: DataFrame, marker: String): Int =
+        df.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+            if e.child.toString.contains(marker) => e
+        }.size
+      val labelsPlan = labels.queryExecution.executedPlan.toString
+      assert("standing_labels".r.findAllIn(labelsPlan).length == 1,
+        "standing labels must feed the fold output exactly once")
+      assert(labelsPlan.contains("BroadcastHashJoin"),
+        "relabel must be a broadcast join of the mapping")
+      assert(shufflesOver(labels, "standing_labels") == 0,
+        "fold must not reshuffle the standing labels")
+      assert(shufflesOver(canon, "standing_canon") == 0,
+        "canonical fold must not reshuffle the standing canonical " +
+          "(the round-7 regression class)")
+      assert(canon.queryExecution.executedPlan.toString
+          .contains("BroadcastHashJoin"),
+        "carried leg must consult the standing canonical via broadcast")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   test("tfidf scans the corpus once (df from the tf table, no self-join)") {
     // df comes from a window over the tf aggregate, not a rescan per
     // join side (the join formulation measured 4 corpus scans)

@@ -1200,6 +1200,87 @@ class StreamingSpec extends SparkSuite {
       scratchLabels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
   }
 
+  test("canonical maintenance stream RESUMED from saved cluster state equals the continuous run") {
+    // The durability leg of the maintainStream contract for the
+    // cluster-state tier: fold batches 1-2, persist the published
+    // (labels, canonical) pair via saveClusterState, reload it as
+    // `initial` for a FRESH stream that folds batch 3, and assert the
+    // result is bit-equal to the unbroken 3-batch run — restart from
+    // the last durable generation loses nothing. Mirrors the registry
+    // tier's aged-restart spec; batch 3 deliberately merges ACROSS
+    // the save point (it joins a pre-save cluster to the post-save
+    // singleton AND brings a brand-new vertex) so a stale or lossy
+    // reload cannot pass.
+    import graft.operators.Dedup
+    import spark.implicits._
+    val standing = Dedup.connectedComponents(
+      Seq(1L, 2L, 3L, 10L, 11L, 21L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("src", "dst"))
+      .localCheckpoint(eager = true)
+    val allIds = Seq(0L, 1L, 2L, 3L, 10L, 11L, 21L, 30L, 31L, 40L)
+    val scores = allIds.map(i => (i, if (i == 10L) 999.0 else i.toDouble))
+      .toDF("doc_id", "score").localCheckpoint(eager = true)
+    val emptyCanon = Seq.empty[(Long, Long, Long, Boolean)]
+      .toDF("doc_id", "cluster_id", "canonical_id", "is_canonical")
+    val canon0 = Dedup.updateCanonical(emptyCanon, standing,
+      standing.select(col("label").as("cluster_id")).distinct(), scores)
+      .localCheckpoint(eager = true)
+    val b1 = Seq((30L, 31L), (0L, 1L)).toDF("src", "dst")
+    val b2 = Seq((3L, 10L)).toDF("src", "dst")
+    val b3 = Seq((21L, 31L), (40L, 21L)).toDF("src", "dst")
+    def foldThrough(batches: Seq[org.apache.spark.sql.DataFrame],
+        init: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame),
+        tag: String) = {
+      val srcDir = java.nio.file.Files.createTempDirectory(s"res_${tag}_src").toString
+      batches.foreach { b =>
+        b.coalesce(1).write.mode("append").parquet(srcDir)
+        Thread.sleep(5) // distinct mtimes → deterministic batch order
+      }
+      val stream = spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      var live = init
+      val ckpt = java.nio.file.Files.createTempDirectory(s"res_${tag}_ckpt").toString
+      val q = TickStream.canonicalMaintainStream(stream, init._1, init._2, scores) {
+        (pair, _) => live = pair
+      }.option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      live
+    }
+    // continuous: all three batches through one stream
+    val (contLabels, contCanon) =
+      foldThrough(Seq(b1, b2, b3), (standing, canon0), "cont")
+    // interrupted: fold 1-2, SAVE the published generation, reload,
+    // resume with batch 3 only
+    val midPair = foldThrough(Seq(b1, b2), (standing, canon0), "mid")
+    val csPath = java.nio.file.Files.createTempDirectory("res_state").toString
+    Dedup.saveClusterState(midPair._1, midPair._2, csPath)
+    val (loadedLabels, loadedCanon) = Dedup.loadClusterState(spark, csPath)
+    val (resLabels, resCanon) = foldThrough(Seq(b3),
+      (loadedLabels.localCheckpoint(eager = true),
+       loadedCanon.localCheckpoint(eager = true)), "res")
+    def labelRows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+    def canonRows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq
+    assert(labelRows(resLabels) == labelRows(contLabels),
+      "resumed labels diverge from the continuous run")
+    assert(canonRows(resCanon) == canonRows(contCanon),
+      "resumed canonical diverges from the continuous run")
+    // and the batch-3 merge actually crossed the save point: pre-save
+    // cluster {30,31} + pre-save singleton 21 + new arrival 40 fold
+    // into one cluster (label 21 = min id) whose champion by score is
+    // 40 — resolvable only through the LOADED state
+    val byDoc = canonRows(resCanon).map(t => t._1 -> t).toMap
+    assert(byDoc(21L)._2 == 21L && byDoc(21L)._3 == 40L,
+      "pre-save singleton must fold into the merged cluster on resume")
+    assert(byDoc(40L)._2 == 21L && byDoc(40L)._3 == 40L,
+      "post-save arrival must resolve through the loaded state")
+    assert(byDoc(0L)._3 == 10L && byDoc(10L)._4,
+      "untouched pre-save cluster must carry verbatim through resume")
+  }
+
   test("registry-served forecast stream scores ticks without refitting") {
     import graft.operators.Forecast
     // standing state: fit ONCE, derive the serve surface once — the
