@@ -551,70 +551,61 @@ object Warehouse {
     * Scale shape: a plain date equi-join would key the shuffle on
     * trade_date alone — parallelism capped at #distinct dates (30 on
     * this corpus) with each task materializing a symbols²-row
-    * pair-DATE block. Instead each symbol is compacted to three dense
-    * moment vectors on the session-date grid and the pair space is
+    * pair-DATE block. Instead each symbol is compacted to its sorted
+    * sparse (session-index, return) series and the pair space is
     * tiled into `buckets`² symbol-bucket tiles (a triangle/theta-join
     * replication: each side is replicated `buckets`× against the
     * OTHER side's bucket id, so a pair meets in exactly ONE tile).
     * The pair stage joins #symbols·buckets compact rows across
     * buckets² parallel tiles and computes each pair's correlation
-    * with six codegen'd dot products — work is the unavoidable
-    * Ω(pairs·days) FLOPs, but shuffle volume is O(symbols·buckets·
-    * days) and nothing date-keyed ever materializes. At a 100×
-    * universe raise `buckets` ∝ symbols to hold tile size constant.
-    * The production path at very large universes remains a covariance
-    * sketch over a chosen hot set, with this exact screen as its
-    * verifier (ScaleProbe times it across synthetic universe sizes).
+    * with ONE codegen'd sorted-merge ([[graft.functions.PairMoments]])
+    * — work is the unavoidable Ω(pairs·days) FLOPs, but shuffle
+    * volume is O(symbols·buckets·days) and nothing date-keyed ever
+    * materializes. At a 100× universe raise `buckets` ∝ symbols to
+    * hold tile size constant. The production path at very large
+    * universes remains a covariance sketch over a chosen hot set,
+    * with this exact screen as its verifier (ScaleProbe times it
+    * across synthetic universe sizes).
     */
   def returnCorr(spark: SparkSession, dir: String,
-      minDays: Int = 15): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy("trade_date")
-    val rets = ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"),
-      "trade_date", validated = true)
-      .select(col("user_id"), col("trade_date"), col("close_price"))
-      // validated source ⇒ close > 0, so no zero-divisor guard needed;
-      // the oracle dual carries the identical shape
-      .withColumn("prev", lag("close_price", 1).over(w))
-      .filter(col("prev").isNotNull)
-      .select(col("user_id"), col("trade_date"),
-        (col("close_price") / col("prev") - 1.0).as("ret"))
-    returnCorrOf(rets, minDays)
-  }
+      minDays: Int = 15): DataFrame =
+    returnCorrOf(dailyReturnsOf(validTicks(spark, dir)), minDays)
 
   /** The bucketed pair screen over an explicit (user_id, trade_date,
     * ret) frame — ScaleProbe drives it with replicated universes.
     *
-    * Moment-vector formulation: each symbol is densified onto the
-    * global session-date grid as THREE tiny aligned arrays — returns
-    * (0 where absent), a presence mask, squared returns. Every
-    * pairwise statistic over a pair's COMMON sessions is then a dot
-    * product of two such arrays (n = m_a·m_b, Σx = r_a·m_b,
-    * Σx² = r²_a·m_b, Σxy = r_a·r_b), so the pair stage joins
+    * Sparse-series formulation: each symbol is compacted to TWO tiny
+    * parallel arrays sorted by session index — epoch-day indices and
+    * returns, one entry per session the symbol actually traded. All
+    * six pairwise moments over a pair's COMMON sessions (n, Σx, Σy,
+    * Σx², Σy², Σxy) come from ONE codegen'd sorted-merge over the two
+    * series ([[graft.functions.PairMoments]]), so the pair stage joins
     * #symbols·buckets rows instead of #symbols·#dates rows and emits
     * one row per pair directly — no pair-date materialization, no
-    * second aggregation shuffle, and the six dots run through the
-    * codegen'd VectorDot kernel. The date grid itself never shuffles
-    * anything big: it is a #dates-row broadcast.
+    * second aggregation shuffle, no global date grid (epoch days ARE
+    * the session index: globally consistent and per-symbol sorted
+    * with no date-index join or driver-sized densification — the
+    * round-7 dense-grid build probed a Catalyst map per grid slot,
+    * a linear GetMapValue scan each, and owned ~2.4 s of the query's
+    * 3.1 s at sf0.1).
     */
   private[graft] def returnCorrOf(rets: DataFrame, minDays: Int = 15,
       bucketsIn: Int = 0): DataFrame = {
-    // the returns pipeline (validated OHLC windows + lag) feeds THREE
-    // consumers — the grid/universe sizing action, the date index and
-    // the pair job — so materialize it once up front, or the most
-    // expensive upstream stage runs three times. localCheckpoint
-    // (not persist) so the blocks are released when the plan is GC'd:
-    // the returned frame references the cache lazily, so an explicit
-    // unpersist here would race callers' terminal actions.
-    val cached = rets.localCheckpoint(true)
-    val sizes = cached.agg(countDistinct("trade_date").as("nd"),
-      countDistinct("user_id").as("ns")).head
-    // global session-date index (tiny single-partition window: one row
-    // per trading day)
-    val datesIdx = cached.select("trade_date").distinct()
-      .withColumn("di", row_number().over(Window.orderBy("trade_date")) - 1)
-    // grid length on the driver: it sizes the dense arrays (max(…,1)
-    // only guards the empty-input sequence bounds — no data, no rows)
-    val n = math.max(sizes.getLong(0).toInt, 1)
+    // compact FIRST, then materialize: the per-symbol frame is
+    // #symbols rows (vs #symbols·#dates for the raw returns), and it
+    // feeds three consumers — the bucket-sizing count and both sides
+    // of the pair self-join — so the upstream returns pipeline
+    // (validated close compaction + lag) executes exactly once.
+    // localCheckpoint (not persist) so the blocks are released when
+    // the plan is GC'd: the returned frame references the cache
+    // lazily, so an explicit unpersist here would race callers'
+    // terminal actions.
+    val sym = rets
+      .withColumn("di", unix_date(col("trade_date")))
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("di"), col("ret")))).as("e"))
+      .select(col("user_id"), col("e.di").as("ds"), col("e.ret").as("rs"))
+      .localCheckpoint(true)
     // ADAPTIVE tiling (bucketsIn = 0), two regimes: the tile count
     // (buckets²) must at least cover the cluster's parallelism so no
     // core idles (floor: buckets² ≈ 2·defaultParallelism), and past
@@ -624,53 +615,57 @@ object Warehouse {
     // volume is symbols·buckets compact rows, and the result is
     // bucket-count INVARIANT (every pair still meets in exactly one
     // tile — spec-asserted), so the knob tunes parallelism only, never
-    // values. The distinct count is a cheap symbols-sized aggregate
-    // next to the Ω(pairs·days) pair stage.
+    // values. The count is free next to the Ω(pairs·days) pair stage:
+    // sym is already checkpointed.
     val buckets = if (bucketsIn > 0) bucketsIn
     else {
-      val nSym = sizes.getLong(1)
+      val nSym = sym.count()
+      // canonical tiles ⇒ ~buckets²/2 tasks, so the parallelism floor
+      // solves buckets²/2 ≈ 2·defaultParallelism
       val parFloor = math.ceil(math.sqrt(
-        2.0 * rets.sparkSession.sparkContext.defaultParallelism)).toInt
+        4.0 * rets.sparkSession.sparkContext.defaultParallelism)).toInt
       math.max(parFloor, math.ceil(nSym / 128.0).toInt)
     }
-    val sym = cached.join(broadcast(datesIdx), Seq("trade_date"))
-      .groupBy("user_id")
-      .agg(map_from_entries(collect_list(struct(col("di"), col("ret")))).as("m"))
-      .select(col("user_id"),
-        transform(sequence(lit(0), lit(n - 1)),
-          i => coalesce(col("m")(i), lit(0.0))).as("r"),
-        transform(sequence(lit(0), lit(n - 1)),
-          i => when(col("m")(i).isNotNull, 1.0).otherwise(0.0)).as("mk"))
-      .withColumn("r2", transform(col("r"), x => x * x))
-    val tiles = array((0 until buckets).map(lit): _*)
-    val a = sym.toDF("a_id", "a_r", "a_mk", "a_r2")
-      .withColumn("ab", pmod(hash(col("a_id")), lit(buckets)))
-      .withColumn("bb", explode(tiles))
-    val b = sym.toDF("b_id", "b_r", "b_mk", "b_r2")
-      .withColumn("bb", pmod(hash(col("b_id")), lit(buckets)))
-      .withColumn("ab", explode(tiles))
+    // CANONICAL tile addressing (ab ≤ bb): a symbol in bucket s joins
+    // as the LEFT side of tiles (s, s..B-1) and the RIGHT side of
+    // tiles (0..s, s), so each unordered pair meets in exactly one
+    // tile with a fixed orientation — vs replicating BOTH sides B×
+    // against every opposite bucket and discarding half the join
+    // output to a triangle cut, this ships half the replicated rows
+    // through the exchange and performs half the join work. Only the
+    // diagonal tiles (s, s) see both orientations and need the id cut;
+    // correlation is symmetric under swap (every sum and product
+    // commutes in IEEE754), so emitting least/greatest ids afterwards
+    // is bit-identical to computing the ordered pair directly.
+    val a = sym.toDF("l_id", "l_ds", "l_rs")
+      .withColumn("ab", pmod(hash(col("l_id")), lit(buckets)))
+      .withColumn("bb", explode(sequence(col("ab"), lit(buckets - 1))))
+    val b = sym.toDF("r_id", "r_ds", "r_rs")
+      .withColumn("bb", pmod(hash(col("r_id")), lit(buckets)))
+      .withColumn("ab", explode(sequence(lit(0), col("bb"))))
+    // ONE fused merge per candidate pair ([[graft.functions.PairCorr]]
+    // — its scaladoc records the three measured re-evaluation traps
+    // that rule out a moments-primitive + Column-arithmetic tail).
+    // Invalid pairs (short overlap / zero variance — the oracle's
+    // HAVING drops both) come back NULL and sort NULLS LAST, so the
+    // only pre-limit predicate is the cheap diagonal cut.
     val paired = a.join(b, Seq("ab", "bb"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        Dedup.dot(col("a_mk"), col("b_mk")).as("nd"),
-        Dedup.dot(col("a_r"), col("b_mk")).as("sx"),
-        Dedup.dot(col("b_r"), col("a_mk")).as("sy"),
-        Dedup.dot(col("a_r2"), col("b_mk")).as("sxx"),
-        Dedup.dot(col("b_r2"), col("a_mk")).as("syy"),
-        Dedup.dot(col("a_r"), col("b_r")).as("sxy"))
-      .filter(col("nd") >= minDays)
-      .withColumn("cnum", col("sxy") - col("sx") * col("sy") / col("nd"))
-      .withColumn("cden", sqrt(
-        (col("sxx") - col("sx") * col("sx") / col("nd")) *
-        (col("syy") - col("sy") * col("sy") / col("nd"))))
-      // zero-variance pairs (corr undefined) drop, as in the oracle
-      .filter(col("cden") > 0)
-      .withColumn("correlation", round(col("cnum") / col("cden"), 6))
+      .filter(col("ab") =!= col("bb") || col("l_id") < col("r_id"))
+      .withColumn("pc", graft.functions.PairCorr.pair_corr(
+        col("l_ds"), col("l_rs"), col("r_ds"), col("r_rs"), minDays))
     paired
-      .select(col("a_id"), col("b_id"),
-        col("nd").cast("long").as("n_days"), col("correlation"))
-      .orderBy(abs(col("correlation")).desc, col("a_id"), col("b_id"))
+      .select(least(col("l_id"), col("r_id")).as("a_id"),
+        greatest(col("l_id"), col("r_id")).as("b_id"),
+        col("pc")(0).cast("long").as("n_days"),
+        round(col("pc")(1), 6).as("correlation"))
+      .orderBy(abs(col("correlation")).desc_nulls_last,
+        col("a_id"), col("b_id"))
       .limit(50)
+      // the invalid-pair cut: post-limit so it CANNOT be pushed back
+      // through the sort into the join (pushdown never crosses a
+      // Limit); with ≥50 valid pairs it is a no-op, with fewer it
+      // drops the NULL tail exactly as the oracle's HAVING does
+      .filter(col("correlation").isNotNull)
   }
 
   /** Daily close-to-close returns from an explicit validated tick
@@ -679,16 +674,20 @@ object Warehouse {
     * event_id) per (symbol, day), unrounded).
     */
   private[graft] def dailyReturnsOf(ticks: DataFrame): DataFrame = {
-    val wd = Window.partitionBy(col("user_id"), col("trade_date"))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val w = Window.partitionBy("user_id").orderBy("trade_date")
     ticks
       .select(col("user_id"), to_date(col("ts")).as("trade_date"),
         col("ts"), col("event_id"), col("value"))
-      .withColumn("close", last("value").over(wd))
+      // close = the value at max (ts, event_id): identical to the
+      // last_value window the oracle keeps, but as a max_by AGGREGATE
+      // the map side pre-combines each partition down to one row per
+      // (symbol, day) before the shuffle — no all-ticks sort, and
+      // shuffle volume drops from every tick to #symbols·#days rows
       .groupBy("user_id", "trade_date")
-      .agg(max("close").as("close_price"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id")))
+        .as("close_price"))
+      // validated source ⇒ close > 0, so no zero-divisor guard needed;
+      // the oracle dual carries the identical shape
       .withColumn("prev", lag("close_price", 1).over(w))
       .filter(col("prev").isNotNull)
       .select(col("user_id"), col("trade_date"),

@@ -94,6 +94,30 @@ class PlanSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
+  test("returnCorr keeps the pair merge out of join conditions and filters") {
+    // the expensive per-pair sorted-merge (PairCorr) must live ONLY in
+    // the projection: a .filter() on any value derived from it gets
+    // pushed into the tile-join CONDITION with the expression inlined
+    // per conjunct term, and join-condition codegen does no common-
+    // subexpression elimination — measured at sf0.1 as NINE merge
+    // evaluations per candidate row (6.4 s of an 8 s query). The
+    // NULL-fold + post-limit cut shape this pins is what keeps it to
+    // one evaluation.
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.operators.Warehouse.returnCorr(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val offending = plan.linesIterator.filter(l =>
+        (l.contains("Join") || l.contains("Filter")) &&
+          l.toLowerCase.contains("paircorr")).toSeq
+      assert(offending.isEmpty,
+        s"pair merge leaked into join/filter nodes:\n${offending.mkString("\n")}")
+      assert(plan.toLowerCase.contains("paircorr"),
+        "pair merge missing from the plan entirely — did the query change?")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("returnCorr tile count tunes parallelism, never values") {
     // the adaptive default must agree with ANY explicit bucket count:
     // every pair meets in exactly one tile regardless, so the knob is

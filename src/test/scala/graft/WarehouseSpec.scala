@@ -235,4 +235,74 @@ class WarehouseSpec extends SparkSuite {
     assert(resolved == Map(2L -> true, 3L -> true, 4L -> false,
       5L -> true, 6L -> false))
   }
+
+  test("pair_corr matches the builtin corr aggregate on the common overlap") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // two sparse series sharing 17 of their sessions, with private
+    // sessions interleaved on BOTH sides (the merge must skip them)
+    val aPts = (0 until 40).map(i => (i, math.sin(i) + 0.1 * i))
+    val bPts = (0 until 25).map(i => (i * 2, math.cos(i) - 0.05 * i))
+    val common = aPts.map(_._1).toSet intersect bPts.map(_._1).toSet
+    assert(common.size >= 15, s"fixture needs >=15 overlap, got ${common.size}")
+    val expected = common.toSeq.sorted
+      .map(d => (aPts.toMap.apply(d), bPts.toMap.apply(d)))
+      .toDF("x", "y").agg(corr(col("x"), col("y"))).head.getDouble(0)
+    val got = Seq((aPts.map(_._1).toArray, aPts.map(_._2).toArray,
+        bPts.map(_._1).toArray, bPts.map(_._2).toArray))
+      .toDF("ai", "av", "bi", "bv")
+      .select(graft.functions.PairCorr.pair_corr(
+        col("ai"), col("av"), col("bi"), col("bv"), 15).as("pc"))
+      .select(col("pc")(0).as("n"), col("pc")(1).as("r")).head
+    assert(got.getDouble(0) == common.size.toDouble)
+    assert(math.abs(got.getDouble(1) - expected) < 1e-12,
+      s"corr ${got.getDouble(1)} vs builtin $expected")
+  }
+
+  test("pair_corr returns NULL on short overlap and zero variance") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def pc(ai: Seq[Int], av: Seq[Double], bi: Seq[Int], bv: Seq[Double],
+        minDays: Int) =
+      Seq((ai.toArray, av.toArray, bi.toArray, bv.toArray))
+        .toDF("ai", "av", "bi", "bv")
+        .select(graft.functions.PairCorr.pair_corr(
+          col("ai"), col("av"), col("bi"), col("bv"), minDays).as("pc"))
+        .head
+    // 3 common sessions < minDays=4 → NULL
+    assert(pc(Seq(1, 2, 3), Seq(1.0, 2.0, 3.0),
+      Seq(1, 2, 3), Seq(3.0, 1.0, 2.0), 4).isNullAt(0))
+    // constant side over the overlap (variance 0, corr undefined) → NULL
+    assert(pc(Seq(1, 2, 3), Seq(5.0, 5.0, 5.0),
+      Seq(1, 2, 3), Seq(3.0, 1.0, 2.0), 3).isNullAt(0))
+    // same inputs above the thresholds → defined
+    assert(!pc(Seq(1, 2, 3), Seq(1.0, 2.0, 3.0),
+      Seq(1, 2, 3), Seq(3.0, 1.0, 2.0), 3).isNullAt(0))
+  }
+
+  test("pair_corr codegen and interpreted paths agree") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType}
+    import spark.implicits._
+    val ai = (0 until 30).map(_ * 2).toArray
+    val av = (0 until 30).map(i => math.sin(i * 1.7)).toArray
+    val bi = (0 until 40).toArray
+    val bv = (0 until 40).map(i => math.cos(i * 0.9)).toArray
+    // interpreted: direct expression eval on literals
+    val expr = graft.functions.PairCorr(
+      Literal.create(ai, ArrayType(IntegerType)),
+      Literal.create(av, ArrayType(DoubleType)),
+      Literal.create(bi, ArrayType(IntegerType)),
+      Literal.create(bv, ArrayType(DoubleType)), 5)
+    val interp = expr.eval(null).asInstanceOf[ArrayData].toDoubleArray()
+    // codegen: the same call through a projection over a real plan
+    val gen = Seq((ai, av, bi, bv)).toDF("ai", "av", "bi", "bv")
+      .select(graft.functions.PairCorr.pair_corr(
+        col("ai"), col("av"), col("bi"), col("bv"), 5).as("pc"))
+      .head.getSeq[Double](0).toArray
+    assert(interp.toSeq == gen.toSeq,
+      s"interpreted ${interp.toSeq} != codegen ${gen.toSeq}")
+  }
 }
