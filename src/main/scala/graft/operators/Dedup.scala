@@ -351,6 +351,16 @@ object Dedup {
     * Spec-asserted equal on a planted 256-chain through BOTH tail
     * paths (driver and star).
     *
+    * The same count guard is also checked UP FRONT: when the whole
+    * (symmetrized, already-checkpointed) edge list fits the driver
+    * cap, the graph solves in one collect + union-find and the
+    * distributed rounds never run — at small graph sizes each round
+    * is pure scheduling overhead (two shuffles + a checkpoint + a
+    * count over near-empty partitions; measured ~2 s of
+    * q_curation_pipeline at sf0.1), while at scale the early guard
+    * costs one count over the checkpointed list and falls through to
+    * the unchanged round loop.
+    *
     * Returns one row per vertex: (id, label) with label = the minimum
     * id in the vertex's component.
     */
@@ -360,6 +370,13 @@ object Dedup {
     val und = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(eager = true) // scanned every round — compute once
+    // und carries both directions, so the raw-edge guard is 2× the cap
+    if (und.count() <= 2 * driverSolveMaxEdges) {
+      val mapping = unionFindMapping(und).toDF("id", "root")
+      return vertices.select("id")
+        .join(broadcast(mapping), Seq("id"), "left")
+        .select(col("id"), coalesce(col("root"), col("id")).as("label"))
+    }
     var labels = vertices.select(col("id"), col("id").as("label"))
       .localCheckpoint(eager = true)
     var changed = 1L
@@ -398,7 +415,6 @@ object Dedup {
     else {
       // round budget exhausted — long-diameter graph: contract to the
       // label graph and solve the tail in one shot
-      val spark = vertices.sparkSession
       val srcLab = labels.toDF("src", "src_label")
       val dstLab = labels.toDF("dst", "dst_label")
       val labelEdges = und
@@ -413,28 +429,9 @@ object Dedup {
       val (solved, solvedIsBounded): (DataFrame, Boolean) =
         if (labelEdges.count() <= driverSolveMaxEdges) {
           // tail fits the driver: union-find with path compression —
-          // every remaining round collapses into one collect. The 1M
-          // edge cap bounds the collect at tens of MB of driver heap
-          // (this is the largest guarded collect in the repo — size
-          // the driver accordingly, or lower the cap to force the
-          // distributed tail earlier).
-          val es = labelEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
-          val parent = scala.collection.mutable.Map.empty[Long, Long]
-          def find(x: Long): Long = {
-            var r = x
-            while (parent.getOrElse(r, r) != r) r = parent(r)
-            var c = x
-            while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
-            r
-          }
-          es.foreach { case (a, b) =>
-            val (ra, rb) = (find(a), find(b))
-            if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-          }
-          val mapping = parent.keys.map(k => (k, find(k)))
-            .filter { case (k, r) => k != r }.toSeq
-          import spark.implicits._
-          (mapping.toDF("old_label", "new_label"), true)
+          // every remaining round collapses into one collect
+          // ([[unionFindMapping]] documents the heap guard).
+          (unionFindMapping(labelEdges).toDF("old_label", "new_label"), true)
         } else {
           // oversized tail: the distributed O(log n)-round solver
           val lVerts = labels.select(col("label").as("id")).distinct()
@@ -447,6 +444,40 @@ object Dedup {
         .select(col("id"),
           coalesce(col("new_label"), col("label")).as("label"))
     }
+  }
+
+  /** Driver-side union-find over a COUNT-GUARDED edge list: collect,
+    * union with path compression keeping the MINIMUM id as each
+    * root (the same min-label semantics as the distributed loops),
+    * and return only the rows that changed — (node, root) for every
+    * node that is not its own component minimum — as a DataFrame fit
+    * for a broadcast relabel join. Callers must have counted the
+    * input against [[connectedComponents]]'s `driverSolveMaxEdges`
+    * first: the 1M-edge cap bounds the collect at tens of MB of
+    * driver heap (the largest guarded collect in the repo — size the
+    * driver accordingly, or lower the cap to force the distributed
+    * path earlier). Duplicate and reversed edges are harmless no-op
+    * unions, so symmetrized lists need no pre-dedup.
+    */
+  private def unionFindMapping(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val es = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val mapping = parent.keys.map(k => (k, find(k)))
+      .filter { case (k, r) => k != r }.toSeq
+    import spark.implicits._
+    mapping.toDF("node", "root")
   }
 
   /** STAR-CONTRACTION connected components (the alternating

@@ -175,13 +175,19 @@ class LlmOpsSpec extends SparkSuite {
     val chainLabels = Dedup.connectedComponentsStar(chainVerts, chainEdges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(chainLabels == (0L until n.toLong).map(_ -> 0L).toMap)
-    // the DEFAULT loop now survives the same chain: its round budget
-    // trips after `switchAfter` propagation rounds and the contracted
-    // remainder finishes in one shot — via the guarded DRIVER
-    // union-find tail (default) and via the distributed STAR tail
-    // (forced by a zero driver budget): exact labels through both
-    val chainDriver = Dedup.connectedComponents(chainVerts, chainEdges,
+    // the DEFAULT loop now survives the same chain, through all THREE
+    // solver paths: (1) the default cap admits the whole raw edge list
+    // up front → one-shot driver union-find, no rounds; (2) a cap of
+    // 100 rejects the 255-edge chain at the early guard (2·100 < 510
+    // symmetrized rows) but admits the label graph CONTRACTED by
+    // `switchAfter` rounds → the round budget + driver TAIL; (3) a
+    // zero cap forces the distributed STAR tail. Exact labels via all.
+    val chainEarly = Dedup.connectedComponents(chainVerts, chainEdges,
         switchAfter = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainEarly == chainLabels)
+    val chainDriver = Dedup.connectedComponents(chainVerts, chainEdges,
+        switchAfter = 4, driverSolveMaxEdges = 100L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(chainDriver == chainLabels)
     val chainStar = Dedup.connectedComponents(chainVerts, chainEdges,

@@ -37,5 +37,14 @@ class SqlFacadeSpec extends SparkSuite {
     val sim = spark.sql(
       "SELECT simhash64(array('hello', 'world', 'hello')) AS h").head.getLong(0)
     assert(sim != 0L)
+    // pair_corr: perfectly anticorrelated over the 2 common indices
+    org.apache.spark.sql.GraftShim.registerFunction(spark, "pair_corr",
+      exprs => graft.functions.PairCorr(exprs(0), exprs(1), exprs(2),
+        exprs(3), exprs(4).eval().asInstanceOf[Number].intValue()))
+    val pc = spark.sql(
+      """SELECT pair_corr(array(1, 2, 3), array(1.0d, 2.0d, 3.0d),
+        |                 array(2, 3, 4), array(9.0d, 8.0d, 7.0d), 2) AS pc"""
+        .stripMargin).head.getSeq[Double](0)
+    assert(pc == Seq(2.0, -1.0), s"got $pc")
   }
 }
