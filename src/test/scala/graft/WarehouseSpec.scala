@@ -280,6 +280,55 @@ class WarehouseSpec extends SparkSuite {
       Seq(1, 2, 3), Seq(3.0, 1.0, 2.0), 3).isNullAt(0))
   }
 
+  test("returnCorrOf matches a naive all-pairs sweep on random sparse universes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // independent end-to-end cross-check (the DuckDB oracle is the
+    // other one): random symbols with gappy calendars, all pairs
+    // computed driver-side with the same moment formulas, same
+    // 6-dp rounding, same (|r| desc, a, b) cut
+    val rnd = new scala.util.Random(8L)
+    val minDays = 5
+    val universe: Map[Long, Seq[(Int, Double)]] = (1L to 30L).map { id =>
+      val days = (0 until 40).filter(_ => rnd.nextDouble() < 0.4 + rnd.nextDouble() * 0.5)
+      id -> days.map(d => d -> (rnd.nextDouble() - 0.5) * 0.1)
+    }.toMap
+    val rets = universe.toSeq.flatMap { case (id, pts) =>
+      pts.map { case (d, r) =>
+        (id, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong)), r)
+      }
+    }.toDF("user_id", "trade_date", "ret")
+    val got = graft.operators.Warehouse.returnCorrOf(rets, minDays)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expected = (for {
+      a <- universe.keys.toSeq.sorted; b <- universe.keys.toSeq.sorted
+      if a < b
+    } yield {
+      val am = universe(a).toMap; val bm = universe(b).toMap
+      val common = am.keySet.intersect(bm.keySet).toSeq.sorted
+      var n = 0.0; var sx = 0.0; var sy = 0.0
+      var sxx = 0.0; var syy = 0.0; var sxy = 0.0
+      common.foreach { d =>
+        val x = am(d); val y = bm(d)
+        n += 1.0; sx += x; sy += y
+        sxx += x * x; syy += y * y; sxy += x * y
+      }
+      if (n < minDays) None
+      else {
+        val cden = math.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+        if (!(cden > 0)) None
+        else Some((a, b, n.toLong,
+          BigDecimal((sxy - sx * sy / n) / cden)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+    }).flatten
+      .sortBy { case (a, b, _, r) => (-math.abs(r), a, b) }
+      .take(50)
+    assert(got.length == expected.length)
+    assert(got.toSeq == expected,
+      s"first mismatch: ${got.toSeq.zip(expected).find(p => p._1 != p._2)}")
+  }
+
   test("pair_corr codegen and interpreted paths agree") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
