@@ -477,6 +477,59 @@ object Curation {
     out
   }
 
+  /** Deterministic training-data SHARDING and ordering — the
+    * reproducible global shuffle every training run needs: identical
+    * inputs must yield identical shard files in identical order on
+    * any cluster, any partition count, any round (re-running a data
+    * job must not silently reorder an epoch). Each document hashes to
+    * a seeded md5 key; the shard is the key's leading 24 bits mod
+    * `numShards`, and the position inside the shard is the rank of
+    * (key, doc_id) — a total order, so ties are impossible and the
+    * output is a pure function of (seed, corpus).
+    *
+    * Scale shape: the hash and shard columns are narrow map-side
+    * projections (no shuffle); the only exchange is the rank window's
+    * hash partition on `shard`. Production shard counts (2¹⁰-2¹⁴)
+    * spread that window across the cluster — per-shard sort of
+    * corpus/numShards keys, never a global single-partition order
+    * (an `ntile`-style global rank here would serialize the corpus
+    * through one task). md5 rather than xxhash64 because the ORDER
+    * must be engine-portable: both engines hash the same UTF-8 bytes
+    * to the same hex string, so the oracle proves the exact epoch
+    * order, not just the partition sizes.
+    */
+  def shardOrder(spark: SparkSession, dir: String,
+      numShards: Int = 8, seed: String = "graft"): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))
+          .cast("binary")).as("h"))
+      .withColumn("shard",
+        expr("conv(substring(h, 1, 6), 16, 10)").cast("long") % numShards)
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"), col("h").as("sort_key"))
+      .orderBy("shard", "pos")
+  }
+
+  /** DuckDB dual of [[shardOrder]]: same md5 of the same seeded UTF-8
+    * input, `('0x' || hex)::BIGINT` standing in for Spark's
+    * `conv(hex, 16, 10)` (both exact on 24 bits), same rank window.
+    */
+  def shardOrderSql: String =
+    """WITH k AS (
+      |  SELECT doc_id, md5('graft:' || doc_id::VARCHAR) AS h
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, h,
+      |    ('0x' || substr(h, 1, 6))::BIGINT % 8 AS shard
+      |  FROM k
+      |)
+      |SELECT doc_id, shard,
+      |  row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)::BIGINT AS pos,
+      |  h AS sort_key
+      |FROM s ORDER BY shard, pos""".stripMargin
+
   // ------------------------------------------------------ data mixing
 
   /** Per-source (domain) corpus statistics — the inputs a data-mixing

@@ -1029,6 +1029,64 @@ object Dedup {
       |    / (a.norm * b.norm) >= 0.4
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Cross-SOURCE near-dup overlap matrix — which feeds duplicate
+    * each other. For every unordered source pair (diagonal included),
+    * the number of near-dup DOC pairs whose members come from those
+    * sources and the number of clusters carrying such a pair. This is
+    * the observability surface a mixing stage reads before setting
+    * domain weights: a source pair with heavy off-diagonal mass is
+    * double-counting the same content, and a heavy diagonal means a
+    * source is internally redundant beyond what its token share says.
+    *
+    * Pair counts are computed WITHOUT materializing pairs: cluster
+    * membership aggregates to per-(cluster, source) counts first
+    * (a table bounded by clusters × sources, ≪ corpus), and the pair
+    * arithmetic — n·(n−1)/2 within a source, n_a·n_b across — runs on
+    * those counts through one equi-join on the cluster id. At 100 TB
+    * the only corpus-scale work is the component resolution this
+    * composes (exact kernel here for the oracle; the LSH pair source
+    * swaps in unchanged), and integer DIV keeps both engines in exact
+    * BIGINT arithmetic.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = embeddingPairsBase(spark, dir)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val verts = Tables.embeddings(spark, dir).select(col("vec_id").as("id"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val mem = connectedComponents(verts, pairs)
+      .join(docs, col("id") === col("doc_id"))
+      .groupBy(col("label").as("cluster_id"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val a = mem.toDF("cluster_id", "source_a", "na")
+    val b = mem.toDF("cluster_id", "source_b", "nb")
+    a.join(b, Seq("cluster_id"))
+      .filter(col("source_a") < col("source_b") ||
+        (col("source_a") === col("source_b") && col("na") >= 2))
+      .withColumn("pairs", when(col("source_a") === col("source_b"),
+        expr("na * (na - 1) DIV 2")).otherwise(col("na") * col("nb")))
+      .groupBy("source_a", "source_b")
+      .agg(sum("pairs").as("n_pairs"), count(lit(1)).as("n_clusters"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** DuckDB dual of [[sourceOverlap]]: the shared recursive closure,
+    * the same per-(cluster, source) count table and the same exact
+    * integer pair arithmetic (`//` is DuckDB's integer DIV).
+    */
+  def sourceOverlapSql: String =
+    s"""WITH RECURSIVE $clusterClosureCtes, mem AS (
+      |  SELECT cl.cluster_id, d.source, count(*)::BIGINT AS n
+      |  FROM clusters cl JOIN documents d ON d.doc_id = cl.vec_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |  sum(CASE WHEN a.source = b.source THEN (a.n * (a.n - 1)) // 2
+      |      ELSE a.n * b.n END)::BIGINT AS n_pairs,
+      |  count(*)::BIGINT AS n_clusters
+      |FROM mem a JOIN mem b ON a.cluster_id = b.cluster_id
+      | AND (a.source < b.source OR (a.source = b.source AND a.n >= 2))
+      |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin
+
   // ------------------------------------------------- cross-run bloom gate
 
   /** CROSS-RUN incremental dedup gate — how an ingest batch dedups

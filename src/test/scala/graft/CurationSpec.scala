@@ -548,4 +548,36 @@ class CurationSpec extends SparkSuite {
       assert(keptWords == r.getAs[Long]("n_words") - r.getAs[Long]("n_removed"))
     }
   }
+
+  test("shardOrder is a deterministic total order keyed by the seeded md5") {
+    val rows = Curation.shardOrder(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    // a permutation: every doc exactly once, shards in range
+    assert(rows.length == nDocs)
+    assert(rows.map(_.getLong(0)).distinct.length == nDocs)
+    assert(rows.forall { r =>
+      val s = r.getLong(r.fieldIndex("shard")); s >= 0 && s < 8 })
+    // the hash IS md5 of the seeded utf-8 input and the shard IS its
+    // leading 24 bits mod 8 — recomputed independently on the JVM, so
+    // an engine-side change to either silently breaking the
+    // cross-round order would fail here, not in production
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val hex = md.digest(s"graft:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      assert(r.getAs[String]("sort_key") == hex, s"doc $id: hash drift")
+      assert(r.getLong(r.fieldIndex("shard")) ==
+        java.lang.Long.parseLong(hex.substring(0, 6), 16) % 8)
+    }
+    // positions are contiguous ranks of the (key, id) order per shard
+    rows.groupBy(_.getLong(1)).foreach { case (_, g) =>
+      val sorted = g.sortBy(r => (r.getAs[String]("sort_key"), r.getLong(0)))
+      assert(sorted.map(_.getLong(2)).sameElements(1L to g.length.toLong),
+        "pos is not the contiguous rank inside the shard")
+    }
+    // determinism across invocations (a fresh plan, fresh shuffles)
+    val again = Curation.shardOrder(spark, sfDir).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }

@@ -1053,6 +1053,37 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("sourceOverlap equals explicit within-cluster pair enumeration") {
+    // the count-based pair arithmetic (n*(n-1)/2 diagonal, na*nb
+    // off-diagonal over per-(cluster, source) counts) must equal the
+    // naive answer: materialize every within-cluster doc pair, label
+    // both ends with their source, count per unordered source pair
+    val clusters = Dedup.embeddingClusters(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    val srcOf = Tables.documents(spark, sfDir).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byCluster = clusters.toSeq.groupBy(_._2).values
+    val naive = scala.collection.mutable.Map
+      .empty[(String, String), (Long, Set[Long])]
+    byCluster.foreach { members =>
+      val ids = members.map(_._1).toSeq.sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length) {
+        val (sa, sb) = (srcOf(ids(i)), srcOf(ids(j)))
+        val key = if (sa <= sb) (sa, sb) else (sb, sa)
+        val (n, cl) = naive.getOrElse(key, (0L, Set.empty[Long]))
+        naive(key) = (n + 1, cl + clusters(ids(i)))
+      }
+    }
+    val got = Dedup.sourceOverlap(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == naive.keySet, "source-pair sets differ")
+    naive.foreach { case (key, (nPairs, cls)) =>
+      assert(got(key) == ((nPairs, cls.size.toLong)),
+        s"$key: got ${got(key)}, naive ($nPairs, ${cls.size})")
+    }
+  }
+
   test("semanticDecontaminate scores every training vector vs the eval set") {
     val rows = Dedup.semanticDecontaminate(spark, sfDir).collect()
     val nTrain = Tables.embeddings(spark, sfDir)
