@@ -719,7 +719,14 @@ object Curation {
     * optimal shape (hash window / narrow projection / component
     * resolution) rather than serializing into one pass.
     */
-  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame =
+    curationPipelineBase(spark, dir).orderBy("doc_id")
+
+  /** Unordered verdict kernel — [[curationFunnel]] aggregates it and
+    * would pay the driver-determinism sort for nothing.
+    */
+  private def curationPipelineBase(spark: SparkSession,
+      dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val exactKeep = docs.select(col("doc_id"),
       (col("doc_id") === min("doc_id").over(
@@ -733,25 +740,93 @@ object Curation {
         col("is_canonical"),
         (col("keep_exact") && col("keep_chain") && col("is_canonical"))
           .as("survived"))
-      .orderBy("doc_id")
   }
 
-  def curationPipelineSql: String =
-    s"""WITH RECURSIVE $gopherChainCtes, chain AS (
+  /** The curation FUNNEL — per-stage loss attribution over the
+    * pipeline verdicts, the first report an operator reads after a
+    * corpus build: for each stage in pipeline order, how many docs
+    * entered, how many the stage removed GIVEN the docs upstream
+    * stages already passed (marginal — order-dependent, sums to the
+    * total loss), and how many fail the stage's rule outright
+    * (unconditional — order-free, overlaps across stages). A stage
+    * whose unconditional count is large but marginal count is small
+    * is redundant with an upstream stage; that gap is what this
+    * surface exists to show.
+    *
+    * Scale shape: one aggregation over the verdict kernel collapses
+    * the corpus to a single row of counters (partial map-side
+    * aggregation — no extra shuffle beyond the pipeline's own), and
+    * the three stage rows unpivot from that row with `stack`, driver
+    * sized.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame =
+    curationPipelineBase(spark, dir)
+      .agg(
+        count(lit(1)).as("n0"),
+        sum(when(col("keep_exact"), 1L).otherwise(0L)).as("s1"),
+        sum(when(col("keep_exact") && col("keep_chain"), 1L)
+          .otherwise(0L)).as("s2"),
+        sum(when(col("survived"), 1L).otherwise(0L)).as("s3"),
+        sum(when(!col("keep_exact"), 1L).otherwise(0L)).as("f1"),
+        sum(when(!col("keep_chain"), 1L).otherwise(0L)).as("f2"),
+        sum(when(!col("is_canonical"), 1L).otherwise(0L)).as("f3"))
+      .selectExpr(
+        """stack(3,
+          |  1L, 'exact_dedup',  n0, n0 - s1, s1, f1,
+          |  2L, 'gopher_chain', s1, s1 - s2, s2, f2,
+          |  3L, 'canonical',    s2, s2 - s3, s3, f3)
+          |AS (stage_order, stage, n_in, n_removed, n_out, n_fail_uncond)
+          |""".stripMargin)
+      .orderBy("stage_order")
+
+  /** Shared DuckDB verdict CTE chain (exact window + gopher chain +
+    * canonical closure joined to one `verdicts` table) — composed into
+    * [[curationPipelineSql]] and [[curationFunnelSql]] so the stage
+    * semantics cannot drift between the per-doc and funnel duals.
+    */
+  private lazy val curationVerdictCtes: String =
+    s"""$gopherChainCtes, chain AS (
       |  SELECT rep.doc_id, (keep_rep AND keep_quality) AS keep_chain
       |  FROM rep JOIN q ON rep.doc_id = q.doc_id
       |), ${Dedup.clusterClosureCtes}, ${Dedup.canonicalSelectionCte}, ex AS (
       |  SELECT doc_id,
       |    (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keep_exact
       |  FROM documents
+      |), verdicts AS (
+      |  SELECT ex.doc_id, keep_exact, keep_chain,
+      |    (canon.vec_id = canon.canonical_id) AS is_canonical,
+      |    (keep_exact AND keep_chain AND (canon.vec_id = canon.canonical_id))
+      |      AS survived
+      |  FROM ex JOIN chain ON chain.doc_id = ex.doc_id
+      |  JOIN canon ON canon.vec_id = ex.doc_id
+      |)""".stripMargin
+
+  def curationPipelineSql: String =
+    s"""WITH RECURSIVE $curationVerdictCtes
+      |SELECT doc_id, keep_exact, keep_chain, is_canonical, survived
+      |FROM verdicts ORDER BY doc_id""".stripMargin
+
+  /** DuckDB dual of [[curationFunnel]]: same verdict CTEs, one
+    * aggregate row, three UNION ALL stage rows.
+    */
+  def curationFunnelSql: String =
+    s"""WITH RECURSIVE $curationVerdictCtes, agg AS (
+      |  SELECT count(*)::BIGINT AS n0,
+      |    sum(CASE WHEN keep_exact THEN 1 ELSE 0 END)::BIGINT AS s1,
+      |    sum(CASE WHEN keep_exact AND keep_chain THEN 1 ELSE 0 END)::BIGINT AS s2,
+      |    sum(CASE WHEN survived THEN 1 ELSE 0 END)::BIGINT AS s3,
+      |    sum(CASE WHEN NOT keep_exact THEN 1 ELSE 0 END)::BIGINT AS f1,
+      |    sum(CASE WHEN NOT keep_chain THEN 1 ELSE 0 END)::BIGINT AS f2,
+      |    sum(CASE WHEN NOT is_canonical THEN 1 ELSE 0 END)::BIGINT AS f3
+      |  FROM verdicts
       |)
-      |SELECT ex.doc_id, keep_exact, keep_chain,
-      |  (canon.vec_id = canon.canonical_id) AS is_canonical,
-      |  (keep_exact AND keep_chain AND (canon.vec_id = canon.canonical_id))
-      |    AS survived
-      |FROM ex JOIN chain ON chain.doc_id = ex.doc_id
-      |JOIN canon ON canon.vec_id = ex.doc_id
-      |ORDER BY ex.doc_id""".stripMargin
+      |SELECT * FROM (
+      |  SELECT 1::BIGINT AS stage_order, 'exact_dedup' AS stage,
+      |    n0 AS n_in, n0 - s1 AS n_removed, s1 AS n_out, f1 AS n_fail_uncond
+      |  FROM agg
+      |  UNION ALL SELECT 2, 'gopher_chain', s1, s1 - s2, s2, f2 FROM agg
+      |  UNION ALL SELECT 3, 'canonical', s2, s2 - s3, s3, f3 FROM agg
+      |) ORDER BY stage_order""".stripMargin
 
   /** Target domain for [[importanceWeights]]: one of the corpus
     * sources stands in for the seed corpus that defines the

@@ -549,6 +549,31 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("curationFunnel counts reconcile with the per-doc pipeline verdicts") {
+    val v = Curation.curationPipeline(spark, sfDir).collect()
+    val f = Curation.curationFunnel(spark, sfDir).collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_in"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("n_out"), r.getAs[Long]("n_fail_uncond"))).toMap
+    assert(f.keySet == Set("exact_dedup", "gopher_chain", "canonical"))
+    val n0 = v.length.toLong
+    val s1 = v.count(_.getAs[Boolean]("keep_exact")).toLong
+    val s2 = v.count(r => r.getAs[Boolean]("keep_exact") &&
+      r.getAs[Boolean]("keep_chain")).toLong
+    val s3 = v.count(_.getAs[Boolean]("survived")).toLong
+    assert(f("exact_dedup") == ((n0, n0 - s1, s1,
+      v.count(!_.getAs[Boolean]("keep_exact")).toLong)))
+    assert(f("gopher_chain") == ((s1, s1 - s2, s2,
+      v.count(!_.getAs[Boolean]("keep_chain")).toLong)))
+    assert(f("canonical") == ((s2, s2 - s3, s3,
+      v.count(!_.getAs[Boolean]("is_canonical")).toLong)))
+    // the funnel is a chain: each stage's n_in is the previous n_out,
+    // and total marginal loss is exactly n0 − survivors
+    assert(f("gopher_chain")._1 == f("exact_dedup")._3)
+    assert(f("canonical")._1 == f("gopher_chain")._3)
+    assert(f.values.map(_._2).sum == n0 - s3)
+  }
+
   test("shardOrder is a deterministic total order keyed by the seeded md5") {
     val rows = Curation.shardOrder(spark, sfDir).collect()
     val nDocs = Tables.documents(spark, sfDir).count()
