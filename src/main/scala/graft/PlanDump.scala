@@ -63,6 +63,9 @@ object PlanDump {
       operators.Dedup.dedupCanonicalQualityIncremental(spark, dir, split = 25L))
     dump("q_clf_dsir_agreement",
       operators.Classifier.clfDsirAgreement(spark, dir))
+    dump("q_shard_order", operators.Curation.shardOrder(spark, dir))
+    dump("q_source_overlap", operators.Dedup.sourceOverlap(spark, dir))
+    dump("q_curation_funnel", operators.Curation.curationFunnel(spark, dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plandump] wrote PLANS.md")
     spark.stop()

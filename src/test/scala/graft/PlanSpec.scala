@@ -207,4 +207,19 @@ class PlanSpec extends SparkSuite {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"expected one documents scan in the scored plan, got $scans")
   }
+
+  test("shardOrder ranks inside shard partitions, never a global window") {
+    // the epoch-order window must exchange on hashpartitioning(shard)
+    // — a SinglePartition window here would serialize the corpus
+    // through one task at 100 TB (the ntile-style global-rank trap
+    // the scaladoc warns about)
+    val df = graft.operators.Curation.shardOrder(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    val windowParts = "Window ".r.findAllIn(plan).length
+    assert(windowParts >= 1, "expected a window node")
+    assert(plan.contains("hashpartitioning(shard"),
+      "rank window is not hash-partitioned on shard")
+    assert(!plan.contains("SinglePartition"),
+      "a single-partition exchange reached the shard-order plan")
+  }
 }
