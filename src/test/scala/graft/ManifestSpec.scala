@@ -115,4 +115,71 @@ class ManifestSpec extends SparkSuite {
     assert(drift.getMessage.contains("centers")
       && drift.getMessage.contains("drifted"), drift.getMessage)
   }
+
+  test("rolling gates persist under the manifest; serving re-derives and resumes") {
+    // the gate tier was the one standing artifact that died with the
+    // session: every probe answer must survive save → load (serving
+    // is NOT persisted — it re-derives through the same union rule
+    // rotation uses), and a rotation appended to the LOADED gate must
+    // equal one appended to the original (the restart contract)
+    import graft.operators.Dedup
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Dedup.sigCol(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+    def slice(lo: Long, hi: Long) =
+      sigs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    def flags(g: Dedup.RollingBandGate): Map[Long, Boolean] = {
+      val hit = Dedup.bandKeyHitSharded(spark, g.serving)
+      sigs.withColumn("f", hit(col("sig"))).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("f")).toMap
+    }
+    var gate = Dedup.emptyRollingGate(windowEpochs = 2, capacity = 400L)
+    gate = Dedup.rollingGateAppend(gate, slice(0, 150), 1L)
+    gate = Dedup.rollingGateAppend(gate, slice(150, 300), 2L)
+    val path = tmp("man_gate")
+    Dedup.saveRollingGate(spark, gate, path)
+    val loaded = Dedup.loadRollingGate(spark, path)
+    assert(loaded.epochs.map(_._1) == Vector(1L, 2L))
+    assert((loaded.windowEpochs, loaded.capacity, loaded.fpp) ==
+      ((gate.windowEpochs, gate.capacity, gate.fpp)))
+    assert(flags(loaded) == flags(gate),
+      "loaded gate probes differently than the saved one")
+    // RESUME: rotate epoch 3 into both; eviction + union must agree
+    val contd = Dedup.rollingGateAppend(gate, slice(300, 400), 3L)
+    val resumed = Dedup.rollingGateAppend(loaded, slice(300, 400), 3L)
+    assert(resumed.epochs.map(_._1) == Vector(2L, 3L))
+    assert(flags(resumed) == flags(contd),
+      "gate resumed from disk diverges from the continuous gate")
+
+    // exact-fingerprint dual, same contract
+    val fps = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        graft.operators.TextOps.fingerprintCol(col("text")).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
+    def fslice(lo: Long, hi: Long) =
+      fps.filter(col("doc_id") >= lo && col("doc_id") < hi)
+    def eflags(g: Dedup.RollingExactGate): Map[Long, Boolean] = {
+      val hit = Dedup.bloomHit(spark, g.serving)
+      fps.withColumn("f", hit(col("fingerprint"))).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("f")).toMap
+    }
+    var egate = Dedup.emptyRollingExactGate(windowEpochs = 2, capacity = 400L)
+    egate = Dedup.rollingExactGateAppend(egate, fslice(0, 150), 1L)
+    egate = Dedup.rollingExactGateAppend(egate, fslice(150, 300), 2L)
+    val epath = tmp("man_egate")
+    Dedup.saveRollingExactGate(spark, egate, epath)
+    val eloaded = Dedup.loadRollingExactGate(spark, epath)
+    assert(eloaded.epochs.map(_._1) == Vector(1L, 2L))
+    assert(eflags(eloaded) == eflags(egate))
+    val econtd = Dedup.rollingExactGateAppend(egate, fslice(300, 400), 3L)
+    val eresumed = Dedup.rollingExactGateAppend(eloaded, fslice(300, 400), 3L)
+    assert(eflags(eresumed) == eflags(econtd))
+
+    // cross-family guard between the two gate layouts
+    val wrongGate = intercept[IllegalArgumentException] {
+      Dedup.loadRollingExactGate(spark, path)
+    }
+    assert(wrongGate.getMessage.contains("rolling_band_gate"),
+      wrongGate.getMessage)
+  }
 }

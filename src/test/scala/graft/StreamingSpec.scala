@@ -927,6 +927,83 @@ class StreamingSpec extends SparkSuite {
       s"rotation had no effect on exact flags: $before -> $after")
   }
 
+  test("gate maintenance RESUMED from a saved gate equals the continuous run") {
+    // the durability leg for the gate tier, mirroring the cluster-state
+    // restart spec: maintain over days 1-2, persist the published gate
+    // via saveRollingGate, reload it as `initial` for a fresh stream
+    // that sees only day 3, and the final gate must match the unbroken
+    // 3-day run — same retained epochs, same probe verdicts. This
+    // exercises what the load must get right: the epoch high-water
+    // mark re-derives from the loaded epochs (day 3 seals 19001, not a
+    // re-seal of 19000), and the reloaded filters' bit layouts merge
+    // with freshly built ones (the fixed-capacity contract).
+    import graft.operators.Dedup
+    val dayMs = 86400000L
+    val sigs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Dedup.sigCol(col("text")).as("sig"))
+      .filter(col("sig").isNotNull)
+    def sliceOf(e: Long) = {
+      val d = e - 19000L
+      sigs.filter(col("doc_id") >= d * 100 && col("doc_id") < (d + 1) * 100)
+    }
+    val dayExpr = (lit(19000L) + floor(col("doc_id") / 100)).cast("long")
+    val staged = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("text"),
+        ((dayExpr * lit(86400L)) + lit(3600L)).cast("timestamp").as("ts"))
+    def stageDays(days: Range, tag: String): String = {
+      val srcDir = java.nio.file.Files.createTempDirectory(s"grs_$tag")
+      days.foreach { d =>
+        val f = java.nio.file.Files.createTempDirectory(s"grs_${tag}_f$d")
+          .resolve("w").toString
+        staged.filter(col("doc_id") >= d * 100 && col("doc_id") < (d + 1) * 100)
+          .coalesce(1).write.parquet(f)
+        new java.io.File(f).listFiles().filter(_.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (p, i) =>
+            val dst = srcDir.resolve(f"part$d%02d$i%02d.parquet")
+            java.nio.file.Files.copy(p.toPath, dst)
+            require(dst.toFile.setLastModified(1700000000000L + d * 60000L + i))
+          }
+      }
+      srcDir.toString
+    }
+    def run(days: Range, init: Dedup.RollingBandGate,
+        tag: String): Option[Dedup.RollingBandGate] = {
+      val stream = spark.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDays(days, tag))
+      val published = scala.collection.mutable.ArrayBuffer
+        .empty[Dedup.RollingBandGate]
+      val ckpt = java.nio.file.Files.createTempDirectory(s"grs_${tag}_ck").toString
+      val q = TickStream.rollingGateMaintainStream(stream, init,
+        dayMs, "ts", sliceOf) { (g, _) =>
+        published.synchronized { published += g: Unit }
+      }.option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      published.lastOption
+    }
+    def flags(g: Dedup.RollingBandGate): Map[Long, Boolean] = {
+      val hit = Dedup.bandKeyHitSharded(spark, g.serving)
+      sigs.filter(col("doc_id") < 300).withColumn("f", hit(col("sig")))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("f")).toMap
+    }
+    val empty = Dedup.emptyRollingGate(windowEpochs = 2, capacity = 400L)
+    val cont = run(0 until 3, empty, "cont").get
+    val mid = run(0 until 2, empty, "mid").get
+    assert(mid.epochs.map(_._1) == Vector(19000L), "days 1-2 seal day 1 only")
+    val gatePath = java.nio.file.Files.createTempDirectory("grs_state")
+      .toString + "/gate"
+    Dedup.saveRollingGate(spark, mid, gatePath)
+    val resumed = run(2 until 3, Dedup.loadRollingGate(spark, gatePath),
+      "res").get
+    assert(resumed.epochs.map(_._1) == cont.epochs.map(_._1),
+      s"resumed retained ${resumed.epochs.map(_._1)}, " +
+        s"continuous ${cont.epochs.map(_._1)}")
+    assert(flags(resumed) == flags(cont),
+      "gate resumed from disk probes differently than the continuous run")
+  }
+
   test("rolling gate maintenance seals epochs off the stream's own clock") {
     import graft.operators.Dedup
     val sigs = Tables.documents(spark, sfDir)
