@@ -138,17 +138,23 @@ object Bench {
     // Rates are rows/s (HIGHER is better, unlike the seconds above);
     // a crashed operator reports -1 and lands in errors.
     // The group runs at StreamProbe's shuffle-partition shape (8, not
-    // the batch session's 32): the stateful operators' per-batch cost
-    // is dominated by state-store tasks × batches, so the divisor —
-    // not the operator — owned the number when the two harnesses
-    // disagreed. Pinning (and recording) the shape makes the
-    // round-over-round delta mean the operator changed.
-    val streamParts =
-      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8").toInt.max(1)
+    // the batch session's cpus-sized count): the stateful operators'
+    // per-batch cost is dominated by state-store tasks × batches, so
+    // the divisor — not the operator — owned the number when the two
+    // harnesses disagreed. Pinning (and recording) the shape makes
+    // the round-over-round delta mean the operator changed. A
+    // malformed override falls back to the default instead of killing
+    // the run before the metrics line prints.
+    val streamParts = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .flatMap(_.toIntOption).getOrElse(8).max(1)
+    // per-run scratch (staged corpus copy + checkpoints), deleted in
+    // a FINALLY — a crashed stage must not leave corpus copies
+    // accumulating in /tmp across rounds
+    val cleanups = scala.collection.mutable.ArrayBuffer.empty[String]
     val streaming: Seq[(String, Double)] = try {
       spark.conf.set("spark.sql.shuffle.partitions", streamParts)
       val (flat, schema, total) = StreamProbe.stageEvents(spark, sfDir, 8, 1)
-      val cleanups = scala.collection.mutable.ArrayBuffer(flat)
+      cleanups += flat
       def sprobe(name: String)(
           build: DataFrame => DataFrame): (String, Double) = {
         val stream = spark.readStream.schema(schema)
@@ -159,24 +165,28 @@ object Bench {
         // hold the handle OUTSIDE the try and stop in a finally: a
         // probe that throws mid-run must not leave its query running
         // in the background, competing for cores with the remaining
-        // probes
+        // probes. On the success path the query is ALREADY stopped
+        // when the finally runs — stop() stays inside the timed
+        // region, as in every prior round's artifact, so the metric
+        // definition is unchanged.
         var q: org.apache.spark.sql.streaming.StreamingQuery = null
         try {
           q = build(stream).writeStream.format("noop")
             .option("checkpointLocation", ckpt).start()
           q.processAllAvailable()
+          q.stop()
           name -> total / ((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name: $e")
           failed += name
           name -> -1.0
         } finally {
-          if (q != null)
+          if (q != null && q.isActive)
             try q.stop() catch { case e: Throwable =>
               System.err.println(s"[bench] $name stop: $e") }
         }
       }
-      val rates = Seq(
+      Seq(
         sprobe("stream_indicators")(s =>
           graft.streaming.TickStream.statefulIndicators(spark, s).toDF()),
         sprobe("stream_sessionize")(s =>
@@ -185,21 +195,14 @@ object Bench {
           graft.streaming.TickStream.priceFfillStream(spark, s).toDF()),
         sprobe("stream_windowed_agg")(s =>
           graft.streaming.TickStream.windowedAgg(s)))
-      // the staged corpus copy and checkpoints are per-run scratch —
-      // delete them or repeated rounds accumulate corpus copies in /tmp
-      cleanups.foreach { d =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
-            .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-        } catch { case _: Throwable => () }
-      }
-      rates
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming stage: $e")
       failed += "streaming_stage"
       Seq.empty
-    } finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    } finally {
+      cleanups.foreach(StreamProbe.deleteRecursively)
+      spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    }
 
     def fmt(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -104,6 +104,12 @@ object ScaleProbe {
     time("importance_h")(operators.Curation.hashedImportanceScore(bigDocs,
       operators.Curation.hashedImportanceModel(bigDocs)))
     time("perplexity")(operators.TextOps.perplexityDocs(bigDocs))
+    // deterministic shard-order: the per-shard rank window must scale
+    // like a partitioned sort (near-linear), never like a global one;
+    // shards scale with the corpus (128 docs per shard, the same
+    // ratio production uses) so per-shard work stays constant
+    time("shard_order")(operators.Curation.shardOrderDocs(bigDocs,
+      numShards = math.max(8, replicas * 4)))
 
     // ANN index families over a replicated embedding corpus (distinct
     // vec_ids per replica; probes stay the fixed vec_id < 5 set).

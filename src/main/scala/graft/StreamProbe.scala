@@ -20,6 +20,21 @@ import org.apache.spark.sql.functions._
   */
 object StreamProbe {
 
+  /** Best-effort recursive delete for per-run /tmp scratch (staged
+    * corpus copies, stream checkpoints) — shared by this probe and
+    * the bench so the cleanup discipline cannot drift between the two
+    * harnesses. Errors are swallowed: scratch cleanup must never fail
+    * a run that already measured.
+    */
+  private[graft] def deleteRecursively(path: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally walk.close()
+    } catch { case _: Throwable => () }
+
   /** Stage the events table as `nFiles` time-ordered stream files with
     * strictly increasing mtimes (same discipline as the specs: the
     * file source orders batches by mtime); `replicas` scales volume
@@ -57,11 +72,7 @@ object StreamProbe {
     }
     // the partitioned write was only a vehicle for the time split —
     // drop it now or every probe/bench run leaves a corpus copy in /tmp
-    try {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(staged)).iterator()
-        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
-    } catch { case _: Throwable => () }
+    deleteRecursively(staged)
     (flat.toString, ev.drop("part").schema, total)
   }
 
@@ -83,12 +94,17 @@ object StreamProbe {
       println("[stream] state store: RocksDB")
     }
     val (flat, schema, total) = stageEvents(spark, dir, nFiles, replicas)
+    // the probe's own scratch: the staged corpus copy plus one
+    // checkpoint per probe — deleted after the run (the bench's
+    // streaming group has the same discipline)
+    val scratch = scala.collection.mutable.ArrayBuffer(flat)
 
     def probe(name: String, rows: Long)(
         build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(flat)
       val ckpt = java.nio.file.Files.createTempDirectory(s"sprobe_$name").toString
+      scratch += ckpt
       val t0 = System.nanoTime()
       val q = build(stream).writeStream.format("noop")
         .option("checkpointLocation", ckpt).start()
@@ -99,18 +115,20 @@ object StreamProbe {
         f"($rows rows, $secs%6.2f s, $nFiles batches)")
     }
 
-    // the reference's consumer loop: full indicator state per tick
-    probe("indicators", total)(s =>
-      graft.streaming.TickStream.statefulIndicators(spark, s).toDF())
-    // gap sessionization — the second stateful operator
-    probe("sessionize", total)(s =>
-      graft.streaming.TickStream.sessionizeStream(spark, s).toDF())
-    // watermark-complete daily grid (state = pending days per symbol)
-    probe("price_ffill", total)(s =>
-      graft.streaming.TickStream.priceFfillStream(spark, s).toDF())
-    // stateless contrast: validation + windowed agg shuffle
-    probe("windowed_agg", total)(s =>
-      graft.streaming.TickStream.windowedAgg(s))
+    try {
+      // the reference's consumer loop: full indicator state per tick
+      probe("indicators", total)(s =>
+        graft.streaming.TickStream.statefulIndicators(spark, s).toDF())
+      // gap sessionization — the second stateful operator
+      probe("sessionize", total)(s =>
+        graft.streaming.TickStream.sessionizeStream(spark, s).toDF())
+      // watermark-complete daily grid (state = pending days per symbol)
+      probe("price_ffill", total)(s =>
+        graft.streaming.TickStream.priceFfillStream(spark, s).toDF())
+      // stateless contrast: validation + windowed agg shuffle
+      probe("windowed_agg", total)(s =>
+        graft.streaming.TickStream.windowedAgg(s))
+    } finally scratch.foreach(deleteRecursively)
     spark.stop()
   }
 }

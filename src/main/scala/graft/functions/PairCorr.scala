@@ -15,7 +15,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   *
   * Inputs are two (index, value) series, each as a pair of parallel
   * arrays sorted ascending by index (`array<int>` indices,
-  * `array<double>` values). The merge accumulates n, Σx, Σy, Σx²,
+  * `array<double>` values). SORTEDNESS IS A PRECONDITION, not
+  * checked: the merge walks both series once, so unsorted indices
+  * silently skip common positions (the SQL-facade registration
+  * repeats this contract — build the arrays with `sort_array` over
+  * the collected (index, value) structs, as [[graft.operators
+  * .Warehouse.returnCorrOf]] does). A slot where either the index or
+  * the value is NULL is skipped on that side — a null session carries
+  * no observation (without the guard, ArrayData.getInt would read a
+  * phantom index 0). The merge accumulates n, Σx, Σy, Σx²,
   * Σy², Σxy in index order and finishes with
   * r = (Σxy − ΣxΣy/n) / √((Σx² − Σx²/n)(Σy² − Σy²/n)) — the same
   * IEEE754 operations in the same order as the Catalyst-column
@@ -81,14 +89,18 @@ case class PairCorr(aIdx: Expression, aVal: Expression,
     var n = 0.0; var sx = 0.0; var sy = 0.0
     var sxx = 0.0; var syy = 0.0; var sxy = 0.0
     while (ia < la && ib < lb) {
-      val da = aI.getInt(ia); val db = bI.getInt(ib)
-      if (da < db) ia += 1
-      else if (db < da) ib += 1
+      if (aI.isNullAt(ia) || aV.isNullAt(ia)) ia += 1
+      else if (bI.isNullAt(ib) || bV.isNullAt(ib)) ib += 1
       else {
-        val x = aV.getDouble(ia); val y = bV.getDouble(ib)
-        n += 1.0; sx += x; sy += y
-        sxx += x * x; syy += y * y; sxy += x * y
-        ia += 1; ib += 1
+        val da = aI.getInt(ia); val db = bI.getInt(ib)
+        if (da < db) ia += 1
+        else if (db < da) ib += 1
+        else {
+          val x = aV.getDouble(ia); val y = bV.getDouble(ib)
+          n += 1.0; sx += x; sy += y
+          sxx += x * x; syy += y * y; sxy += x * y
+          ia += 1; ib += 1
+        }
       }
     }
     if (n < minDays) null
@@ -117,16 +129,20 @@ case class PairCorr(aIdx: Expression, aVal: Expression,
          |double $n = 0.0, $sx = 0.0, $sy = 0.0;
          |double $sxx = 0.0, $syy = 0.0, $sxy = 0.0;
          |while ($ia < $la && $ib < $lb) {
-         |  int $da = $ai.getInt($ia);
-         |  int $db = $bi.getInt($ib);
-         |  if ($da < $db) { $ia++; }
-         |  else if ($db < $da) { $ib++; }
+         |  if ($ai.isNullAt($ia) || $av.isNullAt($ia)) { $ia++; }
+         |  else if ($bi.isNullAt($ib) || $bv.isNullAt($ib)) { $ib++; }
          |  else {
-         |    double $x = $av.getDouble($ia);
-         |    double $y = $bv.getDouble($ib);
-         |    $n += 1.0; $sx += $x; $sy += $y;
-         |    $sxx += $x * $x; $syy += $y * $y; $sxy += $x * $y;
-         |    $ia++; $ib++;
+         |    int $da = $ai.getInt($ia);
+         |    int $db = $bi.getInt($ib);
+         |    if ($da < $db) { $ia++; }
+         |    else if ($db < $da) { $ib++; }
+         |    else {
+         |      double $x = $av.getDouble($ia);
+         |      double $y = $bv.getDouble($ib);
+         |      $n += 1.0; $sx += $x; $sy += $y;
+         |      $sxx += $x * $x; $syy += $y * $y; $sxy += $x * $y;
+         |      $ia++; $ib++;
+         |    }
          |  }
          |}
          |if ($n < $minDays) {

@@ -499,9 +499,13 @@ object Curation {
     * order, not just the partition sizes.
     */
   def shardOrder(spark: SparkSession, dir: String,
+      numShards: Int = 8, seed: String = "graft"): DataFrame =
+    shardOrderDocs(Tables.documents(spark, dir), numShards, seed)
+
+  private[graft] def shardOrderDocs(docs: DataFrame,
       numShards: Int = 8, seed: String = "graft"): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("h", "doc_id")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"),
         md5(concat_ws(":", lit(seed), col("doc_id").cast("string"))
           .cast("binary")).as("h"))

@@ -361,6 +361,17 @@ object Dedup {
     * costs one count over the checkpointed list and falls through to
     * the unchanged round loop.
     *
+    * PRECONDITION: every edge endpoint appears in `vertices`. All
+    * callers satisfy it (the query entries pass the full id universe;
+    * [[updateComponentsDetailed]] passes exactly the label-edge
+    * endpoint set), and the two solve paths only agree under it — a
+    * dangling endpoint would be connected THROUGH by the driver
+    * union-find but dropped by the round loop's label join, so the
+    * result would depend on which side of the size guard the graph
+    * fell. Behavior for dangling endpoints is deliberately
+    * unspecified rather than paid for with a corpus-scale validation
+    * join per call.
+    *
     * Returns one row per vertex: (id, label) with label = the minimum
     * id in the vertex's component.
     */
@@ -453,10 +464,12 @@ object Dedup {
     * node that is not its own component minimum — as a DataFrame fit
     * for a broadcast relabel join. Callers must have counted the
     * input against [[connectedComponents]]'s `driverSolveMaxEdges`
-    * first: the 1M-edge cap bounds the collect at tens of MB of
-    * driver heap (the largest guarded collect in the repo — size the
-    * driver accordingly, or lower the cap to force the distributed
-    * path earlier). Duplicate and reversed edges are harmless no-op
+    * first: the tail path collects up to the 1M-edge cap and the
+    * early path up to 2× that (it collects the SYMMETRIZED list
+    * against a doubled guard) — so size the driver for ~2M (Long,
+    * Long) rows, tens of MB of heap (the largest guarded collect in
+    * the repo), or lower the cap to force the distributed
+    * path earlier. Duplicate and reversed edges are harmless no-op
     * unions, so symmetrized lists need no pre-dedup.
     */
   private def unionFindMapping(edges: DataFrame): DataFrame = {

@@ -579,7 +579,7 @@ object Warehouse {
     * returns, one entry per session the symbol actually traded. All
     * six pairwise moments over a pair's COMMON sessions (n, Σx, Σy,
     * Σx², Σy², Σxy) come from ONE codegen'd sorted-merge over the two
-    * series ([[graft.functions.PairMoments]]), so the pair stage joins
+    * series ([[graft.functions.PairCorr]]), so the pair stage joins
     * #symbols·buckets rows instead of #symbols·#dates rows and emits
     * one row per pair directly — no pair-date materialization, no
     * second aggregation shuffle, no global date grid (epoch days ARE
