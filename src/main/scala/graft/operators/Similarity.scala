@@ -1289,6 +1289,38 @@ object Similarity {
     GraphIndex(nodes.select("shard", "vec_id", "v", "norm", "nbrs"), ns)
   }
 
+  /** [[saveHnswSegmented]]'s flat-NSW dual — same two-part layout,
+    * same single-shard segment contract, own family name so the two
+    * segmented tiers cannot load each other's artifacts.
+    */
+  def saveNswSegmented(seg: NswSegmented, path: String): Unit = {
+    require(seg.segments.forall(_.numShards == 1),
+      "segment tier persists single-shard segments only (appendSegment builds them)")
+    saveGraphIndex(seg.main, s"$path/main")
+    seg.segments.zipWithIndex
+      .map { case (ix, i) => ix.nodes.withColumn("seg_id", lit(i)) }
+      .reduceOption(_ unionByName _)
+      .getOrElse(seg.main.nodes.filter(lit(false)).withColumn("seg_id", lit(0)))
+      .write.mode("overwrite").parquet(s"$path/segments")
+    IndexManifest.write(seg.main.nodes.sparkSession, path,
+      "ann_nsw_segmented", Seq("main", "segments"),
+      Map("num_segments" -> seg.segments.length.toString))
+  }
+
+  def loadNswSegmented(spark: SparkSession, path: String): NswSegmented = {
+    val params = IndexManifest
+      .validate(spark, path, "ann_nsw_segmented", Seq("main", "segments"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no segmented-index manifest at $path"))
+    val n = params("num_segments").toInt
+    val segNodes = spark.read.parquet(s"$path/segments")
+    val segments = (0 until n).toList.map { i =>
+      GraphIndex(segNodes.filter(col("seg_id") === i).drop("seg_id")
+        .select("shard", "vec_id", "v", "norm", "nbrs"), 1)
+    }
+    NswSegmented(loadGraphIndex(spark, s"$path/main"), segments)
+  }
+
   private[graft] def writeShardMeta(spark: SparkSession, path: String,
       numShards: Int): Unit = {
     val p = new org.apache.hadoop.fs.Path(path, "_graft_shards")
@@ -1743,6 +1775,47 @@ object Similarity {
     writeShardMeta(idx.nodes.sparkSession, path, idx.numShards)
     IndexManifest.write(idx.nodes.sparkSession, path, "ann_hnsw", Seq("."),
       Map("num_shards" -> idx.numShards.toString))
+  }
+
+  /** Persist a SEGMENTED deployment (main + open segments) under the
+    * unified manifest — the durability leg of the LSM tier: without
+    * it a restart either loses the open segments or must compact
+    * them into main first, paying exactly the O(index) rewrite the
+    * segment tier exists to amortize. Layout is two fixed parts —
+    * `main` (a nested [[saveHnswIndex]] artifact, its own manifest
+    * riding inside) and `segments`, ALL open segments as one parquet
+    * tagged by `seg_id` — so overwriting an older save with a
+    * different segment count can never leave a stale segment
+    * directory behind. Segments are single-shard by construction
+    * ([[hnswAppendSegment]] builds them that way; asserted at save),
+    * so flattening them into one table loses nothing.
+    */
+  def saveHnswSegmented(seg: HnswSegmented, path: String): Unit = {
+    require(seg.segments.forall(_.numShards == 1),
+      "segment tier persists single-shard segments only (appendSegment builds them)")
+    saveHnswIndex(seg.main, s"$path/main")
+    seg.segments.zipWithIndex
+      .map { case (ix, i) => ix.nodes.withColumn("seg_id", lit(i)) }
+      .reduceOption(_ unionByName _)
+      .getOrElse(seg.main.nodes.filter(lit(false)).withColumn("seg_id", lit(0)))
+      .write.mode("overwrite").parquet(s"$path/segments")
+    IndexManifest.write(seg.main.nodes.sparkSession, path,
+      "ann_hnsw_segmented", Seq("main", "segments"),
+      Map("num_segments" -> seg.segments.length.toString))
+  }
+
+  def loadHnswSegmented(spark: SparkSession, path: String): HnswSegmented = {
+    val params = IndexManifest
+      .validate(spark, path, "ann_hnsw_segmented", Seq("main", "segments"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no segmented-index manifest at $path"))
+    val n = params("num_segments").toInt
+    val segNodes = spark.read.parquet(s"$path/segments")
+    val segments = (0 until n).toList.map { i =>
+      HnswIndex(segNodes.filter(col("seg_id") === i).drop("seg_id")
+        .select("shard", "vec_id", "v", "norm", "lnbrs"), 1)
+    }
+    HnswSegmented(loadHnswIndex(spark, s"$path/main"), segments)
   }
 
   def loadHnswIndex(spark: SparkSession, path: String): HnswIndex = {

@@ -116,6 +116,60 @@ class ManifestSpec extends SparkSuite {
       && drift.getMessage.contains("drifted"), drift.getMessage)
   }
 
+  test("segmented ANN tiers persist open segments; loaded tier serves and resumes") {
+    // without this leg a restart of the LSM tier loses its open
+    // segments or must compact first — the O(index) rewrite the tier
+    // exists to amortize. Save → load must preserve the serve surface
+    // exactly, and appending/compacting on the LOADED tier must equal
+    // doing so on the original.
+    import org.apache.spark.sql.functions.col
+    val corpus = Similarity.vecs(spark, sfDir).toDF("vec_id", "v", "norm")
+    val main = Similarity.hnswIndexOf(corpus.filter(col("vec_id") < 400))
+    val seg1 = corpus.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+      .select("vec_id", "v")
+    val seg2 = corpus.filter(col("vec_id") >= 450).select("vec_id", "v")
+    val tier = Similarity.hnswAppendSegment(
+      Similarity.hnswAppendSegment(Similarity.HnswSegmented(main, Nil), seg1),
+      seg2)
+    val path = tmp("man_hseg")
+    Similarity.saveHnswSegmented(tier, path)
+    val loaded = Similarity.loadHnswSegmented(spark, path)
+    assert(loaded.segments.length == 2)
+    val probes = corpus.limit(20)
+    def serve(t: Similarity.HnswSegmented) =
+      Similarity.annHnswSearchSegmented(t, probes).collect().map(_.toSeq).toSeq
+    assert(serve(loaded) == serve(tier),
+      "loaded segmented tier serves differently than the saved one")
+    // resume: compaction on the loaded tier equals compaction on the
+    // original (both fold the same segments into the same main)
+    val cCont = Similarity.compactHnswSegments(tier)
+    val cRes = Similarity.compactHnswSegments(loaded)
+    assert(cRes.segments.isEmpty && cCont.segments.isEmpty)
+    assert(cRes.main.nodes.collect().map(_.toSeq).toSet ==
+      cCont.main.nodes.collect().map(_.toSeq).toSet,
+      "compaction after reload diverges from the continuous tier")
+    // empty-segment save round-trips (the fresh-deployment shape)
+    val path0 = tmp("man_hseg0")
+    Similarity.saveHnswSegmented(Similarity.HnswSegmented(main, Nil), path0)
+    assert(Similarity.loadHnswSegmented(spark, path0).segments.isEmpty)
+    // NSW dual + the cross-family guard between the two segmented tiers
+    val ntier = Similarity.nswAppendSegment(
+      Similarity.NswSegmented(Similarity.graphIndexOf(
+        corpus.filter(col("vec_id") < 450)), Nil), seg2)
+    val npath = tmp("man_nseg")
+    Similarity.saveNswSegmented(ntier, npath)
+    val nloaded = Similarity.loadNswSegmented(spark, npath)
+    assert(Similarity.annGraphSearchSegmented(nloaded, probes).collect()
+      .map(_.toSeq).toSeq ==
+      Similarity.annGraphSearchSegmented(ntier, probes).collect()
+        .map(_.toSeq).toSeq)
+    val wrongSeg = intercept[IllegalArgumentException] {
+      Similarity.loadNswSegmented(spark, path)
+    }
+    assert(wrongSeg.getMessage.contains("ann_hnsw_segmented"),
+      wrongSeg.getMessage)
+  }
+
   test("rolling gates persist under the manifest; serving re-derives and resumes") {
     // the gate tier was the one standing artifact that died with the
     // session: every probe answer must survive save → load (serving

@@ -1465,6 +1465,71 @@ class StreamingSpec extends SparkSuite {
     idx0.nodes.unpersist(): Unit
   }
 
+  test("segment maintenance resumed from a saved tier equals the continuous run") {
+    // the durability leg of the LSM tier: fold batch 1, SAVE the tier
+    // with its open segment, reload as `initial`, fold batches 2-3 —
+    // batch 2 crosses the compaction bar, so the RELOADED segment must
+    // participate in the one-rewrite fold exactly like the in-memory
+    // one. Serve surface and main contents must equal the unbroken
+    // 3-batch run (compaction inserts in id order, so parity is exact).
+    import graft.operators.Similarity
+    val idx0 = Similarity.hnswIndex(spark, sfDir)
+    idx0.nodes.cache().count(): Unit
+    val emb = Tables.embeddings(spark, sfDir)
+    val twins = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 4000000L).as("vec_id"), col("embedding"))
+    def stage(dir: String, parts: Seq[(Long, Long)]): Unit =
+      parts.foreach { case (lo, hi) =>
+        twins.filter(col("vec_id") >= 4000000L + lo
+          && col("vec_id") < 4000000L + hi).coalesce(1)
+          .write.mode("append").parquet(dir): Unit
+      }
+    def fold(srcDir: String, initial: Similarity.HnswSegmented)
+        : Similarity.HnswSegmented = {
+      val stream = spark.readStream.schema(twins.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      var live = initial
+      val ckpt = java.nio.file.Files.createTempDirectory("hsr_ckpt").toString
+      val q = TickStream.hnswSegmentMaintainStream(stream, live,
+        maxSegments = 2) { (s, _) => live = s }
+        .option("checkpointLocation", ckpt).start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      live
+    }
+    // continuous: all three batches through one stream
+    val srcAll = java.nio.file.Files.createTempDirectory("hsr_all").toString
+    stage(srcAll, Seq((0L, 2L), (2L, 4L), (4L, 5L)))
+    val cont = fold(srcAll, Similarity.HnswSegmented(idx0, Nil))
+    // resumed: batch 1 → save → load → batches 2-3
+    val srcA = java.nio.file.Files.createTempDirectory("hsr_a").toString
+    stage(srcA, Seq((0L, 2L)))
+    val afterB1 = fold(srcA, Similarity.HnswSegmented(idx0, Nil))
+    assert(afterB1.segments.length == 1, "batch 1 should open one segment")
+    val savePath = java.nio.file.Files.createTempDirectory("hsr_save")
+      .toString + "/tier"
+    Similarity.saveHnswSegmented(afterB1, savePath)
+    val loaded = Similarity.loadHnswSegmented(spark, savePath)
+    val srcB = java.nio.file.Files.createTempDirectory("hsr_b").toString
+    stage(srcB, Seq((2L, 4L), (4L, 5L)))
+    val resumed = fold(srcB, loaded)
+    // same tier shape (batch 2 compacted, batch 3 reopened a segment),
+    // same main contents, same serve surface
+    assert(resumed.segments.length == cont.segments.length
+      && resumed.segments.length == 1)
+    assert(resumed.main.nodes.collect().map(_.toSeq).toSet ==
+      cont.main.nodes.collect().map(_.toSeq).toSet,
+      "resumed compaction diverges from the continuous tier")
+    val probes = Similarity.vecs(spark, sfDir)
+      .toDF("vec_id", "v", "norm").filter(col("vec_id") < 5)
+      .toDF("probe_id", "p_v", "p_norm")
+    def serve(t: Similarity.HnswSegmented) =
+      Similarity.annHnswSearchSegmented(t, probes, excludeSelf = true)
+        .collect().map(_.toSeq).toSeq
+    assert(serve(resumed) == serve(cont),
+      "resumed tier serves differently than the continuous run")
+    idx0.nodes.unpersist(): Unit
+  }
+
   test("registry maintenance stream refreshes on the arrival trigger, full registries swap") {
     import graft.operators.{Forecast, Warehouse}
     val schema = Tables.events(spark, sfDir).schema
