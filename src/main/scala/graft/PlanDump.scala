@@ -66,6 +66,7 @@ object PlanDump {
     dump("q_shard_order", operators.Curation.shardOrder(spark, dir))
     dump("q_source_overlap", operators.Dedup.sourceOverlap(spark, dir))
     dump("q_curation_funnel", operators.Curation.curationFunnel(spark, dir))
+    dump("q_dsir_resample", operators.Curation.dsirResample(spark, dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plandump] wrote PLANS.md")
     spark.stop()

@@ -1024,6 +1024,51 @@ object Curation {
     hashedImportanceScore(docs, hashedImportanceModel(docs)).orderBy("doc_id")
   }
 
+  /** DSIR's RESAMPLING step — the half of Xie et al. §3 the weight
+    * queries stop short of: draw the training subset WITHOUT
+    * replacement with probability ∝ exp(log_weight), as Gumbel top-k
+    * (Vieira 2014): key = log_weight + Gumbel(u), keep the k = n/4
+    * largest keys. The uniforms are the SAME deterministic doc_id
+    * hash [[mixtureSample]] uses (offset to (0,1) so the double log
+    * is finite), so the draw is reproducible and hash-exact against
+    * the oracle.
+    *
+    * Scale shape: selection is `orderBy(key desc).limit(k)` —
+    * Spark's TakeOrderedAndProject, a per-partition top-k + driver
+    * merge of k-row heaps, NOT a global sort; no single-partition
+    * window anywhere. k comes from one count aggregate (parquet
+    * metadata count at scan level).
+    */
+  def dsirResample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val k = (docs.count() / 4).toInt
+    val u = ((col("doc_id") % lit(1000003L)) * lit(2654435761L)
+      % lit(1000000L) + lit(0.5)) / lit(1e6)
+    importanceWeightsDocs(docs)
+      .withColumn("sample_key", round(col("log_weight") - log(-log(u)), 6))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "sample_key", "n_tokens")
+      .orderBy("doc_id")
+  }
+
+  def dsirResampleSql: String =
+    s"""WITH iw AS (${importanceWeightsSql}
+      |), g AS (
+      |  SELECT doc_id, n_tokens,
+      |    round(log_weight - ln(-ln(
+      |      ((doc_id % 1000003 * 2654435761) % 1000000 + 0.5) / 1000000.0)),
+      |      6) AS sample_key
+      |  FROM iw
+      |), r AS (
+      |  SELECT g.*,
+      |    row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rk,
+      |    count(*) OVER () AS n
+      |  FROM g
+      |)
+      |SELECT doc_id, sample_key, n_tokens FROM r
+      |WHERE rk <= n // 4 ORDER BY doc_id""".stripMargin
+
   // ----------------------------------------------- full Gopher rule set
 
   /** The Gopher document-quality stop-word set (Rae et al. 2021,

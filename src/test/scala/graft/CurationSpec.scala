@@ -250,6 +250,38 @@ class CurationSpec extends SparkSuite {
       "hashed scores should broadly agree with the exact model")
   }
 
+  test("DSIR resample draws the Gumbel top-quarter, enriching the target domain") {
+    val docs = Tables.documents(spark, sfDir)
+    val n = docs.count()
+    val sel = Curation.dsirResample(spark, sfDir).collect()
+    assert(sel.length.toLong == n / 4, s"${sel.length} selected of $n")
+    // the draw is exactly the top-k of log_weight + Gumbel(u) with the
+    // documented deterministic uniforms — recompute it driver-side
+    val w = Curation.importanceWeights(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_weight")).toMap
+    def key(id: Long): Double = {
+      val u = ((id % 1000003L) * 2654435761L % 1000000L + 0.5) / 1e6
+      BigDecimal(w(id) - math.log(-math.log(u)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = w.keys.toSeq.sortBy(id => (-key(id), id)).take((n / 4).toInt)
+    assert(sel.map(_.getAs[Long]("doc_id")).toSet == expect.toSet,
+      "selected set is not the Gumbel top-k of the importance weights")
+    sel.foreach { r =>
+      assert(math.abs(r.getAs[Double]("sample_key")
+        - key(r.getAs[Long]("doc_id"))) < 1e-9)
+    }
+    // resampling ∝ exp(weight) must ENRICH the target domain relative
+    // to its corpus share — the entire point of the draw
+    val src = docs.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val corpusShare = src.values.count(_ == "src0").toDouble / src.size
+    val selShare = sel.count(r =>
+      src(r.getAs[Long]("doc_id")) == "src0").toDouble / sel.length
+    assert(selShare > corpusShare,
+      s"target share $selShare !> corpus share $corpusShare")
+  }
+
   test("hashed DSIR features see word order (bigrams)") {
     import spark.implicits._
     // target phrasing "alpha beta", off-domain phrasing reversed; the
