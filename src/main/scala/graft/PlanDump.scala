@@ -67,6 +67,8 @@ object PlanDump {
     dump("q_source_overlap", operators.Dedup.sourceOverlap(spark, dir))
     dump("q_curation_funnel", operators.Curation.curationFunnel(spark, dir))
     dump("q_dsir_resample", operators.Curation.dsirResample(spark, dir))
+    dump("q_knn_classify", operators.Similarity.knnClassify(spark, dir))
+    dump("q_lang_id_eval", operators.TextOps.langIdEval(spark, dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plandump] wrote PLANS.md")
     spark.stop()

@@ -74,6 +74,83 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** kNN LABEL CLASSIFICATION — similarity search put to work: a
+    * deterministic quarter of the corpus (vec_id % 4 = 0) is
+    * classified by majority vote over its [[TopK]] exact-cosine
+    * neighbors' `label`s (ties: larger vote count, then smaller
+    * label), scored against the vector's own gold label. The eval
+    * surface that says whether the embedding space separates the
+    * classes well enough for retrieval-based labeling.
+    *
+    * Scale shape: the probe sample rides broadcast through the ONE
+    * shared brute-force kernel ([[cosineScores]]), corpus scanned
+    * once, then all work is on the top-k rows (probes × k). At
+    * production scale the exact kernel swaps for any ANN serve with
+    * the identical (probe_id, neighbor_id) surface — the recall
+    * probes quantify exactly what that substitution costs.
+    */
+  def knnClassify(spark: SparkSession, dir: String): DataFrame =
+    knnClassifyOn(vecs(spark, dir).toDF("vec_id", "v", "norm"),
+      Tables.embeddings(spark, dir).select("vec_id", "label"))
+
+  /** [[knnClassify]] over an explicit corpus/label pair — the spec
+    * plants label-pure blobs through this to prove the vote mechanics
+    * (the testdata's `label` column is independent of the embedding
+    * geometry, so accuracy there is chance by construction).
+    */
+  private[graft] def knnClassifyOn(corpus: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val probes = corpus.filter(col("vec_id") % 4 === 0)
+      .toDF("probe_id", "p_v", "p_norm")
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val topk = cosineScores(corpus, probes)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .join(labels, "vec_id")
+    val wv = Window.partitionBy("probe_id")
+      .orderBy(col("votes").desc, col("label"))
+    topk.groupBy("probe_id", "label")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+      .select(col("probe_id"), col("label").as("predicted_label"),
+        col("votes"))
+      .join(labels.toDF("probe_id", "label"), "probe_id")
+      .select(col("probe_id"), col("label"), col("predicted_label"),
+        col("votes"),
+        (col("label") === col("predicted_label")).as("is_match"))
+      .orderBy("probe_id")
+  }
+
+  def knnClassifySql: String =
+    s"""WITH $embNormCteSql, scored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(c.v, p.v), z -> z[1] * z[2]))
+       |      / (c.norm * p.norm) AS cos
+       |  FROM e c JOIN e p ON p.vec_id % 4 = 0 AND c.vec_id <> p.vec_id
+       |), ranked AS (
+       |  SELECT probe_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |), votes AS (
+       |  SELECT t.probe_id, l.label, count(*)::BIGINT AS votes
+       |  FROM ranked t JOIN embeddings l ON l.vec_id = t.neighbor_id
+       |  WHERE t.rank <= $TopK
+       |  GROUP BY t.probe_id, l.label
+       |), pred AS (
+       |  SELECT probe_id, label AS predicted_label, votes,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY votes DESC, label) AS vr
+       |  FROM votes
+       |)
+       |SELECT p.probe_id, g.label, p.predicted_label, p.votes,
+       |  (g.label = p.predicted_label) AS is_match
+       |FROM pred p JOIN embeddings g ON g.vec_id = p.probe_id
+       |WHERE p.vr = 1
+       |ORDER BY p.probe_id""".stripMargin
+
   /** The embeddings-with-norm CTE body shared by every SQL dual that
     * scores exact cosines (annBruteForceSql, hybridSearchSql) — one
     * definition so the duals cannot drift.

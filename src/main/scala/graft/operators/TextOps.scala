@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline,
@@ -202,6 +203,36 @@ object TextOps {
        |          string_split_regex(trim(text), '\\s+') AS ws
        |        FROM documents))
        |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID EVALUATION — the confusion matrix of [[langId]]
+    * against the corpus' gold `lang` labels, the report that decides
+    * whether the heuristic is good enough to route documents: per
+    * (gold, predicted) cell count, the gold class total, and recall
+    * in ppm (integer arithmetic — `DIV` here, `//` in the oracle — so
+    * the ratio is hash-exact, the same trick the samplers use).
+    *
+    * Scale shape: one aggregation over the classifier projection to a
+    * languages² sized result; the window runs on the aggregated
+    * cells, not the corpus.
+    */
+  def langIdEval(spark: SparkSession, dir: String): DataFrame =
+    langId(spark, dir)
+      .groupBy("lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("n_gold",
+        sum("n_docs").over(Window.partitionBy("lang")))
+      .withColumn("recall_ppm", expr("n_docs * 1000000 DIV n_gold"))
+      .orderBy("lang", "predicted_lang")
+
+  def langIdEvalSql: String =
+    s"""WITH li AS (${langIdSql.replace("ORDER BY doc_id", "")}
+       |)
+       |SELECT lang, predicted_lang, count(*)::BIGINT AS n_docs,
+       |  sum(count(*)) OVER (PARTITION BY lang)::BIGINT AS n_gold,
+       |  ((count(*) * 1000000) // (sum(count(*)) OVER (PARTITION BY lang)))::BIGINT
+       |    AS recall_ppm
+       |FROM li GROUP BY lang, predicted_lang
+       |ORDER BY lang, predicted_lang""".stripMargin
 
   /** Fixed-size document chunking with overlap — the
     * context-window-preparation op of a training pipeline: each doc

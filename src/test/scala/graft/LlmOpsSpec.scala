@@ -43,6 +43,79 @@ class LlmOpsSpec extends SparkSuite {
     assert(df.count() == Tables.documents(spark, sfDir).count())
   }
 
+  test("langIdEval confusion matrix reconciles with the per-doc classifier") {
+    val cells = TextOps.langIdEval(spark, sfDir).collect()
+    val docs = TextOps.langId(spark, sfDir)
+      .select("lang", "predicted_lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    // cells sum to the corpus; every cell count matches a driver-side
+    // recount; recall_ppm is the documented integer ratio
+    assert(cells.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    val recount = docs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val goldTotals = docs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    cells.foreach { c =>
+      val k = (c.getAs[String]("lang"), c.getAs[String]("predicted_lang"))
+      assert(c.getAs[Long]("n_docs") == recount(k), s"cell $k")
+      assert(c.getAs[Long]("n_gold") == goldTotals(k._1))
+      assert(c.getAs[Long]("recall_ppm") ==
+        c.getAs[Long]("n_docs") * 1000000L / c.getAs[Long]("n_gold"))
+    }
+    // the heuristic must beat uniform 5-way chance on its gold labels
+    val correct = cells.filter(c =>
+      c.getAs[String]("lang") == c.getAs[String]("predicted_lang"))
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(correct.toDouble / docs.length > 0.2,
+      s"diagonal mass $correct of ${docs.length}")
+  }
+
+  test("knnClassify labels the probe sample from its neighbors") {
+    val res = Similarity.knnClassify(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(res.length.toLong == (n + 3) / 4, s"${res.length} probes of $n")
+    // EVERY probe's prediction reconciles with a driver-side recount
+    // of the exact top-10 vote (cos desc / id ranks, vote-count desc /
+    // label tie-breaks — the full documented decision path)
+    val emb = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray,
+          r.getAs[Int]("label"))).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    res.foreach { r =>
+      val pid = r.getAs[Long]("probe_id")
+      val pv = emb(pid)._1
+      val top = emb.toSeq.filter(_._1 != pid)
+        .map { case (id, (v, l)) => (id, cos(pv, v), l) }
+        .sortBy { case (id, c, _) => (-c, id) }.take(10)
+      val (expectLabel, expectVotes) = top.groupBy(_._3).view
+        .mapValues(_.size).toSeq.sortBy { case (l, c) => (-c, l) }.head
+      assert(r.getAs[Int]("predicted_label") == expectLabel
+        && r.getAs[Long]("votes") == expectVotes.toLong
+        && r.getAs[Boolean]("is_match") == (expectLabel == emb(pid)._2),
+        s"probe $pid: got $r, driver says ($expectLabel, $expectVotes)")
+    }
+    // vote mechanics on label-PURE planted blobs: three tight clusters
+    // around orthogonal centers, labels = blob id → accuracy must be
+    // exactly 1.0 (testdata labels are independent of geometry, so the
+    // real-corpus leg above can only check reconciliation)
+    import spark.implicits._
+    val rnd = new java.util.Random(11L)
+    val blobs = (0 until 60).map { i =>
+      val b = i % 3
+      val v = Array.tabulate(6)(j =>
+        (if (j == b * 2) 10.0 else 0.0) + rnd.nextGaussian() * 0.05)
+      (i.toLong, v.toSeq, b)
+    }
+    val corpus = blobs.map { case (id, v, _) => (id, v) }.toDF("vec_id", "v")
+      .withColumn("norm", sqrt(graft.operators.Dedup.dot(col("v"), col("v"))))
+    val labels = blobs.map { case (id, _, b) => (id, b) }.toDF("vec_id", "label")
+    val planted = Similarity.knnClassifyOn(corpus, labels).collect()
+    assert(planted.length == 15 && planted.forall(_.getAs[Boolean]("is_match")),
+      "planted blobs must classify perfectly")
+  }
+
   test("chunkDocs covers every document with overlapping chunks") {
     val chunks = TextOps.chunkDocs(spark, sfDir)
     assert(chunks.select("doc_id").distinct().count() ==
