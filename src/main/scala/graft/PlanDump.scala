@@ -69,6 +69,7 @@ object PlanDump {
     dump("q_dsir_resample", operators.Curation.dsirResample(spark, dir))
     dump("q_knn_classify", operators.Similarity.knnClassify(spark, dir))
     dump("q_lang_id_eval", operators.TextOps.langIdEval(spark, dir))
+    dump("q_session_gaps", operators.Warehouse.sessionGaps(spark, dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plandump] wrote PLANS.md")
     spark.stop()

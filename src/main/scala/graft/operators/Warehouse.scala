@@ -359,6 +359,48 @@ object Warehouse {
       |WHERE user_id NOT IN (SELECT c_custkey FROM customer)
       |ORDER BY event_id""".stripMargin
 
+  /** SESSION-GAP report — the data-completeness surface a market
+    * warehouse alerts on: for each symbol, every WEEKDAY inside its
+    * own [first, last] valid-trading-day span that has zero valid
+    * ticks. (Holidays land here by design — absent a holiday
+    * calendar, a gap is a gap; growing the calendar is a broadcast
+    * anti-join away, same note as [[tradingHoursOf]].)
+    *
+    * Scale shape: one distinct-shuffle compacts ticks to (symbol,
+    * day); spans are a symbol-sized aggregate, the calendar explodes
+    * from THAT (rows = symbols × span-days, not ticks), and the
+    * anti-join shuffles only the two day-level sides on the same key.
+    */
+  def sessionGaps(spark: SparkSession, dir: String): DataFrame = {
+    val days = validTicksOf(Tables.events(spark, dir))
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val cal = days.groupBy("user_id")
+      .agg(min("d").as("d0"), max("d").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("d"))
+      .filter(dayofweek(col("d")).between(2, 6))
+    cal.join(days, Seq("user_id", "d"), "left_anti")
+      .select(col("user_id"), col("d").as("gap_date"))
+      .orderBy("user_id", "gap_date")
+  }
+
+  def sessionGapsSql: String =
+    """WITH v AS (
+      |  SELECT DISTINCT user_id, ts::DATE AS d
+      |  FROM events
+      |  WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)
+      |    AND user_id IS NOT NULL
+      |), s AS (
+      |  SELECT user_id, min(d) AS d0, max(d) AS d1 FROM v GROUP BY user_id
+      |), cal AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+      |  FROM s
+      |)
+      |SELECT cal.user_id, cal.d AS gap_date
+      |FROM cal LEFT JOIN v ON v.user_id = cal.user_id AND v.d = cal.d
+      |WHERE isodow(cal.d) <= 5 AND v.user_id IS NULL
+      |ORDER BY 1, 2""".stripMargin
+
   /** Weekly OHLCV candles — the dashboard's coarse time-window view
     * (same rollup as [[candles]] at week granularity; both engines
     * start weeks on Monday).

@@ -160,6 +160,28 @@ class WarehouseSpec extends SparkSuite {
       .collect().toSeq == Seq(graft.operators.ErrorLedger.Component))
   }
 
+  test("sessionGaps reports exactly the tickless weekdays inside each span") {
+    import org.apache.spark.sql.functions._
+    val gaps = Warehouse.sessionGaps(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Date]("gap_date").toLocalDate)).toSet
+    val tickDays = Warehouse.validTicks(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date]("d").toLocalDate))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // driver-side recount: for every symbol, walk its own span and
+    // collect weekdays with no tick — must equal the query exactly
+    val expect = tickDays.iterator.flatMap { case (uid, days) =>
+      Iterator.iterate(days.min)(_.plusDays(1))
+        .takeWhile(!_.isAfter(days.max))
+        .filter(d => d.getDayOfWeek.getValue <= 5 && !days.contains(d))
+        .map(uid -> _)
+    }.toSet
+    assert(gaps == expect,
+      s"${gaps.size} reported vs ${expect.size} recounted")
+  }
+
   test("priceFfill: contiguous calendar grid, carried closes, exact flags") {
     import org.apache.spark.sql.functions._
     val rows = Warehouse.priceFfill(spark, sfDir).collect()
