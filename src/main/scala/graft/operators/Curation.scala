@@ -534,6 +534,38 @@ object Curation {
       |  h AS sort_key
       |FROM s ORDER BY shard, pos""".stripMargin
 
+  /** Deterministic train/val/test ASSIGNMENT, keyed on CONTENT, not
+    * id: the split bucket comes from md5 of the text bytes, so
+    * byte-identical duplicates can never straddle splits — the
+    * cheapest structural guard against train/test leakage through
+    * unnoticed dups (near-dups still need q_decontaminate; this
+    * closes the exact-copy channel at assignment time). 900/50/50
+    * per-mille buckets on the first 24 hash bits (engine-portable,
+    * same [[shardOrder]] idiom). Pure per-row projection: zero
+    * shuffle at any scale, streams unchanged.
+    */
+  def dataSplit(spark: SparkSession, dir: String): DataFrame =
+    dataSplitDocs(Tables.documents(spark, dir))
+
+  private[graft] def dataSplitDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        (expr("conv(substring(md5(cast(text AS binary)), 1, 6), 16, 10)")
+          .cast("long") % 1000).as("b"))
+      .select(col("doc_id"),
+        when(col("b") < 900, "train").when(col("b") < 950, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  def dataSplitSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id, ('0x' || substr(md5(text), 1, 6))::BIGINT % 1000 AS b
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ data mixing
 
   /** Per-source (domain) corpus statistics — the inputs a data-mixing

@@ -250,6 +250,36 @@ class CurationSpec extends SparkSuite {
       "hashed scores should broadly agree with the exact model")
   }
 
+  test("dataSplit is content-keyed: duplicates share a split, shares hold") {
+    val res = Curation.dataSplit(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(res.keySet == docs.map(_._1).toSet, "every doc assigned")
+    // byte-identical texts can never straddle splits — the leakage
+    // guard the content key exists for (holds on the real corpus AND
+    // on planted cross-id duplicates)
+    docs.groupBy(_._2).values.foreach { g =>
+      assert(g.map(d => res(d._1)).distinct.length == 1,
+        s"texts equal, splits differ: ${g.map(_._1).toSeq}")
+    }
+    import spark.implicits._
+    val planted = (0 until 40).map(i => (i.toLong, s"dup text ${i % 10}"))
+      .toDF("doc_id", "text")
+    val ps = Curation.dataSplitDocs(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    (0 until 10).foreach { k =>
+      val ids = (0 until 40).filter(_ % 10 == k).map(_.toLong)
+      assert(ids.map(ps).distinct.length == 1, s"dup group $k split apart")
+    }
+    // shares: buckets are uniform-ish, so train must dominate and the
+    // held-out sides exist at corpus size (wide tolerance — the spec
+    // pins structure, not the RNG)
+    val shares = res.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(shares("train").toDouble / res.size > 0.8)
+    assert(shares.getOrElse("val", 0) + shares.getOrElse("test", 0) > 0)
+  }
+
   test("DSIR resample draws the Gumbel top-quarter, enriching the target domain") {
     val docs = Tables.documents(spark, sfDir)
     val n = docs.count()
