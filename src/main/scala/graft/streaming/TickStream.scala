@@ -785,6 +785,43 @@ object TickStream extends Serializable {
     }(onUpdate)
   }
 
+  /** [[hnswSegmentMaintainStream]]'s flat-NSW dual — the same
+    * open-segment / compaction-bar economics for deployments running
+    * single-layer NSW ([[graft.operators.Similarity.NswSegmented]]):
+    * identical pin/retire discipline, only the append and compaction
+    * legs differ (single-layer build, [[graft.operators.Similarity
+    * .compactNswSegments]]'s one-rewrite fold).
+    */
+  def nswSegmentMaintainStream(embStream: DataFrame,
+      initial: graft.operators.Similarity.NswSegmented,
+      maxSegments: Int = 8, maxDeg: Int = 8, efConstruction: Int = 32)(
+      onUpdate: (graft.operators.Similarity.NswSegmented, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var retiring: List[DataFrame] = Nil
+    val initialNodes = (initial.main +: initial.segments).map(_.nodes).toSet
+    maintainStream(embStream, initial) { (seg0, batch, _) =>
+      val vecs = batch.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val appended = graft.operators.Similarity
+        .nswAppendSegment(seg0, vecs, maxDeg, efConstruction)
+      val pinned = appended.segments.init :+
+        appended.segments.last.copy(
+          nodes = appended.segments.last.nodes.localCheckpoint(true))
+      val opened = appended.copy(segments = pinned)
+      retiring.foreach(org.apache.spark.sql.GraftShim.unpersistCheckpoint)
+      retiring = Nil
+      val seg = if (opened.segments.length >= maxSegments) {
+        val compacted = graft.operators.Similarity
+          .compactNswSegments(opened, maxDeg, efConstruction)
+        retiring = (opened.main +: opened.segments).map(_.nodes)
+          .filterNot(initialNodes).toList
+        graft.operators.Similarity.NswSegmented(
+          compacted.main.copy(
+            nodes = compacted.main.nodes.localCheckpoint(true)), Nil)
+      } else opened
+      (seg, Seq(seg))
+    }(onUpdate)
+  }
+
   /** Streaming REGISTRY MAINTENANCE — the refresh cadence of
     * [[graft.operators.Forecast.refreshModelRegistry]] driven by the
     * live tick stream (the ingest-side dual of [[forecastServeStream]],

@@ -1530,6 +1530,53 @@ class StreamingSpec extends SparkSuite {
     idx0.nodes.unpersist(): Unit
   }
 
+  test("flat-NSW segment maintenance mirrors the HNSW tier's economics") {
+    import graft.operators.Similarity
+    val idx0 = Similarity.graphIndex(spark, sfDir)
+    idx0.nodes.cache().count(): Unit
+    val n0 = idx0.nodes.count()
+    val emb = Tables.embeddings(spark, sfDir)
+    val twins = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 4000000L).as("vec_id"), col("embedding"))
+    val srcDir = java.nio.file.Files.createTempDirectory("nseg_src").toString
+    twins.filter(col("vec_id") < 4000002L).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    twins.filter(col("vec_id") >= 4000002L && col("vec_id") < 4000004L)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    twins.filter(col("vec_id") >= 4000004L).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val stream = spark.readStream.schema(twins.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val traj = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    var live = Similarity.NswSegmented(idx0, Nil)
+    val ckpt = java.nio.file.Files.createTempDirectory("nseg_ckpt").toString
+    val q = TickStream.nswSegmentMaintainStream(stream, live,
+      maxSegments = 2) { (s, _) =>
+      live = s
+      traj += s.segments.length -> s.main.nodes.count(): Unit
+    }.option("checkpointLocation", ckpt).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // batch 1 opens a segment (main untouched); batch 2 hits the bar
+    // and compacts both into main; batch 3 opens a fresh segment
+    assert(traj.toSeq == Seq(1 -> n0, 0 -> (n0 + 4), 1 -> (n0 + 4)),
+      s"segment/main trajectory was $traj")
+    // every streamed twin is its probe's rank-1 neighbor, whether it
+    // now lives in main (compacted) or the open segment
+    val probes = Similarity.vecs(spark, sfDir)
+      .toDF("vec_id", "v", "norm").filter(col("vec_id") < 5)
+      .toDF("probe_id", "p_v", "p_norm")
+    val res = Similarity.annGraphSearchSegmented(live, probes,
+      excludeSelf = true).collect()
+    val byProbe = res.groupBy(_.getAs[Long]("probe_id"))
+    (0L until 5L).foreach { p =>
+      val top = byProbe(p).minBy(_.getAs[Int]("rank"))
+      assert(top.getAs[Long]("neighbor_id") == p + 4000000L,
+        s"probe $p: expected its streamed twin first, got $top")
+      assert(math.abs(top.getAs[Double]("cosine") - 1.0) < 1e-6)
+    }
+    idx0.nodes.unpersist(): Unit
+  }
+
   test("registry maintenance stream refreshes on the arrival trigger, full registries swap") {
     import graft.operators.{Forecast, Warehouse}
     val schema = Tables.events(spark, sfDir).schema
