@@ -71,6 +71,7 @@ object PlanDump {
     dump("q_lang_id_eval", operators.TextOps.langIdEval(spark, dir))
     dump("q_session_gaps", operators.Warehouse.sessionGaps(spark, dir))
     dump("q_data_split", operators.Curation.dataSplit(spark, dir))
+    dump("q_data_split_cluster", operators.Curation.dataSplitCluster(spark, dir))
     java.nio.file.Files.writeString(java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
     println("[plandump] wrote PLANS.md")
     spark.stop()

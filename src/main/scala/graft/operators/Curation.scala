@@ -566,6 +566,48 @@ object Curation {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** CLUSTER-cohesive split — [[dataSplit]] extended to near-dups:
+    * every document is assigned by its near-dup cluster
+    * REPRESENTATIVE's content hash ([[Dedup.dedupCanonical]]'s
+    * selection), so an entire near-dup cluster lands in one split and
+    * the near-duplicate leakage channel closes too (exact dups are a
+    * special case: same text → same canonical). Singletons reduce to
+    * [[dataSplit]] exactly (their canonical is themselves —
+    * spec-pinned).
+    *
+    * Scale shape: the canonical map is the standing artifact the
+    * incremental dedup tier already maintains (at 100 TB this query
+    * reads it rather than re-resolving components); the only new work
+    * is one equi-join of (doc → canonical) against the rep's bucket
+    * projection on the canonical key.
+    */
+  def dataSplitCluster(spark: SparkSession, dir: String): DataFrame = {
+    val canon = Dedup.dedupCanonical(spark, dir)
+      .select(col("doc_id"), col("canonical_id"))
+    val repBucket = Tables.documents(spark, dir)
+      .select(col("doc_id").as("canonical_id"),
+        (expr("conv(substring(md5(cast(text AS binary)), 1, 6), 16, 10)")
+          .cast("long") % 1000).as("b"))
+    canon.join(repBucket, "canonical_id")
+      .select(col("doc_id"), col("canonical_id"),
+        when(col("b") < 900, "train").when(col("b") < 950, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  def dataSplitClusterSql: String =
+    s"""WITH RECURSIVE ${Dedup.clusterClosureCtes},
+      |${Dedup.canonicalSelectionCte},
+      |rb AS (
+      |  SELECT doc_id, ('0x' || substr(md5(text), 1, 6))::BIGINT % 1000 AS b
+      |  FROM documents
+      |)
+      |SELECT canon.vec_id AS doc_id, canon.canonical_id,
+      |  CASE WHEN rb.b < 900 THEN 'train' WHEN rb.b < 950 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM canon JOIN rb ON rb.doc_id = canon.canonical_id
+      |ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------ data mixing
 
   /** Per-source (domain) corpus statistics — the inputs a data-mixing

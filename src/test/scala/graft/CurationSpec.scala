@@ -280,6 +280,30 @@ class CurationSpec extends SparkSuite {
     assert(shares.getOrElse("val", 0) + shares.getOrElse("test", 0) > 0)
   }
 
+  test("dataSplitCluster keeps whole near-dup clusters in one split") {
+    import graft.operators.Dedup
+    val res = Curation.dataSplitCluster(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("canonical_id"),
+        r.getAs[String]("split")))
+    val clusters = Dedup.dedupCanonical(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(res.map(_._1).toSet == clusters.keySet, "every doc assigned")
+    // cluster cohesion: all members of a cluster share one split
+    res.groupBy(r => clusters(r._1)).values.foreach { g =>
+      assert(g.map(_._3).distinct.length == 1,
+        s"cluster split apart: ${g.toSeq}")
+    }
+    // the assignment is the REPRESENTATIVE's content split: each
+    // canonical doc (and so every singleton) gets exactly what
+    // dataSplit gives it
+    val base = Curation.dataSplit(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    res.foreach { case (_, canonId, split) =>
+      assert(split == base(canonId),
+        s"canonical $canonId: cluster split $split != content split ${base(canonId)}")
+    }
+  }
+
   test("DSIR resample draws the Gumbel top-quarter, enriching the target domain") {
     val docs = Tables.documents(spark, sfDir)
     val n = docs.count()
