@@ -222,4 +222,56 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("SinglePartition"),
       "a single-partition exchange reached the shard-order plan")
   }
+
+  test("dsirResample selects via distributed top-k, never a global sort") {
+    // the Gumbel draw must be TakeOrderedAndProject (per-partition
+    // k-row heaps + driver merge); a global Sort feeding a Limit (or
+    // a SinglePartition rank window) would serialize the corpus
+    // through one task at 100 TB
+    val plan = graft.operators.Curation.dsirResample(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      "a single-partition exchange reached the resample plan")
+  }
+
+  test("data splits are projections; the cluster variant adds one keyed join") {
+    // q_data_split: pure per-row work — zero exchanges besides the
+    // oracle-determinism sort
+    val split = graft.operators.Curation.dataSplit(spark, sfDir)
+    val n = exchanges(split.limit(1))
+    assert(n <= 1, s"dataSplit should not shuffle (got $n exchanges)")
+    // q_data_split_cluster: the rep-bucket leg joins on the canonical
+    // key; the standing canonical side must NOT be re-sorted through
+    // a single partition
+    val plan = graft.operators.Curation.dataSplitCluster(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.replaceAll("(?s)TakeOrderedAndProject.*", "")
+      .contains("SinglePartition"),
+      "a single-partition exchange reached the cluster-split plan")
+  }
+
+  test("knnClassify broadcasts probes and pushes the rank before the exchange") {
+    val plan = graft.operators.Similarity.knnClassify(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // probes and labels ride broadcast joins; the corpus is never the
+    // build side of anything
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(plan).nonEmpty, "probes not broadcast")
+    // the top-k rank is pre-limited map-side (WindowGroupLimit) so
+    // only candidate rows reach the probe_id exchange
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank not pushed below the exchange:\n$plan")
+  }
+
+  test("langIdEval windows over aggregated cells, not the corpus") {
+    val df = graft.operators.TextOps.langIdEval(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the gold-total window must sit above the (lang, predicted)
+    // aggregate — languages² rows — so its partitioning is on the
+    // aggregated key, never a corpus-sized exchange
+    assert(plan.contains("hashpartitioning(lang"),
+      s"window not partitioned on the aggregated gold key:\n$plan")
+  }
 }
