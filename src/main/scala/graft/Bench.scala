@@ -28,7 +28,10 @@ object Bench {
     */
   val extended: Seq[String] = Seq(
     "q_curation_pipeline", "q_line_dedup", "q_tfidf",
-    "q_importance_weights", "q_perplexity", "q_return_corr")
+    "q_importance_weights", "q_perplexity", "q_return_corr",
+    // round 8: the Gumbel resample rides the weights pass + a
+    // distributed top-k — tracked so a sort-shaped regression shows
+    "q_dsir_resample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -110,6 +110,12 @@ object ScaleProbe {
     // ratio production uses) so per-shard work stays constant
     time("shard_order")(operators.Curation.shardOrderDocs(bigDocs,
       numShards = math.max(8, replicas * 4)))
+    // Gumbel top-k resample: cost = the weights pass + a distributed
+    // top-k (per-partition heaps); must track importance_w, never a
+    // global sort
+    time("dsir_resample")(operators.Curation.dsirResampleDocs(bigDocs))
+    // content-keyed split: a pure projection — must stay flat per row
+    time("data_split")(operators.Curation.dataSplitDocs(bigDocs))
 
     // ANN index families over a replicated embedding corpus (distinct
     // vec_ids per replica; probes stay the fixed vec_id < 5 set).

@@ -1113,8 +1113,10 @@ object Curation {
     * window anywhere. k comes from one count aggregate (parquet
     * metadata count at scan level).
     */
-  def dsirResample(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def dsirResample(spark: SparkSession, dir: String): DataFrame =
+    dsirResampleDocs(Tables.documents(spark, dir))
+
+  private[graft] def dsirResampleDocs(docs: DataFrame): DataFrame = {
     val k = (docs.count() / 4).toInt
     val u = ((col("doc_id") % lit(1000003L)) * lit(2654435761L)
       % lit(1000000L) + lit(0.5)) / lit(1e6)
