@@ -580,6 +580,12 @@ object Curation {
     * reads it rather than re-resolving components); the only new work
     * is one equi-join of (doc → canonical) against the rep's bucket
     * projection on the canonical key.
+    *
+    * Corpus contract (shared with every canonical oracle here): each
+    * embeddings vec_id has a documents row, so the rep-bucket join is
+    * total. If the id spaces ever diverge, a text-less representative
+    * would drop its whole cluster from the assignment — guard
+    * upstream, or fall back to the rep-ID hash for such clusters.
     */
   def dataSplitCluster(spark: SparkSession, dir: String): DataFrame = {
     val canon = Dedup.dedupCanonical(spark, dir)
@@ -1108,16 +1114,29 @@ object Curation {
     * the oracle.
     *
     * Scale shape: selection is `orderBy(key desc).limit(k)` —
-    * Spark's TakeOrderedAndProject, a per-partition top-k + driver
-    * merge of k-row heaps, NOT a global sort; no single-partition
-    * window anywhere. k comes from one count aggregate (parquet
-    * metadata count at scan level).
+    * Spark's TakeOrderedAndProject (per-partition k-row heaps, no
+    * global sort, no rank window). Honest caveat: k here is n/4, so
+    * the final merge still funnels partitions×k rows through one
+    * task — fine at verify/bench scale, but at 100 TB a
+    * quarter-corpus k means the exact-top-k SELECTION itself is the
+    * wrong tool regardless of operator: the production path computes
+    * the k-th key threshold distributively (exact quantile of the
+    * key column) and keeps `key >= threshold` as a filter — same
+    * selected set up to boundary ties, no single-task merge. The
+    * oracle-checked query pins the per-row key math and the
+    * selection semantics that threshold path must reproduce.
     */
   def dsirResample(spark: SparkSession, dir: String): DataFrame =
     dsirResampleDocs(Tables.documents(spark, dir))
 
   private[graft] def dsirResampleDocs(docs: DataFrame): DataFrame = {
-    val k = (docs.count() / 4).toInt
+    // k = quarter of the CORPUS (not of the candidate pool): docs
+    // whose text normalizes to zero words carry no weight row on
+    // either engine, so dividing by the pool would make k depend on
+    // how many empty docs the corpus happens to hold — and the SQL
+    // dual counts corpus rows for the same reason. toIntExact: a
+    // >8.6B-doc corpus must fail loudly, not wrap the limit.
+    val k = math.toIntExact(docs.count() / 4)
     val u = ((col("doc_id") % lit(1000003L)) * lit(2654435761L)
       % lit(1000000L) + lit(0.5)) / lit(1e6)
     importanceWeightsDocs(docs)
@@ -1138,12 +1157,12 @@ object Curation {
       |  FROM iw
       |), r AS (
       |  SELECT g.*,
-      |    row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rk,
-      |    count(*) OVER () AS n
+      |    row_number() OVER (ORDER BY sample_key DESC, doc_id) AS rk
       |  FROM g
       |)
       |SELECT doc_id, sample_key, n_tokens FROM r
-      |WHERE rk <= n // 4 ORDER BY doc_id""".stripMargin
+      |WHERE rk <= (SELECT count(*) FROM documents) // 4
+      |ORDER BY doc_id""".stripMargin
 
   // ----------------------------------------------- full Gopher rule set
 

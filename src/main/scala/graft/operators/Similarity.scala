@@ -108,8 +108,11 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .join(labels, "vec_id")
+    // nulls_last matches DuckDB's default ASC null ordering: a NULL
+    // neighbor label that ties on votes must lose to a real label on
+    // both engines
     val wv = Window.partitionBy("probe_id")
-      .orderBy(col("votes").desc, col("label"))
+      .orderBy(col("votes").desc, col("label").asc_nulls_last)
     topk.groupBy("probe_id", "label")
       .agg(count(lit(1)).as("votes"))
       .withColumn("vr", row_number().over(wv))
@@ -1366,6 +1369,38 @@ object Similarity {
     GraphIndex(nodes.select("shard", "vec_id", "v", "norm", "nbrs"), ns)
   }
 
+  /** Shared WRITE leg of the two segmented-tier artifacts: all open
+    * segments flatten into ONE `seg_id`-tagged parquet (they are
+    * single-shard by construction — callers assert it), so an
+    * overwrite with a different segment count can never orphan a
+    * stale per-segment directory. One definition so the HNSW and
+    * flat-NSW duals cannot drift.
+    */
+  private def writeSegmentsPart(segNodes: List[DataFrame],
+      emptyLike: DataFrame, path: String): Unit =
+    segNodes.zipWithIndex
+      .map { case (n, i) => n.withColumn("seg_id", lit(i)) }
+      .reduceOption(_ unionByName _)
+      .getOrElse(emptyLike.filter(lit(false)).withColumn("seg_id", lit(0)))
+      .write.mode("overwrite").parquet(s"$path/segments")
+
+  /** Shared READ leg: validate the family manifest, split the flat
+    * segments part back into per-segment node frames (callers wrap
+    * them in their index type).
+    */
+  private def readSegmentsPart(spark: SparkSession, path: String,
+      family: String, cols: Seq[String]): List[DataFrame] = {
+    val params = IndexManifest
+      .validate(spark, path, family, Seq("main", "segments"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no segmented-index manifest at $path"))
+    val segNodes = spark.read.parquet(s"$path/segments")
+    (0 until params("num_segments").toInt).toList.map { i =>
+      segNodes.filter(col("seg_id") === i).drop("seg_id")
+        .select(cols.map(col): _*)
+    }
+  }
+
   /** [[saveHnswSegmented]]'s flat-NSW dual — same two-part layout,
     * same single-shard segment contract, own family name so the two
     * segmented tiers cannot load each other's artifacts.
@@ -1374,28 +1409,19 @@ object Similarity {
     require(seg.segments.forall(_.numShards == 1),
       "segment tier persists single-shard segments only (appendSegment builds them)")
     saveGraphIndex(seg.main, s"$path/main")
-    seg.segments.zipWithIndex
-      .map { case (ix, i) => ix.nodes.withColumn("seg_id", lit(i)) }
-      .reduceOption(_ unionByName _)
-      .getOrElse(seg.main.nodes.filter(lit(false)).withColumn("seg_id", lit(0)))
-      .write.mode("overwrite").parquet(s"$path/segments")
+    writeSegmentsPart(seg.segments.map(_.nodes), seg.main.nodes, path)
     IndexManifest.write(seg.main.nodes.sparkSession, path,
       "ann_nsw_segmented", Seq("main", "segments"),
       Map("num_segments" -> seg.segments.length.toString))
   }
 
   def loadNswSegmented(spark: SparkSession, path: String): NswSegmented = {
-    val params = IndexManifest
-      .validate(spark, path, "ann_nsw_segmented", Seq("main", "segments"))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no segmented-index manifest at $path"))
-    val n = params("num_segments").toInt
-    val segNodes = spark.read.parquet(s"$path/segments")
-    val segments = (0 until n).toList.map { i =>
-      GraphIndex(segNodes.filter(col("seg_id") === i).drop("seg_id")
-        .select("shard", "vec_id", "v", "norm", "nbrs"), 1)
-    }
-    NswSegmented(loadGraphIndex(spark, s"$path/main"), segments)
+    // the OUTER family manifest validates first — a cross-family load
+    // must fail naming the segmented families, not deep inside the
+    // nested main artifact
+    val segs = readSegmentsPart(spark, path, "ann_nsw_segmented",
+      Seq("shard", "vec_id", "v", "norm", "nbrs")).map(GraphIndex(_, 1))
+    NswSegmented(loadGraphIndex(spark, s"$path/main"), segs)
   }
 
   private[graft] def writeShardMeta(spark: SparkSession, path: String,
@@ -1871,28 +1897,17 @@ object Similarity {
     require(seg.segments.forall(_.numShards == 1),
       "segment tier persists single-shard segments only (appendSegment builds them)")
     saveHnswIndex(seg.main, s"$path/main")
-    seg.segments.zipWithIndex
-      .map { case (ix, i) => ix.nodes.withColumn("seg_id", lit(i)) }
-      .reduceOption(_ unionByName _)
-      .getOrElse(seg.main.nodes.filter(lit(false)).withColumn("seg_id", lit(0)))
-      .write.mode("overwrite").parquet(s"$path/segments")
+    writeSegmentsPart(seg.segments.map(_.nodes), seg.main.nodes, path)
     IndexManifest.write(seg.main.nodes.sparkSession, path,
       "ann_hnsw_segmented", Seq("main", "segments"),
       Map("num_segments" -> seg.segments.length.toString))
   }
 
   def loadHnswSegmented(spark: SparkSession, path: String): HnswSegmented = {
-    val params = IndexManifest
-      .validate(spark, path, "ann_hnsw_segmented", Seq("main", "segments"))
-      .getOrElse(throw new IllegalArgumentException(
-        s"no segmented-index manifest at $path"))
-    val n = params("num_segments").toInt
-    val segNodes = spark.read.parquet(s"$path/segments")
-    val segments = (0 until n).toList.map { i =>
-      HnswIndex(segNodes.filter(col("seg_id") === i).drop("seg_id")
-        .select("shard", "vec_id", "v", "norm", "lnbrs"), 1)
-    }
-    HnswSegmented(loadHnswIndex(spark, s"$path/main"), segments)
+    // outer family manifest first — see [[loadNswSegmented]]
+    val segs = readSegmentsPart(spark, path, "ann_hnsw_segmented",
+      Seq("shard", "vec_id", "v", "norm", "lnbrs")).map(HnswIndex(_, 1))
+    HnswSegmented(loadHnswIndex(spark, s"$path/main"), segs)
   }
 
   def loadHnswIndex(spark: SparkSession, path: String): HnswIndex = {

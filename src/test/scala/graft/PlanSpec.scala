@@ -268,10 +268,14 @@ class PlanSpec extends SparkSuite {
   test("langIdEval windows over aggregated cells, not the corpus") {
     val df = graft.operators.TextOps.langIdEval(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
-    // the gold-total window must sit above the (lang, predicted)
-    // aggregate — languages² rows — so its partitioning is on the
-    // aggregated key, never a corpus-sized exchange
-    assert(plan.contains("hashpartitioning(lang"),
-      s"window not partitioned on the aggregated gold key:\n$plan")
+    // the gold-total window must consume the (lang, predicted)
+    // AGGREGATE's languages²-row output, not per-doc rows: in the
+    // top-down plan print the Window node has to sit ABOVE the
+    // HashAggregate (a corpus-sized window would print below it,
+    // feeding the aggregate instead)
+    val win = plan.indexOf("Window")
+    val agg = plan.indexOf("HashAggregate")
+    assert(win >= 0 && agg >= 0 && win < agg,
+      s"window does not run over the aggregated cells:\n$plan")
   }
 }
