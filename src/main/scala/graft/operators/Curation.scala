@@ -657,6 +657,60 @@ object Curation {
       |  n_tokens::DOUBLE / total_tokens AS token_share
       |FROM per_source, t ORDER BY source""".stripMargin
 
+  /** Split-assignment STATISTICS — the sanity report read right
+    * after [[dataSplit]] runs: per (split, source) cell, document and
+    * token mass plus each cell's token share of its split in ppm
+    * (integer arithmetic, hash-exact). What it answers: did the
+    * content-hash assignment keep every source represented in val and
+    * test, and do the per-split source mixes track the corpus mix —
+    * the check that catches a skewed or near-empty holdout before a
+    * training run trusts it.
+    *
+    * Scale shape: the split column is a pure projection
+    * ([[dataSplitDocs]]), so this is [[domainStats]]'s single
+    * partial-agg shuffle with a two-column key; the split totals ride
+    * a window over the aggregated cells (splits × sources rows).
+    */
+  def splitStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val perCell = docs
+      .join(dataSplitDocs(docs).select("doc_id", "split"), "doc_id")
+      .select(col("split"), col("source"), col("n_chars"),
+        size(filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
+          w => w =!= lit(""))).cast("long").as("n_tok"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("n_chars").as("sum_chars"))
+    perCell
+      .withColumn("split_tokens",
+        sum("n_tokens").over(Window.partitionBy("split")))
+      .withColumn("token_share_ppm",
+        expr("n_tokens * 1000000 DIV split_tokens"))
+      .orderBy("split", "source")
+  }
+
+  def splitStatsSql: String =
+    """WITH per_doc AS (
+      |  SELECT
+      |    CASE WHEN b < 900 THEN 'train' WHEN b < 950 THEN 'val'
+      |         ELSE 'test' END AS split,
+      |    source, n_chars,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> ''))::BIGINT AS n_tok
+      |  FROM (
+      |    SELECT doc_id, source, n_chars, text,
+      |      ('0x' || substr(md5(text), 1, 6))::BIGINT % 1000 AS b
+      |    FROM documents)
+      |), per_cell AS (
+      |  SELECT split, source, count(*)::BIGINT AS n_docs,
+      |    sum(n_tok)::BIGINT AS n_tokens, sum(n_chars)::BIGINT AS sum_chars
+      |  FROM per_doc GROUP BY split, source
+      |)
+      |SELECT split, source, n_docs, n_tokens, sum_chars,
+      |  sum(n_tokens) OVER (PARTITION BY split)::BIGINT AS split_tokens,
+      |  ((n_tokens * 1000000) // (sum(n_tokens) OVER (PARTITION BY split)))::BIGINT
+      |    AS token_share_ppm
+      |FROM per_cell ORDER BY split, source""".stripMargin
+
   /** Temperature-based mixture sampling (the multilingual/multi-domain
     * rebalancing rule, α = 0.5): source s is downsampled at rate
     * `sqrt(min_tokens / tokens_s)` — algebraically the α = 0.5

@@ -280,6 +280,33 @@ class CurationSpec extends SparkSuite {
     assert(shares.getOrElse("val", 0) + shares.getOrElse("test", 0) > 0)
   }
 
+  test("splitStats reconciles with the assignment and the corpus masses") {
+    val cells = Curation.splitStats(spark, sfDir).collect()
+    val assign = Curation.dataSplit(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // every (split, source) cell count matches a driver-side recount,
+    // and the cells partition the corpus exactly
+    val recount = docs.groupBy { case (id, src) => (assign(id), src) }
+      .view.mapValues(_.length.toLong).toMap
+    assert(cells.map(c => (c.getAs[String]("split"), c.getAs[String]("source"))
+      -> c.getAs[Long]("n_docs")).toMap == recount)
+    assert(cells.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    // shares: within each split the ppm shares sum to ~1e6 (integer
+    // floor loses at most one ppm per cell), and the split token
+    // total is consistent across its cells
+    cells.groupBy(_.getAs[String]("split")).values.foreach { g =>
+      val ppm = g.map(_.getAs[Long]("token_share_ppm")).sum
+      assert(ppm <= 1000000L && ppm > 1000000L - g.length,
+        s"ppm shares sum to $ppm over ${g.length} cells")
+      assert(g.map(_.getAs[Long]("split_tokens")).distinct.length == 1)
+      assert(g.map(_.getAs[Long]("n_tokens")).sum ==
+        g.head.getAs[Long]("split_tokens"))
+    }
+  }
+
   test("dataSplitCluster keeps whole near-dup clusters in one split") {
     import graft.operators.Dedup
     val res = Curation.dataSplitCluster(spark, sfDir).collect()
