@@ -578,41 +578,162 @@ object Curation {
     * Scale shape: the canonical map is the standing artifact the
     * incremental dedup tier already maintains (at 100 TB this query
     * reads it rather than re-resolving components); the only new work
-    * is one equi-join of (doc → canonical) against the rep's bucket
-    * projection on the canonical key.
+    * is one left join of docs onto it plus one equi-join of the
+    * coalesced canonical key against the rep's bucket projection.
     *
-    * Corpus contract (shared with every canonical oracle here): each
-    * embeddings vec_id has a documents row, so the rep-bucket join is
-    * total. If the id spaces ever diverge, a text-less representative
-    * would drop its whole cluster from the assignment — guard
-    * upstream, or fall back to the rep-ID hash for such clusters.
+    * The assignment is TOTAL over `documents`: a doc with no
+    * embedding (and so no cluster row) is its own singleton — its
+    * canonical is itself and it gets exactly [[dataSplit]]'s bucket.
+    * An inner join here would silently drop every unembedded doc
+    * from the epoch, which is how a 100 TB corpus loses mass without
+    * anyone noticing ([[splitLeakage]]'s audit caught exactly that
+    * in review).
     */
   def dataSplitCluster(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
     val canon = Dedup.dedupCanonical(spark, dir)
       .select(col("doc_id"), col("canonical_id"))
-    val repBucket = Tables.documents(spark, dir)
+    val repBucket = docs
       .select(col("doc_id").as("canonical_id"),
-        (expr("conv(substring(md5(cast(text AS binary)), 1, 6), 16, 10)")
-          .cast("long") % 1000).as("b"))
-    canon.join(repBucket, "canonical_id")
+        splitBucket(col("text").cast("binary")).as("b"))
+    docs.select(col("doc_id"))
+      .join(canon, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+      .join(repBucket, "canonical_id")
       .select(col("doc_id"), col("canonical_id"),
-        when(col("b") < 900, "train").when(col("b") < 950, "val")
-          .otherwise("test").as("split"))
+        splitName(col("b")).as("split"))
       .orderBy("doc_id")
   }
 
   def dataSplitClusterSql: String =
     s"""WITH RECURSIVE ${Dedup.clusterClosureCtes},
       |${Dedup.canonicalSelectionCte},
-      |rb AS (
+      |a AS (
+      |  SELECT d.doc_id, coalesce(c.canonical_id, d.doc_id) AS canonical_id
+      |  FROM documents d LEFT JOIN canon c ON c.vec_id = d.doc_id
+      |), rb AS (
       |  SELECT doc_id, ('0x' || substr(md5(text), 1, 6))::BIGINT % 1000 AS b
       |  FROM documents
       |)
-      |SELECT canon.vec_id AS doc_id, canon.canonical_id,
+      |SELECT a.doc_id, a.canonical_id,
       |  CASE WHEN rb.b < 900 THEN 'train' WHEN rb.b < 950 THEN 'val'
       |       ELSE 'test' END AS split
-      |FROM canon JOIN rb ON rb.doc_id = canon.canonical_id
+      |FROM a JOIN rb ON rb.doc_id = a.canonical_id
       |ORDER BY 1""".stripMargin
+
+  /** The 24-bit md5 per-mille bucket shared by every split-assignment
+    * strategy here — one definition so [[splitLeakage]]'s three
+    * strategies cannot drift from [[dataSplit]]'s rule.
+    */
+  private def splitBucket(bytes: Column): Column =
+    conv(substring(md5(bytes), 1, 6), 16, 10).cast("long") % 1000
+
+  private def splitName(b: Column): Column =
+    when(b < 900, "train").when(b < 950, "val").otherwise("test")
+
+  /** Cross-split LEAKAGE AUDIT — the report that justifies the
+    * content-keyed split family: for each of three assignment
+    * strategies (naive `id_hash`, [[dataSplit]]'s `content_hash`,
+    * [[dataSplitCluster]]'s `cluster_content`), how many
+    * byte-identical text groups and how many near-dup clusters
+    * straddle more than one split. `content_hash` closes the exact
+    * channel by construction and `cluster_content` closes both; the
+    * `id_hash` row is the counterfactual a careless pipeline ships —
+    * the audit makes the guarantee measurable instead of asserted.
+    *
+    * The audit is TOTAL over `documents` (same contract as
+    * [[dataSplitCluster]]): docs with no embedding are their own
+    * singleton cluster — a prefixed string key keeps them from
+    * colliding with real cluster ids, and their cluster-strategy
+    * split falls back to their own content bucket. The first cut of
+    * this query inner-joined the canonical map and silently audited
+    * only the embedded 40% of the corpus — the exact blind spot the
+    * audit exists to catch.
+    *
+    * Scale shape: the three assignments are pure projections off one
+    * corpus scan (the cluster strategy reads the standing canonical
+    * map the incremental dedup tier maintains); the melt is a
+    * generator, not a shuffle; each channel is one partial-agg
+    * shuffle on its group key and the final join is 3 rows.
+    */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val canon = Dedup.dedupCanonical(spark, dir)
+      .select(col("doc_id"), col("cluster_id"), col("canonical_id"))
+    val repSplit = docs
+      .select(col("doc_id").as("canonical_id"),
+        splitName(splitBucket(col("text").cast("binary"))).as("rep_split"))
+    val melted = docs
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("content_key"),
+        splitName(splitBucket(col("doc_id").cast("string").cast("binary"))).as("s_id"),
+        splitName(splitBucket(col("text").cast("binary"))).as("s_content"))
+      .join(canon, Seq("doc_id"), "left")
+      .join(repSplit, Seq("canonical_id"), "left")
+      .select(col("content_key"),
+        coalesce(concat(lit("c"), col("cluster_id")),
+          concat(lit("d"), col("doc_id"))).as("cluster_key"),
+        col("s_id"), col("s_content"),
+        coalesce(col("rep_split"), col("s_content")).as("s_cluster"))
+      .selectExpr("content_key", "cluster_key",
+        "stack(3, 'id_hash', s_id, 'content_hash', s_content, " +
+          "'cluster_content', s_cluster) AS (strategy, split)")
+    def leaked(key: String, out: String): DataFrame = melted
+      .groupBy(col("strategy"), col(key))
+      .agg(countDistinct("split").as("ns"))
+      .groupBy("strategy")
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as(out))
+    leaked("content_key", "exact_leaked_groups")
+      .join(leaked("cluster_key", "cluster_leaked_clusters"), "strategy")
+      .orderBy("strategy")
+  }
+
+  /** DuckDB dual of [[splitLeakage]]: same buckets off the same md5
+    * bytes, same closure + canonical CTEs as the cluster split, the
+    * melt as a 3-way UNION ALL.
+    */
+  def splitLeakageSql: String = {
+    def splitCase(b: String): String =
+      s"CASE WHEN $b < 900 THEN 'train' WHEN $b < 950 THEN 'val' ELSE 'test' END"
+    s"""WITH RECURSIVE ${Dedup.clusterClosureCtes},
+      |${Dedup.canonicalSelectionCte},
+      |a AS (
+      |  SELECT d.doc_id, md5(d.text) AS content_key,
+      |    coalesce('c' || c.cluster_id::VARCHAR, 'd' || d.doc_id::VARCHAR)
+      |      AS cluster_key,
+      |    ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 6))::BIGINT % 1000 AS b_id,
+      |    ('0x' || substr(md5(d.text), 1, 6))::BIGINT % 1000 AS b_content,
+      |    ('0x' || substr(md5(coalesce(r.text, d.text)), 1, 6))::BIGINT % 1000
+      |      AS b_cluster
+      |  FROM documents d
+      |  LEFT JOIN canon c ON c.vec_id = d.doc_id
+      |  LEFT JOIN documents r ON r.doc_id = c.canonical_id
+      |), m AS (
+      |  SELECT 'id_hash' AS strategy, content_key, cluster_key,
+      |    ${splitCase("b_id")} AS split FROM a
+      |  UNION ALL SELECT 'content_hash', content_key, cluster_key,
+      |    ${splitCase("b_content")} FROM a
+      |  UNION ALL SELECT 'cluster_content', content_key, cluster_key,
+      |    ${splitCase("b_cluster")} FROM a
+      |), ex AS (
+      |  SELECT strategy, content_key, count(DISTINCT split) AS ns
+      |  FROM m GROUP BY 1, 2
+      |), exs AS (
+      |  SELECT strategy,
+      |    sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)::BIGINT AS exact_leaked_groups
+      |  FROM ex GROUP BY 1
+      |), cl AS (
+      |  SELECT strategy, cluster_key, count(DISTINCT split) AS ns
+      |  FROM m GROUP BY 1, 2
+      |), cls AS (
+      |  SELECT strategy,
+      |    sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)::BIGINT AS cluster_leaked_clusters
+      |  FROM cl GROUP BY 1
+      |)
+      |SELECT exs.strategy, exact_leaked_groups, cluster_leaked_clusters
+      |FROM exs JOIN cls ON cls.strategy = exs.strategy
+      |ORDER BY 1""".stripMargin
+  }
 
   // ------------------------------------------------------ data mixing
 
@@ -1754,4 +1875,78 @@ object Curation {
        |  (start_offset // $PackBudget)::BIGINT AS seq_id,
        |  (start_offset % $PackBudget)::BIGINT AS offset_in_seq
        |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Packing-efficiency REPORT over [[packSequences]] — the one-row
+    * summary a training run reads before trusting a packed corpus:
+    * how many `budget`-token sequences the epoch yields, how many
+    * documents get cut by a sequence boundary (the attention-
+    * contamination / truncation proxy, in ppm), the worst-case
+    * sequence span of a single document, and the fill of the final
+    * partial sequence. Concat-and-chunk packs every interior
+    * sequence full by construction, so boundary splits and the tail
+    * ARE the whole efficiency story.
+    *
+    * Scale shape: rides the pack output (one small row per doc) into
+    * a single partial-agg collapse — the prefix-sum pass dominates,
+    * and that is already the distributed two-pass shape.
+    */
+  def packStats(spark: SparkSession, dir: String,
+      budget: Long = PackBudget): DataFrame = {
+    val packed = packSequencesDocs(Tables.documents(spark, dir), budget)
+    val lastSeq = when(col("n_tokens") > 0,
+      expr(s"(start_offset + n_tokens - 1) DIV $budget"))
+      .otherwise(col("seq_id"))
+    packed
+      .select(col("n_tokens"), (lastSeq - col("seq_id") + 1L).as("spans"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        sum(when(col("spans") > 1, 1L).otherwise(0L)).as("n_docs_split"),
+        max("spans").as("max_seqs_spanned"))
+      .select(col("n_docs"), col("total_tokens"),
+        expr(s"(total_tokens + ${budget - 1}) DIV $budget").as("n_sequences"),
+        col("n_docs_split"),
+        expr("n_docs_split * 1000000 DIV n_docs").as("split_ppm"),
+        col("max_seqs_spanned"),
+        when(col("total_tokens") % budget === 0, lit(1000000L))
+          .otherwise(expr(s"total_tokens % $budget * 1000000 DIV $budget"))
+          .as("tail_fill_ppm"))
+  }
+
+  /** DuckDB dual of [[packStats]]: the [[packSequencesSql]] prefix-sum
+    * CTEs collapsed by the same integer arithmetic.
+    */
+  def packStatsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |    (sum(n_tokens) OVER (ORDER BY doc_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |     - n_tokens)::BIGINT AS start_offset
+       |  FROM t
+       |), s AS (
+       |  SELECT n_tokens,
+       |    (CASE WHEN n_tokens > 0
+       |          THEN (start_offset + n_tokens - 1) // $PackBudget
+       |          ELSE start_offset // $PackBudget END
+       |      - start_offset // $PackBudget + 1)::BIGINT AS spans
+       |  FROM c
+       |), g AS (
+       |  SELECT count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+       |    sum(CASE WHEN spans > 1 THEN 1 ELSE 0 END)::BIGINT AS n_docs_split,
+       |    max(spans)::BIGINT AS max_seqs_spanned
+       |  FROM s
+       |)
+       |SELECT n_docs, total_tokens,
+       |  ((total_tokens + ${PackBudget - 1}) // $PackBudget)::BIGINT AS n_sequences,
+       |  n_docs_split,
+       |  (n_docs_split * 1000000 // n_docs)::BIGINT AS split_ppm,
+       |  max_seqs_spanned,
+       |  (CASE WHEN total_tokens % $PackBudget = 0 THEN 1000000
+       |        ELSE total_tokens % $PackBudget * 1000000 // $PackBudget
+       |   END)::BIGINT AS tail_fill_ppm
+       |FROM g""".stripMargin
 }

@@ -1981,4 +1981,77 @@ object Similarity {
         round(col("cos"), 6).as("cosine"))
       .orderBy("probe_id", "rank")
   }
+
+  /** Embedding-table QUALITY GATE — the audit run before any index
+    * build or similarity pass trusts a vector column: per label,
+    * vector count, distinct dimensionality (anything but 1 means a
+    * ragged column that would corrupt every dot product), non-finite
+    * and all-zero vectors (zero norm breaks cosine), the exact
+    * [min, max] L2-norm envelope, and out-of-envelope counts against
+    * fixed [0.5, 2.0] bounds (≈unit-norm corpus contract). Norms are
+    * left-fold sums in array order + IEEE sqrt, so the doubles are
+    * bit-identical across engines (the [[graft.operators.Bpe]]-style
+    * list_reduce oracle idiom); non-finite vectors report NULL norm
+    * and are excluded from the envelope on both engines.
+    *
+    * Scale shape: one narrow codegen'd projection over the vector
+    * scan into a labels-sized partial agg — no shuffle of the
+    * vectors themselves, streams unchanged.
+    */
+  def embeddingQuality(spark: SparkSession, dir: String): DataFrame =
+    embeddingQualityOf(Tables.embeddings(spark, dir))
+
+  /** Kernel over any (label, embedding) frame — split out so specs
+    * can plant NaN / Inf / zero / ragged vectors.
+    */
+  private[graft] def embeddingQualityOf(vecs: DataFrame): DataFrame = {
+    val e = vecs
+      .select(col("label"),
+        size(col("embedding")).cast("long").as("dim"),
+        expr("exists(embedding, x -> isnan(x) OR " +
+          "abs(CAST(x AS double)) = CAST('Infinity' AS double))").as("nonfinite"),
+        expr("aggregate(embedding, CAST(0.0 AS double), " +
+          "(a, x) -> a + CAST(x AS double) * CAST(x AS double))").as("ss"))
+      .withColumn("norm", when(col("nonfinite"), lit(null).cast("double"))
+        .otherwise(sqrt(col("ss"))))
+    e.groupBy("label")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        countDistinct(col("dim")).as("n_dims"),
+        sum(when(col("nonfinite"), 1L).otherwise(0L)).as("n_nonfinite"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        min("norm").as("min_norm"),
+        max("norm").as("max_norm"),
+        sum(when(col("norm") < 0.5, 1L).otherwise(0L)).as("n_low_norm"),
+        sum(when(col("norm") > 2.0, 1L).otherwise(0L)).as("n_high_norm"))
+      .orderBy("label")
+  }
+
+  /** DuckDB dual of [[embeddingQuality]]: `list_reduce` over the
+    * squared elements is the same left fold in the same array order
+    * (a leading explicit 0 adds exactly nothing in IEEE), so norms —
+    * and therefore the envelope doubles — hash-match bit-for-bit.
+    */
+  def embeddingQualitySql: String =
+    """WITH e AS (
+      |  SELECT label, len(embedding)::BIGINT AS dim,
+      |    list_reduce(list_transform(embedding,
+      |      x -> CASE WHEN isnan(x) OR isinf(x) THEN 1 ELSE 0 END),
+      |      (a, b) -> a + b) > 0 AS nonfinite,
+      |    list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+      |      (a, b) -> a + b) AS ss
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT label, dim, nonfinite,
+      |    CASE WHEN nonfinite THEN NULL ELSE sqrt(ss) END AS norm
+      |  FROM e
+      |)
+      |SELECT label, count(*)::BIGINT AS n_vecs,
+      |  count(DISTINCT dim)::BIGINT AS n_dims,
+      |  sum(CASE WHEN nonfinite THEN 1 ELSE 0 END)::BIGINT AS n_nonfinite,
+      |  sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+      |  min(norm) AS min_norm, max(norm) AS max_norm,
+      |  sum(CASE WHEN norm < 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_low_norm,
+      |  sum(CASE WHEN norm > 2.0 THEN 1 ELSE 0 END)::BIGINT AS n_high_norm
+      |FROM n GROUP BY label ORDER BY label""".stripMargin
 }

@@ -65,6 +65,55 @@ object TextOps {
       |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_approx_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Document token-LENGTH DISTRIBUTION in power-of-two buckets — the
+    * sequence-length profile that sizes packing budgets, batch
+    * shapes, and length-based curricula before a training run. The
+    * bucket is the bit width of the whitespace token count (an exact
+    * integer on both engines — `length(bin(n))`, no float log), with
+    * its [lo, hi] range, doc and token mass, and the doc share in
+    * ppm.
+    *
+    * Scale shape: one narrow projection into a ~60-cell partial agg;
+    * the corpus-total join is a broadcast of one aggregated row
+    * (never a global window over the corpus).
+    */
+  def docLengthHist(spark: SparkSession, dir: String): DataFrame = {
+    val hist = Tables.documents(spark, dir)
+      .select(size(words(col("text"))).cast("long").as("n_tok"))
+      .select((length(bin(col("n_tok"))) - 1).cast("long").as("bucket"),
+        col("n_tok"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
+    val total = hist.agg(sum("n_docs").as("total_docs"))
+    hist.crossJoin(broadcast(total))
+      .select(col("bucket"),
+        expr("CAST(power(2, bucket) AS BIGINT)").as("lo_tokens"),
+        (expr("CAST(power(2, bucket + 1) AS BIGINT)") - 1).as("hi_tokens"),
+        col("n_docs"), col("sum_tokens"),
+        expr("n_docs * 1000000 DIV total_docs").as("doc_ppm"))
+      .orderBy("bucket")
+  }
+
+  /** DuckDB dual of [[docLengthHist]]: same bit-width bucket off the
+    * same whitespace token count.
+    */
+  def docLengthHistSql: String =
+    """WITH t AS (
+      |  SELECT len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tok
+      |  FROM documents
+      |), b AS (
+      |  SELECT (length(bin(n_tok)) - 1)::BIGINT AS bucket, n_tok FROM t
+      |), h AS (
+      |  SELECT bucket, count(*)::BIGINT AS n_docs,
+      |    sum(n_tok)::BIGINT AS sum_tokens
+      |  FROM b GROUP BY bucket
+      |), tt AS (SELECT sum(n_docs)::BIGINT AS total_docs FROM h)
+      |SELECT bucket, CAST(power(2, bucket) AS BIGINT) AS lo_tokens,
+      |  CAST(power(2, bucket + 1) AS BIGINT) - 1 AS hi_tokens,
+      |  n_docs, sum_tokens,
+      |  (n_docs * 1000000 // total_docs)::BIGINT AS doc_ppm
+      |FROM h, tt ORDER BY bucket""".stripMargin
+
   /** Quality scoring: length, punctuation ratio, stopword ratio,
     * mean word length → bounded [0,1] composite score.
     */

@@ -170,6 +170,26 @@ class CurationSpec extends SparkSuite {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("pack offsets are append-stable: new higher-id docs never move old ones") {
+    // the property an incremental packing maintenance relies on:
+    // because the prefix sum runs in doc_id order, appending a batch
+    // of strictly-higher ids leaves every existing row bit-identical,
+    // so a standing pack table extends by computing ONLY the new
+    // batch's rows from the old running total — never a re-pack
+    val docs = Tables.documents(spark, sfDir)
+    val maxId = docs.agg(max("doc_id")).head.getLong(0)
+    val half = maxId / 2
+    val prefix = docs.filter(col("doc_id") <= half)
+    val all = Curation.packSequencesDocs(docs).collect()
+      .map(r => r.getLong(0) -> r.toString).toMap
+    val pre = Curation.packSequencesDocs(prefix).collect()
+      .map(r => r.getLong(0) -> r.toString).toMap
+    assert(pre.nonEmpty && pre.size < all.size)
+    pre.foreach { case (id, row) =>
+      assert(all(id) == row, s"appending moved doc $id: ${all(id)} != $row")
+    }
+  }
+
   test("narrow per-row gopher formulation equals the aggregation shape exactly") {
     val agg = Curation.gopherFilters(spark, sfDir)
     val narrow = Curation.gopherNarrowDocs(Tables.documents(spark, sfDir))
@@ -314,9 +334,22 @@ class CurationSpec extends SparkSuite {
         r.getAs[String]("split")))
     val clusters = Dedup.dedupCanonical(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
-    assert(res.map(_._1).toSet == clusters.keySet, "every doc assigned")
+    // TOTAL over the corpus: every document is assigned, including
+    // the majority with no embedding (an inner join on the canonical
+    // map would drop them — the regression this line exists to catch)
+    val allDocs = Tables.documents(spark, sfDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(res.map(_._1).toSet == allDocs, "every doc assigned")
+    assert(clusters.keySet.subsetOf(allDocs))
+    // unembedded docs are their own canonical (vacuous at sf0.001
+    // where every doc has a vector; the sf0.01/sf0.1 oracle runs hit
+    // it on the 60% unembedded majority)
+    res.filterNot(r => clusters.contains(r._1)).foreach { case (id, canonId, _) =>
+      assert(canonId == id, s"singleton $id got canonical $canonId")
+    }
     // cluster cohesion: all members of a cluster share one split
-    res.groupBy(r => clusters(r._1)).values.foreach { g =>
+    res.filter(r => clusters.contains(r._1))
+      .groupBy(r => clusters(r._1)).values.foreach { g =>
       assert(g.map(_._3).distinct.length == 1,
         s"cluster split apart: ${g.toSeq}")
     }
@@ -329,6 +362,58 @@ class CurationSpec extends SparkSuite {
       assert(split == base(canonId),
         s"canonical $canonId: cluster split $split != content split ${base(canonId)}")
     }
+  }
+
+  test("packStats reconciles with the pack output and the budget arithmetic") {
+    val budget = 2048L
+    val s = Curation.packStats(spark, sfDir).collect() match {
+      case Array(row) => row
+      case other => fail(s"expected one summary row, got ${other.length}")
+    }
+    val packed = Curation.packSequences(spark, sfDir).collect()
+    val nDocs = packed.length.toLong
+    val total = packed.map(_.getAs[Long]("n_tokens")).sum
+    val spans = packed.map { r =>
+      val n = r.getAs[Long]("n_tokens"); val st = r.getAs[Long]("start_offset")
+      if (n > 0) (st + n - 1) / budget - st / budget + 1 else 1L
+    }
+    assert(s.getAs[Long]("n_docs") == nDocs)
+    assert(s.getAs[Long]("total_tokens") == total)
+    assert(s.getAs[Long]("n_sequences") == (total + budget - 1) / budget)
+    assert(s.getAs[Long]("n_docs_split") == spans.count(_ > 1).toLong)
+    assert(s.getAs[Long]("split_ppm") ==
+      spans.count(_ > 1).toLong * 1000000L / nDocs)
+    assert(s.getAs[Long]("max_seqs_spanned") == spans.max)
+    val tail = total % budget
+    assert(s.getAs[Long]("tail_fill_ppm") ==
+      (if (tail == 0) 1000000L else tail * 1000000L / budget))
+    // the fixture must actually exercise boundary splits
+    assert(s.getAs[Long]("n_docs_split") > 0)
+  }
+
+  test("splitLeakage: content keying closes exact, cluster keying closes both") {
+    import graft.operators.Dedup
+    val rows = Curation.splitLeakage(spark, sfDir).collect()
+      .map(r => r.getAs[String]("strategy") ->
+        ((r.getAs[Long]("exact_leaked_groups"),
+          r.getAs[Long]("cluster_leaked_clusters")))).toMap
+    assert(rows.keySet == Set("id_hash", "content_hash", "cluster_content"))
+    assert(rows("content_hash")._1 == 0,
+      "content keying must close the exact channel by construction")
+    assert(rows("cluster_content") == ((0L, 0L)),
+      "cluster keying must close both channels by construction")
+    // driver-side recount of the cluster channel under the content
+    // strategy: group ALL docs (unembedded ones as 'd'-singletons,
+    // which can never leak) by cluster and count split straddles
+    val split = Curation.dataSplit(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val clus = Dedup.dedupCanonical(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val leaked = split.keys.groupBy(id =>
+        clus.get(id).map("c" + _).getOrElse("d" + id))
+      .count { case (_, ids) => ids.map(split).toSet.size > 1 }
+    assert(rows("content_hash")._2 == leaked.toLong,
+      "cluster-channel leak count diverges from a driver-side recount")
   }
 
   test("DSIR resample draws the Gumbel top-quarter, enriching the target domain") {

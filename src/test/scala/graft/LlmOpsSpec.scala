@@ -1352,4 +1352,53 @@ class LlmOpsSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("ShuffledHashJoin"),
       "expected a hash join on the code key")
   }
+
+  test("embeddingQuality counts planted NaN / Inf / zero / ragged vectors") {
+    import spark.implicits._
+    val planted = Seq(
+      (0, Array(3.0f, 4.0f)),                  // norm exactly 5
+      (0, Array(0.0f, 0.0f)),                  // zero vector
+      (0, Array(Float.NaN, 1.0f)),             // non-finite
+      (1, Array(Float.PositiveInfinity, 0f)),  // non-finite
+      (1, Array(1.0f, 0.0f)),                  // unit norm
+      (1, Array(1.0f, 0.0f, 0.0f))             // ragged: dim 3
+    ).toDF("label", "embedding")
+    val res = Similarity.embeddingQualityOf(planted).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    val l0 = res(0)
+    assert(l0.getAs[Long]("n_vecs") == 3 && l0.getAs[Long]("n_dims") == 1)
+    assert(l0.getAs[Long]("n_nonfinite") == 1 && l0.getAs[Long]("n_zero") == 1)
+    // non-finite vectors must NOT poison the envelope (NULL norm)
+    assert(l0.getAs[Double]("min_norm") == 0.0 &&
+      l0.getAs[Double]("max_norm") == 5.0)
+    assert(l0.getAs[Long]("n_low_norm") == 1 && l0.getAs[Long]("n_high_norm") == 1)
+    val l1 = res(1)
+    assert(l1.getAs[Long]("n_dims") == 2, "ragged dimensionality must surface")
+    assert(l1.getAs[Long]("n_nonfinite") == 1 && l1.getAs[Long]("n_zero") == 0)
+    assert(l1.getAs[Double]("min_norm") == 1.0 &&
+      l1.getAs[Double]("max_norm") == 1.0)
+    // the shipped corpus passes the gate clean: one dim, no
+    // non-finites, no zeros, every norm inside the unit envelope
+    Similarity.embeddingQuality(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("n_dims") == 1 && r.getAs[Long]("n_nonfinite") == 0 &&
+        r.getAs[Long]("n_zero") == 0 && r.getAs[Long]("n_low_norm") == 0 &&
+        r.getAs[Long]("n_high_norm") == 0, s"corpus gate failed: $r")
+    }
+  }
+
+  test("docLengthHist buckets are dyadic and reconcile with tokenCount") {
+    val rows = TextOps.docLengthHist(spark, sfDir).collect()
+    val toks = TextOps.tokenCount(spark, sfDir).collect()
+      .map(_.getAs[Int]("n_ws_tokens").toLong)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == toks.length.toLong)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(r.getAs[Long]("lo_tokens") == (1L << b))
+      assert(r.getAs[Long]("hi_tokens") == (1L << (b + 1)) - 1)
+    }
+    val expect = toks.groupBy(n => (63 - java.lang.Long.numberOfLeadingZeros(n)).toLong)
+      .view.mapValues(_.length.toLong).toMap
+    assert(rows.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n_docs")).toMap
+      == expect, "bucket counts diverge from a driver-side recount")
+  }
 }

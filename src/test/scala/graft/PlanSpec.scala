@@ -252,6 +252,26 @@ class PlanSpec extends SparkSuite {
       "a single-partition exchange reached the cluster-split plan")
   }
 
+  test("histogram-style reports aggregate partially and broadcast totals") {
+    // q_doc_length_hist: the corpus collapses map-side into a ~60-cell
+    // agg; the corpus-total denominator must join as a broadcast of
+    // one aggregated row, never as a window over the corpus
+    val hplan = TextOps.docLengthHist(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(hplan.contains("BroadcastHashJoin") ||
+      hplan.contains("BroadcastNestedLoopJoin"),
+      "doc-length total must be a broadcast join")
+    // q_embedding_quality: zero joins — the countDistinct(dim) costs
+    // a (label, dim) → label re-agg round on top of the keyed agg and
+    // the output sort, but every exchange sits ABOVE a map-side
+    // partial agg: what shuffles is labels×dims cells, never vectors
+    val eq = graft.operators.Similarity.embeddingQuality(spark, sfDir)
+    val n = exchanges(eq)
+    assert(n <= 3, s"embeddingQuality grew extra exchanges (got $n)")
+    assert(!eq.queryExecution.executedPlan.toString.contains("Join"),
+      "embeddingQuality must not join")
+  }
+
   test("knnClassify broadcasts probes and pushes the rank before the exchange") {
     val plan = graft.operators.Similarity.knnClassify(spark, sfDir)
       .queryExecution.executedPlan.toString
