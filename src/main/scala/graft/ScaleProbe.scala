@@ -116,6 +116,23 @@ object ScaleProbe {
     time("dsir_resample")(operators.Curation.dsirResampleDocs(bigDocs))
     // content-keyed split: a pure projection — must stay flat per row
     time("data_split")(operators.Curation.dataSplitDocs(bigDocs))
+    // leakage audit over an arithmetic canonical (pairs of adjacent
+    // ids, 80% coverage — the 20% singleton fallback leg runs too):
+    // times the 3-strategy melt + both channel aggs WITHOUT paying
+    // cluster resolution; must track data_split's scan, not square it
+    val probeCanon = bigDocs
+      .filter(col("doc_id") % 5 < 4)
+      .select(col("doc_id"),
+        (col("doc_id") - col("doc_id") % 2).as("cluster_id"))
+      .withColumn("canonical_id", col("cluster_id"))
+    time("split_leakage")(
+      operators.Curation.splitLeakageOf(bigDocs, probeCanon))
+    // pack summary: must ride the pack prefix sum (one small row per
+    // doc), adding only a single partial-agg collapse on top
+    time("pack_stats")(operators.Curation.packStatsDocs(bigDocs))
+    // dyadic length histogram: narrow scan + ~60-cell agg — the
+    // narrow-doc-op floor
+    time("doc_len_hist")(operators.TextOps.docLengthHistDocs(bigDocs))
 
     // ANN index families over a replicated embedding corpus (distinct
     // vec_ids per replica; probes stay the fixed vec_id < 5 set).
@@ -127,6 +144,9 @@ object ScaleProbe {
     val bigEmb = (0 until replicas).map { i =>
       emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
     }.reduce(_ unionByName _)
+    // vector QA gate: map-side norm folds into a labels-sized agg —
+    // must stay a flat per-vector scan (vectors never shuffle)
+    time("embed_quality")(operators.Similarity.embeddingQualityOf(bigEmb))
     val corpus = operators.Similarity.vecsOf(bigEmb).toDF("vec_id", "v", "norm")
     val nswIdx = operators.Similarity.graphIndexOf(corpus,
       numShards = math.max(8, replicas))

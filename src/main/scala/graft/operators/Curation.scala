@@ -657,10 +657,17 @@ object Curation {
     * generator, not a shuffle; each channel is one partial-agg
     * shuffle on its group key and the final join is 3 rows.
     */
-  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val canon = Dedup.dedupCanonical(spark, dir)
-      .select(col("doc_id"), col("cluster_id"), col("canonical_id"))
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageOf(Tables.documents(spark, dir),
+      Dedup.dedupCanonical(spark, dir)
+        .select(col("doc_id"), col("cluster_id"), col("canonical_id")))
+
+  /** Kernel over any (docs, canonical-map) pair — split out so the
+    * scale probe can feed an arithmetic canonical without paying
+    * cluster resolution.
+    */
+  private[graft] def splitLeakageOf(docs: DataFrame,
+      canon: DataFrame): DataFrame = {
     val repSplit = docs
       .select(col("doc_id").as("canonical_id"),
         splitName(splitBucket(col("text").cast("binary"))).as("rep_split"))
@@ -1891,8 +1898,12 @@ object Curation {
     * and that is already the distributed two-pass shape.
     */
   def packStats(spark: SparkSession, dir: String,
+      budget: Long = PackBudget): DataFrame =
+    packStatsDocs(Tables.documents(spark, dir), budget)
+
+  private[graft] def packStatsDocs(docs: DataFrame,
       budget: Long = PackBudget): DataFrame = {
-    val packed = packSequencesDocs(Tables.documents(spark, dir), budget)
+    val packed = packSequencesDocs(docs, budget)
     val lastSeq = when(col("n_tokens") > 0,
       expr(s"(start_offset + n_tokens - 1) DIV $budget"))
       .otherwise(col("seq_id"))

@@ -77,8 +77,11 @@ object TextOps {
     * the corpus-total join is a broadcast of one aggregated row
     * (never a global window over the corpus).
     */
-  def docLengthHist(spark: SparkSession, dir: String): DataFrame = {
-    val hist = Tables.documents(spark, dir)
+  def docLengthHist(spark: SparkSession, dir: String): DataFrame =
+    docLengthHistDocs(Tables.documents(spark, dir))
+
+  private[graft] def docLengthHistDocs(docs: DataFrame): DataFrame = {
+    val hist = docs
       .select(size(words(col("text"))).cast("long").as("n_tok"))
       .select((length(bin(col("n_tok"))) - 1).cast("long").as("bucket"),
         col("n_tok"))
