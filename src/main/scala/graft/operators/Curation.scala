@@ -550,11 +550,7 @@ object Curation {
   private[graft] def dataSplitDocs(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
-        (expr("conv(substring(md5(cast(text AS binary)), 1, 6), 16, 10)")
-          .cast("long") % 1000).as("b"))
-      .select(col("doc_id"),
-        when(col("b") < 900, "train").when(col("b") < 950, "val")
-          .otherwise("test").as("split"))
+        splitName(splitBucket(col("text").cast("binary"))).as("split"))
       .orderBy("doc_id")
 
   def dataSplitSql: String =
@@ -570,8 +566,12 @@ object Curation {
     * every document is assigned by its near-dup cluster
     * REPRESENTATIVE's content hash ([[Dedup.dedupCanonical]]'s
     * selection), so an entire near-dup cluster lands in one split and
-    * the near-duplicate leakage channel closes too (exact dups are a
-    * special case: same text → same canonical). Singletons reduce to
+    * the near-duplicate leakage channel closes too. Exact dups that
+    * share a cluster (or are all unembedded singletons, where the
+    * content bucket decides) ride the same guarantee; a byte-
+    * identical pair split across an embedded cluster and an
+    * unembedded singleton is NOT structurally covered — that cell is
+    * what [[splitLeakage]] measures. Singletons reduce to
     * [[dataSplit]] exactly (their canonical is themselves —
     * spec-pinned).
     *
@@ -638,9 +638,15 @@ object Curation {
     * [[dataSplitCluster]]'s `cluster_content`), how many
     * byte-identical text groups and how many near-dup clusters
     * straddle more than one split. `content_hash` closes the exact
-    * channel by construction and `cluster_content` closes both; the
-    * `id_hash` row is the counterfactual a careless pipeline ships —
-    * the audit makes the guarantee measurable instead of asserted.
+    * channel and `cluster_content` closes the cluster channel — both
+    * BY CONSTRUCTION; `cluster_content`'s exact channel is merely
+    * MEASURED (an embedded doc follows its representative's bucket,
+    * so a byte-identical twin sitting outside that cluster — e.g. an
+    * unembedded copy — could in principle diverge; it measures 0 on
+    * the shipped corpus and the spec recounts it rather than assumes
+    * it). The `id_hash` row is the counterfactual a careless pipeline
+    * ships — the audit makes the guarantees measurable instead of
+    * asserted.
     *
     * The audit is TOTAL over `documents` (same contract as
     * [[dataSplitCluster]]): docs with no embedding are their own
@@ -671,7 +677,12 @@ object Curation {
     val repSplit = docs
       .select(col("doc_id").as("canonical_id"),
         splitName(splitBucket(col("text").cast("binary"))).as("rep_split"))
-    val melted = docs
+    // ONE pass: melt strategies AND channels off the same scan+join
+    // subtree (3 strategies × 2 channels = 6 narrow rows per doc).
+    // A per-channel aggregation pair would re-execute the whole melt
+    // subtree — the exchanges partition on different keys, so nothing
+    // below them is reused (caught in review; this shape scans once).
+    val counts = docs
       .select(col("doc_id"), md5(col("text").cast("binary")).as("content_key"),
         splitName(splitBucket(col("doc_id").cast("string").cast("binary"))).as("s_id"),
         splitName(splitBucket(col("text").cast("binary"))).as("s_content"))
@@ -685,13 +696,18 @@ object Curation {
       .selectExpr("content_key", "cluster_key",
         "stack(3, 'id_hash', s_id, 'content_hash', s_content, " +
           "'cluster_content', s_cluster) AS (strategy, split)")
-    def leaked(key: String, out: String): DataFrame = melted
-      .groupBy(col("strategy"), col(key))
+      .selectExpr("strategy", "split",
+        "stack(2, 'exact', content_key, 'cluster', cluster_key) AS (channel, k)")
+      .groupBy("strategy", "channel", "k")
       .agg(countDistinct("split").as("ns"))
-      .groupBy("strategy")
-      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as(out))
-    leaked("content_key", "exact_leaked_groups")
-      .join(leaked("cluster_key", "cluster_leaked_clusters"), "strategy")
+      .groupBy("strategy", "channel")
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("leaked"))
+    counts.groupBy("strategy")
+      .agg(
+        max(when(col("channel") === "exact", col("leaked")))
+          .as("exact_leaked_groups"),
+        max(when(col("channel") === "cluster", col("leaked")))
+          .as("cluster_leaked_clusters"))
       .orderBy("strategy")
   }
 
@@ -722,24 +738,24 @@ object Curation {
       |    ${splitCase("b_content")} FROM a
       |  UNION ALL SELECT 'cluster_content', content_key, cluster_key,
       |    ${splitCase("b_cluster")} FROM a
-      |), ex AS (
-      |  SELECT strategy, content_key, count(DISTINCT split) AS ns
-      |  FROM m GROUP BY 1, 2
-      |), exs AS (
-      |  SELECT strategy,
-      |    sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)::BIGINT AS exact_leaked_groups
-      |  FROM ex GROUP BY 1
-      |), cl AS (
-      |  SELECT strategy, cluster_key, count(DISTINCT split) AS ns
-      |  FROM m GROUP BY 1, 2
-      |), cls AS (
-      |  SELECT strategy,
-      |    sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)::BIGINT AS cluster_leaked_clusters
-      |  FROM cl GROUP BY 1
+      |), mk AS (
+      |  SELECT strategy, split, 'exact' AS channel, content_key AS k FROM m
+      |  UNION ALL
+      |  SELECT strategy, split, 'cluster' AS channel, cluster_key AS k FROM m
+      |), g AS (
+      |  SELECT strategy, channel, k, count(DISTINCT split) AS ns
+      |  FROM mk GROUP BY 1, 2, 3
+      |), l AS (
+      |  SELECT strategy, channel,
+      |    sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)::BIGINT AS leaked
+      |  FROM g GROUP BY 1, 2
       |)
-      |SELECT exs.strategy, exact_leaked_groups, cluster_leaked_clusters
-      |FROM exs JOIN cls ON cls.strategy = exs.strategy
-      |ORDER BY 1""".stripMargin
+      |SELECT strategy,
+      |  max(CASE WHEN channel = 'exact' THEN leaked END)::BIGINT
+      |    AS exact_leaked_groups,
+      |  max(CASE WHEN channel = 'cluster' THEN leaked END)::BIGINT
+      |    AS cluster_leaked_clusters
+      |FROM l GROUP BY strategy ORDER BY strategy""".stripMargin
   }
 
   // ------------------------------------------------------ data mixing
@@ -1867,17 +1883,25 @@ object Curation {
   /** The same packing as one SQL window cumsum — correct at oracle
     * scale, where a global ORDER BY window is affordable.
     */
+  /** Shared DuckDB CTE block: whitespace tokenize + running-sum
+    * start offsets — one definition for [[packSequencesSql]] and
+    * [[packStatsSql]] so the summary can never describe a different
+    * packing than the pack query emits.
+    */
+  private val packPrefixCtes: String =
+    """t AS (
+      |  SELECT doc_id,
+      |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, n_tokens,
+      |    (sum(n_tokens) OVER (ORDER BY doc_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |     - n_tokens)::BIGINT AS start_offset
+      |  FROM t)""".stripMargin
+
   def packSequencesSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
-       |  FROM documents
-       |), c AS (
-       |  SELECT doc_id, n_tokens,
-       |    (sum(n_tokens) OVER (ORDER BY doc_id
-       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       |     - n_tokens)::BIGINT AS start_offset
-       |  FROM t)
+    s"""WITH $packPrefixCtes
        |SELECT doc_id, n_tokens, start_offset,
        |  (start_offset // $PackBudget)::BIGINT AS seq_id,
        |  (start_offset % $PackBudget)::BIGINT AS offset_in_seq
@@ -1928,17 +1952,7 @@ object Curation {
     * CTEs collapsed by the same integer arithmetic.
     */
   def packStatsSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
-       |  FROM documents
-       |), c AS (
-       |  SELECT doc_id, n_tokens,
-       |    (sum(n_tokens) OVER (ORDER BY doc_id
-       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       |     - n_tokens)::BIGINT AS start_offset
-       |  FROM t
-       |), s AS (
+    s"""WITH $packPrefixCtes, s AS (
        |  SELECT n_tokens,
        |    (CASE WHEN n_tokens > 0
        |          THEN (start_offset + n_tokens - 1) // $PackBudget

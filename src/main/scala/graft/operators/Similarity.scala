@@ -2031,15 +2031,21 @@ object Similarity {
     * squared elements is the same left fold in the same array order
     * (a leading explicit 0 adds exactly nothing in IEEE), so norms —
     * and therefore the envelope doubles — hash-match bit-for-bit.
+    * Zero-length vectors are guarded explicitly: DuckDB's
+    * `list_reduce` THROWS on an empty list, and the gate must report
+    * a malformed vector (dim 0, norm 0 — matching Spark's 0.0 fold
+    * init), never abort on it.
     */
   def embeddingQualitySql: String =
     """WITH e AS (
       |  SELECT label, len(embedding)::BIGINT AS dim,
-      |    list_reduce(list_transform(embedding,
-      |      x -> CASE WHEN isnan(x) OR isinf(x) THEN 1 ELSE 0 END),
-      |      (a, b) -> a + b) > 0 AS nonfinite,
-      |    list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
-      |      (a, b) -> a + b) AS ss
+      |    CASE WHEN len(embedding) = 0 THEN false
+      |         ELSE list_reduce(list_transform(embedding,
+      |           x -> CASE WHEN isnan(x) OR isinf(x) THEN 1 ELSE 0 END),
+      |           (a, b) -> a + b) > 0 END AS nonfinite,
+      |    CASE WHEN len(embedding) = 0 THEN 0.0::DOUBLE
+      |         ELSE list_reduce(list_transform(embedding,
+      |           x -> x::DOUBLE * x::DOUBLE), (a, b) -> a + b) END AS ss
       |  FROM embeddings
       |), n AS (
       |  SELECT label, dim, nonfinite,

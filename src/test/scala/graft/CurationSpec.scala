@@ -400,8 +400,20 @@ class CurationSpec extends SparkSuite {
     assert(rows.keySet == Set("id_hash", "content_hash", "cluster_content"))
     assert(rows("content_hash")._1 == 0,
       "content keying must close the exact channel by construction")
-    assert(rows("cluster_content") == ((0L, 0L)),
-      "cluster keying must close both channels by construction")
+    assert(rows("cluster_content")._2 == 0,
+      "cluster keying must close the cluster channel by construction")
+    // the exact channel under cluster keying is MEASURED, not assumed:
+    // an embedded doc follows its representative's bucket, so a
+    // byte-identical twin outside its cluster could in principle
+    // diverge — recount it driver-side off the actual assignment
+    val cSplit = Curation.dataSplitCluster(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val exactLeakClu = texts.groupBy(_._2)
+      .count { case (_, g) => g.map(d => cSplit(d._1)).toSet.size > 1 }
+    assert(rows("cluster_content")._1 == exactLeakClu.toLong,
+      "cluster-strategy exact channel diverges from the assignment recount")
     // driver-side recount of the cluster channel under the content
     // strategy: group ALL docs (unembedded ones as 'd'-singletons,
     // which can never leak) by cluster and count split straddles

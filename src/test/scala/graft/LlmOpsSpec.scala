@@ -1361,7 +1361,8 @@ class LlmOpsSpec extends SparkSuite {
       (0, Array(Float.NaN, 1.0f)),             // non-finite
       (1, Array(Float.PositiveInfinity, 0f)),  // non-finite
       (1, Array(1.0f, 0.0f)),                  // unit norm
-      (1, Array(1.0f, 0.0f, 0.0f))             // ragged: dim 3
+      (1, Array(1.0f, 0.0f, 0.0f)),            // ragged: dim 3
+      (2, Array.empty[Float])                  // zero-LENGTH vector
     ).toDF("label", "embedding")
     val res = Similarity.embeddingQualityOf(planted).collect()
       .map(r => r.getAs[Int]("label") -> r).toMap
@@ -1377,6 +1378,13 @@ class LlmOpsSpec extends SparkSuite {
     assert(l1.getAs[Long]("n_nonfinite") == 1 && l1.getAs[Long]("n_zero") == 0)
     assert(l1.getAs[Double]("min_norm") == 1.0 &&
       l1.getAs[Double]("max_norm") == 1.0)
+    // zero-length vector: dim 0, norm 0 (the fold's init), counted
+    // as a zero vector — reported, never a crash (the SQL dual
+    // guards the same case against DuckDB's empty-list list_reduce)
+    val l2 = res(2)
+    assert(l2.getAs[Long]("n_vecs") == 1 && l2.getAs[Long]("n_zero") == 1)
+    assert(l2.getAs[Long]("n_nonfinite") == 0 &&
+      l2.getAs[Double]("max_norm") == 0.0)
     // the shipped corpus passes the gate clean: one dim, no
     // non-finites, no zeros, every norm inside the unit envelope
     Similarity.embeddingQuality(spark, sfDir).collect().foreach { r =>
