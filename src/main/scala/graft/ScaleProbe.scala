@@ -133,6 +133,10 @@ object ScaleProbe {
     // dyadic length histogram: narrow scan + ~60-cell agg — the
     // narrow-doc-op floor
     time("doc_len_hist")(operators.TextOps.docLengthHistDocs(bigDocs))
+    // first-seen novelty: the decontaminate-style gram explosion plus
+    // ONE min-window on the gram key — must track the gram family's
+    // cost, never add a second corpus-scale pass
+    time("ngram_novelty")(operators.Curation.ngramNoveltyDocs(bigDocs))
 
     // ANN index families over a replicated embedding corpus (distinct
     // vec_ids per replica; probes stay the fixed vec_id < 5 set).

@@ -268,6 +268,88 @@ object Curation {
     * BROADCAST; the corpus is probed via a hash join on the gram, so
     * the membership test costs one narrow pass over the corpus.
     */
+  /** Per-document n-gram NOVELTY profile — the boilerplate /
+    * template-mass diagnostic read alongside the dedup reports: for
+    * each doc, its distinct word 8-grams ([[NgramN]], the
+    * decontamination shingle — shared tokenize + gram build, so the
+    * two surfaces cannot drift) and how many of them appear for the
+    * FIRST time in the corpus' doc_id order, as an exact ppm. A
+    * near-zero novelty doc is assembled from text the corpus already
+    * contains (mirror, template, near-copy below the dedup
+    * thresholds); a sagging corpus-wide novelty curve is how
+    * crawl-over-crawl staleness shows up before any training run.
+    * Docs too short for a single 8-gram report zero grams and NULL
+    * novelty on both engines.
+    *
+    * Scale shape: the gram explosion is the decontamination shape;
+    * first-seen resolves as ONE min-window over the gram key (a
+    * gram→min groupBy would pay the same shuffle and then a second
+    * corpus-scale join to get flags back onto rows); the per-doc
+    * collapse is a partial agg on doc_id. Nothing corpus-scale
+    * crosses the wire twice.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNoveltyDocs(Tables.documents(spark, dir))
+
+  private[graft] def ngramNoveltyDocs(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
+      .select(col("doc_id"),
+        filter(TextOps.normalizedWords, w => w =!= lit("")).as("ws"))
+    val grams = docs.select(col("doc_id"),
+      explode(when(size(col("ws")) >= NgramN,
+        expr(s"transform(sequence(0, size(ws) - $NgramN), " +
+          s"i -> array_join(slice(ws, i + 1, $NgramN), ' '))"))).as("gram"))
+    val w = Window.partitionBy("gram")
+    val perDoc = grams.select("doc_id", "gram").distinct()
+      .withColumn("first_doc", min("doc_id").over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    docsIn.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams") > 0, expr("n_novel * 1000000 DIV n_grams"))
+          .as("novelty_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB dual of [[ngramNovelty]]: the decontamination tokenize +
+    * unnest gram build, the same min-window first-seen rule, integer
+    * ppm.
+    */
+  def ngramNoveltySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+       |      lower(trim(text)), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+       |      x -> x <> '') AS ws
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(0, greatest(len(ws) - ${NgramN - 1}, 0)),
+       |      i -> array_to_string(ws[i + 1 : i + $NgramN], ' '))) AS gram
+       |  FROM d
+       |), dg AS (SELECT DISTINCT doc_id, gram FROM g),
+       |f AS (
+       |  SELECT doc_id,
+       |    min(doc_id) OVER (PARTITION BY gram) AS first_doc
+       |  FROM dg
+       |), p AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_grams,
+       |    sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::BIGINT AS n_novel
+       |  FROM f GROUP BY doc_id
+       |)
+       |SELECT dd.doc_id,
+       |  coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       |  coalesce(p.n_novel, 0)::BIGINT AS n_novel,
+       |  (CASE WHEN p.n_grams > 0 THEN p.n_novel * 1000000 // p.n_grams
+       |   END)::BIGINT AS novelty_ppm
+       |FROM documents dd LEFT JOIN p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminateDocs(Tables.documents(spark, dir))
 

@@ -364,6 +364,42 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("ngramNovelty: planted copies and overlaps hit exact first-seen counts") {
+    import spark.implicits._
+    val w = (1 to 12).map(i => s"w$i").mkString(" ")   // 12 words → 5 8-grams
+    val tail = (1 to 7).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (10L, w),                 // first: all 5 grams novel
+      (11L, w),                 // verbatim copy: 0 novel
+      (12L, s"w5 w6 w7 w8 w9 w10 w11 w12 $tail"), // 15 words → 8 grams;
+                                // gram 0 = doc 10's last gram (seen),
+                                // the other 7 contain t-words (novel)
+      (13L, "too short for any gram")
+    ).toDF("doc_id", "text")
+    val res = Curation.ngramNoveltyDocs(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel")))).toMap
+    assert(res(10L) == ((5L, 5L)))
+    assert(res(11L) == ((5L, 0L)), "a verbatim copy must score zero novelty")
+    assert(res(12L) == ((8L, 7L)), "the shared leading 8-gram is not novel")
+    assert(res(13L) == ((0L, 0L)))
+    val ppm = Curation.ngramNoveltyDocs(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[java.lang.Long]("novelty_ppm")).toMap
+    assert(ppm(10L) == 1000000L && ppm(11L) == 0L && ppm(13L) == null)
+    assert(ppm(12L) == 7L * 1000000L / 8L)
+    // corpus sanity: ppm bounded, and every gram's min-id doc is novel
+    // by definition — so the min-doc_id document is always fully novel
+    val corpus = Curation.ngramNovelty(spark, sfDir).collect()
+    assert(corpus.forall { r =>
+      val p = r.getAs[java.lang.Long]("novelty_ppm")
+      p == null || (p >= 0L && p <= 1000000L)
+    })
+    val firstWithGrams = corpus.filter(_.getAs[Long]("n_grams") > 0)
+      .minBy(_.getAs[Long]("doc_id"))
+    assert(firstWithGrams.getAs[Long]("n_novel") ==
+      firstWithGrams.getAs[Long]("n_grams"))
+  }
+
   test("packStats reconciles with the pack output and the budget arithmetic") {
     val budget = 2048L
     val s = Curation.packStats(spark, sfDir).collect() match {
