@@ -281,26 +281,23 @@ object Curation {
     * Docs too short for a single 8-gram report zero grams and NULL
     * novelty on both engines.
     *
-    * Scale shape: the gram explosion is the decontamination shape;
-    * first-seen resolves as ONE min-window over the gram key (a
-    * gram→min groupBy would pay the same shuffle and then a second
-    * corpus-scale join to get flags back onto rows); the per-doc
-    * collapse is a partial agg on doc_id. Nothing corpus-scale
-    * crosses the wire twice.
+    * Scale shape: the gram explosion is the decontamination shape
+    * ([[gramsOf]], shared); the explicit repartition on `gram` lets
+    * ONE exchange serve both the (doc_id, gram) distinct (same-key
+    * rows colocate under the gram hash) and the first-seen
+    * min-window — without it the planner shuffles the corpus-scale
+    * gram set twice, once per required clustering (caught in
+    * review, plan-pinned since); the per-doc collapse is a partial
+    * agg on doc_id over per-doc-sized partials.
     */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame =
     ngramNoveltyDocs(Tables.documents(spark, dir))
 
   private[graft] def ngramNoveltyDocs(docsIn: DataFrame): DataFrame = {
-    val docs = docsIn
-      .select(col("doc_id"),
-        filter(TextOps.normalizedWords, w => w =!= lit("")).as("ws"))
-    val grams = docs.select(col("doc_id"),
-      explode(when(size(col("ws")) >= NgramN,
-        expr(s"transform(sequence(0, size(ws) - $NgramN), " +
-          s"i -> array_join(slice(ws, i + 1, $NgramN), ' '))"))).as("gram"))
     val w = Window.partitionBy("gram")
-    val perDoc = grams.select("doc_id", "gram").distinct()
+    val perDoc = gramsOf(docsIn)
+      .repartition(col("gram"))
+      .distinct()
       .withColumn("first_doc", min("doc_id").over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
@@ -321,18 +318,8 @@ object Curation {
     * ppm.
     */
   def ngramNoveltySql: String =
-    s"""WITH d AS (
-       |  SELECT doc_id,
-       |    list_filter(string_split(trim(regexp_replace(regexp_replace(
-       |      lower(trim(text)), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
-       |      x -> x <> '') AS ws
-       |  FROM documents
-       |), g AS (
-       |  SELECT doc_id,
-       |    unnest(list_transform(range(0, greatest(len(ws) - ${NgramN - 1}, 0)),
-       |      i -> array_to_string(ws[i + 1 : i + $NgramN], ' '))) AS gram
-       |  FROM d
-       |), dg AS (SELECT DISTINCT doc_id, gram FROM g),
+    s"""WITH $gramCtes,
+       |dg AS (SELECT DISTINCT doc_id, gram FROM g),
        |f AS (
        |  SELECT doc_id,
        |    min(doc_id) OVER (PARTITION BY gram) AS first_doc
@@ -353,15 +340,41 @@ object Curation {
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminateDocs(Tables.documents(spark, dir))
 
-  private[graft] def decontaminateDocs(docsIn: DataFrame): DataFrame = {
-    val docs = docsIn
+  /** Shared tokenize + word-[[NgramN]]-gram stream: ONE definition
+    * for [[decontaminateDocs]] and [[ngramNoveltyDocs]] so the
+    * decontamination shingle and the novelty shingle cannot drift
+    * (docs shorter than one gram contribute no rows).
+    */
+  private def gramsOf(docsIn: DataFrame): DataFrame =
+    docsIn
       .select(col("doc_id"),
         filter(TextOps.normalizedWords, w => w =!= lit("")).as("ws"))
-    val grams = docs.select(col("doc_id"),
-      explode(when(size(col("ws")) >= NgramN,
-        expr(s"transform(sequence(0, size(ws) - $NgramN), " +
-          s"i -> array_join(slice(ws, i + 1, $NgramN), ' '))"))
-        .otherwise(typedLit(Seq.empty[String]))).as("gram"))
+      .select(col("doc_id"),
+        explode(when(size(col("ws")) >= NgramN,
+          expr(s"transform(sequence(0, size(ws) - $NgramN), " +
+            s"i -> array_join(slice(ws, i + 1, $NgramN), ' '))"))
+          .otherwise(typedLit(Seq.empty[String]))).as("gram"))
+
+  /** Shared DuckDB CTE block for the same tokenize + gram stream —
+    * the `d`/`g` CTEs composed by [[decontaminateSql]] and
+    * [[ngramNoveltySql]].
+    */
+  private val gramCtes: String =
+    s"""d AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+       |      lower(trim(text)), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+       |      x -> x <> '') AS ws
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(0, greatest(len(ws) - ${NgramN - 1}, 0)),
+       |      i -> array_to_string(ws[i + 1 : i + $NgramN], ' '))) AS gram
+       |  FROM d
+       |)""".stripMargin
+
+  private[graft] def decontaminateDocs(docsIn: DataFrame): DataFrame = {
+    val grams = gramsOf(docsIn)
     val evalGrams = grams.filter(col("doc_id") < EvalDocs)
       .select("gram").distinct()
     // join-FIRST, dedup after: the broadcast membership probe filters
@@ -376,18 +389,8 @@ object Curation {
   }
 
   def decontaminateSql: String =
-    s"""WITH d AS (
-       |  SELECT doc_id,
-       |    list_filter(string_split(trim(regexp_replace(regexp_replace(
-       |      lower(trim(text)), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
-       |      x -> x <> '') AS ws
-       |  FROM documents
-       |), g AS (
-       |  SELECT doc_id,
-       |    unnest(list_transform(range(0, greatest(len(ws) - ${NgramN - 1}, 0)),
-       |      i -> array_to_string(ws[i + 1 : i + $NgramN], ' '))) AS gram
-       |  FROM d
-       |), e AS (SELECT DISTINCT gram FROM g WHERE doc_id < $EvalDocs),
+    s"""WITH $gramCtes,
+       |e AS (SELECT DISTINCT gram FROM g WHERE doc_id < $EvalDocs),
        |c AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id >= $EvalDocs)
        |SELECT c.doc_id, count(*) AS n_shared_ngrams
        |FROM c JOIN e USING (gram)

@@ -376,14 +376,14 @@ class CurationSpec extends SparkSuite {
                                 // the other 7 contain t-words (novel)
       (13L, "too short for any gram")
     ).toDF("doc_id", "text")
-    val res = Curation.ngramNoveltyDocs(docs).collect()
-      .map(r => r.getAs[Long]("doc_id") ->
-        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel")))).toMap
+    val rows = Curation.ngramNoveltyDocs(docs).collect()
+    val res = rows.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_novel")))).toMap
     assert(res(10L) == ((5L, 5L)))
     assert(res(11L) == ((5L, 0L)), "a verbatim copy must score zero novelty")
     assert(res(12L) == ((8L, 7L)), "the shared leading 8-gram is not novel")
     assert(res(13L) == ((0L, 0L)))
-    val ppm = Curation.ngramNoveltyDocs(docs).collect()
+    val ppm = rows
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[java.lang.Long]("novelty_ppm")).toMap
     assert(ppm(10L) == 1000000L && ppm(11L) == 0L && ppm(13L) == null)
     assert(ppm(12L) == 7L * 1000000L / 8L)

@@ -272,6 +272,18 @@ class PlanSpec extends SparkSuite {
       "embeddingQuality must not join")
   }
 
+  test("ngramNovelty shuffles the corpus-scale gram set exactly once") {
+    // the explicit repartition on gram must serve BOTH the
+    // (doc_id, gram) distinct and the first-seen window — without it
+    // the planner exchanges the full gram set twice, once per
+    // required clustering (the shape review caught)
+    val plan = graft.operators.Curation.ngramNovelty(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val gramExchanges = "hashpartitioning\\(gram".r.findAllIn(plan).length
+    assert(gramExchanges == 1,
+      s"expected exactly one gram-keyed exchange, got $gramExchanges")
+  }
+
   test("knnClassify broadcasts probes and pushes the rank before the exchange") {
     val plan = graft.operators.Similarity.knnClassify(spark, sfDir)
       .queryExecution.executedPlan.toString
