@@ -397,6 +397,77 @@ object Curation {
        |GROUP BY c.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Contamination threshold for [[decontaminateFrac]], in ppm of a
+    * doc's distinct grams (5% — the overlap-fraction regime used when
+    * any-single-hit removal is too aggressive for long documents).
+    */
+  private[graft] val ContamPpmMax = 50000L
+
+  /** Overlap-FRACTION decontamination — the graded dual of
+    * [[decontaminateDocs]]'s any-hit rule (the GPT-3 appendix-C /
+    * FineWeb regime: a long document is contaminated when a
+    * substantial share of its n-grams collides with the benchmark,
+    * not when a single shingle does): per training doc, its distinct
+    * word [[NgramN]]-grams, how many appear in the eval set, the
+    * collision share in exact ppm, and the ≥[[ContamPpmMax]] flag.
+    * Docs too short for one gram report 0/0/NULL and never flag.
+    *
+    * Scale shape: ONE pass over the shared gram stream ([[gramsOf]] —
+    * the decontamination shingle, so the two surfaces cannot drift):
+    * the broadcast eval-membership probe tags each gram in place
+    * (left join against the small distinct eval-gram table), then a
+    * single per-doc aggregate computes both distinct counts; the
+    * corpus-scale gram stream shuffles once, as distinct
+    * (doc_id, gram) partials. No second scan, no gram-keyed exchange.
+    */
+  def decontaminateFrac(spark: SparkSession, dir: String): DataFrame =
+    decontaminateFracDocs(Tables.documents(spark, dir))
+
+  private[graft] def decontaminateFracDocs(docsIn: DataFrame): DataFrame = {
+    val grams = gramsOf(docsIn)
+    val evalGrams = grams.filter(col("doc_id") < EvalDocs)
+      .select("gram").distinct().withColumn("hit", lit(true))
+    val perDoc = grams.filter(col("doc_id") >= EvalDocs)
+      .join(broadcast(evalGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_grams"),
+        countDistinct(when(col("hit"), col("gram"))).as("n_shared"))
+    docsIn.filter(col("doc_id") >= EvalDocs).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_grams") > 0, expr("n_shared * 1000000 DIV n_grams"))
+          .as("contam_ppm"))
+      .withColumn("flagged",
+        coalesce(col("contam_ppm") >= ContamPpmMax, lit(false)))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB dual of [[decontaminateFrac]]: the shared gram CTEs, the
+    * same distinct-gram membership counts and integer-ppm arithmetic.
+    */
+  def decontaminateFracSql: String =
+    s"""WITH $gramCtes,
+       |e AS (SELECT DISTINCT gram FROM g WHERE doc_id < $EvalDocs),
+       |c AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id >= $EvalDocs),
+       |p AS (
+       |  SELECT c.doc_id, count(*)::BIGINT AS n_grams,
+       |    count(e.gram)::BIGINT AS n_shared
+       |  FROM c LEFT JOIN e USING (gram)
+       |  GROUP BY c.doc_id
+       |), r AS (
+       |  SELECT dd.doc_id,
+       |    coalesce(p.n_grams, 0)::BIGINT AS n_grams,
+       |    coalesce(p.n_shared, 0)::BIGINT AS n_shared,
+       |    (CASE WHEN p.n_grams > 0 THEN p.n_shared * 1000000 // p.n_grams
+       |     END)::BIGINT AS contam_ppm
+       |  FROM documents dd LEFT JOIN p USING (doc_id)
+       |  WHERE dd.doc_id >= $EvalDocs)
+       |SELECT doc_id, n_grams, n_shared, contam_ppm,
+       |  coalesce(contam_ppm >= $ContamPpmMax, false) AS flagged
+       |FROM r ORDER BY doc_id""".stripMargin
+
   /** Per-language sampling rates, per mille — the data-mixing knob
     * (downsample the dominant language, keep the tails).
     */
@@ -486,7 +557,7 @@ object Curation {
   }
 
   /** Context-window budget for [[packSequences]]. */
-  private val PackBudget = 2048L
+  private[graft] val PackBudget = 2048L
 
   private val packSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("n_tokens", LongType),
@@ -1631,6 +1702,95 @@ object Curation {
       |FROM rep JOIN q ON rep.doc_id = q.doc_id
       |ORDER BY rep.doc_id""".stripMargin
 
+  // ------------------------------------------------------ C4 cleaning
+
+  /** C4 page-level LINE CLEANING (Raffel et al. 2020 §2.2 — the other
+    * half of the C4 recipe next to [[lineDedup]]'s corpus-level rule):
+    * a line survives iff it ends in a terminal punctuation mark, has
+    * ≥ 3 words, and does not mention "javascript"; the page survives
+    * iff its kept text still has ≥ 5 sentences and the raw page
+    * contains neither "lorem ipsum" nor a curly bracket. (The paper's
+    * remaining rule — the public dirty-word blocklist — is a
+    * broadcast word-set membership test with the identical shape to
+    * the javascript rule; elided rather than shipping a slur list.)
+    * Emits the per-stage signals so drops attribute to their rule.
+    *
+    * The synthetic corpus has no newlines or punctuation, so every
+    * shipped doc drops at the sentence gate (n_kept_lines = 0) — the
+    * crafted-doc spec carries the rule-by-rule semantics, as with the
+    * Gopher table-A1 rules the corpus can't exercise.
+    *
+    * Scale shape: one narrow per-row projection — zero shuffle, zero
+    * state, streaming-legal like the Gopher chain
+    * ([[graft.streaming.TickStream]] serves it stateless).
+    */
+  def c4Filters(spark: SparkSession, dir: String): DataFrame =
+    c4FiltersDocs(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  private[graft] def c4FiltersDocs(docs: DataFrame): DataFrame =
+    withC4Signals(docs)
+      .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+        col("kept_chars"), col("n_sentences"), col("has_lorem"),
+        col("has_curly"), col("keep_doc"))
+
+  /** APPENDS the C4 line/page signals + `keep_doc` verdict to the
+    * input (all input columns survive) — the composable stage shared
+    * by the batch query and the streaming dual.
+    */
+  private[graft] def withC4Signals(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("lines_c4",
+        filter(split(col("text"), "\n"), l => trim(l) =!= lit("")))
+      .withColumn("kept_c4", filter(col("lines_c4"), l =>
+        rtrim(l).rlike("[.!?\"]$") &&
+          size(filter(split(trim(l), s"[${TextOps.Ws}]+"),
+            w => w =!= lit(""))) >= 3 &&
+          !lower(l).contains("javascript")))
+      .withColumn("n_lines", size(col("lines_c4")).cast("long"))
+      .withColumn("n_kept_lines", size(col("kept_c4")).cast("long"))
+      .withColumn("kept_chars",
+        when(col("n_kept_lines") > 0, length(array_join(col("kept_c4"), "\n")))
+          .otherwise(lit(0)).cast("long"))
+      .withColumn("n_sentences",
+        aggregate(col("kept_c4"), lit(0L),
+          (acc, l) => acc + regexp_count(l, lit("[.!?]"))))
+      .withColumn("has_lorem", lower(col("text")).contains("lorem ipsum"))
+      .withColumn("has_curly", col("text").contains("{"))
+      .withColumn("keep_doc",
+        col("n_sentences") >= 5 && !col("has_lorem") && !col("has_curly"))
+      .drop("lines_c4", "kept_c4")
+
+  /** DuckDB dual of [[c4Filters]]: the same line predicates as list
+    * lambdas, the same sentence count and page gates.
+    */
+  def c4FiltersSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+      |  FROM documents
+      |), k AS (
+      |  SELECT doc_id, text, lines,
+      |    list_filter(lines, l -> regexp_matches(rtrim(l), '[.!?"]$')
+      |      AND len(list_filter(string_split_regex(trim(l), '\s+'),
+      |        w -> w <> '')) >= 3
+      |      AND NOT contains(lower(l), 'javascript')) AS kept
+      |  FROM d
+      |)
+      |SELECT doc_id,
+      |  len(lines)::BIGINT AS n_lines,
+      |  len(kept)::BIGINT AS n_kept_lines,
+      |  (CASE WHEN len(kept) > 0 THEN len(array_to_string(kept, chr(10)))
+      |        ELSE 0 END)::BIGINT AS kept_chars,
+      |  coalesce(list_sum(list_transform(kept,
+      |    l -> len(regexp_extract_all(l, '[.!?]')))), 0)::BIGINT AS n_sentences,
+      |  contains(lower(text), 'lorem ipsum') AS has_lorem,
+      |  contains(text, '{') AS has_curly,
+      |  (coalesce(list_sum(list_transform(kept,
+      |     l -> len(regexp_extract_all(l, '[.!?]')))), 0) >= 5
+      |   AND NOT contains(lower(text), 'lorem ipsum')
+      |   AND NOT contains(text, '{')) AS keep_doc
+      |FROM k ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- line dedup
 
   /** C4-style corpus-level LINE dedup (Raffel et al. 2020 §2.2: any
@@ -2026,7 +2186,11 @@ object Curation {
       .select(col("n_docs"), col("total_tokens"),
         expr(s"(total_tokens + ${budget - 1}) DIV $budget").as("n_sequences"),
         col("n_docs_split"),
-        expr("n_docs_split * 1000000 DIV n_docs").as("split_ppm"),
+        // empty-corpus guard: an explicit NULL on both engines (DuckDB
+        // raises on integer // 0 where Spark's DIV yields NULL)
+        when(col("n_docs") === 0, lit(null).cast("long"))
+          .otherwise(expr("n_docs_split * 1000000 DIV n_docs"))
+          .as("split_ppm"),
         col("max_seqs_spanned"),
         when(col("total_tokens") % budget === 0, lit(1000000L))
           .otherwise(expr(s"total_tokens % $budget * 1000000 DIV $budget"))
@@ -2053,7 +2217,8 @@ object Curation {
        |SELECT n_docs, total_tokens,
        |  ((total_tokens + ${PackBudget - 1}) // $PackBudget)::BIGINT AS n_sequences,
        |  n_docs_split,
-       |  (n_docs_split * 1000000 // n_docs)::BIGINT AS split_ppm,
+       |  (CASE WHEN n_docs = 0 THEN NULL
+       |        ELSE n_docs_split * 1000000 // n_docs END)::BIGINT AS split_ppm,
        |  max_seqs_spanned,
        |  (CASE WHEN total_tokens % $PackBudget = 0 THEN 1000000
        |        ELSE total_tokens % $PackBudget * 1000000 // $PackBudget

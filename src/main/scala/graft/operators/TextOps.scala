@@ -74,8 +74,12 @@ object TextOps {
     * ppm.
     *
     * Scale shape: one narrow projection into a ~60-cell partial agg;
-    * the corpus-total join is a broadcast of one aggregated row
-    * (never a global window over the corpus).
+    * the corpus-total denominator is a sum over the AGGREGATED hist
+    * (an unpartitioned window over ~60 cells — never a second corpus
+    * scan and never a window over the corpus; the earlier
+    * agg+broadcast-join formulation re-evaluated the hist subtree,
+    * i.e. two parquet scans unless AQE happened to reuse the
+    * exchange).
     */
   def docLengthHist(spark: SparkSession, dir: String): DataFrame =
     docLengthHistDocs(Tables.documents(spark, dir))
@@ -87,8 +91,9 @@ object TextOps {
         col("n_tok"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tokens"))
-    val total = hist.agg(sum("n_docs").as("total_docs"))
-    hist.crossJoin(broadcast(total))
+    val all = Window.partitionBy()
+    hist
+      .withColumn("total_docs", sum("n_docs").over(all))
       .select(col("bucket"),
         expr("CAST(power(2, bucket) AS BIGINT)").as("lo_tokens"),
         (expr("CAST(power(2, bucket + 1) AS BIGINT)") - 1).as("hi_tokens"),
@@ -413,6 +418,205 @@ object TextOps {
       |GROUP BY word
       |ORDER BY freq DESC, word
       |LIMIT 100""".stripMargin
+
+  /** Top-rank count feeding the Zipf-slope fit in [[vocabStats]]. */
+  private[graft] val ZipfK = 100
+
+  /** Per-source VOCABULARY profile — the corpus-statistics report a
+    * tokenizer or mixing decision reads first: token mass, vocabulary
+    * size, hapax legomena (words seen once — the long-tail/noise
+    * share), type-token ratio, the top word, and the fitted ZIPF
+    * slope (OLS of ln freq vs ln rank over the top [[ZipfK]] words —
+    * natural text sits near −1; templated or synthetic text drifts
+    * flat). Sources with zero normalized words don't appear (there is
+    * no vocabulary to profile).
+    *
+    * Cross-engine exactness: the counts and ppm ratios are integer
+    * arithmetic; the slope's four reductions run as LEFT FOLDS over
+    * rank-ordered lists (the `list_reduce` oracle idiom — identical
+    * summation order on both engines, so the only divergence is the
+    * sub-ulp ln difference absorbed by round 6).
+    *
+    * Scale shape: ONE corpus scan into the (source, word) partial
+    * agg; everything above it is vocab-sized — the rank window, the
+    * top-[[ZipfK]] fold arrays, and the three source-keyed joins all
+    * run over per-source vocabularies, never documents.
+    */
+  def vocabStats(spark: SparkSession, dir: String): DataFrame =
+    vocabStatsDocs(Tables.documents(spark, dir))
+
+  /** Shared (source, word, n) count kernel — ONE definition for
+    * [[vocabStats]] and [[tokenDrift]] (and one SQL CTE,
+    * [[sourceWordCtes]]), so the vocabulary profile and the drift
+    * report can never tokenize differently.
+    */
+  private def sourceWordCounts(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(normalizedWords).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("source", "word").agg(count(lit(1)).as("n"))
+
+  /** DuckDB dual of [[sourceWordCounts]] — the `wf` CTE composed by
+    * [[vocabStatsSql]] and [[tokenDriftSql]].
+    */
+  private val sourceWordCtes: String =
+    """w AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split(trim(regexp_replace(regexp_replace(
+      |      lower(trim(text)), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '),
+      |      x -> x <> '')) AS word
+      |  FROM documents
+      |), wf AS (
+      |  SELECT source, word, count(*)::BIGINT AS n FROM w GROUP BY 1, 2
+      |)""".stripMargin
+
+  private[graft] def vocabStatsDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // persisted: the vocab-sized (source, word, n) table feeds the
+    // mass aggregate AND the rank window — without it the corpus
+    // scan + explode replays once per consumer
+    val wf = sourceWordCounts(docs)
+      .persist()
+    val masses = wf.groupBy("source").agg(
+      sum("n").as("n_tokens"), count(lit(1)).as("vocab"),
+      sum(when(col("n") === 1, 1L).otherwise(0L)).as("hapax"))
+    val rk = wf.withColumn("rank",
+      row_number().over(
+        Window.partitionBy("source").orderBy(col("n").desc, col("word"))))
+    val top = rk.filter(col("rank") === 1)
+      .select(col("source"), col("word").as("top_word"), col("n").as("top_n"))
+    val lnRank = (e: Column) => log(e("rank").cast("double"))
+    val lnN = (e: Column) => log(e("n").cast("double"))
+    val foldSum = (c: Column) => aggregate(c, lit(0.0), _ + _)
+    val zipf = rk.filter(col("rank") <= ZipfK)
+      .groupBy("source")
+      .agg(sort_array(collect_list(struct(col("rank"), col("n")))).as("arr"))
+      .select(col("source"),
+        size(col("arr")).cast("long").as("zipf_k"),
+        foldSum(transform(col("arr"), lnRank)).as("sx"),
+        foldSum(transform(col("arr"), lnN)).as("sy"),
+        foldSum(transform(col("arr"), e => lnRank(e) * lnN(e))).as("sxy"),
+        foldSum(transform(col("arr"), e => lnRank(e) * lnRank(e))).as("sxx"))
+      .select(col("source"), col("zipf_k"),
+        when(col("zipf_k") >= 2 &&
+            (col("zipf_k") * col("sxx") - col("sx") * col("sx")) =!= 0.0,
+          round((col("zipf_k") * col("sxy") - col("sx") * col("sy")) /
+            (col("zipf_k") * col("sxx") - col("sx") * col("sx")), 6))
+          .as("zipf_slope"))
+    masses.join(top, Seq("source")).join(zipf, Seq("source"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+        expr("hapax * 1000000 DIV vocab").as("hapax_ppm"),
+        expr("vocab * 1000000 DIV n_tokens").as("ttr_ppm"),
+        col("top_word"), col("top_n"), col("zipf_k"), col("zipf_slope"))
+      .orderBy("source")
+  }
+
+  /** DuckDB dual of [[vocabStats]]: same normalization, same rank
+    * order, the same rank-ordered `list_reduce` left folds.
+    */
+  def vocabStatsSql: String =
+    s"""WITH $sourceWordCtes, m AS (
+       |  SELECT source, sum(n)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+       |    sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax
+       |  FROM wf GROUP BY 1
+       |), rk AS (
+       |  SELECT source, word, n,
+       |    row_number() OVER (PARTITION BY source ORDER BY n DESC, word) AS rank
+       |  FROM wf
+       |), t1 AS (
+       |  SELECT source, word AS top_word, n AS top_n FROM rk WHERE rank = 1
+       |), z AS (
+       |  SELECT source, count(*)::BIGINT AS zipf_k,
+       |    list(ln(rank::DOUBLE) ORDER BY rank) AS xs,
+       |    list(ln(n::DOUBLE) ORDER BY rank) AS ys,
+       |    list(ln(rank::DOUBLE) * ln(n::DOUBLE) ORDER BY rank) AS xys,
+       |    list(ln(rank::DOUBLE) * ln(rank::DOUBLE) ORDER BY rank) AS xxs
+       |  FROM rk WHERE rank <= $ZipfK GROUP BY source
+       |), zs AS (
+       |  SELECT source, zipf_k,
+       |    list_reduce(xs, (a, b) -> a + b) AS sx,
+       |    list_reduce(ys, (a, b) -> a + b) AS sy,
+       |    list_reduce(xys, (a, b) -> a + b) AS sxy,
+       |    list_reduce(xxs, (a, b) -> a + b) AS sxx
+       |  FROM z
+       |)
+       |SELECT m.source, n_tokens, vocab, hapax,
+       |  (hapax * 1000000 // vocab)::BIGINT AS hapax_ppm,
+       |  (vocab * 1000000 // n_tokens)::BIGINT AS ttr_ppm,
+       |  top_word, top_n, zipf_k,
+       |  (CASE WHEN zipf_k >= 2 AND zipf_k * sxx - sx * sx <> 0
+       |        THEN round((zipf_k * sxy - sx * sy) / (zipf_k * sxx - sx * sx), 6)
+       |   END) AS zipf_slope
+       |FROM m JOIN t1 USING (source) JOIN zs USING (source)
+       |ORDER BY source""".stripMargin
+
+  /** Per-source token-distribution DRIFT — KL(source ‖ corpus) over
+    * unigram frequencies, the observability a mixing stage reads to
+    * see which feed's language has moved away from the blend (and,
+    * run snapshot-over-snapshot, how a crawl drifts release to
+    * release): for each source, its token mass, vocabulary, and the
+    * exact KL divergence in nats of its word distribution against
+    * the whole corpus'. No smoothing is needed — the corpus marginal
+    * dominates every source, so p_corpus > 0 wherever p_source > 0.
+    *
+    * Cross-engine exactness without ordered folds: each word's
+    * contribution `p_s·ln(p_s/p_c)` rounds to 12 decimals and sums
+    * as DECIMAL(28,14) — exact decimal addition is ORDER-INDEPENDENT,
+    * so the corpus-scale reduction needs no sort and no fold, and the
+    * two guard digits beyond the rounding point make the double →
+    * decimal cast unambiguous on both engines (double ulp ≤ 9e-16 at
+    * the ≤20-nat term magnitude, under the 5e-15 decimal boundary).
+    * The final nats value is the decimal sum cast back to double,
+    * rounded to 8.
+    *
+    * Scale shape: ONE corpus scan into the shared
+    * [[sourceWordCounts]] partial agg; the corpus marginal, source
+    * masses, and grand total are windows OVER THE VOCAB-SIZED count
+    * table (word-keyed, source-keyed, unpartitioned — each moves
+    * vocabulary rows, never tokens); the KL collapse is a
+    * sources-sized aggregate.
+    */
+  def tokenDrift(spark: SparkSession, dir: String): DataFrame =
+    tokenDriftDocs(Tables.documents(spark, dir))
+
+  private[graft] def tokenDriftDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wf = sourceWordCounts(docs)
+      .withColumn("n_corpus_w", sum("n").over(Window.partitionBy("word")))
+      .withColumn("n_source", sum("n").over(Window.partitionBy("source")))
+      .withColumn("n_total", sum("n").over(Window.partitionBy()))
+    // both ratio legs multiply as DOUBLE — a BIGINT product would
+    // overflow at 100 TB token masses (and DuckDB would silently
+    // promote to HUGEINT where Spark's ANSI mode errors)
+    val term = (col("n").cast("double") / col("n_source").cast("double")) *
+      log((col("n").cast("double") * col("n_total").cast("double")) /
+        (col("n_source").cast("double") * col("n_corpus_w").cast("double")))
+    wf.groupBy("source")
+      .agg(max("n_source").as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(round(term, 12).cast("decimal(28,14)")).as("kl_dec"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(col("kl_dec").cast("double"), 8).as("kl_nats"))
+      .orderBy("source")
+  }
+
+  /** DuckDB dual of [[tokenDrift]]: the shared count CTE, the same
+    * vocab-table windows and the same DECIMAL(28,14) exact reduction.
+    */
+  def tokenDriftSql: String =
+    s"""WITH $sourceWordCtes, t AS (
+       |  SELECT source, word, n,
+       |    sum(n) OVER (PARTITION BY word) AS n_corpus_w,
+       |    sum(n) OVER (PARTITION BY source) AS n_source,
+       |    sum(n) OVER () AS n_total
+       |  FROM wf
+       |)
+       |SELECT source, max(n_source)::BIGINT AS n_tokens,
+       |  count(*)::BIGINT AS vocab,
+       |  round((sum(round((n::DOUBLE / n_source::DOUBLE) *
+       |    ln((n::DOUBLE * n_total::DOUBLE) / (n_source::DOUBLE * n_corpus_w::DOUBLE)), 12)
+       |    ::DECIMAL(28,14)))::DOUBLE, 8) AS kl_nats
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
   /** TF-IDF keyword extraction: the top-3 terms per document by
     * tf·ln(N/df) over the normalized vocabulary — the per-document

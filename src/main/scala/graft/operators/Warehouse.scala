@@ -81,6 +81,137 @@ object Warehouse {
       |  AND isodow(ts) <= 5 AND hour(ts) BETWEEN 9 AND 16
       |ORDER BY event_id""".stripMargin
 
+  /** Robust price-OUTLIER report — the statistical tier of the
+    * validation story (the reference's gate rejects structurally bad
+    * ticks; this flags structurally VALID ticks whose price is
+    * implausible for their symbol — fat-finger prints, bad feeds):
+    * per symbol, the modified z-score of Iglewicz & Hoaglin
+    * (0.6745·(x − median)/MAD), flagging |z| > 3.5 — the robust rule
+    * that a few wild prints cannot drag, where a mean/stddev z-score
+    * masks its own outliers. A symbol whose prices never vary
+    * (MAD = 0) flags nothing by definition.
+    *
+    * Cross-engine exactness: the median and MAD round to 6 decimals
+    * at each stage, so every DOWNSTREAM comparison is over identical
+    * doubles on both engines (the same residual the exact-percentile
+    * family already carries).
+    *
+    * Scale shape: two exact-percentile aggregation passes over the
+    * validated ticks (symbol-keyed — map-side partials, symbol-sized
+    * results broadcast back); at 100 TB the documented swap is
+    * `approx_percentile` for both passes (the [[percentilesApprox]]
+    * sketch dual) — same plan, bounded memory.
+    */
+  def anomalyTicks(spark: SparkSession, dir: String): DataFrame =
+    anomalyTicksOf(Tables.events(spark, dir))
+
+  /** The same report on an arbitrary events-shaped input (spec entry
+    * for planted outliers).
+    */
+  private[graft] def anomalyTicksOf(events: DataFrame): DataFrame = {
+    val v = validTicksOf(events)
+    val med = v.groupBy("user_id")
+      .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
+    val withMed = v.join(broadcast(med), Seq("user_id"))
+    val mad = withMed.groupBy("user_id")
+      .agg(round(percentile(abs(col("value") - col("med")), lit(0.5)), 6)
+        .as("mad"))
+    withMed.join(broadcast(mad), Seq("user_id"))
+      .withColumn("z",
+        round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6))
+      .filter(col("mad") > 0 && abs(col("z")) > 3.5)
+      .select("event_id", "user_id", "ts", "value", "med", "mad", "z")
+      .orderBy("event_id")
+  }
+
+  def anomalyTicksSql: String =
+    """WITH v AS (
+      |  SELECT event_id, ts, user_id, value FROM events
+      |  WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)
+      |    AND user_id IS NOT NULL
+      |), m AS (
+      |  SELECT user_id, round(quantile_cont(value, 0.5), 6) AS med
+      |  FROM v GROUP BY user_id
+      |), a AS (
+      |  SELECT v.*, med FROM v JOIN m USING (user_id)
+      |), d AS (
+      |  SELECT user_id, round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+      |  FROM a GROUP BY user_id
+      |)
+      |SELECT event_id, user_id, ts, value, med, mad,
+      |  round(0.6745 * (value - med) / mad, 6) AS z
+      |FROM a JOIN d USING (user_id)
+      |WHERE mad > 0 AND abs(round(0.6745 * (value - med) / mad, 6)) > 3.5
+      |ORDER BY event_id""".stripMargin
+
+  /** Per-symbol MAXIMUM DRAWDOWN over the daily close series — the
+    * risk summary every dashboard's performance panel re-derives:
+    * daily closes (last valid print per day, the [[returnCorr]]
+    * close rule), a running peak, and the deepest peak-to-trough
+    * decline with the day it bottomed (earliest day on ties). The
+    * close and peak columns carry raw prices verbatim (max of
+    * observed values — no float synthesis); only the drawdown ratio
+    * rounds.
+    *
+    * Scale shape: one symbol-keyed shuffle serves the daily-close
+    * aggregate, the running-max window, and the trough selection —
+    * the partitioning is established once and reused (the indicator-
+    * family shape); rows entering the windows are symbol×days, never
+    * ticks.
+    */
+  def drawdown(spark: SparkSession, dir: String): DataFrame = {
+    val closes = validTicks(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("trade_date"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id")))
+        .as("close"))
+    val runW = Window.partitionBy("user_id").orderBy("trade_date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pickW = Window.partitionBy("user_id")
+      .orderBy(col("dd"), col("trade_date"))
+    closes
+      .withColumn("peak", max("close").over(runW))
+      .withColumn("dd", round(col("close") / col("peak") - 1.0, 8))
+      .withColumn("rn", row_number().over(pickW))
+      .withColumn("n_days", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_days"),
+        col("dd").as("max_drawdown"),
+        col("trade_date").as("trough_day"),
+        col("close").as("trough_close"),
+        col("peak").as("peak_close"))
+      .orderBy("user_id")
+  }
+
+  def drawdownSql: String =
+    """WITH v AS (
+      |  SELECT event_id, ts, user_id, value FROM events
+      |  WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)
+      |    AND user_id IS NOT NULL
+      |), c AS (
+      |  SELECT user_id, trade_date, value AS close FROM (
+      |    SELECT user_id, CAST(ts AS DATE) AS trade_date, value,
+      |      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                         ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM v) WHERE rn = 1
+      |), p AS (
+      |  SELECT user_id, trade_date, close,
+      |    max(close) OVER (PARTITION BY user_id ORDER BY trade_date
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM c
+      |), d AS (
+      |  SELECT user_id, trade_date, close, peak,
+      |    round(close / peak - 1.0, 8) AS dd,
+      |    count(*) OVER (PARTITION BY user_id) AS n_days
+      |  FROM p
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY dd, trade_date) AS rn
+      |  FROM d
+      |)
+      |SELECT user_id, n_days, dd AS max_drawdown, trade_date AS trough_day,
+      |  close AS trough_close, peak AS peak_close
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+
   /** Duplicate (key, ts) suppression keeping the first-arrived row
     * (producer.py:243-252). One shuffle on user_id.
     */

@@ -159,8 +159,8 @@ class CurationSpec extends SparkSuite {
       val n = r.getLong(r.fieldIndex("n_tokens"))
       val start = r.getLong(r.fieldIndex("start_offset"))
       assert(start == expectedStart, s"doc ${r.getLong(0)}: gap in packing")
-      assert(r.getLong(r.fieldIndex("seq_id")) == start / 2048)
-      assert(r.getLong(r.fieldIndex("offset_in_seq")) == start % 2048)
+      assert(r.getLong(r.fieldIndex("seq_id")) == start / Curation.PackBudget)
+      assert(r.getLong(r.fieldIndex("offset_in_seq")) == start % Curation.PackBudget)
       assert(n > 0)
       expectedStart += n
     }
@@ -401,7 +401,7 @@ class CurationSpec extends SparkSuite {
   }
 
   test("packStats reconciles with the pack output and the budget arithmetic") {
-    val budget = 2048L
+    val budget = Curation.PackBudget
     val s = Curation.packStats(spark, sfDir).collect() match {
       case Array(row) => row
       case other => fail(s"expected one summary row, got ${other.length}")
@@ -425,6 +425,101 @@ class CurationSpec extends SparkSuite {
       (if (tail == 0) 1000000L else tail * 1000000L / budget))
     // the fixture must actually exercise boundary splits
     assert(s.getAs[Long]("n_docs_split") > 0)
+  }
+
+  test("decontaminateFrac: planted overlap fractions are exact and flags obey the bar") {
+    import spark.implicits._
+    val evalText = (1 to 20).map(i => s"eval$i").mkString(" ")
+    val half = (1 to 8).map(i => s"eval$i").mkString(" ") + " " +
+      (1 to 5).map(i => s"own$i").mkString(" ")
+    val docs = Seq(
+      (0L, evalText),                                   // eval probe
+      (10L, evalText),                                  // verbatim copy: ppm 1000000
+      (11L, half),                                      // 6 docs grams, 1 shared
+      (12L, (1 to 20).map(i => s"clean$i").mkString(" ")), // zero overlap
+      (13L, "too short doc")                            // < 8 words: 0 grams
+    ).toDF("doc_id", "text")
+    val got = Curation.decontaminateFracDocs(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(10L, 11L, 12L, 13L))
+    assert(got(10L).getAs[Long]("n_grams") == 13L)      // 20 words → 13 8-grams
+    assert(got(10L).getAs[Long]("n_shared") == 13L)
+    assert(got(10L).getAs[Long]("contam_ppm") == 1000000L)
+    assert(got(10L).getAs[Boolean]("flagged"))
+    // half: 13 words → 6 grams; only "eval1..eval8" = gram at pos 0
+    assert(got(11L).getAs[Long]("n_grams") == 6L)
+    assert(got(11L).getAs[Long]("n_shared") == 1L)
+    assert(got(11L).getAs[Long]("contam_ppm") == 1000000L / 6L)
+    assert(got(11L).getAs[Boolean]("flagged"))          // 166666 >= 50000
+    assert(got(12L).getAs[Long]("n_shared") == 0L &&
+      !got(12L).getAs[Boolean]("flagged"))
+    assert(got(13L).getAs[Long]("n_grams") == 0L &&
+      got(13L).isNullAt(got(13L).fieldIndex("contam_ppm")) &&
+      !got(13L).getAs[Boolean]("flagged"))
+    // coupling with the any-hit surface on the real corpus: the docs
+    // decontaminate reports are exactly the n_shared > 0 docs here,
+    // with identical shared counts (shared gram kernel)
+    val anyHit = Curation.decontaminate(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val frac = Curation.decontaminateFrac(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_shared")).toMap
+    assert(frac.filter(_._2 > 0) == anyHit)
+  }
+
+  test("c4Filters: every line and page rule fires on crafted docs") {
+    import spark.implicits._
+    val keepLine = "This line has five words."
+    val docs = Seq(
+      // 5 good sentences → page kept
+      (1L, (1 to 5).map(i => s"Good sentence number $i here.").mkString("\n")),
+      // good lines but only 4 sentences → dropped at the page gate
+      (2L, (1 to 4).map(i => s"Good sentence number $i here.").mkString("\n")),
+      // line rules: no terminal punct / <3 words / javascript mention
+      (3L, Seq(keepLine, "no terminal punctuation here",
+        "Too short.", "Enable JavaScript to continue viewing.",
+        keepLine, keepLine, keepLine, keepLine).mkString("\n")),
+      // page gates: lorem ipsum and curly bracket
+      (4L, (1 to 5).map(_ => keepLine).mkString("\n") + "\nLorem ipsum dolor sit amet."),
+      (5L, (1 to 5).map(_ => keepLine).mkString("\n") + "\nif (x) { return; }")
+    ).toDF("doc_id", "text")
+    val got = Curation.c4FiltersDocs(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_kept_lines") == 5L &&
+      got(1L).getAs[Long]("n_sentences") == 5L &&
+      got(1L).getAs[Boolean]("keep_doc"))
+    assert(got(2L).getAs[Long]("n_sentences") == 4L &&
+      !got(2L).getAs[Boolean]("keep_doc"))
+    // doc 3: 8 lines, the three bad ones drop (including the one that
+    // ends in '.' but has <3 words, and the js line despite its '.')
+    assert(got(3L).getAs[Long]("n_lines") == 8L)
+    assert(got(3L).getAs[Long]("n_kept_lines") == 5L)
+    assert(got(3L).getAs[Long]("n_sentences") == 5L &&
+      got(3L).getAs[Boolean]("keep_doc"))
+    assert(got(4L).getAs[Boolean]("has_lorem") &&
+      !got(4L).getAs[Boolean]("keep_doc") &&
+      got(4L).getAs[Long]("n_sentences") >= 5L)
+    assert(got(5L).getAs[Boolean]("has_curly") &&
+      !got(5L).getAs[Boolean]("keep_doc"))
+    // the punctuation-free shipped corpus drops everything at the
+    // line gate — the documented degeneracy
+    val real = Curation.c4Filters(spark, sfDir).collect()
+    assert(real.nonEmpty)
+    assert(real.forall(r => r.getAs[Long]("n_kept_lines") == 0L &&
+      !r.getAs[Boolean]("keep_doc")))
+  }
+
+  test("packStats on an empty corpus reports NULL ratios, not an error") {
+    // the cross-engine edge contract: DuckDB raises on // 0, so both
+    // duals guard the ppm with an explicit CASE → one row of NULLs
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val s = Curation.packStatsDocs(empty).collect() match {
+      case Array(row) => row
+      case other => fail(s"expected one summary row, got ${other.length}")
+    }
+    assert(s.getAs[Long]("n_docs") == 0L)
+    assert(s.isNullAt(s.fieldIndex("split_ppm")))
+    assert(s.isNullAt(s.fieldIndex("tail_fill_ppm")))
   }
 
   test("splitLeakage: content keying closes exact, cluster keying closes both") {

@@ -1409,4 +1409,76 @@ class LlmOpsSpec extends SparkSuite {
     assert(rows.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n_docs")).toMap
       == expect, "bucket counts diverge from a driver-side recount")
   }
+
+  private def normWords(text: String): Seq[String] =
+    text.toLowerCase.trim.replaceAll("[^a-z0-9\\s]", " ")
+      .replaceAll("\\s+", " ").trim.split(" ").filter(_.nonEmpty).toSeq
+
+  test("vocabStats reconciles with a driver recount, Zipf slope near -1 shape") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(d => normWords(d._2))).toMap
+    val rows = TextOps.vocabStats(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet == bySource.keySet)
+    rows.foreach { r =>
+      val words = bySource(r.getString(0))
+      val wf = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      assert(r.getAs[Long]("n_tokens") == words.length.toLong)
+      assert(r.getAs[Long]("vocab") == wf.size.toLong)
+      assert(r.getAs[Long]("hapax") == wf.count(_._2 == 1).toLong)
+      assert(r.getAs[Long]("hapax_ppm") ==
+        wf.count(_._2 == 1).toLong * 1000000L / wf.size)
+      assert(r.getAs[Long]("ttr_ppm") == wf.size * 1000000L / words.length)
+      val ranked = wf.toSeq.sortBy { case (w, n) => (-n, w) }
+      assert(r.getAs[String]("top_word") == ranked.head._1)
+      assert(r.getAs[Long]("top_n") == ranked.head._2)
+      // slope recount over the same top-K rank/freq pairs
+      val top = ranked.take(100).zipWithIndex
+        .map { case ((_, n), i) => (math.log(i + 1.0), math.log(n.toDouble)) }
+      val k = top.length.toDouble
+      val (sx, sy) = (top.map(_._1).sum, top.map(_._2).sum)
+      val sxy = top.map(p => p._1 * p._2).sum
+      val sxx = top.map(p => p._1 * p._1).sum
+      val slope = (k * sxy - sx * sy) / (k * sxx - sx * sx)
+      assert(math.abs(r.getAs[Double]("zipf_slope") - slope) < 1e-5,
+        s"${r.getString(0)}: slope ${r.getAs[Double]("zipf_slope")} vs $slope")
+      // a frequency-ranked fit can only slope downward
+      assert(r.getAs[Double]("zipf_slope") < 0.0)
+    }
+  }
+
+  test("tokenDrift: KL >= 0, zero for a lone source, driver recount agrees") {
+    import spark.implicits._
+    // a single-source corpus IS the corpus distribution → KL exactly 0
+    val lone = Seq((1L, "alpha beta beta gamma", "s1"),
+      (2L, "alpha gamma gamma", "s1")).toDF("doc_id", "text", "source")
+    val zero = TextOps.tokenDriftDocs(lone).collect()
+    assert(zero.length == 1 && zero.head.getAs[Double]("kl_nats") == 0.0)
+    // real corpus: non-negative, and a full double recount agrees
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1).view
+      .mapValues(_.flatMap(d => normWords(d._2))).toMap
+    val corpusWf = bySource.values.flatten.toSeq
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTotal = corpusWf.values.sum.toDouble
+    val rows = TextOps.tokenDrift(spark, sfDir).collect()
+    rows.foreach { r =>
+      val words = bySource(r.getString(0))
+      val wf = words.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val ns = words.length.toDouble
+      val kl = wf.map { case (w, n) =>
+        (n / ns) * math.log(n * nTotal / (ns * corpusWf(w)))
+      }.sum
+      assert(r.getAs[Long]("n_tokens") == words.length.toLong)
+      assert(r.getAs[Long]("vocab") == wf.size.toLong)
+      val got = r.getAs[Double]("kl_nats")
+      assert(got >= 0.0, s"KL must be non-negative, got $got")
+      assert(math.abs(got - kl) < 1e-6,
+        s"${r.getString(0)}: kl $got vs recount $kl")
+    }
+  }
 }

@@ -254,13 +254,17 @@ class PlanSpec extends SparkSuite {
 
   test("histogram-style reports aggregate partially and broadcast totals") {
     // q_doc_length_hist: the corpus collapses map-side into a ~60-cell
-    // agg; the corpus-total denominator must join as a broadcast of
-    // one aggregated row, never as a window over the corpus
+    // agg; the corpus-total denominator is a window over the
+    // AGGREGATED hist, so the plan scans the corpus EXACTLY once and
+    // joins nothing (the old agg+broadcast-join shape re-evaluated
+    // the hist subtree — two parquet scans unless AQE reused the
+    // exchange)
     val hplan = TextOps.docLengthHist(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(hplan.contains("BroadcastHashJoin") ||
-      hplan.contains("BroadcastNestedLoopJoin"),
-      "doc-length total must be a broadcast join")
+    val hscans = "Scan parquet".r.findAllIn(hplan).length
+    assert(hscans == 1,
+      s"doc-length hist must scan the corpus exactly once (got $hscans scans)")
+    assert(!hplan.contains("Join"), "doc-length hist must not join")
     // q_embedding_quality: zero joins — the countDistinct(dim) costs
     // a (label, dim) → label re-agg round on top of the keyed agg and
     // the output sort, but every exchange sits ABOVE a map-side
@@ -270,6 +274,54 @@ class PlanSpec extends SparkSuite {
     assert(n <= 3, s"embeddingQuality grew extra exchanges (got $n)")
     assert(!eq.queryExecution.executedPlan.toString.contains("Join"),
       "embeddingQuality must not join")
+  }
+
+  test("round-9 reports keep their scale shapes") {
+    // q_decontaminate_frac: the eval-membership probe must broadcast
+    // (the corpus-scale gram stream never shuffles for the test) and
+    // the gram stream must not sort-merge-join anything
+    val frac = graft.operators.Curation.decontaminateFrac(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(frac.contains("BroadcastHashJoin"),
+      "eval-gram membership must be a broadcast join")
+    // q_c4_filters: a pure per-row projection — no hash exchange at
+    // all, only the output-determinism range sort
+    val c4 = graft.operators.Curation.c4Filters(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!c4.contains("hashpartitioning"),
+      "c4Filters must not shuffle (pure projection)")
+    assert(!c4.contains("Join"), "c4Filters must not join")
+    // q_vocab_stats: the persisted vocab-sized count table serves all
+    // three consumers (masses, top word, zipf fold) — each must read
+    // the cache, not rebuild the corpus scan (the parquet child
+    // printed INSIDE the InMemoryRelation is build-once)
+    val vs = TextOps.vocabStats(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val cacheReads = "InMemoryTableScan".r.findAllIn(vs).length
+    assert(cacheReads >= 3,
+      s"vocabStats consumers must share the cached count table, got $cacheReads")
+    // q_token_drift: single lineage — exactly one corpus scan feeds
+    // the stacked vocab-table windows
+    val td = TextOps.tokenDrift(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val tdScans = "Scan parquet".r.findAllIn(td).length
+    assert(tdScans == 1,
+      s"tokenDrift must scan the corpus exactly once, got $tdScans")
+    // q_anomaly_ticks: the symbol-sized median/MAD models join back
+    // as broadcasts — the tick stream itself never shuffles
+    val anom = graft.operators.Warehouse.anomalyTicks(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val bcasts = "BroadcastHashJoin".r.findAllIn(anom).length
+    assert(bcasts >= 2, s"expected med+mad broadcast joins, got $bcasts")
+    assert(!anom.contains("SortMergeJoin"),
+      "anomalyTicks must not sort-merge-join the tick stream")
+    // q_drawdown: everything above the daily-close aggregate moves
+    // symbol×days rows — bounded exchange count, no join at all
+    val dd = graft.operators.Warehouse.drawdown(spark, sfDir)
+    assert(exchanges(dd) <= 4,
+      s"drawdown grew extra exchanges (got ${exchanges(dd)})")
+    assert(!dd.queryExecution.executedPlan.toString.contains("Join"),
+      "drawdown must not join")
   }
 
   test("ngramNovelty shuffles the corpus-scale gram set exactly once") {

@@ -376,4 +376,82 @@ class WarehouseSpec extends SparkSuite {
     assert(interp.toSeq == gen.toSeq,
       s"interpreted ${interp.toSeq} != codegen ${gen.toSeq}")
   }
+
+  test("anomalyTicks flags planted outliers and nothing on flat symbols") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // symbol 1: tight cluster around 100 plus one wild print;
+    // symbol 2: perfectly flat (MAD = 0 → nothing can flag);
+    // symbol 3: structurally invalid rows only (never reaches stats)
+    val rows =
+      (0 until 20).map(i => (i.toLong, t(i), 1L, "trade",
+        100.0 + (i % 5) * 0.1)) ++
+      Seq((100L, t(30), 1L, "trade", 500.0)) ++
+      (0 until 10).map(i => (200L + i, t(i), 2L, "trade", 42.0)) ++
+      Seq((300L, t(1), 3L, "trade", -5.0), (301L, t(2), 3L, "trade", Double.NaN))
+    val events = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("props", lit("{}"))
+    val got = Warehouse.anomalyTicksOf(events).collect()
+    assert(got.length == 1, s"expected exactly the wild print, got ${got.length}")
+    assert(got.head.getAs[Long]("event_id") == 100L)
+    assert(math.abs(got.head.getAs[Double]("z")) > 3.5)
+    // driver recount on the real corpus: the flagged set is exactly
+    // the |z| > 3.5 rows under the same round-6 median/MAD pipeline
+    val v = Warehouse.validateTicks(spark, sfDir)
+      .select("event_id", "user_id", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def med(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      val pos = 0.5 * (n - 1); val lo = s(pos.toInt)
+      val hi = s(math.min(pos.toInt + 1, n - 1))
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = v.groupBy(_._2).flatMap { case (uid, g) =>
+      val m = r6(med(g.map(_._3).toSeq))
+      val d = r6(med(g.map(x => math.abs(x._3 - m)).toSeq))
+      if (d <= 0) Seq.empty[Long]
+      else g.filter(x => math.abs(r6(0.6745 * (x._3 - m) / d)) > 3.5)
+        .map(x => x._1).toSeq
+    }.toSet
+    val gotReal = Warehouse.anomalyTicks(spark, sfDir).collect()
+      .map(_.getAs[Long]("event_id")).toSet
+    assert(gotReal == expected,
+      s"flag sets differ: extra=${gotReal -- expected} missing=${expected -- gotReal}")
+  }
+
+  test("drawdown equals a driver-side running-peak walk per symbol") {
+    import org.apache.spark.sql.functions._
+    val closes = Warehouse.validateTicks(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1), r.getDouble(2)))
+    def r8(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = closes.groupBy(_._1).map { case (uid, g) =>
+      val days = g.sortBy(_._2.getTime)
+      var peak = Double.MinValue
+      val walk = days.map { case (_, d, c) =>
+        peak = math.max(peak, c); (d, c, peak, r8(c / peak - 1.0))
+      }
+      val best = walk.minBy(w => (w._4, w._1.getTime))
+      uid -> (days.length.toLong, best._4, best._1, best._2, best._3)
+    }
+    val got = Warehouse.drawdown(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val uid = r.getLong(0)
+      val (nDays, dd, day, close, peak) = expected(uid)
+      assert(r.getAs[Long]("n_days") == nDays, s"symbol $uid n_days")
+      assert(r.getAs[Double]("max_drawdown") == dd, s"symbol $uid dd")
+      assert(r.getAs[java.sql.Date]("trough_day") == day, s"symbol $uid day")
+      assert(r.getAs[Double]("trough_close") == close, s"symbol $uid close")
+      assert(r.getAs[Double]("peak_close") == peak, s"symbol $uid peak")
+      assert(dd <= 0.0)
+    }
+  }
 }
