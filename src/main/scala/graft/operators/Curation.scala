@@ -2224,4 +2224,141 @@ object Curation {
        |        ELSE total_tokens % $PackBudget * 1000000 // $PackBudget
        |   END)::BIGINT AS tail_fill_ppm
        |FROM g""".stripMargin
+
+  // --------------------------------------------------- no-split packing
+
+  /** One packing strategy: a bin COMPOSITION (token lengths in the
+    * deterministic greedy order) stamped `copies` times.
+    */
+  private[graft] final case class PackStrategy(comp: Seq[Long], copies: Long)
+
+  /** Histogram bin-packing solve — the driver-sized half of
+    * [[packBestFit]] (the shape of Krell et al. 2021's histogram
+    * packing: the corpus collapses to a ≤`budget`-cell length
+    * histogram, the packing problem is solved ON THE HISTOGRAM, and
+    * only the strategy table returns to the cluster). Greedy
+    * first-fit-decreasing over counts: each composition repeatedly
+    * takes as many copies of the LARGEST remaining length as still
+    * fit, closes when nothing fits, and stamps as many identical
+    * bins as the counts allow in one step. A bin closes only when
+    * every remaining length exceeds its residual, so consecutive
+    * compositions pair-sum over budget — bins < 2·OPT + 1
+    * (spec-asserted against the ⌈total/budget⌉ lower bound).
+    */
+  private[graft] def solvePacking(hist: Map[Long, Long],
+      budget: Long): Seq[PackStrategy] = {
+    val counts = scala.collection.mutable.TreeMap.empty[Long, Long](
+      Ordering[Long].reverse)
+    counts ++= hist.filter { case (len, cnt) => len > 0 && cnt > 0 }
+    require(counts.isEmpty || counts.head._1 <= budget,
+      s"solvePacking: length ${counts.headOption.map(_._1)} exceeds budget $budget")
+    val out = Seq.newBuilder[PackStrategy]
+    var guard = 0
+    while (counts.nonEmpty) {
+      guard += 1
+      require(guard <= 4 * 1024 * 1024,
+        "solvePacking: strategy count exploded — histogram not budget-bounded?")
+      // one composition: greedy largest-fitting, grouped by length
+      // (each length enters a composition at most once — its take is
+      // count- or residual-limited, so revisiting can't add more)
+      var rem = budget
+      val comp = Seq.newBuilder[Long]
+      val mult = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+      var next = counts.iteratorFrom(rem).find(e => !mult.contains(e._1))
+      while (next.isDefined) {
+        val (len, cnt) = next.get
+        val k = math.min(cnt, rem / len)
+        (0L until k).foreach(_ => comp += len)
+        mult(len) = k
+        rem -= k * len
+        next = counts.iteratorFrom(rem).find(e => !mult.contains(e._1))
+      }
+      // stamp identical bins while every member length lasts
+      val copies = mult.map { case (len, m) => counts(len) / m }.min
+      mult.foreach { case (len, m) =>
+        val left = counts(len) - copies * m
+        if (left == 0) counts.remove(len) else counts(len) = left
+      }
+      out += PackStrategy(comp.result(), copies)
+    }
+    out.result()
+  }
+
+  /** NO-SPLIT sequence packing — the contamination-free alternative
+    * to [[packSequences]]' concat-and-chunk (Krell et al. 2021,
+    * "Efficient Sequence Packing without Cross-contamination"):
+    * every document lands WHOLE in exactly one `budget`-token bin
+    * (attention never crosses a document boundary mid-sequence), at
+    * the cost of per-bin slack instead of boundary splits. Documents
+    * longer than the budget truncate to it and flag. Emits per doc
+    * its bin, its item index inside the bin, and its token offset.
+    *
+    * Scale shape: the corpus collapses to a ≤`budget`-cell length
+    * HISTOGRAM (one partial agg — the only driver state is
+    * histogram-sized, never corpus-sized); [[solvePacking]] solves
+    * bin composition on the histogram; the strategy directory
+    * (lengths × strategies, broadcast) turns each doc's rank within
+    * its length group into (bin, slot) by pure integer arithmetic.
+    * The one corpus shuffle is the per-length rank window
+    * (a same-length crowd lands on one reducer — at extreme skew the
+    * rank swaps to the [[packSequences]] two-pass prefix-sum shape).
+    * Deterministic end to end: ranks order by doc_id, bins number by
+    * strategy order.
+    */
+  def packBestFit(spark: SparkSession, dir: String,
+      budget: Long = PackBudget): DataFrame =
+    packBestFitDocs(Tables.documents(spark, dir), budget)
+
+  private[graft] def packBestFitDocs(docs: DataFrame,
+      budget: Long = PackBudget): DataFrame = {
+    val spark = docs.sparkSession
+    val toks = docs
+      .select(col("doc_id"),
+        size(split(trim(col("text")), s"[${TextOps.Ws}]+")).cast("long")
+          .as("n_tokens"))
+      .withColumn("len", least(col("n_tokens"), lit(budget)))
+      .withColumn("truncated", col("n_tokens") > budget)
+    val hist = toks.groupBy("len").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val strategies = solvePacking(hist, budget)
+    // directory: one row per (length, strategy containing it) — the
+    // broadcast that maps a doc's per-length rank to (bin, slot)
+    val dirSchema = StructType(Seq(
+      StructField("len", LongType), StructField("slot_start", LongType),
+      StructField("slot_end", LongType), StructField("base_bin", LongType),
+      StructField("mult", LongType),
+      StructField("item_idx", ArrayType(LongType)),
+      StructField("item_off", ArrayType(LongType))))
+    val dirRows = Seq.newBuilder[Row]
+    val slotCursor = scala.collection.mutable.Map.empty[Long, Long]
+    var baseBin = 0L
+    strategies.foreach { s =>
+      val offs = s.comp.scanLeft(0L)(_ + _)
+      s.comp.zipWithIndex.groupBy(_._1).foreach { case (len, occ) =>
+        val m = occ.length.toLong
+        val start = slotCursor.getOrElse(len, 0L)
+        dirRows += Row(len, start, start + s.copies * m, baseBin, m,
+          occ.map(_._2.toLong), occ.map(o => offs(o._2)))
+        slotCursor(len) = start + s.copies * m
+      }
+      baseBin += s.copies
+    }
+    val dir = spark.createDataFrame(
+      spark.sparkContext.parallelize(dirRows.result(), 1), dirSchema)
+    val rankW = Window.partitionBy(toks("len")).orderBy("doc_id")
+    toks
+      .withColumn("r", row_number().over(rankW).cast("long") - 1L)
+      .join(broadcast(dir.withColumnRenamed("len", "d_len")),
+        col("len") === col("d_len") &&
+          col("r") >= col("slot_start") && col("r") < col("slot_end"))
+      .select(col("doc_id"), col("n_tokens"), col("len"), col("truncated"),
+        expr("base_bin + (r - slot_start) DIV mult").as("bin_id"),
+        element_at(col("item_idx"),
+          ((col("r") - col("slot_start")) % col("mult") + 1L).cast("int"))
+          .as("item_in_bin"),
+        element_at(col("item_off"),
+          ((col("r") - col("slot_start")) % col("mult") + 1L).cast("int"))
+          .as("offset_in_bin"))
+      .orderBy("doc_id")
+  }
 }

@@ -414,6 +414,15 @@ object TickStream extends Serializable {
   def fullQualityDocsStream(docs: DataFrame): DataFrame =
     graft.operators.Curation.gopherChainDocs(docs)
 
+  /** Streaming dual of the C4 line-cleaning verdicts
+    * ([[graft.operators.Curation.c4Filters]]): the same per-row line
+    * predicates and page gates as a stateless projection — no
+    * shuffle, no state, composes into any stream stage. Verdicts
+    * equal the batch query exactly (spec-asserted).
+    */
+  def c4DocsStream(docs: DataFrame): DataFrame =
+    graft.operators.Curation.c4FiltersDocs(docs)
+
   /** Streaming importance scoring — train offline, serve online: a
     * batch-trained hashed DSIR model
     * ([[graft.operators.Curation.hashedImportanceModel]]) rides into

@@ -508,6 +508,64 @@ class CurationSpec extends SparkSuite {
       !r.getAs[Boolean]("keep_doc")))
   }
 
+  test("packBestFit: whole docs, bins within budget, < 2x the lower bound") {
+    val budget = Curation.PackBudget
+    val rows = Curation.packBestFit(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs, "every doc must pack exactly once")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // per bin: items tile the bin in index order, offsets are the
+    // prefix sums, total within budget
+    val byBin = rows.groupBy(_.getAs[Long]("bin_id"))
+    byBin.foreach { case (bin, items) =>
+      val sorted = items.sortBy(_.getAs[Long]("item_in_bin"))
+      assert(sorted.map(_.getAs[Long]("item_in_bin")).toSeq ==
+        sorted.indices.map(_.toLong), s"bin $bin: item indices not contiguous")
+      var off = 0L
+      sorted.foreach { it =>
+        assert(it.getAs[Long]("offset_in_bin") == off,
+          s"bin $bin: offset drift at item ${it.getAs[Long]("item_in_bin")}")
+        off += it.getAs[Long]("len")
+      }
+      assert(off <= budget, s"bin $bin overflows: $off > $budget")
+    }
+    // a bin closes only when nothing fits its residual → bins < 2·OPT+1
+    val total = rows.map(_.getAs[Long]("len")).sum
+    val lowerBound = (total + budget - 1) / budget
+    assert(byBin.size <= 2 * lowerBound + 1,
+      s"${byBin.size} bins vs lower bound $lowerBound")
+    // determinism across invocations
+    val again = Curation.packBestFit(spark, sfDir).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("packBestFit truncates oversized docs and packs planted lengths whole") {
+    import spark.implicits._
+    val budget = Curation.PackBudget
+    def docOf(id: Long, n: Int) = (id, (1 to n).map(i => s"w$i").mkString(" "))
+    val docs = Seq(
+      docOf(1L, 1200), docOf(2L, 900), docOf(3L, 800), docOf(4L, 500),
+      docOf(5L, 300), docOf(6L, 100),
+      docOf(7L, (budget + 52).toInt) // oversized → truncated, alone
+    ).toDF("doc_id", "text")
+    val got = Curation.packBestFitDocs(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 7)
+    val big = got(7L)
+    assert(big.getAs[Boolean]("truncated"))
+    assert(big.getAs[Long]("len") == budget)
+    assert(big.getAs[Long]("n_tokens") == budget + 52)
+    // the truncated doc fills its bin exactly — nothing can join it
+    assert(got.values.count(_.getAs[Long]("bin_id") ==
+      big.getAs[Long]("bin_id")) == 1)
+    got.values.filterNot(_ eq big).foreach(r =>
+      assert(!r.getAs[Boolean]("truncated")))
+    // no bin overflows and every doc lands whole
+    got.values.groupBy(_.getAs[Long]("bin_id")).foreach { case (_, items) =>
+      assert(items.map(_.getAs[Long]("len")).sum <= budget)
+    }
+  }
+
   test("packStats on an empty corpus reports NULL ratios, not an error") {
     // the cross-engine edge contract: DuckDB raises on // 0, so both
     // duals guard the ppm with an explicit CASE → one row of NULLs

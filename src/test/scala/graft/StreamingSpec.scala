@@ -655,6 +655,16 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streaming C4 cleaning verdicts equal the batch query") {
+    val out = TickStream.c4DocsStream(TickStream.docsStream(spark, sfDir))
+    runToMemory(out, "doc_c4")
+    val streamed = spark.table("doc_c4")
+    val batch = graft.operators.Curation.c4Filters(spark, sfDir)
+    assert(streamed.count() == batch.count())
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("streamed hashed importance scores are bit-identical to batch") {
     val batchDocs = Tables.documents(spark, sfDir)
     val model = graft.operators.Curation.hashedImportanceModel(batchDocs)
