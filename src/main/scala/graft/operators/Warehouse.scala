@@ -212,6 +212,241 @@ object Warehouse {
       |  close AS trough_close, peak AS peak_close
       |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
 
+  // ------------------------------------------- daily-series analytics
+  //
+  // The OHLC-derived indicator tier (stochastic, ATR) and the
+  // cross-sectional tier (VWAP, beta) the reference's dashboard layer
+  // stops short of but every market-analytics deployment adds next.
+  // All four ride the existing kernels — ohlcBy(validated) /
+  // dailyReturnsOf — so "daily close/high/low" can never mean two
+  // different things across the query surface, and every window runs
+  // over symbol×days rows, never ticks.
+
+  /** Stochastic oscillator %K/%D over the validated daily OHLC:
+    * %K = 100·(close − min(low,14)) / (max(high,14) − min(low,14)),
+    * NULL until 14 sessions of history and on a flat 14-day band
+    * (max = min — no range to normalize against); %D = 3-session SMA
+    * of %K (NULL until two full %K values precede; flat-band NULLs
+    * are skipped by AVG on both engines, the documented semantics).
+    *
+    * Scale shape: ONE symbol-keyed shuffle from [[ohlcBy]] serves the
+    * day rollup and every window above it (rn, hi/lo-14, %D — all
+    * partitioned by user_id); window input is symbols × days.
+    * Rounding: %K rounds to 6 before %D averages it, so both engines
+    * average identical doubles over the identical 3-row frame.
+    */
+  def stochastic(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val w14 = wRn.rowsBetween(-13, 0)
+    val w3 = wRn.rowsBetween(-2, 0)
+    ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date",
+      validated = true)
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("hi14", max("high_price").over(w14))
+      .withColumn("lo14", min("low_price").over(w14))
+      .withColumn("pct_k", round(
+        when(col("rn") >= 14 && col("hi14") > col("lo14"),
+          (col("close_price") - col("lo14")) /
+            (col("hi14") - col("lo14")) * 100.0), 6))
+      .withColumn("pct_d",
+        round(when(col("rn") >= 16, avg("pct_k").over(w3)), 6))
+      .select("user_id", "trade_date", "close_price", "hi14", "lo14",
+        "pct_k", "pct_d")
+      .orderBy("user_id", "trade_date")
+  }
+
+  def stochasticSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), w AS (
+       |  SELECT user_id, trade_date, close_price,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn,
+       |    max(high_price) OVER (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS hi14,
+       |    min(low_price) OVER (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS lo14
+       |  FROM ohlc
+       |), k AS (
+       |  SELECT *,
+       |    round(CASE WHEN rn >= 14 AND hi14 > lo14
+       |      THEN (close_price - lo14) / (hi14 - lo14) * 100.0 END, 6) AS pct_k
+       |  FROM w
+       |)
+       |SELECT user_id, trade_date, close_price, hi14, lo14, pct_k,
+       |  round(CASE WHEN rn >= 16 THEN
+       |    avg(pct_k) OVER (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) END, 6) AS pct_d
+       |FROM k ORDER BY user_id, trade_date""".stripMargin
+
+  /** Average True Range over the validated daily OHLC: true range =
+    * max(high − low, |high − prev close|, |low − prev close|) — the
+    * gap-aware volatility measure (a session-1 row has no previous
+    * close, so its TR is the plain high − low); ATR-14 = 14-session
+    * SMA of TR, NULL until the window fills (the indicator family's
+    * null-till-full convention; the reference's Wilder-smoothing dual
+    * is the same recurrence shape as EMA if ever needed).
+    *
+    * Scale shape: identical to [[stochastic]] — one symbol-keyed
+    * shuffle, all windows over symbols × days. TR rounds to 6 before
+    * the SMA so both engines average identical doubles.
+    */
+  def atr(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val w14 = wRn.rowsBetween(-13, 0)
+    ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date",
+      validated = true)
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("prev_close", lag("close_price", 1).over(wRn))
+      .withColumn("tr", round(
+        when(col("prev_close").isNull, col("high_price") - col("low_price"))
+          .otherwise(greatest(
+            col("high_price") - col("low_price"),
+            abs(col("high_price") - col("prev_close")),
+            abs(col("low_price") - col("prev_close")))), 6))
+      .withColumn("atr_14",
+        round(when(col("rn") >= 14, avg("tr").over(w14)), 6))
+      .select("user_id", "trade_date", "high_price", "low_price",
+        "close_price", "tr", "atr_14")
+      .orderBy("user_id", "trade_date")
+  }
+
+  def atrSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), t AS (
+       |  SELECT user_id, trade_date, high_price, low_price, close_price,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn,
+       |    lag(close_price) OVER (PARTITION BY user_id
+       |      ORDER BY trade_date) AS prev_close
+       |  FROM ohlc
+       |), tr AS (
+       |  SELECT *, round(CASE WHEN prev_close IS NULL
+       |    THEN high_price - low_price
+       |    ELSE greatest(high_price - low_price,
+       |                  abs(high_price - prev_close),
+       |                  abs(low_price - prev_close)) END, 6) AS tr
+       |  FROM t
+       |)
+       |SELECT user_id, trade_date, high_price, low_price, close_price, tr,
+       |  round(CASE WHEN rn >= 14 THEN
+       |    avg(tr) OVER (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) END, 6) AS atr_14
+       |FROM tr ORDER BY user_id, trade_date""".stripMargin
+
+  /** Daily VWAP per symbol — the execution-quality benchmark price:
+    * Σ(price·volume)/Σ(volume) over each session's validated ticks,
+    * with the tick's `props.k` payload playing volume (the JSON
+    * side-channel [[jsonExtract]] already parses — the synthetic
+    * corpus' stand-in for the reference tick message's volume field,
+    * producer.py's message schema). Zero/absent-volume ticks carry no
+    * weight and are excluded.
+    *
+    * Cross-engine exactness: a double Σ(price·vol) is accumulation-
+    * order-dependent and DID straddle the 6-dp rounding boundary at
+    * sf0.1, so the weighted sum runs EXACT — prices scale to integer
+    * micros (round(value·1e6): ticks sit within 1e-8 of an integer,
+    * so the engines' half-up/half-away split can never bite) and sum
+    * as DECIMAL(38,0) — exact, order-independent, overflow-free to
+    * 1e38 micro-lots. The quotient then rounds AT SCALE 0 in
+    * micro-units, not at scale 6 in dollars: an exactly-dyadic
+    * quotient (65.2171875 at sf0.1) hits the half boundary, where
+    * DuckDB's scaled round multiplies by 10⁶ first (injecting ulp
+    * noise below the half) while Spark rounds the exact double — at
+    * scale 0 there is no scaling multiply and positive half-up ==
+    * half-away, so the engines agree on every representable input.
+    *
+    * Scale shape: ONE partial aggregate — the JSON parse and the
+    * weight products are map-side, the shuffle carries (symbol, day)
+    * partials only. The 100 TB shape by construction.
+    */
+  def vwap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("value") > 0 &&
+        !isnan(col("value")) && col("user_id").isNotNull)
+      .withColumn("vol", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("vol").isNotNull && col("vol") > 0)
+      .groupBy(col("user_id"), to_date(col("ts")).as("trade_date"))
+      .agg(
+        (round(
+          sum(round(col("value") * 1e6, 0).cast("decimal(38,0)") * col("vol"))
+            .cast("double") / sum("vol").cast("double"), 0) / 1e6)
+          .as("vwap"),
+        sum("vol").as("volume"),
+        count(lit(1)).as("n_ticks"))
+      .orderBy("user_id", "trade_date")
+
+  def vwapSql: String =
+    """SELECT user_id, CAST(ts AS DATE) AS trade_date,
+      |  round(CAST(sum(round(value * 1000000)::DECIMAL(38,0) * vol) AS DOUBLE)
+      |    / CAST(sum(vol) AS DOUBLE)) / 1000000 AS vwap,
+      |  sum(vol)::BIGINT AS volume, count(*) AS n_ticks
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |    json_extract(props, '$.k')::BIGINT AS vol
+      |  FROM events
+      |  WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)
+      |    AND user_id IS NOT NULL
+      |)
+      |WHERE vol IS NOT NULL AND vol > 0
+      |GROUP BY 1, 2 ORDER BY user_id, trade_date""".stripMargin
+
+  /** Per-symbol market BETA — systematic co-movement against the
+    * equal-weight market factor: the market return each session is
+    * the cross-sectional mean of that day's symbol returns (the
+    * symbol's own return included — the standard equal-weight index
+    * convention), beta = cov(r_s, r_m)/var(r_m) over the symbol's
+    * traded sessions, with the market correlation alongside. Symbols
+    * with < `minDays` sessions are dropped (the [[returnCorr]]
+    * support floor).
+    *
+    * Cross-engine exactness: the cross-sectional mean rounds to 12
+    * decimals, so both engines' moment aggregates consume identical
+    * (ret, mret) pairs; the population-moment quotients round to 6 —
+    * the accumulation-order residual sits ~8 orders below the
+    * rounding point.
+    *
+    * Scale shape: returns compact to symbol×days once
+    * ([[dailyReturnsOf]] — map-side max_by partials); the market leg
+    * is a dates-sized aggregate broadcast back (the daily
+    * cross-section is itself a partial agg — no date-keyed corpus
+    * shuffle); the beta collapse is one symbol-keyed aggregate.
+    */
+  def beta(spark: SparkSession, dir: String, minDays: Int = 15): DataFrame = {
+    val rets = dailyReturnsOf(validTicks(spark, dir))
+    val mkt = rets.groupBy("trade_date")
+      .agg(round(avg("ret"), 12).as("mret"),
+        count(lit(1)).as("breadth"))
+    rets.join(broadcast(mkt), Seq("trade_date"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(covar_pop(col("ret"), col("mret")) /
+          var_pop(col("mret")), 6).as("beta"),
+        round(corr(col("ret"), col("mret")), 6).as("corr_mkt"))
+      .filter(col("n_days") >= minDays)
+      .orderBy("user_id")
+  }
+
+  def betaSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), rets AS (
+       |  SELECT user_id, trade_date,
+       |    close_price / lag(close_price) OVER (PARTITION BY user_id
+       |      ORDER BY trade_date) - 1.0 AS ret
+       |  FROM ohlc
+       |), r AS (
+       |  SELECT user_id, trade_date, ret FROM rets WHERE ret IS NOT NULL
+       |), m AS (
+       |  SELECT trade_date, round(avg(ret), 12) AS mret FROM r GROUP BY 1
+       |)
+       |SELECT user_id, count(*) AS n_days,
+       |  round(covar_pop(ret, mret) / var_pop(mret), 6) AS beta,
+       |  round(corr(ret, mret), 6) AS corr_mkt
+       |FROM r JOIN m USING (trade_date)
+       |GROUP BY user_id HAVING count(*) >= 15
+       |ORDER BY user_id""".stripMargin
+
   /** Duplicate (key, ts) suppression keeping the first-arrived row
     * (producer.py:243-252). One shuffle on user_id.
     */
@@ -290,24 +525,28 @@ object Warehouse {
 
   /** Unordered OHLC rollup base (callers add their own ORDER BY or
     * consume it unsorted — the validTicks/validateTicks pattern).
+    *
+    * open/close resolve as min_by/max_by over the unique (ts,
+    * event_id) tick order — ONE partial AGGREGATE with map-side
+    * combine, so shuffle volume is (symbol, bucket) partials per map
+    * task, never ticks (the [[dailyReturnsOf]] close rule; until
+    * round 9 this kernel window-sorted every tick inside the shuffle
+    * — identical output, 100× the shuffle at 100 TB). The SQL dual
+    * keeps its first/last_value window formulation: the oracle
+    * defines the semantics, the aggregate is the scale shape.
     */
   private def ohlcBy(spark: SparkSession, dir: String,
       bucketExpr: org.apache.spark.sql.Column, bucketName: String,
       validated: Boolean = false): DataFrame = {
-    val w = Window.partitionBy(col("user_id"), col(bucketName))
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val src = if (validated) validTicks(spark, dir) else Tables.events(spark, dir)
     src
       .select(col("user_id"), bucketExpr, col("ts"), col("event_id"), col("value"))
-      .withColumn("open", first("value").over(w))
-      .withColumn("close", last("value").over(w))
       .groupBy(col("user_id"), col(bucketName))
       .agg(
-        max(col("open")).as("open_price"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open_price"),
         round(max("value"), 4).as("high_price"),
         round(min("value"), 4).as("low_price"),
-        max(col("close")).as("close_price"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close_price"),
         count(lit(1)).as("n_ticks"),
         round(sum("value"), 4).as("turnover"))
   }

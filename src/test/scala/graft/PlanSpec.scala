@@ -276,6 +276,46 @@ class PlanSpec extends SparkSuite {
       "embeddingQuality must not join")
   }
 
+  test("daily-series analytics reuse one symbol partitioning; beta broadcasts") {
+    import graft.operators.Warehouse
+    // stochastic / ATR: the OHLC base is a partial AGGREGATE (map-
+    // side combine — shuffles (symbol, day) partials, never ticks;
+    // no tick-level open/close window), then the day rows re-key on
+    // user_id for the indicator windows — two bounded hash exchanges,
+    // both moving day-sized rows, no join
+    for ((name, df) <- Seq(
+        "stochastic" -> Warehouse.stochastic(spark, sfDir),
+        "atr" -> Warehouse.atr(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val hashEx = "hashpartitioning".r.findAllIn(plan).length
+      assert(hashEx <= 2, s"$name must keep two bounded shuffles, got $hashEx")
+      // (min_by/open is column-pruned away here — these consumers
+      // only read high/low/close, and the kernel lets Catalyst prune)
+      assert(plan.contains("partial_max_by"),
+        s"$name OHLC base must combine map-side (max_by partials)")
+      assert(!plan.contains("unboundedfollowing"),
+        s"$name must not window-sort ticks for open/close")
+      assert(!plan.contains("Join"), s"$name must not join")
+    }
+    // vwap: one partial aggregate — map-side combine, no join, and
+    // the validation predicate reaches the parquet scan
+    val vw = Warehouse.vwap(spark, sfDir)
+    val vwf = formatted(vw)
+    assert(exchanges(vw) <= 2,
+      s"vwap must be one agg exchange + range sort, got ${exchanges(vw)}")
+    assert(!vwf.contains("Join"), "vwap must not join")
+    assert(vwf.contains("PushedFilters: [IsNotNull(value)"),
+      "tick validation not pushed to the vwap scan")
+    // beta: the dates-sized market factor joins back as a broadcast —
+    // the returns table must never sort-merge against it
+    val bplan = Warehouse.beta(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(bplan.contains("BroadcastHashJoin"),
+      "market factor must broadcast")
+    assert(!bplan.contains("SortMergeJoin"),
+      "beta must not sort-merge-join the returns")
+  }
+
   test("round-9 reports keep their scale shapes") {
     // q_decontaminate_frac: the eval-membership probe must broadcast
     // (the corpus-scale gram stream never shuffles for the test) and
@@ -301,7 +341,13 @@ class PlanSpec extends SparkSuite {
     assert(cacheReads >= 3,
       s"vocabStats consumers must share the cached count table, got $cacheReads")
     // q_token_drift: single lineage — exactly one corpus scan feeds
-    // the stacked vocab-table windows
+    // the stacked vocab-table windows. Another suite's persisted
+    // vocab table can substitute into this plan as an
+    // InMemoryRelation whose PRINTED body carries its own parquet
+    // scan line (a build-once cache, not a second scan) — clear the
+    // shared-session cache so the assertion sees tokenDrift's own
+    // lineage regardless of suite order.
+    spark.catalog.clearCache()
     val td = TextOps.tokenDrift(spark, sfDir)
       .queryExecution.executedPlan.toString
     val tdScans = "Scan parquet".r.findAllIn(td).length

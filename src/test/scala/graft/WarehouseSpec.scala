@@ -454,4 +454,154 @@ class WarehouseSpec extends SparkSuite {
       assert(dd <= 0.0)
     }
   }
+
+  /** Driver-side validated daily OHLC (high/low rounded 4, close =
+    * last by (ts, event_id)) — the reconciliation base the stochastic
+    * and ATR walks share.
+    */
+  private def driverDailyOhlc: Map[Long, Array[(java.sql.Date, Double, Double, Double)]] = {
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Warehouse.validateTicks(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        java.sql.Date.valueOf(r.getAs[java.sql.Timestamp]("ts")
+          .toLocalDateTime.toLocalDate),
+        r.getAs[java.sql.Timestamp]("ts").getTime,
+        r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+      .groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((uid, d), g) =>
+        val close = g.maxBy(t => (t._3, t._4))._5
+        (uid, (d, r4(g.map(_._5).max), r4(g.map(_._5).min), close))
+      }
+      .groupBy(_._1)
+      .map { case (uid, m) =>
+        uid -> m.map(_._2).toArray.sortBy(_._1.getTime)
+      }
+  }
+
+  private def r6(x: Double) = BigDecimal(x)
+    .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("stochastic %K/%D equal a driver-side window walk") {
+    val daily = driverDailyOhlc
+    val got = Warehouse.stochastic(spark, sfDir).collect()
+    assert(got.length == daily.values.map(_.length).sum)
+    val byKey = got.map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    daily.foreach { case (uid, days) =>
+      val ks = new Array[java.lang.Double](days.length)
+      days.zipWithIndex.foreach { case ((d, _, _, close), i) =>
+        val hi14 = days.slice(math.max(0, i - 13), i + 1).map(_._2).max
+        val lo14 = days.slice(math.max(0, i - 13), i + 1).map(_._3).min
+        ks(i) = if (i >= 13 && hi14 > lo14)
+          r6((close - lo14) / (hi14 - lo14) * 100.0) else null
+        val r = byKey((uid, d))
+        assert(r.getAs[Double]("hi14") == hi14, s"$uid/$d hi14")
+        assert(r.getAs[Double]("lo14") == lo14, s"$uid/$d lo14")
+        assert(Option(r.getAs[java.lang.Double]("pct_k")) ==
+          Option(ks(i)), s"$uid/$d pct_k")
+        val dExp: Option[Double] = if (i >= 15) {
+          val win = (i - 2 to i).flatMap(j => Option(ks(j)).map(_.doubleValue))
+          if (win.nonEmpty) Some(r6(win.sum / win.length)) else None
+        } else None
+        val dGot = Option(r.getAs[java.lang.Double]("pct_d")).map(_.doubleValue)
+        (dExp, dGot) match {
+          case (Some(e), Some(g)) =>
+            assert(math.abs(e - g) <= 1e-6, s"$uid/$d pct_d $e vs $g")
+          case (e, g) => assert(e == g, s"$uid/$d pct_d null-ness")
+        }
+      }
+    }
+    // the guard actually bites: early-session rows carry NULLs
+    assert(got.count(_.isNullAt(5)) >= 13 * daily.size)
+  }
+
+  test("atr equals a driver-side true-range walk") {
+    val daily = driverDailyOhlc
+    val got = Warehouse.atr(spark, sfDir).collect()
+    val byKey = got.map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    daily.foreach { case (uid, days) =>
+      val trs = new Array[Double](days.length)
+      days.zipWithIndex.foreach { case ((d, hi, lo, close), i) =>
+        trs(i) =
+          if (i == 0) r6(hi - lo)
+          else {
+            val pc = days(i - 1)._4
+            r6(math.max(hi - lo, math.max(math.abs(hi - pc), math.abs(lo - pc))))
+          }
+        val r = byKey((uid, d))
+        assert(r.getAs[Double]("tr") == trs(i), s"$uid/$d tr")
+        val aGot = Option(r.getAs[java.lang.Double]("atr_14")).map(_.doubleValue)
+        if (i >= 13) {
+          val e = r6(trs.slice(i - 13, i + 1).sum / 14.0)
+          assert(aGot.isDefined && math.abs(aGot.get - e) <= 1e-6,
+            s"$uid/$d atr $e vs $aGot")
+        } else assert(aGot.isEmpty, s"$uid/$d atr must be null at rn ${i + 1}")
+      }
+    }
+  }
+
+  test("vwap equals the driver-side weighted mean over parsed volumes") {
+    val kRe = """"k"\s*:\s*(\d+)""".r
+    val ticks = Tables.events(spark, sfDir)
+      .filter("value IS NOT NULL AND value > 0 AND NOT isnan(value)" +
+        " AND user_id IS NOT NULL").collect()
+      .flatMap { r =>
+        val vol = Option(r.getAs[String]("props"))
+          .flatMap(p => kRe.findFirstMatchIn(p)).map(_.group(1).toLong)
+        vol.filter(_ > 0).map(v => (r.getAs[Long]("user_id"),
+          java.sql.Date.valueOf(r.getAs[java.sql.Timestamp]("ts")
+            .toLocalDateTime.toLocalDate),
+          r.getAs[Double]("value"), v))
+      }
+    val expected = ticks.groupBy(t => (t._1, t._2)).map { case (k, g) =>
+      k -> (g.map(t => t._3 * t._4).sum / g.map(_._4).sum,
+        g.map(_._4).sum, g.length.toLong)
+    }
+    val got = Warehouse.vwap(spark, sfDir).collect()
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { r =>
+      val (vwap, vol, n) = expected((r.getLong(0), r.getAs[java.sql.Date](1)))
+      assert(math.abs(r.getAs[Double]("vwap") - vwap) <= 1e-6)
+      assert(r.getAs[Long]("volume") == vol)
+      assert(r.getAs[Long]("n_ticks") == n)
+      // VWAP is bracketed by the session's price range by construction
+    }
+  }
+
+  test("beta: equal-weight market recovers cov/var driver-side; corr bounded") {
+    import org.apache.spark.sql.functions._
+    val rets = Warehouse.validateTicks(spark, sfDir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("c"))
+      .collect().map(r => (r.getLong(0), r.getDate(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq.flatMap { case (uid, g) =>
+        val days = g.sortBy(_._2.getTime)
+        days.sliding(2).collect { case Array((_, _, p), (_, d, c)) =>
+          (uid, d, c / p - 1.0)
+        }
+      }
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mret = rets.groupBy(_._2).map { case (d, g) =>
+      d -> r12(g.map(_._3).sum / g.length)
+    }
+    val expected = rets.groupBy(_._1).collect {
+      case (uid, g) if g.length >= 15 =>
+        val xs = g.map(_._3); val ys = g.map(t => mret(t._2))
+        val mx = xs.sum / xs.length; val my = ys.sum / ys.length
+        val cov = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum / xs.length
+        val vy = ys.map(y => (y - my) * (y - my)).sum / ys.length
+        uid -> (g.length.toLong, cov / vy)
+    }
+    val got = Warehouse.beta(spark, sfDir).collect()
+    assert(got.length == expected.size && got.nonEmpty)
+    got.foreach { r =>
+      val (n, beta) = expected(r.getLong(0))
+      assert(r.getAs[Long]("n_days") == n)
+      assert(math.abs(r.getAs[Double]("beta") - beta) <= 2e-6,
+        s"symbol ${r.getLong(0)} beta")
+      val c = r.getAs[Double]("corr_mkt")
+      assert(c >= -1.0 && c <= 1.0)
+    }
+  }
 }
