@@ -907,6 +907,53 @@ object Dedup {
       |SELECT vec_id, cluster_id, (vec_id = cluster_id) AS keep
       |FROM clusters ORDER BY vec_id""".stripMargin
 
+  /** CLUSTER-SIZE DISTRIBUTION over the resolved near-dup components —
+    * the report a dedup owner reads before applying the rewrite map:
+    * per component size, how many clusters, how many docs they hold,
+    * how many of those a canonical pass deletes (size − 1 each), and
+    * both masses as ppm of the corpus. A corpus whose mass sits in
+    * large clusters is template-heavy (and the LSH banding needs more
+    * bands); one dominated by singletons is near-dup-clean.
+    *
+    * Scale shape: the component resolution dominates; above it the
+    * rollup is cluster-sized → size-sized (two partial aggs), and
+    * the corpus totals derive from the ~log-many-row histogram itself
+    * via an empty window (the [[graft.operators.TextOps.docLengthHistDocs]]
+    * idiom — a second corpus pass for a denominator is structurally
+    * impossible). All integer arithmetic → hash-exact.
+    */
+  def clusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val hist = embeddingClusters(spark, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    hist
+      .withColumn("total_docs",
+        sum(col("size") * col("n_clusters")).over(all))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"),
+        ((col("size") - 1) * col("n_clusters")).as("dup_docs"),
+        expr("size * n_clusters * 1000000 DIV total_docs").as("doc_ppm"),
+        expr("(size - 1) * n_clusters * 1000000 DIV total_docs")
+          .as("dup_ppm"))
+      .orderBy("size")
+  }
+
+  def clusterStatsSql: String =
+    s"""WITH RECURSIVE $clusterClosureCtes
+      |, sizes AS (
+      |  SELECT cluster_id, count(*)::BIGINT AS size FROM clusters GROUP BY 1
+      |), hist AS (
+      |  SELECT size, count(*)::BIGINT AS n_clusters FROM sizes GROUP BY 1
+      |), t AS (
+      |  SELECT *, sum(size * n_clusters) OVER () AS total_docs FROM hist
+      |)
+      |SELECT size, n_clusters, size * n_clusters AS n_docs,
+      |  (size - 1) * n_clusters AS dup_docs,
+      |  size * n_clusters * 1000000 // total_docs AS doc_ppm,
+      |  (size - 1) * n_clusters * 1000000 // total_docs AS dup_ppm
+      |FROM t ORDER BY size""".stripMargin
+
   /** Per-cluster CANONICAL-document selection joined back to the
     * corpus — the final dedup step after [[embeddingClusters]]: every
     * document maps to the surviving representative of its near-dup

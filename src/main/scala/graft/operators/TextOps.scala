@@ -419,6 +419,49 @@ object TextOps {
       |ORDER BY freq DESC, word
       |LIMIT 100""".stripMargin
 
+  /** HEAVY HITTERS via a Count-Min sketch — the 100 TB dual of
+    * [[wordFreq]], completing the sketch tier next to HLL
+    * (q_approx_distinct) and approx percentiles: at corpus scale the
+    * exact word groupBy shuffles a vocabulary-sized key set, while
+    * the CMS is a FIXED ⌈e/ε⌉×⌈ln(1/δ)⌉ counter grid that aggregates
+    * with map-side combine and MERGES associatively (Cormode &
+    * Muthukrishnan 2005) — the per-partition sketches meet in one
+    * tiny reduce, and a standing-corpus deployment keeps the sketch
+    * as a mergeable artifact the same way the Bloom gate keeps its
+    * filter. The report joins the exact top-`k` words (the verifier
+    * tier at test scale; at 100 TB the candidate set comes from a
+    * per-partition top-k pre-filter instead) with their sketch
+    * estimates and the overestimate in ppm of the token mass.
+    *
+    * CMS guarantees, both spec-asserted: estimate ≥ exact count
+    * (never an undercount), and estimate ≤ exact + ε·N with
+    * probability 1−δ. Deterministic: fixed seed, fixed grid.
+    */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 50,
+      eps: Double = 1e-4, confidence: Double = 0.99): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), s"[$Ws]+")).as("word"))
+    // one distributed pass: mergeable sketch + token mass together
+    val skRow = words
+      .agg(expr(s"count_min_sketch(word, ${eps}d, ${confidence}d, 42)")
+        .as("sk"), count(lit(1)).as("n"))
+      .head()
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skRow.getAs[Array[Byte]]("sk")))
+    val total = skRow.getAs[Long]("n")
+    val top = words.groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(k)
+      .collect()
+    import spark.implicits._
+    top.toSeq
+      .map(r => (r.getString(0), r.getLong(1),
+        sketch.estimateCount(r.getString(0)), total))
+      .toDF("word", "freq", "cms_estimate", "n_words")
+      .withColumn("over_ppm",
+        expr("(cms_estimate - freq) * 1000000 DIV n_words"))
+      .orderBy(col("freq").desc, col("word"))
+  }
+
   /** Top-rank count feeding the Zipf-slope fit in [[vocabStats]]. */
   private[graft] val ZipfK = 100
 

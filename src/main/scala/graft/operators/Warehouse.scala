@@ -106,23 +106,43 @@ object Warehouse {
     anomalyTicksOf(Tables.events(spark, dir))
 
   /** The same report on an arbitrary events-shaped input (spec entry
-    * for planted outliers).
+    * for planted outliers) — trains the [[anomalyModelOf]] model and
+    * serves it through [[anomalyServe]], the SAME serve path the
+    * streaming gate rides, so batch and stream verdicts share one
+    * definition.
     */
-  private[graft] def anomalyTicksOf(events: DataFrame): DataFrame = {
+  private[graft] def anomalyTicksOf(events: DataFrame): DataFrame =
+    anomalyServe(validTicksOf(events), anomalyModelOf(events))
+      .orderBy("event_id")
+
+  /** Per-symbol robust price model — (median, MAD), each rounded to
+    * 6 dp: the symbol-sized artifact the anomaly gate broadcasts.
+    * Train offline on the standing corpus, serve online
+    * ([[graft.streaming.TickStream.anomalyTicksStream]]).
+    */
+  private[graft] def anomalyModelOf(events: DataFrame): DataFrame = {
     val v = validTicksOf(events)
     val med = v.groupBy("user_id")
       .agg(round(percentile(col("value"), lit(0.5)), 6).as("med"))
-    val withMed = v.join(broadcast(med), Seq("user_id"))
-    val mad = withMed.groupBy("user_id")
-      .agg(round(percentile(abs(col("value") - col("med")), lit(0.5)), 6)
-        .as("mad"))
-    withMed.join(broadcast(mad), Seq("user_id"))
+    v.join(broadcast(med), Seq("user_id"))
+      .groupBy("user_id")
+      .agg(max("med").as("med"),
+        round(percentile(abs(col("value") - col("med")), lit(0.5)), 6)
+          .as("mad"))
+  }
+
+  /** Serve leg of the anomaly gate: flag |modified z| > 3.5 on an
+    * arbitrary VALIDATED tick frame against a broadcast (med, MAD)
+    * model. A pure stream-static broadcast join + projection — zero
+    * state, streaming-legal, and the one definition both duals share.
+    */
+  private[graft] def anomalyServe(ticks: DataFrame,
+      model: DataFrame): DataFrame =
+    ticks.join(broadcast(model), Seq("user_id"))
       .withColumn("z",
         round(lit(0.6745) * (col("value") - col("med")) / col("mad"), 6))
       .filter(col("mad") > 0 && abs(col("z")) > 3.5)
       .select("event_id", "user_id", "ts", "value", "med", "mad", "z")
-      .orderBy("event_id")
-  }
 
   def anomalyTicksSql: String =
     """WITH v AS (

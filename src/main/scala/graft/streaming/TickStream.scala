@@ -423,6 +423,23 @@ object TickStream extends Serializable {
   def c4DocsStream(docs: DataFrame): DataFrame =
     graft.operators.Curation.c4FiltersDocs(docs)
 
+  /** Streaming PRICE-ANOMALY gate — train offline, serve online, the
+    * tick-side sibling of [[importanceDocsStream]]: the symbol-sized
+    * robust (median, MAD) model
+    * ([[graft.operators.Warehouse.anomalyModelOf]], trained on the
+    * standing corpus) joins the live stream as a stream-static
+    * BROADCAST; flagging is the same |modified z| > 3.5 projection
+    * the batch report applies — one shared serve path
+    * ([[graft.operators.Warehouse.anomalyServe]]), so streamed
+    * verdicts equal the batch query exactly (spec-asserted). Zero
+    * state, composes into any stream stage; a production deployment
+    * refreshes the model through the [[maintainStream]] family like
+    * the classifier weights.
+    */
+  def anomalyTicksStream(ticks: DataFrame, model: DataFrame): DataFrame =
+    graft.operators.Warehouse.anomalyServe(
+      graft.operators.Warehouse.validTicksOf(ticks), model)
+
   /** Streaming importance scoring — train offline, serve online: a
     * batch-trained hashed DSIR model
     * ([[graft.operators.Curation.hashedImportanceModel]]) rides into

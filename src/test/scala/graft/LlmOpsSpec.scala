@@ -1481,4 +1481,24 @@ class LlmOpsSpec extends SparkSuite {
         s"${r.getString(0)}: kl $got vs recount $kl")
     }
   }
+
+  test("clusterStats reconciles with the resolved components") {
+    val sizes = Dedup.embeddingClusters(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("cluster_id")).map(_._2.length.toLong)
+    val expected = sizes.groupBy(identity).map { case (s, g) => s -> g.size.toLong }
+    val total = sizes.sum
+    val got = Dedup.clusterStats(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val s = r.getAs[Long]("size")
+      assert(r.getAs[Long]("n_clusters") == expected(s), s"size $s count")
+      assert(r.getAs[Long]("n_docs") == s * expected(s))
+      assert(r.getAs[Long]("dup_docs") == (s - 1) * expected(s))
+      assert(r.getAs[Long]("doc_ppm") == s * expected(s) * 1000000L / total)
+    }
+    // masses reconcile: docs sum to the corpus, dups to docs - clusters
+    assert(got.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(got.map(_.getAs[Long]("dup_docs")).sum ==
+      total - sizes.size)
+  }
 }

@@ -84,4 +84,31 @@ class SketchSpec extends SparkSuite {
         s"$k: exact=$e approx=$a")
     }
   }
+
+  test("heavy hitters: CMS never undercounts and stays inside eps*N") {
+    import org.apache.spark.sql.functions._
+    val eps = 1e-4
+    val got = graft.operators.TextOps.heavyHitters(spark, sfDir, k = 50, eps = eps).collect()
+    // the sf0.001 vocabulary is smaller than k — the report covers it
+    assert(got.nonEmpty && got.length <= 50)
+    val total = got.head.getAs[Long]("n_words")
+    got.foreach { r =>
+      val exact = r.getAs[Long]("freq")
+      val est = r.getAs[Long]("cms_estimate")
+      assert(est >= exact,
+        s"CMS undercounted '${r.getString(0)}': $est < $exact")
+      assert(est <= exact + (eps * total).toLong,
+        s"'${r.getString(0)}' overestimate ${est - exact} beyond eps*N")
+    }
+    // the exact leg agrees with q_word_freq's ranking on the shared
+    // tokenization (same split, same tie-break)
+    val wf = graft.operators.TextOps.wordFreq(spark, sfDir)
+      .limit(got.length).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("freq")))
+    assert(got.map(r => (r.getString(0), r.getAs[Long]("freq"))).toSeq ==
+      wf.toSeq)
+    // deterministic: fixed seed, fixed grid
+    val again = graft.operators.TextOps.heavyHitters(spark, sfDir, k = 50, eps = eps).collect()
+    assert(got.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }

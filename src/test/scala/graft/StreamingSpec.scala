@@ -655,6 +655,22 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streaming anomaly gate equals the batch report under its model") {
+    val model = graft.operators.Warehouse
+      .anomalyModelOf(Tables.events(spark, sfDir))
+      .localCheckpoint(true) // a served model is a standing artifact,
+                             // not a live lineage into the stream
+    val out = TickStream.anomalyTicksStream(
+      TickStream.eventsStream(spark, sfDir), model)
+    runToMemory(out, "tick_anomaly")
+    val streamed = spark.table("tick_anomaly")
+    val batch = graft.operators.Warehouse.anomalyTicks(spark, sfDir)
+    assert(batch.count() > 0)
+    assert(streamed.count() == batch.count())
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("streaming C4 cleaning verdicts equal the batch query") {
     val out = TickStream.c4DocsStream(TickStream.docsStream(spark, sfDir))
     runToMemory(out, "doc_c4")
