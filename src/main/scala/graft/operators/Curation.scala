@@ -2310,55 +2310,118 @@ object Curation {
     packBestFitDocs(Tables.documents(spark, dir), budget)
 
   private[graft] def packBestFitDocs(docs: DataFrame,
-      budget: Long = PackBudget): DataFrame = {
-    val spark = docs.sparkSession
-    val toks = docs
-      .select(col("doc_id"),
-        size(split(trim(col("text")), s"[${TextOps.Ws}]+")).cast("long")
-          .as("n_tokens"))
-      .withColumn("len", least(col("n_tokens"), lit(budget)))
-      .withColumn("truncated", col("n_tokens") > budget)
-    val hist = toks.groupBy("len").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val strategies = solvePacking(hist, budget)
-    // directory: one row per (length, strategy containing it) — the
-    // broadcast that maps a doc's per-length rank to (bin, slot)
+      budget: Long = PackBudget): DataFrame =
+    packByHistogram(
+      docs.select(col("doc_id"),
+          size(split(trim(col("text")), s"[${TextOps.Ws}]+")).cast("long")
+            .as("n_tokens"))
+        .withColumn("grp", lit(""))
+        .withColumn("id", col("doc_id"))
+        .withColumn("full_len", col("n_tokens")),
+      budget)
+      .select(col("doc_id"), col("n_tokens"), col("len"), col("truncated"),
+        col("bin_id"), col("item_in_bin"), col("offset_in_bin"))
+      .orderBy("doc_id")
+
+  /** The GROUPED histogram-packing kernel behind [[packBestFit]] and
+    * [[modalBatches]] — items pack within their `grp` (bins never mix
+    * groups; bin ids number per group): input needs (grp, id,
+    * full_len) plus any carry-through columns; output appends (len,
+    * truncated, bin_id, item_in_bin, offset_in_bin). Oversized items
+    * truncate to the budget and flag. Driver state is one histogram
+    * per group (≤ budget cells each — never item-scale); the one
+    * corpus shuffle is the per-(grp, len) rank window.
+    */
+  private[graft] def packByHistogram(items: DataFrame,
+      budget: Long): DataFrame = {
+    val spark = items.sparkSession
+    val sized = items
+      .withColumn("len", least(col("full_len"), lit(budget)))
+      .withColumn("truncated", col("full_len") > budget)
+    val hists = sized.groupBy("grp", "len").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    // directory: one row per (grp, length, strategy containing it) —
+    // the broadcast that maps an item's per-length rank to (bin, slot)
     val dirSchema = StructType(Seq(
-      StructField("len", LongType), StructField("slot_start", LongType),
+      StructField("d_grp", StringType),
+      StructField("d_len", LongType), StructField("slot_start", LongType),
       StructField("slot_end", LongType), StructField("base_bin", LongType),
       StructField("mult", LongType),
       StructField("item_idx", ArrayType(LongType)),
       StructField("item_off", ArrayType(LongType))))
     val dirRows = Seq.newBuilder[Row]
-    val slotCursor = scala.collection.mutable.Map.empty[Long, Long]
-    var baseBin = 0L
-    strategies.foreach { s =>
-      val offs = s.comp.scanLeft(0L)(_ + _)
-      s.comp.zipWithIndex.groupBy(_._1).foreach { case (len, occ) =>
-        val m = occ.length.toLong
-        val start = slotCursor.getOrElse(len, 0L)
-        dirRows += Row(len, start, start + s.copies * m, baseBin, m,
-          occ.map(_._2.toLong), occ.map(o => offs(o._2)))
-        slotCursor(len) = start + s.copies * m
+    hists.toSeq.sortBy(_._1).foreach { case (grp, hist) =>
+      val slotCursor = scala.collection.mutable.Map.empty[Long, Long]
+      var baseBin = 0L
+      solvePacking(hist, budget).foreach { s =>
+        val offs = s.comp.scanLeft(0L)(_ + _)
+        s.comp.zipWithIndex.groupBy(_._1).foreach { case (len, occ) =>
+          val m = occ.length.toLong
+          val start = slotCursor.getOrElse(len, 0L)
+          dirRows += Row(grp, len, start, start + s.copies * m, baseBin, m,
+            occ.map(_._2.toLong), occ.map(o => offs(o._2)))
+          slotCursor(len) = start + s.copies * m
+        }
+        baseBin += s.copies
       }
-      baseBin += s.copies
     }
     val dir = spark.createDataFrame(
       spark.sparkContext.parallelize(dirRows.result(), 1), dirSchema)
-    val rankW = Window.partitionBy(toks("len")).orderBy("doc_id")
-    toks
+    val rankW = Window.partitionBy(col("grp"), col("len")).orderBy("id")
+    sized
       .withColumn("r", row_number().over(rankW).cast("long") - 1L)
-      .join(broadcast(dir.withColumnRenamed("len", "d_len")),
-        col("len") === col("d_len") &&
+      .join(broadcast(dir),
+        col("grp") === col("d_grp") && col("len") === col("d_len") &&
           col("r") >= col("slot_start") && col("r") < col("slot_end"))
-      .select(col("doc_id"), col("n_tokens"), col("len"), col("truncated"),
-        expr("base_bin + (r - slot_start) DIV mult").as("bin_id"),
-        element_at(col("item_idx"),
-          ((col("r") - col("slot_start")) % col("mult") + 1L).cast("int"))
-          .as("item_in_bin"),
-        element_at(col("item_off"),
-          ((col("r") - col("slot_start")) % col("mult") + 1L).cast("int"))
-          .as("offset_in_bin"))
-      .orderBy("doc_id")
+      .withColumn("bin_id", expr("base_bin + (r - slot_start) DIV mult"))
+      .withColumn("item_in_bin", element_at(col("item_idx"),
+        ((col("r") - col("slot_start")) % col("mult") + 1L).cast("int")))
+      .withColumn("offset_in_bin", element_at(col("item_off"),
+        ((col("r") - col("slot_start")) % col("mult") + 1L).cast("int")))
+      .drop("d_grp", "d_len", "slot_start", "slot_end", "base_bin", "mult",
+        "item_idx", "item_off", "r")
   }
+
+  /** Decode-batch budget for [[modalBatches]] (bytes per GPU/codec
+    * batch at verify scale; production sizes this to accelerator
+    * memory).
+    */
+  private[graft] val ModalBatchBytes = 4096L
+
+  /** MULTIMODAL DECODE-BATCH planning — the accelerator-side dual of
+    * [[packBestFit]]: a GPU/codec decode stage wants fixed byte-budget
+    * batches of WHOLE payloads, one modality per batch (images, audio
+    * and video decode through different kernels), not a stream of
+    * individually-submitted blobs. Each payload (the binary column
+    * [[graft.operators.Multimodal]] treats as opaque) lands whole in
+    * exactly one ≤[[ModalBatchBytes]] batch of its modality, with its
+    * slot and byte offset — the batch id, item index and offset ARE
+    * the copy plan a host-to-device transfer executes. Oversized
+    * payloads flag for the chunked-decode path.
+    *
+    * Same scale shape as the packer it reuses ([[packByHistogram]]):
+    * per-modality byte histograms (driver state ≤ 3×budget cells),
+    * greedy FFD on the histogram, broadcast directory, one
+    * (modality, size) rank window. Deterministic end to end.
+    */
+  def modalBatches(spark: SparkSession, dir: String,
+      budget: Long = ModalBatchBytes): DataFrame =
+    packByHistogram(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          // the Multimodal stub's modality assignment and payload size
+          element_at(array(lit("image"), lit("audio"), lit("video")),
+            (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+          length(col("text").cast("binary")).cast("long").as("n_bytes"))
+        .withColumn("grp", col("modality"))
+        .withColumn("id", col("doc_id"))
+        .withColumn("full_len", col("n_bytes")),
+      budget)
+      .select(col("doc_id"), col("modality"), col("n_bytes"),
+        col("truncated"), col("bin_id").as("batch_id"),
+        col("item_in_bin").as("item_in_batch"),
+        col("offset_in_bin").as("offset_bytes"))
+      .orderBy("doc_id")
 }

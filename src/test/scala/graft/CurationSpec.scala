@@ -566,6 +566,41 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("modalBatches: single-modality batches tile within the byte budget") {
+    val budget = Curation.ModalBatchBytes
+    val rows = Curation.modalBatches(spark, sfDir).collect()
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.length == nDocs, "every payload must batch exactly once")
+    // batches never mix modalities, tile in order, and fit the budget
+    rows.groupBy(r => (r.getAs[String]("modality"), r.getAs[Long]("batch_id")))
+      .foreach { case ((mod, b), items) =>
+        val sorted = items.sortBy(_.getAs[Long]("item_in_batch"))
+        assert(sorted.map(_.getAs[Long]("item_in_batch")).toSeq ==
+          sorted.indices.map(_.toLong), s"$mod/$b: slots not contiguous")
+        var off = 0L
+        sorted.foreach { it =>
+          assert(it.getAs[Long]("offset_bytes") == off, s"$mod/$b offset")
+          off += math.min(it.getAs[Long]("n_bytes"), budget)
+        }
+        assert(off <= budget, s"$mod/$b overflows: $off")
+      }
+    // per modality: the 2-OPT bin bound the greedy guarantees
+    rows.groupBy(_.getAs[String]("modality")).foreach { case (mod, items) =>
+      val total = items.map(r => math.min(r.getAs[Long]("n_bytes"), budget)).sum
+      val lower = (total + budget - 1) / budget
+      val batches = items.map(_.getAs[Long]("batch_id")).distinct.length
+      assert(batches <= 2 * lower + 1, s"$mod: $batches vs bound $lower")
+    }
+    // byte sizes agree with the multimodal metadata surface
+    val meta = graft.operators.Multimodal.multimodalMeta(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_bytes")).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_bytes") == meta(r.getLong(0))))
+    // deterministic
+    val again = Curation.modalBatches(spark, sfDir).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("packStats on an empty corpus reports NULL ratios, not an error") {
     // the cross-engine edge contract: DuckDB raises on // 0, so both
     // duals guard the ppm with an explicit CASE → one row of NULLs
