@@ -31,7 +31,11 @@ object Bench {
     "q_importance_weights", "q_perplexity", "q_return_corr",
     // round 8: the Gumbel resample rides the weights pass + a
     // distributed top-k — tracked so a sort-shaped regression shows
-    "q_dsir_resample")
+    "q_dsir_resample",
+    // round 9: the daily-series indicator tier (rides the reworked
+    // one-aggregate OHLC kernel) and the no-split histogram packer —
+    // tracked so a kernel or rank-window regression shows
+    "q_stochastic", "q_pack_bestfit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -83,6 +83,11 @@ object ScaleProbe {
       }
       spark.catalog.clearCache()
     }
+    // the round-9 OHLC kernel: one partial aggregate (min_by/max_by
+    // map-side combine) — shuffle volume is (symbol, day) partials,
+    // so the line must stay near the scan floor at every replica
+    // count (the pre-round-9 window shape shuffled every tick)
+    time("daily_ohlc")(operators.Warehouse.dailyOhlcOf(big))
     time("arima_forecast")(operators.Forecast.arimaForecastTicks(validTicks))
     time("forecast_acc")(operators.Forecast.forecastAccuracyTicks(validTicks))
 
@@ -137,6 +142,16 @@ object ScaleProbe {
     // ONE min-window on the gram key — must track the gram family's
     // cost, never add a second corpus-scale pass
     time("ngram_novelty")(operators.Curation.ngramNoveltyDocs(bigDocs))
+    // no-split packer: a ≤budget-cell histogram collapse + driver FFD
+    // + one per-length rank window — must track the narrow-doc floor
+    // (driver state is histogram-sized regardless of replicas)
+    time("pack_bestfit")(operators.Curation.packBestFitDocs(bigDocs))
+    // per-modality decode batches through the same grouped kernel
+    time("modal_batches")(operators.Curation.modalBatchesDocs(bigDocs))
+    // CMS heavy hitters: the sketch pass is a fixed-grid map-side
+    // merge + the exact top-k verifier pass — two linear scans, the
+    // sketch side flat in state no matter the vocabulary
+    time("heavy_hitters")(operators.TextOps.heavyHittersDocs(bigDocs))
 
     // ANN index families over a replicated embedding corpus (distinct
     // vec_ids per replica; probes stay the fixed vec_id < 5 set).

@@ -2408,8 +2408,12 @@ object Curation {
     */
   def modalBatches(spark: SparkSession, dir: String,
       budget: Long = ModalBatchBytes): DataFrame =
+    modalBatchesDocs(Tables.documents(spark, dir), budget)
+
+  private[graft] def modalBatchesDocs(docsIn: DataFrame,
+      budget: Long = ModalBatchBytes): DataFrame =
     packByHistogram(
-      Tables.documents(spark, dir)
+      docsIn
         .select(col("doc_id"),
           // the Multimodal stub's modality assignment and payload size
           element_at(array(lit("image"), lit("audio"), lit("video")),

@@ -438,8 +438,13 @@ object TextOps {
     * probability 1−δ. Deterministic: fixed seed, fixed grid.
     */
   def heavyHitters(spark: SparkSession, dir: String, k: Int = 50,
+      eps: Double = 1e-4, confidence: Double = 0.99): DataFrame =
+    heavyHittersDocs(Tables.documents(spark, dir), k, eps, confidence)
+
+  private[graft] def heavyHittersDocs(docs: DataFrame, k: Int = 50,
       eps: Double = 1e-4, confidence: Double = 0.99): DataFrame = {
-    val words = Tables.documents(spark, dir)
+    val spark = docs.sparkSession
+    val words = docs
       .select(explode(split(trim(col("text")), s"[$Ws]+")).as("word"))
     // one distributed pass: mergeable sketch + token mass together
     val skRow = words

@@ -410,6 +410,80 @@ object Warehouse {
       |WHERE vol IS NOT NULL AND vol > 0
       |GROUP BY 1, 2 ORDER BY user_id, trade_date""".stripMargin
 
+  /** On-Balance Volume per symbol — the volume-flow confirmation
+    * indicator next to [[vwap]]: each session's volume (Σ parsed
+    * `props.k`; ticks without a payload weigh 0) adds on an up-close,
+    * subtracts on a down-close, carries on a flat close; OBV is the
+    * running total (session 1 contributes 0 — no prior close to
+    * compare, the zero-baseline convention). The close is the same
+    * last-by-(ts, event_id) rule every daily surface shares.
+    *
+    * All-integer volume arithmetic → exact on both engines; the sign
+    * compares raw close doubles, identical by construction.
+    *
+    * Scale shape: one (symbol, day) partial aggregate (close via
+    * max_by, volume map-side), then symbol-keyed lag + running-sum
+    * windows over day rows — the [[drawdown]] shape.
+    */
+  def obv(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val wRun = wRn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("value") > 0 &&
+        !isnan(col("value")) && col("user_id").isNotNull)
+      .withColumn("vol", coalesce(
+        get_json_object(col("props"), "$.k").cast("long"), lit(0L)))
+      .groupBy(col("user_id"), to_date(col("ts")).as("trade_date"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("close_price"),
+        sum("vol").as("volume"))
+      .withColumn("prev_close", lag("close_price", 1).over(wRn))
+      .withColumn("signed_vol",
+        when(col("prev_close").isNull, lit(0L))
+          .when(col("close_price") > col("prev_close"), col("volume"))
+          .when(col("close_price") < col("prev_close"), -col("volume"))
+          .otherwise(lit(0L)))
+      .withColumn("obv", sum("signed_vol").over(wRun))
+      .select("user_id", "trade_date", "close_price", "volume",
+        "signed_vol", "obv")
+      .orderBy("user_id", "trade_date")
+  }
+
+  def obvSql: String =
+    """WITH v AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    coalesce(json_extract(props, '$.k')::BIGINT, 0) AS vol
+      |  FROM events
+      |  WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)
+      |    AND user_id IS NOT NULL
+      |), d AS (
+      |  SELECT user_id, trade_date,
+      |    max(CASE WHEN rn = 1 THEN value END) AS close_price,
+      |    sum(vol)::BIGINT AS volume
+      |  FROM (
+      |    SELECT user_id, CAST(ts AS DATE) AS trade_date, value, vol,
+      |      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                         ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM v)
+      |  GROUP BY 1, 2
+      |), s AS (
+      |  SELECT *,
+      |    lag(close_price) OVER (PARTITION BY user_id
+      |      ORDER BY trade_date) AS prev_close
+      |  FROM d
+      |), sv AS (
+      |  SELECT *, CASE
+      |    WHEN prev_close IS NULL THEN 0
+      |    WHEN close_price > prev_close THEN volume
+      |    WHEN close_price < prev_close THEN -volume
+      |    ELSE 0 END AS signed_vol
+      |  FROM s
+      |)
+      |SELECT user_id, trade_date, close_price, volume, signed_vol,
+      |  sum(signed_vol) OVER (PARTITION BY user_id ORDER BY trade_date
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS obv
+      |FROM sv ORDER BY user_id, trade_date""".stripMargin
+
   /** Per-symbol market BETA — systematic co-movement against the
     * equal-weight market factor: the market return each session is
     * the cross-sectional mean of that day's symbol returns (the
@@ -557,8 +631,20 @@ object Warehouse {
     */
   private def ohlcBy(spark: SparkSession, dir: String,
       bucketExpr: org.apache.spark.sql.Column, bucketName: String,
-      validated: Boolean = false): DataFrame = {
-    val src = if (validated) validTicks(spark, dir) else Tables.events(spark, dir)
+      validated: Boolean = false): DataFrame =
+    ohlcByOf(
+      if (validated) validTicks(spark, dir) else Tables.events(spark, dir),
+      bucketExpr, bucketName)
+
+  /** Daily OHLC kernel over an arbitrary events-shaped input —
+    * ScaleProbe's entry (the dir-based [[dailyOhlc]] adds only the
+    * deterministic output order).
+    */
+  private[graft] def dailyOhlcOf(events: DataFrame): DataFrame =
+    ohlcByOf(events, to_date(col("ts")).as("trade_date"), "trade_date")
+
+  private def ohlcByOf(src: DataFrame,
+      bucketExpr: org.apache.spark.sql.Column, bucketName: String): DataFrame = {
     src
       .select(col("user_id"), bucketExpr, col("ts"), col("event_id"), col("value"))
       .groupBy(col("user_id"), col(bucketName))

@@ -568,6 +568,47 @@ class WarehouseSpec extends SparkSuite {
     }
   }
 
+  test("obv equals a driver-side signed-volume walk") {
+    val kRe = """"k"\s*:\s*(\d+)""".r
+    val daily = Tables.events(spark, sfDir)
+      .filter("value IS NOT NULL AND value > 0 AND NOT isnan(value)" +
+        " AND user_id IS NOT NULL").collect()
+      .map { r =>
+        val vol = Option(r.getAs[String]("props"))
+          .flatMap(p => kRe.findFirstMatchIn(p)).map(_.group(1).toLong)
+          .getOrElse(0L)
+        (r.getAs[Long]("user_id"),
+          java.sql.Date.valueOf(r.getAs[java.sql.Timestamp]("ts")
+            .toLocalDateTime.toLocalDate),
+          r.getAs[java.sql.Timestamp]("ts").getTime,
+          r.getAs[Long]("event_id"), r.getAs[Double]("value"), vol)
+      }
+      .groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((uid, d), g) =>
+        (uid, d, g.maxBy(t => (t._3, t._4))._5, g.map(_._6).sum)
+      }
+    val got = Warehouse.obv(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == daily.size)
+    daily.groupBy(_._1).foreach { case (uid, g) =>
+      val days = g.sortBy(_._2.getTime)
+      var run = 0L
+      days.zipWithIndex.foreach { case ((_, d, close, vol), i) =>
+        val signed =
+          if (i == 0) 0L
+          else if (close > days(i - 1)._3) vol
+          else if (close < days(i - 1)._3) -vol
+          else 0L
+        run += signed
+        val r = got((uid, d))
+        assert(r.getAs[Double]("close_price") == close, s"$uid/$d close")
+        assert(r.getAs[Long]("volume") == vol, s"$uid/$d volume")
+        assert(r.getAs[Long]("signed_vol") == signed, s"$uid/$d signed")
+        assert(r.getAs[Long]("obv") == run, s"$uid/$d obv")
+      }
+    }
+  }
+
   test("beta: equal-weight market recovers cov/var driver-side; corr bounded") {
     import org.apache.spark.sql.functions._
     val rets = Warehouse.validateTicks(spark, sfDir)
