@@ -313,6 +313,20 @@ object Warehouse {
   def atr(spark: SparkSession, dir: String): DataFrame = {
     val wRn = Window.partitionBy("user_id").orderBy("trade_date")
     val w14 = wRn.rowsBetween(-13, 0)
+    dailyTrBase(spark, dir)
+      .withColumn("atr_14",
+        round(when(col("rn") >= 14, avg("tr").over(w14)), 6))
+      .select("user_id", "trade_date", "high_price", "low_price",
+        "close_price", "tr", "atr_14")
+      .orderBy("user_id", "trade_date")
+  }
+
+  /** Shared daily true-range base for [[atr]] and [[atrWilder]] —
+    * validated daily OHLC + TR (rounded 6 so every downstream
+    * smoothing consumes identical doubles on both engines).
+    */
+  private def dailyTrBase(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
     ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date",
       validated = true)
       .withColumn("rn", row_number().over(wRn))
@@ -323,11 +337,6 @@ object Warehouse {
             col("high_price") - col("low_price"),
             abs(col("high_price") - col("prev_close")),
             abs(col("low_price") - col("prev_close")))), 6))
-      .withColumn("atr_14",
-        round(when(col("rn") >= 14, avg("tr").over(w14)), 6))
-      .select("user_id", "trade_date", "high_price", "low_price",
-        "close_price", "tr", "atr_14")
-      .orderBy("user_id", "trade_date")
   }
 
   def atrSql: String =
@@ -352,6 +361,85 @@ object Warehouse {
        |    avg(tr) OVER (PARTITION BY user_id ORDER BY trade_date
        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) END, 6) AS atr_14
        |FROM tr ORDER BY user_id, trade_date""".stripMargin
+
+  /** WILDER-smoothed ATR — the reference formulation next to
+    * [[atr]]'s SMA simplification: seed = mean of the first 14 TRs,
+    * then the IIR recurrence atr_t = (13·atr_{t−1} + tr_t)/14 — the
+    * same ordered per-key fold shape as the EMA family, here at DAY
+    * granularity where per-symbol series are bounded (~250 rows/yr),
+    * so the recurrence runs as ONE codegen'd `aggregate` left fold
+    * over the symbol's sorted TR array (O(days) appends; the
+    * tick-granularity dual is exactly the EmaAppend custom-plan
+    * shape). NULL until the seed window fills.
+    *
+    * Cross-engine exactness: the oracle replays the identical
+    * floating-op sequence per day via `list_reduce` over the TR
+    * prefix (the q_ema idiom) — O(days²) there, oracle-only — so the
+    * smoothed values are BIT-identical before the display round.
+    *
+    * Scale shape: one symbol-keyed shuffle into the sorted
+    * collect_list (day rows, never ticks), fold and re-explode in
+    * place — no second shuffle.
+    */
+  def atrWilder(spark: SparkSession, dir: String): DataFrame = {
+    dailyTrBase(spark, dir)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("trade_date"), col("tr"))))
+        .as("days"))
+      .withColumn("trs", expr("transform(days, d -> d.tr)"))
+      .withColumn("seed", expr(
+        "CASE WHEN size(trs) >= 14 THEN " +
+          "aggregate(slice(trs, 1, 14), 0D, (a, x) -> a + x) / 14.0D END"))
+      .withColumn("atrs", expr(
+        """concat(
+          |  transform(slice(trs, 1, least(size(trs), 13)),
+          |            x -> CAST(NULL AS DOUBLE)),
+          |  CASE WHEN size(trs) >= 14 THEN
+          |    aggregate(slice(trs, 15, size(trs) - 14), array(seed),
+          |      (acc, x) -> concat(acc,
+          |        array((element_at(acc, -1) * 13.0D + x) / 14.0D)))
+          |  ELSE array() END)""".stripMargin))
+      .withColumn("atr_r", expr("transform(atrs, a -> round(a, 6))"))
+      .select(col("user_id"), expr("inline(arrays_zip(days, atr_r))"))
+      .select(col("user_id"), col("days.trade_date").as("trade_date"),
+        col("days.tr").as("tr"), col("atr_r").as("atr_wilder"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def atrWilderSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), t AS (
+       |  SELECT user_id, trade_date, high_price, low_price, close_price,
+       |    lag(close_price) OVER (PARTITION BY user_id
+       |      ORDER BY trade_date) AS prev_close
+       |  FROM ohlc
+       |), tr AS (
+       |  SELECT user_id, trade_date, round(CASE WHEN prev_close IS NULL
+       |    THEN high_price - low_price
+       |    ELSE greatest(high_price - low_price,
+       |                  abs(high_price - prev_close),
+       |                  abs(low_price - prev_close)) END, 6) AS tr
+       |  FROM t
+       |), g AS (
+       |  SELECT user_id,
+       |    list(trade_date ORDER BY trade_date) AS dts,
+       |    list(tr ORDER BY trade_date) AS trs
+       |  FROM tr GROUP BY user_id
+       |), s AS (
+       |  SELECT user_id, dts, trs,
+       |    CASE WHEN len(trs) >= 14
+       |      THEN list_reduce(trs[1:14], (a, x) -> a + x) / 14.0 END AS seed
+       |  FROM g
+       |)
+       |SELECT user_id, unnest(dts) AS trade_date, unnest(trs) AS tr,
+       |  unnest(list_transform(generate_series(1, len(trs)), i ->
+       |    CASE WHEN i < 14 THEN NULL
+       |    ELSE round(list_reduce(list_prepend(seed, trs[15:i]),
+       |                           (a, x) -> (a * 13.0 + x) / 14.0), 6)
+       |    END)) AS atr_wilder
+       |FROM s
+       |ORDER BY user_id, trade_date""".stripMargin
 
   /** Daily VWAP per symbol — the execution-quality benchmark price:
     * Σ(price·volume)/Σ(volume) over each session's validated ticks,

@@ -568,6 +568,45 @@ class WarehouseSpec extends SparkSuite {
     }
   }
 
+  test("atrWilder replays the driver-side IIR fold bit-exactly") {
+    val daily = driverDailyOhlc
+    val got = Warehouse.atrWilder(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == daily.values.map(_.length).sum)
+    daily.foreach { case (uid, days) =>
+      val trs = days.zipWithIndex.map { case ((_, hi, lo, _), i) =>
+        if (i == 0) r6(hi - lo)
+        else {
+          val pc = days(i - 1)._4
+          r6(math.max(hi - lo, math.max(math.abs(hi - pc), math.abs(lo - pc))))
+        }
+      }
+      var state = 0.0
+      days.zipWithIndex.foreach { case ((d, _, _, _), i) =>
+        val r = got((uid, d))
+        assert(r.getAs[Double]("tr") == trs(i), s"$uid/$d tr")
+        val aw = Option(r.getAs[java.lang.Double]("atr_wilder"))
+        if (i < 13) assert(aw.isEmpty, s"$uid/$d must be null at ${i + 1}")
+        else {
+          state =
+            if (i == 13) trs.take(14).foldLeft(0.0)(_ + _) / 14.0
+            else (state * 13.0 + trs(i)) / 14.0
+          // same float-op order as the query's fold → bit equality
+          assert(aw.contains(r6(state)), s"$uid/$d wilder $state vs $aw")
+        }
+      }
+    }
+    // Wilder and SMA smoothing genuinely differ past the seed window
+    val sma = Warehouse.atr(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) ->
+        Option(r.getAs[java.lang.Double]("atr_14"))).toMap
+    val diverged = got.count { case (k, r) =>
+      val aw = Option(r.getAs[java.lang.Double]("atr_wilder"))
+      aw.isDefined && sma(k).isDefined && aw != sma(k)
+    }
+    assert(diverged > 0, "Wilder must not collapse to the SMA variant")
+  }
+
   test("obv equals a driver-side signed-volume walk") {
     val kRe = """"k"\s*:\s*(\d+)""".r
     val daily = Tables.events(spark, sfDir)
