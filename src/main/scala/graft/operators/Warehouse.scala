@@ -731,6 +731,14 @@ object Warehouse {
   private[graft] def dailyOhlcOf(events: DataFrame): DataFrame =
     ohlcByOf(events, to_date(col("ts")).as("trade_date"), "trade_date")
 
+  /** VALIDATED daily OHLC — the base the daily-series indicator tier
+    * shares; exposed for the streaming bar engine's parity spec.
+    */
+  private[graft] def validDailyOhlc(spark: SparkSession,
+      dir: String): DataFrame =
+    ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date",
+      validated = true)
+
   private def ohlcByOf(src: DataFrame,
       bucketExpr: org.apache.spark.sql.Column, bucketName: String): DataFrame = {
     src

@@ -1011,6 +1011,152 @@ object TickStream extends Serializable {
         GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** A tick carrying its parsed volume payload — the bar engine's
+    * input row.
+    */
+  case class BarTick(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+      value: Double, vol: Long)
+
+  /** One not-yet-complete trading day of a symbol: the OHLCV
+    * aggregate under construction — open/close each pinned by their
+    * (ts, event_id) extreme, exactly the batch kernel's min_by/max_by
+    * rule.
+    */
+  case class PendingBar(day: Int, openM: Long, openE: Long, open: Double,
+      closeM: Long, closeE: Long, close: Double, hi: Double, lo: Double,
+      nTicks: Long, volume: Long)
+
+  /** Carry state across completed bars: previous close (TR + OBV
+    * direction), the Wilder seed accumulator and smoothed value, and
+    * the running OBV — all O(1); `pending` is O(watermark-delay days)
+    * like [[FfillState]].
+    */
+  case class BarState(lastDay: Int, hasEmitted: Boolean,
+      hasPrev: Boolean, prevClose: Double,
+      trCount: Long, seedSum: Double, wilder: Double, obv: Long,
+      pending: List[PendingBar])
+
+  case class BarRow(user_id: Long, trade_date: java.time.LocalDate,
+      open_price: Double, high_price: Double, low_price: Double,
+      close_price: Double, n_ticks: Long, volume: Long, tr: Double,
+      atr_wilder: Option[Double], signed_vol: Long, obv: Long)
+
+  private def r4s(x: Double): Double = BigDecimal.valueOf(x)
+    .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r6s(x: Double): Double = BigDecimal.valueOf(x)
+    .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Streaming DAILY-BAR CLOSE engine — the live leg of the whole
+    * daily-series tier: per symbol, ticks aggregate into the current
+    * UTC day's OHLCV bar in state; when the event-time watermark
+    * passes a day's end the bar EMITS exactly once and folds into the
+    * carry — true range against the previous close, the Wilder ATR
+    * recurrence (seed = mean of the first 14 TRs, then
+    * (13·prev + tr)/14 — the identical float-op order as the batch
+    * [[graft.operators.Warehouse.atrWilder]] fold, so values are
+    * BIT-identical), and the signed-volume OBV running total. This is
+    * the bar-close semantics a live market pipeline needs: indicators
+    * update once per completed session, never on a half-built bar.
+    *
+    * Completed bars equal the batch surfaces row for row
+    * (validated OHLC ⋈ atrWilder ⋈ OBV — spec-asserted across
+    * microbatch splits and watermark delays). Same emission
+    * machinery as [[priceFfillStream]]: watermark-complete days only,
+    * EventTimeTimeout wake at the earliest pending day's end so a
+    * quiet symbol still closes its bars, late ticks at or before the
+    * emitted frontier drop like the watermark contract says.
+    *
+    * State is O(pending days + constants) per symbol — independent
+    * of tick volume; a 1000-executor deployment shards by symbol
+    * through the same hash partitioning as every stateful operator
+    * here.
+    */
+  def dailyBarStream(spark: SparkSession, ticks: DataFrame,
+      watermarkDelay: String = "10 minutes"): Dataset[BarRow] = {
+    import spark.implicits._
+    def update(userId: Long, rows: Iterator[BarTick],
+        state: GroupState[BarState]): Iterator[BarRow] = {
+      var st = state.getOption.getOrElse(BarState(Int.MinValue,
+        hasEmitted = false, hasPrev = false, 0.0, 0L, 0.0, 0.0, 0L, Nil))
+      var pending = st.pending
+      if (!state.hasTimedOut) rows.foreach { t =>
+        val m = tsMicros(t.ts)
+        val day = Math.floorDiv(m, DayMs * 1000L).toInt
+        if (!(st.hasEmitted && day <= st.lastDay)) {
+          pending = (pending.find(_.day == day) match {
+            case None =>
+              PendingBar(day, m, t.event_id, t.value, m, t.event_id,
+                t.value, t.value, t.value, 1L, t.vol)
+            case Some(p) =>
+              val opens = m < p.openM || (m == p.openM && t.event_id < p.openE)
+              val closes = m > p.closeM || (m == p.closeM && t.event_id > p.closeE)
+              PendingBar(day,
+                if (opens) m else p.openM,
+                if (opens) t.event_id else p.openE,
+                if (opens) t.value else p.open,
+                if (closes) m else p.closeM,
+                if (closes) t.event_id else p.closeE,
+                if (closes) t.value else p.close,
+                math.max(p.hi, t.value), math.min(p.lo, t.value),
+                p.nTicks + 1, p.volume + t.vol)
+          }) :: pending.filterNot(_.day == day)
+        }
+      }
+      val wm = state.getCurrentWatermarkMs()
+      val out = Seq.newBuilder[BarRow]
+      val maxComplete = Math.floorDiv(wm, DayMs) - 1L
+      val ready = pending.filter(_.day <= maxComplete).sortBy(_.day)
+      if (ready.nonEmpty) {
+        ready.foreach { p =>
+          val hi4 = r4s(p.hi)
+          val lo4 = r4s(p.lo)
+          val tr = r6s(
+            if (!st.hasPrev) hi4 - lo4
+            else math.max(hi4 - lo4, math.max(
+              math.abs(hi4 - st.prevClose), math.abs(lo4 - st.prevClose))))
+          val trCount = st.trCount + 1
+          val seedSum = if (trCount <= 14) st.seedSum + tr else st.seedSum
+          val wilder =
+            if (trCount < 14) 0.0
+            else if (trCount == 14) seedSum / 14.0
+            else (st.wilder * 13.0 + tr) / 14.0
+          val signed =
+            if (!st.hasPrev) 0L
+            else if (p.close > st.prevClose) p.volume
+            else if (p.close < st.prevClose) -p.volume
+            else 0L
+          val obv = st.obv + signed
+          out += BarRow(userId, java.time.LocalDate.ofEpochDay(p.day.toLong),
+            p.open, hi4, lo4, p.close, p.nTicks, p.volume, tr,
+            if (trCount >= 14) Some(r6s(wilder)) else None, signed, obv)
+          st = st.copy(lastDay = p.day, hasEmitted = true, hasPrev = true,
+            prevClose = p.close, trCount = trCount, seedSum = seedSum,
+            wilder = wilder, obv = obv)
+        }
+        pending = pending.filter(_.day > ready.last.day)
+      }
+      st = st.copy(pending = pending)
+      state.update(st)
+      if (pending.nonEmpty) {
+        val wake = (pending.map(_.day).min.toLong + 1L) * DayMs
+        if (wake > wm) state.setTimeoutTimestamp(wake)
+      }
+      out.result().iterator
+    }
+    ticks
+      // the batch validation predicate, kept inline because the bar
+      // engine also needs the props column validTicksOf projects away
+      .filter(col("value").isNotNull && col("value") > 0 &&
+        !isnan(col("value")) && col("user_id").isNotNull)
+      .withColumn("vol", coalesce(
+        get_json_object(col("props"), "$.k").cast("long"), lit(0L)))
+      .withWatermark("ts", watermarkDelay)
+      .select("user_id", "event_id", "ts", "value", "vol").as[BarTick]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   /** (probe_id, p_v, p_norm) from an embeddings-shaped microbatch —
     * the one probe-preparation both serve streams share.
     */

@@ -132,6 +132,83 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("dailyBarStream bars equal the batch OHLC/Wilder/OBV surfaces") {
+    val schema = Tables.events(spark, sfDir).schema
+    val maxTs = Warehouse.validTicks(spark, sfDir)
+      .agg(max("ts")).head.getTimestamp(0).getTime
+    // batch expected: validated OHLC joined with the Wilder fold and
+    // the OBV walk — the three surfaces one bar row carries
+    val batchBars = Warehouse.validDailyOhlc(spark, sfDir)
+      .select("user_id", "trade_date", "open_price", "high_price",
+        "low_price", "close_price", "n_ticks")
+      .join(Warehouse.atrWilder(spark, sfDir)
+        .select("user_id", "trade_date", "tr", "atr_wilder"),
+        Seq("user_id", "trade_date"))
+      .join(Warehouse.obv(spark, sfDir)
+        .select("user_id", "trade_date", "volume", "signed_vol", "obv"),
+        Seq("user_id", "trade_date"))
+      .select("user_id", "trade_date", "open_price", "high_price",
+        "low_price", "close_price", "n_ticks", "volume", "tr",
+        "atr_wilder", "signed_vol", "obv")
+    for ((delay, delayMs, nParts) <- Seq(
+        ("10 minutes", 10L * 60000L, 2),
+        ("10 minutes", 10L * 60000L, 4),
+        ("2 days", 2L * 86400000L, 2))) {
+      val maxCompleteDay = Math.floorDiv(maxTs - delayMs, 86400000L) - 1L
+      val expected = batchBars
+        .filter(datediff(col("trade_date"), lit("1970-01-01")) <= maxCompleteDay)
+      assert(expected.count() < batchBars.count(),
+        s"delay $delay withholds nothing — the boundary is untested")
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageTimeOrderedSplit(nParts))
+      val name = s"bars_${nParts}_${delayMs}"
+      runToMemory(TickStream.dailyBarStream(spark, stream, delay).toDF(), name)
+      val streamed = spark.table(name)
+      assert(streamed.count() == expected.count(),
+        s"bar count diverged at $nParts-way split, delay $delay: " +
+          s"${streamed.count()} vs ${expected.count()}")
+      assert(streamed.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(streamed).count() == 0,
+        s"bars diverged from batch at $nParts-way split, delay $delay")
+      assert(streamed.groupBy("user_id", "trade_date").count()
+        .filter(col("count") > 1).count() == 0,
+        "a bar was emitted more than once")
+    }
+  }
+
+  test("dailyBarStream is identical on the RocksDB state store") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = Tables.events(spark, sfDir).schema
+      val delayMs = 10L * 60000L
+      val maxTs = Warehouse.validTicks(spark, sfDir)
+        .agg(max("ts")).head.getTimestamp(0).getTime
+      val maxCompleteDay = Math.floorDiv(maxTs - delayMs, 86400000L) - 1L
+      val expected = Warehouse.validDailyOhlc(spark, sfDir)
+        .select("user_id", "trade_date", "close_price")
+        .filter(datediff(col("trade_date"), lit("1970-01-01")) <= maxCompleteDay)
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stageTimeOrderedSplit(3))
+      runToMemory(TickStream.dailyBarStream(spark, stream).toDF(), "rocks_bars")
+      val streamed = spark.table("rocks_bars")
+        .select("user_id", "trade_date", "close_price")
+      assert(streamed.count() == expected.count())
+      assert(streamed.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(streamed).count() == 0,
+        "RocksDB-backed bars diverged from batch")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("priceFfillStream is identical on the RocksDB state store") {
     // same grid, disk-backed state — the per-symbol pending-day state
     // must survive the provider swap untouched
