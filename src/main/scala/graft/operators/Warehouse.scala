@@ -375,7 +375,14 @@ object Warehouse {
     * Cross-engine exactness: the oracle replays the identical
     * floating-op sequence per day via `list_reduce` over the TR
     * prefix (the q_ema idiom) — O(days²) there, oracle-only — so the
-    * smoothed values are BIT-identical before the display round.
+    * smoothed values are BIT-identical before the display round. The
+    * display round itself runs as round(x·10⁶)/10⁶ — DuckDB's exact
+    * double-round algorithm (std::round of the scaled double) — not
+    * Spark's decimal-string HALF_UP: on a fold value whose scaled
+    * double lands ON the .5 boundary (measured at sf0.1) the two
+    * conventions disagree by one ulp of the 6th decimal, while at
+    * scale 0 every engine agrees (positive HALF_UP == half-away, and
+    * both consume the identical scaled double).
     *
     * Scale shape: one symbol-keyed shuffle into the sorted
     * collect_list (day rows, never ticks), fold and re-explode in
@@ -387,23 +394,135 @@ object Warehouse {
       .agg(array_sort(collect_list(struct(col("trade_date"), col("tr"))))
         .as("days"))
       .withColumn("trs", expr("transform(days, d -> d.tr)"))
-      .withColumn("seed", expr(
-        "CASE WHEN size(trs) >= 14 THEN " +
-          "aggregate(slice(trs, 1, 14), 0D, (a, x) -> a + x) / 14.0D END"))
-      .withColumn("atrs", expr(
-        """concat(
-          |  transform(slice(trs, 1, least(size(trs), 13)),
-          |            x -> CAST(NULL AS DOUBLE)),
-          |  CASE WHEN size(trs) >= 14 THEN
-          |    aggregate(slice(trs, 15, size(trs) - 14), array(seed),
-          |      (acc, x) -> concat(acc,
-          |        array((element_at(acc, -1) * 13.0D + x) / 14.0D)))
-          |  ELSE array() END)""".stripMargin))
-      .withColumn("atr_r", expr("transform(atrs, a -> round(a, 6))"))
+      .withColumn("atrs", expr(wilderRunExpr("trs", 14)))
+      .withColumn("atr_r", expr(
+        "transform(atrs, a -> round(a * 1000000.0D, 0) / 1000000.0D)"))
       .select(col("user_id"), expr("inline(arrays_zip(days, atr_r))"))
       .select(col("user_id"), col("days.trade_date").as("trade_date"),
         col("days.tr").as("tr"), col("atr_r").as("atr_wilder"))
       .orderBy("user_id", "trade_date")
+  }
+
+  /** SQL text of the running Wilder-smoothed array at `p` over an
+    * ordered double-array column: NULL for the first p−1 slots, then
+    * seed = mean of the first p values, then the (p−1)/p IIR — one
+    * O(n) left fold. Shared by [[atrWilder]] and [[keltner]] so the
+    * smoothing cannot drift between surfaces.
+    */
+  private def wilderRunExpr(arr: String, p: Int): String =
+    s"""concat(
+       |  transform(slice($arr, 1, least(size($arr), ${p - 1})),
+       |            x -> CAST(NULL AS DOUBLE)),
+       |  CASE WHEN size($arr) >= $p THEN
+       |    aggregate(slice($arr, ${p + 1}, size($arr) - $p),
+       |      array(aggregate(slice($arr, 1, $p), 0D, (a, x) -> a + x)
+       |        / $p.0D),
+       |      (acc, x) -> concat(acc,
+       |        array((element_at(acc, -1) * ${p - 1}.0D + x) / $p.0D)))
+       |  ELSE array() END)""".stripMargin
+
+  /** SQL text of the FULL-length running EMA array (seed = first
+    * element, k = 2/(p+1) written as the exact division both engines
+    * evaluate identically) — callers null-mask the warmup span.
+    */
+  private def emaRunExpr(arr: String, p: Int): String = {
+    val k = s"(2.0D / ${p + 1}.0D)"
+    s"""CASE WHEN size($arr) >= 1 THEN
+       |  aggregate(slice($arr, 2, size($arr) - 1),
+       |    array(element_at($arr, 1)),
+       |    (acc, x) -> concat(acc,
+       |      array(x * $k + element_at(acc, -1) * (1.0D - $k))))
+       |ELSE array() END""".stripMargin
+  }
+
+  /** KELTNER CHANNELS over the validated daily series — the
+    * volatility envelope next to q_bollinger's stddev bands: middle =
+    * EMA-20 of the daily close (seeded at the first close, the
+    * reference's EMA convention, NULL till 20 sessions), bands =
+    * middle ± 2 × Wilder ATR-10. Composes the TWO fold families this
+    * tier already proves — [[emaRunExpr]] and [[wilderRunExpr]] run
+    * as O(days) left folds over each symbol's sorted arrays, and the
+    * oracle replays both float-op sequences per day via `list_reduce`
+    * prefix folds → band values BIT-identical before the display
+    * round. Bands appear once both smoothings are live (session 20).
+    *
+    * Scale shape: identical to [[atrWilder]] — one symbol-keyed
+    * shuffle into the sorted collect_list, folds and re-explode in
+    * place.
+    */
+  def keltner(spark: SparkSession, dir: String): DataFrame = {
+    dailyTrBase(spark, dir)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(
+        struct(col("trade_date"), col("close_price"), col("tr"))))
+        .as("days"))
+      .withColumn("cls", expr("transform(days, d -> d.close_price)"))
+      .withColumn("trs", expr("transform(days, d -> d.tr)"))
+      .withColumn("ema_raw", expr(
+        s"transform(${emaRunExpr("cls", 20)}, (e, i) -> " +
+          "CASE WHEN i >= 19 THEN e END)"))
+      .withColumn("atr_raw", expr(wilderRunExpr("trs", 10)))
+      .withColumn("ema_20", expr(
+        "transform(ema_raw, e -> round(e * 1000000.0D, 0) / 1000000.0D)"))
+      .withColumn("atr_10", expr(
+        "transform(atr_raw, a -> round(a * 1000000.0D, 0) / 1000000.0D)"))
+      .withColumn("kc_upper", expr("zip_with(ema_raw, atr_raw, (e, a) -> " +
+        "round((e + 2.0D * a) * 1000000.0D, 0) / 1000000.0D)"))
+      .withColumn("kc_lower", expr("zip_with(ema_raw, atr_raw, (e, a) -> " +
+        "round((e - 2.0D * a) * 1000000.0D, 0) / 1000000.0D)"))
+      .select(col("user_id"),
+        expr("inline(arrays_zip(days, ema_20, atr_10, kc_upper, kc_lower))"))
+      .select(col("user_id"), col("days.trade_date").as("trade_date"),
+        col("days.close_price").as("close_price"),
+        col("ema_20"), col("atr_10"), col("kc_upper"), col("kc_lower"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def keltnerSql: String = {
+    val emaFold =
+      "list_reduce(cls[1:i], (a, x) -> x * (2.0 / 21.0) + a * (1.0 - 2.0 / 21.0))"
+    val atrFold =
+      "list_reduce(list_prepend(atr_seed, trs[11:i]), (a, x) -> (a * 9.0 + x) / 10.0)"
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), t AS (
+       |  SELECT user_id, trade_date, high_price, low_price, close_price,
+       |    lag(close_price) OVER (PARTITION BY user_id
+       |      ORDER BY trade_date) AS prev_close
+       |  FROM ohlc
+       |), tr AS (
+       |  SELECT user_id, trade_date, close_price,
+       |    round(CASE WHEN prev_close IS NULL
+       |      THEN high_price - low_price
+       |      ELSE greatest(high_price - low_price,
+       |                    abs(high_price - prev_close),
+       |                    abs(low_price - prev_close)) END, 6) AS tr
+       |  FROM t
+       |), g AS (
+       |  SELECT user_id,
+       |    list(trade_date ORDER BY trade_date) AS dts,
+       |    list(close_price ORDER BY trade_date) AS cls,
+       |    list(tr ORDER BY trade_date) AS trs
+       |  FROM tr GROUP BY user_id
+       |), s AS (
+       |  SELECT user_id, dts, cls, trs,
+       |    CASE WHEN len(trs) >= 10
+       |      THEN list_reduce(trs[1:10], (a, x) -> a + x) / 10.0 END AS atr_seed
+       |  FROM g
+       |)
+       |SELECT user_id, unnest(dts) AS trade_date, unnest(cls) AS close_price,
+       |  unnest(list_transform(generate_series(1, len(cls)), i ->
+       |    CASE WHEN i >= 20 THEN round($emaFold, 6) END)) AS ema_20,
+       |  unnest(list_transform(generate_series(1, len(cls)), i ->
+       |    CASE WHEN i >= 10 THEN round($atrFold, 6) END)) AS atr_10,
+       |  unnest(list_transform(generate_series(1, len(cls)), i ->
+       |    CASE WHEN i >= 20
+       |      THEN round($emaFold + 2.0 * $atrFold, 6) END)) AS kc_upper,
+       |  unnest(list_transform(generate_series(1, len(cls)), i ->
+       |    CASE WHEN i >= 20
+       |      THEN round($emaFold - 2.0 * $atrFold, 6) END)) AS kc_lower
+       |FROM s
+       |ORDER BY user_id, trade_date""".stripMargin
   }
 
   def atrWilderSql: String =

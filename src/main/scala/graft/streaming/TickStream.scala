@@ -1046,6 +1046,16 @@ object TickStream extends Serializable {
   private def r6s(x: Double): Double = BigDecimal.valueOf(x)
     .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** The batch fold tier's display round — round(x·10⁶)/10⁶, the
+    * scaled-double algorithm both engines agree on at every boundary
+    * (see Warehouse.atrWilder's scaladoc); the bar stream must round
+    * the Wilder value the same way or a boundary bar diverges.
+    */
+  private def r6scaled(x: Double): Double =
+    BigDecimal.valueOf(x * 1000000.0)
+      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+      .toDouble / 1000000.0
+
   /** Streaming DAILY-BAR CLOSE engine — the live leg of the whole
     * daily-series tier: per symbol, ticks aggregate into the current
     * UTC day's OHLCV bar in state; when the event-time watermark
@@ -1128,7 +1138,7 @@ object TickStream extends Serializable {
           val obv = st.obv + signed
           out += BarRow(userId, java.time.LocalDate.ofEpochDay(p.day.toLong),
             p.open, hi4, lo4, p.close, p.nTicks, p.volume, tr,
-            if (trCount >= 14) Some(r6s(wilder)) else None, signed, obv)
+            if (trCount >= 14) Some(r6scaled(wilder)) else None, signed, obv)
           st = st.copy(lastDay = p.day, hasEmitted = true, hasPrev = true,
             prevClose = p.close, trCount = trCount, seedSum = seedSum,
             wilder = wilder, obv = obv)

@@ -592,7 +592,11 @@ class WarehouseSpec extends SparkSuite {
             if (i == 13) trs.take(14).foldLeft(0.0)(_ + _) / 14.0
             else (state * 13.0 + trs(i)) / 14.0
           // same float-op order as the query's fold → bit equality
-          assert(aw.contains(r6(state)), s"$uid/$d wilder $state vs $aw")
+          // (display round = the scaled-double algorithm, see
+          // Warehouse.atrWilder)
+          val disp = BigDecimal.valueOf(state * 1000000.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1000000.0
+          assert(aw.contains(disp), s"$uid/$d wilder $state vs $aw")
         }
       }
     }
@@ -605,6 +609,49 @@ class WarehouseSpec extends SparkSuite {
       aw.isDefined && sma(k).isDefined && aw != sma(k)
     }
     assert(diverged > 0, "Wilder must not collapse to the SMA variant")
+  }
+
+  test("keltner replays both driver-side folds and nests its bands") {
+    def rScaled(x: Double): Double = BigDecimal.valueOf(x * 1000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1000000.0
+    val daily = driverDailyOhlc
+    val got = Warehouse.keltner(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == daily.values.map(_.length).sum)
+    daily.foreach { case (uid, days) =>
+      val closes = days.map(_._4)
+      val trs = days.zipWithIndex.map { case ((_, hi, lo, _), i) =>
+        if (i == 0) r6(hi - lo)
+        else {
+          val pc = days(i - 1)._4
+          r6(math.max(hi - lo, math.max(math.abs(hi - pc), math.abs(lo - pc))))
+        }
+      }
+      val k = 2.0 / 21.0
+      var ema = 0.0
+      var atr = 0.0
+      days.zipWithIndex.foreach { case ((d, _, _, close), i) =>
+        ema = if (i == 0) close else closes(i) * k + ema * (1.0 - k)
+        if (i == 9) atr = trs.take(10).foldLeft(0.0)(_ + _) / 10.0
+        else if (i > 9) atr = (atr * 9.0 + trs(i)) / 10.0
+        val r = got((uid, d))
+        assert(r.getAs[Double]("close_price") == close, s"$uid/$d close")
+        val e = Option(r.getAs[java.lang.Double]("ema_20"))
+        val a = Option(r.getAs[java.lang.Double]("atr_10"))
+        val up = Option(r.getAs[java.lang.Double]("kc_upper"))
+        val lo = Option(r.getAs[java.lang.Double]("kc_lower"))
+        if (i < 19) assert(e.isEmpty && up.isEmpty && lo.isEmpty,
+          s"$uid/$d warmup must be null")
+        else {
+          assert(e.contains(rScaled(ema)), s"$uid/$d ema")
+          assert(up.contains(rScaled(ema + 2.0 * atr)), s"$uid/$d upper")
+          assert(lo.contains(rScaled(ema - 2.0 * atr)), s"$uid/$d lower")
+          assert(up.get > e.get && e.get > lo.get, s"$uid/$d band order")
+        }
+        if (i < 9) assert(a.isEmpty, s"$uid/$d atr10 warmup")
+        else assert(a.contains(rScaled(atr)), s"$uid/$d atr10")
+      }
+    }
   }
 
   test("obv equals a driver-side signed-volume walk") {
