@@ -525,6 +525,170 @@ object Warehouse {
        |ORDER BY user_id, trade_date""".stripMargin
   }
 
+  /** ADX — Wilder's directional-movement system, the capstone of the
+    * fold tier: per session (from session 2) the directional moves
+    * +DM/−DM and the true range each Wilder-smooth at 14; the
+    * directional indicators ±DI = 100·smoothed(±DM)/smoothed(TR)
+    * (0 on a zero-TR band — both engines, so DX stays total); DX =
+    * 100·|+DI − −DI|/(+DI + −DI) (0 when both DIs are 0); ADX is a
+    * SECOND Wilder-14 smoothing over the DX series — live from
+    * session 28 (the corpus holds 28-30-session symbols at every SF,
+    * so the oracle exercises real ADX values, not just warmup NULLs).
+    *
+    * Four [[wilderRunExpr]] folds compose per symbol — three parallel
+    * over the session-2+ series, one dependent over DX — all O(days)
+    * appends after ONE symbol-keyed shuffle; the oracle replays every
+    * fold per day via `list_reduce` prefix folds (O(days²),
+    * oracle-only) → BIT-identical values under the shared scaled
+    * display round. Hash-exact at all three SFs.
+    */
+  def adx(spark: SparkSession, dir: String): DataFrame =
+    adxOfDaily(validDailyOhlc(spark, dir))
+
+  /** The ADX pipeline over an arbitrary (user_id, trade_date,
+    * high_price, low_price, close_price) daily frame — the crafted-
+    * series spec entry.
+    */
+  private[graft] def adxOfDaily(daily: DataFrame): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val sr = "round(%s * 1000000.0D, 0) / 1000000.0D"
+    daily
+      .withColumn("prev_hi", lag("high_price", 1).over(wRn))
+      .withColumn("prev_lo", lag("low_price", 1).over(wRn))
+      .withColumn("prev_close", lag("close_price", 1).over(wRn))
+      .withColumn("dmp", round(
+        when(col("high_price") - col("prev_hi") > col("prev_lo") - col("low_price") &&
+          col("high_price") - col("prev_hi") > 0,
+          col("high_price") - col("prev_hi")).otherwise(lit(0.0)), 6))
+      .withColumn("dmm", round(
+        when(col("prev_lo") - col("low_price") > col("high_price") - col("prev_hi") &&
+          col("prev_lo") - col("low_price") > 0,
+          col("prev_lo") - col("low_price")).otherwise(lit(0.0)), 6))
+      .withColumn("tr2", round(greatest(
+        col("high_price") - col("low_price"),
+        abs(col("high_price") - col("prev_close")),
+        abs(col("low_price") - col("prev_close"))), 6))
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(
+        struct(col("trade_date"), col("dmp"), col("dmm"), col("tr2"))))
+        .as("days0"))
+      // session-2+ series (session 1 has no previous bar)
+      .withColumn("dps",
+        expr("transform(slice(days0, 2, size(days0) - 1), d -> d.dmp)"))
+      .withColumn("dms",
+        expr("transform(slice(days0, 2, size(days0) - 1), d -> d.dmm)"))
+      .withColumn("trs",
+        expr("transform(slice(days0, 2, size(days0) - 1), d -> d.tr2)"))
+      .withColumn("sdp", expr(wilderRunExpr("dps", 14)))
+      .withColumn("sdm", expr(wilderRunExpr("dms", 14)))
+      .withColumn("str", expr(wilderRunExpr("trs", 14)))
+      .withColumn("dip", expr("zip_with(sdp, str, (p, t) -> " +
+        "CASE WHEN p IS NULL THEN NULL WHEN t = 0D THEN 0D " +
+        "ELSE 100.0D * p / t END)"))
+      .withColumn("dim0", expr("zip_with(sdm, str, (m, t) -> " +
+        "CASE WHEN m IS NULL THEN NULL WHEN t = 0D THEN 0D " +
+        "ELSE 100.0D * m / t END)"))
+      .withColumn("dx", expr("zip_with(dip, dim0, (p, m) -> " +
+        "CASE WHEN p IS NULL THEN NULL WHEN p + m = 0D THEN 0D " +
+        "ELSE 100.0D * abs(p - m) / (p + m) END)"))
+      .withColumn("dxs", expr("CASE WHEN size(dx) >= 14 " +
+        "THEN slice(dx, 14, size(dx) - 13) ELSE array() END"))
+      .withColumn("adxs", expr(wilderRunExpr("dxs", 14)))
+      .withColumn("dip_f", expr(
+        "transform(concat(array(CAST(NULL AS DOUBLE)), dip), x -> " +
+          sr.format("x") + ")"))
+      .withColumn("dim_f", expr(
+        "transform(concat(array(CAST(NULL AS DOUBLE)), dim0), x -> " +
+          sr.format("x") + ")"))
+      .withColumn("dx_f", expr(
+        "transform(concat(array(CAST(NULL AS DOUBLE)), dx), x -> " +
+          sr.format("x") + ")"))
+      .withColumn("adx_f", expr(
+        "transform(sequence(1, size(days0)), t -> CASE WHEN t >= 28 " +
+          "AND t - 14 <= size(adxs) THEN " +
+          sr.format("element_at(adxs, t - 14)") + " END)"))
+      .select(col("user_id"),
+        expr("inline(arrays_zip(days0, dip_f, dim_f, dx_f, adx_f))"))
+      .select(col("user_id"), col("days0.trade_date").as("trade_date"),
+        col("dip_f").as("di_plus"), col("dim_f").as("di_minus"),
+        col("dx_f").as("dx"), col("adx_f").as("adx"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def adxSql: String = {
+    def wf(seed: String, arr: String, j: String) =
+      s"list_reduce(list_prepend($seed, $arr[15:$j]), (a, x) -> (a * 13.0 + x) / 14.0)"
+    val sp = wf("seed_p", "dps", "j")
+    val sm = wf("seed_m", "dms", "j")
+    val st = wf("seed_t", "trs", "j")
+    val dip = s"CASE WHEN ($st) = 0 THEN 0.0 ELSE 100.0 * ($sp) / ($st) END"
+    val dim = s"CASE WHEN ($st) = 0 THEN 0.0 ELSE 100.0 * ($sm) / ($st) END"
+    val dx =
+      s"CASE WHEN ($dip) + ($dim) = 0 THEN 0.0 " +
+        s"ELSE 100.0 * abs(($dip) - ($dim)) / (($dip) + ($dim)) END"
+    def atDay(e: String) = e.replace("j", "(t - 1)")
+    val adxK = wf("seed_adx", "dxs", "k").replace("k", "(t - 14)")
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), w AS (
+       |  SELECT user_id, trade_date, high_price, low_price, close_price,
+       |    lag(high_price) OVER pk AS prev_hi,
+       |    lag(low_price) OVER pk AS prev_lo,
+       |    lag(close_price) OVER pk AS prev_close
+       |  FROM ohlc WINDOW pk AS (PARTITION BY user_id ORDER BY trade_date)
+       |), d AS (
+       |  SELECT user_id, trade_date,
+       |    round(CASE WHEN (high_price - prev_hi) > (prev_lo - low_price)
+       |      AND (high_price - prev_hi) > 0
+       |      THEN high_price - prev_hi ELSE 0 END, 6) AS dmp,
+       |    round(CASE WHEN (prev_lo - low_price) > (high_price - prev_hi)
+       |      AND (prev_lo - low_price) > 0
+       |      THEN prev_lo - low_price ELSE 0 END, 6) AS dmm,
+       |    round(greatest(high_price - low_price,
+       |      abs(high_price - prev_close),
+       |      abs(low_price - prev_close)), 6) AS tr2,
+       |    (prev_close IS NOT NULL) AS has_prev
+       |  FROM w
+       |), g AS (
+       |  SELECT user_id,
+       |    list(trade_date ORDER BY trade_date) AS dts,
+       |    list(dmp ORDER BY trade_date) FILTER (WHERE has_prev) AS dps,
+       |    list(dmm ORDER BY trade_date) FILTER (WHERE has_prev) AS dms,
+       |    list(tr2 ORDER BY trade_date) FILTER (WHERE has_prev) AS trs
+       |  FROM d GROUP BY user_id
+       |), s AS (
+       |  SELECT user_id, dts, dps, dms, trs,
+       |    CASE WHEN len(dps) >= 14
+       |      THEN list_reduce(dps[1:14], (a, x) -> a + x) / 14.0 END AS seed_p,
+       |    CASE WHEN len(dms) >= 14
+       |      THEN list_reduce(dms[1:14], (a, x) -> a + x) / 14.0 END AS seed_m,
+       |    CASE WHEN len(trs) >= 14
+       |      THEN list_reduce(trs[1:14], (a, x) -> a + x) / 14.0 END AS seed_t
+       |  FROM g
+       |), f AS (
+       |  SELECT *, CASE WHEN len(dps) >= 14
+       |    THEN list_transform(generate_series(14, len(dps)), j -> $dx)
+       |    ELSE [] END AS dxs
+       |  FROM s
+       |), f2 AS (
+       |  SELECT *, CASE WHEN len(dxs) >= 14
+       |    THEN list_reduce(dxs[1:14], (a, x) -> a + x) / 14.0 END AS seed_adx
+       |  FROM f
+       |)
+       |SELECT user_id, unnest(dts) AS trade_date,
+       |  unnest(list_transform(generate_series(1, len(dts)), t ->
+       |    CASE WHEN t >= 15 THEN round(${atDay(dip)}, 6) END)) AS di_plus,
+       |  unnest(list_transform(generate_series(1, len(dts)), t ->
+       |    CASE WHEN t >= 15 THEN round(${atDay(dim)}, 6) END)) AS di_minus,
+       |  unnest(list_transform(generate_series(1, len(dts)), t ->
+       |    CASE WHEN t >= 15 THEN round(${atDay(dx)}, 6) END)) AS dx,
+       |  unnest(list_transform(generate_series(1, len(dts)), t ->
+       |    CASE WHEN t >= 28 AND t - 14 <= len(dxs)
+       |      THEN round($adxK, 6) END)) AS adx
+       |FROM f2
+       |ORDER BY user_id, trade_date""".stripMargin
+  }
+
   def atrWilderSql: String =
     s"""WITH ohlc AS (
        |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}

@@ -654,6 +654,88 @@ class WarehouseSpec extends SparkSuite {
     }
   }
 
+  test("adx replays the four-fold driver walk on a crafted 50-session series") {
+    import spark.implicits._
+    def rScaled(x: Double): Double = BigDecimal.valueOf(x * 1000000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1000000.0
+    // two symbols: a strong uptrend (higher highs/lows every session,
+    // deterministic wobble) and a flat band (hi == lo, TR 0 → DIs 0)
+    val days = (0 until 50).map { i =>
+      val d = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong))
+      val wob = (i % 7) * 0.13
+      (1L, d, 100.0 + 2.0 * i + wob, 98.0 + 2.0 * i - wob, 99.0 + 2.0 * i)
+    } ++ (0 until 50).map { i =>
+      val d = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong))
+      (2L, d, 50.0, 50.0, 50.0)
+    }
+    val daily = days.toDF("user_id", "trade_date", "high_price",
+      "low_price", "close_price")
+    val got = Warehouse.adxOfDaily(daily).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == 100)
+    def r6x(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    days.groupBy(_._1).foreach { case (uid, g) =>
+      val s = g.sortBy(_._2.getTime)
+      // session-2+ series, rounded like the query
+      val (dps, dms, trs) = s.sliding(2).map { case Seq(p, c) =>
+        val up = c._3 - p._3
+        val dn = p._4 - c._4
+        (r6x(if (up > dn && up > 0) up else 0.0),
+          r6x(if (dn > up && dn > 0) dn else 0.0),
+          r6x(math.max(c._3 - c._4,
+            math.max(math.abs(c._3 - p._5), math.abs(c._4 - p._5)))))
+      }.toSeq.unzip3
+      def wilder(xs: Seq[Double]): Seq[Option[Double]] = {
+        var st = 0.0
+        xs.zipWithIndex.map { case (x, i) =>
+          if (i < 13) { None }
+          else {
+            st = if (i == 13) xs.take(14).foldLeft(0.0)(_ + _) / 14.0
+            else (st * 13.0 + x) / 14.0
+            Some(st)
+          }
+        }
+      }
+      val (sp, sm, st) = (wilder(dps), wilder(dms), wilder(trs))
+      val dip = sp.zip(st).map {
+        case (Some(p), Some(t)) => Some(if (t == 0.0) 0.0 else 100.0 * p / t)
+        case _ => None
+      }
+      val dim = sm.zip(st).map {
+        case (Some(m), Some(t)) => Some(if (t == 0.0) 0.0 else 100.0 * m / t)
+        case _ => None
+      }
+      val dx = dip.zip(dim).map {
+        case (Some(p), Some(m)) =>
+          Some(if (p + m == 0.0) 0.0 else 100.0 * math.abs(p - m) / (p + m))
+        case _ => None
+      }
+      val adxSeries = wilder(dx.flatten)
+      s.zipWithIndex.foreach { case ((_, d, _, _, _), t0) =>
+        val t = t0 + 1 // 1-based session
+        val r = got((uid, d))
+        def chk(name: String, e: Option[Double]) = {
+          val gv = Option(r.getAs[java.lang.Double](name)).map(_.doubleValue)
+          assert(gv == e.map(rScaled), s"$uid/$d $name: $gv vs $e")
+        }
+        chk("di_plus", if (t >= 15) dip(t - 2) else None)
+        chk("di_minus", if (t >= 15) dim(t - 2) else None)
+        chk("dx", if (t >= 15) dx(t - 2) else None)
+        chk("adx", if (t >= 28) adxSeries(t - 15) else None)
+      }
+    }
+    // semantics: the uptrend reads as one — +DI dominates and ADX is high
+    val up50 = got((1L, days(49)._2))
+    assert(up50.getAs[Double]("di_plus") > up50.getAs[Double]("di_minus"))
+    assert(up50.getAs[Double]("adx") > 25.0, "a clean trend must read strong")
+    // the flat band never produces a directional reading
+    val flat50 = got((2L, days(49)._2))
+    assert(flat50.getAs[Double]("di_plus") == 0.0 &&
+      flat50.getAs[Double]("di_minus") == 0.0 &&
+      flat50.getAs[Double]("dx") == 0.0 && flat50.getAs[Double]("adx") == 0.0)
+  }
+
   test("obv equals a driver-side signed-volume walk") {
     val kRe = """"k"\s*:\s*(\d+)""".r
     val daily = Tables.events(spark, sfDir)
