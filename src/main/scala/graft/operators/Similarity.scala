@@ -181,6 +181,108 @@ object Similarity {
        |FROM ranked WHERE rank <= $TopK
        |ORDER BY probe_id, rank""".stripMargin
 
+  /** FILTERED ANN — metadata-predicate vector search, the production
+    * retrieval shape plain top-k misses (RAG over one tenant's
+    * documents, same-class retrieval, date-scoped search): each probe
+    * retrieves its exact cosine top-[[TopK]] among only the corpus
+    * vectors whose `label` matches the probe's own. PRE-filtering —
+    * the predicate lives in the JOIN condition, so non-matching
+    * vectors are dropped before any dot product is spent and the
+    * result can never come up short the way post-filtering a plain
+    * top-k does (the classic filtered-search failure: filter after
+    * rank and a selective predicate leaves < k survivors).
+    *
+    * Scale shape: identical to [[annBruteForceOn]] — probes
+    * broadcast, one corpus scan, work on top-k rows; the label
+    * filter prunes the scored set to the predicate's selectivity.
+    * [[annFilteredIvf]] is the indexed dual.
+    */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    annFilteredOn(
+      vecsOf(emb).join(emb.select("vec_id", "label"), Seq("vec_id")))
+  }
+
+  private[graft] def annFilteredOn(corpus: DataFrame): DataFrame = {
+    val probes = corpus.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("p_v"),
+        col("norm").as("p_norm"), col("label").as("p_label"))
+    val scored = corpus
+      .join(broadcast(probes),
+        col("label") === col("p_label") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        Dedup.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("p_label").as("label"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  def annFilteredSql: String =
+    s"""WITH $embNormCteSql, el AS (
+       |  SELECT e.vec_id, e.v, e.norm, l.label
+       |  FROM e JOIN embeddings l ON l.vec_id = e.vec_id
+       |), scored AS (
+       |  SELECT p.vec_id AS probe_id, p.label AS label,
+       |    c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(c.v, p.v), z -> z[1] * z[2]))
+       |      / (c.norm * p.norm) AS cos
+       |  FROM el c JOIN el p ON p.vec_id < $NumProbes
+       |    AND c.label = p.label AND c.vec_id <> p.vec_id
+       |), ranked AS (
+       |  SELECT probe_id, label, neighbor_id, cos,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT probe_id, label, rank, neighbor_id, round(cos, 6) AS cosine
+       |FROM ranked WHERE rank <= $TopK
+       |ORDER BY probe_id, rank""".stripMargin
+
+  /** Filtered search through the IVF index — the predicate pushes
+    * into the probed cells (scored candidates = matching-label
+    * vectors of the nProbe nearest cells; the filter sits in the
+    * join condition, before any dot product). At nProbe = k (all
+    * cells probed) the result is spec-proven EQUAL to the exact
+    * [[annFiltered]] — the machinery is lossless, nProbe only trades
+    * candidate coverage, exactly as in the unfiltered family.
+    */
+  def annFilteredIvf(spark: SparkSession, dir: String,
+      nProbe: Int = 3): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    annFilteredIvfSearch(ivfIndex(spark, dir),
+      emb.select("vec_id", "label"), nProbe)
+  }
+
+  private[graft] def annFilteredIvfSearch(idx: IvfIndex, labels: DataFrame,
+      nProbe: Int): DataFrame = {
+    val labeled = idx.assigned.join(labels, Seq("vec_id"))
+    val probes = labeled.filter(col("vec_id") < NumProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("p_v"),
+        col("norm").as("p_norm"), col("label").as("p_label"))
+    val probeCells = probes.crossJoin(broadcast(idx.centers))
+      .withColumn("d2", Dedup.dot(col("center"), col("center"))
+        - lit(2.0) * Dedup.dot(col("p_v"), col("center")))
+      .withColumn("cell_rank", row_number().over(
+        Window.partitionBy("probe_id").orderBy(col("d2"), col("center_cell"))))
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("probe_id"), col("p_v"), col("p_norm"), col("p_label"),
+        col("center_cell").as("cell"))
+    val scored = labeled.join(broadcast(probeCells),
+      labeled("cell") === probeCells("cell") &&
+        col("label") === col("p_label") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cos",
+        Dedup.dot(col("v"), col("p_v")) / (col("norm") * col("p_norm")))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("p_label").as("label"), col("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** IVF (inverted-file) approximate top-k — the trained-partition
     * scale path: KMeans coarse quantizer (k=16, seeded) over the
     * corpus, probes scan only their nProbe=3 nearest cells. At 100 TB

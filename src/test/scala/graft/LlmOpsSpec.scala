@@ -1482,6 +1482,42 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("filtered ANN: predicate is total; all-cells IVF equals exact") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.operators.Similarity.annFiltered(spark, sfDir)
+    val rows = exact.collect()
+    assert(rows.nonEmpty)
+    // every neighbor satisfies the probe's predicate (pre-filter can
+    // never leak a non-matching vector into the top-k)
+    val labels = Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Integer]("label")).toMap
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("neighbor_id")) ==
+        r.getAs[Integer]("label"), "neighbor escapes the filter")
+    }
+    // ranks are contiguous from 1 and cosines monotone within a probe
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (p, g) =>
+      val sorted = g.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq ==
+        (1 to sorted.length), s"probe $p ranks")
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
+        s"probe $p not ranked by cosine")
+    }
+    // probing EVERY cell makes the IVF candidate set the whole
+    // corpus — the filtered-IVF machinery must then be LOSSLESS
+    val allCells = graft.operators.Similarity
+      .annFilteredIvf(spark, sfDir, nProbe = 16)
+    assert(allCells.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(allCells).count() == 0,
+      "all-cells filtered IVF diverged from exact filtered search")
+    // the default nProbe result also never leaks a filtered vector
+    val ivf = graft.operators.Similarity.annFilteredIvf(spark, sfDir)
+    assert(ivf.count() > 0)
+    assert(ivf.collect().forall(r =>
+      labels(r.getAs[Long]("neighbor_id")) == r.getAs[Integer]("label")))
+  }
+
   test("clusterStats reconciles with the resolved components") {
     val sizes = Dedup.embeddingClusters(spark, sfDir).collect()
       .groupBy(_.getAs[Long]("cluster_id")).map(_._2.length.toLong)
