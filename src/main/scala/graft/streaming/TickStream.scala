@@ -1026,20 +1026,38 @@ object TickStream extends Serializable {
       closeM: Long, closeE: Long, close: Double, hi: Double, lo: Double,
       nTicks: Long, volume: Long)
 
-  /** Carry state across completed bars: previous close (TR + OBV
-    * direction), the Wilder seed accumulator and smoothed value, and
-    * the running OBV — all O(1); `pending` is O(watermark-delay days)
-    * like [[FfillState]].
+  /** Carry state across completed bars — every live indicator the
+    * daily-series batch tier computes, as O(1) recurrences plus the
+    * bounded seed accumulators: previous close/high/low (TR, OBV and
+    * directional movement), the ATR-14 and ATR-10 Wilder machines,
+    * the EMA-20 state, the three directional-movement Wilder machines
+    * + the second-level ADX machine, and the running OBV. `pending`
+    * is O(watermark-delay days) like [[FfillState]].
+    *
+    * NOTE: adding state fields changes the flatMapGroupsWithState
+    * encoder schema — restart streaming jobs with a fresh checkpoint
+    * across upgrades (the [[IndicatorState]] contract).
     */
   case class BarState(lastDay: Int, hasEmitted: Boolean,
       hasPrev: Boolean, prevClose: Double,
-      trCount: Long, seedSum: Double, wilder: Double, obv: Long,
+      prevHi: Double, prevLo: Double,
+      trCount: Long, seedSum: Double, wilder: Double,
+      seedSum10: Double, wilder10: Double,
+      ema20: Double,
+      dmCnt: Long, sumP: Double, sdp: Double, sumM: Double, sdm: Double,
+      sumT: Double, strv: Double,
+      dxCnt: Long, dxSum: Double, adxV: Double,
+      obv: Long,
       pending: List[PendingBar])
 
   case class BarRow(user_id: Long, trade_date: java.time.LocalDate,
       open_price: Double, high_price: Double, low_price: Double,
       close_price: Double, n_ticks: Long, volume: Long, tr: Double,
-      atr_wilder: Option[Double], signed_vol: Long, obv: Long)
+      atr_wilder: Option[Double], signed_vol: Long, obv: Long,
+      ema_20: Option[Double], atr_10: Option[Double],
+      kc_upper: Option[Double], kc_lower: Option[Double],
+      di_plus: Option[Double], di_minus: Option[Double],
+      dx: Option[Double], adx: Option[Double])
 
   private def r4s(x: Double): Double = BigDecimal.valueOf(x)
     .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1087,7 +1105,10 @@ object TickStream extends Serializable {
     def update(userId: Long, rows: Iterator[BarTick],
         state: GroupState[BarState]): Iterator[BarRow] = {
       var st = state.getOption.getOrElse(BarState(Int.MinValue,
-        hasEmitted = false, hasPrev = false, 0.0, 0L, 0.0, 0.0, 0L, Nil))
+        hasEmitted = false, hasPrev = false, 0.0, 0.0, 0.0,
+        0L, 0.0, 0.0, 0.0, 0.0, 0.0,
+        0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
+        0L, 0.0, 0.0, 0L, Nil))
       var pending = st.pending
       if (!state.hasTimedOut) rows.foreach { t =>
         val m = tsMicros(t.ts)
@@ -1136,12 +1157,76 @@ object TickStream extends Serializable {
             else if (p.close < st.prevClose) -p.volume
             else 0L
           val obv = st.obv + signed
+          // ATR-10 over the SAME tr series (session 1 included — the
+          // batch keltner fold's convention)
+          val seedSum10 = if (trCount <= 10) st.seedSum10 + tr else st.seedSum10
+          val wilder10 =
+            if (trCount < 10) 0.0
+            else if (trCount == 10) seedSum10 / 10.0
+            else (st.wilder10 * 9.0 + tr) / 10.0
+          // EMA-20 of the raw close, seeded at the first close
+          val k20 = 2.0 / 21.0
+          val ema20 =
+            if (trCount == 1) p.close
+            else p.close * k20 + st.ema20 * (1.0 - k20)
+          // directional movement (session-2+ series: rounded highs and
+          // lows vs the previous bar's, the batch adx convention)
+          var (dmCnt, sumP, sdp, sumM, sdm, sumT, strv) =
+            (st.dmCnt, st.sumP, st.sdp, st.sumM, st.sdm, st.sumT, st.strv)
+          var (dxCnt, dxSum, adxV) = (st.dxCnt, st.dxSum, st.adxV)
+          var dipOpt: Option[Double] = None
+          var dimOpt: Option[Double] = None
+          var dxOpt: Option[Double] = None
+          if (st.hasPrev) {
+            val up = hi4 - st.prevHi
+            val dn = st.prevLo - lo4
+            val dmp = r6s(if (up > dn && up > 0) up else 0.0)
+            val dmm = r6s(if (dn > up && dn > 0) dn else 0.0)
+            val tr2 = r6s(math.max(hi4 - lo4, math.max(
+              math.abs(hi4 - st.prevClose), math.abs(lo4 - st.prevClose))))
+            dmCnt += 1
+            def step(cnt: Long, sum: Double, v: Double, x: Double): (Double, Double) = {
+              val ns = if (cnt <= 14) sum + x else sum
+              val nv =
+                if (cnt < 14) 0.0
+                else if (cnt == 14) ns / 14.0
+                else (v * 13.0 + x) / 14.0
+              (ns, nv)
+            }
+            val (nsP, nvP) = step(dmCnt, sumP, sdp, dmp); sumP = nsP; sdp = nvP
+            val (nsM, nvM) = step(dmCnt, sumM, sdm, dmm); sumM = nsM; sdm = nvM
+            val (nsT, nvT) = step(dmCnt, sumT, strv, tr2); sumT = nsT; strv = nvT
+            if (dmCnt >= 14) {
+              val dip = if (strv == 0.0) 0.0 else 100.0 * sdp / strv
+              val dim = if (strv == 0.0) 0.0 else 100.0 * sdm / strv
+              val dxv =
+                if (dip + dim == 0.0) 0.0
+                else 100.0 * math.abs(dip - dim) / (dip + dim)
+              dipOpt = Some(dip); dimOpt = Some(dim); dxOpt = Some(dxv)
+              dxCnt += 1
+              if (dxCnt <= 14) dxSum += dxv
+              adxV =
+                if (dxCnt < 14) 0.0
+                else if (dxCnt == 14) dxSum / 14.0
+                else (adxV * 13.0 + dxv) / 14.0
+            }
+          }
           out += BarRow(userId, java.time.LocalDate.ofEpochDay(p.day.toLong),
             p.open, hi4, lo4, p.close, p.nTicks, p.volume, tr,
-            if (trCount >= 14) Some(r6scaled(wilder)) else None, signed, obv)
+            if (trCount >= 14) Some(r6scaled(wilder)) else None, signed, obv,
+            if (trCount >= 20) Some(r6scaled(ema20)) else None,
+            if (trCount >= 10) Some(r6scaled(wilder10)) else None,
+            if (trCount >= 20) Some(r6scaled(ema20 + 2.0 * wilder10)) else None,
+            if (trCount >= 20) Some(r6scaled(ema20 - 2.0 * wilder10)) else None,
+            dipOpt.map(r6scaled), dimOpt.map(r6scaled), dxOpt.map(r6scaled),
+            if (dxCnt >= 14) Some(r6scaled(adxV)) else None)
           st = st.copy(lastDay = p.day, hasEmitted = true, hasPrev = true,
-            prevClose = p.close, trCount = trCount, seedSum = seedSum,
-            wilder = wilder, obv = obv)
+            prevClose = p.close, prevHi = hi4, prevLo = lo4,
+            trCount = trCount, seedSum = seedSum, wilder = wilder,
+            seedSum10 = seedSum10, wilder10 = wilder10, ema20 = ema20,
+            dmCnt = dmCnt, sumP = sumP, sdp = sdp, sumM = sumM, sdm = sdm,
+            sumT = sumT, strv = strv,
+            dxCnt = dxCnt, dxSum = dxSum, adxV = adxV, obv = obv)
         }
         pending = pending.filter(_.day > ready.last.day)
       }

@@ -132,7 +132,7 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
-  test("dailyBarStream bars equal the batch OHLC/Wilder/OBV surfaces") {
+  test("dailyBarStream bars equal the batch OHLC/Wilder/OBV/Keltner/ADX surfaces") {
     val schema = Tables.events(spark, sfDir).schema
     val maxTs = Warehouse.validTicks(spark, sfDir)
       .agg(max("ts")).head.getTimestamp(0).getTime
@@ -147,9 +147,17 @@ class StreamingSpec extends SparkSuite {
       .join(Warehouse.obv(spark, sfDir)
         .select("user_id", "trade_date", "volume", "signed_vol", "obv"),
         Seq("user_id", "trade_date"))
+      .join(Warehouse.keltner(spark, sfDir)
+        .select("user_id", "trade_date", "ema_20", "atr_10",
+          "kc_upper", "kc_lower"),
+        Seq("user_id", "trade_date"))
+      .join(Warehouse.adx(spark, sfDir)
+        .select("user_id", "trade_date", "di_plus", "di_minus", "dx", "adx"),
+        Seq("user_id", "trade_date"))
       .select("user_id", "trade_date", "open_price", "high_price",
         "low_price", "close_price", "n_ticks", "volume", "tr",
-        "atr_wilder", "signed_vol", "obv")
+        "atr_wilder", "signed_vol", "obv", "ema_20", "atr_10",
+        "kc_upper", "kc_lower", "di_plus", "di_minus", "dx", "adx")
     for ((delay, delayMs, nParts) <- Seq(
         ("10 minutes", 10L * 60000L, 2),
         ("10 minutes", 10L * 60000L, 4),
