@@ -2335,8 +2335,14 @@ object Curation {
   private[graft] def packByHistogram(items: DataFrame,
       budget: Long): DataFrame = {
     val spark = items.sparkSession
+    // totality: a zero- or unknown-length item still occupies ONE
+    // unit (a batch slot is never free), so every input row packs —
+    // an unclamped len of 0/null would get no directory row and
+    // silently vanish in the inner join
     val sized = items
-      .withColumn("len", least(col("full_len"), lit(budget)))
+      .withColumn("full_len", coalesce(col("full_len"), lit(0L)))
+      .withColumn("len",
+        least(greatest(col("full_len"), lit(1L)), lit(budget)))
       .withColumn("truncated", col("full_len") > budget)
     val hists = sized.groupBy("grp", "len").agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -2415,9 +2421,7 @@ object Curation {
     packByHistogram(
       docsIn
         .select(col("doc_id"),
-          // the Multimodal stub's modality assignment and payload size
-          element_at(array(lit("image"), lit("audio"), lit("video")),
-            (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+          Multimodal.modalityOf(col("doc_id")).as("modality"),
           length(col("text").cast("binary")).cast("long").as("n_bytes"))
         .withColumn("grp", col("modality"))
         .withColumn("id", col("doc_id"))

@@ -26,6 +26,15 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("n_frames", IntegerType)))
 
+  /** The stub's modality assignment as a Column — the ONE definition
+    * [[graft.operators.Curation.modalBatches]] shares with
+    * [[decodeStub]] and [[multimodalMetaSql]], so a batching plan can
+    * never label payloads under a stale modality rule.
+    */
+  private[graft] def modalityOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      (docId % 3 + 1).cast("int"))
+
   /** STUB decoder: derives deterministic metadata from the payload
     * bytes. A real implementation would parse the container header
     * (JPEG SOF / WAV fmt / MP4 moov) right here — per-partition, so

@@ -879,8 +879,7 @@ object Warehouse {
   def beta(spark: SparkSession, dir: String, minDays: Int = 15): DataFrame = {
     val rets = dailyReturnsOf(validTicks(spark, dir))
     val mkt = rets.groupBy("trade_date")
-      .agg(round(avg("ret"), 12).as("mret"),
-        count(lit(1)).as("breadth"))
+      .agg(round(avg("ret"), 12).as("mret"))
     rets.join(broadcast(mkt), Seq("trade_date"))
       .groupBy("user_id")
       .agg(

@@ -546,11 +546,15 @@ class CurationSpec extends SparkSuite {
     val docs = Seq(
       docOf(1L, 1200), docOf(2L, 900), docOf(3L, 800), docOf(4L, 500),
       docOf(5L, 300), docOf(6L, 100),
-      docOf(7L, (budget + 52).toInt) // oversized → truncated, alone
+      docOf(7L, (budget + 52).toInt), // oversized → truncated, alone
+      (8L, ""), (9L, null.asInstanceOf[String]) // degenerate lengths —
+        // the pack must stay TOTAL (each occupies one unit, never
+        // silently dropped by the directory join)
     ).toDF("doc_id", "text")
     val got = Curation.packBestFitDocs(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
-    assert(got.size == 7)
+    assert(got.size == 9, "every doc (incl. empty/null text) must pack")
+    assert(got(9L).getAs[Long]("len") == 1L)
     val big = got(7L)
     assert(big.getAs[Boolean]("truncated"))
     assert(big.getAs[Long]("len") == budget)
@@ -591,11 +595,16 @@ class CurationSpec extends SparkSuite {
       val batches = items.map(_.getAs[Long]("batch_id")).distinct.length
       assert(batches <= 2 * lower + 1, s"$mod: $batches vs bound $lower")
     }
-    // byte sizes agree with the multimodal metadata surface
+    // byte sizes AND modality labels agree with the multimodal
+    // metadata surface (one shared modality rule — drift is a bug)
     val meta = graft.operators.Multimodal.multimodalMeta(spark, sfDir)
-      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_bytes")).toMap
-    rows.foreach(r =>
-      assert(r.getAs[Long]("n_bytes") == meta(r.getLong(0))))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bytes"), r.getAs[String]("modality"))).toMap
+    rows.foreach { r =>
+      val (nb, mod) = meta(r.getLong(0))
+      assert(r.getAs[Long]("n_bytes") == nb)
+      assert(r.getAs[String]("modality") == mod, "modality rule drift")
+    }
     // deterministic
     val again = Curation.modalBatches(spark, sfDir).collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
