@@ -1024,7 +1024,7 @@ object TickStream extends Serializable {
     */
   case class PendingBar(day: Int, openM: Long, openE: Long, open: Double,
       closeM: Long, closeE: Long, close: Double, hi: Double, lo: Double,
-      nTicks: Long, volume: Long)
+      nTicks: Long, volume: Long, pvNum: Long, pvVol: Long)
 
   /** Carry state across completed bars — every live indicator the
     * daily-series batch tier computes, as O(1) recurrences plus the
@@ -1048,6 +1048,7 @@ object TickStream extends Serializable {
       sumT: Double, strv: Double,
       dxCnt: Long, dxSum: Double, adxV: Double,
       obv: Long,
+      hiLo: List[(Double, Double)], ks: List[Double],
       pending: List[PendingBar])
 
   case class BarRow(user_id: Long, trade_date: java.time.LocalDate,
@@ -1057,7 +1058,8 @@ object TickStream extends Serializable {
       ema_20: Option[Double], atr_10: Option[Double],
       kc_upper: Option[Double], kc_lower: Option[Double],
       di_plus: Option[Double], di_minus: Option[Double],
-      dx: Option[Double], adx: Option[Double])
+      dx: Option[Double], adx: Option[Double],
+      vwap: Option[Double], pct_k: Option[Double], pct_d: Option[Double])
 
   private def r4s(x: Double): Double = BigDecimal.valueOf(x)
     .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1108,16 +1110,22 @@ object TickStream extends Serializable {
         hasEmitted = false, hasPrev = false, 0.0, 0.0, 0.0,
         0L, 0.0, 0.0, 0.0, 0.0, 0.0,
         0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-        0L, 0.0, 0.0, 0L, Nil))
+        0L, 0.0, 0.0, 0L, Nil, Nil, Nil))
       var pending = st.pending
       if (!state.hasTimedOut) rows.foreach { t =>
         val m = tsMicros(t.ts)
         val day = Math.floorDiv(m, DayMs * 1000L).toInt
         if (!(st.hasEmitted && day <= st.lastDay)) {
+          // VWAP leg: integer price-micros x volume, positive-volume
+          // ticks only — the batch q_vwap accounting, exact in Long
+          val micros = BigDecimal.valueOf(t.value * 1000000.0)
+            .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+          val pvN = if (t.vol > 0) micros * t.vol else 0L
+          val pvV = if (t.vol > 0) t.vol else 0L
           pending = (pending.find(_.day == day) match {
             case None =>
               PendingBar(day, m, t.event_id, t.value, m, t.event_id,
-                t.value, t.value, t.value, 1L, t.vol)
+                t.value, t.value, t.value, 1L, t.vol, pvN, pvV)
             case Some(p) =>
               val opens = m < p.openM || (m == p.openM && t.event_id < p.openE)
               val closes = m > p.closeM || (m == p.closeM && t.event_id > p.closeE)
@@ -1129,7 +1137,8 @@ object TickStream extends Serializable {
                 if (closes) t.event_id else p.closeE,
                 if (closes) t.value else p.close,
                 math.max(p.hi, t.value), math.min(p.lo, t.value),
-                p.nTicks + 1, p.volume + t.vol)
+                p.nTicks + 1, p.volume + t.vol,
+                p.pvNum + pvN, p.pvVol + pvV)
           }) :: pending.filterNot(_.day == day)
         }
       }
@@ -1211,6 +1220,30 @@ object TickStream extends Serializable {
                 else (adxV * 13.0 + dxv) / 14.0
             }
           }
+          // session VWAP — exact integer accounting, the batch round
+          val vwap =
+            if (p.pvVol > 0)
+              Some(BigDecimal.valueOf(p.pvNum.toDouble / p.pvVol.toDouble)
+                .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                .toDouble / 1000000.0)
+            else None
+          // stochastic %K/%D over the last-14 (hi, lo) ring
+          val hiLo = (st.hiLo :+ (hi4, lo4)).takeRight(14)
+          val hi14 = hiLo.map(_._1).max
+          val lo14 = hiLo.map(_._2).min
+          val kVal: Double =
+            if (trCount >= 14 && hi14 > lo14)
+              r6s((p.close - lo14) / (hi14 - lo14) * 100.0)
+            else Double.NaN
+          val ks = (st.ks :+ kVal).takeRight(3)
+          val pctK = if (kVal.isNaN) None else Some(kVal)
+          val pctD =
+            if (trCount >= 16) {
+              val win = ks.filterNot(_.isNaN)
+              if (win.nonEmpty)
+                Some(r6s(win.foldLeft(0.0)(_ + _) / win.length))
+              else None
+            } else None
           out += BarRow(userId, java.time.LocalDate.ofEpochDay(p.day.toLong),
             p.open, hi4, lo4, p.close, p.nTicks, p.volume, tr,
             if (trCount >= 14) Some(r6scaled(wilder)) else None, signed, obv,
@@ -1219,14 +1252,16 @@ object TickStream extends Serializable {
             if (trCount >= 20) Some(r6scaled(ema20 + 2.0 * wilder10)) else None,
             if (trCount >= 20) Some(r6scaled(ema20 - 2.0 * wilder10)) else None,
             dipOpt.map(r6scaled), dimOpt.map(r6scaled), dxOpt.map(r6scaled),
-            if (dxCnt >= 14) Some(r6scaled(adxV)) else None)
+            if (dxCnt >= 14) Some(r6scaled(adxV)) else None,
+            vwap, pctK, pctD)
           st = st.copy(lastDay = p.day, hasEmitted = true, hasPrev = true,
             prevClose = p.close, prevHi = hi4, prevLo = lo4,
             trCount = trCount, seedSum = seedSum, wilder = wilder,
             seedSum10 = seedSum10, wilder10 = wilder10, ema20 = ema20,
             dmCnt = dmCnt, sumP = sumP, sdp = sdp, sumM = sumM, sdm = sdm,
             sumT = sumT, strv = strv,
-            dxCnt = dxCnt, dxSum = dxSum, adxV = adxV, obv = obv)
+            dxCnt = dxCnt, dxSum = dxSum, adxV = adxV, obv = obv,
+            hiLo = hiLo, ks = ks)
         }
         pending = pending.filter(_.day > ready.last.day)
       }

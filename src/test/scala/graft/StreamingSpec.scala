@@ -132,7 +132,7 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
-  test("dailyBarStream bars equal the batch OHLC/Wilder/OBV/Keltner/ADX surfaces") {
+  test("dailyBarStream bars equal all seven batch daily-series surfaces") {
     val schema = Tables.events(spark, sfDir).schema
     val maxTs = Warehouse.validTicks(spark, sfDir)
       .agg(max("ts")).head.getTimestamp(0).getTime
@@ -154,10 +154,19 @@ class StreamingSpec extends SparkSuite {
       .join(Warehouse.adx(spark, sfDir)
         .select("user_id", "trade_date", "di_plus", "di_minus", "dx", "adx"),
         Seq("user_id", "trade_date"))
+      // vwap rows only exist where a positive-volume tick traded —
+      // the streamed bar reports None there, hence the LEFT join
+      .join(Warehouse.vwap(spark, sfDir)
+        .select("user_id", "trade_date", "vwap"),
+        Seq("user_id", "trade_date"), "left")
+      .join(Warehouse.stochastic(spark, sfDir)
+        .select("user_id", "trade_date", "pct_k", "pct_d"),
+        Seq("user_id", "trade_date"))
       .select("user_id", "trade_date", "open_price", "high_price",
         "low_price", "close_price", "n_ticks", "volume", "tr",
         "atr_wilder", "signed_vol", "obv", "ema_20", "atr_10",
-        "kc_upper", "kc_lower", "di_plus", "di_minus", "dx", "adx")
+        "kc_upper", "kc_lower", "di_plus", "di_minus", "dx", "adx",
+        "vwap", "pct_k", "pct_d")
     for ((delay, delayMs, nParts) <- Seq(
         ("10 minutes", 10L * 60000L, 2),
         ("10 minutes", 10L * 60000L, 4),
