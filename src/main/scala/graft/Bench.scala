@@ -201,7 +201,11 @@ object Bench {
         sprobe("stream_price_ffill")(s =>
           graft.streaming.TickStream.priceFfillStream(spark, s).toDF()),
         sprobe("stream_windowed_agg")(s =>
-          graft.streaming.TickStream.windowedAgg(s)))
+          graft.streaming.TickStream.windowedAgg(s)),
+        // round 9: the daily-bar close engine — input ticks/s through
+        // the full live indicator carry (vwap/stoch/keltner/adx/obv)
+        sprobe("stream_daily_bars")(s =>
+          graft.streaming.TickStream.dailyBarStream(spark, s).toDF()))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] streaming stage: $e")
       failed += "streaming_stage"
