@@ -467,6 +467,76 @@ object TextOps {
       .orderBy(col("freq").desc, col("word"))
   }
 
+  /** MISRA-GRIES heavy hitters — the DETERMINISTIC mergeable summary
+    * next to [[heavyHitters]]' probabilistic CMS (Misra & Gries 1982;
+    * mergeability per Agarwal et al. 2012): each partition keeps ≤ k
+    * counters (resident word +1; free slot admits at 1; full summary
+    * decrements EVERY counter and drops zeros — total decrement work
+    * O(n), since each event burns k+1 mass), the per-partition
+    * summaries MERGE by adding counts and re-trimming at the
+    * (k+1)-largest count. The merged summary guarantees, both
+    * spec-asserted: estimate ≤ true count, and true − estimate ≤
+    * (N − M)/(k+1) where M is the summary's retained mass — so EVERY
+    * word with frequency > (N − M)/(k+1) survives, with NO
+    * probability caveat (the CMS trades that certainty for a smaller
+    * grid). The report joins the survivors' exact counts (the
+    * verifier tier, as in the CMS dual); N and the summaries come
+    * from ONE pass.
+    *
+    * Deterministic: counter values never depend on map iteration
+    * order (decrements hit every counter; zeros drop regardless),
+    * admission order is the partition's row order, and the merge is
+    * value-arithmetic — same input, same summary.
+    */
+  def heavyHittersMg(spark: SparkSession, dir: String,
+      k: Int = 64): DataFrame =
+    heavyHittersMgDocs(Tables.documents(spark, dir), k)
+
+  private[graft] def heavyHittersMgDocs(docs: DataFrame,
+      k: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(split(trim(col("text")), s"[$Ws]+")).as("word"))
+    // one pass: per-partition MG summary + the partition's word count
+    val partials: Array[(Map[String, Long], Long)] =
+      words.as[String].rdd.mapPartitions { it =>
+        val m = scala.collection.mutable.Map.empty[String, Long]
+        var n = 0L
+        it.foreach { w =>
+          n += 1
+          if (m.contains(w)) m(w) += 1L
+          else if (m.size < k) m(w) = 1L
+          else m.keysIterator.toArray.foreach { key =>
+            val c = m(key) - 1L
+            if (c == 0L) m.remove(key) else m(key) = c
+          }
+        }
+        Iterator((m.toMap, n))
+      }.collect()
+    val total = partials.map(_._2).sum
+    val merged = scala.collection.mutable.Map.empty[String, Long]
+    partials.foreach(_._1.foreach { case (w, c) =>
+      merged(w) = merged.getOrElse(w, 0L) + c
+    })
+    if (merged.size > k) {
+      val cut = merged.values.toSeq.sortBy(-_).apply(k) // (k+1)-largest
+      merged.mapValuesInPlace((_, c) => c - cut)
+        .filterInPlace((_, c) => c > 0L): Unit
+    }
+    val retained = merged.values.sum
+    val bound = (total - retained) / (k + 1).toLong // floor of the real bound
+    val summary = merged.toSeq.toDF("word", "mg_estimate")
+    // verifier tier: exact counts for the survivors only
+    words.join(broadcast(summary), Seq("word"), "right")
+      .groupBy("word", "mg_estimate")
+      .agg(count(col("word")).as("freq"))
+      .select(col("word"), col("freq"), col("mg_estimate"),
+        (col("freq") - col("mg_estimate")).as("est_gap"),
+        lit(total).as("n_words"), lit(bound).as("gap_bound"))
+      .orderBy(col("freq").desc, col("word"))
+  }
+
   /** Top-rank count feeding the Zipf-slope fit in [[vocabStats]]. */
   private[graft] val ZipfK = 100
 

@@ -111,4 +111,48 @@ class SketchSpec extends SparkSuite {
     val again = graft.operators.TextOps.heavyHitters(spark, sfDir, k = 50, eps = eps).collect()
     assert(got.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("Misra-Gries summary: never overcounts, bounded gap, no false negatives") {
+    val k = 64
+    val got = graft.operators.TextOps.heavyHittersMg(spark, sfDir, k).collect()
+    assert(got.nonEmpty)
+    val total = got.head.getAs[Long]("n_words")
+    val retained = got.map(_.getAs[Long]("mg_estimate")).sum
+    got.foreach { r =>
+      val freq = r.getAs[Long]("freq")
+      val est = r.getAs[Long]("mg_estimate")
+      assert(est >= 1L && est <= freq,
+        s"'${r.getString(0)}' MG estimate $est outside (0, $freq]")
+      // the mergeable-summary guarantee, exact-rational form
+      assert((freq - est) * (k + 1).toLong <= total - retained,
+        s"'${r.getString(0)}' gap ${freq - est} breaks the MG bound")
+    }
+    // no false negatives: every word heavier than the bound is present
+    val bound = (total - retained) / (k + 1).toLong
+    val present = got.map(_.getString(0)).toSet
+    graft.operators.TextOps.wordFreq(spark, sfDir).collect()
+      .filter(_.getAs[Long]("freq") > bound)
+      .foreach(r => assert(present(r.getString(0)),
+        s"heavy word '${r.getString(0)}' missing from the MG summary"))
+    // deterministic (value arithmetic + partition row order only)
+    val again = graft.operators.TextOps.heavyHittersMg(spark, sfDir, k).collect()
+    assert(got.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("Misra-Gries survives a skew-planted corpus with a tight estimate") {
+    import spark.implicits._
+    // one word owns half the mass; a long tail forces real decrements
+    val docs = ((1 to 4000).map(i => (i.toLong, "heavy")) ++
+      (1 to 4000).map(i => (4000L + i, s"tail$i")))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.heavyHittersMgDocs(docs, k = 8)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.contains("heavy"), "the dominant word must survive")
+    val h = got("heavy")
+    assert(h.getAs[Long]("freq") == 4000L)
+    // est >= freq - (N - M)/(k+1) — with half the mass on one word the
+    // estimate stays within the bound of the true count
+    assert((h.getAs[Long]("freq") - h.getAs[Long]("mg_estimate")) *
+      9L <= 8000L - got.values.map(_.getAs[Long]("mg_estimate")).sum)
+  }
 }
