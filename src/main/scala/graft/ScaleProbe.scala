@@ -152,6 +152,10 @@ object ScaleProbe {
     // merge + the exact top-k verifier pass — two linear scans, the
     // sketch side flat in state no matter the vocabulary
     time("heavy_hitters")(operators.TextOps.heavyHittersDocs(bigDocs))
+    // Misra-Gries: one mapPartitions pass + a (partitions x k)-entry
+    // driver merge + the survivors-only exact join — must track the
+    // CMS line (both are single-scan summaries)
+    time("heavy_hitters_mg")(operators.TextOps.heavyHittersMgDocs(bigDocs))
 
     // ANN index families over a replicated embedding corpus (distinct
     // vec_ids per replica; probes stay the fixed vec_id < 5 set).
