@@ -525,6 +525,66 @@ object Warehouse {
        |ORDER BY user_id, trade_date""".stripMargin
   }
 
+  /** DONCHIAN CHANNELS — completing the volatility-envelope trio next
+    * to q_bollinger (stddev bands) and [[keltner]] (ATR bands): the
+    * 20-session rolling extremes of the validated daily OHLC (upper =
+    * max high, lower = min low, both including the current session —
+    * the hi14/lo14 idiom — NULL till 20), the midline, and the
+    * classic BREAKOUT flags against the PREVIOUS session's channel
+    * (a close above yesterday's 20-day high / below its low — the
+    * turtle entry rule; NULL until a prior channel exists).
+    *
+    * Pure window arithmetic over day rows — one symbol-keyed shuffle
+    * reused by every window, no fold, no join; extremes carry raw
+    * rounded prices verbatim so hash parity is free, only the
+    * midline rounds.
+    */
+  def donchian(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val w20 = wRn.rowsBetween(-19, 0)
+    ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date",
+      validated = true)
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("up_raw", max("high_price").over(w20))
+      .withColumn("lo_raw", min("low_price").over(w20))
+      .withColumn("dc_upper", when(col("rn") >= 20, col("up_raw")))
+      .withColumn("dc_lower", when(col("rn") >= 20, col("lo_raw")))
+      .withColumn("dc_mid", round(
+        when(col("rn") >= 20, (col("up_raw") + col("lo_raw")) / 2.0), 6))
+      .withColumn("brk_up",
+        col("close_price") > lag("dc_upper", 1).over(wRn))
+      .withColumn("brk_down",
+        col("close_price") < lag("dc_lower", 1).over(wRn))
+      .select("user_id", "trade_date", "close_price", "dc_upper",
+        "dc_lower", "dc_mid", "brk_up", "brk_down")
+      .orderBy("user_id", "trade_date")
+  }
+
+  def donchianSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), w AS (
+       |  SELECT user_id, trade_date, close_price,
+       |    row_number() OVER pk AS rn,
+       |    max(high_price) OVER (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS up_raw,
+       |    min(low_price) OVER (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lo_raw
+       |  FROM ohlc WINDOW pk AS (PARTITION BY user_id ORDER BY trade_date)
+       |), c AS (
+       |  SELECT user_id, trade_date, close_price,
+       |    CASE WHEN rn >= 20 THEN up_raw END AS dc_upper,
+       |    CASE WHEN rn >= 20 THEN lo_raw END AS dc_lower,
+       |    round(CASE WHEN rn >= 20
+       |      THEN (up_raw + lo_raw) / 2.0 END, 6) AS dc_mid
+       |  FROM w
+       |)
+       |SELECT user_id, trade_date, close_price, dc_upper, dc_lower, dc_mid,
+       |  close_price > lag(dc_upper) OVER pk AS brk_up,
+       |  close_price < lag(dc_lower) OVER pk AS brk_down
+       |FROM c WINDOW pk AS (PARTITION BY user_id ORDER BY trade_date)
+       |ORDER BY user_id, trade_date""".stripMargin
+
   /** ADX — Wilder's directional-movement system, the capstone of the
     * fold tier: per session (from session 2) the directional moves
     * +DM/−DM and the true range each Wilder-smooth at 14; the

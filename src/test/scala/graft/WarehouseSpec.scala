@@ -736,6 +736,33 @@ class WarehouseSpec extends SparkSuite {
       flat50.getAs[Double]("dx") == 0.0 && flat50.getAs[Double]("adx") == 0.0)
   }
 
+  test("donchian channels bracket closes and breakouts match the prior channel") {
+    val daily = driverDailyOhlc
+    val got = Warehouse.donchian(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == daily.values.map(_.length).sum)
+    daily.foreach { case (uid, days) =>
+      days.zipWithIndex.foreach { case ((d, _, _, close), i) =>
+        val r = got((uid, d))
+        val up = Option(r.getAs[java.lang.Double]("dc_upper"))
+        val lo = Option(r.getAs[java.lang.Double]("dc_lower"))
+        if (i < 19) assert(up.isEmpty && lo.isEmpty, s"$uid/$d warmup")
+        else {
+          val win = days.slice(i - 19, i + 1)
+          assert(up.contains(win.map(_._2).max), s"$uid/$d upper")
+          assert(lo.contains(win.map(_._3).min), s"$uid/$d lower")
+          // the channel brackets every close inside its own window
+          assert(close <= up.get + 1e-9 && close >= lo.get - 1e-9)
+        }
+        val bu = Option(r.getAs[java.lang.Boolean]("brk_up"))
+        if (i >= 20) {
+          val prevUp = days.slice(i - 20, i).map(_._2).max
+          assert(bu.contains(close > prevUp), s"$uid/$d breakout")
+        } else assert(bu.isEmpty, s"$uid/$d breakout must be null")
+      }
+    }
+  }
+
   test("obv equals a driver-side signed-volume walk") {
     val kRe = """"k"\s*:\s*(\d+)""".r
     val daily = Tables.events(spark, sfDir)
