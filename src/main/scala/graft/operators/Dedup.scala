@@ -907,6 +907,31 @@ object Dedup {
       |SELECT vec_id, cluster_id, (vec_id = cluster_id) AS keep
       |FROM clusters ORDER BY vec_id""".stripMargin
 
+  /** Cluster resolution over the MINHASH near-dup pair graph — the
+    * proof that [[connectedComponents]] composes with ANY pair
+    * source, not just the embedding kernel the oracled clusters use:
+    * the [[minhashLsh]] candidates (band-collision → estimated
+    * Jaccard ≥ 0.5) resolve to components over the full documents
+    * id space, emitting each doc's cluster representative and keep
+    * verdict — the TEXT-side dual of q_dedup_clusters' embedding
+    * clusters. (Minhash signatures aren't SQL-expressible →
+    * rows-only; the spec cross-checks a driver union-find over the
+    * same pairs and pins singleton totality.)
+    *
+    * Scale shape: the pair graph is the LSH equi-join's output (no
+    * all-pairs), the resolution is the same pointer-doubling /
+    * contracted-tail solver as every other cluster surface.
+    */
+  def minhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val verts = Tables.documents(spark, dir).select(col("doc_id").as("id"))
+    connectedComponents(verts, pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") === col("label")).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** CLUSTER-SIZE DISTRIBUTION over the resolved near-dup components —
     * the report a dedup owner reads before applying the rewrite map:
     * per component size, how many clusters, how many docs they hold,

@@ -1518,6 +1518,36 @@ class LlmOpsSpec extends SparkSuite {
       labels(r.getAs[Long]("neighbor_id")) == r.getAs[Integer]("label")))
   }
 
+  test("minhashClusters equals a driver union-find over the LSH pairs") {
+    val pairs = Dedup.minhashLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val ids = Tables.documents(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id"))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = Dedup.minhashClusters(spark, sfDir).collect()
+    assert(got.length == ids.length, "resolution must be TOTAL over docs")
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("cluster_id") == expected(id), s"doc $id label")
+      assert(r.getAs[Boolean]("keep") == (expected(id) == id))
+    }
+    // the pair graph actually merges something on this corpus
+    assert(expected.values.toSet.size < ids.length,
+      "corpus has no minhash near-dups — the spec is vacuous")
+  }
+
   test("clusterStats reconciles with the resolved components") {
     val sizes = Dedup.embeddingClusters(spark, sfDir).collect()
       .groupBy(_.getAs[Long]("cluster_id")).map(_._2.length.toLong)
