@@ -1059,7 +1059,10 @@ object TickStream extends Serializable {
       kc_upper: Option[Double], kc_lower: Option[Double],
       di_plus: Option[Double], di_minus: Option[Double],
       dx: Option[Double], adx: Option[Double],
-      vwap: Option[Double], pct_k: Option[Double], pct_d: Option[Double])
+      vwap: Option[Double], pct_k: Option[Double], pct_d: Option[Double],
+      dc_upper: Option[Double], dc_lower: Option[Double],
+      dc_mid: Option[Double],
+      brk_up: Option[Boolean], brk_down: Option[Boolean])
 
   private def r4s(x: Double): Double = BigDecimal.valueOf(x)
     .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1227,10 +1230,22 @@ object TickStream extends Serializable {
                 .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
                 .toDouble / 1000000.0)
             else None
-          // stochastic %K/%D over the last-14 (hi, lo) ring
-          val hiLo = (st.hiLo :+ (hi4, lo4)).takeRight(14)
-          val hi14 = hiLo.map(_._1).max
-          val lo14 = hiLo.map(_._2).min
+          // one (hi, lo) ring serves stochastic (last 14) AND the
+          // Donchian channel (last 20 + the prior-channel breakout)
+          val hiLo = (st.hiLo :+ (hi4, lo4)).takeRight(20)
+          val stoch = hiLo.takeRight(14)
+          val hi14 = stoch.map(_._1).max
+          val lo14 = stoch.map(_._2).min
+          // previous session's 20-channel (for the breakout flags):
+          // the ring BEFORE this bar, capped at 20
+          val prevRing = st.hiLo.takeRight(20)
+          val dcUp = if (trCount >= 20) Some(hiLo.map(_._1).max) else None
+          val dcLo = if (trCount >= 20) Some(hiLo.map(_._2).min) else None
+          val dcMid = dcUp.zip(dcLo).map { case (u, l) => r6s((u + l) / 2.0) }
+          val brkUp = if (trCount >= 21)
+            Some(p.close > prevRing.map(_._1).max) else None
+          val brkDown = if (trCount >= 21)
+            Some(p.close < prevRing.map(_._2).min) else None
           val kVal: Double =
             if (trCount >= 14 && hi14 > lo14)
               r6s((p.close - lo14) / (hi14 - lo14) * 100.0)
@@ -1253,7 +1268,7 @@ object TickStream extends Serializable {
             if (trCount >= 20) Some(r6scaled(ema20 - 2.0 * wilder10)) else None,
             dipOpt.map(r6scaled), dimOpt.map(r6scaled), dxOpt.map(r6scaled),
             if (dxCnt >= 14) Some(r6scaled(adxV)) else None,
-            vwap, pctK, pctD)
+            vwap, pctK, pctD, dcUp, dcLo, dcMid, brkUp, brkDown)
           st = st.copy(lastDay = p.day, hasEmitted = true, hasPrev = true,
             prevClose = p.close, prevHi = hi4, prevLo = lo4,
             trCount = trCount, seedSum = seedSum, wilder = wilder,
