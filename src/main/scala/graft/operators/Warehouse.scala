@@ -585,6 +585,82 @@ object Warehouse {
        |FROM c WINDOW pk AS (PARTITION BY user_id ORDER BY trade_date)
        |ORDER BY user_id, trade_date""".stripMargin
 
+  /** CCI-20 — the Commodity Channel Index over the validated daily
+    * OHLC: typical price tp = (H+L+C)/3; CCI = (tp − SMA20(tp)) /
+    * (0.015 · meanDev) where meanDev is the mean ABSOLUTE deviation
+    * of the window's 20 typical prices from the CURRENT session's
+    * SMA (Lambert's original definition — deviation from one center,
+    * not each row's own). NULL till 20 sessions and on a flat window
+    * (meanDev = 0 — no dispersion to normalize against, the
+    * stochastic flat-band convention).
+    *
+    * The mean deviation needs the window's raw members, not a
+    * distributive aggregate — `collect_list` over the 20-row frame
+    * plus an ordered `aggregate` fold keeps it inside codegen on
+    * day rows (symbols × days, never ticks; 20 doubles per row is a
+    * constant). Oracle replays the identical left fold via
+    * `list_reduce(list_transform(...))`; tp, SMA, and meanDev all
+    * round to 6 before any division, so both engines divide the
+    * same doubles.
+    */
+  def cci(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val w20 = wRn.rowsBetween(-19, 0)
+    validDailyOhlc(spark, dir)
+      .withColumn("tp", round(
+        (col("high_price") + col("low_price") + col("close_price")) / 3.0, 6))
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("tps", collect_list("tp").over(w20))
+      // SMA via the same ordered fold as the deviation pass — a
+      // windowed avg() would sum in engine-specific order (DuckDB's
+      // moving frames use a segment tree) and diverge in the last
+      // bit right at the round-6 boundary at larger SFs
+      // the fold tier's scaled display round (matches DuckDB's
+      // float rounding at decimal midpoints, the atrWilder idiom)
+      .withColumn("sma_raw", expr(
+        "round(aggregate(tps, 0.0D, (a, x) -> a + x) / 20.0D" +
+          " * 1000000.0D, 0) / 1000000.0D"))
+      .withColumn("sma_tp", when(col("rn") >= 20, col("sma_raw")))
+      .withColumn("mean_dev", when(col("rn") >= 20, expr(
+        "round(aggregate(tps, 0.0D, (acc, x) -> acc + abs(x - sma_raw))" +
+          " / 20.0D * 1000000.0D, 0) / 1000000.0D")))
+      .withColumn("cci",
+        when(col("mean_dev") > 0, expr(
+          "round((tp - sma_tp) / (0.015D * mean_dev)" +
+            " * 1000000.0D, 0) / 1000000.0D")))
+      .select("user_id", "trade_date", "tp", "sma_tp", "mean_dev", "cci")
+      .orderBy("user_id", "trade_date")
+  }
+
+  def cciSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), t AS (
+       |  SELECT user_id, trade_date,
+       |    round((high_price + low_price + close_price) / 3.0, 6) AS tp
+       |  FROM ohlc
+       |), w AS (
+       |  SELECT user_id, trade_date, tp,
+       |    row_number() OVER pk AS rn,
+       |    round(list_reduce(list_prepend(0.0, list(tp) OVER w20),
+       |      (a, x) -> a + x) / 20.0, 6) AS sma_raw,
+       |    list(tp) OVER w20 AS tps
+       |  FROM t WINDOW pk AS (PARTITION BY user_id ORDER BY trade_date),
+       |    w20 AS (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+       |), m AS (
+       |  SELECT user_id, trade_date, tp,
+       |    CASE WHEN rn >= 20 THEN sma_raw END AS sma_tp,
+       |    CASE WHEN rn >= 20 THEN round(list_reduce(
+       |      list_prepend(0.0, list_transform(tps, x -> abs(x - sma_raw))),
+       |      (acc, x) -> acc + x) / 20.0, 6) END AS mean_dev
+       |  FROM w
+       |)
+       |SELECT user_id, trade_date, tp, sma_tp, mean_dev,
+       |  round(CASE WHEN mean_dev > 0
+       |    THEN (tp - sma_tp) / (0.015 * mean_dev) END, 6) AS cci
+       |FROM m ORDER BY user_id, trade_date""".stripMargin
+
   /** ADX — Wilder's directional-movement system, the capstone of the
     * fold tier: per session (from session 2) the directional moves
     * +DM/−DM and the true range each Wilder-smooth at 14; the

@@ -763,6 +763,39 @@ class WarehouseSpec extends SparkSuite {
     }
   }
 
+  test("cci-20 equals a driver-side mean-deviation walk") {
+    // the operator's scaled display round (round(x*1e6, 0)/1e6)
+    def srd(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    val daily = driverDailyOhlc
+    val got = Warehouse.cci(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == daily.values.map(_.length).sum)
+    daily.foreach { case (uid, days) =>
+      val tps = days.map { case (_, hi, lo, close) => r6((hi + lo + close) / 3.0) }
+      days.zipWithIndex.foreach { case ((d, _, _, _), i) =>
+        val r = got((uid, d))
+        assert(r.getAs[Double]("tp") == tps(i), s"$uid/$d tp")
+        val sma = Option(r.getAs[java.lang.Double]("sma_tp"))
+        val md = Option(r.getAs[java.lang.Double]("mean_dev"))
+        val cci = Option(r.getAs[java.lang.Double]("cci"))
+        if (i < 19) assert(sma.isEmpty && md.isEmpty && cci.isEmpty,
+          s"$uid/$d warmup")
+        else {
+          val win = tps.slice(i - 19, i + 1)
+          val expSma = srd(win.sum / 20.0)
+          assert(sma.contains(expSma), s"$uid/$d sma")
+          val expMd = srd(win.foldLeft(0.0)((a, x) => a + math.abs(x - expSma)) / 20.0)
+          assert(md.contains(expMd), s"$uid/$d meanDev")
+          if (expMd > 0)
+            assert(cci.contains(srd((tps(i) - expSma) / (0.015 * expMd))),
+              s"$uid/$d cci")
+          else assert(cci.isEmpty, s"$uid/$d flat-window cci must be null")
+        }
+      }
+    }
+  }
+
   test("obv equals a driver-side signed-volume walk") {
     val kRe = """"k"\s*:\s*(\d+)""".r
     val daily = Tables.events(spark, sfDir)
