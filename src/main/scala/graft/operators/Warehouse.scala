@@ -661,6 +661,61 @@ object Warehouse {
        |    THEN (tp - sma_tp) / (0.015 * mean_dev) END, 6) AS cci
        |FROM m ORDER BY user_id, trade_date""".stripMargin
 
+  /** AROON-25 — time-since-extreme trend gauge over the validated
+    * daily OHLC: with a 25-session lookback (window = current + 25
+    * prior sessions), aroonUp = 100·(25 − sessionsSinceHigh)/25 and
+    * aroonDown likewise for the low; the oscillator is their spread.
+    * Ties resolve to the MOST RECENT extreme (both engines pin the
+    * tiebreak structurally, not by engine accident); NULL until the
+    * lookback fills (session 26).
+    *
+    * "Sessions since the high" is an argmax over the frame — ORDERED
+    * struct max/min ((high, rn) max / (low, −rn) min) keeps it a
+    * plain distributive window aggregate on day rows: no self-join,
+    * no collect, mergeable partials at any scale. All outputs are
+    * exact multiples of 4 (4·(25−s)) so hash parity costs nothing.
+    */
+  def aroon(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val w26 = wRn.rowsBetween(-25, 0)
+    validDailyOhlc(spark, dir)
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("hi_rn",
+        max(struct(col("high_price"), col("rn"))).over(w26).getField("rn"))
+      .withColumn("lo_rn",
+        -min(struct(col("low_price"), (-col("rn")).as("nrn"))).over(w26)
+          .getField("nrn"))
+      .withColumn("aroon_up",
+        when(col("rn") >= 26, (lit(25) - (col("rn") - col("hi_rn"))) * 4.0))
+      .withColumn("aroon_down",
+        when(col("rn") >= 26, (lit(25) - (col("rn") - col("lo_rn"))) * 4.0))
+      .withColumn("aroon_osc",
+        when(col("rn") >= 26, (col("hi_rn") - col("lo_rn")) * 4.0))
+      .select("user_id", "trade_date", "high_price", "low_price",
+        "aroon_up", "aroon_down", "aroon_osc")
+      .orderBy("user_id", "trade_date")
+  }
+
+  def aroonSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), n AS (
+       |  SELECT user_id, trade_date, high_price, low_price,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+       |  FROM ohlc
+       |), w AS (
+       |  SELECT user_id, trade_date, high_price, low_price, rn,
+       |    (max(struct_pack(h := high_price, rn := rn)) OVER w26).rn AS hi_rn,
+       |    -((min(struct_pack(l := low_price, nrn := -rn)) OVER w26).nrn) AS lo_rn
+       |  FROM n WINDOW w26 AS (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT user_id, trade_date, high_price, low_price,
+       |  CASE WHEN rn >= 26 THEN (25 - (rn - hi_rn)) * 4.0 END AS aroon_up,
+       |  CASE WHEN rn >= 26 THEN (25 - (rn - lo_rn)) * 4.0 END AS aroon_down,
+       |  CASE WHEN rn >= 26 THEN (hi_rn - lo_rn) * 4.0 END AS aroon_osc
+       |FROM w ORDER BY user_id, trade_date""".stripMargin
+
   /** ADX — Wilder's directional-movement system, the capstone of the
     * fold tier: per session (from session 2) the directional moves
     * +DM/−DM and the true range each Wilder-smooth at 14; the

@@ -796,6 +796,35 @@ class WarehouseSpec extends SparkSuite {
     }
   }
 
+  test("aroon-25 equals a driver-side argmax walk with latest-tie extremes") {
+    val daily = driverDailyOhlc
+    val got = Warehouse.aroon(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == daily.values.map(_.length).sum)
+    daily.foreach { case (uid, days) =>
+      days.zipWithIndex.foreach { case ((d, _, _, _), i) =>
+        val r = got((uid, d))
+        val up = Option(r.getAs[java.lang.Double]("aroon_up"))
+        val dn = Option(r.getAs[java.lang.Double]("aroon_down"))
+        val osc = Option(r.getAs[java.lang.Double]("aroon_osc"))
+        if (i < 25) assert(up.isEmpty && dn.isEmpty && osc.isEmpty,
+          s"$uid/$d warmup")
+        else {
+          val win = days.slice(i - 25, i + 1)
+          val hi = win.map(_._2).max
+          val lo = win.map(_._3).min
+          // latest occurrence of the extreme (the pinned tiebreak)
+          val sinceHi = win.length - 1 - win.lastIndexWhere(_._2 == hi)
+          val sinceLo = win.length - 1 - win.lastIndexWhere(_._3 == lo)
+          assert(up.contains((25 - sinceHi) * 4.0), s"$uid/$d up")
+          assert(dn.contains((25 - sinceLo) * 4.0), s"$uid/$d down")
+          assert(osc.contains((sinceLo - sinceHi) * 4.0), s"$uid/$d osc")
+          assert(up.get >= 0 && up.get <= 100 && dn.get >= 0 && dn.get <= 100)
+        }
+      }
+    }
+  }
+
   test("obv equals a driver-side signed-volume walk") {
     val kRe = """"k"\s*:\s*(\d+)""".r
     val daily = Tables.events(spark, sfDir)
