@@ -716,6 +716,63 @@ object Warehouse {
        |  CASE WHEN rn >= 26 THEN (hi_rn - lo_rn) * 4.0 END AS aroon_osc
        |FROM w ORDER BY user_id, trade_date""".stripMargin
 
+  /** MOMENTUM PACK — the rate-of-change family in one wide daily row
+    * next to the envelope/fold tiers: Williams %R-14
+    * (−100·(hi14 − close)/(hi14 − lo14), the stochastic's inverted
+    * sibling sharing its 14-bar extremes, NULL on a flat band),
+    * ROC-12 (percent change vs the close 12 sessions back) and
+    * MOM-10 (absolute change vs 10 back, exact double subtraction —
+    * carried verbatim, no round needed). Each column goes live only
+    * when its own lookback fills — the tier's null-till-full
+    * convention.
+    *
+    * Pure lag/extreme windows over day rows after the one shared
+    * symbol shuffle; %R and ROC divisions use the scaled display
+    * round (DuckDB-aligned midpoints).
+    */
+  def momentum(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val w14 = wRn.rowsBetween(-13, 0)
+    validDailyOhlc(spark, dir)
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("hi14", max("high_price").over(w14))
+      .withColumn("lo14", min("low_price").over(w14))
+      .withColumn("willr",
+        when(col("rn") >= 14 && col("hi14") > col("lo14"), expr(
+          "round(-100.0D * (hi14 - close_price) / (hi14 - lo14)" +
+            " * 1000000.0D, 0) / 1000000.0D")))
+      .withColumn("close_12", lag("close_price", 12).over(wRn))
+      .withColumn("roc_12", expr(
+        "round(100.0D * (close_price - close_12) / close_12" +
+          " * 1000000.0D, 0) / 1000000.0D"))
+      .withColumn("mom_10",
+        col("close_price") - lag("close_price", 10).over(wRn))
+      .select("user_id", "trade_date", "close_price", "willr",
+        "roc_12", "mom_10")
+      .orderBy("user_id", "trade_date")
+  }
+
+  def momentumSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), w AS (
+       |  SELECT user_id, trade_date, close_price,
+       |    row_number() OVER pk AS rn,
+       |    max(high_price) OVER w14 AS hi14,
+       |    min(low_price) OVER w14 AS lo14,
+       |    lag(close_price, 12) OVER pk AS close_12,
+       |    lag(close_price, 10) OVER pk AS close_10
+       |  FROM ohlc WINDOW pk AS (PARTITION BY user_id ORDER BY trade_date),
+       |    w14 AS (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT user_id, trade_date, close_price,
+       |  round(CASE WHEN rn >= 14 AND hi14 > lo14
+       |    THEN -100.0 * (hi14 - close_price) / (hi14 - lo14) END, 6) AS willr,
+       |  round(100.0 * (close_price - close_12) / close_12, 6) AS roc_12,
+       |  close_price - close_10 AS mom_10
+       |FROM w ORDER BY user_id, trade_date""".stripMargin
+
   /** ADX — Wilder's directional-movement system, the capstone of the
     * fold tier: per session (from session 2) the directional moves
     * +DM/−DM and the true range each Wilder-smooth at 14; the

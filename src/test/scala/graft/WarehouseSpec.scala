@@ -825,6 +825,39 @@ class WarehouseSpec extends SparkSuite {
     }
   }
 
+  test("momentum pack equals a driver-side lag/extreme walk") {
+    def srd(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    val daily = driverDailyOhlc
+    val got = Warehouse.momentum(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == daily.values.map(_.length).sum)
+    daily.foreach { case (uid, days) =>
+      days.zipWithIndex.foreach { case ((d, _, _, close), i) =>
+        val r = got((uid, d))
+        val willr = Option(r.getAs[java.lang.Double]("willr"))
+        val roc = Option(r.getAs[java.lang.Double]("roc_12"))
+        val mom = Option(r.getAs[java.lang.Double]("mom_10"))
+        if (i < 13) assert(willr.isEmpty, s"$uid/$d willr warmup")
+        else {
+          val win = days.slice(i - 13, i + 1)
+          val hi = win.map(_._2).max; val lo = win.map(_._3).min
+          if (hi > lo) {
+            assert(willr.contains(srd(-100.0 * (hi - close) / (hi - lo))),
+              s"$uid/$d willr")
+            assert(willr.get <= 1e-9 && willr.get >= -100.0 - 1e-9)
+          } else assert(willr.isEmpty, s"$uid/$d flat-band willr")
+        }
+        if (i < 12) assert(roc.isEmpty, s"$uid/$d roc warmup")
+        else assert(roc.contains(
+          srd(100.0 * (close - days(i - 12)._4) / days(i - 12)._4)),
+          s"$uid/$d roc")
+        if (i < 10) assert(mom.isEmpty, s"$uid/$d mom warmup")
+        else assert(mom.contains(close - days(i - 10)._4), s"$uid/$d mom")
+      }
+    }
+  }
+
   test("obv equals a driver-side signed-volume walk") {
     val kRe = """"k"\s*:\s*(\d+)""".r
     val daily = Tables.events(spark, sfDir)
