@@ -1108,6 +1108,65 @@ object Curation {
           w => w =!= lit(""))).cast("long").as("n_tok")))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  /** TOPIC DISCOVERY REPORT — c-TF-IDF cluster labeling (the
+    * BERTopic class-based TF-IDF, Grootendorst 2022) over the SHARED
+    * IVF quantizer's cells: each cell is treated as one synthetic
+    * document; a term's label score is its within-cell rate times
+    * ln(1 + A/f_t) (A = average tokens per cell, f_t = the term's
+    * corpus-wide count), so terms common to every cell score near
+    * zero and cell-distinctive vocabulary surfaces. Output: the top-5
+    * label terms per cell (ties broken on the term) next to the
+    * cell's size and mean cosine-to-centroid cohesion — the report a
+    * mixture curator reads before trusting [[topicMix]]'s balancing.
+    *
+    * Reuses [[Similarity.ivfIndex]] (one quantizer across semdedup /
+    * topicMix / this — cells can't mean three different things) and
+    * [[TextOps.normalizedWords]] (one vocabulary across the text
+    * tier). Scale shape: tokenization is narrow per-doc work; counts
+    * collapse map-side to (cell, term) partials — the only shuffles
+    * are (cell, term)-keyed aggregates and the vocabulary-sized
+    * term-total aggregate; ranking windows run on the (cells ×
+    * vocabulary) table, never docs; centroids broadcast for the
+    * cohesion leg. No SQL oracle (the quantizer is a KMeans fit) —
+    * rows-only + driver-replay spec.
+    */
+  def clusterLabels(spark: SparkSession, dir: String): DataFrame = {
+    val idx = graft.operators.Similarity.ivfIndex(spark, dir)
+    val cells = idx.assigned
+      .select(col("vec_id").as("doc_id"), col("cell"), col("v"), col("norm"))
+    val stats = cells
+      .join(broadcast(idx.centers), col("cell") === col("center_cell"))
+      .withColumn("cos", Dedup.dot(col("v"), col("center")) /
+        (col("norm") * sqrt(Dedup.dot(col("center"), col("center")))))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_docs"), round(avg("cos"), 6).as("mean_cos"))
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.normalizedWords).as("term"))
+      .filter(col("term") =!= "")
+      .join(cells.select("doc_id", "cell"), Seq("doc_id"))
+    val cellTerm = words.groupBy("cell", "term").agg(count(lit(1)).as("ctf"))
+    val cellTotals = Window.partitionBy("cell")
+    val termTotals = Window.partitionBy("term")
+    val nCells = idx.centers.count().toDouble
+    val scored = cellTerm
+      .withColumn("cell_tokens", sum("ctf").over(cellTotals))
+      .withColumn("f_t", sum("ctf").over(termTotals))
+      // A = avg tokens per cell = total/nCells; the ln argument uses
+      // exact long counts so both the query and the spec replay the
+      // identical doubles
+      .withColumn("total_tokens",
+        sum("ctf").over(Window.partitionBy(lit(1))))
+      .withColumn("score", round(
+        col("ctf") / col("cell_tokens") *
+          log(lit(1.0) + col("total_tokens") / lit(nCells) / col("f_t")), 8))
+    val w = Window.partitionBy("cell").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .join(broadcast(stats), Seq("cell"))
+      .select("cell", "n_docs", "mean_cos", "rank", "term", "score")
+      .orderBy("cell", "rank")
+  }
+
   /** Streaming mixture acceptance: batch-trained rates ride in as a
     * map literal; the filter is a pure row predicate (zero state).
     * Documents from sources UNSEEN at training time are dropped —

@@ -5,6 +5,57 @@ import org.apache.spark.sql.functions._
 
 class CurationSpec extends SparkSuite {
 
+  test("clusterLabels replays the c-TF-IDF walk and the cohesion leg") {
+    import graft.operators.Similarity
+    def r(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Curation.clusterLabels(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length % 5 == 0, "5 label terms per cell")
+    val idx = Similarity.ivfIndex(spark, sfDir)
+    val assign = idx.assigned.select("vec_id", "cell").collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    // mirror TextOps.normalizedWords driver-side
+    val docTerms = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .flatMap { x =>
+        val id = x.getLong(0)
+        assign.get(id).toSeq.flatMap { cell =>
+          x.getString(1).toLowerCase
+            .replaceAll("[^a-z0-9 \\t\\n\\f\\r]", " ")
+            .split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty)
+            .map(t => (cell, t))
+        }
+      }
+    val cellTerm = docTerms.groupBy(identity).map { case ((c, t), g) =>
+      (c, t, g.length.toLong) }.toSeq
+    val cellTokens = cellTerm.groupBy(_._1).map { case (c, g) =>
+      c -> g.map(_._3).sum }
+    val fT = cellTerm.groupBy(_._2).map { case (t, g) => t -> g.map(_._3).sum }
+    val total = cellTerm.map(_._3).sum.toDouble
+    val nCells = idx.centers.count().toDouble
+    val expTop = cellTerm.groupBy(_._1).map { case (c, g) =>
+      c -> g.map { case (_, t, ctf) =>
+        (t, r(ctf.toDouble / cellTokens(c) *
+          math.log(1.0 + total / nCells / fT(t)), 8))
+      }.sortBy { case (t, s) => (-s, t) }.take(5)
+    }
+    // every assigned cell with at least one tokenized doc is labeled
+    got.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+      val exp = expTop(cell)
+      rows.sortBy(_.getInt(3)).zip(exp).foreach { case (row, (t, s)) =>
+        assert(row.getString(4) == t, s"cell $cell term")
+        assert(row.getDouble(5) == s, s"cell $cell score for $t")
+      }
+      // n_docs counts ALL assigned vectors in the cell
+      assert(rows.head.getLong(1) == assign.values.count(_ == cell),
+        s"cell $cell n_docs")
+      val cos = rows.head.getDouble(2)
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9, s"cell $cell cohesion")
+    }
+    assert(got.map(_.getInt(0)).distinct.length == expTop.size,
+      "every tokenized cell labeled")
+  }
+
   test("gopherFilters fractions are in [0,1] and verdict matches thresholds") {
     val rows = Curation.gopherFilters(spark, sfDir).collect()
     assert(rows.nonEmpty)
