@@ -773,6 +773,69 @@ object Warehouse {
        |  close_price - close_10 AS mom_10
        |FROM w ORDER BY user_id, trade_date""".stripMargin
 
+  /** ICHIMOKU CLOUD at quarter scale (3/6/12, displacement 6 — the
+    * standard 9/26/52 never goes live on this corpus' 22-30-session
+    * symbols; the structure, not the constants, is the operator):
+    * tenkan = 3-bar (max high + min low)/2, kijun = 6-bar midline,
+    * senkou A = (tenkan + kijun)/2 displaced 6 FORWARD (today shows
+    * the cloud computed 6 sessions ago — lag), senkou B = 12-bar
+    * midline displaced 6 forward, chikou = close displaced 6 BACK
+    * (lead — NULL on each symbol's last 6 sessions by construction).
+    *
+    * Pure extreme/lag/lead windows over day rows, one symbol-keyed
+    * shuffle; every output is midpoint arithmetic on the round-4
+    * OHLC extremes — identical IEEE ops on both engines, so values
+    * carry verbatim with NO display round at all.
+    */
+  def ichimoku(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    def mid(n: Int) = {
+      val w = wRn.rowsBetween(1 - n, 0)
+      (max("high_price").over(w) + min("low_price").over(w)) / 2.0
+    }
+    validDailyOhlc(spark, dir)
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("tenkan", when(col("rn") >= 3, mid(3)))
+      .withColumn("kijun", when(col("rn") >= 6, mid(6)))
+      .withColumn("senkou_a",
+        lag((col("tenkan") + col("kijun")) / 2.0, 6).over(wRn))
+      .withColumn("senkou_b", lag(when(col("rn") >= 12, mid(12)), 6).over(wRn))
+      .withColumn("chikou", lead("close_price", 6).over(wRn))
+      .select("user_id", "trade_date", "close_price", "tenkan", "kijun",
+        "senkou_a", "senkou_b", "chikou")
+      .orderBy("user_id", "trade_date")
+  }
+
+  def ichimokuSql: String = {
+    def mid(n: Int) =
+      s"""(max(high_price) OVER (PARTITION BY user_id ORDER BY trade_date
+         |      ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)
+         |   + min(low_price) OVER (PARTITION BY user_id ORDER BY trade_date
+         |      ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)) / 2.0""".stripMargin
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), w AS (
+       |  SELECT user_id, trade_date, close_price,
+       |    row_number() OVER pk AS rn,
+       |    ${mid(3)} AS t3,
+       |    ${mid(6)} AS k6,
+       |    ${mid(12)} AS b12
+       |  FROM ohlc WINDOW pk AS (PARTITION BY user_id ORDER BY trade_date)
+       |), c AS (
+       |  SELECT user_id, trade_date, close_price, rn,
+       |    CASE WHEN rn >= 3 THEN t3 END AS tenkan,
+       |    CASE WHEN rn >= 6 THEN k6 END AS kijun,
+       |    CASE WHEN rn >= 12 THEN b12 END AS sb
+       |  FROM w
+       |)
+       |SELECT user_id, trade_date, close_price, tenkan, kijun,
+       |  lag((tenkan + kijun) / 2.0, 6) OVER pk AS senkou_a,
+       |  lag(sb, 6) OVER pk AS senkou_b,
+       |  lead(close_price, 6) OVER pk AS chikou
+       |FROM c WINDOW pk AS (PARTITION BY user_id ORDER BY trade_date)
+       |ORDER BY user_id, trade_date""".stripMargin
+  }
+
   /** ADX — Wilder's directional-movement system, the capstone of the
     * fold tier: per session (from session 2) the directional moves
     * +DM/−DM and the true range each Wilder-smooth at 14; the

@@ -858,6 +858,34 @@ class WarehouseSpec extends SparkSuite {
     }
   }
 
+  test("ichimoku components equal a driver-side midline/displacement walk") {
+    val daily = driverDailyOhlc
+    val got = Warehouse.ichimoku(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == daily.values.map(_.length).sum)
+    daily.foreach { case (uid, days) =>
+      def mid(i: Int, n: Int): Option[Double] =
+        if (i < n - 1) None
+        else {
+          val w = days.slice(i - n + 1, i + 1)
+          Some((w.map(_._2).max + w.map(_._3).min) / 2.0)
+        }
+      days.zipWithIndex.foreach { case ((d, _, _, _), i) =>
+        val r = got((uid, d))
+        def g(c: String) = Option(r.getAs[java.lang.Double](c)).map(_.toDouble)
+        assert(g("tenkan") == mid(i, 3), s"$uid/$d tenkan")
+        assert(g("kijun") == mid(i, 6), s"$uid/$d kijun")
+        val expA = if (i < 6) None
+          else for (t <- mid(i - 6, 3); k <- mid(i - 6, 6)) yield (t + k) / 2.0
+        assert(g("senkou_a") == expA, s"$uid/$d senkou_a")
+        val expB = if (i < 6) None else mid(i - 6, 12)
+        assert(g("senkou_b") == expB, s"$uid/$d senkou_b")
+        val expC = if (i + 6 < days.length) Some(days(i + 6)._4) else None
+        assert(g("chikou") == expC, s"$uid/$d chikou")
+      }
+    }
+  }
+
   test("obv equals a driver-side signed-volume walk") {
     val kRe = """"k"\s*:\s*(\d+)""".r
     val daily = Tables.events(spark, sfDir)
