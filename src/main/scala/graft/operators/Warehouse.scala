@@ -836,6 +836,129 @@ object Warehouse {
        |ORDER BY user_id, trade_date""".stripMargin
   }
 
+  /** PARABOLIC SAR — Wilder's stop-and-reverse trail, the fold
+    * tier's only MULTI-FIELD state machine: per symbol the state
+    * (trend, sar, extreme point, acceleration factor) evolves per
+    * session — sar steps toward the EP by af (af grows 0.02 per new
+    * extreme, capped 0.2), clamps to the prior session's opposite
+    * extreme, and on penetration REVERSES (sar := prior EP, af
+    * resets, trend flips). Simplifications, documented as the
+    * operator's contract: trend seeds off close₂ vs close₁ (ties →
+    * up), the clamp uses one prior bar (not Wilder's two), and the
+    * post-reversal sar is not re-bounded by the current bar.
+    * Session 1 carries no state; output = (sar, trend_up, reversal).
+    *
+    * Scale shape: the adx/atrWilder pattern — ONE symbol-keyed
+    * shuffle into a sorted bar array, then a single O(days)
+    * `aggregate` fold whose accumulator carries the 4-field state
+    * plus the emitted series; the oracle replays the identical
+    * float-op sequence per day via `list_reduce` prefix folds over
+    * the SAME state struct (O(days²), oracle-only) → bit-identical
+    * under the scaled display round. Hash-exact at both SFs.
+    */
+  def psar(spark: SparkSession, dir: String): DataFrame = {
+    val nsr = "(a.sar + a.af * (a.ep - a.sar))"
+    val nsc = s"IF(a.up, least($nsr, a.pl), greatest($nsr, a.ph))"
+    val rev = s"IF(a.up, b.lo < $nsc, b.hi > $nsc)"
+    val upP =
+      s"CASE WHEN a.up IS NULL THEN b.cls >= a.pc WHEN $rev THEN NOT a.up ELSE a.up END"
+    val sarP = "CASE WHEN a.up IS NULL THEN " +
+      "IF(b.cls >= a.pc, least(a.pl, b.lo), greatest(a.ph, b.hi)) " +
+      s"WHEN $rev THEN a.ep ELSE $nsc END"
+    val epP = "CASE WHEN a.up IS NULL THEN " +
+      "IF(b.cls >= a.pc, greatest(a.ph, b.hi), least(a.pl, b.lo)) " +
+      s"WHEN $rev THEN IF(a.up, b.lo, b.hi) " +
+      "ELSE CASE WHEN a.up AND b.hi > a.ep THEN b.hi " +
+      "WHEN NOT a.up AND b.lo < a.ep THEN b.lo ELSE a.ep END END"
+    val afP = s"CASE WHEN a.up IS NULL OR $rev THEN 0.02D " +
+      "ELSE CASE WHEN (a.up AND b.hi > a.ep) OR (NOT a.up AND b.lo < a.ep) " +
+      "THEN least(a.af + 0.02D, 0.2D) ELSE a.af END END"
+    val revOut = s"CASE WHEN a.up IS NULL THEN false ELSE $rev END"
+    val stT = "STRUCT<sar: DOUBLE, up: BOOLEAN, rev: BOOLEAN>"
+    val fold =
+      s"""aggregate(
+         |  slice(bars, 2, size(bars) - 1),
+         |  named_struct(
+         |    'up', CAST(NULL AS BOOLEAN), 'sar', CAST(NULL AS DOUBLE),
+         |    'ep', CAST(NULL AS DOUBLE), 'af', CAST(NULL AS DOUBLE),
+         |    'ph', element_at(bars, 1).hi, 'pl', element_at(bars, 1).lo,
+         |    'pc', element_at(bars, 1).cls,
+         |    'out', CAST(array() AS ARRAY<$stT>)),
+         |  (a, b) -> named_struct(
+         |    'up', $upP, 'sar', $sarP, 'ep', $epP, 'af', $afP,
+         |    'ph', b.hi, 'pl', b.lo, 'pc', b.cls,
+         |    'out', concat(a.out, array(named_struct(
+         |      'sar', $sarP, 'up', $upP, 'rev', $revOut)))),
+         |  acc -> concat(array(CAST(NULL AS $stT)), acc.out))""".stripMargin
+    validDailyOhlc(spark, dir)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(
+        col("trade_date").as("ddate"), col("high_price").as("hi"),
+        col("low_price").as("lo"), col("close_price").as("cls"))))
+        .as("bars"))
+      .withColumn("states", expr(fold))
+      .select(col("user_id"), expr("inline(arrays_zip(bars, states))"))
+      .select(col("user_id"), col("bars.ddate").as("trade_date"),
+        col("bars.cls").as("close_price"),
+        expr("round(states.sar * 1000000.0D, 0) / 1000000.0D").as("psar"),
+        col("states.up").as("trend_up"),
+        col("states.rev").as("reversal"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def psarSql: String = {
+    // the identical transition, replayed via a RECURSIVE CTE: all
+    // symbols advance one session per iteration, the state is a
+    // plain row, every expression an ordinary column reference.
+    // (A list_reduce prefix-fold formulation — the adx oracle's
+    // shape — returns field-inconsistent states on this lambda once
+    // the source list passes ~20 elements in DuckDB 1.0.0: within
+    // one application `up` took the reversal branch while `sar`
+    // evaluated least(NULL, pl). Row-recursion sidesteps the lambda
+    // evaluator entirely.)
+    val nsr = "(a.sar + a.af * (a.ep - a.sar))"
+    val nsc = s"CASE WHEN a.up THEN least($nsr, a.pl) ELSE greatest($nsr, a.ph) END"
+    val rev = s"CASE WHEN a.up THEN b.lo < ($nsc) ELSE b.hi > ($nsc) END"
+    s"""WITH RECURSIVE ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), n AS (
+       |  SELECT user_id, trade_date, high_price AS hi, low_price AS lo,
+       |    close_price AS cls,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+       |  FROM ohlc
+       |), st AS (
+       |  SELECT b2.user_id, 2::BIGINT AS rn,
+       |    (b2.cls >= b1.cls) AS up,
+       |    CASE WHEN b2.cls >= b1.cls THEN least(b1.lo, b2.lo)
+       |         ELSE greatest(b1.hi, b2.hi) END AS sar,
+       |    CASE WHEN b2.cls >= b1.cls THEN greatest(b1.hi, b2.hi)
+       |         ELSE least(b1.lo, b2.lo) END AS ep,
+       |    0.02::DOUBLE AS af, false AS rv, b2.hi AS ph, b2.lo AS pl
+       |  FROM n b1 JOIN n b2
+       |    ON b1.user_id = b2.user_id AND b1.rn = 1 AND b2.rn = 2
+       |  UNION ALL
+       |  SELECT a.user_id, a.rn + 1,
+       |    CASE WHEN $rev THEN NOT a.up ELSE a.up END,
+       |    CASE WHEN $rev THEN a.ep ELSE ($nsc) END,
+       |    CASE WHEN $rev THEN (CASE WHEN a.up THEN b.lo ELSE b.hi END)
+       |         ELSE CASE WHEN a.up AND b.hi > a.ep THEN b.hi
+       |              WHEN NOT a.up AND b.lo < a.ep THEN b.lo
+       |              ELSE a.ep END END,
+       |    CASE WHEN $rev THEN 0.02::DOUBLE
+       |         ELSE CASE WHEN (a.up AND b.hi > a.ep)
+       |                     OR (NOT a.up AND b.lo < a.ep)
+       |              THEN least(a.af + 0.02::DOUBLE, 0.2::DOUBLE)
+       |              ELSE a.af END END,
+       |    $rev, b.hi, b.lo
+       |  FROM st a JOIN n b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+       |)
+       |SELECT n.user_id, n.trade_date, n.cls AS close_price,
+       |  round(st.sar * 1000000.0, 0) / 1000000.0 AS psar,
+       |  st.up AS trend_up, st.rv AS reversal
+       |FROM n LEFT JOIN st ON st.user_id = n.user_id AND st.rn = n.rn
+       |ORDER BY n.user_id, n.trade_date""".stripMargin
+  }
+
   /** ADX — Wilder's directional-movement system, the capstone of the
     * fold tier: per session (from session 2) the directional moves
     * +DM/−DM and the true range each Wilder-smooth at 14; the

@@ -886,6 +886,52 @@ class WarehouseSpec extends SparkSuite {
     }
   }
 
+  test("psar equals a driver-side stop-and-reverse state machine") {
+    def srd(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    val daily = driverDailyOhlc
+    val got = Warehouse.psar(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == daily.values.map(_.length).sum)
+    var reversals = 0
+    daily.foreach { case (uid, days) =>
+      // state: (up, sar, ep, af, ph, pl)
+      var st: Option[(Boolean, Double, Double, Double)] = None
+      var (ph, pl, pc) = (days(0)._2, days(0)._3, days(0)._4)
+      days.zipWithIndex.foreach { case ((d, hi, lo, cls), i) =>
+        val r = got((uid, d))
+        if (i == 0)
+          assert(r.isNullAt(r.fieldIndex("psar")) &&
+            r.isNullAt(r.fieldIndex("trend_up")), s"$uid/$d session-1 state")
+        else {
+          val (up, sar, ep, af, rv) = st match {
+            case None =>
+              val up0 = cls >= pc
+              (up0,
+                if (up0) math.min(pl, lo) else math.max(ph, hi),
+                if (up0) math.max(ph, hi) else math.min(pl, lo),
+                0.02, false)
+            case Some((u, s0, e0, a0)) =>
+              val nsr = s0 + a0 * (e0 - s0)
+              val nsc = if (u) math.min(nsr, pl) else math.max(nsr, ph)
+              val rev = if (u) lo < nsc else hi > nsc
+              if (rev) (!u, e0, if (u) lo else hi, 0.02, true)
+              else if (u && hi > e0) (u, nsc, hi, math.min(a0 + 0.02, 0.2), false)
+              else if (!u && lo < e0) (u, nsc, lo, math.min(a0 + 0.02, 0.2), false)
+              else (u, nsc, e0, a0, false)
+          }
+          st = Some((up, sar, ep, af))
+          assert(r.getAs[Double]("psar") == srd(sar), s"$uid/$d sar")
+          assert(r.getAs[Boolean]("trend_up") == up, s"$uid/$d trend")
+          assert(r.getAs[Boolean]("reversal") == rv, s"$uid/$d reversal")
+          if (rv) reversals += 1
+          ph = hi; pl = lo; pc = cls
+        }
+      }
+    }
+    assert(reversals > 0, "corpus must exercise the reversal branch")
+  }
+
   test("obv equals a driver-side signed-volume walk") {
     val kRe = """"k"\s*:\s*(\d+)""".r
     val daily = Tables.events(spark, sfDir)
