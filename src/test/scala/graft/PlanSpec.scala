@@ -370,6 +370,44 @@ class PlanSpec extends SparkSuite {
       "drawdown must not join")
   }
 
+  test("late-round indicators keep the daily-tier shapes") {
+    import graft.operators.Warehouse
+    // window tier (cci/aroon/momentum/ichimoku): the partial OHLC
+    // aggregate + one symbol re-key for the windows — two bounded
+    // day-row exchanges, map-side combine at the base, no join
+    for ((name, df) <- Seq(
+        "cci" -> Warehouse.cci(spark, sfDir),
+        "aroon" -> Warehouse.aroon(spark, sfDir),
+        "momentum" -> Warehouse.momentum(spark, sfDir),
+        "ichimoku" -> Warehouse.ichimoku(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val hashEx = "hashpartitioning".r.findAllIn(plan).length
+      assert(hashEx <= 2, s"$name must keep two bounded shuffles, got $hashEx")
+      // aroon reads only high/low, so the open/close max_by partials
+      // prune away entirely — partial_max covers both shapes
+      assert(plan.contains("partial_max"),
+        s"$name OHLC base must combine map-side")
+      assert(!plan.contains("Join"), s"$name must not join")
+    }
+    // fold tier (psar): the OHLC partial aggregate + the symbol
+    // re-key into the sorted bar array (the atrWilder pair), then
+    // the state machine folds in place — no windows beyond the
+    // base, no join
+    val ps = Warehouse.psar(spark, sfDir)
+    val psPlan = ps.queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(psPlan).length <= 2,
+      "psar must fold after the two bounded day-row shuffles")
+    assert(!psPlan.contains("Join"), "psar must not join")
+    // cluster labeling: centroids and per-cell stats ride broadcasts;
+    // the corpus-token stream must never sort-merge-join
+    val cl = graft.operators.Curation.clusterLabels(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(cl.contains("BroadcastHashJoin"),
+      "clusterLabels stats/centroids must broadcast")
+    assert(!cl.contains("SortMergeJoin"),
+      "clusterLabels must not sort-merge-join the token stream")
+  }
+
   test("ngramNovelty shuffles the corpus-scale gram set exactly once") {
     // the explicit repartition on gram must serve BOTH the
     // (doc_id, gram) distinct and the first-seen window — without it
