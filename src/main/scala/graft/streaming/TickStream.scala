@@ -1049,6 +1049,9 @@ object TickStream extends Serializable {
       dxCnt: Long, dxSum: Double, adxV: Double,
       obv: Long,
       hiLo: List[(Double, Double)], ks: List[Double],
+      // parabolic SAR machine: direction (0 = unseeded, ±1), raw
+      // sar/EP/AF — the batch q_psar fold's 4-field state verbatim
+      psDir: Int, psSar: Double, psEp: Double, psAf: Double,
       pending: List[PendingBar])
 
   case class BarRow(user_id: Long, trade_date: java.time.LocalDate,
@@ -1062,7 +1065,9 @@ object TickStream extends Serializable {
       vwap: Option[Double], pct_k: Option[Double], pct_d: Option[Double],
       dc_upper: Option[Double], dc_lower: Option[Double],
       dc_mid: Option[Double],
-      brk_up: Option[Boolean], brk_down: Option[Boolean])
+      brk_up: Option[Boolean], brk_down: Option[Boolean],
+      psar: Option[Double], trend_up: Option[Boolean],
+      reversal: Option[Boolean])
 
   private def r4s(x: Double): Double = BigDecimal.valueOf(x)
     .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1113,7 +1118,7 @@ object TickStream extends Serializable {
         hasEmitted = false, hasPrev = false, 0.0, 0.0, 0.0,
         0L, 0.0, 0.0, 0.0, 0.0, 0.0,
         0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-        0L, 0.0, 0.0, 0L, Nil, Nil, Nil))
+        0L, 0.0, 0.0, 0L, Nil, Nil, 0, 0.0, 0.0, 0.0, Nil))
       var pending = st.pending
       if (!state.hasTimedOut) rows.foreach { t =>
         val m = tsMicros(t.ts)
@@ -1259,6 +1264,35 @@ object TickStream extends Serializable {
                 Some(r6s(win.foldLeft(0.0)(_ + _) / win.length))
               else None
             } else None
+          // parabolic SAR: seed off the second bar (close vs prev
+          // close, the batch q_psar contract), then the af-stepped
+          // approach with one-bar clamp and stop-and-reverse — the
+          // state folds RAW doubles, only the emitted value rounds
+          var (psDir, psSar, psEp, psAf) = (st.psDir, st.psSar, st.psEp, st.psAf)
+          var psOut: Option[(Double, Boolean, Boolean)] = None
+          if (st.hasPrev) {
+            if (psDir == 0) {
+              val up = p.close >= st.prevClose
+              psSar = if (up) math.min(st.prevLo, lo4) else math.max(st.prevHi, hi4)
+              psEp = if (up) math.max(st.prevHi, hi4) else math.min(st.prevLo, lo4)
+              psDir = if (up) 1 else -1; psAf = 0.02
+              psOut = Some((psSar, up, false))
+            } else {
+              val u = psDir == 1
+              val nsr = psSar + psAf * (psEp - psSar)
+              val nsc = if (u) math.min(nsr, st.prevLo) else math.max(nsr, st.prevHi)
+              val rv = if (u) lo4 < nsc else hi4 > nsc
+              if (rv) {
+                psSar = psEp; psEp = if (u) lo4 else hi4
+                psDir = -psDir; psAf = 0.02
+              } else if (u && hi4 > psEp) {
+                psSar = nsc; psEp = hi4; psAf = math.min(psAf + 0.02, 0.2)
+              } else if (!u && lo4 < psEp) {
+                psSar = nsc; psEp = lo4; psAf = math.min(psAf + 0.02, 0.2)
+              } else psSar = nsc
+              psOut = Some((psSar, psDir == 1, rv))
+            }
+          }
           out += BarRow(userId, java.time.LocalDate.ofEpochDay(p.day.toLong),
             p.open, hi4, lo4, p.close, p.nTicks, p.volume, tr,
             if (trCount >= 14) Some(r6scaled(wilder)) else None, signed, obv,
@@ -1268,7 +1302,8 @@ object TickStream extends Serializable {
             if (trCount >= 20) Some(r6scaled(ema20 - 2.0 * wilder10)) else None,
             dipOpt.map(r6scaled), dimOpt.map(r6scaled), dxOpt.map(r6scaled),
             if (dxCnt >= 14) Some(r6scaled(adxV)) else None,
-            vwap, pctK, pctD, dcUp, dcLo, dcMid, brkUp, brkDown)
+            vwap, pctK, pctD, dcUp, dcLo, dcMid, brkUp, brkDown,
+            psOut.map(t => r6scaled(t._1)), psOut.map(_._2), psOut.map(_._3))
           st = st.copy(lastDay = p.day, hasEmitted = true, hasPrev = true,
             prevClose = p.close, prevHi = hi4, prevLo = lo4,
             trCount = trCount, seedSum = seedSum, wilder = wilder,
@@ -1276,7 +1311,8 @@ object TickStream extends Serializable {
             dmCnt = dmCnt, sumP = sumP, sdp = sdp, sumM = sumM, sdm = sdm,
             sumT = sumT, strv = strv,
             dxCnt = dxCnt, dxSum = dxSum, adxV = adxV, obv = obv,
-            hiLo = hiLo, ks = ks)
+            hiLo = hiLo, ks = ks,
+            psDir = psDir, psSar = psSar, psEp = psEp, psAf = psAf)
         }
         pending = pending.filter(_.day > ready.last.day)
       }
