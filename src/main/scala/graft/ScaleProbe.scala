@@ -88,6 +88,15 @@ object ScaleProbe {
     // so the line must stay near the scan floor at every replica
     // count (the pre-round-9 window shape shuffled every tick)
     time("daily_ohlc")(operators.Warehouse.dailyOhlcOf(big))
+    // the two fold-heavy round-9 indicators over the replicated daily
+    // frame: cci carries a 20-double list per day row (constant), the
+    // SAR state machine folds O(days) per symbol — both must track
+    // daily_ohlc's near-linear line, never a quadratic one
+    locally {
+      val bigDaily = operators.Warehouse.dailyOhlcOf(validTicks)
+      time("cci")(operators.Warehouse.cciOfDaily(bigDaily))
+      time("psar")(operators.Warehouse.psarOfDaily(bigDaily))
+    }
     time("arima_forecast")(operators.Forecast.arimaForecastTicks(validTicks))
     time("forecast_acc")(operators.Forecast.forecastAccuracyTicks(validTicks))
 

@@ -603,10 +603,16 @@ object Warehouse {
     * round to 6 before any division, so both engines divide the
     * same doubles.
     */
-  def cci(spark: SparkSession, dir: String): DataFrame = {
+  def cci(spark: SparkSession, dir: String): DataFrame =
+    cciOfDaily(validDailyOhlc(spark, dir))
+
+  /** The CCI pipeline over an arbitrary daily OHLC frame — the
+    * ScaleProbe entry.
+    */
+  private[graft] def cciOfDaily(daily: DataFrame): DataFrame = {
     val wRn = Window.partitionBy("user_id").orderBy("trade_date")
     val w20 = wRn.rowsBetween(-19, 0)
-    validDailyOhlc(spark, dir)
+    daily
       .withColumn("tp", round(
         (col("high_price") + col("low_price") + col("close_price")) / 3.0, 6))
       .withColumn("rn", row_number().over(wRn))
@@ -856,7 +862,13 @@ object Warehouse {
     * the SAME state struct (O(days²), oracle-only) → bit-identical
     * under the scaled display round. Hash-exact at both SFs.
     */
-  def psar(spark: SparkSession, dir: String): DataFrame = {
+  def psar(spark: SparkSession, dir: String): DataFrame =
+    psarOfDaily(validDailyOhlc(spark, dir))
+
+  /** The SAR state machine over an arbitrary daily OHLC frame — the
+    * ScaleProbe entry.
+    */
+  private[graft] def psarOfDaily(daily: DataFrame): DataFrame = {
     val nsr = "(a.sar + a.af * (a.ep - a.sar))"
     val nsc = s"IF(a.up, least($nsr, a.pl), greatest($nsr, a.ph))"
     val rev = s"IF(a.up, b.lo < $nsc, b.hi > $nsc)"
@@ -890,7 +902,7 @@ object Warehouse {
          |    'out', concat(a.out, array(named_struct(
          |      'sar', $sarP, 'up', $upP, 'rev', $revOut)))),
          |  acc -> concat(array(CAST(NULL AS $stT)), acc.out))""".stripMargin
-    validDailyOhlc(spark, dir)
+    daily
       .groupBy("user_id")
       .agg(array_sort(collect_list(struct(
         col("trade_date").as("ddate"), col("high_price").as("hi"),
