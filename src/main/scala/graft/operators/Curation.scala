@@ -1167,6 +1167,37 @@ object Curation {
       .orderBy("cell", "rank")
   }
 
+  /** CLUSTER-CAPPED SAMPLING — the semantic-diversity cap next to
+    * [[clusterLabels]] (the DataComp/SemDeDup practice: a handful of
+    * over-represented semantic clusters should not dominate the
+    * training mix): every IVF cell keeps at most `cap` documents,
+    * chosen by the DETERMINISTIC multiplicative doc_id hash the
+    * mixture sampler already uses — re-running the cap on the same
+    * corpus reproduces the same kept set, and the priority is
+    * content-independent so the cap cannot systematically prefer a
+    * style. Output: kept docs with their in-cell rank plus the
+    * cell's pre-cap size (the report view of what the cap did).
+    *
+    * Scale shape: one shuffle keyed on the cell for the rank window.
+    * The test quantizer's k=16 bounds that window's parallelism, but
+    * nlist scales as √N in a production IVF (Similarity.ivfIndex's
+    * contract), so cells — and the window's parallelism — grow with
+    * the corpus; per-cell work is O(|cell| log |cell|).
+    */
+  def clusterCap(spark: SparkSession, dir: String, cap: Int = 64): DataFrame = {
+    val cells = graft.operators.Similarity.ivfIndex(spark, dir).assigned
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val prio = (col("doc_id") % lit(1000003L)) * lit(2654435761L) % lit(1000000L)
+    val w = Window.partitionBy("cell")
+      .orderBy(prio, col("doc_id"))
+    cells
+      .withColumn("n_cell", count(lit(1)).over(Window.partitionBy("cell")))
+      .withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= cap)
+      .select("cell", "doc_id", "cell_rank", "n_cell")
+      .orderBy("cell", "cell_rank")
+  }
+
   /** Streaming mixture acceptance: batch-trained rates ride in as a
     * map literal; the filter is a pure row predicate (zero state).
     * Documents from sources UNSEEN at training time are dropped —

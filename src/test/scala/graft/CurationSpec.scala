@@ -56,6 +56,31 @@ class CurationSpec extends SparkSuite {
       "every tokenized cell labeled")
   }
 
+  test("clusterCap keeps the deterministic lowest-priority docs per cell") {
+    import graft.operators.Similarity
+    val cap = 64
+    val got = Curation.clusterCap(spark, sfDir, cap).collect()
+    val assign = Similarity.ivfIndex(spark, sfDir).assigned
+      .select("vec_id", "cell").collect()
+      .map(x => x.getLong(0) -> x.getInt(1))
+    def prio(id: Long) = id % 1000003L * 2654435761L % 1000000L
+    val byCell = assign.groupBy(_._2)
+    got.groupBy(_.getInt(0)).foreach { case (cell, rows) =>
+      val members = byCell(cell).map(_._1)
+      assert(rows.head.getLong(3) == members.length, s"cell $cell size")
+      assert(rows.length == math.min(cap, members.length), s"cell $cell cap")
+      val expKept = members.sortBy(id => (prio(id), id)).take(cap)
+      val gotKept = rows.sortBy(_.getInt(2)).map(_.getLong(1))
+      assert(gotKept.toSeq == expKept.toSeq, s"cell $cell kept set")
+    }
+    assert(got.map(_.getInt(0)).distinct.length == byCell.size,
+      "every cell reports")
+    // re-run reproduces the identical kept set (determinism)
+    val again = Curation.clusterCap(spark, sfDir, cap).collect()
+    assert(again.map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet ==
+      got.map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet)
+  }
+
   test("gopherFilters fractions are in [0,1] and verdict matches thresholds") {
     val rows = Curation.gopherFilters(spark, sfDir).collect()
     assert(rows.nonEmpty)
