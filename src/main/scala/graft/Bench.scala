@@ -35,7 +35,11 @@ object Bench {
     // round 9: the daily-series indicator tier (rides the reworked
     // one-aggregate OHLC kernel) and the no-split histogram packer —
     // tracked so a kernel or rank-window regression shows
-    "q_stochastic", "q_pack_bestfit")
+    "q_stochastic", "q_pack_bestfit",
+    // round 9 continuation: the SAR state-machine fold — the fold
+    // tier's most stateful plan, tracked so an accumulator-shaped
+    // regression (collect_list blowup, lost map-side combine) shows
+    "q_psar")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
