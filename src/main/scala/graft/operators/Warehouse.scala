@@ -918,22 +918,24 @@ object Warehouse {
       .orderBy("user_id", "trade_date")
   }
 
-  def psarSql: String = {
-    // the identical transition, replayed via a RECURSIVE CTE: all
-    // symbols advance one session per iteration, the state is a
-    // plain row, every expression an ordinary column reference.
-    // (A list_reduce prefix-fold formulation — the adx oracle's
-    // shape — returns field-inconsistent states on this lambda once
-    // the source list passes ~20 elements in DuckDB 1.0.0: within
-    // one application `up` took the reversal branch while `sar`
-    // evaluated least(NULL, pl). Row-recursion sidesteps the lambda
-    // evaluator entirely.)
+  /** The SAR replay CTE pair (`n`, `st`) over an `ohlc` CTE — the
+    * identical transition as the Spark fold, replayed via a
+    * RECURSIVE CTE: all symbols advance one session per iteration,
+    * the state is a plain row, every expression an ordinary column
+    * reference. (A list_reduce prefix-fold formulation — the adx
+    * oracle's shape — returns field-inconsistent states on this
+    * lambda once the source list passes ~20 elements in DuckDB
+    * 1.0.0: within one application `up` took the reversal branch
+    * while `sar` evaluated least(NULL, pl). Row-recursion sidesteps
+    * the lambda evaluator entirely.) Shared by [[psarSql]] and
+    * [[signalConfluenceSql]] so the state machine has ONE SQL
+    * definition.
+    */
+  private def psarCteSql: String = {
     val nsr = "(a.sar + a.af * (a.ep - a.sar))"
     val nsc = s"CASE WHEN a.up THEN least($nsr, a.pl) ELSE greatest($nsr, a.ph) END"
     val rev = s"CASE WHEN a.up THEN b.lo < ($nsc) ELSE b.hi > ($nsc) END"
-    s"""WITH RECURSIVE ohlc AS (
-       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
-       |), n AS (
+    s"""n AS (
        |  SELECT user_id, trade_date, high_price AS hi, low_price AS lo,
        |    close_price AS cls,
        |    row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
@@ -963,13 +965,190 @@ object Warehouse {
        |              ELSE a.af END END,
        |    $rev, b.hi, b.lo
        |  FROM st a JOIN n b ON b.user_id = a.user_id AND b.rn = a.rn + 1
-       |)
+       |)""".stripMargin
+  }
+
+  def psarSql: String =
+    s"""WITH RECURSIVE ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), $psarCteSql
        |SELECT n.user_id, n.trade_date, n.cls AS close_price,
        |  round(st.sar * 1000000.0, 0) / 1000000.0 AS psar,
        |  st.up AS trend_up, st.rv AS reversal
        |FROM n LEFT JOIN st ON st.user_id = n.user_id AND st.rn = n.rn
        |ORDER BY n.user_id, n.trade_date""".stripMargin
+
+  /** SIGNAL CONFLUENCE SCREENER — the daily tier's capstone report:
+    * seven indicator families vote one TREND-FOLLOWING signal each
+    * (documented: overbought momentum counts as bullish confirmation
+    * here, not as a contrarian reversal) and the screener reports
+    * the per-side counts a dashboard ranks by:
+    *   close vs SMA-20 · Bollinger 2σ band break · stochastic-14
+    *   80/20 zone · CCI-20 ±100 zone · Aroon-26 dominance ·
+    *   Donchian-20 breakout vs the prior channel · SAR trend.
+    * Each signal is an INT 1/0, NULL until its own lookback fills —
+    * and the output carries ONLY integers: every float feeds a
+    * comparison computed from engine-identical doubles (ordered
+    * folds for SMA/variance/mean-deviation, multiplication instead
+    * of division for the zone tests: %K > 80 ⟺ (close−lo14)·100 >
+    * 80·(hi14−lo14), CCI > 100 ⟺ (tp−smaTP) > 1.5·meanDev), so hash
+    * parity holds with NO display rounding anywhere.
+    *
+    * Scale shape: one window pass over the shared daily frame (all
+    * extremes/folds off the same symbol partitioning) joined once,
+    * on day rows, with the [[psar]] fold (day-row equi-join). The
+    * oracle composes the SAME ohlc kernel, the SAME recursive SAR
+    * CTE ([[psarCteSql]] — one SQL definition of the state machine),
+    * and the window CTEs.
+    */
+  def signalConfluence(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val w14 = wRn.rowsBetween(-13, 0)
+    val w20 = wRn.rowsBetween(-19, 0)
+    val w26 = wRn.rowsBetween(-25, 0)
+    def live(n: Int, c: org.apache.spark.sql.Column) =
+      when(col("rn") >= n, c.cast("int"))
+    val sig = validDailyOhlc(spark, dir)
+      .withColumn("tp", round(
+        (col("high_price") + col("low_price") + col("close_price")) / 3.0, 6))
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("cls20", collect_list("close_price").over(w20))
+      .withColumn("tps", collect_list("tp").over(w20))
+      .withColumn("sma", expr("aggregate(cls20, 0.0D, (a, x) -> a + x) / 20.0D"))
+      .withColumn("sma_tp", expr("aggregate(tps, 0.0D, (a, x) -> a + x) / 20.0D"))
+      .withColumn("md", expr(
+        "aggregate(tps, 0.0D, (acc, x) -> acc + abs(x - sma_tp)) / 20.0D"))
+      .withColumn("sd", sqrt(expr(
+        "aggregate(cls20, 0.0D, (acc, x) -> acc + (x - sma) * (x - sma)) / 20.0D")))
+      .withColumn("hi14", max("high_price").over(w14))
+      .withColumn("lo14", min("low_price").over(w14))
+      .withColumn("hi_rn",
+        max(struct(col("high_price"), col("rn"))).over(w26).getField("rn"))
+      .withColumn("lo_rn",
+        -min(struct(col("low_price"), (-col("rn")).as("nrn"))).over(w26)
+          .getField("nrn"))
+      .withColumn("up20", max("high_price").over(w20))
+      .withColumn("dn20", min("low_price").over(w20))
+      .withColumn("prev_up", lag("up20", 1).over(wRn))
+      .withColumn("prev_dn", lag("dn20", 1).over(wRn))
+      .withColumn("sma_bull", live(20, col("close_price") > col("sma")))
+      .withColumn("boll_up",
+        live(20, col("close_price") > col("sma") + lit(2.0) * col("sd")))
+      .withColumn("boll_dn",
+        live(20, col("close_price") < col("sma") - lit(2.0) * col("sd")))
+      .withColumn("stoch_hot", when(col("rn") >= 14 && col("hi14") > col("lo14"),
+        ((col("close_price") - col("lo14")) * 100.0 >
+          lit(80.0) * (col("hi14") - col("lo14"))).cast("int")))
+      .withColumn("stoch_cold", when(col("rn") >= 14 && col("hi14") > col("lo14"),
+        ((col("close_price") - col("lo14")) * 100.0 <
+          lit(20.0) * (col("hi14") - col("lo14"))).cast("int")))
+      .withColumn("cci_hot", when(col("rn") >= 20 && col("md") > 0,
+        (col("tp") - col("sma_tp") > lit(1.5) * col("md")).cast("int")))
+      .withColumn("cci_cold", when(col("rn") >= 20 && col("md") > 0,
+        (col("tp") - col("sma_tp") < lit(-1.5) * col("md")).cast("int")))
+      .withColumn("aroon_bull", live(26, col("hi_rn") > col("lo_rn")))
+      .withColumn("aroon_bear", live(26, col("lo_rn") > col("hi_rn")))
+      .withColumn("brk_up", live(21, col("close_price") > col("prev_up")))
+      .withColumn("brk_dn", live(21, col("close_price") < col("prev_dn")))
+    val trend = psar(spark, dir)
+      .select(col("user_id"), col("trade_date"),
+        col("trend_up").cast("int").as("psar_bull"),
+        (!col("trend_up")).cast("int").as("psar_bear"))
+    def score(cols: String*) =
+      cols.map(c => coalesce(col(c), lit(0))).reduce(_ + _)
+    sig.join(trend, Seq("user_id", "trade_date"))
+      .withColumn("bull_score", score("sma_bull", "boll_up", "stoch_hot",
+        "cci_hot", "aroon_bull", "brk_up", "psar_bull"))
+      .withColumn("bear_score", score("boll_dn", "stoch_cold", "cci_cold",
+        "aroon_bear", "brk_dn", "psar_bear") +
+        coalesce(lit(1) - col("sma_bull"), lit(0)))
+      .withColumn("net_score", col("bull_score") - col("bear_score"))
+      .select("user_id", "trade_date", "sma_bull", "boll_up", "boll_dn",
+        "stoch_hot", "stoch_cold", "cci_hot", "cci_cold", "aroon_bull",
+        "aroon_bear", "brk_up", "brk_dn", "psar_bull", "psar_bear",
+        "bull_score", "bear_score", "net_score")
+      .orderBy("user_id", "trade_date")
   }
+
+  def signalConfluenceSql: String =
+    s"""WITH RECURSIVE ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), $psarCteSql, b AS (
+       |  SELECT user_id, trade_date, high_price, low_price, close_price,
+       |    round((high_price + low_price + close_price) / 3.0, 6) AS tp,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+       |  FROM ohlc
+       |), w AS (
+       |  SELECT user_id, trade_date, close_price, tp, rn,
+       |    list(close_price) OVER w20 AS cls20,
+       |    list(tp) OVER w20 AS tps,
+       |    max(high_price) OVER w14 AS hi14,
+       |    min(low_price) OVER w14 AS lo14,
+       |    (max(struct_pack(h := high_price, rn := rn)) OVER w26).rn AS hi_rn,
+       |    -((min(struct_pack(l := low_price, nrn := -rn)) OVER w26).nrn) AS lo_rn,
+       |    max(high_price) OVER w20 AS up20,
+       |    min(low_price) OVER w20 AS dn20
+       |  FROM b WINDOW
+       |    w14 AS (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+       |    w20 AS (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+       |    w26 AS (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)
+       |), x AS (
+       |  SELECT *,
+       |    list_reduce(list_prepend(0.0, cls20), (a, v) -> a + v) / 20.0 AS sma,
+       |    list_reduce(list_prepend(0.0, tps), (a, v) -> a + v) / 20.0 AS sma_tp,
+       |    lag(up20) OVER pk AS prev_up,
+       |    lag(dn20) OVER pk AS prev_dn
+       |  FROM w WINDOW pk AS (PARTITION BY user_id ORDER BY trade_date)
+       |), y AS (
+       |  SELECT *,
+       |    list_reduce(list_prepend(0.0,
+       |      list_transform(tps, v -> abs(v - sma_tp))), (a, v) -> a + v)
+       |      / 20.0 AS md,
+       |    sqrt(list_reduce(list_prepend(0.0,
+       |      list_transform(cls20, v -> (v - sma) * (v - sma))), (a, v) -> a + v)
+       |      / 20.0) AS sd
+       |  FROM x
+       |), sg AS (
+       |  SELECT user_id, trade_date,
+       |    CASE WHEN rn >= 20 THEN (close_price > sma)::INT END AS sma_bull,
+       |    CASE WHEN rn >= 20 THEN (close_price > sma + 2.0 * sd)::INT END AS boll_up,
+       |    CASE WHEN rn >= 20 THEN (close_price < sma - 2.0 * sd)::INT END AS boll_dn,
+       |    CASE WHEN rn >= 14 AND hi14 > lo14 THEN
+       |      ((close_price - lo14) * 100.0 > 80.0 * (hi14 - lo14))::INT END AS stoch_hot,
+       |    CASE WHEN rn >= 14 AND hi14 > lo14 THEN
+       |      ((close_price - lo14) * 100.0 < 20.0 * (hi14 - lo14))::INT END AS stoch_cold,
+       |    CASE WHEN rn >= 20 AND md > 0 THEN
+       |      (tp - sma_tp > 1.5 * md)::INT END AS cci_hot,
+       |    CASE WHEN rn >= 20 AND md > 0 THEN
+       |      (tp - sma_tp < -1.5 * md)::INT END AS cci_cold,
+       |    CASE WHEN rn >= 26 THEN (hi_rn > lo_rn)::INT END AS aroon_bull,
+       |    CASE WHEN rn >= 26 THEN (lo_rn > hi_rn)::INT END AS aroon_bear,
+       |    CASE WHEN rn >= 21 THEN (close_price > prev_up)::INT END AS brk_up,
+       |    CASE WHEN rn >= 21 THEN (close_price < prev_dn)::INT END AS brk_dn
+       |  FROM y
+       |), p AS (
+       |  SELECT n.user_id, n.trade_date, st.up::INT AS psar_bull,
+       |    (NOT st.up)::INT AS psar_bear
+       |  FROM n LEFT JOIN st ON st.user_id = n.user_id AND st.rn = n.rn
+       |)
+       |SELECT sg.*, p.psar_bull, p.psar_bear,
+       |  coalesce(sma_bull, 0) + coalesce(boll_up, 0) + coalesce(stoch_hot, 0)
+       |    + coalesce(cci_hot, 0) + coalesce(aroon_bull, 0)
+       |    + coalesce(brk_up, 0) + coalesce(psar_bull, 0) AS bull_score,
+       |  coalesce(boll_dn, 0) + coalesce(stoch_cold, 0) + coalesce(cci_cold, 0)
+       |    + coalesce(aroon_bear, 0) + coalesce(brk_dn, 0)
+       |    + coalesce(psar_bear, 0) + coalesce(1 - sma_bull, 0) AS bear_score,
+       |  (coalesce(sma_bull, 0) + coalesce(boll_up, 0) + coalesce(stoch_hot, 0)
+       |    + coalesce(cci_hot, 0) + coalesce(aroon_bull, 0)
+       |    + coalesce(brk_up, 0) + coalesce(psar_bull, 0))
+       |  - (coalesce(boll_dn, 0) + coalesce(stoch_cold, 0) + coalesce(cci_cold, 0)
+       |    + coalesce(aroon_bear, 0) + coalesce(brk_dn, 0)
+       |    + coalesce(psar_bear, 0) + coalesce(1 - sma_bull, 0)) AS net_score
+       |FROM sg JOIN p ON p.user_id = sg.user_id AND p.trade_date = sg.trade_date
+       |ORDER BY sg.user_id, sg.trade_date""".stripMargin
 
   /** ADX — Wilder's directional-movement system, the capstone of the
     * fold tier: per session (from session 2) the directional moves

@@ -932,6 +932,59 @@ class WarehouseSpec extends SparkSuite {
     assert(reversals > 0, "corpus must exercise the reversal branch")
   }
 
+  test("signalConfluence agrees with every component surface") {
+    val conf = Warehouse.signalConfluence(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(conf.nonEmpty)
+    def opt(r: org.apache.spark.sql.Row, c: String): Option[Int] =
+      Option(r.getAs[java.lang.Integer](c)).map(_.toInt)
+    // per-row score reconciliation + range
+    conf.values.foreach { r =>
+      val bulls = Seq("sma_bull", "boll_up", "stoch_hot", "cci_hot",
+        "aroon_bull", "brk_up", "psar_bull").flatMap(opt(r, _)).sum
+      val bears = Seq("boll_dn", "stoch_cold", "cci_cold", "aroon_bear",
+        "brk_dn", "psar_bear").flatMap(opt(r, _)).sum +
+        opt(r, "sma_bull").map(1 - _).getOrElse(0)
+      assert(r.getAs[Int]("bull_score") == bulls, "bull score recount")
+      assert(r.getAs[Int]("bear_score") == bears, "bear score recount")
+      assert(r.getAs[Int]("net_score") == bulls - bears)
+      assert(bulls >= 0 && bulls <= 7 && bears >= 0 && bears <= 7)
+    }
+    // component agreement: the screener's votes match the standalone
+    // surfaces (rounded-display boundaries excluded where a surface
+    // rounds and the screener compares raw)
+    Warehouse.psar(spark, sfDir).collect().foreach { p =>
+      val r = conf((p.getLong(0), p.getAs[java.sql.Date](1)))
+      val up = Option(p.getAs[java.lang.Boolean]("trend_up")).map(b => if (b) 1 else 0)
+      assert(opt(r, "psar_bull") == up, "psar vote")
+    }
+    Warehouse.aroon(spark, sfDir).collect().foreach { a =>
+      val r = conf((a.getLong(0), a.getAs[java.sql.Date](1)))
+      (Option(a.getAs[java.lang.Double]("aroon_up")),
+        Option(a.getAs[java.lang.Double]("aroon_down"))) match {
+        case (Some(u), Some(d)) =>
+          assert(opt(r, "aroon_bull").contains(if (u > d) 1 else 0), "aroon vote")
+        case _ => assert(opt(r, "aroon_bull").isEmpty)
+      }
+    }
+    Warehouse.donchian(spark, sfDir).collect().foreach { d =>
+      val r = conf((d.getLong(0), d.getAs[java.sql.Date](1)))
+      val bu = Option(d.getAs[java.lang.Boolean]("brk_up")).map(b => if (b) 1 else 0)
+      assert(opt(r, "brk_up") == bu, "donchian vote")
+    }
+    var cciChecked = 0
+    Warehouse.cci(spark, sfDir).collect().foreach { c =>
+      val r = conf((c.getLong(0), c.getAs[java.sql.Date](1)))
+      Option(c.getAs[java.lang.Double]("cci")).foreach { v =>
+        if (math.abs(math.abs(v) - 100.0) > 1e-3) {
+          assert(opt(r, "cci_hot").contains(if (v > 100.0) 1 else 0), s"cci vote $v")
+          cciChecked += 1
+        }
+      }
+    }
+    assert(cciChecked > 0, "cci agreement must cover live rows")
+  }
+
   test("obv equals a driver-side signed-volume walk") {
     val kRe = """"k"\s*:\s*(\d+)""".r
     val daily = Tables.events(spark, sfDir)
