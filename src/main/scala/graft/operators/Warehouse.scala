@@ -1480,6 +1480,121 @@ object Warehouse {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS obv
       |FROM sv ORDER BY user_id, trade_date""".stripMargin
 
+  /** MONEY FLOW — the volume-flow pair next to [[obv]]/[[vwap]]:
+    * MFI-14 (volume-weighted RSI: positive/negative typical-price
+    * money flows over a 14-session window, MFI = 100·pos/(pos+neg),
+    * NULL till 15 sessions and when no flow moved) and the Chaikin
+    * A/D line (close-location multiplier ((C−L)−(H−C))/(H−L), 0 on
+    * flat bars, times volume, accumulated per symbol).
+    *
+    * Exactness discipline (the [[vwap]] micro-units trick): typical
+    * price and the A/D multiplier quantize to integer MICROS before
+    * multiplying by the integer volume, so every window/running sum
+    * is exact Long arithmetic — order-independent by construction,
+    * plain window sums on both engines, and the only floats are one
+    * final division each (deterministic given identical integers).
+    * No ordered-fold workaround needed anywhere.
+    *
+    * Scale shape: one (symbol, day) partial aggregate (volume and
+    * OHLC map-side), then symbol-keyed lag/rolling windows over day
+    * rows — the [[obv]] shape.
+    */
+  def moneyFlow(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val w14 = wRn.rowsBetween(-13, 0)
+    val wRun = wRn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("value") > 0 &&
+        !isnan(col("value")) && col("user_id").isNotNull)
+      .withColumn("vol", coalesce(
+        get_json_object(col("props"), "$.k").cast("long"), lit(0L)))
+      .groupBy(col("user_id"), to_date(col("ts")).as("trade_date"))
+      .agg(round(max("value"), 4).as("hi"),
+        round(min("value"), 4).as("lo"),
+        max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("close_price"),
+        sum("vol").as("volume"))
+      .withColumn("tpm", round(
+        (col("hi") + col("lo") + col("close_price")) / 3.0 * 1e6, 0)
+        .cast("long"))
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("prev_tpm", lag("tpm", 1).over(wRn))
+      .withColumn("pos_mf",
+        when(col("prev_tpm").isNotNull && col("tpm") > col("prev_tpm"),
+          col("tpm") * col("volume")).otherwise(lit(0L)))
+      .withColumn("neg_mf",
+        when(col("prev_tpm").isNotNull && col("tpm") < col("prev_tpm"),
+          col("tpm") * col("volume")).otherwise(lit(0L)))
+      .withColumn("pos14", sum("pos_mf").over(w14))
+      .withColumn("neg14", sum("neg_mf").over(w14))
+      .withColumn("mfi", expr(
+        "CASE WHEN rn >= 15 AND pos14 + neg14 > 0 THEN " +
+          "round(100.0D * pos14 / (pos14 + neg14)" +
+          " * 1000000.0D, 0) / 1000000.0D END"))
+      .withColumn("multm",
+        when(col("hi") > col("lo"), round(
+          ((col("close_price") - col("lo")) - (col("hi") - col("close_price")))
+            / (col("hi") - col("lo")) * 1e6, 0).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("ad_line",
+        sum(col("multm") * col("volume")).over(wRun) / 1e6)
+      .select("user_id", "trade_date", "close_price", "volume",
+        "mfi", "ad_line")
+      .orderBy("user_id", "trade_date")
+  }
+
+  def moneyFlowSql: String =
+    """WITH v AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    coalesce(json_extract(props, '$.k')::BIGINT, 0) AS vol
+      |  FROM events
+      |  WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)
+      |    AND user_id IS NOT NULL
+      |), d AS (
+      |  SELECT user_id, trade_date,
+      |    round(max(value), 4) AS hi, round(min(value), 4) AS lo,
+      |    max(CASE WHEN rn = 1 THEN value END) AS close_price,
+      |    sum(vol)::BIGINT AS volume
+      |  FROM (
+      |    SELECT user_id, CAST(ts AS DATE) AS trade_date, value, vol,
+      |      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                         ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM v)
+      |  GROUP BY 1, 2
+      |), t AS (
+      |  SELECT *,
+      |    round((hi + lo + close_price) / 3.0 * 1e6, 0)::BIGINT AS tpm,
+      |    row_number() OVER pk AS rn,
+      |    CASE WHEN hi > lo THEN
+      |      round(((close_price - lo) - (hi - close_price)) / (hi - lo)
+      |        * 1e6, 0)::BIGINT ELSE 0 END AS multm
+      |  FROM d WINDOW pk AS (PARTITION BY user_id ORDER BY trade_date)
+      |), f AS (
+      |  SELECT *, lag(tpm) OVER pk AS prev_tpm FROM t
+      |  WINDOW pk AS (PARTITION BY user_id ORDER BY trade_date)
+      |), m AS (
+      |  SELECT *,
+      |    CASE WHEN prev_tpm IS NOT NULL AND tpm > prev_tpm
+      |      THEN tpm * volume ELSE 0 END AS pos_mf,
+      |    CASE WHEN prev_tpm IS NOT NULL AND tpm < prev_tpm
+      |      THEN tpm * volume ELSE 0 END AS neg_mf
+      |  FROM f
+      |), s AS (
+      |  SELECT *,
+      |    sum(pos_mf) OVER w14 AS pos14,
+      |    sum(neg_mf) OVER w14 AS neg14,
+      |    sum(multm * volume) OVER (PARTITION BY user_id ORDER BY trade_date
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ad_m
+      |  FROM m WINDOW w14 AS (PARTITION BY user_id ORDER BY trade_date
+      |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT user_id, trade_date, close_price, volume,
+      |  CASE WHEN rn >= 15 AND pos14 + neg14 > 0 THEN
+      |    round(100.0 * pos14 / (pos14 + neg14) * 1000000.0, 0) / 1000000.0
+      |  END AS mfi,
+      |  ad_m / 1e6 AS ad_line
+      |FROM s ORDER BY user_id, trade_date""".stripMargin
+
   /** Per-symbol market BETA — systematic co-movement against the
     * equal-weight market factor: the market return each session is
     * the cross-sectional mean of that day's symbol returns (the

@@ -985,6 +985,69 @@ class WarehouseSpec extends SparkSuite {
     assert(cciChecked > 0, "cci agreement must cover live rows")
   }
 
+  test("moneyFlow equals a driver-side integer-micros walk") {
+    def srd(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    def toMicros(x: Double) = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val kRe = """"k"\s*:\s*(\d+)""".r
+    val daily = Tables.events(spark, sfDir)
+      .filter("value IS NOT NULL AND value > 0 AND NOT isnan(value)" +
+        " AND user_id IS NOT NULL").collect()
+      .map { r =>
+        val vol = Option(r.getAs[String]("props"))
+          .flatMap(p => kRe.findFirstMatchIn(p)).map(_.group(1).toLong)
+          .getOrElse(0L)
+        (r.getAs[Long]("user_id"),
+          java.sql.Date.valueOf(r.getAs[java.sql.Timestamp]("ts")
+            .toLocalDateTime.toLocalDate),
+          r.getAs[java.sql.Timestamp]("ts").getTime,
+          r.getAs[Long]("event_id"), r.getAs[Double]("value"), vol)
+      }
+      .groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((uid, d), g) =>
+        (uid, d, r4(g.map(_._5).max), r4(g.map(_._5).min),
+          g.maxBy(t => (t._3, t._4))._5, g.map(_._6).sum)
+      }
+    val got = Warehouse.moneyFlow(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == daily.size)
+    var mfiSeen = 0
+    daily.groupBy(_._1).foreach { case (uid, g) =>
+      val days = g.sortBy(_._2.getTime)
+      val tpms = days.map { case (_, _, hi, lo, cls, _) =>
+        toMicros((hi + lo + cls) / 3.0 * 1e6) }
+      val flows = days.indices.map { i =>
+        val mf = tpms(i) * days(i)._6
+        if (i == 0) (0L, 0L)
+        else if (tpms(i) > tpms(i - 1)) (mf, 0L)
+        else if (tpms(i) < tpms(i - 1)) (0L, mf)
+        else (0L, 0L)
+      }
+      var adm = 0L
+      days.zipWithIndex.foreach { case ((_, d, hi, lo, cls, vol), i) =>
+        val r = got((uid, d))
+        assert(r.getAs[Long]("volume") == vol, s"$uid/$d vol")
+        val win = flows.slice(math.max(0, i - 13), i + 1)
+        val (pos, neg) = (win.map(_._1).sum, win.map(_._2).sum)
+        val expMfi =
+          if (i >= 14 && pos + neg > 0) Some(srd(100.0 * pos / (pos + neg)))
+          else None
+        assert(Option(r.getAs[java.lang.Double]("mfi")).map(_.toDouble)
+          == expMfi, s"$uid/$d mfi")
+        if (expMfi.isDefined) mfiSeen += 1
+        val multm =
+          if (hi > lo) toMicros(((cls - lo) - (hi - cls)) / (hi - lo) * 1e6)
+          else 0L
+        adm += multm * vol
+        assert(r.getAs[Double]("ad_line") == adm / 1e6, s"$uid/$d ad")
+      }
+    }
+    assert(mfiSeen > 0, "corpus must exercise live MFI rows")
+  }
+
   test("obv equals a driver-side signed-volume walk") {
     val kRe = """"k"\s*:\s*(\d+)""".r
     val daily = Tables.events(spark, sfDir)
