@@ -1480,6 +1480,84 @@ object Warehouse {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS obv
       |FROM sv ORDER BY user_id, trade_date""".stripMargin
 
+  /** DAILY WILDER RSI-14 — the canonical Wilder-smoothed RSI over
+    * daily closes (the reference's per-tick RSI takes a simple mean
+    * of the last 14 deltas — technical_indicators.py:74-92 — served
+    * by q_rsi; this is its daily fold-tier dual): session-2+ gains
+    * and losses (each rounded 6, the adx DM convention) Wilder-
+    * smooth at 14, RSI = 100·g/(g+l) — algebraically 100 −
+    * 100/(1+RS) but ONE division, so both engines divide identical
+    * doubles; a flat 14-window (g = l = 0) reads 50 by convention,
+    * g-only reads 100, l-only 0. Live from session 15.
+    *
+    * Scale shape: the [[atrWilder]] pattern — one symbol shuffle
+    * into sorted close arrays, two parallel [[wilderRunExpr]] folds,
+    * re-explode. Oracle replays both folds per day via list_reduce
+    * prefix folds (O(days²), oracle-only; the SIMPLE linear IIR
+    * lambda — unaffected by the DuckDB list_reduce defect psar hit).
+    */
+  def rsiWilder(spark: SparkSession, dir: String): DataFrame = {
+    val sr = "round(%s * 1000000.0D, 0) / 1000000.0D"
+    validDailyOhlc(spark, dir)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(
+        col("trade_date").as("ddate"), col("close_price").as("cls"))))
+        .as("days"))
+      .withColumn("deltas", expr(
+        "zip_with(slice(days, 2, size(days) - 1), " +
+          "slice(days, 1, size(days) - 1), (b, a) -> b.cls - a.cls)"))
+      .withColumn("gains", expr(
+        "transform(deltas, d -> round(CASE WHEN d > 0D THEN d ELSE 0D END, 6))"))
+      .withColumn("losses", expr(
+        "transform(deltas, d -> round(CASE WHEN d < 0D THEN -d ELSE 0D END, 6))"))
+      .withColumn("gw", expr(wilderRunExpr("gains", 14)))
+      .withColumn("lw", expr(wilderRunExpr("losses", 14)))
+      .withColumn("rsis", expr(
+        "zip_with(gw, lw, (g, l) -> CASE WHEN g IS NULL THEN NULL " +
+          "WHEN g + l = 0D THEN 50.0D ELSE " +
+          sr.format("100.0D * g / (g + l)") + " END)"))
+      .withColumn("rsi_f", expr(
+        "concat(array(CAST(NULL AS DOUBLE)), rsis)"))
+      .select(col("user_id"), expr("inline(arrays_zip(days, rsi_f))"))
+      .select(col("user_id"), col("days.ddate").as("trade_date"),
+        col("days.cls").as("close_price"), col("rsi_f").as("rsi_14"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def rsiWilderSql: String = {
+    def wf(arr: String) =
+      s"list_reduce(list_prepend(" +
+        s"list_reduce($arr[1:14], (a, x) -> a + x) / 14.0, " +
+        s"$arr[15:(t - 1)]), (a, x) -> (a * 13.0 + x) / 14.0)"
+    val g = wf("gains")
+    val l = wf("losses")
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), q AS (
+       |  SELECT user_id,
+       |    list(trade_date ORDER BY trade_date) AS dts,
+       |    list(close_price ORDER BY trade_date) AS cls
+       |  FROM ohlc GROUP BY user_id
+       |), g AS (
+       |  SELECT user_id, dts, cls,
+       |    list_transform(generate_series(2, len(cls)), i ->
+       |      round(CASE WHEN cls[i] - cls[i-1] > 0
+       |        THEN cls[i] - cls[i-1] ELSE 0.0 END, 6)) AS gains,
+       |    list_transform(generate_series(2, len(cls)), i ->
+       |      round(CASE WHEN cls[i] - cls[i-1] < 0
+       |        THEN cls[i-1] - cls[i] ELSE 0.0 END, 6)) AS losses
+       |  FROM q
+       |)
+       |SELECT user_id, unnest(dts) AS trade_date, unnest(cls) AS close_price,
+       |  unnest(list_transform(generate_series(1, len(cls)), t ->
+       |    CASE WHEN t < 15 THEN NULL
+       |    WHEN ($g) + ($l) = 0 THEN 50.0
+       |    ELSE round(100.0 * ($g) / (($g) + ($l)) * 1000000.0, 0) / 1000000.0
+       |    END)) AS rsi_14
+       |FROM g
+       |ORDER BY user_id, trade_date""".stripMargin
+  }
+
   /** MONEY FLOW — the volume-flow pair next to [[obv]]/[[vwap]]:
     * MFI-14 (volume-weighted RSI: positive/negative typical-price
     * money flows over a 14-session window, MFI = 100·pos/(pos+neg),

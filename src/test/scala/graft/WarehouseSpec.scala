@@ -985,6 +985,41 @@ class WarehouseSpec extends SparkSuite {
     assert(cciChecked > 0, "cci agreement must cover live rows")
   }
 
+  test("rsiWilder equals a driver-side two-fold walk and stays in [0,100]") {
+    def srd(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    val daily = driverDailyOhlc
+    val got = Warehouse.rsiWilder(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == daily.values.map(_.length).sum)
+    var live = 0
+    daily.foreach { case (uid, days) =>
+      val cls = days.map(_._4)
+      val gains = cls.indices.drop(1).map(i =>
+        r6(math.max(cls(i) - cls(i - 1), 0.0)))
+      val losses = cls.indices.drop(1).map(i =>
+        r6(math.max(cls(i - 1) - cls(i), 0.0)))
+      def wilder(xs: Seq[Double], upto: Int): Double = {
+        val seed = xs.take(14).sum / 14.0
+        xs.slice(14, upto).foldLeft(seed)((a, x) => (a * 13.0 + x) / 14.0)
+      }
+      days.zipWithIndex.foreach { case ((d, _, _, _), i) =>
+        val r = got((uid, d))
+        val rsi = Option(r.getAs[java.lang.Double]("rsi_14")).map(_.toDouble)
+        if (i < 14) assert(rsi.isEmpty, s"$uid/$d warmup")
+        else {
+          val g = wilder(gains, i)
+          val l = wilder(losses, i)
+          val exp = if (g + l == 0.0) 50.0 else srd(100.0 * g / (g + l))
+          assert(rsi.contains(exp), s"$uid/$d rsi")
+          assert(exp >= 0.0 && exp <= 100.0)
+          live += 1
+        }
+      }
+    }
+    assert(live > 0)
+  }
+
   test("moneyFlow equals a driver-side integer-micros walk") {
     def srd(x: Double) = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
