@@ -1052,6 +1052,11 @@ object TickStream extends Serializable {
       // parabolic SAR machine: direction (0 = unseeded, ±1), raw
       // sar/EP/AF — the batch q_psar fold's 4-field state verbatim
       psDir: Int, psSar: Double, psEp: Double, psAf: Double,
+      // CCI's 20-session typical-price ring and the Wilder RSI
+      // machine (gain/loss seed sums + smoothed values; the delta
+      // count is trCount − 1, no extra counter)
+      tps: List[Double],
+      gSum: Double, gW: Double, lSum: Double, lW: Double,
       pending: List[PendingBar])
 
   case class BarRow(user_id: Long, trade_date: java.time.LocalDate,
@@ -1067,7 +1072,8 @@ object TickStream extends Serializable {
       dc_mid: Option[Double],
       brk_up: Option[Boolean], brk_down: Option[Boolean],
       psar: Option[Double], trend_up: Option[Boolean],
-      reversal: Option[Boolean])
+      reversal: Option[Boolean],
+      cci: Option[Double], willr: Option[Double], rsi_14: Option[Double])
 
   private def r4s(x: Double): Double = BigDecimal.valueOf(x)
     .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1118,7 +1124,8 @@ object TickStream extends Serializable {
         hasEmitted = false, hasPrev = false, 0.0, 0.0, 0.0,
         0L, 0.0, 0.0, 0.0, 0.0, 0.0,
         0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-        0L, 0.0, 0.0, 0L, Nil, Nil, 0, 0.0, 0.0, 0.0, Nil))
+        0L, 0.0, 0.0, 0L, Nil, Nil, 0, 0.0, 0.0, 0.0,
+        Nil, 0.0, 0.0, 0.0, 0.0, Nil))
       var pending = st.pending
       if (!state.hasTimedOut) rows.foreach { t =>
         val m = tsMicros(t.ts)
@@ -1293,6 +1300,44 @@ object TickStream extends Serializable {
               psOut = Some((psSar, psDir == 1, rv))
             }
           }
+          // CCI-20 off the typical-price ring — the batch q_cci
+          // float-op order: tp and both fold outputs take the
+          // display round BEFORE the division
+          val tpv = r6s((hi4 + lo4 + p.close) / 3.0)
+          val tps20 = (st.tps :+ tpv).takeRight(20)
+          var cciOpt: Option[Double] = None
+          if (trCount >= 20) {
+            val sma = r6scaled(tps20.foldLeft(0.0)(_ + _) / 20.0)
+            val md = r6scaled(
+              tps20.foldLeft(0.0)((a, x) => a + math.abs(x - sma)) / 20.0)
+            if (md > 0)
+              cciOpt = Some(r6scaled((tpv - sma) / (0.015 * md)))
+          }
+          // Williams %R off the shared 14-ring (the q_momentum leg)
+          val willrOpt =
+            if (trCount >= 14 && hi14 > lo14)
+              Some(r6scaled(-100.0 * (hi14 - p.close) / (hi14 - lo14)))
+            else None
+          // Wilder RSI-14 over close deltas — the q_rsi_wilder folds
+          var (gSum, gW, lSum, lW) = (st.gSum, st.gW, st.lSum, st.lW)
+          var rsiOpt: Option[Double] = None
+          if (st.hasPrev) {
+            val d = p.close - st.prevClose
+            val g = r6s(math.max(d, 0.0))
+            val l = r6s(math.max(-d, 0.0))
+            val dCnt = trCount - 1
+            if (dCnt <= 14) { gSum += g; lSum += l }
+            gW = if (dCnt < 14) 0.0
+              else if (dCnt == 14) gSum / 14.0
+              else (gW * 13.0 + g) / 14.0
+            lW = if (dCnt < 14) 0.0
+              else if (dCnt == 14) lSum / 14.0
+              else (lW * 13.0 + l) / 14.0
+            if (dCnt >= 14)
+              rsiOpt = Some(
+                if (gW + lW == 0.0) 50.0
+                else r6scaled(100.0 * gW / (gW + lW)))
+          }
           out += BarRow(userId, java.time.LocalDate.ofEpochDay(p.day.toLong),
             p.open, hi4, lo4, p.close, p.nTicks, p.volume, tr,
             if (trCount >= 14) Some(r6scaled(wilder)) else None, signed, obv,
@@ -1303,7 +1348,8 @@ object TickStream extends Serializable {
             dipOpt.map(r6scaled), dimOpt.map(r6scaled), dxOpt.map(r6scaled),
             if (dxCnt >= 14) Some(r6scaled(adxV)) else None,
             vwap, pctK, pctD, dcUp, dcLo, dcMid, brkUp, brkDown,
-            psOut.map(t => r6scaled(t._1)), psOut.map(_._2), psOut.map(_._3))
+            psOut.map(t => r6scaled(t._1)), psOut.map(_._2), psOut.map(_._3),
+            cciOpt, willrOpt, rsiOpt)
           st = st.copy(lastDay = p.day, hasEmitted = true, hasPrev = true,
             prevClose = p.close, prevHi = hi4, prevLo = lo4,
             trCount = trCount, seedSum = seedSum, wilder = wilder,
@@ -1312,7 +1358,8 @@ object TickStream extends Serializable {
             sumT = sumT, strv = strv,
             dxCnt = dxCnt, dxSum = dxSum, adxV = adxV, obv = obv,
             hiLo = hiLo, ks = ks,
-            psDir = psDir, psSar = psSar, psEp = psEp, psAf = psAf)
+            psDir = psDir, psSar = psSar, psEp = psEp, psAf = psAf,
+            tps = tps20, gSum = gSum, gW = gW, lSum = lSum, lW = lW)
         }
         pending = pending.filter(_.day > ready.last.day)
       }

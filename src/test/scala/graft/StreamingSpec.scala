@@ -132,7 +132,7 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
-  test("dailyBarStream bars equal all nine batch daily-series surfaces") {
+  test("dailyBarStream bars equal all twelve batch daily-series surfaces") {
     val schema = Tables.events(spark, sfDir).schema
     val maxTs = Warehouse.validTicks(spark, sfDir)
       .agg(max("ts")).head.getTimestamp(0).getTime
@@ -169,12 +169,22 @@ class StreamingSpec extends SparkSuite {
       .join(Warehouse.psar(spark, sfDir)
         .select("user_id", "trade_date", "psar", "trend_up", "reversal"),
         Seq("user_id", "trade_date"))
+      .join(Warehouse.cci(spark, sfDir)
+        .select("user_id", "trade_date", "cci"),
+        Seq("user_id", "trade_date"))
+      .join(Warehouse.momentum(spark, sfDir)
+        .select("user_id", "trade_date", "willr"),
+        Seq("user_id", "trade_date"))
+      .join(Warehouse.rsiWilder(spark, sfDir)
+        .select("user_id", "trade_date", "rsi_14"),
+        Seq("user_id", "trade_date"))
       .select("user_id", "trade_date", "open_price", "high_price",
         "low_price", "close_price", "n_ticks", "volume", "tr",
         "atr_wilder", "signed_vol", "obv", "ema_20", "atr_10",
         "kc_upper", "kc_lower", "di_plus", "di_minus", "dx", "adx",
         "vwap", "pct_k", "pct_d", "dc_upper", "dc_lower", "dc_mid",
-        "brk_up", "brk_down", "psar", "trend_up", "reversal")
+        "brk_up", "brk_down", "psar", "trend_up", "reversal",
+        "cci", "willr", "rsi_14")
     for ((delay, delayMs, nParts) <- Seq(
         ("10 minutes", 10L * 60000L, 2),
         ("10 minutes", 10L * 60000L, 4),
