@@ -1480,6 +1480,215 @@ object Warehouse {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS obv
       |FROM sv ORDER BY user_id, trade_date""".stripMargin
 
+  /** HEIKIN-ASHI candles — the smoothed candle transform every
+    * charting layer offers next to raw OHLC: haClose = (O+H+L+C)/4,
+    * haOpen = midpoint of the PREVIOUS HA body (seeded (O₁+C₁)/2),
+    * haHigh/haLow = the session extreme vs the HA body. The haOpen
+    * recursion is a one-value fold over the haClose series — the
+    * EMA recurrence's shape — and every output is IEEE-exact
+    * dyadic-midpoint arithmetic on shared inputs: values carry
+    * verbatim, NO display round anywhere.
+    *
+    * One symbol shuffle into sorted arrays, O(days) fold, re-explode
+    * (the atrWilder shape); oracle replays via the psar-style
+    * recursive CTE (simple two-field recursion).
+    */
+  def heikinAshi(spark: SparkSession, dir: String): DataFrame = {
+    validDailyOhlc(spark, dir)
+      .withColumn("ha_close", (col("open_price") + col("high_price")
+        + col("low_price") + col("close_price")) / 4.0)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(
+        col("trade_date").as("ddate"), col("open_price").as("o"),
+        col("high_price").as("hi"), col("low_price").as("lo"),
+        col("close_price").as("c"), col("ha_close").as("hac"))))
+        .as("days"))
+      .withColumn("haos", expr(
+        "aggregate(slice(days, 1, size(days) - 1), " +
+          "array((element_at(days, 1).o + element_at(days, 1).c) / 2.0D), " +
+          "(acc, d) -> concat(acc, " +
+          "array((element_at(acc, -1) + d.hac) / 2.0D)))"))
+      .select(col("user_id"), expr("inline(arrays_zip(days, haos))"))
+      .select(col("user_id"), col("days.ddate").as("trade_date"),
+        col("haos").as("ha_open"), col("days.hac").as("ha_close"),
+        greatest(col("days.hi"), col("haos"), col("days.hac")).as("ha_high"),
+        least(col("days.lo"), col("haos"), col("days.hac")).as("ha_low"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def heikinAshiSql: String =
+    s"""WITH RECURSIVE ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), n AS (
+       |  SELECT user_id, trade_date, open_price, high_price, low_price,
+       |    close_price,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn,
+       |    (open_price + high_price + low_price + close_price) / 4.0 AS hac
+       |  FROM ohlc
+       |), st AS (
+       |  SELECT user_id, rn, (open_price + close_price) / 2.0 AS hao, hac
+       |  FROM n WHERE rn = 1
+       |  UNION ALL
+       |  SELECT b.user_id, b.rn, (a.hao + a.hac) / 2.0, b.hac
+       |  FROM st a JOIN n b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+       |)
+       |SELECT n.user_id, n.trade_date, st.hao AS ha_open, n.hac AS ha_close,
+       |  greatest(n.high_price, st.hao, n.hac) AS ha_high,
+       |  least(n.low_price, st.hao, n.hac) AS ha_low
+       |FROM n JOIN st ON st.user_id = n.user_id AND st.rn = n.rn
+       |ORDER BY n.user_id, n.trade_date""".stripMargin
+
+  /** FLOOR-TRADER PIVOT POINTS — tomorrow's support/resistance grid
+    * from yesterday's bar: P = (H+L+C)/3 of the PREVIOUS session,
+    * R1 = 2P − prevL, S1 = 2P − prevH, R2 = P + (prevH − prevL),
+    * S2 = P − (prevH − prevL), plus the session's close position vs
+    * its pivot (above_pivot). Pure lag arithmetic on day rows —
+    * IEEE-identical on both engines, carried verbatim (P's /3 is
+    * the only non-dyadic op and both engines evaluate the identical
+    * division). NULL on each symbol's first session.
+    */
+  def pivotPoints(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    validDailyOhlc(spark, dir)
+      .withColumn("ph", lag("high_price", 1).over(wRn))
+      .withColumn("pl", lag("low_price", 1).over(wRn))
+      .withColumn("pc", lag("close_price", 1).over(wRn))
+      .withColumn("pivot_pt", (col("ph") + col("pl") + col("pc")) / 3.0)
+      .withColumn("r1", lit(2.0) * col("pivot_pt") - col("pl"))
+      .withColumn("s1", lit(2.0) * col("pivot_pt") - col("ph"))
+      .withColumn("r2", col("pivot_pt") + (col("ph") - col("pl")))
+      .withColumn("s2", col("pivot_pt") - (col("ph") - col("pl")))
+      .withColumn("above_pivot", col("close_price") > col("pivot_pt"))
+      .select("user_id", "trade_date", "close_price", "pivot_pt",
+        "r1", "s1", "r2", "s2", "above_pivot")
+      .orderBy("user_id", "trade_date")
+  }
+
+  def pivotPointsSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), w AS (
+       |  SELECT user_id, trade_date, close_price,
+       |    lag(high_price) OVER pk AS ph,
+       |    lag(low_price) OVER pk AS pl,
+       |    lag(close_price) OVER pk AS pc
+       |  FROM ohlc WINDOW pk AS (PARTITION BY user_id ORDER BY trade_date)
+       |), p AS (
+       |  SELECT *, (ph + pl + pc) / 3.0 AS pivot_pt FROM w
+       |)
+       |SELECT user_id, trade_date, close_price, pivot_pt,
+       |  2.0 * pivot_pt - pl AS r1, 2.0 * pivot_pt - ph AS s1,
+       |  pivot_pt + (ph - pl) AS r2, pivot_pt - (ph - pl) AS s2,
+       |  close_price > pivot_pt AS above_pivot
+       |FROM p ORDER BY user_id, trade_date""".stripMargin
+
+  /** OVERNIGHT GAP REPORT — open vs the previous close: signed gap
+    * (verbatim double), gap per-mille in integer micros of the
+    * previous close (exact integer division — no float display), the
+    * gap direction, and whether the session FILLED the gap (price
+    * traded back through the previous close: gap-up fills when the
+    * low touches at-or-under it, gap-down when the high touches
+    * at-or-over). Lag + comparisons on day rows; first sessions NULL.
+    */
+  def gapStats(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    validDailyOhlc(spark, dir)
+      .withColumn("prev_close", lag("close_price", 1).over(wRn))
+      .withColumn("gap", col("open_price") - col("prev_close"))
+      .withColumn("gap_ppm", expr(
+        "CAST(round((open_price - prev_close) * 1e6, 0) AS BIGINT)" +
+          " DIV CAST(round(prev_close * 1e6, 0) AS BIGINT) * 1000 +" +
+          " CAST(round((open_price - prev_close) * 1e6, 0) AS BIGINT)" +
+          " % CAST(round(prev_close * 1e6, 0) AS BIGINT) * 1000" +
+          " DIV CAST(round(prev_close * 1e6, 0) AS BIGINT)"))
+      .withColumn("gap_up", col("gap") > 0)
+      .withColumn("gap_filled",
+        when(col("gap") > 0, col("low_price") <= col("prev_close"))
+          .when(col("gap") < 0, col("high_price") >= col("prev_close"))
+          .otherwise(lit(true)))
+      .select("user_id", "trade_date", "open_price", "prev_close",
+        "gap", "gap_ppm", "gap_up", "gap_filled")
+      .orderBy("user_id", "trade_date")
+  }
+
+  def gapStatsSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), w AS (
+       |  SELECT user_id, trade_date, open_price, high_price, low_price,
+       |    lag(close_price) OVER (PARTITION BY user_id
+       |      ORDER BY trade_date) AS prev_close
+       |  FROM ohlc
+       |), g AS (
+       |  SELECT *, open_price - prev_close AS gap,
+       |    round((open_price - prev_close) * 1e6, 0)::BIGINT AS gm,
+       |    round(prev_close * 1e6, 0)::BIGINT AS pm
+       |  FROM w
+       |)
+       |SELECT user_id, trade_date, open_price, prev_close, gap,
+       |  gm // pm * 1000 + gm % pm * 1000 // pm AS gap_ppm,
+       |  gap > 0 AS gap_up,
+       |  CASE WHEN gap > 0 THEN low_price <= prev_close
+       |       WHEN gap < 0 THEN high_price >= prev_close
+       |       ELSE true END AS gap_filled
+       |FROM g ORDER BY user_id, trade_date""".stripMargin
+
+  /** VOLUME PROFILE — where the volume traded: per symbol, ticks
+    * bucket into the q_price_histogram price grid (50-wide, clamped
+    * to 10 buckets) weighted by parsed volume; the POINT OF CONTROL
+    * is the highest-volume bucket (ties → lowest bucket, pinned via
+    * integer max on (volume, −bucket)). All-integer volume
+    * arithmetic → exact on both engines.
+    *
+    * Scale shape: ONE (symbol, bucket) partial aggregate — map-side
+    * combine, shuffle volume is symbols × 10 buckets — then a
+    * symbol-keyed window over that bounded table for the POC.
+    */
+  def volumeProfile(spark: SparkSession, dir: String): DataFrame = {
+    val wSym = Window.partitionBy("user_id")
+    // validation inline: the profile needs the props column the
+    // validTicks projection drops (the obv pattern)
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("value") > 0 &&
+        !isnan(col("value")) && col("user_id").isNotNull)
+      .withColumn("vol", coalesce(
+        get_json_object(col("props"), "$.k").cast("long"), lit(0L)))
+      .withColumn("bucket",
+        least(greatest(floor(col("value") / 50.0), lit(0L)), lit(9L)))
+      .groupBy("user_id", "bucket")
+      .agg(sum("vol").as("volume"), count(lit(1)).as("n_ticks"))
+      .withColumn("best",
+        max(struct(col("volume").as("v"), (-col("bucket")).as("nb")))
+          .over(wSym))
+      .withColumn("poc", col("best").getField("v") === col("volume") &&
+        -col("best").getField("nb") === col("bucket"))
+      .select(col("user_id"), col("bucket"),
+        (col("bucket") * 50L).as("bucket_lo"), col("volume"),
+        col("n_ticks"), col("poc"))
+      .orderBy("user_id", "bucket")
+  }
+
+  def volumeProfileSql: String =
+    """WITH v AS (
+      |  SELECT user_id,
+      |    coalesce(json_extract(props, '$.k')::BIGINT, 0) AS vol,
+      |    least(greatest(floor(value / 50.0)::BIGINT, 0), 9) AS bucket
+      |  FROM events
+      |  WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)
+      |    AND user_id IS NOT NULL
+      |), b AS (
+      |  SELECT user_id, bucket, sum(vol)::BIGINT AS volume,
+      |    count(*) AS n_ticks
+      |  FROM v GROUP BY 1, 2
+      |), p AS (
+      |  SELECT *, max(struct_pack(v := volume, nb := -bucket))
+      |    OVER (PARTITION BY user_id) AS best
+      |  FROM b
+      |)
+      |SELECT user_id, bucket, bucket * 50 AS bucket_lo, volume, n_ticks,
+      |  best.v = volume AND -best.nb = bucket AS poc
+      |FROM p ORDER BY user_id, bucket""".stripMargin
+
   /** DAILY WILDER RSI-14 — the canonical Wilder-smoothed RSI over
     * daily closes (the reference's per-tick RSI takes a simple mean
     * of the last 14 deltas — technical_indicators.py:74-92 — served

@@ -1020,6 +1020,121 @@ class WarehouseSpec extends SparkSuite {
     assert(live > 0)
   }
 
+  // daily bars WITH the open leg — the heikin-ashi/gap specs' base
+  private def driverDailyOhlcFull
+      : Map[Long, Array[(java.sql.Date, Double, Double, Double, Double)]] = {
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Warehouse.validateTicks(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        java.sql.Date.valueOf(r.getAs[java.sql.Timestamp]("ts")
+          .toLocalDateTime.toLocalDate),
+        r.getAs[java.sql.Timestamp]("ts").getTime,
+        r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+      .groupBy(t => (t._1, t._2)).toSeq
+      .map { case ((uid, d), g) =>
+        (uid, (d, g.minBy(t => (t._3, t._4))._5,
+          r4(g.map(_._5).max), r4(g.map(_._5).min),
+          g.maxBy(t => (t._3, t._4))._5))
+      }
+      .groupBy(_._1)
+      .map { case (uid, m) => uid -> m.map(_._2).toArray.sortBy(_._1.getTime) }
+  }
+
+  test("heikinAshi equals a driver-side body-midpoint recursion") {
+    val daily = driverDailyOhlcFull
+    val got = Warehouse.heikinAshi(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == daily.values.map(_.length).sum)
+    daily.foreach { case (uid, days) =>
+      var hao = 0.0
+      var prevHac = 0.0
+      days.zipWithIndex.foreach { case ((d, o, hi, lo, c), i) =>
+        val hac = (o + hi + lo + c) / 4.0
+        hao = if (i == 0) (o + c) / 2.0 else (hao + prevHac) / 2.0
+        prevHac = hac
+        val r = got((uid, d))
+        assert(r.getAs[Double]("ha_open") == hao, s"$uid/$d haOpen")
+        assert(r.getAs[Double]("ha_close") == hac, s"$uid/$d haClose")
+        assert(r.getAs[Double]("ha_high") == math.max(hi, math.max(hao, hac)))
+        assert(r.getAs[Double]("ha_low") == math.min(lo, math.min(hao, hac)))
+      }
+    }
+  }
+
+  test("pivotPoints and gapStats equal driver-side lag walks") {
+    val daily = driverDailyOhlcFull
+    val piv = Warehouse.pivotPoints(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    val gap = Warehouse.gapStats(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(piv.size == daily.values.map(_.length).sum)
+    assert(gap.size == piv.size)
+    var fills = 0
+    daily.foreach { case (uid, days) =>
+      days.zipWithIndex.foreach { case ((d, o, hi, lo, c), i) =>
+        val rp = piv((uid, d)); val rg = gap((uid, d))
+        if (i == 0) {
+          assert(rp.isNullAt(rp.fieldIndex("pivot_pt")), s"$uid/$d first pivot")
+          assert(rg.isNullAt(rg.fieldIndex("gap")), s"$uid/$d first gap")
+        } else {
+          val (_, _, ph, pl, pc) = days(i - 1)
+          val p = (ph + pl + pc) / 3.0
+          assert(rp.getAs[Double]("pivot_pt") == p, s"$uid/$d pivot")
+          assert(rp.getAs[Double]("r1") == 2.0 * p - pl)
+          assert(rp.getAs[Double]("s1") == 2.0 * p - ph)
+          assert(rp.getAs[Double]("r2") == p + (ph - pl))
+          assert(rp.getAs[Double]("s2") == p - (ph - pl))
+          assert(rp.getAs[Boolean]("above_pivot") == (c > p))
+          val g = o - pc
+          assert(rg.getAs[Double]("gap") == g, s"$uid/$d gap")
+          val gm = BigDecimal(g * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          val pm = BigDecimal(pc * 1e6)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+          assert(rg.getAs[Long]("gap_ppm") ==
+            gm / pm * 1000L + gm % pm * 1000L / pm, s"$uid/$d ppm")
+          val filled =
+            if (g > 0) lo <= pc else if (g < 0) hi >= pc else true
+          assert(rg.getAs[Boolean]("gap_filled") == filled, s"$uid/$d fill")
+          if (filled) fills += 1
+        }
+      }
+    }
+    assert(fills > 0)
+  }
+
+  test("volumeProfile buckets volume exactly and pins one POC per symbol") {
+    val kRe = """"k"\s*:\s*(\d+)""".r
+    val ticks = Tables.events(spark, sfDir)
+      .filter("value IS NOT NULL AND value > 0 AND NOT isnan(value)" +
+        " AND user_id IS NOT NULL").collect()
+      .map { r =>
+        val vol = Option(r.getAs[String]("props"))
+          .flatMap(p => kRe.findFirstMatchIn(p)).map(_.group(1).toLong)
+          .getOrElse(0L)
+        (r.getAs[Long]("user_id"),
+          math.min(math.max(math.floor(r.getAs[Double]("value") / 50.0).toLong, 0L), 9L),
+          vol)
+      }
+    val exp = ticks.groupBy(t => (t._1, t._2)).map { case (k, g) =>
+      k -> (g.map(_._3).sum, g.length.toLong) }
+    val got = Warehouse.volumeProfile(spark, sfDir).collect()
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert((r.getAs[Long]("volume"), r.getAs[Long]("n_ticks")) == exp(k), s"$k")
+      assert(r.getAs[Long]("bucket_lo") == r.getLong(1) * 50L)
+    }
+    got.groupBy(_.getLong(0)).foreach { case (uid, rows) =>
+      val pocs = rows.filter(_.getAs[Boolean]("poc"))
+      assert(pocs.length == 1, s"$uid poc count")
+      val best = rows.map(r => (r.getAs[Long]("volume"), -r.getLong(1))).max
+      assert((pocs.head.getAs[Long]("volume"), -pocs.head.getLong(1)) == best,
+        s"$uid poc pick")
+    }
+  }
+
   test("moneyFlow equals a driver-side integer-micros walk") {
     def srd(x: Double) = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
