@@ -1198,6 +1198,49 @@ object Curation {
       .orderBy("cell", "cell_rank")
   }
 
+  /** CLUSTER PURITY — how well the quantizer's cells align with the
+    * gold `label` column: per cell the member count, distinct-label
+    * count, majority label (ties → smaller label, pinned via integer
+    * struct max on (count, −label)), its fraction, and the label
+    * ENTROPY (−Σ p·ln p, folded over labels in ascending order so
+    * both the query and the spec replay identical float ops). On
+    * this corpus labels are independent of the embeddings (the
+    * knnClassify spec's documented property), so purity hovers near
+    * uniform — the REPORT is the operator; a production embedding
+    * space reads high purity here before trusting cluster-level
+    * curation decisions.
+    *
+    * Scale shape: one (cell, label) aggregate off the broadcast-free
+    * equi-join of two vec-keyed tables, then per-cell folds over the
+    * label-sized (≤ #labels) collected list — never over vectors.
+    */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val cells = graft.operators.Similarity.ivfIndex(spark, dir).assigned
+      .select(col("vec_id"), col("cell"))
+    val counts = cells
+      .join(Tables.embeddings(spark, dir).select("vec_id", "label"),
+        Seq("vec_id"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("cnt"))
+      .groupBy("cell")
+      .agg(sum("cnt").as("n"),
+        count(lit(1)).as("n_labels"),
+        max(struct(col("cnt").as("c"), (-col("label")).as("nl"))).as("best"),
+        array_sort(collect_list(struct(col("label"), col("cnt"))))
+          .as("dist"))
+    counts
+      .withColumn("top_label", -col("best").getField("nl"))
+      .withColumn("top_frac", expr(
+        "round(CAST(best.c AS DOUBLE) / CAST(n AS DOUBLE)" +
+          " * 1000000.0D, 0) / 1000000.0D"))
+      .withColumn("entropy", expr(
+        "round(-aggregate(dist, 0.0D, (acc, x) -> " +
+          "acc + CAST(x.cnt AS DOUBLE) / CAST(n AS DOUBLE)" +
+          " * ln(CAST(x.cnt AS DOUBLE) / CAST(n AS DOUBLE)))" +
+          " * 1000000.0D, 0) / 1000000.0D"))
+      .select("cell", "n", "n_labels", "top_label", "top_frac", "entropy")
+      .orderBy("cell")
+  }
+
   /** Streaming mixture acceptance: batch-trained rates ride in as a
     * map literal; the filter is a pure row predicate (zero state).
     * Documents from sources UNSEEN at training time are dropped —

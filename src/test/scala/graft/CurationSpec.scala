@@ -81,6 +81,39 @@ class CurationSpec extends SparkSuite {
       got.map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet)
   }
 
+  test("clusterPurity replays the majority/entropy walk") {
+    import graft.operators.Similarity
+    def srd(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    val got = Curation.clusterPurity(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val assign = Similarity.ivfIndex(spark, sfDir).assigned
+      .select("vec_id", "cell").collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val byCell = assign.toSeq.map { case (v, c) => (c, labels(v)) }
+      .groupBy(_._1)
+    assert(got.length == byCell.size)
+    got.foreach { r =>
+      val cell = r.getInt(0)
+      val dist = byCell(cell).groupBy(_._2).map { case (l, g) =>
+        l -> g.length.toLong }
+      val n = dist.values.sum
+      assert(r.getAs[Long]("n") == n, s"$cell n")
+      assert(r.getAs[Long]("n_labels") == dist.size, s"$cell labels")
+      val (topL, topC) = dist.toSeq.maxBy { case (l, c) => (c, -l) }
+      assert(r.getAs[Int]("top_label") == topL, s"$cell top")
+      assert(r.getAs[Double]("top_frac") == srd(topC.toDouble / n), s"$cell frac")
+      val ent = -dist.toSeq.sortBy(_._1).foldLeft(0.0) { case (a, (_, c)) =>
+        a + c.toDouble / n * math.log(c.toDouble / n) }
+      assert(r.getAs[Double]("entropy") == srd(ent), s"$cell entropy")
+      assert(r.getAs[Double]("entropy") >= -1e-9 &&
+        r.getAs[Double]("entropy") <= math.log(dist.size.toDouble) + 1e-9)
+    }
+  }
+
   test("gopherFilters fractions are in [0,1] and verdict matches thresholds") {
     val rows = Curation.gopherFilters(spark, sfDir).collect()
     assert(rows.nonEmpty)
