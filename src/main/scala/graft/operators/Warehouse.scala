@@ -2293,6 +2293,49 @@ object Warehouse {
   def weeklyCandlesSql: String =
     ohlcSql("date_trunc('week', ts)", "week") + "\nORDER BY user_id, week"
 
+  /** Monthly OHLCV candles — the coarsest dashboard window,
+    * completing the hourly/daily/weekly/monthly candle ladder on the
+    * SAME ohlc kernel (one partial aggregate, map-side combine).
+    */
+  def monthlyCandles(spark: SparkSession, dir: String): DataFrame =
+    ohlcBy(spark, dir, to_date(date_trunc("month", col("ts"))).as("month"),
+      "month")
+      .orderBy("user_id", "month")
+
+  def monthlyCandlesSql: String =
+    ohlcSql("date_trunc('month', ts)", "month") + "\nORDER BY user_id, month"
+
+  /** ACTIVITY HEATMAP — the dashboard's weekday × hour traffic panel
+    * over validated ticks: tick count, parsed volume, and the mean
+    * price in EXACT integer micros (Σ price-micros as DECIMAL(38,0)
+    * divided once — the [[vwap]] accounting, so the float is one
+    * deterministic division and hash parity is free). Grid is ≤ 7×24
+    * rows out of ONE partial aggregate.
+    */
+  def activityHeatmap(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("value") > 0 &&
+        !isnan(col("value")) && col("user_id").isNotNull)
+      .withColumn("vol", coalesce(
+        get_json_object(col("props"), "$.k").cast("long"), lit(0L)))
+      .groupBy(dayofweek(col("ts")).as("weekday"), hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_ticks"),
+        sum("vol").as("volume"),
+        (round(sum(round(col("value") * 1e6, 0).cast("decimal(38,0)"))
+          .cast("double") / count(lit(1))) / 1e6).as("avg_price"))
+      .orderBy("weekday", "hour")
+
+  def activityHeatmapSql: String =
+    """SELECT dayofweek(ts) + 1 AS weekday, hour(ts) AS hour,
+      |  count(*) AS n_ticks,
+      |  sum(coalesce(json_extract(props, '$.k')::BIGINT, 0))::BIGINT AS volume,
+      |  round(CAST(sum(round(value * 1000000)::DECIMAL(38,0)) AS DOUBLE)
+      |    / count(*)) / 1000000 AS avg_price
+      |FROM events
+      |WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)
+      |  AND user_id IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Price-distribution histogram per event type: fixed 50-wide value
     * buckets (clamped to [0, 9]) — the dashboard's distribution panel
     * shape. Bucketing is floor arithmetic on the SAME doubles in both

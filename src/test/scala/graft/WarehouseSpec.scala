@@ -55,6 +55,37 @@ class WarehouseSpec extends SparkSuite {
     assert(total == Tables.events(spark, sfDir).count())
   }
 
+  test("monthly candles reconcile with the daily rollup") {
+    import org.apache.spark.sql.functions._
+    val monthly = Warehouse.monthlyCandles(spark, sfDir)
+    // tick conservation (unvalidated kernel, like hourly candles)
+    assert(monthly.agg(sum("n_ticks")).head.getLong(0) ==
+      Tables.events(spark, sfDir).count())
+    // extremes bracket the dashboard daily rollup's extremes
+    val daily = Warehouse.dailyOhlc(spark, sfDir)
+      .withColumn("month", trunc(col("trade_date"), "month"))
+      .groupBy("user_id", "month")
+      .agg(max("high_price").as("dh"), min("low_price").as("dl"))
+    val joined = monthly.join(daily, Seq("user_id", "month")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Double]("high_price") >= r.getAs[Double]("dh") - 1e-9)
+      assert(r.getAs[Double]("low_price") <= r.getAs[Double]("dl") + 1e-9)
+    }
+  }
+
+  test("activityHeatmap covers the grid with exact micro-average prices") {
+    val rows = Warehouse.activityHeatmap(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 7 * 24)
+    assert(rows.map(_.getAs[Long]("n_ticks")).sum ==
+      Warehouse.validateTicks(spark, sfDir).count())
+    rows.foreach { r =>
+      val wd = r.getAs[Int]("weekday"); val h = r.getAs[Int]("hour")
+      assert(wd >= 1 && wd <= 7 && h >= 0 && h <= 23)
+      assert(r.getAs[Double]("avg_price") > 0)
+    }
+  }
+
   test("timeWindowScan enriches with dim and respects limit") {
     val rows = Warehouse.timeWindowScan(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 1000)
