@@ -1057,6 +1057,8 @@ object TickStream extends Serializable {
       // count is trCount − 1, no extra counter)
       tps: List[Double],
       gSum: Double, gW: Double, lSum: Double, lW: Double,
+      // the screener's 20-session close ring (SMA/Bollinger votes)
+      cls: List[Double],
       pending: List[PendingBar])
 
   case class BarRow(user_id: Long, trade_date: java.time.LocalDate,
@@ -1073,7 +1075,8 @@ object TickStream extends Serializable {
       brk_up: Option[Boolean], brk_down: Option[Boolean],
       psar: Option[Double], trend_up: Option[Boolean],
       reversal: Option[Boolean],
-      cci: Option[Double], willr: Option[Double], rsi_14: Option[Double])
+      cci: Option[Double], willr: Option[Double], rsi_14: Option[Double],
+      bull_score: Int, bear_score: Int, net_score: Int)
 
   private def r4s(x: Double): Double = BigDecimal.valueOf(x)
     .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1125,7 +1128,7 @@ object TickStream extends Serializable {
         0L, 0.0, 0.0, 0.0, 0.0, 0.0,
         0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
         0L, 0.0, 0.0, 0L, Nil, Nil, 0, 0.0, 0.0, 0.0,
-        Nil, 0.0, 0.0, 0.0, 0.0, Nil))
+        Nil, 0.0, 0.0, 0.0, 0.0, Nil, Nil))
       var pending = st.pending
       if (!state.hasTimedOut) rows.foreach { t =>
         val m = tsMicros(t.ts)
@@ -1244,15 +1247,18 @@ object TickStream extends Serializable {
             else None
           // one (hi, lo) ring serves stochastic (last 14) AND the
           // Donchian channel (last 20 + the prior-channel breakout)
-          val hiLo = (st.hiLo :+ (hi4, lo4)).takeRight(20)
+          // the ring carries 26 sessions: Aroon reads all 26, the
+          // Donchian channel the last 20, the stochastic the last 14
+          val hiLo = (st.hiLo :+ (hi4, lo4)).takeRight(26)
+          val ring20 = hiLo.takeRight(20)
           val stoch = hiLo.takeRight(14)
           val hi14 = stoch.map(_._1).max
           val lo14 = stoch.map(_._2).min
           // previous session's 20-channel (for the breakout flags):
           // the ring BEFORE this bar, capped at 20
           val prevRing = st.hiLo.takeRight(20)
-          val dcUp = if (trCount >= 20) Some(hiLo.map(_._1).max) else None
-          val dcLo = if (trCount >= 20) Some(hiLo.map(_._2).min) else None
+          val dcUp = if (trCount >= 20) Some(ring20.map(_._1).max) else None
+          val dcLo = if (trCount >= 20) Some(ring20.map(_._2).min) else None
           val dcMid = dcUp.zip(dcLo).map { case (u, l) => r6s((u + l) / 2.0) }
           val brkUp = if (trCount >= 21)
             Some(p.close > prevRing.map(_._1).max) else None
@@ -1338,6 +1344,41 @@ object TickStream extends Serializable {
                 if (gW + lW == 0.0) 50.0
                 else r6scaled(100.0 * gW / (gW + lW)))
           }
+          // the SCREENER votes — the batch q_signal_confluence
+          // comparisons verbatim (RAW folds, multiplication-form
+          // zone tests; the display-rounded cci above serves q_cci,
+          // the raw fold here serves the screener — two contracts)
+          val cls20 = (st.cls :+ p.close).takeRight(20)
+          var bull = 0; var bear = 0
+          if (trCount >= 20) {
+            val sma = cls20.foldLeft(0.0)(_ + _) / 20.0
+            val sd = math.sqrt(
+              cls20.foldLeft(0.0)((a, x) => a + (x - sma) * (x - sma)) / 20.0)
+            if (p.close > sma) bull += 1 else bear += 1
+            if (p.close > sma + 2.0 * sd) bull += 1
+            if (p.close < sma - 2.0 * sd) bear += 1
+            val smaTp = tps20.foldLeft(0.0)(_ + _) / 20.0
+            val mdR = tps20.foldLeft(0.0)((a, x) => a + math.abs(x - smaTp)) / 20.0
+            if (mdR > 0) {
+              if (tpv - smaTp > 1.5 * mdR) bull += 1
+              if (tpv - smaTp < -1.5 * mdR) bear += 1
+            }
+          }
+          if (trCount >= 14 && hi14 > lo14) {
+            if ((p.close - lo14) * 100.0 > 80.0 * (hi14 - lo14)) bull += 1
+            if ((p.close - lo14) * 100.0 < 20.0 * (hi14 - lo14)) bear += 1
+          }
+          if (trCount >= 26) {
+            val hiMax = hiLo.map(_._1).max
+            val loMin = hiLo.map(_._2).min
+            val sinceHi = hiLo.length - 1 - hiLo.lastIndexWhere(_._1 == hiMax)
+            val sinceLo = hiLo.length - 1 - hiLo.lastIndexWhere(_._2 == loMin)
+            if (sinceHi < sinceLo) bull += 1
+            if (sinceLo < sinceHi) bear += 1
+          }
+          brkUp.foreach(b => if (b) bull += 1)
+          brkDown.foreach(b => if (b) bear += 1)
+          psOut.foreach(t => if (t._2) bull += 1 else bear += 1)
           out += BarRow(userId, java.time.LocalDate.ofEpochDay(p.day.toLong),
             p.open, hi4, lo4, p.close, p.nTicks, p.volume, tr,
             if (trCount >= 14) Some(r6scaled(wilder)) else None, signed, obv,
@@ -1349,7 +1390,7 @@ object TickStream extends Serializable {
             if (dxCnt >= 14) Some(r6scaled(adxV)) else None,
             vwap, pctK, pctD, dcUp, dcLo, dcMid, brkUp, brkDown,
             psOut.map(t => r6scaled(t._1)), psOut.map(_._2), psOut.map(_._3),
-            cciOpt, willrOpt, rsiOpt)
+            cciOpt, willrOpt, rsiOpt, bull, bear, bull - bear)
           st = st.copy(lastDay = p.day, hasEmitted = true, hasPrev = true,
             prevClose = p.close, prevHi = hi4, prevLo = lo4,
             trCount = trCount, seedSum = seedSum, wilder = wilder,
@@ -1359,7 +1400,8 @@ object TickStream extends Serializable {
             dxCnt = dxCnt, dxSum = dxSum, adxV = adxV, obv = obv,
             hiLo = hiLo, ks = ks,
             psDir = psDir, psSar = psSar, psEp = psEp, psAf = psAf,
-            tps = tps20, gSum = gSum, gW = gW, lSum = lSum, lW = lW)
+            tps = tps20, gSum = gSum, gW = gW, lSum = lSum, lW = lW,
+            cls = cls20)
         }
         pending = pending.filter(_.day > ready.last.day)
       }

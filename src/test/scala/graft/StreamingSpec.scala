@@ -132,7 +132,7 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
-  test("dailyBarStream bars equal all twelve batch daily-series surfaces") {
+  test("dailyBarStream bars equal all thirteen batch daily-series surfaces") {
     val schema = Tables.events(spark, sfDir).schema
     val maxTs = Warehouse.validTicks(spark, sfDir)
       .agg(max("ts")).head.getTimestamp(0).getTime
@@ -178,13 +178,18 @@ class StreamingSpec extends SparkSuite {
       .join(Warehouse.rsiWilder(spark, sfDir)
         .select("user_id", "trade_date", "rsi_14"),
         Seq("user_id", "trade_date"))
+      .join(Warehouse.signalConfluence(spark, sfDir)
+        .select("user_id", "trade_date", "bull_score", "bear_score",
+          "net_score"),
+        Seq("user_id", "trade_date"))
       .select("user_id", "trade_date", "open_price", "high_price",
         "low_price", "close_price", "n_ticks", "volume", "tr",
         "atr_wilder", "signed_vol", "obv", "ema_20", "atr_10",
         "kc_upper", "kc_lower", "di_plus", "di_minus", "dx", "adx",
         "vwap", "pct_k", "pct_d", "dc_upper", "dc_lower", "dc_mid",
         "brk_up", "brk_down", "psar", "trend_up", "reversal",
-        "cci", "willr", "rsi_14")
+        "cci", "willr", "rsi_14", "bull_score", "bear_score",
+        "net_score")
     for ((delay, delayMs, nParts) <- Seq(
         ("10 minutes", 10L * 60000L, 2),
         ("10 minutes", 10L * 60000L, 4),
