@@ -408,6 +408,33 @@ class PlanSpec extends SparkSuite {
       "clusterLabels must not sort-merge-join the token stream")
   }
 
+  test("volume-tier and screener queries keep their scale shapes") {
+    import graft.operators.Warehouse
+    // moneyFlow / volumeProfile / activityHeatmap: ONE partial
+    // aggregate off the tick scan (map-side combine), windows only
+    // over the bounded aggregate, no join
+    for ((name, df, maxEx) <- Seq(
+        ("moneyFlow", Warehouse.moneyFlow(spark, sfDir), 3),
+        ("volumeProfile", Warehouse.volumeProfile(spark, sfDir), 3),
+        ("activityHeatmap", Warehouse.activityHeatmap(spark, sfDir), 3))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_"),
+        s"$name aggregate must combine map-side")
+      assert(!plan.contains("Join"), s"$name must not join")
+      val hashEx = "hashpartitioning".r.findAllIn(plan).length
+      assert(hashEx <= maxEx, s"$name exchanges: $hashEx > $maxEx")
+    }
+    // the screener: one window pass + ONE day-row join to the SAR
+    // fold — the join must be day-row-sized on both sides (a
+    // SortMergeJoin on day rows is acceptable; what must NOT happen
+    // is a second scan-side shuffle of ticks beyond the two OHLC
+    // aggregates per branch)
+    val sc = Warehouse.signalConfluence(spark, sfDir)
+    val scPlan = sc.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(scPlan).length
+    assert(scans <= 2, s"screener must scan ticks at most twice, got $scans")
+  }
+
   test("ngramNovelty shuffles the corpus-scale gram set exactly once") {
     // the explicit repartition on gram must serve BOTH the
     // (doc_id, gram) distinct and the first-seen window — without it
