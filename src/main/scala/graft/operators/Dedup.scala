@@ -67,6 +67,92 @@ object Dedup {
       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
       |ORDER BY doc_a""".stripMargin
 
+  /** ASYMMETRIC CONTAINMENT — the subset-duplication detector
+    * symmetric Jaccard misses (a short doc quoted verbatim inside a
+    * long one scores low Jaccard but containment ≈ 1 on the short
+    * side): candidate pairs come from a RARE-GRAM inverted index
+    * (distinct 8-word shingles with document frequency in [2, 4] —
+    * the df cap bounds per-gram fanout, the production knob at
+    * 100 TB), then each pair scores |Sa∩Sb|/|Sa| and /|Sb| over the
+    * full shingle sets. subset_dup flags max-containment ≥ 0.8.
+    *
+    * Scale shape: gram-keyed shuffle for the index (distinct grams
+    * per doc, map-side), df-capped self-join emits only colliding
+    * pairs (never all-pairs), then two doc-keyed joins pull the
+    * shingle arrays to the pair rows. Integer set sizes → exact;
+    * the two divisions take the scaled display round.
+    */
+  def containment(spark: SparkSession, dir: String): DataFrame =
+    containmentDocs(Tables.documents(spark, dir))
+
+  private[graft] def containmentDocs(docs: DataFrame): DataFrame = {
+    val grams = docs.select(col("doc_id"), expr(
+      """array_distinct(CASE WHEN size(split(trim(text), '\\s+')) >= 8 THEN
+        |  transform(
+        |    sequence(1, size(split(trim(text), '\\s+')) - 7),
+        |    i -> concat_ws(' ', slice(split(trim(text), '\\s+'), i, 8)))
+        |ELSE array() END""".stripMargin + ")").as("grams"))
+    val inv = grams
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+      .filter(col("df") >= 2 && col("df") <= 4)
+    val pairs = inv.as("x").join(inv.as("y"), col("x.gram") === col("y.gram"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val ga = grams.toDF("doc_a", "grams_a")
+    val gb = grams.toDF("doc_b", "grams_b")
+    pairs.join(ga, Seq("doc_a")).join(gb, Seq("doc_b"))
+      .withColumn("n_shared",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("long"))
+      .withColumn("cont_a", expr(
+        "round(CAST(n_shared AS DOUBLE) / size(grams_a)" +
+          " * 1000000.0D, 0) / 1000000.0D"))
+      .withColumn("cont_b", expr(
+        "round(CAST(n_shared AS DOUBLE) / size(grams_b)" +
+          " * 1000000.0D, 0) / 1000000.0D"))
+      .withColumn("subset_dup",
+        greatest(col("cont_a"), col("cont_b")) >= 0.8)
+      .select("doc_a", "doc_b", "n_shared", "cont_a", "cont_b", "subset_dup")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def containmentSql: String =
+    """WITH g AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 8 THEN
+      |    list_transform(range(1, len(ws) - 7 + 1), i ->
+      |      ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]
+      |      || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' || ws[i+6]
+      |      || ' ' || ws[i+7])
+      |    ELSE [] END) AS grams
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |        FROM documents)
+      |), inv AS (
+      |  SELECT doc_id, unnest(grams) AS gram FROM g
+      |), capped AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+      |    FROM inv) WHERE df BETWEEN 2 AND 4
+      |), pairs AS (
+      |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      |  FROM capped x JOIN capped y
+      |    ON x.gram = y.gram AND x.doc_id < y.doc_id
+      |)
+      |SELECT doc_a, doc_b,
+      |  len(list_intersect(a.grams, b.grams))::BIGINT AS n_shared,
+      |  round(len(list_intersect(a.grams, b.grams))::DOUBLE / len(a.grams)
+      |    * 1000000.0, 0) / 1000000.0 AS cont_a,
+      |  round(len(list_intersect(a.grams, b.grams))::DOUBLE / len(b.grams)
+      |    * 1000000.0, 0) / 1000000.0 AS cont_b,
+      |  greatest(
+      |    round(len(list_intersect(a.grams, b.grams))::DOUBLE / len(a.grams)
+      |      * 1000000.0, 0) / 1000000.0,
+      |    round(len(list_intersect(a.grams, b.grams))::DOUBLE / len(b.grams)
+      |      * 1000000.0, 0) / 1000000.0) >= 0.8 AS subset_dup
+      |FROM pairs JOIN g a ON a.doc_id = doc_a JOIN g b ON b.doc_id = doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------------- minhash
 
   private val NumHashes = 32

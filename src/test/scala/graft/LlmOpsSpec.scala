@@ -5,6 +5,34 @@ import org.apache.spark.sql.functions._
 
 class LlmOpsSpec extends SparkSuite {
 
+  test("containment catches a planted verbatim quote that Jaccard misses") {
+    import spark.implicits._
+    val quote = (1 to 12).map(i => s"quoted$i").mkString(" ")
+    val longDoc = (1 to 60).map(i => s"host$i").mkString(" ") +
+      " " + quote + " " + (61 to 120).map(i => s"host$i").mkString(" ")
+    val unrelated = (1 to 40).map(i => s"other$i").mkString(" ")
+    val docs = Seq(
+      (1L, longDoc), (2L, quote), (3L, unrelated),
+      // a short doc (< 8 words) must contribute no grams and no pair
+      (4L, "tiny doc under eight words total here")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.containmentDocs(docs).collect()
+    // exactly the (long, quote) pair collides on the quote's grams
+    assert(rows.length == 1, rows.mkString(";"))
+    val r = rows.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    // the quote's 12 words yield 5 8-grams, all inside the long doc
+    assert(r.getAs[Long]("n_shared") == 5)
+    assert(r.getAs[Double]("cont_b") == 1.0, "short side fully contained")
+    assert(r.getAs[Double]("cont_a") < 0.1, "long side barely overlaps")
+    assert(r.getAs[Boolean]("subset_dup"), "subset flag must fire")
+    // symmetric Jaccard over the same sets would score ~0.04 — the
+    // case the asymmetric score exists for
+    val ja = r.getAs[Long]("n_shared").toDouble /
+      (125 + 5 - r.getAs[Long]("n_shared"))
+    assert(ja < 0.1)
+  }
+
   test("char_ngrams equals the declarative HOF formulation, incl. unicode") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
