@@ -65,6 +65,62 @@ object TextOps {
       |  CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_approx_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** TOKENIZER FERTILITY REPORT — tokens-per-word and chars-per-token
+    * by (lang, source): the table a tokenizer owner reads to spot
+    * segments the vocabulary serves poorly (high fertility = more
+    * compute per word of signal; the multilingual-tokenizer audit).
+    * Rides [[tokenCount]]'s exact integer counts — the three ratios
+    * are each ONE division of exact Long sums (scaled display round),
+    * so hash parity is free.
+    *
+    * Scale shape: per-doc narrow counts collapse into a
+    * (lang × source)-sized partial aggregate — map-side combine, one
+    * tiny shuffle.
+    */
+  def tokenFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(words(col("text"))).as("ws"),
+        regexp_count(col("text"),
+          lit("[a-z]+|[0-9]|[^a-z0-9 \\t\\n]")).as("bpe"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws").as("ws_tokens"), sum("bpe").as("bpe_tokens"),
+        sum("n_chars").as("chars"))
+      .withColumn("fertility", expr(
+        "round(CAST(bpe_tokens AS DOUBLE) / ws_tokens" +
+          " * 1000000.0D, 0) / 1000000.0D"))
+      .withColumn("chars_per_token", expr(
+        "round(CAST(chars AS DOUBLE) / bpe_tokens" +
+          " * 1000000.0D, 0) / 1000000.0D"))
+      .withColumn("tokens_per_doc", expr(
+        "round(CAST(bpe_tokens AS DOUBLE) / n_docs" +
+          " * 1000000.0D, 0) / 1000000.0D"))
+      .select("lang", "source", "n_docs", "ws_tokens", "bpe_tokens",
+        "chars", "fertility", "chars_per_token", "tokens_per_doc")
+      .orderBy("lang", "source")
+
+  def tokenFertilitySql: String =
+    """WITH c AS (
+      |  SELECT lang, source, n_chars,
+      |    len(string_split_regex(trim(text), '\s+')) AS ws,
+      |    len(regexp_extract_all(text, '[a-z]+|[0-9]|[^a-z0-9 \t\n]')) AS bpe
+      |  FROM documents
+      |), g AS (
+      |  SELECT lang, source, count(*) AS n_docs,
+      |    sum(ws)::BIGINT AS ws_tokens, sum(bpe)::BIGINT AS bpe_tokens,
+      |    sum(n_chars)::BIGINT AS chars
+      |  FROM c GROUP BY 1, 2
+      |)
+      |SELECT lang, source, n_docs, ws_tokens, bpe_tokens, chars,
+      |  round(bpe_tokens::DOUBLE / ws_tokens * 1000000.0, 0) / 1000000.0
+      |    AS fertility,
+      |  round(chars::DOUBLE / bpe_tokens * 1000000.0, 0) / 1000000.0
+      |    AS chars_per_token,
+      |  round(bpe_tokens::DOUBLE / n_docs * 1000000.0, 0) / 1000000.0
+      |    AS tokens_per_doc
+      |FROM g ORDER BY lang, source""".stripMargin
+
   /** Document token-LENGTH DISTRIBUTION in power-of-two buckets — the
     * sequence-length profile that sizes packing budgets, batch
     * shapes, and length-based curricula before a training run. The

@@ -5,6 +5,26 @@ import org.apache.spark.sql.functions._
 
 class LlmOpsSpec extends SparkSuite {
 
+  test("tokenFertility reconciles with per-doc token counts") {
+    val got = TextOps.tokenFertility(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val perDoc = TextOps.tokenCount(spark, sfDir)
+      .join(Tables.documents(spark, sfDir).select("doc_id", "lang", "source"),
+        Seq("doc_id")).collect()
+      .groupBy(r => (r.getAs[String]("lang"), r.getAs[String]("source")))
+    assert(got.length == perDoc.size)
+    got.foreach { r =>
+      val g = perDoc((r.getString(0), r.getString(1)))
+      assert(r.getAs[Long]("n_docs") == g.length)
+      assert(r.getAs[Long]("ws_tokens") ==
+        g.map(_.getAs[Int]("n_ws_tokens").toLong).sum)
+      assert(r.getAs[Long]("bpe_tokens") ==
+        g.map(_.getAs[Int]("n_bpe_tokens").toLong).sum)
+      assert(r.getAs[Double]("fertility") >= 0.9,
+        "bpe tokens can hardly undercount whitespace words")
+    }
+  }
+
   test("containment catches a planted verbatim quote that Jaccard misses") {
     import spark.implicits._
     val quote = (1 to 12).map(i => s"quoted$i").mkString(" ")
