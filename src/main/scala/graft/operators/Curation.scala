@@ -1835,6 +1835,47 @@ object Curation {
       |FROM rep JOIN q ON rep.doc_id = q.doc_id
       |ORDER BY rep.doc_id""".stripMargin
 
+  /** INSPECTION SHEET — the spot-check sample every filter change
+    * ships with: K deterministic documents per (source, verdict)
+    * cell of the Gopher chain, chosen by the mixture sampler's
+    * content-independent doc_id hash (re-runs reproduce the same
+    * sheet; the reviewer sees kept AND dropped examples from every
+    * source). Snippets are the first 80 chars — the eyeball column.
+    *
+    * Scale shape: verdicts are per-doc narrow work; the rank window
+    * runs per (source, verdict) — cells scale with sources; output
+    * is sources × 2 × K rows.
+    */
+  def sampleInspection(spark: SparkSession, dir: String,
+      k: Int = 3): DataFrame = {
+    val prio = (col("doc_id") % lit(1000003L)) * lit(2654435761L) % lit(1000000L)
+    val w = Window.partitionBy("source", "keep_doc")
+      .orderBy(prio, col("doc_id"))
+    gopherChain(spark, dir).select("doc_id", "keep_doc")
+      .join(Tables.documents(spark, dir).select("doc_id", "source", "text"),
+        Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("keep_doc"), col("rk"), col("doc_id"),
+        substring(col("text"), 1, 80).as("snippet"))
+      .orderBy("source", "keep_doc", "rk")
+  }
+
+  def sampleInspectionSql: String =
+    s"""WITH $gopherChainCtes, v AS (
+      |  SELECT rep.doc_id, (keep_rep AND keep_quality) AS keep_doc
+      |  FROM rep JOIN q ON rep.doc_id = q.doc_id
+      |), r AS (
+      |  SELECT d.source, v.keep_doc, v.doc_id,
+      |    substring(d.text, 1, 80) AS snippet,
+      |    row_number() OVER (PARTITION BY d.source, v.keep_doc
+      |      ORDER BY (v.doc_id % 1000003 * 2654435761) % 1000000,
+      |        v.doc_id) AS rk
+      |  FROM v JOIN documents d ON d.doc_id = v.doc_id
+      |)
+      |SELECT source, keep_doc, rk, doc_id, snippet
+      |FROM r WHERE rk <= 3 ORDER BY source, keep_doc, rk""".stripMargin
+
   // ------------------------------------------------------ C4 cleaning
 
   /** C4 page-level LINE CLEANING (Raffel et al. 2020 §2.2 — the other

@@ -114,6 +114,33 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("sampleInspection picks the deterministic lowest-hash docs per cell") {
+    val got = Curation.sampleInspection(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    def prio(id: Long) = id % 1000003L * 2654435761L % 1000000L
+    val verdicts = Curation.gopherChain(spark, sfDir)
+      .select("doc_id", "keep_doc").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val src = Tables.documents(spark, sfDir).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cells = verdicts.toSeq.map { case (id, k) => ((src(id), k), id) }
+      .groupBy(_._1)
+    got.groupBy(r => (r.getString(0), r.getBoolean(1))).foreach {
+      case (cell, rows) =>
+        val exp = cells(cell).map(_._2).sortBy(id => (prio(id), id)).take(3)
+        assert(rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq == exp.toSeq,
+          s"cell $cell")
+    }
+    // every verdict the corpus produces is represented (at sf0.001
+    // everything fails the 50-word floor, so one cell per source is
+    // the correct sheet there)
+    assert(got.map(_.getBoolean(1)).distinct.sorted.toSeq ==
+      verdicts.values.toSeq.distinct.sorted)
+    // re-run reproduces the sheet
+    assert(Curation.sampleInspection(spark, sfDir).collect()
+      .map(_.toString).toSeq == got.map(_.toString).toSeq)
+  }
+
   test("gopherFilters fractions are in [0,1] and verdict matches thresholds") {
     val rows = Curation.gopherFilters(spark, sfDir).collect()
     assert(rows.nonEmpty)
