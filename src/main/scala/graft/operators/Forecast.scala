@@ -594,6 +594,80 @@ object Forecast {
     * (the forecasts + conf_int surface of arima_forecasting.py:182-230
     * that the dashboard's fetch_arima_forecasts displays).
     */
+  /** HOLT'S LINEAR-TREND exponential smoothing over the validated
+    * daily closes — the classical local-level + local-trend
+    * forecaster between [[linregTrend]]'s global line and the ARIMA
+    * grid: l_t = α·y_t + (1−α)·(l+b), b_t = β·(l_t − l_{t−1}) +
+    * (1−β)·b (α = 0.5, β = 0.3, fixed and documented — structure,
+    * not tuning, is the operator), seeded l₂ = y₂, b₂ = y₂ − y₁;
+    * the forecast column is the one-step-ahead l + b. Live from
+    * session 2; session 1 carries NULL state.
+    *
+    * Scale shape: one symbol shuffle into sorted close arrays, a
+    * single O(days) struct-state `aggregate` fold per symbol,
+    * re-explode. The oracle replays the identical float ops via the
+    * psar-style recursive CTE (two mutually-recursive state fields —
+    * the DuckDB list_reduce lambda defect territory, so row
+    * recursion by construction). Scaled display round on the three
+    * emitted floats.
+    */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    val sr = "round(%s * 1000000.0D, 0) / 1000000.0D"
+    val stT = "STRUCT<l: DOUBLE, b: DOUBLE>"
+    Warehouse.validDailyOhlc(spark, dir)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(
+        col("trade_date").as("ddate"), col("close_price").as("cls"))))
+        .as("days"))
+      .withColumn("states", expr(
+        s"""CASE WHEN size(days) >= 2 THEN aggregate(
+           |  slice(days, 3, size(days) - 2),
+           |  array(named_struct(
+           |    'l', element_at(days, 2).cls,
+           |    'b', element_at(days, 2).cls - element_at(days, 1).cls)),
+           |  (acc, d) -> concat(acc, array(named_struct(
+           |    'l', 0.5D * d.cls + 0.5D *
+           |      (element_at(acc, -1).l + element_at(acc, -1).b),
+           |    'b', 0.3D * ((0.5D * d.cls + 0.5D *
+           |      (element_at(acc, -1).l + element_at(acc, -1).b))
+           |      - element_at(acc, -1).l) + 0.7D * element_at(acc, -1).b))))
+           |ELSE CAST(array() AS ARRAY<$stT>) END""".stripMargin))
+      .withColumn("states_f", expr(
+        s"concat(array(CAST(NULL AS $stT)), states)"))
+      .select(col("user_id"), expr("inline(arrays_zip(days, states_f))"))
+      .select(col("user_id"), col("days.ddate").as("trade_date"),
+        col("days.cls").as("close_price"),
+        expr(sr.format("states_f.l")).as("level"),
+        expr(sr.format("states_f.b")).as("trend"),
+        expr(sr.format("(states_f.l + states_f.b)")).as("fcst_next"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def holtForecastSql: String =
+    s"""WITH RECURSIVE ohlc AS (
+       |${Warehouse.validDailyOhlcSql}
+       |), n AS (
+       |  SELECT user_id, trade_date, close_price AS cls,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+       |  FROM ohlc
+       |), st AS (
+       |  SELECT b2.user_id, 2::BIGINT AS rn, b2.cls AS l,
+       |    b2.cls - b1.cls AS b
+       |  FROM n b1 JOIN n b2
+       |    ON b1.user_id = b2.user_id AND b1.rn = 1 AND b2.rn = 2
+       |  UNION ALL
+       |  SELECT a.user_id, a.rn + 1,
+       |    0.5 * y.cls + 0.5 * (a.l + a.b),
+       |    0.3 * ((0.5 * y.cls + 0.5 * (a.l + a.b)) - a.l) + 0.7 * a.b
+       |  FROM st a JOIN n y ON y.user_id = a.user_id AND y.rn = a.rn + 1
+       |)
+       |SELECT n.user_id, n.trade_date, n.cls AS close_price,
+       |  round(st.l * 1000000.0, 0) / 1000000.0 AS level,
+       |  round(st.b * 1000000.0, 0) / 1000000.0 AS trend,
+       |  round((st.l + st.b) * 1000000.0, 0) / 1000000.0 AS fcst_next
+       |FROM n LEFT JOIN st ON st.user_id = n.user_id AND st.rn = n.rn
+       |ORDER BY n.user_id, n.trade_date""".stripMargin
+
   def arimaForecast(spark: SparkSession, dir: String): DataFrame =
     arimaForecastBase(spark, dir).orderBy("user_id")
 

@@ -2062,6 +2062,12 @@ object Warehouse {
         round(sum("value"), 4).as("turnover"))
   }
 
+  /** The validated daily-OHLC CTE body — shared with the Forecast
+    * oracles so "daily close" is one SQL definition engine-wide.
+    */
+  private[operators] def validDailyOhlcSql: String =
+    ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)
+
   private def ohlcSql(bucketExpr: String, bucketName: String,
       validated: Boolean = false): String =
     s"""SELECT user_id, $bucketName,

@@ -5,6 +5,37 @@ import org.apache.spark.sql.functions.col
 
 class ForecastSpec extends SparkSuite {
 
+  test("holtForecast equals a driver-side level/trend walk") {
+    def srd(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    val closes = graft.operators.Warehouse.validDailyOhlc(spark, sfDir)
+      .select("user_id", "trade_date", "close_price").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (u, g) => u -> g.sortBy(_._2.getTime) }
+    val got = Forecast.holtForecast(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == closes.values.map(_.size).sum)
+    closes.foreach { case (uid, days) =>
+      var (l, b) = (0.0, 0.0)
+      days.zipWithIndex.foreach { case ((_, d, y), i) =>
+        val r = got((uid, d))
+        if (i == 0) assert(r.isNullAt(r.fieldIndex("level")), s"$uid/$d seed")
+        else {
+          if (i == 1) { l = y; b = y - days(0)._3 }
+          else {
+            val nl = 0.5 * y + 0.5 * (l + b)
+            b = 0.3 * (nl - l) + 0.7 * b
+            l = nl
+          }
+          assert(r.getAs[Double]("level") == srd(l), s"$uid/$d level")
+          assert(r.getAs[Double]("trend") == srd(b), s"$uid/$d trend")
+          assert(r.getAs[Double]("fcst_next") == srd(l + b), s"$uid/$d fcst")
+        }
+      }
+    }
+  }
+
   test("olsFit recovers exact linear relationship") {
     val xs = Array(Array(1.0, 2.0), Array(2.0, 1.0), Array(3.0, 5.0), Array(4.0, 0.0))
     val ys = xs.map(x => 3.0 + 2.0 * x(0) - 0.5 * x(1))
