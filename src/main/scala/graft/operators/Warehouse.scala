@@ -1767,6 +1767,72 @@ object Warehouse {
        |ORDER BY user_id, trade_date""".stripMargin
   }
 
+  /** EWMA VOLATILITY — the RiskMetrics exponentially-weighted
+    * variance (λ = 0.94) over daily log returns, annualized √252:
+    * the recency-weighted dual of q_volatility's equal-weight
+    * population std (producer history semantics). σ²_t = λ·σ²_{t−1}
+    * + (1−λ)·r_t², seeded at the first return's square; returns are
+    * ln(c_t/c_{t−1}) rounded 6 (the fold tier's input-rounding
+    * convention) so both engines fold identical doubles. Live from
+    * session 2.
+    *
+    * The atrWilder shape: one symbol shuffle, one O(days) fold, the
+    * oracle replays via list_reduce prefix folds (simple linear IIR
+    * — safe from the DuckDB lambda defect).
+    */
+  def ewmaVol(spark: SparkSession, dir: String): DataFrame = {
+    val sr = "round(%s * 1000000.0D, 0) / 1000000.0D"
+    validDailyOhlc(spark, dir)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(
+        col("trade_date").as("ddate"), col("close_price").as("cls"))))
+        .as("days"))
+      .withColumn("rets", expr(
+        "zip_with(slice(days, 2, size(days) - 1), " +
+          "slice(days, 1, size(days) - 1), " +
+          "(b, a) -> round(ln(b.cls / a.cls), 6))"))
+      .withColumn("vars", expr(
+        """CASE WHEN size(rets) >= 1 THEN aggregate(
+          |  slice(rets, 2, size(rets) - 1),
+          |  array(element_at(rets, 1) * element_at(rets, 1)),
+          |  (acc, r) -> concat(acc, array(
+          |    0.94D * element_at(acc, -1) + 0.06D * r * r)))
+          |ELSE array() END""".stripMargin))
+      .withColumn("vol_f", expr(
+        "concat(array(CAST(NULL AS DOUBLE)), transform(vars, v -> " +
+          sr.format("sqrt(v * 252.0D)") + "))"))
+      .select(col("user_id"), expr("inline(arrays_zip(days, vol_f))"))
+      .select(col("user_id"), col("days.ddate").as("trade_date"),
+        col("days.cls").as("close_price"),
+        col("vol_f").as("ewma_vol"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def ewmaVolSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), q AS (
+       |  SELECT user_id,
+       |    list(trade_date ORDER BY trade_date) AS dts,
+       |    list(close_price ORDER BY trade_date) AS cls
+       |  FROM ohlc GROUP BY user_id
+       |), g AS (
+       |  SELECT user_id, dts, cls,
+       |    list_transform(generate_series(2, len(cls)), i ->
+       |      round(ln(cls[i] / cls[i-1]), 6)) AS rets
+       |  FROM q
+       |)
+       |SELECT user_id, unnest(dts) AS trade_date, unnest(cls) AS close_price,
+       |  unnest(list_transform(generate_series(1, len(cls)), t ->
+       |    CASE WHEN t < 2 THEN NULL
+       |    ELSE round(sqrt(list_reduce(
+       |      list_prepend(rets[1] * rets[1], rets[2:(t - 1)]),
+       |      (a, r) -> 0.94 * a + 0.06 * r * r) * 252.0)
+       |      * 1000000.0, 0) / 1000000.0
+       |    END)) AS ewma_vol
+       |FROM g
+       |ORDER BY user_id, trade_date""".stripMargin
+
   /** MONEY FLOW — the volume-flow pair next to [[obv]]/[[vwap]]:
     * MFI-14 (volume-weighted RSI: positive/negative typical-price
     * money flows over a 14-session window, MFI = 100·pos/(pos+neg),

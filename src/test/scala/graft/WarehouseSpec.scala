@@ -1166,6 +1166,31 @@ class WarehouseSpec extends SparkSuite {
     }
   }
 
+  test("ewmaVol equals a driver-side RiskMetrics walk") {
+    def srd(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    val daily = driverDailyOhlc
+    val got = Warehouse.ewmaVol(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == daily.values.map(_.length).sum)
+    daily.foreach { case (uid, days) =>
+      val cls = days.map(_._4)
+      val rets = cls.indices.drop(1).map(i => r6(math.log(cls(i) / cls(i - 1))))
+      var v = 0.0
+      days.zipWithIndex.foreach { case ((d, _, _, _), i) =>
+        val r = got((uid, d))
+        val vol = Option(r.getAs[java.lang.Double]("ewma_vol")).map(_.toDouble)
+        if (i == 0) assert(vol.isEmpty, s"$uid/$d seed")
+        else {
+          v = if (i == 1) rets(0) * rets(0)
+              else 0.94 * v + 0.06 * rets(i - 1) * rets(i - 1)
+          assert(vol.contains(srd(math.sqrt(v * 252.0))), s"$uid/$d vol")
+          assert(vol.get >= 0.0)
+        }
+      }
+    }
+  }
+
   test("moneyFlow equals a driver-side integer-micros walk") {
     def srd(x: Double) = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
