@@ -1059,6 +1059,8 @@ object TickStream extends Serializable {
       gSum: Double, gW: Double, lSum: Double, lW: Double,
       // the screener's 20-session close ring (SMA/Bollinger votes)
       cls: List[Double],
+      // Holt level/trend and the RiskMetrics EWMA variance
+      hl: Double, hb: Double, ev: Double,
       pending: List[PendingBar])
 
   case class BarRow(user_id: Long, trade_date: java.time.LocalDate,
@@ -1076,7 +1078,9 @@ object TickStream extends Serializable {
       psar: Option[Double], trend_up: Option[Boolean],
       reversal: Option[Boolean],
       cci: Option[Double], willr: Option[Double], rsi_14: Option[Double],
-      bull_score: Int, bear_score: Int, net_score: Int)
+      bull_score: Int, bear_score: Int, net_score: Int,
+      level: Option[Double], trend: Option[Double],
+      fcst_next: Option[Double], ewma_vol: Option[Double])
 
   private def r4s(x: Double): Double = BigDecimal.valueOf(x)
     .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1128,7 +1132,7 @@ object TickStream extends Serializable {
         0L, 0.0, 0.0, 0.0, 0.0, 0.0,
         0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
         0L, 0.0, 0.0, 0L, Nil, Nil, 0, 0.0, 0.0, 0.0,
-        Nil, 0.0, 0.0, 0.0, 0.0, Nil, Nil))
+        Nil, 0.0, 0.0, 0.0, 0.0, Nil, 0.0, 0.0, 0.0, Nil))
       var pending = st.pending
       if (!state.hasTimedOut) rows.foreach { t =>
         val m = tsMicros(t.ts)
@@ -1379,6 +1383,22 @@ object TickStream extends Serializable {
           brkUp.foreach(b => if (b) bull += 1)
           brkDown.foreach(b => if (b) bear += 1)
           psOut.foreach(t => if (t._2) bull += 1 else bear += 1)
+          // Holt level/trend + EWMA variance — the batch fold orders
+          var (hl, hb, ev) = (st.hl, st.hb, st.ev)
+          var holtOut: Option[(Double, Double)] = None
+          var evOut: Option[Double] = None
+          if (st.hasPrev) {
+            if (trCount == 2) { hl = p.close; hb = p.close - st.prevClose }
+            else {
+              val nl = 0.5 * p.close + 0.5 * (hl + hb)
+              hb = 0.3 * (nl - hl) + 0.7 * hb
+              hl = nl
+            }
+            holtOut = Some((hl, hb))
+            val rr = r6s(math.log(p.close / st.prevClose))
+            ev = if (trCount == 2) rr * rr else 0.94 * ev + 0.06 * rr * rr
+            evOut = Some(r6scaled(math.sqrt(ev * 252.0)))
+          }
           out += BarRow(userId, java.time.LocalDate.ofEpochDay(p.day.toLong),
             p.open, hi4, lo4, p.close, p.nTicks, p.volume, tr,
             if (trCount >= 14) Some(r6scaled(wilder)) else None, signed, obv,
@@ -1390,7 +1410,9 @@ object TickStream extends Serializable {
             if (dxCnt >= 14) Some(r6scaled(adxV)) else None,
             vwap, pctK, pctD, dcUp, dcLo, dcMid, brkUp, brkDown,
             psOut.map(t => r6scaled(t._1)), psOut.map(_._2), psOut.map(_._3),
-            cciOpt, willrOpt, rsiOpt, bull, bear, bull - bear)
+            cciOpt, willrOpt, rsiOpt, bull, bear, bull - bear,
+            holtOut.map(t => r6scaled(t._1)), holtOut.map(t => r6scaled(t._2)),
+            holtOut.map(t => r6scaled(t._1 + t._2)), evOut)
           st = st.copy(lastDay = p.day, hasEmitted = true, hasPrev = true,
             prevClose = p.close, prevHi = hi4, prevLo = lo4,
             trCount = trCount, seedSum = seedSum, wilder = wilder,
@@ -1401,7 +1423,7 @@ object TickStream extends Serializable {
             hiLo = hiLo, ks = ks,
             psDir = psDir, psSar = psSar, psEp = psEp, psAf = psAf,
             tps = tps20, gSum = gSum, gW = gW, lSum = lSum, lW = lW,
-            cls = cls20)
+            cls = cls20, hl = hl, hb = hb, ev = ev)
         }
         pending = pending.filter(_.day > ready.last.day)
       }
