@@ -1091,12 +1091,20 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** The deterministic multiplicative doc_id priority hash — ONE
+    * definition for every sampler/cap that promises reproducibility
+    * ([[mixtureAccept]], [[clusterCap]], [[sampleInspection]],
+    * [[dsirResampleDocs]]'s uniform leg).
+    */
+  private[graft] def docPrio(docId: Column): Column =
+    docId % lit(1000003L) * lit(2654435761L) % lit(1000000L)
+
   /** The deterministic per-document acceptance test (multiplicative
     * doc_id hash vs a ppm rate) — ONE definition so batch and stream
     * cannot drift.
     */
   private[graft] def mixtureAccept(docId: Column, acceptPpm: Column): Column =
-    (docId % 1000003L * lit(2654435761L)) % 1000000L < acceptPpm
+    docPrio(docId) < acceptPpm
 
   /** Batch-side training output for the streaming sampler: the rates
     * as a driver map (a handful of sources — always collectable).
@@ -1148,14 +1156,15 @@ object Curation {
     val cellTotals = Window.partitionBy("cell")
     val termTotals = Window.partitionBy("term")
     val nCells = idx.centers.count().toDouble
+    // A = avg tokens per cell = total/nCells; the corpus total joins
+    // as a BROADCAST of one aggregated row (the doc_length_hist
+    // idiom — a lit(1)-partitioned window here would shuffle the
+    // whole cells × vocabulary table through one task)
+    val total = cellTerm.agg(sum("ctf").as("total_tokens"))
     val scored = cellTerm
       .withColumn("cell_tokens", sum("ctf").over(cellTotals))
       .withColumn("f_t", sum("ctf").over(termTotals))
-      // A = avg tokens per cell = total/nCells; the ln argument uses
-      // exact long counts so both the query and the spec replay the
-      // identical doubles
-      .withColumn("total_tokens",
-        sum("ctf").over(Window.partitionBy(lit(1))))
+      .crossJoin(broadcast(total))
       .withColumn("score", round(
         col("ctf") / col("cell_tokens") *
           log(lit(1.0) + col("total_tokens") / lit(nCells) / col("f_t")), 8))
@@ -1187,9 +1196,8 @@ object Curation {
   def clusterCap(spark: SparkSession, dir: String, cap: Int = 64): DataFrame = {
     val cells = graft.operators.Similarity.ivfIndex(spark, dir).assigned
       .select(col("vec_id").as("doc_id"), col("cell"))
-    val prio = (col("doc_id") % lit(1000003L)) * lit(2654435761L) % lit(1000000L)
     val w = Window.partitionBy("cell")
-      .orderBy(prio, col("doc_id"))
+      .orderBy(docPrio(col("doc_id")), col("doc_id"))
     cells
       .withColumn("n_cell", count(lit(1)).over(Window.partitionBy("cell")))
       .withColumn("cell_rank", row_number().over(w))
@@ -1624,8 +1632,7 @@ object Curation {
     // dual counts corpus rows for the same reason. toIntExact: a
     // >8.6B-doc corpus must fail loudly, not wrap the limit.
     val k = math.toIntExact(docs.count() / 4)
-    val u = ((col("doc_id") % lit(1000003L)) * lit(2654435761L)
-      % lit(1000000L) + lit(0.5)) / lit(1e6)
+    val u = (docPrio(col("doc_id")) + lit(0.5)) / lit(1e6)
     importanceWeightsDocs(docs)
       .withColumn("sample_key", round(col("log_weight") - log(-log(u)), 6))
       .orderBy(col("sample_key").desc, col("doc_id"))
@@ -1848,9 +1855,8 @@ object Curation {
     */
   def sampleInspection(spark: SparkSession, dir: String,
       k: Int = 3): DataFrame = {
-    val prio = (col("doc_id") % lit(1000003L)) * lit(2654435761L) % lit(1000000L)
     val w = Window.partitionBy("source", "keep_doc")
-      .orderBy(prio, col("doc_id"))
+      .orderBy(docPrio(col("doc_id")), col("doc_id"))
     gopherChain(spark, dir).select("doc_id", "keep_doc")
       .join(Tables.documents(spark, dir).select("doc_id", "source", "text"),
         Seq("doc_id"))

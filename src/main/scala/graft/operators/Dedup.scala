@@ -86,12 +86,15 @@ object Dedup {
     containmentDocs(Tables.documents(spark, dir))
 
   private[graft] def containmentDocs(docs: DataFrame): DataFrame = {
-    val grams = docs.select(col("doc_id"), expr(
-      """array_distinct(CASE WHEN size(split(trim(text), '\\s+')) >= 8 THEN
-        |  transform(
-        |    sequence(1, size(split(trim(text), '\\s+')) - 7),
-        |    i -> concat_ws(' ', slice(split(trim(text), '\\s+'), i, 8)))
-        |ELSE array() END""".stripMargin + ")").as("grams"))
+    // tokenize ONCE per doc (a split inside the transform lambda
+    // would re-run the regex per gram position — O(words²·len))
+    val grams = docs
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ws"))
+      .select(col("doc_id"), expr(
+        """array_distinct(CASE WHEN size(ws) >= 8 THEN
+          |  transform(sequence(1, size(ws) - 7),
+          |    i -> concat_ws(' ', slice(ws, i, 8)))
+          |ELSE array() END""".stripMargin + ")").as("grams"))
     val inv = grams
       .select(col("doc_id"), explode(col("grams")).as("gram"))
       .withColumn("df", count(lit(1)).over(

@@ -587,13 +587,6 @@ object Forecast {
 
   private def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
 
-  /** Per-key ARIMA-style forecast: d by ADF stationarity test, (p, q)
-    * by AIC grid over p,q ≤ 5 (arima_forecasting.py:97-130), 5-step
-    * forecasts integrated back to price level with 95% confidence
-    * intervals from the residual variance and integrated ψ-weights
-    * (the forecasts + conf_int surface of arima_forecasting.py:182-230
-    * that the dashboard's fetch_arima_forecasts displays).
-    */
   /** HOLT'S LINEAR-TREND exponential smoothing over the validated
     * daily closes — the classical local-level + local-trend
     * forecaster between [[linregTrend]]'s global line and the ARIMA
@@ -668,6 +661,13 @@ object Forecast {
        |FROM n LEFT JOIN st ON st.user_id = n.user_id AND st.rn = n.rn
        |ORDER BY n.user_id, n.trade_date""".stripMargin
 
+  /** Per-key ARIMA-style forecast: d by ADF stationarity test, (p, q)
+    * by AIC grid over p,q ≤ 5 (arima_forecasting.py:97-130), 5-step
+    * forecasts integrated back to price level with 95% confidence
+    * intervals from the residual variance and integrated ψ-weights
+    * (the forecasts + conf_int surface of arima_forecasting.py:182-230
+    * that the dashboard's fetch_arima_forecasts displays).
+    */
   def arimaForecast(spark: SparkSession, dir: String): DataFrame =
     arimaForecastBase(spark, dir).orderBy("user_id")
 

@@ -1421,14 +1421,23 @@ object Warehouse {
     * max_by, volume map-side), then symbol-keyed lag + running-sum
     * windows over day rows — the [[drawdown]] shape.
     */
-  def obv(spark: SparkSession, dir: String): DataFrame = {
-    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
-    val wRun = wRn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  /** Validated ticks WITH the parsed volume payload — the ONE
+    * definition shared by every volume-consuming surface (obv, vwap's
+    * siblings, the profile, money flow, the heatmap), so tick
+    * validity and the props.k parse cannot drift between them.
+    */
+  private[graft] def validTicksVol(spark: SparkSession,
+      dir: String): DataFrame =
     Tables.events(spark, dir)
       .filter(col("value").isNotNull && col("value") > 0 &&
         !isnan(col("value")) && col("user_id").isNotNull)
       .withColumn("vol", coalesce(
         get_json_object(col("props"), "$.k").cast("long"), lit(0L)))
+
+  def obv(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val wRun = wRn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    validTicksVol(spark, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("trade_date"))
       .agg(max_by(col("value"), struct(col("ts"), col("event_id")))
           .as("close_price"),
@@ -1603,7 +1612,8 @@ object Warehouse {
           " DIV CAST(round(prev_close * 1e6, 0) AS BIGINT)"))
       .withColumn("gap_up", col("gap") > 0)
       .withColumn("gap_filled",
-        when(col("gap") > 0, col("low_price") <= col("prev_close"))
+        when(col("gap").isNull, lit(null).cast("boolean"))
+          .when(col("gap") > 0, col("low_price") <= col("prev_close"))
           .when(col("gap") < 0, col("high_price") >= col("prev_close"))
           .otherwise(lit(true)))
       .select("user_id", "trade_date", "open_price", "prev_close",
@@ -1628,7 +1638,8 @@ object Warehouse {
        |SELECT user_id, trade_date, open_price, prev_close, gap,
        |  gm // pm * 1000 + gm % pm * 1000 // pm AS gap_ppm,
        |  gap > 0 AS gap_up,
-       |  CASE WHEN gap > 0 THEN low_price <= prev_close
+       |  CASE WHEN gap IS NULL THEN NULL
+       |       WHEN gap > 0 THEN low_price <= prev_close
        |       WHEN gap < 0 THEN high_price >= prev_close
        |       ELSE true END AS gap_filled
        |FROM g ORDER BY user_id, trade_date""".stripMargin
@@ -1646,13 +1657,7 @@ object Warehouse {
     */
   def volumeProfile(spark: SparkSession, dir: String): DataFrame = {
     val wSym = Window.partitionBy("user_id")
-    // validation inline: the profile needs the props column the
-    // validTicks projection drops (the obv pattern)
-    Tables.events(spark, dir)
-      .filter(col("value").isNotNull && col("value") > 0 &&
-        !isnan(col("value")) && col("user_id").isNotNull)
-      .withColumn("vol", coalesce(
-        get_json_object(col("props"), "$.k").cast("long"), lit(0L)))
+    validTicksVol(spark, dir)
       .withColumn("bucket",
         least(greatest(floor(col("value") / 50.0), lit(0L)), lit(9L)))
       .groupBy("user_id", "bucket")
@@ -1856,11 +1861,7 @@ object Warehouse {
     val wRn = Window.partitionBy("user_id").orderBy("trade_date")
     val w14 = wRn.rowsBetween(-13, 0)
     val wRun = wRn.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
-      .filter(col("value").isNotNull && col("value") > 0 &&
-        !isnan(col("value")) && col("user_id").isNotNull)
-      .withColumn("vol", coalesce(
-        get_json_object(col("props"), "$.k").cast("long"), lit(0L)))
+    validTicksVol(spark, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("trade_date"))
       .agg(round(max("value"), 4).as("hi"),
         round(min("value"), 4).as("lo"),
@@ -1872,17 +1873,24 @@ object Warehouse {
         .cast("long"))
       .withColumn("rn", row_number().over(wRn))
       .withColumn("prev_tpm", lag("tpm", 1).over(wRn))
+      // flows multiply and sum as DECIMAL(38,0) — the vwap overflow
+      // discipline: tpm·volume can pass Long at production volumes,
+      // where Spark's Long sum would wrap while DuckDB's BIGINT sum
+      // promotes to HUGEINT
       .withColumn("pos_mf",
         when(col("prev_tpm").isNotNull && col("tpm") > col("prev_tpm"),
-          col("tpm") * col("volume")).otherwise(lit(0L)))
+          col("tpm").cast("decimal(38,0)") * col("volume"))
+          .otherwise(lit(0L).cast("decimal(38,0)")))
       .withColumn("neg_mf",
         when(col("prev_tpm").isNotNull && col("tpm") < col("prev_tpm"),
-          col("tpm") * col("volume")).otherwise(lit(0L)))
+          col("tpm").cast("decimal(38,0)") * col("volume"))
+          .otherwise(lit(0L).cast("decimal(38,0)")))
       .withColumn("pos14", sum("pos_mf").over(w14))
       .withColumn("neg14", sum("neg_mf").over(w14))
       .withColumn("mfi", expr(
         "CASE WHEN rn >= 15 AND pos14 + neg14 > 0 THEN " +
-          "round(100.0D * pos14 / (pos14 + neg14)" +
+          "round(100.0D * CAST(pos14 AS DOUBLE)" +
+          " / CAST(pos14 + neg14 AS DOUBLE)" +
           " * 1000000.0D, 0) / 1000000.0D END"))
       .withColumn("multm",
         when(col("hi") > col("lo"), round(
@@ -1890,7 +1898,8 @@ object Warehouse {
             / (col("hi") - col("lo")) * 1e6, 0).cast("long"))
           .otherwise(lit(0L)))
       .withColumn("ad_line",
-        sum(col("multm") * col("volume")).over(wRun) / 1e6)
+        sum(col("multm").cast("decimal(38,0)") * col("volume")).over(wRun)
+          .cast("double") / 1e6)
       .select("user_id", "trade_date", "close_price", "volume",
         "mfi", "ad_line")
       .orderBy("user_id", "trade_date")
@@ -2385,11 +2394,7 @@ object Warehouse {
     * rows out of ONE partial aggregate.
     */
   def activityHeatmap(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .filter(col("value").isNotNull && col("value") > 0 &&
-        !isnan(col("value")) && col("user_id").isNotNull)
-      .withColumn("vol", coalesce(
-        get_json_object(col("props"), "$.k").cast("long"), lit(0L)))
+    validTicksVol(spark, dir)
       .groupBy(dayofweek(col("ts")).as("weekday"), hour(col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_ticks"),
         sum("vol").as("volume"),

@@ -1108,6 +1108,8 @@ class WarehouseSpec extends SparkSuite {
         if (i == 0) {
           assert(rp.isNullAt(rp.fieldIndex("pivot_pt")), s"$uid/$d first pivot")
           assert(rg.isNullAt(rg.fieldIndex("gap")), s"$uid/$d first gap")
+          assert(rg.isNullAt(rg.fieldIndex("gap_filled")),
+            s"$uid/$d first gap_filled must be NULL, not a phantom fill")
         } else {
           val (_, _, ph, pl, pc) = days(i - 1)
           val p = (ph + pl + pc) / 3.0
