@@ -112,6 +112,55 @@ object Multimodal {
       |  (height * 224 // greatest(width, height))::BIGINT AS out_h
       |FROM m ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** PAYLOAD DEDUP REPORT — exact binary dedup over the opaque
+    * payload column, per modality: payloads fingerprint by md5 of
+    * their BYTES (content-addressed, the blob-store key — identical
+    * hex on both engines over the UTF-8 stub payloads), and the
+    * report shows what a dedup pass would reclaim: distinct
+    * payloads, duplicate count, total vs duplicated bytes. Exact
+    * integer arithmetic end to end — no float anywhere.
+    *
+    * Scale shape: fingerprints collapse map-side into a
+    * (modality, fp)-keyed aggregate (shuffle = distinct payloads,
+    * never bytes — the payload column itself stays in the scan),
+    * then 3 modality rows.
+    */
+  def modalDedup(spark: SparkSession, dir: String): DataFrame =
+    modalDedupDocs(Tables.documents(spark, dir))
+
+  private[graft] def modalDedupDocs(docs: DataFrame): DataFrame =
+    docs
+      .select(modalityOf(col("doc_id")).as("modality"),
+        md5(col("text").cast("binary")).as("fp"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .groupBy("modality", "fp")
+      .agg(count(lit(1)).as("cnt"), min("n_bytes").as("bytes"))
+      .groupBy("modality")
+      .agg(sum("cnt").as("n_payloads"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") - 1).as("n_dupes"),
+        sum(col("cnt") * col("bytes")).as("bytes_total"),
+        sum((col("cnt") - 1) * col("bytes")).as("bytes_dupe"))
+      .orderBy("modality")
+
+  def modalDedupSql: String =
+    """WITH f AS (
+      |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |    ELSE 'video' END AS modality,
+      |    md5(text) AS fp,
+      |    octet_length(encode(text))::BIGINT AS n_bytes
+      |  FROM documents
+      |), g AS (
+      |  SELECT modality, fp, count(*) AS cnt, min(n_bytes) AS bytes
+      |  FROM f GROUP BY 1, 2
+      |)
+      |SELECT modality, sum(cnt)::BIGINT AS n_payloads,
+      |  count(*)::BIGINT AS n_distinct,
+      |  sum(cnt - 1)::BIGINT AS n_dupes,
+      |  sum(cnt * bytes)::BIGINT AS bytes_total,
+      |  sum((cnt - 1) * bytes)::BIGINT AS bytes_dupe
+      |FROM g GROUP BY 1 ORDER BY modality""".stripMargin
+
   /** Batched feature-extraction stub: the `mapInPandas` shape in
     * Scala — payloads iterate in fixed-size batches per partition so
     * a real encoder would run vectorized inference per batch with the

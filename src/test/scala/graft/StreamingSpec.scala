@@ -494,6 +494,37 @@ class StreamingSpec extends SparkSuite {
       "streamed wire parse must match the batch leg")
   }
 
+  test("modalDedup reconciles with a planted duplicate payload") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val got = Multimodal.modalDedup(spark, sfDir).collect()
+    assert(got.length == 3)
+    val total = Tables.documents(spark, sfDir).count()
+    assert(got.map(_.getAs[Long]("n_payloads")).sum == total)
+    got.foreach { r =>
+      assert(r.getAs[Long]("n_dupes") ==
+        r.getAs[Long]("n_payloads") - r.getAs[Long]("n_distinct"))
+      assert(r.getAs[Long]("bytes_dupe") <= r.getAs[Long]("bytes_total"))
+    }
+    // crafted corpus: same payload under doc_ids 0 and 3 (both
+    // 'image'), so the image row must report exactly one dupe and
+    // its byte mass
+    val crafted = Seq((0L, "same payload"), (3L, "same payload"),
+      (6L, "unique"), (1L, "audio one"), (2L, "video one"))
+      .toDF("doc_id", "text")
+    val img = craftedDedup(crafted)("image")
+    assert(img == (3L, 2L, 1L, 12L * 2 + 6, 12L), s"got $img")
+  }
+
+  private def craftedDedup(docs: org.apache.spark.sql.DataFrame)
+      : Map[String, (Long, Long, Long, Long, Long)] = {
+    import graft.operators.Multimodal
+    Multimodal.modalDedupDocs(docs).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_payloads"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("n_dupes"),
+        r.getAs[Long]("bytes_total"), r.getAs[Long]("bytes_dupe"))).toMap
+  }
+
   test("multimodal metadata is deterministic and complete") {
     val df = Multimodal.multimodalMeta(spark, sfDir)
     assert(df.count() == Tables.documents(spark, sfDir).count())
