@@ -107,6 +107,12 @@ object ScaleProbe {
       docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
     }.reduce(_ unionByName _)
     time("gopher_filters")(operators.Curation.gopherFiltersDocs(bigDocs))
+    // rare-gram containment: the gram explode + df window must stay
+    // near-linear; on this pathological corpus (every replica repeats
+    // the text) shared grams blow straight past the df ceiling and
+    // drop — the cap doing its job, so the line prices candidate
+    // GENERATION, not an all-pairs join
+    time("containment")(operators.Dedup.containmentDocs(bigDocs))
     time("decontaminate")(operators.Curation.decontaminateDocs(bigDocs))
     time("pack_sequences")(operators.Curation.packSequencesDocs(bigDocs))
     time("gopher_quality")(operators.Curation.gopherQualityDocs(bigDocs))
