@@ -1061,6 +1061,11 @@ object TickStream extends Serializable {
       cls: List[Double],
       // Holt level/trend and the RiskMetrics EWMA variance
       hl: Double, hb: Double, ev: Double,
+      // money-flow machine: previous typical-price micros, the last
+      // 14 SIGNED daily money flows (positive = up-day flow,
+      // negative = down-day; 0 = flat/first), and the running A/D
+      // numerator — BigDecimal state mirrors the batch DECIMAL(38,0) exactness
+      mfPrev: Long, mfFlows: List[BigDecimal], adM: BigDecimal,
       pending: List[PendingBar])
 
   case class BarRow(user_id: Long, trade_date: java.time.LocalDate,
@@ -1080,7 +1085,8 @@ object TickStream extends Serializable {
       cci: Option[Double], willr: Option[Double], rsi_14: Option[Double],
       bull_score: Int, bear_score: Int, net_score: Int,
       level: Option[Double], trend: Option[Double],
-      fcst_next: Option[Double], ewma_vol: Option[Double])
+      fcst_next: Option[Double], ewma_vol: Option[Double],
+      mfi: Option[Double], ad_line: Double)
 
   private def r4s(x: Double): Double = BigDecimal.valueOf(x)
     .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1132,7 +1138,8 @@ object TickStream extends Serializable {
         0L, 0.0, 0.0, 0.0, 0.0, 0.0,
         0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
         0L, 0.0, 0.0, 0L, Nil, Nil, 0, 0.0, 0.0, 0.0,
-        Nil, 0.0, 0.0, 0.0, 0.0, Nil, 0.0, 0.0, 0.0, Nil))
+        Nil, 0.0, 0.0, 0.0, 0.0, Nil, 0.0, 0.0, 0.0,
+        0L, Nil, BigDecimal(0), Nil))
       var pending = st.pending
       if (!state.hasTimedOut) rows.foreach { t =>
         val m = tsMicros(t.ts)
@@ -1399,6 +1406,30 @@ object TickStream extends Serializable {
             ev = if (trCount == 2) rr * rr else 0.94 * ev + 0.06 * rr * rr
             evOut = Some(r6scaled(math.sqrt(ev * 252.0)))
           }
+          // money flow: typical-price micros + signed flow ring +
+          // running A/D — the batch integer-micros accounting
+          val tpmL = BigDecimal.valueOf((hi4 + lo4 + p.close) / 3.0 * 1e6)
+            .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+          val flow: BigDecimal =
+            if (!st.hasPrev) BigDecimal(0)
+            else if (tpmL > st.mfPrev) BigDecimal(tpmL) * p.volume
+            else if (tpmL < st.mfPrev) -(BigDecimal(tpmL) * p.volume)
+            else BigDecimal(0)
+          val mfFlows = (st.mfFlows :+ flow).takeRight(14)
+          val pos14 = mfFlows.filter(_ > 0).sum
+          val neg14 = -mfFlows.filter(_ < 0).sum
+          val mfiOpt =
+            if (trCount >= 15 && pos14 + neg14 > 0)
+              Some(r6scaled(100.0 * pos14.toDouble / (pos14 + neg14).toDouble))
+            else None
+          val multm =
+            if (hi4 > lo4)
+              BigDecimal.valueOf(((p.close - lo4) - (hi4 - p.close))
+                / (hi4 - lo4) * 1e6)
+                .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+            else 0L
+          val adM = st.adM + BigDecimal(multm) * p.volume
+          val adLine = adM.toDouble / 1e6
           out += BarRow(userId, java.time.LocalDate.ofEpochDay(p.day.toLong),
             p.open, hi4, lo4, p.close, p.nTicks, p.volume, tr,
             if (trCount >= 14) Some(r6scaled(wilder)) else None, signed, obv,
@@ -1412,7 +1443,8 @@ object TickStream extends Serializable {
             psOut.map(t => r6scaled(t._1)), psOut.map(_._2), psOut.map(_._3),
             cciOpt, willrOpt, rsiOpt, bull, bear, bull - bear,
             holtOut.map(t => r6scaled(t._1)), holtOut.map(t => r6scaled(t._2)),
-            holtOut.map(t => r6scaled(t._1 + t._2)), evOut)
+            holtOut.map(t => r6scaled(t._1 + t._2)), evOut,
+            mfiOpt, adLine)
           st = st.copy(lastDay = p.day, hasEmitted = true, hasPrev = true,
             prevClose = p.close, prevHi = hi4, prevLo = lo4,
             trCount = trCount, seedSum = seedSum, wilder = wilder,
@@ -1423,7 +1455,8 @@ object TickStream extends Serializable {
             hiLo = hiLo, ks = ks,
             psDir = psDir, psSar = psSar, psEp = psEp, psAf = psAf,
             tps = tps20, gSum = gSum, gW = gW, lSum = lSum, lW = lW,
-            cls = cls20, hl = hl, hb = hb, ev = ev)
+            cls = cls20, hl = hl, hb = hb, ev = ev,
+            mfPrev = tpmL, mfFlows = mfFlows, adM = adM)
         }
         pending = pending.filter(_.day > ready.last.day)
       }
