@@ -32,6 +32,51 @@ object Dedup {
       |  count(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  /** SKETCHED SOURCE OVERLAP — the 100 TB dual of [[sourceOverlap]]'s
+    * exact accounting: per source pair, the DISTINCT-CONTENT overlap
+    * estimated by inclusion-exclusion over HLL++ sketches
+    * (|A∩B| ≈ |A| + |B| − |A∪B|, each term approx_count_distinct at
+    * 1% rsd over the [[exact]] dedup's md5 content key). Exact
+    * per-pair intersections need a content-keyed join of every
+    * source pair; the sketch answer reads three mergeable summaries.
+    * inter_est clamps at 0 (inclusion-exclusion can go slightly
+    * negative on disjoint sources).
+    *
+    * Scale shape: the per-source leg is ONE partial aggregate; the
+    * union leg replicates each fingerprint once per pair containing
+    * its source via a broadcast pair join — fanout = (#sources − 1),
+    * a constant, not a quadratic blowup. No SQL oracle (sketch
+    * internals differ across engines) — SketchSpec-style bound vs
+    * the exact intersection.
+    */
+  def sourceOverlapHll(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.documents(spark, dir)
+      .select(col("source"), md5(col("text").cast("binary")).as("fp"))
+    val perSource = fps.groupBy("source")
+      .agg(approx_count_distinct(col("fp"), 0.01).as("card"))
+    val sources = perSource.select("source").collect()
+      .map(_.getString(0)).sorted
+    val pairs = (for {
+      i <- sources.indices; j <- i + 1 until sources.length
+    } yield (sources(i), sources(j))).toSeq
+    import spark.implicits._
+    val pairDf = pairs.toDF("source_a", "source_b")
+    val unions = fps
+      .join(broadcast(pairDf),
+        col("source") === col("source_a") || col("source") === col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(approx_count_distinct(col("fp"), 0.01).as("card_union"))
+    val ca = perSource.toDF("source_a", "card_a")
+    val cb = perSource.toDF("source_b", "card_b")
+    unions.join(broadcast(ca), Seq("source_a"))
+      .join(broadcast(cb), Seq("source_b"))
+      .withColumn("inter_est",
+        greatest(col("card_a") + col("card_b") - col("card_union"), lit(0L)))
+      .select("source_a", "source_b", "card_a", "card_b", "card_union",
+        "inter_est")
+      .orderBy("source_a", "source_b")
+  }
+
   /** Exact word-2-gram Jaccard similarity between consecutive-id
     * document pairs — the oracle-checkable pairwise-similarity kernel
     * (the same kernel the LSH candidates feed at scale).

@@ -13,6 +13,38 @@ import org.apache.spark.sql.functions._
   */
 class SketchSpec extends SparkSuite {
 
+  test("sourceOverlapHll stays inside the inclusion-exclusion envelope") {
+    import graft.operators.Dedup
+    val got = Dedup.sourceOverlapHll(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // exact distinct-content sets per source, driver-side
+    val bySource = Tables.documents(spark, sfDir)
+      .select(col("source"), md5(col("text").cast("binary")).as("fp"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).toSet }
+    val rsd = 0.01
+    got.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b, "pairs are ordered and unique")
+      val (sa, sb) = (bySource(a), bySource(b))
+      // each sketch term is within ~3σ of its exact cardinality
+      assert(math.abs(r.getAs[Long]("card_a") - sa.size) <=
+        math.max(3, 3 * rsd * sa.size), s"$a card")
+      assert(math.abs(r.getAs[Long]("card_b") - sb.size) <=
+        math.max(3, 3 * rsd * sb.size), s"$b card")
+      val union = (sa ++ sb).size
+      assert(math.abs(r.getAs[Long]("card_union") - union) <=
+        math.max(3, 3 * rsd * union), s"$a/$b union")
+      val exact = sa.intersect(sb).size
+      val tol = math.max(6, 3 * rsd * (sa.size + sb.size + union))
+      assert(math.abs(r.getAs[Long]("inter_est") - exact) <= tol,
+        s"$a/$b inter: est ${r.getAs[Long]("inter_est")} vs exact $exact")
+      assert(r.getAs[Long]("inter_est") >= 0)
+    }
+    val n = bySource.size
+    assert(got.length == n * (n - 1) / 2, "every source pair reported")
+  }
+
   test("approx_count_distinct (HLL++) within its error envelope") {
     val ev = Tables.events(spark, sfDir)
     // rsd is one standard deviation of relative error — assert 3σ
