@@ -1772,6 +1772,147 @@ object Warehouse {
        |ORDER BY user_id, trade_date""".stripMargin
   }
 
+  /** SUPERTREND (10, 3) — the band-carry trailing stop next to
+    * [[psar]]: basic bands hl2 ± 3·ATR-10 tighten into FINAL bands
+    * that only ratchet toward price (the previous band carries
+    * unless the new basic band improves it or the previous close
+    * already crossed), and the stop flips between the two bands on a
+    * close-through. Seeded at session 10 (first live ATR) on the
+    * upper band (downtrend — the conventional cold start,
+    * documented). Output: the stop, its side, and the final bands.
+    *
+    * Scale shape: TWO chained folds after one symbol shuffle — the
+    * shared [[wilderRunExpr]] ATR-10 (the keltner fold) feeding an
+    * index-driven band-carry fold with (fub, flb, stop, prev-close)
+    * state; oracle = the ATR prefix fold (safe simple lambda) + the
+    * psar-style recursive CTE for the carry. Only the emitted stop
+    * and bands take the scaled display round.
+    */
+  def supertrend(spark: SparkSession, dir: String): DataFrame =
+    supertrendOfTr(dailyTrBase(spark, dir))
+
+  /** The band-carry machine over an arbitrary [[dailyTrBase]]-shaped
+    * frame — the crafted-flip spec's entry.
+    */
+  private[graft] def supertrendOfTr(trBase: DataFrame): DataFrame = {
+    val sr = "round(%s * 1000000.0D, 0) / 1000000.0D"
+    val ub = "((element_at(days, i).hi + element_at(days, i).lo) / 2.0D" +
+      " + 3.0D * element_at(atrs, i))"
+    val lb = "((element_at(days, i).hi + element_at(days, i).lo) / 2.0D" +
+      " - 3.0D * element_at(atrs, i))"
+    val fubP = s"CASE WHEN $ub < a.fub OR a.pc > a.fub THEN $ub ELSE a.fub END"
+    val flbP = s"CASE WHEN $lb > a.flb OR a.pc < a.flb THEN $lb ELSE a.flb END"
+    val stP = s"CASE WHEN a.st = a.fub THEN " +
+      s"(CASE WHEN element_at(days, i).cls <= ($fubP) THEN ($fubP) ELSE ($flbP) END) " +
+      s"ELSE (CASE WHEN element_at(days, i).cls >= ($flbP) THEN ($flbP) ELSE ($fubP) END) END"
+    val outT = "STRUCT<st: DOUBLE, up: BOOLEAN, fub: DOUBLE, flb: DOUBLE>"
+    val fold =
+      s"""CASE WHEN size(days) >= 10 THEN aggregate(
+         |  sequence(11, size(days)),
+         |  named_struct(
+         |    'fub', (element_at(days, 10).hi + element_at(days, 10).lo) / 2.0D
+         |      + 3.0D * element_at(atrs, 10),
+         |    'flb', (element_at(days, 10).hi + element_at(days, 10).lo) / 2.0D
+         |      - 3.0D * element_at(atrs, 10),
+         |    'st', (element_at(days, 10).hi + element_at(days, 10).lo) / 2.0D
+         |      + 3.0D * element_at(atrs, 10),
+         |    'pc', element_at(days, 10).cls,
+         |    'out', array(named_struct(
+         |      'st', (element_at(days, 10).hi + element_at(days, 10).lo) / 2.0D
+         |        + 3.0D * element_at(atrs, 10),
+         |      'up', false,
+         |      'fub', (element_at(days, 10).hi + element_at(days, 10).lo) / 2.0D
+         |        + 3.0D * element_at(atrs, 10),
+         |      'flb', (element_at(days, 10).hi + element_at(days, 10).lo) / 2.0D
+         |        - 3.0D * element_at(atrs, 10)))),
+         |  (a, i) -> named_struct(
+         |    'fub', $fubP, 'flb', $flbP, 'st', $stP,
+         |    'pc', element_at(days, i).cls,
+         |    'out', concat(a.out, array(named_struct(
+         |      'st', $stP, 'up', ($stP) = ($flbP),
+         |      'fub', $fubP, 'flb', $flbP)))),
+         |  acc -> concat(
+         |    transform(sequence(1, 9), x -> CAST(NULL AS $outT)), acc.out))
+         |ELSE transform(sequence(1, size(days)), x -> CAST(NULL AS $outT))
+         |END""".stripMargin
+    trBase
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(
+        col("trade_date").as("ddate"), col("high_price").as("hi"),
+        col("low_price").as("lo"), col("close_price").as("cls"),
+        col("tr")))).as("days"))
+      .withColumn("trs", expr("transform(days, d -> d.tr)"))
+      .withColumn("atrs", expr(wilderRunExpr("trs", 10)))
+      .withColumn("sts", expr(fold))
+      .select(col("user_id"), expr("inline(arrays_zip(days, sts))"))
+      .select(col("user_id"), col("days.ddate").as("trade_date"),
+        col("days.cls").as("close_price"),
+        expr(sr.format("sts.st")).as("supertrend"),
+        col("sts.up").as("trend_up"),
+        expr(sr.format("sts.fub")).as("upper_band"),
+        expr(sr.format("sts.flb")).as("lower_band"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def supertrendSql: String = {
+    val atrAt = "list_reduce(list_prepend(" +
+      "list_reduce(trs[1:10], (a, x) -> a + x) / 10.0, " +
+      "trs[11:t]), (a, x) -> (a * 9.0 + x) / 10.0)"
+    val ubY = "(y.hl2 + 3.0 * y.atr)"
+    val lbY = "(y.hl2 - 3.0 * y.atr)"
+    val fubP = s"CASE WHEN $ubY < a.fub OR a.pc > a.fub THEN $ubY ELSE a.fub END"
+    val flbP = s"CASE WHEN $lbY > a.flb OR a.pc < a.flb THEN $lbY ELSE a.flb END"
+    val stP = s"CASE WHEN a.st = a.fub THEN " +
+      s"(CASE WHEN y.cls <= ($fubP) THEN ($fubP) ELSE ($flbP) END) " +
+      s"ELSE (CASE WHEN y.cls >= ($flbP) THEN ($flbP) ELSE ($fubP) END) END"
+    s"""WITH RECURSIVE ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), t0 AS (
+       |  SELECT user_id, trade_date, high_price, low_price, close_price,
+       |    lag(close_price) OVER pk AS prev_close
+       |  FROM ohlc WINDOW pk AS (PARTITION BY user_id ORDER BY trade_date)
+       |), tr AS (
+       |  SELECT user_id, trade_date, high_price, low_price, close_price,
+       |    round(CASE WHEN prev_close IS NULL
+       |      THEN high_price - low_price
+       |      ELSE greatest(high_price - low_price,
+       |                    abs(high_price - prev_close),
+       |                    abs(low_price - prev_close)) END, 6) AS trv
+       |  FROM t0
+       |), g AS (
+       |  SELECT user_id,
+       |    list(trade_date ORDER BY trade_date) AS dts,
+       |    list(high_price ORDER BY trade_date) AS his,
+       |    list(low_price ORDER BY trade_date) AS los,
+       |    list(close_price ORDER BY trade_date) AS cls,
+       |    list(trv ORDER BY trade_date) AS trs
+       |  FROM tr GROUP BY user_id
+       |), n AS (
+       |  SELECT user_id, unnest(dts) AS trade_date,
+       |    unnest(cls) AS cls,
+       |    unnest(list_transform(generate_series(1, len(dts)), t ->
+       |      (his[t] + los[t]) / 2.0)) AS hl2,
+       |    unnest(list_transform(generate_series(1, len(dts)), t ->
+       |      CASE WHEN t >= 10 THEN $atrAt END)) AS atr,
+       |    unnest(generate_series(1, len(dts))) AS rn
+       |  FROM g
+       |), st AS (
+       |  SELECT user_id, rn, hl2 + 3.0 * atr AS fub, hl2 - 3.0 * atr AS flb,
+       |    hl2 + 3.0 * atr AS st, cls AS pc
+       |  FROM n WHERE rn = 10
+       |  UNION ALL
+       |  SELECT a.user_id, a.rn + 1, $fubP, $flbP, $stP, y.cls
+       |  FROM st a JOIN n y ON y.user_id = a.user_id AND y.rn = a.rn + 1
+       |)
+       |SELECT n.user_id, n.trade_date, n.cls AS close_price,
+       |  round(st.st * 1000000.0, 0) / 1000000.0 AS supertrend,
+       |  st.st = st.flb AS trend_up,
+       |  round(st.fub * 1000000.0, 0) / 1000000.0 AS upper_band,
+       |  round(st.flb * 1000000.0, 0) / 1000000.0 AS lower_band
+       |FROM n LEFT JOIN st ON st.user_id = n.user_id AND st.rn = n.rn
+       |ORDER BY n.user_id, n.trade_date""".stripMargin
+  }
+
   /** EWMA VOLATILITY — the RiskMetrics exponentially-weighted
     * variance (λ = 0.94) over daily log returns, annualized √252:
     * the recency-weighted dual of q_volatility's equal-weight

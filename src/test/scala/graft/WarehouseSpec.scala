@@ -1193,6 +1193,97 @@ class WarehouseSpec extends SparkSuite {
     }
   }
 
+  test("supertrend equals a driver-side band-carry walk") {
+    def srd(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    val daily = driverDailyOhlc
+    val got = Warehouse.supertrend(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == daily.values.map(_.length).sum)
+    var flips = 0
+    daily.foreach { case (uid, days) =>
+      // TR series (session 1 = plain range), Wilder ATR-10
+      val trs = days.zipWithIndex.map { case ((_, hi, lo, _), i) =>
+        if (i == 0) r6(hi - lo)
+        else r6(math.max(hi - lo, math.max(
+          math.abs(hi - days(i - 1)._4), math.abs(lo - days(i - 1)._4))))
+      }
+      var atr = 0.0
+      var (fub, flb, st0, pc) = (0.0, 0.0, 0.0, 0.0)
+      var prevUp = false
+      days.zipWithIndex.foreach { case ((d, hi, lo, cls), i) =>
+        val r = got((uid, d))
+        if (i < 9) assert(r.isNullAt(r.fieldIndex("supertrend")), s"$uid/$d warmup")
+        else {
+          atr =
+            if (i == 9) trs.take(10).sum / 10.0
+            else (atr * 9.0 + trs(i)) / 10.0
+          val hl2 = (hi + lo) / 2.0
+          val (ub, lb) = (hl2 + 3.0 * atr, hl2 - 3.0 * atr)
+          if (i == 9) { fub = ub; flb = lb; st0 = fub; pc = cls }
+          else {
+            val nfub = if (ub < fub || pc > fub) ub else fub
+            val nflb = if (lb > flb || pc < flb) lb else flb
+            st0 =
+              if (st0 == fub) { if (cls <= nfub) nfub else nflb }
+              else { if (cls >= nflb) nflb else nfub }
+            fub = nfub; flb = nflb; pc = cls
+          }
+          val up = st0 == flb
+          assert(r.getAs[Double]("supertrend") == srd(st0), s"$uid/$d st")
+          assert(r.getAs[Boolean]("trend_up") == up, s"$uid/$d side")
+          assert(r.getAs[Double]("upper_band") == srd(fub))
+          assert(r.getAs[Double]("lower_band") == srd(flb))
+          if (i > 9 && up != prevUp) flips += 1
+          prevUp = up
+        }
+      }
+    }
+    // the 3xATR bands never get crossed inside this corpus' short,
+    // hyper-volatile sessions — flip coverage comes from the crafted
+    // series below
+    assert(flips >= 0)
+  }
+
+  test("supertrend flips on crafted band crossings, both directions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 12 calm rising sessions, a surge through the upper band, two
+    // calm sessions, then a crash through the lower band
+    val closes = (1 to 12).map(i => 100.0 + i) ++
+      Seq(200.0, 201.0, 202.0, 80.0, 79.0)
+    val rows = closes.zipWithIndex.map { case (c, i) =>
+      (7L, java.sql.Date.valueOf(f"2024-02-${i + 1}%02d"),
+        c + 1.0, c - 1.0, c)
+    }
+    val daily = rows.toDF("user_id", "trade_date", "high_price",
+      "low_price", "close_price")
+    val wRn = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("trade_date")
+    val trBase = daily
+      .withColumn("prev_close", lag("close_price", 1).over(wRn))
+      .withColumn("tr", round(
+        when(col("prev_close").isNull, col("high_price") - col("low_price"))
+          .otherwise(greatest(
+            col("high_price") - col("low_price"),
+            abs(col("high_price") - col("prev_close")),
+            abs(col("low_price") - col("prev_close")))), 6))
+    val got = Warehouse.supertrendOfTr(trBase).collect()
+      .sortBy(_.getAs[java.sql.Date]("trade_date").getTime)
+    val ups = got.drop(9).map(_.getAs[Boolean]("trend_up")).toSeq
+    assert(!ups.head, "seeds on the upper band (down)")
+    assert(ups.exists(identity), "the surge must flip the stop up")
+    val firstUp = ups.indexOf(true)
+    assert(ups.drop(firstUp).contains(false), "the crash must flip it back")
+    // the stop brackets price on the correct side throughout
+    got.drop(9).foreach { r =>
+      val st = r.getAs[Double]("supertrend")
+      val c = r.getAs[Double]("close_price")
+      if (r.getAs[Boolean]("trend_up")) assert(st <= c + 1e-6, s"up stop below $c")
+      else assert(st >= c - 1e-6, s"down stop above $c")
+    }
+  }
+
   test("moneyFlow equals a driver-side integer-micros walk") {
     def srd(x: Double) = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
