@@ -362,6 +362,217 @@ object Warehouse {
        |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) END, 6) AS atr_14
        |FROM tr ORDER BY user_id, trade_date""".stripMargin
 
+  /** VORTEX INDICATOR (VI-14) over the validated daily series — the
+    * trend-direction oscillator alongside [[adx]]'s DI pair: upward
+    * vortex movement VM+ = |high − prev low|, downward VM− =
+    * |low − prev high| (undefined on a symbol's first session), and
+    * VI± = Σ₁₄VM± / Σ₁₄TR over the trailing 14 sessions — NULL until
+    * 14 full VM values exist (session 15) and on a 14-day flat band
+    * (ΣTR = 0, nothing to normalize against), the tier's null-till-
+    * full convention.
+    *
+    * Cross-engine exactness: VM and TR round to 6 before the window
+    * sums, the SUMS round to 6 before the division (killing the
+    * engines' different windowed-sum association orders), and the
+    * ratio rounds to 6 — every remaining float op is a single
+    * correctly-rounded IEEE division identical on both engines.
+    *
+    * Scale shape: identical to [[atr]] — ONE symbol-keyed shuffle
+    * from [[ohlcBy]] serves the day rollup and every window above it;
+    * window input is symbols × days, never ticks.
+    */
+  def vortex(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val w14 = wRn.rowsBetween(-13, 0)
+    dailyTrBase(spark, dir)
+      .withColumn("vm_plus", round(
+        abs(col("high_price") - lag("low_price", 1).over(wRn)), 6))
+      .withColumn("vm_minus", round(
+        abs(col("low_price") - lag("high_price", 1).over(wRn)), 6))
+      .withColumn("s_tr", round(sum("tr").over(w14), 6))
+      .withColumn("vi_plus", round(
+        when(col("rn") >= 15 && col("s_tr") > 0,
+          round(sum("vm_plus").over(w14), 6) / col("s_tr")), 6))
+      .withColumn("vi_minus", round(
+        when(col("rn") >= 15 && col("s_tr") > 0,
+          round(sum("vm_minus").over(w14), 6) / col("s_tr")), 6))
+      .select("user_id", "trade_date", "tr", "vm_plus", "vm_minus",
+        "vi_plus", "vi_minus")
+      .orderBy("user_id", "trade_date")
+  }
+
+  def vortexSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), t AS (
+       |  SELECT user_id, trade_date, high_price, low_price, close_price,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn,
+       |    lag(close_price) OVER (PARTITION BY user_id
+       |      ORDER BY trade_date) AS prev_close,
+       |    lag(high_price) OVER (PARTITION BY user_id
+       |      ORDER BY trade_date) AS prev_high,
+       |    lag(low_price) OVER (PARTITION BY user_id
+       |      ORDER BY trade_date) AS prev_low
+       |  FROM ohlc
+       |), v AS (
+       |  SELECT user_id, trade_date, rn,
+       |    round(CASE WHEN prev_close IS NULL
+       |      THEN high_price - low_price
+       |      ELSE greatest(high_price - low_price,
+       |                    abs(high_price - prev_close),
+       |                    abs(low_price - prev_close)) END, 6) AS tr,
+       |    round(abs(high_price - prev_low), 6) AS vm_plus,
+       |    round(abs(low_price - prev_high), 6) AS vm_minus
+       |  FROM t
+       |), s AS (
+       |  SELECT user_id, trade_date, rn, tr, vm_plus, vm_minus,
+       |    round(sum(tr) OVER w14, 6) AS s_tr,
+       |    round(sum(vm_plus) OVER w14, 6) AS s_vp,
+       |    round(sum(vm_minus) OVER w14, 6) AS s_vm
+       |  FROM v
+       |  WINDOW w14 AS (PARTITION BY user_id ORDER BY trade_date
+       |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT user_id, trade_date, tr, vm_plus, vm_minus,
+       |  round(CASE WHEN rn >= 15 AND s_tr > 0 THEN s_vp / s_tr END, 6)
+       |    AS vi_plus,
+       |  round(CASE WHEN rn >= 15 AND s_tr > 0 THEN s_vm / s_tr END, 6)
+       |    AS vi_minus
+       |FROM s ORDER BY user_id, trade_date""".stripMargin
+
+  /** ULTIMATE OSCILLATOR (7/14/28) — Williams' three-horizon momentum
+    * blend next to the single-horizon [[stochastic]]: buying pressure
+    * BP = close − min(low, prev close), true-range-vs-gap
+    * TRᵘ = max(high, prev close) − min(low, prev close) (first
+    * session: plain close − low / high − low), per-horizon averages
+    * aₙ = Σₙ BP / Σₙ TRᵘ, and UO = 100·(4a₇ + 2a₁₄ + a₂₈)/7 — NULL
+    * until 28 sessions and whenever any horizon's ΣTRᵘ is 0.
+    *
+    * Cross-engine exactness: same discipline as [[vortex]] — BP/TRᵘ
+    * round to 6 before the sums, sums round to 6 before dividing, the
+    * remaining ops (three divisions, the weighted blend) are
+    * identical correctly-rounded IEEE arithmetic on both engines.
+    *
+    * Scale shape: one symbol-keyed shuffle; SIX window sums share the
+    * one sort order (three frames × two operands), all over
+    * symbols × days.
+    */
+  def ultimate(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    def wN(n: Int) = wRn.rowsBetween(-(n - 1), 0)
+    val base = dailyTrBase(spark, dir)
+      .withColumn("lo_tc",
+        least(col("low_price"), coalesce(col("prev_close"), col("low_price"))))
+      .withColumn("hi_tc",
+        greatest(col("high_price"),
+          coalesce(col("prev_close"), col("high_price"))))
+      .withColumn("bp", round(col("close_price") - col("lo_tc"), 6))
+      .withColumn("tr_u", round(col("hi_tc") - col("lo_tc"), 6))
+    val withSums = Seq(7, 14, 28).foldLeft(base) { (df, n) =>
+      df.withColumn(s"sb$n", round(sum("bp").over(wN(n)), 6))
+        .withColumn(s"st$n", round(sum("tr_u").over(wN(n)), 6))
+    }
+    withSums
+      .withColumn("uo", round(
+        when(col("rn") >= 28 && col("st7") > 0 && col("st14") > 0 &&
+          col("st28") > 0,
+          (col("sb7") / col("st7") * 4.0 + col("sb14") / col("st14") * 2.0 +
+            col("sb28") / col("st28")) * 100.0 / 7.0), 6))
+      .select("user_id", "trade_date", "close_price", "bp", "tr_u", "uo")
+      .orderBy("user_id", "trade_date")
+  }
+
+  def ultimateSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), t AS (
+       |  SELECT user_id, trade_date, high_price, low_price, close_price,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn,
+       |    lag(close_price) OVER (PARTITION BY user_id
+       |      ORDER BY trade_date) AS prev_close
+       |  FROM ohlc
+       |), b AS (
+       |  SELECT user_id, trade_date, close_price, rn,
+       |    round(close_price
+       |      - least(low_price, coalesce(prev_close, low_price)), 6) AS bp,
+       |    round(greatest(high_price, coalesce(prev_close, high_price))
+       |      - least(low_price, coalesce(prev_close, low_price)), 6) AS tr_u
+       |  FROM t
+       |), s AS (
+       |  SELECT user_id, trade_date, close_price, rn, bp, tr_u,
+       |    round(sum(bp) OVER w7, 6) AS sb7, round(sum(tr_u) OVER w7, 6) AS st7,
+       |    round(sum(bp) OVER w14, 6) AS sb14,
+       |    round(sum(tr_u) OVER w14, 6) AS st14,
+       |    round(sum(bp) OVER w28, 6) AS sb28,
+       |    round(sum(tr_u) OVER w28, 6) AS st28
+       |  FROM b
+       |  WINDOW
+       |    w7 AS (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       |    w14 AS (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+       |    w28 AS (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT user_id, trade_date, close_price, bp, tr_u,
+       |  round(CASE WHEN rn >= 28 AND st7 > 0 AND st14 > 0 AND st28 > 0
+       |    THEN (sb7 / st7 * 4.0 + sb14 / st14 * 2.0 + sb28 / st28)
+       |      * 100.0 / 7.0 END, 6) AS uo
+       |FROM s ORDER BY user_id, trade_date""".stripMargin
+
+  /** CHANDE MOMENTUM OSCILLATOR (CMO-14) — the unsmoothed RSI dual:
+    * over the trailing 14 session-to-session moves, CMO = 100·(Σup −
+    * Σdown)/(Σup + Σdown) ∈ [−100, 100] — [[rsi]]'s gain/loss split
+    * without the averaging, so it reuses the identical diff/gain/loss
+    * convention (diff rounds to 6; first session has no diff). NULL
+    * until 14 full diffs exist (session 15) and on a 14-day flat run
+    * (Σup + Σdown = 0).
+    *
+    * Cross-engine exactness and scale shape: exactly [[vortex]]'s —
+    * one symbol-keyed shuffle, round-before-sum, round-before-divide.
+    */
+  def cmo(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val w14 = wRn.rowsBetween(-13, 0)
+    ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date",
+      validated = true)
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("diff", round(
+        col("close_price") - lag("close_price", 1).over(wRn), 6))
+      .withColumn("gain", greatest(col("diff"), lit(0.0)))
+      .withColumn("loss", greatest(-col("diff"), lit(0.0)))
+      .withColumn("su", round(sum("gain").over(w14), 6))
+      .withColumn("sd", round(sum("loss").over(w14), 6))
+      .withColumn("cmo", round(
+        when(col("rn") >= 15 && col("su") + col("sd") > 0,
+          (col("su") - col("sd")) / (col("su") + col("sd")) * 100.0), 6))
+      .select("user_id", "trade_date", "close_price", "diff", "su", "sd",
+        "cmo")
+      .orderBy("user_id", "trade_date")
+  }
+
+  def cmoSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), t AS (
+       |  SELECT user_id, trade_date, close_price,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn,
+       |    round(close_price - lag(close_price) OVER (PARTITION BY user_id
+       |      ORDER BY trade_date), 6) AS diff
+       |  FROM ohlc
+       |), s AS (
+       |  SELECT user_id, trade_date, close_price, rn, diff,
+       |    round(sum(greatest(diff, 0.0)) OVER w14, 6) AS su,
+       |    round(sum(greatest(-diff, 0.0)) OVER w14, 6) AS sd
+       |  FROM t
+       |  WINDOW w14 AS (PARTITION BY user_id ORDER BY trade_date
+       |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT user_id, trade_date, close_price, diff, su, sd,
+       |  round(CASE WHEN rn >= 15 AND su + sd > 0
+       |    THEN (su - sd) / (su + sd) * 100.0 END, 6) AS cmo
+       |FROM s ORDER BY user_id, trade_date""".stripMargin
+
   /** WILDER-smoothed ATR — the reference formulation next to
     * [[atr]]'s SMA simplification: seed = mean of the first 14 TRs,
     * then the IIR recurrence atr_t = (13·atr_{t−1} + tr_t)/14 — the

@@ -285,7 +285,10 @@ class PlanSpec extends SparkSuite {
     // both moving day-sized rows, no join
     for ((name, df) <- Seq(
         "stochastic" -> Warehouse.stochastic(spark, sfDir),
-        "atr" -> Warehouse.atr(spark, sfDir))) {
+        "atr" -> Warehouse.atr(spark, sfDir),
+        "vortex" -> Warehouse.vortex(spark, sfDir),
+        "ultimate" -> Warehouse.ultimate(spark, sfDir),
+        "cmo" -> Warehouse.cmo(spark, sfDir))) {
       val plan = df.queryExecution.executedPlan.toString
       val hashEx = "hashpartitioning".r.findAllIn(plan).length
       assert(hashEx <= 2, s"$name must keep two bounded shuffles, got $hashEx")

@@ -571,6 +571,107 @@ class WarehouseSpec extends SparkSuite {
     }
   }
 
+  test("vortex VI± equal a driver-side window walk; null till session 15") {
+    val daily = driverDailyOhlc
+    val got = Warehouse.vortex(spark, sfDir).collect()
+    val byKey = got.map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    daily.foreach { case (uid, days) =>
+      val trs = new Array[Double](days.length)
+      val vps = new Array[java.lang.Double](days.length)
+      val vms = new Array[java.lang.Double](days.length)
+      days.zipWithIndex.foreach { case ((d, hi, lo, close), i) =>
+        if (i == 0) { trs(i) = r6(hi - lo); vps(i) = null; vms(i) = null }
+        else {
+          val (_, ph, pl, pc) = days(i - 1)
+          trs(i) =
+            r6(math.max(hi - lo, math.max(math.abs(hi - pc), math.abs(lo - pc))))
+          vps(i) = r6(math.abs(hi - pl))
+          vms(i) = r6(math.abs(lo - ph))
+        }
+        val r = byKey((uid, d))
+        assert(r.getAs[Double]("tr") == trs(i), s"$uid/$d tr")
+        assert(Option(r.getAs[java.lang.Double]("vm_plus")) ==
+          Option(vps(i)), s"$uid/$d vm_plus")
+        val (pGot, mGot) = (
+          Option(r.getAs[java.lang.Double]("vi_plus")).map(_.doubleValue),
+          Option(r.getAs[java.lang.Double]("vi_minus")).map(_.doubleValue))
+        val sTr = r6(trs.slice(math.max(0, i - 13), i + 1).sum)
+        if (i >= 14 && sTr > 0) {
+          def rat(a: Array[java.lang.Double]) = r6(
+            r6(a.slice(i - 13, i + 1).map(_.doubleValue).sum) / sTr)
+          assert(pGot.isDefined && math.abs(pGot.get - rat(vps)) <= 1e-6,
+            s"$uid/$d vi_plus")
+          assert(mGot.isDefined && math.abs(mGot.get - rat(vms)) <= 1e-6,
+            s"$uid/$d vi_minus")
+        } else assert(pGot.isEmpty && mGot.isEmpty,
+          s"$uid/$d VI must be null at rn ${i + 1}")
+      }
+    }
+    // warmup nulls actually occur, and live values straddle 1.0
+    assert(got.count(_.isNullAt(5)) >= 14 * daily.size)
+    val live = got.flatMap(r =>
+      Option(r.getAs[java.lang.Double]("vi_plus")).map(_.doubleValue))
+    assert(live.exists(_ > 1.0) && live.exists(_ < 1.0))
+  }
+
+  test("ultimate oscillator equals the driver-side three-horizon blend") {
+    val daily = driverDailyOhlc
+    val got = Warehouse.ultimate(spark, sfDir).collect()
+    val byKey = got.map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    daily.foreach { case (uid, days) =>
+      val bps = new Array[Double](days.length)
+      val tru = new Array[Double](days.length)
+      days.zipWithIndex.foreach { case ((d, hi, lo, close), i) =>
+        val pc = if (i == 0) None else Some(days(i - 1)._4)
+        val loTc = math.min(lo, pc.getOrElse(lo))
+        val hiTc = math.max(hi, pc.getOrElse(hi))
+        bps(i) = r6(close - loTc)
+        tru(i) = r6(hiTc - loTc)
+        val r = byKey((uid, d))
+        assert(r.getAs[Double]("bp") == bps(i), s"$uid/$d bp")
+        assert(r.getAs[Double]("tr_u") == tru(i), s"$uid/$d tr_u")
+        val uoGot = Option(r.getAs[java.lang.Double]("uo")).map(_.doubleValue)
+        def hs(a: Array[Double], n: Int) = r6(a.slice(i - n + 1, i + 1).sum)
+        val (st7, st14, st28) =
+          if (i >= 27) (hs(tru, 7), hs(tru, 14), hs(tru, 28))
+          else (0.0, 0.0, 0.0)
+        if (i >= 27 && st7 > 0 && st14 > 0 && st28 > 0) {
+          val e = r6((hs(bps, 7) / st7 * 4.0 + hs(bps, 14) / st14 * 2.0 +
+            hs(bps, 28) / st28) * 100.0 / 7.0)
+          assert(uoGot.isDefined && math.abs(uoGot.get - e) <= 1e-6,
+            s"$uid/$d uo $e vs $uoGot")
+          assert(uoGot.get >= 0.0 && uoGot.get <= 100.0, s"$uid/$d uo range")
+        } else assert(uoGot.isEmpty, s"$uid/$d uo must be null at rn ${i + 1}")
+      }
+    }
+  }
+
+  test("cmo equals a driver-side gain/loss walk and stays in [-100, 100]") {
+    val daily = driverDailyOhlc
+    val got = Warehouse.cmo(spark, sfDir).collect()
+    val byKey = got.map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    daily.foreach { case (uid, days) =>
+      val diffs = new Array[java.lang.Double](days.length)
+      days.zipWithIndex.foreach { case ((d, _, _, close), i) =>
+        diffs(i) = if (i == 0) null else r6(close - days(i - 1)._4)
+        val r = byKey((uid, d))
+        assert(Option(r.getAs[java.lang.Double]("diff")) ==
+          Option(diffs(i)), s"$uid/$d diff")
+        val cGot = Option(r.getAs[java.lang.Double]("cmo")).map(_.doubleValue)
+        val win = diffs.slice(math.max(0, i - 13), i + 1)
+          .flatMap(Option(_)).map(_.doubleValue)
+        val su = r6(win.filter(_ > 0).sum)
+        val sd = r6(win.filter(_ < 0).map(-_).sum)
+        if (i >= 14 && su + sd > 0) {
+          val e = r6((su - sd) / (su + sd) * 100.0)
+          assert(cGot.isDefined && math.abs(cGot.get - e) <= 1e-6,
+            s"$uid/$d cmo $e vs $cGot")
+          assert(math.abs(cGot.get) <= 100.0, s"$uid/$d cmo range")
+        } else assert(cGot.isEmpty, s"$uid/$d cmo must be null at rn ${i + 1}")
+      }
+    }
+  }
+
   test("vwap equals the driver-side weighted mean over parsed volumes") {
     val kRe = """"k"\s*:\s*(\d+)""".r
     val ticks = Tables.events(spark, sfDir)
