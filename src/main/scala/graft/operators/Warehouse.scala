@@ -736,6 +736,158 @@ object Warehouse {
        |ORDER BY user_id, trade_date""".stripMargin
   }
 
+  /** DEMA/TEMA-20 — Mulloy's lag-reduced EMA family over the
+    * validated daily close: with e1 = EMA-20(close), e2 = EMA-20(e1),
+    * e3 = EMA-20(e2) (each seeded at its input's first value, the
+    * tier's EMA convention), DEMA = 2·e1 − e2 and TEMA = 3·e1 −
+    * 3·e2 + e3. Display NULL until each stage's warmup compounds:
+    * e1 at session 20, DEMA at 39 (= 2(p−1)+1), TEMA at 58
+    * (= 3(p−1)+1).
+    *
+    * Cross-engine exactness: the CHAINED folds consume unrounded
+    * doubles — e2 folds over the raw e1 array, e3 over e2 — and the
+    * oracle replays each stage's identical float-op sequence via
+    * `list_reduce` prefix folds over the materialized previous stage
+    * (O(days²) there, oracle-only), so every value is BIT-identical
+    * before the display round (the ·10⁶ double-round both engines
+    * compute identically).
+    *
+    * Scale shape: one symbol-keyed shuffle into the sorted
+    * collect_list, three O(days) folds and a re-explode in place —
+    * the [[atrWilder]] shape with a deeper fold chain.
+    */
+  def tema(spark: SparkSession, dir: String): DataFrame =
+    temaOfDaily(
+      ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date",
+        validated = true))
+
+  private[graft] def temaOfDaily(daily: DataFrame): DataFrame = {
+    val r6a = (c: String) =>
+      s"transform($c, x -> round(x * 1000000.0D, 0) / 1000000.0D)"
+    daily
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("trade_date"),
+        col("close_price")))).as("days"))
+      .withColumn("cls", expr("transform(days, d -> d.close_price)"))
+      .withColumn("e1", expr(emaRunExpr("cls", 20)))
+      .withColumn("e2", expr(emaRunExpr("e1", 20)))
+      .withColumn("e3", expr(emaRunExpr("e2", 20)))
+      .withColumn("ema_20", expr(r6a(
+        "transform(e1, (x, i) -> CASE WHEN i >= 19 THEN x END)")))
+      .withColumn("dema_20", expr(r6a(
+        """transform(zip_with(e1, e2, (a, b) -> 2.0D * a - b),
+          |  (x, i) -> CASE WHEN i >= 38 THEN x END)""".stripMargin)))
+      .withColumn("tema_20", expr(r6a(
+        """transform(zip_with(zip_with(e1, e2, (a, b) -> 3.0D * a - 3.0D * b),
+          |                   e3, (ab, c) -> ab + c),
+          |  (x, i) -> CASE WHEN i >= 57 THEN x END)""".stripMargin)))
+      .select(col("user_id"),
+        expr("inline(arrays_zip(days, ema_20, dema_20, tema_20))"))
+      .select(col("user_id"), col("days.trade_date").as("trade_date"),
+        col("days.close_price").as("close_price"),
+        col("ema_20"), col("dema_20"), col("tema_20"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  /** DuckDB text of the materialized running-EMA list at period `p`
+    * over list column `arr` — the O(n²) prefix-fold dual of
+    * [[emaRunExpr]], shared by the chained-EMA oracles.
+    */
+  private def emaListSql(arr: String, p: Int): String =
+    s"""list_transform(generate_series(1, len($arr)), i ->
+       |  list_reduce($arr[1:i], (a, x) ->
+       |    x * (2.0 / ${p + 1}.0) + a * (1.0 - 2.0 / ${p + 1}.0)))""".stripMargin
+
+  def temaSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), g AS (
+       |  SELECT user_id,
+       |    list(trade_date ORDER BY trade_date) AS dts,
+       |    list(close_price ORDER BY trade_date) AS cls
+       |  FROM ohlc GROUP BY user_id
+       |), s1 AS (
+       |  SELECT user_id, dts, cls, ${emaListSql("cls", 20)} AS e1 FROM g
+       |), s2 AS (
+       |  SELECT user_id, dts, cls, e1, ${emaListSql("e1", 20)} AS e2 FROM s1
+       |), s3 AS (
+       |  SELECT user_id, dts, cls, e1, e2, ${emaListSql("e2", 20)} AS e3
+       |  FROM s2
+       |)
+       |SELECT user_id, unnest(dts) AS trade_date, unnest(cls) AS close_price,
+       |  unnest(list_transform(generate_series(1, len(cls)), i ->
+       |    CASE WHEN i >= 20 THEN round(e1[i], 6) END)) AS ema_20,
+       |  unnest(list_transform(generate_series(1, len(cls)), i ->
+       |    CASE WHEN i >= 39
+       |      THEN round(2.0 * e1[i] - e2[i], 6) END)) AS dema_20,
+       |  unnest(list_transform(generate_series(1, len(cls)), i ->
+       |    CASE WHEN i >= 58
+       |      THEN round(3.0 * e1[i] - 3.0 * e2[i] + e3[i], 6) END)) AS tema_20
+       |FROM s3 ORDER BY user_id, trade_date""".stripMargin
+
+  /** TRIX-15 — the rate of change of a TRIPLE-smoothed EMA: with
+    * e3 = EMA-15(EMA-15(EMA-15(close))) (the [[tema]] chain at
+    * p = 15), TRIX_t = 100·(e3_t/e3_{t−1} − 1) — the momentum
+    * oscillator whose triple smoothing filters noise the single-EMA
+    * [[momentum]] tier passes through. NULL until the chain's warmup
+    * plus the lag (session 3(p−1)+2 = 44). Closes are positive so e3
+    * never hits 0 (division is total).
+    *
+    * Cross-engine exactness and scale shape: exactly [[tema]]'s —
+    * chained unrounded folds, prefix-fold oracle, one symbol-keyed
+    * shuffle, display round last.
+    */
+  def trix(spark: SparkSession, dir: String): DataFrame =
+    trixOfDaily(
+      ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date",
+        validated = true))
+
+  private[graft] def trixOfDaily(daily: DataFrame): DataFrame = {
+    daily
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("trade_date"),
+        col("close_price")))).as("days"))
+      .withColumn("cls", expr("transform(days, d -> d.close_price)"))
+      .withColumn("e1", expr(emaRunExpr("cls", 15)))
+      .withColumn("e2", expr(emaRunExpr("e1", 15)))
+      .withColumn("e3", expr(emaRunExpr("e2", 15)))
+      .withColumn("e3_r", expr(
+        "transform(e3, x -> round(x * 1000000.0D, 0) / 1000000.0D)"))
+      .withColumn("trix", expr(
+        """transform(e3, (x, i) -> CASE WHEN i >= 43 THEN
+          |  round(((x / element_at(e3, i) - 1.0D) * 100.0D)
+          |    * 1000000.0D, 0) / 1000000.0D END)""".stripMargin))
+      .select(col("user_id"), expr("inline(arrays_zip(days, e3_r, trix))"))
+      .select(col("user_id"), col("days.trade_date").as("trade_date"),
+        col("days.close_price").as("close_price"),
+        col("e3_r").as("e3"), col("trix"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def trixSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), g AS (
+       |  SELECT user_id,
+       |    list(trade_date ORDER BY trade_date) AS dts,
+       |    list(close_price ORDER BY trade_date) AS cls
+       |  FROM ohlc GROUP BY user_id
+       |), s1 AS (
+       |  SELECT user_id, dts, cls, ${emaListSql("cls", 15)} AS e1 FROM g
+       |), s2 AS (
+       |  SELECT user_id, dts, cls, e1, ${emaListSql("e1", 15)} AS e2 FROM s1
+       |), s3 AS (
+       |  SELECT user_id, dts, cls, e1, e2, ${emaListSql("e2", 15)} AS e3
+       |  FROM s2
+       |)
+       |SELECT user_id, unnest(dts) AS trade_date, unnest(cls) AS close_price,
+       |  unnest(list_transform(generate_series(1, len(cls)), i ->
+       |    round(e3[i], 6))) AS e3,
+       |  unnest(list_transform(generate_series(1, len(cls)), i ->
+       |    CASE WHEN i >= 44 THEN
+       |      round((e3[i] / e3[i - 1] - 1.0) * 100.0, 6) END)) AS trix
+       |FROM s3 ORDER BY user_id, trade_date""".stripMargin
+
   /** DONCHIAN CHANNELS — completing the volatility-envelope trio next
     * to q_bollinger (stddev bands) and [[keltner]] (ATR bands): the
     * 20-session rolling extremes of the validated daily OHLC (upper =

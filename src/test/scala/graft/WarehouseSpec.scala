@@ -1385,6 +1385,58 @@ class WarehouseSpec extends SparkSuite {
     }
   }
 
+  test("tema/trix chained folds replay a driver-side triple-EMA walk") {
+    import spark.implicits._
+    def srd(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    // 100 sessions — enough to light every warmup tier (EMA 20, DEMA
+    // 39, TEMA 58, TRIX 44) that the small-SF corpora never reach;
+    // the 42-session sine survives the triple smoothing (a faster
+    // oscillation would be filtered flat and TRIX would never dip)
+    val closes = (0 until 100).map(i =>
+      100.0 + i * 0.2 + 15.0 * math.sin(i * 0.15)).toArray
+    val daily = closes.zipWithIndex.map { case (c, i) =>
+      (9L, java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i)), c)
+    }.toSeq.toDF("user_id", "trade_date", "close_price")
+    def ema(xs: Array[Double], p: Int): Array[Double] = {
+      val k = 2.0 / (p + 1.0)
+      val out = new Array[Double](xs.length)
+      xs.zipWithIndex.foreach { case (x, i) =>
+        out(i) = if (i == 0) x else x * k + out(i - 1) * (1.0 - k) }
+      out
+    }
+    val gotT = Warehouse.temaOfDaily(daily).collect()
+      .sortBy(_.getAs[java.sql.Date]("trade_date").getTime)
+    val (t1, t2) = (ema(closes, 20), ema(ema(closes, 20), 20))
+    val t3 = ema(t2, 20)
+    gotT.zipWithIndex.foreach { case (r, i) =>
+      def at(c: String) = Option(r.getAs[java.lang.Double](c)).map(_.doubleValue)
+      assert(at("ema_20") == (if (i >= 19) Some(srd(t1(i))) else None), s"e1@$i")
+      assert(at("dema_20") ==
+        (if (i >= 38) Some(srd(2.0 * t1(i) - t2(i))) else None), s"dema@$i")
+      assert(at("tema_20") ==
+        (if (i >= 57) Some(srd(3.0 * t1(i) - 3.0 * t2(i) + t3(i))) else None),
+        s"tema@$i")
+    }
+    assert(gotT.count(!_.isNullAt(4)) == 100 - 38, "dema live span")
+    assert(gotT.count(!_.isNullAt(5)) == 100 - 57, "tema live span")
+    val (x1, x2) = (ema(closes, 15), ema(ema(closes, 15), 15))
+    val x3 = ema(x2, 15)
+    val gotX = Warehouse.trixOfDaily(daily).collect()
+      .sortBy(_.getAs[java.sql.Date]("trade_date").getTime)
+    gotX.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("e3") == srd(x3(i)), s"trix e3@$i")
+      val tGot = Option(r.getAs[java.lang.Double]("trix")).map(_.doubleValue)
+      assert(tGot == (if (i >= 43)
+        Some(srd((x3(i) / x3(i - 1) - 1.0) * 100.0)) else None), s"trix@$i")
+    }
+    // the sine component means TRIX actually changes sign while live
+    val live = gotX.flatMap(r =>
+      Option(r.getAs[java.lang.Double]("trix")).map(_.doubleValue))
+    assert(live.exists(_ > 0) && live.exists(_ < 0), "trix sign coverage")
+  }
+
   test("moneyFlow equals a driver-side integer-micros walk") {
     def srd(x: Double) = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
