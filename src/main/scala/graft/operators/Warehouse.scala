@@ -1852,6 +1852,98 @@ object Warehouse {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS obv
       |FROM sv ORDER BY user_id, trade_date""".stripMargin
 
+  /** FORCE INDEX (Elder, EMA-13) — price change weighted by the
+    * session's traded volume: FI_t = (close_t − close_{t−1}) ·
+    * volume_t (undefined on a symbol's first session), smoothed by an
+    * EMA-13 seeded at the first FI (the tier's EMA convention) and
+    * displayed once 13 FI values exist (session 14). Shares [[obv]]'s
+    * exact daily close + parsed-volume base so "volume" can never
+    * mean two things across the volume tier.
+    *
+    * Cross-engine exactness: FI is two IEEE ops ((a − b)·v) on shared
+    * inputs — bit-identical UNROUNDED fold input on both engines; the
+    * oracle replays the EMA via `list_reduce` prefix folds (O(days²),
+    * oracle-only) and both sides round only at display.
+    *
+    * Scale shape: one symbol-keyed shuffle from the daily partial agg
+    * into sorted arrays, O(days) fold, re-explode — the [[atrWilder]]
+    * shape on the volume base.
+    */
+  def forceIndex(spark: SparkSession, dir: String): DataFrame =
+    forceIndexOfDaily(
+      validTicksVol(spark, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("trade_date"))
+        .agg(max_by(col("value"), struct(col("ts"), col("event_id")))
+            .as("close_price"),
+          sum("vol").as("volume")))
+
+  private[graft] def forceIndexOfDaily(daily: DataFrame): DataFrame = {
+    val srdA = (c: String) =>
+      s"transform($c, x -> round(x * 1000000.0D, 0) / 1000000.0D)"
+    daily
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("trade_date"),
+        col("close_price"), col("volume")))).as("days"))
+      .withColumn("cls", expr("transform(days, d -> d.close_price)"))
+      .withColumn("vols", expr("transform(days, d -> CAST(d.volume AS DOUBLE))"))
+      .withColumn("fis", expr(
+        """transform(slice(cls, 2, size(cls) - 1), (x, i) ->
+          |  (x - element_at(cls, i + 1)) * element_at(vols, i + 2))"""
+          .stripMargin))
+      .withColumn("ema", expr(emaRunExpr("fis", 13)))
+      .withColumn("fi", expr(
+        s"concat(array(CAST(NULL AS DOUBLE)), ${srdA("fis")})"))
+      .withColumn("fi_ema13", expr(
+        s"""concat(array(CAST(NULL AS DOUBLE)),
+           |  transform(ema, (x, i) -> CASE WHEN i >= 12
+           |    THEN round(x * 1000000.0D, 0) / 1000000.0D END))"""
+          .stripMargin))
+      .select(col("user_id"), expr("inline(arrays_zip(days, fi, fi_ema13))"))
+      .select(col("user_id"), col("days.trade_date").as("trade_date"),
+        col("days.close_price").as("close_price"),
+        col("days.volume").as("volume"), col("fi"), col("fi_ema13"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def forceIndexSql: String =
+    """WITH v AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    coalesce(json_extract(props, '$.k')::BIGINT, 0) AS vol
+      |  FROM events
+      |  WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)
+      |    AND user_id IS NOT NULL
+      |), d AS (
+      |  SELECT user_id, trade_date,
+      |    max(CASE WHEN rn = 1 THEN value END) AS close_price,
+      |    sum(vol)::BIGINT AS volume
+      |  FROM (
+      |    SELECT user_id, CAST(ts AS DATE) AS trade_date, value, vol,
+      |      row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                         ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM v)
+      |  GROUP BY 1, 2
+      |), g AS (
+      |  SELECT user_id,
+      |    list(trade_date ORDER BY trade_date) AS dts,
+      |    list(close_price ORDER BY trade_date) AS cls,
+      |    list(volume ORDER BY trade_date) AS vol_l,
+      |    list(volume::DOUBLE ORDER BY trade_date) AS vols
+      |  FROM d GROUP BY user_id
+      |), f AS (
+      |  SELECT user_id, dts, cls, vol_l,
+      |    list_transform(generate_series(2, len(cls)), i ->
+      |      (cls[i] - cls[i - 1]) * vols[i]) AS fis
+      |  FROM g
+      |)
+      |SELECT user_id, unnest(dts) AS trade_date, unnest(cls) AS close_price,
+      |  unnest(vol_l) AS volume,
+      |  unnest(list_transform(generate_series(1, len(cls)), j ->
+      |    CASE WHEN j >= 2 THEN round(fis[j - 1], 6) END)) AS fi,
+      |  unnest(list_transform(generate_series(1, len(cls)), j ->
+      |    CASE WHEN j >= 14 THEN round(list_reduce(fis[1:j - 1], (a, x) ->
+      |      x * (2.0 / 14.0) + a * (1.0 - 2.0 / 14.0)), 6) END)) AS fi_ema13
+      |FROM f ORDER BY user_id, trade_date""".stripMargin
+
   /** HEIKIN-ASHI candles — the smoothed candle transform every
     * charting layer offers next to raw OHLC: haClose = (O+H+L+C)/4,
     * haOpen = midpoint of the PREVIOUS HA body (seeded (O₁+C₁)/2),

@@ -1437,6 +1437,38 @@ class WarehouseSpec extends SparkSuite {
     assert(live.exists(_ > 0) && live.exists(_ < 0), "trix sign coverage")
   }
 
+  test("forceIndex EMA-13 replays a driver-side fold on a crafted series") {
+    import spark.implicits._
+    def srd(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    val closes = (0 until 30).map(i =>
+      50.0 + 4.0 * math.sin(i * 0.9) + i * 0.3).toArray
+    val vols = (0 until 30).map(i => 1000L + 137L * (i % 7)).toArray
+    val daily = (0 until 30).map(i =>
+      (3L, java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 3, 1).plusDays(i)), closes(i), vols(i)))
+      .toDF("user_id", "trade_date", "close_price", "volume")
+    val got = Warehouse.forceIndexOfDaily(daily).collect()
+      .sortBy(_.getAs[java.sql.Date]("trade_date").getTime)
+    val fis = (1 until 30).map(i =>
+      (closes(i) - closes(i - 1)) * vols(i).toDouble).toArray
+    val k = 2.0 / 14.0
+    val ema = new Array[Double](fis.length)
+    fis.zipWithIndex.foreach { case (x, i) =>
+      ema(i) = if (i == 0) x else x * k + ema(i - 1) * (1.0 - k) }
+    got.zipWithIndex.foreach { case (r, i) =>
+      def at(c: String) = Option(r.getAs[java.lang.Double](c)).map(_.doubleValue)
+      assert(r.getAs[Long]("volume") == vols(i), s"vol@$i")
+      assert(at("fi") == (if (i >= 1) Some(srd(fis(i - 1))) else None), s"fi@$i")
+      assert(at("fi_ema13") ==
+        (if (i >= 13) Some(srd(ema(i - 1))) else None), s"ema@$i")
+    }
+    // the sine dominates the drift early: smoothed force flips sign
+    val live = got.flatMap(r =>
+      Option(r.getAs[java.lang.Double]("fi_ema13")).map(_.doubleValue))
+    assert(live.length == 30 - 13 && live.exists(_ > 0) && live.exists(_ < 0))
+  }
+
   test("moneyFlow equals a driver-side integer-micros walk") {
     def srd(x: Double) = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
