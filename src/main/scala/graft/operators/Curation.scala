@@ -508,6 +508,81 @@ object Curation {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Sample size per source for [[weightedSample]]. */
+  private val WsK = 10
+
+  /** WEIGHTED sampling without replacement — PRIORITY SAMPLING
+    * (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    * arbitrary subset sums", JACM 2007): per source, each doc draws
+    * priority q = w/u from weight w = n_chars + 1 and a deterministic
+    * uniform u ∈ (0, 1] (48-bit md5 bucket of the doc id — the
+    * [[dataSplit]] hash idiom, +1 so u is never 0); keep the top
+    * k = 10 priorities, and publish the unbiased subset-sum weight
+    * estimate ŵ = max(w, τ) where the threshold τ is the (k+1)-th
+    * priority (groups of ≤ k docs keep everything with ŵ = w).
+    * Σŵ over any kept subset estimates that subset's true Σw — the
+    * sampling layer a mixture-weighted 100 TB corpus needs when docs
+    * are size-weighted, next to [[stratifiedSample]]'s per-language
+    * Bernoulli gate.
+    *
+    * Cross-engine exactness: u = (v+1)/2⁴⁸ is EXACT (integer + power-
+    * of-two divide) and q = w/u is one correctly-rounded IEEE divide,
+    * so priorities are bit-identical on both engines — no rounding
+    * anywhere in the query.
+    *
+    * Scale shape: one hash shuffle on source for the per-source
+    * window top-k (sources are few and fat — AQE's skew split handles
+    * an outlier source); τ rides the same window, no second shuffle,
+    * no driver state. A doc with w ≥ τ is structurally ALWAYS kept
+    * (u ≤ 1 ⇒ q ≥ w ≥ τ) — the heavy-tail guarantee the spec pins.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSampleDocs(Tables.documents(spark, dir))
+
+  private[graft] def weightedSampleDocs(docs: DataFrame): DataFrame = {
+    val wSrc = Window.partitionBy("source")
+    val wRank = wSrc.orderBy(col("priority").desc, col("doc_id"))
+    docs
+      .select(col("doc_id"), col("source"),
+        (col("n_chars") + lit(1L)).cast("double").as("w"),
+        ((conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("long").cast("double") + 1.0) /
+          lit(281474976710656.0)).as("u"))
+      .withColumn("priority", col("w") / col("u"))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("tau",
+        max(when(col("rk") === WsK + 1, col("priority"))).over(wSrc))
+      .filter(col("rk") <= WsK)
+      .withColumn("w_est",
+        when(col("tau").isNull, col("w"))
+          .otherwise(greatest(col("w"), col("tau"))))
+      .select("source", "rk", "doc_id", "w", "priority", "tau", "w_est")
+      .orderBy("source", "rk")
+  }
+
+  def weightedSampleSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, source,
+       |    (n_chars + 1)::DOUBLE AS w,
+       |    (n_chars + 1)::DOUBLE /
+       |      ((('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::BIGINT + 1)
+       |        / 281474976710656.0) AS priority
+       |  FROM documents
+       |), r AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY priority DESC, doc_id) AS rk
+       |  FROM p
+       |), t AS (
+       |  SELECT *,
+       |    max(CASE WHEN rk = ${WsK + 1} THEN priority END)
+       |      OVER (PARTITION BY source) AS tau
+       |  FROM r
+       |)
+       |SELECT source, rk, doc_id, w, priority, tau,
+       |  CASE WHEN tau IS NULL THEN w ELSE greatest(w, tau) END AS w_est
+       |FROM t WHERE rk <= $WsK ORDER BY source, rk""".stripMargin
+
   /** PII patterns, redacted in a fixed order (URLs first — they can
     * contain email-shaped substrings). Pattern syntax restricted to
     * the Java-regex ∩ RE2 subset (no lookaround/backrefs) so Spark

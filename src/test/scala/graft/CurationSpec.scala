@@ -1074,6 +1074,50 @@ class CurationSpec extends SparkSuite {
     assert(rows.forall(_.getLong(2) == 0L), "synthetic corpus must be pii-free")
   }
 
+  test("weightedSample replays priority sampling and keeps every w >= tau") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getAs[Number]("doc_id").longValue(), r.getString(1),
+        r.getAs[Number]("n_chars").longValue()))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(docId: Long): Double = {
+      val hex = md.digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(12)
+      (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 281474976710656.0
+    }
+    val bySrc = docs.groupBy(_._2).map { case (src, g) =>
+      val ranked = g.map { case (id, _, nc) =>
+        val w = (nc + 1).toDouble
+        (id, w, w / u(id))
+      }.sortBy { case (id, _, q) => (-q, id) }
+      val tau = if (ranked.length > 10) Some(ranked(10)._3) else None
+      src -> (ranked.take(10), tau, ranked)
+    }
+    val got = Curation.weightedSample(spark, sfDir).collect()
+    assert(got.length == bySrc.values.map(_._1.length).sum)
+    got.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val (expTop, tau, all) = bySrc(src)
+      val sorted = rows.sortBy(_.getAs[Int]("rk"))
+      sorted.zip(expTop).foreach { case (r, (id, w, q)) =>
+        assert(r.getAs[Number]("doc_id").longValue() == id,
+          s"$src rank ${r.getAs[Int]("rk")}")
+        assert(r.getAs[Double]("w") == w && r.getAs[Double]("priority") == q)
+        val eTau = Option(r.getAs[java.lang.Double]("tau")).map(_.doubleValue)
+        assert(eTau == tau, s"$src tau")
+        val eW = tau.fold(w)(t => math.max(w, t))
+        assert(r.getAs[Double]("w_est") == eW, s"$src w_est for $id")
+        tau.foreach(t => assert(q >= t, s"$src kept priority below tau"))
+      }
+      // the heavy-tail guarantee: u <= 1 makes q >= w, so any doc at
+      // least as heavy as the threshold is ALWAYS in the sample
+      tau.foreach { t =>
+        val kept = expTop.map(_._1).toSet
+        all.filter(_._2 >= t).foreach { case (id, _, _) =>
+          assert(kept(id), s"$src doc $id with w >= tau missing") }
+      }
+    }
+  }
+
   test("stratifiedSample is deterministic and hits per-stratum rates") {
     val a = Curation.stratifiedSample(spark, sfDir).collect()
     val b = Curation.stratifiedSample(spark, sfDir).collect()
