@@ -2162,4 +2162,96 @@ object Similarity {
       |  sum(CASE WHEN norm < 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_low_norm,
       |  sum(CASE WHEN norm > 2.0 THEN 1 ELSE 0 END)::BIGINT AS n_high_norm
       |FROM n GROUP BY label ORDER BY label""".stripMargin
+
+  // ------------------------------------------------------------- PCA
+
+  /** Fitted PCA model: per-dim mean, top-k eigenvalues (descending),
+    * and the matching eigenvectors (rows, sign-normalized so each
+    * component's largest-|entry| coordinate is positive — the
+    * deterministic convention that makes refits bit-reproducible).
+    */
+  private[graft] case class PcaModel(mean: Array[Double],
+      eigenvalues: Array[Double], components: Array[Array[Double]])
+
+  private[graft] def fitPca(spark: SparkSession, dir: String,
+      k: Int): PcaModel =
+    fitPcaOf(vecs(spark, dir), k)
+
+  /** PCA fit over a (vec_id, v, norm) corpus: ONE distributed Gramian
+    * pass (Σ v·vᵀ via treeAggregate — map-side combined, d×d partials
+    * only ever cross the wire) plus one per-dim mean pass, then the
+    * covariance Cov = Σvvᵀ/n − μμᵀ eigendecomposes on the driver
+    * (64×64 — model-sized, the [[fitOpqRotationOnSample]] budget).
+    * At 100 TB the corpus is touched exactly twice and nothing
+    * vector-sized is ever collected.
+    */
+  private[graft] def fitPcaOf(corpus: DataFrame, k: Int): PcaModel = {
+    import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val cached = corpus.select("v").localCheckpoint()
+    try {
+      val n = cached.count().toDouble
+      require(n > 1, "PCA needs at least two vectors")
+      val mean = cached
+        .select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(sum("x").as("s"))
+        .collect().sortBy(_.getInt(0)).map(_.getDouble(1) / n)
+      val d = mean.length
+      val gram = new RowMatrix(
+        cached.rdd.map(r => OldVectors.dense(r.getSeq[Double](0).toArray)))
+        .computeGramianMatrix()
+      val cov = breeze.linalg.DenseMatrix.tabulate(d, d)((i, j) =>
+        gram(i, j) / n - mean(i) * mean(j))
+      val es = breeze.linalg.eigSym(cov)
+      val order = (0 until d).sortBy(i => -es.eigenvalues(i)).take(k)
+      val comps = order.map { i =>
+        val w = Array.tabulate(d)(j => es.eigenvectors(j, i))
+        val m = w.indices.maxBy(j => (math.abs(w(j)), -j))
+        if (w(m) < 0) w.map(x => -x) else w
+      }.toArray
+      PcaModel(mean, order.map(es.eigenvalues(_)).toArray, comps)
+    } finally cached.unpersist()
+  }
+
+  /** Principal-component projection of the embedding corpus — the
+    * dimension-reduction leg a 100 TB embedding pipeline runs before
+    * indexing or visualization: fit [[fitPca]]'s top-8 components,
+    * then project every vector, pcⱼ = ⟨v, wⱼ⟩ − ⟨μ, wⱼ⟩ (the center
+    * term folds into one broadcast constant per component, so the
+    * projection is 8 codegen'd dots per row — a narrow map, zero
+    * shuffle beyond the fit passes). Output carries the per-row
+    * squared reconstruction error ‖v−μ‖² − Σpc² (non-negative by
+    * Parseval; the spec pins it against explicit reconstruction) so
+    * downstream monitors can watch captured variance drift.
+    *
+    * No SQL oracle by design (the eigensolve is not SQL-expressible);
+    * correctness is the LlmOpsSpec property suite: orthonormal
+    * components, descending eigenvalues that sum to ≤ trace with
+    * per-component projected variance ≈ λ, exact per-row
+    * reconstruction-error identity, and refit determinism.
+    */
+  def embedPca(spark: SparkSession, dir: String): DataFrame = {
+    val model = fitPca(spark, dir, k = 8)
+    embedPcaOf(Tables.embeddings(spark, dir), model)
+  }
+
+  private[graft] def embedPcaOf(emb: DataFrame, model: PcaModel): DataFrame = {
+    val base = emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+    val centers = model.components.map(w =>
+      w.zip(model.mean).map { case (wi, mi) => wi * mi }.sum)
+    val pcs = model.components.toIndexedSeq.zipWithIndex.map {
+      case (w, j) =>
+        Dedup.dot(typedLit(w.toSeq), col("v")) - lit(centers(j))
+    }
+    val mu2 = model.mean.map(x => x * x).sum
+    base
+      .withColumn("pc", array(pcs: _*))
+      .withColumn("recon_err2",
+        Dedup.dot(col("v"), col("v")) -
+          Dedup.dot(typedLit(model.mean.toSeq), col("v")) * 2.0 + lit(mu2) -
+          expr("aggregate(pc, 0D, (a, x) -> a + x * x)"))
+      .select("vec_id", "label", "pc", "recon_err2")
+      .orderBy("vec_id")
+  }
 }
