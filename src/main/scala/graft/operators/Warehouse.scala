@@ -888,6 +888,259 @@ object Warehouse {
        |      round((e3[i] / e3[i - 1] - 1.0) * 100.0, 6) END)) AS trix
        |FROM s3 ORDER BY user_id, trade_date""".stripMargin
 
+  /** ELDER RAY (13) — bull power = high − EMA-13(close), bear power
+    * = low − EMA-13(close): the buying/selling-pressure split over
+    * the tier's one EMA convention (seeded at the first close, NULL
+    * till 13 sessions). Rides [[emaRunExpr]] exactly like [[keltner]]
+    * — the oracle replays the fold via `list_reduce` prefix folds so
+    * powers are BIT-identical before the display round.
+    *
+    * Scale shape: one symbol-keyed shuffle into sorted arrays, one
+    * O(days) fold, re-explode.
+    */
+  def elderRay(spark: SparkSession, dir: String): DataFrame = {
+    val srdA = (c: String) =>
+      s"transform($c, x -> round(x * 1000000.0D, 0) / 1000000.0D)"
+    ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date",
+      validated = true)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("trade_date"),
+        col("high_price"), col("low_price"), col("close_price"))))
+        .as("days"))
+      .withColumn("cls", expr("transform(days, d -> d.close_price)"))
+      .withColumn("e1", expr(
+        s"transform(${emaRunExpr("cls", 13)}, (e, i) -> " +
+          "CASE WHEN i >= 12 THEN e END)"))
+      .withColumn("ema_13", expr(srdA("e1")))
+      .withColumn("bull_power", expr(srdA(
+        "zip_with(transform(days, d -> d.high_price), e1, (h, e) -> h - e)")))
+      .withColumn("bear_power", expr(srdA(
+        "zip_with(transform(days, d -> d.low_price), e1, (l, e) -> l - e)")))
+      .select(col("user_id"),
+        expr("inline(arrays_zip(days, ema_13, bull_power, bear_power))"))
+      .select(col("user_id"), col("days.trade_date").as("trade_date"),
+        col("days.high_price").as("high_price"),
+        col("days.low_price").as("low_price"),
+        col("days.close_price").as("close_price"),
+        col("ema_13"), col("bull_power"), col("bear_power"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def elderRaySql: String = {
+    val fold =
+      "list_reduce(cls[1:i], (a, x) -> x * (2.0 / 14.0) + a * (1.0 - 2.0 / 14.0))"
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), g AS (
+       |  SELECT user_id,
+       |    list(trade_date ORDER BY trade_date) AS dts,
+       |    list(high_price ORDER BY trade_date) AS his,
+       |    list(low_price ORDER BY trade_date) AS los,
+       |    list(close_price ORDER BY trade_date) AS cls
+       |  FROM ohlc GROUP BY user_id
+       |)
+       |SELECT user_id, unnest(dts) AS trade_date, unnest(his) AS high_price,
+       |  unnest(los) AS low_price, unnest(cls) AS close_price,
+       |  unnest(list_transform(generate_series(1, len(cls)), i ->
+       |    CASE WHEN i >= 13 THEN round($fold, 6) END)) AS ema_13,
+       |  unnest(list_transform(generate_series(1, len(cls)), i ->
+       |    CASE WHEN i >= 13 THEN round(his[i] - $fold, 6) END)) AS bull_power,
+       |  unnest(list_transform(generate_series(1, len(cls)), i ->
+       |    CASE WHEN i >= 13 THEN round(los[i] - $fold, 6) END)) AS bear_power
+       |FROM g ORDER BY user_id, trade_date""".stripMargin
+  }
+
+  /** MASS INDEX (9, 25) — Dorsey's reversal detector: the session
+    * range high − low is EMA-9 smoothed (e1), smoothed AGAIN (e2 =
+    * EMA-9 of e1), and the mass index is the 25-session sum of the
+    * ratio e1/e2 — range expansion widens the ratio regardless of
+    * direction. Both EMAs seed at their input's first value; the
+    * ratio is displayed from session 17 (e2's compounded warmup
+    * 2(p−1)+1) and the mass once 25 live ratios exist (session 41).
+    *
+    * Cross-engine exactness: the chained folds consume unrounded
+    * doubles ([[tema]]'s discipline); the RATIO rounds to 6 before
+    * the window sum and the SUM rounds to 6 ([[vortex]]'s
+    * discipline) — so the array tier is bit-identical and the window
+    * tier is association-proof.
+    *
+    * Scale shape: one symbol-keyed shuffle serves the arrays AND the
+    * re-exploded ratio window (same user_id key, day-sized rows).
+    */
+  def massIndex(spark: SparkSession, dir: String): DataFrame =
+    massIndexOfDaily(
+      ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date",
+        validated = true))
+
+  private[graft] def massIndexOfDaily(daily: DataFrame): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val w25 = wRn.rowsBetween(-24, 0)
+    daily
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("trade_date"),
+        col("high_price"), col("low_price")))).as("days"))
+      .withColumn("rng", expr("transform(days, d -> d.high_price - d.low_price)"))
+      .withColumn("e1", expr(emaRunExpr("rng", 9)))
+      .withColumn("e2", expr(emaRunExpr("e1", 9)))
+      // the guard runs INSIDE the lambda: a flat session-1 range
+      // makes e2[1] = 0 and ANSI division would abort on an element
+      // the warmup mask never shows
+      .withColumn("ratio", expr(
+        """transform(zip_with(e1, e2, (a, b) ->
+          |  CASE WHEN b > 0D THEN a / b END), (x, i) ->
+          |  CASE WHEN i >= 16
+          |    THEN round(x * 1000000.0D, 0) / 1000000.0D END)""".stripMargin))
+      .select(col("user_id"), expr("inline(arrays_zip(days, ratio))"))
+      .select(col("user_id"), col("days.trade_date").as("trade_date"),
+        col("days.high_price").as("high_price"),
+        col("days.low_price").as("low_price"), col("ratio"))
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("mass_25", round(
+        when(col("rn") >= 41, sum("ratio").over(w25)), 6))
+      .drop("rn")
+      .orderBy("user_id", "trade_date")
+  }
+
+  def massIndexSql: String = {
+    // the fold constants must be the same EXPRESSIONS Spark folds
+    // with: 1.0 - 2.0/10.0 is one ulp off the literal 0.8
+    val e1 = "list_transform(generate_series(1, len(rng)), i -> " +
+      "list_reduce(rng[1:i], (a, x) -> " +
+      "x * (2.0 / 10.0) + a * (1.0 - 2.0 / 10.0)))"
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), g AS (
+       |  SELECT user_id,
+       |    list(trade_date ORDER BY trade_date) AS dts,
+       |    list(high_price ORDER BY trade_date) AS his,
+       |    list(low_price ORDER BY trade_date) AS los,
+       |    list(high_price - low_price ORDER BY trade_date) AS rng
+       |  FROM ohlc GROUP BY user_id
+       |), s1 AS (
+       |  SELECT user_id, dts, his, los, $e1 AS e1 FROM g
+       |), s2 AS (
+       |  SELECT user_id, dts, his, los, e1,
+       |    list_transform(generate_series(1, len(e1)), i ->
+       |      list_reduce(e1[1:i], (a, x) ->
+       |        x * (2.0 / 10.0) + a * (1.0 - 2.0 / 10.0))) AS e2
+       |  FROM s1
+       |), x AS (
+       |  SELECT user_id, unnest(dts) AS trade_date, unnest(his) AS high_price,
+       |    unnest(los) AS low_price,
+       |    unnest(list_transform(generate_series(1, len(e1)), i ->
+       |      CASE WHEN i >= 17 AND e2[i] > 0
+       |        THEN round(e1[i] / e2[i], 6) END)) AS ratio
+       |  FROM s2
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id
+       |    ORDER BY trade_date) AS rn
+       |  FROM x
+       |)
+       |SELECT user_id, trade_date, high_price, low_price, ratio,
+       |  round(CASE WHEN rn >= 41 THEN
+       |    sum(ratio) OVER (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 24 PRECEDING AND CURRENT ROW) END, 6) AS mass_25
+       |FROM r ORDER BY user_id, trade_date""".stripMargin
+  }
+
+  /** KST (Know Sure Thing, Pring) — four rate-of-change horizons
+    * (10/15/20/30 sessions), each SMA-smoothed (10/10/10/15), blended
+    * 1:2:3:4, plus the SMA-9 signal line. Runs in INTEGER MICROS
+    * ([[moneyFlow]]'s discipline): each ROC rounds once to micros
+    * (the only float round — scale-0, where both engines' half
+    * conventions agree), window sums are exact long arithmetic with
+    * no association order to disagree about, and each SMA divides the
+    * exact sum by its width with one more scale-0 round. A
+    * round(avg(...), 6) formulation would instead land on the 6th-
+    * decimal half boundary every time a sum of micros isn't divisible
+    * by the width — systematically, not rarely.
+    *
+    * Each RCMA is NULL until its ROC horizon AND its SMA are both
+    * full (sessions 20/25/30/45); KST needs all four (45) and the
+    * signal nine KSTs (53).
+    *
+    * Scale shape: ONE symbol-keyed shuffle; four lags, four window
+    * sums, and the signal all share the one partition-sort, day-sized
+    * rows.
+    */
+  def kst(spark: SparkSession, dir: String): DataFrame =
+    kstOfDaily(
+      ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date",
+        validated = true))
+
+  private[graft] def kstOfDaily(daily: DataFrame): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    def rocM(n: Int) = round(
+      (col("close_price") / lag("close_price", n).over(wRn) - 1.0) * 100.0
+        * 1e6, 0).cast("long")
+    def smaM(c: org.apache.spark.sql.Column, n: Int) =
+      round(sum(c).over(wRn.rowsBetween(-(n - 1), 0)).cast("double")
+        / n.toDouble, 0).cast("long")
+    daily
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("roc10m", rocM(10)).withColumn("roc15m", rocM(15))
+      .withColumn("roc20m", rocM(20)).withColumn("roc30m", rocM(30))
+      .withColumn("rcma1m", when(col("rn") >= 20, smaM(col("roc10m"), 10)))
+      .withColumn("rcma2m", when(col("rn") >= 25, smaM(col("roc15m"), 10)))
+      .withColumn("rcma3m", when(col("rn") >= 30, smaM(col("roc20m"), 10)))
+      .withColumn("rcma4m", when(col("rn") >= 45, smaM(col("roc30m"), 15)))
+      .withColumn("kstm", col("rcma1m") + col("rcma2m") * 2 +
+        col("rcma3m") * 3 + col("rcma4m") * 4)
+      .withColumn("sigm", when(col("rn") >= 53, smaM(col("kstm"), 9)))
+      .select(col("user_id"), col("trade_date"), col("close_price"),
+        (col("rcma1m").cast("double") / 1e6).as("rcma1"),
+        (col("rcma2m").cast("double") / 1e6).as("rcma2"),
+        (col("rcma3m").cast("double") / 1e6).as("rcma3"),
+        (col("rcma4m").cast("double") / 1e6).as("rcma4"),
+        (col("kstm").cast("double") / 1e6).as("kst"),
+        (col("sigm").cast("double") / 1e6).as("kst_signal"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def kstSql: String = {
+    def roc(n: Int) =
+      s"round((close_price / lag(close_price, $n) OVER w - 1.0) * 100.0" +
+        s" * 1e6, 0)::BIGINT"
+    def sma(c: String, n: Int, guard: Int) =
+      s"CASE WHEN rn >= $guard THEN round((sum($c) OVER " +
+        s"${if (n == 15) "w15" else if (n == 9) "w9" else "w10"})::DOUBLE" +
+        s" / $n.0, 0)::BIGINT END"
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), t AS (
+       |  SELECT user_id, trade_date, close_price,
+       |    row_number() OVER w AS rn,
+       |    ${roc(10)} AS roc10m, ${roc(15)} AS roc15m,
+       |    ${roc(20)} AS roc20m, ${roc(30)} AS roc30m
+       |  FROM ohlc
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)
+       |), r AS (
+       |  SELECT user_id, trade_date, close_price, rn,
+       |    ${sma("roc10m", 10, 20)} AS rcma1m,
+       |    ${sma("roc15m", 10, 25)} AS rcma2m,
+       |    ${sma("roc20m", 10, 30)} AS rcma3m,
+       |    ${sma("roc30m", 15, 45)} AS rcma4m
+       |  FROM t
+       |  WINDOW
+       |    w10 AS (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+       |    w15 AS (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+       |), k AS (
+       |  SELECT *, rcma1m + rcma2m * 2 + rcma3m * 3 + rcma4m * 4 AS kstm
+       |  FROM r
+       |)
+       |SELECT user_id, trade_date, close_price,
+       |  rcma1m::DOUBLE / 1e6 AS rcma1, rcma2m::DOUBLE / 1e6 AS rcma2,
+       |  rcma3m::DOUBLE / 1e6 AS rcma3, rcma4m::DOUBLE / 1e6 AS rcma4,
+       |  kstm::DOUBLE / 1e6 AS kst,
+       |  (${sma("kstm", 9, 53)})::DOUBLE / 1e6 AS kst_signal
+       |FROM k
+       |WINDOW w9 AS (PARTITION BY user_id ORDER BY trade_date
+       |  ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, trade_date""".stripMargin
+  }
+
   /** DONCHIAN CHANNELS — completing the volatility-envelope trio next
     * to q_bollinger (stddev bands) and [[keltner]] (ATR bands): the
     * 20-session rolling extremes of the validated daily OHLC (upper =
@@ -2552,6 +2805,63 @@ object Warehouse {
       |  END AS mfi,
       |  ad_m / 1e6 AS ad_line
       |FROM s ORDER BY user_id, trade_date""".stripMargin
+
+  /** CHAIKIN OSCILLATOR (3, 10) — momentum of the accumulation/
+    * distribution line: EMA-3(AD) − EMA-10(AD) over [[moneyFlow]]'s
+    * integer-micros A/D line — CONSUMING that query's output frame
+    * verbatim, so "the A/D line" is one definition across the volume
+    * tier. Both EMAs seed at the first AD value; displayed once the
+    * slower smoothing is live (session 10).
+    *
+    * Cross-engine exactness: the AD doubles are already hash-proven
+    * identical (q_money_flow); the two folds consume them unrounded
+    * and the oracle replays both via `list_reduce` prefix folds —
+    * difference bit-identical before the display round.
+    *
+    * Scale shape: [[moneyFlow]]'s one symbol shuffle feeds the
+    * arrays re-keyed on the same user_id — day-sized rows, folds in
+    * place.
+    */
+  def chaikinOsc(spark: SparkSession, dir: String): DataFrame = {
+    moneyFlow(spark, dir)
+      .select("user_id", "trade_date", "close_price", "ad_line")
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("trade_date"),
+        col("close_price"), col("ad_line")))).as("days"))
+      .withColumn("ads", expr("transform(days, d -> d.ad_line)"))
+      .withColumn("e3", expr(emaRunExpr("ads", 3)))
+      .withColumn("e10", expr(emaRunExpr("ads", 10)))
+      .withColumn("chaikin_osc", expr(
+        """transform(zip_with(e3, e10, (a, b) -> a - b), (x, i) ->
+          |  CASE WHEN i >= 9
+          |    THEN round(x * 1000000.0D, 0) / 1000000.0D END)""".stripMargin))
+      .select(col("user_id"), expr("inline(arrays_zip(days, chaikin_osc))"))
+      .select(col("user_id"), col("days.trade_date").as("trade_date"),
+        col("days.close_price").as("close_price"),
+        col("days.ad_line").as("ad_line"), col("chaikin_osc"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def chaikinOscSql: String = {
+    def fold(p: Int) =
+      s"list_reduce(ads[1:i], (a, x) -> x * (2.0 / ${p + 1}.0) " +
+        s"+ a * (1.0 - 2.0 / ${p + 1}.0))"
+    s"""WITH mf AS (
+       |${moneyFlowSql}
+       |), g AS (
+       |  SELECT user_id,
+       |    list(trade_date ORDER BY trade_date) AS dts,
+       |    list(close_price ORDER BY trade_date) AS cls,
+       |    list(ad_line ORDER BY trade_date) AS ads
+       |  FROM mf GROUP BY user_id
+       |)
+       |SELECT user_id, unnest(dts) AS trade_date, unnest(cls) AS close_price,
+       |  unnest(ads) AS ad_line,
+       |  unnest(list_transform(generate_series(1, len(ads)), i ->
+       |    CASE WHEN i >= 10
+       |      THEN round(${fold(3)} - ${fold(10)}, 6) END)) AS chaikin_osc
+       |FROM g ORDER BY user_id, trade_date""".stripMargin
+  }
 
   /** Per-symbol market BETA — systematic co-movement against the
     * equal-weight market factor: the market return each session is

@@ -1469,6 +1469,87 @@ class WarehouseSpec extends SparkSuite {
     assert(live.length == 30 - 13 && live.exists(_ > 0) && live.exists(_ < 0))
   }
 
+  test("massIndex and kst replay driver walks on a crafted 120-session series") {
+    import spark.implicits._
+    def srd(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = 120
+    val closes = (0 until n).map(i =>
+      100.0 + i * 0.1 + 12.0 * math.sin(i * 0.12)).toArray
+    val ranges = (0 until n).map(i =>
+      0.5 + 0.4 * math.abs(math.sin(i * 0.7))).toArray
+    val daily = (0 until n).map { i =>
+      (5L, java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        closes(i) + ranges(i) / 2.0, closes(i) - ranges(i) / 2.0, closes(i))
+    }.toDF("user_id", "trade_date", "high_price", "low_price", "close_price")
+
+    // --- mass index: double EMA-9 on the range, 25-session ratio sum
+    val k9 = 2.0 / 10.0
+    def emaArr(xs: Array[Double]): Array[Double] = {
+      val o = new Array[Double](xs.length)
+      xs.zipWithIndex.foreach { case (x, i) =>
+        o(i) = if (i == 0) x else x * k9 + o(i - 1) * (1.0 - k9) }
+      o
+    }
+    val rng = (0 until n).map(i =>
+      (closes(i) + ranges(i) / 2.0) - (closes(i) - ranges(i) / 2.0)).toArray
+    val (e1, e2) = (emaArr(rng), emaArr(emaArr(rng)))
+    val ratios = (0 until n).map(i =>
+      if (i >= 16 && e2(i) > 0) Some(srd(e1(i) / e2(i))) else None).toArray
+    val gotM = Warehouse.massIndexOfDaily(daily).collect()
+      .sortBy(_.getAs[java.sql.Date]("trade_date").getTime)
+    gotM.zipWithIndex.foreach { case (r, i) =>
+      def at(c: String) = Option(r.getAs[java.lang.Double](c)).map(_.doubleValue)
+      assert(at("ratio") == ratios(i), s"ratio@$i")
+      val mExp = if (i >= 40)
+        Some(r6(ratios.slice(i - 24, i + 1).flatten.sum)) else None
+      (at("mass_25"), mExp) match {
+        case (Some(g), Some(e)) => assert(math.abs(g - e) <= 1e-6, s"mass@$i")
+        case (g, e) => assert(g == e, s"mass null-ness@$i")
+      }
+    }
+    assert(gotM.count(!_.isNullAt(gotM.head.fieldIndex("mass_25"))) == n - 40)
+
+    // --- kst: integer-micros ROC/SMA blend
+    def rocM(i: Int, h: Int): Option[Long] =
+      if (i >= h) Some(BigDecimal((closes(i) / closes(i - h) - 1.0) * 100.0 * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      else None
+    def smaM(xs: IndexedSeq[Long], w: Int): Long =
+      BigDecimal(xs.takeRight(w).sum.toDouble / w)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val gotK = Warehouse.kstOfDaily(daily).collect()
+      .sortBy(_.getAs[java.sql.Date]("trade_date").getTime)
+    val kstsM = new Array[Option[Long]](n)
+    (0 until n).foreach { i =>
+      def rc(h: Int, sw: Int, guard: Int): Option[Long] =
+        if (i + 1 >= guard)
+          Some(smaM((i - sw + 1 to i).map(j => rocM(j, h).get), sw))
+        else None
+      val (r1, r2, r3, r4) =
+        (rc(10, 10, 20), rc(15, 10, 25), rc(20, 10, 30), rc(30, 15, 45))
+      kstsM(i) = for (a <- r1; b <- r2; c <- r3; d <- r4)
+        yield a + 2 * b + 3 * c + 4 * d
+      val r = gotK(i)
+      def at(c: String) = Option(r.getAs[java.lang.Double](c)).map(_.doubleValue)
+      assert(at("rcma1") == r1.map(_.toDouble / 1e6), s"rcma1@$i")
+      assert(at("rcma4") == r4.map(_.toDouble / 1e6), s"rcma4@$i")
+      assert(at("kst") == kstsM(i).map(_.toDouble / 1e6), s"kst@$i")
+      val sigExp = if (i + 1 >= 53)
+        Some(smaM((i - 8 to i).map(j => kstsM(j).get), 9).toDouble / 1e6)
+      else None
+      assert(at("kst_signal") == sigExp, s"signal@$i")
+    }
+    // live coverage plus both signs on the oscillating series
+    val liveK = gotK.flatMap(r =>
+      Option(r.getAs[java.lang.Double]("kst")).map(_.doubleValue))
+    assert(liveK.length == n - 44)
+    assert(liveK.exists(_ > 0) && liveK.exists(_ < 0), "kst sign coverage")
+  }
+
   test("moneyFlow equals a driver-side integer-micros walk") {
     def srd(x: Double) = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
