@@ -1086,7 +1086,8 @@ object TickStream extends Serializable {
       bull_score: Int, bear_score: Int, net_score: Int,
       level: Option[Double], trend: Option[Double],
       fcst_next: Option[Double], ewma_vol: Option[Double],
-      mfi: Option[Double], ad_line: Double)
+      mfi: Option[Double], ad_line: Double,
+      cmo: Option[Double], vi_plus: Option[Double], vi_minus: Option[Double])
 
   private def r4s(x: Double): Double = BigDecimal.valueOf(x)
     .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1422,6 +1423,36 @@ object TickStream extends Serializable {
             if (trCount >= 15 && pos14 + neg14 > 0)
               Some(r6scaled(100.0 * pos14.toDouble / (pos14 + neg14).toDouble))
             else None
+          // CMO-14 and the Vortex VI± derived from the SHARED close
+          // and hi/lo rings — the batch q_cmo / q_vortex window
+          // frames reconstructed from state, no new carry fields:
+          // 15 ring entries give the 14 transitions both need
+          var cmoOpt: Option[Double] = None
+          var vipOpt: Option[Double] = None
+          var vimOpt: Option[Double] = None
+          if (trCount >= 15) {
+            val c15 = cls20.takeRight(15)
+            val diffs = c15.sliding(2).map(p => r6s(p(1) - p(0))).toList
+            val su = r6s(diffs.foldLeft(0.0)((a, d) => a + math.max(d, 0.0)))
+            val sd = r6s(diffs.foldLeft(0.0)((a, d) => a + math.max(-d, 0.0)))
+            if (su + sd > 0) cmoOpt = Some(r6s((su - sd) / (su + sd) * 100.0))
+            val h15 = hiLo.takeRight(15)
+            var (svp, svm, strS) = (0.0, 0.0, 0.0)
+            (1 until 15).foreach { j =>
+              val (hj, lj) = h15(j)
+              val (ph, pl) = h15(j - 1)
+              val pc = c15(j - 1)
+              svp += r6s(math.abs(hj - pl))
+              svm += r6s(math.abs(lj - ph))
+              strS += r6s(math.max(hj - lj,
+                math.max(math.abs(hj - pc), math.abs(lj - pc))))
+            }
+            val strR = r6s(strS)
+            if (strR > 0) {
+              vipOpt = Some(r6s(r6s(svp) / strR))
+              vimOpt = Some(r6s(r6s(svm) / strR))
+            }
+          }
           val multm =
             if (hi4 > lo4)
               BigDecimal.valueOf(((p.close - lo4) - (hi4 - p.close))
@@ -1444,7 +1475,7 @@ object TickStream extends Serializable {
             cciOpt, willrOpt, rsiOpt, bull, bear, bull - bear,
             holtOut.map(t => r6scaled(t._1)), holtOut.map(t => r6scaled(t._2)),
             holtOut.map(t => r6scaled(t._1 + t._2)), evOut,
-            mfiOpt, adLine)
+            mfiOpt, adLine, cmoOpt, vipOpt, vimOpt)
           st = st.copy(lastDay = p.day, hasEmitted = true, hasPrev = true,
             prevClose = p.close, prevHi = hi4, prevLo = lo4,
             trCount = trCount, seedSum = seedSum, wilder = wilder,

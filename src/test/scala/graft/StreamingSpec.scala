@@ -132,7 +132,7 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
-  test("dailyBarStream bars equal all sixteen batch daily-series surfaces") {
+  test("dailyBarStream bars equal all eighteen batch daily-series surfaces") {
     val schema = Tables.events(spark, sfDir).schema
     val maxTs = Warehouse.validTicks(spark, sfDir)
       .agg(max("ts")).head.getTimestamp(0).getTime
@@ -191,6 +191,12 @@ class StreamingSpec extends SparkSuite {
       .join(Warehouse.moneyFlow(spark, sfDir)
         .select("user_id", "trade_date", "mfi", "ad_line"),
         Seq("user_id", "trade_date"))
+      .join(Warehouse.cmo(spark, sfDir)
+        .select("user_id", "trade_date", "cmo"),
+        Seq("user_id", "trade_date"))
+      .join(Warehouse.vortex(spark, sfDir)
+        .select("user_id", "trade_date", "vi_plus", "vi_minus"),
+        Seq("user_id", "trade_date"))
       .select("user_id", "trade_date", "open_price", "high_price",
         "low_price", "close_price", "n_ticks", "volume", "tr",
         "atr_wilder", "signed_vol", "obv", "ema_20", "atr_10",
@@ -199,7 +205,7 @@ class StreamingSpec extends SparkSuite {
         "brk_up", "brk_down", "psar", "trend_up", "reversal",
         "cci", "willr", "rsi_14", "bull_score", "bear_score",
         "net_score", "level", "trend", "fcst_next", "ewma_vol",
-        "mfi", "ad_line")
+        "mfi", "ad_line", "cmo", "vi_plus", "vi_minus")
     for ((delay, delayMs, nParts) <- Seq(
         ("10 minutes", 10L * 60000L, 2),
         ("10 minutes", 10L * 60000L, 4),
