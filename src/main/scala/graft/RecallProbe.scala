@@ -219,6 +219,13 @@ object RecallProbe {
       }
       an.unpersist(): Unit
     }
+    // PCA filter-and-refine: (retained dims, candidate budget) vs
+    // recall — the compression/recall dial of the projected index
+    for (k <- Seq(8, 16, 32); cands <- Seq(32, 64, 128)) {
+      val got = pairs(operators.Similarity.annPca(spark, dir, cands, k))
+      val recall = (exact & got).size.toDouble / exact.size
+      println(f"[recall] pca k=$k%2d cands=$cands%3d recall@10=$recall%.3f")
+    }
     spark.stop()
   }
 }

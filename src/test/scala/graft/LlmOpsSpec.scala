@@ -544,6 +544,43 @@ class LlmOpsSpec extends SparkSuite {
     assert(approx.groupBy(_.getAs[Long]("probe_id")).forall(_._2.length == 10))
   }
 
+  test("annPca: recall floor, candidate-budget monotone, exact reranked cosines") {
+    val exactRows = Similarity.annBruteForce(spark, sfDir).collect()
+    val exact = exactRows.map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val pairsOf = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("probe_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.annPca(spark, sfDir).collect()
+    val got = approx.map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // measured 0.88 at the (k=16, cands=128) default on this corpus
+    assert(recall >= 0.8, s"PCA recall $recall below envelope")
+    // a bigger candidate budget can only add true neighbors, and more
+    // retained dimensions sharpen the candidate ordering
+    val r32 = (exact & pairsOf(Similarity.annPca(spark, sfDir, cands = 32))).size
+    val r128 = (exact & pairsOf(Similarity.annPca(spark, sfDir, cands = 128))).size
+    assert(r128 >= r32, s"recall must be monotone in cands ($r32 -> $r128)")
+    val k32 = (exact & pairsOf(Similarity.annPca(spark, sfDir, cands = 128,
+      k = 32))).size
+    assert(k32 >= r128, s"k=32 must not lose recall vs k=16 ($r128 -> $k32)")
+    // reranked cosines are EXACT — identical to brute force for
+    // every neighbor both variants returned
+    val exactCos = exactRows.map(r => (r.getAs[Long]("probe_id"),
+      r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cosine")).toMap
+    approx.foreach { r =>
+      val k = (r.getAs[Long]("probe_id"), r.getAs[Long]("neighbor_id"))
+      exactCos.get(k).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+    // shape: 10 ranked rows per probe, ranks 1..10 within each
+    val byProbe = approx.groupBy(_.getAs[Long]("probe_id"))
+    assert(byProbe.size == 5)
+    byProbe.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
+    }
+  }
+
   test("tfidf emits up to 3 ranked keywords per doc, scores sane") {
     val rows = TextOps.tfidf(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
