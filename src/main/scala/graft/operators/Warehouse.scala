@@ -2480,6 +2480,90 @@ object Warehouse {
        |ORDER BY user_id, trade_date""".stripMargin
   }
 
+  /** STOCHASTIC RSI (7, 3, 3) — the stochastic oscillator applied to
+    * [[rsiWilder]]'s RSI-14 series instead of price (Chande & Kroll):
+    * stoch = 100·(RSI − min₇RSI)/(max₇RSI − min₇RSI) over the
+    * trailing 7 sessions, %K = SMA-3(stoch), %D = SMA-3(%K). Runs at
+    * quarter scale like ichimoku (the standard 14-window would first
+    * fire at session 28 — past most of this corpus's 22-30-session
+    * symbols; the structure, not the constants, is the operator).
+    * CONSUMES the q_rsi_wilder frame verbatim — one RSI definition
+    * across the tier, so the stoch tier's hash parity inherits the
+    * RSI tier's. Null convention: each stage requires its window FULL
+    * of live inputs (7 RSIs → session 21, 3 stochs → 23, 3 %Ks → 25)
+    * and stoch is NULL on a flat 7-session RSI band (max = min,
+    * nothing to normalize against) — which also voids the dependent
+    * %K/%D windows (stricter than [[stochastic]]'s skip-NULLs %D;
+    * documented).
+    *
+    * Cross-engine exactness: min/max pick from the RSI doubles both
+    * engines already agree on bit-for-bit; stoch is two subtractions,
+    * one multiply, one divide on those — identical correctly-rounded
+    * IEEE ops — rounded 6 before the SMAs, whose 3-element frame-order
+    * sums agree like [[stochastic]]'s %D.
+    *
+    * Scale shape: [[rsiWilder]]'s one symbol-keyed shuffle serves all
+    * five windows here (same user_id × trade_date sort) — day-sized
+    * rows, no new exchange.
+    */
+  def stochRsi(spark: SparkSession, dir: String): DataFrame =
+    stochRsiOf(rsiWilder(spark, dir))
+
+  private[graft] def stochRsiOf(rsi: DataFrame): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val w7 = wRn.rowsBetween(-6, 0)
+    val w3 = wRn.rowsBetween(-2, 0)
+    rsi
+      .withColumn("nrsi", count("rsi_14").over(w7))
+      .withColumn("mn7", min("rsi_14").over(w7))
+      .withColumn("mx7", max("rsi_14").over(w7))
+      .withColumn("stoch_rsi", round(
+        when(col("nrsi") === 7 && col("mx7") > col("mn7"),
+          (col("rsi_14") - col("mn7")) /
+            (col("mx7") - col("mn7")) * 100.0), 6))
+      .withColumn("pct_k", round(
+        when(count("stoch_rsi").over(w3) === 3,
+          avg("stoch_rsi").over(w3)), 6))
+      .withColumn("pct_d", round(
+        when(count("pct_k").over(w3) === 3, avg("pct_k").over(w3)), 6))
+      .select("user_id", "trade_date", "close_price", "rsi_14",
+        "stoch_rsi", "pct_k", "pct_d")
+      .orderBy("user_id", "trade_date")
+  }
+
+  def stochRsiSql: String =
+    s"""WITH rw AS (
+       |${rsiWilderSql}
+       |), s AS (
+       |  SELECT user_id, trade_date, close_price, rsi_14,
+       |    count(rsi_14) OVER (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS nrsi,
+       |    min(rsi_14) OVER (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mn7,
+       |    max(rsi_14) OVER (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mx7
+       |  FROM rw
+       |), t AS (
+       |  SELECT user_id, trade_date, close_price, rsi_14,
+       |    round(CASE WHEN nrsi = 7 AND mx7 > mn7
+       |      THEN (rsi_14 - mn7) / (mx7 - mn7) * 100.0 END, 6) AS stoch_rsi
+       |  FROM s
+       |), k AS (
+       |  SELECT *,
+       |    round(CASE WHEN count(stoch_rsi) OVER w3 = 3
+       |      THEN avg(stoch_rsi) OVER w3 END, 6) AS pct_k
+       |  FROM t
+       |  WINDOW w3 AS (PARTITION BY user_id ORDER BY trade_date
+       |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT user_id, trade_date, close_price, rsi_14, stoch_rsi, pct_k,
+       |  round(CASE WHEN count(pct_k) OVER w3 = 3
+       |    THEN avg(pct_k) OVER w3 END, 6) AS pct_d
+       |FROM k
+       |WINDOW w3 AS (PARTITION BY user_id ORDER BY trade_date
+       |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, trade_date""".stripMargin
+
   /** SUPERTREND (10, 3) — the band-carry trailing stop next to
     * [[psar]]: basic bands hl2 ± 3·ATR-10 tighten into FINAL bands
     * that only ratchet toward price (the previous band carries

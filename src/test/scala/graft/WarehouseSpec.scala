@@ -1152,6 +1152,53 @@ class WarehouseSpec extends SparkSuite {
     assert(live > 0)
   }
 
+  test("stochRsi equals a driver window walk over the proven RSI frame") {
+    def rd6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rsiRows = Warehouse.rsiWilder(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1),
+        Option(r.getAs[java.lang.Double]("rsi_14")).map(_.toDouble)))
+    val got = Warehouse.stochRsi(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == rsiRows.length)
+    var liveS = 0
+    var liveD = 0
+    rsiRows.groupBy(_._1).foreach { case (uid, rows) =>
+      val sorted = rows.sortBy(_._2.getTime)
+      val rsis = sorted.map(_._3).toIndexedSeq
+      val stoch = rsis.indices.map { i =>
+        val w = rsis.slice(math.max(0, i - 6), i + 1).flatten
+        if (i >= 6 && w.length == 7 && w.max > w.min)
+          Some(rd6((rsis(i).get - w.min) / (w.max - w.min) * 100.0))
+        else None
+      }
+      def sma3(xs: IndexedSeq[Option[Double]]) = xs.indices.map { i =>
+        val w = xs.slice(math.max(0, i - 2), i + 1).flatten
+        if (i >= 2 && w.length == 3)
+          Some(rd6(w.reduceLeft(_ + _) / 3.0))
+        else None
+      }
+      val k = sma3(stoch)
+      val d = sma3(k)
+      sorted.zipWithIndex.foreach { case ((_, dt, _), i) =>
+        val r = got((uid, dt))
+        def gd(c: String) =
+          Option(r.getAs[java.lang.Double](c)).map(_.toDouble)
+        assert(gd("stoch_rsi") == stoch(i), s"$uid/$dt stoch")
+        assert(gd("pct_k") == k(i), s"$uid/$dt %K")
+        assert(gd("pct_d") == d(i), s"$uid/$dt %D")
+        // null-shape: nothing fires before 7 live RSIs exist (session
+        // 21 = 14 warmup + 7), and every live value is a percentage
+        if (i < 20) assert(stoch(i).isEmpty, s"$uid/$dt early stoch")
+        stoch(i).foreach(v => assert(v >= 0.0 && v <= 100.0))
+        if (stoch(i).isDefined) liveS += 1
+        if (d(i).isDefined) liveD += 1
+      }
+    }
+    assert(liveS > 0, "no live stoch values — corpus shape changed")
+    assert(liveD > 0, "no live %D values — corpus shape changed")
+  }
+
   // daily bars WITH the open leg — the heikin-ashi/gap specs' base
   private def driverDailyOhlcFull
       : Map[Long, Array[(java.sql.Date, Double, Double, Double, Double)]] = {
