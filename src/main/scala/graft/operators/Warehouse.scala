@@ -1141,6 +1141,72 @@ object Warehouse {
        |ORDER BY user_id, trade_date""".stripMargin
   }
 
+  /** COPPOCK CURVE — Coppock's long-horizon momentum gauge as a
+    * front-weighted moving average of summed rates of change:
+    * roc_sum = ROC-7 + ROC-5 and coppock = WMA-5(roc_sum) with
+    * weights 5..1 (most recent heaviest), at quarter scale like
+    * [[stochRsi]]/ichimoku (the classic monthly 14/11/10 constants
+    * never fire on 22-30-session symbols; the structure is the
+    * operator). Runs in [[kst]]'s INTEGER MICROS discipline: each ROC
+    * rounds once to micros at scale 0 (the only float round — both
+    * engines' half conventions agree there), the sum and the
+    * 5/4/3/2/1-weighted numerator are exact Long arithmetic with no
+    * association order to disagree about, and the curve is ONE
+    * correctly-rounded division of the exact numerator by 15e6
+    * (Σweights × the micro scale). roc_sum live once the longer ROC
+    * is (session 8), coppock once five sums are (12).
+    *
+    * Scale shape: ONE symbol-keyed shuffle; two lags for the ROCs and
+    * four more for the weighted window all share the one
+    * partition-sort over day-sized rows (the weighted sum is lag
+    * composition, not a window function — no engine has a native
+    * WMA, and the lag form keeps the arithmetic exact).
+    */
+  def coppock(spark: SparkSession, dir: String): DataFrame =
+    coppockOfDaily(
+      ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date",
+        validated = true))
+
+  private[graft] def coppockOfDaily(daily: DataFrame): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    def rocM(n: Int) = round(
+      (col("close_price") / lag("close_price", n).over(wRn) - 1.0) * 100.0
+        * 1e6, 0).cast("long")
+    daily
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("sm", rocM(7) + rocM(5))
+      .withColumn("numm", (0 to 4).map(i =>
+        lag("sm", i).over(wRn) * (5 - i)).reduce(_ + _))
+      .select(col("user_id"), col("trade_date"), col("close_price"),
+        (col("sm").cast("double") / 1e6).as("roc_sum"),
+        when(col("rn") >= 12, col("numm").cast("double") / 15e6)
+          .as("coppock"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def coppockSql: String = {
+    def roc(n: Int) =
+      s"round((close_price / lag(close_price, $n) OVER w - 1.0) * 100.0" +
+        s" * 1e6, 0)::BIGINT"
+    val num = (0 to 4).map(i => s"lag(sm, $i) OVER w * ${5 - i}")
+      .mkString(" + ")
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), t AS (
+       |  SELECT user_id, trade_date, close_price,
+       |    row_number() OVER w AS rn,
+       |    ${roc(7)} + ${roc(5)} AS sm
+       |  FROM ohlc
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)
+       |)
+       |SELECT user_id, trade_date, close_price,
+       |  sm::DOUBLE / 1e6 AS roc_sum,
+       |  CASE WHEN rn >= 12 THEN ($num)::DOUBLE / 15e6 END AS coppock
+       |FROM t
+       |WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)
+       |ORDER BY user_id, trade_date""".stripMargin
+  }
+
   /** DONCHIAN CHANNELS — completing the volatility-envelope trio next
     * to q_bollinger (stddev bands) and [[keltner]] (ATR bands): the
     * 20-session rolling extremes of the validated daily OHLC (upper =

@@ -1597,6 +1597,39 @@ class WarehouseSpec extends SparkSuite {
     assert(liveK.exists(_ > 0) && liveK.exists(_ < 0), "kst sign coverage")
   }
 
+  test("coppock replays a driver walk on the crafted oscillating series") {
+    import spark.implicits._
+    val n = 120
+    val closes = (0 until n).map(i =>
+      100.0 + i * 0.1 + 12.0 * math.sin(i * 0.12)).toArray
+    val daily = (0 until n).map { i =>
+      (5L, java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(i)), closes(i))
+    }.toDF("user_id", "trade_date", "close_price")
+    def rocM(i: Int, h: Int): Option[Long] =
+      if (i >= h) Some(BigDecimal((closes(i) / closes(i - h) - 1.0) * 100.0 * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      else None
+    val sm = (0 until n).map(i =>
+      for (a <- rocM(i, 7); b <- rocM(i, 5)) yield a + b)
+    val got = Warehouse.coppockOfDaily(daily).collect()
+      .sortBy(_.getAs[java.sql.Date]("trade_date").getTime)
+    assert(got.length == n)
+    got.zipWithIndex.foreach { case (r, i) =>
+      def at(c: String) = Option(r.getAs[java.lang.Double](c)).map(_.doubleValue)
+      assert(at("roc_sum") == sm(i).map(_.toDouble / 1e6), s"roc_sum@$i")
+      val exp = if (i + 1 >= 12)
+        Some((0 to 4).map(j => (5 - j) * sm(i - j).get).sum.toDouble / 15e6)
+      else None
+      assert(at("coppock") == exp, s"coppock@$i")
+    }
+    // live coverage plus both signs on the oscillating series
+    val live = got.flatMap(r =>
+      Option(r.getAs[java.lang.Double]("coppock")).map(_.doubleValue))
+    assert(live.length == n - 11)
+    assert(live.exists(_ > 0) && live.exists(_ < 0), "coppock sign coverage")
+  }
+
   test("moneyFlow equals a driver-side integer-micros walk") {
     def srd(x: Double) = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
