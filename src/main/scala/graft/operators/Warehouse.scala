@@ -3069,6 +3069,105 @@ object Warehouse {
        |GROUP BY user_id HAVING count(*) >= 15
        |ORDER BY user_id""".stripMargin
 
+  /** RISK-ADJUSTED RETURN PACK — the per-symbol performance summary
+    * next to [[beta]] (systematic risk) and [[drawdown]] (path risk):
+    * over daily simple returns, annualized return mean·252,.
+    * population volatility σ·√252, SHARPE = √252·mean/σ (rf = 0,
+    * documented), and SORTINO = √252·mean/σ_d with downside deviation
+    * σ_d = √(Σ min(r,0)²/n) (the full-count convention — zeros for
+    * up days stay in the denominator's n). Sharpe NULL on a constant
+    * series (σ = 0), sortino NULL when no session lost money (σ_d =
+    * 0 — nothing to normalize by). Symbols with < 15 return sessions
+    * drop (the [[beta]] support floor).
+    *
+    * Cross-engine exactness: returns round once to INTEGER MICROS at
+    * scale 0 ([[kst]]'s discipline), so n, Σr, Σr², and Σ min(r,0)²
+    * are EXACT integer aggregates with no accumulation order to
+    * disagree about — unlike the var_pop/covar_pop route, which
+    * leans on the moments sitting far above the rounding point. The
+    * micro scale cancels inside both ratios; every emitted float is
+    * a fixed sequence of correctly-rounded IEEE ops on those exact
+    * sums, written identically in both engines, rounded 6 at display.
+    *
+    * Scale shape: ticks compact to symbol×days map-side (the ohlc
+    * partial agg), then ONE symbol-keyed aggregate over day rows —
+    * no window, no join, no second shuffle.
+    */
+  def sharpe(spark: SparkSession, dir: String, minDays: Int = 15): DataFrame = {
+    // the rsiWilder display round: scale to micros, round at scale 0
+    // (where both engines' half conventions agree), scale back
+    def sr6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      round(c * 1e6, 0) / 1e6
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val rm = round((col("close_price") / lag("close_price", 1).over(wRn)
+      - 1.0) * 1e6, 0).cast("long")
+    val n = col("n").cast("double")
+    val mean = col("sr") / n
+    val varP = col("sr2") / n - mean * mean
+    val dvar = col("sn2") / n
+    val ann = lit(math.sqrt(252.0))
+    ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date",
+      validated = true)
+      .select(col("user_id"), rm.as("rm"))
+      .filter(col("rm").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum("rm").cast("double").as("sr"),
+        // square in DECIMAL(38,0): the corpus carries >3000× single-
+        // session moves whose squared micros overflow Int64 — the
+        // decimal lane (DuckDB dual: HUGEINT) keeps the sums exact
+        sum(col("rm").cast("decimal(19,0)") * col("rm"))
+          .cast("double").as("sr2"),
+        sum(when(col("rm") < 0,
+          col("rm").cast("decimal(19,0)") * col("rm"))
+          .otherwise(lit(0).cast("decimal(38,0)")))
+          .cast("double").as("sn2"))
+      .filter(col("n") >= minDays)
+      .select(col("user_id"), col("n").as("n_days"),
+        sr6(mean * 252.0 / 1e6).as("ann_return"),
+        sr6(sqrt(varP) * ann / 1e6).as("ann_vol"),
+        sr6(when(varP > 0.0, ann * mean / sqrt(varP))).as("sharpe"),
+        sr6(sqrt(dvar) * ann / 1e6).as("downside_vol"),
+        sr6(when(col("sn2") > 0.0, ann * mean / sqrt(dvar)))
+          .as("sortino"))
+      .orderBy("user_id")
+  }
+
+  def sharpeSql: String = {
+    val ann = "sqrt(252.0)"
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), r AS (
+       |  SELECT user_id,
+       |    round((close_price / lag(close_price, 1) OVER (
+       |      PARTITION BY user_id ORDER BY trade_date) - 1.0) * 1e6, 0)::BIGINT
+       |      AS rm
+       |  FROM ohlc
+       |), a AS (
+       |  SELECT user_id, count(*) AS n,
+       |    sum(rm)::DOUBLE AS sr,
+       |    sum(rm::HUGEINT * rm)::DOUBLE AS sr2,
+       |    sum(CASE WHEN rm < 0 THEN rm::HUGEINT * rm ELSE 0 END)::DOUBLE
+       |      AS sn2
+       |  FROM r WHERE rm IS NOT NULL GROUP BY user_id HAVING count(*) >= 15
+       |)
+       |SELECT user_id, n AS n_days,
+       |  round(sr / n::DOUBLE * 252.0 / 1e6 * 1e6, 0) / 1e6 AS ann_return,
+       |  round(sqrt(sr2 / n::DOUBLE - (sr / n::DOUBLE) * (sr / n::DOUBLE))
+       |    * $ann / 1e6 * 1e6, 0) / 1e6 AS ann_vol,
+       |  round(CASE WHEN sr2 / n::DOUBLE - (sr / n::DOUBLE) * (sr / n::DOUBLE)
+       |      > 0.0
+       |    THEN $ann * (sr / n::DOUBLE)
+       |      / sqrt(sr2 / n::DOUBLE - (sr / n::DOUBLE) * (sr / n::DOUBLE))
+       |    END * 1e6, 0) / 1e6 AS sharpe,
+       |  round(sqrt(sn2 / n::DOUBLE) * $ann / 1e6 * 1e6, 0) / 1e6
+       |    AS downside_vol,
+       |  round(CASE WHEN sn2 > 0.0
+       |    THEN $ann * (sr / n::DOUBLE) / sqrt(sn2 / n::DOUBLE) END * 1e6, 0)
+       |    / 1e6 AS sortino
+       |FROM a ORDER BY user_id""".stripMargin
+  }
+
   /** Duplicate (key, ts) suppression keeping the first-arrived row
     * (producer.py:243-252). One shuffle on user_id.
     */

@@ -1630,6 +1630,51 @@ class WarehouseSpec extends SparkSuite {
     assert(live.exists(_ > 0) && live.exists(_ < 0), "coppock sign coverage")
   }
 
+  test("sharpe equals a driver integer-micros moment walk") {
+    val daily = driverDailyOhlc
+    val got = Warehouse.sharpe(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def sr6(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    var kept = 0
+    daily.foreach { case (uid, days) =>
+      val cls = days.map(_._4)
+      val rms = cls.indices.drop(1).map(i =>
+        BigDecimal((cls(i) / cls(i - 1) - 1.0) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      if (rms.length < 15) assert(!got.contains(uid), s"$uid below floor")
+      else {
+        kept += 1
+        val r = got(uid)
+        val n = rms.length.toDouble
+        val sr = rms.map(BigInt(_)).sum.toDouble
+        val sr2 = rms.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+        val sn2 = rms.filter(_ < 0).map(x => BigInt(x) * BigInt(x))
+          .sum.toDouble
+        val mean = sr / n
+        val varP = sr2 / n - mean * mean
+        val ann = math.sqrt(252.0)
+        def gd(c: String) =
+          Option(r.getAs[java.lang.Double](c)).map(_.doubleValue)
+        assert(r.getAs[Long]("n_days") == rms.length)
+        assert(gd("ann_return").contains(sr6(mean * 252.0 / 1e6)), s"$uid ret")
+        assert(gd("ann_vol").contains(sr6(math.sqrt(varP) * ann / 1e6)),
+          s"$uid vol")
+        val shExp = if (varP > 0.0) Some(sr6(ann * mean / math.sqrt(varP)))
+          else None
+        assert(gd("sharpe") == shExp, s"$uid sharpe")
+        val soExp = if (sn2 > 0.0)
+          Some(sr6(ann * mean / math.sqrt(sn2 / n))) else None
+        assert(gd("sortino") == soExp, s"$uid sortino")
+        // sortino >= sharpe in magnitude direction: downside-only
+        // deviation can't exceed total deviation
+        for (sh <- shExp; so <- soExp if mean > 0)
+          assert(so >= sh, s"$uid sortino < sharpe on positive drift")
+      }
+    }
+    assert(kept > 0 && kept == got.size)
+  }
+
   test("moneyFlow equals a driver-side integer-micros walk") {
     def srd(x: Double) = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
