@@ -475,6 +475,92 @@ object TextOps {
       |ORDER BY freq DESC, word
       |LIMIT 100""".stripMargin
 
+  /** ZIPF FIT — the corpus-statistics health check a training-data
+    * pipeline runs per language: natural text follows Zipf's law
+    * (freq ∝ rank^s with s ≈ −1), and a corpus whose fitted slope
+    * drifts (template spam flattens it, dedup failures steepen it)
+    * merits a look before training. Per language: rank the
+    * [[wordFreq]] word surface by (freq desc, word), OLS-fit
+    * y = ln(freq) on x = ln(rank), and emit slope, intercept, and r²
+    * alongside the type/token masses.
+    *
+    * Cross-engine exactness: x and y round to 12 decimals so both
+    * engines' moment sums consume IDENTICAL doubles (also absorbing
+    * any libm ln ulp drift — the [[beta]] idiom); the closed-form
+    * slope/intercept/r² are the identical op sequence on both sides,
+    * scale-0 display round. The accumulation-order residual sits ~8
+    * orders below the rounding point (the beta envelope).
+    *
+    * Scale shape: one (lang, word) aggregate (map-side combined —
+    * token explosion never crosses the wire), a vocabulary-sized rank
+    * window per language, then one lang-keyed moment collapse. The
+    * corpus is touched once; everything downstream is vocab-sized.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame =
+    zipfFitDocs(Tables.documents(spark, dir))
+
+  private[graft] def zipfFitDocs(docs: DataFrame): DataFrame = {
+    def sr6(c: Column): Column = round(c * 1e6, 0) / 1e6
+    val wr = Window.partitionBy("lang")
+      .orderBy(col("freq").desc, col("word"))
+    val n = col("n_types").cast("double")
+    val sxxC = col("sxx") - col("sx") * col("sx") / n
+    val sxyC = col("sxy") - col("sx") * col("sy") / n
+    val syyC = col("syy") - col("sy") * col("sy") / n
+    val slope = sxyC / sxxC
+    docs
+      .select(col("lang"),
+        explode(split(trim(col("text")), s"[$Ws]+")).as("word"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("x", round(log(row_number().over(wr)
+        .cast("double")), 12))
+      .withColumn("y", round(log(col("freq").cast("double")), 12))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_types"), sum("freq").as("n_tokens"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .filter(col("n_types") >= 3)
+      .select(col("lang"), col("n_types"), col("n_tokens"),
+        sr6(slope).as("zipf_slope"),
+        sr6((col("sy") - slope * col("sx")) / n).as("intercept"),
+        sr6(when(syyC > 0.0, sxyC * sxyC / (sxxC * syyC))).as("r2"))
+      .orderBy("lang")
+  }
+
+  def zipfFitSql: String = {
+    val n = "n_types::DOUBLE"
+    val sxxC = s"(sxx - sx * sx / $n)"
+    val sxyC = s"(sxy - sx * sy / $n)"
+    val syyC = s"(syy - sy * sy / $n)"
+    val slope = s"$sxyC / $sxxC"
+    s"""WITH w AS (
+       |  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents
+       |), c AS (
+       |  SELECT lang, word, count(*) AS freq FROM w GROUP BY 1, 2
+       |), r AS (
+       |  SELECT lang, freq,
+       |    round(ln((row_number() OVER (PARTITION BY lang
+       |      ORDER BY freq DESC, word))::DOUBLE), 12) AS x,
+       |    round(ln(freq::DOUBLE), 12) AS y
+       |  FROM c
+       |), a AS (
+       |  SELECT lang, count(*) AS n_types, sum(freq)::BIGINT AS n_tokens,
+       |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+       |    sum(x * x) AS sxx, sum(y * y) AS syy
+       |  FROM r GROUP BY 1 HAVING count(*) >= 3
+       |)
+       |SELECT lang, n_types, n_tokens,
+       |  round(($slope) * 1e6, 0) / 1e6 AS zipf_slope,
+       |  round((sy - ($slope) * sx) / $n * 1e6, 0) / 1e6 AS intercept,
+       |  round(CASE WHEN $syyC > 0.0
+       |    THEN $sxyC * $sxyC / ($sxxC * $syyC) END * 1e6, 0) / 1e6 AS r2
+       |FROM a ORDER BY lang""".stripMargin
+  }
+
   /** HEAVY HITTERS via a Count-Min sketch — the 100 TB dual of
     * [[wordFreq]], completing the sketch tier next to HLL
     * (q_approx_distinct) and approx percentiles: at corpus scale the

@@ -187,6 +187,61 @@ class LlmOpsSpec extends SparkSuite {
     assert(freqs.sameElements(freqs.sortBy(-_)))
   }
 
+  test("zipfFit recovers s = -1 on an exact-Zipf corpus and replays OLS") {
+    import spark.implicits._
+    // planted corpus: word_i appears round(1000/i) times — Zipf with
+    // s = -1 up to the integer floor
+    val planted = (1 to 20).flatMap(i =>
+      Seq.fill(math.round(1000.0 / i).toInt)(("en", s"w${"%02d".format(i)}")))
+    val docs = planted.grouped(50)
+      .map(g => ("en", g.map(_._2).mkString(" ")))
+      .toSeq.toDF("lang", "text")
+    val r = TextOps.zipfFitDocs(docs).collect()
+    assert(r.length == 1)
+    val slope = r.head.getAs[Double]("zipf_slope")
+    val r2 = r.head.getAs[Double]("r2")
+    assert(math.abs(slope + 1.0) < 0.01, s"planted slope $slope")
+    assert(r2 > 0.999, s"planted r2 $r2")
+    assert(r.head.getAs[Long]("n_types") == 20)
+    assert(r.head.getAs[Long]("n_tokens") == planted.length)
+
+    // corpus run reconciles with a driver OLS over the same surface
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sr6(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+"))
+        .as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("freq"))
+      .collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val got = TextOps.zipfFit(spark, sfDir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    counts.groupBy(_._1).foreach { case (lang, ws) =>
+      val ranked = ws.sortBy(w => (-w._3, w._2)).zipWithIndex
+        .map { case ((_, _, f), i) =>
+          (r12(math.log((i + 1).toDouble)), r12(math.log(f.toDouble))) }
+      val n = ranked.length.toDouble
+      val (sx, sy) = (ranked.map(_._1).sum, ranked.map(_._2).sum)
+      val sxy = ranked.map(p => p._1 * p._2).sum
+      val (sxx, syy) = (ranked.map(p => p._1 * p._1).sum,
+        ranked.map(p => p._2 * p._2).sum)
+      val (sxxC, sxyC, syyC) =
+        (sxx - sx * sx / n, sxy - sx * sy / n, syy - sy * sy / n)
+      val g = got(lang)
+      assert(g.getAs[Long]("n_types") == ranked.length)
+      // driver sums run in rank order vs Spark's partition order —
+      // compare to the fold residual, not bit-exact
+      assert(math.abs(g.getAs[Double]("zipf_slope") - sr6(sxyC / sxxC))
+        <= 1e-6, s"$lang slope")
+      assert(math.abs(g.getAs[Double]("r2") -
+        sr6(sxyC * sxyC / (sxxC * syyC))) <= 1e-6, s"$lang r2")
+      // real text: slope negative, fit explains most variance
+      assert(g.getAs[Double]("zipf_slope") < 0.0, s"$lang sign")
+    }
+  }
+
   test("fingerprint is stable and 32 hex chars") {
     val df = TextOps.fingerprint(spark, sfDir)
     assert(df.filter(length(col("fingerprint")) =!= 32).count() == 0)
