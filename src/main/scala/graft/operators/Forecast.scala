@@ -661,6 +661,131 @@ object Forecast {
        |FROM n LEFT JOIN st ON st.user_id = n.user_id AND st.rn = n.rn
        |ORDER BY n.user_id, n.trade_date""".stripMargin
 
+  /** HOLT-WINTERS additive triple exponential smoothing — the
+    * seasonal completion of the smoothing ladder ([[holtForecast]]
+    * adds trend to the level; this adds a period-5 trading-week
+    * seasonal): α=0.5, β=0.3, γ=0.2 fixed and documented, season
+    * indexed by SESSION position mod 5 (calendar weekday alignment is
+    * gappy on a traded-days series; position is the standard
+    * substitute). Textbook seeding over the first two periods —
+    * l₅ = mean(y₁..y₅), b₅ = Σ(y₅₊ᵢ − yᵢ)/25 (peeks at sessions
+    * 6-10, the classic init), sᵢ = yᵢ − l₅ — then the recursion
+    *   l_t = α(y_t − s_{t−5}) + (1−α)(l_{t−1} + b_{t−1})
+    *   b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+    *   s_t = γ(y_t − l_t) + (1−γ)s_{t−5}
+    * from session 6. Output: level, trend, the just-updated seasonal,
+    * and the one-step forecast l + b + s_{t−4}. NULL before session 5
+    * and for symbols under 10 sessions (the b-seed floor).
+    *
+    * The seasonal state is carried as a ROTATING 5-tuple ordered by
+    * next use (u1 = the seasonal the next session consumes; each step
+    * shifts u2..u5 down and appends the fresh s_t) — no list indexing
+    * in either engine, so the oracle stays a plain scalar-column
+    * RECURSIVE CTE (the psar/holt shape; the DuckDB lambda evaluator
+    * defect those queries documented never enters).
+    *
+    * Cross-engine exactness: every update is the identical float-op
+    * sequence on both sides, consumed UNROUNDED; only the four
+    * emitted columns take the scaled display round.
+    *
+    * Scale shape: one symbol-keyed shuffle into sorted day arrays,
+    * one O(days) fold, re-explode — the [[holtForecast]] shape with
+    * a 7-field state.
+    */
+  def holtWinters(spark: SparkSession, dir: String): DataFrame =
+    holtWintersOfDaily(Warehouse.validDailyOhlc(spark, dir))
+
+  private[graft] def holtWintersOfDaily(daily: DataFrame): DataFrame = {
+    val sr = "round(%s * 1000000.0D, 0) / 1000000.0D"
+    val stT = "STRUCT<l: DOUBLE, b: DOUBLE, u1: DOUBLE, u2: DOUBLE, " +
+      "u3: DOUBLE, u4: DOUBLE, u5: DOUBLE>"
+    def y(i: Int) = s"element_at(days, $i).cls"
+    val l5 = s"((((${y(1)} + ${y(2)}) + ${y(3)}) + ${y(4)}) + ${y(5)}) / 5.0D"
+    val b5 = s"(((((${y(6)} - ${y(1)}) + (${y(7)} - ${y(2)})) + " +
+      s"(${y(8)} - ${y(3)})) + (${y(9)} - ${y(4)})) + " +
+      s"(${y(10)} - ${y(5)})) / 25.0D"
+    val a = "element_at(acc, -1)"
+    val lP = s"0.5D * (d.cls - $a.u1) + 0.5D * ($a.l + $a.b)"
+    daily
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(
+        col("trade_date").as("ddate"), col("close_price").as("cls"))))
+        .as("days"))
+      .withColumn("states", expr(
+        s"""CASE WHEN size(days) >= 10 THEN aggregate(
+           |  slice(days, 6, size(days) - 5),
+           |  array(named_struct(
+           |    'l', $l5, 'b', $b5,
+           |    'u1', ${y(1)} - ($l5), 'u2', ${y(2)} - ($l5),
+           |    'u3', ${y(3)} - ($l5), 'u4', ${y(4)} - ($l5),
+           |    'u5', ${y(5)} - ($l5))),
+           |  (acc, d) -> concat(acc, array(named_struct(
+           |    'l', $lP,
+           |    'b', 0.3D * (($lP) - $a.l) + 0.7D * $a.b,
+           |    'u1', $a.u2, 'u2', $a.u3, 'u3', $a.u4, 'u4', $a.u5,
+           |    'u5', 0.2D * (d.cls - ($lP)) + 0.8D * $a.u1))))
+           |ELSE CAST(array() AS ARRAY<$stT>) END""".stripMargin))
+      .withColumn("states_f", expr(
+        s"""CASE WHEN size(days) >= 10
+           |  THEN concat(array_repeat(CAST(NULL AS $stT), 4), states)
+           |  ELSE array_repeat(CAST(NULL AS $stT), size(days)) END"""
+          .stripMargin))
+      .select(col("user_id"), expr("inline(arrays_zip(days, states_f))"))
+      .select(col("user_id"), col("days.ddate").as("trade_date"),
+        col("days.cls").as("close_price"),
+        expr(sr.format("states_f.l")).as("level"),
+        expr(sr.format("states_f.b")).as("trend"),
+        expr(sr.format("states_f.u5")).as("season"),
+        expr(sr.format("(states_f.l + states_f.b + states_f.u1)"))
+          .as("fcst_next"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def holtWintersSql: String = {
+    def yc(i: Int) = s"max(CASE WHEN rn = $i THEN cls END)"
+    val lP = "0.5 * (y.cls - a.u1) + 0.5 * (a.l + a.b)"
+    s"""WITH RECURSIVE ohlc AS (
+       |${Warehouse.validDailyOhlcSql}
+       |), n AS (
+       |  SELECT user_id, trade_date, close_price AS cls,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY trade_date) AS rn
+       |  FROM ohlc
+       |), g AS (
+       |  SELECT user_id,
+       |    ${yc(1)} AS y1, ${yc(2)} AS y2, ${yc(3)} AS y3,
+       |    ${yc(4)} AS y4, ${yc(5)} AS y5, ${yc(6)} AS y6,
+       |    ${yc(7)} AS y7, ${yc(8)} AS y8, ${yc(9)} AS y9,
+       |    ${yc(10)} AS y10
+       |  FROM n WHERE rn <= 10 GROUP BY user_id HAVING count(*) = 10
+       |), s0 AS (
+       |  SELECT user_id, y1, y2, y3, y4, y5,
+       |    ((((y1 + y2) + y3) + y4) + y5) / 5.0 AS l5,
+       |    (((((y6 - y1) + (y7 - y2)) + (y8 - y3)) + (y9 - y4))
+       |      + (y10 - y5)) / 25.0 AS b5
+       |  FROM g
+       |), st AS (
+       |  SELECT user_id, 5::BIGINT AS rn, l5 AS l, b5 AS b,
+       |    y1 - l5 AS u1, y2 - l5 AS u2, y3 - l5 AS u3,
+       |    y4 - l5 AS u4, y5 - l5 AS u5
+       |  FROM s0
+       |  UNION ALL
+       |  SELECT a.user_id, a.rn + 1,
+       |    $lP,
+       |    0.3 * (($lP) - a.l) + 0.7 * a.b,
+       |    a.u2, a.u3, a.u4, a.u5,
+       |    0.2 * (y.cls - ($lP)) + 0.8 * a.u1
+       |  FROM st a JOIN n y ON y.user_id = a.user_id AND y.rn = a.rn + 1
+       |)
+       |SELECT n.user_id, n.trade_date, n.cls AS close_price,
+       |  round(st.l * 1000000.0, 0) / 1000000.0 AS level,
+       |  round(st.b * 1000000.0, 0) / 1000000.0 AS trend,
+       |  round(st.u5 * 1000000.0, 0) / 1000000.0 AS season,
+       |  round((st.l + st.b + st.u1) * 1000000.0, 0) / 1000000.0
+       |    AS fcst_next
+       |FROM n LEFT JOIN st ON st.user_id = n.user_id AND st.rn = n.rn
+       |ORDER BY n.user_id, n.trade_date""".stripMargin
+  }
+
   /** Per-key ARIMA-style forecast: d by ADF stationarity test, (p, q)
     * by AIC grid over p,q ≤ 5 (arima_forecasting.py:97-130), 5-step
     * forecasts integrated back to price level with 95% confidence

@@ -36,6 +36,54 @@ class ForecastSpec extends SparkSuite {
     }
   }
 
+  test("holtWinters equals a driver level/trend/seasonal walk") {
+    def srd(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    val closes = graft.operators.Warehouse.validDailyOhlc(spark, sfDir)
+      .select("user_id", "trade_date", "close_price").collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (u, g) => u -> g.sortBy(_._2.getTime) }
+    val got = Forecast.holtWinters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == closes.values.map(_.size).sum)
+    var seasonal = 0 // symbols where the seasonal state actually runs
+    closes.foreach { case (uid, days) =>
+      val ys = days.map(_._3)
+      val n = ys.length
+      days.zipWithIndex.foreach { case ((_, d, _), i) =>
+        val r = got((uid, d))
+        if (n < 10 || i < 4)
+          assert(r.isNullAt(r.fieldIndex("level")), s"$uid/$d null shape")
+      }
+      if (n >= 10) {
+        seasonal += 1
+        val l5 = ((((ys(0) + ys(1)) + ys(2)) + ys(3)) + ys(4)) / 5.0
+        val b5 = (((((ys(5) - ys(0)) + (ys(6) - ys(1))) + (ys(7) - ys(2)))
+          + (ys(8) - ys(3))) + (ys(9) - ys(4))) / 25.0
+        var (l, b) = (l5, b5)
+        var u = (0 to 4).map(ys(_) - l5).toVector // next-use rotation
+        (4 until n).foreach { i =>
+          if (i > 4) {
+            val y = ys(i)
+            val nl = 0.5 * (y - u(0)) + 0.5 * (l + b)
+            b = 0.3 * (nl - l) + 0.7 * b
+            val s = 0.2 * (y - nl) + 0.8 * u(0)
+            l = nl
+            u = u.tail :+ s
+          }
+          val r = got((uid, days(i)._2))
+          assert(r.getAs[Double]("level") == srd(l), s"$uid@$i level")
+          assert(r.getAs[Double]("trend") == srd(b), s"$uid@$i trend")
+          assert(r.getAs[Double]("season") == srd(u(4)), s"$uid@$i season")
+          assert(r.getAs[Double]("fcst_next") == srd(l + b + u(0)),
+            s"$uid@$i fcst")
+        }
+      }
+    }
+    assert(seasonal > 0, "no symbol reached the 10-session seed floor")
+  }
+
   test("olsFit recovers exact linear relationship") {
     val xs = Array(Array(1.0, 2.0), Array(2.0, 1.0), Array(3.0, 5.0), Array(4.0, 0.0))
     val ys = xs.map(x => 3.0 + 2.0 * x(0) - 0.5 * x(1))
