@@ -1061,6 +1061,10 @@ object TickStream extends Serializable {
       cls: List[Double],
       // Holt level/trend and the RiskMetrics EWMA variance
       hl: Double, hb: Double, ev: Double,
+      // Holt-Winters (5-period) level/trend + the ROTATING next-use
+      // seasonal 5-tuple (empty until the bar-10 seed replay) — the
+      // batch q_holt_winters fold's state verbatim
+      hwL: Double, hwB: Double, hwU: List[Double],
       // money-flow machine: previous typical-price micros, the last
       // 14 SIGNED daily money flows (positive = up-day flow,
       // negative = down-day; 0 = flat/first), and the running A/D
@@ -1087,7 +1091,9 @@ object TickStream extends Serializable {
       level: Option[Double], trend: Option[Double],
       fcst_next: Option[Double], ewma_vol: Option[Double],
       mfi: Option[Double], ad_line: Double,
-      cmo: Option[Double], vi_plus: Option[Double], vi_minus: Option[Double])
+      cmo: Option[Double], vi_plus: Option[Double], vi_minus: Option[Double],
+      hw_level: Option[Double], hw_trend: Option[Double],
+      hw_season: Option[Double], hw_fcst: Option[Double])
 
   private def r4s(x: Double): Double = BigDecimal.valueOf(x)
     .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1140,6 +1146,7 @@ object TickStream extends Serializable {
         0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
         0L, 0.0, 0.0, 0L, Nil, Nil, 0, 0.0, 0.0, 0.0,
         Nil, 0.0, 0.0, 0.0, 0.0, Nil, 0.0, 0.0, 0.0,
+        0.0, 0.0, Nil,
         0L, Nil, BigDecimal(0), Nil))
       var pending = st.pending
       if (!state.hasTimedOut) rows.foreach { t =>
@@ -1407,6 +1414,30 @@ object TickStream extends Serializable {
             ev = if (trCount == 2) rr * rr else 0.94 * ev + 0.06 * rr * rr
             evOut = Some(r6scaled(math.sqrt(ev * 252.0)))
           }
+          // Holt-Winters: at bar 10 the close ring holds exactly the
+          // first two periods, so the SEED + the t=6..10 recursion
+          // replay run here in the batch fold's float-op order; from
+          // bar 11 the carried (l, b, rotation) state updates live —
+          // the infinite-memory recursion a ring can't reconstruct
+          var (hwL, hwB, hwU) = (st.hwL, st.hwB, st.hwU)
+          var hwOut: Option[(Double, Double, Double, Double)] = None
+          def hwStep(y: Double): Unit = {
+            val nl = 0.5 * (y - hwU.head) + 0.5 * (hwL + hwB)
+            hwB = 0.3 * (nl - hwL) + 0.7 * hwB
+            val s = 0.2 * (y - nl) + 0.8 * hwU.head
+            hwL = nl
+            hwU = hwU.tail :+ s
+          }
+          if (trCount == 10) {
+            val ys = cls20 // bars 1..10 exactly at this count
+            hwL = ((((ys(0) + ys(1)) + ys(2)) + ys(3)) + ys(4)) / 5.0
+            hwB = (((((ys(5) - ys(0)) + (ys(6) - ys(1))) + (ys(7) - ys(2)))
+              + (ys(8) - ys(3))) + (ys(9) - ys(4))) / 25.0
+            hwU = (0 to 4).map(ys(_) - hwL).toList
+            (5 until 10).foreach(i => hwStep(ys(i)))
+          } else if (trCount > 10) hwStep(p.close)
+          if (trCount >= 10)
+            hwOut = Some((hwL, hwB, hwU.last, hwL + hwB + hwU.head))
           // money flow: typical-price micros + signed flow ring +
           // running A/D — the batch integer-micros accounting
           val tpmL = BigDecimal.valueOf((hi4 + lo4 + p.close) / 3.0 * 1e6)
@@ -1475,7 +1506,9 @@ object TickStream extends Serializable {
             cciOpt, willrOpt, rsiOpt, bull, bear, bull - bear,
             holtOut.map(t => r6scaled(t._1)), holtOut.map(t => r6scaled(t._2)),
             holtOut.map(t => r6scaled(t._1 + t._2)), evOut,
-            mfiOpt, adLine, cmoOpt, vipOpt, vimOpt)
+            mfiOpt, adLine, cmoOpt, vipOpt, vimOpt,
+            hwOut.map(t => r6scaled(t._1)), hwOut.map(t => r6scaled(t._2)),
+            hwOut.map(t => r6scaled(t._3)), hwOut.map(t => r6scaled(t._4)))
           st = st.copy(lastDay = p.day, hasEmitted = true, hasPrev = true,
             prevClose = p.close, prevHi = hi4, prevLo = lo4,
             trCount = trCount, seedSum = seedSum, wilder = wilder,
@@ -1487,6 +1520,7 @@ object TickStream extends Serializable {
             psDir = psDir, psSar = psSar, psEp = psEp, psAf = psAf,
             tps = tps20, gSum = gSum, gW = gW, lSum = lSum, lW = lW,
             cls = cls20, hl = hl, hb = hb, ev = ev,
+            hwL = hwL, hwB = hwB, hwU = hwU,
             mfPrev = tpmL, mfFlows = mfFlows, adM = adM)
         }
         pending = pending.filter(_.day > ready.last.day)

@@ -132,7 +132,7 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
-  test("dailyBarStream bars equal all eighteen batch daily-series surfaces") {
+  test("dailyBarStream bars equal all nineteen batch daily-series surfaces") {
     val schema = Tables.events(spark, sfDir).schema
     val maxTs = Warehouse.validTicks(spark, sfDir)
       .agg(max("ts")).head.getTimestamp(0).getTime
@@ -197,6 +197,21 @@ class StreamingSpec extends SparkSuite {
       .join(Warehouse.vortex(spark, sfDir)
         .select("user_id", "trade_date", "vi_plus", "vi_minus"),
         Seq("user_id", "trade_date"))
+      // holt-winters: the batch seed PEEKS at sessions 6-10 (b5), so
+      // its rows 5-9 carry values no causal stream can know yet; the
+      // live leg first fires at bar 10 — mask the peeked rows
+      .join(graft.operators.Forecast.holtWinters(spark, sfDir)
+        .select(col("user_id"), col("trade_date"),
+          col("level").as("hw_level"), col("trend").as("hw_trend"),
+          col("season").as("hw_season"), col("fcst_next").as("hw_fcst")),
+        Seq("user_id", "trade_date"))
+      .withColumn("hw_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy("trade_date")))
+      .withColumn("hw_level", when(col("hw_rn") >= 10, col("hw_level")))
+      .withColumn("hw_trend", when(col("hw_rn") >= 10, col("hw_trend")))
+      .withColumn("hw_season", when(col("hw_rn") >= 10, col("hw_season")))
+      .withColumn("hw_fcst", when(col("hw_rn") >= 10, col("hw_fcst")))
       .select("user_id", "trade_date", "open_price", "high_price",
         "low_price", "close_price", "n_ticks", "volume", "tr",
         "atr_wilder", "signed_vol", "obv", "ema_20", "atr_10",
@@ -205,7 +220,8 @@ class StreamingSpec extends SparkSuite {
         "brk_up", "brk_down", "psar", "trend_up", "reversal",
         "cci", "willr", "rsi_14", "bull_score", "bear_score",
         "net_score", "level", "trend", "fcst_next", "ewma_vol",
-        "mfi", "ad_line", "cmo", "vi_plus", "vi_minus")
+        "mfi", "ad_line", "cmo", "vi_plus", "vi_minus",
+        "hw_level", "hw_trend", "hw_season", "hw_fcst")
     for ((delay, delayMs, nParts) <- Seq(
         ("10 minutes", 10L * 60000L, 2),
         ("10 minutes", 10L * 60000L, 4),
