@@ -475,6 +475,62 @@ object TextOps {
       |ORDER BY freq DESC, word
       |LIMIT 100""".stripMargin
 
+  /** LEXICAL DIVERSITY — the per-document dual of the corpus-level
+    * [[zipfFit]]: token count, TYPE count (distinct words), hapax
+    * count (words occurring once in the doc), type-token ratio, and
+    * hapax share of the vocabulary — the lexical-richness signals a
+    * quality pipeline thresholds next to [[qualityScore]]'s surface
+    * ratios (template/boilerplate text shows low TTR; keyword-stuffed
+    * spam shows low hapax share at high TTR). Same whitespace
+    * tokenizer as [[wordFreq]] — one definition across the text tier.
+    *
+    * Cross-engine exactness: all masses are exact integers; the two
+    * ratios are ONE correctly-rounded IEEE division each, scale-0
+    * display round.
+    *
+    * Scale shape: one map-side-combined (doc_id, word) aggregate
+    * (token explosion collapses before the wire), then a doc-keyed
+    * rollup that rides the SAME hash partitioning (doc_id is a
+    * prefix of the first key — no second shuffle at scale with AQE
+    * coalescing; both aggregates are doc-bounded).
+    */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    lexicalDiversityDocs(Tables.documents(spark, dir))
+
+  private[graft] def lexicalDiversityDocs(docs: DataFrame): DataFrame = {
+    def sr6(c: Column): Column = round(c * 1e6, 0) / 1e6
+    docs
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), s"[$Ws]+")).as("word"))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("f"))
+      .groupBy("doc_id")
+      .agg(sum("f").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        sr6(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        sr6(col("n_hapax").cast("double") / col("n_types"))
+          .as("hapax_ratio"))
+      .orderBy("doc_id")
+  }
+
+  def lexicalDiversitySql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, word, count(*) AS f FROM w GROUP BY 1, 2
+       |), a AS (
+       |  SELECT doc_id, sum(f)::BIGINT AS n_tokens, count(*) AS n_types,
+       |    sum(CASE WHEN f = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+       |  FROM c GROUP BY 1
+       |)
+       |SELECT doc_id, n_tokens, n_types, n_hapax,
+       |  round(n_types::DOUBLE / n_tokens * 1e6, 0) / 1e6 AS ttr,
+       |  round(n_hapax::DOUBLE / n_types * 1e6, 0) / 1e6 AS hapax_ratio
+       |FROM a ORDER BY doc_id""".stripMargin
+
   /** ZIPF FIT — the corpus-statistics health check a training-data
     * pipeline runs per language: natural text follows Zipf's law
     * (freq ∝ rank^s with s ≈ −1), and a corpus whose fitted slope

@@ -242,6 +242,30 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("lexicalDiversity masses reconcile with a driver recount") {
+    def sr6(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.lexicalDiversity(spark, sfDir).collect()
+    assert(got.length == texts.size, "every doc is profiled")
+    got.foreach { r =>
+      val words = texts(r.getAs[Long]("doc_id")).trim.split("\\s+").toSeq
+      val byWord = words.groupBy(identity).map(_._2.length)
+      val (nTok, nTyp) = (words.length.toLong, byWord.size.toLong)
+      val nHap = byWord.count(_ == 1).toLong
+      assert(r.getAs[Long]("n_tokens") == nTok)
+      assert(r.getAs[Long]("n_types") == nTyp)
+      assert(r.getAs[Long]("n_hapax") == nHap)
+      assert(r.getAs[Double]("ttr") == sr6(nTyp.toDouble / nTok))
+      assert(r.getAs[Double]("hapax_ratio") == sr6(nHap.toDouble / nTyp))
+      // structural envelope: hapax <= types <= tokens, ratios in (0,1]
+      assert(nHap <= nTyp && nTyp <= nTok)
+      assert(r.getAs[Double]("ttr") > 0.0 && r.getAs[Double]("ttr") <= 1.0)
+    }
+  }
+
   test("fingerprint is stable and 32 hex chars") {
     val df = TextOps.fingerprint(spark, sfDir)
     assert(df.filter(length(col("fingerprint")) =!= 32).count() == 0)
