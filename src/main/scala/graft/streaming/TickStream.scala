@@ -1065,6 +1065,10 @@ object TickStream extends Serializable {
       // seasonal 5-tuple (empty until the bar-10 seed replay) — the
       // batch q_holt_winters fold's state verbatim
       hwL: Double, hwB: Double, hwU: List[Double],
+      // stochastic-RSI rings: last-7 RSI, last-3 stoch, last-3 %K —
+      // NaN marks a null ROW so the rings mirror the batch ROWS
+      // frames (count-of-live gating), the ks-ring idiom
+      rsis: List[Double], srs: List[Double], sks: List[Double],
       // money-flow machine: previous typical-price micros, the last
       // 14 SIGNED daily money flows (positive = up-day flow,
       // negative = down-day; 0 = flat/first), and the running A/D
@@ -1093,7 +1097,9 @@ object TickStream extends Serializable {
       mfi: Option[Double], ad_line: Double,
       cmo: Option[Double], vi_plus: Option[Double], vi_minus: Option[Double],
       hw_level: Option[Double], hw_trend: Option[Double],
-      hw_season: Option[Double], hw_fcst: Option[Double])
+      hw_season: Option[Double], hw_fcst: Option[Double],
+      stoch_rsi: Option[Double], srsi_k: Option[Double],
+      srsi_d: Option[Double])
 
   private def r4s(x: Double): Double = BigDecimal.valueOf(x)
     .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1146,7 +1152,7 @@ object TickStream extends Serializable {
         0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
         0L, 0.0, 0.0, 0L, Nil, Nil, 0, 0.0, 0.0, 0.0,
         Nil, 0.0, 0.0, 0.0, 0.0, Nil, 0.0, 0.0, 0.0,
-        0.0, 0.0, Nil,
+        0.0, 0.0, Nil, Nil, Nil, Nil,
         0L, Nil, BigDecimal(0), Nil))
       var pending = st.pending
       if (!state.hasTimedOut) rows.foreach { t =>
@@ -1363,6 +1369,26 @@ object TickStream extends Serializable {
                 if (gW + lW == 0.0) 50.0
                 else r6scaled(100.0 * gW / (gW + lW)))
           }
+          // stochastic RSI (7,3,3) off the live RSI — the batch
+          // q_stoch_rsi ROWS frames as NaN-marked rings: each stage
+          // fires only when its window is FULL of live inputs, and
+          // stoch is null on a flat 7-session RSI band
+          val rsis7 = (st.rsis :+ rsiOpt.getOrElse(Double.NaN)).takeRight(7)
+          var srOpt: Option[Double] = None
+          val liveR = rsis7.filterNot(_.isNaN)
+          if (liveR.length == 7) {
+            val (mn, mx) = (liveR.min, liveR.max)
+            if (mx > mn)
+              srOpt = Some(r6s((rsis7.last - mn) / (mx - mn) * 100.0))
+          }
+          val srs3 = (st.srs :+ srOpt.getOrElse(Double.NaN)).takeRight(3)
+          var sKOpt: Option[Double] = None
+          if (srs3.length == 3 && !srs3.exists(_.isNaN))
+            sKOpt = Some(r6s(srs3.foldLeft(0.0)(_ + _) / 3.0))
+          val sks3 = (st.sks :+ sKOpt.getOrElse(Double.NaN)).takeRight(3)
+          var sDOpt: Option[Double] = None
+          if (sks3.length == 3 && !sks3.exists(_.isNaN))
+            sDOpt = Some(r6s(sks3.foldLeft(0.0)(_ + _) / 3.0))
           // the SCREENER votes — the batch q_signal_confluence
           // comparisons verbatim (RAW folds, multiplication-form
           // zone tests; the display-rounded cci above serves q_cci,
@@ -1508,7 +1534,8 @@ object TickStream extends Serializable {
             holtOut.map(t => r6scaled(t._1 + t._2)), evOut,
             mfiOpt, adLine, cmoOpt, vipOpt, vimOpt,
             hwOut.map(t => r6scaled(t._1)), hwOut.map(t => r6scaled(t._2)),
-            hwOut.map(t => r6scaled(t._3)), hwOut.map(t => r6scaled(t._4)))
+            hwOut.map(t => r6scaled(t._3)), hwOut.map(t => r6scaled(t._4)),
+            srOpt, sKOpt, sDOpt)
           st = st.copy(lastDay = p.day, hasEmitted = true, hasPrev = true,
             prevClose = p.close, prevHi = hi4, prevLo = lo4,
             trCount = trCount, seedSum = seedSum, wilder = wilder,
@@ -1521,6 +1548,7 @@ object TickStream extends Serializable {
             tps = tps20, gSum = gSum, gW = gW, lSum = lSum, lW = lW,
             cls = cls20, hl = hl, hb = hb, ev = ev,
             hwL = hwL, hwB = hwB, hwU = hwU,
+            rsis = rsis7, srs = srs3, sks = sks3,
             mfPrev = tpmL, mfFlows = mfFlows, adM = adM)
         }
         pending = pending.filter(_.day > ready.last.day)

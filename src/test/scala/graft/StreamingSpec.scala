@@ -132,7 +132,7 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
-  test("dailyBarStream bars equal all nineteen batch daily-series surfaces") {
+  test("dailyBarStream bars equal all twenty batch daily-series surfaces") {
     val schema = Tables.events(spark, sfDir).schema
     val maxTs = Warehouse.validTicks(spark, sfDir)
       .agg(max("ts")).head.getTimestamp(0).getTime
@@ -212,6 +212,10 @@ class StreamingSpec extends SparkSuite {
       .withColumn("hw_trend", when(col("hw_rn") >= 10, col("hw_trend")))
       .withColumn("hw_season", when(col("hw_rn") >= 10, col("hw_season")))
       .withColumn("hw_fcst", when(col("hw_rn") >= 10, col("hw_fcst")))
+      .join(Warehouse.stochRsi(spark, sfDir)
+        .select(col("user_id"), col("trade_date"), col("stoch_rsi"),
+          col("pct_k").as("srsi_k"), col("pct_d").as("srsi_d")),
+        Seq("user_id", "trade_date"))
       .select("user_id", "trade_date", "open_price", "high_price",
         "low_price", "close_price", "n_ticks", "volume", "tr",
         "atr_wilder", "signed_vol", "obv", "ema_20", "atr_10",
@@ -221,7 +225,8 @@ class StreamingSpec extends SparkSuite {
         "cci", "willr", "rsi_14", "bull_score", "bear_score",
         "net_score", "level", "trend", "fcst_next", "ewma_vol",
         "mfi", "ad_line", "cmo", "vi_plus", "vi_minus",
-        "hw_level", "hw_trend", "hw_season", "hw_fcst")
+        "hw_level", "hw_trend", "hw_season", "hw_fcst",
+        "stoch_rsi", "srsi_k", "srsi_d")
     for ((delay, delayMs, nParts) <- Seq(
         ("10 minutes", 10L * 60000L, 2),
         ("10 minutes", 10L * 60000L, 4),
