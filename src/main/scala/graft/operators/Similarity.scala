@@ -2235,28 +2235,62 @@ object Similarity {
     * for `cands` rows per probe.
     */
   def annPca(spark: SparkSession, dir: String, cands: Int = 128,
-      k: Int = 16): DataFrame = {
+      k: Int = 16): DataFrame =
+    annPcaSearch(spark, dir, pcaIndex(spark, dir, k), cands)
+
+  /** A fitted PCA candidate index: the projected corpus (vec_id, the
+    * k projected coordinates — the ONLY per-vector state a deployment
+    * stores) plus the model that projects probes at serve time.
+    * Build-once/serve-many like [[PqIndex]]; persists via
+    * [[savePcaIndex]]/[[loadPcaIndex]] under the same manifest
+    * discipline as every other family.
+    */
+  case class PcaIndex(projected: DataFrame, model: PcaModel)
+
+  /** The projection every PCA-index path shares: pcⱼ = ⟨wⱼ, v⟩/‖v‖ −
+    * ⟨wⱼ, μ⟩ — the UNIT-vector projection with the center folded into
+    * one broadcast constant per component (k codegen dots/row). One
+    * definition, so the fused build, the persisted index, and the
+    * serve-time probe leg can never project differently.
+    */
+  private def pcaProject(model: PcaModel)(vc: Column,
+      norm: Column): Column = {
+    val centers = model.components.map(w =>
+      w.zip(model.mean).map { case (wi, mi) => wi * mi }.sum)
+    array(model.components.toIndexedSeq.zipWithIndex.map { case (w, j) =>
+      Dedup.dot(typedLit(w.toSeq), vc) / norm - lit(centers(j))
+    }: _*)
+  }
+
+  /** Fit on the UNIT corpus: for unit vectors L2² = 2 − 2·cos, so a
+    * projected-L2 rank in their principal subspace approximates the
+    * cosine rank directly; fitting on raw vectors would let norm
+    * variance (irrelevant to the angle) steal retained dimensions.
+    */
+  def pcaIndex(spark: SparkSession, dir: String, k: Int = 16): PcaIndex = {
     val corpus = vecs(spark, dir)
-    // Fit on the UNIT corpus: for unit vectors L2² = 2 − 2·cos, so a
-    // projected-L2 rank in their principal subspace approximates the
-    // cosine rank directly; fitting on raw vectors would let norm
-    // variance (irrelevant to the angle) steal retained dimensions.
     val unit = corpus.select(col("vec_id"),
       transform(col("v"), _ / col("norm")).as("v"), lit(1.0).as("norm"))
     val model = fitPcaOf(unit, k)
-    val centers = model.components.map(w =>
-      w.zip(model.mean).map { case (wi, mi) => wi * mi }.sum)
-    def project(vc: Column): Column = array(
-      model.components.toIndexedSeq.zipWithIndex.map { case (w, j) =>
-        Dedup.dot(typedLit(w.toSeq), vc) / col("norm") - lit(centers(j))
-      }: _*)
-    val index = corpus.select(col("vec_id"), project(col("v")).as("pv"))
+    PcaIndex(corpus.select(col("vec_id"),
+      pcaProject(model)(col("v"), col("norm")).as("pv")), model)
+  }
+
+  /** Serve path over a (possibly loaded) [[PcaIndex]]: probes project
+    * through the index's model, rank the projected corpus by
+    * projected L2, and the top `cands` rerank by EXACT cosine through
+    * the one shared [[exactRerankTopK]] kernel.
+    */
+  def annPcaSearch(spark: SparkSession, dir: String, idx: PcaIndex,
+      cands: Int = 128): DataFrame = {
+    val corpus = vecs(spark, dir)
     val probes = corpus.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("p_v"),
-        col("norm").as("p_norm"), project(col("v")).as("p_pv"))
+        col("norm").as("p_norm"),
+        pcaProject(idx.model)(col("v"), col("norm")).as("p_pv"))
     val wd = Window.partitionBy("probe_id")
       .orderBy(col("pd2").asc, col("vec_id"))
-    val candRows = index.join(broadcast(probes),
+    val candRows = idx.projected.join(broadcast(probes),
         col("vec_id") =!= col("probe_id"))
       .withColumn("pd2", expr(
         "aggregate(zip_with(pv, p_pv, (a, b) -> (a - b) * (a - b)), " +
@@ -2265,6 +2299,49 @@ object Similarity {
       .filter(col("crank") <= cands)
       .select("probe_id", "p_v", "p_norm", "vec_id")
     exactRerankTopK(candRows, corpus)
+  }
+
+  /** PCA-index persistence: the projected corpus as parquet plus the
+    * model flattened to (field, j, vals) rows — mean, eigenvalues,
+    * and one row per component — under the [[IndexManifest]]
+    * discipline. Doubles round-trip parquet bit-exactly, so a loaded
+    * index serves BIT-identical results (spec-asserted).
+    */
+  def savePcaIndex(idx: PcaIndex, path: String): Unit = {
+    val spark = idx.projected.sparkSession
+    idx.projected.write.mode("overwrite").parquet(s"$path/projected")
+    val m = idx.model
+    val rows = Seq(("mean", 0, m.mean.toSeq),
+      ("eigenvalues", 0, m.eigenvalues.toSeq)) ++
+      m.components.zipWithIndex.map { case (w, j) =>
+        ("component", j, w.toSeq) }
+    spark.createDataFrame(rows.toIndexedSeq).toDF("field", "j", "vals")
+      .write.mode("overwrite").parquet(s"$path/model")
+    IndexManifest.write(spark, path, "ann_pca", Seq("projected", "model"))
+  }
+
+  def loadPcaIndex(spark: SparkSession, path: String): PcaIndex = {
+    IndexManifest.validate(spark, path, "ann_pca",
+      Seq("projected", "model")): Unit
+    val projected = spark.read.parquet(s"$path/projected")
+    require(projected.columns.toSet == Set("vec_id", "pv"),
+      s"invalid PCA index at $path/projected: " +
+        projected.columns.mkString(","))
+    val rows = spark.read.parquet(s"$path/model")
+      .select("field", "j", "vals").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def one(f: String) = {
+      val hits = rows.filter(_._1 == f)
+      require(hits.length == 1, s"invalid PCA model at $path: $f")
+      hits.head._3
+    }
+    val comps = rows.filter(_._1 == "component").sortBy(_._2)
+    val eig = one("eigenvalues")
+    require(comps.map(_._2).toSeq == comps.indices &&
+      comps.length == eig.length,
+      s"invalid PCA model at $path: component rows do not cover 0..k-1")
+    PcaIndex(projected,
+      PcaModel(one("mean"), eig, comps.map(_._3)))
   }
 
   /** Principal-component projection of the embedding corpus — the

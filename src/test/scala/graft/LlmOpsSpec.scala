@@ -658,6 +658,18 @@ class LlmOpsSpec extends SparkSuite {
     byProbe.values.foreach { rs =>
       assert(rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to 10))
     }
+    // persistence: a saved-then-loaded index serves BIT-identical
+    // results (doubles round-trip parquet exactly; one shared
+    // projection definition)
+    val path = java.nio.file.Files.createTempDirectory("pca_idx").toString
+    Similarity.savePcaIndex(Similarity.pcaIndex(spark, sfDir), path)
+    val served = Similarity.annPcaSearch(spark, sfDir,
+      Similarity.loadPcaIndex(spark, path)).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("probe_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))
+    assert(served.map(key).sorted.toSeq == approx.map(key).sorted.toSeq,
+      "loaded index diverged from the fused build")
   }
 
   test("tfidf emits up to 3 ranked keywords per doc, scores sane") {
