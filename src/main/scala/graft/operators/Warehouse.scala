@@ -3069,6 +3069,64 @@ object Warehouse {
        |GROUP BY user_id HAVING count(*) >= 15
        |ORDER BY user_id""".stripMargin
 
+  /** ULCER INDEX (14) — Martin's drawdown-depth risk gauge, the
+    * windowed dual of [[drawdown]]'s full-history maximum: per session,
+    * pct_dd = 100·(close/max₁₄(close) − 1) ∈ [−100, 0] (the running
+    * 14-session peak includes the current close, so a fresh high
+    * reads 0), and ulcer₁₄ = √(Σ₁₄ pct_dd²/14) — quadratic-mean
+    * drawdown, punishing deep sustained dips where [[sharpe]]'s σ
+    * treats up and down alike. NULL till 14 sessions.
+    *
+    * Cross-engine exactness: pct_dd rounds once to INTEGER MICROS at
+    * scale 0 (bounded by ±1e8, so the squared window sum is exact
+    * Long with 10⁴× headroom); the emitted ulcer is one division,
+    * one √, one scale-down on the exact sum — identical IEEE ops both
+    * engines.
+    *
+    * Scale shape: ONE symbol-keyed shuffle (the ohlc partial agg);
+    * running max, the squared sum, and the row count share the one
+    * partition-sort over day rows.
+    */
+  def ulcerIndex(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val w14 = wRn.rowsBetween(-13, 0)
+    ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date",
+      validated = true)
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("ddm", round(
+        (col("close_price") / max("close_price").over(w14) - 1.0)
+          * 100.0 * 1e6, 0).cast("long"))
+      .select(col("user_id"), col("trade_date"), col("close_price"),
+        (col("ddm").cast("double") / 1e6).as("pct_dd"),
+        when(col("rn") >= 14,
+          sqrt(sum(col("ddm") * col("ddm")).over(w14).cast("double")
+            / 14.0) / 1e6).as("ulcer_14"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def ulcerIndexSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), t AS (
+       |  SELECT user_id, trade_date, close_price,
+       |    row_number() OVER w AS rn,
+       |    round((close_price / max(close_price) OVER w14 - 1.0)
+       |      * 100.0 * 1e6, 0)::BIGINT AS ddm
+       |  FROM ohlc
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date),
+       |    w14 AS (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT user_id, trade_date, close_price,
+       |  ddm::DOUBLE / 1e6 AS pct_dd,
+       |  CASE WHEN rn >= 14 THEN
+       |    sqrt((sum(ddm * ddm) OVER w14)::DOUBLE / 14.0) / 1e6 END
+       |    AS ulcer_14
+       |FROM t
+       |WINDOW w14 AS (PARTITION BY user_id ORDER BY trade_date
+       |  ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, trade_date""".stripMargin
+
   /** RISK-ADJUSTED RETURN PACK — the per-symbol performance summary
     * next to [[beta]] (systematic risk) and [[drawdown]] (path risk):
     * over daily simple returns, annualized return mean·252,.

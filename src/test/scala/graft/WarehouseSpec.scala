@@ -1675,6 +1675,39 @@ class WarehouseSpec extends SparkSuite {
     assert(kept > 0 && kept == got.size)
   }
 
+  test("ulcerIndex equals a driver windowed-drawdown walk") {
+    val daily = driverDailyOhlc
+    val got = Warehouse.ulcerIndex(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == daily.values.map(_.length).sum)
+    var live = 0
+    daily.foreach { case (uid, days) =>
+      val cls = days.map(_._4)
+      val ddms = cls.indices.map { i =>
+        val mx = cls.slice(math.max(0, i - 13), i + 1).max
+        BigDecimal((cls(i) / mx - 1.0) * 100.0 * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+      days.zipWithIndex.foreach { case ((d, _, _, _), i) =>
+        val r = got((uid, d))
+        val dd = r.getAs[Double]("pct_dd")
+        assert(dd == ddms(i).toDouble / 1e6, s"$uid/$d dd")
+        assert(dd <= 0.0 && dd >= -100.0, s"$uid/$d dd bounds")
+        val u = Option(r.getAs[java.lang.Double]("ulcer_14"))
+          .map(_.doubleValue)
+        if (i < 13) assert(u.isEmpty, s"$uid/$d warmup")
+        else {
+          val s2 = ddms.slice(i - 13, i + 1).map(x => x * x).sum
+          assert(u.contains(math.sqrt(s2.toDouble / 14.0) / 1e6),
+            s"$uid/$d ulcer")
+          assert(u.get >= 0.0)
+          live += 1
+        }
+      }
+    }
+    assert(live > 0)
+  }
+
   test("moneyFlow equals a driver-side integer-micros walk") {
     def srd(x: Double) = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
