@@ -617,6 +617,121 @@ object TextOps {
        |FROM a ORDER BY lang""".stripMargin
   }
 
+  /** HEAPS' LAW FIT — [[zipfFit]]'s growth-curve companion: as a
+    * corpus is read in doc_id order, vocabulary grows as
+    * V(n) ≈ K·n^β (β ≈ 0.4-0.6 for natural text; template spam
+    * plateaus early, OCR noise pushes β toward 1). Per doc:
+    * token mass and NEW-type mass (words whose min doc_id is this
+    * doc), prefix-summed into the (cum_tokens, cum_types) growth
+    * curve, then one log-log OLS row: β (slope), K = e^intercept, r²,
+    * plus the corpus totals.
+    *
+    * The prefix scan is the operator Spark lacks natively at scale —
+    * a bare ORDER BY window collapses the corpus to ONE partition. It
+    * runs here as the classic two-pass decomposition, fully
+    * declarative: doc_ids hash into RANGE BUCKETS (doc_id div 512);
+    * intra-bucket running sums ride a window PARTITIONED by bucket
+    * (parallel); bucket totals collapse to a bucket-count-sized table
+    * whose own prefix window is trivially small; offsets broadcast-
+    * join back. Every mass is an exact integer, so the decomposition
+    * is bit-equal to the single-partition form the DuckDB oracle
+    * runs — the oracle hash-proves the scan rewrite itself.
+    *
+    * Cross-engine exactness: [[zipfFit]]'s discipline — ln inputs
+    * round to 12, the closed-form fit is the identical op sequence,
+    * scale-0 display round.
+    */
+  def heapsFit(spark: SparkSession, dir: String): DataFrame =
+    heapsFitDocs(Tables.documents(spark, dir))
+
+  private[graft] def heapsFitDocs(docs: DataFrame): DataFrame = {
+    def sr6(c: Column): Column = round(c * 1e6, 0) / 1e6
+    val words = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), s"[$Ws]+")).as("word"))
+    val toks = words.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val news = words.groupBy("word").agg(min("doc_id").as("fdoc"))
+      .groupBy("fdoc").agg(count(lit(1)).as("n_new"))
+    val perDoc = toks
+      .join(news, toks("doc_id") === news("fdoc"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("bkt", expr("doc_id DIV 512"))
+    val wIn = Window.partitionBy("bkt").orderBy("doc_id")
+    val wOff = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perDoc.groupBy("bkt")
+      .agg(sum("n_tokens").as("bt"), sum("n_new").as("bn"))
+      .select(col("bkt"),
+        coalesce(sum("bt").over(wOff), lit(0L)).as("tok_off"),
+        coalesce(sum("bn").over(wOff), lit(0L)).as("typ_off"))
+    val curve = perDoc.join(broadcast(offsets), Seq("bkt"))
+      .select(col("doc_id"), col("n_tokens"), col("n_new"),
+        (col("tok_off") + sum("n_tokens").over(wIn)).as("cum_tokens"),
+        (col("typ_off") + sum("n_new").over(wIn)).as("cum_types"))
+    val n = col("n_docs").cast("double")
+    val sxxC = col("sxx") - col("sx") * col("sx") / n
+    val sxyC = col("sxy") - col("sx") * col("sy") / n
+    val syyC = col("syy") - col("sy") * col("sy") / n
+    val slope = sxyC / sxxC
+    curve
+      .select(col("cum_tokens"), col("cum_types"),
+        round(log(col("cum_tokens").cast("double")), 12).as("x"),
+        round(log(col("cum_types").cast("double")), 12).as("y"))
+      .agg(count(lit(1)).as("n_docs"),
+        max("cum_tokens").as("total_tokens"),
+        max("cum_types").as("total_types"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n_docs"), col("total_tokens"), col("total_types"),
+        sr6(slope).as("heaps_beta"),
+        sr6(exp((col("sy") - slope * col("sx")) / n)).as("heaps_k"),
+        sr6(when(syyC > 0.0, sxyC * sxyC / (sxxC * syyC))).as("r2"))
+  }
+
+  def heapsFitSql: String = {
+    val n = "n_docs::DOUBLE"
+    val sxxC = s"(sxx - sx * sx / $n)"
+    val sxyC = s"(sxy - sx * sy / $n)"
+    val syyC = s"(syy - sy * sy / $n)"
+    val slope = s"$sxyC / $sxxC"
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |  FROM documents
+       |), toks AS (
+       |  SELECT doc_id, count(*) AS n_tokens FROM w GROUP BY 1
+       |), news AS (
+       |  SELECT fdoc, count(*) AS n_new FROM (
+       |    SELECT word, min(doc_id) AS fdoc FROM w GROUP BY 1
+       |  ) GROUP BY 1
+       |), curve AS (
+       |  SELECT sum(n_tokens) OVER (ORDER BY t.doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+       |    sum(coalesce(n_new, 0)) OVER (ORDER BY t.doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS cum_types
+       |  FROM toks t LEFT JOIN news ON t.doc_id = news.fdoc
+       |), r AS (
+       |  SELECT cum_tokens, cum_types,
+       |    round(ln(cum_tokens::DOUBLE), 12) AS x,
+       |    round(ln(cum_types::DOUBLE), 12) AS y
+       |  FROM curve
+       |), a AS (
+       |  SELECT count(*) AS n_docs,
+       |    max(cum_tokens)::BIGINT AS total_tokens,
+       |    max(cum_types)::BIGINT AS total_types,
+       |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+       |    sum(x * x) AS sxx, sum(y * y) AS syy
+       |  FROM r
+       |)
+       |SELECT n_docs, total_tokens, total_types,
+       |  round(($slope) * 1e6, 0) / 1e6 AS heaps_beta,
+       |  round(exp((sy - ($slope) * sx) / $n) * 1e6, 0) / 1e6 AS heaps_k,
+       |  round(CASE WHEN $syyC > 0.0
+       |    THEN $sxyC * $sxyC / ($sxxC * $syyC) END * 1e6, 0) / 1e6 AS r2
+       |FROM a""".stripMargin
+  }
+
   /** HEAVY HITTERS via a Count-Min sketch — the 100 TB dual of
     * [[wordFreq]], completing the sketch tier next to HLL
     * (q_approx_distinct) and approx percentiles: at corpus scale the

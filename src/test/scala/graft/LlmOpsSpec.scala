@@ -242,6 +242,62 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("heapsFit pins planted growth exponents and replays the curve") {
+    import spark.implicits._
+    // every doc brings 3 never-seen words: V(n) = 3n over N(n) = 3n
+    // exactly, so the log-log fit is the line y = x: beta 1, K 1,
+    // r2 1 — bit-exact, not approximate
+    val linear = (0 until 40)
+      .map(i => (i.toLong, s"a$i b$i c$i")).toDF("doc_id", "text")
+    val lr = TextOps.heapsFitDocs(linear).head
+    assert(lr.getAs[Double]("heaps_beta") == 1.0)
+    assert(lr.getAs[Double]("heaps_k") == 1.0)
+    assert(lr.getAs[Double]("r2") == 1.0)
+    assert(lr.getAs[Long]("total_tokens") == 120 &&
+      lr.getAs[Long]("total_types") == 120)
+    // a template corpus (all docs identical) plateaus: beta near 0
+    val flat = (0 until 40)
+      .map(i => (i.toLong, "the same three words")).toDF("doc_id", "text")
+    val fr = TextOps.heapsFitDocs(flat).head
+    assert(fr.getAs[Double]("heaps_beta") < 0.05,
+      s"template corpus beta ${fr.getAs[Double]("heaps_beta")}")
+    assert(fr.getAs[Long]("total_types") == 4)
+
+    // corpus run: replay the growth curve + OLS on the driver
+    def r12(x: Double) = BigDecimal(x)
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def sr6(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val seen = scala.collection.mutable.Set[String]()
+    var (ct, cv) = (0L, 0L)
+    val pts = docs.map { case (_, text) =>
+      val ws = text.trim.split("\\s+")
+      ct += ws.length
+      ws.foreach(w => if (seen.add(w)) cv += 1)
+      (r12(math.log(ct.toDouble)), r12(math.log(cv.toDouble)))
+    }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val (sxy, sxx, syy) = (pts.map(p => p._1 * p._2).sum,
+      pts.map(p => p._1 * p._1).sum, pts.map(p => p._2 * p._2).sum)
+    val (sxxC, sxyC, syyC) =
+      (sxx - sx * sx / n, sxy - sx * sy / n, syy - sy * sy / n)
+    val g = TextOps.heapsFit(spark, sfDir).head
+    assert(g.getAs[Long]("n_docs") == docs.length)
+    assert(g.getAs[Long]("total_tokens") == ct &&
+      g.getAs[Long]("total_types") == cv)
+    assert(math.abs(g.getAs[Double]("heaps_beta") - sr6(sxyC / sxxC))
+      <= 1e-6, "corpus beta")
+    assert(math.abs(g.getAs[Double]("r2") -
+      sr6(sxyC * sxyC / (sxxC * syyC))) <= 1e-6, "corpus r2")
+    // growth exponents live in (0, 1] — sublinear vocabulary growth
+    val beta = g.getAs[Double]("heaps_beta")
+    assert(beta > 0.0 && beta <= 1.0, s"corpus beta $beta")
+  }
+
   test("lexicalDiversity masses reconcile with a driver recount") {
     def sr6(x: Double) = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
