@@ -1099,7 +1099,8 @@ object TickStream extends Serializable {
       hw_level: Option[Double], hw_trend: Option[Double],
       hw_season: Option[Double], hw_fcst: Option[Double],
       stoch_rsi: Option[Double], srsi_k: Option[Double],
-      srsi_d: Option[Double])
+      srsi_d: Option[Double],
+      roc_sum: Option[Double], coppock: Option[Double])
 
   private def r4s(x: Double): Double = BigDecimal.valueOf(x)
     .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
@@ -1389,6 +1390,29 @@ object TickStream extends Serializable {
           var sDOpt: Option[Double] = None
           if (sks3.length == 3 && !sks3.exists(_.isNaN))
             sDOpt = Some(r6s(sks3.foldLeft(0.0)(_ + _) / 3.0))
+          // Coppock off the shared close ring — the batch q_coppock
+          // integer-micros lag composition reconstructed from the
+          // last 13 closes, no new carry fields (cmo/vortex's idiom)
+          var rocSumOpt: Option[Double] = None
+          var copOpt: Option[Double] = None
+          locally {
+            // cls20 already carries this bar's close at its tail
+            val c = st.cls.takeRight(19) :+ p.close
+            def rocM(i: Int, h: Int): Long =
+              BigDecimal.valueOf((c(i) / c(i - h) - 1.0) * 100.0 * 1e6)
+                .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+                .toLong
+            val last = c.length - 1
+            if (trCount >= 8)
+              rocSumOpt = Some(
+                (rocM(last, 7) + rocM(last, 5)).toDouble / 1e6)
+            if (trCount >= 12) {
+              val num = (0 to 4).map { j =>
+                (5 - j) * (rocM(last - j, 7) + rocM(last - j, 5))
+              }.sum
+              copOpt = Some(num.toDouble / 15e6)
+            }
+          }
           // the SCREENER votes — the batch q_signal_confluence
           // comparisons verbatim (RAW folds, multiplication-form
           // zone tests; the display-rounded cci above serves q_cci,
@@ -1535,7 +1559,7 @@ object TickStream extends Serializable {
             mfiOpt, adLine, cmoOpt, vipOpt, vimOpt,
             hwOut.map(t => r6scaled(t._1)), hwOut.map(t => r6scaled(t._2)),
             hwOut.map(t => r6scaled(t._3)), hwOut.map(t => r6scaled(t._4)),
-            srOpt, sKOpt, sDOpt)
+            srOpt, sKOpt, sDOpt, rocSumOpt, copOpt)
           st = st.copy(lastDay = p.day, hasEmitted = true, hasPrev = true,
             prevClose = p.close, prevHi = hi4, prevLo = lo4,
             trCount = trCount, seedSum = seedSum, wilder = wilder,

@@ -132,7 +132,7 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
-  test("dailyBarStream bars equal all twenty batch daily-series surfaces") {
+  test("dailyBarStream bars equal all twenty-one batch daily-series surfaces") {
     val schema = Tables.events(spark, sfDir).schema
     val maxTs = Warehouse.validTicks(spark, sfDir)
       .agg(max("ts")).head.getTimestamp(0).getTime
@@ -216,6 +216,9 @@ class StreamingSpec extends SparkSuite {
         .select(col("user_id"), col("trade_date"), col("stoch_rsi"),
           col("pct_k").as("srsi_k"), col("pct_d").as("srsi_d")),
         Seq("user_id", "trade_date"))
+      .join(Warehouse.coppock(spark, sfDir)
+        .select("user_id", "trade_date", "roc_sum", "coppock"),
+        Seq("user_id", "trade_date"))
       .select("user_id", "trade_date", "open_price", "high_price",
         "low_price", "close_price", "n_ticks", "volume", "tr",
         "atr_wilder", "signed_vol", "obv", "ema_20", "atr_10",
@@ -226,7 +229,7 @@ class StreamingSpec extends SparkSuite {
         "net_score", "level", "trend", "fcst_next", "ewma_vol",
         "mfi", "ad_line", "cmo", "vi_plus", "vi_minus",
         "hw_level", "hw_trend", "hw_season", "hw_fcst",
-        "stoch_rsi", "srsi_k", "srsi_d")
+        "stoch_rsi", "srsi_k", "srsi_d", "roc_sum", "coppock")
     for ((delay, delayMs, nParts) <- Seq(
         ("10 minutes", 10L * 60000L, 2),
         ("10 minutes", 10L * 60000L, 4),
