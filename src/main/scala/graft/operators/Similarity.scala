@@ -2385,4 +2385,87 @@ object Similarity {
       .select("vec_id", "label", "pc", "recon_err2")
       .orderBy("vec_id")
   }
+
+  /** EMBEDDING OUTLIER REPORT — the embedding-space leg of the
+    * quality gate, next to the text-side [[graft.operators.TextOps]]
+    * signals: distance of every vector to the corpus CENTROID, with
+    * the Iglewicz–Hoaglin modified z-score (0.6745·(d − med)/MAD,
+    * |z| > 3.5 flags — q_anomaly_ticks' robust rule, which a few wild
+    * embeddings cannot drag) marking vectors whose geometry says
+    * "broken encoder output / wrong-modality row / adversarial junk".
+    * Emits the full per-vector report (dist, z, is_outlier) so
+    * downstream pruning composes the flag rather than re-deriving it.
+    *
+    * Cross-engine exactness: the centroid's per-dim means round to 12
+    * (absorbing the engines' sum association orders — the beta
+    * envelope); the distance is a fold over identical doubles rounded
+    * 6; median/MAD are exact interpolated percentiles of those
+    * rounded-6 dists rounded 6; z is one identical op chain rounded
+    * 6.
+    *
+    * Scale shape: centroid = ONE map-side-combined per-dim aggregate
+    * (d×1 partials; the [[fitPcaOf]] mean pass) collected model-sized
+    * and folded back as a broadcast literal — the corpus is scanned
+    * once for the fit, once for the serve; the (med, MAD) model is a
+    * one-row broadcast like the anomaly gate's.
+    */
+  def embedOutliers(spark: SparkSession, dir: String): DataFrame =
+    embedOutliersOf(Tables.embeddings(spark, dir))
+
+  private[graft] def embedOutliersOf(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val nRows = base.count().toDouble
+    val mu = base
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(sum("x").as("s"))
+      .collect().sortBy(_.getInt(0))
+      .map(r => BigDecimal(r.getDouble(1) / nRows)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val withMu = base.withColumn("mu", typedLit(mu.toSeq))
+      .select(col("vec_id"), round(sqrt(expr(
+        "aggregate(zip_with(v, mu, (a, b) -> (a - b) * (a - b)), " +
+          "0D, (s, x) -> s + x)")), 6).as("dist"))
+    val med = withMu.agg(
+      round(percentile(col("dist"), lit(0.5)), 6).as("med"))
+    val model = withMu.join(broadcast(med),
+        org.apache.spark.sql.functions.lit(true))
+      .agg(max("med").as("med"),
+        round(percentile(abs(col("dist") - col("med")), lit(0.5)), 6)
+          .as("mad"))
+    withMu.join(broadcast(model), lit(true))
+      .withColumn("z", when(col("mad") > 0,
+        round(lit(0.6745) * (col("dist") - col("med")) / col("mad"), 6)))
+      .select(col("vec_id"), col("dist"), col("med"), col("mad"), col("z"),
+        (col("z").isNotNull && abs(col("z")) > 3.5).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
+  def embedOutliersSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), d AS (
+      |  SELECT vec_id, i, v[i] AS x
+      |  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+      |), m AS (
+      |  SELECT i, round(sum(x) / (SELECT count(*) FROM e), 12) AS mu
+      |  FROM d GROUP BY i
+      |), dist AS (
+      |  SELECT vec_id,
+      |    round(sqrt(sum((x - mu) * (x - mu))), 6) AS dist
+      |  FROM d JOIN m USING (i) GROUP BY vec_id
+      |), md AS (
+      |  SELECT round(quantile_cont(dist, 0.5), 6) AS med FROM dist
+      |), mm AS (
+      |  SELECT max(med) AS med,
+      |    round(quantile_cont(abs(dist - med), 0.5), 6) AS mad
+      |  FROM dist, md
+      |)
+      |SELECT vec_id, dist, med, mad,
+      |  CASE WHEN mad > 0
+      |    THEN round(0.6745 * (dist - med) / mad, 6) END AS z,
+      |  (mad > 0 AND abs(round(0.6745 * (dist - med) / mad, 6)) > 3.5)
+      |    AS is_outlier
+      |FROM dist, mm
+      |ORDER BY vec_id""".stripMargin
 }

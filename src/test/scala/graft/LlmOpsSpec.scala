@@ -242,6 +242,40 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("embedOutliers flags planted junk and leaves the tight corpus alone") {
+    import spark.implicits._
+    // 200 vectors in a tight band around a shifted center, plus two
+    // planted wrecks: a far spike and a zero vector
+    val d = 8
+    val tight = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(d)(j =>
+        1.0 + 0.01 * math.sin(i * 0.37 + j)).toSeq)
+    }
+    val planted = Seq(
+      (900L, Array.tabulate(d)(j => if (j == 0) 50.0 else 1.0).toSeq),
+      (901L, Array.fill(d)(0.0).toSeq))
+    val emb = (tight ++ planted).toDF("vec_id", "embedding")
+    val rows = Similarity.embedOutliersOf(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(rows.size == 202)
+    assert(rows(900L).getAs[Boolean]("is_outlier"), "far spike not flagged")
+    assert(rows(901L).getAs[Boolean]("is_outlier"), "zero vector not flagged")
+    val flagged = rows.values.count(_.getAs[Boolean]("is_outlier"))
+    assert(flagged == 2, s"robust gate flagged $flagged of 202 — " +
+      "the tight band must stay clean")
+    // the robust model ignores the wrecks: median distance sits in
+    // the tight band's scale, not dragged toward the 49-unit spike
+    assert(rows(0L).getAs[Double]("med") < 1.0)
+    // corpus run: report covers every vector, z defined when MAD > 0
+    val corpus = Similarity.embedOutliers(spark, sfDir).collect()
+    assert(corpus.length ==
+      Tables.embeddings(spark, sfDir).count())
+    corpus.foreach { r =>
+      assert(r.getAs[Double]("dist") >= 0.0)
+      if (r.getAs[Double]("mad") > 0) assert(!r.isNullAt(r.fieldIndex("z")))
+    }
+  }
+
   test("heapsFit pins planted growth exponents and replays the curve") {
     import spark.implicits._
     // every doc brings 3 never-seen words: V(n) = 3n over N(n) = 3n
