@@ -3069,6 +3069,132 @@ object Warehouse {
        |GROUP BY user_id HAVING count(*) >= 15
        |ORDER BY user_id""".stripMargin
 
+  /** CHOPPINESS INDEX (14) — Dreiss' trend-vs-range regime gauge:
+    * CHOP = 100·log₁₀(Σ₁₄TR / (hi₁₄ − lo₁₄)) / log₁₀(14) ∈ [0, 100]
+    * — near 100 when the 14-session path wanders inside its range
+    * (Σ TR ≫ range), near 0 on a straight directional run (Σ TR ≈
+    * range). The regime filter a screener consults BEFORE trusting
+    * the trend indicators ([[adx]]'s value-free cousin — no
+    * direction, only "is there a trend to follow"). NULL till 14
+    * sessions and on a flat band (range 0).
+    *
+    * Cross-engine exactness: TR rounds 6 before the window sum and
+    * the SUM rounds 6 ([[vortex]]'s association-proofing); the range
+    * subtracts round-4 extremes exactly; log₁₀(14) is ONE constant
+    * computed once on the driver and inlined into BOTH engines'
+    * plans, so the only remaining ops are a divide, a log₁₀ of the
+    * identical double, and the display round.
+    *
+    * Scale shape: [[dailyTrBase]]'s one symbol-keyed shuffle; the TR
+    * sum and both extremes share the sort, day-sized rows.
+    */
+  def choppiness(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val w14 = wRn.rowsBetween(-13, 0)
+    val sumTr = round(sum("tr").over(w14), 6)
+    val range = max("high_price").over(w14) - min("low_price").over(w14)
+    dailyTrBase(spark, dir)
+      .select(col("user_id"), col("trade_date"), col("close_price"),
+        col("tr"),
+        round(when(col("rn") >= 14 && range > 0.0 && sumTr > 0.0,
+          lit(100.0) * log10(sumTr / range) / lit(Log10Of14)), 6)
+          .as("chop_14"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  /** log₁₀(14), computed once — inlined into both engines' plans so
+    * neither libm's log₁₀ enters twice.
+    */
+  private val Log10Of14: Double = math.log10(14.0)
+
+  def choppinessSql: String = {
+    val c = java.lang.Double.toString(Log10Of14)
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), t AS (
+       |  SELECT user_id, trade_date, high_price, low_price, close_price,
+       |    row_number() OVER w AS rn,
+       |    lag(close_price) OVER w AS prev_close
+       |  FROM ohlc
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)
+       |), tr AS (
+       |  SELECT *, round(CASE WHEN prev_close IS NULL
+       |    THEN high_price - low_price
+       |    ELSE greatest(high_price - low_price,
+       |                  abs(high_price - prev_close),
+       |                  abs(low_price - prev_close)) END, 6) AS tr
+       |  FROM t
+       |), s AS (
+       |  SELECT user_id, trade_date, close_price, tr, rn,
+       |    round(sum(tr) OVER w14, 6) AS sum_tr,
+       |    max(high_price) OVER w14 - min(low_price) OVER w14 AS rng
+       |  FROM tr
+       |  WINDOW w14 AS (PARTITION BY user_id ORDER BY trade_date
+       |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT user_id, trade_date, close_price, tr,
+       |  round(CASE WHEN rn >= 14 AND rng > 0.0 AND sum_tr > 0.0
+       |    THEN 100.0 * log10(sum_tr / rng) / $c END, 6) AS chop_14
+       |FROM s ORDER BY user_id, trade_date""".stripMargin
+  }
+
+  /** BALANCE OF POWER (14) — per session, BOP = (close − open) /
+    * (high − low) ∈ [−1, 1] (who controlled the session's range: the
+    * open→close drive as a share of the traded band; 0 by convention
+    * on a flat band), SMA-14 smoothed. The only indicator in the tier
+    * consuming the OPEN leg — first print by (ts, event_id), the
+    * [[dailyOhlc]] rule.
+    *
+    * Cross-engine exactness: BOP rounds once to INTEGER MICROS at
+    * scale 0, so the SMA is an exact Long window sum divided once —
+    * [[kst]]'s discipline, and NOT [[atr]]'s round-6 avg: BOP micros
+    * are exact decimals, so sum/14 lands ON the 6th-decimal half
+    * boundary whenever the window's micro mass ≢ 0 (mod 14) — a
+    * round(avg, 6) formulation diverges systematically there (found
+    * by the oracle at both SFs; the integer form closes it).
+    *
+    * Scale shape: one symbol-keyed shuffle from the ohlc partial agg,
+    * two windows sharing the sort.
+    */
+  def balanceOfPower(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val w14 = wRn.rowsBetween(-13, 0)
+    ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date",
+      validated = true)
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("bopm", round(
+        when(col("high_price") > col("low_price"),
+          (col("close_price") - col("open_price")) /
+            (col("high_price") - col("low_price"))).otherwise(0.0)
+          * 1e6, 0).cast("long"))
+      .select(col("user_id"), col("trade_date"), col("close_price"),
+        (col("bopm").cast("double") / 1e6).as("bop"),
+        when(col("rn") >= 14,
+          round(sum("bopm").over(w14).cast("double") / 14.0, 0) / 1e6)
+          .as("bop_sma_14"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def balanceOfPowerSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), b AS (
+       |  SELECT user_id, trade_date, close_price,
+       |    row_number() OVER w AS rn,
+       |    round(CASE WHEN high_price > low_price
+       |      THEN (close_price - open_price) / (high_price - low_price)
+       |      ELSE 0.0 END * 1e6, 0)::BIGINT AS bopm
+       |  FROM ohlc
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)
+       |)
+       |SELECT user_id, trade_date, close_price,
+       |  bopm::DOUBLE / 1e6 AS bop,
+       |  CASE WHEN rn >= 14 THEN
+       |    round((sum(bopm) OVER (PARTITION BY user_id ORDER BY trade_date
+       |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))::DOUBLE
+       |      / 14.0, 0) / 1e6 END AS bop_sma_14
+       |FROM b ORDER BY user_id, trade_date""".stripMargin
+
   /** ULCER INDEX (14) — Martin's drawdown-depth risk gauge, the
     * windowed dual of [[drawdown]]'s full-history maximum: per session,
     * pct_dd = 100·(close/max₁₄(close) − 1) ∈ [−100, 0] (the running

@@ -1675,6 +1675,76 @@ class WarehouseSpec extends SparkSuite {
     assert(kept > 0 && kept == got.size)
   }
 
+  test("choppiness equals a driver regime walk and stays in [0,100]") {
+    val daily = driverDailyOhlc
+    val got = Warehouse.choppiness(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == daily.values.map(_.length).sum)
+    var live = 0
+    daily.foreach { case (uid, days) =>
+      val trs = days.indices.map { i =>
+        val (_, hi, lo, _) = days(i)
+        if (i == 0) r6(hi - lo)
+        else {
+          val pc = days(i - 1)._4
+          r6(math.max(hi - lo, math.max(math.abs(hi - pc),
+            math.abs(lo - pc))))
+        }
+      }
+      days.zipWithIndex.foreach { case ((d, _, _, _), i) =>
+        val r = got((uid, d))
+        val chop = Option(r.getAs[java.lang.Double]("chop_14"))
+          .map(_.doubleValue)
+        if (i < 13) assert(chop.isEmpty, s"$uid/$d warmup")
+        else {
+          val sumTr = r6(trs.slice(i - 13, i + 1).sum)
+          val rng = days.slice(i - 13, i + 1).map(_._2).max -
+            days.slice(i - 13, i + 1).map(_._3).min
+          val exp = if (rng > 0.0 && sumTr > 0.0)
+            Some(r6(100.0 * math.log10(sumTr / rng) / math.log10(14.0)))
+          else None
+          assert(chop == exp, s"$uid/$d chop")
+          // sum TR >= range by the triangle structure -> chop >= 0
+          chop.foreach(c => assert(c >= 0.0 && c <= 100.0 + 1e-9))
+          if (chop.isDefined) live += 1
+        }
+      }
+    }
+    assert(live > 0)
+  }
+
+  test("balanceOfPower equals a driver integer-micros walk") {
+    def toM(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val daily = driverDailyOhlcFull
+    val got = Warehouse.balanceOfPower(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == daily.values.map(_.length).sum)
+    var live = 0
+    daily.foreach { case (uid, days) =>
+      val bopms = days.map { case (_, o, hi, lo, c) =>
+        if (hi > lo) toM((c - o) / (hi - lo)) else 0L
+      }
+      days.zipWithIndex.foreach { case ((d, _, _, _, _), i) =>
+        val r = got((uid, d))
+        assert(r.getAs[Double]("bop") == bopms(i).toDouble / 1e6,
+          s"$uid/$d bop")
+        assert(math.abs(r.getAs[Double]("bop")) <= 1.0 + 1e-9)
+        val sma = Option(r.getAs[java.lang.Double]("bop_sma_14"))
+          .map(_.doubleValue)
+        if (i < 13) assert(sma.isEmpty, s"$uid/$d warmup")
+        else {
+          val s = bopms.slice(i - 13, i + 1).sum
+          val exp = BigDecimal(s.toDouble / 14.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+          assert(sma.contains(exp), s"$uid/$d sma")
+          live += 1
+        }
+      }
+    }
+    assert(live > 0)
+  }
+
   test("ulcerIndex equals a driver windowed-drawdown walk") {
     val daily = driverDailyOhlc
     val got = Warehouse.ulcerIndex(spark, sfDir).collect()
