@@ -488,11 +488,13 @@ object TextOps {
     * ratios are ONE correctly-rounded IEEE division each, scale-0
     * display round.
     *
-    * Scale shape: one map-side-combined (doc_id, word) aggregate
-    * (token explosion collapses before the wire), then a doc-keyed
-    * rollup that rides the SAME hash partitioning (doc_id is a
-    * prefix of the first key — no second shuffle at scale with AQE
-    * coalescing; both aggregates are doc-bounded).
+    * Scale shape: a pure PER-ROW projection — tokens sort inside the
+    * row and hapaxes count as sorted positions that differ from both
+    * neighbors, so the doc-bounded token explosion NEVER leaves its
+    * row and the query carries zero exchanges (the explode +
+    * two-aggregate formulation it replaces shuffled the tokenized
+    * corpus by (doc_id, word) — at 100 TB that is the whole corpus
+    * re-keyed for a per-doc statistic). Streaming-legal for free.
     */
   def lexicalDiversity(spark: SparkSession, dir: String): DataFrame =
     lexicalDiversityDocs(Tables.documents(spark, dir))
@@ -500,13 +502,15 @@ object TextOps {
   private[graft] def lexicalDiversityDocs(docs: DataFrame): DataFrame = {
     def sr6(c: Column): Column = round(c * 1e6, 0) / 1e6
     docs
+      .withColumn("toks", split(trim(col("text")), s"[$Ws]+"))
+      .withColumn("srt", array_sort(col("toks")))
       .select(col("doc_id"),
-        explode(split(trim(col("text")), s"[$Ws]+")).as("word"))
-      .groupBy("doc_id", "word")
-      .agg(count(lit(1)).as("f"))
-      .groupBy("doc_id")
-      .agg(sum("f").as("n_tokens"), count(lit(1)).as("n_types"),
-        sum(when(col("f") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_types"),
+        expr("""aggregate(sequence(1, size(srt)), 0L, (acc, i) ->
+          acc + IF((i = 1 OR srt[i - 1] != srt[i - 2])
+                AND (i = size(srt) OR srt[i - 1] != srt[i]), 1L, 0L))""")
+          .as("n_hapax"))
       .select(col("doc_id"), col("n_tokens"), col("n_types"),
         col("n_hapax"),
         sr6(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
