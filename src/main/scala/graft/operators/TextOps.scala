@@ -621,6 +621,91 @@ object TextOps {
        |FROM a ORDER BY lang""".stripMargin
   }
 
+  /** QUALITY CONFLUENCE — the curation tier's capstone, the doc-side
+    * sibling of the daily tier's signal screener: five independent
+    * quality families each cast one KEEP vote per document —
+    * Gopher's repetition rules (keep_rep), the surface-ratio quality
+    * score ≥ 0.5, CCNet bigram perplexity at or below the CORPUS
+    * MEDIAN (self-calibrating — no magic constant to drift), the
+    * n-gram language identifier agreeing with the labeled language,
+    * and lexical diversity (TTR ≥ 0.35) — and a document keeps when
+    * ≥ 4 of 5 families agree. Each vote CONSUMES its standalone
+    * query's output frame verbatim (one definition per family), so
+    * the confluence can never silently diverge from the surfaces it
+    * composes; a document missing from a constituent surface (e.g.
+    * no bigram for the perplexity leg) drops from the report —
+    * no-signal is not a vote.
+    *
+    * Cross-engine exactness: every vote is a COMPARISON over doubles
+    * the constituent oracles already hash-prove identical (the
+    * signal-confluence trick — only integers and booleans are
+    * emitted, no display rounding anywhere); the median is an exact
+    * interpolated percentile of hash-proven doubles broadcast as a
+    * one-row model.
+    *
+    * Scale shape: five doc-keyed frames equi-join on doc_id (AQE
+    * coalesces the co-keyed exchanges; each side is doc-sized, not
+    * token-sized) plus one scalar broadcast.
+    */
+  def qualityConfluence(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.operators.Curation.gopherChain(spark, dir)
+      .select(col("doc_id"), col("keep_rep"))
+    val q = qualityScore(spark, dir).select(col("doc_id"),
+      col("quality_score"))
+    val p = perplexity(spark, dir).select(col("doc_id"), col("perplexity"))
+    val medP = p.agg(percentile(col("perplexity"), lit(0.5)).as("medp"))
+    val l = langId(spark, dir).select(col("doc_id"), col("is_match"))
+    val x = lexicalDiversity(spark, dir).select(col("doc_id"), col("ttr"))
+    val votes = g.join(q, Seq("doc_id")).join(p, Seq("doc_id"))
+      .join(l, Seq("doc_id")).join(x, Seq("doc_id"))
+      .join(broadcast(medP), lit(true))
+      .select(col("doc_id"),
+        col("keep_rep").cast("int").as("v_rep"),
+        (col("quality_score") >= 0.5).cast("int").as("v_quality"),
+        (col("perplexity") <= col("medp")).cast("int").as("v_ppl"),
+        col("is_match").cast("int").as("v_lang"),
+        (col("ttr") >= 0.35).cast("int").as("v_lex"))
+    votes
+      .withColumn("score", col("v_rep") + col("v_quality") + col("v_ppl")
+        + col("v_lang") + col("v_lex"))
+      .withColumn("keep", col("score") >= 4)
+      .orderBy("doc_id")
+  }
+
+  def qualityConfluenceSql: String =
+    s"""WITH g AS (
+       |${graft.operators.Curation.gopherChainSql}
+       |), q AS (
+       |${qualityScoreSql}
+       |), p AS (
+       |${perplexitySql}
+       |), l AS (
+       |${langIdSql}
+       |), x AS (
+       |${lexicalDiversitySql}
+       |), m AS (
+       |  SELECT quantile_cont(perplexity, 0.5) AS medp FROM p
+       |)
+       |SELECT g.doc_id,
+       |  g.keep_rep::INT AS v_rep,
+       |  (q.quality_score >= 0.5)::INT AS v_quality,
+       |  (p.perplexity <= m.medp)::INT AS v_ppl,
+       |  l.is_match::INT AS v_lang,
+       |  (x.ttr >= 0.35)::INT AS v_lex,
+       |  g.keep_rep::INT + (q.quality_score >= 0.5)::INT
+       |    + (p.perplexity <= m.medp)::INT + l.is_match::INT
+       |    + (x.ttr >= 0.35)::INT AS score,
+       |  (g.keep_rep::INT + (q.quality_score >= 0.5)::INT
+       |    + (p.perplexity <= m.medp)::INT + l.is_match::INT
+       |    + (x.ttr >= 0.35)::INT >= 4) AS keep
+       |FROM g
+       |JOIN q ON q.doc_id = g.doc_id
+       |JOIN p ON p.doc_id = g.doc_id
+       |JOIN l ON l.doc_id = g.doc_id
+       |JOIN x ON x.doc_id = g.doc_id
+       |CROSS JOIN m
+       |ORDER BY g.doc_id""".stripMargin
+
   /** HEAPS' LAW FIT — [[zipfFit]]'s growth-curve companion: as a
     * corpus is read in doc_id order, vocabulary grows as
     * V(n) ≈ K·n^β (β ≈ 0.4-0.6 for natural text; template spam

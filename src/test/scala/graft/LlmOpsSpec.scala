@@ -242,6 +242,49 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("qualityConfluence votes equal their standalone surfaces") {
+    val got = TextOps.qualityConfluence(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.nonEmpty)
+    val rep = graft.operators.Curation.gopherChain(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep_rep"))
+      .toMap
+    val qs = TextOps.qualityScore(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score"))
+      .toMap
+    val ppl = TextOps.perplexity(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("perplexity"))
+      .toMap
+    val medp = {
+      val xs = ppl.values.toArray.sorted
+      val h = (xs.length - 1) * 0.5
+      val lo = xs(h.toInt)
+      lo + (h - h.toInt) * (xs(math.ceil(h).toInt) - lo)
+    }
+    val lm = TextOps.langId(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_match"))
+      .toMap
+    val ttr = TextOps.lexicalDiversity(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ttr")).toMap
+    // report covers exactly the docs present on every surface
+    assert(got.keySet ==
+      (rep.keySet & qs.keySet & ppl.keySet & lm.keySet & ttr.keySet))
+    got.foreach { case (id, r) =>
+      assert(r.getAs[Int]("v_rep") == (if (rep(id)) 1 else 0), s"$id rep")
+      assert(r.getAs[Int]("v_quality") == (if (qs(id) >= 0.5) 1 else 0))
+      assert(r.getAs[Int]("v_ppl") == (if (ppl(id) <= medp) 1 else 0))
+      assert(r.getAs[Int]("v_lang") == (if (lm(id)) 1 else 0))
+      assert(r.getAs[Int]("v_lex") == (if (ttr(id) >= 0.35) 1 else 0))
+      val s = r.getAs[Int]("v_rep") + r.getAs[Int]("v_quality") +
+        r.getAs[Int]("v_ppl") + r.getAs[Int]("v_lang") + r.getAs[Int]("v_lex")
+      assert(r.getAs[Int]("score") == s)
+      assert(r.getAs[Boolean]("keep") == (s >= 4))
+    }
+    // the gate separates: both verdicts occur on this corpus
+    assert(got.values.exists(_.getAs[Boolean]("keep")))
+    assert(got.values.exists(!_.getAs[Boolean]("keep")))
+  }
+
   test("embedOutliers flags planted junk and leaves the tight corpus alone") {
     import spark.implicits._
     // 200 vectors in a tight band around a shifted center, plus two
