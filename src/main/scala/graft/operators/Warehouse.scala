@@ -3069,6 +3069,103 @@ object Warehouse {
        |GROUP BY user_id HAVING count(*) >= 15
        |ORDER BY user_id""".stripMargin
 
+  /** KAMA (10, 2, 30) — Kaufman's ADAPTIVE moving average, the fold
+    * tier's only DATA-DEPENDENT smoothing: the efficiency ratio
+    * ER = |close_t − close_{t−10}| / Σ₁₀|session deltas| ∈ [0, 1]
+    * (1 = straight-line move, 0 = pure churn) sets the smoothing
+    * constant SC = (ER·(2/3 − 2/31) + 2/31)² between EMA-2 (fast,
+    * trending) and EMA-30 (slow, choppy), and
+    * KAMA_t = KAMA_{t−1} + SC·(close_t − KAMA_{t−1}) — where the
+    * [[tema]] chain smooths with a FIXED constant, KAMA's constant
+    * is itself a function of the window. Seeded at the first live ER
+    * (session 11) with KAMA = close; ER reads 0 on a flat 10-session
+    * band (nothing moved, slowest smoothing).
+    *
+    * Cross-engine exactness: deltas/change/window sum/ER all round 6
+    * ([[vortex]]'s association-proofing), so the fold consumes
+    * engine-identical (close, er) pairs; the smoothing constants are
+    * written as the same literal arithmetic (2.0/3.0 − 2.0/31.0) in
+    * both plans; the recursion is the identical op sequence, display
+    * round last — oracle = ER windows + the psar-style RECURSIVE CTE.
+    *
+    * Scale shape: one symbol-keyed shuffle serves the ER windows AND
+    * the sorted-array fold (same user_id key), O(days) state.
+    */
+  def kama(spark: SparkSession, dir: String): DataFrame = {
+    val sr = "round(%s * 1000000.0D, 0) / 1000000.0D"
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val w10 = wRn.rowsBetween(-9, 0)
+    val x = "(d.er * (2.0D / 3.0D - 2.0D / 31.0D) + 2.0D / 31.0D)"
+    val base = ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"),
+      "trade_date", validated = true)
+      .withColumn("rn", row_number().over(wRn))
+      .withColumn("delta", round(
+        abs(col("close_price") - lag("close_price", 1).over(wRn)), 6))
+      .withColumn("chg", round(
+        abs(col("close_price") - lag("close_price", 10).over(wRn)), 6))
+      .withColumn("vol10", round(sum("delta").over(w10), 6))
+      .withColumn("er", when(col("rn") >= 11,
+        when(col("vol10") > 0.0,
+          round(col("chg") / col("vol10"), 6)).otherwise(0.0)))
+    base
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(
+        col("trade_date").as("ddate"), col("close_price").as("cls"),
+        col("er")))).as("days"))
+      .withColumn("kamas", expr(
+        s"""CASE WHEN size(days) >= 11 THEN aggregate(
+           |  slice(days, 12, size(days) - 11),
+           |  array(element_at(days, 11).cls),
+           |  (acc, d) -> concat(acc, array(
+           |    element_at(acc, -1) + ($x) * ($x)
+           |      * (d.cls - element_at(acc, -1)))))
+           |ELSE CAST(array() AS ARRAY<DOUBLE>) END""".stripMargin))
+      .withColumn("kamas_f", expr(
+        """CASE WHEN size(days) >= 11
+          |  THEN concat(array_repeat(CAST(NULL AS DOUBLE), 10), kamas)
+          |  ELSE array_repeat(CAST(NULL AS DOUBLE), size(days)) END"""
+          .stripMargin))
+      .select(col("user_id"), expr("inline(arrays_zip(days, kamas_f))"))
+      .select(col("user_id"), col("days.ddate").as("trade_date"),
+        col("days.cls").as("close_price"), col("days.er").as("er"),
+        expr(sr.format("kamas_f")).as("kama"))
+      .orderBy("user_id", "trade_date")
+  }
+
+  def kamaSql: String = {
+    val x = "(y.er * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0)"
+    s"""WITH RECURSIVE ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), n0 AS (
+       |  SELECT user_id, trade_date, close_price AS cls,
+       |    row_number() OVER w AS rn,
+       |    round(abs(close_price - lag(close_price, 1) OVER w), 6) AS delta,
+       |    round(abs(close_price - lag(close_price, 10) OVER w), 6) AS chg
+       |  FROM ohlc
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY trade_date)
+       |), n AS (
+       |  SELECT user_id, trade_date, cls, rn,
+       |    CASE WHEN rn >= 11 THEN
+       |      CASE WHEN round(sum(delta) OVER w10, 6) > 0.0
+       |        THEN round(chg / round(sum(delta) OVER w10, 6), 6)
+       |        ELSE 0.0 END
+       |      END AS er
+       |  FROM n0
+       |  WINDOW w10 AS (PARTITION BY user_id ORDER BY trade_date
+       |    ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+       |), st AS (
+       |  SELECT user_id, rn, cls AS kama FROM n WHERE rn = 11
+       |  UNION ALL
+       |  SELECT a.user_id, a.rn + 1,
+       |    a.kama + ($x) * ($x) * (y.cls - a.kama)
+       |  FROM st a JOIN n y ON y.user_id = a.user_id AND y.rn = a.rn + 1
+       |)
+       |SELECT n.user_id, n.trade_date, n.cls AS close_price, n.er,
+       |  round(st.kama * 1000000.0, 0) / 1000000.0 AS kama
+       |FROM n LEFT JOIN st ON st.user_id = n.user_id AND st.rn = n.rn
+       |ORDER BY n.user_id, n.trade_date""".stripMargin
+  }
+
   /** CHOPPINESS INDEX (14) — Dreiss' trend-vs-range regime gauge:
     * CHOP = 100·log₁₀(Σ₁₄TR / (hi₁₄ − lo₁₄)) / log₁₀(14) ∈ [0, 100]
     * — near 100 when the 14-session path wanders inside its range

@@ -1745,6 +1745,49 @@ class WarehouseSpec extends SparkSuite {
     assert(live > 0)
   }
 
+  test("kama equals a driver adaptive-smoothing walk") {
+    def srd(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    val daily = driverDailyOhlc
+    val got = Warehouse.kama(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[java.sql.Date](1)) -> r).toMap
+    assert(got.size == daily.values.map(_.length).sum)
+    var live = 0
+    daily.foreach { case (uid, days) =>
+      val cls = days.map(_._4)
+      val deltas = cls.indices.map(i =>
+        if (i == 0) Double.NaN else r6(math.abs(cls(i) - cls(i - 1))))
+      val ers = cls.indices.map { i =>
+        if (i < 10) None
+        else {
+          val vol = r6(deltas.slice(i - 9, i + 1).sum)
+          val chg = r6(math.abs(cls(i) - cls(i - 10)))
+          Some(if (vol > 0.0) r6(chg / vol) else 0.0)
+        }
+      }
+      var kama = 0.0
+      days.zipWithIndex.foreach { case ((d, _, _, _), i) =>
+        val r = got((uid, d))
+        def gd(c: String) =
+          Option(r.getAs[java.lang.Double](c)).map(_.doubleValue)
+        assert(gd("er") == ers(i), s"$uid/$d er")
+        ers(i).foreach(e => assert(e >= 0.0 && e <= 1.0 + 1e-9))
+        if (i < 10 || cls.length < 11)
+          assert(gd("kama").isEmpty, s"$uid/$d warmup")
+        else {
+          if (i == 10) kama = cls(10)
+          else {
+            val x = ers(i).get * (2.0 / 3.0 - 2.0 / 31.0) + 2.0 / 31.0
+            kama = kama + x * x * (cls(i) - kama)
+          }
+          assert(gd("kama").contains(srd(kama)), s"$uid/$d kama")
+          live += 1
+        }
+      }
+    }
+    assert(live > 0)
+  }
+
   test("ulcerIndex equals a driver windowed-drawdown walk") {
     val daily = driverDailyOhlc
     val got = Warehouse.ulcerIndex(spark, sfDir).collect()
