@@ -3069,6 +3069,62 @@ object Warehouse {
        |GROUP BY user_id HAVING count(*) >= 15
        |ORDER BY user_id""".stripMargin
 
+  /** WEEKDAY-RETURN SEASONALITY — the return-side dual of
+    * q_activity_heatmap's volume surface: per (symbol, ISO weekday),
+    * session count, up-session count, and mean daily simple return —
+    * the day-of-week-effect panel every seasonality study starts
+    * from. Weekday derives PORTABLY as ((days-since-epoch + 3) mod 7)
+    * + 1 (Mon = 1; 1970-01-01 was a Thursday) — exact integer
+    * arithmetic instead of the engines' differing dayofweek
+    * conventions.
+    *
+    * Cross-engine exactness: returns round once to INTEGER MICROS
+    * ([[sharpe]]'s discipline) so the group sums are exact; mean =
+    * one scale-0 rounded division.
+    *
+    * Scale shape: the ohlc partial agg then ONE (symbol, weekday)
+    * aggregate over day rows — output is symbols × ≤7.
+    */
+  def weekdayReturns(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val rm = round((col("close_price") / lag("close_price", 1).over(wRn)
+      - 1.0) * 1e6, 0).cast("long")
+    ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date",
+      validated = true)
+      .select(col("user_id"),
+        ((datediff(col("trade_date"), lit("1970-01-01")) + 3) % 7 + 1)
+          .cast("long").as("weekday"),
+        rm.as("rm"))
+      .filter(col("rm").isNotNull)
+      .groupBy("user_id", "weekday")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("rm") > 0, 1L).otherwise(0L)).as("up_days"),
+        sum("rm").as("srm"))
+      .select(col("user_id"), col("weekday"), col("n_days"), col("up_days"),
+        (round(col("srm").cast("double") / col("n_days"), 0) / 1e6)
+          .as("avg_ret"))
+      .orderBy("user_id", "weekday")
+  }
+
+  def weekdayReturnsSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), r AS (
+       |  SELECT user_id,
+       |    (((date_diff('day', DATE '1970-01-01', trade_date) + 3) % 7) + 1)
+       |      ::BIGINT AS weekday,
+       |    round((close_price / lag(close_price, 1) OVER (
+       |      PARTITION BY user_id ORDER BY trade_date) - 1.0) * 1e6, 0)
+       |      ::BIGINT AS rm
+       |  FROM ohlc
+       |)
+       |SELECT user_id, weekday, count(*) AS n_days,
+       |  sum(CASE WHEN rm > 0 THEN 1 ELSE 0 END)::BIGINT AS up_days,
+       |  round(sum(rm)::DOUBLE / count(*), 0) / 1e6 AS avg_ret
+       |FROM r WHERE rm IS NOT NULL
+       |GROUP BY user_id, weekday
+       |ORDER BY user_id, weekday""".stripMargin
+
   /** KAMA (10, 2, 30) — Kaufman's ADAPTIVE moving average, the fold
     * tier's only DATA-DEPENDENT smoothing: the efficiency ratio
     * ER = |close_t − close_{t−10}| / Σ₁₀|session deltas| ∈ [0, 1]

@@ -1745,6 +1745,39 @@ class WarehouseSpec extends SparkSuite {
     assert(live > 0)
   }
 
+  test("weekdayReturns reconciles with a driver seasonality recount") {
+    def toM(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val daily = driverDailyOhlc
+    val got = Warehouse.weekdayReturns(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("weekday")) -> r).toMap
+    var totalSessions = 0L
+    daily.foreach { case (uid, days) =>
+      val byWd = days.indices.drop(1).map { i =>
+        val wd = ((days(i)._1.toLocalDate.toEpochDay + 3) % 7) + 1
+        (wd, toM(days(i)._4 / days(i - 1)._4 - 1.0))
+      }.groupBy(_._1)
+      byWd.foreach { case (wd, rs) =>
+        val r = got((uid, wd))
+        assert(r.getAs[Long]("n_days") == rs.length, s"$uid/$wd n")
+        assert(r.getAs[Long]("up_days") == rs.count(_._2 > 0), s"$uid/$wd up")
+        val exp = BigDecimal(rs.map(_._2).sum.toDouble / rs.length)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+        assert(r.getAs[Double]("avg_ret") == exp, s"$uid/$wd avg")
+        totalSessions += rs.length
+        // the epoch arithmetic lands on real weekdays
+        assert(wd >= 1 && wd <= 7)
+      }
+    }
+    // coverage: every (symbol, weekday) group is present exactly once
+    assert(got.size == daily.map { case (_, days) =>
+      days.indices.drop(1)
+        .map(i => ((days(i)._1.toLocalDate.toEpochDay + 3) % 7) + 1)
+        .distinct.size
+    }.sum)
+    assert(totalSessions == got.values.map(_.getAs[Long]("n_days")).sum)
+  }
+
   test("kama equals a driver adaptive-smoothing walk") {
     def srd(x: Double) = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
