@@ -267,6 +267,59 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** MINHASH CALIBRATION — the estimator-audit surface over
+    * [[minhashLsh]]'s candidate pairs: for every band-colliding pair,
+    * the 32-hash signature-agreement ESTIMATE next to the EXACT
+    * 3-gram-shingle Jaccard (the SAME shingle definition the
+    * signatures hash — [[sigCol]]'s k = 3), plus the signed error.
+    * This is the query a 100 TB dedup deployment runs on a sample
+    * before trusting the near-dup threshold: a mis-calibrated
+    * estimator silently moves the dedup operating point, and the
+    * binomial envelope (σ = √(J(1−J)/32) ≤ 0.09) says exactly how
+    * much disagreement is statistics and how much is a bug.
+    *
+    * No SQL oracle by design (the signature expression is not
+    * SQL-expressible); the spec recounts the exact Jaccard on the
+    * driver and pins the per-pair binomial envelope.
+    *
+    * Scale shape: the candidate generation is [[minhashLsh]]'s
+    * bucket-join (no all-pairs); the exact leg touches ONLY the
+    * colliding pairs' shingle arrays (two row-bounded array ops per
+    * pair).
+    */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = signatures(spark, dir)
+    val banded = sigs.select(col("doc_id"),
+      posexplode(array(bandBuckets(col("sig")): _*)).as(Seq("band", "bucket")))
+    val candidates = banded.as("a")
+      .join(banded.toDF("b_doc_id", "b_band", "b_bucket").as("b"),
+        col("band") === col("b_band") && col("bucket") === col("b_bucket")
+          && col("doc_id") < col("b_doc_id"))
+      .select(col("doc_id").as("doc_a"), col("b_doc_id").as("doc_b"))
+      .distinct()
+    val shingled = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(
+          |  sequence(1, greatest(size(split(trim(text), '\\s+')) - 2, 1)),
+          |  i -> concat_ws(' ', slice(split(trim(text), '\\s+'), i, 3))))"""
+          .stripMargin).as("sh"))
+    candidates
+      .join(sigs.toDF("doc_a", "sig_a"), "doc_a")
+      .join(sigs.toDF("doc_b", "sig_b"), "doc_b")
+      .join(shingled.toDF("doc_a", "sh_a"), "doc_a")
+      .join(shingled.toDF("doc_b", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0),
+          (acc, x) => acc + x).cast("double") / NumHashes, 4)
+          .as("est_jaccard"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh_a"), col("sh_b"))), 6)
+          .as("exact_jaccard"))
+      .withColumn("err", round(col("est_jaccard") - col("exact_jaccard"), 6))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per document (word-frequency weighted bit votes)

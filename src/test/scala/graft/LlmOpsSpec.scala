@@ -242,6 +242,43 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("minhashCalibration: exact recount + the binomial envelope holds") {
+    def r6c(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def sh3(t: String): Set[String] = {
+      val w = t.trim.split("\\s+")
+      (1 to math.max(w.length - 2, 1))
+        .map(i => w.slice(i - 1, i + 2).mkString(" ")).toSet
+    }
+    val rows = Dedup.minhashCalibration(spark, sfDir).collect()
+    assert(rows.nonEmpty, "no candidate pairs — corpus shape changed")
+    var errs = List.empty[Double]
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (sa, sb) = (sh3(texts(a)), sh3(texts(b)))
+      val exact = r6c((sa & sb).size.toDouble / (sa | sb).size)
+      assert(r.getAs[Double]("exact_jaccard") == exact, s"($a,$b) exact")
+      val est = r.getAs[Double]("est_jaccard")
+      // estimates are agreement counts over 32 hashes (display-rounded
+      // to 4 dp in the query, so the grid check carries 32 * 5e-5)
+      assert(est >= 0.0 && est <= 1.0 &&
+        math.abs(est * 32 - math.round(est * 32)) <= 0.0017, s"($a,$b) grid")
+      val err = r.getAs[Double]("err")
+      assert(math.abs(err - r6c(est - exact)) < 1e-9)
+      // 4-sigma binomial envelope at 32 hashes: sigma <= 0.0884
+      assert(math.abs(err) <= 0.36, s"($a,$b) err $err outside envelope")
+      errs ::= err
+    }
+    assert(errs.map(math.abs).sum / errs.size <= 0.1,
+      "mean |err| beyond the calibration envelope")
+    // identical docs (exact jaccard 1) must estimate 1 exactly
+    rows.filter(_.getAs[Double]("exact_jaccard") == 1.0)
+      .foreach(r => assert(r.getAs[Double]("est_jaccard") == 1.0))
+  }
+
   test("qualityConfluence votes equal their standalone surfaces") {
     val got = TextOps.qualityConfluence(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
