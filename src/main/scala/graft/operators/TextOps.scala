@@ -621,6 +621,79 @@ object TextOps {
        |FROM a ORDER BY lang""".stripMargin
   }
 
+  /** CHARACTER-BIGRAM ENTROPY — the information-theoretic quality
+    * signal next to [[lexicalDiversity]]'s combinatorial one: the
+    * Shannon entropy (nats) of each document's character-bigram
+    * distribution. Natural text sits in a band; repeated padding or
+    * single-character spam collapses toward 0, and uniform random
+    * bytes push toward ln(n_bigrams) — both worth a gate before
+    * training. Emits the bigram mass, the distinct-bigram count, the
+    * entropy, and the NORMALIZED entropy (÷ ln(distinct), 1 = uniform
+    * — scale-free across doc lengths; 1.0 by convention for a
+    * single-bigram doc, whose distribution IS uniform).
+    *
+    * Scale shape: [[lexicalDiversity]]'s zero-shuffle idiom — bigrams
+    * sort INSIDE the row and the entropy accumulates over run-length
+    * boundaries in one HOF fold (run ends → add p·ln p), so the
+    * character explosion never leaves its row. The oracle runs the
+    * classic explode/group-by formulation — the hash match proves the
+    * run-length rewrite.
+    *
+    * Cross-engine exactness: every p = run/n is an exact rational of
+    * masses both engines agree on; the Σ p·ln p association order
+    * differs (sorted-run order vs hash order), leaving residuals ~9
+    * orders below the display round.
+    */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame =
+    charEntropyDocs(Tables.documents(spark, dir))
+
+  private[graft] def charEntropyDocs(docs: DataFrame): DataFrame = {
+    def sr6(c: Column): Column = round(c * 1e6, 0) / 1e6
+    docs
+      .withColumn("srt", expr(
+        """array_sort(transform(sequence(1, length(text) - 1),
+          |  i -> substring(text, i, 2)))""".stripMargin))
+      .filter(size(col("srt")) >= 1)
+      .withColumn("n", size(col("srt")).cast("double"))
+      .withColumn("ent", expr(
+        """-aggregate(sequence(2, size(srt) + 1),
+          |  named_struct('run', 1.0D, 'acc', 0.0D),
+          |  (a, i) -> IF(i <= size(srt) AND srt[i - 1] = srt[i - 2],
+          |    named_struct('run', a.run + 1.0D, 'acc', a.acc),
+          |    named_struct('run', 1.0D,
+          |      'acc', a.acc + (a.run / n) * ln(a.run / n))),
+          |  a -> a.acc)""".stripMargin))
+      .withColumn("n_distinct", size(array_distinct(col("srt"))).cast("long"))
+      .select(col("doc_id"), col("n").cast("long").as("n_bigrams"),
+        col("n_distinct"),
+        sr6(col("ent")).as("entropy"),
+        sr6(when(col("n_distinct") > 1,
+          col("ent") / log(col("n_distinct").cast("double")))
+          .otherwise(1.0)).as("norm_entropy"))
+      .orderBy("doc_id")
+  }
+
+  def charEntropySql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, substring(text, i, 2) AS bg
+       |  FROM documents, unnest(generate_series(1, length(text) - 1)) AS t(i)
+       |), c AS (
+       |  SELECT doc_id, bg, count(*)::DOUBLE AS f FROM b GROUP BY 1, 2
+       |), a0 AS (
+       |  SELECT doc_id, sum(f) AS n, count(*) AS n_distinct
+       |  FROM c GROUP BY doc_id
+       |), a AS (
+       |  SELECT c.doc_id, n, n_distinct,
+       |    -sum((f / n) * ln(f / n)) AS ent
+       |  FROM c JOIN a0 USING (doc_id)
+       |  GROUP BY c.doc_id, n, n_distinct
+       |)
+       |SELECT doc_id, n::BIGINT AS n_bigrams, n_distinct,
+       |  round(ent * 1e6, 0) / 1e6 AS entropy,
+       |  round(CASE WHEN n_distinct > 1 THEN ent / ln(n_distinct::DOUBLE)
+       |    ELSE 1.0 END * 1e6, 0) / 1e6 AS norm_entropy
+       |FROM a ORDER BY doc_id""".stripMargin
+
   /** QUALITY CONFLUENCE — the curation tier's capstone, the doc-side
     * sibling of the daily tier's signal screener: five independent
     * quality families each cast one KEEP vote per document —

@@ -242,6 +242,44 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("charEntropy replays a driver recount and pins planted extremes") {
+    import spark.implicits._
+    def sr6(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+    // planted extremes: one repeated bigram -> entropy 0 (and the
+    // single-bigram uniform convention -> norm 1); an
+    // all-distinct-bigram doc -> normalized entropy exactly 1
+    val planted = Seq((1L, "aaaaaaaa"), (2L, "abcdefgh"), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val pr = TextOps.charEntropyDocs(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(pr(1L).getAs[Double]("entropy") == 0.0)
+    assert(pr(1L).getAs[Long]("n_distinct") == 1)
+    assert(pr(1L).getAs[Double]("norm_entropy") == 1.0)
+    assert(pr(2L).getAs[Double]("norm_entropy") == 1.0)
+    assert(pr(2L).getAs[Long]("n_distinct") == 7)
+    assert(pr(3L).getAs[Long]("n_bigrams") == 1)
+
+    // corpus recount: classic counts formulation on the driver
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = TextOps.charEntropy(spark, sfDir).collect()
+    assert(got.length == texts.count(_._2.length >= 2))
+    got.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val bgs = (0 until t.length - 1).map(i => t.substring(i, i + 2))
+      val n = bgs.length.toDouble
+      val counts = bgs.groupBy(identity).map(_._2.length.toDouble)
+      val ent = -counts.map(f => (f / n) * math.log(f / n)).sum
+      assert(r.getAs[Long]("n_bigrams") == bgs.length)
+      assert(r.getAs[Long]("n_distinct") == counts.size)
+      assert(math.abs(r.getAs[Double]("entropy") - sr6(ent)) <= 1e-6)
+      val ne = r.getAs[Double]("norm_entropy")
+      assert(ne >= 0.0 && ne <= 1.0 + 1e-9, s"norm entropy $ne")
+    }
+  }
+
   test("minhashCalibration: exact recount + the binomial envelope holds") {
     def r6c(x: Double) = BigDecimal(x)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
