@@ -3069,6 +3069,89 @@ object Warehouse {
        |GROUP BY user_id HAVING count(*) >= 15
        |ORDER BY user_id""".stripMargin
 
+  /** AMIHUD ILLIQUIDITY — the price-impact-per-dollar liquidity
+    * measure (Amihud 2002): per symbol, the mean over traded
+    * sessions of |daily return| / dollar volume, scaled ×10⁶ (impact
+    * per million traded — the paper's convention). High ILLIQ = thin
+    * book (a small trade moves price); the liquidity screen next to
+    * [[sharpe]]'s risk pack. Sessions without positive traded volume
+    * carry no signal and are excluded; ≥ 5 measured sessions floor.
+    *
+    * Cross-engine exactness: returns round once to integer micros
+    * ([[sharpe]]'s discipline); dollar volume is the EXACT
+    * DECIMAL/HUGEINT Σ(price-micros × volume) ([[vwap]]'s
+    * accounting); each session ratio is the identical two-divide
+    * sequence, and the mean's association residual sits ~9 orders
+    * below the display round.
+    *
+    * Scale shape: two (symbol, day) partial aggregates (ohlc closes;
+    * dollar volume) equi-joined on their shared key, then ONE symbol
+    * collapse — day-sized rows throughout.
+    */
+  def amihud(spark: SparkSession, dir: String, minDays: Int = 5): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val rm = round((col("close_price") / lag("close_price", 1).over(wRn)
+      - 1.0) * 1e6, 0).cast("long")
+    val rets = ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"),
+      "trade_date", validated = true)
+      .select(col("user_id"), col("trade_date"), rm.as("rm"))
+    val dv = Tables.events(spark, dir)
+      .filter(col("value").isNotNull && col("value") > 0 &&
+        !isnan(col("value")) && col("user_id").isNotNull)
+      .withColumn("vol", get_json_object(col("props"), "$.k").cast("long"))
+      .filter(col("vol").isNotNull && col("vol") > 0)
+      .groupBy(col("user_id"), to_date(col("ts")).as("trade_date"))
+      .agg((sum(round(col("value") * 1e6, 0).cast("decimal(38,0)")
+        * col("vol")).cast("double") / 1e6).as("dollar_vol"))
+    rets.join(dv, Seq("user_id", "trade_date"))
+      .filter(col("rm").isNotNull && col("dollar_vol") > 0.0)
+      .select(col("user_id"),
+        (abs(col("rm")).cast("double") / 1e6 / col("dollar_vol"))
+          .as("ratio"), col("dollar_vol"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"),
+        (round(sum("ratio") / count(lit(1)) * 1e6 * 1e6, 0) / 1e6)
+          .as("illiq"),
+        (round(sum("dollar_vol") / count(lit(1)) * 1e6, 0) / 1e6)
+          .as("avg_dollar_vol"))
+      .filter(col("n_days") >= minDays)
+      .orderBy("user_id")
+  }
+
+  def amihudSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), r AS (
+       |  SELECT user_id, trade_date,
+       |    round((close_price / lag(close_price, 1) OVER (
+       |      PARTITION BY user_id ORDER BY trade_date) - 1.0) * 1e6, 0)
+       |      ::BIGINT AS rm
+       |  FROM ohlc
+       |), dv AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS trade_date,
+       |    CAST(sum(round(value * 1000000)::DECIMAL(38,0) * vol) AS DOUBLE)
+       |      / 1e6 AS dollar_vol
+       |  FROM (
+       |    SELECT user_id, ts, value,
+       |      json_extract(props, '$$.k')::BIGINT AS vol
+       |    FROM events
+       |    WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)
+       |      AND user_id IS NOT NULL
+       |  ) WHERE vol IS NOT NULL AND vol > 0
+       |  GROUP BY user_id, CAST(ts AS DATE)
+       |), j AS (
+       |  SELECT r.user_id,
+       |    CAST(abs(rm) AS DOUBLE) / 1e6 / dollar_vol AS ratio, dollar_vol
+       |  FROM r JOIN dv ON dv.user_id = r.user_id
+       |    AND dv.trade_date = r.trade_date
+       |  WHERE rm IS NOT NULL AND dollar_vol > 0.0
+       |)
+       |SELECT user_id, count(*) AS n_days,
+       |  round(sum(ratio) / count(*) * 1e6 * 1e6, 0) / 1e6 AS illiq,
+       |  round(sum(dollar_vol) / count(*) * 1e6, 0) / 1e6 AS avg_dollar_vol
+       |FROM j GROUP BY user_id HAVING count(*) >= 5
+       |ORDER BY user_id""".stripMargin
+
   /** WEEKDAY-RETURN SEASONALITY — the return-side dual of
     * q_activity_heatmap's volume surface: per (symbol, ISO weekday),
     * session count, up-session count, and mean daily simple return —

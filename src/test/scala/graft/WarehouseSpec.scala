@@ -1745,6 +1745,54 @@ class WarehouseSpec extends SparkSuite {
     assert(live > 0)
   }
 
+  test("amihud reconciles with a driver impact-per-dollar recount") {
+    def toM(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val kRe = """"k"\s*:\s*(\d+)""".r
+    // per (symbol, day): exact dollar volume from positive-volume ticks
+    val dv = Tables.events(spark, sfDir)
+      .filter("value IS NOT NULL AND value > 0 AND NOT isnan(value)" +
+        " AND user_id IS NOT NULL").collect()
+      .flatMap { r =>
+        val vol = Option(r.getAs[String]("props"))
+          .flatMap(p => kRe.findFirstMatchIn(p)).map(_.group(1).toLong)
+          .getOrElse(0L)
+        if (vol <= 0) None
+        else Some(((r.getAs[Long]("user_id"),
+          java.sql.Date.valueOf(r.getAs[java.sql.Timestamp]("ts")
+            .toLocalDateTime.toLocalDate)),
+          BigInt(toM(r.getAs[Double]("value"))) * vol))
+      }
+      .groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val daily = driverDailyOhlc
+    val got = Warehouse.amihud(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    var kept = 0
+    daily.foreach { case (uid, days) =>
+      val cls = days.map(_._4)
+      val ratios = days.indices.drop(1).flatMap { i =>
+        val rm = toM(cls(i) / cls(i - 1) - 1.0)
+        dv.get((uid, days(i)._1)).filter(_ > 0).map { m =>
+          val dollars = m.toDouble / 1e6
+          (math.abs(rm).toDouble / 1e6 / dollars, dollars)
+        }
+      }
+      if (ratios.length < 5) assert(!got.contains(uid), s"$uid floor")
+      else {
+        kept += 1
+        val r = got(uid)
+        assert(r.getAs[Long]("n_days") == ratios.length)
+        assert(math.abs(r.getAs[Double]("illiq") -
+          ratios.map(_._1).sum / ratios.length * 1e6) <= 1e-5,
+          s"$uid illiq")
+        assert(r.getAs[Double]("illiq") >= 0.0)
+        assert(math.abs(r.getAs[Double]("avg_dollar_vol") -
+          ratios.map(_._2).sum / ratios.length) <= 1e-4, s"$uid advol")
+      }
+    }
+    assert(kept > 0 && kept == got.size)
+  }
+
   test("weekdayReturns reconciles with a driver seasonality recount") {
     def toM(x: Double) = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
