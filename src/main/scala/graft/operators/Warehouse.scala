@@ -3069,6 +3069,86 @@ object Warehouse {
        |GROUP BY user_id HAVING count(*) >= 15
        |ORDER BY user_id""".stripMargin
 
+  /** STREAK STATISTICS — up/down run lengths over daily closes via
+    * the classic GAPS-AND-ISLANDS decomposition (rn − rn-within-sign
+    * is constant inside a run), the one window idiom the tier didn't
+    * yet exercise: per symbol, the longest winning and losing
+    * streaks, the run counts per side, and the mean run length — the
+    * momentum-persistence panel next to [[weekdayReturns]]'
+    * seasonality. Flat sessions (return exactly 0 after the micro
+    * round) break streaks into their own runs and report neither
+    * side.
+    *
+    * Cross-engine exactness: the sign comes from integer-micros
+    * returns ([[sharpe]]'s discipline), so runs are EXACT integer
+    * groupings; every output is an integer except the mean run
+    * length (one scale-0 rounded division).
+    *
+    * Scale shape: one symbol-keyed shuffle; both row numbers share
+    * the sort; the island aggregate keys on (symbol, sign, island) —
+    * still day-bounded — and the final collapse is symbol-keyed.
+    */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val wSg = Window.partitionBy("user_id", "sg").orderBy("trade_date")
+    val rm = round((col("close_price") / lag("close_price", 1).over(wRn)
+      - 1.0) * 1e6, 0).cast("long")
+    ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date",
+      validated = true)
+      .select(col("user_id"), col("trade_date"), rm.as("rm"))
+      .filter(col("rm").isNotNull)
+      .withColumn("sg", signum(col("rm")).cast("int"))
+      .withColumn("isl",
+        row_number().over(wRn) - row_number().over(wSg))
+      .groupBy("user_id", "sg", "isl")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("sg") === 1, col("len")).otherwise(0L))
+          .as("max_up_streak"),
+        max(when(col("sg") === -1, col("len")).otherwise(0L))
+          .as("max_down_streak"),
+        sum(when(col("sg") === 1, 1L).otherwise(0L)).as("n_up_runs"),
+        sum(when(col("sg") === -1, 1L).otherwise(0L)).as("n_down_runs"),
+        count(lit(1)).as("n_runs"),
+        sum("len").as("n_sessions"),
+        (round(sum("len").cast("double") / count(lit(1)) * 1e6, 0) / 1e6)
+          .as("mean_run_len"))
+      .orderBy("user_id")
+  }
+
+  def streaksSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), r AS (
+       |  SELECT user_id, trade_date,
+       |    round((close_price / lag(close_price, 1) OVER (
+       |      PARTITION BY user_id ORDER BY trade_date) - 1.0) * 1e6, 0)
+       |      ::BIGINT AS rm
+       |  FROM ohlc
+       |), s AS (
+       |  SELECT user_id, trade_date, sign(rm)::INT AS sg,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY trade_date)
+       |      - row_number() OVER (PARTITION BY user_id, sign(rm)
+       |          ORDER BY trade_date) AS isl
+       |  FROM r WHERE rm IS NOT NULL
+       |), runs AS (
+       |  SELECT user_id, sg, isl, count(*) AS len
+       |  FROM s GROUP BY 1, 2, 3
+       |)
+       |SELECT user_id,
+       |  max(CASE WHEN sg = 1 THEN len ELSE 0 END)::BIGINT
+       |    AS max_up_streak,
+       |  max(CASE WHEN sg = -1 THEN len ELSE 0 END)::BIGINT
+       |    AS max_down_streak,
+       |  sum(CASE WHEN sg = 1 THEN 1 ELSE 0 END)::BIGINT AS n_up_runs,
+       |  sum(CASE WHEN sg = -1 THEN 1 ELSE 0 END)::BIGINT AS n_down_runs,
+       |  count(*) AS n_runs,
+       |  sum(len)::BIGINT AS n_sessions,
+       |  round(sum(len)::DOUBLE / count(*) * 1e6, 0) / 1e6 AS mean_run_len
+       |FROM runs GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
   /** AMIHUD ILLIQUIDITY — the price-impact-per-dollar liquidity
     * measure (Amihud 2002): per symbol, the mean over traded
     * sessions of |daily return| / dollar volume, scaled ×10⁶ (impact

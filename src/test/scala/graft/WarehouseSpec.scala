@@ -1745,6 +1745,42 @@ class WarehouseSpec extends SparkSuite {
     assert(live > 0)
   }
 
+  test("streaks reconcile with a driver run-length walk") {
+    def toM(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val daily = driverDailyOhlc
+    val got = Warehouse.streaks(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    daily.foreach { case (uid, days) =>
+      val cls = days.map(_._4)
+      val sgs = cls.indices.drop(1)
+        .map(i => math.signum(toM(cls(i) / cls(i - 1) - 1.0).toDouble).toInt)
+      if (sgs.isEmpty) assert(!got.contains(uid))
+      else {
+        // driver run-length decomposition
+        val runs = sgs.foldLeft(List.empty[(Int, Int)]) {
+          case ((s, l) :: t, x) if s == x => (s, l + 1) :: t
+          case (acc, x) => (x, 1) :: acc
+        }
+        val r = got(uid)
+        def mx(s: Int) =
+          runs.filter(_._1 == s).map(_._2).maxOption.getOrElse(0).toLong
+        assert(r.getAs[Long]("max_up_streak") == mx(1), s"$uid up")
+        assert(r.getAs[Long]("max_down_streak") == mx(-1), s"$uid down")
+        assert(r.getAs[Long]("n_up_runs") == runs.count(_._1 == 1))
+        assert(r.getAs[Long]("n_down_runs") == runs.count(_._1 == -1))
+        assert(r.getAs[Long]("n_runs") == runs.length)
+        assert(r.getAs[Long]("n_sessions") == sgs.length)
+        val exp = BigDecimal(sgs.length.toDouble / runs.length * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+        assert(r.getAs[Double]("mean_run_len") == exp, s"$uid mean")
+        // islands partition the sessions: run masses reconcile
+        assert(runs.map(_._2).sum == sgs.length)
+      }
+    }
+    assert(got.nonEmpty)
+  }
+
   test("amihud reconciles with a driver impact-per-dollar recount") {
     def toM(x: Double) = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
