@@ -2687,4 +2687,109 @@ object Curation {
         col("item_in_bin").as("item_in_batch"),
         col("offset_in_bin").as("offset_bytes"))
       .orderBy("doc_id")
+
+  /** T5-STYLE SPAN CORRUPTION — the denoising-objective data prep
+    * (Raffel et al. 2020): mask contiguous token spans, replace each
+    * masked run with one `<extra_id_K>` sentinel in the INPUT, and
+    * emit the TARGET as the sentinel-delimited masked spans plus the
+    * closing sentinel. Fully DETERMINISTIC: token positions partition
+    * into 3-token blocks, and block b of doc d masks iff
+    * ((d·131 + b) mod 1000003)·2654435761 mod 7 = 0 (the
+    * [[stratifiedSample]] multiplicative-hash idiom — pure integer
+    * arithmetic both engines evaluate identically; no RNG, so the
+    * corruption is reproducible and resumable at 100 TB). Expected
+    * mask rate 1/7 ≈ 14.3% in ≈3-token mean spans; ADJACENT masked
+    * blocks merge into one sentinel (the T5 convention) — the run
+    * starts are where a masked block follows an unmasked one.
+    *
+    * Cross-engine exactness: everything is integer arithmetic and
+    * string assembly over the shared whitespace tokenizer — no
+    * floats anywhere.
+    *
+    * Scale shape: a pure PER-ROW projection (the [[graft.operators.TextOps.lexicalDiversity]]
+    * idiom) — block flags, sentinel ids (a prefix count over the
+    * doc's own ≤n/3 blocks), and both output strings assemble inside
+    * the row; zero exchanges, streaming-legal.
+    */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame =
+    spanCorruptionDocs(Tables.documents(spark, dir))
+
+  private[graft] def spanCorruptionDocs(docs: DataFrame): DataFrame = {
+    def mk(b: String) =
+      s"(((doc_id * 131 + $b) % 1000003) * 2654435761) % 7 = 0"
+    def start(b: String) =
+      s"(${mk(b)}) AND ($b = 0 OR NOT (${mk(s"($b - 1)")}))"
+    // 0-based id of the masked RUN containing block b (b must start one)
+    def sid(b: String) =
+      s"size(filter(sequence(0, $b), j -> ${start("j")})) - 1"
+    val blk = "slice(toks, b * 3 + 1, 3)"
+    docs
+      .withColumn("toks", split(trim(col("text")), "[ \\t\\n\\f\\r]+"))
+      .withColumn("blocks", expr(
+        "sequence(0, CAST((size(toks) + 2) DIV 3 AS INT) - 1)"))
+      .withColumn("n_spans", expr(
+        s"size(filter(blocks, b -> ${start("b")}))").cast("long"))
+      .withColumn("n_masked", expr(
+        s"aggregate(blocks, 0L, (acc, b) -> acc + IF(${mk("b")}, " +
+          s"size($blk), 0))").cast("long"))
+      .withColumn("corrupted", expr(
+        s"""concat_ws(' ', flatten(transform(blocks, b ->
+           |  CASE WHEN NOT (${mk("b")}) THEN $blk
+           |       WHEN ${start("b")} THEN array(concat('<extra_id_',
+           |         CAST((${sid("b")}) AS STRING), '>'))
+           |       ELSE array() END)))""".stripMargin))
+      .withColumn("target", expr(
+        s"""concat_ws(' ', concat(flatten(transform(blocks, b ->
+           |  CASE WHEN (${mk("b")}) AND (${start("b")})
+           |         THEN concat(array(concat('<extra_id_',
+           |           CAST((${sid("b")}) AS STRING), '>')), $blk)
+           |       WHEN ${mk("b")} THEN $blk
+           |       ELSE array() END)),
+           |  array(concat('<extra_id_', CAST(n_spans AS STRING), '>'))))"""
+          .stripMargin))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        col("n_masked"), col("n_spans"), col("corrupted"), col("target"))
+      .orderBy("doc_id")
+  }
+
+  def spanCorruptionSql: String = {
+    def mk(b: String) =
+      s"((((doc_id * 131 + $b) % 1000003) * 2654435761) % 7 = 0)"
+    def start(b: String) =
+      s"(${mk(b)} AND ($b = 0 OR NOT ${mk(s"($b - 1)")}))"
+    def sid(b: String) =
+      s"(len(list_filter(generate_series(0, $b), j -> ${start("j")})) - 1)"
+    val blk = "toks[b * 3 + 1 : b * 3 + 3]"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    string_split_regex(trim(text), '\\s+') AS toks,
+       |    generate_series(0,
+       |      CAST(ceil(len(string_split_regex(trim(text), '\\s+')) / 3.0)
+       |        AS INT) - 1) AS blocks
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, toks, blocks,
+       |    len(list_filter(blocks, b -> ${start("b")}))::BIGINT AS n_spans
+       |  FROM t
+       |)
+       |SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+       |  list_sum(list_transform(blocks, b ->
+       |    CASE WHEN ${mk("b")} THEN len($blk) ELSE 0 END))::BIGINT
+       |    AS n_masked,
+       |  n_spans,
+       |  array_to_string(flatten(list_transform(blocks, b ->
+       |    CASE WHEN NOT ${mk("b")} THEN $blk
+       |         WHEN ${start("b")} THEN ['<extra_id_' ||
+       |           CAST(${sid("b")} AS VARCHAR) || '>']
+       |         ELSE [] END)), ' ') AS corrupted,
+       |  array_to_string(list_concat(flatten(list_transform(blocks, b ->
+       |    CASE WHEN ${mk("b")} AND ${start("b")}
+       |           THEN list_concat(['<extra_id_' ||
+       |             CAST(${sid("b")} AS VARCHAR) || '>'], $blk)
+       |         WHEN ${mk("b")} THEN $blk
+       |         ELSE [] END)),
+       |    ['<extra_id_' || CAST(n_spans AS VARCHAR) || '>']), ' ')
+       |    AS target
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
 }

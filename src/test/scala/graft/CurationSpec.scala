@@ -1228,4 +1228,45 @@ class CurationSpec extends SparkSuite {
     val again = Curation.shardOrder(spark, sfDir).collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("spanCorruption round-trips: splicing targets back restores the doc") {
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Curation.spanCorruption(spark, sfDir).collect()
+    assert(rows.length == texts.size)
+    val sent = "<extra_id_(\\d+)>".r
+    var totTok = 0L
+    var totMask = 0L
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val orig = texts(id).trim.split("\\s+").toSeq
+      assert(r.getAs[Long]("n_tokens") == orig.length, s"$id tokens")
+      val corrupted = r.getAs[String]("corrupted").split(" ").toSeq
+      val target = r.getAs[String]("target")
+      // parse target into span k -> tokens, delimited by sentinels
+      val parts = sent.split(target).toSeq.map(_.trim)
+        .map(s => if (s.isEmpty) Seq.empty[String] else s.split(" ").toSeq)
+      val ks = sent.findAllMatchIn(target).map(_.group(1).toInt).toSeq
+      // sentinels are 0..n_spans in order, closing sentinel included
+      assert(ks == (0 to r.getAs[Long]("n_spans").toInt), s"$id sentinel ids")
+      val spans = ks.dropRight(1).zip(parts.drop(1)).toMap
+      // splice: replace each sentinel in the input with its span
+      val restored = corrupted.flatMap {
+        case sent(k) => spans(k.toInt)
+        case w => Seq(w)
+      }
+      assert(restored == orig, s"$id round trip")
+      // masses reconcile
+      assert(r.getAs[Long]("n_masked") ==
+        spans.values.map(_.length).sum, s"$id mask mass")
+      totTok += orig.length
+      totMask += r.getAs[Long]("n_masked")
+      // spans are non-empty (a sentinel always hides >= 1 token)
+      spans.values.foreach(s => assert(s.nonEmpty, s"$id empty span"))
+    }
+    // corpus mask rate sits at the designed 1/7 (generous band)
+    val rate = totMask.toDouble / totTok
+    assert(rate > 0.10 && rate < 0.19, s"mask rate $rate off design")
+  }
 }
