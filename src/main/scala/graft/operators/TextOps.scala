@@ -791,13 +791,16 @@ object TextOps {
     * The prefix scan is the operator Spark lacks natively at scale —
     * a bare ORDER BY window collapses the corpus to ONE partition. It
     * runs here as the classic two-pass decomposition, fully
-    * declarative: doc_ids hash into RANGE BUCKETS (doc_id div 512);
-    * intra-bucket running sums ride a window PARTITIONED by bucket
-    * (parallel); bucket totals collapse to a bucket-count-sized table
-    * whose own prefix window is trivially small; offsets broadcast-
-    * join back. Every mass is an exact integer, so the decomposition
-    * is bit-equal to the single-partition form the DuckDB oracle
-    * runs — the oracle hash-proves the scan rewrite itself.
+    * declarative: doc_ids split into RANGE BUCKETS of 65536 (the
+    * √N-balancing point — intra-bucket window groups stay 64K-row
+    * bounded while the offset table is corpus/64K rows, ~1.5M at a
+    * 10¹¹-doc corpus); intra-bucket running sums ride a window
+    * PARTITIONED by bucket (parallel); bucket totals collapse to the
+    * small offset table whose own prefix window is trivial; offsets
+    * broadcast-join back. Every mass is an exact integer, so the
+    * decomposition is bit-equal to the single-partition form the
+    * DuckDB oracle runs — the oracle hash-proves the scan rewrite
+    * itself.
     *
     * Cross-engine exactness: [[zipfFit]]'s discipline — ln inputs
     * round to 12, the closed-form fit is the identical op sequence,
@@ -817,7 +820,7 @@ object TextOps {
       .join(news, toks("doc_id") === news("fdoc"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
-      .withColumn("bkt", expr("doc_id DIV 512"))
+      .withColumn("bkt", expr("doc_id DIV 65536"))
     val wIn = Window.partitionBy("bkt").orderBy("doc_id")
     val wOff = Window.orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
