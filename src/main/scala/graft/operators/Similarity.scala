@@ -2400,8 +2400,9 @@ object Similarity {
     * (absorbing the engines' sum association orders — the beta
     * envelope); the distance is a fold over identical doubles rounded
     * 6; median/MAD are exact interpolated percentiles of those
-    * rounded-6 dists rounded 6; z is one identical op chain rounded
-    * 6.
+    * rounded-6 dists rounded 6 (at 100 TB the documented swap is the
+    * approx_percentile sketch — the q_anomaly_ticks convention); z is
+    * one identical op chain rounded 6.
     *
     * Scale shape: centroid = ONE map-side-combined per-dim aggregate
     * (d×1 partials; the [[fitPcaOf]] mean pass) collected model-sized

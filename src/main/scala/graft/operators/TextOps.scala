@@ -714,7 +714,9 @@ object TextOps {
     * signal-confluence trick — only integers and booleans are
     * emitted, no display rounding anywhere); the median is an exact
     * interpolated percentile of hash-proven doubles broadcast as a
-    * one-row model.
+    * one-row model (at 100 TB the documented swap is the
+    * approx_percentile sketch — the q_anomaly_ticks convention; same
+    * plan, bounded memory).
     *
     * Scale shape: five doc-keyed frames equi-join on doc_id (AQE
     * coalesces the co-keyed exchanges; each side is doc-sized, not

@@ -3069,6 +3069,79 @@ object Warehouse {
        |GROUP BY user_id HAVING count(*) >= 15
        |ORDER BY user_id""".stripMargin
 
+  /** HISTORICAL VaR / EXPECTED SHORTFALL — the tail-risk pair
+    * completing the risk tier ([[sharpe]] prices average risk,
+    * [[drawdown]]/[[ulcerIndex]] path risk; this prices the TAIL):
+    * per symbol over daily simple returns, the 5% historical
+    * value-at-risk (the interpolated 0.05 quantile of returns — a
+    * LOSS when negative) and the expected shortfall (mean of the
+    * returns at or below the VaR — the coherent measure Basel moved
+    * to, answering "how bad is it WHEN it's bad"). Tail session
+    * count alongside; ≥ 15-session floor ([[beta]]'s).
+    *
+    * Cross-engine exactness: returns round once to INTEGER MICROS;
+    * the quantile interpolates over those exact values identically
+    * in both engines (the [[anomalyTicks]] percentile convention; at
+    * 100 TB the per-symbol day counts stay bounded, so no sketch
+    * swap is needed here); ES compares each Long against the
+    * quantile double and averages an exact integer subset — one
+    * scale-0 division.
+    *
+    * Scale shape: the ohlc partial agg then ONE symbol-keyed
+    * two-pass aggregate (quantile model broadcast back, the beta
+    * shape) — day-sized rows.
+    */
+  def varEs(spark: SparkSession, dir: String, minDays: Int = 15): DataFrame = {
+    val wRn = Window.partitionBy("user_id").orderBy("trade_date")
+    val rm = round((col("close_price") / lag("close_price", 1).over(wRn)
+      - 1.0) * 1e6, 0).cast("long")
+    val rets = ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"),
+      "trade_date", validated = true)
+      .select(col("user_id"), rm.as("rm"))
+      .filter(col("rm").isNotNull)
+    val q = rets.groupBy("user_id")
+      .agg(percentile(col("rm"), lit(0.05)).as("qm"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= minDays)
+    rets.join(broadcast(q), Seq("user_id"))
+      .groupBy("user_id")
+      .agg(max("n").as("n_days"),
+        (round(max("qm"), 0) / 1e6).as("var_5"),
+        sum(when(col("rm").cast("double") <= col("qm"), 1L)
+          .otherwise(0L)).as("n_tail"),
+        (round(sum(when(col("rm").cast("double") <= col("qm"),
+          col("rm")).otherwise(0L)).cast("double")
+          / sum(when(col("rm").cast("double") <= col("qm"), 1L)
+            .otherwise(0L)), 0) / 1e6).as("es_5"))
+      .orderBy("user_id")
+  }
+
+  def varEsSql: String =
+    s"""WITH ohlc AS (
+       |${ohlcSql("CAST(ts AS DATE)", "trade_date", validated = true)}
+       |), r AS (
+       |  SELECT user_id,
+       |    round((close_price / lag(close_price, 1) OVER (
+       |      PARTITION BY user_id ORDER BY trade_date) - 1.0) * 1e6, 0)
+       |      ::BIGINT AS rm
+       |  FROM ohlc
+       |), q AS (
+       |  SELECT user_id, quantile_cont(rm, 0.05) AS qm, count(*) AS n
+       |  FROM r WHERE rm IS NOT NULL
+       |  GROUP BY user_id HAVING count(*) >= 15
+       |)
+       |SELECT r.user_id, max(n) AS n_days,
+       |  round(max(qm), 0) / 1e6 AS var_5,
+       |  sum(CASE WHEN rm::DOUBLE <= qm THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_tail,
+       |  round(sum(CASE WHEN rm::DOUBLE <= qm THEN rm ELSE 0 END)::DOUBLE
+       |    / sum(CASE WHEN rm::DOUBLE <= qm THEN 1 ELSE 0 END), 0) / 1e6
+       |    AS es_5
+       |FROM r JOIN q ON q.user_id = r.user_id
+       |WHERE rm IS NOT NULL
+       |GROUP BY r.user_id
+       |ORDER BY r.user_id""".stripMargin
+
   /** STREAK STATISTICS — up/down run lengths over daily closes via
     * the classic GAPS-AND-ISLANDS decomposition (rn − rn-within-sign
     * is constant inside a run), the one window idiom the tier didn't

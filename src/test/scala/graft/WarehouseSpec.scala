@@ -1745,6 +1745,42 @@ class WarehouseSpec extends SparkSuite {
     assert(live > 0)
   }
 
+  test("varEs reconciles with a driver tail walk; ES bounds VaR") {
+    def toM(x: Double) = BigDecimal(x * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val daily = driverDailyOhlc
+    val got = Warehouse.varEs(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    var kept = 0
+    daily.foreach { case (uid, days) =>
+      val cls = days.map(_._4)
+      val rms = cls.indices.drop(1).map(i => toM(cls(i) / cls(i - 1) - 1.0))
+      if (rms.length < 15) assert(!got.contains(uid), s"$uid floor")
+      else {
+        kept += 1
+        val r = got(uid)
+        // interpolated 5% quantile over the exact micros
+        val xs = rms.sorted.map(_.toDouble)
+        val h = (xs.length - 1) * 0.05
+        val qm = xs(h.toInt) + (h - h.toInt) *
+          (xs(math.ceil(h).toInt) - xs(h.toInt))
+        def r0(x: Double) = BigDecimal(x)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1e6
+        assert(r.getAs[Long]("n_days") == rms.length)
+        assert(r.getAs[Double]("var_5") == r0(qm), s"$uid var")
+        val tail = rms.filter(_.toDouble <= qm)
+        assert(r.getAs[Long]("n_tail") == tail.length, s"$uid tail n")
+        assert(tail.nonEmpty, s"$uid empty tail")
+        assert(r.getAs[Double]("es_5") ==
+          r0(tail.sum.toDouble / tail.length), s"$uid es")
+        // coherence: the tail mean cannot beat the tail threshold
+        assert(r.getAs[Double]("es_5") <= r.getAs[Double]("var_5") + 1e-9,
+          s"$uid ES above VaR")
+      }
+    }
+    assert(kept > 0 && kept == got.size)
+  }
+
   test("streaks reconcile with a driver run-length walk") {
     def toM(x: Double) = BigDecimal(x * 1e6)
       .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
