@@ -5,12 +5,25 @@ Usage: python3 scripts/check_oracle.py <sfDir> <verifyOutDir>
 
 For each query in <verifyOutDir>/oracle_sql.json: register the sfDir
 parquet tables as DuckDB views, run the oracle SQL, load the Spark
-parquet result, sort columns by name, sort rows, and compare values.
+parquet result, sort columns by name, sort rows, and compare.
+
+The compare is BYTE-STRICT to match the driver's canonical-bytes hash
+(the round-9 findings all slipped through a value-level compare):
+  * dtype CLASS must match — an int64 Spark column vs a float64
+    oracle column (DuckDB HUGEINT `//` loads as float) is a FAIL even
+    when every value is equal (802000 vs 802000.0);
+  * floats compare by IEEE BIT PATTERN after NaN canonicalization —
+    signed-zero-strict, so -0.0 vs +0.0 (DuckDB round preserves the
+    sign, Spark's BigDecimal round does not) is a FAIL;
+  * NaN equals NaN (both engines surface SQL NULL as NaN in pandas
+    float columns, so the NULL/NaN distinction is lost identically on
+    both sides — same as the driver's canonicalizer).
 """
 import json
 import sys
 
 import duckdb
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -20,6 +33,42 @@ def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
+
+
+def dtype_class(k):
+    """Collapse numpy dtype kinds into compare classes: all int widths
+    are one class (engines legitimately differ on INT32 vs INT64 for
+    the same SQL type), but int vs float is a hard FAIL."""
+    return "i" if k in "iu" else k
+
+
+def column_mismatch(a, b):
+    """Return (exp_sample, got_sample) on the first divergence, None
+    if the columns are byte-equivalent under the driver's canon."""
+    ka, kb = dtype_class(a.dtype.kind), dtype_class(b.dtype.kind)
+    if ka != kb:
+        return ([f"dtype={a.dtype}"], [f"dtype={b.dtype}"])
+    if ka == "f":
+        av = a.to_numpy(dtype="float64").copy()
+        bv = b.to_numpy(dtype="float64").copy()
+        # canonicalize NaN payloads so only value/sign bits compare
+        av[np.isnan(av)] = np.nan
+        bv[np.isnan(bv)] = np.nan
+        ne = av.view(np.uint64) != bv.view(np.uint64)
+        if ne.any():
+            return ([repr(x) for x in av[ne][:3]],
+                    [repr(x) for x in bv[ne][:3]])
+        return None
+    if ka == "M":  # datetimes: NaT-safe via the int64 view
+        ne = a.to_numpy().view("int64") != b.to_numpy().view("int64")
+        if ne.any():
+            return (a[ne].head(3).tolist(), b[ne].head(3).tolist())
+        return None
+    sa, sb = a.astype(str), b.astype(str)
+    if not sa.equals(sb):
+        ne = sa != sb
+        return (a[ne].head(3).tolist(), b[ne].head(3).tolist())
+    return None
 
 
 def main():
@@ -46,22 +95,10 @@ def main():
                 continue
             mismatch = None
             for c in exp.columns:
-                a, b = exp[c], got[c]
-                if a.dtype.kind == "f" or b.dtype.kind == "f":
-                    import numpy as np
-                    eq = np.isclose(a.astype(float), b.astype(float),
-                                    rtol=0, atol=0, equal_nan=True)
-                    exact = eq.all()
-                    if not exact:
-                        mismatch = (c, a[~eq].head(3).tolist(),
-                                    b[~eq].head(3).tolist())
-                        break
-                else:
-                    if not a.astype(str).equals(b.astype(str)):
-                        ne = a.astype(str) != b.astype(str)
-                        mismatch = (c, a[ne].head(3).tolist(),
-                                    b[ne].head(3).tolist())
-                        break
+                diff = column_mismatch(exp[c], got[c])
+                if diff is not None:
+                    mismatch = (c,) + diff
+                    break
             if mismatch:
                 print(f"FAIL {name}: col {mismatch[0]} exp={mismatch[1]} "
                       f"got={mismatch[2]}")

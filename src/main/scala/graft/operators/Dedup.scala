@@ -1132,7 +1132,11 @@ object Dedup {
     * the corpus totals derive from the ~log-many-row histogram itself
     * via an empty window (the [[graft.operators.TextOps.docLengthHistDocs]]
     * idiom — a second corpus pass for a denominator is structurally
-    * impossible). All integer arithmetic → hash-exact.
+    * impossible). All integer arithmetic — but the oracle must cast
+    * its ppm divisions back to BIGINT: DuckDB's `sum(...) OVER ()`
+    * promotes to HUGEINT and `//` on HUGEINT loads as float64,
+    * which byte-diverges from Spark's BIGINT `DIV` (802000.0 vs
+    * 802000) despite equal values.
     */
   def clusterStats(spark: SparkSession, dir: String): DataFrame = {
     val hist = embeddingClusters(spark, dir)
@@ -1162,8 +1166,8 @@ object Dedup {
       |)
       |SELECT size, n_clusters, size * n_clusters AS n_docs,
       |  (size - 1) * n_clusters AS dup_docs,
-      |  size * n_clusters * 1000000 // total_docs AS doc_ppm,
-      |  (size - 1) * n_clusters * 1000000 // total_docs AS dup_ppm
+      |  (size * n_clusters * 1000000 // total_docs)::BIGINT AS doc_ppm,
+      |  ((size - 1) * n_clusters * 1000000 // total_docs)::BIGINT AS dup_ppm
       |FROM t ORDER BY size""".stripMargin
 
   /** Per-cluster CANONICAL-document selection joined back to the

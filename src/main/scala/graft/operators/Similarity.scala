@@ -2360,10 +2360,21 @@ object Similarity {
     * components, descending eigenvalues that sum to ≤ trace with
     * per-component projected variance ≈ λ, exact per-row
     * reconstruction-error identity, and refit determinism.
+    *
+    * The registered surface emits the projection as SCALAR columns
+    * pc_0..pc_7 (the q_feature_extract emb_i convention,
+    * [[graft.operators.Multimodal]]) — an `array<double>` column is
+    * not canonicalizable by the driver's correctness harness; the
+    * array form stays on the internal [[embedPcaOf]] for the specs.
     */
   def embedPca(spark: SparkSession, dir: String): DataFrame = {
     val model = fitPca(spark, dir, k = 8)
+    val k = model.components.length
     embedPcaOf(Tables.embeddings(spark, dir), model)
+      .select(Seq(col("vec_id"), col("label")) ++
+        (0 until k).map(j => element_at(col("pc"), j + 1).as(s"pc_$j")) :+
+        col("recon_err2"): _*)
+      .orderBy("vec_id")
   }
 
   private[graft] def embedPcaOf(emb: DataFrame, model: PcaModel): DataFrame = {

@@ -818,11 +818,18 @@ object TextOps {
     val toks = words.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
     val news = words.groupBy("word").agg(min("doc_id").as("fdoc"))
       .groupBy("fdoc").agg(count(lit(1)).as("n_new"))
+    // materialized once: BOTH the offsets branch and the curve read
+    // perDoc, and without pinning, Catalyst re-derives the whole
+    // tokenize → toks ⋈ news subtree under the broadcast — 2× the
+    // corpus tokenization work for a one-row answer at 100 TB
+    // (localCheckpoint, not persist — released with the plan, the
+    // returnCorrOf discipline). perDoc itself is doc-count-sized.
     val perDoc = toks
       .join(news, toks("doc_id") === news("fdoc"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_new"), lit(0L)).as("n_new"))
       .withColumn("bkt", expr("doc_id DIV 65536"))
+      .localCheckpoint(true)
     val wIn = Window.partitionBy("bkt").orderBy("doc_id")
     val wOff = Window.orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -1416,7 +1416,10 @@ object Warehouse {
     *
     * Pure lag/extreme windows over day rows after the one shared
     * symbol shuffle; %R and ROC divisions use the scaled display
-    * round (DuckDB-aligned midpoints).
+    * round (DuckDB-aligned midpoints). The oracle appends `+ 0.0`
+    * after each round: DuckDB's round preserves IEEE -0.0 (close at
+    * the 14-bar high ⇒ numerator -0.0) while Spark's BigDecimal round
+    * emits +0.0 — value-equal but byte-distinct under the driver hash.
     */
   def momentum(spark: SparkSession, dir: String): DataFrame = {
     val wRn = Window.partitionBy("user_id").orderBy("trade_date")
@@ -1456,8 +1459,9 @@ object Warehouse {
        |)
        |SELECT user_id, trade_date, close_price,
        |  round(CASE WHEN rn >= 14 AND hi14 > lo14
-       |    THEN -100.0 * (hi14 - close_price) / (hi14 - lo14) END, 6) AS willr,
-       |  round(100.0 * (close_price - close_12) / close_12, 6) AS roc_12,
+       |    THEN -100.0 * (hi14 - close_price) / (hi14 - lo14) END, 6)
+       |    + 0.0 AS willr,
+       |  round(100.0 * (close_price - close_12) / close_12, 6) + 0.0 AS roc_12,
        |  close_price - close_10 AS mom_10
        |FROM w ORDER BY user_id, trade_date""".stripMargin
 
@@ -2182,7 +2186,10 @@ object Warehouse {
     * Cross-engine exactness: FI is two IEEE ops ((a − b)·v) on shared
     * inputs — bit-identical UNROUNDED fold input on both engines; the
     * oracle replays the EMA via `list_reduce` prefix folds (O(days²),
-    * oracle-only) and both sides round only at display.
+    * oracle-only) and both sides round only at display. The oracle
+    * appends `+ 0.0` after each round: a down-close on zero volume
+    * makes fi = -0.0, which DuckDB's round preserves but Spark's
+    * BigDecimal round normalizes to +0.0 — byte-distinct otherwise.
     *
     * Scale shape: one symbol-keyed shuffle from the daily partial agg
     * into sorted arrays, O(days) fold, re-explode — the [[atrWilder]]
@@ -2257,10 +2264,11 @@ object Warehouse {
       |SELECT user_id, unnest(dts) AS trade_date, unnest(cls) AS close_price,
       |  unnest(vol_l) AS volume,
       |  unnest(list_transform(generate_series(1, len(cls)), j ->
-      |    CASE WHEN j >= 2 THEN round(fis[j - 1], 6) END)) AS fi,
+      |    CASE WHEN j >= 2 THEN round(fis[j - 1], 6) + 0.0 END)) AS fi,
       |  unnest(list_transform(generate_series(1, len(cls)), j ->
       |    CASE WHEN j >= 14 THEN round(list_reduce(fis[1:j - 1], (a, x) ->
-      |      x * (2.0 / 14.0) + a * (1.0 - 2.0 / 14.0)), 6) END)) AS fi_ema13
+      |      x * (2.0 / 14.0) + a * (1.0 - 2.0 / 14.0)), 6) + 0.0
+      |    END)) AS fi_ema13
       |FROM f ORDER BY user_id, trade_date""".stripMargin
 
   /** HEIKIN-ASHI candles — the smoothed candle transform every

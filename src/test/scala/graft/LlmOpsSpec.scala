@@ -1980,9 +1980,25 @@ class LlmOpsSpec extends SparkSuite {
     // 8/64 share (measured ~0.20 on this corpus vs 0.125 uniform)
     assert(model.eigenvalues.sum > 8.0 / d * trace,
       "top-8 must capture more than a uniform spectrum's share")
-    val got = Similarity.embedPca(spark, sfDir).collect()
+    val got = Similarity.embedPcaOf(
+      graft.Tables.embeddings(spark, sfDir), model).collect()
     assert(got.length == vs.length)
     val pcsByRow = got.map(_.getSeq[Double](2).toArray)
+    // registered surface: scalar pc_0..pc_7 (driver-canonicalizable),
+    // bit-identical to the internal array form
+    val flat = Similarity.embedPca(spark, sfDir)
+    assert(flat.columns.toSeq ==
+      Seq("vec_id", "label") ++ (0 until 8).map(j => s"pc_$j") :+ "recon_err2")
+    val flatRows = flat.collect()
+    assert(flatRows.length == got.length)
+    got.zip(flatRows).foreach { case (a, f) =>
+      assert(a.getAs[Number]("vec_id").longValue() ==
+        f.getAs[Number]("vec_id").longValue())
+      val pcs = a.getSeq[Double](2)
+      (0 until 8).foreach { j =>
+        assert(pcs(j) == f.getAs[Double](s"pc_$j"), s"pc_$j drift") }
+      assert(a.getAs[Double]("recon_err2") == f.getAs[Double]("recon_err2"))
+    }
     for (j <- 0 until 8) {
       val xs = pcsByRow.map(_(j))
       val m = xs.sum / n

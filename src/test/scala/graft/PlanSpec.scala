@@ -438,6 +438,46 @@ class PlanSpec extends SparkSuite {
     assert(scans <= 2, s"screener must scan ticks at most twice, got $scans")
   }
 
+  test("candle family rolls up as ONE partial aggregate, never a tick window") {
+    import graft.operators.Warehouse
+    // the round-9 ohlcBy rework: open/close are min_by/max_by partial
+    // aggregates with map-side combine, so shuffle volume is
+    // (symbol, bucket) partials per map task — pinned here so a
+    // refactor reintroducing the all-ticks first/last_value window
+    // (every tick crossing the wire, 100× the shuffle at 100 TB)
+    // fails a spec, not a bench
+    for ((name, df) <- Seq(
+        "dailyOhlc" -> Warehouse.dailyOhlc(spark, sfDir),
+        "candles" -> Warehouse.candles(spark, sfDir),
+        "weeklyCandles" -> Warehouse.weeklyCandles(spark, sfDir),
+        "monthlyCandles" -> Warehouse.monthlyCandles(spark, sfDir))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_min_by") && plan.contains("partial_max_by"),
+        s"$name open/close must be min_by/max_by partials (map-side combine)")
+      assert(!plan.contains("unboundedfollowing") && !plan.contains("Window"),
+        s"$name must not window-sort ticks for open/close")
+      assert(!plan.contains("Join"), s"$name must not join")
+      val hashEx = "hashpartitioning".r.findAllIn(plan).length
+      assert(hashEx <= 1, s"$name must shuffle once (got $hashEx)")
+    }
+  }
+
+  test("heapsFit derives the tokenized perDoc table exactly once") {
+    // BOTH the bucket-offset branch and the curve consume perDoc; the
+    // localCheckpoint pin means the final plan reads the materialized
+    // RDD — zero parquet re-scans of the corpus (the unpinned plan
+    // re-derived the whole tokenize → toks ⋈ news subtree under the
+    // broadcast: 4 corpus scans for a one-row answer)
+    val plan = graft.operators.TextOps.heapsFit(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 0,
+      s"heapsFit result must read the pinned perDoc, got $scans corpus scans")
+    assert("Scan ExistingRDD".r.findAllIn(plan).length >= 2 ||
+      "LocalTableScan|ExistingRDD".r.findAllIn(plan).nonEmpty,
+      s"expected the checkpointed perDoc feeding both branches:\n$plan")
+  }
+
   test("ngramNovelty shuffles the corpus-scale gram set exactly once") {
     // the explicit repartition on gram must serve BOTH the
     // (doc_id, gram) distinct and the first-seen window — without it
