@@ -40,6 +40,18 @@ object Similarity {
     emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))
 
+  /** [[vecsOf]] carrying extra source columns through the projection
+    * — metadata-filtered search needs `label` NEXT to the vector, and
+    * re-attaching it via a corpus⋈corpus 1:1 self-join (the shape this
+    * replaces) is a full corpus shuffle at 100 TB for a column that
+    * sits in the same parquet row.
+    */
+  private[graft] def vecsWithOf(emb: DataFrame, extra: String*): DataFrame =
+    emb.select(Seq(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")) ++
+      extra.map(col): _*)
+      .withColumn("norm", sqrt(Dedup.dot(col("v"), col("v"))))
+
   /** Brute-force cosine top-k for probe vectors (vec_id < 5):
     * exact baseline the approximate variant is measured against.
     */
@@ -197,11 +209,8 @@ object Similarity {
     * filter prunes the scored set to the predicate's selectivity.
     * [[annFilteredIvf]] is the indexed dual.
     */
-  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(spark, dir)
-    annFilteredOn(
-      vecsOf(emb).join(emb.select("vec_id", "label"), Seq("vec_id")))
-  }
+  def annFiltered(spark: SparkSession, dir: String): DataFrame =
+    annFilteredOn(vecsWithOf(Tables.embeddings(spark, dir), "label"))
 
   private[graft] def annFilteredOn(corpus: DataFrame): DataFrame = {
     val probes = corpus.filter(col("vec_id") < NumProbes)

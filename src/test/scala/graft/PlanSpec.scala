@@ -503,6 +503,24 @@ class PlanSpec extends SparkSuite {
       s"rank not pushed below the exchange:\n$plan")
   }
 
+  test("no registered query plans a cartesian product") {
+    // fleet-wide structural net: a CartesianProductExec anywhere in
+    // the 216-query surface is corpus² work at 100 TB. The legitimate
+    // unkeyed joins in this codebase are all BroadcastNestedLoop with
+    // a 1-row-aggregate or probe-sized build side — those pass; a
+    // refactor that drops a broadcast hint or grows a literal-true
+    // join onto two large sides fails here, not in a round bench.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          if (plan.contains("CartesianProduct")) Some(name) else None
+        } catch { case e: Throwable => Some(s"$name (failed to plan: ${e.getMessage})") }
+    }
+    assert(offenders.isEmpty,
+      s"cartesian products planned in: ${offenders.mkString(", ")}")
+  }
+
   test("langIdEval windows over aggregated cells, not the corpus") {
     val df = graft.operators.TextOps.langIdEval(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
