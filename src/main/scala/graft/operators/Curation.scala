@@ -1191,6 +1191,125 @@ object Curation {
           w => w =!= lit(""))).cast("long").as("n_tok")))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
+  /** EPOCH-CAPPED MIXTURE PLAN — [[mixtureSample]]'s planning dual,
+    * the data-constrained allocation every 100 TB run faces
+    * (Muennighoff et al. 2023: repeating data beyond ~4 epochs stops
+    * buying loss): given per-source token masses mᵢ, a total token
+    * BUDGET B (budgetMult × corpus here), target α = 0.5 temperature
+    * weights wᵢ ∝ √mᵢ (the [[mixtureSample]] rule — sqrt of an exact
+    * integer is correctly rounded IEEE, unlike pow), and a hard cap
+    * of epochCap epochs per source, allocate aᵢ = min(epochCap·mᵢ,
+    * λ·wᵢ) with Σaᵢ = B — the classic waterfill. Sources whose cap
+    * binds (small sources under an upweighting temperature) saturate
+    * at epochCap epochs; the rest split the remaining budget in
+    * target-weight proportion. Output per source: mass, weight,
+    * capped flag, allocated tokens, epochs — the plan a mixture owner
+    * signs off before launching the run.
+    *
+    * Closed form, fully declarative: sort sources by the saturation
+    * point rᵢ = epochCap·mᵢ/wᵢ; for scenario "first j−1 capped",
+    * λⱼ = (B − Σ_{i<j} capᵢ) / Σ_{i≥j} wᵢ, valid iff
+    * r_{j−1} ≤ λⱼ ≤ rⱼ — the allocation function is continuous and
+    * increasing in λ, so exactly one bracket holds (ties yield equal
+    * λ). If B ≥ Σ capᵢ the plan is INFEASIBLE — every source caps and
+    * the shortfall is the budget gap (allocation degrades to the cap,
+    * capped = true on every row).
+    *
+    * Cross-engine exactness: weights are integer MICRO-units
+    * (round(√m·10⁶) — the [[mixtureRatesOf]] ppm idiom), so every
+    * window sum (cap prefix, weight suffix) is EXACT integer
+    * arithmetic with no association sensitivity; r and λ are single
+    * divisions of identical integers (correctly rounded IEEE —
+    * bit-identical on both engines), and the bracket comparisons run
+    * on those identical doubles. Allocation floors λ·w/10⁶ to whole
+    * tokens.
+    *
+    * Scale shape: ONE map-side-combined (source, Σtok) aggregate over
+    * the corpus; everything after runs on the sources-sized table
+    * (empty-window sums over ~dozens of rows — the
+    * [[graft.operators.TextOps.docLengthHistDocs]] idiom).
+    */
+  def epochMix(spark: SparkSession, dir: String): DataFrame =
+    epochMixDocs(Tables.documents(spark, dir))
+
+  private[graft] def epochMixDocs(docs: DataFrame, epochCap: Int = 4,
+      budgetMult: Int = 3): DataFrame = {
+    val perSource = docs
+      .select(col("source"),
+        size(filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
+          w => w =!= lit(""))).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("n_tokens"))
+    val all = Window.partitionBy()
+    val wOrd = Window.orderBy(col("r"), col("source"))
+    perSource
+      .withColumn("budget", sum("n_tokens").over(all) * budgetMult)
+      .withColumn("w_micro",
+        round(sqrt(col("n_tokens").cast("double")) * 1e6, 0).cast("long"))
+      .withColumn("cap", col("n_tokens") * epochCap)
+      .withColumn("r",
+        col("cap").cast("double") * 1e6 / col("w_micro").cast("double"))
+      .withColumn("c_prev", coalesce(sum("cap").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("w_suffix", sum("w_micro").over(
+        wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("lam_cand",
+        (col("budget") - col("c_prev")).cast("double") * 1e6
+          / col("w_suffix").cast("double"))
+      .withColumn("lam", max(when(
+        coalesce(lag("r", 1).over(wOrd), lit(0.0)) <= col("lam_cand")
+          && col("lam_cand") <= col("r"), col("lam_cand"))).over(all))
+      .withColumn("capped", coalesce(col("r") <= col("lam"), lit(true)))
+      .withColumn("alloc_tokens", when(col("capped"), col("cap"))
+        .otherwise(floor(col("lam") * col("w_micro").cast("double") / 1e6)))
+      .select(col("source"), col("n_tokens"), col("w_micro"), col("budget"),
+        col("capped"), col("alloc_tokens"),
+        round(col("alloc_tokens").cast("double")
+          / col("n_tokens").cast("double"), 6).as("epochs"))
+      .orderBy("source")
+  }
+
+  def epochMixSql: String =
+    """WITH per_doc AS (
+      |  SELECT source,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'), w -> w <> ''))::BIGINT AS n_tok
+      |  FROM documents
+      |), per_source AS (
+      |  SELECT source, sum(n_tok)::BIGINT AS n_tokens
+      |  FROM per_doc GROUP BY source
+      |), base AS (
+      |  SELECT source, n_tokens,
+      |    (sum(n_tokens) OVER ())::BIGINT * 3 AS budget,
+      |    round(sqrt(n_tokens::DOUBLE) * 1e6, 0)::BIGINT AS w_micro,
+      |    n_tokens * 4 AS cap
+      |  FROM per_source
+      |), scen AS (
+      |  SELECT *, cap::DOUBLE * 1e6 / w_micro::DOUBLE AS r FROM base
+      |), brk AS (
+      |  SELECT *,
+      |    coalesce(sum(cap) OVER (ORDER BY r, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS c_prev,
+      |    (sum(w_micro) OVER (ORDER BY r, source
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))::BIGINT AS w_suffix,
+      |    lag(r) OVER (ORDER BY r, source) AS r_prev
+      |  FROM scen
+      |), lamed AS (
+      |  SELECT *,
+      |    max(CASE WHEN coalesce(r_prev, 0.0) <= lam_cand AND lam_cand <= r
+      |      THEN lam_cand END) OVER () AS lam
+      |  FROM (SELECT *,
+      |    (budget - c_prev)::DOUBLE * 1e6 / w_suffix::DOUBLE AS lam_cand
+      |    FROM brk)
+      |), alloc AS (
+      |  SELECT *, coalesce(r <= lam, true) AS capped FROM lamed
+      |)
+      |SELECT source, n_tokens, w_micro, budget, capped,
+      |  (CASE WHEN capped THEN cap
+      |    ELSE floor(lam * w_micro::DOUBLE / 1e6) END)::BIGINT AS alloc_tokens,
+      |  round((CASE WHEN capped THEN cap
+      |      ELSE floor(lam * w_micro::DOUBLE / 1e6) END)::DOUBLE
+      |    / n_tokens::DOUBLE, 6) AS epochs
+      |FROM alloc ORDER BY source""".stripMargin
+
   /** TOPIC DISCOVERY REPORT — c-TF-IDF cluster labeling (the
     * BERTopic class-based TF-IDF, Grootendorst 2022) over the SHARED
     * IVF quantizer's cells: each cell is treated as one synthetic

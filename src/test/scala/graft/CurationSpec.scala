@@ -1032,6 +1032,56 @@ class CurationSpec extends SparkSuite {
     assert(again == Curation.mixtureSample(spark, sfDir).count())
   }
 
+  test("epochMix waterfills the budget under the epoch cap") {
+    import spark.implicits._
+    // corpus surface: budget fully spent up to floor residue, no
+    // source over the cap, epochs antitone in source size (the
+    // alpha=0.5 upweighting gives SMALL sources more epochs)
+    val plan = Curation.epochMix(spark, sfDir).collect()
+    val budget = plan.head.getAs[Long]("budget")
+    val spent = plan.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(spent <= budget && budget - spent <= plan.length,
+      s"budget $budget vs spent $spent: floor residue must be < 1 token/source")
+    plan.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") <= 4 * r.getAs[Long]("n_tokens"))
+      assert(r.getAs[Double]("epochs") <= 4.0 + 1e-9)
+    }
+    val bySize = plan.sortBy(_.getAs[Long]("n_tokens"))
+    val eps = bySize.map(_.getAs[Double]("epochs"))
+    assert(eps.zip(eps.tail).forall { case (a, b) => a >= b - 1e-9 },
+      s"epochs must be antitone in source size: ${eps.toSeq}")
+    // skewed frame: a tiny source must SATURATE at the cap and the
+    // uncapped remainder split the leftover in weight proportion
+    def frame(rows: (String, Int)*) = rows.toSeq.flatMap { case (s, n) =>
+      Seq.tabulate(n)(i => (s, "a b c d e"))
+    }.toDF("source", "text")
+    // two near-equal big sources stay uncapped (verified by hand:
+    // lambda = (B - cap_tiny)/(w_b1 + w_b2) ~ 114 sits inside the
+    // [r_tiny, r_big2] bracket); a mid-sized third would cap too
+    val skew = Curation.epochMixDocs(
+      frame("tiny" -> 2, "big1" -> 300, "big2" -> 280), epochCap = 4,
+      budgetMult = 3).collect().map(r => r.getString(0) -> r).toMap
+    assert(skew("tiny").getAs[Boolean]("capped"),
+      "the tiny source must saturate under sqrt upweighting")
+    assert(skew("tiny").getAs[Long]("alloc_tokens") ==
+      4 * skew("tiny").getAs[Long]("n_tokens"))
+    assert(!skew("big1").getAs[Boolean]("capped"))
+    assert(!skew("big2").getAs[Boolean]("capped"))
+    // uncapped allocations are proportional to the micro weights
+    val rb = skew("big1").getAs[Long]("alloc_tokens").toDouble /
+      skew("big1").getAs[Long]("w_micro")
+    val rm = skew("big2").getAs[Long]("alloc_tokens").toDouble /
+      skew("big2").getAs[Long]("w_micro")
+    assert(math.abs(rb - rm) / rb < 1e-3,
+      s"uncapped sources must split by weight: $rb vs $rm")
+    // infeasible: budget above the cap supply -> every source capped
+    val over = Curation.epochMixDocs(
+      frame("a" -> 10, "b" -> 20), epochCap = 2, budgetMult = 3).collect()
+    assert(over.forall(_.getAs[Boolean]("capped")))
+    over.foreach(r => assert(r.getAs[Long]("alloc_tokens") ==
+      2 * r.getAs[Long]("n_tokens")))
+  }
+
   test("bm25 ranks term-dense short docs above term-free docs") {
     import spark.implicits._
     val out = graft.operators.TextOps.bm25(spark, sfDir).collect()
