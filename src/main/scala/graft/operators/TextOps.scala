@@ -347,6 +347,127 @@ object TextOps {
        |FROM li GROUP BY lang, predicted_lang
        |ORDER BY lang, predicted_lang""".stripMargin
 
+  /** MIXED-LANGUAGE DETECTION — the CCNet-class curation gate
+    * [[langId]] cannot express: a document whose 20-word blocks
+    * classify to DIFFERENT languages is usually navigation chrome,
+    * parallel-text scrape, or template spam glued to content, and
+    * language-routed pipelines want it flagged before a single-label
+    * router misfiles it. Per doc: words split into 20-word blocks,
+    * each block classified by the SAME stopword-argmax chain as
+    * [[langId]] (CJK test per block via a char-class match), then the
+    * per-language block counts roll up to the dominant language, its
+    * block share (ppm — integer DIV, hash-exact), the distinct
+    * language count, and the verdict `is_mixed` (≥2 languages AND
+    * dominant share < 80%).
+    *
+    * Scale shape: the [[lexicalDiversity]] family's ZERO-shuffle
+    * narrow scan — blocks, per-block classification, and the rollup
+    * all run as HOF folds inside the row; nothing leaves its
+    * partition but the final ~12-column projection. All integer
+    * logic → the oracle replays the identical block partitioning
+    * with DuckDB list lambdas and hashes exactly.
+    */
+  def langMix(spark: SparkSession, dir: String): DataFrame =
+    langMixDocs(Tables.documents(spark, dir))
+
+  private[graft] def langMixDocs(docs: DataFrame): DataFrame = {
+    val bsz = 20
+    def hitsIn(b: String, stops: Seq[String]): String =
+      s"size(filter($b, w -> w IN (${stops.map("'" + _ + "'").mkString(", ")})))"
+    val predBlock =
+      s"""CASE WHEN exists(b, w -> w rlike '[一-龥]') THEN 'zh'
+         |  WHEN ${hitsIn("b", stopEn)} >= ${hitsIn("b", stopFr)}
+         |   AND ${hitsIn("b", stopEn)} >= ${hitsIn("b", stopEs)}
+         |   AND ${hitsIn("b", stopEn)} >= ${hitsIn("b", stopDe)} THEN 'en'
+         |  WHEN ${hitsIn("b", stopFr)} >= ${hitsIn("b", stopEs)}
+         |   AND ${hitsIn("b", stopFr)} >= ${hitsIn("b", stopDe)} THEN 'fr'
+         |  WHEN ${hitsIn("b", stopEs)} >= ${hitsIn("b", stopDe)} THEN 'es'
+         |  ELSE 'de' END""".stripMargin
+    def nOf(lang: String): Column =
+      expr(s"size(filter(preds, p -> p = '$lang'))").cast("long")
+    val langs = Seq("en", "fr", "es", "de", "zh")
+    val counts = langs.map(l => nOf(l).as(s"n_$l"))
+    val dom = expr(
+      """CASE
+        |  WHEN n_en >= n_fr AND n_en >= n_es AND n_en >= n_de AND n_en >= n_zh THEN 'en'
+        |  WHEN n_fr >= n_es AND n_fr >= n_de AND n_fr >= n_zh THEN 'fr'
+        |  WHEN n_es >= n_de AND n_es >= n_zh THEN 'es'
+        |  WHEN n_de >= n_zh THEN 'de'
+        |  ELSE 'zh' END""".stripMargin)
+    val domCount = expr("greatest(n_en, n_fr, n_es, n_de, n_zh)")
+    val nLangs = langs.map(l => when(col(s"n_$l") > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    docs
+      .select(col("doc_id"), col("lang"), words(col("text")).as("ws"))
+      .withColumn("blocks", expr(
+        s"transform(sequence(0, CAST(ceil(size(ws) / $bsz.0) AS INT) - 1)," +
+          s" i -> slice(ws, i * $bsz + 1, $bsz))"))
+      .withColumn("preds", expr(
+        s"transform(blocks, b -> $predBlock)"))
+      .select(Seq(col("doc_id"), col("lang"),
+        size(col("preds")).cast("long").as("n_blocks")) ++ counts: _*)
+      .withColumn("dom_lang", dom)
+      .withColumn("dom_share_ppm",
+        expr("greatest(n_en, n_fr, n_es, n_de, n_zh) * 1000000 DIV n_blocks"))
+      .withColumn("n_langs", nLangs.cast("long"))
+      .withColumn("is_mixed",
+        col("n_langs") >= 2 && col("dom_share_ppm") < 800000)
+      .orderBy("doc_id")
+  }
+
+  def langMixSql: String = {
+    def hitsIn(stops: Seq[String]): String =
+      s"len(list_filter(b, w -> w IN (${stops.map("'" + _ + "'").mkString(", ")})))"
+    val predBlock =
+      s"""CASE WHEN len(list_filter(b, w -> regexp_matches(w, '[一-龥]'))) > 0 THEN 'zh'
+         |  WHEN ${hitsIn(stopEn)} >= ${hitsIn(stopFr)}
+         |   AND ${hitsIn(stopEn)} >= ${hitsIn(stopEs)}
+         |   AND ${hitsIn(stopEn)} >= ${hitsIn(stopDe)} THEN 'en'
+         |  WHEN ${hitsIn(stopFr)} >= ${hitsIn(stopEs)}
+         |   AND ${hitsIn(stopFr)} >= ${hitsIn(stopDe)} THEN 'fr'
+         |  WHEN ${hitsIn(stopEs)} >= ${hitsIn(stopDe)} THEN 'es'
+         |  ELSE 'de' END""".stripMargin
+    s"""WITH w AS (
+       |  SELECT doc_id, lang,
+       |    string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents
+       |), blocked AS (
+       |  SELECT doc_id, lang,
+       |    list_transform(
+       |      generate_series(0, CAST(ceil(len(ws) / 20.0) AS INT) - 1),
+       |      i -> ws[i * 20 + 1 : i * 20 + 20]) AS blocks
+       |  FROM w
+       |), preds AS (
+       |  SELECT doc_id, lang,
+       |    list_transform(blocks, b -> $predBlock) AS preds
+       |  FROM blocked
+       |), counted AS (
+       |  SELECT doc_id, lang, len(preds)::BIGINT AS n_blocks,
+       |    len(list_filter(preds, p -> p = 'en'))::BIGINT AS n_en,
+       |    len(list_filter(preds, p -> p = 'fr'))::BIGINT AS n_fr,
+       |    len(list_filter(preds, p -> p = 'es'))::BIGINT AS n_es,
+       |    len(list_filter(preds, p -> p = 'de'))::BIGINT AS n_de,
+       |    len(list_filter(preds, p -> p = 'zh'))::BIGINT AS n_zh
+       |  FROM preds
+       |)
+       |SELECT doc_id, lang, n_blocks, n_en, n_fr, n_es, n_de, n_zh,
+       |  CASE
+       |    WHEN n_en >= n_fr AND n_en >= n_es AND n_en >= n_de AND n_en >= n_zh THEN 'en'
+       |    WHEN n_fr >= n_es AND n_fr >= n_de AND n_fr >= n_zh THEN 'fr'
+       |    WHEN n_es >= n_de AND n_es >= n_zh THEN 'es'
+       |    WHEN n_de >= n_zh THEN 'de'
+       |    ELSE 'zh' END AS dom_lang,
+       |  (greatest(n_en, n_fr, n_es, n_de, n_zh) * 1000000 // n_blocks)::BIGINT
+       |    AS dom_share_ppm,
+       |  ((n_en > 0)::INT + (n_fr > 0)::INT + (n_es > 0)::INT
+       |    + (n_de > 0)::INT + (n_zh > 0)::INT)::BIGINT AS n_langs,
+       |  ((n_en > 0)::INT + (n_fr > 0)::INT + (n_es > 0)::INT
+       |      + (n_de > 0)::INT + (n_zh > 0)::INT >= 2
+       |    AND (greatest(n_en, n_fr, n_es, n_de, n_zh) * 1000000 // n_blocks) < 800000)
+       |    AS is_mixed
+       |FROM counted ORDER BY doc_id""".stripMargin
+  }
+
   /** Fixed-size document chunking with overlap — the
     * context-window-preparation op of a training pipeline: each doc
     * becomes ⌈n/stride⌉ character chunks of `size` chars advancing by

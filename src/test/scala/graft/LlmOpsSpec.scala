@@ -116,6 +116,46 @@ class LlmOpsSpec extends SparkSuite {
       s"diagonal mass $correct of ${docs.length}")
   }
 
+  test("langMix flags planted mixed-language docs, clears pure ones") {
+    import spark.implicits._
+    // corpus surface: every doc classified, block counts reconcile
+    val corpus = TextOps.langMix(spark, sfDir).collect()
+    assert(corpus.length == Tables.documents(spark, sfDir).count())
+    corpus.foreach { r =>
+      val blocks = r.getAs[Long]("n_blocks")
+      val sum = Seq("n_en", "n_fr", "n_es", "n_de", "n_zh")
+        .map(r.getAs[Long]).sum
+      assert(sum == blocks, s"block counts must partition: $r")
+      assert(r.getAs[Long]("dom_share_ppm") <= 1000000L)
+    }
+    // planted fixtures: 20-word blocks by construction
+    val en20 = Seq.fill(20)("the and of to a in is word").mkString(" ")
+      .split(" ").take(20).mkString(" ")
+    val fr20 = Seq.fill(20)("le la et les des un une mot").mkString(" ")
+      .split(" ").take(20).mkString(" ")
+    val zh20 = Seq.fill(20)("天").mkString(" ")
+    val planted = Seq(
+      (1L, "en", s"$en20 $en20 $en20"),         // pure english
+      (2L, "en", s"$en20 $fr20"),               // half en / half fr
+      (3L, "zh", s"$zh20 $zh20"),               // pure cjk
+      (4L, "en", s"$en20 $en20 $en20 $en20 $fr20") // 80% en: NOT mixed
+    ).toDF("doc_id", "lang", "text")
+    val got = TextOps.langMixDocs(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!got(1L).getAs[Boolean]("is_mixed"))
+    assert(got(1L).getAs[String]("dom_lang") == "en")
+    assert(got(1L).getAs[Long]("dom_share_ppm") == 1000000L)
+    assert(got(2L).getAs[Boolean]("is_mixed"),
+      "a half-en half-fr doc must flag mixed")
+    assert(got(2L).getAs[Long]("n_langs") == 2L)
+    assert(got(2L).getAs[Long]("dom_share_ppm") == 500000L)
+    assert(got(3L).getAs[String]("dom_lang") == "zh"
+      && !got(3L).getAs[Boolean]("is_mixed"))
+    assert(!got(4L).getAs[Boolean]("is_mixed"),
+      "dominant share exactly 800000 ppm must NOT flag (strict <)")
+    assert(got(4L).getAs[Long]("dom_share_ppm") == 800000L)
+  }
+
   test("knnClassify labels the probe sample from its neighbors") {
     val res = Similarity.knnClassify(spark, sfDir).collect()
     val n = Tables.embeddings(spark, sfDir).count()
