@@ -104,6 +104,20 @@ object PerfLedger {
       }
   }
 
+  /** Durable ledger append: merge new records into the standing
+    * parquet ledger through the crash-safe stage-and-swap upsert
+    * (idempotent on (component_name, ts_ms) — a retried flush cannot
+    * double-count a batch, the same exactly-once discipline the tick
+    * sinks keep).
+    */
+  def appendLedger(spark: SparkSession, recs: Seq[PerfRec],
+      path: String): Unit =
+    graft.sources.Sinks.upsertParquet(ledgerOf(spark, recs), path,
+      keyCols = Seq("component_name", "ts_ms"), versionCol = "ts_ms")
+
+  def readLedger(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** The monitoring view over a ledger — per component: batch count,
     * row/error masses, latency mean/max, and throughput (rows per
     * wall-second). One tiny aggregate over ops-metadata.

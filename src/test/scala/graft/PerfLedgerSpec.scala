@@ -50,6 +50,26 @@ class PerfLedgerSpec extends SparkSuite {
     assert(roll("c2").getAs[Long]("n_batches") == 1L)
   }
 
+  test("ledger persistence is an idempotent crash-safe upsert") {
+    val path = java.nio.file.Files.createTempDirectory("perfled").toString + "/ledger"
+    val batch1 = Seq(
+      PerfLedger.PerfRec("c1", 1000L, 10.0, 100L, 0L),
+      PerfLedger.PerfRec("c2", 1000L, 5.0, 50L, 0L))
+    PerfLedger.appendLedger(spark, batch1, path)
+    // a RETRIED flush of the same records must not double-count
+    PerfLedger.appendLedger(spark, batch1, path)
+    assert(PerfLedger.readLedger(spark, path).count() == 2)
+    // later batches accumulate
+    PerfLedger.appendLedger(spark,
+      Seq(PerfLedger.PerfRec("c1", 2000L, 20.0, 200L, 0L)), path)
+    val led = PerfLedger.readLedger(spark, path)
+    assert(led.count() == 3)
+    val roll = PerfLedger.rollup(led).collect()
+      .map(r => r.getAs[String]("component_name") -> r).toMap
+    assert(roll("c1").getAs[Long]("n_batches") == 2L)
+    assert(roll("c1").getAs[Long]("total_rows") == 300L)
+  }
+
   test("streaming listener ledgers every microbatch for free") {
     val listener = new PerfLedger.BatchPerfListener
     spark.streams.addListener(listener)
