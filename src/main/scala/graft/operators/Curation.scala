@@ -2911,4 +2911,78 @@ object Curation {
        |    AS target
        |FROM s ORDER BY doc_id""".stripMargin
   }
+
+  /** FILL-IN-THE-MIDDLE transformation — [[spanCorruption]]'s infilling
+    * sibling (Bavarian et al. 2022, "FIM-for-free"): half the corpus
+    * (deterministic doc-hash gate, the [[docPrio]] idiom) is rewritten
+    * PSM-style — `<PRE> prefix <SUF> suffix <MID> middle` — so the
+    * model learns to infill conditioned on both sides; the other half
+    * passes through verbatim (the paper's 0.5 FIM rate). The two cut
+    * points are DETERMINISTIC per doc: a = h₁ mod (n+1),
+    * b = a + h₂ mod (n−a+1) over the shared whitespace tokens —
+    * multiplicative-hash integers both engines evaluate identically
+    * (no RNG: the transform is reproducible and resumable at 100 TB,
+    * the [[spanCorruption]] contract). Emits the cut points next to
+    * the rewritten text so the round-trip invariant is checkable:
+    * prefix + middle + suffix restores every doc verbatim (spec).
+    *
+    * Cross-engine exactness: pure integer arithmetic + string
+    * assembly — no floats anywhere. Scale shape: a pure PER-ROW
+    * projection, zero exchanges, streaming-legal.
+    */
+  def fim(spark: SparkSession, dir: String): DataFrame =
+    fimDocs(Tables.documents(spark, dir))
+
+  private[graft] def fimDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(trim(col("text")), "[ \\t\\n\\f\\r]+"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("is_fim", expr(
+        "(doc_id % 1000003 * 2654435761) % 1000000 < 500000"))
+      .withColumn("cut_a", expr(
+        "CASE WHEN is_fim THEN" +
+          " (((doc_id * 17 + 1) % 1000003) * 2654435761) % (n_tokens + 1)" +
+          " END"))
+      .withColumn("cut_b", expr(
+        "CASE WHEN is_fim THEN cut_a +" +
+          " (((doc_id * 29 + 2) % 1000003) * 2654435761)" +
+          " % (n_tokens - cut_a + 1) END"))
+      .withColumn("fim_text", expr(
+        """CASE WHEN is_fim THEN concat_ws(' ', concat(
+          |    array('<PRE>'), slice(toks, 1, CAST(cut_a AS INT)),
+          |    array('<SUF>'), slice(toks, CAST(cut_b + 1 AS INT),
+          |      CAST(n_tokens - cut_b AS INT)),
+          |    array('<MID>'), slice(toks, CAST(cut_a + 1 AS INT),
+          |      CAST(cut_b - cut_a AS INT))))
+          |  ELSE concat_ws(' ', toks) END""".stripMargin))
+      .select("doc_id", "n_tokens", "is_fim", "cut_a", "cut_b", "fim_text")
+      .orderBy("doc_id")
+
+  def fimSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    string_split_regex(trim(text), '\s+') AS toks,
+      |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+      |    ((doc_id % 1000003 * 2654435761) % 1000000 < 500000) AS is_fim
+      |  FROM documents
+      |), c AS (
+      |  SELECT *,
+      |    CASE WHEN is_fim THEN
+      |      (((doc_id * 17 + 1) % 1000003) * 2654435761) % (n_tokens + 1)
+      |      END AS cut_a
+      |  FROM t
+      |), d AS (
+      |  SELECT *,
+      |    CASE WHEN is_fim THEN cut_a +
+      |      (((doc_id * 29 + 2) % 1000003) * 2654435761)
+      |      % (n_tokens - cut_a + 1) END AS cut_b
+      |  FROM c
+      |)
+      |SELECT doc_id, n_tokens, is_fim, cut_a, cut_b,
+      |  CASE WHEN is_fim THEN array_to_string(flatten([
+      |      ['<PRE>'], toks[1 : cut_a],
+      |      ['<SUF>'], toks[cut_b + 1 : n_tokens],
+      |      ['<MID>'], toks[cut_a + 1 : cut_b]]), ' ')
+      |    ELSE array_to_string(toks, ' ') END AS fim_text
+      |FROM d ORDER BY doc_id""".stripMargin
 }

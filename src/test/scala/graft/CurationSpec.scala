@@ -1319,4 +1319,44 @@ class CurationSpec extends SparkSuite {
     val rate = totMask.toDouble / totTok
     assert(rate > 0.10 && rate < 0.19, s"mask rate $rate off design")
   }
+
+  test("fim round-trips: prefix + middle + suffix restores every doc") {
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = Curation.fim(spark, sfDir).collect()
+    assert(rows.length == texts.size)
+    var nFim = 0
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val orig = texts(id).trim.split("\\s+").toSeq
+      assert(r.getAs[Long]("n_tokens") == orig.length, s"$id tokens")
+      val out = r.getAs[String]("fim_text")
+      if (!r.getAs[Boolean]("is_fim")) {
+        assert(out == orig.mkString(" "), s"$id pass-through drift")
+        assert(r.isNullAt(r.fieldIndex("cut_a"))
+          && r.isNullAt(r.fieldIndex("cut_b")), s"$id cuts must be null")
+      } else {
+        nFim += 1
+        val a = r.getAs[Long]("cut_a")
+        val b = r.getAs[Long]("cut_b")
+        assert(0 <= a && a <= b && b <= orig.length, s"$id cut bounds")
+        // parse PSM: <PRE> prefix <SUF> suffix <MID> middle
+        val pre = out.indexOf("<PRE>"); val suf = out.indexOf("<SUF>")
+        val mid = out.indexOf("<MID>")
+        assert(pre == 0 && suf > 0 && mid > suf, s"$id sentinel order")
+        def seg(s: String) =
+          if (s.trim.isEmpty) Seq.empty[String] else s.trim.split(" ").toSeq
+        val prefix = seg(out.substring(5, suf))
+        val suffix = seg(out.substring(suf + 5, mid))
+        val middle = seg(out.substring(mid + 5))
+        assert(prefix ++ middle ++ suffix == orig, s"$id round trip")
+        // the cuts ARE the segment boundaries
+        assert(prefix.length == a && middle.length == b - a, s"$id cut use")
+      }
+    }
+    // the designed 0.5 FIM rate (generous band)
+    val rate = nFim.toDouble / rows.length
+    assert(rate > 0.4 && rate < 0.6, s"fim rate $rate off design")
+  }
 }
