@@ -2931,8 +2931,12 @@ object Curation {
     * projection, zero exchanges, streaming-legal.
     */
   def fim(spark: SparkSession, dir: String): DataFrame =
-    fimDocs(Tables.documents(spark, dir))
+    fimDocs(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Unordered kernel — the streaming dual serves THIS (a stateless
+    * per-row projection; the dir-level wrapper adds only the oracle
+    * determinism sort, which a stream cannot and need not have).
+    */
   private[graft] def fimDocs(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(trim(col("text")), "[ \\t\\n\\f\\r]+"))
@@ -2956,7 +2960,6 @@ object Curation {
           |      CAST(cut_b - cut_a AS INT))))
           |  ELSE concat_ws(' ', toks) END""".stripMargin))
       .select("doc_id", "n_tokens", "is_fim", "cut_a", "cut_b", "fim_text")
-      .orderBy("doc_id")
 
   def fimSql: String =
     """WITH t AS (

@@ -368,8 +368,12 @@ object TextOps {
     * with DuckDB list lambdas and hashes exactly.
     */
   def langMix(spark: SparkSession, dir: String): DataFrame =
-    langMixDocs(Tables.documents(spark, dir))
+    langMixDocs(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** Unordered kernel — the streaming dual serves THIS (stateless
+    * per-row folds; the dir-level wrapper adds only the oracle
+    * determinism sort).
+    */
   private[graft] def langMixDocs(docs: DataFrame): DataFrame = {
     val bsz = 20
     def hitsIn(b: String, stops: Seq[String]): String =
@@ -412,7 +416,6 @@ object TextOps {
       .withColumn("n_langs", nLangs.cast("long"))
       .withColumn("is_mixed",
         col("n_langs") >= 2 && col("dom_share_ppm") < 800000)
-      .orderBy("doc_id")
   }
 
   def langMixSql: String = {

@@ -423,6 +423,24 @@ object TickStream extends Serializable {
   def c4DocsStream(docs: DataFrame): DataFrame =
     graft.operators.Curation.c4FiltersDocs(docs)
 
+  /** Streaming dual of the FIM transform
+    * ([[graft.operators.Curation.fim]]): the deterministic hash gate
+    * and cut points are pure per-row integer work, so the rewrite is
+    * a stateless projection — no shuffle, no state; an arriving doc's
+    * infill rewrite is identical whether it flows through the stream
+    * or the batch query (spec-asserted).
+    */
+  def fimDocsStream(docs: DataFrame): DataFrame =
+    graft.operators.Curation.fimDocs(docs)
+
+  /** Streaming dual of the mixed-language gate
+    * ([[graft.operators.TextOps.langMix]]): block classification and
+    * the rollup are HOF folds inside the row — stateless projection,
+    * verdicts equal the batch query exactly (spec-asserted).
+    */
+  def langMixDocsStream(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.langMixDocs(docs)
+
   /** Streaming PRICE-ANOMALY gate — train offline, serve online, the
     * tick-side sibling of [[importanceDocsStream]]: the symbol-sized
     * robust (median, MAD) model

@@ -869,6 +869,26 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streaming FIM rewrites equal the batch transform") {
+    val out = TickStream.fimDocsStream(TickStream.docsStream(spark, sfDir))
+    runToMemory(out, "doc_fim")
+    val streamed = spark.table("doc_fim")
+    val batch = graft.operators.Curation.fim(spark, sfDir)
+    assert(streamed.count() == batch.count())
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
+  test("streaming mixed-language verdicts equal the batch gate") {
+    val out = TickStream.langMixDocsStream(TickStream.docsStream(spark, sfDir))
+    runToMemory(out, "doc_langmix")
+    val streamed = spark.table("doc_langmix")
+    val batch = graft.operators.TextOps.langMix(spark, sfDir)
+    assert(streamed.count() == batch.count())
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("streamed hashed importance scores are bit-identical to batch") {
     val batchDocs = Tables.documents(spark, sfDir)
     val model = graft.operators.Curation.hashedImportanceModel(batchDocs)
