@@ -1094,6 +1094,76 @@ object Dedup {
       |SELECT vec_id, cluster_id, (vec_id = cluster_id) AS keep
       |FROM clusters ORDER BY vec_id""".stripMargin
 
+  /** CONTRASTIVE TRIPLET MINING over the resolved clusters — the
+    * embedding-training data prep that makes a dedup artifact pay
+    * twice (the SimCSE-style supervision bootstrap: near-duplicates
+    * ARE labeled positives): every member of a ≥2-doc cluster anchors
+    * one triplet, positive = the smallest OTHER member of its cluster
+    * (deterministic, no RNG), negative = the representative of the
+    * numerically-NEXT cluster (wrapping at the end) — a different
+    * connected component by construction, so the negative provably
+    * isn't a near-dup of the anchor. At production scale the negative
+    * leg swaps to ANN-mined hard negatives (the
+    * [[graft.operators.Similarity]] serve path) — same output
+    * contract; this deterministic form is the oracle-checkable
+    * baseline.
+    *
+    * Scale shape: everything above the cluster resolution is
+    * cluster-partitioned windows; the next-cluster map is a window
+    * over the DISTINCT cluster ids (~log-row table, the documented
+    * aggregated-window idiom) broadcast-joined back. All integer →
+    * hash-exact.
+    */
+  def tripletMine(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = embeddingClusters(spark, dir)
+      .select("vec_id", "cluster_id")
+    val wc = Window.partitionBy("cluster_id")
+    // cluster_id IS each cluster's representative (label = min member)
+    val wOrd = Window.orderBy("cluster_id")
+    val all = Window.partitionBy()
+    val negs = clusters.select("cluster_id").distinct()
+      .withColumn("negative_id", coalesce(
+        lead("cluster_id", 1).over(wOrd), min("cluster_id").over(all)))
+    clusters
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .filter(col("cluster_size") >= 2)
+      .withColumn("min1", min("vec_id").over(wc))
+      .withColumn("min2", min(when(col("vec_id") =!= col("min1"),
+        col("vec_id"))).over(wc))
+      .withColumn("positive_id", when(col("vec_id") === col("min1"),
+        col("min2")).otherwise(col("min1")))
+      .join(broadcast(negs), Seq("cluster_id"))
+      .filter(col("negative_id") =!= col("cluster_id"))
+      .select(col("vec_id").as("anchor_id"), col("positive_id"),
+        col("negative_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("anchor_id")
+  }
+
+  def tripletMineSql: String =
+    s"""WITH RECURSIVE $clusterClosureCtes
+      |, m1 AS (
+      |  SELECT vec_id, cluster_id,
+      |    count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size,
+      |    min(vec_id) OVER (PARTITION BY cluster_id) AS min1
+      |  FROM clusters
+      |), sized AS (
+      |  SELECT *, min(CASE WHEN vec_id <> min1 THEN vec_id END)
+      |    OVER (PARTITION BY cluster_id) AS min2
+      |  FROM m1
+      |), negs AS (
+      |  SELECT cluster_id,
+      |    coalesce(lead(cluster_id) OVER (ORDER BY cluster_id),
+      |      min(cluster_id) OVER ()) AS negative_id
+      |  FROM (SELECT DISTINCT cluster_id FROM clusters)
+      |)
+      |SELECT s.vec_id AS anchor_id,
+      |  CASE WHEN s.vec_id = s.min1 THEN s.min2 ELSE s.min1 END AS positive_id,
+      |  n.negative_id, s.cluster_id, s.cluster_size
+      |FROM sized s JOIN negs n ON n.cluster_id = s.cluster_id
+      |WHERE s.cluster_size >= 2 AND n.negative_id <> s.cluster_id
+      |ORDER BY anchor_id""".stripMargin
+
   /** Cluster resolution over the MINHASH near-dup pair graph — the
     * proof that [[connectedComponents]] composes with ANY pair
     * source, not just the embedding kernel the oracled clusters use:

@@ -1992,6 +1992,34 @@ class LlmOpsSpec extends SparkSuite {
       total - sizes.size)
   }
 
+  test("tripletMine anchors every clustered doc with in/out-of-cluster mates") {
+    import graft.operators.Dedup
+    val byDoc = Dedup.embeddingClusters(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    val sizes = byDoc.groupBy(_._2).view.mapValues(_.size).toMap
+    val trips = Dedup.tripletMine(spark, sfDir).collect()
+    // exactly the members of >=2-doc clusters anchor a triplet
+    val expectedAnchors = byDoc.filter { case (_, c) => sizes(c) >= 2 }.keySet
+    assert(trips.map(_.getAs[Long]("anchor_id")).toSet == expectedAnchors)
+    assert(trips.length == expectedAnchors.size, "one triplet per anchor")
+    trips.foreach { t =>
+      val a = t.getAs[Long]("anchor_id")
+      val p = t.getAs[Long]("positive_id")
+      val n = t.getAs[Long]("negative_id")
+      val c = t.getAs[Long]("cluster_id")
+      assert(byDoc(a) == c && t.getAs[Long]("cluster_size") == sizes(c))
+      // positive: a DIFFERENT member of the SAME cluster — the
+      // smallest other member
+      assert(p != a && byDoc(p) == c, s"positive $p not a cluster mate of $a")
+      val others = byDoc.collect { case (d, cc) if cc == c && d != a => d }
+      assert(p == others.min, s"positive must be the smallest other member")
+      // negative: a representative of a DIFFERENT component — provably
+      // not a near-dup of the anchor
+      assert(byDoc(n) != c, s"negative $n shares the anchor's cluster")
+      assert(byDoc(n) == n, s"negative $n must be a cluster representative")
+    }
+  }
+
   test("embedPca: orthonormal basis, descending lambdas, Parseval, refit-stable") {
     val model = Similarity.fitPca(spark, sfDir, 8)
     val d = model.mean.length
