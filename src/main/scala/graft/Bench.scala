@@ -39,7 +39,11 @@ object Bench {
     // round 9 continuation: the SAR state-machine fold — the fold
     // tier's most stateful plan, tracked so an accumulator-shaped
     // regression (collect_list blowup, lost map-side combine) shows
-    "q_psar")
+    "q_psar",
+    // round 10: the per-row HOF-fold text transforms (block language
+    // classification; FIM rewrite) — tracked so a regression that
+    // breaks the zero-shuffle narrow-scan shape shows
+    "q_lang_mix", "q_fim")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
