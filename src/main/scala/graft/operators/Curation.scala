@@ -631,6 +631,74 @@ object Curation {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source PII DENSITY report — the governance view a corpus
+    * owner reads before deciding whether a source needs the
+    * [[redactPiiDocs]] pass at all (and audits after it ran): per
+    * source, the per-class match masses (url / email / ssn, the same
+    * fixed [[PiiPatterns]] order the scrubber applies), how many docs
+    * carry ANY match, that as ppm of the source, and total matches
+    * per million tokens — the density number that makes sources
+    * comparable across wildly different sizes. All integer (`DIV`) →
+    * hash-exact.
+    *
+    * Scale shape: per-class regexp counts are codegen'd per-row work;
+    * ONE map-side-combined (source)-keyed aggregate; the report is
+    * sources-sized.
+    */
+  def piiStats(spark: SparkSession, dir: String): DataFrame =
+    piiStatsDocs(Tables.documents(spark, dir))
+
+  private[graft] def piiStatsDocs(docs: DataFrame): DataFrame = {
+    val perDoc = docs
+      .select(Seq(col("source"),
+        size(filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
+          w => w =!= lit(""))).cast("long").as("n_tok")) ++
+        PiiPatterns.map { case (name, pat) =>
+          regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$name")
+        }: _*)
+    val classSums = PiiPatterns.map { case (name, _) =>
+      sum(s"n_$name").as(s"${name}_matches") }
+    val anyPii = PiiPatterns.map(p => col(s"n_${p._1}")).reduce(_ + _) > 0
+    perDoc
+      .withColumn("has_pii", anyPii.cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (Seq(sum("n_tok").as("n_tokens")) ++ classSums :+
+          sum("has_pii").as("docs_with_pii")): _*)
+      .withColumn("pii_docs_ppm",
+        expr("docs_with_pii * 1000000 DIV n_docs"))
+      .withColumn("pii_per_mtok", expr(
+        s"(${PiiPatterns.map(p => s"${p._1}_matches").mkString(" + ")})" +
+          " * 1000000 DIV n_tokens"))
+      .orderBy("source")
+  }
+
+  def piiStatsSql: String = {
+    val perDoc = PiiPatterns.map { case (name, pat) =>
+      s"len(regexp_extract_all(text, '$pat'))::BIGINT AS n_$name"
+    }.mkString(",\n      |    ")
+    val sums = PiiPatterns.map { case (name, _) =>
+      s"sum(n_$name)::BIGINT AS ${name}_matches" }.mkString(", ")
+    val anyPii = PiiPatterns.map(p => s"n_${p._1}").mkString(" + ")
+    val total = PiiPatterns.map(p => s"${p._1}_matches").mkString(" + ")
+    s"""WITH per_doc AS (
+      |  SELECT source,
+      |    len(list_filter(string_split_regex(trim(text), '\\s+'),
+      |      w -> w <> ''))::BIGINT AS n_tok,
+      |    $perDoc
+      |  FROM documents
+      |), agg AS (
+      |  SELECT source, count(*)::BIGINT AS n_docs,
+      |    sum(n_tok)::BIGINT AS n_tokens, $sums,
+      |    sum(CASE WHEN $anyPii > 0 THEN 1 ELSE 0 END)::BIGINT
+      |      AS docs_with_pii
+      |  FROM per_doc GROUP BY source
+      |)
+      |SELECT *, (docs_with_pii * 1000000 // n_docs)::BIGINT AS pii_docs_ppm,
+      |  (($total) * 1000000 // n_tokens)::BIGINT AS pii_per_mtok
+      |FROM agg ORDER BY source""".stripMargin
+  }
+
   /** Context-window budget for [[packSequences]]. */
   private[graft] val PackBudget = 2048L
 

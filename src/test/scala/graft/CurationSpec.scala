@@ -1124,6 +1124,36 @@ class CurationSpec extends SparkSuite {
     assert(rows.forall(_.getLong(2) == 0L), "synthetic corpus must be pii-free")
   }
 
+  test("piiStats reports per-source class masses and densities") {
+    import spark.implicits._
+    // corpus surface: pii-free, every source all-zero but tokens real
+    val corpus = Curation.piiStats(spark, sfDir).collect()
+    assert(corpus.forall(r => r.getAs[Long]("docs_with_pii") == 0L
+      && r.getAs[Long]("pii_per_mtok") == 0L))
+    assert(corpus.map(_.getAs[Long]("n_tokens")).sum ==
+      Curation.domainStats(spark, sfDir).collect()
+        .map(_.getAs[Long]("n_tokens")).sum)
+    // planted frame: class counts, doc flags, and the density math
+    val planted = Seq(
+      (1L, "a", "mail jane.doe@corp.example.com and bob@x.io now"),
+      (2L, "a", "see https://example.com/a plus ssn 123-45-6789 here"),
+      (3L, "a", "one two three four five six seven eight nine ten"),
+      (4L, "b", "clean text only")).toDF("doc_id", "source", "text")
+    val got = Curation.piiStatsDocs(planted).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Long]("email_matches") == 2L)
+    assert(a.getAs[Long]("url_matches") == 1L)
+    assert(a.getAs[Long]("ssn_matches") == 1L)
+    assert(a.getAs[Long]("docs_with_pii") == 2L)
+    assert(a.getAs[Long]("pii_docs_ppm") == 2L * 1000000L / 3L)
+    assert(a.getAs[Long]("pii_per_mtok") ==
+      4L * 1000000L / a.getAs[Long]("n_tokens"))
+    val b = got("b")
+    assert(b.getAs[Long]("docs_with_pii") == 0L
+      && b.getAs[Long]("pii_docs_ppm") == 0L)
+  }
+
   test("weightedSample replays priority sampling and keeps every w >= tau") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select("doc_id", "source", "n_chars").collect()
