@@ -171,6 +171,17 @@ object ScaleProbe {
     // driver merge + the survivors-only exact join — must track the
     // CMS line (both are single-scan summaries)
     time("heavy_hitters_mg")(operators.TextOps.heavyHittersMgDocs(bigDocs))
+    // round-10 per-row text transforms: HOF folds inside the row —
+    // must track the gopher-chain narrow-scan line exactly (zero
+    // shuffle, linear in rows)
+    time("fim")(operators.Curation.fimDocs(bigDocs))
+    time("lang_mix")(operators.TextOps.langMixDocs(bigDocs))
+    // PII density: codegen'd regexp counts + ONE source-keyed partial
+    // agg — the domain-stats floor
+    time("pii_stats")(operators.Curation.piiStatsDocs(bigDocs))
+    // epoch-mix plan: one (source, sum) aggregate then sources-sized
+    // windows — must price as a single corpus agg, flat above it
+    time("epoch_mix")(operators.Curation.epochMixDocs(bigDocs))
 
     // ANN index families over a replicated embedding corpus (distinct
     // vec_ids per replica; probes stay the fixed vec_id < 5 set).
