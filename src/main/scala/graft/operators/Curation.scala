@@ -612,11 +612,16 @@ object Curation {
     * inside a URL) count once per pattern on both engines.
     */
   def redactPiiDocs(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        redactPii(col("text")).as("clean_text"),
-        piiCount(col("text")).as("n_pii_matches"))
-      .orderBy("doc_id")
+    redactDocs(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Unordered kernel — the streaming ingestion scrub serves THIS
+    * (stateless per-row projection; the dir wrapper adds only the
+    * oracle determinism sort).
+    */
+  private[graft] def redactDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      redactPii(col("text")).as("clean_text"),
+      piiCount(col("text")).as("n_pii_matches"))
 
   def redactPiiSql: String = {
     // SQL string literals don't process backslashes, so the Scala

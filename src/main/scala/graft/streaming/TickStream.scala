@@ -423,6 +423,16 @@ object TickStream extends Serializable {
   def c4DocsStream(docs: DataFrame): DataFrame =
     graft.operators.Curation.c4FiltersDocs(docs)
 
+  /** Streaming PII scrub — the redaction pass applied AT INGESTION so
+    * raw identifiers never land in the lake: the same fixed-order
+    * pattern scrub and pre-scrub match count as the batch
+    * [[graft.operators.Curation.redactPiiDocs]] (one definition, so
+    * stream and batch cannot drift). Stateless projection — no
+    * shuffle, composes into any stream stage.
+    */
+  def redactDocsStream(docs: DataFrame): DataFrame =
+    graft.operators.Curation.redactDocs(docs)
+
   /** Streaming dual of the FIM transform
     * ([[graft.operators.Curation.fim]]): the deterministic hash gate
     * and cut points are pure per-row integer work, so the rewrite is

@@ -869,6 +869,16 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streaming PII scrub equals the batch redaction") {
+    val out = TickStream.redactDocsStream(TickStream.docsStream(spark, sfDir))
+    runToMemory(out, "doc_redact")
+    val streamed = spark.table("doc_redact")
+    val batch = graft.operators.Curation.redactPiiDocs(spark, sfDir)
+    assert(streamed.count() == batch.count())
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("streaming FIM rewrites equal the batch transform") {
     val out = TickStream.fimDocsStream(TickStream.docsStream(spark, sfDir))
     runToMemory(out, "doc_fim")
