@@ -409,8 +409,8 @@ object Dedup {
     * query entry is driver determinism only and would cost a useless
     * global sort mid-pipeline).
     */
-  private[operators] def embeddingPairsLshBase(spark: SparkSession,
-      dir: String, radius: Int = 3): DataFrame = {
+  private[graft] def embeddingPairsLshBase(spark: SparkSession,
+      dir: String, radius: Int = 3, minCos: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
@@ -423,7 +423,7 @@ object Dedup {
     a.join(b, Seq("code"))
       .filter(col("a_id") < col("b_id"))
       .withColumn("cos", dot(col("a_v"), col("b_v")) / (col("a_norm") * col("b_norm")))
-      .filter(col("cos") >= 0.4)
+      .filter(col("cos") >= minCos)
   }
 
   /** SemDeDup-style near-dup candidates (Abbas et al. 2023): coarse
@@ -1137,6 +1137,65 @@ object Dedup {
       .filter(col("negative_id") =!= col("cluster_id"))
       .select(col("vec_id").as("anchor_id"), col("positive_id"),
         col("negative_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("anchor_id")
+  }
+
+  /** [[tripletMine]]'s PRODUCTION dual — HARD negatives: instead of
+    * the arbitrary next-cluster representative, each anchor's
+    * negative is its most-similar vector from a DIFFERENT component,
+    * drawn from the LSH bucket collisions (the Hamming-radius
+    * candidate join with the duplicate cos-floor REMOVED — a
+    * cross-component candidate necessarily sits below the 0.4 edge
+    * threshold, so the floor that is correct for dedup would erase
+    * exactly the hard-negative band). Hard negatives are what make a
+    * contrastive embedder sweat: the easy dual's negatives are
+    * trivially separable; these sit just outside the duplicate
+    * boundary. Anchors with no cross-component collision drop
+    * (documented — at production radius/tables the collision set
+    * covers the near field by construction; the recall probes
+    * quantify it).
+    *
+    * Scale shape: the SAME bucket-keyed equi-join as the LSH dedup
+    * (no all-pairs anywhere), cluster membership attached by one
+    * keyed join, then a per-anchor rank window on the candidate set.
+    * LSH codes aren't SQL-expressible → rows-only + spec (the
+    * reconciliation recount is exact).
+    */
+  def tripletMineHard(spark: SparkSession, dir: String,
+      radius: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clusters = embeddingClusters(spark, dir)
+      .select("vec_id", "cluster_id")
+    val wc = Window.partitionBy("cluster_id")
+    val anchors = clusters
+      .withColumn("cluster_size", count(lit(1)).over(wc))
+      .filter(col("cluster_size") >= 2)
+      .withColumn("min1", min("vec_id").over(wc))
+      .withColumn("min2", min(when(col("vec_id") =!= col("min1"),
+        col("vec_id"))).over(wc))
+      .withColumn("positive_id", when(col("vec_id") === col("min1"),
+        col("min2")).otherwise(col("min1")))
+      .select(col("vec_id").as("anchor_id"), col("positive_id"),
+        col("cluster_id"), col("cluster_size"))
+    val pairs = embeddingPairsLshBase(spark, dir, radius, minCos = -1.0)
+      .select(col("a_id"), col("b_id"), col("cos"))
+    val cands = pairs.select(col("a_id").as("anchor_id"),
+        col("b_id").as("cand_id"), col("cos"))
+      .unionByName(pairs.select(col("b_id").as("anchor_id"),
+        col("a_id").as("cand_id"), col("cos")))
+      .join(clusters.select(col("vec_id").as("cand_id"),
+        col("cluster_id").as("cand_cluster")), Seq("cand_id"))
+    val wr = Window.partitionBy("anchor_id")
+      .orderBy(col("cos").desc, col("cand_id"))
+    anchors
+      .join(cands, Seq("anchor_id"))
+      .filter(col("cand_cluster") =!= col("cluster_id"))
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") === 1)
+      .select(col("anchor_id"), col("positive_id"),
+        col("cand_id").as("hard_negative_id"),
+        round(col("cos"), 6).as("neg_cosine"),
+        col("cluster_id"), col("cluster_size"))
       .orderBy("anchor_id")
   }
 

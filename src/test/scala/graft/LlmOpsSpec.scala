@@ -2020,6 +2020,47 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("tripletMineHard picks the most-similar out-of-cluster LSH candidate") {
+    import graft.operators.Dedup
+    val byDoc = Dedup.embeddingClusters(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    val easy = Dedup.tripletMine(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("anchor_id") ->
+        r.getAs[Long]("positive_id")).toMap
+    // driver recount of the full unfloored LSH candidate set
+    val pairs = Dedup.embeddingPairsLshBase(spark, sfDir, minCos = -1.0)
+      .select("a_id", "b_id", "cos").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cos")))
+    val candsOf = (pairs.map(p => (p._1, (p._2, p._3))) ++
+      pairs.map(p => (p._2, (p._1, p._3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val hard = Dedup.tripletMineHard(spark, sfDir).collect()
+    assert(hard.nonEmpty, "no hard triplets on the clustered corpus")
+    val seen = hard.map(_.getAs[Long]("anchor_id")).toSet
+    hard.foreach { t =>
+      val a = t.getAs[Long]("anchor_id")
+      val n = t.getAs[Long]("hard_negative_id")
+      // same anchor set semantics + the SAME positive as the easy dual
+      assert(easy.contains(a), s"anchor $a not a clustered-doc anchor")
+      assert(t.getAs[Long]("positive_id") == easy(a), s"positive drift $a")
+      // negative: out-of-component, and THE argmax of the candidate set
+      assert(byDoc(n) != byDoc(a), s"hard negative $n shares $a's cluster")
+      val cross = candsOf(a).filter { case (c, _) => byDoc(c) != byDoc(a) }
+      val best = cross.maxBy { case (c, cos) => (cos, -c) }
+      assert(n == best._1, s"anchor $a: expected ${best._1}, got $n")
+      assert(math.abs(t.getAs[Double]("neg_cosine") -
+        math.round(best._2 * 1e6) / 1e6) < 1e-12)
+    }
+    // anchors with no cross-cluster collision drop — every OTHER easy
+    // anchor must be present
+    easy.keySet.diff(seen).foreach { a =>
+      val cross = candsOf.getOrElse(a, Array.empty[(Long, Double)])
+        .filter { case (c, _) => byDoc(c) != byDoc(a) }
+      assert(cross.isEmpty, s"anchor $a dropped despite candidates")
+    }
+  }
+
   test("embedPca: orthonormal basis, descending lambdas, Parseval, refit-stable") {
     val model = Similarity.fitPca(spark, sfDir, 8)
     val d = model.mean.length
