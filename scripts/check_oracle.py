@@ -59,8 +59,11 @@ def column_mismatch(a, b):
             return ([repr(x) for x in av[ne][:3]],
                     [repr(x) for x in bv[ne][:3]])
         return None
-    if ka == "M":  # datetimes: NaT-safe via the int64 view
-        ne = a.to_numpy().view("int64") != b.to_numpy().view("int64")
+    if ka == "M":  # datetimes: NaT-safe via the int64 view; normalize
+        # resolution first (DuckDB .df() yields datetime64[us], parquet
+        # loads datetime64[ns] — equal instants would byte-differ 1000x)
+        ne = (a.to_numpy().astype("datetime64[ns]").view("int64") !=
+              b.to_numpy().astype("datetime64[ns]").view("int64"))
         if ne.any():
             return (a[ne].head(3).tolist(), b[ne].head(3).tolist())
         return None

@@ -236,7 +236,15 @@ object Bench {
     val warm = results.map(r => r._1 -> r._2)
     val extWarm = extResults.map(r => r._1 -> r._2)
     val cold = (results ++ extResults).map(r => r._1 -> r._3)
-    println(s"""{"metric":"total","value":${tot(warm)},"unit":"sec","queries":${fmt(warm)},"extended":${fmt(extWarm)},"extended_total":${tot(extWarm)},"cold":${fmt(cold)},"cold_total":${tot(cold)},"streaming_rows_per_sec":${fmt(streaming)},"stream_shuffle_partitions":$streamParts,"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
+    // two lines, detail FIRST: the driver keeps only the tail of
+    // stdout, and the full detail line (headline + extended + cold
+    // maps) outgrew it — so the LAST line is a compact summary that
+    // always fits whole in the tail and carries every graded total,
+    // plus the headline per-query map (the original contract shape).
+    // The detail line above it keeps the full per-query record for
+    // anyone reading the artifact directly.
+    println(s"""{"metric":"detail","extended":${fmt(extWarm)},"cold":${fmt(cold)},"stream_shuffle_partitions":$streamParts,"runs":$runs}""")
+    println(s"""{"metric":"total","value":${tot(warm)},"unit":"sec","queries":${fmt(warm)},"headline_total":${tot(warm)},"extended_total":${tot(extWarm)},"cold_total":${tot(cold)},"streaming_rows_per_sec":${fmt(streaming)},"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

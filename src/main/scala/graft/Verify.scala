@@ -5,10 +5,21 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // args: sfDir outDir [queryName...] — trailing names restrict the
-    // dump to those queries (local iteration; the driver passes two)
+    // args: sfDir outDir [queryName... | skip:name... | sqlonly] —
+    // trailing names restrict the dump to those queries (local
+    // iteration; the driver passes two); skip:-prefixed names exclude
+    // (the replica sweep drops the verify-scale all-pairs baselines);
+    // "sqlonly" restricts to oracle-backed queries
     val Array(sfDir, outDir) = args.take(2)
-    val only = args.drop(2).toSet
+    val rest = args.drop(2)
+    val skip = rest.filter(_.startsWith("skip:"))
+      .map(_.stripPrefix("skip:")).toSet
+    val sqlOnly = rest.contains("sqlonly")
+    val only = rest.filterNot(a => a.startsWith("skip:") || a == "sqlonly")
+      .toSet
+    def selected(name: String): Boolean =
+      (only.isEmpty || only(name)) && !skip(name) &&
+        (!sqlOnly || SparkEntry.oracleSql.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +30,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) => selected(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -40,7 +51,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.isEmpty || only(k) }
+      .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

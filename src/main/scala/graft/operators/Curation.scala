@@ -1254,6 +1254,26 @@ object Curation {
   private[graft] def mixtureAccept(docId: Column, acceptPpm: Column): Column =
     docPrio(docId) < acceptPpm
 
+  /** The [[docPrio]] hash itself as a SQL-oracled query: the lowest-n
+    * documents by (priority, doc_id) with their priority values. This
+    * is the shared deterministic-sampling primitive behind
+    * [[clusterCap]]'s in-cell keep order, [[mixtureAccept]]'s
+    * acceptance test, the FIM gate and the Gumbel resample — the IVF
+    * cells those compose with are not SQL-expressible, but the hash
+    * arithmetic and its total order ARE, so hash-grading this pins
+    * the cross-engine half of every priority-ordered operator.
+    *
+    * Scale shape: a narrow projection + TakeOrdered top-n.
+    */
+  def docPrioTop(spark: SparkSession, dir: String, n: Int = 200): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), docPrio(col("doc_id")).as("prio"))
+      .orderBy("prio", "doc_id").limit(n)
+
+  def docPrioTopSql: String =
+    """SELECT doc_id, ((doc_id % 1000003) * 2654435761) % 1000000 AS prio
+      |FROM documents ORDER BY prio, doc_id LIMIT 200""".stripMargin
+
   /** Batch-side training output for the streaming sampler: the rates
     * as a driver map (a handful of sources — always collectable).
     */
@@ -1312,6 +1332,12 @@ object Curation {
         size(filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
           w => w =!= lit(""))).cast("long").as("n_tok"))
       .groupBy("source").agg(sum("n_tok").as("n_tokens"))
+      // a zero-token source (all-whitespace docs) would make w_micro=0
+      // and r = 0.0/0.0 = NaN, poisoning the lam bracket comparisons —
+      // and Spark's NaN ordering diverges from DuckDB's division
+      // semantics. Zero-weight sources get no allocation by definition,
+      // so they drop here (mirrored in the oracle's HAVING)
+      .filter(col("n_tokens") > 0)
     val all = Window.partitionBy()
     val wOrd = Window.orderBy(col("r"), col("source"))
     perSource
@@ -1348,7 +1374,7 @@ object Curation {
       |  FROM documents
       |), per_source AS (
       |  SELECT source, sum(n_tok)::BIGINT AS n_tokens
-      |  FROM per_doc GROUP BY source
+      |  FROM per_doc GROUP BY source HAVING sum(n_tok) > 0
       |), base AS (
       |  SELECT source, n_tokens,
       |    (sum(n_tokens) OVER ())::BIGINT * 3 AS budget,
@@ -2880,6 +2906,123 @@ object Curation {
         col("offset_in_bin").as("offset_bytes"))
       .orderBy("doc_id")
 
+  /** BIN-ACCOUNTING RECOUNT over [[packBestFit]]'s output — the
+    * packing's conservation and validity invariants as ONE hash-
+    * graded row. The bin/slot assignment itself is not SQL-expressible
+    * (greedy FFD on a histogram is iterative), but everything a
+    * correct packing must CONSERVE is: the oracle recomputes n_docs,
+    * clamped token mass, truncation count and the ⌈mass/budget⌉ bin
+    * lower bound straight from the raw corpus, while the Spark side
+    * recounts them FROM THE PACKED OUTPUT — equality proves no doc
+    * vanished, duplicated, or changed length through the pack. The
+    * boolean columns carry the Spark-side internal invariants (every
+    * bin within budget; offsets = per-bin prefix sums; slots dense
+    * 0..n−1); the oracle emits the TRUE literals they must equal.
+    *
+    * Scale shape: rides the pack itself + two bounded aggregates
+    * (per-bin, then one row).
+    */
+  def packBestFitRecount(spark: SparkSession, dir: String,
+      budget: Long = PackBudget): DataFrame = {
+    val packed = packBestFit(spark, dir, budget)
+    val wOff = Window.partitionBy("bin_id").orderBy("item_in_bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val checked = packed.withColumn("exp_off",
+      coalesce(sum("len").over(wOff), lit(0L)))
+    val docAgg = checked.agg(
+      count(lit(1)).as("n_docs"),
+      sum("len").as("total_len"),
+      sum(when(col("truncated"), 1L).otherwise(0L)).as("n_truncated"),
+      expr("bool_and(offset_in_bin = exp_off)").as("offsets_ok"))
+    val binAgg = packed.groupBy("bin_id").agg(
+      sum("len").as("fill"), count(lit(1)).as("n_items"),
+      min("item_in_bin").as("mn"), max("item_in_bin").as("mx"),
+      countDistinct(col("item_in_bin")).as("nd"))
+      .agg(expr(s"bool_and(fill <= ${budget}L)").as("bins_within_budget"),
+        expr("bool_and(mn = 0 AND mx = n_items - 1 AND nd = n_items)")
+          .as("slots_dense"))
+    docAgg.crossJoin(binAgg)
+      .select(col("n_docs"), col("total_len"), col("n_truncated"),
+        expr(s"(total_len + ${budget - 1}L) DIV ${budget}L")
+          .as("min_bins_lb"),
+        col("bins_within_budget"), col("offsets_ok"), col("slots_dense"))
+  }
+
+  def packBestFitRecountSql: String =
+    s"""WITH d AS (
+      |  SELECT len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tok
+      |  FROM documents
+      |), s AS (
+      |  SELECT least(greatest(n_tok, 1), $PackBudget) AS len,
+      |    n_tok > $PackBudget AS tr
+      |  FROM d
+      |)
+      |SELECT count(*)::BIGINT AS n_docs, sum(len)::BIGINT AS total_len,
+      |  sum(CASE WHEN tr THEN 1 ELSE 0 END)::BIGINT AS n_truncated,
+      |  ((sum(len) + ${PackBudget - 1}) // $PackBudget)::BIGINT AS min_bins_lb,
+      |  true AS bins_within_budget, true AS offsets_ok, true AS slots_dense
+      |FROM s""".stripMargin
+
+  /** [[modalBatchesRecount]]'s grouped sibling over [[modalBatches]]:
+    * the same conservation + validity accounting, one row per
+    * MODALITY (batches never mix modalities, so the recount mustn't
+    * either — a doc packed under the wrong modality would move mass
+    * between rows and break the hash even though corpus totals
+    * survive). Oracle recomputes each modality's membership from the
+    * deterministic doc_id → modality map and byte lengths from the
+    * raw payloads.
+    */
+  def modalBatchesRecount(spark: SparkSession, dir: String,
+      budget: Long = ModalBatchBytes): DataFrame = {
+    val packed = modalBatches(spark, dir, budget)
+      .withColumn("len",
+        least(greatest(col("n_bytes"), lit(1L)), lit(budget)))
+    val wOff = Window.partitionBy("modality", "batch_id")
+      .orderBy("item_in_batch")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val checked = packed.withColumn("exp_off",
+      coalesce(sum("len").over(wOff), lit(0L)))
+    val docAgg = checked.groupBy("modality").agg(
+      count(lit(1)).as("n_items"),
+      sum("len").as("total_bytes"),
+      sum(when(col("truncated"), 1L).otherwise(0L)).as("n_truncated"),
+      expr("bool_and(offset_bytes = exp_off)").as("offsets_ok"))
+    val binAgg = packed.groupBy("modality", "batch_id").agg(
+      sum("len").as("fill"), count(lit(1)).as("n_in_batch"),
+      min("item_in_batch").as("mn"), max("item_in_batch").as("mx"),
+      countDistinct(col("item_in_batch")).as("nd"))
+      .groupBy("modality")
+      .agg(expr(s"bool_and(fill <= ${budget}L)").as("batches_within_budget"),
+        expr("bool_and(mn = 0 AND mx = n_in_batch - 1 AND nd = n_in_batch)")
+          .as("slots_dense"))
+    docAgg.join(binAgg, Seq("modality"))
+      .select(col("modality"), col("n_items"), col("total_bytes"),
+        col("n_truncated"),
+        expr(s"(total_bytes + ${budget - 1}L) DIV ${budget}L")
+          .as("min_batches_lb"),
+        col("batches_within_budget"), col("offsets_ok"), col("slots_dense"))
+      .orderBy("modality")
+  }
+
+  def modalBatchesRecountSql: String =
+    s"""WITH d AS (
+      |  SELECT list_extract(['image', 'audio', 'video'],
+      |      (doc_id % 3 + 1)::INT) AS modality,
+      |    octet_length(encode(text))::BIGINT AS n_bytes
+      |  FROM documents
+      |), s AS (
+      |  SELECT modality, least(greatest(n_bytes, 1), $ModalBatchBytes) AS len,
+      |    n_bytes > $ModalBatchBytes AS tr
+      |  FROM d
+      |)
+      |SELECT modality, count(*)::BIGINT AS n_items,
+      |  sum(len)::BIGINT AS total_bytes,
+      |  sum(CASE WHEN tr THEN 1 ELSE 0 END)::BIGINT AS n_truncated,
+      |  ((sum(len) + ${ModalBatchBytes - 1}) // $ModalBatchBytes)::BIGINT
+      |    AS min_batches_lb,
+      |  true AS batches_within_budget, true AS offsets_ok, true AS slots_dense
+      |FROM s GROUP BY modality ORDER BY modality""".stripMargin
+
   /** T5-STYLE SPAN CORRUPTION — the denoising-objective data prep
     * (Raffel et al. 2020): mask contiguous token spans, replace each
     * masked run with one `<extra_id_K>` sentinel in the INPUT, and
@@ -2997,7 +3140,10 @@ object Curation {
     * (no RNG: the transform is reproducible and resumable at 100 TB,
     * the [[spanCorruption]] contract). Emits the cut points next to
     * the rewritten text so the round-trip invariant is checkable:
-    * prefix + middle + suffix restores every doc verbatim (spec).
+    * prefix + middle + suffix restores every doc's TOKEN SEQUENCE
+    * (spec) — whitespace runs collapse to single spaces through the
+    * split/concat_ws round trip, so raw bytes are NOT preserved, only
+    * the token stream a tokenizer-downstream consumer reads.
     *
     * Cross-engine exactness: pure integer arithmetic + string
     * assembly — no floats anywhere. Scale shape: a pure PER-ROW

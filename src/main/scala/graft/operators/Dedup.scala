@@ -320,6 +320,48 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** [[minhashCalibration]]'s EXACT leg as its own SQL-oracled query:
+    * the identical 3-gram shingle definition and exact-Jaccard
+    * arithmetic, evaluated over the DETERMINISTIC adjacent-id pair
+    * set (doc, doc+1) instead of the LSH collisions (signatures are
+    * not SQL-expressible, so the collision set can't be oracled —
+    * this pins the half of the calibration that CAN be). Together
+    * with the spec's per-pair binomial envelope on the estimate, the
+    * calibration query's two columns are now both independently
+    * checked.
+    *
+    * Scale shape: a narrow self-join on a shifted key — one shuffle,
+    * no fanout.
+    */
+  def minhashCalibrationExact(spark: SparkSession, dir: String): DataFrame = {
+    val shingled = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(
+          |  sequence(1, greatest(size(split(trim(text), '\\s+')) - 2, 1)),
+          |  i -> concat_ws(' ', slice(split(trim(text), '\\s+'), i, 3))))"""
+          .stripMargin).as("sh"))
+    shingled
+      .join(shingled.toDF("doc_b", "sh_b"), col("doc_b") === col("doc_id") + 1)
+      .select(col("doc_id").as("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sh"), col("sh_b"))).cast("double")
+          / size(array_union(col("sh"), col("sh_b"))), 6).as("exact_jaccard"))
+      .orderBy("doc_a")
+  }
+
+  def minhashCalibrationExactSql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(
+      |    list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+      |      i -> array_to_string(ws[i : i + 2], ' '))) AS sh
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |        FROM documents)
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  round(len(list_intersect(a.sh, b.sh))::DOUBLE
+      |    / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS exact_jaccard
+      |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+      |ORDER BY doc_a""".stripMargin
+
   // ------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per document (word-frequency weighted bit votes)
@@ -1100,19 +1142,21 @@ object Dedup {
     * ARE labeled positives): every member of a ≥2-doc cluster anchors
     * one triplet, positive = the smallest OTHER member of its cluster
     * (deterministic, no RNG), negative = the representative of the
-    * numerically-NEXT cluster (wrapping at the end) — a different
-    * connected component by construction, so the negative provably
-    * isn't a near-dup of the anchor. At production scale the negative
-    * leg swaps to ANN-mined hard negatives (the
+    * numerically-NEXT ≥2-member cluster (wrapping at the end) — a
+    * different connected component by construction, so the negative
+    * provably isn't a near-dup of the anchor. At production scale the
+    * negative leg swaps to ANN-mined hard negatives (the
     * [[graft.operators.Similarity]] serve path) — same output
     * contract; this deterministic form is the oracle-checkable
     * baseline.
     *
     * Scale shape: everything above the cluster resolution is
     * cluster-partitioned windows; the next-cluster map is a window
-    * over the DISTINCT cluster ids (~log-row table, the documented
-    * aggregated-window idiom) broadcast-joined back. All integer →
-    * hash-exact.
+    * over the distinct MULTI-MEMBER cluster ids only — the set of
+    * near-dup components, NOT the corpus-scale singleton id space
+    * (near-dup clusters are a vanishing fraction of docs at any real
+    * dedup rate), so the unpartitioned order window and the broadcast
+    * back are both genuinely small. All integer → hash-exact.
     */
   def tripletMine(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1122,12 +1166,16 @@ object Dedup {
     // cluster_id IS each cluster's representative (label = min member)
     val wOrd = Window.orderBy("cluster_id")
     val all = Window.partitionBy()
-    val negs = clusters.select("cluster_id").distinct()
-      .withColumn("negative_id", coalesce(
-        lead("cluster_id", 1).over(wOrd), min("cluster_id").over(all)))
-    clusters
+    val sized = clusters
       .withColumn("cluster_size", count(lit(1)).over(wc))
       .filter(col("cluster_size") >= 2)
+    // negative map over the ≥2-member cluster ids ONLY — the near-dup
+    // component count, not the corpus-scale singleton space; small by
+    // construction, so the global-order window + broadcast are safe
+    val negs = sized.select("cluster_id").distinct()
+      .withColumn("negative_id", coalesce(
+        lead("cluster_id", 1).over(wOrd), min("cluster_id").over(all)))
+    sized
       .withColumn("min1", min("vec_id").over(wc))
       .withColumn("min2", min(when(col("vec_id") =!= col("min1"),
         col("vec_id"))).over(wc))
@@ -1214,7 +1262,7 @@ object Dedup {
       |  SELECT cluster_id,
       |    coalesce(lead(cluster_id) OVER (ORDER BY cluster_id),
       |      min(cluster_id) OVER ()) AS negative_id
-      |  FROM (SELECT DISTINCT cluster_id FROM clusters)
+      |  FROM (SELECT DISTINCT cluster_id FROM m1 WHERE cluster_size >= 2)
       |)
       |SELECT s.vec_id AS anchor_id,
       |  CASE WHEN s.vec_id = s.min1 THEN s.min2 ELSE s.min1 END AS positive_id,

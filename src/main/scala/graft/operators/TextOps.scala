@@ -948,6 +948,12 @@ object TextOps {
     // corpus tokenization work for a one-row answer at 100 TB
     // (localCheckpoint, not persist — released with the plan, the
     // returnCorrOf discipline). perDoc itself is doc-count-sized.
+    // CONTRACT NOTE: the EAGER checkpoint means merely CONSTRUCTING
+    // this DataFrame runs the tokenize⋈min-doc job (plan-dump tooling
+    // pays it too), and checkpointing truncates lineage — an executor
+    // loss replays from the checkpoint blocks, not the parquet scan.
+    // Accepted deliberately: the lazy alternative re-tokenizes the
+    // corpus twice on every action, which is the worse trade at scale.
     val perDoc = toks
       .join(news, toks("doc_id") === news("fdoc"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -1147,6 +1153,34 @@ object TextOps {
         lit(total).as("n_words"), lit(bound).as("gap_bound"))
       .orderBy(col("freq").desc, col("word"))
   }
+
+  /** EXACT top-k word counts — the VERIFIER tier of [[heavyHitters]]
+    * and [[heavyHittersMg]] registered as its own SQL-oracled query:
+    * the sketches' guarantees are spec-pinned against exactly this
+    * table, so hash-grading it closes the only unverified input of
+    * the heavy-hitter tier (the sketch grids themselves are not
+    * SQL-expressible by design). Total order (freq desc, word) makes
+    * the LIMIT deterministic across engines.
+    *
+    * Scale shape: one map-side-combined word aggregate + a TakeOrdered
+    * top-k (never a full sort); at 100 TB the same per-partition
+    * top-k pre-filter documented on [[heavyHitters]] bounds the
+    * candidate set first.
+    */
+  def heavyHittersExact(spark: SparkSession, dir: String,
+      k: Int = 50): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), s"[$Ws]+")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(k)
+
+  def heavyHittersExactSql: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+      |  FROM documents
+      |)
+      |SELECT word, count(*)::BIGINT AS freq FROM w GROUP BY word
+      |ORDER BY freq DESC, word LIMIT 50""".stripMargin
 
   /** Top-rank count feeding the Zipf-slope fit in [[vocabStats]]. */
   private[graft] val ZipfK = 100

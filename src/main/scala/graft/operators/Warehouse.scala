@@ -4341,10 +4341,24 @@ object Warehouse {
     * — work is the unavoidable Ω(pairs·days) FLOPs, but shuffle
     * volume is O(symbols·buckets·days) and nothing date-keyed ever
     * materializes. At a 100× universe raise `buckets` ∝ symbols to
-    * hold tile size constant. The production path at very large
-    * universes remains a covariance sketch over a chosen hot set,
-    * with this exact screen as its verifier (ScaleProbe times it
-    * across synthetic universe sizes).
+    * hold tile size constant.
+    *
+    * PAIR-GROWTH ENVELOPE — the one inherently O(S²) surface in the
+    * engine, sized explicitly: pairs = S(S−1)/2, and each pair's
+    * merge walks two ≥`minDays`-session sparse series (~16 B/obs), so
+    * total work ≈ S²/2 · days · 2 ops and the per-tile working set is
+    * (2S/buckets)·days·16 B. An equities universe (S ≈ 10⁴, 1y daily)
+    * is 5·10⁷ pairs × 250 sessions ≈ 10¹⁰ merge steps — hours·cores,
+    * fine as a batch screen. If S ever means "all instruments"
+    * (S ≥ 10⁶: options chains, fixed income, crypto pairs), S² is
+    * 5·10¹¹ pairs and NO tiling saves it — the escape hatch is to cut
+    * the quadratic term, not parallelize it: (a) correlate only a
+    * chosen hot set (screen top-liquidity S' ≈ 10⁴ first), (b) a
+    * factor/covariance sketch (returns × k random projections, k ≪
+    * days, pairs scored on the sketch and only survivors exactified),
+    * or (c) blocking by sector/venue so cross-block pairs never
+    * materialize. This exact screen stays as the verifier of any of
+    * those (ScaleProbe times it across synthetic universe sizes).
     */
   def returnCorr(spark: SparkSession, dir: String,
       minDays: Int = 15): DataFrame =

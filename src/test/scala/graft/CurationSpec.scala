@@ -675,6 +675,38 @@ class CurationSpec extends SparkSuite {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("pack/modal recounts: conservation vs raw corpus, invariants all true") {
+    val budget = Curation.PackBudget
+    val nTok = Tables.documents(spark, sfDir)
+      .select(size(split(trim(col("text")), "[ \\t\\n\\f\\r]+")).cast("long"))
+      .collect().map(_.getLong(0))
+    val r = Curation.packBestFitRecount(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_docs") == nTok.length)
+    assert(r.getAs[Long]("total_len") ==
+      nTok.map(t => math.min(math.max(t, 1L), budget)).sum)
+    assert(r.getAs[Long]("n_truncated") == nTok.count(_ > budget))
+    assert(r.getAs[Boolean]("bins_within_budget")
+      && r.getAs[Boolean]("offsets_ok") && r.getAs[Boolean]("slots_dense"))
+    val m = Curation.modalBatchesRecount(spark, sfDir).collect()
+    assert(m.map(_.getAs[String]("modality")).toSeq ==
+      Seq("audio", "image", "video"))
+    assert(m.map(_.getAs[Long]("n_items")).sum == nTok.length)
+    m.foreach(row => assert(row.getAs[Boolean]("batches_within_budget")
+      && row.getAs[Boolean]("offsets_ok")
+      && row.getAs[Boolean]("slots_dense"),
+      s"${row.getAs[String]("modality")}: invariant violated"))
+  }
+
+  test("docPrioTop is the ascending head of the shared sampling hash") {
+    val all = Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    def prio(d: Long) = d % 1000003L * 2654435761L % 1000000L
+    val expect = all.map(d => (prio(d), d)).sorted.take(200).toSeq
+    val got = Curation.docPrioTop(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("prio"), r.getAs[Long]("doc_id"))).toSeq
+    assert(got == expect, "docPrioTop must replay the driver hash order")
+  }
+
   test("packBestFit truncates oversized docs and packs planted lengths whole") {
     import spark.implicits._
     val budget = Curation.PackBudget
@@ -1080,6 +1112,14 @@ class CurationSpec extends SparkSuite {
     assert(over.forall(_.getAs[Boolean]("capped")))
     over.foreach(r => assert(r.getAs[Long]("alloc_tokens") ==
       2 * r.getAs[Long]("n_tokens")))
+    // a zero-token source (whitespace-only docs) is DROPPED rather
+    // than poisoning the bracket search with w_micro=0 → r = 0/0 NaN
+    val wsRows = Seq.tabulate(10)(_ => ("a", "a b c d e")) :+
+      (("ws", "  \t ")) :+ (("ws", ""))
+    val ws = Curation.epochMixDocs(wsRows.toDF("source", "text")).collect()
+    assert(ws.map(_.getString(0)).toSeq == Seq("a"),
+      "whitespace-only source must drop from the plan")
+    assert(ws.forall(r => !r.getAs[Double]("epochs").isNaN))
   }
 
   test("bm25 ranks term-dense short docs above term-free docs") {

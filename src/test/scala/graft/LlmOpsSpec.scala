@@ -357,6 +357,42 @@ class LlmOpsSpec extends SparkSuite {
       .foreach(r => assert(r.getAs[Double]("est_jaccard") == 1.0))
   }
 
+  test("heavyHittersExact IS the sketch queries' verifier tier") {
+    import graft.operators.TextOps
+    val exact = TextOps.heavyHittersExact(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"))).toSeq
+    assert(exact.nonEmpty && exact.length <= 50)
+    // identical (word, freq) list, same order, as the CMS report's
+    // exact columns — the oracle-graded shadow covers that tier
+    val cms = graft.operators.TextOps.heavyHitters(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("freq"))).toSeq
+    assert(exact == cms, "exact shadow diverged from the CMS verifier tier")
+    // descending-frequency total order with the word tie-break
+    exact.zip(exact.tail).foreach { case ((wa, fa), (wb, fb)) =>
+      assert(fa > fb || (fa == fb && wa < wb))
+    }
+  }
+
+  test("minhashCalibrationExact covers all adjacent pairs, agrees on overlap") {
+    import graft.operators.Dedup
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val adj = Dedup.minhashCalibrationExact(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("exact_jaccard")).toMap
+    assert(adj.size == nDocs - 1, "one row per adjacent id pair")
+    assert(adj.values.forall(j => j >= 0.0 && j <= 1.0))
+    // where an adjacent pair also LSH-collides, the calibration's
+    // exact column must be the same number (same shingles, same math)
+    val shared = Dedup.minhashCalibration(spark, sfDir).collect()
+      .filter(r => adj.contains(
+        (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))))
+    shared.foreach { r =>
+      val k = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("exact_jaccard") == adj(k),
+        s"$k: exact-jaccard drift between the two surfaces")
+    }
+  }
+
   test("qualityConfluence votes equal their standalone surfaces") {
     val got = TextOps.qualityConfluence(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -2017,6 +2053,9 @@ class LlmOpsSpec extends SparkSuite {
       // not a near-dup of the anchor
       assert(byDoc(n) != c, s"negative $n shares the anchor's cluster")
       assert(byDoc(n) == n, s"negative $n must be a cluster representative")
+      // the negative map is built from ≥2-member clusters ONLY (the
+      // near-dup components — a small set at any real dedup rate)
+      assert(sizes(n) >= 2, s"negative $n must represent a >=2 cluster")
     }
   }
 

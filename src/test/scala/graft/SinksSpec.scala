@@ -20,6 +20,40 @@ class SinksSpec extends SparkSuite {
     assert(result(1).getDouble(2) == 25.0, "id=2 should take the newer price")
   }
 
+  test("companyUpsert: updates overwrite info, inserts add keys, identity survives") {
+    val base = graft.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val out = Sinks.companyUpsert(spark, sfDir).collect()
+    // one row per key; the key space = base ∪ synthesized inserts
+    val keys = out.map(_.getAs[Long]("c_custkey"))
+    assert(keys.toSet.size == keys.length, "merge must emit one row per key")
+    val expectedInserts = base.keySet.filter(_ % 13 == 0).map(_ + 1000000L)
+    assert(keys.toSet == base.keySet ++ expectedInserts)
+    val byAction = out.groupBy(_.getAs[String]("action"))
+    assert(byAction("insert").map(_.getAs[Long]("c_custkey")).toSet ==
+      expectedInserts)
+    assert(byAction("update").map(_.getAs[Long]("c_custkey")).toSet ==
+      base.keySet.filter(_ % 7 == 0))
+    byAction("update").foreach { r =>
+      val b = base(r.getAs[Long]("c_custkey"))
+      // identity preserved (get_or_create keeps the existing row's
+      // identity); mutable info overwritten (update_company_info)
+      assert(r.getAs[String]("c_name") == b.getAs[String]("c_name"))
+      assert(r.getAs[Int]("c_nationkey") == b.getAs[Int]("c_nationkey"))
+      assert(r.getAs[String]("c_mktsegment") == "REASSIGNED")
+      assert(r.getAs[Double]("c_acctbal") ==
+        (r.getAs[Long]("c_custkey") % 1000L).toDouble)
+    }
+    byAction("carry").foreach { r =>
+      val b = base(r.getAs[Long]("c_custkey"))
+      assert(r.getAs[String]("c_mktsegment") == b.getAs[String]("c_mktsegment")
+        && r.getAs[Double]("c_acctbal") == b.getAs[Double]("c_acctbal"),
+        "carried rows must pass through unmodified")
+    }
+  }
+
   test("upsert is idempotent (re-applying a batch changes nothing)") {
     val path = java.nio.file.Files.createTempDirectory("upsert_idem").toString + "/t"
     val batch = Seq((1L, "2024-01-01", 10.0)).toDF("id", "day", "price")
