@@ -104,9 +104,19 @@ object Curation {
       .withColumn("dup_sentence_frac",
         (col("n_sent") - size(array_distinct(col("sents_r")))).cast("double") /
           greatest(col("n_sent"), lit(1)).cast("double"))
+      // top word count via ONE run-length fold over the sorted words
+      // (equal words adjacent) — O(W log W); the per-distinct-word
+      // recount this replaces was O(W²) interpreted per doc (round 11,
+      // found by the same replica sweep as the n-gram fold above)
       .withColumn("top_word_frac",
-        array_max(transform(array_distinct(col("ws_r")),
-          w => size(filter(col("ws_r"), x => x === w)))).cast("double") /
+        expr("""aggregate(array_sort(ws_r),
+          |  named_struct('prev', '', 'run', 0, 'best', 0),
+          |  (acc, w) -> named_struct(
+          |    'prev', w,
+          |    'run', IF(w = acc.prev, acc.run + 1, 1),
+          |    'best', greatest(acc.best,
+          |      IF(w = acc.prev, acc.run + 1, 1))),
+          |  acc -> acc.best)""".stripMargin).cast("double") /
           size(col("ws_r")).cast("double"))
       .withColumn("keep_rep",
         col("dup_sentence_frac") <= DupSentenceMax &&
@@ -175,8 +185,11 @@ object Curation {
     *
     * Scale shape: pure per-row projection over array HOFs — zero
     * shuffle, zero state, streaming-legal like the rest of the
-    * chain. Per-doc cost is O(distinct·total) per n (9 n values);
-    * for book-length outliers the explode+groupBy dual (the
+    * chain. Per-doc cost is O(G log G) per n (9 n values): sort the
+    * gram array once, then ONE run-length fold yields top and dup
+    * masses together (round 11 — the prior per-distinct-gram recount
+    * was quadratic-interpreted and wedged the 10×-replica sweep); for
+    * book-length outliers the explode+groupBy dual (the
     * [[gopherFiltersDocs]] shape) amortizes better — same numbers,
     * one shuffle.
     */
@@ -188,25 +201,41 @@ object Curation {
     val base = docs.select(col("doc_id"), ws.as("ws_r"))
       .filter(size(col("ws_r")) > 0)
       .withColumn("total_chars", length(array_join(col("ws_r"), " ")))
-    def ngrams(n: Int): Column =
-      when(size(col("ws_r")) >= n,
-        expr(s"transform(sequence(0, size(ws_r) - $n), " +
-          s"i -> array_join(slice(ws_r, i + 1, $n), ' '))"))
-        .otherwise(typedLit(Seq.empty[String]))
-    def masses(n: Int): Column = // per distinct gram: occurrences × chars
-      transform(array_distinct(ngrams(n)),
-        g => size(filter(ngrams(n), x => x === g)) * length(g))
+    // sorted gram array per n: equal grams land ADJACENT, so one
+    // linear fold yields both the heaviest-gram mass (`top` = max over
+    // runs of run·len, reached at each run's last element) and the
+    // duplicated mass (`dup`: the 2nd occurrence adds 2·len, later
+    // ones add len — a k-run contributes exactly k·len). O(G log G)
+    // per doc. The previous per-distinct-gram recount was O(G²) — and
+    // because the gram transform re-derived INSIDE the inner filter,
+    // O(G³) interpreted — which the 10×-replica strict sweep caught as
+    // a wedged scan stage (666 s+ per task); same integers, so the
+    // group-by oracle is unchanged and the hash proves the rewrite.
+    def massFold(n: Int): Column = expr(
+      s"""aggregate(
+         |  array_sort(IF(size(ws_r) >= $n,
+         |    transform(sequence(0, size(ws_r) - $n),
+         |      i -> array_join(slice(ws_r, i + 1, $n), ' ')),
+         |    CAST(array() AS array<string>))),
+         |  named_struct('prev', '', 'run', 0, 'top', 0, 'dup', 0),
+         |  (acc, g) -> named_struct(
+         |    'prev', g,
+         |    'run', IF(g = acc.prev, acc.run + 1, 1),
+         |    'top', greatest(acc.top,
+         |      IF(g = acc.prev, acc.run + 1, 1) * length(g)),
+         |    'dup', acc.dup + IF(g = acc.prev,
+         |      IF(acc.run = 1, 2 * length(g), length(g)), 0)))""".stripMargin)
+    val ns = (TopNgramMax.map(_._1) ++ DupNgramMax.map(_._1)).distinct
+    val withMasses = ns.foldLeft(base) { (df, n) =>
+      df.withColumn(s"m_$n", massFold(n))
+    }
     def topFrac(n: Int): Column =
-      coalesce(array_max(masses(n)), lit(0)).cast("double") /
+      col(s"m_$n").getField("top").cast("double") /
         col("total_chars").cast("double")
     def dupFrac(n: Int): Column =
-      aggregate(transform(array_distinct(ngrams(n)),
-        g => {
-          val cnt = size(filter(ngrams(n), x => x === g))
-          when(cnt > lit(1), cnt * length(g)).otherwise(lit(0))
-        }), lit(0), (acc, x) => acc + x).cast("double") /
+      col(s"m_$n").getField("dup").cast("double") /
         col("total_chars").cast("double")
-    val fracs = base.select(
+    val fracs = withMasses.select(
       col("doc_id") +:
         (TopNgramMax.map { case (n, _) => topFrac(n).as(s"top_${n}gram_frac") } ++
           DupNgramMax.map { case (n, _) => dupFrac(n).as(s"dup_${n}gram_frac") }): _*)

@@ -395,6 +395,76 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Identical-text pairs (doc_a < doc_b) — the GUARANTEED-recall set
+    * both hash dedups must flag: identical text means identical
+    * shingles/tokens, hence identical signatures/simhashes, hence a
+    * certain band/chunk collision. Spark-side joins on the raw text
+    * key at verify scale; production keys the same join on the
+    * 128-bit content fingerprint (TextOps.fingerprintCol).
+    */
+  private def exactDupPairs(docs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("text"))
+    t.join(t.toDF("b_id", "b_text"),
+        col("text") === col("b_text") && col("doc_id") < col("b_id"))
+      .select(col("doc_id").as("doc_a"), col("b_id").as("doc_b"))
+  }
+
+  /** GUARANTEED-RECALL RECOUNT over [[minhashLsh]] (round-11
+    * partial-oracle tier): LSH recall on near-dups is probabilistic,
+    * but on EXACT duplicates it is certain — identical text gives
+    * identical signatures, which collide in every band and estimate
+    * Jaccard exactly 1. The oracle recomputes the identical-text pair
+    * mass (Σ k(k−1)/2 over text groups) from the raw corpus; the
+    * boolean columns carry the Spark-side certainty properties
+    * against TRUE literals, so a banding/signature regression that
+    * loses even one exact duplicate breaks the hash. (Vacuously true
+    * when the corpus has no exact dups — sf0.1 and the 10×-replica
+    * sweep, where every doc has 10 copies, give it teeth.)
+    */
+  def minhashRecount(spark: SparkSession, dir: String): DataFrame = {
+    val exact = exactDupPairs(Tables.documents(spark, dir))
+    exact
+      .join(minhashLsh(spark, dir), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_exact_dup_pairs"),
+        coalesce(expr("bool_and(est_jaccard IS NOT NULL)"), lit(true))
+          .as("all_exact_dups_flagged"),
+        coalesce(expr("bool_and(est_jaccard = 1.0)"), lit(true))
+          .as("exact_dups_estimate_one"))
+  }
+
+  def minhashRecountSql: String =
+    """WITH g AS (
+      |  SELECT text, count(*)::BIGINT AS k FROM documents GROUP BY text
+      |)
+      |SELECT coalesce(sum(k * (k - 1) // 2), 0)::BIGINT AS n_exact_dup_pairs,
+      |  true AS all_exact_dups_flagged, true AS exact_dups_estimate_one
+      |FROM g WHERE k >= 2""".stripMargin
+
+  /** [[minhashRecount]]'s SimHash sibling over [[simhashDedup]]:
+    * identical text → identical 64-bit simhash → hamming 0 → a
+    * certain 16-bit-chunk collision, so every exact duplicate must
+    * surface with hamming exactly 0. Same oracle shape (raw-corpus
+    * pair mass + TRUE-literal certainty booleans).
+    */
+  def simhashRecount(spark: SparkSession, dir: String): DataFrame = {
+    val exact = exactDupPairs(Tables.documents(spark, dir))
+    exact
+      .join(simhashDedup(spark, dir), Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_exact_dup_pairs"),
+        coalesce(expr("bool_and(hamming IS NOT NULL)"), lit(true))
+          .as("all_exact_dups_flagged"),
+        coalesce(expr("bool_and(hamming = 0)"), lit(true))
+          .as("exact_dups_hamming_zero"))
+  }
+
+  def simhashRecountSql: String =
+    """WITH g AS (
+      |  SELECT text, count(*)::BIGINT AS k FROM documents GROUP BY text
+      |)
+      |SELECT coalesce(sum(k * (k - 1) // 2), 0)::BIGINT AS n_exact_dup_pairs,
+      |  true AS all_exact_dups_flagged, true AS exact_dups_hamming_zero
+      |FROM g WHERE k >= 2""".stripMargin
+
   // ----------------------------------------------------- embedding cosine
 
   /** Codegen'd native dot product ([[graft.functions.VectorDot]]);

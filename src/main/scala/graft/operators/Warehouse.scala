@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -4038,6 +4038,76 @@ object Warehouse {
         approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
         count(lit(1)).as("n_events"))
       .orderBy("event_type")
+
+  /** SKETCH-vs-EXACT CHECK for [[approxDistinct]] (round-11
+    * partial-oracle tier): the HLL++ estimate itself is
+    * engine-specific, but the EXACT counts and the error-envelope
+    * verdict are oracle-gradeable — the oracle recomputes exact
+    * per-type distincts and emits the TRUE literal the 3σ bound
+    * (SketchSpec's pin, 3 × rsd = 3%) must equal. A register-width or
+    * merge regression in the sketch breaks the hash.
+    */
+  def approxDistinctCheck(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("a"))
+      .select(col("event_type"), col("exact_users"), col("n_events"),
+        (abs(col("a") - col("exact_users")).cast("double")
+          / col("exact_users").cast("double") <= 0.03)
+          .as("hll_within_3sigma"))
+      .orderBy("event_type")
+
+  def approxDistinctCheckSql: String =
+    """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+      |  count(*)::BIGINT AS n_events, true AS hll_within_3sigma
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** SKETCH-vs-EXACT CHECK for [[percentilesApprox]]: the honest
+    * guarantee of `approx_percentile` is RANK error (≤ 1/accuracy),
+    * not value error, so the verdict columns assert the SketchSpec
+    * rank window (fraction strictly below ≤ q+ε ∧ fraction at-or-below
+    * ≥ q−ε, ε = 0.005) while the exact percentiles ride along as the
+    * hash-graded legs. One extra pass over the ticks with the approx
+    * row broadcast back — the verification read a deployment runs on
+    * a sample, priced at two aggregates.
+    */
+  def percentilesApproxCheck(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).filter(col("value").isNotNull)
+    val approx = ev.groupBy("event_type").agg(
+      approx_percentile(col("value"), lit(0.5), lit(10000)).as("a50"),
+      approx_percentile(col("value"), lit(0.9), lit(10000)).as("a90"),
+      approx_percentile(col("value"), lit(0.99), lit(10000)).as("a99"))
+    val eps = 0.005
+    def rankOk(a: Column, qt: Double): Column = {
+      val n = count(lit(1)).cast("double")
+      val below = sum(when(col("value") < a, 1L).otherwise(0L)).cast("double")
+      val atOrBelow = sum(when(col("value") <= a, 1L).otherwise(0L))
+        .cast("double")
+      below <= n * (qt + eps) && atOrBelow >= n * (qt - eps)
+    }
+    ev.join(broadcast(approx), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 6).as("p90"),
+        round(percentile(col("value"), lit(0.99)), 6).as("p99"),
+        count(lit(1)).as("n"),
+        rankOk(col("a50"), 0.5).as("p50_rank_ok"),
+        rankOk(col("a90"), 0.9).as("p90_rank_ok"),
+        rankOk(col("a99"), 0.99).as("p99_rank_ok"))
+      .orderBy("event_type")
+  }
+
+  def percentilesApproxCheckSql: String =
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5), 6) AS p50,
+      |  round(quantile_cont(value, 0.9), 6) AS p90,
+      |  round(quantile_cont(value, 0.99), 6) AS p99,
+      |  count(*)::BIGINT AS n,
+      |  true AS p50_rank_ok, true AS p90_rank_ok, true AS p99_rank_ok
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** Referential-integrity audit: ticks whose key has no dim row
     * (left anti join) — the ingestion-error surface of the reference's

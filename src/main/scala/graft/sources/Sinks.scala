@@ -201,6 +201,71 @@ object Sinks {
       .orderBy("c_custkey")
   }
 
+  /** [[companyUpsert]]'s HISTORY-PRESERVING dual — SCD TYPE-2: instead
+    * of overwriting, the merge APPENDS a new version row and closes
+    * the old one (valid_from/valid_to version stamps + is_current),
+    * the dim shape the reference's realtime→historical migration
+    * implies for facts (current_schema.sql:165-200 keeps daily
+    * snapshots; a dim under the same discipline keeps attribute
+    * history). Same deterministic batch as the upsert: updated keys
+    * carry TWO rows (v0 closed + v1 current), carried keys one open
+    * v0 row, inserted keys one open v1 row. An SCD-2 merge is pure
+    * append algebra — one key-partitioned window computes valid_to as
+    * the next version's stamp — so at scale it rides the identical
+    * partition-pruned write path as [[upsertPartitioned]] with NO
+    * read-modify-write of history (closed rows never change).
+    */
+  def companyScd2(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), col("c_mktsegment"))
+    val updated = base.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_acctbal", (col("c_custkey") % 1000L).cast("double"))
+      .withColumn("c_mktsegment", lit("REASSIGNED"))
+    val inserted = base.filter(col("c_custkey") % 13 === 0)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(lit("NewCo#"),
+          (col("c_custkey") + 1000000L).cast("string")).as("c_name"),
+        col("c_nationkey"),
+        lit(0.0).as("c_acctbal"),
+        lit("NEWLY_LISTED").as("c_mktsegment"))
+    val versions = base.withColumn("valid_from", lit(0))
+      .unionByName(updated.unionByName(inserted).withColumn("valid_from", lit(1)))
+    val w = Window.partitionBy("c_custkey").orderBy("valid_from")
+    versions
+      .withColumn("valid_to", lead("valid_from", 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("c_custkey", "valid_from")
+  }
+
+  def companyScd2Sql: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM customer
+      |), upd AS (
+      |  SELECT c_custkey, c_name, c_nationkey,
+      |    (c_custkey % 1000)::DOUBLE AS c_acctbal,
+      |    'REASSIGNED' AS c_mktsegment
+      |  FROM base WHERE c_custkey % 7 = 0
+      |), ins AS (
+      |  SELECT c_custkey + 1000000 AS c_custkey,
+      |    'NewCo#' || CAST(c_custkey + 1000000 AS VARCHAR) AS c_name,
+      |    c_nationkey, 0.0::DOUBLE AS c_acctbal,
+      |    'NEWLY_LISTED' AS c_mktsegment
+      |  FROM base WHERE c_custkey % 13 = 0
+      |), versions AS (
+      |  SELECT *, 0 AS valid_from FROM base
+      |  UNION ALL
+      |  SELECT *, 1 AS valid_from
+      |  FROM (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+      |)
+      |SELECT *,
+      |  lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from)
+      |    AS valid_to,
+      |  lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from)
+      |    IS NULL AS is_current
+      |FROM versions ORDER BY c_custkey, valid_from""".stripMargin
+
   def companyUpsertSql: String =
     """WITH base AS (
       |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

@@ -54,6 +54,31 @@ class SinksSpec extends SparkSuite {
     }
   }
 
+  test("companyScd2: history preserved, one current row per key") {
+    val baseKeys = graft.Tables.customer(spark, sfDir)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val rows = Sinks.companyScd2(spark, sfDir).collect()
+    val byKey = rows.groupBy(_.getAs[Long]("c_custkey"))
+    byKey.foreach { case (k, vs) =>
+      // exactly one OPEN row per key; updates close their v0 row
+      assert(vs.count(_.getAs[Boolean]("is_current")) == 1, s"key $k")
+      if (baseKeys(k) && k % 7 == 0) {
+        assert(vs.length == 2, s"updated key $k must keep both versions")
+        val v0 = vs.find(_.getAs[Int]("valid_from") == 0).get
+        assert(!v0.getAs[Boolean]("is_current")
+          && v0.getAs[Int]("valid_to") == 1, s"key $k v0 must close at 1")
+        val v1 = vs.find(_.getAs[Int]("valid_from") == 1).get
+        assert(v1.getAs[String]("c_mktsegment") == "REASSIGNED")
+      } else {
+        assert(vs.length == 1, s"key $k must have one version")
+        assert(vs.head.getAs[Boolean]("is_current"))
+      }
+    }
+    // history append-only: every base attribute row survives verbatim
+    val v0Rows = rows.filter(_.getAs[Int]("valid_from") == 0)
+    assert(v0Rows.length == baseKeys.size, "no base row may vanish")
+  }
+
   test("upsert is idempotent (re-applying a batch changes nothing)") {
     val path = java.nio.file.Files.createTempDirectory("upsert_idem").toString + "/t"
     val batch = Seq((1L, "2024-01-01", 10.0)).toDF("id", "day", "price")
