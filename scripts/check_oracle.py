@@ -20,6 +20,7 @@ The compare is BYTE-STRICT to match the driver's canonical-bytes hash
     both sides — same as the driver's canonicalizer).
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -78,8 +79,12 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # testdata tables are single files; Spark-written replicas
+        # (ReplicaGen) are directories of part files — accept both
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     n_ok = 0

@@ -2489,4 +2489,72 @@ object Similarity {
       |    AS is_outlier
       |FROM dist, mm
       |ORDER BY vec_id""".stripMargin
+
+  /** Per-variant recall REGRESSION floors for [[annRecallGate]] —
+    * deliberately LOOSER than the spec floors (spec: ivf 0.35,
+    * pq/opq/opq_np 0.5, graph/hnsw 0.7, pca 0.8, sq8 0.9 at
+    * sf0.001): the gate's job is to hash-FAIL when an index family
+    * breaks outright (a broken build or search reads ~0.0–0.1
+    * recall), not to re-litigate the tight envelopes the specs and
+    * RecallProbe own; generous margins keep the gate stable across
+    * the driver's scale factors (measured sf0.01 recalls: ivf 0.58,
+    * pq 0.52, opq 0.58, opq_np 0.52, pca ≥0.8, graph ≥0.7, hnsw 1.0,
+    * sq8 1.0). LSH is excluded — its recall is corpus-shape-dependent
+    * by design (uniform vs clustered; the clustered probe covers it).
+    */
+  private[graft] val RecallGateFloors: Seq[(String, Double)] = Seq(
+    "graph" -> 0.55, "hnsw" -> 0.6, "ivf" -> 0.3, "opq" -> 0.35,
+    "opq_np" -> 0.35, "pca" -> 0.65, "pq" -> 0.35, "sq8" -> 0.8)
+
+  /** ANN RECALL GATE (round-11 partial-oracle tier) — the whole index
+    * family's serve quality as ONE hash-graded row set: recall@k of
+    * each variant against the exact brute-force top-k, compared to
+    * its regression floor. The per-variant recall value is
+    * index-dependent (not SQL-expressible), but `n_exact` is the
+    * oracle's own brute-force count and `recall_ok` must equal the
+    * TRUE literal — so an index regression that tanks any family
+    * breaks the driver hash instead of waiting for a spec run.
+    * Deterministic: every index build is seedless/hash-derived, so
+    * recall is a fixed number per corpus.
+    */
+  def annRecallGate(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteForce(spark, dir).select("probe_id", "neighbor_id")
+    val variants: Map[String, DataFrame] = Map(
+      "ivf" -> annIvf(spark, dir),
+      "sq8" -> annSq8(spark, dir),
+      "pq" -> annPq(spark, dir),
+      "opq" -> annOpq(spark, dir),
+      "opq_np" -> annOpqNp(spark, dir),
+      "pca" -> annPca(spark, dir),
+      "graph" -> annGraph(spark, dir),
+      "hnsw" -> annHnsw(spark, dir))
+    RecallGateFloors.map { case (name, floor) =>
+      exact
+        .join(variants(name).select(col("probe_id"), col("neighbor_id"))
+          .withColumn("hit", lit(1)), Seq("probe_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          (sum(coalesce(col("hit"), lit(0))).cast("double")
+            / count(lit(1)).cast("double") >= floor).as("recall_ok"))
+        .select(lit(name).as("variant"), col("n_exact"),
+          lit(floor).as("recall_floor"), col("recall_ok"))
+    }.reduce(_ unionByName _).orderBy("variant")
+  }
+
+  def annRecallGateSql: String = {
+    val values = RecallGateFloors
+      .map { case (n, f) => s"('$n', ${f}::DOUBLE)" }.mkString(", ")
+    s"""WITH $embNormCteSql, scored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(c.v, p.v), z -> z[1] * z[2]))
+       |      / (c.norm * p.norm) AS cos
+       |  FROM e c JOIN e p ON p.vec_id < $NumProbes AND c.vec_id <> p.vec_id
+       |), ranked AS (
+       |  SELECT probe_id,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |), n AS (SELECT count(*)::BIGINT AS n_exact FROM ranked WHERE rank <= $TopK)
+       |SELECT v.variant, n.n_exact, v.recall_floor, true AS recall_ok
+       |FROM (VALUES $values) AS v(variant, recall_floor), n
+       |ORDER BY variant""".stripMargin
+  }
 }
