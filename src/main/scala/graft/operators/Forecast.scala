@@ -172,6 +172,69 @@ object Forecast {
   def linregAutoreg(spark: SparkSession, dir: String): DataFrame =
     linregAutoregBase(spark, dir).orderBy("user_id", "event_id")
 
+  private val linregCheckSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("n_train", LongType),
+    StructField("normal_eq_ok", BooleanType)))
+
+  /** OPTIMALITY CHECK for [[linregAutoreg]] (round-11 partial-oracle
+    * tier): the fitted coefficients themselves are not
+    * SQL-expressible (a 6×6 normal-equation solve), but their
+    * DEFINING property is checkable — at the least-squares optimum
+    * the gradient Xᵀ(Xw − y) is zero, so each key's fit emits
+    * ‖Xᵀr‖∞ ≤ 10⁻⁶·max(1, ‖Xᵀy‖∞) as a boolean the oracle matches
+    * against TRUE. The oracle independently recomputes WHICH keys
+    * must fit and each key's training-sample count (valid ticks − 6)
+    * straight from the events table — so a lost key, a changed
+    * window prep, or a broken solver all break the hash, not just a
+    * spec run. Same per-key single-pass harness as the fit itself.
+    */
+  def linregCheck(spark: SparkSession, dir: String): DataFrame =
+    perKey(spark, dir, linregCheckSchema) { (user, ticks) =>
+      val prices = ticks.map(_._3).toArray
+      if (prices.length < WindowSize + 2) Iterator.empty
+      else {
+        val xs = ArrayBuffer.empty[Array[Double]]
+        val ys = ArrayBuffer.empty[Double]
+        var i = WindowSize
+        while (i < prices.length - 1) {
+          xs += prices.slice(i - WindowSize, i)
+          ys += prices(i + 1)
+          i += 1
+        }
+        val ok = olsFit(xs.toArray, ys.toArray) match {
+          case None => false
+          case Some(w) =>
+            val k = WindowSize + 1
+            val g = new Array[Double](k)
+            val xty = new Array[Double](k)
+            var j = 0
+            while (j < xs.length) {
+              val r = predictRow(w, xs(j)) - ys(j)
+              g(0) += r; xty(0) += ys(j)
+              var a = 1
+              while (a < k) {
+                g(a) += xs(j)(a - 1) * r
+                xty(a) += xs(j)(a - 1) * ys(j)
+                a += 1
+              }
+              j += 1
+            }
+            val scale = math.max(1.0, xty.map(math.abs).max)
+            g.map(math.abs).max <= 1e-6 * scale
+        }
+        Iterator.single(Row(user, xs.length.toLong, ok))
+      }
+    }.orderBy("user_id")
+
+  def linregCheckSql: String =
+    s"""SELECT user_id, count(*)::BIGINT - ${WindowSize + 1} AS n_train,
+       |  true AS normal_eq_ok
+       |FROM events
+       |WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)
+       |  AND user_id IS NOT NULL
+       |GROUP BY user_id HAVING count(*) >= ${WindowSize + 2}
+       |ORDER BY user_id""".stripMargin
+
   /** Unordered internal variant (no driver-output ORDER BY). */
   private[operators] def linregAutoregBase(spark: SparkSession, dir: String): DataFrame =
     perKey(spark, dir, autoregSchema) { (user, ticks) =>

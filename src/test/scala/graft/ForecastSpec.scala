@@ -110,6 +110,20 @@ class ForecastSpec extends SparkSuite {
     assert(df.filter("train_mse < 0").count() == 0)
   }
 
+  test("linregCheck: every eligible key fits at the normal-equation optimum") {
+    val eligible = graft.operators.Warehouse.validTicks(spark, sfDir)
+      .groupBy("user_id").count().filter("count >= 7")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) - 6)).toMap
+    val rows = Forecast.linregCheck(spark, sfDir).collect()
+    assert(rows.map(_.getAs[Long]("user_id")).toSet == eligible.keySet,
+      "one check row per eligible key, no losses")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_train") == eligible(r.getAs[Long]("user_id")))
+      assert(r.getAs[Boolean]("normal_eq_ok"),
+        s"key ${r.getAs[Long]("user_id")}: gradient not zero at the fit")
+    }
+  }
+
   test("predictions emits ARIMA + LinearRegression rows with bounded confidence") {
     val rows = Forecast.predictions(spark, sfDir).collect()
     assert(rows.nonEmpty)
