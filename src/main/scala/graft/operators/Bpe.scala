@@ -167,4 +167,63 @@ object Bpe {
       .toDF("doc_id", "n_subwords", "subword_preview")
       .orderBy("doc_id")
   }
+
+  /** ROUNDTRIP CHECK for [[tokenizeDocs]] (round-11 partial-oracle
+    * tier): the learned merges and subword ids aren't
+    * SQL-expressible, but BPE's defining invariant is — merges only
+    * CONCATENATE adjacent symbols, so every word's subword sequence
+    * reassembles to `word + Eow` exactly. Per doc the oracle
+    * recomputes the normalized word count and character mass from
+    * raw text (the tokenizer's conservation legs) while
+    * `roundtrip_ok` must equal TRUE — a merge-table or encoder
+    * regression that drops or mangles a single symbol breaks the
+    * driver hash. Same broadcast + per-partition memo as the
+    * tokenizer.
+    */
+  def bpeRoundtrip(spark: SparkSession, dir: String, numMerges: Int = 64,
+      maxVocab: Int = 1 << 20): DataFrame = {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, dir)
+    val counts = wordCounts(docs)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxVocab)
+      .as[(String, Long)].collect().toSeq
+      .sortBy { case (w, c) => (-c, w) }
+    val merges = train(counts, numMerges)
+    val rankB = spark.sparkContext.broadcast(
+      merges.zipWithIndex.map { case (p, r) => p -> r }.toMap)
+    docs.select(col("doc_id"), wordsCol.as("words"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val rank = rankB.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Boolean]
+        it.map { case (id, words) =>
+          val ws = words.filter(_.nonEmpty)
+          var ok = true
+          var chars = 0L
+          ws.foreach { w =>
+            chars += w.length
+            ok &&= memo.getOrElseUpdate(w,
+              encodeWord(w, rank).mkString("") == w + Eow)
+          }
+          (id, ws.length.toLong, chars, ok)
+        }
+      }
+      .toDF("doc_id", "n_words", "n_chars_norm", "roundtrip_ok")
+      .orderBy("doc_id")
+  }
+
+  def bpeRoundtripSql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+      |      lower(trim(text)), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')),
+      |      ' '), x -> x <> '') AS ws
+      |  FROM documents
+      |)
+      |SELECT doc_id, len(ws)::BIGINT AS n_words,
+      |  coalesce(list_sum(list_transform(ws, x -> length(x))), 0)::BIGINT
+      |    AS n_chars_norm,
+      |  true AS roundtrip_ok
+      |FROM w ORDER BY doc_id""".stripMargin
 }

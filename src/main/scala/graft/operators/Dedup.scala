@@ -77,6 +77,84 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** SKETCH-vs-EXACT CHECK for [[sourceOverlapHll]] (round-11
+    * partial-oracle tier): the HLL registers are engine-specific, but
+    * the quantities they estimate — per-source distinct-fingerprint
+    * cardinalities, pairwise unions, and the inclusion-exclusion
+    * intersections — are EXACTLY recomputable by the oracle (md5 is
+    * shared SQL). Booleans carry the error envelopes: each directly
+    * estimated cardinality within 3σ (3 × rsd = 3%) of exact, and the
+    * derived intersection — whose error compounds three estimates —
+    * within 5% of the pair's smaller-side mass. A register-width or
+    * merge regression breaks the hash.
+    *
+    * Scale shape: one distinct-(source, fp) compaction, then a
+    * fp-keyed self-join emits only co-occurring fingerprints (never
+    * source-pair × corpus).
+    */
+  def sourceOverlapHllCheck(spark: SparkSession, dir: String): DataFrame = {
+    val est = sourceOverlapHll(spark, dir)
+    val fps = Tables.documents(spark, dir)
+      .select(col("source"), md5(col("text").cast("binary")).as("fp"))
+      .distinct()
+    val cards = fps.groupBy("source").agg(count(lit(1)).as("card_exact"))
+    val inter = fps.toDF("sa", "fp")
+      .join(fps.toDF("sb", "fp_b"),
+        col("fp") === col("fp_b") && col("sa") < col("sb"))
+      .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
+      .agg(count(lit(1)).as("inter_exact"))
+    // relative 3σ envelope with an ABSOLUTE floor: on a 25-item
+    // source a ±1 register wobble is 4% relative — small-set noise,
+    // not a regression (the envelope is for catching broken merges,
+    // which read 10-100% off)
+    def relOk(e: Column, x: Column): Column =
+      abs(e - x).cast("double") <=
+        greatest(lit(2.0), lit(0.03) * x.cast("double"))
+    est
+      .join(broadcast(cards.toDF("source_a", "card_a_exact")), Seq("source_a"))
+      .join(broadcast(cards.toDF("source_b", "card_b_exact")), Seq("source_b"))
+      .join(broadcast(inter), Seq("source_a", "source_b"), "left")
+      .withColumn("inter_exact", coalesce(col("inter_exact"), lit(0L)))
+      .withColumn("card_union_exact",
+        col("card_a_exact") + col("card_b_exact") - col("inter_exact"))
+      .select(col("source_a"), col("source_b"),
+        col("card_a_exact"), col("card_b_exact"),
+        col("card_union_exact"), col("inter_exact"),
+        (relOk(col("card_a"), col("card_a_exact"))
+          && relOk(col("card_b"), col("card_b_exact"))
+          && relOk(col("card_union"), col("card_union_exact")))
+          .as("cards_ok"),
+        (abs(col("inter_est") - col("inter_exact")).cast("double")
+          <= greatest(lit(3.0),
+            lit(0.05) * least(col("card_a_exact"), col("card_b_exact"))
+              .cast("double"))).as("inter_ok"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def sourceOverlapHllCheckSql: String =
+    """WITH fp AS (
+      |  SELECT DISTINCT source, md5(text) AS fp FROM documents
+      |), c AS (
+      |  SELECT source, count(*)::BIGINT AS card FROM fp GROUP BY source
+      |), p AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    a.card AS card_a_exact, b.card AS card_b_exact
+      |  FROM c a JOIN c b ON a.source < b.source
+      |), i AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    count(*)::BIGINT AS inter_exact
+      |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.source_a, p.source_b, p.card_a_exact, p.card_b_exact,
+      |  (p.card_a_exact + p.card_b_exact - coalesce(i.inter_exact, 0))::BIGINT
+      |    AS card_union_exact,
+      |  coalesce(i.inter_exact, 0)::BIGINT AS inter_exact,
+      |  true AS cards_ok, true AS inter_ok
+      |FROM p LEFT JOIN i
+      |  ON i.source_a = p.source_a AND i.source_b = p.source_b
+      |ORDER BY p.source_a, p.source_b""".stripMargin
+
   /** Exact word-2-gram Jaccard similarity between consecutive-id
     * document pairs — the oracle-checkable pairwise-similarity kernel
     * (the same kernel the LSH candidates feed at scale).
@@ -564,6 +642,158 @@ object Dedup {
         col("cell"))
       .orderBy("a_id", "b_id")
   }
+
+  /** Recall REGRESSION floors for [[embedDedupGate]] — deliberately
+    * LOOSER than the spec floors (LlmOpsSpec pins LSH ≥ 0.35 at
+    * sf0.001): the gate's job is to hash-FAIL when a candidate path
+    * breaks outright (a broken code/mask set or quantizer reads
+    * ~0.0-0.1 recall), not to re-litigate the tight envelopes the
+    * specs own. Generous margins keep the gate stable across the
+    * driver's scale factors (measured recalls in the scaladoc below).
+    */
+  private[graft] val EmbedDedupGateFloors: Seq[(String, Double)] =
+    Seq("lsh" -> 0.3, "semdedup" -> 0.15)
+
+  /** PRECISION/RECALL GATE over the two candidate-bounded near-dup
+    * paths (round-11 partial-oracle tier) — the near-dup sibling of
+    * [[graft.operators.Similarity.annRecallGate]]: for each of the
+    * LSH-bucket ([[embeddingDedupLsh]]) and shared-cell
+    * ([[semDedup]]) pair sources, ONE hash-graded row against the
+    * exact all-pairs kernel. `n_exact_pairs` is the oracle's own
+    * brute-force count (the q_dedup_embedding closure arithmetic —
+    * already proven engine-stable at the 0.4 threshold by that
+    * query's byte-hash); `n_false_pairs` must be the EXACT ZERO the
+    * post-filter guarantees (precision 1.0 as an integer, not a
+    * spec assertion); `recall_ok` must equal TRUE against the
+    * regression floor. A mask-set, code, or quantizer regression
+    * that tanks either family breaks the driver hash instead of
+    * waiting for a spec run. Deterministic: hyperplanes and the
+    * KMeans seed are fixed, so both recalls are fixed per corpus.
+    */
+  def embedDedupGate(spark: SparkSession, dir: String): DataFrame = {
+    val exact = embeddingPairsBase(spark, dir).select("a_id", "b_id")
+    val variants: Map[String, DataFrame] = Map(
+      "lsh" -> embeddingPairsLshBase(spark, dir).select("a_id", "b_id"),
+      "semdedup" -> semDedup(spark, dir).select("a_id", "b_id"))
+    EmbedDedupGateFloors.map { case (name, floor) =>
+      val v = variants(name)
+      val hits = exact
+        .join(v.withColumn("hit", lit(1)), Seq("a_id", "b_id"), "left")
+        .agg(count(lit(1)).as("n_exact_pairs"),
+          sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      val extra = v
+        .join(exact.withColumn("x", lit(1)), Seq("a_id", "b_id"), "left")
+        .agg(coalesce(sum(when(col("x").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_false_pairs"))
+      hits.crossJoin(broadcast(extra)) // two one-row aggregates
+        .select(lit(name).as("variant"), col("n_exact_pairs"),
+          col("n_false_pairs"), lit(floor).as("recall_floor"),
+          coalesce(col("n_hit").cast("double")
+            / col("n_exact_pairs").cast("double") >= floor, lit(true))
+            .as("recall_ok"))
+    }.reduce(_ unionByName _).orderBy("variant")
+  }
+
+  def embedDedupGateSql: String = {
+    val values = EmbedDedupGateFloors
+      .map { case (n, f) => s"('$n', ${f}::DOUBLE)" }.mkString(", ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    sqrt(list_sum(list_transform(list_zip(embedding::DOUBLE[], embedding::DOUBLE[]),
+       |      z -> z[1] * z[2]))) AS norm
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT count(*)::BIGINT AS n_exact_pairs
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]))
+       |      / (a.norm * b.norm) >= 0.4
+       |)
+       |SELECT v.variant, n.n_exact_pairs, 0::BIGINT AS n_false_pairs,
+       |  v.recall_floor, true AS recall_ok
+       |FROM (VALUES $values) AS v(variant, recall_floor), n
+       |ORDER BY variant""".stripMargin
+  }
+
+  /** REFINEMENT GATE over the LSH canonical path (round-11
+    * partial-oracle tier): [[dedupCanonicalLsh]]'s defining
+    * containment — LSH pairs ⊆ exact pairs, so every LSH cluster
+    * lives INSIDE one exact connected component (missed pairs can
+    * split a cluster, never merge two) — plus one-canonical-per-
+    * cluster, as TRUE-literal booleans next to two exact legs the
+    * oracle recomputes from raw embeddings: the corpus size
+    * (totality — the solver may not drop a vector) and the exact
+    * component count via the shared recursive-closure CTE. A label-
+    * propagation or canonical-selection regression breaks the hash.
+    */
+  def lshRefineGate(spark: SparkSession, dir: String): DataFrame = {
+    val exact = embeddingClusters(spark, dir)
+      .select(col("vec_id"), col("cluster_id").as("exact_cluster"))
+    val lsh = dedupCanonicalLsh(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        col("canonical_id"))
+    val joined = lsh.join(exact, Seq("vec_id"))
+    val perCluster = joined.groupBy("cluster_id")
+      .agg(countDistinct("exact_cluster").as("ne"),
+        countDistinct("canonical_id").as("nc"))
+    val flags = perCluster.agg(
+      coalesce(expr("bool_and(ne = 1)"), lit(true)).as("refine_ok"),
+      coalesce(expr("bool_and(nc = 1)"), lit(true)).as("one_canonical_ok"))
+    joined.agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(exact.agg(
+        countDistinct("exact_cluster").as("n_exact_clusters"))))
+      .crossJoin(broadcast(flags))
+      .select("n_vecs", "n_exact_clusters", "refine_ok", "one_canonical_ok")
+  }
+
+  def lshRefineGateSql: String =
+    s"""WITH RECURSIVE $clusterClosureCtes
+      |SELECT (SELECT count(*)::BIGINT FROM embeddings) AS n_vecs,
+      |  (SELECT count(DISTINCT cluster_id)::BIGINT FROM clusters)
+      |    AS n_exact_clusters,
+      |  true AS refine_ok, true AS one_canonical_ok""".stripMargin
+
+  /** CONSISTENCY GATE over the minhash cluster resolution (round-11
+    * partial-oracle tier): the signatures aren't SQL-expressible, but
+    * two invariants are — TOTALITY (every document gets a label: the
+    * output row count must equal the oracle's corpus count) and the
+    * identical-text certainty ([[minhashRecount]]'s reasoning carried
+    * one stage further: identical text → identical signatures → a
+    * certain band collision → the SAME connected component, so an
+    * identical-text group split across clusters is impossible unless
+    * banding or resolution regressed). Exact legs: corpus count,
+    * dup-group count and mass from raw text. Vacuously true when the
+    * corpus has no exact dups (sf0.01); sf0.1 (8 groups) and the
+    * 10×-replica sweep give the split check teeth.
+    *
+    * Scale shape: the text-keyed group is verify-scale convenience —
+    * production keys the same group on the 128-bit content
+    * fingerprint (TextOps.fingerprintCol), never shuffling raw text.
+    */
+  def minhashClusterGate(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = minhashClusters(spark, dir)
+    val joined = Tables.documents(spark, dir).select("doc_id", "text")
+      .join(clusters, Seq("doc_id"))
+    val groups = joined.groupBy("text")
+      .agg(count(lit(1)).as("k"), countDistinct("cluster_id").as("nc"))
+      .filter(col("k") >= 2)
+    val gflags = groups.agg(
+      count(lit(1)).as("n_dup_text_groups"),
+      coalesce(sum("k"), lit(0L)).as("n_dup_docs"),
+      coalesce(expr("bool_and(nc = 1)"), lit(true)).as("groups_unsplit_ok"))
+    clusters.agg(count(lit(1)).as("n_docs")).crossJoin(broadcast(gflags))
+      .select("n_docs", "n_dup_text_groups", "n_dup_docs",
+        "groups_unsplit_ok")
+  }
+
+  def minhashClusterGateSql: String =
+    """WITH g AS (
+      |  SELECT text, count(*)::BIGINT AS k FROM documents
+      |  GROUP BY text HAVING count(*) >= 2
+      |)
+      |SELECT (SELECT count(*)::BIGINT FROM documents) AS n_docs,
+      |  (SELECT count(*)::BIGINT FROM g) AS n_dup_text_groups,
+      |  (SELECT coalesce(sum(k), 0)::BIGINT FROM g) AS n_dup_docs,
+      |  true AS groups_unsplit_ok""".stripMargin
 
   /** Eval-set id split (vec_id < EvalVecs plays the benchmark set —
     * same convention as Curation's `EvalDocs` n-gram split) and the

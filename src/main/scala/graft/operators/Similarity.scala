@@ -2557,4 +2557,123 @@ object Similarity {
        |FROM (VALUES $values) AS v(variant, recall_floor), n
        |ORDER BY variant""".stripMargin
   }
+
+  /** ASSIGNMENT-OPTIMALITY GATE over the shared IVF quantizer
+    * (round-11 partial-oracle tier): the KMeans cells feed FOUR
+    * rows-only surfaces (q_ann_ivf's cell pruning, q_semdedup's
+    * candidate bounding, q_cluster_labels/q_cluster_cap/
+    * q_cluster_purity's semantic rollups), so one hash-graded
+    * invariant covers them all at the root — every vector sits in
+    * its NEAREST center's cell (KMeans' own assignment contract;
+    * 1e-9 slack absorbs fold-order float noise, ties pass by ≤).
+    * `n_vecs` is the oracle's corpus count: a quantizer that drops
+    * or double-assigns a vector, or a center table that drifts from
+    * the assignment, breaks the driver hash. Deterministic: seeded
+    * KMeans.
+    *
+    * Scale shape: one narrow pass over the assigned corpus against
+    * the BROADCAST 16-row center table (16 codegen'd dots per row),
+    * then a map-side-combined count/bool aggregate — no shuffle of
+    * anything vector-sized.
+    */
+  def kmeansGate(spark: SparkSession, dir: String): DataFrame = {
+    val idx = ivfIndex(spark, dir)
+    idx.assigned
+      .join(broadcast(idx.centers), lit(true))
+      .withColumn("d2",
+        Dedup.dot(col("center"), col("center"))
+          - lit(2.0) * Dedup.dot(col("v"), col("center")))
+      .groupBy("vec_id", "cell")
+      .agg(min("d2").as("min_d2"),
+        min(when(col("center_cell") === col("cell"), col("d2")))
+          .as("own_d2"))
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(expr(
+          "bool_and(own_d2 IS NOT NULL AND own_d2 <= min_d2 + 1e-9)"),
+          lit(true)).as("assign_optimal_ok"))
+  }
+
+  def kmeansGateSql: String =
+    """SELECT count(*)::BIGINT AS n_vecs, true AS assign_optimal_ok
+      |FROM embeddings""".stripMargin
+
+  /** Floor for [[embedPcaGate]]'s explained-variance boolean —
+    * looser than the measured fraction (top-8 of 64 dims explains
+    * ~0.2 of an isotropic-ish synthetic corpus; a broken
+    * eigendecomposition reads ~8/64 ≈ 0.125 of random directions
+    * only when variance is exactly uniform, and ~0 when components
+    * stop being unit vectors) so the gate trips on breakage, not on
+    * corpus shape.
+    */
+  private[graft] val PcaExplainedFloor = 0.125
+
+  /** SPECTRAL GATE over the PCA fit (round-11 partial-oracle tier)
+    * — q_embed_pca's projections aren't SQL-expressible, but the
+    * fit's defining properties are checkable against TRUE literals
+    * next to an exact corpus-count leg:
+    *  - `orthonormal_ok`: the top-k eigenvectors are unit-length and
+    *    mutually orthogonal (driver-side, 1e-8);
+    *  - `var_ordered_ok`: eigenvalues non-increasing (driver-side);
+    *  - `recon_nonneg_ok`: no projection "explains" more energy than
+    *    its vector holds (corpus min recon_err2 ≥ −1e-6);
+    *  - `spectral_ok`: the eigSym residual identity — mean
+    *    recon_err2 equals trace(Cov) − Σ top-k λ within 1e-6
+    *    relative (ties the corpus-side projections to the
+    *    driver-side spectrum; a component/eigenvalue mismatch or a
+    *    projection bug breaks it);
+    *  - `explained_ok`: Σ top-k λ / trace ≥ [[PcaExplainedFloor]].
+    *
+    * Scale shape: the fit is [[fitPcaOf]]'s two corpus passes; the
+    * gate adds ONE narrow aggregate over the projected corpus (k
+    * doubles + one residual per row) — nothing vector-sized ever
+    * collects.
+    */
+  def embedPcaGate(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val model = fitPca(spark, dir, k)
+    val d = model.mean.length
+    def dotA(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val orthonormal = (0 until k).forall { i =>
+      (i until k).forall { j =>
+        val expect = if (i == j) 1.0 else 0.0
+        math.abs(dotA(model.components(i), model.components(j)) - expect) <= 1e-8
+      }
+    }
+    val ordered = model.eigenvalues.sliding(2)
+      .forall(w => w.length < 2 || w(0) >= w(1) - 1e-12)
+    val emb = Tables.embeddings(spark, dir)
+    val stats = embedPcaOf(emb, model)
+      .agg(count(lit(1)).as("n_vecs"),
+        avg("recon_err2").as("mean_recon"),
+        min("recon_err2").as("min_recon"))
+      .head()
+    val nVecs = stats.getAs[Long]("n_vecs")
+    val meanRecon = stats.getAs[Double]("mean_recon")
+    val minRecon = stats.getAs[Double]("min_recon")
+    // INDEPENDENT trace(Cov) = E[v·v] − ‖μ‖² (corpus second moment,
+    // not the projection path) — ties the Gramian-side spectrum to
+    // the projection-side residuals: mean recon_err2 must equal
+    // trace − Σ top-k λ, so a component/eigenvalue mismatch or a
+    // projection bug breaks the identity.
+    val meanSq = emb
+      .select(col("embedding").cast("array<double>").as("v"))
+      .agg(avg(Dedup.dot(col("v"), col("v")))).head().getDouble(0)
+    val trace = meanSq - model.mean.map(x => x * x).sum
+    val topVar = model.eigenvalues.sum
+    val spectralOk =
+      math.abs(meanRecon - (trace - topVar)) <= 1e-6 * math.max(trace, 1.0)
+    val explainedOk = trace > 0 && topVar / trace >= PcaExplainedFloor
+    import spark.implicits._
+    Seq((nVecs, k, orthonormal, ordered, minRecon >= -1e-6,
+      spectralOk, explainedOk))
+      .toDF("n_vecs", "k", "orthonormal_ok", "var_ordered_ok",
+        "recon_nonneg_ok", "spectral_ok", "explained_ok")
+  }
+
+  def embedPcaGateSql: String =
+    """SELECT count(*)::BIGINT AS n_vecs, 8 AS k, true AS orthonormal_ok,
+      |  true AS var_ordered_ok, true AS recon_nonneg_ok,
+      |  true AS spectral_ok, true AS explained_ok
+      |FROM embeddings""".stripMargin
 }

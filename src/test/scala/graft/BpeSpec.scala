@@ -93,6 +93,26 @@ class BpeSpec extends SparkSuite {
     assert(capped.filter("n_subwords <= 0").count() == 0)
   }
 
+  test("bpeRoundtrip: every word reassembles; conservation legs match a driver recount") {
+    val got = Bpe.bpeRoundtrip(spark, sfDir).collect()
+    assert(got.length == Tables.documents(spark, sfDir).count())
+    assert(got.forall(_.getAs[Boolean]("roundtrip_ok")), "a subword sequence failed to reassemble")
+    // independent driver-side recount of the normalization
+    val exact = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().map { r =>
+        val ws = r.getString(1).toLowerCase.trim
+          .replaceAll("[^a-z0-9 \t\n\f\r]", " ")
+          .replaceAll("[ \t\n\f\r]+", " ").trim
+          .split(" ").filter(_.nonEmpty)
+        r.getLong(0) -> (ws.length.toLong, ws.map(_.length.toLong).sum)
+      }.toMap
+    got.foreach { r =>
+      val (nw, nc) = exact(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_words") == nw, s"doc ${r.get(0)} word count")
+      assert(r.getAs[Long]("n_chars_norm") == nc, s"doc ${r.get(0)} char mass")
+    }
+  }
+
   test("tokenizeDocs is deterministic and consistent on real docs") {
     val a = Bpe.tokenizeDocs(spark, sfDir, numMerges = 32).collect()
     val b = Bpe.tokenizeDocs(spark, sfDir, numMerges = 32).collect()

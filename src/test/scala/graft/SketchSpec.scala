@@ -45,6 +45,27 @@ class SketchSpec extends SparkSuite {
     assert(got.length == n * (n - 1) / 2, "every source pair reported")
   }
 
+  test("sourceOverlapHllCheck: exact legs match driver sets, all verdicts true") {
+    import graft.operators.Dedup
+    val got = Dedup.sourceOverlapHllCheck(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val bySource = Tables.documents(spark, sfDir)
+      .select(col("source"), md5(col("text").cast("binary")).as("fp"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).toSet }
+    val n = bySource.size
+    assert(got.length == n * (n - 1) / 2, "every source pair reported")
+    got.foreach { r =>
+      val (sa, sb) = (bySource(r.getString(0)), bySource(r.getString(1)))
+      assert(r.getAs[Long]("card_a_exact") == sa.size)
+      assert(r.getAs[Long]("card_b_exact") == sb.size)
+      assert(r.getAs[Long]("card_union_exact") == (sa ++ sb).size)
+      assert(r.getAs[Long]("inter_exact") == sa.intersect(sb).size)
+      assert(r.getAs[Boolean]("cards_ok"), s"${r.get(0)}/${r.get(1)} cards")
+      assert(r.getAs[Boolean]("inter_ok"), s"${r.get(0)}/${r.get(1)} inter")
+    }
+  }
+
   test("approx_count_distinct (HLL++) within its error envelope") {
     val ev = Tables.events(spark, sfDir)
     // rsd is one standard deviation of relative error — assert 3σ
