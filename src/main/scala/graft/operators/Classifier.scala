@@ -301,4 +301,58 @@ object Classifier {
         pmod(xxhash64(col("doc_id")), lit(5L)) === 0L)
       .orderBy("doc_id")
   }
+
+  /** Separation floor for [[clfGate]] — mean target prob minus mean
+    * non-target prob over the full scored corpus (GateProbe-measured
+    * 0.39 / 0.36 / 0.069 at sf0.001/0.01/0.1 — the fixed GD epoch
+    * budget separates less as the corpus grows, so the floor sits
+    * under the weakest measured point); a classifier that stops
+    * learning or diverges reads ~0 or negative.
+    */
+  private[graft] val ClfSeparationFloor = 0.02
+
+  /** Ceiling for the mean |clf − DSIR| percentile gap (uniform-
+    * random rankings read ~33; GateProbe-measured 19.8 / 19.8 /
+    * 17.0 — agreement well above chance but honest about the two
+    * scorers' different geometry).
+    */
+  private[graft] val ClfAgreementGapCeiling = 28.0
+
+  /** TRAINING GATE over the quality classifier (round-11
+    * partial-oracle tier): the GD weights aren't SQL-expressible,
+    * but the corpus masses are (total docs, target-source docs —
+    * the label column is raw SQL), and three behavioral booleans
+    * pin the model against TRUE literals: probabilities bounded in
+    * [0, 1], class separation ≥ [[ClfSeparationFloor]] (a model
+    * that diverges or dies reads ~0), and the DSIR agreement gap ≤
+    * [[ClfAgreementGapCeiling]] (two independent quality scorers
+    * must rank the corpus more alike than chance). Deterministic:
+    * full-batch GD from zeros, fixed split hash.
+    */
+  def clfGate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = qualityClassifier(spark, dir)
+    val flags = scored.agg(
+      count(lit(1)).as("n_docs"),
+      coalesce(sum(when(col("is_target"), 1L).otherwise(0L)), lit(0L))
+        .as("n_target"),
+      coalesce(expr("bool_and(prob >= 0.0 AND prob <= 1.0)"), lit(true))
+        .as("prob_bounded_ok"),
+      (coalesce(avg(when(col("is_target"), col("prob"))), lit(0.0))
+        - coalesce(avg(when(!col("is_target"), col("prob"))), lit(0.0)))
+        .as("sep"))
+    val gap = clfDsirAgreement(spark, dir)
+      .agg(coalesce(avg(col("pctile_gap")), lit(0.0)).as("gap"))
+    flags.crossJoin(broadcast(gap))
+      .select(col("n_docs"), col("n_target"), col("prob_bounded_ok"),
+        (col("sep") >= ClfSeparationFloor).as("separation_ok"),
+        (col("gap") <= ClfAgreementGapCeiling).as("agreement_ok"))
+  }
+
+  def clfGateSql: String =
+    s"""SELECT count(*)::BIGINT AS n_docs,
+      |  coalesce(sum(CASE WHEN source = '${Curation.DsirTarget}'
+      |    THEN 1 ELSE 0 END), 0)::BIGINT AS n_target,
+      |  true AS prob_bounded_ok, true AS separation_ok,
+      |  true AS agreement_ok
+      |FROM documents""".stripMargin
 }

@@ -1921,6 +1921,46 @@ object Curation {
     hashedImportanceScore(docs, hashedImportanceModel(docs)).orderBy("doc_id")
   }
 
+  /** Pearson floor for [[dsirHashGate]] — hashing collapses the
+    * vocabulary into buckets, so exact and hashed log-weights agree
+    * up to collision noise (GateProbe-measured r = 0.65 / 0.54 /
+    * 0.51 at sf0.001/0.01/0.1 with the default bucket count on this
+    * synthetic low-vocabulary corpus — heavy collision load, honest
+    * number); a broken hasher, bucket indexing, or model fold
+    * decorrelates toward 0.
+    */
+  private[graft] val DsirHashCorrFloor = 0.25
+
+  /** AGREEMENT GATE between the exact and hashed DSIR scorers
+    * (round-11 partial-oracle tier): q_importance_hashed's xxhash64
+    * features have no DuckDB dual, but its AGREEMENT with the exact
+    * scorer — whose full output the driver already hash-proves — is
+    * a deterministic number: the Pearson correlation of the two
+    * log-weight columns over the scored corpus, gated against
+    * [[DsirHashCorrFloor]]. Exact leg: the oracle recounts the
+    * scored-doc mass through the same tokenize-and-group SQL that
+    * proves q_importance_weights. One corpus-keyed equi-join + one
+    * scalar aggregate.
+    */
+  def dsirHashGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exact = importanceWeightsDocs(docs)
+      .select(col("doc_id"), col("log_weight").as("lw_exact"))
+    val hashed = hashedImportanceScore(docs, hashedImportanceModel(docs))
+      .select(col("doc_id"), col("log_weight").as("lw_hash"))
+    exact.join(hashed, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(corr(col("lw_exact"), col("lw_hash"))
+          >= DsirHashCorrFloor, lit(true)).as("corr_ok"))
+      .select(col("n_docs"), lit(DsirHashCorrFloor).as("corr_floor"),
+        col("corr_ok"))
+  }
+
+  def dsirHashGateSql: String =
+    s"""SELECT count(*)::BIGINT AS n_docs,
+      |  $DsirHashCorrFloor::DOUBLE AS corr_floor, true AS corr_ok
+      |FROM ($importanceWeightsSql)""".stripMargin
+
   /** DSIR's RESAMPLING step — the half of Xie et al. §3 the weight
     * queries stop short of: draw the training subset WITHOUT
     * replacement with probability ∝ exp(log_weight), as Gumbel top-k
@@ -2626,6 +2666,54 @@ object Curation {
       .toDF("doc_id", "n_words", "n_removed", "text_kept")
       .orderBy("doc_id")
   }
+
+  /** FULL DuckDB dual of [[substringDedup]] (round-11: rows → SQL).
+    * The Spark side never materializes n-gram strings — the two
+    * 64-bit rolling lanes stand in for window identity — but the
+    * SEMANTICS are pure SQL: a window is its 50 tokens, occurrences
+    * after the first in (doc_id, pos) order mark their token range,
+    * marked ranges excise. At oracle scale DuckDB can afford the
+    * literal window strings, so the hash compare proves the whole
+    * fingerprint pipeline (fnv64 lanes, polynomial roll, mask fold)
+    * equals the definitional form — modulo the ~2⁻¹²⁸ two-lane
+    * collision the scaladoc above documents.
+    */
+  def substringDedupSql: String =
+    s"""WITH w AS (
+      |  SELECT doc_id,
+      |    coalesce(string_split_regex(trim(text), '\\s+'), []) AS ws
+      |  FROM documents
+      |), wins AS (
+      |  SELECT doc_id, i AS pos,
+      |    array_to_string(ws[i + 1 : i + $SubstringN], ' ') AS win
+      |  FROM w, unnest(generate_series(0, len(ws) - $SubstringN)) AS t(i)
+      |  WHERE len(ws) >= $SubstringN
+      |), dup AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos,
+      |      row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+      |    FROM wins) WHERE rn > 1
+      |), toks AS (
+      |  SELECT w.doc_id, j - 1 AS p, ws[j] AS word
+      |  FROM w, unnest(generate_series(1, len(ws))) AS t(j)
+      |), masked AS (
+      |  SELECT DISTINCT t.doc_id, t.p
+      |  FROM toks t JOIN dup d ON d.doc_id = t.doc_id
+      |    AND t.p >= d.pos AND t.p < d.pos + $SubstringN
+      |), agg AS (
+      |  SELECT t.doc_id, count(*)::BIGINT AS n_words,
+      |    count(m.p)::BIGINT AS n_removed,
+      |    coalesce(string_agg(CASE WHEN m.p IS NULL THEN t.word END,
+      |      ' ' ORDER BY t.p), '') AS text_kept
+      |  FROM toks t LEFT JOIN masked m
+      |    ON m.doc_id = t.doc_id AND m.p = t.p
+      |  GROUP BY t.doc_id
+      |)
+      |SELECT d.doc_id, coalesce(a.n_words, 0)::BIGINT AS n_words,
+      |  coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+      |  coalesce(a.text_kept, '') AS text_kept
+      |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   /** The same packing as one SQL window cumsum — correct at oracle
     * scale, where a global ORDER BY window is affordable.

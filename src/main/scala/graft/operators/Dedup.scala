@@ -1547,6 +1547,60 @@ object Dedup {
       .orderBy("anchor_id")
   }
 
+  /** Coverage floor for [[tripletHardGate]] — radius-3 multiprobe
+    * over 8-bit codes reaches 93/256 ≈ 36% of code space per anchor,
+    * so an anchor with NO out-of-cluster candidate among hundreds of
+    * correlated vectors is vanishingly rare (measured coverage 1.0
+    * at all three SFs); 0.8 catches a broken mask set or join, not
+    * corpus shape.
+    */
+  private[graft] val TripletHardCoverageFloor = 0.8
+
+  /** CROSS-CHECK GATE over the hard-negative miner (round-11
+    * partial-oracle tier): [[tripletMineHard]]'s negative leg is
+    * LSH-dependent (not SQL-expressible), but three facts are
+    * checkable — the ANCHOR SIDE must agree row-for-row with
+    * [[tripletMine]]'s (whose full output the driver already
+    * hash-proves against the recursive-closure oracle): same
+    * positive, cluster and size per anchor; every hard negative must
+    * sit OUTSIDE its anchor's component (re-verified against the
+    * resolved clusters, not the miner's own filter input); and
+    * coverage — the miner may not silently drop anchors
+    * ([[TripletHardCoverageFloor]]). Exact leg: the oracle recounts
+    * the easy-triplet mass through the same closure SQL.
+    */
+  def tripletHardGate(spark: SparkSession, dir: String): DataFrame = {
+    val easy = tripletMine(spark, dir)
+      .select(col("anchor_id"), col("positive_id").as("ep"),
+        col("cluster_id").as("ec"), col("cluster_size").as("es"))
+    val clusters = embeddingClusters(spark, dir)
+      .select(col("vec_id").as("hard_negative_id"),
+        col("cluster_id").as("neg_cluster"))
+    val joined = tripletMineHard(spark, dir)
+      .select(col("anchor_id"), col("positive_id"), col("cluster_id"),
+        col("cluster_size"), col("hard_negative_id"))
+      .join(easy, Seq("anchor_id"))
+      .join(clusters, Seq("hard_negative_id"))
+    val flags = joined.agg(
+      count(lit(1)).as("n_hard"),
+      coalesce(expr("bool_and(positive_id = ep AND cluster_id = ec" +
+        " AND cluster_size = es)"), lit(true)).as("anchor_side_ok"),
+      coalesce(expr("bool_and(neg_cluster <> cluster_id)"), lit(true))
+        .as("neg_outside_cluster_ok"))
+    easy.agg(count(lit(1)).as("n_triplets"))
+      .crossJoin(broadcast(flags))
+      .select(col("n_triplets"),
+        coalesce(col("n_hard").cast("double")
+          / col("n_triplets").cast("double") >= TripletHardCoverageFloor,
+          lit(true)).as("coverage_ok"),
+        col("anchor_side_ok"), col("neg_outside_cluster_ok"))
+  }
+
+  def tripletHardGateSql: String =
+    s"""SELECT count(*)::BIGINT AS n_triplets, true AS coverage_ok,
+      |  true AS anchor_side_ok, true AS neg_outside_cluster_ok
+      |FROM ($tripletMineSql)""".stripMargin
+
   def tripletMineSql: String =
     s"""WITH RECURSIVE $clusterClosureCtes
       |, m1 AS (
@@ -1989,6 +2043,52 @@ object Dedup {
     nearDupGateDocs(sigs.filter(col("doc_id") < 400),
       sigs.filter(col("doc_id") >= 350))
   }
+
+  /** CERTAINTY CHECK over the cross-run near-dup gate (round-11
+    * partial-oracle tier): the band Bloom's ONE hard guarantee is no
+    * false negatives — a batch doc whose band keys are all in the
+    * standing tier MUST flag. Two certain populations, both
+    * oracle-recomputable from raw documents: the overlap region
+    * (350 ≤ doc_id < 400 sits in BOTH tiers, so its own keys are in
+    * the Bloom) and batch docs whose text equals any standing doc's
+    * (identical text → identical signature → identical band keys).
+    * Exact legs: batch mass, overlap mass, text-overlap mass; the
+    * two flag booleans vs TRUE. A banding, Bloom-build, or probe
+    * regression that loses even one certain hit breaks the hash.
+    */
+  def nearDupGateCheck(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    val standingText = docs.filter(col("doc_id") < 400)
+      .select(col("text")).distinct().withColumn("in_standing", lit(1))
+    val flagged = nearDupGate(spark, dir)
+      .join(docs, Seq("doc_id"))
+      .join(broadcast(standingText), Seq("text"), "left")
+    flagged.agg(
+      count(lit(1)).as("n_batch"),
+      coalesce(sum(when(col("doc_id") < 400, 1L).otherwise(0L)), lit(0L))
+        .as("n_overlap"),
+      coalesce(expr(
+        "bool_and(doc_id >= 400 OR candidate_near_dup)"), lit(true))
+        .as("overlap_flagged_ok"),
+      coalesce(sum(when(col("in_standing").isNotNull, 1L).otherwise(0L)),
+        lit(0L)).as("n_standing_text"),
+      coalesce(expr(
+        "bool_and(in_standing IS NULL OR candidate_near_dup)"), lit(true))
+        .as("standing_text_flagged_ok"))
+  }
+
+  def nearDupGateCheckSql: String =
+    """SELECT
+      |  (SELECT count(*) FROM documents WHERE doc_id >= 350)::BIGINT
+      |    AS n_batch,
+      |  (SELECT count(*) FROM documents
+      |   WHERE doc_id >= 350 AND doc_id < 400)::BIGINT AS n_overlap,
+      |  true AS overlap_flagged_ok,
+      |  (SELECT count(*) FROM documents b WHERE b.doc_id >= 350
+      |   AND EXISTS (SELECT 1 FROM documents s
+      |               WHERE s.doc_id < 400 AND s.text = b.text))::BIGINT
+      |    AS n_standing_text,
+      |  true AS standing_text_flagged_ok""".stripMargin
 
   private[graft] def nearDupGateDocs(standing: DataFrame, batch: DataFrame,
       fpp: Double = 0.001): DataFrame = {

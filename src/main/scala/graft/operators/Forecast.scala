@@ -1362,4 +1362,58 @@ object Forecast {
       |WHERE ts >= (SELECT max(ts) FROM valid) - INTERVAL 7 DAY
       |GROUP BY user_id
       |ORDER BY data_points DESC, user_id""".stripMargin
+
+  /** SERVE-MASS GATE over the prediction surface (round-11
+    * partial-oracle tier): the fitted models aren't SQL-expressible,
+    * but their ELIGIBILITY is — ARIMA fits every key with ≥
+    * [[MinObservations]] valid ticks, linreg every key with ≥
+    * WindowSize+2 — so the oracle recomputes both eligible-key
+    * masses from raw events with the same validity predicate that
+    * proves q_validate_ticks, and the gate asserts each serve leg
+    * covers its mass exactly (a per-key fit that silently dies, or
+    * a registry row that drops on the serve path, breaks the
+    * hash). Plus two TRUE-literal sanity booleans: all served
+    * prices finite, all confidence scores in [0, 1].
+    */
+  def forecastGate(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Warehouse.validTicks(spark, dir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val elig = counts.agg(
+      coalesce(sum(when(col("n") >= MinObservations, 1L).otherwise(0L)),
+        lit(0L)).as("n_arima_eligible"),
+      coalesce(sum(when(col("n") >= WindowSize + 2, 1L).otherwise(0L)),
+        lit(0L)).as("n_linreg_eligible"))
+    val flags = predictions(spark, dir).agg(
+      coalesce(sum(when(col("model_type") === "ARIMA", 1L)
+        .otherwise(0L)), lit(0L)).as("na"),
+      coalesce(sum(when(col("model_type") === "LinearRegression", 1L)
+        .otherwise(0L)), lit(0L)).as("nl"),
+      coalesce(expr("bool_and(predicted_price IS NOT NULL" +
+        " AND NOT isnan(predicted_price))"), lit(true))
+        .as("prices_finite_ok"),
+      coalesce(expr("bool_and(confidence_score >= 0.0" +
+        " AND confidence_score <= 1.0)"), lit(true))
+        .as("confidence_bounded_ok"))
+    elig.crossJoin(broadcast(flags))
+      .select(col("n_arima_eligible"), col("n_linreg_eligible"),
+        (col("na") === col("n_arima_eligible")).as("arima_rows_ok"),
+        (col("nl") === col("n_linreg_eligible")).as("linreg_rows_ok"),
+        col("prices_finite_ok"), col("confidence_bounded_ok"))
+  }
+
+  def forecastGateSql: String =
+    s"""WITH c AS (
+      |  SELECT user_id, count(*)::BIGINT AS n FROM events
+      |  WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)
+      |    AND user_id IS NOT NULL
+      |  GROUP BY user_id
+      |)
+      |SELECT
+      |  coalesce(sum(CASE WHEN n >= $MinObservations THEN 1 ELSE 0 END), 0)::BIGINT
+      |    AS n_arima_eligible,
+      |  coalesce(sum(CASE WHEN n >= ${WindowSize + 2} THEN 1 ELSE 0 END), 0)::BIGINT
+      |    AS n_linreg_eligible,
+      |  true AS arima_rows_ok, true AS linreg_rows_ok,
+      |  true AS prices_finite_ok, true AS confidence_bounded_ok
+      |FROM c""".stripMargin
 }

@@ -2499,12 +2499,19 @@ object Similarity {
     * RecallProbe own; generous margins keep the gate stable across
     * the driver's scale factors (measured sf0.01 recalls: ivf 0.58,
     * pq 0.52, opq 0.58, opq_np 0.52, pca ≥0.8, graph ≥0.7, hnsw 1.0,
-    * sq8 1.0). LSH is excluded — its recall is corpus-shape-dependent
-    * by design (uniform vs clustered; the clustered probe covers it).
+    * sq8 1.0; ivfpq joined in round 11's tail — spec floor 0.45,
+    * gate 0.3, measured 0.40-0.50 at sf0.1; pca's floor dropped
+    * 0.65 → 0.3 in the same pass because its FIXED cands=128 budget
+    * is a shrinking corpus fraction as SF grows — RecallProbe
+    * measures 0.44 at sf0.1 for the default (k=16, cands=128), the
+    * first time the gate ran at that scale). LSH is excluded — its
+    * recall is corpus-shape-dependent by design (uniform vs
+    * clustered; the clustered probe covers it).
     */
   private[graft] val RecallGateFloors: Seq[(String, Double)] = Seq(
-    "graph" -> 0.55, "hnsw" -> 0.6, "ivf" -> 0.3, "opq" -> 0.35,
-    "opq_np" -> 0.35, "pca" -> 0.65, "pq" -> 0.35, "sq8" -> 0.8)
+    "graph" -> 0.55, "hnsw" -> 0.6, "ivf" -> 0.3, "ivfpq" -> 0.3,
+    "opq" -> 0.35, "opq_np" -> 0.35, "pca" -> 0.3, "pq" -> 0.35,
+    "sq8" -> 0.8)
 
   /** ANN RECALL GATE (round-11 partial-oracle tier) — the whole index
     * family's serve quality as ONE hash-graded row set: recall@k of
@@ -2521,6 +2528,7 @@ object Similarity {
     val exact = annBruteForce(spark, dir).select("probe_id", "neighbor_id")
     val variants: Map[String, DataFrame] = Map(
       "ivf" -> annIvf(spark, dir),
+      "ivfpq" -> annIvfPq(spark, dir),
       "sq8" -> annSq8(spark, dir),
       "pq" -> annPq(spark, dir),
       "opq" -> annOpq(spark, dir),
@@ -2676,4 +2684,54 @@ object Similarity {
       |  true AS var_ordered_ok, true AS recon_nonneg_ok,
       |  true AS spectral_ok, true AS explained_ok
       |FROM embeddings""".stripMargin
+
+  /** Recall floor for [[annFilteredGate]] — loose for the same
+    * reason as [[RecallGateFloors]] (GateProbe-measured: 0.34 /
+    * 0.50 / 0.50 at sf0.001/0.01/0.1 — the label constraint thins
+    * each cell, so nProbe=3 of 16 costs more recall than unfiltered
+    * IVF; a broken pushdown or label join reads ~0).
+    */
+  private[graft] val FilteredIvfRecallFloor = 0.15
+
+  /** FILTERED-SEARCH RECALL GATE (round-11 partial-oracle tier):
+    * q_ann_filtered_ivf — the label-pushdown search through the IVF
+    * cells — against the exact filtered top-k, whose count the
+    * oracle recomputes with the SAME label-constrained ranking SQL
+    * that already hash-proves q_ann_filtered. One row: the exact
+    * result mass, the floor, and recall_ok vs TRUE. A pushdown
+    * regression (filter applied after ranking, wrong label join,
+    * broken cell pruning) breaks the driver hash.
+    */
+  def annFilteredGate(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annFiltered(spark, dir).select("probe_id", "neighbor_id")
+    val ivf = annFilteredIvf(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(ivf, Seq("probe_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        coalesce(sum(coalesce(col("hit"), lit(0))).cast("double")
+          / count(lit(1)).cast("double") >= FilteredIvfRecallFloor,
+          lit(true)).as("recall_ok"))
+      .select(col("n_exact"),
+        lit(FilteredIvfRecallFloor).as("recall_floor"), col("recall_ok"))
+  }
+
+  def annFilteredGateSql: String =
+    s"""WITH $embNormCteSql, el AS (
+       |  SELECT e.vec_id, e.v, e.norm, l.label
+       |  FROM e JOIN embeddings l ON l.vec_id = e.vec_id
+       |), scored AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+       |    list_sum(list_transform(list_zip(c.v, p.v), z -> z[1] * z[2]))
+       |      / (c.norm * p.norm) AS cos
+       |  FROM el c JOIN el p ON p.vec_id < $NumProbes
+       |    AND c.label = p.label AND c.vec_id <> p.vec_id
+       |), ranked AS (
+       |  SELECT probe_id,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT count(*)::BIGINT AS n_exact,
+       |  $FilteredIvfRecallFloor::DOUBLE AS recall_floor, true AS recall_ok
+       |FROM ranked WHERE rank <= $TopK""".stripMargin
 }
