@@ -1374,6 +1374,14 @@ object Forecast {
     * a registry row that drops on the serve path, breaks the
     * hash). Plus two TRUE-literal sanity booleans: all served
     * prices finite, all confidence scores in [0, 1].
+    *
+    * The BACKTEST surface (q_forecast_accuracy) gets a coverage
+    * floor instead of exact equality because its per-step refits
+    * may legitimately fail on a singular prefix (the operator's
+    * documented min-5-scored-steps contract): keys with ≥
+    * MinObservations + 5 valid ticks are backtest-eligible (pure
+    * SQL), and the accuracy surface must cover ≥ 80% of them
+    * (GateProbe-measured 0.94-1.0; a broken walk-forward reads 0).
     */
   def forecastGate(spark: SparkSession, dir: String): DataFrame = {
     val counts = Warehouse.validTicks(spark, dir)
@@ -1382,7 +1390,9 @@ object Forecast {
       coalesce(sum(when(col("n") >= MinObservations, 1L).otherwise(0L)),
         lit(0L)).as("n_arima_eligible"),
       coalesce(sum(when(col("n") >= WindowSize + 2, 1L).otherwise(0L)),
-        lit(0L)).as("n_linreg_eligible"))
+        lit(0L)).as("n_linreg_eligible"),
+      coalesce(sum(when(col("n") >= MinObservations + 5, 1L)
+        .otherwise(0L)), lit(0L)).as("n_backtest_eligible"))
     val flags = predictions(spark, dir).agg(
       coalesce(sum(when(col("model_type") === "ARIMA", 1L)
         .otherwise(0L)), lit(0L)).as("na"),
@@ -1394,10 +1404,16 @@ object Forecast {
       coalesce(expr("bool_and(confidence_score >= 0.0" +
         " AND confidence_score <= 1.0)"), lit(true))
         .as("confidence_bounded_ok"))
-    elig.crossJoin(broadcast(flags))
+    val backtest = forecastAccuracy(spark, dir)
+      .agg(count(lit(1)).as("nb"))
+    elig.crossJoin(broadcast(flags)).crossJoin(broadcast(backtest))
       .select(col("n_arima_eligible"), col("n_linreg_eligible"),
+        col("n_backtest_eligible"),
         (col("na") === col("n_arima_eligible")).as("arima_rows_ok"),
         (col("nl") === col("n_linreg_eligible")).as("linreg_rows_ok"),
+        coalesce(col("nb").cast("double")
+          / col("n_backtest_eligible").cast("double") >= 0.8, lit(true))
+          .as("backtest_coverage_ok"),
         col("prices_finite_ok"), col("confidence_bounded_ok"))
   }
 
@@ -1413,7 +1429,10 @@ object Forecast {
       |    AS n_arima_eligible,
       |  coalesce(sum(CASE WHEN n >= ${WindowSize + 2} THEN 1 ELSE 0 END), 0)::BIGINT
       |    AS n_linreg_eligible,
+      |  coalesce(sum(CASE WHEN n >= ${MinObservations + 5} THEN 1 ELSE 0 END), 0)::BIGINT
+      |    AS n_backtest_eligible,
       |  true AS arima_rows_ok, true AS linreg_rows_ok,
+      |  true AS backtest_coverage_ok,
       |  true AS prices_finite_ok, true AS confidence_bounded_ok
       |FROM c""".stripMargin
 }
