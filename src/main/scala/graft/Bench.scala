@@ -43,7 +43,12 @@ object Bench {
     // round 10: the per-row HOF-fold text transforms (block language
     // classification; FIM rewrite) — tracked so a regression that
     // breaks the zero-shuffle narrow-scan shape shows
-    "q_lang_mix", "q_fim")
+    "q_lang_mix", "q_fim",
+    // round 11: the curriculum rank — tracked so a regression in the
+    // broadcast-vocab surprisal join or the bucket-offset global
+    // order (a reintroduced single-task window would 1-partition the
+    // corpus sort) shows
+    "q_curriculum")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -3324,4 +3324,274 @@ object Curation {
       |      ['<MID>'], toks[cut_a + 1 : cut_b]]), ' ')
       |    ELSE array_to_string(toks, ' ') END AS fim_text
       |FROM d ORDER BY doc_id""".stripMargin
+
+  /** CURRICULUM ORDERING — the easy→hard schedule a curriculum-
+    * learning run consumes (Bengio et al. 2009): per-document
+    * difficulty = mean token SURPRISAL in nats under the corpus'
+    * own unigram distribution (−ln(c(w)/T) averaged over token
+    * instances — a doc of common words scores low, one of rare
+    * words high), then the corpus in ascending-difficulty order
+    * with a global position and a fixed-width 4-phase bucket
+    * (`phase = ((pos−1)·4) DIV N + 1`, integer arithmetic — NOT
+    * SQL ntile, whose remainder-distribution rules differ across
+    * engines).
+    *
+    * Cross-engine exactness: each token's surprisal rounds to 12
+    * decimals and sums as DECIMAL(28,14) (order-independent exact
+    * addition, the [[graft.operators.TextOps.tokenDrift]]
+    * discipline; term magnitude ≤ ln T ≈ 40 nats at any corpus
+    * size, ulp ≪ the 5e-13 rounding boundary); difficulty is the
+    * decimal sum ÷ token count rounded to 8, and the global order
+    * ties break on the ROUNDED value + doc_id, so both engines
+    * rank identically.
+    *
+    * Scale shape: ONE corpus tokenize into a token-instance join
+    * against the BROADCAST vocab-sized count table, collapsed by a
+    * doc-keyed partial agg; the global order avoids the
+    * single-task unpartitioned window via the bucket-offset
+    * decomposition (the [[graft.operators.TextOps.heapsFit]]
+    * idiom): centinat buckets carry per-bucket row_number windows,
+    * offsets ride a bucket-count-sized window, N broadcasts as one
+    * row. Docs with zero tokens drop (no instances to score) on
+    * both engines.
+    */
+  def curriculum(spark: SparkSession, dir: String): DataFrame =
+    curriculumDocs(Tables.documents(spark, dir))
+
+  private[graft] def curriculumDocs(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
+        w => w =!= lit(""))).as("word"))
+    val wordCounts = toks.groupBy("word").agg(count(lit(1)).as("c"))
+    val totals = wordCounts.agg(sum("c").as("t"))
+    val scored = toks
+      .join(broadcast(wordCounts), Seq("word"))
+      .crossJoin(broadcast(totals))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(round(log(col("t").cast("double") / col("c").cast("double")), 12)
+          .cast("decimal(28,14)")).as("s_dec"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s_dec").cast("double") / col("n_tokens").cast("double"), 8)
+          .as("difficulty"))
+    val bucketed = scored.withColumn("bkt",
+      floor(col("difficulty") * 100).cast("long"))
+    val wIn = Window.partitionBy("bkt").orderBy("difficulty", "doc_id")
+    val wOff = Window.orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("bkt").agg(count(lit(1)).as("bn"))
+      .select(col("bkt"), coalesce(sum("bn").over(wOff), lit(0L)).as("off"))
+    val n = scored.agg(count(lit(1)).as("n_docs"))
+    bucketed.join(broadcast(offsets), Seq("bkt"))
+      .crossJoin(broadcast(n))
+      .withColumn("pos", col("off") + row_number().over(wIn))
+      .select(col("doc_id"), col("n_tokens"), col("difficulty"), col("pos"),
+        expr("(pos - 1) * 4 DIV n_docs + 1").as("phase"))
+      .orderBy("pos")
+  }
+
+  /** DuckDB dual of [[curriculum]]: same tokenize, same
+    * per-instance 12-decimal DECIMAL(28,14) surprisal sum, same
+    * rounded-difficulty order and integer phase arithmetic.
+    */
+  def curriculumSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |      w -> w <> '')) AS word
+      |  FROM documents
+      |), wc AS (
+      |  SELECT word, count(*)::BIGINT AS c FROM toks GROUP BY 1
+      |), t AS (SELECT sum(c)::BIGINT AS t FROM wc),
+      |scored AS (
+      |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+      |    round((sum(round(ln(t::DOUBLE / c), 12)::DECIMAL(28,14)))::DOUBLE
+      |      / count(*), 8) AS difficulty
+      |  FROM toks JOIN wc USING (word) CROSS JOIN t
+      |  GROUP BY doc_id
+      |), n AS (SELECT count(*)::BIGINT AS n_docs FROM scored),
+      |ranked AS (
+      |  SELECT doc_id, n_tokens, difficulty,
+      |    row_number() OVER (ORDER BY difficulty, doc_id)::BIGINT AS pos
+      |  FROM scored
+      |)
+      |SELECT doc_id, n_tokens, difficulty, pos,
+      |  ((pos - 1) * 4 // n_docs + 1)::BIGINT AS phase
+      |FROM ranked CROSS JOIN n ORDER BY pos""".stripMargin
+
+  /** BOILERPLATE / template-mass detection WITHIN each source — the
+    * CCNet-style per-domain pass that [[ngramNovelty]]'s
+    * corpus-global first-occurrence profile cannot see: an n-gram
+    * that appears in ≥ [[BoilerDocPct]]% of a source's documents
+    * (and ≥2 of them) is that source's boilerplate (nav bars,
+    * footers, legal stubs — the text a crawler re-collects on every
+    * page of a domain); each document reports its distinct-gram
+    * mass, how many of those grams are its source's boilerplate,
+    * and the ppm fraction a trimming stage thresholds on. Word
+    * BIGRAMS here (the synthetic corpus' sources are 25 docs of
+    * ~31-word vocabulary, where 8-grams never repeat); production
+    * raises n with the same shape — the unit is a parameter, the
+    * per-(source, gram) document-frequency algebra is not.
+    *
+    * Scale shape: ONE tokenize into the per-doc distinct gram set
+    * (doc-keyed partial agg), an explicit repartition on
+    * (source, gram) serving BOTH the distinct and the
+    * document-frequency window (the [[ngramNovelty]] single-
+    * exchange discipline), a doc-keyed collapse, and a broadcast
+    * of the sources-sized doc-count table. All integers →
+    * hash-exact.
+    */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplateDocs(Tables.documents(spark, dir))
+
+  /** Doc-frequency threshold (percent of a source's docs) above
+    * which a gram counts as that source's boilerplate.
+    */
+  private val BoilerDocPct = 25
+
+  private[graft] def boilerplateDocs(docs: DataFrame): DataFrame = {
+    val ws = filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
+      w => w =!= lit(""))
+    val grams = docs
+      .select(col("doc_id"), col("source"), ws.as("ws"))
+      .select(col("doc_id"), col("source"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
+          slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("gram"))
+    val srcSizes = docs.groupBy("source").agg(count(lit(1)).as("s_docs"))
+    val w = Window.partitionBy("source", "gram")
+    val perDoc = grams
+      .repartition(col("source"), col("gram"))
+      .distinct()
+      .withColumn("d", count(lit(1)).over(w))
+      .join(broadcast(srcSizes), Seq("source"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("d") >= 2 &&
+            col("d") * 100 >= col("s_docs") * BoilerDocPct, 1L)
+          .otherwise(0L)).as("n_template"))
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id", "source"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_template"), lit(0L)).as("n_template"))
+      .withColumn("boiler_ppm", when(col("n_grams") > 0,
+        expr("n_template * 1000000 DIV n_grams")))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB dual of [[boilerplate]]: same bigrams (index zip), same
+    * per-(source, gram) doc-frequency threshold, same integer ppm.
+    */
+  def boilerplateSql: String =
+    s"""WITH ws0 AS (
+      |  SELECT doc_id, source,
+      |    list_filter(string_split_regex(trim(text), '\\s+'),
+      |      w -> w <> '') AS ws
+      |  FROM documents
+      |), g AS (
+      |  SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i + 1] AS gram
+      |  FROM (SELECT doc_id, source, ws,
+      |          unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS i
+      |        FROM ws0)
+      |), s AS (
+      |  SELECT source, count(*)::BIGINT AS s_docs FROM documents GROUP BY 1
+      |), f AS (
+      |  SELECT doc_id, source, gram,
+      |    count(*) OVER (PARTITION BY source, gram) AS d
+      |  FROM g
+      |), per_doc AS (
+      |  SELECT doc_id, f.source, count(*)::BIGINT AS n_grams,
+      |    sum(CASE WHEN d >= 2 AND d * 100 >= s_docs * ${BoilerDocPct}
+      |             THEN 1 ELSE 0 END)::BIGINT AS n_template
+      |  FROM f JOIN s ON f.source = s.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d.doc_id, d.source,
+      |  coalesce(n_grams, 0)::BIGINT AS n_grams,
+      |  coalesce(n_template, 0)::BIGINT AS n_template,
+      |  CASE WHEN coalesce(n_grams, 0) > 0
+      |       THEN coalesce(n_template, 0) * 1000000 // n_grams END
+      |    ::BIGINT AS boiler_ppm
+      |FROM documents d
+      |LEFT JOIN per_doc p ON d.doc_id = p.doc_id AND d.source = p.source
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** DATASET CARD — the per-source one-page summary a corpus ships
+    * with (Datasheets for Datasets, Gebru et al. 2021; the Dolma
+    * report tables): [[domainStats]]' mass columns EXTENDED with the
+    * integrity signals a consumer signs off on — dominant language
+    * and its document share, exact-duplicate mass (byte-identical
+    * text, the md5 channel [[dataSplit]] keys on), and the
+    * token-length envelope. One row per source; every column either
+    * integer or an exact sum÷count double → hash-exact.
+    *
+    * Scale shape: ONE corpus scan into a source-keyed partial agg
+    * (distinct-lang and distinct-fingerprint ride the same
+    * exchange); the dominant-language rank is a window over the
+    * (source × lang)-sized aggregate, never the corpus.
+    */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
+          w => w =!= lit(""))).cast("long").as("n_tok"),
+        md5(col("text").cast("binary")).as("fp"))
+    val perSource = perDoc.groupBy("source").agg(
+      count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+      countDistinct("lang").as("n_langs"),
+      countDistinct("fp").as("n_distinct"),
+      min("n_tok").as("min_tokens"), max("n_tok").as("max_tokens"))
+    val langTop = perDoc.groupBy("source", "lang")
+      .agg(count(lit(1)).as("ln"))
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("ln").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("ln").as("top_lang_docs"))
+    perSource.join(langTop, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("top_lang"),
+        expr("top_lang_docs * 1000000 DIV n_docs").as("top_lang_ppm"),
+        (col("n_docs") - col("n_distinct")).as("dup_docs"),
+        expr("(n_docs - n_distinct) * 1000000 DIV n_docs").as("dup_ppm"),
+        col("min_tokens"), col("max_tokens"),
+        (col("n_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("mean_tokens"))
+      .orderBy("source")
+  }
+
+  /** DuckDB dual of [[datasetCard]]: same tokenize, same md5-of-text
+    * duplicate channel, same rank tie-break (docs desc, lang asc).
+    */
+  def datasetCardSql: String =
+    """WITH per_doc AS (
+      |  SELECT source, lang,
+      |    len(list_filter(string_split_regex(trim(text), '\s+'),
+      |      w -> w <> ''))::BIGINT AS n_tok,
+      |    md5(text) AS fp
+      |  FROM documents
+      |), per_source AS (
+      |  SELECT source, count(*)::BIGINT AS n_docs,
+      |    sum(n_tok)::BIGINT AS n_tokens,
+      |    count(DISTINCT lang)::BIGINT AS n_langs,
+      |    count(DISTINCT fp)::BIGINT AS n_distinct,
+      |    min(n_tok)::BIGINT AS min_tokens, max(n_tok)::BIGINT AS max_tokens
+      |  FROM per_doc GROUP BY 1
+      |), lt AS (
+      |  SELECT source, lang AS top_lang, ln AS top_lang_docs
+      |  FROM (SELECT source, lang, count(*)::BIGINT AS ln,
+      |          row_number() OVER (PARTITION BY source
+      |            ORDER BY count(*) DESC, lang) AS rk
+      |        FROM per_doc GROUP BY source, lang)
+      |  WHERE rk = 1
+      |)
+      |SELECT source, n_docs, n_tokens, n_langs, top_lang,
+      |  (top_lang_docs * 1000000 // n_docs)::BIGINT AS top_lang_ppm,
+      |  (n_docs - n_distinct)::BIGINT AS dup_docs,
+      |  ((n_docs - n_distinct) * 1000000 // n_docs)::BIGINT AS dup_ppm,
+      |  min_tokens, max_tokens,
+      |  n_tokens::DOUBLE / n_docs AS mean_tokens
+      |FROM per_source JOIN lt USING (source) ORDER BY source""".stripMargin
 }

@@ -1429,4 +1429,99 @@ class CurationSpec extends SparkSuite {
     val rate = nFim.toDouble / rows.length
     assert(rate > 0.4 && rate < 0.6, s"fim rate $rate off design")
   }
+
+  private def wsTokens(text: String): Seq[String] =
+    text.trim.split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty).toSeq
+
+  test("curriculum replays mean surprisal, global order, and phases") {
+    def r(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> wsTokens(x.getString(1))).toMap
+    val counts = docs.values.flatten.groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val total = counts.values.sum.toDouble
+    // per-doc difficulty: decimal sum of 12-decimal per-token terms
+    val exp = docs.collect { case (id, ws) if ws.nonEmpty =>
+      val s = ws.map(w => r(math.log(total / counts(w)), 12)).sum
+      id -> (ws.length.toLong, r((s / ws.length).toDouble, 8).toDouble)
+    }
+    val got = Curation.curriculum(spark, sfDir).collect()
+    assert(got.length == exp.size, "one row per tokenized doc")
+    val n = got.length.toLong
+    got.foreach { row =>
+      val (nTok, diff) = exp(row.getLong(0))
+      assert(row.getLong(1) == nTok, s"doc ${row.getLong(0)} n_tokens")
+      assert(row.getDouble(2) == diff, s"doc ${row.getLong(0)} difficulty")
+      // fixed-width quartile arithmetic, NOT SQL ntile
+      assert(row.getLong(4) == (row.getLong(3) - 1) * 4 / n + 1,
+        s"doc ${row.getLong(0)} phase")
+    }
+    // pos is exactly the (difficulty, doc_id) rank: 1..N, ascending
+    val ordered = got.sortBy(r => (r.getDouble(2), r.getLong(0)))
+    assert(ordered.map(_.getLong(3)).toSeq == (1L to n).toSeq,
+      "pos is the global curriculum rank")
+  }
+
+  test("boilerplate recounts per-source bigram doc frequency") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1), wsTokens(x.getString(2))))
+    val docGrams = docs.map { case (id, src, ws) =>
+      (id, src, ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }.toSet)
+    }
+    val srcDocs = docs.groupBy(_._2).map { case (s, g) => s -> g.length }
+    val df = docGrams.flatMap { case (_, src, gs) => gs.map((src, _)) }
+      .groupBy(identity).map { case (k, g) => k -> g.size }
+    val got = Curation.boilerplate(spark, sfDir).collect()
+    assert(got.length == docs.length, "one row per doc")
+    var anyTemplate = false
+    got.foreach { row =>
+      val (_, src, gs) = docGrams.find(_._1 == row.getLong(0)).get
+      val nTemplate = gs.count { g =>
+        val d = df((src, g))
+        d >= 2 && d * 100 >= srcDocs(src) * 25
+      }
+      assert(row.getLong(2) == gs.size, s"doc ${row.getLong(0)} n_grams")
+      assert(row.getLong(3) == nTemplate, s"doc ${row.getLong(0)} n_template")
+      if (nTemplate > 0) anyTemplate = true
+      if (gs.nonEmpty)
+        assert(row.getLong(4) == nTemplate.toLong * 1000000L / gs.size,
+          s"doc ${row.getLong(0)} ppm")
+      else assert(row.isNullAt(4), s"doc ${row.getLong(0)} null ppm")
+    }
+    // the threshold actually fires on this corpus (non-vacuous spec)
+    assert(anyTemplate, "no template grams detected — check threshold")
+  }
+
+  test("datasetCard recounts mass, dominant lang, and dup channels") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "lang", "text").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getString(2)))
+    val got = Curation.datasetCard(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet == docs.map(_._1).toSet,
+      "one row per source")
+    got.foreach { row =>
+      val src = row.getString(0)
+      val mine = docs.filter(_._1 == src)
+      val toks = mine.map(d => wsTokens(d._3).length.toLong)
+      assert(row.getLong(1) == mine.length, s"$src n_docs")
+      assert(row.getLong(2) == toks.sum, s"$src n_tokens")
+      assert(row.getLong(3) == mine.map(_._2).distinct.length, s"$src n_langs")
+      val top = mine.groupBy(_._2).map { case (l, g) => (l, g.length) }
+        .toSeq.sortBy { case (l, c) => (-c, l) }.head
+      assert(row.getString(4) == top._1, s"$src top_lang")
+      assert(row.getLong(5) == top._2.toLong * 1000000L / mine.length,
+        s"$src top_lang_ppm")
+      val dups = mine.length - mine.map(_._3).distinct.length
+      assert(row.getLong(6) == dups, s"$src dup_docs")
+      assert(row.getLong(7) == dups.toLong * 1000000L / mine.length,
+        s"$src dup_ppm")
+      assert(row.getLong(8) == toks.min && row.getLong(9) == toks.max,
+        s"$src token envelope")
+      assert(row.getDouble(10) == toks.sum.toDouble / mine.length,
+        s"$src mean_tokens")
+    }
+  }
 }
