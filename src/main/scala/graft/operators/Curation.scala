@@ -3374,14 +3374,23 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"),
         round(col("s_dec").cast("double") / col("n_tokens").cast("double"), 8)
           .as("difficulty"))
+    // materialized once: the offsets branch, the doc-count branch,
+    // and the final join all read the scored table — without pinning,
+    // Catalyst re-derives the tokenize ⋈ vocab ⋈ collapse subtree
+    // under each (3 consumers × 2 tokenize passes = 6 corpus scans
+    // for a doc-count-sized table). Same contract as heapsFit's
+    // perDoc: the EAGER checkpoint means constructing this DataFrame
+    // runs the scoring job, accepted deliberately.
     val bucketed = scored.withColumn("bkt",
       floor(col("difficulty") * 100).cast("long"))
+      .localCheckpoint(true)
     val wIn = Window.partitionBy("bkt").orderBy("difficulty", "doc_id")
     val wOff = Window.orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("bkt").agg(count(lit(1)).as("bn"))
+    val bcounts = bucketed.groupBy("bkt").agg(count(lit(1)).as("bn"))
+    val offsets = bcounts
       .select(col("bkt"), coalesce(sum("bn").over(wOff), lit(0L)).as("off"))
-    val n = scored.agg(count(lit(1)).as("n_docs"))
+    val n = bcounts.agg(sum("bn").as("n_docs"))
     bucketed.join(broadcast(offsets), Seq("bkt"))
       .crossJoin(broadcast(n))
       .withColumn("pos", col("off") + row_number().over(wIn))
