@@ -3399,6 +3399,21 @@ object Curation {
       .orderBy("pos")
   }
 
+  /** The standing VOCABULARY artifact the streaming curriculum
+    * scorer serves against: corpus unigram counts + total token
+    * mass. Model-sized (the [[mixtureRates]] contract — a unigram
+    * vocabulary is bounded by the tokenizer, not the corpus), so
+    * the driver collect is safe at any corpus scale.
+    */
+  def curriculumVocab(spark: SparkSession, dir: String): (Map[String, Long], Long) = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
+        w => w =!= lit(""))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (counts, counts.values.sum)
+  }
+
   /** DuckDB dual of [[curriculum]]: same tokenize, same
     * per-instance 12-decimal DECIMAL(28,14) surprisal sum, same
     * rounded-difficulty order and integer phase arithmetic.
@@ -3488,6 +3503,34 @@ object Curation {
       .withColumn("boiler_ppm", when(col("n_grams") > 0,
         expr("n_template * 1000000 DIV n_grams")))
       .orderBy("doc_id")
+  }
+
+  /** The standing TEMPLATE-GRAM artifact the streaming boilerplate
+    * scorer serves against: per source, the grams [[boilerplate]]
+    * classifies as that source's boilerplate, as a driver map.
+    * Model-sized by construction — template grams are the ones that
+    * repeat across ≥[[BoilerDocPct]]% of a source's docs, a set
+    * bounded by template VARIETY, not corpus size.
+    */
+  def boilerplateTemplates(spark: SparkSession, dir: String): Map[String, Seq[String]] = {
+    val docs = Tables.documents(spark, dir)
+    val ws = filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
+      w => w =!= lit(""))
+    val grams = docs
+      .select(col("doc_id"), col("source"), ws.as("ws"))
+      .select(col("doc_id"), col("source"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
+          slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("gram"))
+    val srcSizes = docs.groupBy("source").agg(count(lit(1)).as("s_docs"))
+    grams.distinct()
+      .groupBy("source", "gram").agg(count(lit(1)).as("d"))
+      .join(broadcast(srcSizes), Seq("source"))
+      .filter(col("d") >= 2 && col("d") * 100 >= col("s_docs") * BoilerDocPct)
+      .select("source", "gram")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sorted.toSeq }
   }
 
   /** DuckDB dual of [[boilerplate]]: same bigrams (index zip), same

@@ -21,7 +21,7 @@ object TextOps {
     * side keeps tokenization identical to the oracle on any input,
     * not just the \x0B-free synthetic corpus.
     */
-  private[operators] val Ws = " \\t\\n\\f\\r"
+  private[graft] val Ws = " \\t\\n\\f\\r"
 
   private def words(c: Column): Column = split(trim(c), s"[$Ws]+")
 

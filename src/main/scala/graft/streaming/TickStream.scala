@@ -423,6 +423,83 @@ object TickStream extends Serializable {
   def c4DocsStream(docs: DataFrame): DataFrame =
     graft.operators.Curation.c4FiltersDocs(docs)
 
+  /** Streaming CURRICULUM SCORER — arriving documents get their
+    * difficulty (mean token surprisal in nats) against the STANDING
+    * vocabulary the batch [[graft.operators.Curation.curriculum]]
+    * run published ([[graft.operators.Curation.curriculumVocab]]):
+    * the incremental half of curriculum maintenance — new data is
+    * scored online and slots into the existing schedule; global
+    * positions/phases are the batch re-rank's job (a total order
+    * over a stream is not a streaming quantity). Stateless per-row
+    * projection: tokenize, look each token up in the PLAN-EMBEDDED
+    * vocab map (model-sized, the classifier-weights contract), fold
+    * the same 12-decimal DECIMAL(28,14) surprisal terms as the
+    * batch query — exact decimal addition is order-independent, so
+    * stream scores equal batch difficulty BIT-FOR-BIT wherever the
+    * vocab covers the doc (spec-asserted). Out-of-vocabulary tokens
+    * fall back to count 1 (the max-surprisal ceiling — the standing
+    * vocab cannot see new words; the next batch re-rank absorbs
+    * them). Zero-token docs pass through with NULL difficulty
+    * (the batch query drops them; a stream stage must not silently
+    * swallow rows).
+    */
+  def curriculumScoreStream(docs: DataFrame,
+      vocab: Map[String, Long], total: Long): DataFrame = {
+    val ws = filter(split(trim(col("text")),
+      s"[${graft.operators.TextOps.Ws}]+"), w => w =!= lit(""))
+    val vmap = typedLit(vocab)
+    docs
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        aggregate(
+          transform(col("ws"), w =>
+            round(log(lit(total.toDouble) /
+              coalesce(element_at(vmap, w), lit(1L)).cast("double")), 12)
+              .cast("decimal(28,14)")),
+          lit(BigDecimal(0)).cast("decimal(38,14)"),
+          // decimal addition at max precision narrows to scale 13;
+          // the cast back is EXACT (terms carry only 12 decimals)
+          (acc, x) => (acc + x).cast("decimal(38,14)")).as("s_dec"))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          round(col("s_dec").cast("double") / col("n_tokens").cast("double"),
+            8)).as("difficulty"))
+  }
+
+  /** Streaming BOILERPLATE SCORER — arriving documents report their
+    * template-gram fraction against the STANDING per-source template
+    * set the batch [[graft.operators.Curation.boilerplate]] run
+    * published ([[graft.operators.Curation.boilerplateTemplates]] —
+    * model-sized: template variety, not corpus size, bounds it).
+    * Stateless per-row projection, zero shuffle: bigrams from the
+    * same tokenize, distinct in-row, intersected with the
+    * plan-embedded source→templates map. Scores equal the batch
+    * query exactly on covered sources (spec, both directions); docs
+    * from sources the standing set has never seen score zero
+    * template grams (nothing is known to be boilerplate yet — the
+    * next batch refit absorbs them).
+    */
+  def boilerplateDocsStream(docs: DataFrame,
+      templates: Map[String, Seq[String]]): DataFrame = {
+    val ws = filter(split(trim(col("text")),
+      s"[${graft.operators.TextOps.Ws}]+"), w => w =!= lit(""))
+    val tmap = typedLit(templates)
+    docs
+      .select(col("doc_id"), col("source"), ws.as("ws"))
+      .select(col("doc_id"), col("source"),
+        array_distinct(zip_with(
+          slice(col("ws"), lit(1), greatest(size(col("ws")) - 1, lit(0))),
+          slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("grams"))
+      .select(col("doc_id"), col("source"),
+        size(col("grams")).cast("long").as("n_grams"),
+        size(array_intersect(col("grams"),
+          coalesce(element_at(tmap, col("source")),
+            array().cast("array<string>")))).cast("long").as("n_template"))
+      .withColumn("boiler_ppm", when(col("n_grams") > 0,
+        expr("n_template * 1000000 DIV n_grams")))
+  }
+
   /** Streaming PII scrub — the redaction pass applied AT INGESTION so
     * raw identifiers never land in the lake: the same fixed-order
     * pattern scrub and pre-scrub match count as the batch

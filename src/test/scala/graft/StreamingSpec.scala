@@ -833,6 +833,56 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streaming curriculum scores equal the batch difficulty") {
+    val (vocab, total) = graft.operators.Curation.curriculumVocab(spark, sfDir)
+    val out = TickStream.curriculumScoreStream(
+      TickStream.docsStream(spark, sfDir), vocab, total)
+    runToMemory(out, "doc_curriculum")
+    val streamed = spark.table("doc_curriculum")
+    // the stream passes zero-token docs through (NULL difficulty);
+    // the batch query drops them — compare the scored population
+    val scored = streamed.filter(col("n_tokens") > 0)
+    val batch = graft.operators.Curation.curriculum(spark, sfDir)
+      .select("doc_id", "n_tokens", "difficulty")
+    assert(scored.count() == batch.count(), "scored mass")
+    assert(batch.exceptAll(scored).count() == 0, "batch minus stream")
+    assert(scored.exceptAll(batch).count() == 0, "stream minus batch")
+    // no row swallowed: every arriving doc emits exactly one score row
+    assert(streamed.count() == Tables.documents(spark, sfDir).count())
+    // OOV fallback: an unseen word scores at the count-1 ceiling
+    import spark.implicits._
+    val oov = TickStream.curriculumScoreStream(
+      Seq((999L, "zzzunseen zzzunseen")).toDF("doc_id", "text"),
+      vocab, total).collect().head
+    val ceil = BigDecimal(math.log(total.toDouble))
+      .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    assert(oov.getLong(1) == 2L, "oov token count")
+    assert(oov.getDouble(2) ==
+      BigDecimal((ceil * 2 / 2).toDouble)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      "oov ceiling surprisal")
+  }
+
+  test("streaming boilerplate scores equal the batch template pass") {
+    val templates = graft.operators.Curation.boilerplateTemplates(spark, sfDir)
+    assert(templates.nonEmpty, "standing template set is empty")
+    val out = TickStream.boilerplateDocsStream(
+      TickStream.docsStream(spark, sfDir), templates)
+    runToMemory(out, "doc_boiler")
+    val streamed = spark.table("doc_boiler")
+    val batch = graft.operators.Curation.boilerplate(spark, sfDir)
+    assert(streamed.count() == batch.count(), "row mass")
+    assert(batch.exceptAll(streamed).count() == 0, "batch minus stream")
+    assert(streamed.exceptAll(batch).count() == 0, "stream minus batch")
+    // an unseen source scores zero template grams, never crashes
+    import spark.implicits._
+    val fresh = TickStream.boilerplateDocsStream(
+      Seq((999L, "a b a b", "src_new")).toDF("doc_id", "text", "source"),
+      templates).collect().head
+    assert(fresh.getLong(2) == 2L && fresh.getLong(3) == 0L,
+      "unseen source: distinct grams counted, zero template hits")
+  }
+
   test("streaming full-quality chain equals the batch gopher chain") {
     val out = TickStream.fullQualityDocsStream(TickStream.docsStream(spark, sfDir))
     runToMemory(out, "doc_quality_chain")
