@@ -426,6 +426,77 @@ object Curation {
        |GROUP BY c.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** EVAL-SIDE CONTAMINATION severity — the REVERSE direction of
+    * [[decontaminateDocs]] (which flags TRAINING docs): per
+    * benchmark document, how compromised is it — its distinct
+    * [[NgramN]]-gram mass, how many of those grams appear in ANY
+    * training document, the collision share in exact ppm, and the
+    * BREADTH of the leak (distinct training docs sharing ≥1 gram).
+    * This is the report an eval owner reads to decide whether a
+    * benchmark is still trustworthy after a crawl refresh — the
+    * train-side scrub removes offending training docs, but a
+    * benchmark whose grams are everywhere needs retirement, not
+    * scrubbing. Same shingle as the scrub ([[gramsOf]], shared), so
+    * the two directions cannot drift. Eval docs too short for one
+    * gram report 0/0/0 with NULL ppm.
+    *
+    * Scale shape: the eval gram table is benchmark-sized and
+    * BROADCAST; the training gram stream probes it with one hash
+    * join (corpus never shuffles), and the hit set — bounded by
+    * eval grams × their duplication — collapses in a per-eval-doc
+    * aggregate. All integers → hash-exact.
+    */
+  def evalContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val grams = gramsOf(docs)
+    val evalG = grams.filter(col("doc_id") < EvalDocs)
+      .select(col("doc_id").as("eval_id"), col("gram")).distinct()
+    val trainG = grams.filter(col("doc_id") >= EvalDocs)
+      .select(col("doc_id").as("train_id"), col("gram")).distinct()
+    val hits = trainG.join(broadcast(evalG), Seq("gram"))
+      .groupBy("eval_id")
+      .agg(countDistinct("gram").as("n_hit"),
+        countDistinct("train_id").as("n_train_docs"))
+    val masses = evalG.groupBy("eval_id").agg(count(lit(1)).as("n_grams"))
+    docs.filter(col("doc_id") < EvalDocs).select(col("doc_id"))
+      .join(masses.withColumnRenamed("eval_id", "doc_id"), Seq("doc_id"), "left")
+      .join(hits.withColumnRenamed("eval_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+      .withColumn("hit_ppm", when(col("n_grams") > 0,
+        expr("n_hit * 1000000 DIV n_grams")))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB dual of [[evalContamination]]: same shared gram CTEs,
+    * same distinct-hit and leak-breadth counts, same integer ppm.
+    */
+  def evalContaminationSql: String =
+    s"""WITH $gramCtes,
+       |e AS (SELECT DISTINCT doc_id AS eval_id, gram FROM g
+       |      WHERE doc_id < $EvalDocs),
+       |t AS (SELECT DISTINCT doc_id AS train_id, gram FROM g
+       |      WHERE doc_id >= $EvalDocs),
+       |m AS (SELECT eval_id, count(*)::BIGINT AS n_grams FROM e GROUP BY 1),
+       |h AS (
+       |  SELECT eval_id, count(DISTINCT gram)::BIGINT AS n_hit,
+       |    count(DISTINCT train_id)::BIGINT AS n_train_docs
+       |  FROM e JOIN t USING (gram) GROUP BY 1
+       |)
+       |SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+       |  coalesce(n_hit, 0)::BIGINT AS n_hit,
+       |  coalesce(n_train_docs, 0)::BIGINT AS n_train_docs,
+       |  CASE WHEN coalesce(n_grams, 0) > 0
+       |       THEN coalesce(n_hit, 0) * 1000000 // n_grams END
+       |    ::BIGINT AS hit_ppm
+       |FROM documents d
+       |LEFT JOIN m ON d.doc_id = m.eval_id
+       |LEFT JOIN h ON d.doc_id = h.eval_id
+       |WHERE d.doc_id < $EvalDocs
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Contamination threshold for [[decontaminateFrac]], in ppm of a
     * doc's distinct grams (5% — the overlap-fraction regime used when
     * any-single-hit removal is too aggressive for long documents).

@@ -1495,6 +1495,47 @@ class CurationSpec extends SparkSuite {
     assert(anyTemplate, "no template grams detected — check threshold")
   }
 
+  test("evalContamination recounts hits and leak breadth both ways") {
+    def grams(text: String): Set[String] = {
+      val ws = text.toLowerCase
+        .replaceAll("[^a-z0-9 \\t\\n\\f\\r]", " ")
+        .split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty)
+      if (ws.length < 8) Set.empty
+      else ws.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> grams(x.getString(1)))
+    val evalDocs = docs.filter(_._1 < 10L)
+    val train = docs.filter(_._1 >= 10L)
+    val got = Curation.evalContamination(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSeq == evalDocs.map(_._1).sorted.toSeq,
+      "one row per eval doc")
+    var anyHit = false
+    got.foreach { row =>
+      val gs = evalDocs.find(_._1 == row.getLong(0)).get._2
+      val hit = gs.filter(g => train.exists(_._2.contains(g)))
+      val breadth = train.count(_._2.exists(gs.contains))
+      assert(row.getLong(1) == gs.size, s"doc ${row.getLong(0)} n_grams")
+      assert(row.getLong(2) == hit.size, s"doc ${row.getLong(0)} n_hit")
+      assert(row.getLong(3) == breadth, s"doc ${row.getLong(0)} breadth")
+      if (hit.nonEmpty) anyHit = true
+      if (gs.nonEmpty)
+        assert(row.getLong(4) == hit.size.toLong * 1000000L / gs.size,
+          s"doc ${row.getLong(0)} ppm")
+      else assert(row.isNullAt(4), s"doc ${row.getLong(0)} null ppm")
+    }
+    // the corpus actually carries eval→train collisions (non-vacuous)
+    assert(anyHit, "no contamination found — check the gram channel")
+    // cross-direction consistency: the train-side scrub flags exactly
+    // the docs this report counts into its leak breadth
+    val flagged = Curation.decontaminate(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val evalAll = evalDocs.flatMap(_._2).toSet
+    val expFlagged = train.filter(_._2.exists(evalAll.contains)).map(_._1).toSet
+    assert(flagged == expFlagged, "scrub/report disagree on leaked docs")
+  }
+
   test("datasetCard recounts mass, dominant lang, and dup channels") {
     val docs = Tables.documents(spark, sfDir)
       .select("source", "lang", "text").collect()
