@@ -521,6 +521,52 @@ class PlanSpec extends SparkSuite {
       s"cartesian products planned in: ${offenders.mkString(", ")}")
   }
 
+  test("curriculum reads the pinned scored table, broadcasts vocab and totals") {
+    // three consumers (offsets, doc count, final join) read scored;
+    // the localCheckpoint pin means the FINAL plan reads the
+    // materialized RDD — zero parquet re-scans (unpinned: 6 corpus
+    // scans for a doc-count-sized intermediate). The scoring job
+    // itself (runs at construction) joins the corpus against the
+    // BROADCAST vocab-sized count table.
+    val plan = graft.operators.Curation.curriculum(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 0,
+      s"curriculum result must read the pinned scored table, got $scans scans")
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(plan).nonEmpty, "offsets/doc-count not broadcast")
+    // per-bucket ranks only: every window carries a partition key
+    // (the single-task unpartitioned window is the shape this
+    // decomposition exists to avoid) — except the offsets window,
+    // which runs over the bucket-count-sized aggregate
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("boilerplate shuffles the corpus-scale gram set exactly once") {
+    // the explicit repartition on (source, gram) serves BOTH the
+    // distinct and the doc-frequency window (the ngramNovelty
+    // single-exchange discipline); source doc counts broadcast
+    val plan = graft.operators.Curation.boilerplate(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val gramExchanges = "hashpartitioning\\(source[^)]*, gram".r
+      .findAllIn(plan).length
+    assert(gramExchanges == 1,
+      s"expected exactly one (source, gram)-keyed exchange, got $gramExchanges")
+    assert("BroadcastHashJoin".r.findAllIn(plan).nonEmpty,
+      "source sizes not broadcast")
+  }
+
+  test("evalContamination broadcasts the benchmark grams, never the corpus") {
+    // the eval gram table is benchmark-sized and must be the BUILD
+    // side; the training gram stream probes it without shuffling for
+    // the membership test
+    val plan = graft.operators.Curation.evalContamination(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).nonEmpty,
+      s"eval grams not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("langIdEval windows over aggregated cells, not the corpus") {
     val df = graft.operators.TextOps.langIdEval(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
