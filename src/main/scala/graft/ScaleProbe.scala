@@ -182,6 +182,18 @@ object ScaleProbe {
     // epoch-mix plan: one (source, sum) aggregate then sources-sized
     // windows — must price as a single corpus agg, flat above it
     time("epoch_mix")(operators.Curation.epochMixDocs(bigDocs))
+    // round-11 curation: curriculum = tokenize + broadcast-vocab join
+    // + doc-keyed collapse (must track the token_count line, not the
+    // gram explodes); boilerplate = one (source, gram) exchange;
+    // dataset_card = one source-keyed partial agg; eval_contam = the
+    // decontaminate broadcast probe + a per-eval-doc collapse. On
+    // this pathological corpus every replica repeats the text, so
+    // boilerplate template hits and eval-contamination breadth GROW
+    // with replicas — the lines price the plumbing, not the verdicts
+    time("curriculum")(operators.Curation.curriculumDocs(bigDocs))
+    time("boilerplate")(operators.Curation.boilerplateDocs(bigDocs))
+    time("dataset_card")(operators.Curation.datasetCardDocs(bigDocs))
+    time("eval_contam")(operators.Curation.evalContaminationDocs(bigDocs))
 
     // ANN index families over a replicated embedding corpus (distinct
     // vec_ids per replica; probes stay the fixed vec_id < 5 set).

@@ -446,8 +446,10 @@ object Curation {
     * eval grams × their duplication — collapses in a per-eval-doc
     * aggregate. All integers → hash-exact.
     */
-  def evalContamination(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def evalContamination(spark: SparkSession, dir: String): DataFrame =
+    evalContaminationDocs(Tables.documents(spark, dir))
+
+  private[graft] def evalContaminationDocs(docs: DataFrame): DataFrame = {
     val grams = gramsOf(docs)
     val evalG = grams.filter(col("doc_id") < EvalDocs)
       .select(col("doc_id").as("eval_id"), col("gram")).distinct()
@@ -3655,8 +3657,11 @@ object Curation {
     * exchange); the dominant-language rank is a window over the
     * (source × lang)-sized aggregate, never the corpus.
     */
-  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
-    val perDoc = Tables.documents(spark, dir)
+  def datasetCard(spark: SparkSession, dir: String): DataFrame =
+    datasetCardDocs(Tables.documents(spark, dir))
+
+  private[graft] def datasetCardDocs(docs: DataFrame): DataFrame = {
+    val perDoc = docs
       .select(col("source"), col("lang"),
         size(filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
           w => w =!= lit(""))).cast("long").as("n_tok"),
