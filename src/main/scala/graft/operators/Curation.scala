@@ -3318,6 +3318,173 @@ object Curation {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** UL2 MIXTURE-OF-DENOISERS (Tay et al. 2022, "UL2: Unifying
+    * Language Learning Paradigms"): every document is
+    * deterministically routed to ONE denoiser family by the
+    * [[docPrio]] hash idiom and emitted as an (inputs, targets)
+    * training pair —
+    *  - R (regular): the [[spanCorruption]] kernel's shape — 3-token
+    *    blocks masked at rate 1/7, sentinel-delimited spans;
+    *  - S (sequential / prefix-LM): a hash-derived split point,
+    *    `inputs = prefix <extra_id_0>`, `targets = <extra_id_0>
+    *    suffix` — the SFT-shaped objective;
+    *  - X (extreme): 8-token blocks at rate 1/4 — long-span
+    *    infilling, the objective that stresses generation length.
+    * No RNG anywhere (cuts, masks, and routing are
+    * multiplicative-hash integers both engines evaluate
+    * identically), so the transform is reproducible and resumable at
+    * 100 TB — the [[spanCorruption]] contract. The R leg is pinned
+    * row-identical to q_span_corruption by spec, so the two
+    * surfaces cannot drift.
+    *
+    * Scale shape: ONE corpus scan, pure per-row narrow arithmetic
+    * (HOF folds over the token array — the [[fimDocs]] class), zero
+    * shuffle. All three shapes are built as columns and the selector
+    * CASE picks one; after projection collapse the unselected
+    * branches are dead per row, and even evaluated eagerly they are
+    * in-row integer/array work, strictly cheaper than the 3 corpus
+    * scans a filter-per-leg union would pay.
+    */
+  def ul2Mix(spark: SparkSession, dir: String): DataFrame =
+    ul2MixDocs(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** Unordered kernel — the streaming dual serves THIS (stateless
+    * per-row folds; the dir-level wrapper adds only the oracle
+    * determinism sort).
+    */
+  private[graft] def ul2MixDocs(docs: DataFrame): DataFrame = {
+    def mk(salt: Int, mod: Int)(b: String) =
+      s"(((doc_id * $salt + $b) % 1000003) * 2654435761) % $mod = 0"
+    def start(salt: Int, mod: Int)(b: String) =
+      s"(${mk(salt, mod)(b)}) AND ($b = 0 OR NOT (${mk(salt, mod)(s"($b - 1)")}))"
+    def spanCols(dfIn: DataFrame, tag: String, block: Int,
+        salt: Int, mod: Int): DataFrame = {
+      val m = mk(salt, mod) _
+      val st = start(salt, mod) _
+      def sid(b: String) =
+        s"size(filter(sequence(0, $b), j -> ${st("j")})) - 1"
+      val blk = s"slice(toks, b * $block + 1, $block)"
+      dfIn
+        .withColumn(s"blocks_$tag", expr(
+          s"sequence(0, CAST((size(toks) + ${block - 1}) DIV $block AS INT) - 1)"))
+        .withColumn(s"n_spans_$tag", expr(
+          s"size(filter(blocks_$tag, b -> ${st("b")}))").cast("long"))
+        .withColumn(s"n_masked_$tag", expr(
+          s"aggregate(blocks_$tag, 0L, (acc, b) -> acc + IF(${m("b")}, " +
+            s"size($blk), 0))").cast("long"))
+        .withColumn(s"inputs_$tag", expr(
+          s"""concat_ws(' ', flatten(transform(blocks_$tag, b ->
+             |  CASE WHEN NOT (${m("b")}) THEN $blk
+             |       WHEN ${st("b")} THEN array(concat('<extra_id_',
+             |         CAST((${sid("b")}) AS STRING), '>'))
+             |       ELSE array() END)))""".stripMargin))
+        .withColumn(s"targets_$tag", expr(
+          s"""concat_ws(' ', concat(flatten(transform(blocks_$tag, b ->
+             |  CASE WHEN (${m("b")}) AND (${st("b")})
+             |         THEN concat(array(concat('<extra_id_',
+             |           CAST((${sid("b")}) AS STRING), '>')), $blk)
+             |       WHEN ${m("b")} THEN $blk
+             |       ELSE array() END)),
+             |  array(concat('<extra_id_', CAST(n_spans_$tag AS STRING), '>'))))"""
+            .stripMargin))
+    }
+    val base = docs
+      .withColumn("toks", split(trim(col("text")), s"[${TextOps.Ws}]+"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("den", expr(
+        "(((doc_id * 37 + 11) % 1000003) * 2654435761) % 3"))
+    val withX = spanCols(spanCols(base, "r", 3, 131, 7), "x", 8, 151, 4)
+    withX
+      .withColumn("cut", expr(
+        "CASE WHEN n_tokens >= 2 THEN 1 + (((doc_id * 53 + 7) % 1000003)" +
+          " * 2654435761) % (n_tokens - 1) ELSE 0 END"))
+      .withColumn("inputs_s", expr(
+        "concat_ws(' ', concat(slice(toks, 1, CAST(cut AS INT)), " +
+          "array('<extra_id_0>')))"))
+      .withColumn("targets_s", expr(
+        "concat_ws(' ', concat(array('<extra_id_0>'), " +
+          "slice(toks, CAST(cut AS INT) + 1, " +
+          "size(toks) - CAST(cut AS INT))))"))
+      .withColumn("n_masked_s", col("n_tokens") - col("cut"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("CASE den WHEN 0 THEN 'R' WHEN 1 THEN 'S' ELSE 'X' END")
+          .as("denoiser"),
+        expr("CASE den WHEN 0 THEN n_masked_r WHEN 1 THEN n_masked_s " +
+          "ELSE n_masked_x END").as("n_masked"),
+        expr("CASE den WHEN 0 THEN inputs_r WHEN 1 THEN inputs_s " +
+          "ELSE inputs_x END").as("inputs"),
+        expr("CASE den WHEN 0 THEN targets_r WHEN 1 THEN targets_s " +
+          "ELSE targets_x END").as("targets"))
+  }
+
+  /** DuckDB dual of [[ul2Mix]]: same hash routing, the same
+    * parameterized span generators at (3, 1/7) and (8, 1/4), the
+    * same prefix-LM split arithmetic.
+    */
+  def ul2MixSql: String = {
+    def mk(salt: Int, mod: Int)(b: String) =
+      s"((((doc_id * $salt + $b) % 1000003) * 2654435761) % $mod = 0)"
+    def start(salt: Int, mod: Int)(b: String) =
+      s"(${mk(salt, mod)(b)} AND ($b = 0 OR NOT ${mk(salt, mod)(s"($b - 1)")}))"
+    def sid(salt: Int, mod: Int)(b: String) =
+      s"(len(list_filter(generate_series(0, $b), j -> ${start(salt, mod)("j")})) - 1)"
+    def blk(block: Int) = s"toks[b * $block + 1 : b * $block + $block]"
+    def nMasked(tag: String, block: Int, salt: Int, mod: Int) =
+      s"""list_sum(list_transform(blocks_$tag, b ->
+         |    CASE WHEN ${mk(salt, mod)("b")} THEN len(${blk(block)})
+         |         ELSE 0 END))::BIGINT""".stripMargin
+    def inputs(tag: String, block: Int, salt: Int, mod: Int) =
+      s"""array_to_string(flatten(list_transform(blocks_$tag, b ->
+         |    CASE WHEN NOT ${mk(salt, mod)("b")} THEN ${blk(block)}
+         |         WHEN ${start(salt, mod)("b")} THEN ['<extra_id_' ||
+         |           CAST(${sid(salt, mod)("b")} AS VARCHAR) || '>']
+         |         ELSE [] END)), ' ')""".stripMargin
+    def targets(tag: String, block: Int, salt: Int, mod: Int) =
+      s"""array_to_string(list_concat(flatten(list_transform(blocks_$tag, b ->
+         |    CASE WHEN ${mk(salt, mod)("b")} AND ${start(salt, mod)("b")}
+         |           THEN list_concat(['<extra_id_' ||
+         |             CAST(${sid(salt, mod)("b")} AS VARCHAR) || '>'], ${blk(block)})
+         |         WHEN ${mk(salt, mod)("b")} THEN ${blk(block)}
+         |         ELSE [] END)),
+         |    ['<extra_id_' || CAST(n_spans_$tag AS VARCHAR) || '>']), ' ')"""
+        .stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens,
+       |    ((doc_id * 37 + 11) % 1000003) * 2654435761 % 3 AS den,
+       |    generate_series(0, CAST(ceil(len(toks) / 3.0) AS INT) - 1) AS blocks_r,
+       |    generate_series(0, CAST(ceil(len(toks) / 8.0) AS INT) - 1) AS blocks_x,
+       |    CASE WHEN len(toks) >= 2
+       |         THEN 1 + ((doc_id * 53 + 7) % 1000003) * 2654435761
+       |           % (len(toks) - 1)
+       |         ELSE 0 END AS cut
+       |  FROM t
+       |), s AS (
+       |  SELECT *,
+       |    len(list_filter(blocks_r, b -> ${start(131, 7)("b")}))::BIGINT
+       |      AS n_spans_r,
+       |    len(list_filter(blocks_x, b -> ${start(151, 4)("b")}))::BIGINT
+       |      AS n_spans_x
+       |  FROM b
+       |)
+       |SELECT doc_id, n_tokens,
+       |  CASE den WHEN 0 THEN 'R' WHEN 1 THEN 'S' ELSE 'X' END AS denoiser,
+       |  (CASE den WHEN 0 THEN ${nMasked("r", 3, 131, 7)}
+       |       WHEN 1 THEN n_tokens - cut
+       |       ELSE ${nMasked("x", 8, 151, 4)} END)::BIGINT AS n_masked,
+       |  CASE den WHEN 0 THEN ${inputs("r", 3, 131, 7)}
+       |       WHEN 1 THEN array_to_string(list_concat(toks[1 : cut],
+       |         ['<extra_id_0>']), ' ')
+       |       ELSE ${inputs("x", 8, 151, 4)} END AS inputs,
+       |  CASE den WHEN 0 THEN ${targets("r", 3, 131, 7)}
+       |       WHEN 1 THEN array_to_string(list_concat(['<extra_id_0>'],
+       |         toks[cut + 1 : len(toks)]), ' ')
+       |       ELSE ${targets("x", 8, 151, 4)} END AS targets
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** FILL-IN-THE-MIDDLE transformation — [[spanCorruption]]'s infilling
     * sibling (Bavarian et al. 2022, "FIM-for-free"): half the corpus
     * (deterministic doc-hash gate, the [[docPrio]] idiom) is rewritten

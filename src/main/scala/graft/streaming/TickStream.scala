@@ -520,6 +520,17 @@ object TickStream extends Serializable {
   def fimDocsStream(docs: DataFrame): DataFrame =
     graft.operators.Curation.fimDocs(docs)
 
+  /** Streaming dual of the UL2 mixture-of-denoisers shaping
+    * ([[graft.operators.Curation.ul2Mix]]): hash routing, span
+    * masks, and the prefix-LM cut are pure per-row integer/array
+    * work, so the whole transform is a stateless projection — no
+    * shuffle, no state; an arriving doc's (inputs, targets) pair is
+    * identical whether it flows through the stream or the batch
+    * query (spec-asserted).
+    */
+  def ul2DocsStream(docs: DataFrame): DataFrame =
+    graft.operators.Curation.ul2MixDocs(docs)
+
   /** Streaming dual of the mixed-language gate
     * ([[graft.operators.TextOps.langMix]]): block classification and
     * the rollup are HOF folds inside the row — stateless projection,

@@ -1536,6 +1536,60 @@ class CurationSpec extends SparkSuite {
     assert(flagged == expFlagged, "scrub/report disagree on leaked docs")
   }
 
+  test("ul2Mix routes deterministically and conserves every token") {
+    val rows = Curation.ul2Mix(spark, sfDir).collect()
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1).trim
+        .split("[ \\t\\n\\f\\r]+").toSeq).toMap
+    // all three denoisers fire, routing matches the hash
+    val byDen = rows.groupBy(_.getString(2))
+    assert(byDen.keySet == Set("R", "S", "X"), s"families: ${byDen.keySet}")
+    rows.foreach { r =>
+      val d = ((r.getLong(0) * 37 + 11) % 1000003) * 2654435761L % 3
+      assert(r.getString(2) == Seq("R", "S", "X")(d.toInt),
+        s"doc ${r.getLong(0)} routing")
+    }
+    // the R leg is row-identical to q_span_corruption (no-drift pin)
+    val sc = Curation.spanCorruption(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    byDen("R").foreach { r =>
+      val e = sc(r.getLong(0))
+      assert(r.getLong(3) == e.getLong(2), s"doc ${r.getLong(0)} n_masked")
+      assert(r.getString(4) == e.getString(4), s"doc ${r.getLong(0)} inputs")
+      assert(r.getString(5) == e.getString(5), s"doc ${r.getLong(0)} targets")
+    }
+    val sentinel = "<extra_id_[0-9]+>".r
+    def toks(s: String) = s.split(" ").filter(_.nonEmpty).toSeq
+    // S leg: prefix ++ suffix restores the token sequence; the cut is
+    // interior for every doc that can host one
+    byDen("S").foreach { r =>
+      val orig = texts(r.getLong(0))
+      val pre = toks(r.getString(4)).takeWhile(t => sentinel.findFirstIn(t).isEmpty)
+      val suf = toks(r.getString(5)).dropWhile(t => sentinel.findFirstIn(t).nonEmpty)
+      assert(pre ++ suf == orig, s"doc ${r.getLong(0)} S round trip")
+      assert(r.getLong(3) == suf.length, s"doc ${r.getLong(0)} S n_masked")
+      if (orig.length >= 2)
+        assert(pre.nonEmpty && suf.nonEmpty, s"doc ${r.getLong(0)} interior cut")
+    }
+    // R and X legs: non-sentinel tokens across inputs + targets are
+    // exactly the original multiset (nothing dropped or duplicated)
+    (byDen("R") ++ byDen("X")).foreach { r =>
+      val got = (toks(r.getString(4)) ++ toks(r.getString(5)))
+        .filter(t => sentinel.findFirstIn(t).isEmpty)
+      val orig = texts(r.getLong(0))
+      assert(got.groupBy(identity).map { case (k, v) => k -> v.size } ==
+        orig.groupBy(identity).map { case (k, v) => k -> v.size },
+        s"doc ${r.getLong(0)} token conservation")
+      assert(r.getLong(3) <= r.getLong(1), s"doc ${r.getLong(0)} mask bound")
+    }
+    // X masks more aggressively than R on average (rate 1/4 vs 1/7)
+    def rate(rs: Iterable[org.apache.spark.sql.Row]) =
+      rs.map(_.getLong(3)).sum.toDouble / rs.map(_.getLong(1)).sum
+    assert(rate(byDen("X")) > rate(byDen("R")),
+      s"X rate ${rate(byDen("X"))} not above R rate ${rate(byDen("R"))}")
+  }
+
   test("datasetCard recounts mass, dominant lang, and dup channels") {
     val docs = Tables.documents(spark, sfDir)
       .select("source", "lang", "text").collect()

@@ -939,6 +939,16 @@ class StreamingSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).count() == 0)
   }
 
+  test("streaming UL2 pairs equal the batch mixture-of-denoisers") {
+    val out = TickStream.ul2DocsStream(TickStream.docsStream(spark, sfDir))
+    runToMemory(out, "doc_ul2")
+    val streamed = spark.table("doc_ul2")
+    val batch = graft.operators.Curation.ul2Mix(spark, sfDir)
+    assert(streamed.count() == batch.count())
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("streaming mixed-language verdicts equal the batch gate") {
     val out = TickStream.langMixDocsStream(TickStream.docsStream(spark, sfDir))
     runToMemory(out, "doc_langmix")
