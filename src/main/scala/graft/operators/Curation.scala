@@ -453,8 +453,13 @@ object Curation {
     val grams = gramsOf(docs)
     val evalG = grams.filter(col("doc_id") < EvalDocs)
       .select(col("doc_id").as("eval_id"), col("gram")).distinct()
+    // NO pre-distinct on the training side: the per-eval-doc
+    // aggregate already counts DISTINCT grams and train docs, and a
+    // (train_id, gram) distinct here would exchange the corpus-scale
+    // gram set just to drop duplicates the aggregate ignores anyway —
+    // the only shuffle is the hit set (eval-bounded) into the collapse
     val trainG = grams.filter(col("doc_id") >= EvalDocs)
-      .select(col("doc_id").as("train_id"), col("gram")).distinct()
+      .select(col("doc_id").as("train_id"), col("gram"))
     val hits = trainG.join(broadcast(evalG), Seq("gram"))
       .groupBy("eval_id")
       .agg(countDistinct("gram").as("n_hit"),

@@ -564,6 +564,13 @@ class PlanSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(plan).nonEmpty,
       s"eval grams not broadcast:\n${plan.take(2000)}")
+    // no gram-keyed exchange anywhere: the broadcast probe replaces
+    // it, and the only shuffle is the eval-bounded hit set into the
+    // per-eval-doc collapse (a pre-join distinct would reintroduce a
+    // corpus-scale (train_id, gram) exchange — caught in review)
+    assert(!plan.contains("hashpartitioning(gram") &&
+      !plan.contains("hashpartitioning(train_id"),
+      s"corpus-scale gram exchange reintroduced:\n${plan.take(3000)}")
     assert(!plan.contains("CartesianProduct"))
   }
 
