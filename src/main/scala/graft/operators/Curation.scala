@@ -3590,9 +3590,12 @@ object Curation {
     * ties break on the ROUNDED value + doc_id, so both engines
     * rank identically.
     *
-    * Scale shape: ONE corpus tokenize into a token-instance join
-    * against the BROADCAST vocab-sized count table, collapsed by a
-    * doc-keyed partial agg; the global order avoids the
+    * Scale shape: TWO corpus token passes — one building the
+    * vocab-sized count table (map-side-combined word agg), one
+    * probing it as a BROADCAST join — collapsed by a doc-keyed
+    * partial agg (the [[graft.operators.TextOps.heapsFit]]
+    * two-pass floor: the count table must exist before any token
+    * can be scored); the global order avoids the
     * single-task unpartitioned window via the bucket-offset
     * decomposition (the [[graft.operators.TextOps.heapsFit]]
     * idiom): centinat buckets carry per-bucket row_number windows,
@@ -3824,10 +3827,11 @@ object Curation {
     * token-length envelope. One row per source; every column either
     * integer or an exact sum÷count double → hash-exact.
     *
-    * Scale shape: ONE corpus scan into a source-keyed partial agg
-    * (distinct-lang and distinct-fingerprint ride the same
-    * exchange); the dominant-language rank is a window over the
-    * (source × lang)-sized aggregate, never the corpus.
+    * Scale shape: TWO narrow corpus scans — the mass/dup leg (a
+    * source-keyed partial agg whose two DISTINCT columns ride one
+    * expanded exchange) and the language-cell leg — joined on the
+    * sources-sized key; the dominant-language rank is a window over
+    * the (source × lang)-sized aggregate, never the corpus.
     */
   def datasetCard(spark: SparkSession, dir: String): DataFrame =
     datasetCardDocs(Tables.documents(spark, dir))
