@@ -3662,6 +3662,58 @@ object Curation {
     (counts, counts.values.sum)
   }
 
+  /** Persist the curriculum vocabulary through the
+    * [[IndexManifest]] discipline — the durable form of the
+    * streaming scorer's standing artifact (a production run
+    * publishes it once per batch refit; serve JVMs load it instead
+    * of re-counting the corpus). The token total rides as a
+    * manifest param so the loader never re-aggregates.
+    */
+  def saveCurriculumVocab(spark: SparkSession, vocab: Map[String, Long],
+      total: Long, path: String): Unit = {
+    spark.createDataFrame(vocab.toSeq.sortBy(_._1)).toDF("word", "c")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    IndexManifest.write(spark, path, "curriculum_vocab", Seq("."),
+      Map("total" -> total.toString))
+  }
+
+  /** Load a [[saveCurriculumVocab]] artifact; the manifest guards
+    * family and schema drift, and the recorded total must reconcile
+    * with the loaded counts (a truncated parts write fails here, not
+    * as silently-wrong surprisals).
+    */
+  def loadCurriculumVocab(spark: SparkSession, path: String): (Map[String, Long], Long) = {
+    val params = IndexManifest.validate(spark, path, "curriculum_vocab", Seq("."))
+    val rows = spark.read.parquet(path).select("word", "c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = params.flatMap(_.get("total")).map(_.toLong)
+      .getOrElse(rows.values.sum)
+    require(rows.values.sum == total,
+      s"vocab at $path: counts sum ${rows.values.sum} != recorded $total")
+    (rows, total)
+  }
+
+  /** Persist the per-source template-gram set ([[boilerplateTemplates]])
+    * through the [[IndexManifest]] discipline — the boilerplate
+    * scorer's standing artifact, one row per (source, gram).
+    */
+  def saveBoilerplateTemplates(spark: SparkSession,
+      templates: Map[String, Seq[String]], path: String): Unit = {
+    spark.createDataFrame(templates.toSeq.flatMap { case (s, gs) =>
+      gs.map(s -> _) }.sorted).toDF("source", "gram")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+    IndexManifest.write(spark, path, "boilerplate_templates", Seq("."),
+      Map("sources" -> templates.size.toString))
+  }
+
+  def loadBoilerplateTemplates(spark: SparkSession,
+      path: String): Map[String, Seq[String]] = {
+    IndexManifest.validate(spark, path, "boilerplate_templates", Seq(".")): Unit
+    spark.read.parquet(path).select("source", "gram").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sorted.toSeq }
+  }
+
   /** DuckDB dual of [[curriculum]]: same tokenize, same
     * per-instance 12-decimal DECIMAL(28,14) surprisal sum, same
     * rounded-difficulty order and integer phase arithmetic.

@@ -1590,6 +1590,28 @@ class CurationSpec extends SparkSuite {
       s"X rate ${rate(byDen("X"))} not above R rate ${rate(byDen("R"))}")
   }
 
+  test("standing vocab and template artifacts survive the manifest round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_standing").toString
+    val (vocab, total) = Curation.curriculumVocab(spark, sfDir)
+    Curation.saveCurriculumVocab(spark, vocab, total, s"$dir/vocab")
+    val (v2, t2) = Curation.loadCurriculumVocab(spark, s"$dir/vocab")
+    assert(v2 == vocab && t2 == total, "vocab round trip")
+    val tmpl = Curation.boilerplateTemplates(spark, sfDir)
+    Curation.saveBoilerplateTemplates(spark, tmpl, s"$dir/tmpl")
+    assert(Curation.loadBoilerplateTemplates(spark, s"$dir/tmpl") == tmpl,
+      "template round trip")
+    // a cross-family load fails at the manifest, not deep in a join
+    intercept[IllegalArgumentException] {
+      Curation.loadCurriculumVocab(spark, s"$dir/tmpl")
+    }
+    // serving from the LOADED artifacts equals serving from fresh ones
+    val docs = Tables.documents(spark, sfDir)
+    val fresh = graft.streaming.TickStream.curriculumScoreStream(docs, vocab, total)
+    val loaded = graft.streaming.TickStream.curriculumScoreStream(docs, v2, t2)
+    assert(fresh.exceptAll(loaded).count() == 0 &&
+      loaded.exceptAll(fresh).count() == 0, "loaded vocab serve parity")
+  }
+
   test("datasetCard recounts mass, dominant lang, and dup channels") {
     val docs = Tables.documents(spark, sfDir)
       .select("source", "lang", "text").collect()
