@@ -426,6 +426,109 @@ object Curation {
        |GROUP BY c.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** [[gramsOf]] with the source carried through — the syndication
+    * unit. Same [[NgramN]] and the same
+    * [[graft.operators.TextOps.normalizedWords]] normalization, so
+    * the shingle cannot drift from the decontamination/novelty
+    * surfaces.
+    */
+  private def gramsOfBySource(docsIn: DataFrame): DataFrame =
+    docsIn
+      .select(col("doc_id"), col("source"),
+        filter(TextOps.normalizedWords, w => w =!= lit("")).as("ws"))
+      .select(col("doc_id"), col("source"),
+        explode(when(size(col("ws")) >= NgramN,
+          expr(s"transform(sequence(0, size(ws) - $NgramN), " +
+            s"i -> array_join(slice(ws, i + 1, $NgramN), ' '))"))
+          .otherwise(typedLit(Seq.empty[String]))).as("gram"))
+
+  /** CROSS-SOURCE SYNDICATION detection — the third axis of the
+    * repetition triad: [[boilerplate]] sees WITHIN-source templates,
+    * [[ngramNovelty]] sees corpus-ORDER staleness, and this sees
+    * text that travels BETWEEN sources — wire-service copy, content
+    * farms, mirrors re-hosting each other (the cross-domain
+    * duplication CCNet/RefinedWeb deduplicate for). Per document:
+    * its distinct word [[NgramN]]-grams (the decontamination
+    * shingle), how many of them appear in at least one OTHER source
+    * (syndicated), the ppm share, and the widest spread any of its
+    * grams reaches (distinct sources containing it) — a doc whose
+    * grams blanket many sources is syndicated content, not an
+    * original.
+    *
+    * Scale shape: one tokenize into the (doc, source, gram) stream;
+    * the explicit repartition on `gram` serves BOTH the distinct and
+    * the per-gram source-spread window (the [[ngramNovelty]]
+    * single-exchange discipline — gram-only partitioning satisfies
+    * the distinct's clustering, same full key → same gram → same
+    * partition); the per-doc collapse is a doc-keyed partial agg.
+    * All integers → hash-exact.
+    */
+  def syndication(spark: SparkSession, dir: String): DataFrame =
+    syndicationDocs(Tables.documents(spark, dir))
+
+  /** A gram is syndicated when ≥ this many distinct sources carry it. */
+  private val SyndSourcesMin = 2
+
+  private[graft] def syndicationDocs(docsIn: DataFrame): DataFrame = {
+    val w = Window.partitionBy("gram")
+    val perDoc = gramsOfBySource(docsIn)
+      .repartition(col("gram"))
+      .distinct()
+      .withColumn("n_sources",
+        size(collect_set("source").over(w)).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_sources") >= SyndSourcesMin, 1L).otherwise(0L))
+          .as("n_synd"),
+        max("n_sources").as("max_spread"))
+    docsIn.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_synd"), lit(0L)).as("n_synd"),
+        coalesce(col("max_spread"), lit(0L)).as("max_spread"))
+      .withColumn("synd_ppm", when(col("n_grams") > 0,
+        expr("n_synd * 1000000 DIV n_grams")))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB dual of [[syndication]]: the shared normalization (the
+    * [[gramCtes]] text), per-gram distinct-source counts, the same
+    * integer threshold and ppm.
+    */
+  def syndicationSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split(trim(regexp_replace(regexp_replace(
+       |      lower(trim(text)), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' '),
+       |      x -> x <> '') AS ws
+       |  FROM documents
+       |), g AS (
+       |  SELECT DISTINCT doc_id, source,
+       |    array_to_string(ws[i : i + ${NgramN - 1}], ' ') AS gram
+       |  FROM (SELECT doc_id, source, ws,
+       |          unnest(range(1, len(ws) - $NgramN + 2)) AS i
+       |        FROM d WHERE len(ws) >= $NgramN)
+       |), sg AS (
+       |  SELECT gram, count(DISTINCT source)::BIGINT AS n_sources
+       |  FROM g GROUP BY 1
+       |), per_doc AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_grams,
+       |    sum(CASE WHEN n_sources >= $SyndSourcesMin THEN 1 ELSE 0 END)
+       |      ::BIGINT AS n_synd,
+       |    max(n_sources)::BIGINT AS max_spread
+       |  FROM g JOIN sg USING (gram) GROUP BY 1
+       |)
+       |SELECT d2.doc_id, d2.source,
+       |  coalesce(n_grams, 0)::BIGINT AS n_grams,
+       |  coalesce(n_synd, 0)::BIGINT AS n_synd,
+       |  coalesce(max_spread, 0)::BIGINT AS max_spread,
+       |  CASE WHEN coalesce(n_grams, 0) > 0
+       |       THEN coalesce(n_synd, 0) * 1000000 // n_grams END
+       |    ::BIGINT AS synd_ppm
+       |FROM documents d2 LEFT JOIN per_doc p ON d2.doc_id = p.doc_id
+       |ORDER BY d2.doc_id""".stripMargin
+
   /** EVAL-SIDE CONTAMINATION severity — the REVERSE direction of
     * [[decontaminateDocs]] (which flags TRAINING docs): per
     * benchmark document, how compromised is it — its distinct

@@ -574,6 +574,16 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("syndication shuffles the corpus-scale gram set exactly once") {
+    // the explicit repartition on gram serves BOTH the distinct and
+    // the per-gram source-spread window (the ngramNovelty discipline)
+    val plan = graft.operators.Curation.syndication(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val gramExchanges = "hashpartitioning\\(gram".r.findAllIn(plan).length
+    assert(gramExchanges == 1,
+      s"expected exactly one gram-keyed exchange, got $gramExchanges")
+  }
+
   test("langIdEval windows over aggregated cells, not the corpus") {
     val df = graft.operators.TextOps.langIdEval(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
