@@ -194,6 +194,11 @@ object ScaleProbe {
     time("boilerplate")(operators.Curation.boilerplateDocs(bigDocs))
     time("dataset_card")(operators.Curation.datasetCardDocs(bigDocs))
     time("eval_contam")(operators.Curation.evalContaminationDocs(bigDocs))
+    // the gram-keyed exchange + source-spread window; on the
+    // replicated corpus every gram is maximally syndicated (each
+    // replica repeats the text under the same source labels), so the
+    // line prices the exchange, not the verdicts
+    time("syndication")(operators.Curation.syndicationDocs(bigDocs))
 
     // ANN index families over a replicated embedding corpus (distinct
     // vec_ids per replica; probes stay the fixed vec_id < 5 set).
