@@ -226,6 +226,16 @@ object RecallProbe {
       val recall = (exact & got).size.toDouble / exact.size
       println(f"[recall] pca k=$k%2d cands=$cands%3d recall@10=$recall%.3f")
     }
+    // the ADAPTIVE default (cands = max(128, N/4)) — the budget the
+    // registered q_ann_pca serves; round 12's fix for the fixed
+    // budget's measured recall collapse (0.90 @ N=500 → 0.44 @ N=2000)
+    locally {
+      val n = operators.Similarity.vecs(spark, dir).count()
+      val auto = operators.Similarity.pcaCands(n)
+      val got = pairs(operators.Similarity.annPca(spark, dir))
+      val recall = (exact & got).size.toDouble / exact.size
+      println(f"[recall] pca k=16 cands=$auto%3d (adaptive, n=$n) recall@10=$recall%.3f")
+    }
     spark.stop()
   }
 }

@@ -1282,6 +1282,34 @@ object Similarity {
     annGraphOf(vecs(spark, dir).toDF("vec_id", "v", "norm"),
       efSearch, maxDeg, efConstruction, numShards)
 
+  /** Corpus-size ceiling for serving FLAT NSW (round 12): the single
+    * layer navigates fine at small scale (recall@10 at efSearch=32:
+    * 1.00 at N=500, 0.88 at N=2000) but its greedy entry degrades
+    * with graph diameter — the 10×-replica sweep measured the
+    * textbook NAVIGABILITY COLLAPSE at N=20k (0.26 at efSearch=16 vs
+    * HNSW's 1.00 on the same corpus; the hierarchy exists precisely
+    * to keep entry hops O(log N)). 4096 sits between the measured
+    * healthy (2k) and collapsed (20k) regimes with ~2× margin.
+    */
+  private[graft] val NswServeCap = 4096L
+
+  /** The graph-family SERVE path (registered as q_ann_graph): flat
+    * NSW up to [[NswServeCap]] vectors, the layered [[annHnsw]]
+    * hierarchy above it. Flat NSW stays available directly via
+    * [[annGraph]] as the teaching/verify-scale baseline — it is never
+    * the index a production corpus is served from, because its
+    * single-layer recall collapses with graph diameter (see
+    * [[NswServeCap]]). Both branches share the beam kernel, the exact
+    * cosine rerank, and the result contract, so the routed surface is
+    * drop-in either way; the route is decided by ONE corpus count
+    * (parquet metadata — no data scan).
+    */
+  def annGraphAuto(spark: SparkSession, dir: String,
+      efSearch: Int = 32): DataFrame =
+    if (vecs(spark, dir).count() <= NswServeCap)
+      annGraph(spark, dir, efSearch)
+    else annHnsw(spark, dir, efSearch)
+
   private[graft] def annGraphOf(corpus: DataFrame, efSearch: Int = 32,
       maxDeg: Int = 8, efConstruction: Int = 32,
       numShards: Int = 4): DataFrame = {
@@ -2232,29 +2260,52 @@ object Similarity {
     * top `cands` per probe rerank by EXACT cosine through the one
     * shared [[exactRerankTopK]] kernel. Same contract as every
     * family: probes vec_id < 5, self excluded, ties broken on vec_id,
-    * final cosines exact. Measured on the sf0.001 corpus:
-    * recall@10 = 0.88 at (k=16, cands=128), 0.98 at (k=32, cands=128)
-    * — the (compression, candidate-budget) dial [[RecallProbe]]
-    * sweeps.
+    * final cosines exact.
+    *
+    * CANDIDATE BUDGET SCALES WITH THE CORPUS (round 12): a fixed
+    * `cands` is a shrinking corpus fraction as the corpus grows, and
+    * the shrink is measurable — recall@10 at (k=16, cands=128) fell
+    * 0.90 (N=500) → 0.44 (N=2000) on the driver corpora. The default
+    * (`cands ≤ 0`) is therefore [[pcaCands]] = max(128, ⌈N/4⌉),
+    * derived from the corpus size the index carries: measured
+    * recall@10 at the adaptive default is 0.98 (N=500) and 0.88
+    * (N=2000, k=16; 1.00 at k=32), and the fraction — not the
+    * absolute budget — is what the near-isotropic synthetic corpus
+    * pins (top-16 of 64 dims keeps only ~¼ of its variance, so the
+    * projected rank is a coarse filter; a real anisotropic embedding
+    * corpus concentrates variance and sustains a far smaller
+    * fraction). An explicit `cands > 0` overrides — the
+    * (compression, candidate-budget) dial [[RecallProbe]] sweeps.
     *
     * Scale shape: the projection is a narrow broadcast map (8 codegen
-    * dots/row); candidate scoring streams the 8-dim index against
+    * dots/row); candidate scoring streams the 16-dim index against
     * broadcast probes — at 100 TB this is the classic two-tier
     * filter-and-refine, with the full-precision corpus touched only
-    * for `cands` rows per probe.
+    * for `cands` rows per probe. The N/4 default makes the refine leg
+    * a constant corpus fraction — the honest cost of serving this
+    * corpus shape at this compression; drop the fraction (or raise k)
+    * only with a measured recall curve on the production corpus.
     */
-  def annPca(spark: SparkSession, dir: String, cands: Int = 128,
+  def annPca(spark: SparkSession, dir: String, cands: Int = 0,
       k: Int = 16): DataFrame =
     annPcaSearch(spark, dir, pcaIndex(spark, dir, k), cands)
 
+  /** The adaptive PCA candidate budget: a quarter of the corpus with
+    * a floor of 128 — see [[annPca]] for the measured rationale.
+    */
+  private[graft] def pcaCands(n: Long): Int =
+    math.max(128L, (n + 3L) / 4L).toInt
+
   /** A fitted PCA candidate index: the projected corpus (vec_id, the
     * k projected coordinates — the ONLY per-vector state a deployment
-    * stores) plus the model that projects probes at serve time.
+    * stores) plus the model that projects probes at serve time, and
+    * the corpus size `n` at fit time so the serve path can derive the
+    * adaptive [[pcaCands]] budget without re-counting the corpus.
     * Build-once/serve-many like [[PqIndex]]; persists via
     * [[savePcaIndex]]/[[loadPcaIndex]] under the same manifest
     * discipline as every other family.
     */
-  case class PcaIndex(projected: DataFrame, model: PcaModel)
+  case class PcaIndex(projected: DataFrame, model: PcaModel, n: Long)
 
   /** The projection every PCA-index path shares: pcⱼ = ⟨wⱼ, v⟩/‖v‖ −
     * ⟨wⱼ, μ⟩ — the UNIT-vector projection with the center folded into
@@ -2282,16 +2333,20 @@ object Similarity {
       transform(col("v"), _ / col("norm")).as("v"), lit(1.0).as("norm"))
     val model = fitPcaOf(unit, k)
     PcaIndex(corpus.select(col("vec_id"),
-      pcaProject(model)(col("v"), col("norm")).as("pv")), model)
+      pcaProject(model)(col("v"), col("norm")).as("pv")), model,
+      corpus.count())
   }
 
   /** Serve path over a (possibly loaded) [[PcaIndex]]: probes project
     * through the index's model, rank the projected corpus by
     * projected L2, and the top `cands` rerank by EXACT cosine through
-    * the one shared [[exactRerankTopK]] kernel.
+    * the one shared [[exactRerankTopK]] kernel. `cands ≤ 0` (the
+    * default) derives the adaptive [[pcaCands]] budget from the
+    * index's own corpus size — see [[annPca]].
     */
   def annPcaSearch(spark: SparkSession, dir: String, idx: PcaIndex,
-      cands: Int = 128): DataFrame = {
+      cands0: Int = 0): DataFrame = {
+    val cands = if (cands0 > 0) cands0 else pcaCands(idx.n)
     val corpus = vecs(spark, dir)
     val probes = corpus.filter(col("vec_id") < NumProbes)
       .select(col("vec_id").as("probe_id"), col("v").as("p_v"),
@@ -2321,7 +2376,10 @@ object Similarity {
     idx.projected.write.mode("overwrite").parquet(s"$path/projected")
     val m = idx.model
     val rows = Seq(("mean", 0, m.mean.toSeq),
-      ("eigenvalues", 0, m.eigenvalues.toSeq)) ++
+      ("eigenvalues", 0, m.eigenvalues.toSeq),
+      // corpus size at fit time — doubles hold integers exactly to
+      // 2^53, far beyond any corpus this index format addresses
+      ("n", 0, Seq(idx.n.toDouble))) ++
       m.components.zipWithIndex.map { case (w, j) =>
         ("component", j, w.toSeq) }
     spark.createDataFrame(rows.toIndexedSeq).toDF("field", "j", "vals")
@@ -2349,8 +2407,11 @@ object Similarity {
     require(comps.map(_._2).toSeq == comps.indices &&
       comps.length == eig.length,
       s"invalid PCA model at $path: component rows do not cover 0..k-1")
+    val n = one("n")
+    require(n.length == 1 && n.head >= 0 && n.head.isWhole,
+      s"invalid PCA model at $path: corpus size row")
     PcaIndex(projected,
-      PcaModel(one("mean"), eig, comps.map(_._3)))
+      PcaModel(one("mean"), eig, comps.map(_._3)), n.head.toLong)
   }
 
   /** Principal-component projection of the embedding corpus — the
@@ -2500,23 +2561,24 @@ object Similarity {
     * the driver's scale factors (measured sf0.01 recalls: ivf 0.58,
     * pq 0.52, opq 0.58, opq_np 0.52, pca ≥0.8, graph ≥0.7, hnsw 1.0,
     * sq8 1.0; ivfpq joined in round 11's tail — spec floor 0.45,
-    * gate 0.3, measured 0.40-0.50 at sf0.1; pca's floor dropped
-    * 0.65 → 0.3 in the same pass because its FIXED cands=128 budget
-    * is a shrinking corpus fraction as SF grows — RecallProbe
-    * measures 0.44 at sf0.1 for the default (k=16, cands=128), the
-    * first time the gate ran at that scale; graph's floor dropped
-    * 0.55 → 0.2 after the 10×-replica sweep caught flat NSW's
-    * NAVIGABILITY collapse at 20k vectors — RecallProbe: nsw 0.26
-    * at efSearch=16 vs hnsw 1.00 on the same corpus, the textbook
-    * single-layer degradation the HNSW hierarchy exists to fix,
-    * which is why hnsw keeps the tight 0.6 floor and is the
-    * documented scale path). LSH is excluded — its recall is
-    * corpus-shape-dependent by design (uniform vs clustered; the
-    * clustered probe covers it).
+    * gate 0.3, measured 0.40-0.50 at sf0.1).
+    *
+    * Round 11 had LOWERED pca to 0.3 and graph to 0.2 after the
+    * first sf0.1/replica runs measured real scale collapses (pca's
+    * fixed cands=128 budget: 0.44 at N=2000; flat NSW navigability:
+    * 0.26 at N=20k). Round 12 FIXED the operators instead and
+    * restored the floors: pca's candidate budget now scales with the
+    * corpus ([[pcaCands]] = max(128, N/4) — measured 0.98/0.88 at
+    * N=500/2000, floor back to 0.5), and the graph serve path
+    * auto-routes to the HNSW hierarchy above [[NswServeCap]]
+    * ([[annGraphAuto]] — flat NSW only ever serves the regime where
+    * it measures ≥0.88, floor back to 0.6, matching hnsw's). LSH is
+    * excluded — its recall is corpus-shape-dependent by design
+    * (uniform vs clustered; the clustered probe covers it).
     */
   private[graft] val RecallGateFloors: Seq[(String, Double)] = Seq(
-    "graph" -> 0.2, "hnsw" -> 0.6, "ivf" -> 0.3, "ivfpq" -> 0.3,
-    "opq" -> 0.35, "opq_np" -> 0.35, "pca" -> 0.3, "pq" -> 0.35,
+    "graph" -> 0.6, "hnsw" -> 0.6, "ivf" -> 0.3, "ivfpq" -> 0.3,
+    "opq" -> 0.35, "opq_np" -> 0.35, "pca" -> 0.5, "pq" -> 0.35,
     "sq8" -> 0.8)
 
   /** ANN RECALL GATE (round-11 partial-oracle tier) — the whole index
@@ -2540,7 +2602,10 @@ object Similarity {
       "opq" -> annOpq(spark, dir),
       "opq_np" -> annOpqNp(spark, dir),
       "pca" -> annPca(spark, dir),
-      "graph" -> annGraph(spark, dir),
+      // the gate grades the SERVE path — the index a user actually
+      // gets — so flat NSW's small-corpus-only regime is enforced by
+      // the same routing production traffic takes
+      "graph" -> annGraphAuto(spark, dir),
       "hnsw" -> annHnsw(spark, dir))
     RecallGateFloors.map { case (name, floor) =>
       exact

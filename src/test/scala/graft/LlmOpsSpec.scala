@@ -956,6 +956,48 @@ class LlmOpsSpec extends SparkSuite {
       "loaded index diverged from the fused build")
   }
 
+  test("annPca: candidate budget scales with the corpus (round 12)") {
+    // the adaptive rule: a quarter of the corpus with a 128 floor —
+    // the fix for the measured recall collapse of a FIXED budget
+    // (0.90 at N=500 → 0.44 at N=2000 with cands=128)
+    assert(Similarity.pcaCands(0L) == 128)
+    assert(Similarity.pcaCands(500L) == 128)
+    assert(Similarity.pcaCands(512L) == 128)
+    assert(Similarity.pcaCands(2000L) == 500)
+    assert(Similarity.pcaCands(2001L) == 501)
+    assert(Similarity.pcaCands(20000L) == 5000)
+    // the index carries the corpus size it was fit on, and the count
+    // survives the save/load round-trip so a LOADED index derives the
+    // same budget as the fresh fit
+    val idx = Similarity.pcaIndex(spark, sfDir)
+    assert(idx.n == Similarity.vecs(spark, sfDir).count())
+    val path = java.nio.file.Files.createTempDirectory("pca_n").toString
+    Similarity.savePcaIndex(idx, path)
+    assert(Similarity.loadPcaIndex(spark, path).n == idx.n)
+  }
+
+  test("annGraphAuto routes flat NSW below NswServeCap, HNSW above") {
+    // small corpus (N=500 ≤ 4096): the routed surface IS flat NSW
+    val small = Similarity.annGraphAuto(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    val nsw = Similarity.annGraph(spark, sfDir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(small == nsw, "small-corpus serve must be the flat NSW result")
+    // above the cap: the routed surface IS the HNSW hierarchy — flat
+    // NSW's single layer loses navigability with graph diameter
+    // (measured 0.26 recall at N=20k vs HNSW's 1.00), so no corpus
+    // past the cap is ever served from it
+    val big = SynthData.clustered(spark, Similarity.NswServeCap.toInt + 256)
+    val dir = java.nio.file.Files.createTempDirectory("nsw_route").toString
+    big.select(col("vec_id"), col("v").as("embedding"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val routed = Similarity.annGraphAuto(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val hnsw = Similarity.annHnsw(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(routed == hnsw, "past-cap serve must be the HNSW result")
+  }
+
   test("tfidf emits up to 3 ranked keywords per doc, scores sane") {
     val rows = TextOps.tfidf(spark, sfDir).collect()
     val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
