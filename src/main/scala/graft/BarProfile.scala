@@ -13,13 +13,27 @@ object BarProfile {
     val which = args.headOption.getOrElse("daily_bars")
     val files = args.lift(1).map(_.toInt).getOrElse(8)
     val perTrigger = args.lift(2).getOrElse("1")
+    // variant knobs under test: state-partition count and the state
+    // store provider ("hdfs" default; "rocksdb" = RocksDB provider
+    // with changelog checkpointing)
+    val parts = args.lift(3).map(_.toInt).getOrElse(8)
+    val provider = args.lift(4).getOrElse("hdfs")
+    val runs = args.lift(5).map(_.toInt).getOrElse(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", 8)
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (provider == "rocksdb") {
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      builder.config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true"): Unit
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val (flat, schema, total) = StreamProbe.stageEvents(spark, dir, files, 1)
     val stream = spark.readStream.schema(schema)
@@ -33,12 +47,25 @@ object BarProfile {
       case "indicators" =>
         graft.streaming.TickStream.statefulIndicators(spark, stream).toDF()
     }
-    val t0 = System.nanoTime()
-    val q = df.writeStream.format("noop")
-      .option("checkpointLocation", ckpt).start()
-    q.processAllAvailable()
-    q.stop()
-    val secs = (System.nanoTime() - t0) / 1e9
+    // optional repeat runs (fresh checkpoint each — fresh state, warm
+    // JVM): isolates one-time codegen/JIT cost from steady-state
+    // operator throughput
+    var lastQ: org.apache.spark.sql.streaming.StreamingQuery = null
+    var secs = 0.0
+    for (r <- 1 to runs) {
+      val ck = if (r == 1) ckpt
+        else java.nio.file.Files.createTempDirectory(s"barprof$r").toString
+      val t0 = System.nanoTime()
+      val q = df.writeStream.format("noop")
+        .option("checkpointLocation", ck).start()
+      q.processAllAvailable()
+      q.stop()
+      secs = (System.nanoTime() - t0) / 1e9
+      println(f"[prof] run=$r $which ${total / secs}%.0f rows/s")
+      lastQ = q
+      if (r > 1) StreamProbe.deleteRecursively(ck)
+    }
+    val q = lastQ
     q.recentProgress.foreach { p =>
       val d = p.durationMs
       val st = p.stateOperators.headOption
@@ -47,6 +74,8 @@ object BarProfile {
         f"addBatch=${d.getOrDefault("addBatch", -1L)}%5d " +
         f"plan=${d.getOrDefault("queryPlanning", -1L)}%4d " +
         f"commit=${st.map(_.commitTimeMs).getOrElse(-1L)}%5d " +
+        f"update=${st.map(_.allUpdatesTimeMs).getOrElse(-1L)}%5d " +
+        f"remove=${st.map(_.allRemovalsTimeMs).getOrElse(-1L)}%4d " +
         f"stateRows=${st.map(_.numRowsTotal).getOrElse(-1L)}%4d " +
         f"stateMem=${st.map(_.memoryUsedBytes).getOrElse(-1L)}%8d")
     }

@@ -68,6 +68,62 @@ object Bench {
       .format("noop").mode("overwrite").save()
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
+    // FIXED-WORK CALIBRATION (round 12): a constant-work single-thread
+    // CPU loop plus one tiny fixed Spark job, timed after warmup and
+    // before any graded query — an ambient-environment fingerprint
+    // inside the artifact itself. Rounds 9 and 11 both printed
+    // uniformly-inflated driver numbers with zero plan changes, and
+    // attributing that required same-box re-runs; now, if calibration
+    // inflates in step with the totals, the environment moved (shared
+    // box, JIT/GC alignment), not the operators. The loop is a fixed
+    // 2×10⁸-step xorshift (seed constant, result consumed so it
+    // cannot be dead-code-eliminated); the Spark job is a fixed
+    // 10⁷-row range sum through the noop sink.
+    val calibCpuMs = {
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 200000000) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+      }
+      val ms = (System.nanoTime() - t0) / 1e6
+      if (x == 42L) System.err.println("[bench] calibration sentinel")
+      ms
+    }
+    // the same fixed work run on EVERY core at once: single-thread
+    // calibration is stable under noisy neighbors, but the graded
+    // queries are parallel — a shared box under load inflates this
+    // leg while cpu_ms holds, separating core contention from
+    // single-thread slowdown in the artifact
+    val calibMtMs = {
+      val threads = Runtime.getRuntime.availableProcessors()
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map { s =>
+        val t = new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L + s
+          var i = 0
+          while (i < 100000000) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+          }
+          if (x == 42L) System.err.println("[bench] mt sentinel")
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }
+    val calibSparkMs =
+      try {
+        val t0 = System.nanoTime()
+        // modulo keeps the fixed sum inside Long under ANSI overflow
+        // checking (a raw id × prime product would throw)
+        spark.range(10000000L)
+          .selectExpr("sum(id % 1000003) AS s")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e6
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration: $e"); -1.0 }
+
     // min-of-N per query: single runs swing ±25% with machine noise
     // (page cache, JIT, GC alignment — measured across rounds 4-5);
     // the minimum is the stable estimator of achievable time.
@@ -167,6 +223,8 @@ object Bench {
     // the run before the metrics line prints.
     val streamParts = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
       .flatMap(_.toIntOption).getOrElse(8).max(1)
+    val streamRuns = sys.env.get("SPARK_GRAFT_STREAM_RUNS")
+      .flatMap(_.toIntOption).getOrElse(2).max(1)
     // per-run scratch (staged corpus copy + checkpoints), deleted in
     // a FINALLY — a crashed stage must not leave corpus copies
     // accumulating in /tmp across rounds
@@ -175,36 +233,51 @@ object Bench {
       spark.conf.set("spark.sql.shuffle.partitions", streamParts)
       val (flat, schema, total) = StreamProbe.stageEvents(spark, sfDir, 8, 1)
       cleanups += flat
+      // best-of-N per stream, N=2 (round 12): the batch queries have
+      // graded min-of-3 steady state since round 4, while each stream
+      // ran ONCE — so its number carried the one-time codegen/JIT cost
+      // of the fold path (BarProfile: run 1 → 2 on a warm session is
+      // +50-70% for the daily-bar leg) and two rounds of driver
+      // artifacts printed ambient-inflated stream numbers nobody could
+      // attribute. Each run gets a FRESH checkpoint (fresh state —
+      // the operator does all its work again); the best rate is the
+      // steady-state estimate, recorded with "stream_runs" so the
+      // protocol change is visible in the artifact.
       def sprobe(name: String)(
           build: DataFrame => DataFrame): (String, Double) = {
-        val stream = spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", "1").parquet(flat)
-        val ckpt = java.nio.file.Files.createTempDirectory(s"bench_$name").toString
-        cleanups += ckpt
-        val t0 = System.nanoTime()
-        // hold the handle OUTSIDE the try and stop in a finally: a
-        // probe that throws mid-run must not leave its query running
-        // in the background, competing for cores with the remaining
-        // probes. On the success path the query is ALREADY stopped
-        // when the finally runs — stop() stays inside the timed
-        // region, as in every prior round's artifact, so the metric
-        // definition is unchanged.
-        var q: org.apache.spark.sql.streaming.StreamingQuery = null
-        try {
-          q = build(stream).writeStream.format("noop")
-            .option("checkpointLocation", ckpt).start()
-          q.processAllAvailable()
-          q.stop()
-          name -> total / ((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name: $e")
-          failed += name
-          name -> -1.0
-        } finally {
-          if (q != null && q.isActive)
-            try q.stop() catch { case e: Throwable =>
-              System.err.println(s"[bench] $name stop: $e") }
+        var best = -1.0
+        for (_ <- 1 to streamRuns) {
+          val stream = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(flat)
+          val ckpt = java.nio.file.Files.createTempDirectory(s"bench_$name").toString
+          cleanups += ckpt
+          val t0 = System.nanoTime()
+          // hold the handle OUTSIDE the try and stop in a finally: a
+          // probe that throws mid-run must not leave its query running
+          // in the background, competing for cores with the remaining
+          // probes. On the success path the query is ALREADY stopped
+          // when the finally runs — stop() stays inside the timed
+          // region, as in every prior round's artifact, so the metric
+          // definition is unchanged.
+          var q: org.apache.spark.sql.streaming.StreamingQuery = null
+          try {
+            q = build(stream).writeStream.format("noop")
+              .option("checkpointLocation", ckpt).start()
+            q.processAllAvailable()
+            q.stop()
+            best = math.max(best, total / ((System.nanoTime() - t0) / 1e9))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name: $e")
+          } finally {
+            if (q != null && q.isActive)
+              try q.stop() catch { case e: Throwable =>
+                System.err.println(s"[bench] $name stop: $e") }
+          }
         }
+        // a stream with ZERO successful runs grades failed (-1 rate +
+        // errors entry), matching the batch minOfRuns discipline
+        if (best < 0) failed += name
+        name -> best
       }
       Seq(
         sprobe("stream_indicators")(s =>
@@ -248,8 +321,8 @@ object Bench {
     // plus the headline per-query map (the original contract shape).
     // The detail line above it keeps the full per-query record for
     // anyone reading the artifact directly.
-    println(s"""{"metric":"detail","extended":${fmt(extWarm)},"cold":${fmt(cold)},"stream_shuffle_partitions":$streamParts,"runs":$runs}""")
-    println(s"""{"metric":"total","value":${tot(warm)},"unit":"sec","queries":${fmt(warm)},"headline_total":${tot(warm)},"extended_total":${tot(extWarm)},"cold_total":${tot(cold)},"streaming_rows_per_sec":${fmt(streaming)},"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"detail","extended":${fmt(extWarm)},"cold":${fmt(cold)},"stream_shuffle_partitions":$streamParts,"stream_runs":$streamRuns,"runs":$runs}""")
+    println(s"""{"metric":"total","value":${tot(warm)},"unit":"sec","queries":${fmt(warm)},"headline_total":${tot(warm)},"extended_total":${tot(extWarm)},"cold_total":${tot(cold)},"streaming_rows_per_sec":${fmt(streaming)},"calibration":{"cpu_ms":$calibCpuMs,"mt_ms":$calibMtMs,"spark_ms":$calibSparkMs},"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1228,10 +1228,11 @@ object TickStream extends Serializable {
       srsi_d: Option[Double],
       roc_sum: Option[Double], coppock: Option[Double])
 
-  private def r4s(x: Double): Double = BigDecimal.valueOf(x)
-    .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
-  private def r6s(x: Double): Double = BigDecimal.valueOf(x)
-    .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+  // [[FastRound]] ≡ the BigDecimal forms bit-for-bit (tie-guarded
+  // fallback); the daily-bar fold makes ~40 display rounds per
+  // emitted bar, which jstack sampling measured as the dominant cost
+  private def r4s(x: Double): Double = FastRound.scale(x, 10000.0, 4)
+  private def r6s(x: Double): Double = FastRound.scale(x, 1000000.0, 6)
 
   /** The batch fold tier's display round — round(x·10⁶)/10⁶, the
     * scaled-double algorithm both engines agree on at every boundary
@@ -1239,9 +1240,7 @@ object TickStream extends Serializable {
     * the Wilder value the same way or a boundary bar diverges.
     */
   private def r6scaled(x: Double): Double =
-    BigDecimal.valueOf(x * 1000000.0)
-      .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
-      .toDouble / 1000000.0
+    FastRound.int0(x * 1000000.0) / 1000000.0
 
   /** Streaming DAILY-BAR CLOSE engine — the live leg of the whole
     * daily-series tier: per symbol, ticks aggregate into the current
@@ -1289,8 +1288,7 @@ object TickStream extends Serializable {
         if (!(st.hasEmitted && day <= st.lastDay)) {
           // VWAP leg: integer price-micros x volume, positive-volume
           // ticks only — the batch q_vwap accounting, exact in Long
-          val micros = BigDecimal.valueOf(t.value * 1000000.0)
-            .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+          val micros = FastRound.long0(t.value * 1000000.0)
           val pvN = if (t.vol > 0) micros * t.vol else 0L
           val pvV = if (t.vol > 0) t.vol else 0L
           pending = (pending.find(_.day == day) match {
@@ -1394,9 +1392,8 @@ object TickStream extends Serializable {
           // session VWAP — exact integer accounting, the batch round
           val vwap =
             if (p.pvVol > 0)
-              Some(BigDecimal.valueOf(p.pvNum.toDouble / p.pvVol.toDouble)
-                .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
-                .toDouble / 1000000.0)
+              Some(FastRound.int0(p.pvNum.toDouble / p.pvVol.toDouble)
+                / 1000000.0)
             else None
           // one (hi, lo) ring pair serves stochastic (last 14) AND the
           // Donchian channel (last 20 + the prior-channel breakout)
@@ -1524,9 +1521,7 @@ object TickStream extends Serializable {
             // cls20 already carries this bar's close at its tail
             val c = st.cls.takeRight(19) :+ p.close
             def rocM(i: Int, h: Int): Long =
-              BigDecimal.valueOf((c(i) / c(i - h) - 1.0) * 100.0 * 1e6)
-                .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
-                .toLong
+              FastRound.long0((c(i) / c(i - h) - 1.0) * 100.0 * 1e6)
             val last = c.length - 1
             if (trCount >= 8)
               rocSumOpt = Some(
@@ -1615,8 +1610,7 @@ object TickStream extends Serializable {
             hwOut = Some((hwL, hwB, hwU.last, hwL + hwB + hwU.head))
           // money flow: typical-price micros + signed flow ring +
           // running A/D — the batch integer-micros accounting
-          val tpmL = BigDecimal.valueOf((hi4 + lo4 + p.close) / 3.0 * 1e6)
-            .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+          val tpmL = FastRound.long0((hi4 + lo4 + p.close) / 3.0 * 1e6)
           val flow: Long =
             if (!st.hasPrev) 0L
             else if (tpmL > st.mfPrev) tpmL * p.volume
@@ -1662,9 +1656,8 @@ object TickStream extends Serializable {
           }
           val multm =
             if (hi4 > lo4)
-              BigDecimal.valueOf(((p.close - lo4) - (hi4 - p.close))
+              FastRound.long0(((p.close - lo4) - (hi4 - p.close))
                 / (hi4 - lo4) * 1e6)
-                .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
             else 0L
           val adM = st.adM + multm * p.volume
           val adLine = adM.toDouble / 1e6
@@ -1931,8 +1924,7 @@ object TickStream extends Serializable {
   private def closedRow(userId: Long, st: SessionState): SessionRow =
     SessionRow(userId, st.sessionId,
       microsToTs(st.startMicros), microsToTs(st.endMicros), st.n,
-      BigDecimal.valueOf(st.value)
-        .setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble)
+      FastRound.scale(st.value, 10000.0, 4))
 
   private def microsToTs(m: Long): java.sql.Timestamp = {
     val t = new java.sql.Timestamp(m / 1000L)
@@ -1961,9 +1953,7 @@ object TickStream extends Serializable {
     */
   def alertsStream(spark: SparkSession, ticks: DataFrame): DataFrame = {
     // Spark's round(): HALF_UP on the shortest decimal representation
-    def r4(x: Double): Double =
-      BigDecimal.valueOf(x).setScale(4, scala.math.BigDecimal.RoundingMode.HALF_UP)
-        .toDouble
+    def r4(x: Double): Double = FastRound.scale(x, 10000.0, 4)
     import spark.implicits._
     statefulIndicators(spark, ticks).flatMap { row =>
       val rsi = row.rsi_14.map(r4)
