@@ -73,6 +73,13 @@ object GateProbe {
         f"clf_sep=$sep%.4f clf_gap=$gap%.4f " +
         f"forecast_gate=${fg.toString} neardup_check=${ng.toString} " +
         f"pca_gate=${gate.toString}")
+      // the nine-family recall gate at this scale — the floors are
+      // regression floors on the SERVE paths (adaptive-cands PCA,
+      // size-routed graph), so this is the per-scale green/red board
+      Similarity.annRecallGate(spark, dir).collect().foreach { r =>
+        println(s"GATEPROBE dir=$dir recall_gate variant=${r.getString(0)} " +
+          s"floor=${r.getDouble(2)} ok=${r.getBoolean(3)}")
+      }
     }
     spark.stop()
   }

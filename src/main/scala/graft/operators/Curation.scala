@@ -1449,6 +1449,81 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** TOPIC-MIX GATE (round-12 partial-oracle tier, the
+    * [[graft.operators.Similarity.kmeansGate]] pattern): the cells
+    * aren't SQL-expressible, but given them every verdict
+    * [[topicMix]] issues is deterministic arithmetic — so this gate
+    * RE-DERIVES the whole accepted set from raw expressions (per-cell
+    * masses, the α = 0.5 rate formula, and the multiplicative doc_id
+    * hash written out literally — none of the shared helpers) and
+    * hash-grades the reconciliation: `n_docs` is the oracle's own
+    * documents⋈embeddings count and the three booleans must equal the
+    * TRUE literals — a drifted rate table, a changed acceptance hash,
+    * or a dropped/phantom accepted doc breaks the driver hash instead
+    * of waiting for a spec run. Antitonicity (bigger token mass ⇒ no
+    * larger accept rate) and the full-rate minimum cell pin the rate
+    * CURVE, not just the membership.
+    *
+    * Scale shape: one corpus scan into the (doc_id, n_tok, cell)
+    * projection (shared via persist), cell-count-sized rate tables
+    * (≤16 rows) broadcast everywhere, two anti-joins on the accepted
+    * sets, and map-side-combined scalar aggregates.
+    */
+  def topicMixGate(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Similarity.ivfIndex(spark, dir).assigned
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
+          w => w =!= lit(""))).cast("long").as("n_tok"))
+      .join(cells, Seq("doc_id"))
+      .persist()
+    val perCell = docs.groupBy("cell").agg(sum("n_tok").as("mass"))
+      .persist()
+    val minMass = perCell.agg(min("mass").as("min_mass"))
+    val rates = perCell.crossJoin(broadcast(minMass))
+      .select(col("cell"), col("mass"),
+        round(sqrt(col("min_mass").cast("double")
+          / col("mass").cast("double")) * 1000000, 0)
+          .cast("long").as("ppm"),
+        (col("mass") === col("min_mass")).as("is_min"))
+      .persist()
+    val expected = docs.join(broadcast(rates), Seq("cell"))
+      .filter(col("doc_id") % lit(1000003L) * lit(2654435761L)
+        % lit(1000000L) < col("ppm"))
+      .select(col("doc_id"), col("cell"), col("ppm").as("accept_ppm"))
+    val actual = topicMix(spark, dir)
+    val keys = Seq("doc_id", "cell", "accept_ppm")
+    val missing = expected.join(actual, keys, "left_anti")
+      .agg(count(lit(1)).as("miss"))
+    val extra = actual.join(expected, keys, "left_anti")
+      .agg(count(lit(1)).as("extra"))
+    val antitone = rates.select(col("mass").as("a_mass"),
+        col("ppm").as("a_ppm"))
+      .crossJoin(broadcast(rates.select(col("mass").as("b_mass"),
+        col("ppm").as("b_ppm"))))
+      .agg(coalesce(expr(
+        "bool_and(NOT (a_mass < b_mass) OR a_ppm >= b_ppm)"),
+        lit(true)).as("rate_antitone_ok"))
+    val minFull = rates
+      .agg(coalesce(expr("bool_and(NOT is_min OR ppm = 1000000)"),
+        lit(true)).as("min_cell_full_rate_ok"))
+    docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(missing))
+      .crossJoin(broadcast(extra))
+      .crossJoin(broadcast(antitone))
+      .crossJoin(broadcast(minFull))
+      .select(col("n_docs"),
+        (col("miss") === 0 && col("extra") === 0).as("accept_match_ok"),
+        col("rate_antitone_ok"), col("min_cell_full_rate_ok"))
+  }
+
+  def topicMixGateSql: String =
+    """SELECT (SELECT count(*) FROM embeddings e
+      |        JOIN documents d ON e.vec_id = d.doc_id) AS n_docs,
+      |  true AS accept_match_ok, true AS rate_antitone_ok,
+      |  true AS min_cell_full_rate_ok""".stripMargin
+
   /** The deterministic multiplicative doc_id priority hash — ONE
     * definition for every sampler/cap that promises reproducibility
     * ([[mixtureAccept]], [[clusterCap]], [[sampleInspection]],
@@ -3694,33 +3769,58 @@ object Curation {
     * rank identically.
     *
     * Scale shape: TWO corpus token passes — one building the
-    * vocab-sized count table (map-side-combined word agg), one
-    * probing it as a BROADCAST join — collapsed by a doc-keyed
-    * partial agg (the [[graft.operators.TextOps.heapsFit]]
-    * two-pass floor: the count table must exist before any token
-    * can be scored); the global order avoids the
-    * single-task unpartitioned window via the bucket-offset
-    * decomposition (the [[graft.operators.TextOps.heapsFit]]
-    * idiom): centinat buckets carry per-bucket row_number windows,
-    * offsets ride a bucket-count-sized window, N broadcasts as one
-    * row. Docs with zero tokens drop (no instances to score) on
-    * both engines.
+    * count table (map-side-combined word agg), one probing it as a
+    * BROADCAST join — collapsed by a doc-keyed partial agg (the
+    * [[graft.operators.TextOps.heapsFit]] two-pass floor: the count
+    * table must exist before any token can be scored); the global
+    * order avoids the single-task unpartitioned window via the
+    * bucket-offset decomposition (the
+    * [[graft.operators.TextOps.heapsFit]] idiom): centinat buckets
+    * carry per-bucket row_number windows, offsets ride a
+    * bucket-count-sized window, N broadcasts as one row. Docs with
+    * zero tokens drop (no instances to score) on both engines.
+    *
+    * VOCAB CAP (round 12): whitespace words are an OPEN vocabulary —
+    * Heaps' law grows the raw count table with the corpus, so
+    * broadcasting it unbounded would eventually exceed driver and
+    * broadcast limits at the advertised scale. The broadcast
+    * vocabulary is therefore the TOP-[[CurriculumVocabCap]] types by
+    * (count desc, word) — a distributed TakeOrdered, no single-task
+    * window — and out-of-vocabulary tokens score with count 1, the
+    * max-surprisal ceiling [[graft.streaming.TickStream
+    * .curriculumScoreStream]] already applies to unseen words (rare
+    * types are exactly the ones whose true count is near 1, so the
+    * approximation error vanishes where the cap bites). The token
+    * total T stays the FULL corpus mass. The test corpora sit far
+    * under the cap, so the driver hash pins the capped and uncapped
+    * semantics as identical there; the spec exercises a binding cap
+    * explicitly.
     */
+  /** The standing-vocabulary size bound — 64Ki types ≈ a few MB
+    * broadcast, the GPT-2-class budget; see [[curriculumDocs]].
+    */
+  private[graft] val CurriculumVocabCap = 65536
+
   def curriculum(spark: SparkSession, dir: String): DataFrame =
     curriculumDocs(Tables.documents(spark, dir))
 
-  private[graft] def curriculumDocs(docs: DataFrame): DataFrame = {
+  private[graft] def curriculumDocs(docs: DataFrame,
+      vocabCap: Int = CurriculumVocabCap): DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
         w => w =!= lit(""))).as("word"))
+    // bounded standing vocab: distributed top-K (TakeOrdered), ties
+    // broken on the word so the cap is deterministic cross-engine
     val wordCounts = toks.groupBy("word").agg(count(lit(1)).as("c"))
-    val totals = wordCounts.agg(sum("c").as("t"))
+      .orderBy(col("c").desc, col("word")).limit(vocabCap)
+    val totals = toks.agg(count(lit(1)).as("t"))
     val scored = toks
-      .join(broadcast(wordCounts), Seq("word"))
+      .join(broadcast(wordCounts), Seq("word"), "left")
       .crossJoin(broadcast(totals))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        sum(round(log(col("t").cast("double") / col("c").cast("double")), 12)
+        sum(round(log(col("t").cast("double")
+            / coalesce(col("c"), lit(1L)).cast("double")), 12)
           .cast("decimal(28,14)")).as("s_dec"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("s_dec").cast("double") / col("n_tokens").cast("double"), 8)
@@ -3729,12 +3829,16 @@ object Curation {
     // and the final join all read the scored table — without pinning,
     // Catalyst re-derives the tokenize ⋈ vocab ⋈ collapse subtree
     // under each (3 consumers × 2 tokenize passes = 6 corpus scans
-    // for a doc-count-sized table). Same contract as heapsFit's
-    // perDoc: the EAGER checkpoint means constructing this DataFrame
-    // runs the scoring job, accepted deliberately.
+    // for a doc-count-sized table). LAZY checkpoint (round 12): the
+    // plan is already the truncated ExistingRDD either way, but the
+    // scoring job now runs on FIRST ACTION, not at DataFrame
+    // construction — plan-only consumers (PlanDump, PlanSpec's
+    // all-query sweep) no longer execute a corpus job to inspect a
+    // plan, and q_curriculum stops being the one registry entry with
+    // construction-time side effects.
     val bucketed = scored.withColumn("bkt",
       floor(col("difficulty") * 100).cast("long"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val wIn = Window.partitionBy("bkt").orderBy("difficulty", "doc_id")
     val wOff = Window.orderBy("bkt")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -3751,18 +3855,25 @@ object Curation {
   }
 
   /** The standing VOCABULARY artifact the streaming curriculum
-    * scorer serves against: corpus unigram counts + total token
-    * mass. Model-sized (the [[mixtureRates]] contract — a unigram
-    * vocabulary is bounded by the tokenizer, not the corpus), so
-    * the driver collect is safe at any corpus scale.
+    * scorer serves against: the top-[[CurriculumVocabCap]] unigram
+    * counts plus the FULL-corpus token total. GENUINELY model-sized
+    * (round 12): whitespace words are an open vocabulary that grows
+    * with the corpus (Heaps' law), so the artifact is the same
+    * capped top-K the batch [[curriculumDocs]] broadcasts — ≤ 64Ki
+    * entries at any corpus scale, so the driver collect and the
+    * plan-embedded serve map stay bounded; tokens outside it score
+    * through the scorer's count-1 OOV ceiling.
     */
   def curriculumVocab(spark: SparkSession, dir: String): (Map[String, Long], Long) = {
-    val counts = Tables.documents(spark, dir)
+    val toks = Tables.documents(spark, dir)
       .select(explode(filter(split(trim(col("text")), s"[${TextOps.Ws}]+"),
         w => w =!= lit(""))).as("word"))
+    val total = toks.count()
+    val counts = toks
       .groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word")).limit(CurriculumVocabCap)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    (counts, counts.values.sum)
+    (counts, total)
   }
 
   /** Persist the curriculum vocabulary through the
@@ -3776,23 +3887,30 @@ object Curation {
       total: Long, path: String): Unit = {
     spark.createDataFrame(vocab.toSeq.sortBy(_._1)).toDF("word", "c")
       .coalesce(1).write.mode("overwrite").parquet(path)
+    // `total` is the FULL corpus token mass (the scorer's T);
+    // `vocab_mass` is the sum of the CAPPED counts actually written —
+    // the loader's truncation check (the two coincide only when the
+    // cap did not bind)
     IndexManifest.write(spark, path, "curriculum_vocab", Seq("."),
-      Map("total" -> total.toString))
+      Map("total" -> total.toString,
+        "vocab_mass" -> vocab.values.sum.toString))
   }
 
   /** Load a [[saveCurriculumVocab]] artifact; the manifest guards
-    * family and schema drift, and the recorded total must reconcile
-    * with the loaded counts (a truncated parts write fails here, not
-    * as silently-wrong surprisals).
+    * family and schema drift, and the recorded vocab mass must
+    * reconcile with the loaded counts (a truncated parts write fails
+    * here, not as silently-wrong surprisals).
     */
   def loadCurriculumVocab(spark: SparkSession, path: String): (Map[String, Long], Long) = {
     val params = IndexManifest.validate(spark, path, "curriculum_vocab", Seq("."))
     val rows = spark.read.parquet(path).select("word", "c").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val total = params.flatMap(_.get("total")).map(_.toLong)
+    val mass = params.flatMap(_.get("vocab_mass")).map(_.toLong)
       .getOrElse(rows.values.sum)
-    require(rows.values.sum == total,
-      s"vocab at $path: counts sum ${rows.values.sum} != recorded $total")
+    require(rows.values.sum == mass,
+      s"vocab at $path: counts sum ${rows.values.sum} != recorded $mass")
+    val total = params.flatMap(_.get("total")).map(_.toLong)
+      .getOrElse(mass)
     (rows, total)
   }
 
@@ -3809,32 +3927,49 @@ object Curation {
       Map("sources" -> templates.size.toString))
   }
 
+  /** Load a [[saveBoilerplateTemplates]] artifact; the manifest
+    * guards family/schema drift and the loaded distinct-source count
+    * must reconcile with the recorded `sources` param (round 12,
+    * mirroring [[loadCurriculumVocab]]'s mass check) — a truncated
+    * parts write fails here instead of loading silently as a smaller
+    * template set.
+    */
   def loadBoilerplateTemplates(spark: SparkSession,
       path: String): Map[String, Seq[String]] = {
-    IndexManifest.validate(spark, path, "boilerplate_templates", Seq(".")): Unit
-    spark.read.parquet(path).select("source", "gram").collect()
+    val params = IndexManifest.validate(spark, path,
+      "boilerplate_templates", Seq("."))
+    val loaded = spark.read.parquet(path).select("source", "gram").collect()
       .map(r => (r.getString(0), r.getString(1)))
       .groupBy(_._1).map { case (s, g) => s -> g.map(_._2).sorted.toSeq }
+    params.flatMap(_.get("sources")).map(_.toInt).foreach { n =>
+      require(loaded.size == n,
+        s"templates at $path: ${loaded.size} sources != recorded $n")
+    }
+    loaded
   }
 
-  /** DuckDB dual of [[curriculum]]: same tokenize, same
-    * per-instance 12-decimal DECIMAL(28,14) surprisal sum, same
-    * rounded-difficulty order and integer phase arithmetic.
+  /** DuckDB dual of [[curriculum]]: same tokenize, same capped
+    * top-K vocabulary (count desc, word — deterministic ties) with
+    * the count-1 OOV fallback, same per-instance 12-decimal
+    * DECIMAL(28,14) surprisal sum, same rounded-difficulty order and
+    * integer phase arithmetic.
     */
   def curriculumSql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id,
-      |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
       |      w -> w <> '')) AS word
       |  FROM documents
       |), wc AS (
       |  SELECT word, count(*)::BIGINT AS c FROM toks GROUP BY 1
-      |), t AS (SELECT sum(c)::BIGINT AS t FROM wc),
+      |  ORDER BY c DESC, word LIMIT $CurriculumVocabCap
+      |), t AS (SELECT count(*)::BIGINT AS t FROM toks),
       |scored AS (
       |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
-      |    round((sum(round(ln(t::DOUBLE / c), 12)::DECIMAL(28,14)))::DOUBLE
+      |    round((sum(round(ln(t::DOUBLE / coalesce(c, 1)), 12)
+      |        ::DECIMAL(28,14)))::DOUBLE
       |      / count(*), 8) AS difficulty
-      |  FROM toks JOIN wc USING (word) CROSS JOIN t
+      |  FROM toks LEFT JOIN wc USING (word) CROSS JOIN t
       |  GROUP BY doc_id
       |), n AS (SELECT count(*)::BIGINT AS n_docs FROM scored),
       |ranked AS (

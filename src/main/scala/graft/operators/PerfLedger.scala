@@ -149,4 +149,31 @@ object PerfLedger {
       timed("alerts")(Indicators.alerts(spark, dir).count()))
     rollup(ledgerOf(spark, recs))
   }
+
+  /** PERF-ROLLUP GATE (round-12 partial-oracle tier): the
+    * row-ACCOUNTING half of [[perfRollup]], hash-graded. Wall-clock
+    * columns are inherently run-dependent — projected OUT here — but
+    * the batch counts, processed-row masses and error counts are
+    * deterministic at a given SF, and the oracle recomputes each
+    * leg's row mass from that leg's own SQL oracle — so an
+    * instrumentation regression (a dropped leg, a miscounted batch,
+    * an error swallowed into the wrong column) breaks the driver
+    * hash instead of waiting for the spec.
+    */
+  def perfRollupGate(spark: SparkSession, dir: String): DataFrame =
+    perfRollup(spark, dir)
+      .select("component_name", "n_batches", "total_rows", "total_errors")
+      .orderBy("component_name")
+
+  def perfRollupGateSql: String =
+    s"""SELECT 'alerts' AS component_name, 1::BIGINT AS n_batches,
+       |  (SELECT count(*) FROM (${Indicators.alertsSql})) AS total_rows,
+       |  0::BIGINT AS total_errors
+       |UNION ALL
+       |SELECT 'daily_ohlc', 1::BIGINT,
+       |  (SELECT count(*) FROM (${Warehouse.dailyOhlcSql})), 0::BIGINT
+       |UNION ALL
+       |SELECT 'validate_ticks', 1::BIGINT,
+       |  (SELECT count(*) FROM (${Warehouse.validateTicksSql})), 0::BIGINT
+       |ORDER BY component_name""".stripMargin
 }

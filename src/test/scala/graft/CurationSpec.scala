@@ -1464,6 +1464,40 @@ class CurationSpec extends SparkSuite {
       "pos is the global curriculum rank")
   }
 
+  test("curriculum vocab cap: OOV tokens score the count-1 ceiling") {
+    def r(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val docsDf = Tables.documents(spark, sfDir)
+    val docs = docsDf.select("doc_id", "text").collect()
+      .map(x => x.getLong(0) -> wsTokens(x.getString(1))).toMap
+    val counts = docs.values.flatten.groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    // the test corpus vocab sits far under the default cap, so the
+    // registered surface equals uncapped semantics (the driver hash
+    // already pins that); force a BINDING cap here
+    assert(counts.size < Curation.CurriculumVocabCap)
+    val cap = counts.size / 2
+    val kept = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(cap).toMap
+    val total = counts.values.sum.toDouble
+    val exp = docs.collect { case (id, ws) if ws.nonEmpty =>
+      val s = ws.map(w =>
+        r(math.log(total / kept.getOrElse(w, 1L)), 12)).sum
+      id -> r((s / ws.length).toDouble, 8).toDouble
+    }
+    val got = Curation.curriculumDocs(docsDf, vocabCap = cap).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got == exp, "capped difficulty must use the count-1 OOV ceiling")
+    // OOV surprisal is the per-corpus MAXIMUM (ln T / 1): capping can
+    // only raise a difficulty, never lower it
+    val base = Curation.curriculum(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(base.forall { case (id, d) => got(id) >= d })
+    // and the standing artifact honors the same cap
+    val (vocab, vTotal) = Curation.curriculumVocab(spark, sfDir)
+    assert(vocab.size <= Curation.CurriculumVocabCap)
+    assert(vTotal == counts.values.sum)
+  }
+
   test("boilerplate recounts per-source bigram doc frequency") {
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "source", "text").collect()

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Classifier, Curation, Dedup, Forecast, Similarity}
+import graft.operators.{Classifier, Curation, Dedup, Forecast, PerfLedger, Similarity}
 import org.apache.spark.sql.DataFrame
 
 /** The round-11 gate tier in one sweep: every gate query's boolean
@@ -72,5 +72,38 @@ class GateSpec extends SparkSuite {
 
   test("classifier training gate holds") {
     allBoolsTrue(Classifier.clfGate(spark, sfDir))
+  }
+
+  test("topic-mix gate: dual-derived accepted set reconciles, rates antitone") {
+    val df = Curation.topicMixGate(spark, sfDir)
+    allBoolsTrue(df)
+    val row = df.collect().head
+    // n_docs is the documents⋈embeddings join mass the oracle recounts
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("doc_id"))
+    val expected = Tables.documents(spark, sfDir).select("doc_id")
+      .join(emb, Seq("doc_id")).count()
+    assert(row.getAs[Long]("n_docs") == expected)
+    // the gate's accepted-set reconciliation covers topicMix itself:
+    // the accepted rows it blessed are exactly the registered surface
+    assert(Curation.topicMix(spark, sfDir).count() > 0)
+  }
+
+  test("perf-rollup gate: one batch per leg, row masses match, zero errors") {
+    val rows = PerfLedger.perfRollupGate(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("component_name")).toSeq ==
+      Seq("alerts", "daily_ohlc", "validate_ticks"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_batches") == 1L)
+      assert(r.getAs[Long]("total_errors") == 0L)
+    }
+    val masses = rows.map(r => r.getAs[String]("component_name")
+      -> r.getAs[Long]("total_rows")).toMap
+    assert(masses("validate_ticks")
+      == graft.operators.Warehouse.validateTicks(spark, sfDir).count())
+    assert(masses("daily_ohlc")
+      == graft.operators.Warehouse.dailyOhlc(spark, sfDir).count())
+    assert(masses("alerts")
+      == graft.operators.Indicators.alerts(spark, sfDir).count())
   }
 }
