@@ -166,6 +166,132 @@ object Similarity {
        |WHERE p.vr = 1
        |ORDER BY p.probe_id""".stripMargin
 
+  /** Margin-criterion candidate-list depth for [[bitextMargin]]
+    * (k in Artetxe & Schwenk 2019's ratio margin).
+    */
+  private[graft] val BitextK = 4
+
+  /** Acceptance threshold on the ratio margin — pairs whose best
+    * margin clears it AND are mutual best are mined. 1.05 keeps a
+    * non-trivial accepted subset on the synthetic corpus; production
+    * tunes it on held-out gold pairs like any mining run.
+    */
+  private[graft] val BitextThreshold = "1.05"
+
+  /** MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019, the
+    * parallel-pair mining step behind CCMatrix/NLLB-scale translation
+    * training data) — beyond-reference tier: given two embedding
+    * sides (the harness maps even vec_ids to side X, odd to side Y;
+    * production swaps in language-keyed tables), each X sentence
+    * scores its top-[[BitextK]] Y candidates with the RATIO margin —
+    * cos(x,y) normalized by the mean of both ends' k-NN cosines, the
+    * correction that kills the hubness failure of raw cosine
+    * thresholds (a generically-central "hub" sentence has high
+    * cosine to everything, but also a high k-NN denominator) — and
+    * emits its best-margin candidate with the MUTUAL-best flag; a
+    * pair is mined (`accepted`) when it is mutual AND clears
+    * [[BitextThreshold]].
+    *
+    * Cross-engine exactness: cosines round to 12 decimals (the raw
+    * double agrees bit-for-bit — the q_ann_bruteforce discipline);
+    * k-NN denominators sum those as DECIMAL(28,14) (order-independent
+    * exact addition), margins divide identically-ordered doubles and
+    * round to 8; every rank ties on (value, id).
+    *
+    * Scale shape: this registered surface scores X×Y EXACTLY — the
+    * verify-scale baseline, like q_dedup_embedding (its oracle is
+    * quadratic, so it joins the replica-sweep exclusion tier). The
+    * margin itself is a per-candidate-list POST-PROCESS: the
+    * production path feeds it from any of the nine gated ANN
+    * families (IVF cells / LSH buckets / HNSW beams bound the
+    * candidate sets) — the denominators and ranks then run on
+    * k-sized lists per sentence, one corpus-keyed shuffle each way.
+    */
+  def bitextMargin(spark: SparkSession, dir: String): DataFrame = {
+    val e = vecs(spark, dir)
+    val x = e.filter(col("vec_id") % 2 === 0).toDF("x_id", "x_v", "x_norm")
+    val y = e.filter(col("vec_id") % 2 === 1).toDF("y_id", "y_v", "y_norm")
+    val pairs = x.join(y, col("x_id") =!= col("y_id"))
+      .select(col("x_id"), col("y_id"),
+        round(Dedup.dot(col("x_v"), col("y_v"))
+          / (col("x_norm") * col("y_norm")), 12).as("cos"))
+    val wf = Window.partitionBy("x_id").orderBy(col("cos").desc, col("y_id"))
+    val wb = Window.partitionBy("y_id").orderBy(col("cos").desc, col("x_id"))
+    val ranked = pairs
+      .withColumn("fr", row_number().over(wf))
+      .withColumn("br", row_number().over(wb))
+      .filter(col("fr") <= BitextK || col("br") <= BitextK)
+    val dx = ranked.filter(col("fr") <= BitextK).groupBy("x_id")
+      .agg(sum(col("cos").cast("decimal(28,14)")).as("sx"),
+        count(lit(1)).as("kx"))
+    val dy = ranked.filter(col("br") <= BitextK).groupBy("y_id")
+      .agg(sum(col("cos").cast("decimal(28,14)")).as("sy"),
+        count(lit(1)).as("ky"))
+    val margins = ranked
+      .join(dx, Seq("x_id")).join(dy, Seq("y_id"))
+      .withColumn("margin", round(col("cos")
+        / ((col("sx").cast("double") / col("kx")
+          + col("sy").cast("double") / col("ky")) / 2), 8))
+    val bestX = margins.filter(col("fr") <= BitextK)
+      .withColumn("rx", row_number().over(Window.partitionBy("x_id")
+        .orderBy(col("margin").desc, col("y_id"))))
+      .filter(col("rx") === 1)
+    val bestY = margins.filter(col("br") <= BitextK)
+      .withColumn("ry", row_number().over(Window.partitionBy("y_id")
+        .orderBy(col("margin").desc, col("x_id"))))
+      .filter(col("ry") === 1)
+      .select(col("y_id"), col("x_id").as("y_best_x"))
+    bestX.join(bestY, Seq("y_id"), "left")
+      .withColumn("mutual",
+        coalesce(col("y_best_x") === col("x_id"), lit(false)))
+      .select(col("x_id"), col("y_id"), col("cos"), col("margin"),
+        col("mutual"),
+        (col("mutual") && col("margin") >= expr(BitextThreshold))
+          .as("accepted"))
+      .orderBy("x_id")
+  }
+
+  def bitextMarginSql: String =
+    s"""WITH $embNormCteSql, p AS (
+       |  SELECT a.vec_id AS x_id, b.vec_id AS y_id,
+       |    round(list_sum(list_transform(list_zip(a.v, b.v),
+       |      z -> z[1] * z[2])) / (a.norm * b.norm), 12) AS cos
+       |  FROM e a JOIN e b
+       |    ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+       |), r AS (
+       |  SELECT *,
+       |    row_number() OVER (PARTITION BY x_id ORDER BY cos DESC, y_id) AS fr,
+       |    row_number() OVER (PARTITION BY y_id ORDER BY cos DESC, x_id) AS br
+       |  FROM p
+       |), rk AS (SELECT * FROM r WHERE fr <= $BitextK OR br <= $BitextK),
+       |dx AS (
+       |  SELECT x_id, sum(cos::DECIMAL(28,14)) AS sx, count(*)::BIGINT AS kx
+       |  FROM rk WHERE fr <= $BitextK GROUP BY 1
+       |), dy AS (
+       |  SELECT y_id, sum(cos::DECIMAL(28,14)) AS sy, count(*)::BIGINT AS ky
+       |  FROM rk WHERE br <= $BitextK GROUP BY 1
+       |), m AS (
+       |  SELECT rk.*, round(cos
+       |    / ((sx::DOUBLE / kx + sy::DOUBLE / ky) / 2), 8) AS margin
+       |  FROM rk JOIN dx USING (x_id) JOIN dy USING (y_id)
+       |), bx AS (
+       |  SELECT *, row_number() OVER (PARTITION BY x_id
+       |    ORDER BY margin DESC, y_id) AS rx
+       |  FROM m WHERE fr <= $BitextK
+       |), byb AS (
+       |  SELECT y_id, x_id AS y_best_x FROM (
+       |    SELECT y_id, x_id, row_number() OVER (PARTITION BY y_id
+       |      ORDER BY margin DESC, x_id) AS ry
+       |    FROM m WHERE br <= $BitextK) WHERE ry = 1
+       |)
+       |SELECT bx.x_id, bx.y_id, bx.cos, bx.margin,
+       |  coalesce(byb.y_best_x = bx.x_id, false) AS mutual,
+       |  (coalesce(byb.y_best_x = bx.x_id, false)
+       |    AND bx.margin >= $BitextThreshold) AS accepted
+       |FROM bx LEFT JOIN byb USING (y_id)
+       |WHERE bx.rx = 1
+       |ORDER BY bx.x_id""".stripMargin
+
   /** The embeddings-with-norm CTE body shared by every SQL dual that
     * scores exact cosines (annBruteForceSql, hybridSearchSql) — one
     * definition so the duals cannot drift.

@@ -976,6 +976,63 @@ class LlmOpsSpec extends SparkSuite {
     assert(Similarity.loadPcaIndex(spark, path).n == idx.n)
   }
 
+  test("bitextMargin: ratio-margin replay, mutual-best symmetry, acceptance") {
+    def r(x: Double, s: Int) = BigDecimal(x)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // float→double widening must be the exact binary cast the engine
+    // applies (a toString round-trip would perturb the 8th decimal)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(row => row.getLong(0) ->
+        row.getSeq[Any](1).map {
+          case f: java.lang.Float => f.toDouble
+          case d: java.lang.Double => d.toDouble
+          case o => o.toString.toDouble
+        }.toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (p, q) => p * q }.sum
+      r(d / (math.sqrt(a.map(x => x * x).sum)
+        * math.sqrt(b.map(x => x * x).sum)), 12)
+    }
+    val xs = vecs.keys.filter(_ % 2 == 0).toSeq.sorted
+    val ys = vecs.keys.filter(_ % 2 == 1).toSeq.sorted
+    val rows = Similarity.bitextMargin(spark, sfDir).collect()
+    // one row per X sentence, its best-margin candidate
+    assert(rows.map(_.getAs[Long]("x_id")).toSeq == xs)
+    // driver replay of the full margin math (k-NN means as exact
+    // decimal sums of 12-decimal cosines) for a sample of X rows
+    val fwd = xs.map(x => x -> ys.map(y => y -> cos(vecs(x), vecs(y)))
+      .sortBy { case (y, c) => (-c, y) }.take(Similarity.BitextK)).toMap
+    val bwd = ys.map(y => y -> xs.map(x => x -> cos(vecs(x), vecs(y)))
+      .sortBy { case (x, c) => (-c, x) }.take(Similarity.BitextK)).toMap
+    def dsum(cs: Seq[Double]) =
+      cs.map(c => BigDecimal(c).setScale(14, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+    def margin(x: Long, y: Long): Double = {
+      val den = (dsum(fwd(x).map(_._2)) / fwd(x).length
+        + dsum(bwd(y).map(_._2)) / bwd(y).length) / 2
+      r(cos(vecs(x), vecs(y)) / den, 8)
+    }
+    val byX = rows.map(row => row.getAs[Long]("x_id") -> row).toMap
+    xs.take(25).foreach { x =>
+      val expBest = fwd(x).map { case (y, _) => y -> margin(x, y) }
+        .sortBy { case (y, m) => (-m, y) }.head
+      val row = byX(x)
+      assert(row.getAs[Long]("y_id") == expBest._1, s"x=$x best candidate")
+      assert(row.getAs[Double]("margin") == expBest._2, s"x=$x margin")
+      // mutual flag replays Y's own best-margin choice
+      val yBest = bwd(expBest._1).map { case (x2, _) =>
+        x2 -> margin(x2, expBest._1) }.sortBy { case (x2, m) => (-m, x2) }.head
+      assert(row.getAs[Boolean]("mutual") == (yBest._1 == x), s"x=$x mutual")
+      assert(row.getAs[Boolean]("accepted") ==
+        (row.getAs[Boolean]("mutual") && row.getAs[Double]("margin") >= 1.05))
+    }
+    // the miner discriminates on this corpus: accepted is a proper
+    // non-empty subset
+    val acc = rows.count(_.getAs[Boolean]("accepted"))
+    assert(acc > 0 && acc < rows.length, s"accepted=$acc of ${rows.length}")
+  }
+
   test("annGraphAuto routes flat NSW below NswServeCap, HNSW above") {
     // small corpus (N=500 ≤ 4096): the routed surface IS flat NSW
     val small = Similarity.annGraphAuto(spark, sfDir)
