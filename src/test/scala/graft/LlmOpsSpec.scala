@@ -1033,6 +1033,46 @@ class LlmOpsSpec extends SparkSuite {
     assert(acc > 0 && acc < rows.length, s"accepted=$acc of ${rows.length}")
   }
 
+  test("bitext production path: IVF-bounded recall gated; clustered regime near-exact") {
+    def accepted(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.filter(col("accepted")).select("x_id", "y_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the gate holds at the default config on the driver corpus
+    val g = Similarity.bitextGate(spark, sfDir).collect().head
+    assert(g.getAs[Boolean]("recall_ok"),
+      s"IVF bitext recall under floor: $g")
+    assert(g.getAs[Long]("n_exact_accepted") ==
+      accepted(Similarity.bitextMargin(spark, sfDir)).size)
+    // PLANTED-PAIR corpus — the regime real parallel text lives in:
+    // every X sentence (even id 2i) has one true translation twin
+    // (odd id 2i+1 = the same clustered vector under a small
+    // deterministic perturbation, cos ≈ 0.99) among same-cluster
+    // distractors at cos ≈ 0.9. The ratio margin singles the twin
+    // out (≈ 1.08 vs ≈ 0.97 for distractors), so the exact miner
+    // accepts (essentially only) planted pairs — and the IVF-bounded
+    // path, whose cells align with the clusters here, keeps them at
+    // a SMALL probe budget (the uniform driver corpus above is the
+    // documented hard instance that needs nProbe=8)
+    val base = SynthData.clustered(spark, 400)
+    val xSide = base.select((col("vec_id") * 2).as("vec_id"), col("v"))
+    val ySide = base.select((col("vec_id") * 2 + 1).as("vec_id"), col("v"))
+      .withColumn("v", expr(
+        "transform(v, (e, j) -> e + 0.02 * sin((vec_id % 97 + 1.0) * (j + 1)))"))
+    val both = xSide.unionByName(ySide)
+      .withColumn("norm",
+        sqrt(graft.operators.Dedup.dot(col("v"), col("v"))))
+      .cache()
+    val exact = accepted(Similarity.bitextMarginOn(both))
+    val planted = (0L until 400L).map(i => (2 * i, 2 * i + 1)).toSet
+    assert(exact.subsetOf(planted), "only planted twins may be mined")
+    assert(exact.size >= 280, s"planted twins mined: ${exact.size} of 400")
+    val ann = accepted(Similarity.bitextMarginIvfOn(
+      Similarity.fitIvf(both.select("vec_id", "v", "norm")), nProbe = 2))
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.9, s"planted-pair IVF recall $recall")
+    both.unpersist(): Unit
+  }
+
   test("annGraphAuto routes flat NSW below NswServeCap, HNSW above") {
     // small corpus (N=500 ≤ 4096): the routed surface IS flat NSW
     val small = Similarity.annGraphAuto(spark, sfDir)
