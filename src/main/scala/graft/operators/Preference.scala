@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Preference-pair construction for DPO/RLHF-style training data —
+  * the (chosen, rejected) pair-mining step between a scored corpus
+  * and a preference-optimization run (Rafailov et al. 2023, DPO;
+  * the same shape RLHF reward-model data takes). The reference has
+  * no preference surface (beyond-reference tier, round 12); the
+  * quality signal is the repo's own [[TextOps.qualityScore]] so the
+  * whole tier composes with the curation stack, and in production
+  * the score column swaps for a reward-model output without touching
+  * the pairing plan.
+  *
+  * PAIRING is quality-ranked MEDIAN-OFFSET, not all-pairs: within
+  * each source (the prompt-group proxy; production keys on prompt
+  * id), docs rank by (quality desc, doc_id), and rank i pairs with
+  * rank i + ⌊n/2⌋ — every doc appears at most once on each side,
+  * pair count is n − ⌊n/2⌋ per group, and the contrast is the widest
+  * one that still yields O(n) pairs (top-vs-bottom-half, the
+  * "max-margin without the O(n²) blowup" schedule). A margin floor
+  * [[PrefMinMargin]] then gates acceptance — near-tie pairs teach a
+  * preference model nothing and inject label noise (the DPO paper's
+  * own filtering concern).
+  *
+  * Scale shape: ONE corpus scan into the scored projection, one
+  * shuffle on the source key for the rank window (the
+  * [[TextOps.qualityPrune]] idiom — sources are few and fat; AQE's
+  * skew split handles the imbalance, and a prompt-keyed production
+  * corpus has millions of small groups, the benign regime), then a
+  * role-explode + (source, pair-key) agg in place of the rank
+  * self-join a SQL engine would write — Spark would re-scan and
+  * re-window the whole corpus for the join's second side (see
+  * [[prefPairsDocs]]). Cross-engine exactness: quality
+  * scores are already rounded to 8 (identical doubles both engines),
+  * the margin is round(chosen−rejected, 8) of those identical
+  * doubles, and every window ties break on doc_id.
+  */
+object Preference {
+
+  /** Acceptance floor on the round-8 quality margin — pairs whose
+    * contrast is under 0.05 quality points are near-ties (label
+    * noise for a preference model) and carry accepted=false.
+    */
+  private[graft] val PrefMinMargin = 0.05
+
+  def prefPairs(spark: SparkSession, dir: String): DataFrame =
+    prefPairsDocs(Tables.documents(spark, dir))
+
+  private[graft] def prefPairsDocs(docs: DataFrame): DataFrame = {
+    // score inline on the one scan — joining a scored projection back
+    // would broadcast a corpus-sized table (or re-scan the corpus)
+    val scored = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      TextOps.qualityScoreCol(col("text"), col("n_chars")).as("quality_score"))
+    val wr = Window.partitionBy("source")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val ranked = scored
+      .withColumn("n_source", count(lit(1)).over(Window.partitionBy("source")))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .withColumn("half", floor(col("n_source") / lit(2)))
+      // singleton groups have ⌊n/2⌋ = 0 — rank i would "pair" with
+      // itself; a one-candidate prompt yields no preference signal
+      .filter(col("n_source") >= 2)
+    // a naive rank self-join re-scans and re-windows the corpus for
+    // the rejected side (Spark duplicates the unmaterialized subtree);
+    // instead each ranked row PLAYS BOTH ROLES — chosen at pair key
+    // rnk (iff a partner exists ⌊n/2⌋ below: rnk + half ≤ n) and
+    // rejected at pair key rnk − ⌊n/2⌋ (iff rnk > half) — and one
+    // (source, key) agg zips the two roles: every group holds exactly
+    // one of each by construction. One corpus scan, one window
+    // shuffle, one pair-key agg.
+    val side = explode(array(
+      when(col("rnk") + col("half") <= col("n_source"),
+        struct(col("rnk").as("k"), lit("c").as("role"), col("doc_id"),
+          col("quality_score"), col("n_chars"))),
+      when(col("rnk") > col("half"),
+        struct((col("rnk") - col("half")).as("k"), lit("r").as("role"),
+          col("doc_id"), col("quality_score"), col("n_chars")))))
+    ranked.select(col("source"), side.as("s"))
+      .filter(col("s").isNotNull)
+      .groupBy(col("source"), col("s.k"))
+      .agg(
+        max(when(col("s.role") === "c", col("s.doc_id"))).as("chosen_id"),
+        max(when(col("s.role") === "c", col("s.quality_score"))).as("chosen_q"),
+        max(when(col("s.role") === "c", col("s.n_chars"))).as("chosen_chars"),
+        max(when(col("s.role") === "r", col("s.doc_id"))).as("rejected_id"),
+        max(when(col("s.role") === "r", col("s.quality_score"))).as("rejected_q"),
+        max(when(col("s.role") === "r", col("s.n_chars"))).as("rejected_chars"))
+      .withColumn("margin", round(col("chosen_q") - col("rejected_q"), 8))
+      .withColumn("accepted", col("margin") >= PrefMinMargin)
+      .select("source", "chosen_id", "rejected_id", "chosen_q", "rejected_q",
+        "margin", "chosen_chars", "rejected_chars", "accepted")
+      .orderBy("source", "chosen_id")
+  }
+
+  /** The pair SELECT without its driver-determinism ORDER BY —
+    * shared by [[prefPairsSql]] and [[prefStatsSql]]'s CTE so the
+    * duals cannot drift.
+    */
+  private val prefPairsSelect: String =
+    s"""WITH qs AS (
+       |${TextOps.qualityScoreSelect}
+       |), r AS (
+       |  SELECT qs.doc_id, d.source, d.n_chars, qs.quality_score,
+       |    count(*) OVER (PARTITION BY d.source) AS n_source,
+       |    row_number() OVER (PARTITION BY d.source
+       |      ORDER BY qs.quality_score DESC, qs.doc_id) AS rnk
+       |  FROM qs JOIN documents d ON d.doc_id = qs.doc_id
+       |)
+       |SELECT c.source, c.doc_id AS chosen_id, j.doc_id AS rejected_id,
+       |  c.quality_score AS chosen_q, j.quality_score AS rejected_q,
+       |  round(c.quality_score - j.quality_score, 8) AS margin,
+       |  c.n_chars AS chosen_chars, j.n_chars AS rejected_chars,
+       |  (round(c.quality_score - j.quality_score, 8) >= $PrefMinMargin)
+       |    AS accepted
+       |FROM r c JOIN r j
+       |  ON c.source = j.source AND j.rnk = c.rnk + c.n_source // 2
+       |WHERE c.n_source >= 2""".stripMargin
+
+  // chosen_id is unique across the pair set (each doc is chosen at
+  // most once), and a bare `source` in the outer ORDER BY binds
+  // ambiguously in DuckDB with both join sides in scope
+  def prefPairsSql: String =
+    prefPairsSelect + "\nORDER BY chosen_id"
+
+  /** PREFERENCE-SET AUDIT: per-source pair count, mean accepted
+    * margin, and the LENGTH-BIAS rate — the fraction of accepted
+    * pairs whose chosen side is simply the longer document. Length
+    * bias is the canonical preference-data pathology (a model trained
+    * on length-confounded pairs learns verbosity, not quality —
+    * Singhal et al. 2023); a rate near 1.0 tells the pipeline owner
+    * the margin is acting as a length proxy and the scorer needs a
+    * length-normalized term. Margins sum as DECIMAL(28,14) (the
+    * order-independent exact-addition discipline) and every ratio is
+    * integer-count arithmetic, so the audit is cross-engine exact.
+    * Scale: pairs-sized input (already O(corpus)), one hash agg on
+    * the sources-sized key.
+    */
+  def prefStats(spark: SparkSession, dir: String): DataFrame =
+    prefStatsPairs(prefPairs(spark, dir))
+
+  private[graft] def prefStatsPairs(pairs: DataFrame): DataFrame =
+    pairs.filter(col("accepted"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(col("margin").cast("decimal(28,14)")).cast("double")
+          / count(lit(1)), 8).as("mean_margin"),
+        round(sum(when(col("chosen_chars") > col("rejected_chars"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)), 8)
+          .as("len_bias_rate"),
+        round(sum(col("chosen_chars")).cast("double") / count(lit(1)), 8)
+          .as("mean_chosen_chars"),
+        round(sum(col("rejected_chars")).cast("double") / count(lit(1)), 8)
+          .as("mean_rejected_chars"))
+      .orderBy("source")
+
+  def prefStatsSql: String =
+    s"""WITH p AS (
+       |$prefPairsSelect
+       |)
+       |SELECT source, count(*)::BIGINT AS n_pairs,
+       |  round((sum(margin::DECIMAL(28,14)))::DOUBLE / count(*), 8)
+       |    AS mean_margin,
+       |  round(sum(CASE WHEN chosen_chars > rejected_chars THEN 1
+       |    ELSE 0 END)::DOUBLE / count(*), 8) AS len_bias_rate,
+       |  round(sum(chosen_chars)::DOUBLE / count(*), 8)
+       |    AS mean_chosen_chars,
+       |  round(sum(rejected_chars)::DOUBLE / count(*), 8)
+       |    AS mean_rejected_chars
+       |FROM p WHERE accepted GROUP BY source ORDER BY source""".stripMargin
+}

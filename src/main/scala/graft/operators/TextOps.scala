@@ -181,23 +181,47 @@ object TextOps {
   /** Quality scoring: length, punctuation ratio, stopword ratio,
     * mean word length → bounded [0,1] composite score.
     */
-  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityScoreDocs(Tables.documents(spark, dir))
+
+  /** The round-8 composite quality score as ONE column expression
+    * over (text, n_chars) — the single-scan composition surface:
+    * [[Preference.prefPairsDocs]] computes it inline next to the
+    * pairing columns (a join back to the scored frame would either
+    * broadcast a corpus-sized table or re-scan), and
+    * [[qualityScoreDocs]] builds its report from the same definition
+    * so the two can never drift.
+    */
+  private[operators] def qualityScoreCol(text: Column, nChars: Column): Column = {
+    val ws = words(text)
+    val nWords = size(ws).cast("double")
+    val punctChars = length(regexp_replace(text, "[a-z0-9 \\t\\n]", "")).cast("double")
+    val stopRatio = stopHits(ws, stopEn).cast("double") / nWords
+    val punctRatio = punctChars / nChars.cast("double")
+    val lengthScore = least(nWords / 100.0, lit(1.0))
+    round(lit(0.4) * lengthScore + lit(0.3) * least(stopRatio * 5.0, lit(1.0))
+      + lit(0.3) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0))), 8)
+  }
+
+  /** [[qualityScore]] over an explicit `documents`-shaped frame —
+    * the composition surface the specs score arbitrary corpora
+    * through.
+    */
+  private[graft] def qualityScoreDocs(docs: DataFrame): DataFrame = {
     val ws = words(col("text"))
     val nWords = size(ws).cast("double")
     val alphaChars = length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
     val punctChars = length(regexp_replace(col("text"), "[a-z0-9 \\t\\n]", "")).cast("double")
     val stopRatio = stopHits(ws, stopEn).cast("double") / nWords
     val punctRatio = punctChars / col("n_chars").cast("double")
-    val lengthScore = least(nWords / 100.0, lit(1.0))
-    Tables.documents(spark, dir)
+    docs
       .select(
         col("doc_id"),
         size(ws).as("n_words"),
         round(alphaChars / nWords, 8).as("mean_word_len"),
         round(stopRatio, 8).as("stopword_ratio"),
         round(punctRatio, 8).as("punct_ratio"),
-        round(lit(0.4) * lengthScore + lit(0.3) * least(stopRatio * 5.0, lit(1.0))
-          + lit(0.3) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0))), 8).as("quality_score"))
+        qualityScoreCol(col("text"), col("n_chars")).as("quality_score"))
       .orderBy("doc_id")
   }
 
