@@ -190,6 +190,80 @@ object Dedup {
       |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
       |ORDER BY doc_a""".stripMargin
 
+  /** Blocking-key parameters for [[editDedup]]: candidates share
+    * their first [[EditBlockPrefix]] characters (the record-linkage
+    * blocking key); blocks larger than [[EditBlockCap]] members are
+    * dropped — a shared prefix that common is boilerplate, not a
+    * duplication signal (the df-cap idiom from [[containmentDocs]]'s
+    * rare-gram index), and the cap is what bounds per-block pair
+    * fanout at corpus scale. [[EditMax]] bounds the reported
+    * distance; Spark's banded threshold algorithm makes the compare
+    * O(EditMax·len) instead of O(len²).
+    */
+  private[graft] val EditBlockPrefix = 32
+  private[graft] val EditBlockCap = 64
+  private[graft] val EditMax = 32
+
+  /** BOUNDED EDIT-DISTANCE near-dup detection — the record-linkage
+    * tier (Fellegi-Sunter blocking + exact Levenshtein refine): the
+    * deterministic complement of the probabilistic MinHash/SimHash
+    * families for the "same doc, a few character edits" regime
+    * (version bumps, typo fixes, template fills) where an exact,
+    * explainable distance matters more than an estimate. Pairs
+    * sharing a [[EditBlockPrefix]]-char prefix block (size-capped)
+    * score levenshtein ≤ [[EditMax]]; head-of-document edits fall
+    * outside the block by construction — the standard blocking
+    * recall tradeoff, covered by the MinHash tier whose shingles
+    * have no positional anchor.
+    *
+    * Scale shape: one corpus scan, one shuffle on the block key; the
+    * block groups to a size-capped array (≤ [[EditBlockCap]] docs),
+    * pairs explode from an id-sorted HOF (i < j — each unordered
+    * pair once, doc_a < doc_b deterministic), so there is NO
+    * self-join and never an all-pairs compare. Distance is integer —
+    * cross-engine exact by construction.
+    */
+  def editDedup(spark: SparkSession, dir: String): DataFrame =
+    editDedupDocs(Tables.documents(spark, dir))
+
+  private[graft] def editDedupDocs(docs: DataFrame): DataFrame = {
+    val blocked = docs.select(
+      substring(col("text"), 1, EditBlockPrefix).as("blk"),
+      struct(col("doc_id"), col("text"), col("n_chars")).as("s"))
+      .groupBy("blk")
+      .agg(array_sort(collect_list(col("s"))).as("xs"))
+      .filter(size(col("xs")).between(2, EditBlockCap))
+    val pairs = blocked.select(explode(expr(
+      """flatten(transform(xs, (x, i) ->
+        |  transform(slice(xs, i + 2, size(xs)), y -> struct(x, y))))"""
+        .stripMargin)).as("p"))
+    pairs.select(
+        col("p.x.doc_id").as("doc_a"), col("p.y.doc_id").as("doc_b"),
+        levenshtein(col("p.x.text"), col("p.y.text"), EditMax)
+          .cast("long").as("edit_dist"),
+        col("p.x.n_chars").as("len_a"), col("p.y.n_chars").as("len_b"))
+      .filter(col("edit_dist") >= 0)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def editDedupSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, text, n_chars,
+       |    substr(text, 1, $EditBlockPrefix) AS blk
+       |  FROM documents
+       |), g AS (
+       |  SELECT blk FROM b GROUP BY blk
+       |  HAVING count(*) BETWEEN 2 AND $EditBlockCap
+       |)
+       |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |  levenshtein(a.text, c.text)::BIGINT AS edit_dist,
+       |  a.n_chars AS len_a, c.n_chars AS len_b
+       |FROM b a
+       |JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+       |JOIN g ON g.blk = a.blk
+       |WHERE levenshtein(a.text, c.text) <= $EditMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** ASYMMETRIC CONTAINMENT — the subset-duplication detector
     * symmetric Jaccard misses (a short doc quoted verbatim inside a
     * long one scores low Jaccard but containment ≈ 1 on the short

@@ -133,9 +133,11 @@ object Preference {
     * on length-confounded pairs learns verbosity, not quality —
     * Singhal et al. 2023); a rate near 1.0 tells the pipeline owner
     * the margin is acting as a length proxy and the scorer needs a
-    * length-normalized term. Margins sum as DECIMAL(28,14) (the
-    * order-independent exact-addition discipline) and every ratio is
-    * integer-count arithmetic, so the audit is cross-engine exact.
+    * length-normalized term. The mean margin runs in scaled-integer
+    * arithmetic (Σ round(margin·10⁸) with an explicit HALF_UP
+    * integer division — see [[bestOfNDocs]] for the round-tie
+    * rationale) and every ratio is integer-count arithmetic, so the
+    * audit is cross-engine exact.
     * Scale: pairs-sized input (already O(corpus)), one hash agg on
     * the sources-sized key.
     */
@@ -143,12 +145,16 @@ object Preference {
     prefStatsPairs(prefPairs(spark, dir))
 
   private[graft] def prefStatsPairs(pairs: DataFrame): DataFrame =
+    // mean_margin takes the scaled-integer HALF_UP division (see
+    // bestOfNDocs: 8-dp sums over small counts terminate at the 9th
+    // decimal often enough to hit the engines' round-tie divergence);
+    // the char means divide integer sums by counts — quotients
+    // terminate at ≤ log₂(n) decimals, outside the tie zone
     pairs.filter(col("accepted"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_pairs"),
-        round(sum(col("margin").cast("decimal(28,14)")).cast("double")
-          / count(lit(1)), 8).as("mean_margin"),
+        sum(round(col("margin") * 1e8, 0).cast("long")).as("m8"),
         round(sum(when(col("chosen_chars") > col("rejected_chars"), 1L)
           .otherwise(0L)).cast("double") / count(lit(1)), 8)
           .as("len_bias_rate"),
@@ -156,6 +162,10 @@ object Preference {
           .as("mean_chosen_chars"),
         round(sum(col("rejected_chars")).cast("double") / count(lit(1)), 8)
           .as("mean_rejected_chars"))
+      .withColumn("mean_margin",
+        expr("(2 * m8 + n_pairs) DIV (2 * n_pairs)").cast("double") / 1e8)
+      .select("source", "n_pairs", "mean_margin", "len_bias_rate",
+        "mean_chosen_chars", "mean_rejected_chars")
       .orderBy("source")
 
   def prefStatsSql: String =
@@ -163,8 +173,8 @@ object Preference {
        |$prefPairsSelect
        |)
        |SELECT source, count(*)::BIGINT AS n_pairs,
-       |  round((sum(margin::DECIMAL(28,14)))::DOUBLE / count(*), 8)
-       |    AS mean_margin,
+       |  ((2 * sum(round(margin * 1e8)::BIGINT) + count(*))
+       |    // (2 * count(*)))::DOUBLE / 1e8 AS mean_margin,
        |  round(sum(CASE WHEN chosen_chars > rejected_chars THEN 1
        |    ELSE 0 END)::DOUBLE / count(*), 8) AS len_bias_rate,
        |  round(sum(chosen_chars)::DOUBLE / count(*), 8)
@@ -172,4 +182,78 @@ object Preference {
        |  round(sum(rejected_chars)::DOUBLE / count(*), 8)
        |    AS mean_rejected_chars
        |FROM p WHERE accepted GROUP BY source ORDER BY source""".stripMargin
+
+  /** Candidates per synthetic prompt group — production keys on the
+    * real prompt id; 4 is the common best-of-n sampling budget.
+    */
+  private[graft] val BestOfNGroup = 4L
+
+  /** BEST-OF-N SELECTION (rejection sampling) — the RFT-style sibling
+    * of [[prefPairs]]: instead of pairing, each prompt group keeps its
+    * single best candidate (quality desc, doc_id tiebreak) and reports
+    * the SELECTION MARGIN over the runner-up — a near-zero margin
+    * flags groups where the "best" is a coin flip and the kept sample
+    * is as noisy as a rejected one (the filtering signal an RFT
+    * pipeline thresholds on). Groups are doc_id DIV 4 here (production
+    * swaps in the prompt id; the score column swaps for a reward
+    * model / verifier pass rate).
+    *
+    * Scale: one corpus scan, one shuffle on the group key — millions
+    * of tiny groups, the benign window regime (contrast the few-fat
+    * [[prefPairs]] source windows); the rank + conditional-agg pair
+    * collapses to a single exchange since the agg reuses the window's
+    * clustering. All selection logic is integer/rounded-double
+    * arithmetic — cross-engine exact.
+    */
+  def bestOfN(spark: SparkSession, dir: String): DataFrame =
+    bestOfNDocs(Tables.documents(spark, dir))
+
+  private[graft] def bestOfNDocs(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"),
+      floor(col("doc_id") / lit(BestOfNGroup)).as("group_id"),
+      TextOps.qualityScoreCol(col("text"), col("n_chars")).as("q"))
+    val wr = Window.partitionBy("group_id")
+      .orderBy(col("q").desc, col("doc_id"))
+    // the mean divides an 8-dp sum by a small group count — a shape
+    // that TERMINATES at the 9th decimal often enough to hit the
+    // engines' round-tie divergence (Spark HALF_UP on the shortest
+    // repr vs DuckDB on the binary value), so the mean runs in
+    // scaled-INTEGER arithmetic end to end: S = Σ round(q·10⁸),
+    // HALF_UP(S/n) = (2S + n) DIV (2n), back to an 8-dp double
+    scored.withColumn("rn", row_number().over(wr))
+      .groupBy("group_id")
+      .agg(
+        count(lit(1)).as("n_cands"),
+        max(when(col("rn") === 1, col("doc_id"))).as("best_id"),
+        max(when(col("rn") === 1, col("q"))).as("best_q"),
+        max(when(col("rn") === 2, col("q"))).as("second_q"),
+        sum(round(col("q") * 1e8, 0).cast("long")).as("s8"))
+      .withColumn("mean_q",
+        expr("(2 * s8 + n_cands) DIV (2 * n_cands)").cast("double") / 1e8)
+      .withColumn("sel_margin",
+        when(col("second_q").isNotNull,
+          round(col("best_q") - col("second_q"), 8)))
+      .select("group_id", "n_cands", "best_id", "best_q", "second_q",
+        "sel_margin", "mean_q")
+      .orderBy("group_id")
+  }
+
+  def bestOfNSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, doc_id // $BestOfNGroup AS group_id, quality_score AS q
+       |  FROM (${TextOps.qualityScoreSelect.replace("\n", "\n  ")})
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY group_id
+       |    ORDER BY q DESC, doc_id) AS rn
+       |  FROM s
+       |)
+       |SELECT group_id, count(*)::BIGINT AS n_cands,
+       |  max(CASE WHEN rn = 1 THEN doc_id END) AS best_id,
+       |  max(CASE WHEN rn = 1 THEN q END) AS best_q,
+       |  max(CASE WHEN rn = 2 THEN q END) AS second_q,
+       |  round(max(CASE WHEN rn = 1 THEN q END)
+       |    - max(CASE WHEN rn = 2 THEN q END), 8) AS sel_margin,
+       |  ((2 * sum(round(q * 1e8)::BIGINT) + count(*))
+       |    // (2 * count(*)))::DOUBLE / 1e8 AS mean_q
+       |FROM r GROUP BY group_id ORDER BY group_id""".stripMargin
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Edit-distance dedup (q_dedup_edit): blocking behavior, exact
+  * distances, the block-size cap, and the distance bound, on planted
+  * corpora.
+  */
+class EditDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val prefix = "shared thirty-two char prefix!!!" // exactly 32
+  assert(prefix.length == 32)
+
+  private def frame(rows: (Long, String)*) =
+    rows.map { case (id, t) => (id, t, "en", "src", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("pairs within a block carry the exact Levenshtein distance") {
+    val docs = frame(
+      (1, prefix + " the quick brown fox jumps over"),
+      (2, prefix + " the quick brown fax jumps over"), // 1 substitution
+      (3, prefix + " the quick brown fox jumps ove")) // 1 deletion vs 1
+    val got = Dedup.editDedupDocs(docs)
+      .select("doc_a", "doc_b", "edit_dist").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L)))
+  }
+
+  test("a head-of-document edit falls outside the block (documented miss)") {
+    val docs = frame(
+      (1, prefix + " same tail"),
+      (2, "X" + prefix.drop(1) + " same tail")) // first char differs
+    assert(Dedup.editDedupDocs(docs).count() == 0)
+  }
+
+  test("blocks over the cap are dropped as boilerplate") {
+    val big = (1L to (Dedup.EditBlockCap + 1L))
+      .map(i => (i, prefix + s" body $i"))
+    assert(Dedup.editDedupDocs(frame(big: _*)).count() == 0)
+    val atCap = big.take(Dedup.EditBlockCap)
+    val n = Dedup.EditBlockCap.toLong
+    assert(Dedup.editDedupDocs(frame(atCap: _*)).count() == n * (n - 1) / 2)
+  }
+
+  test("pairs beyond EditMax are excluded; doc_a < doc_b everywhere") {
+    val far = Seq.fill(40)("zzzz").mkString(" ") // distance >> 32
+    val docs = frame(
+      (7, prefix + " alpha beta gamma"),
+      (3, prefix + " alpha beta gamm"), // close pair, ids out of order
+      (5, prefix + " " + far))
+    val got = Dedup.editDedupDocs(docs)
+      .select("doc_a", "doc_b", "edit_dist").as[(Long, Long, Long)]
+      .collect()
+    assert(got.toSet == Set((3L, 7L, 1L)))
+    got.foreach { case (a, b, _) => assert(a < b) }
+  }
+}

@@ -81,16 +81,52 @@ class PreferenceSpec extends SparkSuite {
       .select("margin", "chosen_chars", "rejected_chars")
       .as[(Double, Long, Long)].collect()
     assert(row.getAs[Long]("n_pairs") == accA.length)
-    // replicate the impl's exact-addition path: margins cast to
-    // DECIMAL(28,14), summed, back to double, divided, rounded to 8
-    val sumDec = accA.map(t => BigDecimal(t._1)
-      .setScale(14, BigDecimal.RoundingMode.HALF_UP)).sum
-    val meanM = BigDecimal.valueOf(sumDec.toDouble / accA.length)
-      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(math.abs(row.getAs[Double]("mean_margin") - meanM) < 1e-9)
+    // replicate the impl's scaled-integer path: S = Σ round(m·10⁸),
+    // HALF_UP(S/n) = (2S + n) / (2n) in integers, back to 8-dp double
+    val s8 = accA.map(t => math.round(t._1 * 1e8)).sum
+    val n = accA.length.toLong
+    val meanM = ((2 * s8 + n) / (2 * n)).toDouble / 1e8
+    assert(row.getAs[Double]("mean_margin") == meanM)
     // clean docs are longer than junk here — the audit must read 1.0
     assert(row.getAs[Double]("len_bias_rate") == 1.0)
     // a source with zero accepted pairs contributes no stats row
     assert(stats.filter($"source" === "c").count() == 0)
   }
+
+  test("best-of-n: argmax per group, id tiebreak, null margin on singletons") {
+    // doc_ids 0-3 → group 0; 4-7 → group 1; 8 → singleton group 2
+    val bo = Preference.bestOfNDocs(frame(
+      (0, 40, false), (1, 40, false), // exact tie: id 0 must win
+      (2, 8, false), (3, 2, true),
+      (4, 6, true), (5, 30, false), (6, 2, true), (7, 9, false),
+      (8, 10, false))).cache()
+    val g0 = bo.filter($"group_id" === 0).collect().head
+    assert(g0.getAs[Long]("best_id") == 0L) // tie → lowest doc_id
+    assert(g0.getAs[Double]("sel_margin") == 0.0)
+    assert(g0.getAs[Long]("n_cands") == 4L)
+    val g1 = bo.filter($"group_id" === 1).collect().head
+    assert(g1.getAs[Long]("best_id") == 5L)
+    assert(g1.getAs[Double]("sel_margin") > 0.0)
+    val g2 = bo.filter($"group_id" === 2).collect().head
+    assert(g2.getAs[Long]("n_cands") == 1L)
+    assert(g2.isNullAt(g2.fieldIndex("second_q")))
+    assert(g2.isNullAt(g2.fieldIndex("sel_margin")))
+  }
+
+  test("best-of-n mean is the scaled-integer HALF_UP mean") {
+    val docs = frame((0, 40, false), (1, 20, false), (2, 8, false),
+      (3, 2, true))
+    val qs = operators.TextOps.qualityScoreDocs(docs)
+      .select("quality_score").as[Double].collect()
+    val s8 = qs.map(q => math.round(q * 1e8)).sum
+    val n = qs.length.toLong
+    val expected = ((2 * s8 + n) / (2 * n)).toDouble / 1e8
+    val row = Preference.bestOfNDocs(docs).collect().head
+    assert(row.getAs[Double]("mean_q") == expected)
+  }
+
+  private def frame(rows: (Long, Int, Boolean)*) =
+    rows.map { case (id, words, junk) =>
+      val d = doc(id, "g", words, junk); (d._1, d._2, d._3, d._4, d._5)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
 }
