@@ -22,7 +22,10 @@ object Dedup {
     * doc_id as survivor. One shuffle on the text hash.
     */
   def exact(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    exactDocs(Tables.documents(spark, dir))
+
+  private[graft] def exactDocs(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy("keep_id")
@@ -263,6 +266,134 @@ object Dedup {
        |JOIN g ON g.blk = a.blk
        |WHERE levenshtein(a.text, c.text) <= $EditMax
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** DEDUP SCORECARD — the dedup tier's capstone, the duplication
+    * sibling of [[graft.operators.TextOps]]'s quality-confluence: per
+    * source, how much of its mass each SQL-expressible dedup family
+    * flags — exact copies (text-hash group, non-minimum ids), edit
+    * near-dups ([[editDedupDocs]]'s doc_b side — the later doc of
+    * each bounded-Levenshtein pair), subset duplication (the
+    * CONTAINED side of [[containmentDocs]] pairs at ≥ 0.8), and
+    * line-level boilerplate heaviness (≥ half the doc's lines were
+    * already seen in the corpus, from
+    * [[graft.operators.Curation.lineDedupDocs]]) — plus the union
+    * mass and its ppm rate. This is the per-source duplication card
+    * a pipeline owner reads next to q_dataset_card to decide which
+    * dedup pass to budget first.
+    *
+    * Each flag CONSUMES its standalone family's frame verbatim (one
+    * definition per family — the q_quality_confluence discipline;
+    * the probabilistic MinHash/SimHash families stay out because
+    * their signatures aren't SQL-expressible, so this card stays
+    * fully hash-graded). Scale: every constituent is bounded
+    * (hash agg / prefix blocks / df-capped grams / line windows);
+    * the composition is doc-keyed left equi-joins, AQE-coalesced,
+    * then one hash agg on the sources-sized key. The ppm rate runs
+    * in scaled-integer HALF_UP arithmetic (the
+    * [[Preference.bestOfNDocs]] round-tie discipline).
+    */
+  def dedupScorecard(spark: SparkSession, dir: String): DataFrame =
+    dedupScorecardDocs(Tables.documents(spark, dir))
+
+  private[graft] def dedupScorecardDocs(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+      md5(col("text").cast("binary")).as("text_hash"))
+    val exFlag = base
+      .join(exactDocs(docs).select("text_hash", "keep_id"), "text_hash")
+      .select(col("doc_id"), col("source"),
+        (col("doc_id") =!= col("keep_id")).as("exact_dup"))
+    val edFlag = editDedupDocs(docs)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("edit_dup", lit(true))
+    val ct = containmentDocs(docs)
+    val ctFlag = ct.filter(col("cont_a") >= 0.8)
+      .select(col("doc_a").as("doc_id"))
+      .union(ct.filter(col("cont_b") >= 0.8).select(col("doc_b")))
+      .distinct()
+      .withColumn("subset_dup", lit(true))
+    val ldFlag = Curation.lineDedupDocs(docs)
+      .select(col("doc_id"),
+        (col("n_lines") > 0 && col("n_kept") * 2 <= col("n_lines"))
+          .as("line_heavy"))
+    exFlag
+      .join(edFlag, Seq("doc_id"), "left")
+      .join(ctFlag, Seq("doc_id"), "left")
+      .join(ldFlag, Seq("doc_id"), "left")
+      .select(col("source"), col("exact_dup"),
+        coalesce(col("edit_dup"), lit(false)).as("edit_dup"),
+        coalesce(col("subset_dup"), lit(false)).as("subset_dup"),
+        coalesce(col("line_heavy"), lit(false)).as("line_heavy"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("exact_dup"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("edit_dup"), 1L).otherwise(0L)).as("n_edit"),
+        sum(when(col("subset_dup"), 1L).otherwise(0L)).as("n_subset"),
+        sum(when(col("line_heavy"), 1L).otherwise(0L)).as("n_line_heavy"),
+        sum(when(col("exact_dup") || col("edit_dup") || col("subset_dup"),
+          1L).otherwise(0L)).as("n_any"))
+      .withColumn("dup_ppm",
+        expr("(2 * 1000000 * n_any + n_docs) DIV (2 * n_docs)"))
+      .select("source", "n_docs", "n_exact", "n_edit", "n_subset",
+        "n_line_heavy", "n_any", "dup_ppm")
+      .orderBy("source")
+  }
+
+  // the constituent SQL embeds via POST-stripMargin substitution: a
+  // direct interpolation would let this template's stripMargin eat
+  // the leading pipe of any `||` concat that starts a line inside the
+  // embedded oracle (containmentSql has several)
+  def dedupScorecardSql: String =
+    s"""WITH exg AS (
+       |@EX@
+       |), base AS (
+       |  SELECT doc_id, source, md5(text) AS text_hash FROM documents
+       |), exf AS (
+       |  SELECT base.doc_id, base.source,
+       |    base.doc_id <> exg.keep_id AS exact_dup
+       |  FROM base JOIN exg USING (text_hash)
+       |), edp AS (
+       |@ED@
+       |), edf AS (SELECT DISTINCT doc_b AS doc_id FROM edp),
+       |ctp AS (
+       |@CT@
+       |), ctf AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_a AS doc_id FROM ctp WHERE cont_a >= 0.8
+       |    UNION ALL
+       |    SELECT doc_b AS doc_id FROM ctp WHERE cont_b >= 0.8)
+       |), ldp AS (
+       |@LD@
+       |), ldf AS (
+       |  SELECT doc_id, (n_lines > 0 AND n_kept * 2 <= n_lines)
+       |    AS line_heavy
+       |  FROM ldp
+       |), f AS (
+       |  SELECT exf.source, exf.exact_dup,
+       |    edf.doc_id IS NOT NULL AS edit_dup,
+       |    ctf.doc_id IS NOT NULL AS subset_dup,
+       |    coalesce(ldf.line_heavy, false) AS line_heavy
+       |  FROM exf
+       |  LEFT JOIN edf USING (doc_id)
+       |  LEFT JOIN ctf USING (doc_id)
+       |  LEFT JOIN ldf USING (doc_id)
+       |)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  sum(CASE WHEN exact_dup THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+       |  sum(CASE WHEN edit_dup THEN 1 ELSE 0 END)::BIGINT AS n_edit,
+       |  sum(CASE WHEN subset_dup THEN 1 ELSE 0 END)::BIGINT AS n_subset,
+       |  sum(CASE WHEN line_heavy THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_line_heavy,
+       |  sum(CASE WHEN exact_dup OR edit_dup OR subset_dup THEN 1 ELSE 0
+       |    END)::BIGINT AS n_any,
+       |  ((2 * 1000000 * sum(CASE WHEN exact_dup OR edit_dup OR subset_dup
+       |      THEN 1 ELSE 0 END) + count(*))
+       |    // (2 * count(*)))::BIGINT AS dup_ppm
+       |FROM f GROUP BY source ORDER BY source""".stripMargin
+      .replace("@EX@", exactSql.replace("\n", "\n  "))
+      .replace("@ED@", editDedupSql.replace("\n", "\n  "))
+      .replace("@CT@", containmentSql.replace("\n", "\n  "))
+      .replace("@LD@", Curation.lineDedupSql.replace("\n", "\n  "))
 
   /** ASYMMETRIC CONTAINMENT — the subset-duplication detector
     * symmetric Jaccard misses (a short doc quoted verbatim inside a

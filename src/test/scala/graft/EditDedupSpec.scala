@@ -44,6 +44,47 @@ class EditDedupSpec extends SparkSuite {
     assert(Dedup.editDedupDocs(frame(atCap: _*)).count() == n * (n - 1) / 2)
   }
 
+  test("scorecard masses equal the standalone families' flag sets") {
+    // a corpus that lights up every channel: d2 = exact copy of d1,
+    // d3 = one tail edit, d4 = a line-subset of d1
+    val base = prefix + " one two three four five six seven eight nine" +
+      "\nline two of the doc\nline three of the doc\nline four tail"
+    val docs = frame(
+      (1, base),
+      (2, base), // exact dup
+      (3, base.replace("nine", "wine")), // tail edit, same 32-prefix
+      (4, "line two of the doc\nline three of the doc")) // line subset
+    val card = Dedup.dedupScorecardDocs(docs).collect()
+    assert(card.length == 1)
+    val row = card.head
+
+    val exactIds = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().groupBy(_._2).values
+      .flatMap(g => g.map(_._1).sorted.drop(1)).toSet
+    val editIds = Dedup.editDedupDocs(docs)
+      .select("doc_b").as[Long].collect().toSet
+    val ct = Dedup.containmentDocs(docs).cache()
+    val subsetIds =
+      ct.filter($"cont_a" >= 0.8).select("doc_a").as[Long].collect().toSet ++
+      ct.filter($"cont_b" >= 0.8).select("doc_b").as[Long].collect().toSet
+    val lineIds = graft.operators.Curation.lineDedupDocs(docs)
+      .filter($"n_lines" > 0 && $"n_kept" * 2 <= $"n_lines")
+      .select("doc_id").as[Long].collect().toSet
+
+    assert(exactIds == Set(2L)) // the copy, never the original
+    assert(row.getAs[Long]("n_docs") == 4L)
+    assert(row.getAs[Long]("n_exact") == exactIds.size)
+    assert(row.getAs[Long]("n_edit") == editIds.size)
+    assert(row.getAs[Long]("n_subset") == subsetIds.size)
+    assert(row.getAs[Long]("n_line_heavy") == lineIds.size)
+    val anyIds = exactIds ++ editIds ++ subsetIds
+    assert(row.getAs[Long]("n_any") == anyIds.size)
+    val (s, n) = (anyIds.size.toLong, 4L)
+    assert(row.getAs[Long]("dup_ppm") == (2 * 1000000 * s + n) / (2 * n))
+    // the channels are genuinely distinct on this corpus
+    assert(editIds.nonEmpty && subsetIds.nonEmpty && lineIds.nonEmpty)
+  }
+
   test("pairs beyond EditMax are excluded; doc_a < doc_b everywhere") {
     val far = Seq.fill(40)("zzzz").mkString(" ") // distance >> 32
     val docs = frame(
