@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * clock across replicas is the evidence that per-key state stays
   * O(window) and no stage is quadratic.
   *
-  * Usage: sbt "runMain graft.ScaleProbe [replicas]"
+  * Usage: sbt "runMain graft.ScaleProbe [replicas] [only:a,b,...]"
+  * — the optional `only:` arg restricts the run to the named probes
+  * (new-operator rounds probe their additions at 5×/20×/50× without
+  * paying the whole battery three times).
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(20)
+    val only: Set[String] = args.find(_.startsWith("only:"))
+      .map(_.stripPrefix("only:").split(",").toSet).getOrElse(Set.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -33,6 +38,7 @@ object ScaleProbe {
     big.write.mode("overwrite").format("noop").save() // warm cache/JIT
 
     def time(name: String)(df: => DataFrame): Unit = {
+      if (only.nonEmpty && !only(name)) return
       val t0 = System.nanoTime()
       df.write.mode("overwrite").format("noop").save()
       println(f"[scale] $name%-16s ${(System.nanoTime() - t0) / 1e9}%8.2f s " +
@@ -199,6 +205,21 @@ object ScaleProbe {
     // replica repeats the text under the same source labels), so the
     // line prices the exchange, not the verdicts
     time("syndication")(operators.Curation.syndicationDocs(bigDocs))
+    // round-12 preference tier: pref_pairs = score scan + few-fat
+    // source windows + the role-explode pair agg (must track the
+    // quality_prune window line); best_of_n = millions of tiny group
+    // windows (the benign regime — must track the narrow-scan floor)
+    time("pref_pairs")(operators.Preference.prefPairsDocs(bigDocs))
+    time("best_of_n")(operators.Preference.bestOfNDocs(bigDocs))
+    // edit dedup on the replicated corpus is its own stress case:
+    // every replica repeats the text, so each prefix block holds all
+    // R copies (≤ the 64 cap) and pairs/block grow as R² of
+    // IDENTICAL texts — the line prices the banded Levenshtein
+    // kernel at maximal block occupancy, far past any real corpus
+    time("dedup_edit")(operators.Dedup.editDedupDocs(bigDocs))
+    // the scorecard composes four bounded constituents — must price
+    // as their sum plus doc-keyed joins, never multiply them
+    time("dedup_scorecard")(operators.Dedup.dedupScorecardDocs(bigDocs))
 
     // ANN index families over a replicated embedding corpus (distinct
     // vec_ids per replica; probes stay the fixed vec_id < 5 set).

