@@ -223,8 +223,12 @@ object Bench {
     // the run before the metrics line prints.
     val streamParts = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
       .flatMap(_.toIntOption).getOrElse(8).max(1)
+    // 3 matches the batch tier's min-of-3 discipline: with 2, one
+    // ambient-contended run plus the JIT-cold first run still prints
+    // an inflated-looking number (r12 local: best-of-2 read 20.8k on
+    // a leg whose quiet-window steady state is 25-27k)
     val streamRuns = sys.env.get("SPARK_GRAFT_STREAM_RUNS")
-      .flatMap(_.toIntOption).getOrElse(2).max(1)
+      .flatMap(_.toIntOption).getOrElse(3).max(1)
     // per-run scratch (staged corpus copy + checkpoints), deleted in
     // a FINALLY — a crashed stage must not leave corpus copies
     // accumulating in /tmp across rounds
