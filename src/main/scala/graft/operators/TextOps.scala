@@ -192,7 +192,7 @@ object TextOps {
     * [[qualityScoreDocs]] builds its report from the same definition
     * so the two can never drift.
     */
-  private[operators] def qualityScoreCol(text: Column, nChars: Column): Column = {
+  private[graft] def qualityScoreCol(text: Column, nChars: Column): Column = {
     val ws = words(text)
     val nWords = size(ws).cast("double")
     val punctChars = length(regexp_replace(text, "[a-z0-9 \\t\\n]", "")).cast("double")

@@ -608,6 +608,72 @@ object TickStream extends Serializable {
   def mixtureDocsStream(docs: DataFrame, rates: Map[String, Long]): DataFrame =
     graft.operators.Curation.mixtureAcceptDocs(docs, rates)
 
+  case class BonCand(group_id: Long, doc_id: Long, q: Double)
+  case class BonState(n: Long, s8: Long, bestId: Long, bestQ: Double,
+      secondQ: Option[Double])
+  case class BonRow(group_id: Long, n_cands: Long, best_id: Long,
+      best_q: Double, second_q: Option[Double], sel_margin: Option[Double],
+      mean_q: Double)
+
+  /** Streaming BEST-OF-N selection — the live leg of
+    * [[graft.operators.Preference.bestOfN]]: candidates arrive as
+    * they are sampled and each prompt group's leaderboard updates in
+    * place (mapGroupsWithState keyed on the group), emitting the
+    * refreshed snapshot row per touched group per microbatch (Update
+    * mode) — the online view an RFT sampler reads to stop sampling a
+    * group once its selection margin clears the bar. Scoring is the
+    * SAME [[graft.operators.TextOps]] quality column (stateless
+    * projection, bit-identical to batch); top-2 maintenance under
+    * insert-only arrivals is exact (a new candidate displaces best →
+    * old best becomes runner-up; else it contends for runner-up
+    * directly), ties break (q desc, doc_id asc) exactly as the batch
+    * rank; the group mean carries (n, Σ round(q·10⁸)) and divides
+    * with the batch's scaled-integer HALF_UP formula; sel_margin
+    * takes the [[FastRound]] display round — so after a full replay
+    * the final snapshot per group is ROW-IDENTICAL to the batch
+    * surface (spec-asserted). State per group is five scalars —
+    * O(groups), not O(candidates).
+    */
+  def bestOfNDocsStream(spark: SparkSession, docs: DataFrame):
+      Dataset[BonRow] = {
+    import spark.implicits._
+    val g = graft.operators.Preference.BestOfNGroup
+    def better(q: Double, id: Long, bq: Double, bid: Long): Boolean =
+      q > bq || (q == bq && id < bid)
+    def update(group: Long, rows: Iterator[BonCand],
+        state: GroupState[BonState]): BonRow = {
+      // microbatch arrivals fold in (doc_id) order so same-batch ties
+      // resolve identically to a one-row-per-batch replay
+      val sorted = rows.toSeq.sortBy(_.doc_id)
+      var st = state.getOption.getOrElse(
+        BonState(0L, 0L, Long.MaxValue, Double.NegativeInfinity, None))
+      sorted.foreach { c =>
+        val s8 = st.s8 + math.round(c.q * 1e8)
+        st =
+          if (better(c.q, c.doc_id, st.bestQ, st.bestId))
+            BonState(st.n + 1, s8, c.doc_id, c.q,
+              if (st.n == 0) None else Some(st.bestQ))
+          else
+            // not displacing best → contend for runner-up by VALUE
+            // (equal-q ties change rank ids, never the second_q value)
+            BonState(st.n + 1, s8, st.bestId, st.bestQ,
+              Some(st.secondQ.fold(c.q)(math.max(_, c.q))))
+      }
+      state.update(st)
+      val mean = ((2 * st.s8 + st.n) / (2 * st.n)).toDouble / 1e8
+      BonRow(group, st.n, st.bestId, st.bestQ, st.secondQ,
+        st.secondQ.map(sq => FastRound.scale(st.bestQ - sq, 1e8, 8)), mean)
+    }
+    docs
+      .select(floor(col("doc_id") / lit(g)).as("group_id"),
+        col("doc_id"),
+        graft.operators.TextOps.qualityScoreCol(col("text"), col("n_chars"))
+          .as("q"))
+      .as[BonCand]
+      .groupByKey(_.group_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming ANN serve — train offline, serve online for vector
     * search: a FITTED PQ index (built/loaded once,
     * [[graft.operators.Similarity.PqIndex]]) answers a stream of

@@ -125,6 +125,47 @@ class PreferenceSpec extends SparkSuite {
     assert(row.getAs[Double]("mean_q") == expected)
   }
 
+  test("streaming best-of-n replay is row-identical to batch") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sfDir)
+    // two time-ordered files split by id parity: every group spans
+    // both microbatches, so the leaderboard state genuinely carries
+    val staged = java.nio.file.Files.createTempDirectory("bon").toString
+    docs.filter($"doc_id" % 2 === 0).coalesce(1)
+      .write.parquet(s"$staged/a.parquet")
+    docs.filter($"doc_id" % 2 === 1).coalesce(1)
+      .write.parquet(s"$staged/b.parquet")
+    val flat = java.nio.file.Files.createTempDirectory("bonflat")
+    new java.io.File(staged).listFiles().filter(_.isDirectory)
+      .sortBy(_.getName)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        val dst = flat.resolve(f"part$i%02d.parquet")
+        java.nio.file.Files.copy(f.toPath, dst)
+        require(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+      }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("bon_ckpt").toString
+    val q = graft.streaming.TickStream.bestOfNDocsStream(spark, stream)
+      .toDF().writeStream.outputMode("update")
+      .format("memory").queryName("bon_snap")
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    // final snapshot per group = the emission with the highest
+    // candidate count (n_cands is strictly monotone per group)
+    val w = Window.partitionBy("group_id").orderBy(col("n_cands").desc)
+    val last = spark.table("bon_snap")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    val cols = Seq("group_id", "n_cands", "best_id", "best_q",
+      "second_q", "sel_margin", "mean_q")
+    val streamed = last.select(cols.map(col): _*)
+      .collect().map(_.toSeq).toSet
+    val batch = Preference.bestOfN(spark, sfDir)
+      .select(cols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
+
   private def frame(rows: (Long, Int, Boolean)*) =
     rows.map { case (id, words, junk) =>
       val d = doc(id, "g", words, junk); (d._1, d._2, d._3, d._4, d._5)
