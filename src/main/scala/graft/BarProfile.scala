@@ -18,7 +18,7 @@ object BarProfile {
     // with changelog checkpointing)
     val parts = args.lift(3).map(_.toInt).getOrElse(8)
     val provider = args.lift(4).getOrElse("hdfs")
-    val runs = args.lift(5).map(_.toInt).getOrElse(1)
+    val runs = args.lift(5).map(_.toInt).getOrElse(1).max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val builder = SparkSession.builder()

@@ -237,7 +237,9 @@ object Bench {
       spark.conf.set("spark.sql.shuffle.partitions", streamParts)
       val (flat, schema, total) = StreamProbe.stageEvents(spark, sfDir, 8, 1)
       cleanups += flat
-      // best-of-N per stream, N=2 (round 12): the batch queries have
+      // best-of-N per stream, N=3 (round 12; see streamRuns — first
+      // shipped as 2, raised to match the batch discipline): the
+      // batch queries have
       // graded min-of-3 steady state since round 4, while each stream
       // ran ONCE — so its number carried the one-time codegen/JIT cost
       // of the fold path (BarProfile: run 1 → 2 on a warm session is

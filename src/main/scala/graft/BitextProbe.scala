@@ -27,7 +27,10 @@ object BitextProbe {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       val idx = operators.Similarity.ivfIndex(spark, dir)
       idx.assigned.cache().count()
-      for (np <- Seq(4, 6, 8, 12)) {
+      if (exact.isEmpty)
+        println(s"[bitext] $dir DEGENERATE baseline: exact miner " +
+          "accepted 0 pairs — recall undefined, sweep skipped")
+      else for (np <- Seq(4, 6, 8, 12)) {
         val ann = operators.Similarity.bitextMarginIvfOn(idx, np)
           .filter(col("accepted")).select("x_id", "y_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet

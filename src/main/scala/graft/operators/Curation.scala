@@ -3905,13 +3905,18 @@ object Curation {
     val params = IndexManifest.validate(spark, path, "curriculum_vocab", Seq("."))
     val rows = spark.read.parquet(path).select("word", "c").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = params.flatMap(_.get("total")).map(_.toLong)
+    // pre-cap artifacts (no vocab_mass param) are uncapped, so their
+    // recorded total IS the vocab mass — falling back to the loaded
+    // rows' own sum instead would compare the sum to itself and wave
+    // a truncated parts write through (the exact failure this check
+    // exists for)
     val mass = params.flatMap(_.get("vocab_mass")).map(_.toLong)
+      .orElse(total)
       .getOrElse(rows.values.sum)
     require(rows.values.sum == mass,
       s"vocab at $path: counts sum ${rows.values.sum} != recorded $mass")
-    val total = params.flatMap(_.get("total")).map(_.toLong)
-      .getOrElse(mass)
-    (rows, total)
+    (rows, total.getOrElse(mass))
   }
 
   /** Persist the per-source template-gram set ([[boilerplateTemplates]])

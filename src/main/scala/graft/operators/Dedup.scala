@@ -230,12 +230,20 @@ object Dedup {
     editDedupDocs(Tables.documents(spark, dir))
 
   private[graft] def editDedupDocs(docs: DataFrame): DataFrame = {
+    // the block-size gate runs as a COUNT WINDOW before any per-block
+    // materialization (the containmentDocs df-window idiom): filtering
+    // after collect_list would first build one array holding the full
+    // text of EVERY doc sharing a boilerplate prefix — the exact
+    // corpus shape the cap exists to exclude. The window and the agg
+    // share the blk key, so it costs no extra exchange.
     val blocked = docs.select(
       substring(col("text"), 1, EditBlockPrefix).as("blk"),
       struct(col("doc_id"), col("text"), col("n_chars")).as("s"))
+      .withColumn("n_blk", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("blk")))
+      .filter(col("n_blk").between(2, EditBlockCap))
       .groupBy("blk")
       .agg(array_sort(collect_list(col("s"))).as("xs"))
-      .filter(size(col("xs")).between(2, EditBlockCap))
     val pairs = blocked.select(explode(expr(
       """flatten(transform(xs, (x, i) ->
         |  transform(slice(xs, i + 2, size(xs)), y -> struct(x, y))))"""

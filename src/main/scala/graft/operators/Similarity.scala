@@ -2544,7 +2544,11 @@ object Similarity {
     * a floor of 128 — see [[annPca]] for the measured rationale.
     */
   private[graft] def pcaCands(n: Long): Int =
-    math.max(128L, (n + 3L) / 4L).toInt
+    // clamp before .toInt: past ~8.6B vectors the N/4 fraction wraps
+    // negative and .limit() would reject it (a per-probe rerank that
+    // large needs a smaller fraction long before then — the dial
+    // RecallProbe sweeps — but the default must stay a legal plan)
+    math.min(math.max(128L, (n + 3L) / 4L), Int.MaxValue.toLong).toInt
 
   /** A fitted PCA candidate index: the projected corpus (vec_id, the
     * k projected coordinates — the ONLY per-vector state a deployment
