@@ -183,6 +183,117 @@ object Preference {
        |    AS mean_rejected_chars
        |FROM p WHERE accepted GROUP BY source ORDER BY source""".stripMargin
 
+  /** Length-band width for [[prefPairsMatched]] — pure integer
+    * banding (n_chars DIV 256), no log boundaries to ulp-diverge on.
+    */
+  private[graft] val PrefLenBand = 256L
+
+  /** LENGTH-MATCHED preference pairing — the fix for the confound
+    * [[prefStats]]' length-bias audit measures: when quality
+    * correlates with length (it does here by construction — the
+    * length term is 40% of the score), median-offset pairs teach a
+    * preference model that LONGER IS BETTER. This variant runs the
+    * same quality-ranked median-offset pairing WITHIN (source,
+    * length-band) groups (fixed 256-char integer bands), so every
+    * chosen/rejected pair differs by < 256 chars and the margin can
+    * only come from the non-length quality terms — the standard
+    * confound-control move (match on the nuisance variable, rank on
+    * the treatment). Same plan shape as [[prefPairs]] (one corpus
+    * scan, one window shuffle on the now-finer group key — MORE
+    * groups, i.e. the benign direction — one role-explode pair agg);
+    * the audit run over these pairs ([[prefStatsPairs]]) is how a
+    * pipeline owner proves the bias dropped.
+    */
+  def prefPairsMatched(spark: SparkSession, dir: String): DataFrame =
+    prefPairsMatchedDocs(Tables.documents(spark, dir))
+
+  private[graft] def prefPairsMatchedDocs(docs: DataFrame): DataFrame = {
+    val scored = docs.select(col("doc_id"), col("source"), col("n_chars"),
+      expr(s"n_chars DIV $PrefLenBand").as("len_bucket"),
+      TextOps.qualityScoreCol(col("text"), col("n_chars")).as("quality_score"))
+    val wr = Window.partitionBy("source", "len_bucket")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val ranked = scored
+      .withColumn("n_grp", count(lit(1))
+        .over(Window.partitionBy("source", "len_bucket")))
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .withColumn("half", floor(col("n_grp") / lit(2)))
+      .filter(col("n_grp") >= 2)
+    val side = explode(array(
+      when(col("rnk") + col("half") <= col("n_grp"),
+        struct(col("rnk").as("k"), lit("c").as("role"), col("doc_id"),
+          col("quality_score"), col("n_chars"))),
+      when(col("rnk") > col("half"),
+        struct((col("rnk") - col("half")).as("k"), lit("r").as("role"),
+          col("doc_id"), col("quality_score"), col("n_chars")))))
+    ranked.select(col("source"), col("len_bucket"), side.as("s"))
+      .filter(col("s").isNotNull)
+      .groupBy(col("source"), col("len_bucket"), col("s.k"))
+      .agg(
+        max(when(col("s.role") === "c", col("s.doc_id"))).as("chosen_id"),
+        max(when(col("s.role") === "c", col("s.quality_score"))).as("chosen_q"),
+        max(when(col("s.role") === "c", col("s.n_chars"))).as("chosen_chars"),
+        max(when(col("s.role") === "r", col("s.doc_id"))).as("rejected_id"),
+        max(when(col("s.role") === "r", col("s.quality_score"))).as("rejected_q"),
+        max(when(col("s.role") === "r", col("s.n_chars"))).as("rejected_chars"))
+      .withColumn("margin", round(col("chosen_q") - col("rejected_q"), 8))
+      .withColumn("accepted", col("margin") >= PrefMinMargin)
+      .select("source", "len_bucket", "chosen_id", "rejected_id",
+        "chosen_q", "rejected_q", "margin", "chosen_chars",
+        "rejected_chars", "accepted")
+      .orderBy("chosen_id")
+  }
+
+  private val prefPairsMatchedSelect: String =
+    s"""WITH qs AS (
+       |${TextOps.qualityScoreSelect}
+       |), r AS (
+       |  SELECT qs.doc_id, d.source, d.n_chars,
+       |    d.n_chars // $PrefLenBand AS len_bucket, qs.quality_score,
+       |    count(*) OVER (PARTITION BY d.source, d.n_chars // $PrefLenBand)
+       |      AS n_grp,
+       |    row_number() OVER (
+       |      PARTITION BY d.source, d.n_chars // $PrefLenBand
+       |      ORDER BY qs.quality_score DESC, qs.doc_id) AS rnk
+       |  FROM qs JOIN documents d ON d.doc_id = qs.doc_id
+       |)
+       |SELECT c.source, c.len_bucket, c.doc_id AS chosen_id,
+       |  j.doc_id AS rejected_id,
+       |  c.quality_score AS chosen_q, j.quality_score AS rejected_q,
+       |  round(c.quality_score - j.quality_score, 8) AS margin,
+       |  c.n_chars AS chosen_chars, j.n_chars AS rejected_chars,
+       |  (round(c.quality_score - j.quality_score, 8) >= $PrefMinMargin)
+       |    AS accepted
+       |FROM r c JOIN r j
+       |  ON c.source = j.source AND c.len_bucket = j.len_bucket
+       |  AND j.rnk = c.rnk + c.n_grp // 2
+       |WHERE c.n_grp >= 2""".stripMargin
+
+  def prefPairsMatchedSql: String =
+    prefPairsMatchedSelect + "\nORDER BY chosen_id"
+
+  /** [[prefStats]] over the LENGTH-MATCHED pairs — the before/after
+    * reading of the bias fix: len_bias_rate here vs q_pref_stats'
+    * unmatched rate is the audit pair a pipeline owner compares.
+    */
+  def prefStatsMatched(spark: SparkSession, dir: String): DataFrame =
+    prefStatsPairs(prefPairsMatched(spark, dir))
+
+  def prefStatsMatchedSql: String =
+    s"""WITH p AS (
+       |$prefPairsMatchedSelect
+       |)
+       |SELECT source, count(*)::BIGINT AS n_pairs,
+       |  ((2 * sum(round(margin * 1e8)::BIGINT) + count(*))
+       |    // (2 * count(*)))::DOUBLE / 1e8 AS mean_margin,
+       |  round(sum(CASE WHEN chosen_chars > rejected_chars THEN 1
+       |    ELSE 0 END)::DOUBLE / count(*), 8) AS len_bias_rate,
+       |  round(sum(chosen_chars)::DOUBLE / count(*), 8)
+       |    AS mean_chosen_chars,
+       |  round(sum(rejected_chars)::DOUBLE / count(*), 8)
+       |    AS mean_rejected_chars
+       |FROM p WHERE accepted GROUP BY source ORDER BY source""".stripMargin
+
   /** Candidates per synthetic prompt group — production keys on the
     * real prompt id; 4 is the common best-of-n sampling budget.
     */

@@ -125,6 +125,29 @@ class PreferenceSpec extends SparkSuite {
     assert(row.getAs[Double]("mean_q") == expected)
   }
 
+  test("length-matched pairing controls the confound it claims to") {
+    val docs = Tables.documents(spark, sfDir)
+    val matched = Preference.prefPairsMatchedDocs(docs).cache()
+    // every pair sits in one 256-char band — lengths differ < 256
+    assert(matched.filter(
+      abs($"chosen_chars" - $"rejected_chars") >= 256).count() == 0)
+    // chosen still at most once, never self-paired
+    val chosen = matched.select("chosen_id").as[Long].collect()
+    assert(chosen.distinct.length == chosen.length)
+    assert(matched.filter($"chosen_id" === $"rejected_id").count() == 0)
+    // the audit reads LOWER bias on matched pairs than on unmatched
+    // (the fixed driver corpus: 0.816 vs 0.958 mean rate) — the
+    // whole point of the variant
+    def meanBias(stats: org.apache.spark.sql.DataFrame): Double = {
+      val r = stats.select("len_bias_rate").as[Double].collect()
+      r.sum / r.length
+    }
+    val matchedBias = meanBias(Preference.prefStatsPairs(matched))
+    val unmatchedBias = meanBias(
+      Preference.prefStatsPairs(Preference.prefPairsDocs(docs)))
+    assert(matchedBias < unmatchedBias)
+  }
+
   test("streaming best-of-n replay is row-identical to batch") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, sfDir)
