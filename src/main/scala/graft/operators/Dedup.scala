@@ -292,7 +292,12 @@ object Dedup {
     * line-level boilerplate heaviness (≥ half the doc's lines were
     * already seen in the corpus, from
     * [[graft.operators.Curation.lineDedupDocs]]) — plus the union
-    * mass and its ppm rate. This is the per-source duplication card
+    * mass and its ppm rate. The union (n_any, dup_ppm) spans
+    * exact/edit/subset ONLY: line_heavy is reported but intentionally
+    * excluded, because it flags boilerplate HEAVINESS inside an
+    * otherwise-unique doc, not doc-level duplication — counting it
+    * would inflate the removable-mass estimate the card exists to
+    * budget. This is the per-source duplication card
     * a pipeline owner reads next to q_dataset_card to decide which
     * dedup pass to budget first.
     *
