@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
-    val replicas = args.headOption.map(_.toInt).getOrElse(20)
+    // both args are optional and order-free: the replica count is the
+    // first NON-`only:` token, so `runMain graft.ScaleProbe
+    // only:pref_pairs` works without an explicit count
+    val replicas = args.filterNot(_.startsWith("only:"))
+      .headOption.map(_.toInt).getOrElse(20)
     val only: Set[String] = args.find(_.startsWith("only:"))
       .map(_.stripPrefix("only:").split(",").toSet).getOrElse(Set.empty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -3794,7 +3794,11 @@ object Curation {
     * total T stays the FULL corpus mass. The test corpora sit far
     * under the cap, so the driver hash pins the capped and uncapped
     * semantics as identical there; the spec exercises a binding cap
-    * explicitly.
+    * explicitly. NO SILENT CAPS (round 13): each row reports
+    * `oov_tokens` — the instances that fell outside the vocabulary
+    * and took the ceiling — so a 100 TB run can see per document how
+    * much of its difficulty is approximation rather than read the
+    * capped score as exact.
     */
   /** The standing-vocabulary size bound — 64Ki types ≈ a few MB
     * broadcast, the GPT-2-class budget; see [[curriculumDocs]].
@@ -3821,10 +3825,17 @@ object Curation {
       .agg(count(lit(1)).as("n_tokens"),
         sum(round(log(col("t").cast("double")
             / coalesce(col("c"), lit(1L)).cast("double")), 12)
-          .cast("decimal(28,14)")).as("s_dec"))
+          .cast("decimal(28,14)")).as("s_dec"),
+        // no-silent-caps ledger (round 13): per-doc instances that
+        // fell outside the capped vocabulary and scored the count-1
+        // ceiling — zero wherever the cap doesn't bind (the test
+        // corpora, pinned by the driver hash), nonzero exactly where
+        // the approximation is in play
+        sum(when(col("c").isNull, 1L).otherwise(0L)).as("oov_tokens"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("s_dec").cast("double") / col("n_tokens").cast("double"), 8)
-          .as("difficulty"))
+          .as("difficulty"),
+        col("oov_tokens"))
     // materialized once: the offsets branch, the doc-count branch,
     // and the final join all read the scored table — without pinning,
     // Catalyst re-derives the tokenize ⋈ vocab ⋈ collapse subtree
@@ -3850,7 +3861,8 @@ object Curation {
       .crossJoin(broadcast(n))
       .withColumn("pos", col("off") + row_number().over(wIn))
       .select(col("doc_id"), col("n_tokens"), col("difficulty"), col("pos"),
-        expr("(pos - 1) * 4 DIV n_docs + 1").as("phase"))
+        expr("(pos - 1) * 4 DIV n_docs + 1").as("phase"),
+        col("oov_tokens"))
       .orderBy("pos")
   }
 
@@ -3973,17 +3985,18 @@ object Curation {
       |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
       |    round((sum(round(ln(t::DOUBLE / coalesce(c, 1)), 12)
       |        ::DECIMAL(28,14)))::DOUBLE
-      |      / count(*), 8) AS difficulty
+      |      / count(*), 8) AS difficulty,
+      |    sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END)::BIGINT AS oov_tokens
       |  FROM toks LEFT JOIN wc USING (word) CROSS JOIN t
       |  GROUP BY doc_id
       |), n AS (SELECT count(*)::BIGINT AS n_docs FROM scored),
       |ranked AS (
-      |  SELECT doc_id, n_tokens, difficulty,
+      |  SELECT doc_id, n_tokens, difficulty, oov_tokens,
       |    row_number() OVER (ORDER BY difficulty, doc_id)::BIGINT AS pos
       |  FROM scored
       |)
       |SELECT doc_id, n_tokens, difficulty, pos,
-      |  ((pos - 1) * 4 // n_docs + 1)::BIGINT AS phase
+      |  ((pos - 1) * 4 // n_docs + 1)::BIGINT AS phase, oov_tokens
       |FROM ranked CROSS JOIN n ORDER BY pos""".stripMargin
 
   /** BOILERPLATE / template-mass detection WITHIN each source — the

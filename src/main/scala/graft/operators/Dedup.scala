@@ -225,11 +225,41 @@ object Dedup {
     * pair once, doc_a < doc_b deterministic), so there is NO
     * self-join and never an all-pairs compare. Distance is integer —
     * cross-engine exact by construction.
+    *
+    * NO SILENT CAPS (round 13): the block cap bounds fanout by
+    * EXCLUDING maximal-occupancy blocks entirely, so without a
+    * ledger a 100 TB run could read an empty result as "no
+    * near-dups" when it actually means "everything shared one
+    * boilerplate prefix". Every emitted pair therefore carries the
+    * excluded mass — `n_overcap_blocks` / `n_overcap_docs`, the
+    * blocks (and the documents inside them) the cap dropped — as
+    * broadcast constants (a 1-row aggregate over the prefix
+    * histogram, map-side combined: distinct-prefix-sized state, one
+    * narrow extra pass). Integer counts → cross-engine exact. Exact
+    * copies inside a dropped block are still caught by
+    * [[exactDocs]]; the ledger is what makes the miss auditable.
     */
   def editDedup(spark: SparkSession, dir: String): DataFrame =
     editDedupDocs(Tables.documents(spark, dir))
 
   private[graft] def editDedupDocs(docs: DataFrame): DataFrame = {
+    val overcap = docs
+      .groupBy(substring(col("text"), 1, EditBlockPrefix).as("blk"))
+      .agg(count(lit(1)).as("nb"))
+      .filter(col("nb") > EditBlockCap)
+      .agg(count(lit(1)).as("n_overcap_blocks"),
+        coalesce(sum("nb"), lit(0L)).as("n_overcap_docs"))
+    editDedupPairsDocs(docs)
+      .crossJoin(broadcast(overcap))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The bare pair frame (no excluded-mass ledger) — what the
+    * [[dedupScorecardDocs]] composition consumes: its doc_b
+    * projection must not pay the ledger's extra corpus pass, and its
+    * own masses are corpus-level already.
+    */
+  private[graft] def editDedupPairsDocs(docs: DataFrame): DataFrame = {
     // the block-size gate runs as a COUNT WINDOW before any per-block
     // materialization (the containmentDocs df-window idiom): filtering
     // after collect_list would first build one array holding the full
@@ -261,10 +291,13 @@ object Dedup {
             .cast("long")).as("edit_dist"),
         col("p.x.n_chars").as("len_a"), col("p.y.n_chars").as("len_b"))
       .filter(col("edit_dist") >= 0)
-      .orderBy("doc_a", "doc_b")
   }
 
-  def editDedupSql: String =
+  /** Shared WITH-clause of [[editDedupSql]] / the scorecard's @ED@
+    * slot (the scorecard embeds the LEDGER-FREE pair query — its
+    * doc_b projection must not pay the overcap pass).
+    */
+  private def editDedupCtes: String =
     s"""WITH b AS (
        |  SELECT doc_id, text, n_chars,
        |    substr(text, 1, $EditBlockPrefix) AS blk
@@ -272,13 +305,34 @@ object Dedup {
        |), g AS (
        |  SELECT blk FROM b GROUP BY blk
        |  HAVING count(*) BETWEEN 2 AND $EditBlockCap
-       |)
+       |)""".stripMargin
+
+  private[graft] def editDedupPairsSql: String =
+    s"""$editDedupCtes
        |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
        |  levenshtein(a.text, c.text)::BIGINT AS edit_dist,
        |  a.n_chars AS len_a, c.n_chars AS len_b
        |FROM b a
        |JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
        |JOIN g ON g.blk = a.blk
+       |WHERE levenshtein(a.text, c.text) <= $EditMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  def editDedupSql: String =
+    s"""$editDedupCtes, oc AS (
+       |  SELECT count(*)::BIGINT AS n_overcap_blocks,
+       |    coalesce(sum(nb), 0)::BIGINT AS n_overcap_docs
+       |  FROM (SELECT blk, count(*)::BIGINT AS nb FROM b
+       |        GROUP BY blk HAVING count(*) > $EditBlockCap)
+       |)
+       |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |  levenshtein(a.text, c.text)::BIGINT AS edit_dist,
+       |  a.n_chars AS len_a, c.n_chars AS len_b,
+       |  oc.n_overcap_blocks, oc.n_overcap_docs
+       |FROM b a
+       |JOIN b c ON a.blk = c.blk AND a.doc_id < c.doc_id
+       |JOIN g ON g.blk = a.blk
+       |CROSS JOIN oc
        |WHERE levenshtein(a.text, c.text) <= $EditMax
        |ORDER BY doc_a, doc_b""".stripMargin
 
@@ -322,7 +376,7 @@ object Dedup {
       .join(exactDocs(docs).select("text_hash", "keep_id"), "text_hash")
       .select(col("doc_id"), col("source"),
         (col("doc_id") =!= col("keep_id")).as("exact_dup"))
-    val edFlag = editDedupDocs(docs)
+    val edFlag = editDedupPairsDocs(docs)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("edit_dup", lit(true))
     val ct = containmentDocs(docs)
@@ -411,7 +465,7 @@ object Dedup {
        |    // (2 * count(*)))::BIGINT AS dup_ppm
        |FROM f GROUP BY source ORDER BY source""".stripMargin
       .replace("@EX@", exactSql.replace("\n", "\n  "))
-      .replace("@ED@", editDedupSql.replace("\n", "\n  "))
+      .replace("@ED@", editDedupPairsSql.replace("\n", "\n  "))
       .replace("@CT@", containmentSql.replace("\n", "\n  "))
       .replace("@LD@", Curation.lineDedupSql.replace("\n", "\n  "))
 

@@ -1457,6 +1457,10 @@ class CurationSpec extends SparkSuite {
       // fixed-width quartile arithmetic, NOT SQL ntile
       assert(row.getLong(4) == (row.getLong(3) - 1) * 4 / n + 1,
         s"doc ${row.getLong(0)} phase")
+      // the cap doesn't bind on the test corpus, so the OOV ledger
+      // must read zero everywhere (capped ≡ uncapped semantics)
+      assert(row.getAs[Long]("oov_tokens") == 0L,
+        s"doc ${row.getLong(0)} oov_tokens")
     }
     // pos is exactly the (difficulty, doc_id) rank: 1..N, ascending
     val ordered = got.sortBy(r => (r.getDouble(2), r.getLong(0)))
@@ -1484,9 +1488,18 @@ class CurationSpec extends SparkSuite {
         r(math.log(total / kept.getOrElse(w, 1L)), 12)).sum
       id -> r((s / ws.length).toDouble, 8).toDouble
     }
-    val got = Curation.curriculumDocs(docsDf, vocabCap = cap).collect()
-      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val capped = Curation.curriculumDocs(docsDf, vocabCap = cap).collect()
+    val got = capped.map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(got == exp, "capped difficulty must use the count-1 OOV ceiling")
+    // the no-silent-caps ledger: per-doc OOV instance counts match a
+    // from-scratch recount against the capped vocabulary, and the
+    // binding cap makes them nonzero somewhere (non-vacuous)
+    val oovExp = docs.collect { case (id, ws) if ws.nonEmpty =>
+      id -> ws.count(w => !kept.contains(w)).toLong
+    }
+    val oovGot = capped.map(r => r.getLong(0) -> r.getAs[Long]("oov_tokens")).toMap
+    assert(oovGot == oovExp, "oov_tokens must recount the capped-out instances")
+    assert(oovExp.values.sum > 0, "binding cap produced no OOV — vacuous")
     // OOV surprisal is the per-corpus MAXIMUM (ln T / 1): capping can
     // only raise a difficulty, never lower it
     val base = Curation.curriculum(spark, sfDir).collect()

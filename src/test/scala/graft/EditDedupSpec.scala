@@ -44,6 +44,30 @@ class EditDedupSpec extends SparkSuite {
     assert(Dedup.editDedupDocs(frame(atCap: _*)).count() == n * (n - 1) / 2)
   }
 
+  test("every emitted pair carries the over-cap excluded-mass ledger") {
+    val boiler = "boilerplate prefix, 32 chars ok!" // exactly 32
+    assert(boiler.length == 32)
+    // one healthy block (2 docs → 1 pair) + one over-cap block whose
+    // docs are silently excluded from pairing
+    val overN = Dedup.EditBlockCap + 3
+    val docs = frame(
+      (Seq(
+        (1L, prefix + " alpha beta gamma"),
+        (2L, prefix + " alpha beta gamm")) ++
+        (10L until (10L + overN)).map(i => (i, boiler + s" filler $i"))
+      ): _*)
+    val got = Dedup.editDedupDocs(docs).collect()
+    assert(got.length == 1, "only the healthy block pairs")
+    assert(got.head.getAs[Long]("n_overcap_blocks") == 1L)
+    assert(got.head.getAs[Long]("n_overcap_docs") == overN.toLong)
+    // with nothing excluded the ledger reads zero, not null
+    val clean = Dedup.editDedupDocs(frame(
+      (1, prefix + " alpha beta gamma"),
+      (2, prefix + " alpha beta gamm"))).collect()
+    assert(clean.head.getAs[Long]("n_overcap_blocks") == 0L)
+    assert(clean.head.getAs[Long]("n_overcap_docs") == 0L)
+  }
+
   test("scorecard masses equal the standalone families' flag sets") {
     // a corpus that lights up every channel: d2 = exact copy of d1,
     // d3 = one tail edit, d4 = a line-subset of d1
