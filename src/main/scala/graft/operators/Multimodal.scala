@@ -161,6 +161,143 @@ object Multimodal {
       |  sum((cnt - 1) * bytes)::BIGINT AS bytes_dupe
       |FROM g GROUP BY 1 ORDER BY modality""".stripMargin
 
+  /** Byte-shingle width for the perceptual fingerprint: 8-byte
+    * sliding windows over the payload — long enough that a shingle
+    * carries local structure, short enough that a small re-encode
+    * perturbs only the shingles it touches.
+    */
+  private[graft] val ModalShingle = 8
+
+  /** Verified-pair Hamming ceiling for [[modalDedupNear]] — the
+    * [[graft.operators.Dedup.simhashDedup]] threshold: 16-bit-chunk
+    * banding guarantees recall through hamming 3, verification keeps
+    * pairs through 8.
+    */
+  private[graft] val ModalHammingMax = 8
+
+  /** Per-payload PERCEPTUAL fingerprint: 64-bit SimHash over the
+    * payload's byte [[ModalShingle]]-grams, composed entirely from
+    * the existing native kernels ([[graft.functions.CharNgrams]] →
+    * [[graft.functions.SimHash64]] — zero new expressions). The stub
+    * payload is the UTF-8 text, so char n-grams ARE its byte
+    * shingles; a real decoder would feed the same two kernels the
+    * canonicalized media bytes (luminance plane / PCM samples) from
+    * the per-partition decode stage, which is exactly what makes the
+    * fingerprint survive a re-encode: most byte windows are
+    * unchanged, so most bit votes agree and the Hamming distance
+    * stays small where exact md5 ([[modalDedup]]) sees a brand-new
+    * payload.
+    */
+  private[graft] def modalFingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      modalityOf(col("doc_id")).as("modality"),
+      graft.functions.SimHash64.simhash64(
+        graft.functions.CharNgrams.char_ngrams(col("text"), ModalShingle))
+        .as("pfp"))
+
+  /** PERCEPTUAL NEAR-DUP pairs per modality — the family
+    * [[modalDedup]]'s exact content-address cannot see: a re-encoded,
+    * resized, or re-muxed payload changes every byte of the container
+    * (new md5) while leaving most local byte structure intact (small
+    * SimHash Hamming distance). Candidates collide on ≥1 of four
+    * 16-bit fingerprint chunks WITHIN a modality (the
+    * [[graft.operators.Dedup.simhashDedup]] banded-Hamming idiom —
+    * never an all-pairs compare; cross-modality pairs are
+    * meaningless and never generated), then verify by exact
+    * bit_count(xor) ≤ [[ModalHammingMax]].
+    *
+    * Scale shape: one narrow fingerprint projection (native
+    * single-pass expressions, payload bytes never shuffle), a
+    * (modality, chunk_idx, chunk)-keyed equi-join on 64-bit codes,
+    * pair dedup, one integer xor/bit_count per surviving candidate.
+    * Certainty half hash-graded by [[modalDedupNearGate]]; the
+    * near-dup half is corpus-shaped by design (same grading tier as
+    * q_dedup_simhash).
+    */
+  def modalDedupNear(spark: SparkSession, dir: String): DataFrame =
+    modalDedupNearDocs(Tables.documents(spark, dir))
+
+  private[graft] def modalDedupNearDocs(docs: DataFrame): DataFrame = {
+    val fp = modalFingerprints(docs)
+    val chunked = fp.select(col("modality"), col("doc_id"), col("pfp"),
+      posexplode(array((0 until 4).map { j =>
+        shiftrightunsigned(col("pfp"), 16 * j).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("chunk_idx", "chunk")))
+    chunked.as("a")
+      .join(chunked.toDF("b_modality", "b_doc_id", "b_pfp", "b_chunk_idx",
+          "b_chunk").as("b"),
+        col("modality") === col("b_modality")
+          && col("chunk_idx") === col("b_chunk_idx")
+          && col("chunk") === col("b_chunk")
+          && col("doc_id") < col("b_doc_id"))
+      .select(col("modality"), col("doc_id").as("doc_a"),
+        col("b_doc_id").as("doc_b"),
+        bit_count(col("pfp").bitwiseXOR(col("b_pfp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= ModalHammingMax)
+      .orderBy("modality", "doc_a", "doc_b")
+  }
+
+  /** GUARANTEED-RECALL gate over [[modalDedupNear]] (the
+    * [[graft.operators.Dedup.simhashRecount]] pattern applied per
+    * modality): perceptual recall on near-dups is corpus-shaped, but
+    * on IDENTICAL payloads it is certain — identical bytes give
+    * identical shingles, identical SimHash, hamming 0, and a
+    * guaranteed collision in all four chunks. The oracle recomputes
+    * the per-modality identical-payload pair mass (Σ k(k−1)/2 over
+    * (modality, payload) groups) from the raw corpus; the boolean
+    * columns carry the Spark-side certainty properties against TRUE
+    * literals, so a banding/fingerprint regression that loses even
+    * one exact duplicate breaks the driver hash. All three modality
+    * rows always emit (zero masses where a modality has no dups), so
+    * the gate is schema-stable on any corpus.
+    */
+  def modalDedupNearGate(spark: SparkSession, dir: String): DataFrame =
+    modalDedupNearGateDocs(spark, Tables.documents(spark, dir))
+
+  private[graft] def modalDedupNearGateDocs(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val t = docs
+      .select(modalityOf(col("doc_id")).as("modality"), col("doc_id"),
+        col("text"))
+    val exact = t.as("a")
+      .join(t.toDF("b_modality", "b_id", "b_text").as("b"),
+        col("modality") === col("b_modality")
+          && col("text") === col("b_text") && col("doc_id") < col("b_id"))
+      .select(col("modality"), col("doc_id").as("doc_a"),
+        col("b_id").as("doc_b"))
+    val per = exact
+      .join(modalDedupNearDocs(docs), Seq("modality", "doc_a", "doc_b"),
+        "left")
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n"),
+        expr("bool_and(hamming IS NOT NULL)").as("f"),
+        expr("bool_and(hamming = 0)").as("z"))
+    Seq("audio", "image", "video").toDF("modality")
+      .join(per, Seq("modality"), "left")
+      .select(col("modality"),
+        coalesce(col("n"), lit(0L)).as("n_exact_dup_pairs"),
+        coalesce(col("f"), lit(true)).as("all_exact_dups_flagged"),
+        coalesce(col("z"), lit(true)).as("exact_dups_hamming_zero"))
+      .orderBy("modality")
+  }
+
+  def modalDedupNearGateSql: String =
+    """WITH m AS (
+      |  SELECT unnest(['audio', 'image', 'video']) AS modality
+      |), g AS (
+      |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |    ELSE 'video' END AS modality, text, count(*)::BIGINT AS k
+      |  FROM documents GROUP BY 1, 2
+      |), d AS (
+      |  SELECT modality, sum(k * (k - 1) // 2)::BIGINT AS n
+      |  FROM g WHERE k >= 2 GROUP BY modality
+      |)
+      |SELECT m.modality, coalesce(d.n, 0)::BIGINT AS n_exact_dup_pairs,
+      |  true AS all_exact_dups_flagged, true AS exact_dups_hamming_zero
+      |FROM m LEFT JOIN d USING (modality) ORDER BY modality""".stripMargin
+
   /** Batched feature-extraction stub: the `mapInPandas` shape in
     * Scala — payloads iterate in fixed-size batches per partition so
     * a real encoder would run vectorized inference per batch with the

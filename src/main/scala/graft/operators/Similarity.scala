@@ -2371,6 +2371,51 @@ object Similarity {
       .orderBy("probe_id", "rank")
   }
 
+  /** PLANTED-TWIN certainty gate over [[annLsh]] (the
+    * [[graft.operators.Dedup.minhashRecount]] pattern applied to
+    * vectors — round 13): LSH recall on a general corpus is
+    * corpus-shaped by design (the scaladoc above), but an IDENTICAL
+    * vector hashes to the SAME code in every table with probability
+    * 1 — its own bucket is always in the probe's hamming ≤ radius
+    * expansion (the zero mask), so a planted exact twin of a corpus
+    * vector is retrieved with certainty at cosine exactly 1 (the
+    * maximum; 6-dp rounding absorbs the sqrt·sqrt ulp). The gate
+    * plants one twin probe per brute-force probe id (vec_id <
+    * NumProbes, negated ids so the self-exclusion filter never
+    * fires) and asserts: every twin probe is served, and every
+    * probe's best cosine is exactly 1.0. The oracle recomputes the
+    * planted-probe count from the raw table and carries the
+    * certainty booleans as TRUE literals — a banding, mask-set, or
+    * code regression that loses even one twin breaks the driver
+    * hash on any corpus, which is exactly the half of LSH that IS
+    * gradable independent of corpus shape.
+    */
+  def annLshGate(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = vecs(spark, dir).toDF("vec_id", "v", "norm")
+    val twins = corpus.filter(col("vec_id") < NumProbes)
+      .select((-col("vec_id") - 1).as("probe_id"), col("v").as("p_v"),
+        col("norm").as("p_norm"))
+    val per = annLshOn(corpus, twins, SearchRadius, SearchPlanes,
+        SearchTables)
+      .groupBy("probe_id").agg(max("cosine").as("mx"))
+    per.agg(
+        count(lit(1)).as("n_probes_served"),
+        coalesce(expr("bool_and(mx = 1.0)"), lit(true))
+          .as("all_twins_retrieved"))
+      .crossJoin(broadcast(
+        twins.agg(countDistinct(col("probe_id")).as("n_twin_probes"))))
+      .select("n_twin_probes", "n_probes_served", "all_twins_retrieved")
+  }
+
+  def annLshGateSql: String =
+    s"""WITH t AS (
+       |  SELECT count(DISTINCT vec_id)::BIGINT AS n
+       |  FROM embeddings WHERE vec_id < $NumProbes
+       |)
+       |SELECT n AS n_twin_probes, n AS n_probes_served,
+       |  true AS all_twins_retrieved
+       |FROM t""".stripMargin
+
   /** Embedding-table QUALITY GATE — the audit run before any index
     * build or similarity pass trusts a vector column: per label,
     * vector count, distinct dimensionality (anything but 1 means a

@@ -674,6 +674,75 @@ object TickStream extends Serializable {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
   }
 
+  case class PrefCand(source: String, doc_id: Long, n_chars: Long, q: Double)
+  case class PrefEntry(doc_id: Long, n_chars: Long, q: Double)
+  case class PrefPairState(cands: List[PrefEntry])
+  case class PrefPairRow(source: String, chosen_id: Long, rejected_id: Long,
+      chosen_q: Double, rejected_q: Double, margin: Double,
+      chosen_chars: Long, rejected_chars: Long, accepted: Boolean,
+      n_group: Long)
+
+  /** Streaming PREFERENCE-PAIR mining — the live leg of
+    * [[graft.operators.Preference.prefPairs]]: candidates arrive as
+    * they are scored and each prompt group's quality-ranked
+    * median-offset pair set refreshes in place, so the DPO miner runs
+    * on a live corpus instead of waiting for a batch compaction.
+    * Rolling-RANK state (flatMapGroupsWithState keyed on the group):
+    * unlike [[bestOfNDocsStream]]'s top-2 leaderboard, median-offset
+    * pairing is a GLOBAL-rank function of the whole group — rank i
+    * pairs with rank i+⌊n/2⌋, and one arrival can shift every pair —
+    * so the state is the group's full sorted candidate list
+    * ((q desc, doc_id), three scalars per candidate) and each touched
+    * group re-emits its complete refreshed pair set per microbatch
+    * (Update mode — latest snapshot per group wins, `n_group` is the
+    * monotone snapshot version a reader keeps the max of). State is
+    * O(group size): the honest cost of exact global-rank maintenance;
+    * the production corpus keys on the prompt id — thousands of
+    * candidates at most per prompt — while few-fat-source corpora
+    * (this synthetic) belong to the batch leg, exactly the split the
+    * batch scaladoc's window-shuffle argument makes.
+    *
+    * Exactness: the final merged list is a pure sort of all arrivals
+    * (arrival order cannot matter), scoring is the same stateless
+    * [[graft.operators.TextOps.qualityScoreCol]] projection as batch,
+    * and the margin takes [[FastRound]]'s bit-identical HALF_UP
+    * display round — so after a full replay the last snapshot per
+    * group is ROW-IDENTICAL to the batch pair set (spec-asserted).
+    */
+  def prefPairsStream(spark: SparkSession, docs: DataFrame):
+      Dataset[PrefPairRow] = {
+    import spark.implicits._
+    def update(source: String, rows: Iterator[PrefCand],
+        state: GroupState[PrefPairState]): Iterator[PrefPairRow] = {
+      val merged = (state.getOption.map(_.cands).getOrElse(Nil) ++
+        rows.map(c => PrefEntry(c.doc_id, c.n_chars, c.q)))
+        .sortBy(e => (-e.q, e.doc_id))
+      state.update(PrefPairState(merged))
+      val n = merged.length
+      val half = n / 2
+      if (n < 2) Iterator.empty
+      else {
+        val arr = merged.toIndexedSeq
+        (0 until (n - half)).iterator.map { i =>
+          val c = arr(i)
+          val r = arr(i + half)
+          val margin = FastRound.scale(c.q - r.q, 1e8, 8)
+          PrefPairRow(source, c.doc_id, r.doc_id, c.q, r.q, margin,
+            c.n_chars, r.n_chars,
+            margin >= graft.operators.Preference.PrefMinMargin, n.toLong)
+        }
+      }
+    }
+    docs
+      .select(col("source"), col("doc_id"), col("n_chars"),
+        graft.operators.TextOps.qualityScoreCol(col("text"), col("n_chars"))
+          .as("q"))
+      .as[PrefCand]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout)(update)
+  }
+
   /** Streaming ANN serve — train offline, serve online for vector
     * search: a FITTED PQ index (built/loaded once,
     * [[graft.operators.Similarity.PqIndex]]) answers a stream of

@@ -189,6 +189,73 @@ class PreferenceSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("streaming pref-pair replay is row-identical to batch") {
+    val docs = Tables.documents(spark, sfDir)
+    // two time-ordered files split by WITHIN-SOURCE rank parity (the
+    // corpus assigns each source ids of one global parity, so an id
+    // split would hand whole sources to single batches): every source
+    // spans both microbatches, the rolling-rank state genuinely
+    // carries, and the median-offset pairs RESHUFFLE between snapshots
+    val staged = java.nio.file.Files.createTempDirectory("pp").toString
+    val parted = docs.withColumn("prk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")))
+    parted.filter($"prk" % 2 === 1).drop("prk").coalesce(1)
+      .write.parquet(s"$staged/a.parquet")
+    parted.filter($"prk" % 2 === 0).drop("prk").coalesce(1)
+      .write.parquet(s"$staged/b.parquet")
+    val flat = java.nio.file.Files.createTempDirectory("ppflat")
+    new java.io.File(staged).listFiles().filter(_.isDirectory)
+      .sortBy(_.getName)
+      .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+      .zipWithIndex.foreach { case (f, i) =>
+        val dst = flat.resolve(f"part$i%02d.parquet")
+        java.nio.file.Files.copy(f.toPath, dst)
+        require(dst.toFile.setLastModified(1700000000000L + i * 60000L))
+      }
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(flat.toString)
+    val ckpt = java.nio.file.Files.createTempDirectory("pp_ckpt").toString
+    // collect each microbatch's emission separately (the memory sink
+    // here retains only the latest update-mode batch, which would
+    // make an interim-snapshot assertion vacuous)
+    val emitted = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[org.apache.spark.sql.Row]]
+    val q = graft.streaming.TickStream.prefPairsStream(spark, stream)
+      .toDF().writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.collect().toSeq
+        emitted.synchronized { emitted += rows }: Unit
+      }
+      .option("checkpointLocation", ckpt).start()
+    q.processAllAvailable(); q.stop()
+    // the replay genuinely spanned two microbatches, BOTH emitting —
+    // the parity below is a real rolling-state equivalence, not a
+    // single batch in disguise
+    assert(emitted.count(_.nonEmpty) >= 2,
+      s"expected >= 2 emitting microbatches, got ${emitted.map(_.size)}")
+    // final snapshot per source = the emission at the highest group
+    // size (n_group is strictly monotone per source across batches)
+    val all = emitted.flatten
+    val maxN = all.groupBy(_.getAs[String]("source"))
+      .map { case (s, rs) => s -> rs.map(_.getAs[Long]("n_group")).max }
+    val cols = Seq("source", "chosen_id", "rejected_id", "chosen_q",
+      "rejected_q", "margin", "chosen_chars", "rejected_chars", "accepted")
+    val streamed = all
+      .filter(r => r.getAs[Long]("n_group") == maxN(r.getAs[String]("source")))
+      .map(r => cols.map(c => r.getAs[Any](c))).toSet
+    val batch = Preference.prefPairsDocs(docs)
+      .select(cols.map(col): _*).collect().map(_.toSeq.toList).toSet
+    assert(streamed.map(_.toList) == batch)
+    // and the interim snapshot genuinely reshuffled: at least one
+    // interim pair is absent from the final set
+    val interim = all.filter(r =>
+      r.getAs[Long]("n_group") < maxN(r.getAs[String]("source")))
+      .map(r => cols.map(c => r.getAs[Any](c)).toList).toSet
+    assert(interim.nonEmpty && (interim -- streamed.map(_.toList)).nonEmpty,
+      "interim snapshots never reshuffled — state carry is unproven")
+  }
+
   private def frame(rows: (Long, Int, Boolean)*) =
     rows.map { case (id, words, junk) =>
       val d = doc(id, "g", words, junk); (d._1, d._2, d._3, d._4, d._5)

@@ -550,6 +550,70 @@ class StreamingSpec extends SparkSuite {
     assert(img == (3L, 2L, 1L, 12L * 2 + 6, 12L), s"got $img")
   }
 
+  test("modalDedupNear sees a perturbed payload exact md5 cannot") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val base = Seq.tabulate(200)(i => s"w$i").mkString(" ")
+    val perturbed = base.replace(" w100 ", " w100x ") // tiny byte edit
+    assert(perturbed != base)
+    val disjoint = Seq.tabulate(200)(i => s"z${i * 7}q").mkString(" ")
+    // docs 0 and 3 are both 'image' (doc_id % 3 == 0); doc 1 is
+    // 'audio' with a payload IDENTICAL to doc 0's
+    val docs = Seq((0L, base), (3L, perturbed), (6L, disjoint),
+      (1L, base)).toDF("doc_id", "text")
+    val got = Multimodal.modalDedupNearDocs(docs).collect()
+    // the re-encode survives: (0, 3) pairs inside 'image' at a small
+    // hamming — while their md5 fingerprints differ (the exact tier
+    // is blind to this pair, which is the family's reason to exist)
+    val pair = got.find(r => r.getAs[Long]("doc_a") == 0L
+      && r.getAs[Long]("doc_b") == 3L)
+    assert(pair.isDefined, s"perturbed pair not flagged: ${got.toSeq}")
+    assert(pair.get.getString(0) == "image")
+    assert(pair.get.getAs[Int]("hamming") <= Multimodal.ModalHammingMax)
+    assert(Multimodal.modalDedupDocs(docs)
+      .filter($"modality" === "image").head.getAs[Long]("n_dupes") == 0L,
+      "exact tier must NOT see the perturbed pair")
+    // blocking is per modality: the identical payload under 'audio'
+    // (doc 1) never pairs across modality with doc 0
+    got.foreach { r =>
+      def m(id: Long) = Seq("image", "audio", "video")((id % 3).toInt)
+      assert(m(r.getAs[Long]("doc_a")) == r.getString(0)
+        && m(r.getAs[Long]("doc_b")) == r.getString(0),
+        s"cross-modality pair leaked: $r")
+    }
+    assert(!got.exists(r => r.getAs[Long]("doc_a") == 0L
+      && r.getAs[Long]("doc_b") == 1L))
+    // the disjoint payload stays unflagged (hamming far above the cap)
+    assert(!got.exists(r => r.getAs[Long]("doc_a") == 6L
+      || r.getAs[Long]("doc_b") == 6L))
+  }
+
+  test("modalDedupNear gate: identical payloads are flagged with certainty") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // planted exact dup inside 'image' (0, 3) + a video dup (2, 5)
+    val docs = Seq((0L, "same payload body here"),
+      (3L, "same payload body here"), (6L, "different entirely"),
+      (2L, "vid bytes"), (5L, "vid bytes"), (1L, "audio solo"))
+      .toDF("doc_id", "text")
+    val gate = Multimodal.modalDedupNearGateDocs(spark, docs).collect()
+    assert(gate.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    val byMod = gate.map(r => r.getString(0) ->
+      (r.getAs[Long]("n_exact_dup_pairs"),
+        r.getAs[Boolean]("all_exact_dups_flagged"),
+        r.getAs[Boolean]("exact_dups_hamming_zero"))).toMap
+    assert(byMod("image") == ((1L, true, true)))
+    assert(byMod("video") == ((1L, true, true)))
+    assert(byMod("audio") == ((0L, true, true))) // vacuous, zero mass
+    // and the driver corpus keeps every certainty property green
+    val sf = Multimodal.modalDedupNearGate(spark, sfDir).collect()
+    assert(sf.length == 3)
+    sf.foreach { r =>
+      assert(r.getAs[Boolean]("all_exact_dups_flagged")
+        && r.getAs[Boolean]("exact_dups_hamming_zero"))
+    }
+  }
+
   private def craftedDedup(docs: org.apache.spark.sql.DataFrame)
       : Map[String, (Long, Long, Long, Long, Long)] = {
     import graft.operators.Multimodal
