@@ -320,6 +320,24 @@ object Bench {
     val warm = results.map(r => r._1 -> r._2)
     val extWarm = extResults.map(r => r._1 -> r._2)
     val cold = (results ++ extResults).map(r => r._1 -> r._3)
+    // CALIBRATION-NORMALIZED totals (round 13, closing the round-12
+    // loop): round-over-round comparison previously needed narrative
+    // arithmetic ("cpu_ms inflated too ⇒ normalize by the ratio");
+    // now the artifact carries it. The reference constants are the
+    // measured quiet-window values on the round box (SURVEY §6:
+    // cpu_ms 441-469 stable across runs whose totals swung ±18%,
+    // mt_ms ≈ 270): normalized = total × (CPU_MS_REF / cpu_ms)
+    // rescales for a genuinely slower/faster CPU, and mt_contended
+    // flags the cores-stolen signature (mt_ms inflated ≥ 15% while
+    // cpu_ms is the wrong lever) — when it is true, the parallel
+    // legs' inflation is contention, NOT operator regression, and
+    // the normalized totals UNDERCORRECT (single-thread ratio can't
+    // see stolen cores), so read them as a lower bound on the drift.
+    val CpuMsRef = 455.0
+    val MtMsRef = 270.0
+    val cpuRatio = if (calibCpuMs > 0) CpuMsRef / calibCpuMs else 1.0
+    val mtContended = calibMtMs > MtMsRef * 1.15
+    def norm(x: Double): Double = math.rint(x * cpuRatio * 1e6) / 1e6
     // two lines, detail FIRST: the driver keeps only the tail of
     // stdout, and the full detail line (headline + extended + cold
     // maps) outgrew it — so the LAST line is a compact summary that
@@ -328,7 +346,7 @@ object Bench {
     // The detail line above it keeps the full per-query record for
     // anyone reading the artifact directly.
     println(s"""{"metric":"detail","extended":${fmt(extWarm)},"cold":${fmt(cold)},"stream_shuffle_partitions":$streamParts,"stream_runs":$streamRuns,"runs":$runs}""")
-    println(s"""{"metric":"total","value":${tot(warm)},"unit":"sec","queries":${fmt(warm)},"headline_total":${tot(warm)},"extended_total":${tot(extWarm)},"cold_total":${tot(cold)},"streaming_rows_per_sec":${fmt(streaming)},"calibration":{"cpu_ms":$calibCpuMs,"mt_ms":$calibMtMs,"spark_ms":$calibSparkMs},"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${tot(warm)},"unit":"sec","queries":${fmt(warm)},"headline_total":${tot(warm)},"extended_total":${tot(extWarm)},"cold_total":${tot(cold)},"streaming_rows_per_sec":${fmt(streaming)},"calibration":{"cpu_ms":$calibCpuMs,"mt_ms":$calibMtMs,"spark_ms":$calibSparkMs},"normalized":{"cpu_ms_ref":$CpuMsRef,"mt_ms_ref":$MtMsRef,"cpu_ratio":${math.rint(cpuRatio * 1e6) / 1e6},"mt_contended":$mtContended,"headline_normalized":${norm(tot(warm))},"extended_normalized":${norm(tot(extWarm))},"cold_normalized":${norm(tot(cold))}},"errors":$errs,"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,15 +15,25 @@ import org.apache.spark.sql.functions._
   * the bench SF probes the next decade of value ranges (sums, counts,
   * id magnitudes) without waiting for a driver-side SF bump.
   *
-  * Usage: sbt "runMain graft.ReplicaGen [replicas] [srcDir] [outDir]"
+  * Usage: sbt "runMain graft.ReplicaGen [replicas] [srcDir] [outDir]
+  *             [only:t1,t2,...]"
   * then  sbt "runMain graft.Verify outDir dumpDir sqlonly skip:..."
   * then  python3 scripts/check_oracle.py outDir dumpDir
+  *
+  * The optional `only:` filter replicates just the named tables and
+  * copies the rest through 1× (every table still exists, so the
+  * oracle's view registration works) — the sf10 spot sweep replicates
+  * documents/embeddings at 100× without paying a 60M-row lineitem
+  * write it never reads.
   */
 object ReplicaGen {
   def main(args: Array[String]): Unit = {
-    val replicas = args.headOption.map(_.toInt).getOrElse(10)
-    val src = args.lift(1).getOrElse("/root/testdata/sf0.1")
-    val out = args.lift(2).getOrElse("/tmp/sf_rep10")
+    val pos = args.filterNot(_.startsWith("only:"))
+    val replicas = pos.headOption.map(_.toInt).getOrElse(10)
+    val src = pos.lift(1).getOrElse("/root/testdata/sf0.1")
+    val out = pos.lift(2).getOrElse("/tmp/sf_rep10")
+    val onlyTables: Option[Set[String]] = args.find(_.startsWith("only:"))
+      .map(_.stripPrefix("only:").split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -38,15 +48,17 @@ object ReplicaGen {
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
 
-    def rep(t: String, shifts: Map[String, Long]): Unit = {
-      val base = spark.read.parquet(s"$src/$t.parquet")
-      (0 until replicas).map { i =>
-        shifts.foldLeft(base) { case (df, (c, s)) =>
-          df.withColumn(c, col(c) + lit(i * s))
-        }
-      }.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
-    }
+    def rep(t: String, shifts: Map[String, Long]): Unit =
+      if (onlyTables.exists(!_.contains(t))) copy(t)
+      else {
+        val base = spark.read.parquet(s"$src/$t.parquet")
+        (0 until replicas).map { i =>
+          shifts.foldLeft(base) { case (df, (c, s)) =>
+            df.withColumn(c, col(c) + lit(i * s))
+          }
+        }.reduce(_ unionByName _)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
 
     copy("region")
     copy("nation")
