@@ -283,6 +283,124 @@ object Multimodal {
       .orderBy("modality")
   }
 
+  /** NEAR-DUP CLUSTER RESOLUTION + canonical selection for the
+    * perceptual family — pairs alone don't dedup a corpus (similarity
+    * is not transitive at the candidate level: A~B and B~C must
+    * collapse into ONE cluster even when (A, C) never surfaced), so
+    * this resolves the [[modalDedupNear]] pair graph to connected
+    * components (pairs are within-modality by construction, so
+    * components can never span modalities) and picks each cluster's
+    * canonical by LARGEST payload (bytes desc, doc_id ties) — a
+    * re-encode almost always shrinks, so max-bytes keeps the
+    * highest-fidelity original where the text tier's quality score
+    * has no analog. Output: one row per document with its cluster,
+    * canonical, and the keep bit — the `keep WHERE is_canonical`
+    * surface a multimodal corpus build filters on.
+    *
+    * Scale shape: the component resolution is the shared
+    * [[graft.operators.Dedup.connectedComponents]] engine (driver
+    * union-find under the edge cap, O(log n) distributed rounds
+    * above it) over the near-dup pair graph — a vanishing fraction
+    * of the corpus at any real dup rate — then ONE window on the
+    * cluster key. Certainty half hash-graded by
+    * [[modalNearClustersGate]].
+    */
+  def modalNearClusters(spark: SparkSession, dir: String): DataFrame =
+    modalNearClustersDocs(Tables.documents(spark, dir))
+
+  private[graft] def modalNearClustersDocs(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = modalDedupNearDocs(docs)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val verts = docs.select(col("doc_id").as("id"))
+    val labels = Dedup.connectedComponents(verts, pairs)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    val scored = docs.select(col("doc_id"),
+      length(col("text").cast("binary")).cast("long").as("n_bytes"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("n_bytes").desc, col("doc_id"))
+    labels.join(scored, "doc_id")
+      .withColumn("canonical_id", first("doc_id").over(w))
+      .select(modalityOf(col("doc_id")).as("modality"), col("doc_id"),
+        col("cluster_id"), col("canonical_id"), col("n_bytes"),
+        (col("doc_id") === col("canonical_id")).as("is_canonical"))
+      .orderBy("doc_id")
+  }
+
+  /** TOTALITY + certainty gate over [[modalNearClusters]] (the
+    * q_minhash_cluster_gate pattern per modality): (a) totality —
+    * n_docs counts the CLUSTER OUTPUT's rows per modality while the
+    * oracle recomputes the raw corpus count, so a dropped or
+    * duplicated label breaks the hash; (b) identical-payload
+    * certainty carried one stage past [[modalDedupNearGate]] —
+    * identical payload ⇒ hamming-0 pair ⇒ SAME component, so a split
+    * identical-payload group is impossible unless banding or
+    * resolution regressed (boolean vs a TRUE literal); (c) the
+    * dup-group masses as exact integer legs. All three modality rows
+    * always emit.
+    */
+  def modalNearClustersGate(spark: SparkSession, dir: String): DataFrame =
+    modalNearClustersGateDocs(spark, Tables.documents(spark, dir))
+
+  private[graft] def modalNearClustersGateDocs(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val clusters = modalNearClustersDocs(docs)
+    val nDocs = clusters.groupBy("modality").agg(count(lit(1)).as("n_docs"))
+    val t = docs.select(modalityOf(col("doc_id")).as("modality"),
+      col("doc_id"), col("text"))
+    val dupStats = t.groupBy("modality", "text").agg(count(lit(1)).as("k"))
+      .filter(col("k") >= 2)
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n_dup_groups"), sum("k").as("n_dup_docs"))
+    val exact = t.as("a")
+      .join(t.toDF("b_modality", "b_id", "b_text").as("b"),
+        col("modality") === col("b_modality")
+          && col("text") === col("b_text") && col("doc_id") < col("b_id"))
+      .select(col("modality"), col("doc_id").as("a_id"), col("b_id"))
+    val la = clusters.select(col("doc_id").as("a_id"),
+      col("cluster_id").as("ca"))
+    val lb = clusters.select(col("doc_id").as("b_id"),
+      col("cluster_id").as("cb"))
+    val same = exact.join(la, "a_id").join(lb, "b_id")
+      .groupBy("modality")
+      .agg(expr("bool_and(ca = cb)").as("clustered"))
+    Seq("audio", "image", "video").toDF("modality")
+      .join(nDocs, Seq("modality"), "left")
+      .join(dupStats, Seq("modality"), "left")
+      .join(same, Seq("modality"), "left")
+      .select(col("modality"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_dup_groups"), lit(0L)).as("n_dup_groups"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        coalesce(col("clustered"), lit(true)).as("dup_pairs_clustered"))
+      .orderBy("modality")
+  }
+
+  def modalNearClustersGateSql: String =
+    """WITH m AS (
+      |  SELECT unnest(['audio', 'image', 'video']) AS modality
+      |), t AS (
+      |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |    ELSE 'video' END AS modality, doc_id, text
+      |  FROM documents
+      |), c AS (
+      |  SELECT modality, count(*)::BIGINT AS n_docs FROM t GROUP BY modality
+      |), g AS (
+      |  SELECT modality, text, count(*)::BIGINT AS k
+      |  FROM t GROUP BY 1, 2
+      |), d AS (
+      |  SELECT modality, count(*)::BIGINT AS n_dup_groups,
+      |    sum(k)::BIGINT AS n_dup_docs
+      |  FROM g WHERE k >= 2 GROUP BY modality
+      |)
+      |SELECT m.modality, coalesce(c.n_docs, 0)::BIGINT AS n_docs,
+      |  coalesce(d.n_dup_groups, 0)::BIGINT AS n_dup_groups,
+      |  coalesce(d.n_dup_docs, 0)::BIGINT AS n_dup_docs,
+      |  true AS dup_pairs_clustered
+      |FROM m LEFT JOIN c USING (modality) LEFT JOIN d USING (modality)
+      |ORDER BY modality""".stripMargin
+
   def modalDedupNearGateSql: String =
     """WITH m AS (
       |  SELECT unnest(['audio', 'image', 'video']) AS modality

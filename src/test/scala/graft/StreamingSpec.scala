@@ -614,6 +614,61 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("modalNearClusters resolves transitive chains and keeps the largest payload") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // A~B and B~C are near pairs (single-word edits); A and C differ
+    // by two words but must land in ONE cluster via transitivity.
+    // All of A/B/C are 'image' (ids ≡ 0 mod 3); D is an unrelated
+    // image; E is an audio doc with A's exact payload (cross-modality
+    // — must stay its own cluster).
+    val base = Seq.tabulate(150)(i => s"tok$i").mkString(" ")
+    val b = base.replace(" tok40 ", " tok40x ")
+    val c = b.replace(" tok90 ", " tok90y ")
+    val d = Seq.tabulate(150)(i => s"other${i * 3}z").mkString(" ")
+    val docs = Seq((0L, base), (3L, b), (6L, c), (9L, d), (1L, base))
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.modalDedupNearDocs(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)) && pairs.contains((3L, 6L)),
+      s"chain pairs missing: $pairs")
+    val got = Multimodal.modalNearClustersDocs(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getString(0), r.getAs[Long]("cluster_id"),
+          r.getAs[Long]("canonical_id"), r.getAs[Boolean]("is_canonical")))
+      .toMap
+    assert(got.size == 5, "one row per document (totality)")
+    // transitive collapse: 0, 3, 6 share one cluster...
+    assert(got(0L)._2 == got(3L)._2 && got(3L)._2 == got(6L)._2)
+    // ...whose canonical is the LARGEST payload (the perturbed docs
+    // grew by one char each: c > b > base), ties impossible here
+    assert(got(0L)._3 == 6L && got(6L)._4 && !got(0L)._4 && !got(3L)._4)
+    // the unrelated image and the cross-modality twin stay singletons
+    assert(got(9L)._2 == 9L && got(9L)._4)
+    assert(got(1L)._1 == "audio" && got(1L)._2 == 1L && got(1L)._4)
+  }
+
+  test("modalNearClusters gate: totality, masses, dup-pairs-clustered certainty") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // two identical image payloads + one identical video pair + a solo
+    val docs = Seq((0L, "payload alpha"), (3L, "payload alpha"),
+      (2L, "vid beta"), (5L, "vid beta"), (8L, "vid solo"),
+      (1L, "audio solo")).toDF("doc_id", "text")
+    val gate = Multimodal.modalNearClustersGateDocs(spark, docs).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_dup_groups"), r.getAs[Long]("n_dup_docs"),
+        r.getAs[Boolean]("dup_pairs_clustered"))).toMap
+    assert(gate("image") == ((2L, 1L, 2L, true)))
+    assert(gate("video") == ((3L, 1L, 2L, true)))
+    assert(gate("audio") == ((1L, 0L, 0L, true)))
+    // driver corpus: every certainty property green, totality holds
+    val sf = Multimodal.modalNearClustersGate(spark, sfDir).collect()
+    assert(sf.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sfDir).count())
+    sf.foreach(r => assert(r.getAs[Boolean]("dup_pairs_clustered")))
+  }
+
   private def craftedDedup(docs: org.apache.spark.sql.DataFrame)
       : Map[String, (Long, Long, Long, Long, Long)] = {
     import graft.operators.Multimodal
