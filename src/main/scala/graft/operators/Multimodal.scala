@@ -191,9 +191,7 @@ object Multimodal {
   private[graft] def modalFingerprints(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       modalityOf(col("doc_id")).as("modality"),
-      graft.functions.SimHash64.simhash64(
-        graft.functions.CharNgrams.char_ngrams(col("text"), ModalShingle))
-        .as("pfp"))
+      pfpCol(col("text")).as("pfp"))
 
   /** PERCEPTUAL NEAR-DUP pairs per modality — the family
     * [[modalDedup]]'s exact content-address cannot see: a re-encoded,
@@ -326,6 +324,60 @@ object Multimodal {
         (col("doc_id") === col("canonical_id")).as("is_canonical"))
       .orderBy("doc_id")
   }
+
+  /** The per-payload chunk keys ("modality:idx:chunk") of the
+    * perceptual fingerprint — the standing-tier membership unit for
+    * the streaming gate: two payloads within Hamming ≤ 3 of each
+    * other share at least one 16-bit chunk, so any near-dup of a
+    * standing payload hits the standing key set through the chunk it
+    * shares (and an IDENTICAL payload hits all four with certainty).
+    * Keys are modality-prefixed, so a payload identical to a
+    * standing one of ANOTHER modality never collides by construction.
+    */
+  private[graft] def modalChunkKeys(docs: DataFrame): DataFrame =
+    modalFingerprints(docs).select(explode(array((0 until 4).map { j =>
+      concat_ws(":", col("modality"), lit(j),
+        shiftrightunsigned(col("pfp"), 16 * j).bitwiseAND(lit(0xFFFFL)))
+    }: _*)).as("chunk_key"))
+
+  /** Build the standing tier's chunk-key Bloom — the compaction
+    * artifact [[graft.streaming.TickStream.modalNearDupDocsStream]]
+    * probes (the [[graft.operators.Dedup.bandBloom]] idiom for the
+    * perceptual family). One corpus pass; the sketch holds 4 keys per
+    * standing payload at `fpp` per probe.
+    */
+  private[graft] def modalChunkBloom(standing: DataFrame,
+      fpp: Double = 0.001): org.apache.spark.util.sketch.BloomFilter = {
+    val keys = modalChunkKeys(standing).persist()
+    try {
+      val expected = math.max(keys.count(), 1L)
+      keys.stat.bloomFilter("chunk_key", expected, fpp)
+    } finally keys.unpersist(): Unit
+  }
+
+  /** The OR-of-4-probes membership test over (doc_id, text) against a
+    * caller-owned broadcast of the standing chunk Bloom — `pfpCol`
+    * must be the [[modalFingerprints]] fingerprint column so the
+    * probe and the build share one definition of the keys.
+    */
+  private[graft] def modalChunkHit(
+      bc: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter],
+      modality: org.apache.spark.sql.Column,
+      pfp: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val probe = graft.functions.BloomMightContain.fromBroadcast(bc)
+    (0 until 4).map { j =>
+      probe(concat_ws(":", modality, lit(j),
+        shiftrightunsigned(pfp, 16 * j).bitwiseAND(lit(0xFFFFL))))
+    }.reduce(_ || _)
+  }
+
+  /** The fingerprint as a column expression (shared by the batch
+    * [[modalFingerprints]] frame and the streaming probe — one
+    * definition, no drift).
+    */
+  private[graft] def pfpCol(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.SimHash64.simhash64(
+      graft.functions.CharNgrams.char_ngrams(text, ModalShingle))
 
   /** TOTALITY + certainty gate over [[modalNearClusters]] (the
     * q_minhash_cluster_gate pattern per modality): (a) totality —

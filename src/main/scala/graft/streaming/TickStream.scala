@@ -674,6 +674,38 @@ object TickStream extends Serializable {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
   }
 
+  /** Streaming MULTIMODAL near-dup gate — the perceptual family's
+    * live leg (round 13; the [[dedupDocsStreamGated]] idiom over
+    * [[graft.operators.Multimodal.modalChunkBloom]]): each arriving
+    * payload fingerprints statelessly (the SAME char_ngrams→simhash64
+    * column as the batch [[graft.operators.Multimodal.modalDedupNear]])
+    * and probes the standing corpus' chunk-key Bloom — flagged rows
+    * route to the exact batch pairing, everything else ingests
+    * without keying any streaming state. Certainty contract: a
+    * payload IDENTICAL to a standing payload of the same modality
+    * shares all four chunk keys and must flag; a near-dup within
+    * Hamming ≤ 3 shares ≥1 chunk and must flag; modality-prefixed
+    * keys mean a byte-identical payload under a DIFFERENT modality
+    * does not collide by construction (down to the Bloom fpp).
+    * Stateless projection — no shuffle, no state, 100 TB-stream-safe;
+    * the Bloom broadcasts once per query (for a ROLLING windowed
+    * corpus, wrap in the [[nearDupDocsStreamRolling]] foreachBatch
+    * late-binding pattern instead).
+    */
+  def modalNearDupDocsStream(docs: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    val bc = docs.sparkSession.sparkContext.broadcast(bloom)
+    docs
+      .withColumn("modality",
+        graft.operators.Multimodal.modalityOf(col("doc_id")))
+      .withColumn("pfp",
+        graft.operators.Multimodal.pfpCol(col("text")))
+      .withColumn("candidate_near_dup",
+        graft.operators.Multimodal.modalChunkHit(bc, col("modality"),
+          col("pfp")))
+      .drop("pfp")
+  }
+
   case class PrefCand(source: String, doc_id: Long, n_chars: Long, q: Double)
   case class PrefEntry(doc_id: Long, n_chars: Long, q: Double)
   case class PrefPairState(cands: List[PrefEntry])

@@ -614,6 +614,41 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming modal near-dup gate: standing certainty, modality isolation") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val docs = Tables.documents(spark, sfDir)
+    val standing = docs.filter($"doc_id" % 5 =!= 0)
+    val bloom = Multimodal.modalChunkBloom(standing)
+    val out = TickStream.modalNearDupDocsStream(
+      TickStream.docsStream(spark, sfDir), bloom)
+    runToMemory(out, "modal_gate")
+    val streamed = spark.table("modal_gate")
+    assert(streamed.count() == docs.count(), "stateless: one row per doc")
+    // no false negatives: every standing doc's own keys are in the
+    // bloom, so re-streaming it must flag
+    assert(streamed.filter($"doc_id" % 5 =!= 0 && !$"candidate_near_dup")
+      .count() == 0, "a standing payload failed to flag")
+    // fresh docs are not all flagged (the gate discriminates)
+    assert(streamed.filter($"doc_id" % 5 === 0 && !$"candidate_near_dup")
+      .count() > 0, "every fresh doc flagged — gate is vacuous")
+    // crafted certainty: identical payload + same modality flags;
+    // the SAME bytes under another modality do not collide (the
+    // modality-prefixed keys), nor does a disjoint payload
+    val st2 = Seq((3L, "standing payload body of words")).toDF("doc_id", "text")
+    val b2 = Multimodal.modalChunkBloom(st2) // doc 3 → image
+    val probed = TickStream.modalNearDupDocsStream(
+      Seq((0L, "standing payload body of words"), // image, identical
+        (1L, "standing payload body of words"), // audio, identical bytes
+        (6L, "entirely different content here")) // image, disjoint
+        .toDF("doc_id", "text"), b2)
+      .select("doc_id", "candidate_near_dup").as[(Long, Boolean)]
+      .collect().toMap
+    assert(probed(0L), "identical payload in-modality must flag (certainty)")
+    assert(!probed(1L), "identical bytes under another modality must not collide")
+    assert(!probed(6L), "disjoint payload flagged — check the key derivation")
+  }
+
   test("modalNearClusters resolves transitive chains and keeps the largest payload") {
     import spark.implicits._
     import graft.operators.Multimodal
