@@ -75,7 +75,7 @@ object ScaleProbe {
     // bucketed tile join is (a) wall clock growing far slower than
     // pairs² thanks to #dates·buckets² parallel tiles and (b) no
     // single straggler task. Universe = sf0.01's 150 symbols × k.
-    locally {
+    if (only.isEmpty || only("return_corr")) {
       val small = Tables.events(spark,
         dir.replace("sf0.1", "sf0.01"))
       for (k <- Seq(1, 5, 10).filter(_ <= replicas)) {
@@ -224,6 +224,16 @@ object ScaleProbe {
     // the scorecard composes four bounded constituents — must price
     // as their sum plus doc-keyed joins, never multiply them
     time("dedup_scorecard")(operators.Dedup.dedupScorecardDocs(bigDocs))
+    // round-13 perceptual multimodal tier: near-dup pairs must price
+    // as the simhash chunk join (replica copies collide as R²
+    // in-modality pairs per payload — same maximal-occupancy stress
+    // as dedup_edit but with the O(1) xor verify, so the line should
+    // sit far UNDER dedup_edit's); cluster resolution adds the
+    // component engine + one cluster window on top — it must track
+    // the pair line plus a bounded-closure increment, never square it
+    time("modal_dedup_near")(operators.Multimodal.modalDedupNearDocs(bigDocs))
+    time("modal_near_clusters")(
+      operators.Multimodal.modalNearClustersDocs(bigDocs))
 
     // ANN index families over a replicated embedding corpus (distinct
     // vec_ids per replica; probes stay the fixed vec_id < 5 set).
