@@ -215,7 +215,16 @@ object Multimodal {
   def modalDedupNear(spark: SparkSession, dir: String): DataFrame =
     modalDedupNearDocs(Tables.documents(spark, dir))
 
-  private[graft] def modalDedupNearDocs(docs: DataFrame): DataFrame = {
+  private[graft] def modalDedupNearDocs(docs: DataFrame): DataFrame =
+    modalNearPairsBase(docs).orderBy("modality", "doc_a", "doc_b")
+
+  /** Unordered pair kernel for internal composition — the trailing
+    * ORDER BY on [[modalDedupNearDocs]] is driver determinism only
+    * and would cost a useless global sort under the cluster
+    * resolution (the [[graft.operators.Dedup.embeddingPairsBase]]
+    * idiom).
+    */
+  private[graft] def modalNearPairsBase(docs: DataFrame): DataFrame = {
     val fp = modalFingerprints(docs)
     val chunked = fp.select(col("modality"), col("doc_id"), col("pfp"),
       posexplode(array((0 until 4).map { j =>
@@ -233,7 +242,6 @@ object Multimodal {
         bit_count(col("pfp").bitwiseXOR(col("b_pfp"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= ModalHammingMax)
-      .orderBy("modality", "doc_a", "doc_b")
   }
 
   /** GUARANTEED-RECALL gate over [[modalDedupNear]] (the
@@ -266,7 +274,7 @@ object Multimodal {
       .select(col("modality"), col("doc_id").as("doc_a"),
         col("b_id").as("doc_b"))
     val per = exact
-      .join(modalDedupNearDocs(docs), Seq("modality", "doc_a", "doc_b"),
+      .join(modalNearPairsBase(docs), Seq("modality", "doc_a", "doc_b"),
         "left")
       .groupBy("modality")
       .agg(count(lit(1)).as("n"),
@@ -308,7 +316,7 @@ object Multimodal {
 
   private[graft] def modalNearClustersDocs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pairs = modalDedupNearDocs(docs)
+    val pairs = modalNearPairsBase(docs)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val verts = docs.select(col("doc_id").as("id"))
     val labels = Dedup.connectedComponents(verts, pairs)
