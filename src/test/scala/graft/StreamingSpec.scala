@@ -683,6 +683,43 @@ class StreamingSpec extends SparkSuite {
     assert(got(1L)._1 == "audio" && got(1L)._2 == 1L && got(1L)._4)
   }
 
+  test("modal incremental fold equals from-scratch on a cross-split merge") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // two standing image clusters {0,3} and {6,9} (within-cluster
+    // near pairs), plus an ARRIVING doc 12 near BOTH 3 and 9 — the
+    // fold must merge the two standing clusters through the bridge
+    val base = Seq.tabulate(160)(i => s"mm$i").mkString(" ")
+    val v1 = base.replace(" mm30 ", " mm30a ")
+    val far = base.replace(" mm30 ", " mm30a ")
+      .replace(" mm80 ", " mm80b ").replace(" mm120 ", " mm120c ")
+    val bridge = far.replace(" mm80b ", " mm80 ") // between v1 and far
+    val other = Seq.tabulate(160)(i => s"zz${i * 5}w").mkString(" ")
+    val docs = Seq((0L, base), (3L, v1), (6L, far), (9L, bridge),
+      (12L, v1), (15L, other)).toDF("doc_id", "text")
+    val full = Multimodal.modalNearClustersDocs(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // the planted shape is real: one merged cluster over 0,3,6,9,12
+    assert(Set(0L, 3L, 6L, 9L, 12L).map(full) == Set(0L),
+      s"planted merge did not form: $full")
+    assert(full(15L) == 15L)
+    // fold with doc 12 (the bridge's twin) arriving AFTER the split:
+    // standing halves {0,3,6,9} resolve first, 12 merges them... the
+    // split at 10 keeps 12 and 15 arriving
+    val incr = Multimodal.modalNearClustersIncrementalDocs(docs, split = 10L)
+      .collect().map(_.toSeq).toSet
+    val scratch = Multimodal.modalNearClustersDocs(docs)
+      .collect().map(_.toSeq).toSet
+    assert(incr == scratch, "fold diverged from the from-scratch resolution")
+    // and the gate reads the equality on the driver corpus
+    val gate = Multimodal.modalIncrGate(spark, sfDir).collect().head
+    assert(gate.getAs[Long]("n_docs") ==
+      Tables.documents(spark, sfDir).count())
+    assert(gate.getAs[Long]("n_incr_minus_full") == 0L
+      && gate.getAs[Long]("n_full_minus_incr") == 0L
+      && gate.getAs[Boolean]("incr_equals_batch"))
+  }
+
   test("modalNearClusters gate: totality, masses, dup-pairs-clustered certainty") {
     import spark.implicits._
     import graft.operators.Multimodal
