@@ -469,6 +469,30 @@ object Forecast {
   private def sharedPLong(n: Int): Int =
     math.min(math.max(MaxP + MaxQ + 2, 4), n / 3)
 
+  /** Design matrix of the conditional-OLS ARMA(p, q) regression: row
+    * t carries the p AR lags of zc then the q MA lags of the stage-1
+    * residuals, target zc(t), rows starting where every lag exists.
+    * Shared by [[fitArma]] and [[arimaCheck]]'s gradient audit so the
+    * audited design cannot drift from the fitted one.
+    */
+  private def armaDesign(zc: Array[Double], resid: Array[Double],
+      start: Int, p: Int, q: Int): (Array[Array[Double]], Array[Double]) = {
+    val nRows = zc.length - start
+    val xs = new Array[Array[Double]](nRows)
+    val ys = new Array[Double](nRows)
+    var i = 0
+    while (i < nRows) {
+      val t = start + i
+      val row = new Array[Double](p + q)
+      var j = 0
+      while (j < p) { row(j) = zc(t - 1 - j); j += 1 }
+      while (j < p + q) { row(j) = resid(t - 1 - (j - p)); j += 1 }
+      xs(i) = row; ys(i) = zc(t)
+      i += 1
+    }
+    (xs, ys)
+  }
+
   /** Fit ARMA(p, q) on the centered (differenced) series by
     * conditional OLS with shared stage-1 residuals.
     */
@@ -483,19 +507,8 @@ object Forecast {
       return Some(ArmaCoef(n * math.log(math.max(rss / n, 1e-300)) + 2.0,
         Array(0.0), mean, rss / n))
     }
-    val nRows = zc.length - start
-    val xs = new Array[Array[Double]](nRows)
-    val ys = new Array[Double](nRows)
-    var i = 0
-    while (i < nRows) {
-      val t = start + i
-      val row = new Array[Double](p + q)
-      var j = 0
-      while (j < p) { row(j) = zc(t - 1 - j); j += 1 }
-      while (j < p + q) { row(j) = resid(t - 1 - (j - p)); j += 1 }
-      xs(i) = row; ys(i) = zc(t)
-      i += 1
-    }
+    val (xs, ys) = armaDesign(zc, resid, start, p, q)
+    val nRows = xs.length
     olsFit(xs, ys).map { w =>
       var rss = 0.0
       var k2 = 0
@@ -647,6 +660,180 @@ object Forecast {
     fitArma(zc, mean, resid, pLong, p, q)
       .map(c => forecastFromFit(prices, d, p, q, c, zc, resid, steps))
   }
+
+  private val arimaCheckSchema = StructType(Seq(
+    StructField("user_id", LongType), StructField("n_obs", LongType),
+    StructField("wn_f_d0", DoubleType), StructField("wn_f_d1", DoubleType),
+    StructField("wn_f_d2", DoubleType),
+    StructField("wn_band_ok", BooleanType),
+    StructField("normal_eq_ok", BooleanType)))
+
+  /** HALF-away-from-zero division of the exact rational a/b (b > 0) —
+    * the cross-engine-deterministic rounding both [[arimaCheck]] and
+    * its DuckDB oracle apply to the same integers, so the emitted
+    * 6-dp doubles are bit-identical by construction (the q_best_of_n
+    * scaled-integer lesson: a terminating rational mean WILL land on
+    * a round-tie eventually; never round a float twice).
+    */
+  private def halfUpDiv(a: Long, b: Long): Long =
+    if (a >= 0) (2 * a + b) / (2 * b) else -((2 * -a + b) / (2 * b))
+
+  /** VALUE-LEVEL CHECK for [[arimaForecast]] ([[linregCheck]]'s
+    * argument carried to the ARIMA pipeline — the round-13 close of
+    * the last structurally-ungraded query): the AIC winner's fitted
+    * coefficients are a solver output the oracle cannot recompute,
+    * but (a) the shared difference → center → fit → forecast →
+    * integrate → 95%-band pipeline IS SQL-recomputable on the grid's
+    * white-noise cells, and (b) the winner's defining first-order
+    * condition is TRUE-gradable. Per eligible symbol (the oracle
+    * independently recomputes eligibility, count ≥ 50 valid ticks,
+    * and n_obs from the raw events table):
+    *
+    *  - `wn_f_d{0,1,2}`: the one-step ARIMA(0, d, 0) level forecast
+    *    for every differencing level d ≤ 2, as an EXACT scaled-integer
+    *    closed form over the 2-dp tick cents (mean of the
+    *    d-differenced series integrated back from the level lasts —
+    *    for d ≤ 2 that telescopes to integer combinations of k₁, k₂,
+    *    k_{n−1}, k_n and Σk, [[halfUpDiv]]-rounded at 6 dp). The
+    *    oracle recomputes the same integers from the raw table, so a
+    *    regression in the validation predicate, the (ts, event_id)
+    *    series order, or the differencing/integration identities
+    *    breaks a byte-exact column — no float round-tie possible.
+    *  - `wn_band_ok`: the REAL [[arimaFixedOrder]] →
+    *    [[forecastFromFit]] pipeline (the same armaForecasts /
+    *    ψ-weight / level-integration code the AIC winner serves
+    *    through) reproduces, for all three d, the directly-computed
+    *    closed-form forecast AND the ± z·√var_pop 95% band to 1e-9
+    *    relative. Oracle: TRUE literal.
+    *  - `normal_eq_ok`: the actual grid winner's conditional-OLS
+    *    gradient vanishes — ‖Xᵀr‖∞ ≤ 10⁻⁶·max(1, ‖Xᵀy‖∞) on the
+    *    [[armaDesign]] the fit itself used (for a white-noise winner
+    *    the fit is the centering, so the condition degenerates to
+    *    |Σ zc| ≈ 0). Oracle: TRUE literal.
+    *
+    * Left ungraded after this gate: the winner's fitted φ/θ values —
+    * the same epistemic status as [[linregAutoreg]]'s coefficients,
+    * which are likewise optimality-gated rather than value-compared.
+    * Scale shape: identical to [[arimaForecast]] (one key-partitioned
+    * pass; per-key work bounded by the grid).
+    */
+  def arimaCheck(spark: SparkSession, dir: String): DataFrame =
+    perKey(spark, dir, arimaCheckSchema) { (user, ticks) =>
+      val prices = ticks.map(_._3).toArray
+      val n = prices.length
+      if (n < MinObservations) Iterator.empty
+      else {
+        val ks = prices.map(p => math.round(p * 100)) // exact 2-dp cents
+        val f0 = halfUpDiv(ks.sum * 10000L, n) / 1e6
+        val f1 = (halfUpDiv((ks(n - 1) - ks(0)) * 10000L, n - 1) +
+          ks(n - 1) * 10000L) / 1e6
+        val f2 = (halfUpDiv(
+          (ks(n - 1) - ks(n - 2) - ks(1) + ks(0)) * 10000L, n - 2) +
+          (2 * ks(n - 1) - ks(n - 2)) * 10000L) / 1e6
+        val bandOk = (0 to 2).forall { d =>
+          var series = prices
+          var i = 0
+          while (i < d) { series = diff(series); i += 1 }
+          val m = series.sum / series.length
+          val v = series.map(x => (x - m) * (x - m)).sum / series.length
+          val half = Z95 * math.sqrt(v)
+          // level integration of the centered mean forecast, d <= 2
+          val fExp = d match {
+            case 0 => m
+            case 1 => m + prices(n - 1)
+            case _ => m + 2 * prices(n - 1) - prices(n - 2)
+          }
+          arimaFixedOrder(prices, 0, d, 0) match {
+            case None => false
+            case Some(r) =>
+              def close(a: Double, b: Double) =
+                math.abs(a - b) <= 1e-9 * math.max(1.0, math.abs(b))
+              close(r.forecasts(0), fExp) && close(r.lower(0), fExp - half) &&
+                close(r.upper(0), fExp + half)
+          }
+        }
+        Iterator.single(Row(user, n.toLong, f0, f1, f2, bandOk,
+          winnerGradientOk(prices)))
+      }
+    }.orderBy("user_id")
+
+  /** The AIC winner's first-order optimality condition (see
+    * [[arimaCheck]]): re-derives the same d/mean/residual prep and
+    * grid as [[arimaFitSeries]], then audits the winning cell's
+    * gradient on the shared [[armaDesign]].
+    */
+  private def winnerGradientOk(prices: Array[Double]): Boolean = {
+    val (_, series) = chooseD(prices)
+    val mean = series.sum / series.length
+    val zc = series.map(_ - mean)
+    val pLong = sharedPLong(zc.length)
+    val resid = longArResiduals(zc, pLong).orNull
+    val fits = for {
+      p <- 0 to MaxP; q <- 0 to MaxQ
+      c <- fitArma(zc, mean, resid, pLong, p, q)
+    } yield (p, q, c)
+    if (fits.isEmpty) false
+    else {
+      val (p, q, c) = fits.minBy { case (fp, fq, fc) => (fc.aic, fp, fq) }
+      if (p + q == 0) {
+        math.abs(zc.sum) <= 1e-6 * math.max(1.0, zc.map(math.abs).max)
+      } else {
+        val start = math.max(p, q) + (if (q > 0) pLong else 0)
+        val (xs, ys) = armaDesign(zc, resid, start, p, q)
+        val k = p + q + 1
+        val g = new Array[Double](k)
+        val xty = new Array[Double](k)
+        var j = 0
+        while (j < xs.length) {
+          val r = predictRow(c.w, xs(j)) - ys(j)
+          g(0) += r; xty(0) += ys(j)
+          var a = 1
+          while (a < k) {
+            g(a) += xs(j)(a - 1) * r
+            xty(a) += xs(j)(a - 1) * ys(j)
+            a += 1
+          }
+          j += 1
+        }
+        val scale = math.max(1.0, xty.map(math.abs).max)
+        g.map(math.abs).max <= 1e-6 * scale
+      }
+    }
+  }
+
+  def arimaCheckSql: String =
+    """WITH v AS (
+      |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS k,
+      |    row_number() OVER w AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events
+      |  WHERE value IS NOT NULL AND value > 0 AND NOT isnan(value)
+      |    AND user_id IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), agg AS (
+      |  SELECT user_id, max(n) AS n, sum(k) AS sk,
+      |    max(CASE WHEN rn = 1 THEN k END) AS k1,
+      |    max(CASE WHEN rn = 2 THEN k END) AS k2,
+      |    max(CASE WHEN rn = n - 1 THEN k END) AS kp,
+      |    max(CASE WHEN rn = n THEN k END) AS kn
+      |  FROM v GROUP BY user_id HAVING max(n) >= 50
+      |), s AS (
+      |  SELECT user_id, n, sk * 10000 AS a0,
+      |    (kn - k1) * 10000 AS a1, (kn - kp - k2 + k1) * 10000 AS a2,
+      |    kn * 10000 AS c1, (2 * kn - kp) * 10000 AS c2
+      |  FROM agg
+      |)
+      |SELECT user_id, n::BIGINT AS n_obs,
+      |  (CASE WHEN a0 >= 0 THEN (2 * a0 + n) // (2 * n)
+      |        ELSE -((2 * -a0 + n) // (2 * n)) END)::DOUBLE / 1e6 AS wn_f_d0,
+      |  ((CASE WHEN a1 >= 0 THEN (2 * a1 + n - 1) // (2 * (n - 1))
+      |         ELSE -((2 * -a1 + n - 1) // (2 * (n - 1))) END)
+      |    + c1)::DOUBLE / 1e6 AS wn_f_d1,
+      |  ((CASE WHEN a2 >= 0 THEN (2 * a2 + n - 2) // (2 * (n - 2))
+      |         ELSE -((2 * -a2 + n - 2) // (2 * (n - 2))) END)
+      |    + c2)::DOUBLE / 1e6 AS wn_f_d2,
+      |  true AS wn_band_ok, true AS normal_eq_ok
+      |FROM s ORDER BY user_id""".stripMargin
 
   private def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
 

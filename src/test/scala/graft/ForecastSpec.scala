@@ -367,4 +367,37 @@ class ForecastSpec extends SparkSuite {
     assert(byUser(2L) == freshBy(2L) && byUser(3L) == freshBy(3L),
       "stale symbols must equal a from-scratch fit on the full history")
   }
+
+  test("arimaCheck: white-noise cells match a driver recompute; winner at the optimum") {
+    val series = graft.operators.Warehouse.validTicks(spark, sfDir)
+      .select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+      .map { case (u, g) => u -> g.sortBy(t => (t._2, t._3)).map(_._4) }
+    val eligible = series.filter(_._2.length >= 50)
+    val rows = Forecast.arimaCheck(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length == eligible.size,
+      s"one row per eligible symbol: got ${rows.length}, want ${eligible.size}")
+    rows.foreach { r =>
+      val prices = eligible(r.getLong(0))
+      assert(r.getLong(1) == prices.length)
+      assert(r.getBoolean(r.fieldIndex("normal_eq_ok")),
+        s"symbol ${r.getLong(0)} winner not at the normal-equation optimum")
+      assert(r.getBoolean(r.fieldIndex("wn_band_ok")),
+        s"symbol ${r.getLong(0)} pipeline diverged from the closed form")
+      // exact closed forms recomputed independently in plain doubles:
+      // the emitted scaled-integer values must sit within the 6-dp
+      // rounding unit of them
+      val m0 = prices.sum / prices.length
+      assert(math.abs(r.getDouble(r.fieldIndex("wn_f_d0")) - m0) < 1e-5)
+      val diffs = prices.sliding(2).map(p => p(1) - p(0)).toArray
+      val drift = diffs.sum / diffs.length
+      val f1 = prices.last + drift
+      assert(math.abs(r.getDouble(r.fieldIndex("wn_f_d1")) - f1) < 1e-5)
+      val d2 = diffs.sliding(2).map(p => p(1) - p(0)).toArray
+      val m2 = d2.sum / d2.length
+      val f2 = m2 + 2 * prices.last - prices(prices.length - 2)
+      assert(math.abs(r.getDouble(r.fieldIndex("wn_f_d2")) - f2) < 1e-5)
+    }
+  }
 }
