@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CharNgrams, MinHashShingles, PairCorr, SimHash64, VectorDot}
+import graft.functions.{CharNgrams, DeflateLen, MinHashShingles, PairCorr, SimHash64, VectorDot}
 import graft.plans.EmaStrategy
 
 /** SparkSessionExtensions entry point: registers graft's custom
@@ -44,6 +44,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
       (children: Seq[Expression]) => CharNgrams(children(0),
         intLiteral("char_ngrams")(children(1), "n"))))
+    extensions.injectFunction((
+      FunctionIdentifier("deflate_len"),
+      new ExpressionInfo(classOf[DeflateLen].getName, "deflate_len"),
+      (children: Seq[Expression]) => DeflateLen(children(0))))
     extensions.injectFunction((
       FunctionIdentifier("pair_corr"),
       new ExpressionInfo(classOf[PairCorr].getName, "pair_corr"),

@@ -4206,4 +4206,81 @@ object Curation {
       |  min_tokens, max_tokens,
       |  n_tokens::DOUBLE / n_docs AS mean_tokens
       |FROM per_source JOIN lt USING (source) ORDER BY source""".stripMargin
+
+  // --- compression-ratio quality tier (round 13) ---
+
+  /** Ratio below which a doc is LZ77-degenerate repetition. Set from
+    * the measured sf0.01 band (0.386–0.912, median 0.489): 0.40
+    * flags the bottom ~1.4% — template/boilerplate mass the n-gram
+    * heuristics undercount when the repeat unit is long or far apart.
+    */
+  private val CompressRepetitiveMax = 0.40
+
+  /** Ratio above which a doc is high-entropy noise (minified blobs,
+    * base64, binary-in-text): 0.85 flags the top ~1.5% measured.
+    */
+  private val CompressNoiseMin = 0.85
+
+  /** COMPRESSION-RATIO quality signal (round 13): deflate length /
+    * UTF-8 byte length per document via the native
+    * [[graft.functions.DeflateLen]] kernel — the classic curation
+    * complement to the fixed-width repetition heuristics
+    * ([[gopherNgramRep]], [[TextOps.charEntropy]]): LZ77 sees
+    * arbitrary-distance repeats up to its 32 KiB window, so a
+    * template filled twice 2 KiB apart halves the ratio while every
+    * n-gram stays unique. Flags are the measured-band outliers:
+    * `flag_repetitive` (< 0.40) and `flag_noise` (> 0.85).
+    *
+    * Rows-only by necessity (the oracle cannot deflate); the
+    * format-certainty half is hash-graded via [[compressGate]].
+    * Scale shape: a pure per-row projection — no shuffle, no state;
+    * the deflate kernel is thread-local-reused per partition.
+    */
+  def compressRatio(spark: SparkSession, dir: String): DataFrame =
+    compressRatioDocs(Tables.documents(spark, dir))
+
+  private[graft] def compressRatioDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
+        graft.functions.DeflateLen.deflateLen(col("text")).as("deflate_bytes"))
+      .withColumn("compress_ratio",
+        round(col("deflate_bytes").cast("double") /
+          greatest(col("n_bytes"), lit(1)).cast("double"), 6))
+      .withColumn("flag_repetitive", col("compress_ratio") < CompressRepetitiveMax)
+      .withColumn("flag_noise", col("compress_ratio") > CompressNoiseMin)
+      .orderBy("doc_id")
+
+  /** FORMAT-CERTAINTY gate over [[compressRatio]] (the
+    * q_dedup_minhash_recount pattern applied to a codec): the raw
+    * deflate lengths are engine-private, but two properties are
+    * certain and the oracle recomputes everything else from the raw
+    * table — (a) identical text ⇒ identical deflate length
+    * (`lens_equal`, per md5-fingerprint group, vs TRUE — a
+    * nondeterministic kernel, a threading bug in the thread-local
+    * reuse, or a lost reset() breaks it), and (b) every length obeys
+    * the codec's worst-case expansion bound n + n/8 + 64
+    * (`bound_ok` vs TRUE — a framing change or corrupt output
+    * breaks it). Group identity, doc counts, and byte lengths are
+    * byte-matched against the oracle's own md5/octet_length
+    * recompute, so the gate also proves the scan, the fingerprint,
+    * and the byte accounting.
+    */
+  def compressGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(md5(col("text").cast("binary")).as("fp"),
+        octet_length(col("text")).as("n_bytes"),
+        graft.functions.DeflateLen.deflateLen(col("text")).as("dl"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_bytes")).as("n_bytes"),
+        (countDistinct(col("dl")) === 1).as("lens_equal"),
+        (max(col("dl")) <= max(col("n_bytes") + col("n_bytes") / 8 + 64) &&
+          min(col("dl")) >= least(max(col("n_bytes")), lit(1))).as("bound_ok"))
+      .orderBy("fp")
+  }
+
+  def compressGateSql: String =
+    """SELECT md5(text) AS fp, count(*)::BIGINT AS n_docs,
+      |  max(strlen(text)) AS n_bytes,
+      |  true AS lens_equal, true AS bound_ok
+      |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin
 }

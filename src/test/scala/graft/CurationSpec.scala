@@ -1721,4 +1721,65 @@ class CurationSpec extends SparkSuite {
         s"$src mean_tokens")
     }
   }
+
+  test("deflate_len kernel equals java.util.zip on the corpus sample") {
+    import graft.functions.DeflateLen.deflateLen
+    val got = Tables.documents(spark, sfDir).limit(50)
+      .select(col("text"), deflateLen(col("text")).as("dl")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val bytes = r.getString(0).getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      d.end()
+      assert(r.getInt(1) == total, s"deflate_len ${r.getInt(1)} != ref $total")
+    }
+  }
+
+  test("compressRatio separates planted repetition from planted noise") {
+    import spark.implicits._
+    val unit = "the quick brown fox jumps over the lazy dog. "
+    // 300 chars: random printable tops out near log2(95)/8 = 0.82 of
+    // the byte length asymptotically, so the noise flag needs the
+    // short-doc regime where codec overhead pushes past it (the
+    // corpus' own >0.85 tail is exactly that shape)
+    val rnd = new scala.util.Random(7)
+    val noise = Iterator.continually(rnd.nextPrintableChar()).take(300).mkString
+    val docs = Seq(
+      (1L, unit * 50),            // one sentence repeated far past any n-gram width
+      (2L, noise),                // high-entropy printable noise
+      (3L, unit * 50),            // exact twin of 1: identical ratio expected
+      (4L, "")                    // empty doc must not divide by zero
+    ).toDF("doc_id", "text")
+    val r = Curation.compressRatioDocs(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1).getBoolean(r(1).fieldIndex("flag_repetitive")), "repeat must flag")
+    assert(!r(1).getBoolean(r(1).fieldIndex("flag_noise")))
+    assert(r(2).getBoolean(r(2).fieldIndex("flag_noise")), "noise must flag")
+    assert(!r(2).getBoolean(r(2).fieldIndex("flag_repetitive")))
+    assert(r(1).getDouble(r(1).fieldIndex("compress_ratio")) ==
+      r(3).getDouble(r(3).fieldIndex("compress_ratio")), "twins share the ratio")
+    assert(r(1).getDouble(r(1).fieldIndex("compress_ratio")) <
+      r(2).getDouble(r(2).fieldIndex("compress_ratio")))
+    assert(!r(4).isNullAt(r(4).fieldIndex("compress_ratio")))
+  }
+
+  test("compressGate: both certainty booleans hold and flags fire on the corpus") {
+    val gate = Curation.compressGate(spark, sfDir).collect()
+    assert(gate.nonEmpty)
+    gate.foreach { g =>
+      assert(g.getBoolean(g.fieldIndex("lens_equal")), s"${g.getString(0)} lens")
+      assert(g.getBoolean(g.fieldIndex("bound_ok")), s"${g.getString(0)} bound")
+    }
+    // the corpus band must exercise both outlier flags; sf0.001 is
+    // too small to guarantee tail mass, so pin the driver-parity sf
+    val flags = Curation.compressRatio(spark, "/root/testdata/sf0.01")
+      .agg(sum(col("flag_repetitive").cast("long")),
+        sum(col("flag_noise").cast("long"))).collect().head
+    assert(flags.getLong(0) > 0, "no repetitive-flag mass in the corpus")
+    assert(flags.getLong(1) > 0, "no noise-flag mass in the corpus")
+  }
 }
