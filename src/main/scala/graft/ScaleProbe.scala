@@ -215,6 +215,17 @@ object ScaleProbe {
     // windows (the benign regime — must track the narrow-scan floor)
     time("pref_pairs")(operators.Preference.prefPairsDocs(bigDocs))
     time("best_of_n")(operators.Preference.bestOfNDocs(bigDocs))
+    // round-13 tail: the deflate kernel is pure per-row work — the
+    // line must track the scan floor (any super-linearity would mean
+    // the thread-local Deflater reuse broke under task parallelism)
+    time("compress_ratio")(operators.Curation.compressRatioDocs(bigDocs))
+    // unigram encode with the model fitted ONCE on the base corpus
+    // (replicas repeat the same words, so the memo hit rate is the
+    // production regime; fit itself is vocab-scale driver work)
+    if (only.isEmpty || only("unigram_encode")) {
+      val uniModel = operators.Unigram.fitModelDocs(docs)
+      time("unigram_encode")(operators.Unigram.encodeDocsWith(bigDocs, uniModel))
+    }
     // edit dedup on the replicated corpus is its own stress case:
     // every replica repeats the text, so each prefix block holds all
     // R copies (≤ the 64 cap) and pairs/block grow as R² of

@@ -4237,8 +4237,13 @@ object Curation {
     * the deflate kernel is thread-local-reused per partition.
     */
   def compressRatio(spark: SparkSession, dir: String): DataFrame =
-    compressRatioDocs(Tables.documents(spark, dir))
+    compressRatioDocs(Tables.documents(spark, dir)).orderBy("doc_id")
 
+  /** The per-row projection itself — stateless and shuffle-free, so
+    * [[graft.streaming.TickStream.compressDocsStream]] reuses it
+    * verbatim inside a streaming pipeline (the gopherNarrowDocs
+    * composition discipline).
+    */
   private[graft] def compressRatioDocs(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
         graft.functions.DeflateLen.deflateLen(col("text")).as("deflate_bytes"))
@@ -4247,7 +4252,6 @@ object Curation {
           greatest(col("n_bytes"), lit(1)).cast("double"), 6))
       .withColumn("flag_repetitive", col("compress_ratio") < CompressRepetitiveMax)
       .withColumn("flag_noise", col("compress_ratio") > CompressNoiseMin)
-      .orderBy("doc_id")
 
   /** FORMAT-CERTAINTY gate over [[compressRatio]] (the
     * q_dedup_minhash_recount pattern applied to a codec): the raw

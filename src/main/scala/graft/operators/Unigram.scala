@@ -247,31 +247,31 @@ object Unigram {
     out.result()
   }
 
-  private def fitModel(spark: SparkSession, dir: String,
-      maxVocab: Int): (Model, Seq[(String, Long)]) = {
+  private[graft] def fitModelDocs(docs: DataFrame,
+      maxVocab: Int = 1 << 20): Model = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docs = graft.Tables.documents(spark, dir)
     val counts = Bpe.wordCounts(docs)
       .orderBy(col("cnt").desc, col("word"))
       .limit(maxVocab)
       .as[(String, Long)].collect().toSeq
       .sortBy { case (w, c) => (-c, w) }
-    (train(counts)._1, counts)
+    train(counts)._1
   }
 
-  /** End-to-end: fit the unigram model on the corpus, Viterbi-encode
-    * every document. Output mirrors [[Bpe.tokenizeDocs]]: piece count
-    * plus a bounded space-joined preview, and the mean piece
-    * log-probability (the sequence-level "naturalness" the unigram
-    * model adds over BPE — a doc of rare pieces scores low).
+  private def fitModel(spark: SparkSession, dir: String,
+      maxVocab: Int): Model =
+    fitModelDocs(graft.Tables.documents(spark, dir), maxVocab)
+
+  /** The encode leg alone over an arbitrary documents frame with an
+    * already-fitted model — the ScaleProbe surface (fit is
+    * vocab-scale driver work; the corpus-scale question is encode).
     */
-  def tokenizeDocs(spark: SparkSession, dir: String,
-      maxVocab: Int = 1 << 20): DataFrame = {
+  private[graft] def encodeDocsWith(docs: DataFrame, model: Model): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val (model, _) = fitModel(spark, dir, maxVocab)
     val modelB = spark.sparkContext.broadcast(model)
-    graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), TextOps.normalizedWords.as("words"))
+    docs.select(col("doc_id"), TextOps.normalizedWords.as("words"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val m = modelB.value
@@ -285,8 +285,18 @@ object Unigram {
         }
       }
       .toDF("doc_id", "n_pieces", "piece_preview", "mean_piece_logp")
-      .orderBy("doc_id")
   }
+
+  /** End-to-end: fit the unigram model on the corpus, Viterbi-encode
+    * every document. Output mirrors [[Bpe.tokenizeDocs]]: piece count
+    * plus a bounded space-joined preview, and the mean piece
+    * log-probability (the sequence-level "naturalness" the unigram
+    * model adds over BPE — a doc of rare pieces scores low).
+    */
+  def tokenizeDocs(spark: SparkSession, dir: String,
+      maxVocab: Int = 1 << 20): DataFrame =
+    encodeDocsWith(graft.Tables.documents(spark, dir),
+      fitModel(spark, dir, maxVocab)).orderBy("doc_id")
 
   /** ROUNDTRIP + OPTIMALITY gate for [[tokenizeDocs]]
     * ([[Bpe.bpeRoundtrip]]'s pattern plus a Viterbi leg): per doc the
@@ -303,7 +313,7 @@ object Unigram {
   def unigramGate(spark: SparkSession, dir: String,
       maxVocab: Int = 1 << 20): DataFrame = {
     import spark.implicits._
-    val (model, _) = fitModel(spark, dir, maxVocab)
+    val model = fitModel(spark, dir, maxVocab)
     val modelB = spark.sparkContext.broadcast(model)
     graft.Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.normalizedWords.as("words"))

@@ -414,6 +414,16 @@ object TickStream extends Serializable {
   def fullQualityDocsStream(docs: DataFrame): DataFrame =
     graft.operators.Curation.gopherChainDocs(docs)
 
+  /** Streaming dual of the compression-ratio quality signal
+    * ([[graft.operators.Curation.compressRatio]]): the native
+    * deflate_len projection is stateless and shuffle-free (the
+    * thread-local Deflater reuse works identically in a micro-batch
+    * task), so it composes into any stream stage. Verdicts equal the
+    * batch query exactly (spec-asserted).
+    */
+  def compressDocsStream(docs: DataFrame): DataFrame =
+    graft.operators.Curation.compressRatioDocs(docs)
+
   /** Streaming dual of the C4 line-cleaning verdicts
     * ([[graft.operators.Curation.c4Filters]]): the same per-row line
     * predicates and page gates as a stateless projection — no

@@ -1014,6 +1014,16 @@ class StreamingSpec extends SparkSuite {
     assert(survivors.distinct.length == survivors.length)
   }
 
+  test("streaming compression verdicts equal the batch ratio query") {
+    val out = TickStream.compressDocsStream(TickStream.docsStream(spark, sfDir))
+    runToMemory(out, "doc_compress")
+    val streamed = spark.table("doc_compress")
+    val batch = graft.operators.Curation.compressRatio(spark, sfDir)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    assert(streamed.exceptAll(batch).count() == 0)
+  }
+
   test("streaming gopher verdicts equal the batch quality filter") {
     val out = TickStream.qualityDocsStream(TickStream.docsStream(spark, sfDir))
     runToMemory(out, "doc_quality")
