@@ -557,6 +557,95 @@ object Multimodal {
       |  true AS all_exact_dups_flagged, true AS exact_dups_hamming_zero
       |FROM m LEFT JOIN d USING (modality) ORDER BY modality""".stripMargin
 
+  /** PER-MODALITY DEDUP SCORECARD (round 13 tail — the
+    * [[graft.operators.Dedup.dedupScorecard]] capstone discipline
+    * applied to the multimodal tier): one row per modality composing
+    * the full dedup stack — exact accounting plus
+    * consistency-certainty booleans over the perceptual frames.
+    * Every column is either recomputable by the oracle from the raw
+    * table (items, distinct payloads, exact-dup mass and ppm — the
+    * md5 tier is SQL-expressible) or a certainty the oracle grades
+    * as a TRUE literal:
+    *
+    *  - `near_covers_exact_ok`: every identical-payload group sits
+    *    in ONE near-dup cluster (identical bytes ⇒ identical
+    *    fingerprint ⇒ certain chunk collision ⇒ one component) —
+    *    the modalDedupNearGate certainty re-asserted at the
+    *    composed-frame level, so a drift between the pair kernel
+    *    and the cluster resolution breaks the hash.
+    *  - `canonical_totality_ok`: the cluster frame covers every doc
+    *    exactly once and elects exactly one canonical per cluster.
+    *  - `pairs_in_clusters_ok`: every surviving near-dup pair's
+    *    endpoints share a cluster label (pair frame ⊆ the closure
+    *    that consumed it).
+    *
+    * The perceptual pair/cluster MASSES stay on their own rows-only
+    * surfaces (q_modal_dedup_near / q_modal_near_clusters) — this
+    * scorecard grades the accounting and the cross-frame contracts.
+    * Scale shape: the md5 aggregate is map-side combined; the
+    * boolean legs reuse the bounded pair kernel and the shared
+    * components engine at the same price as the standalone queries.
+    */
+  def modalScorecard(spark: SparkSession, dir: String): DataFrame =
+    modalScorecardDocs(Tables.documents(spark, dir))
+
+  private[graft] def modalScorecardDocs(docs: DataFrame): DataFrame = {
+    val exact = docs.select(modalityOf(col("doc_id")).as("modality"),
+      md5(col("text").cast("binary")).as("fp"), col("doc_id"))
+    val clusters = modalNearClustersDocs(docs)
+      .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+    val acct = exact.groupBy("modality")
+      .agg(count(lit(1)).as("n_items"),
+        countDistinct(col("fp")).as("n_distinct"))
+      .withColumn("n_exact_dup", col("n_items") - col("n_distinct"))
+      .withColumn("exact_dup_ppm",
+        expr("n_exact_dup * 1000000L DIV n_items"))
+    val fpOk = exact.join(clusters.select("doc_id", "cluster_id"), "doc_id")
+      .groupBy("modality", "fp")
+      .agg(countDistinct(col("cluster_id")).as("ncl"))
+      .groupBy("modality")
+      .agg((max(col("ncl")) === 1).as("near_covers_exact_ok"))
+    val tot = exact.select(col("modality"), col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .groupBy("modality")
+      .agg((count(col("cluster_id")) === count(lit(1)) &&
+        sum(when(col("is_canonical"), 1L).otherwise(0L)) ===
+          countDistinct(col("cluster_id"))).as("canonical_totality_ok"))
+    val pc = modalNearPairsBase(docs)
+      .select(col("modality"), col("doc_a"), col("doc_b"))
+      .join(clusters.select(col("doc_id").as("doc_a"),
+        col("cluster_id").as("ca")), "doc_a")
+      .join(clusters.select(col("doc_id").as("doc_b"),
+        col("cluster_id").as("cb")), "doc_b")
+      .groupBy("modality")
+      .agg((sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)) === 0)
+        .as("pairs_in_clusters_ok"))
+    acct.join(fpOk, "modality")
+      .join(tot, "modality")
+      .join(pc, Seq("modality"), "left")
+      .select(col("modality"), col("n_items"), col("n_distinct"),
+        col("n_exact_dup"), col("exact_dup_ppm"),
+        col("near_covers_exact_ok"), col("canonical_totality_ok"),
+        coalesce(col("pairs_in_clusters_ok"), lit(true))
+          .as("pairs_in_clusters_ok"))
+      .orderBy("modality")
+  }
+
+  def modalScorecardSql: String =
+    """WITH f AS (
+      |  SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |    ELSE 'video' END AS modality, md5(text) AS fp
+      |  FROM documents
+      |)
+      |SELECT modality, count(*)::BIGINT AS n_items,
+      |  count(DISTINCT fp)::BIGINT AS n_distinct,
+      |  (count(*) - count(DISTINCT fp))::BIGINT AS n_exact_dup,
+      |  ((count(*) - count(DISTINCT fp)) * 1000000 // count(*))::BIGINT
+      |    AS exact_dup_ppm,
+      |  true AS near_covers_exact_ok, true AS canonical_totality_ok,
+      |  true AS pairs_in_clusters_ok
+      |FROM f GROUP BY 1 ORDER BY modality""".stripMargin
+
   /** Batched feature-extraction stub: the `mapInPandas` shape in
     * Scala — payloads iterate in fixed-size batches per partition so
     * a real encoder would run vectorized inference per batch with the

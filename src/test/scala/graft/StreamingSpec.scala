@@ -550,6 +550,37 @@ class StreamingSpec extends SparkSuite {
     assert(img == (3L, 2L, 1L, 12L * 2 + 6, 12L), s"got $img")
   }
 
+  test("modalScorecard: exact accounting + cross-frame certainties per modality") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    val rows = Multimodal.modalScorecard(spark, sfDir).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getAs[Long]("n_items")).sum ==
+      Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_exact_dup") ==
+        r.getAs[Long]("n_items") - r.getAs[Long]("n_distinct"))
+      assert(r.getAs[Long]("exact_dup_ppm") ==
+        r.getAs[Long]("n_exact_dup") * 1000000L / r.getAs[Long]("n_items"))
+      assert(r.getAs[Boolean]("near_covers_exact_ok"), s"$r")
+      assert(r.getAs[Boolean]("canonical_totality_ok"), s"$r")
+      assert(r.getAs[Boolean]("pairs_in_clusters_ok"), s"$r")
+    }
+    // crafted: docs 0/3/6 are 'image'; 0 and 3 share a payload (one
+    // exact dup), 6 is disjoint — accounting must read 3/2/1 and the
+    // certainties must hold on the planted twin
+    val crafted = Seq((0L, "twin payload body"), (3L, "twin payload body"),
+      (6L, Seq.tabulate(80)(i => s"z${i * 7}q").mkString(" ")),
+      (1L, "audio one"), (2L, "video one")).toDF("doc_id", "text")
+    val img = Multimodal.modalScorecardDocs(crafted).collect()
+      .find(_.getString(0) == "image").get
+    assert(img.getAs[Long]("n_items") == 3 && img.getAs[Long]("n_distinct") == 2
+      && img.getAs[Long]("n_exact_dup") == 1, s"$img")
+    assert(img.getAs[Boolean]("near_covers_exact_ok")
+      && img.getAs[Boolean]("canonical_totality_ok")
+      && img.getAs[Boolean]("pairs_in_clusters_ok"))
+  }
+
   test("modalDedupNear sees a perturbed payload exact md5 cannot") {
     import spark.implicits._
     import graft.operators.Multimodal
