@@ -715,7 +715,12 @@ object Forecast {
     * the same epistemic status as [[linregAutoreg]]'s coefficients,
     * which are likewise optimality-gated rather than value-compared.
     * Scale shape: identical to [[arimaForecast]] (one key-partitioned
-    * pass; per-key work bounded by the grid).
+    * pass; per-key work bounded by the grid). Integer envelope:
+    * [[halfUpDiv]] doubles `Σcents · 10⁴`, so the Long math is exact
+    * while a symbol's cent-sum stays under ~4.6e14 — ≈8 billion
+    * ticks per symbol at $56, three orders past any per-symbol
+    * series (the oracle's DuckDB sum is HUGEINT, so an overflow
+    * would break the hash loudly, not silently agree).
     */
   def arimaCheck(spark: SparkSession, dir: String): DataFrame =
     perKey(spark, dir, arimaCheckSchema) { (user, ticks) =>
