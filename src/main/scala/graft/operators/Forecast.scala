@@ -621,25 +621,45 @@ object Forecast {
     (d, series)
   }
 
+  /** The auto fit's shared prep: d by ADF, centering, stage-1
+    * residuals — ONE definition consumed by both [[arimaFitSeries]]
+    * and [[arimaCheck]]'s winner audit, so the audited series prep
+    * cannot drift from the served one.
+    */
+  private final case class ArimaPrep(d: Int, mean: Double,
+      zc: Array[Double], pLong: Int, resid: Array[Double])
+
+  private def prepSeries(prices: Array[Double]): ArimaPrep = {
+    val (d, series) = chooseD(prices)
+    val mean = series.sum / series.length
+    val zc = series.map(_ - mean)
+    val pLong = sharedPLong(zc.length)
+    ArimaPrep(d, mean, zc, pLong, longArResiduals(zc, pLong).orNull)
+  }
+
+  /** The AIC grid winner over the prepped series — likewise the ONE
+    * definition of grid bounds and tie-break (aic, p, q) shared by
+    * fit and audit (a bounds or tie-break change that touched only
+    * one copy would silently audit a different cell than is served).
+    */
+  private def gridWinner(pr: ArimaPrep): Option[(Int, Int, ArmaCoef)] = {
+    val fits = for {
+      p <- 0 to MaxP; q <- 0 to MaxQ
+      c <- fitArma(pr.zc, pr.mean, pr.resid, pr.pLong, p, q)
+    } yield (p, q, c)
+    if (fits.isEmpty) None
+    else Some(fits.minBy { case (fp, fq, fc) => (fc.aic, fp, fq) })
+  }
+
   /** Full auto fit: d by ADF, (p, q) by AIC over the reference grid
     * p,q ≤ 5, multi-step forecast + 95% interval.
     */
   private[graft] def arimaFitSeries(prices: Array[Double],
       steps: Int = Steps): Option[ArimaResult] = {
     if (prices.length < MinObservations) return None
-    val (d, series) = chooseD(prices)
-    val mean = series.sum / series.length
-    val zc = series.map(_ - mean)
-    val pLong = sharedPLong(zc.length)
-    val resid = longArResiduals(zc, pLong).orNull
-    val fits = for {
-      p <- 0 to MaxP; q <- 0 to MaxQ
-      c <- fitArma(zc, mean, resid, pLong, p, q)
-    } yield (p, q, c)
-    if (fits.isEmpty) None
-    else {
-      val (p, q, c) = fits.minBy { case (fp, fq, fc) => (fc.aic, fp, fq) }
-      Some(forecastFromFit(prices, d, p, q, c, zc, resid, steps))
+    val pr = prepSeries(prices)
+    gridWinner(pr).map { case (p, q, c) =>
+      forecastFromFit(prices, pr.d, p, q, c, pr.zc, pr.resid, steps)
     }
   }
 
@@ -768,41 +788,34 @@ object Forecast {
     * gradient on the shared [[armaDesign]].
     */
   private def winnerGradientOk(prices: Array[Double]): Boolean = {
-    val (_, series) = chooseD(prices)
-    val mean = series.sum / series.length
-    val zc = series.map(_ - mean)
-    val pLong = sharedPLong(zc.length)
-    val resid = longArResiduals(zc, pLong).orNull
-    val fits = for {
-      p <- 0 to MaxP; q <- 0 to MaxQ
-      c <- fitArma(zc, mean, resid, pLong, p, q)
-    } yield (p, q, c)
-    if (fits.isEmpty) false
-    else {
-      val (p, q, c) = fits.minBy { case (fp, fq, fc) => (fc.aic, fp, fq) }
-      if (p + q == 0) {
-        math.abs(zc.sum) <= 1e-6 * math.max(1.0, zc.map(math.abs).max)
-      } else {
-        val start = math.max(p, q) + (if (q > 0) pLong else 0)
-        val (xs, ys) = armaDesign(zc, resid, start, p, q)
-        val k = p + q + 1
-        val g = new Array[Double](k)
-        val xty = new Array[Double](k)
-        var j = 0
-        while (j < xs.length) {
-          val r = predictRow(c.w, xs(j)) - ys(j)
-          g(0) += r; xty(0) += ys(j)
-          var a = 1
-          while (a < k) {
-            g(a) += xs(j)(a - 1) * r
-            xty(a) += xs(j)(a - 1) * ys(j)
-            a += 1
+    val pr = prepSeries(prices)
+    val zc = pr.zc
+    gridWinner(pr) match {
+      case None => false
+      case Some((p, q, c)) =>
+        if (p + q == 0) {
+          math.abs(zc.sum) <= 1e-6 * math.max(1.0, zc.map(math.abs).max)
+        } else {
+          val start = math.max(p, q) + (if (q > 0) pr.pLong else 0)
+          val (xs, ys) = armaDesign(zc, pr.resid, start, p, q)
+          val k = p + q + 1
+          val g = new Array[Double](k)
+          val xty = new Array[Double](k)
+          var j = 0
+          while (j < xs.length) {
+            val r = predictRow(c.w, xs(j)) - ys(j)
+            g(0) += r; xty(0) += ys(j)
+            var a = 1
+            while (a < k) {
+              g(a) += xs(j)(a - 1) * r
+              xty(a) += xs(j)(a - 1) * ys(j)
+              a += 1
+            }
+            j += 1
           }
-          j += 1
+          val scale = math.max(1.0, xty.map(math.abs).max)
+          g.map(math.abs).max <= 1e-6 * scale
         }
-        val scale = math.max(1.0, xty.map(math.abs).max)
-        g.map(math.abs).max <= 1e-6 * scale
-      }
     }
   }
 

@@ -314,7 +314,15 @@ object Multimodal {
   def modalNearClusters(spark: SparkSession, dir: String): DataFrame =
     modalNearClustersDocs(Tables.documents(spark, dir))
 
-  private[graft] def modalNearClustersDocs(docs: DataFrame): DataFrame = {
+  private[graft] def modalNearClustersDocs(docs: DataFrame): DataFrame =
+    modalNearClustersBase(docs).orderBy("doc_id")
+
+  /** Unordered cluster resolution — the composition surface
+    * ([[modalScorecardDocs]] joins it three ways; a global sort
+    * under those joins would be planned work thrown away, the same
+    * split [[modalNearPairsBase]] documents for the pair frame).
+    */
+  private[graft] def modalNearClustersBase(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pairs = modalNearPairsBase(docs)
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -330,7 +338,6 @@ object Multimodal {
       .select(modalityOf(col("doc_id")).as("modality"), col("doc_id"),
         col("cluster_id"), col("canonical_id"), col("n_bytes"),
         (col("doc_id") === col("canonical_id")).as("is_canonical"))
-      .orderBy("doc_id")
   }
 
   /** [[modalNearClusters]] computed INCREMENTALLY — the ingestion
@@ -592,7 +599,7 @@ object Multimodal {
   private[graft] def modalScorecardDocs(docs: DataFrame): DataFrame = {
     val exact = docs.select(modalityOf(col("doc_id")).as("modality"),
       md5(col("text").cast("binary")).as("fp"), col("doc_id"))
-    val clusters = modalNearClustersDocs(docs)
+    val clusters = modalNearClustersBase(docs)
       .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
     val acct = exact.groupBy("modality")
       .agg(count(lit(1)).as("n_items"),
