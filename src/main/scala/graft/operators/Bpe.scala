@@ -151,6 +151,20 @@ object Bpe {
       .as[(String, Long)].collect().toSeq
       .sortBy { case (w, c) => (-c, w) } // deterministic train input order
     val merges = train(counts, numMerges)
+    encodeDocsWith(docs, merges).orderBy("doc_id")
+  }
+
+  /** The encode leg alone over an arbitrary documents frame with an
+    * already-learned merge table — shared by [[tokenizeDocs]] and
+    * the streaming dual
+    * [[graft.streaming.TickStream.bpeDocsStream]] (the standing
+    * merges are the batch training artifact; refitting is the batch
+    * job, exactly the curriculumScoreStream model contract).
+    */
+  private[graft] def encodeDocsWith(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val rankB = spark.sparkContext.broadcast(
       merges.zipWithIndex.map { case (p, r) => p -> r }.toMap)
     docs.select(col("doc_id"), wordsCol.as("words"))
@@ -165,7 +179,21 @@ object Bpe {
         }
       }
       .toDF("doc_id", "n_subwords", "subword_preview")
-      .orderBy("doc_id")
+  }
+
+  /** Learn the merge table alone (the [[tokenizeDocs]] training leg)
+    * — what a streaming pipeline fits offline and broadcasts.
+    */
+  private[graft] def trainOnDocs(docs: DataFrame, numMerges: Int = 64,
+      maxVocab: Int = 1 << 20): Seq[(String, String)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val counts = wordCounts(docs)
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(maxVocab)
+      .as[(String, Long)].collect().toSeq
+      .sortBy { case (w, c) => (-c, w) }
+    train(counts, numMerges)
   }
 
   /** ROUNDTRIP CHECK for [[tokenizeDocs]] (round-11 partial-oracle

@@ -414,6 +414,22 @@ object TickStream extends Serializable {
   def fullQualityDocsStream(docs: DataFrame): DataFrame =
     graft.operators.Curation.gopherChainDocs(docs)
 
+  /** Streaming ENCODE legs of the tokenizer tier — the model is the
+    * standing batch artifact passed in (the curriculumScoreStream
+    * contract: refitting is the batch job; a stream encodes against
+    * the published vocabulary), so both are stateless mapPartitions
+    * projections with the model broadcast once and reused across
+    * micro-batches. Outputs equal the batch queries exactly on the
+    * same model (spec-asserted).
+    */
+  def bpeDocsStream(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    graft.operators.Bpe.encodeDocsWith(docs, merges)
+
+  def unigramDocsStream(docs: DataFrame,
+      model: graft.operators.Unigram.Model): DataFrame =
+    graft.operators.Unigram.encodeDocsWith(docs, model)
+
   /** Streaming dual of the compression-ratio quality signal
     * ([[graft.operators.Curation.compressRatio]]): the native
     * deflate_len projection is stateless and shuffle-free (the

@@ -1045,6 +1045,27 @@ class StreamingSpec extends SparkSuite {
     assert(survivors.distinct.length == survivors.length)
   }
 
+  test("streaming tokenizer encodes equal the batch queries on the standing model") {
+    import graft.operators.{Bpe, Unigram}
+    val docs = Tables.documents(spark, sfDir)
+    val merges = Bpe.trainOnDocs(docs)
+    val outB = TickStream.bpeDocsStream(TickStream.docsStream(spark, sfDir), merges)
+    runToMemory(outB, "doc_bpe_stream")
+    val batchB = Bpe.tokenizeDocs(spark, sfDir)
+    val streamedB = spark.table("doc_bpe_stream")
+    assert(streamedB.count() == batchB.count() && streamedB.count() > 0)
+    assert(batchB.exceptAll(streamedB).count() == 0)
+    assert(streamedB.exceptAll(batchB).count() == 0)
+    val model = Unigram.fitModelDocs(docs)
+    val outU = TickStream.unigramDocsStream(TickStream.docsStream(spark, sfDir), model)
+    runToMemory(outU, "doc_unigram_stream")
+    val batchU = Unigram.tokenizeDocs(spark, sfDir)
+    val streamedU = spark.table("doc_unigram_stream")
+    assert(streamedU.count() == batchU.count())
+    assert(batchU.exceptAll(streamedU).count() == 0)
+    assert(streamedU.exceptAll(batchU).count() == 0)
+  }
+
   test("streaming compression verdicts equal the batch ratio query") {
     val out = TickStream.compressDocsStream(TickStream.docsStream(spark, sfDir))
     runToMemory(out, "doc_compress")
