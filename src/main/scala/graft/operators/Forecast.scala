@@ -695,7 +695,7 @@ object Forecast {
     * scaled-integer lesson: a terminating rational mean WILL land on
     * a round-tie eventually; never round a float twice).
     */
-  private def halfUpDiv(a: Long, b: Long): Long =
+  private[graft] def halfUpDiv(a: Long, b: Long): Long =
     if (a >= 0) (2 * a + b) / (2 * b) else -((2 * -a + b) / (2 * b))
 
   /** VALUE-LEVEL CHECK for [[arimaForecast]] ([[linregCheck]]'s

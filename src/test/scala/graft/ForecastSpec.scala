@@ -368,6 +368,19 @@ class ForecastSpec extends SparkSuite {
       "stale symbols must equal a from-scratch fit on the full history")
   }
 
+  test("halfUpDiv equals BigDecimal HALF_UP over a randomized sweep") {
+    val rnd = new scala.util.Random(13)
+    val cases = Seq((0L, 1L), (1L, 2L), (-1L, 2L), (3L, 2L), (-3L, 2L),
+      (5L, 10L), (-5L, 10L), (Long.MaxValue / 3, 7L)) ++
+      Seq.fill(5000)((rnd.nextLong() % 1000000000000L,
+        math.abs(rnd.nextLong() % 99999L) + 1L))
+    cases.foreach { case (a, b) =>
+      val want = BigDecimal(a)./(BigDecimal(b))
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+      assert(Forecast.halfUpDiv(a, b) == want, s"halfUpDiv($a, $b)")
+    }
+  }
+
   test("arimaCheck: white-noise cells match a driver recompute; winner at the optimum") {
     val series = graft.operators.Warehouse.validTicks(spark, sfDir)
       .select("user_id", "ts", "event_id", "value").collect()
