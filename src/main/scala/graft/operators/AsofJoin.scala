@@ -82,7 +82,6 @@ object AsofJoin {
         // rounding is identity on both engines
         round(col("ts").cast("double") - col("p_ts").cast("double"), 6)
           .as("secs_since_purchase"))
-      .orderBy("user_id", "event_id")
   }
 
   def viewToPurchaseSql: String =

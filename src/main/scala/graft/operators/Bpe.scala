@@ -151,7 +151,7 @@ object Bpe {
       .as[(String, Long)].collect().toSeq
       .sortBy { case (w, c) => (-c, w) } // deterministic train input order
     val merges = train(counts, numMerges)
-    encodeDocsWith(docs, merges).orderBy("doc_id")
+    encodeDocsWith(docs, merges)
   }
 
   /** The encode leg alone over an arbitrary documents frame with an
@@ -238,7 +238,6 @@ object Bpe {
         }
       }
       .toDF("doc_id", "n_words", "n_chars_norm", "roundtrip_ok")
-      .orderBy("doc_id")
   }
 
   def bpeRoundtripSql: String =

@@ -283,7 +283,6 @@ object Classifier {
       .withColumn("dsir_pctile", pctile(col("dsir_lpt"), qDsir))
       .withColumn("pctile_gap",
         abs(col("clf_pctile") - col("dsir_pctile")))
-      .orderBy("doc_id")
   }
 
   /** The registered query: fit on the 4/5 hash split, score EVERY
@@ -299,7 +298,6 @@ object Classifier {
     classifierScore(docs, model)
       .withColumn("is_holdout",
         pmod(xxhash64(col("doc_id")), lit(5L)) === 0L)
-      .orderBy("doc_id")
   }
 
   /** Separation floor for [[clfGate]] — mean target prob minus mean

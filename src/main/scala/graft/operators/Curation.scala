@@ -67,7 +67,6 @@ object Curation {
         dupFrac.as("dup_sentence_frac"),
         topFrac.as("top_word_frac"),
         (dupFrac <= DupSentenceMax && topFrac <= TopWordMax).as("keep_doc"))
-      .orderBy("doc_id")
   }
 
   /** The same Gopher verdicts as [[gopherFiltersDocs]] computed as a
@@ -242,7 +241,7 @@ object Curation {
     val keep = (TopNgramMax.map { case (n, t) => col(s"top_${n}gram_frac") <= t } ++
       DupNgramMax.map { case (n, t) => col(s"dup_${n}gram_frac") <= t })
       .reduce(_ && _)
-    fracs.withColumn("keep_doc", keep).orderBy("doc_id")
+    fracs.withColumn("keep_doc", keep)
   }
 
   def gopherNgramRepSql: String = {
@@ -339,7 +338,6 @@ object Curation {
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
         when(col("n_grams") > 0, expr("n_novel * 1000000 DIV n_grams"))
           .as("novelty_ppm"))
-      .orderBy("doc_id")
   }
 
   /** DuckDB dual of [[ngramNovelty]]: the decontamination tokenize +
@@ -414,7 +412,6 @@ object Curation {
     grams.filter(col("doc_id") >= EvalDocs)
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy("doc_id").agg(countDistinct(col("gram")).as("n_shared_ngrams"))
-      .orderBy("doc_id")
   }
 
   def decontaminateSql: String =
@@ -489,7 +486,6 @@ object Curation {
         coalesce(col("max_spread"), lit(0L)).as("max_spread"))
       .withColumn("synd_ppm", when(col("n_grams") > 0,
         expr("n_synd * 1000000 DIV n_grams")))
-      .orderBy("doc_id")
   }
 
   /** DuckDB dual of [[syndication]]: the shared normalization (the
@@ -577,7 +573,6 @@ object Curation {
         coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
       .withColumn("hit_ppm", when(col("n_grams") > 0,
         expr("n_hit * 1000000 DIV n_grams")))
-      .orderBy("doc_id")
   }
 
   /** DuckDB dual of [[evalContamination]]: same shared gram CTEs,
@@ -651,7 +646,6 @@ object Curation {
           .as("contam_ppm"))
       .withColumn("flagged",
         coalesce(col("contam_ppm") >= ContamPpmMax, lit(false)))
-      .orderBy("doc_id")
   }
 
   /** DuckDB dual of [[decontaminateFrac]]: the shared gram CTEs, the
@@ -705,7 +699,6 @@ object Curation {
     Tables.documents(spark, dir)
       .filter((col("doc_id") % 1000003L * lit(2654435761L)) % 1000 < rate)
       .select(col("doc_id"), col("lang"))
-      .orderBy("doc_id")
   }
 
   def stratifiedSampleSql: String = {
@@ -767,7 +760,6 @@ object Curation {
         when(col("tau").isNull, col("w"))
           .otherwise(greatest(col("w"), col("tau"))))
       .select("source", "rk", "doc_id", "w", "priority", "tau", "w_est")
-      .orderBy("source", "rk")
   }
 
   def weightedSampleSql: String =
@@ -822,7 +814,7 @@ object Curation {
     * inside a URL) count once per pattern on both engines.
     */
   def redactPiiDocs(spark: SparkSession, dir: String): DataFrame =
-    redactDocs(Tables.documents(spark, dir)).orderBy("doc_id")
+    redactDocs(Tables.documents(spark, dir))
 
   /** Unordered kernel — the streaming ingestion scrub serves THIS
     * (stateless per-row projection; the dir wrapper adds only the
@@ -885,7 +877,6 @@ object Curation {
       .withColumn("pii_per_mtok", expr(
         s"(${PiiPatterns.map(p => s"${p._1}_matches").mkString(" + ")})" +
           " * 1000000 DIV n_tokens"))
-      .orderBy("source")
   }
 
   def piiStatsSql: String = {
@@ -1027,7 +1018,6 @@ object Curation {
         expr("conv(substring(h, 1, 6), 16, 10)").cast("long") % numShards)
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col("doc_id"), col("shard"), col("pos"), col("h").as("sort_key"))
-      .orderBy("shard", "pos")
   }
 
   /** DuckDB dual of [[shardOrder]]: same md5 of the same seeded UTF-8
@@ -1065,7 +1055,6 @@ object Curation {
     docs
       .select(col("doc_id"),
         splitName(splitBucket(col("text").cast("binary"))).as("split"))
-      .orderBy("doc_id")
 
   def dataSplitSql: String =
     """SELECT doc_id,
@@ -1117,7 +1106,6 @@ object Curation {
       .join(repBucket, "canonical_id")
       .select(col("doc_id"), col("canonical_id"),
         splitName(col("b")).as("split"))
-      .orderBy("doc_id")
   }
 
   def dataSplitClusterSql: String =
@@ -1222,7 +1210,6 @@ object Curation {
           .as("exact_leaked_groups"),
         max(when(col("channel") === "cluster", col("leaked")))
           .as("cluster_leaked_clusters"))
-      .orderBy("strategy")
   }
 
   /** DuckDB dual of [[splitLeakage]]: same buckets off the same md5
@@ -1297,7 +1284,6 @@ object Curation {
       .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
         (col("sum_chars").cast("double") / col("n_docs").cast("double")).as("mean_chars"),
         (col("n_tokens").cast("double") / col("total_tokens").cast("double")).as("token_share"))
-      .orderBy("source")
   }
 
   def domainStatsSql: String =
@@ -1344,7 +1330,6 @@ object Curation {
         sum("n_tokens").over(Window.partitionBy("split")))
       .withColumn("token_share_ppm",
         expr("n_tokens * 1000000 DIV split_tokens"))
-      .orderBy("split", "source")
   }
 
   def splitStatsSql: String =
@@ -1395,7 +1380,6 @@ object Curation {
     docs.join(broadcast(mixtureRatesOf(docs)), Seq("source"))
       .filter(mixtureAccept(col("doc_id"), col("accept_ppm")))
       .select(col("doc_id"), col("source"), col("accept_ppm"))
-      .orderBy("doc_id")
   }
 
   /** Per-source acceptance rates (ppm) of the α = 0.5 temperature
@@ -1446,7 +1430,6 @@ object Curation {
     docs.join(broadcast(ratesByKey(docs, "cell")), Seq("cell"))
       .filter(mixtureAccept(col("doc_id"), col("accept_ppm")))
       .select(col("doc_id"), col("cell"), col("accept_ppm"))
-      .orderBy("doc_id")
   }
 
   /** TOPIC-MIX GATE (round-12 partial-oracle tier, the
@@ -1649,7 +1632,6 @@ object Curation {
         col("capped"), col("alloc_tokens"),
         round(col("alloc_tokens").cast("double")
           / col("n_tokens").cast("double"), 6).as("epochs"))
-      .orderBy("source")
   }
 
   def epochMixSql: String =
@@ -1751,7 +1733,6 @@ object Curation {
       .filter(col("rank") <= 5)
       .join(broadcast(stats), Seq("cell"))
       .select("cell", "n_docs", "mean_cos", "rank", "term", "score")
-      .orderBy("cell", "rank")
   }
 
   /** CLUSTER-CAPPED SAMPLING — the semantic-diversity cap next to
@@ -1781,7 +1762,6 @@ object Curation {
       .withColumn("cell_rank", row_number().over(w))
       .filter(col("cell_rank") <= cap)
       .select("cell", "doc_id", "cell_rank", "n_cell")
-      .orderBy("cell", "cell_rank")
   }
 
   /** CLUSTER PURITY — how well the quantizer's cells align with the
@@ -1824,7 +1804,6 @@ object Curation {
           " * ln(CAST(x.cnt AS DOUBLE) / CAST(n AS DOUBLE)))" +
           " * 1000000.0D, 0) / 1000000.0D"))
       .select("cell", "n", "n_labels", "top_label", "top_frac", "entropy")
-      .orderBy("cell")
   }
 
   /** Streaming mixture acceptance: batch-trained rates ride in as a
@@ -1877,7 +1856,7 @@ object Curation {
     * resolution) rather than serializing into one pass.
     */
   def curationPipeline(spark: SparkSession, dir: String): DataFrame =
-    curationPipelineBase(spark, dir).orderBy("doc_id")
+    curationPipelineBase(spark, dir)
 
   /** Unordered verdict kernel — [[curationFunnel]] aggregates it and
     * would pay the driver-determinism sort for nothing.
@@ -1934,7 +1913,6 @@ object Curation {
           |  3L, 'canonical',    s2, s2 - s3, s3, f3)
           |AS (stage_order, stage, n_in, n_removed, n_out, n_fail_uncond)
           |""".stripMargin)
-      .orderBy("stage_order")
 
   /** Shared DuckDB verdict CTE chain (exact window + gopher chain +
     * canonical closure joined to one `verdicts` table) — composed into
@@ -2038,7 +2016,6 @@ object Curation {
       .groupBy("doc_id")
       .agg(round(sum(col("tf") * col("logratio")), 6).as("log_weight"),
         sum("tf").as("n_tokens"))
-      .orderBy("doc_id")
   }
 
   def importanceWeightsSql: String =
@@ -2174,7 +2151,7 @@ object Curation {
     */
   def importanceWeightsHashed(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    hashedImportanceScore(docs, hashedImportanceModel(docs)).orderBy("doc_id")
+    hashedImportanceScore(docs, hashedImportanceModel(docs))
   }
 
   /** Pearson floor for [[dsirHashGate]] — hashing collapses the
@@ -2256,7 +2233,6 @@ object Curation {
       .orderBy(col("sample_key").desc, col("doc_id"))
       .limit(k)
       .select("doc_id", "sample_key", "n_tokens")
-      .orderBy("doc_id")
   }
 
   def dsirResampleSql: String =
@@ -2306,7 +2282,6 @@ object Curation {
         col("mean_word_len"), col("symbol_ratio"), col("bullet_frac"),
         col("ellipsis_frac"), col("alpha_frac"), col("n_stop"),
         col("keep_quality").as("keep_doc"))
-      .orderBy("doc_id")
 
   /** APPENDS the table-A1 quality signals + `keep_quality` verdict to
     * the input (all input columns survive) — the composable stage
@@ -2392,7 +2367,7 @@ object Curation {
     * narrow dual is spec-asserted equal on unique-doc_id input).
     */
   def gopherChain(spark: SparkSession, dir: String): DataFrame =
-    gopherChainDocs(Tables.documents(spark, dir)).orderBy("doc_id")
+    gopherChainDocs(Tables.documents(spark, dir))
 
   private[graft] def gopherChainDocs(docs: DataFrame): DataFrame =
     withQualitySignals(withRepetitionSignals(docs))
@@ -2482,7 +2457,6 @@ object Curation {
       .filter(col("rk") <= k)
       .select(col("source"), col("keep_doc"), col("rk"), col("doc_id"),
         substring(col("text"), 1, 80).as("snippet"))
-      .orderBy("source", "keep_doc", "rk")
   }
 
   def sampleInspectionSql: String =
@@ -2523,7 +2497,7 @@ object Curation {
     * ([[graft.streaming.TickStream]] serves it stateless).
     */
   def c4Filters(spark: SparkSession, dir: String): DataFrame =
-    c4FiltersDocs(Tables.documents(spark, dir)).orderBy("doc_id")
+    c4FiltersDocs(Tables.documents(spark, dir))
 
   private[graft] def c4FiltersDocs(docs: DataFrame): DataFrame =
     withC4Signals(docs)
@@ -2634,7 +2608,6 @@ object Curation {
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_kept"), lit("")).as("text_kept"))
-      .orderBy("doc_id")
   }
 
   def lineDedupSql: String =
@@ -2693,7 +2666,6 @@ object Curation {
         sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
       .withColumn("dup_span_frac",
         col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
-      .orderBy("doc_id")
   }
 
   def spanDedupSql: String =
@@ -2766,7 +2738,6 @@ object Curation {
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("text_kept"), lit("")).as("text_kept"))
-      .orderBy("doc_id")
   }
 
   def spanRemovalSql: String =
@@ -2920,7 +2891,6 @@ object Curation {
         (id, ws.length.toLong, removed, kept.toString)
       }
       .toDF("doc_id", "n_words", "n_removed", "text_kept")
-      .orderBy("doc_id")
   }
 
   /** FULL DuckDB dual of [[substringDedup]] (round-11: rows → SQL).
@@ -3167,7 +3137,6 @@ object Curation {
       budget)
       .select(col("doc_id"), col("n_tokens"), col("len"), col("truncated"),
         col("bin_id"), col("item_in_bin"), col("offset_in_bin"))
-      .orderBy("doc_id")
 
   /** The GROUPED histogram-packing kernel behind [[packBestFit]] and
     * [[modalBatches]] — items pack within their `grp` (bins never mix
@@ -3277,7 +3246,6 @@ object Curation {
         col("truncated"), col("bin_id").as("batch_id"),
         col("item_in_bin").as("item_in_batch"),
         col("offset_in_bin").as("offset_bytes"))
-      .orderBy("doc_id")
 
   /** BIN-ACCOUNTING RECOUNT over [[packBestFit]]'s output — the
     * packing's conservation and validity invariants as ONE hash-
@@ -3374,7 +3342,6 @@ object Curation {
         expr(s"(total_bytes + ${budget - 1}L) DIV ${budget}L")
           .as("min_batches_lb"),
         col("batches_within_budget"), col("offsets_ok"), col("slots_dense"))
-      .orderBy("modality")
   }
 
   def modalBatchesRecountSql: String =
@@ -3457,7 +3424,6 @@ object Curation {
           .stripMargin))
       .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
         col("n_masked"), col("n_spans"), col("corrupted"), col("target"))
-      .orderBy("doc_id")
   }
 
   def spanCorruptionSql: String = {
@@ -3529,7 +3495,7 @@ object Curation {
     * scans a filter-per-leg union would pay.
     */
   def ul2Mix(spark: SparkSession, dir: String): DataFrame =
-    ul2MixDocs(Tables.documents(spark, dir)).orderBy("doc_id")
+    ul2MixDocs(Tables.documents(spark, dir))
 
   /** Unordered kernel — the streaming dual serves THIS (stateless
     * per-row folds; the dir-level wrapper adds only the oracle
@@ -3690,7 +3656,7 @@ object Curation {
     * projection, zero exchanges, streaming-legal.
     */
   def fim(spark: SparkSession, dir: String): DataFrame =
-    fimDocs(Tables.documents(spark, dir)).orderBy("doc_id")
+    fimDocs(Tables.documents(spark, dir))
 
   /** Unordered kernel — the streaming dual serves THIS (a stateless
     * per-row projection; the dir-level wrapper adds only the oracle
@@ -3863,7 +3829,6 @@ object Curation {
       .select(col("doc_id"), col("n_tokens"), col("difficulty"), col("pos"),
         expr("(pos - 1) * 4 DIV n_docs + 1").as("phase"),
         col("oov_tokens"))
-      .orderBy("pos")
   }
 
   /** The standing VOCABULARY artifact the streaming curriculum
@@ -4058,7 +4023,6 @@ object Curation {
         coalesce(col("n_template"), lit(0L)).as("n_template"))
       .withColumn("boiler_ppm", when(col("n_grams") > 0,
         expr("n_template * 1000000 DIV n_grams")))
-      .orderBy("doc_id")
   }
 
   /** The standing TEMPLATE-GRAM artifact the streaming boilerplate
@@ -4171,7 +4135,6 @@ object Curation {
         col("min_tokens"), col("max_tokens"),
         (col("n_tokens").cast("double") / col("n_docs").cast("double"))
           .as("mean_tokens"))
-      .orderBy("source")
   }
 
   /** DuckDB dual of [[datasetCard]]: same tokenize, same md5-of-text
@@ -4237,7 +4200,7 @@ object Curation {
     * the deflate kernel is thread-local-reused per partition.
     */
   def compressRatio(spark: SparkSession, dir: String): DataFrame =
-    compressRatioDocs(Tables.documents(spark, dir)).orderBy("doc_id")
+    compressRatioDocs(Tables.documents(spark, dir))
 
   /** The per-row projection itself — stateless and shuffle-free, so
     * [[graft.streaming.TickStream.compressDocsStream]] reuses it
@@ -4279,7 +4242,6 @@ object Curation {
         (countDistinct(col("dl")) === 1).as("lens_equal"),
         (max(col("dl")) <= max(col("n_bytes") + col("n_bytes") / 8 + 64) &&
           min(col("dl")) >= least(max(col("n_bytes")), lit(1))).as("bound_ok"))
-      .orderBy("fp")
   }
 
   def compressGateSql: String =

@@ -28,7 +28,6 @@ object Dedup {
     docs
       .groupBy(md5(col("text").cast("binary")).as("text_hash"))
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-      .orderBy("keep_id")
 
   def exactSql: String =
     """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
@@ -77,7 +76,6 @@ object Dedup {
         greatest(col("card_a") + col("card_b") - col("card_union"), lit(0L)))
       .select("source_a", "source_b", "card_a", "card_b", "card_union",
         "inter_est")
-      .orderBy("source_a", "source_b")
   }
 
   /** SKETCH-vs-EXACT CHECK for [[sourceOverlapHll]] (round-11
@@ -131,7 +129,6 @@ object Dedup {
           <= greatest(lit(3.0),
             lit(0.05) * least(col("card_a_exact"), col("card_b_exact"))
               .cast("double"))).as("inter_ok"))
-      .orderBy("source_a", "source_b")
   }
 
   def sourceOverlapHllCheckSql: String =
@@ -176,7 +173,6 @@ object Dedup {
         col("doc_id").as("doc_a"), col("b_doc_id").as("doc_b"),
         round(size(array_intersect(col("shingles"), col("b_shingles"))).cast("double")
           / size(array_union(col("shingles"), col("b_shingles"))), 6).as("jaccard"))
-      .orderBy("doc_a")
   }
 
   def ngramJaccardSql: String =
@@ -251,7 +247,6 @@ object Dedup {
         coalesce(sum("nb"), lit(0L)).as("n_overcap_docs"))
     editDedupPairsDocs(docs)
       .crossJoin(broadcast(overcap))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** The bare pair frame (no excluded-mass ledger) — what the
@@ -410,7 +405,6 @@ object Dedup {
         expr("(2 * 1000000 * n_any + n_docs) DIV (2 * n_docs)"))
       .select("source", "n_docs", "n_exact", "n_edit", "n_subset",
         "n_line_heavy", "n_any", "dup_ppm")
-      .orderBy("source")
   }
 
   // the constituent SQL embeds via POST-stripMargin substitution: a
@@ -520,7 +514,6 @@ object Dedup {
       .withColumn("subset_dup",
         greatest(col("cont_a"), col("cont_b")) >= 0.8)
       .select("doc_a", "doc_b", "n_shared", "cont_a", "cont_b", "subset_dup")
-      .orderBy("doc_a", "doc_b")
   }
 
   def containmentSql: String =
@@ -621,7 +614,6 @@ object Dedup {
           .cast("double") / NumHashes).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** MINHASH CALIBRATION — the estimator-audit surface over
@@ -674,7 +666,6 @@ object Dedup {
           / size(array_union(col("sh_a"), col("sh_b"))), 6)
           .as("exact_jaccard"))
       .withColumn("err", round(col("est_jaccard") - col("exact_jaccard"), 6))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** [[minhashCalibration]]'s EXACT leg as its own SQL-oracled query:
@@ -702,7 +693,6 @@ object Dedup {
       .select(col("doc_id").as("doc_a"), col("doc_b"),
         round(size(array_intersect(col("sh"), col("sh_b"))).cast("double")
           / size(array_union(col("sh"), col("sh_b"))), 6).as("exact_jaccard"))
-      .orderBy("doc_a")
   }
 
   def minhashCalibrationExactSql: String =
@@ -749,7 +739,6 @@ object Dedup {
         bit_count(col("simhash").bitwiseXOR(col("b_simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 8)
-      .orderBy("doc_a", "doc_b")
   }
 
   /** Identical-text pairs (doc_a < doc_b) — the GUARANTEED-recall set
@@ -839,7 +828,6 @@ object Dedup {
   def embeddingDedup(spark: SparkSession, dir: String): DataFrame =
     embeddingPairsBase(spark, dir)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
-      .orderBy("a_id", "b_id")
 
   /** Unsorted/unrounded pair kernel for internal composition (the
     * trailing ORDER BY on [[embeddingDedup]] is driver determinism
@@ -850,7 +838,14 @@ object Dedup {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(dot(col("v"), col("v"))))
-    val a = e.toDF("a_id", "a_v", "a_norm")
+    // The corpus is one parquet file, so the nested-loop stream side
+    // would otherwise scan as a single task and the O(n²) dot-product
+    // work runs serially (measured: ~1 fat task). Round-robin the
+    // stream side across the session's parallelism first — the shuffle
+    // moves only n vectors, the n² compute then fans out.
+    val streamParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      .max(spark.sparkContext.defaultParallelism)
+    val a = e.toDF("a_id", "a_v", "a_norm").repartition(streamParts)
     val b = e.toDF("b_id", "b_v", "b_norm")
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("cos", dot(col("a_v"), col("b_v")) / (col("a_norm") * col("b_norm")))
@@ -871,7 +866,6 @@ object Dedup {
       radius: Int = 3): DataFrame =
     embeddingPairsLshBase(spark, dir, radius)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
-      .orderBy("a_id", "b_id")
 
   /** Unsorted/unrounded LSH pair kernel for internal composition
     * (mirrors [[embeddingPairsBase]] — the trailing ORDER BY on the
@@ -919,7 +913,6 @@ object Dedup {
       .filter(col("cos") >= 0.4)
       .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"),
         col("cell"))
-      .orderBy("a_id", "b_id")
   }
 
   /** Recall REGRESSION floors for [[embedDedupGate]] — deliberately
@@ -970,7 +963,7 @@ object Dedup {
           coalesce(col("n_hit").cast("double")
             / col("n_exact_pairs").cast("double") >= floor, lit(true))
             .as("recall_ok"))
-    }.reduce(_ unionByName _).orderBy("variant")
+    }.reduce(_ unionByName _)
   }
 
   def embedDedupGateSql: String = {
@@ -1105,7 +1098,6 @@ object Dedup {
       .groupBy("vec_id")
       .agg(round(max("cos"), 6).as("max_eval_cos"))
       .withColumn("contaminated", col("max_eval_cos") >= threshold)
-      .orderBy("vec_id")
   }
 
   def semanticDecontaminateSql: String =
@@ -1596,7 +1588,6 @@ object Dedup {
     updateComponents(standing, ids.filter(col("id") >= split), newPairs)
       .select(col("id").as("vec_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("keep"))
-      .orderBy("vec_id")
   }
 
   /** [[dedupCanonical]] computed INCREMENTALLY: the standing half's
@@ -1649,7 +1640,6 @@ object Dedup {
     val (labels, touched) = updateComponentsDetailed(standingLabels,
       ids.filter(col("id") >= split), newPairs)
     updateCanonical(standingCanon, labels, touched, scores)
-      .orderBy("doc_id")
   }
 
   /** Duplicate-CLUSTER resolution — the step that actually dedups a
@@ -1672,7 +1662,6 @@ object Dedup {
     connectedComponents(verts, pairs)
       .select(col("id").as("vec_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("keep"))
-      .orderBy("vec_id")
   }
 
   /** DuckDB dual of [[embeddingClusters]]: exact transitive closure by
@@ -1764,7 +1753,6 @@ object Dedup {
       .filter(col("negative_id") =!= col("cluster_id"))
       .select(col("vec_id").as("anchor_id"), col("positive_id"),
         col("negative_id"), col("cluster_id"), col("cluster_size"))
-      .orderBy("anchor_id")
   }
 
   /** [[tripletMine]]'s PRODUCTION dual — HARD negatives: instead of
@@ -1823,7 +1811,6 @@ object Dedup {
         col("cand_id").as("hard_negative_id"),
         round(col("cos"), 6).as("neg_cosine"),
         col("cluster_id"), col("cluster_size"))
-      .orderBy("anchor_id")
   }
 
   /** Coverage floor for [[tripletHardGate]] — radius-3 multiprobe
@@ -1926,7 +1913,6 @@ object Dedup {
     connectedComponents(verts, pairs)
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") === col("label")).as("keep"))
-      .orderBy("doc_id")
   }
 
   /** CLUSTER-SIZE DISTRIBUTION over the resolved near-dup components —
@@ -1962,7 +1948,6 @@ object Dedup {
         expr("size * n_clusters * 1000000 DIV total_docs").as("doc_ppm"),
         expr("(size - 1) * n_clusters * 1000000 DIV total_docs")
           .as("dup_ppm"))
-      .orderBy("size")
   }
 
   def clusterStatsSql: String =
@@ -2038,7 +2023,7 @@ object Dedup {
     */
   private def canonicalOf(clusters: DataFrame,
       scores: DataFrame): DataFrame =
-    canonicalOfBase(clusters, scores).orderBy("doc_id")
+    canonicalOfBase(clusters, scores)
 
   /** Unordered selection kernel (the trailing ORDER BY on the driver
     * queries is output determinism only — [[updateCanonical]]'s union
@@ -2152,7 +2137,6 @@ object Dedup {
         expr("na * (na - 1) DIV 2")).otherwise(col("na") * col("nb")))
       .groupBy("source_a", "source_b")
       .agg(sum("pairs").as("n_pairs"), count(lit(1)).as("n_clusters"))
-      .orderBy("source_a", "source_b")
   }
 
   /** DuckDB dual of [[sourceOverlap]]: the shared recursive closure,
@@ -2205,7 +2189,6 @@ object Dedup {
       .withColumn("candidate_dup",
         bloomHit(batch.sparkSession, fingerprintBloom(standing, fpp))(col("fingerprint")))
       .select("doc_id", "candidate_dup")
-      .orderBy("doc_id")
 
   /** TWO-TIER gate RESOLUTION — the query behind [[bloomGate]]'s
     * documented contract that false positives "route to the exact
@@ -2241,7 +2224,6 @@ object Dedup {
       .join(confirmed, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("hit"), lit(false)).as("confirmed_dup"))
-      .orderBy("doc_id")
   }
 
   def gateResolveSql: String =
@@ -2375,7 +2357,6 @@ object Dedup {
     batch
       .withColumn("candidate_near_dup", hit(col("sig")))
       .select("doc_id", "candidate_near_dup")
-      .orderBy("doc_id")
   }
 
   /** Build the standing tier's band-key Bloom — the compaction

@@ -64,7 +64,7 @@ object ErrorLedger {
     * first — what an operator pages through to triage failed inserts.
     */
   def ingestionErrors(spark: SparkSession, dir: String): DataFrame =
-    ingestionErrorsOf(Tables.events(spark, dir)).orderBy("event_id")
+    ingestionErrorsOf(Tables.events(spark, dir))
 
   def ingestionErrorsSql: String =
     s"""SELECT event_id, ts AS created_at, user_id,
@@ -93,7 +93,6 @@ object ErrorLedger {
         count_distinct(col("user_id")).as("n_companies"),
         min("event_id").as("first_event_id"),
         max("event_id").as("last_event_id"))
-      .orderBy("component_name", "error_type")
 
   /** LEDGER-DRIVEN REPLAY — the operational loop the reference's
     * `resolved` flag exists for (ingestion_errors.resolved + the

@@ -46,7 +46,6 @@ object Forecast {
         round(regr_slope(col("value"), col("t_days")), 6).as("slope_per_day"),
         round(regr_intercept(col("value"), col("t_days")), 6).as("intercept"),
         round(regr_r2(col("value"), col("t_days")), 6).as("r2"))
-      .orderBy("user_id")
   }
 
   def linregTrendSql: String =
@@ -124,9 +123,18 @@ object Forecast {
   private def perKeyTicks(ticks: DataFrame, schema: StructType)(
       fn: (Long, ArrayBuffer[(Long, java.sql.Timestamp, Double)]) => Iterator[Row]): DataFrame = {
     val spark = ticks.sparkSession
+    // Explicit partition count: the fit stage is CPU-bound (per-key AIC
+    // grids) over a few KB of rows per key, and AQE's bytes-based
+    // coalescing would fold ~1500 key runs into a handful of tasks
+    // (measured: ~5 tasks carrying 2.5 s of compute on a 32-core box).
+    // Pinning the count to the session's shuffle parallelism keeps the
+    // exchange byte-shape identical while stopping the coalesce; the
+    // value tracks cluster sizing (conf), not a local constant.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      .max(spark.sparkContext.defaultParallelism)
     val in = ticks
       .select("user_id", "event_id", "ts", "value")
-      .repartition(col("user_id"))
+      .repartition(parts, col("user_id"))
       .sortWithinPartitions("user_id", "ts", "event_id")
     val rdd = in.rdd.mapPartitions { it =>
       new Iterator[Row] {
@@ -170,7 +178,7 @@ object Forecast {
     * then emit a prediction per window like batch_predict.
     */
   def linregAutoreg(spark: SparkSession, dir: String): DataFrame =
-    linregAutoregBase(spark, dir).orderBy("user_id", "event_id")
+    linregAutoregBase(spark, dir)
 
   private val linregCheckSchema = StructType(Seq(
     StructField("user_id", LongType), StructField("n_train", LongType),
@@ -224,7 +232,7 @@ object Forecast {
         }
         Iterator.single(Row(user, xs.length.toLong, ok))
       }
-    }.orderBy("user_id")
+    }
 
   def linregCheckSql: String =
     s"""SELECT user_id, count(*)::BIGINT - ${WindowSize + 1} AS n_train,
@@ -296,7 +304,6 @@ object Forecast {
       linregReg: DataFrame): DataFrame =
     registryServeSurface(arimaRegistry)
       .unionByName(linregServeSurface(linregReg))
-      .orderBy("user_id", "model_type")
 
   private val arimaSchema = StructType(
     Seq(
@@ -780,7 +787,7 @@ object Forecast {
         Iterator.single(Row(user, n.toLong, f0, f1, f2, bandOk,
           winnerGradientOk(prices)))
       }
-    }.orderBy("user_id")
+    }
 
   /** The AIC winner's first-order optimality condition (see
     * [[arimaCheck]]): re-derives the same d/mean/residual prep and
@@ -901,7 +908,6 @@ object Forecast {
         expr(sr.format("states_f.l")).as("level"),
         expr(sr.format("states_f.b")).as("trend"),
         expr(sr.format("(states_f.l + states_f.b)")).as("fcst_next"))
-      .orderBy("user_id", "trade_date")
   }
 
   def holtForecastSql: String =
@@ -1006,7 +1012,6 @@ object Forecast {
         expr(sr.format("states_f.u5")).as("season"),
         expr(sr.format("(states_f.l + states_f.b + states_f.u1)"))
           .as("fcst_next"))
-      .orderBy("user_id", "trade_date")
   }
 
   def holtWintersSql: String = {
@@ -1062,7 +1067,7 @@ object Forecast {
     * that the dashboard's fetch_arima_forecasts displays).
     */
   def arimaForecast(spark: SparkSession, dir: String): DataFrame =
-    arimaForecastBase(spark, dir).orderBy("user_id")
+    arimaForecastBase(spark, dir)
 
   /** Unordered internal variant (no driver-output ORDER BY). */
   private[operators] def arimaForecastBase(spark: SparkSession, dir: String): DataFrame =
@@ -1466,7 +1471,6 @@ object Forecast {
         round(col("train_mse"), 4).as("train_mse"),
         round(linregServedPrice, 4).as("predicted_price"),
         col("trained_at"))
-      .orderBy("user_id")
 
   /** Registry summary surface (no array columns — the driver query):
     * what models exist, their orders, fit quality, freshness.
@@ -1477,7 +1481,6 @@ object Forecast {
         round(col("aic"), 4).as("aic"),
         round(col("sigma2"), 8).as("sigma2"),
         col("last_price"), col("trained_at"))
-      .orderBy("user_id")
 
   private val BacktestN = 20
 
@@ -1497,7 +1500,6 @@ object Forecast {
     */
   def forecastAccuracy(spark: SparkSession, dir: String): DataFrame =
     forecastAccuracyTicks(Warehouse.validTicks(spark, dir))
-      .orderBy("user_id")
 
   private[graft] def forecastAccuracyTicks(ticksIn: DataFrame): DataFrame =
     perKeyTicks(ticksIn, accuracySchema) { (user, ticks) =>
@@ -1552,7 +1554,6 @@ object Forecast {
       .agg(count(lit(1)).as("data_points"),
         min("ts").as("earliest"), max("ts").as("latest"))
       .withColumn("trainable", col("data_points") >= minPoints)
-      .orderBy(col("data_points").desc, col("user_id"))
   }
 
   def modelReadinessSql: String =

@@ -71,30 +71,25 @@ object Indicators {
     base(spark, dir).select(tickCols :+
       round(guard(20, col("sma20_raw")), 4).as("sma_20") :+
       round(guard(50, col("sma50_raw")), 4).as("sma_50"): _*)
-      .orderBy("user_id", "event_id")
 
   def rsi(spark: SparkSession, dir: String): DataFrame =
     base(spark, dir).select(tickCols :+
       round(rsiCol, 4).as("rsi_14"): _*)
-      .orderBy("user_id", "event_id")
 
   def bollinger(spark: SparkSession, dir: String): DataFrame =
     base(spark, dir).select(tickCols :+
       round(guard(20, col("sma20_raw") + lit(2.0) * col("std20")), 4).as("bb_upper") :+
       round(guard(20, col("sma20_raw")), 4).as("bb_middle") :+
       round(guard(20, col("sma20_raw") - lit(2.0) * col("std20")), 4).as("bb_lower"): _*)
-      .orderBy("user_id", "event_id")
 
   def volatility(spark: SparkSession, dir: String): DataFrame =
     base(spark, dir).select(tickCols :+
       round(guard(21, col("vol_raw")), 4).as("volatility"): _*)
-      .orderBy("user_id", "event_id")
 
   def priceChange(spark: SparkSession, dir: String): DataFrame =
     base(spark, dir).select(tickCols :+
       round(guard(2, col("delta") / (col("value") - col("delta")) * 100.0), 6)
         .as("price_change_percent"): _*)
-      .orderBy("user_id", "event_id")
 
   /** EMA via the O(history) single-pass recurrence ([[Recurrence]] /
     * the custom EmaAppend operator) — one hash partition by key, O(1)
@@ -111,7 +106,6 @@ object Indicators {
       .select(tickCols :+
         round(col("ema_12_raw"), 6).as("ema_12") :+
         round(col("ema_26_raw"), 6).as("ema_26"): _*)
-      .orderBy("user_id", "event_id")
 
   def macd(spark: SparkSession, dir: String): DataFrame =
     Recurrence.withEmaMacd(Warehouse.validTicks(spark, dir)
@@ -120,7 +114,6 @@ object Indicators {
         round(col("macd_raw"), 6).as("macd") :+
         round(col("macd_signal_raw"), 6).as("macd_signal") :+
         col("macd_histogram_raw").as("macd_histogram"): _*)
-      .orderBy("user_id", "event_id")
 
   /** The flagship wide analytics row — one row per tick with every
     * indicator, mirroring the stock_analytics insert
@@ -129,7 +122,7 @@ object Indicators {
     * window pass (zero extra shuffle — see [[Recurrence.withEmaMacd]]).
     */
   def analyticsFull(spark: SparkSession, dir: String): DataFrame =
-    analyticsFullBase(spark, dir).orderBy("user_id", "event_id")
+    analyticsFullBase(spark, dir)
 
   private def analyticsFullBase(spark: SparkSession, dir: String): DataFrame = {
     val windowed = base(spark, dir)
@@ -180,7 +173,6 @@ object Indicators {
     analyticsFull(spark, dir)
       .filter(!(col("rsi_14").isNotNull && (col("rsi_14") === 100.0 || col("rsi_14") === 0.0)) &&
         !(col("volatility").isNotNull && col("volatility") === 0.0))
-      .orderBy("user_id", "event_id")
 
   /** Threshold alerts (analytics_consumer.py:226-268): RSI overbought
     * >70 / oversold <30 (HIGH), volatility >0.05 (MEDIUM).
@@ -209,7 +201,7 @@ object Indicators {
   }
 
   def alerts(spark: SparkSession, dir: String): DataFrame =
-    alertsBase(spark, dir).orderBy("user_id", "event_id", "alert_type")
+    alertsBase(spark, dir)
 
   /** Recent-alerts feed (dashboard fetch_alerts, app.py:121-144):
     * newest `limit` alerts first, enriched with the broadcast symbol
@@ -236,7 +228,6 @@ object Indicators {
     analyticsFull(spark, dir)
       .withColumn("rn2", row_number().over(w))
       .filter(col("rn2") === 1).drop("rn2")
-      .orderBy("user_id")
   }
 
   /** Daily analytics rollup — the daily_analytics_summary
@@ -265,7 +256,6 @@ object Indicators {
       .select(col("user_id"), col("trade_date"), col("c_name"), col("c_mktsegment"),
         col("avg_price"), col("max_price"), col("min_price"),
         col("avg_rsi"), col("avg_volatility"), col("data_points"))
-      .orderBy("user_id", "trade_date")
   }
 
   // ---------------------------------------------------------------- oracle SQL

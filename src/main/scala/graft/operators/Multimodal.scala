@@ -65,7 +65,7 @@ object Multimodal {
         Row(docId, modality, payload.length.toLong, w, h, frames)
       }
     }
-    spark.createDataFrame(rdd, metaSchema).orderBy("doc_id")
+    spark.createDataFrame(rdd, metaSchema)
   }
 
   /** The stub derives metadata deterministically from byte length and
@@ -96,7 +96,6 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
         expr("width * 224 div greatest(width, height)").as("out_w"),
         expr("height * 224 div greatest(width, height)").as("out_h"))
-      .orderBy("doc_id", "frame_idx")
 
   def frameSampleSql: String =
     """WITH m AS (
@@ -141,7 +140,6 @@ object Multimodal {
         sum(col("cnt") - 1).as("n_dupes"),
         sum(col("cnt") * col("bytes")).as("bytes_total"),
         sum((col("cnt") - 1) * col("bytes")).as("bytes_dupe"))
-      .orderBy("modality")
 
   def modalDedupSql: String =
     """WITH f AS (
@@ -216,7 +214,7 @@ object Multimodal {
     modalDedupNearDocs(Tables.documents(spark, dir))
 
   private[graft] def modalDedupNearDocs(docs: DataFrame): DataFrame =
-    modalNearPairsBase(docs).orderBy("modality", "doc_a", "doc_b")
+    modalNearPairsBase(docs)
 
   /** Unordered pair kernel for internal composition — the trailing
     * ORDER BY on [[modalDedupNearDocs]] is driver determinism only
@@ -286,7 +284,6 @@ object Multimodal {
         coalesce(col("n"), lit(0L)).as("n_exact_dup_pairs"),
         coalesce(col("f"), lit(true)).as("all_exact_dups_flagged"),
         coalesce(col("z"), lit(true)).as("exact_dups_hamming_zero"))
-      .orderBy("modality")
   }
 
   /** NEAR-DUP CLUSTER RESOLUTION + canonical selection for the
@@ -315,7 +312,7 @@ object Multimodal {
     modalNearClustersDocs(Tables.documents(spark, dir))
 
   private[graft] def modalNearClustersDocs(docs: DataFrame): DataFrame =
-    modalNearClustersBase(docs).orderBy("doc_id")
+    modalNearClustersBase(docs)
 
   /** Unordered cluster resolution — the composition surface
     * ([[modalScorecardDocs]] joins it three ways; a global sort
@@ -383,7 +380,6 @@ object Multimodal {
       .select(modalityOf(col("doc_id")).as("modality"), col("doc_id"),
         col("cluster_id"), col("canonical_id"), col("n_bytes"),
         (col("doc_id") === col("canonical_id")).as("is_canonical"))
-      .orderBy("doc_id")
   }
 
   /** INCREMENTAL-EQUALS-BATCH gate over
@@ -522,7 +518,6 @@ object Multimodal {
         coalesce(col("n_dup_groups"), lit(0L)).as("n_dup_groups"),
         coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
         coalesce(col("clustered"), lit(true)).as("dup_pairs_clustered"))
-      .orderBy("modality")
   }
 
   def modalNearClustersGateSql: String =
@@ -635,7 +630,6 @@ object Multimodal {
         col("near_covers_exact_ok"), col("canonical_totality_ok"),
         coalesce(col("pairs_in_clusters_ok"), lit(true))
           .as("pairs_in_clusters_ok"))
-      .orderBy("modality")
   }
 
   def modalScorecardSql: String =
@@ -688,7 +682,7 @@ object Multimodal {
         }
       }
     }
-    spark.createDataFrame(rdd, outSchema).orderBy("doc_id")
+    spark.createDataFrame(rdd, outSchema)
   }
 
   /** The byte-histogram stub in SQL: bucket b's count is the number of

@@ -134,7 +134,6 @@ object PerfLedger {
       .withColumn("rows_per_sec",
         when(col("total_ms") > 0,
           round(col("total_rows") / (col("total_ms") / 1000.0), 1)))
-      .orderBy("component_name")
 
   /** Registered surface: instrument three real pipeline legs (the
     * validation gate, the daily OHLC rollup, the alert scan) exactly
@@ -163,7 +162,6 @@ object PerfLedger {
   def perfRollupGate(spark: SparkSession, dir: String): DataFrame =
     perfRollup(spark, dir)
       .select("component_name", "n_batches", "total_rows", "total_errors")
-      .orderBy("component_name")
 
   def perfRollupGateSql: String =
     s"""SELECT 'alerts' AS component_name, 1::BIGINT AS n_batches,

@@ -93,7 +93,6 @@ object Preference {
       .withColumn("accepted", col("margin") >= PrefMinMargin)
       .select("source", "chosen_id", "rejected_id", "chosen_q", "rejected_q",
         "margin", "chosen_chars", "rejected_chars", "accepted")
-      .orderBy("source", "chosen_id")
   }
 
   /** The pair SELECT without its driver-determinism ORDER BY —
@@ -166,7 +165,6 @@ object Preference {
         expr("(2 * m8 + n_pairs) DIV (2 * n_pairs)").cast("double") / 1e8)
       .select("source", "n_pairs", "mean_margin", "len_bias_rate",
         "mean_chosen_chars", "mean_rejected_chars")
-      .orderBy("source")
 
   def prefStatsSql: String =
     s"""WITH p AS (
@@ -241,7 +239,6 @@ object Preference {
       .select("source", "len_bucket", "chosen_id", "rejected_id",
         "chosen_q", "rejected_q", "margin", "chosen_chars",
         "rejected_chars", "accepted")
-      .orderBy("chosen_id")
   }
 
   private val prefPairsMatchedSelect: String =
@@ -346,7 +343,6 @@ object Preference {
           round(col("best_q") - col("second_q"), 8)))
       .select("group_id", "n_cands", "best_id", "best_q", "second_q",
         "sel_margin", "mean_q")
-      .orderBy("group_id")
   }
 
   def bestOfNSql: String =

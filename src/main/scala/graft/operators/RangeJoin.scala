@@ -56,7 +56,6 @@ object RangeJoin {
         col("e_event_id"), col("e_ts"),
         round(col("e_ts").cast("double") - col("ts").cast("double"), 6)
           .as("secs_after"))
-      .orderBy("user_id", "event_id", "e_event_id")
   }
 
   def purchaseErrorsSql: String =

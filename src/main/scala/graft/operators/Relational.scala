@@ -42,7 +42,6 @@ object Relational {
         (round(sum("l_extendedprice"), 4) / count(lit(1))).as("avg_price"),
         (round(sum("l_discount"), 4) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
   }
 
   def q1AggSql: String =
@@ -115,7 +114,6 @@ object Relational {
       .agg(
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
         count(lit(1)).as("n_items"))
-      .orderBy("r_name", "n_name")
   }
 
   def q5MultiJoinSql: String =

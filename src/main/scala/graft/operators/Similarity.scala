@@ -83,7 +83,6 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
-      .orderBy("probe_id", "rank")
   }
 
   /** kNN LABEL CLASSIFICATION — similarity search put to work: a
@@ -135,7 +134,6 @@ object Similarity {
       .select(col("probe_id"), col("label"), col("predicted_label"),
         col("votes"),
         (col("label") === col("predicted_label")).as("is_match"))
-      .orderBy("probe_id")
   }
 
   def knnClassifySql: String =
@@ -264,7 +262,6 @@ object Similarity {
         col("mutual"),
         (col("mutual") && col("margin") >= expr(BitextThreshold))
           .as("accepted"))
-      .orderBy("x_id")
   }
 
   /** The PRODUCTION bitext miner: the same [[marginMine]] math over
@@ -476,7 +473,6 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("probe_id"), col("p_label").as("label"), col("rank"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
-      .orderBy("probe_id", "rank")
   }
 
   def annFilteredSql: String =
@@ -539,7 +535,6 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("probe_id"), col("p_label").as("label"), col("rank"),
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cosine"))
-      .orderBy("probe_id", "rank")
   }
 
   /** IVF (inverted-file) approximate top-k — the trained-partition
@@ -690,7 +685,6 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
-      .orderBy("probe_id", "rank")
   }
 
   /** Deterministic ±1 random hyperplanes (seeded, stable across
@@ -881,7 +875,6 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
-      .orderBy("probe_id", "rank")
   }
 
   /** Product-quantized approximate top-k with exact reranking — the
@@ -1524,7 +1517,6 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("probe_id"), col("rank"), col("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
-      .orderBy("probe_id", "rank")
   }
 
   def annGraph(spark: SparkSession, dir: String, efSearch: Int = 32,
@@ -2213,7 +2205,6 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TopK)
       .select("probe_id", "rank", "neighbor_id", "cosine")
-      .orderBy("probe_id", "rank")
   }
 
   /** Segment tier for the FLAT graph — the same micro-append
@@ -2368,7 +2359,6 @@ object Similarity {
       .filter(col("rank") <= TopK)
       .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cosine"))
-      .orderBy("probe_id", "rank")
   }
 
   /** PLANTED-TWIN certainty gate over [[annLsh]] (the
@@ -2458,7 +2448,6 @@ object Similarity {
         max("norm").as("max_norm"),
         sum(when(col("norm") < 0.5, 1L).otherwise(0L)).as("n_low_norm"),
         sum(when(col("norm") > 2.0, 1L).otherwise(0L)).as("n_high_norm"))
-      .orderBy("label")
   }
 
   /** DuckDB dual of [[embeddingQuality]]: `list_reduce` over the
@@ -2743,7 +2732,6 @@ object Similarity {
       .select(Seq(col("vec_id"), col("label")) ++
         (0 until k).map(j => element_at(col("pc"), j + 1).as(s"pc_$j")) :+
         col("recon_err2"): _*)
-      .orderBy("vec_id")
   }
 
   private[graft] def embedPcaOf(emb: DataFrame, model: PcaModel): DataFrame = {
@@ -2763,7 +2751,6 @@ object Similarity {
           Dedup.dot(typedLit(model.mean.toSeq), col("v")) * 2.0 + lit(mu2) -
           expr("aggregate(pc, 0D, (a, x) -> a + x * x)"))
       .select("vec_id", "label", "pc", "recon_err2")
-      .orderBy("vec_id")
   }
 
   /** EMBEDDING OUTLIER REPORT — the embedding-space leg of the
@@ -2819,7 +2806,6 @@ object Similarity {
         round(lit(0.6745) * (col("dist") - col("med")) / col("mad"), 6)))
       .select(col("vec_id"), col("dist"), col("med"), col("mad"), col("z"),
         (col("z").isNotNull && abs(col("z")) > 3.5).as("is_outlier"))
-      .orderBy("vec_id")
   }
 
   def embedOutliersSql: String =
@@ -2915,7 +2901,7 @@ object Similarity {
             / count(lit(1)).cast("double") >= floor).as("recall_ok"))
         .select(lit(name).as("variant"), col("n_exact"),
           lit(floor).as("recall_floor"), col("recall_ok"))
-    }.reduce(_ unionByName _).orderBy("variant")
+    }.reduce(_ unionByName _)
   }
 
   def annRecallGateSql: String = {

@@ -56,7 +56,6 @@ object TextOps {
         size(words(col("text"))).as("n_ws_tokens"),
         regexp_count(col("text"), lit("[a-z]+|[0-9]|[^a-z0-9 \\t\\n]")).as("n_bpe_tokens"),
         ceil(col("n_chars") / 4.0).cast("long").as("n_approx_tokens"))
-      .orderBy("doc_id")
 
   def tokenCountSql: String =
     """SELECT doc_id, n_chars,
@@ -98,7 +97,6 @@ object TextOps {
           " * 1000000.0D, 0) / 1000000.0D"))
       .select("lang", "source", "n_docs", "ws_tokens", "bpe_tokens",
         "chars", "fertility", "chars_per_token", "tokens_per_doc")
-      .orderBy("lang", "source")
 
   def tokenFertilitySql: String =
     """WITH c AS (
@@ -155,7 +153,6 @@ object TextOps {
         (expr("CAST(power(2, bucket + 1) AS BIGINT)") - 1).as("hi_tokens"),
         col("n_docs"), col("sum_tokens"),
         expr("n_docs * 1000000 DIV total_docs").as("doc_ppm"))
-      .orderBy("bucket")
   }
 
   /** DuckDB dual of [[docLengthHist]]: same bit-width bucket off the
@@ -222,7 +219,6 @@ object TextOps {
         round(stopRatio, 8).as("stopword_ratio"),
         round(punctRatio, 8).as("punct_ratio"),
         qualityScoreCol(col("text"), col("n_chars")).as("quality_score"))
-      .orderBy("doc_id")
   }
 
   /** The score SELECT without its driver-determinism ORDER BY —
@@ -277,7 +273,6 @@ object TextOps {
       .withColumn("keep_doc", col("rank_in_source") * 2 <= col("n_source") + 1)
       .select("doc_id", "source", "quality_score", "n_source",
         "rank_in_source", "keep_doc")
-      .orderBy("doc_id")
   }
 
   def qualityPruneSql: String =
@@ -314,7 +309,6 @@ object TextOps {
         sEn.as("hits_en"), sFr.as("hits_fr"), sEs.as("hits_es"), sDe.as("hits_de"),
         predicted.as("predicted_lang"))
       .withColumn("is_match", col("predicted_lang") === col("lang"))
-      .orderBy("doc_id")
   }
 
   def langIdSql: String =
@@ -359,7 +353,6 @@ object TextOps {
       .withColumn("n_gold",
         sum("n_docs").over(Window.partitionBy("lang")))
       .withColumn("recall_ppm", expr("n_docs * 1000000 DIV n_gold"))
-      .orderBy("lang", "predicted_lang")
 
   def langIdEvalSql: String =
     s"""WITH li AS (${langIdSql.replace("ORDER BY doc_id", "")}
@@ -392,7 +385,7 @@ object TextOps {
     * with DuckDB list lambdas and hashes exactly.
     */
   def langMix(spark: SparkSession, dir: String): DataFrame =
-    langMixDocs(Tables.documents(spark, dir)).orderBy("doc_id")
+    langMixDocs(Tables.documents(spark, dir))
 
   /** Unordered kernel — the streaming dual serves THIS (stateless
     * per-row folds; the dir-level wrapper adds only the oracle
@@ -510,7 +503,6 @@ object TextOps {
         .as(Seq("chunk_idx", "chunk")))
       .withColumn("chunk_len", length(col("chunk")))
       .filter(col("chunk_len") > 0)
-      .orderBy("doc_id", "chunk_idx")
   }
 
   def chunkDocsSql: String =
@@ -558,7 +550,6 @@ object TextOps {
         count(when(col("cnt") * 200L >= total, 1)).as("n_common"),
         (count(when(col("cnt") * 200L >= total, 1)).cast("double") /
           count(lit(1))).as("common_ratio"))
-      .orderBy("doc_id")
   }
 
   def bigramQualitySql: String =
@@ -588,7 +579,6 @@ object TextOps {
       .select(col("doc_id"),
         array_join(kept, " ").as("clean_text"),
         size(kept).as("n_clean_tokens"))
-      .orderBy("doc_id")
   }
 
   def cleanTextSql: String =
@@ -664,7 +654,6 @@ object TextOps {
         sr6(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
         sr6(col("n_hapax").cast("double") / col("n_types"))
           .as("hapax_ratio"))
-      .orderBy("doc_id")
   }
 
   def lexicalDiversitySql: String =
@@ -735,7 +724,6 @@ object TextOps {
         sr6(slope).as("zipf_slope"),
         sr6((col("sy") - slope * col("sx")) / n).as("intercept"),
         sr6(when(syyC > 0.0, sxyC * sxyC / (sxxC * syyC))).as("r2"))
-      .orderBy("lang")
   }
 
   def zipfFitSql: String = {
@@ -818,7 +806,6 @@ object TextOps {
         sr6(when(col("n_distinct") > 1,
           col("ent") / log(col("n_distinct").cast("double")))
           .otherwise(1.0)).as("norm_entropy"))
-      .orderBy("doc_id")
   }
 
   def charEntropySql: String =
@@ -892,7 +879,6 @@ object TextOps {
       .withColumn("score", col("v_rep") + col("v_quality") + col("v_ppl")
         + col("v_lang") + col("v_lex"))
       .withColumn("keep", col("score") >= 4)
-      .orderBy("doc_id")
   }
 
   def qualityConfluenceSql: String =
@@ -1105,7 +1091,6 @@ object TextOps {
       .toDF("word", "freq", "cms_estimate", "n_words")
       .withColumn("over_ppm",
         expr("(cms_estimate - freq) * 1000000 DIV n_words"))
-      .orderBy(col("freq").desc, col("word"))
   }
 
   /** MISRA-GRIES heavy hitters — the DETERMINISTIC mergeable summary
@@ -1175,7 +1160,6 @@ object TextOps {
       .select(col("word"), col("freq"), col("mg_estimate"),
         (col("freq") - col("mg_estimate")).as("est_gap"),
         lit(total).as("n_words"), lit(bound).as("gap_bound"))
-      .orderBy(col("freq").desc, col("word"))
   }
 
   /** EXACT top-k word counts — the VERIFIER tier of [[heavyHitters]]
@@ -1295,7 +1279,6 @@ object TextOps {
         expr("hapax * 1000000 DIV vocab").as("hapax_ppm"),
         expr("vocab * 1000000 DIV n_tokens").as("ttr_ppm"),
         col("top_word"), col("top_n"), col("zipf_k"), col("zipf_slope"))
-      .orderBy("source")
   }
 
   /** DuckDB dual of [[vocabStats]]: same normalization, same rank
@@ -1384,7 +1367,6 @@ object TextOps {
         sum(round(term, 12).cast("decimal(28,14)")).as("kl_dec"))
       .select(col("source"), col("n_tokens"), col("vocab"),
         round(col("kl_dec").cast("double"), 8).as("kl_nats"))
-      .orderBy("source")
   }
 
   /** DuckDB dual of [[tokenDrift]]: the shared count CTE, the same
@@ -1436,7 +1418,6 @@ object TextOps {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select("doc_id", "rank", "word", "tfidf")
-      .orderBy("doc_id", "rank")
   }
 
   def tfidfSql: String =
@@ -1510,7 +1491,6 @@ object TextOps {
       .select(col("doc_id"), col("n_bigrams"),
         round(-col("lp_sum") / col("n_bigrams"), 6).as("cross_entropy"),
         round(exp(-col("lp_sum") / col("n_bigrams")), 6).as("perplexity"))
-      .orderBy("doc_id")
   }
 
   def perplexitySql: String =
@@ -1644,7 +1624,6 @@ object TextOps {
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), fingerprintCol(col("text")).as("fingerprint"))
-      .orderBy("doc_id")
 
   def fingerprintSql: String =
     """SELECT doc_id,

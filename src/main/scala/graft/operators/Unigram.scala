@@ -296,7 +296,7 @@ object Unigram {
   def tokenizeDocs(spark: SparkSession, dir: String,
       maxVocab: Int = 1 << 20): DataFrame =
     encodeDocsWith(graft.Tables.documents(spark, dir),
-      fitModel(spark, dir, maxVocab)).orderBy("doc_id")
+      fitModel(spark, dir, maxVocab))
 
   /** ROUNDTRIP + OPTIMALITY gate for [[tokenizeDocs]]
     * ([[Bpe.bpeRoundtrip]]'s pattern plus a Viterbi leg): per doc the
@@ -342,7 +342,6 @@ object Unigram {
         }
       }
       .toDF("doc_id", "n_words", "n_chars_norm", "roundtrip_ok", "viterbi_opt_ok")
-      .orderBy("doc_id")
   }
 
   def unigramGateSql: String =

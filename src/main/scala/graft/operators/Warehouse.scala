@@ -42,7 +42,7 @@ object Warehouse {
 
   /** [[validTicks]] with deterministic output order (driver query). */
   def validateTicks(spark: SparkSession, dir: String): DataFrame =
-    validTicks(spark, dir).orderBy("event_id")
+    validTicks(spark, dir)
 
   def validateTicksSql: String =
     """SELECT event_id, ts, user_id, event_type, value
@@ -64,7 +64,6 @@ object Warehouse {
     */
   def tradingHours(spark: SparkSession, dir: String): DataFrame =
     tradingHoursOf(validTicksOf(Tables.events(spark, dir)))
-      .orderBy("event_id")
 
   /** The session predicate on an arbitrary validated tick frame —
     * Spark `dayofweek` is 1=Sunday..7=Saturday, so Mon-Fri = [2, 6].
@@ -113,7 +112,6 @@ object Warehouse {
     */
   private[graft] def anomalyTicksOf(events: DataFrame): DataFrame =
     anomalyServe(validTicksOf(events), anomalyModelOf(events))
-      .orderBy("event_id")
 
   /** Per-symbol robust price model — (median, MAD), each rounded to
     * 6 dp: the symbol-sized artifact the anomaly gate broadcasts.
@@ -199,7 +197,6 @@ object Warehouse {
         col("trade_date").as("trough_day"),
         col("close").as("trough_close"),
         col("peak").as("peak_close"))
-      .orderBy("user_id")
   }
 
   def drawdownSql: String =
@@ -272,7 +269,6 @@ object Warehouse {
         round(when(col("rn") >= 16, avg("pct_k").over(w3)), 6))
       .select("user_id", "trade_date", "close_price", "hi14", "lo14",
         "pct_k", "pct_d")
-      .orderBy("user_id", "trade_date")
   }
 
   def stochasticSql: String =
@@ -318,7 +314,6 @@ object Warehouse {
         round(when(col("rn") >= 14, avg("tr").over(w14)), 6))
       .select("user_id", "trade_date", "high_price", "low_price",
         "close_price", "tr", "atr_14")
-      .orderBy("user_id", "trade_date")
   }
 
   /** Shared daily true-range base for [[atr]] and [[atrWilder]] —
@@ -398,7 +393,6 @@ object Warehouse {
           round(sum("vm_minus").over(w14), 6) / col("s_tr")), 6))
       .select("user_id", "trade_date", "tr", "vm_plus", "vm_minus",
         "vi_plus", "vi_minus")
-      .orderBy("user_id", "trade_date")
   }
 
   def vortexSql: String =
@@ -479,7 +473,6 @@ object Warehouse {
           (col("sb7") / col("st7") * 4.0 + col("sb14") / col("st14") * 2.0 +
             col("sb28") / col("st28")) * 100.0 / 7.0), 6))
       .select("user_id", "trade_date", "close_price", "bp", "tr_u", "uo")
-      .orderBy("user_id", "trade_date")
   }
 
   def ultimateSql: String =
@@ -548,7 +541,6 @@ object Warehouse {
           (col("su") - col("sd")) / (col("su") + col("sd")) * 100.0), 6))
       .select("user_id", "trade_date", "close_price", "diff", "su", "sd",
         "cmo")
-      .orderBy("user_id", "trade_date")
   }
 
   def cmoSql: String =
@@ -611,7 +603,6 @@ object Warehouse {
       .select(col("user_id"), expr("inline(arrays_zip(days, atr_r))"))
       .select(col("user_id"), col("days.trade_date").as("trade_date"),
         col("days.tr").as("tr"), col("atr_r").as("atr_wilder"))
-      .orderBy("user_id", "trade_date")
   }
 
   /** SQL text of the running Wilder-smoothed array at `p` over an
@@ -686,7 +677,6 @@ object Warehouse {
       .select(col("user_id"), col("days.trade_date").as("trade_date"),
         col("days.close_price").as("close_price"),
         col("ema_20"), col("atr_10"), col("kc_upper"), col("kc_lower"))
-      .orderBy("user_id", "trade_date")
   }
 
   def keltnerSql: String = {
@@ -786,7 +776,6 @@ object Warehouse {
       .select(col("user_id"), col("days.trade_date").as("trade_date"),
         col("days.close_price").as("close_price"),
         col("ema_20"), col("dema_20"), col("tema_20"))
-      .orderBy("user_id", "trade_date")
   }
 
   /** DuckDB text of the materialized running-EMA list at period `p`
@@ -861,7 +850,6 @@ object Warehouse {
       .select(col("user_id"), col("days.trade_date").as("trade_date"),
         col("days.close_price").as("close_price"),
         col("e3_r").as("e3"), col("trix"))
-      .orderBy("user_id", "trade_date")
   }
 
   def trixSql: String =
@@ -923,7 +911,6 @@ object Warehouse {
         col("days.low_price").as("low_price"),
         col("days.close_price").as("close_price"),
         col("ema_13"), col("bull_power"), col("bear_power"))
-      .orderBy("user_id", "trade_date")
   }
 
   def elderRaySql: String = {
@@ -998,7 +985,6 @@ object Warehouse {
       .withColumn("mass_25", round(
         when(col("rn") >= 41, sum("ratio").over(w25)), 6))
       .drop("rn")
-      .orderBy("user_id", "trade_date")
   }
 
   def massIndexSql: String = {
@@ -1094,7 +1080,6 @@ object Warehouse {
         (col("rcma4m").cast("double") / 1e6).as("rcma4"),
         (col("kstm").cast("double") / 1e6).as("kst"),
         (col("sigm").cast("double") / 1e6).as("kst_signal"))
-      .orderBy("user_id", "trade_date")
   }
 
   def kstSql: String = {
@@ -1181,7 +1166,6 @@ object Warehouse {
         (col("sm").cast("double") / 1e6).as("roc_sum"),
         when(col("rn") >= 12, col("numm").cast("double") / 15e6)
           .as("coppock"))
-      .orderBy("user_id", "trade_date")
   }
 
   def coppockSql: String = {
@@ -1239,7 +1223,6 @@ object Warehouse {
         col("close_price") < lag("dc_lower", 1).over(wRn))
       .select("user_id", "trade_date", "close_price", "dc_upper",
         "dc_lower", "dc_mid", "brk_up", "brk_down")
-      .orderBy("user_id", "trade_date")
   }
 
   def donchianSql: String =
@@ -1317,7 +1300,6 @@ object Warehouse {
           "round((tp - sma_tp) / (0.015D * mean_dev)" +
             " * 1000000.0D, 0) / 1000000.0D")))
       .select("user_id", "trade_date", "tp", "sma_tp", "mean_dev", "cci")
-      .orderBy("user_id", "trade_date")
   }
 
   def cciSql: String =
@@ -1381,7 +1363,6 @@ object Warehouse {
         when(col("rn") >= 26, (col("hi_rn") - col("lo_rn")) * 4.0))
       .select("user_id", "trade_date", "high_price", "low_price",
         "aroon_up", "aroon_down", "aroon_osc")
-      .orderBy("user_id", "trade_date")
   }
 
   def aroonSql: String =
@@ -1440,7 +1421,6 @@ object Warehouse {
         col("close_price") - lag("close_price", 10).over(wRn))
       .select("user_id", "trade_date", "close_price", "willr",
         "roc_12", "mom_10")
-      .orderBy("user_id", "trade_date")
   }
 
   def momentumSql: String =
@@ -1495,7 +1475,6 @@ object Warehouse {
       .withColumn("chikou", lead("close_price", 6).over(wRn))
       .select("user_id", "trade_date", "close_price", "tenkan", "kijun",
         "senkou_a", "senkou_b", "chikou")
-      .orderBy("user_id", "trade_date")
   }
 
   def ichimokuSql: String = {
@@ -1601,7 +1580,6 @@ object Warehouse {
         expr("round(states.sar * 1000000.0D, 0) / 1000000.0D").as("psar"),
         col("states.up").as("trend_up"),
         col("states.rev").as("reversal"))
-      .orderBy("user_id", "trade_date")
   }
 
   /** The SAR replay CTE pair (`n`, `st`) over an `ohlc` CTE — the
@@ -1753,7 +1731,6 @@ object Warehouse {
         "stoch_hot", "stoch_cold", "cci_hot", "cci_cold", "aroon_bull",
         "aroon_bear", "brk_up", "brk_dn", "psar_bull", "psar_bear",
         "bull_score", "bear_score", "net_score")
-      .orderBy("user_id", "trade_date")
   }
 
   def signalConfluenceSql: String =
@@ -1923,7 +1900,6 @@ object Warehouse {
       .select(col("user_id"), col("days0.trade_date").as("trade_date"),
         col("dip_f").as("di_plus"), col("dim_f").as("di_minus"),
         col("dx_f").as("dx"), col("adx_f").as("adx"))
-      .orderBy("user_id", "trade_date")
   }
 
   def adxSql: String = {
@@ -2075,7 +2051,6 @@ object Warehouse {
           .as("vwap"),
         sum("vol").as("volume"),
         count(lit(1)).as("n_ticks"))
-      .orderBy("user_id", "trade_date")
 
   def vwapSql: String =
     """SELECT user_id, CAST(ts AS DATE) AS trade_date,
@@ -2137,7 +2112,6 @@ object Warehouse {
       .withColumn("obv", sum("signed_vol").over(wRun))
       .select("user_id", "trade_date", "close_price", "volume",
         "signed_vol", "obv")
-      .orderBy("user_id", "trade_date")
   }
 
   def obvSql: String =
@@ -2228,7 +2202,6 @@ object Warehouse {
       .select(col("user_id"), col("days.trade_date").as("trade_date"),
         col("days.close_price").as("close_price"),
         col("days.volume").as("volume"), col("fi"), col("fi_ema13"))
-      .orderBy("user_id", "trade_date")
   }
 
   def forceIndexSql: String =
@@ -2304,7 +2277,6 @@ object Warehouse {
         col("haos").as("ha_open"), col("days.hac").as("ha_close"),
         greatest(col("days.hi"), col("haos"), col("days.hac")).as("ha_high"),
         least(col("days.lo"), col("haos"), col("days.hac")).as("ha_low"))
-      .orderBy("user_id", "trade_date")
   }
 
   def heikinAshiSql: String =
@@ -2352,7 +2324,6 @@ object Warehouse {
       .withColumn("above_pivot", col("close_price") > col("pivot_pt"))
       .select("user_id", "trade_date", "close_price", "pivot_pt",
         "r1", "s1", "r2", "s2", "above_pivot")
-      .orderBy("user_id", "trade_date")
   }
 
   def pivotPointsSql: String =
@@ -2400,7 +2371,6 @@ object Warehouse {
           .otherwise(lit(true)))
       .select("user_id", "trade_date", "open_price", "prev_close",
         "gap", "gap_ppm", "gap_up", "gap_filled")
-      .orderBy("user_id", "trade_date")
   }
 
   def gapStatsSql: String =
@@ -2452,7 +2422,6 @@ object Warehouse {
       .select(col("user_id"), col("bucket"),
         (col("bucket") * 50L).as("bucket_lo"), col("volume"),
         col("n_ticks"), col("poc"))
-      .orderBy("user_id", "bucket")
   }
 
   def volumeProfileSql: String =
@@ -2517,7 +2486,6 @@ object Warehouse {
       .select(col("user_id"), expr("inline(arrays_zip(days, rsi_f))"))
       .select(col("user_id"), col("days.ddate").as("trade_date"),
         col("days.cls").as("close_price"), col("rsi_f").as("rsi_14"))
-      .orderBy("user_id", "trade_date")
   }
 
   def rsiWilderSql: String = {
@@ -2602,7 +2570,6 @@ object Warehouse {
         when(count("pct_k").over(w3) === 3, avg("pct_k").over(w3)), 6))
       .select("user_id", "trade_date", "close_price", "rsi_14",
         "stoch_rsi", "pct_k", "pct_d")
-      .orderBy("user_id", "trade_date")
   }
 
   def stochRsiSql: String =
@@ -2717,7 +2684,6 @@ object Warehouse {
         col("sts.up").as("trend_up"),
         expr(sr.format("sts.fub")).as("upper_band"),
         expr(sr.format("sts.flb")).as("lower_band"))
-      .orderBy("user_id", "trade_date")
   }
 
   def supertrendSql: String = {
@@ -2817,7 +2783,6 @@ object Warehouse {
       .select(col("user_id"), col("days.ddate").as("trade_date"),
         col("days.cls").as("close_price"),
         col("vol_f").as("ewma_vol"))
-      .orderBy("user_id", "trade_date")
   }
 
   def ewmaVolSql: String =
@@ -2909,7 +2874,6 @@ object Warehouse {
           .cast("double") / 1e6)
       .select("user_id", "trade_date", "close_price", "volume",
         "mfi", "ad_line")
-      .orderBy("user_id", "trade_date")
   }
 
   def moneyFlowSql: String =
@@ -2997,7 +2961,6 @@ object Warehouse {
       .select(col("user_id"), col("days.trade_date").as("trade_date"),
         col("days.close_price").as("close_price"),
         col("days.ad_line").as("ad_line"), col("chaikin_osc"))
-      .orderBy("user_id", "trade_date")
   }
 
   def chaikinOscSql: String = {
@@ -3054,7 +3017,6 @@ object Warehouse {
           var_pop(col("mret")), 6).as("beta"),
         round(corr(col("ret"), col("mret")), 6).as("corr_mkt"))
       .filter(col("n_days") >= minDays)
-      .orderBy("user_id")
   }
 
   def betaSql: String =
@@ -3121,7 +3083,6 @@ object Warehouse {
           col("rm")).otherwise(0L)).cast("double")
           / sum(when(col("rm").cast("double") <= col("qm"), 1L)
             .otherwise(0L)), 0) / 1e6).as("es_5"))
-      .orderBy("user_id")
   }
 
   def varEsSql: String =
@@ -3195,7 +3156,6 @@ object Warehouse {
         sum("len").as("n_sessions"),
         (round(sum("len").cast("double") / count(lit(1)) * 1e6, 0) / 1e6)
           .as("mean_run_len"))
-      .orderBy("user_id")
   }
 
   def streaksSql: String =
@@ -3276,7 +3236,6 @@ object Warehouse {
         (round(sum("dollar_vol") / count(lit(1)) * 1e6, 0) / 1e6)
           .as("avg_dollar_vol"))
       .filter(col("n_days") >= minDays)
-      .orderBy("user_id")
   }
 
   def amihudSql: String =
@@ -3347,7 +3306,6 @@ object Warehouse {
       .select(col("user_id"), col("weekday"), col("n_days"), col("up_days"),
         (round(col("srm").cast("double") / col("n_days"), 0) / 1e6)
           .as("avg_ret"))
-      .orderBy("user_id", "weekday")
   }
 
   def weekdayReturnsSql: String =
@@ -3429,7 +3387,6 @@ object Warehouse {
       .select(col("user_id"), col("days.ddate").as("trade_date"),
         col("days.cls").as("close_price"), col("days.er").as("er"),
         expr(sr.format("kamas_f")).as("kama"))
-      .orderBy("user_id", "trade_date")
   }
 
   def kamaSql: String = {
@@ -3496,7 +3453,6 @@ object Warehouse {
         round(when(col("rn") >= 14 && range > 0.0 && sumTr > 0.0,
           lit(100.0) * log10(sumTr / range) / lit(Log10Of14)), 6)
           .as("chop_14"))
-      .orderBy("user_id", "trade_date")
   }
 
   /** log₁₀(14), computed once — inlined into both engines' plans so
@@ -3569,7 +3525,6 @@ object Warehouse {
         when(col("rn") >= 14,
           round(sum("bopm").over(w14).cast("double") / 14.0, 0) / 1e6)
           .as("bop_sma_14"))
-      .orderBy("user_id", "trade_date")
   }
 
   def balanceOfPowerSql: String =
@@ -3624,7 +3579,6 @@ object Warehouse {
         when(col("rn") >= 14,
           sqrt(sum(col("ddm") * col("ddm")).over(w14).cast("double")
             / 14.0) / 1e6).as("ulcer_14"))
-      .orderBy("user_id", "trade_date")
   }
 
   def ulcerIndexSql: String =
@@ -3711,7 +3665,6 @@ object Warehouse {
         sr6(sqrt(dvar) * ann / 1e6).as("downside_vol"),
         sr6(when(col("sn2") > 0.0, ann * mean / sqrt(dvar)))
           .as("sortino"))
-      .orderBy("user_id")
   }
 
   def sharpeSql: String = {
@@ -3758,7 +3711,6 @@ object Warehouse {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
       .select("event_id", "ts", "user_id", "event_type", "value")
-      .orderBy("event_id")
   }
 
   def dedupTicksSql: String =
@@ -3775,7 +3727,6 @@ object Warehouse {
     Tables.events(spark, dir)
       .groupBy("user_id")
       .agg(max("ts").as("latest_ts"), count(lit(1)).as("n_ticks"))
-      .orderBy("user_id")
 
   def latestPerKeySql: String =
     """SELECT user_id, max(ts) AS latest_ts, count(*) AS n_ticks
@@ -3792,7 +3743,6 @@ object Warehouse {
       .select(col("event_id"), col("ts"), day, col("user_id"), col("value"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
-      .orderBy("user_id", "trade_date")
   }
 
   def latestPerDaySql: String =
@@ -3809,7 +3759,6 @@ object Warehouse {
     */
   def dailyOhlc(spark: SparkSession, dir: String): DataFrame =
     ohlcBy(spark, dir, to_date(col("ts")).as("trade_date"), "trade_date")
-      .orderBy("user_id", "trade_date")
 
   def dailyOhlcSql: String =
     ohlcSql("CAST(ts AS DATE)", "trade_date") +
@@ -3820,7 +3769,6 @@ object Warehouse {
     */
   def candles(spark: SparkSession, dir: String): DataFrame =
     ohlcBy(spark, dir, date_trunc("hour", col("ts")).as("bucket"), "bucket")
-      .orderBy("user_id", "bucket")
 
   def candlesSql: String =
     ohlcSql("date_trunc('hour', ts)", "bucket") + "\nORDER BY user_id, bucket"
@@ -3927,7 +3875,7 @@ object Warehouse {
 
   /** Distinct ordered symbol list (app.py:206-219). */
   def distinctKeys(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).select("user_id").distinct().orderBy("user_id")
+    Tables.events(spark, dir).select("user_id").distinct()
 
   def distinctKeysSql: String =
     "SELECT DISTINCT user_id FROM events ORDER BY user_id"
@@ -3946,7 +3894,6 @@ object Warehouse {
         (round(sum("value"), 4) / count(lit(1))).as("mean"),
         round(min("value"), 4).as("lo"),
         round(max("value"), 4).as("hi"))
-      .orderBy("bucket", "event_type")
 
   def windowAggSql: String =
     """SELECT date_trunc('hour', ts) AS bucket, event_type,
@@ -3974,7 +3921,6 @@ object Warehouse {
         (sum("k").cast("double") / count(col("k"))).as("avg_k"),
         min("k").as("min_k"),
         max("k").as("max_k"))
-      .orderBy("event_type")
 
   def jsonExtractSql: String =
     """SELECT event_type, count(*) AS n, count(k) AS n_with_k,
@@ -3997,7 +3943,6 @@ object Warehouse {
         round(percentile(col("value"), lit(0.99)), 6).as("p99"),
         round(min("value"), 4).as("lo"),
         round(max("value"), 4).as("hi"))
-      .orderBy("event_type")
 
   def percentilesSql: String =
     """SELECT event_type,
@@ -4023,7 +3968,6 @@ object Warehouse {
         round(approx_percentile(col("value"), lit(0.9), lit(10000)), 6).as("p90"),
         round(approx_percentile(col("value"), lit(0.99), lit(10000)), 6).as("p99"),
         count(lit(1)).as("n"))
-      .orderBy("event_type")
 
   /** Sketch-based distinct counts — the 100 TB dual of
     * [[distinctKeys]]: HyperLogLog++ per event_type at 1% target
@@ -4037,7 +3981,6 @@ object Warehouse {
       .agg(
         approx_count_distinct(col("user_id"), rsd = 0.01).as("approx_users"),
         count(lit(1)).as("n_events"))
-      .orderBy("event_type")
 
   /** SKETCH-vs-EXACT CHECK for [[approxDistinct]] (round-11
     * partial-oracle tier): the HLL++ estimate itself is
@@ -4057,7 +4000,6 @@ object Warehouse {
         (abs(col("a") - col("exact_users")).cast("double")
           / col("exact_users").cast("double") <= 0.03)
           .as("hll_within_3sigma"))
-      .orderBy("event_type")
 
   def approxDistinctCheckSql: String =
     """SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
@@ -4096,7 +4038,6 @@ object Warehouse {
         rankOk(col("a50"), 0.5).as("p50_rank_ok"),
         rankOk(col("a90"), 0.9).as("p90_rank_ok"),
         rankOk(col("a99"), 0.99).as("p99_rank_ok"))
-      .orderBy("event_type")
   }
 
   def percentilesApproxCheckSql: String =
@@ -4118,7 +4059,6 @@ object Warehouse {
     Tables.events(spark, dir)
       .join(broadcast(dim), col("user_id") === col("c_custkey"), "left_anti")
       .select("event_id", "user_id", "event_type")
-      .orderBy("event_id")
   }
 
   def orphanTicksSql: String =
@@ -4148,7 +4088,6 @@ object Warehouse {
       .filter(dayofweek(col("d")).between(2, 6))
     cal.join(days, Seq("user_id", "d"), "left_anti")
       .select(col("user_id"), col("d").as("gap_date"))
-      .orderBy("user_id", "gap_date")
   }
 
   def sessionGapsSql: String =
@@ -4175,7 +4114,6 @@ object Warehouse {
     */
   def weeklyCandles(spark: SparkSession, dir: String): DataFrame =
     ohlcBy(spark, dir, to_date(date_trunc("week", col("ts"))).as("week"), "week")
-      .orderBy("user_id", "week")
 
   def weeklyCandlesSql: String =
     ohlcSql("date_trunc('week', ts)", "week") + "\nORDER BY user_id, week"
@@ -4187,7 +4125,6 @@ object Warehouse {
   def monthlyCandles(spark: SparkSession, dir: String): DataFrame =
     ohlcBy(spark, dir, to_date(date_trunc("month", col("ts"))).as("month"),
       "month")
-      .orderBy("user_id", "month")
 
   def monthlyCandlesSql: String =
     ohlcSql("date_trunc('month', ts)", "month") + "\nORDER BY user_id, month"
@@ -4206,7 +4143,6 @@ object Warehouse {
         sum("vol").as("volume"),
         (round(sum(round(col("value") * 1e6, 0).cast("decimal(38,0)"))
           .cast("double") / count(lit(1))) / 1e6).as("avg_price"))
-      .orderBy("weekday", "hour")
 
   def activityHeatmapSql: String =
     """SELECT dayofweek(ts) + 1 AS weekday, hour(ts) AS hour,
@@ -4234,7 +4170,6 @@ object Warehouse {
         round(max("value"), 4).as("hi"))
       .withColumn("bucket_lo", col("bucket") * lit(50L))
       .select("event_type", "bucket", "bucket_lo", "n", "lo", "hi")
-      .orderBy("event_type", "bucket")
 
   def priceHistogramSql: String =
     """SELECT event_type, bucket, bucket * 50 AS bucket_lo,
@@ -4262,7 +4197,6 @@ object Warehouse {
         countDistinct(col("c_mktsegment")).as("sector_count"))
       .select(col("n_name").as("industry"),
         col("company_count"), col("sector_count"))
-      .orderBy(col("company_count").desc, col("industry"))
 
   def industryStatsSql: String =
     """SELECT n_name AS industry, count(c_custkey) AS company_count,
@@ -4290,7 +4224,6 @@ object Warehouse {
         col("c_mktsegment").as("sector"),
         col("c_acctbal").as("account_balance"),
         col("n_name").as("industry"))
-      .orderBy("company_name")
 
   def companiesByIndustrySql: String =
     """SELECT c_custkey AS company_id, c_name AS company_name,
@@ -4313,7 +4246,6 @@ object Warehouse {
       .filter(col("rn") <= days).drop("rn")
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .drop("c_custkey")
-      .orderBy(col("user_id"), col("trade_date").desc)
   }
 
   def priceHistorySql: String =
@@ -4362,7 +4294,6 @@ object Warehouse {
       .withColumn("filled", last("close_price", ignoreNulls = true).over(w))
       .select(col("user_id"), col("trade_date"),
         col("filled").as("close_price"), col("is_observed"))
-      .orderBy("user_id", "trade_date")
   }
 
   def priceFfillSql: String =
@@ -4586,7 +4517,6 @@ object Warehouse {
     Tables.events(spark, dir)
       .rollup(col("event_type"), to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("total"))
-      .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)
 
   def rollupAggSql: String =
     """SELECT event_type, CAST(ts AS DATE) AS day,
@@ -4604,7 +4534,6 @@ object Warehouse {
       .groupBy("user_id")
       .pivot("event_type", types)
       .agg(round(sum("value"), 4) / count(col("value")))
-      .orderBy("user_id")
   }
 
   def pivotTypesSql: String =
@@ -4642,7 +4571,6 @@ object Warehouse {
       .filter(col("mover_rank") <= 3)
       .select("trade_date", "mover_rank", "user_id", "open_price",
         "close_price", "change_pct")
-      .orderBy("trade_date", "mover_rank")
   }
 
   def topMoversSql: String =
@@ -4681,7 +4609,6 @@ object Warehouse {
         max("ts").as("session_end"),
         count(lit(1)).as("n_events"),
         round(sum("value"), 4).as("session_value"))
-      .orderBy("user_id", "session_id")
   }
 
   def sessionizeSql: String =

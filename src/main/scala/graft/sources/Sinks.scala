@@ -198,7 +198,6 @@ object Sinks {
     val dim = base.withColumn("action", lit("carry")).withColumn("v", lit(0))
     mergeByKey(Some(dim), batch, Seq("c_custkey"), "v")
       .drop("v")
-      .orderBy("c_custkey")
   }
 
   /** [[companyUpsert]]'s HISTORY-PRESERVING dual — SCD TYPE-2: instead
@@ -235,7 +234,6 @@ object Sinks {
     versions
       .withColumn("valid_to", lead("valid_from", 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
-      .orderBy("c_custkey", "valid_from")
   }
 
   def companyScd2Sql: String =

@@ -688,7 +688,7 @@ class CurationSpec extends SparkSuite {
     assert(r.getAs[Boolean]("bins_within_budget")
       && r.getAs[Boolean]("offsets_ok") && r.getAs[Boolean]("slots_dense"))
     val m = Curation.modalBatchesRecount(spark, sfDir).collect()
-    assert(m.map(_.getAs[String]("modality")).toSeq ==
+    assert(m.map(_.getAs[String]("modality")).toSeq.sorted ==
       Seq("audio", "image", "video"))
     assert(m.map(_.getAs[Long]("n_items")).sum == nTok.length)
     m.foreach(row => assert(row.getAs[Boolean]("batches_within_budget")
@@ -1556,7 +1556,7 @@ class CurationSpec extends SparkSuite {
     val evalDocs = docs.filter(_._1 < 10L)
     val train = docs.filter(_._1 >= 10L)
     val got = Curation.evalContamination(spark, sfDir).collect()
-    assert(got.map(_.getLong(0)).toSeq == evalDocs.map(_._1).sorted.toSeq,
+    assert(got.map(_.getLong(0)).toSeq.sorted == evalDocs.map(_._1).sorted.toSeq,
       "one row per eval doc")
     var anyHit = false
     got.foreach { row =>

@@ -91,7 +91,7 @@ class GateSpec extends SparkSuite {
 
   test("perf-rollup gate: one batch per leg, row masses match, zero errors") {
     val rows = PerfLedger.perfRollupGate(spark, sfDir).collect()
-    assert(rows.map(_.getAs[String]("component_name")).toSeq ==
+    assert(rows.map(_.getAs[String]("component_name")).toSeq.sorted ==
       Seq("alerts", "daily_ohlc", "validate_ticks"))
     rows.foreach { r =>
       assert(r.getAs[Long]("n_batches") == 1L)

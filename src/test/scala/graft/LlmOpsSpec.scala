@@ -719,7 +719,7 @@ class LlmOpsSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     val full = Dedup.embeddingClusters(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-    assert(incr.sameElements(full))
+    assert(incr.sorted.sameElements(full.sorted))
   }
 
   test("updateCanonical recomputes touched clusters only == from-scratch") {
@@ -998,7 +998,7 @@ class LlmOpsSpec extends SparkSuite {
     val ys = vecs.keys.filter(_ % 2 == 1).toSeq.sorted
     val rows = Similarity.bitextMargin(spark, sfDir).collect()
     // one row per X sentence, its best-margin candidate
-    assert(rows.map(_.getAs[Long]("x_id")).toSeq == xs)
+    assert(rows.map(_.getAs[Long]("x_id")).toSeq.sorted == xs)
     // driver replay of the full margin math (k-NN means as exact
     // decimal sums of 12-decimal cosines) for a sample of X rows
     val fwd = xs.map(x => x -> ys.map(y => y -> cos(vecs(x), vecs(y)))
