@@ -48,7 +48,22 @@ object Curation {
     * rounding needed for cross-engine hash parity.
     */
   def gopherFilters(spark: SparkSession, dir: String): DataFrame =
-    gopherFiltersDocs(Tables.documents(spark, dir))
+    gopherFiltersDocs(fanDocs(Tables.documents(spark, dir)))
+
+
+  /** Round-robin the corpus across the session parallelism before a
+    * compute-bound narrow kernel. The test corpus is a single-row-group
+    * parquet file — an unsplittable input (guide: input skew), so the
+    * heavy per-row regex/HOF chains would otherwise run in ONE task.
+    * The exchange moves each text byte once and is amortized ~100x by
+    * the per-row work; streaming callers bypass it (kernels are shared,
+    * this wrapper is batch-only).
+    */
+  private[graft] def fanDocs(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    docs.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt
+      .max(s.sparkContext.defaultParallelism))
+  }
 
   private[graft] def gopherFiltersDocs(docs: DataFrame): DataFrame = {
     val sent = docs.select(col("doc_id"), sentsCol.as("sents"))
@@ -1867,7 +1882,7 @@ object Curation {
     val exactKeep = docs.select(col("doc_id"),
       (col("doc_id") === min("doc_id").over(
         Window.partitionBy(md5(col("text").cast("binary"))))).as("keep_exact"))
-    val chain = gopherChainDocs(docs)
+    val chain = gopherChainDocs(fanDocs(docs))
       .select(col("doc_id"), col("keep_doc").as("keep_chain"))
     val canon = Dedup.dedupCanonical(spark, dir)
       .select(col("doc_id"), col("is_canonical"))
@@ -2274,7 +2289,7 @@ object Curation {
     * `length(array_join(ws, ''))` so the sum stays codegen'd).
     */
   def gopherQuality(spark: SparkSession, dir: String): DataFrame =
-    gopherQualityDocs(Tables.documents(spark, dir))
+    gopherQualityDocs(fanDocs(Tables.documents(spark, dir)))
 
   private[graft] def gopherQualityDocs(docs: DataFrame): DataFrame =
     withQualitySignals(docs)
@@ -2367,7 +2382,7 @@ object Curation {
     * narrow dual is spec-asserted equal on unique-doc_id input).
     */
   def gopherChain(spark: SparkSession, dir: String): DataFrame =
-    gopherChainDocs(Tables.documents(spark, dir))
+    gopherChainDocs(fanDocs(Tables.documents(spark, dir)))
 
   private[graft] def gopherChainDocs(docs: DataFrame): DataFrame =
     withQualitySignals(withRepetitionSignals(docs))
@@ -2497,7 +2512,7 @@ object Curation {
     * ([[graft.streaming.TickStream]] serves it stateless).
     */
   def c4Filters(spark: SparkSession, dir: String): DataFrame =
-    c4FiltersDocs(Tables.documents(spark, dir))
+    c4FiltersDocs(fanDocs(Tables.documents(spark, dir)))
 
   private[graft] def c4FiltersDocs(docs: DataFrame): DataFrame =
     withC4Signals(docs)
@@ -3987,7 +4002,7 @@ object Curation {
     * hash-exact.
     */
   def boilerplate(spark: SparkSession, dir: String): DataFrame =
-    boilerplateDocs(Tables.documents(spark, dir))
+    boilerplateDocs(fanDocs(Tables.documents(spark, dir)))
 
   /** Doc-frequency threshold (percent of a source's docs) above
     * which a gram counts as that source's boilerplate.

@@ -44,7 +44,16 @@ object Indicators {
     val prev = lag(col("value"), 1).over(byUser)
     val delta = col("value") - prev
 
+    // Pin the symbol exchange to the session's shuffle parallelism:
+    // the window stage is CPU-bound (a dozen frames per row) over a
+    // few KB per symbol run, and AQE's bytes-based coalescing would
+    // fold ~1500 runs into a handful of tasks. An explicit count keeps
+    // the same single exchange (the windows' clustering requirement is
+    // already satisfied) while exempting it from coalescing.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      .max(spark.sparkContext.defaultParallelism)
     Warehouse.validTicks(spark, dir)
+      .repartition(parts, col("user_id"))
       .withColumn("rn", row_number().over(byUser))
       .withColumn("delta", delta)
       .withColumn("gain", when(col("delta") > 0, col("delta")).otherwise(lit(0.0)))

@@ -179,7 +179,7 @@ object TextOps {
     * mean word length → bounded [0,1] composite score.
     */
   def qualityScore(spark: SparkSession, dir: String): DataFrame =
-    qualityScoreDocs(Tables.documents(spark, dir))
+    qualityScoreDocs(Curation.fanDocs(Tables.documents(spark, dir)))
 
   /** The round-8 composite quality score as ONE column expression
     * over (text, n_chars) — the single-scan composition surface:
@@ -385,7 +385,7 @@ object TextOps {
     * with DuckDB list lambdas and hashes exactly.
     */
   def langMix(spark: SparkSession, dir: String): DataFrame =
-    langMixDocs(Tables.documents(spark, dir))
+    langMixDocs(Curation.fanDocs(Tables.documents(spark, dir)))
 
   /** Unordered kernel — the streaming dual serves THIS (stateless
     * per-row folds; the dir-level wrapper adds only the oracle

