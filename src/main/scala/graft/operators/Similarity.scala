@@ -814,12 +814,26 @@ object Similarity {
       sample: DataFrame): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    (0 until PqM).toArray.map { m =>
-      val feats = sample.select(
-        array_to_vector(slice(col("v"), m * PqSub + 1, PqSub)).as("features"))
-      new KMeans().setK(PqK).setSeed(42L + m).setMaxIter(5)
-        .fit(feats).clusterCenters.map(_.toArray)
-    }
+    import scala.collection.parallel.CollectionConverters._
+    // The PqM fits are independent seeded trainings over the shared
+    // (cached) sample, and each one is ~20 tiny driver-blocking jobs
+    // (k-means|| init passes + 5 Lloyd iterations on ≤16k rows) —
+    // sequential, the stage-scheduling overhead dominates the whole
+    // PQ/OPQ fit (measured: q_ann_opq_np = 545 near-empty stages).
+    // Submitting them from a bounded pool overlaps the jobs (guide
+    // §2.6); each fit stays seeded per subspace, so the codebooks are
+    // bit-identical to the sequential loop's.
+    val pool = new java.util.concurrent.ForkJoinPool(PqM)
+    try {
+      val par = (0 until PqM).par
+      par.tasksupport = new scala.collection.parallel.ForkJoinTaskSupport(pool)
+      par.map { m =>
+        val feats = sample.select(
+          array_to_vector(slice(col("v"), m * PqSub + 1, PqSub)).as("features"))
+        new KMeans().setK(PqK).setSeed(42L + m).setMaxIter(5)
+          .fit(feats).clusterCenters.map(_.toArray)
+      }.toArray
+    } finally pool.shutdown()
   }
 
   /** Per-subspace argmin code columns for vector column `vcol` (first
@@ -2879,19 +2893,36 @@ object Similarity {
     */
   def annRecallGate(spark: SparkSession, dir: String): DataFrame = {
     val exact = annBruteForce(spark, dir).select("probe_id", "neighbor_id")
-    val variants: Map[String, DataFrame] = Map(
-      "ivf" -> annIvf(spark, dir),
-      "ivfpq" -> annIvfPq(spark, dir),
-      "sq8" -> annSq8(spark, dir),
-      "pq" -> annPq(spark, dir),
-      "opq" -> annOpq(spark, dir),
-      "opq_np" -> annOpqNp(spark, dir),
-      "pca" -> annPca(spark, dir),
+    // Each family's CONSTRUCTION is eager driver work (seeded fits,
+    // quantizer trainings, graph builds — dozens of small blocking
+    // jobs); built sequentially they serialize into the gate's whole
+    // wall time. The nine builds are independent, so they run from a
+    // bounded pool and overlap (guide §2.6 — concurrent jobs
+    // back-fill each other's idle stages); every fit stays seeded, so
+    // each family's output is identical to a sequential build.
+    val variantBuilders: Seq[(String, () => DataFrame)] = Seq(
+      "ivf" -> (() => annIvf(spark, dir)),
+      "ivfpq" -> (() => annIvfPq(spark, dir)),
+      "sq8" -> (() => annSq8(spark, dir)),
+      "pq" -> (() => annPq(spark, dir)),
+      "opq" -> (() => annOpq(spark, dir)),
+      "opq_np" -> (() => annOpqNp(spark, dir)),
+      "pca" -> (() => annPca(spark, dir)),
       // the gate grades the SERVE path — the index a user actually
       // gets — so flat NSW's small-corpus-only regime is enforced by
       // the same routing production traffic takes
-      "graph" -> annGraphAuto(spark, dir),
-      "hnsw" -> annHnsw(spark, dir))
+      "graph" -> (() => annGraphAuto(spark, dir)),
+      "hnsw" -> (() => annHnsw(spark, dir)))
+    val variants: Map[String, DataFrame] = {
+      import scala.collection.parallel.CollectionConverters._
+      val pool = new java.util.concurrent.ForkJoinPool(4)
+      try {
+        val par = variantBuilders.par
+        par.tasksupport =
+          new scala.collection.parallel.ForkJoinTaskSupport(pool)
+        par.map { case (n, b) => n -> b() }.toList.toMap
+      } finally pool.shutdown()
+    }
     RecallGateFloors.map { case (name, floor) =>
       exact
         .join(variants(name).select(col("probe_id"), col("neighbor_id"))
