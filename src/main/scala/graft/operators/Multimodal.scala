@@ -211,7 +211,7 @@ object Multimodal {
     * q_dedup_simhash).
     */
   def modalDedupNear(spark: SparkSession, dir: String): DataFrame =
-    modalDedupNearDocs(Tables.documents(spark, dir))
+    modalDedupNearDocs(Curation.fanDocs(Tables.documents(spark, dir)))
 
   private[graft] def modalDedupNearDocs(docs: DataFrame): DataFrame =
     modalNearPairsBase(docs)
@@ -257,7 +257,7 @@ object Multimodal {
     * the gate is schema-stable on any corpus.
     */
   def modalDedupNearGate(spark: SparkSession, dir: String): DataFrame =
-    modalDedupNearGateDocs(spark, Tables.documents(spark, dir))
+    modalDedupNearGateDocs(spark, Curation.fanDocs(Tables.documents(spark, dir)))
 
   private[graft] def modalDedupNearGateDocs(spark: SparkSession,
       docs: DataFrame): DataFrame = {
@@ -309,7 +309,7 @@ object Multimodal {
     * [[modalNearClustersGate]].
     */
   def modalNearClusters(spark: SparkSession, dir: String): DataFrame =
-    modalNearClustersDocs(Tables.documents(spark, dir))
+    modalNearClustersDocs(Curation.fanDocs(Tables.documents(spark, dir)))
 
   private[graft] def modalNearClustersDocs(docs: DataFrame): DataFrame =
     modalNearClustersBase(docs)
@@ -355,7 +355,7 @@ object Multimodal {
     */
   def modalNearClustersIncremental(spark: SparkSession, dir: String,
       split: Long = 250L): DataFrame =
-    modalNearClustersIncrementalDocs(Tables.documents(spark, dir), split)
+    modalNearClustersIncrementalDocs(Curation.fanDocs(Tables.documents(spark, dir)), split)
 
   private[graft] def modalNearClustersIncrementalDocs(docs: DataFrame,
       split: Long): DataFrame = {
@@ -393,7 +393,7 @@ object Multimodal {
     * document breaks the driver hash.
     */
   def modalIncrGate(spark: SparkSession, dir: String): DataFrame =
-    modalIncrGateDocs(Tables.documents(spark, dir))
+    modalIncrGateDocs(Curation.fanDocs(Tables.documents(spark, dir)))
 
   private[graft] def modalIncrGateDocs(docs: DataFrame,
       split: Long = 250L): DataFrame = {
@@ -484,7 +484,7 @@ object Multimodal {
     * always emit.
     */
   def modalNearClustersGate(spark: SparkSession, dir: String): DataFrame =
-    modalNearClustersGateDocs(spark, Tables.documents(spark, dir))
+    modalNearClustersGateDocs(spark, Curation.fanDocs(Tables.documents(spark, dir)))
 
   private[graft] def modalNearClustersGateDocs(spark: SparkSession,
       docs: DataFrame): DataFrame = {
@@ -589,7 +589,7 @@ object Multimodal {
     * components engine at the same price as the standalone queries.
     */
   def modalScorecard(spark: SparkSession, dir: String): DataFrame =
-    modalScorecardDocs(Tables.documents(spark, dir))
+    modalScorecardDocs(Curation.fanDocs(Tables.documents(spark, dir)))
 
   private[graft] def modalScorecardDocs(docs: DataFrame): DataFrame = {
     val exact = docs.select(modalityOf(col("doc_id")).as("modality"),
