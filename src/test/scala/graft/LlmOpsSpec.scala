@@ -826,6 +826,23 @@ class LlmOpsSpec extends SparkSuite {
     }
   }
 
+  test("pq codebook fits are bit-identical across invocations (concurrent fit)") {
+    // round-13 optimization pin: the PqM per-subspace KMeans fits run
+    // CONCURRENTLY from a bounded pool; each fit is seeded per
+    // subspace, so two independent invocations must produce the same
+    // codebooks to the bit — a regression to unseeded or shared-state
+    // fitting fails here
+    val corpus = Similarity.vecs(spark, sfDir).toDF("vec_id", "v", "norm")
+    val a = Similarity.fitPqCodebooks(corpus)
+    val b = Similarity.fitPqCodebooks(corpus)
+    assert(a.length == b.length)
+    for (m <- a.indices) {
+      assert(a(m).length == b(m).length, s"subspace $m codebook size")
+      for (c <- a(m).indices)
+        assert(a(m)(c).sameElements(b(m)(c)), s"subspace $m center $c drifted")
+    }
+  }
+
   test("annIvf recall against brute force is reasonable") {
     val exact = Similarity.annBruteForce(spark, sfDir)
       .select("probe_id", "neighbor_id").collect()

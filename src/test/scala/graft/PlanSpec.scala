@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Indicators, Relational, TextOps}
+import graft.operators.{Forecast, Indicators, Relational, TextOps}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.FormattedMode
 
@@ -62,6 +62,22 @@ class PlanSpec extends SparkSuite {
     oneDay.count() // materialize to populate metrics
     prunedFiles.foreach(m => assert(m.value < allDays,
       s"expected pruning to < $allDays partitions, read ${m.value} files"))
+  }
+
+  test("compute-heavy exchanges keep the session parallelism under AQE") {
+    // round-13 optimization pin: the indicator window stage and the
+    // per-key fit harness repartition with an EXPLICIT count (session
+    // shuffle parallelism) so AQE's byte-based coalescing cannot fold
+    // ~1500 CPU-heavy per-symbol runs into a handful of tasks. The
+    // output partition count survives to the final plan exactly when
+    // the pin is in place — a regression to keyless/implicit
+    // repartitioning re-coalesces and fails here.
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      .max(spark.sparkContext.defaultParallelism)
+    assert(Indicators.analyticsFull(spark, sfDir).rdd.getNumPartitions
+      == parts, "indicator window exchange lost its explicit width")
+    assert(Forecast.arimaForecast(spark, sfDir).rdd.getNumPartitions
+      == parts, "perKeyTicks fit exchange lost its explicit width")
   }
 
   test("text operators are shuffle-free narrow scans") {
